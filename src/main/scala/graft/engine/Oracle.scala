@@ -1,0 +1,296 @@
+package graft.engine
+
+/** DuckDB 1.0.0 oracle SQL, one string per oracle-checked query id
+  * (SURVEY.md §2, determinism rules D1–D5). Dialect notes:
+  *  - events.ts is timestamp[ns] in parquet; `CAST(ts AS TIMESTAMP)`
+  *    truncates to µs exactly like the Spark reader's `ts div 1000`.
+  *    All ts comparisons happen on the CAST value so both engines
+  *    compare at µs precision.
+  *  - money SUM/AVG goes through DECIMAL(18,2), surfaced as DOUBLE
+  *    (exact, order-independent — same as Dsl.moneySum).
+  *  - DuckDB SUM(int) is HUGEINT and len() is BIGINT → explicit casts so
+  *    the schema matches Spark's output.
+  *  - list indexing is 1-based, same as Spark's element_at.
+  */
+object Oracle {
+
+  val relational: Map[String, String] = Map(
+    "q_scan_project" ->
+      """SELECT l_orderkey, l_linenumber, l_partkey, l_quantity, l_shipdate
+        |FROM lineitem ORDER BY l_orderkey, l_linenumber""".stripMargin,
+
+    "q_scan_pruned_filter" ->
+      """SELECT l_orderkey, l_linenumber, l_shipdate, l_extendedprice
+        |FROM lineitem
+        |WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1997-01-01'
+        |ORDER BY l_orderkey, l_linenumber""".stripMargin,
+
+    "q_filter_predicates" ->
+      """SELECT p_partkey, p_name, p_brand, p_type, p_size, p_retailprice
+        |FROM part
+        |WHERE p_size BETWEEN 10 AND 40
+        |  AND (p_type IN ('PROMO','ECONOMY') OR p_name LIKE 'red%')
+        |  AND p_brand IS NOT NULL AND p_retailprice > 500.0
+        |ORDER BY p_partkey""".stripMargin,
+
+    "q_proj_expr" ->
+      """SELECT l_orderkey, l_linenumber,
+        |  l_extendedprice * (1.0 - l_discount) AS revenue,
+        |  l_extendedprice * (1.0 + l_tax) AS charged,
+        |  CASE WHEN l_quantity >= 30 THEN 'bulk'
+        |       WHEN l_quantity >= 10 THEN 'mid' ELSE 'small' END AS qty_class,
+        |  l_discount > 0.05 AS high_disc
+        |FROM lineitem ORDER BY l_orderkey, l_linenumber""".stripMargin,
+
+    "q_join_inner_broadcast" ->
+      """SELECT o_orderkey, o_totalprice, c_name, c_mktsegment
+        |FROM orders JOIN customer ON o_custkey = c_custkey
+        |ORDER BY o_orderkey""".stripMargin,
+
+    "q_join_star_5way" ->
+      """SELECT n_name,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue,
+        |  COUNT(DISTINCT o_orderkey) AS n_orders
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN nation ON c_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |WHERE r_name = 'ASIA'
+        |GROUP BY n_name ORDER BY n_name""".stripMargin,
+
+    "q_join_left_outer" ->
+      """SELECT c_custkey, COUNT(o_orderkey) AS order_cnt,
+        |  CAST(COALESCE(SUM(CAST(o_totalprice AS DECIMAL(18,2))), 0) AS DOUBLE) AS total_spent
+        |FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+        |GROUP BY c_custkey ORDER BY c_custkey""".stripMargin,
+
+    "q_join_full_outer" ->
+      """WITH cc AS (SELECT c_nationkey, COUNT(*) AS cust_cnt FROM customer GROUP BY 1),
+        |     sc AS (SELECT s_nationkey, COUNT(*) AS supp_cnt FROM supplier GROUP BY 1)
+        |SELECT COALESCE(c_nationkey, s_nationkey) AS nationkey,
+        |  COALESCE(cust_cnt, 0) AS cust_cnt, COALESCE(supp_cnt, 0) AS supp_cnt
+        |FROM cc FULL OUTER JOIN sc ON c_nationkey = s_nationkey
+        |ORDER BY nationkey""".stripMargin,
+
+    "q_join_semi" ->
+      """SELECT c_custkey, c_name, c_mktsegment FROM customer
+        |WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+        |ORDER BY c_custkey""".stripMargin,
+
+    "q_join_anti" ->
+      """SELECT c_custkey, c_name, c_mktsegment FROM customer
+        |WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+        |ORDER BY c_custkey""".stripMargin,
+
+    "q_join_theta" ->
+      """SELECT s1.s_nationkey AS nationkey, COUNT(*) AS pair_cnt
+        |FROM supplier s1 JOIN supplier s2
+        |  ON s1.s_nationkey = s2.s_nationkey AND s1.s_acctbal < s2.s_acctbal
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q_join_interval_asof" ->
+      """WITH p AS (SELECT event_id AS p_id, user_id, CAST(ts AS TIMESTAMP) AS p_ts
+        |           FROM events WHERE event_type = 'purchase'),
+        |     c AS (SELECT event_id AS c_id, user_id AS c_user, CAST(ts AS TIMESTAMP) AS c_ts
+        |           FROM events WHERE event_type = 'click'),
+        |     j AS (SELECT p.p_id, p.user_id, p.p_ts, c.c_id, c.c_ts,
+        |             ROW_NUMBER() OVER (PARTITION BY p.p_id
+        |               ORDER BY c.c_ts DESC NULLS LAST, c.c_id DESC NULLS LAST) AS rn
+        |           FROM p LEFT JOIN c ON p.user_id = c.c_user
+        |             AND c.c_ts <= p.p_ts AND c.c_ts >= p.p_ts - INTERVAL 30 MINUTE)
+        |SELECT p_id AS event_id, user_id, p_ts AS ts, c_id AS click_id, c_ts AS click_ts
+        |FROM j WHERE rn = 1 ORDER BY event_id""".stripMargin,
+
+    "q_agg_pricing_summary" ->
+      """SELECT l_returnflag, l_linestatus,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS sum_disc_price,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS avg_qty,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS avg_price,
+        |  COUNT(*) AS count_order
+        |FROM lineitem
+        |WHERE l_shipdate <= TIMESTAMP '2000-12-01'
+        |GROUP BY l_returnflag, l_linestatus
+        |ORDER BY l_returnflag, l_linestatus""".stripMargin,
+
+    "q_agg_count_distinct" ->
+      """SELECT event_type, COUNT(*) AS n_events, COUNT(DISTINCT user_id) AS n_users
+        |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q_agg_rollup" ->
+      """SELECT r_name, n_name, COUNT(*) AS cust_cnt,
+        |  CAST(GROUPING(r_name, n_name) AS INT) AS gid
+        |FROM region JOIN nation ON r_regionkey = n_regionkey
+        |            JOIN customer ON n_nationkey = c_nationkey
+        |GROUP BY ROLLUP(r_name, n_name)
+        |ORDER BY gid, r_name ASC NULLS FIRST, n_name ASC NULLS FIRST""".stripMargin,
+
+    "q_agg_cube" ->
+      """SELECT o_orderstatus, yr, COUNT(*) AS n_orders,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_price,
+        |  CAST(GROUPING(o_orderstatus, yr) AS INT) AS gid
+        |FROM (SELECT o_orderstatus, CAST(year(o_orderdate) AS INT) AS yr, o_totalprice FROM orders)
+        |GROUP BY CUBE(o_orderstatus, yr)
+        |ORDER BY gid, o_orderstatus ASC NULLS FIRST, yr ASC NULLS FIRST""".stripMargin,
+
+    "q_agg_grouping_sets" ->
+      """SELECT o_orderstatus, yr, COUNT(*) AS n_orders,
+        |  CAST(GROUPING(o_orderstatus, yr) AS INT) AS gid
+        |FROM (SELECT o_orderstatus, CAST(year(o_orderdate) AS INT) AS yr FROM orders)
+        |GROUP BY GROUPING SETS ((o_orderstatus),(yr),())
+        |ORDER BY gid, o_orderstatus ASC NULLS FIRST, yr ASC NULLS FIRST""".stripMargin,
+
+    "q_agg_having" ->
+      """SELECT event_type, COUNT(*) AS n_events,
+        |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS val_sum
+        |FROM events GROUP BY 1 HAVING COUNT(*) > 1500 ORDER BY 1""".stripMargin,
+
+    "q_udaf_vec_mean" ->
+      """SELECT label,
+        |  ROUND(AVG(CAST(embedding[1] AS DOUBLE)), 6) AS d1,
+        |  ROUND(AVG(CAST(embedding[2] AS DOUBLE)), 6) AS d2,
+        |  ROUND(AVG(CAST(embedding[3] AS DOUBLE)), 6) AS d3,
+        |  ROUND(AVG(CAST(embedding[4] AS DOUBLE)), 6) AS d4
+        |FROM embeddings GROUP BY label ORDER BY label""".stripMargin,
+
+    "q_win_topk_per_group" ->
+      """SELECT o_custkey, rn, o_orderkey, o_totalprice FROM (
+        |  SELECT o_custkey, o_orderkey, o_totalprice,
+        |    ROW_NUMBER() OVER (PARTITION BY o_custkey
+        |      ORDER BY o_totalprice DESC, o_orderkey ASC) AS rn
+        |  FROM orders)
+        |WHERE rn <= 3 ORDER BY o_custkey, rn""".stripMargin,
+
+    "q_win_rank_dense" ->
+      """SELECT p_brand, p_partkey, p_retailprice,
+        |  RANK() OVER (PARTITION BY p_brand ORDER BY p_retailprice DESC) AS rnk,
+        |  DENSE_RANK() OVER (PARTITION BY p_brand ORDER BY p_retailprice DESC) AS drnk
+        |FROM part ORDER BY p_brand, p_retailprice DESC, p_partkey""".stripMargin,
+
+    "q_win_lag_lead" ->
+      """WITH e AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, event_id FROM events)
+        |SELECT user_id, ts, event_id,
+        |  date_diff('microsecond',
+        |    LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id), ts) AS gap_us,
+        |  date_diff('microsecond', ts,
+        |    LEAD(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)) AS next_us
+        |FROM e ORDER BY user_id, ts, event_id""".stripMargin,
+
+    "q_win_running_sum" ->
+      """SELECT o_custkey, o_orderdate, o_orderkey,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) OVER (
+        |    PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS running_total
+        |FROM orders ORDER BY o_custkey, o_orderdate, o_orderkey""".stripMargin,
+
+    "q_win_sliding_frame" ->
+      """WITH daily AS (
+        |  SELECT CAST(date_trunc('day', CAST(ts AS TIMESTAMP)) AS TIMESTAMP) AS day,
+        |         COUNT(*) AS cnt
+        |  FROM events GROUP BY 1)
+        |SELECT day, cnt,
+        |  ROUND(AVG(cnt) OVER (ORDER BY day ROWS BETWEEN 2 PRECEDING AND CURRENT ROW), 6) AS ma3
+        |FROM daily ORDER BY day""".stripMargin,
+
+    "q_win_ntile" ->
+      """SELECT c_custkey, c_acctbal,
+        |  NTILE(4) OVER (ORDER BY c_acctbal DESC, c_custkey ASC) AS quartile
+        |FROM customer ORDER BY c_custkey""".stripMargin,
+
+    "q_sort_multi" ->
+      """SELECT c_custkey, c_name, c_acctbal, c_mktsegment FROM customer
+        |ORDER BY c_acctbal DESC NULLS LAST, c_name ASC, c_custkey ASC
+        |LIMIT 100""".stripMargin,
+
+    "q_topk_global" ->
+      """SELECT l_orderkey, l_linenumber, l_extendedprice FROM lineitem
+        |ORDER BY l_extendedprice DESC, l_orderkey ASC, l_linenumber ASC
+        |LIMIT 10""".stripMargin,
+
+    "q_set_union_all" ->
+      """SELECT nationkey, kind, COUNT(*) AS n FROM (
+        |  SELECT c_nationkey AS nationkey, 'customer' AS kind FROM customer
+        |  UNION ALL
+        |  SELECT s_nationkey AS nationkey, 'supplier' AS kind FROM supplier)
+        |GROUP BY nationkey, kind ORDER BY nationkey, kind""".stripMargin,
+
+    "q_set_union_distinct" ->
+      """SELECT c_nationkey AS nationkey FROM customer
+        |UNION
+        |SELECT s_nationkey AS nationkey FROM supplier
+        |ORDER BY nationkey""".stripMargin,
+
+    "q_set_intersect" ->
+      """SELECT c_nationkey AS nationkey FROM customer
+        |INTERSECT
+        |SELECT s_nationkey AS nationkey FROM supplier
+        |ORDER BY nationkey""".stripMargin,
+
+    "q_set_except" ->
+      """SELECT c_nationkey AS nationkey FROM customer
+        |EXCEPT
+        |SELECT s_nationkey AS nationkey FROM supplier
+        |ORDER BY nationkey""".stripMargin,
+
+    "q_str_funcs" ->
+      """SELECT p_partkey,
+        |  upper(p_name) AS uname,
+        |  lower(p_type) AS ltype,
+        |  substring(p_name, 1, 5) AS pre5,
+        |  CAST(length(p_name) AS INT) AS name_len,
+        |  replace(p_name, ' ', '_') AS snake,
+        |  concat(p_brand, ':', p_type) AS brand_type,
+        |  trim(concat('  ', p_name, '  ')) AS trimmed
+        |FROM part ORDER BY p_partkey""".stripMargin,
+
+    "q_str_regex" ->
+      """SELECT doc_id,
+        |  regexp_extract(source, '(\d+)', 1) AS src_num,
+        |  CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+        |  string_split(text, ' ')[1] AS first_tok
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "q_date_funcs" ->
+      """SELECT l_orderkey, l_linenumber,
+        |  CAST(year(o_orderdate) AS INT) AS yr,
+        |  CAST(month(o_orderdate) AS INT) AS mo,
+        |  CAST(dayofmonth(o_orderdate) AS INT) AS dom,
+        |  CAST(date_trunc('month', o_orderdate) AS TIMESTAMP) AS month_start,
+        |  CAST(date_diff('day', o_orderdate, l_shipdate) AS INT) AS ship_delay,
+        |  epoch_us(o_orderdate) AS epoch_us
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |ORDER BY l_orderkey, l_linenumber""".stripMargin,
+
+    "q_math_funcs" ->
+      """SELECT l_orderkey, l_linenumber,
+        |  round(l_extendedprice * (1.0 + l_tax), 6) AS charged_r6,
+        |  CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) + CAST(l_tax AS DECIMAL(18,2))) AS DOUBLE) AS charged_exact,
+        |  CAST(ceil(l_quantity / 7.0) AS BIGINT) AS qty_ceil,
+        |  CAST(floor(l_quantity / 7.0) AS BIGINT) AS qty_floor,
+        |  l_orderkey % 7 AS key_mod,
+        |  abs(l_discount - 0.05) AS disc_dev,
+        |  sqrt(l_quantity) AS qty_sqrt
+        |FROM lineitem ORDER BY l_orderkey, l_linenumber""".stripMargin,
+
+    "q_json_extract" ->
+      """SELECT event_type, COUNT(*) AS n_events,
+        |  CAST(SUM(k) AS BIGINT) AS sum_k, MIN(k) AS min_k, MAX(k) AS max_k
+        |FROM (SELECT event_type, CAST(json_extract(props, '$.k') AS INT) AS k FROM events)
+        |GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    "q_arr_funcs" ->
+      """SELECT vec_id,
+        |  CAST(len(embedding) AS INT) AS dim,
+        |  ROUND(CAST(embedding[1] AS DOUBLE), 6) AS e1,
+        |  ROUND(CAST(embedding[1] AS DOUBLE) + CAST(embedding[2] AS DOUBLE) + CAST(embedding[3] AS DOUBLE), 6) AS s3,
+        |  ROUND(CAST(embedding[64] AS DOUBLE), 6) AS e64
+        |FROM embeddings ORDER BY vec_id""".stripMargin,
+
+    "q_explode_tokens" ->
+      """SELECT token, COUNT(*) AS cnt
+        |FROM (SELECT unnest(string_split(text, ' ')) AS token FROM documents)
+        |GROUP BY token ORDER BY cnt DESC, token ASC LIMIT 20""".stripMargin
+  )
+}

@@ -1,0 +1,457 @@
+package graft.engine
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.functions.VecMeanAgg
+
+/** Relational operator surface (SURVEY.md §2.1–2.8). Every query is a pure
+  * `(SparkSession, sfDir) => DataFrame` built from declarative
+  * DataFrame/Column expressions so Catalyst keeps pushdown, pruning,
+  * join-strategy selection and whole-stage codegen. The reference
+  * (`/root/reference/README.md:2`) exposes the Flink DataStream operator
+  * set (map/filter/keyBy/aggregate/join/window); these are the Spark-native
+  * equivalents per SURVEY.md §2's normative contract.
+  *
+  * Determinism (SURVEY D1–D5): explicit ORDER BY on unique keys, money
+  * aggregates through DECIMAL(18,2) (Dsl), ROUND(...,6) on ratios,
+  * explicit top-k tie-breaks.
+  */
+object Relational {
+  import Dsl._
+
+  private val ld = (y: Int, m: Int, d: Int) => lit(java.time.LocalDateTime.of(y, m, d, 0, 0, 0))
+
+  // ── §2.1 scans ────────────────────────────────────────────────────────
+
+  /** Parquet scan + projection; column pruning reaches the scan (ReadSchema). */
+  def q_scan_project(s: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(s, dir)
+      .select(col("l_orderkey"), col("l_linenumber"), col("l_partkey"),
+        col("l_quantity"), col("l_shipdate"))
+      .orderBy("l_orderkey", "l_linenumber")
+
+  /** Scan with predicate pushed to the parquet reader (PushedFilters). */
+  def q_scan_pruned_filter(s: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(s, dir)
+      .filter(col("l_shipdate") >= ld(1996, 1, 1) && col("l_shipdate") < ld(1997, 1, 1))
+      .select(col("l_orderkey"), col("l_linenumber"), col("l_shipdate"),
+        col("l_extendedprice"))
+      .orderBy("l_orderkey", "l_linenumber")
+
+  // ── §2.2 filters / projections ───────────────────────────────────────
+
+  def q_filter_predicates(s: SparkSession, dir: String): DataFrame =
+    Tables.part(s, dir)
+      .filter(col("p_size").between(10, 40) &&
+        (col("p_type").isin("PROMO", "ECONOMY") || col("p_name").like("red%")) &&
+        col("p_brand").isNotNull && col("p_retailprice") > 500.0)
+      .select(col("p_partkey"), col("p_name"), col("p_brand"), col("p_type"),
+        col("p_size"), col("p_retailprice"))
+      .orderBy("p_partkey")
+
+  def q_proj_expr(s: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(s, dir)
+      .select(col("l_orderkey"), col("l_linenumber"),
+        (col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("revenue"),
+        (col("l_extendedprice") * (lit(1.0) + col("l_tax"))).as("charged"),
+        when(col("l_quantity") >= 30, "bulk")
+          .when(col("l_quantity") >= 10, "mid")
+          .otherwise("small").as("qty_class"),
+        (col("l_discount") > 0.05).as("high_disc"))
+      .orderBy("l_orderkey", "l_linenumber")
+
+  // ── §2.3 joins ───────────────────────────────────────────────────────
+
+  /** Small-dim broadcast join: customer (15k rows at sf1) is broadcast,
+    * so the fact side never shuffles — the 100 TB-safe star-join shape. */
+  def q_join_inner_broadcast(s: SparkSession, dir: String): DataFrame =
+    Tables.orders(s, dir)
+      .join(broadcast(Tables.customer(s, dir)),
+        col("o_custkey") === col("c_custkey"), "inner")
+      .select(col("o_orderkey"), col("o_totalprice"), col("c_name"), col("c_mktsegment"))
+      .orderBy("o_orderkey")
+
+  /** 5-way star join (TPC-H Q5 shape): dims broadcast, single fact shuffle. */
+  def q_join_star_5way(s: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(s, dir)
+      .join(Tables.orders(s, dir), col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(Tables.customer(s, dir)), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(Tables.nation(s, dir)), col("c_nationkey") === col("n_nationkey"))
+      .join(broadcast(Tables.region(s, dir)), col("n_regionkey") === col("r_regionkey"))
+      .filter(col("r_name") === "ASIA")
+      .groupBy(col("n_name"))
+      .agg(sum(dec(col("l_extendedprice")) * (lit(1).cast("decimal(18,2)") - dec(col("l_discount"))))
+        .cast("double").as("revenue"),
+        countDistinct(col("o_orderkey")).as("n_orders"))
+      .orderBy("n_name")
+
+  def q_join_left_outer(s: SparkSession, dir: String): DataFrame =
+    Tables.customer(s, dir)
+      .join(Tables.orders(s, dir), col("c_custkey") === col("o_custkey"), "left_outer")
+      .groupBy(col("c_custkey"))
+      .agg(count(col("o_orderkey")).as("order_cnt"),
+        coalesce(sum(dec(col("o_totalprice"))), lit(0).cast("decimal(18,2)"))
+          .cast("double").as("total_spent"))
+      .orderBy("c_custkey")
+
+  def q_join_full_outer(s: SparkSession, dir: String): DataFrame = {
+    val cc = Tables.customer(s, dir).groupBy(col("c_nationkey"))
+      .agg(count(lit(1)).as("cust_cnt"))
+    val sc = Tables.supplier(s, dir).groupBy(col("s_nationkey"))
+      .agg(count(lit(1)).as("supp_cnt"))
+    cc.join(sc, col("c_nationkey") === col("s_nationkey"), "full_outer")
+      .select(coalesce(col("c_nationkey"), col("s_nationkey")).as("nationkey"),
+        coalesce(col("cust_cnt"), lit(0L)).as("cust_cnt"),
+        coalesce(col("supp_cnt"), lit(0L)).as("supp_cnt"))
+      .orderBy("nationkey")
+  }
+
+  def q_join_semi(s: SparkSession, dir: String): DataFrame =
+    Tables.customer(s, dir)
+      .join(Tables.orders(s, dir), col("c_custkey") === col("o_custkey"), "left_semi")
+      .select(col("c_custkey"), col("c_name"), col("c_mktsegment"))
+      .orderBy("c_custkey")
+
+  def q_join_anti(s: SparkSession, dir: String): DataFrame =
+    Tables.customer(s, dir)
+      .join(Tables.orders(s, dir), col("c_custkey") === col("o_custkey"), "left_anti")
+      .select(col("c_custkey"), col("c_name"), col("c_mktsegment"))
+      .orderBy("c_custkey")
+
+  /** Non-equi (theta) self-join, bounded by the nation equi-key so the
+    * quadratic blowup stays per-nation, not global. */
+  def q_join_theta(s: SparkSession, dir: String): DataFrame = {
+    val s1 = Tables.supplier(s, dir)
+      .select(col("s_nationkey").as("nk1"), col("s_acctbal").as("bal1"))
+    val s2 = Tables.supplier(s, dir)
+      .select(col("s_nationkey").as("nk2"), col("s_acctbal").as("bal2"))
+    s1.join(s2, col("nk1") === col("nk2") && col("bal1") < col("bal2"))
+      .groupBy(col("nk1").as("nationkey"))
+      .agg(count(lit(1)).as("pair_cnt"))
+      .orderBy("nationkey")
+  }
+
+  /** As-of join (Flink intervalJoin analog): latest click ≤ 30 min before
+    * each purchase, per user. Equi-key on user bounds the range probe. */
+  def q_join_interval_asof(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(s, dir)
+    val p = ev.filter(col("event_type") === "purchase")
+      .select(col("event_id").as("p_id"), col("user_id"), col("ts").as("p_ts"))
+    val c = ev.filter(col("event_type") === "click")
+      .select(col("event_id").as("c_id"), col("user_id").as("c_user"), col("ts").as("c_ts"))
+    val w = Window.partitionBy(col("p_id"))
+      .orderBy(col("c_ts").desc_nulls_last, col("c_id").desc_nulls_last)
+    p.join(c,
+        col("user_id") === col("c_user") &&
+          col("c_ts") <= col("p_ts") &&
+          col("c_ts") >= col("p_ts") - expr("INTERVAL 30 MINUTES"),
+        "left_outer")
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("p_id").as("event_id"), col("user_id"), col("p_ts").as("ts"),
+        col("c_id").as("click_id"), col("c_ts").as("click_ts"))
+      .orderBy("event_id")
+  }
+
+  // ── §2.4 aggregations ────────────────────────────────────────────────
+
+  /** Flagship (TPC-H Q1 shape): partial+final HashAggregate over the fact
+    * table; all money math through DECIMAL(18,2) for cross-engine parity. */
+  def q_agg_pricing_summary(s: SparkSession, dir: String): DataFrame = {
+    val one = lit(1).cast("decimal(18,2)")
+    Tables.lineitem(s, dir)
+      .filter(col("l_shipdate") <= ld(2000, 12, 1))
+      .groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        moneySum(col("l_quantity")).as("sum_qty"),
+        moneySum(col("l_extendedprice")).as("sum_base_price"),
+        sum(dec(col("l_extendedprice")) * (one - dec(col("l_discount"))))
+          .cast("double").as("sum_disc_price"),
+        moneyAvg(col("l_quantity")).as("avg_qty"),
+        moneyAvg(col("l_extendedprice")).as("avg_price"),
+        count(lit(1)).as("count_order"))
+      .orderBy("l_returnflag", "l_linestatus")
+  }
+
+  def q_agg_count_distinct(s: SparkSession, dir: String): DataFrame =
+    Tables.events(s, dir)
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_events"), countDistinct(col("user_id")).as("n_users"))
+      .orderBy("event_type")
+
+  /** HLL++ sketch distinct — no oracle (hash families differ per engine);
+    * self-checked within 5% of exact in the test suite. */
+  def q_agg_approx_distinct(s: SparkSession, dir: String): DataFrame =
+    Tables.events(s, dir)
+      .groupBy(col("event_type"))
+      .agg(approx_count_distinct(col("user_id")).as("approx_users"),
+        count(lit(1)).as("n_events"))
+      .orderBy("event_type")
+
+  def q_agg_rollup(s: SparkSession, dir: String): DataFrame =
+    Tables.region(s, dir)
+      .join(Tables.nation(s, dir), col("r_regionkey") === col("n_regionkey"))
+      .join(Tables.customer(s, dir), col("n_nationkey") === col("c_nationkey"))
+      .rollup(col("r_name"), col("n_name"))
+      .agg(count(lit(1)).as("cust_cnt"), grouping_id().cast("int").as("gid"))
+      .orderBy(col("gid"), col("r_name").asc_nulls_first, col("n_name").asc_nulls_first)
+
+  def q_agg_cube(s: SparkSession, dir: String): DataFrame =
+    Tables.orders(s, dir)
+      .withColumn("yr", year(col("o_orderdate")).cast("int"))
+      .cube(col("o_orderstatus"), col("yr"))
+      .agg(count(lit(1)).as("n_orders"), moneySum(col("o_totalprice")).as("total_price"),
+        grouping_id().cast("int").as("gid"))
+      .orderBy(col("gid"), col("o_orderstatus").asc_nulls_first, col("yr").asc_nulls_first)
+
+  def q_agg_grouping_sets(s: SparkSession, dir: String): DataFrame = {
+    Tables.orders(s, dir)
+      .withColumn("yr", year(col("o_orderdate")).cast("int"))
+      .createOrReplaceTempView("v_orders_gs")
+    s.sql(
+      """SELECT o_orderstatus, yr, count(*) AS n_orders,
+        |       CAST(grouping_id() AS INT) AS gid
+        |FROM v_orders_gs
+        |GROUP BY GROUPING SETS ((o_orderstatus),(yr),())
+        |ORDER BY gid, o_orderstatus ASC NULLS FIRST, yr ASC NULLS FIRST""".stripMargin)
+  }
+
+  def q_agg_having(s: SparkSession, dir: String): DataFrame =
+    Tables.events(s, dir)
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_events"), moneySum(col("value")).as("val_sum"))
+      .filter(col("n_events") > 1500)
+      .orderBy("event_type")
+
+  /** Typed UDAF surface: element-wise mean of 64-dim float vectors
+    * (graft.functions.VecMeanAgg) — partial-aggregated buffers, not rows. */
+  def q_udaf_vec_mean(s: SparkSession, dir: String): DataFrame = {
+    val vecMean = udaf(VecMeanAgg)
+    Tables.embeddings(s, dir)
+      .groupBy(col("label"))
+      .agg(vecMean(col("embedding")).as("mv"))
+      .select(col("label"),
+        round(element_at(col("mv"), 1), 6).as("d1"),
+        round(element_at(col("mv"), 2), 6).as("d2"),
+        round(element_at(col("mv"), 3), 6).as("d3"),
+        round(element_at(col("mv"), 4), 6).as("d4"))
+      .orderBy("label")
+  }
+
+  // ── §2.5 window functions ────────────────────────────────────────────
+
+  def q_win_topk_per_group(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+    Tables.orders(s, dir)
+      .withColumn("rn", row_number().over(w).cast("bigint"))
+      .filter(col("rn") <= 3)
+      .select(col("o_custkey"), col("rn"), col("o_orderkey"), col("o_totalprice"))
+      .orderBy("o_custkey", "rn")
+  }
+
+  def q_win_rank_dense(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("p_brand")).orderBy(col("p_retailprice").desc)
+    Tables.part(s, dir)
+      .select(col("p_brand"), col("p_partkey"), col("p_retailprice"),
+        rank().over(w).cast("bigint").as("rnk"),
+        dense_rank().over(w).cast("bigint").as("drnk"))
+      .orderBy(col("p_brand"), col("p_retailprice").desc, col("p_partkey"))
+  }
+
+  def q_win_lag_lead(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    Tables.events(s, dir)
+      .select(col("user_id"), col("ts"), col("event_id"),
+        (unix_micros(col("ts")) - unix_micros(lag(col("ts"), 1).over(w))).as("gap_us"),
+        (unix_micros(lead(col("ts"), 1).over(w)) - unix_micros(col("ts"))).as("next_us"))
+      .orderBy("user_id", "ts", "event_id")
+  }
+
+  def q_win_running_sum(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_orderdate"), col("o_orderkey"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    Tables.orders(s, dir)
+      .select(col("o_custkey"), col("o_orderdate"), col("o_orderkey"),
+        sum(dec(col("o_totalprice"))).over(w).cast("double").as("running_total"))
+      .orderBy("o_custkey", "o_orderdate", "o_orderkey")
+  }
+
+  def q_win_sliding_frame(s: SparkSession, dir: String): DataFrame = {
+    val daily = Tables.events(s, dir)
+      .groupBy(date_trunc("day", col("ts")).as("day"))
+      .agg(count(lit(1)).as("cnt"))
+    val w = Window.orderBy(col("day")).rowsBetween(-2, 0)
+    daily
+      .select(col("day"), col("cnt"), round(avg(col("cnt")).over(w), 6).as("ma3"))
+      .orderBy("day")
+  }
+
+  def q_win_ntile(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.orderBy(col("c_acctbal").desc, col("c_custkey").asc)
+    Tables.customer(s, dir)
+      .select(col("c_custkey"), col("c_acctbal"),
+        ntile(4).over(w).cast("bigint").as("quartile"))
+      .orderBy("c_custkey")
+  }
+
+  // ── §2.6 sorts / top-k ───────────────────────────────────────────────
+
+  def q_sort_multi(s: SparkSession, dir: String): DataFrame =
+    Tables.customer(s, dir)
+      .select(col("c_custkey"), col("c_name"), col("c_acctbal"), col("c_mktsegment"))
+      .orderBy(col("c_acctbal").desc_nulls_last, col("c_name").asc, col("c_custkey").asc)
+      .limit(100)
+
+  /** Global top-k → TakeOrderedAndProject (no full sort at scale). */
+  def q_topk_global(s: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(s, dir)
+      .select(col("l_orderkey"), col("l_linenumber"), col("l_extendedprice"))
+      .orderBy(col("l_extendedprice").desc, col("l_orderkey").asc, col("l_linenumber").asc)
+      .limit(10)
+
+  // ── §2.7 set operations ──────────────────────────────────────────────
+
+  private def nkCust(s: SparkSession, dir: String) =
+    Tables.customer(s, dir).select(col("c_nationkey").as("nationkey"))
+  private def nkSupp(s: SparkSession, dir: String) =
+    Tables.supplier(s, dir).select(col("s_nationkey").as("nationkey"))
+
+  def q_set_union_all(s: SparkSession, dir: String): DataFrame =
+    nkCust(s, dir).withColumn("kind", lit("customer"))
+      .unionByName(nkSupp(s, dir).withColumn("kind", lit("supplier")))
+      .groupBy(col("nationkey"), col("kind"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy("nationkey", "kind")
+
+  def q_set_union_distinct(s: SparkSession, dir: String): DataFrame =
+    nkCust(s, dir).union(nkSupp(s, dir)).distinct().orderBy("nationkey")
+
+  def q_set_intersect(s: SparkSession, dir: String): DataFrame =
+    nkCust(s, dir).intersect(nkSupp(s, dir)).orderBy("nationkey")
+
+  def q_set_except(s: SparkSession, dir: String): DataFrame =
+    nkCust(s, dir).except(nkSupp(s, dir)).orderBy("nationkey")
+
+  // ── §2.8 scalar functions ────────────────────────────────────────────
+
+  def q_str_funcs(s: SparkSession, dir: String): DataFrame =
+    Tables.part(s, dir)
+      .select(col("p_partkey"),
+        upper(col("p_name")).as("uname"),
+        lower(col("p_type")).as("ltype"),
+        substring(col("p_name"), 1, 5).as("pre5"),
+        length(col("p_name")).cast("int").as("name_len"),
+        regexp_replace(col("p_name"), " ", "_").as("snake"),
+        concat(col("p_brand"), lit(":"), col("p_type")).as("brand_type"),
+        trim(concat(lit("  "), col("p_name"), lit("  "))).as("trimmed"))
+      .orderBy("p_partkey")
+
+  def q_str_regex(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir)
+      .select(col("doc_id"),
+        regexp_extract(col("source"), "(\\d+)", 1).as("src_num"),
+        size(split(col("text"), " ")).cast("bigint").as("n_tokens"),
+        element_at(split(col("text"), " "), 1).as("first_tok"))
+      .orderBy("doc_id")
+
+  def q_date_funcs(s: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(s, dir)
+      .join(Tables.orders(s, dir), col("l_orderkey") === col("o_orderkey"))
+      .select(col("l_orderkey"), col("l_linenumber"),
+        year(col("o_orderdate")).cast("int").as("yr"),
+        month(col("o_orderdate")).cast("int").as("mo"),
+        dayofmonth(col("o_orderdate")).cast("int").as("dom"),
+        date_trunc("month", col("o_orderdate")).as("month_start"),
+        datediff(col("l_shipdate"), col("o_orderdate")).cast("int").as("ship_delay"),
+        unix_micros(col("o_orderdate").cast("timestamp")).as("epoch_us"))
+      .orderBy("l_orderkey", "l_linenumber")
+
+  def q_math_funcs(s: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(s, dir)
+      .select(col("l_orderkey"), col("l_linenumber"),
+        round(col("l_extendedprice") * (lit(1.0) + col("l_tax")), 6).as("charged_r6"),
+        (dec(col("l_extendedprice")) * (lit(1).cast("decimal(18,2)") + dec(col("l_tax"))))
+          .cast("double").as("charged_exact"),
+        ceil(col("l_quantity") / 7.0).cast("bigint").as("qty_ceil"),
+        floor(col("l_quantity") / 7.0).cast("bigint").as("qty_floor"),
+        pmod(col("l_orderkey"), lit(7L)).as("key_mod"),
+        abs(col("l_discount") - 0.05).as("disc_dev"),
+        sqrt(col("l_quantity")).as("qty_sqrt"))
+      .orderBy("l_orderkey", "l_linenumber")
+
+  def q_json_extract(s: SparkSession, dir: String): DataFrame =
+    Tables.events(s, dir)
+      .withColumn("k", get_json_object(col("props"), "$.k").cast("int"))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(col("k")).cast("bigint").as("sum_k"),
+        min(col("k")).as("min_k"),
+        max(col("k")).as("max_k"))
+      .orderBy("event_type")
+
+  def q_arr_funcs(s: SparkSession, dir: String): DataFrame = {
+    val e = (i: Int) => element_at(col("embedding"), i).cast("double")
+    Tables.embeddings(s, dir)
+      .select(col("vec_id"),
+        size(col("embedding")).cast("int").as("dim"),
+        round(e(1), 6).as("e1"),
+        round(e(1) + e(2) + e(3), 6).as("s3"),
+        round(e(64), 6).as("e64"))
+      .orderBy("vec_id")
+  }
+
+  /** Generator/UDTF surface: explode tokens → global top-20. */
+  def q_explode_tokens(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir)
+      .select(explode(split(col("text"), " ")).as("token"))
+      .groupBy(col("token"))
+      .agg(count(lit(1)).as("cnt"))
+      .orderBy(col("cnt").desc, col("token").asc)
+      .limit(20)
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_scan_project" -> q_scan_project _,
+    "q_scan_pruned_filter" -> q_scan_pruned_filter _,
+    "q_filter_predicates" -> q_filter_predicates _,
+    "q_proj_expr" -> q_proj_expr _,
+    "q_join_inner_broadcast" -> q_join_inner_broadcast _,
+    "q_join_star_5way" -> q_join_star_5way _,
+    "q_join_left_outer" -> q_join_left_outer _,
+    "q_join_full_outer" -> q_join_full_outer _,
+    "q_join_semi" -> q_join_semi _,
+    "q_join_anti" -> q_join_anti _,
+    "q_join_theta" -> q_join_theta _,
+    "q_join_interval_asof" -> q_join_interval_asof _,
+    "q_agg_pricing_summary" -> q_agg_pricing_summary _,
+    "q_agg_count_distinct" -> q_agg_count_distinct _,
+    "q_agg_approx_distinct" -> q_agg_approx_distinct _,
+    "q_agg_rollup" -> q_agg_rollup _,
+    "q_agg_cube" -> q_agg_cube _,
+    "q_agg_grouping_sets" -> q_agg_grouping_sets _,
+    "q_agg_having" -> q_agg_having _,
+    "q_udaf_vec_mean" -> q_udaf_vec_mean _,
+    "q_win_topk_per_group" -> q_win_topk_per_group _,
+    "q_win_rank_dense" -> q_win_rank_dense _,
+    "q_win_lag_lead" -> q_win_lag_lead _,
+    "q_win_running_sum" -> q_win_running_sum _,
+    "q_win_sliding_frame" -> q_win_sliding_frame _,
+    "q_win_ntile" -> q_win_ntile _,
+    "q_sort_multi" -> q_sort_multi _,
+    "q_topk_global" -> q_topk_global _,
+    "q_set_union_all" -> q_set_union_all _,
+    "q_set_union_distinct" -> q_set_union_distinct _,
+    "q_set_intersect" -> q_set_intersect _,
+    "q_set_except" -> q_set_except _,
+    "q_str_funcs" -> q_str_funcs _,
+    "q_str_regex" -> q_str_regex _,
+    "q_date_funcs" -> q_date_funcs _,
+    "q_math_funcs" -> q_math_funcs _,
+    "q_json_extract" -> q_json_extract _,
+    "q_arr_funcs" -> q_arr_funcs _,
+    "q_explode_tokens" -> q_explode_tokens _
+  )
+}

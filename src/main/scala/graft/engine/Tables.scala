@@ -1,0 +1,57 @@
+package graft.engine
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Typed readers for the driver-generated fixture tables (TESTDATA.md,
+  * FIXTURES.md). The reference (`/root/reference/README.md:2`) declares a
+  * Flink DataStream ingest; the Spark-native equivalent is a columnar
+  * parquet scan for batch and `readStream` for streams — the same query
+  * code runs on both (Structured Streaming unified model).
+  *
+  * Scale note: each reader is a plain `spark.read.parquet` so Catalyst
+  * keeps predicate pushdown / column pruning / partition pruning intact;
+  * no caching or driver-side materialization here.
+  */
+object Tables {
+  private def read(s: SparkSession, dir: String, name: String): DataFrame =
+    s.read.parquet(s"$dir/$name.parquet")
+
+  def region(s: SparkSession, dir: String): DataFrame   = read(s, dir, "region")
+  def nation(s: SparkSession, dir: String): DataFrame   = read(s, dir, "nation")
+  def customer(s: SparkSession, dir: String): DataFrame = read(s, dir, "customer")
+  def supplier(s: SparkSession, dir: String): DataFrame = read(s, dir, "supplier")
+  def part(s: SparkSession, dir: String): DataFrame     = read(s, dir, "part")
+  def orders(s: SparkSession, dir: String): DataFrame   = read(s, dir, "orders")
+  def lineitem(s: SparkSession, dir: String): DataFrame = read(s, dir, "lineitem")
+  def documents(s: SparkSession, dir: String): DataFrame = read(s, dir, "documents")
+  def embeddings(s: SparkSession, dir: String): DataFrame = read(s, dir, "embeddings")
+
+  /** events.ts is parquet timestamp[ns], which Spark 4.1.2 cannot read
+    * natively (PARQUET_TYPE_ILLEGAL). Read it as raw ns-longs and truncate
+    * to µs — exactly what the DuckDB oracle's `CAST(ts AS TIMESTAMP)` does.
+    * NOTE integer `div`, not `/`: epoch-ns magnitudes (~1.7e18) exceed
+    * 2^53, so a double round-trip would corrupt the microsecond value.
+    */
+  def events(s: SparkSession, dir: String): DataFrame = {
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    read(s, dir, "events")
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+  }
+}
+
+/** Determinism helpers shared by every oracle-checked query (SURVEY.md §2
+  * D1–D5). Money-like doubles are summed through DECIMAL(18,2) — exact and
+  * order-independent — then surfaced as double so the Spark parquet output
+  * and the DuckDB oracle agree byte-for-byte.
+  */
+object Dsl {
+  /** Cast a 2-decimal money double to exact decimal (D2). */
+  def dec(c: Column): Column = c.cast("decimal(18,2)")
+
+  /** Exact, order-independent SUM for money columns; double on the wire. */
+  def moneySum(c: Column): Column = sum(dec(c)).cast("double")
+
+  /** Exact AVG: decimal sum then double division by count (D2). */
+  def moneyAvg(c: Column): Column = sum(dec(c)).cast("double") / count(lit(1))
+}
