@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
-import graft.engine.{Oracle, Relational}
+import graft.engine.{Gnn, GraphOps, LlmOps, Oracle, Relational, StreamingOps}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   * Query surface: SURVEY.md §2 (normative contract reconstructed from the
@@ -15,11 +15,14 @@ object SparkEntry {
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
-    Relational.queries
+    Relational.queries ++ StreamingOps.queries ++ GraphOps.queries ++
+      Gnn.queries ++ LlmOps.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted for non-SQL-expressible ops
-    * (q_agg_approx_distinct: HLL sketches differ per engine). */
+    * (q_agg_approx_distinct: per-engine HLL sketches; q_graph_pagerank:
+    * iterative float; q_gnn_layer: 64×64 matmul; q_llm_minhash_lsh:
+    * hash-family specific — all self-checked in the test suite). */
   def oracleSql: Map[String, String] =
-    Oracle.relational
+    Oracle.all
 }

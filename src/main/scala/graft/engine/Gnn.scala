@@ -1,0 +1,64 @@
+package graft.engine
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.functions.VecMeanAgg
+
+/** GNN forward layer (SURVEY.md §2.11 q_gnn_layer) — the dense-layer
+  * update the reference runs with DL4J (`/root/reference/README.md:2`):
+  * `h'_v = ReLU(W · mean_{u∈N(v)} x_u + b)`, GCN eq. 2 (Kipf & Welling
+  * 2017) with mean aggregation (GraphSAGE-mean, Hamilton et al. 2017).
+  *
+  * Weights are the deterministic seeded matrix fixed in FIXTURES.md:
+  * `W[i][j] = ((i*31 + j*17) % 7 - 3) / 10.0`, `b[i] = (i%5-2)/10.0`.
+  *
+  * Execution shape: neighbor means come from the VecMeanAgg partial
+  * aggregate (buffers, not rows, cross the shuffle); the 64×64 matmul
+  * runs data-parallel in a typed `map` over (customer, mean) rows —
+  * embarrassingly parallel, no further shuffle, scales with executors.
+  * No oracle (64×64 matmul is unreasonable in SQL) — golden-tested.
+  */
+object Gnn {
+  val Dim = 64
+
+  def weight(i: Int, j: Int): Double = ((i * 31 + j * 17) % 7 - 3) / 10.0
+  def bias(i: Int): Double = (i % 5 - 2) / 10.0
+
+  /** Dense forward pass on one aggregated neighborhood vector. */
+  def forward(mean: Array[Double]): Array[Double] = {
+    val out = new Array[Double](Dim)
+    var i = 0
+    while (i < Dim) {
+      var acc = 0.0
+      var j = 0
+      while (j < mean.length) { acc += weight(i, j) * mean(j); j += 1 }
+      acc += bias(i)
+      out(i) = if (acc > 0.0) acc else 0.0
+      i += 1
+    }
+    out
+  }
+
+  def q_gnn_layer(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val vecMean = udaf(VecMeanAgg)
+    val agg = GraphOps.neighborFeatures(s, dir)
+      .groupBy(col("src"))
+      .agg(vecMean(col("embedding")).as("mv"))
+    agg.select(col("src"), col("mv")).as[(Long, Seq[Double])]
+      .map { case (ck, m) =>
+        val h = forward(m.toArray)
+        (ck, h(0), h(1), h(2), h(3))
+      }
+      .toDF("custkey", "h1_raw", "h2_raw", "h3_raw", "h4_raw")
+      .select(col("custkey"),
+        round(col("h1_raw"), 6).as("h1"), round(col("h2_raw"), 6).as("h2"),
+        round(col("h3_raw"), 6).as("h3"), round(col("h4_raw"), 6).as("h4"))
+      .orderBy("custkey")
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_gnn_layer" -> q_gnn_layer _
+  )
+}

@@ -1,0 +1,160 @@
+package graft.engine
+
+import org.apache.spark.graphx.{Edge, Graph}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.storage.StorageLevel
+
+/** Graph operators over the co-purchase graph (SURVEY.md §2.10) — the GNN
+  * substrate the reference declares (`/root/reference/README.md:1-2`
+  * "Streaming GNN ... Flink"). Fixture convention (FIXTURES.md): vertices
+  * are customers ∪ parts; edges are DISTINCT (o_custkey, l_partkey) from
+  * orders⋈lineitem; part features come from embeddings via
+  * `vec_id = p_partkey % count(embeddings)`.
+  *
+  * DataFrame implementations carry the DuckDB oracle; GraphX mirrors
+  * (degrees / PageRank / connected components) are cross-checked in the
+  * test suite. At 100 TB the DataFrame paths are the scalable ones —
+  * relational shuffles with AQE, no driver-side state; the label-prop
+  * loop is one shuffle per iteration ≈ Pregel supersteps.
+  */
+object GraphOps {
+
+  /** Part-pair co-occurrence threshold that defines the projected
+    * part–part graph for triangle counting (sparse but non-trivial). */
+  val TriangleMinCooccur = 3
+
+  /** Stricter threshold for connected components so the projected graph
+    * fragments into many components (non-trivial size histogram, and a
+    * tractable reachability-closure oracle in DuckDB). */
+  val CcMinCooccur = 5
+
+  /** Co-purchase bipartite edges: DISTINCT (customer, part). */
+  def edges(s: SparkSession, dir: String): DataFrame =
+    Tables.orders(s, dir)
+      .join(Tables.lineitem(s, dir), col("o_orderkey") === col("l_orderkey"))
+      .select(col("o_custkey").as("src"), col("l_partkey").as("dst"))
+      .distinct()
+
+  /** Part–part projection: pairs co-purchased by ≥ minCooccur customers.
+    * Pairs are oriented a < b (each undirected edge stored once). */
+  def partPairs(s: SparkSession, dir: String, minCooccur: Int): DataFrame = {
+    val e1 = edges(s, dir).select(col("src"), col("dst").as("a"))
+    val e2 = edges(s, dir).select(col("src").as("src2"), col("dst").as("b"))
+    e1.join(e2, col("src") === col("src2") && col("a") < col("b"))
+      .groupBy(col("a"), col("b"))
+      .agg(count(lit(1)).as("cnt"))
+      .filter(col("cnt") >= minCooccur)
+  }
+
+  def q_graph_degree(s: SparkSession, dir: String): DataFrame =
+    edges(s, dir)
+      .groupBy(col("dst").as("part_key"))
+      .agg(count(lit(1)).as("degree"))
+      .orderBy("part_key")
+
+  /** 2-hop projection: top-20 co-purchased part pairs (GraphSAGE depth-2
+    * neighborhood shape). */
+  def q_graph_cooccur(s: SparkSession, dir: String): DataFrame =
+    partPairs(s, dir, 1)
+      .select(col("a").as("part_a"), col("b").as("part_b"), col("cnt"))
+      .orderBy(col("cnt").desc, col("part_a").asc, col("part_b").asc)
+      .limit(20)
+
+  /** Triangle count on the thresholded part–part projection via 3-way
+    * self-join on oriented edges (a<b<c counts each triangle once). */
+  def q_graph_triangles(s: SparkSession, dir: String): DataFrame = {
+    val pp = partPairs(s, dir, TriangleMinCooccur).select(col("a"), col("b"))
+    val p1 = pp.select(col("a").as("x"), col("b").as("y"))
+    val p2 = pp.select(col("a").as("y2"), col("b").as("z2"))
+    val p3 = pp.select(col("a").as("x3"), col("b").as("z3"))
+    p1.join(p2, col("y") === col("y2"))
+      .join(p3, col("x") === col("x3") && col("z2") === col("z3"))
+      .agg(count(lit(1)).as("n_triangles"))
+  }
+
+  /** Connected components of the thresholded part–part graph (all parts
+    * as vertices; isolated parts are singleton components) via min-label
+    * propagation — one shuffle per iteration, converges in O(diameter).
+    * Returns the component-size histogram. */
+  def q_graph_cc(s: SparkSession, dir: String): DataFrame = {
+    val pp = partPairs(s, dir, CcMinCooccur).select(col("a"), col("b"))
+    val und = pp.union(pp.select(col("b").as("a"), col("a").as("b")))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    var labels = Tables.part(s, dir)
+      .select(col("p_partkey").as("node"), col("p_partkey").as("lbl"))
+      .localCheckpoint()
+    var converged = false
+    while (!converged) {
+      val nbrMin = und
+        .join(labels.select(col("node").as("bn"), col("lbl").as("blbl")), col("b") === col("bn"))
+        .groupBy(col("a"))
+        .agg(min(col("blbl")).as("nbr_min"))
+      val next = labels
+        .join(nbrMin, col("node") === col("a"), "left_outer")
+        .select(col("node"), least(col("lbl"), coalesce(col("nbr_min"), col("lbl"))).as("lbl"))
+        .localCheckpoint()
+      val changes = next.select(col("node"), col("lbl").as("new_lbl"))
+        .join(labels, "node")
+        .filter(col("new_lbl") =!= col("lbl"))
+        .count()
+      labels = next
+      converged = changes == 0L
+    }
+    und.unpersist()
+    labels.groupBy(col("lbl"))
+      .agg(count(lit(1)).as("csize"))
+      .groupBy(col("csize").as("size"))
+      .agg(count(lit(1)).as("n_components"))
+      .orderBy("size")
+  }
+
+  /** PageRank (10 iterations, reset 0.15) over the bipartite co-purchase
+    * graph via GraphX Pregel; top-20 parts. No oracle (iterative float) —
+    * invariant-checked in the test suite. Vertex ids: customer→2k,
+    * part→2k+1 (key spaces overlap). */
+  def q_graph_pagerank(s: SparkSession, dir: String): DataFrame = {
+    val er = edges(s, dir).rdd.map { r =>
+      Edge(2L * r.getLong(0), 2L * r.getLong(1) + 1L, 1.0)
+    }
+    val ranks = Graph.fromEdges(er, 0.0).staticPageRank(10, 0.15).vertices
+      .filter { case (vid, _) => vid % 2L == 1L }
+      .map { case (vid, rank) => ((vid - 1L) / 2L, rank) }
+    import s.implicits._
+    ranks.toDF("part_key", "rank_raw")
+      .select(col("part_key"), round(col("rank_raw"), 6).as("rank"))
+      .orderBy(col("rank").desc, col("part_key").asc)
+      .limit(20)
+  }
+
+  /** 1-layer GraphSAGE-mean: per customer, element-wise mean of purchased
+    * parts' embeddings, dims 1–4 (README.md:1-2; Hamilton et al. 2017
+    * §3.1). Oracle-checked via per-dim AVG. */
+  def q_graph_neighbor_mean(s: SparkSession, dir: String): DataFrame = {
+    val feat = neighborFeatures(s, dir)
+    val e = (i: Int) => avg(element_at(col("embedding"), i).cast("double"))
+    feat.groupBy(col("src").as("custkey"))
+      .agg(round(e(1), 6).as("d1"), round(e(2), 6).as("d2"),
+        round(e(3), 6).as("d3"), round(e(4), 6).as("d4"))
+      .orderBy("custkey")
+  }
+
+  /** (customer, embedding) rows: one per co-purchase edge, feature looked
+    * up through the partkey→vec_id modulus. */
+  def neighborFeatures(s: SparkSession, dir: String): DataFrame = {
+    val n = Tables.embeddings(s, dir).agg(count(lit(1)).as("n_emb"))
+    val withVec = edges(s, dir).crossJoin(broadcast(n))
+      .select(col("src"), (col("dst") % col("n_emb")).as("vkey"))
+    withVec.join(broadcast(Tables.embeddings(s, dir)), col("vkey") === col("vec_id"))
+      .select(col("src"), col("embedding"))
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_graph_degree" -> q_graph_degree _,
+    "q_graph_cooccur" -> q_graph_cooccur _,
+    "q_graph_triangles" -> q_graph_triangles _,
+    "q_graph_cc" -> q_graph_cc _,
+    "q_graph_pagerank" -> q_graph_pagerank _,
+    "q_graph_neighbor_mean" -> q_graph_neighbor_mean _
+  )
+}

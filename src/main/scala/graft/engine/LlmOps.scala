@@ -1,0 +1,149 @@
+package graft.engine
+
+import org.apache.spark.ml.feature.{HashingTF, MinHashLSH}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** LLM-training-data pipeline operators (SURVEY.md §2.11; driver north
+  * star BASELINE.json:6 — dedup, similarity search, multimodal columns,
+  * text analysis). All set math runs through codegen'd built-ins /
+  * higher-order functions — no Scala UDFs in the hot path.
+  *
+  * Scale notes per op are inline; the common theme: exact O(n²) variants
+  * are bounded by an equi-key (lang) or a tiny query side, and each has
+  * a sub-quadratic scale path (MinHashLSH) in the same file.
+  */
+object LlmOps {
+
+  /** Sequential-fold double dot product via higher-order functions —
+    * deterministic order, all inside codegen. */
+  private def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
+      lit(0.0), (acc, x) => acc + x)
+
+  private def cosSim(a: Column, b: Column): Column =
+    dot(a, b) / (sqrt(dot(a, a)) * sqrt(dot(b, b)))
+
+  /** Token sets per doc (dedup convention: whitespace split, distinct). */
+  private def tokenSets(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir)
+      .select(col("doc_id"), col("lang"),
+        array_distinct(split(col("text"), " ")).as("toks"))
+
+  // ── dedup ────────────────────────────────────────────────────────────
+
+  /** Exact dedup accounting: per-lang doc count vs distinct content
+    * hashes. Hash-groupBy scales linearly (shuffle on md5 prefix). */
+  def q_llm_dedup_exact(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir)
+      .select(col("lang"), md5(col("text").cast("binary")).as("h"))
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"), countDistinct(col("h")).as("n_distinct"))
+      .orderBy("lang")
+
+  /** Exact near-dup: same-lang pairs with token-set Jaccard ≥ 0.5.
+    * O(n²) per lang — correct baseline; the scale path is
+    * q_llm_minhash_lsh which prunes candidates first. */
+  def q_llm_jaccard_pairs(s: SparkSession, dir: String): DataFrame = {
+    val d = tokenSets(s, dir)
+    val a = d.select(col("lang"), col("doc_id").as("doc_a"), col("toks").as("ta"))
+    val b = d.select(col("lang").as("lang_b"), col("doc_id").as("doc_b"), col("toks").as("tb"))
+    a.join(b, col("lang") === col("lang_b") && col("doc_a") < col("doc_b"))
+      .withColumn("ic", size(array_intersect(col("ta"), col("tb"))).cast("double"))
+      .withColumn("jac", col("ic") / (size(col("ta")) + size(col("tb")) - col("ic")))
+      .filter(col("jac") >= 0.5)
+      .select(col("lang"), col("doc_a"), col("doc_b"), round(col("jac"), 6).as("jaccard"))
+      .orderBy("lang", "doc_a", "doc_b")
+  }
+
+  /** MinHash+LSH candidate generation (Indyk–Motwani 1998): shingle →
+    * hashed binary features → banded min-hashes → bucket join. Seeded,
+    * deterministic. No oracle (hash-family specific); self-tested for
+    * recall against the exact Jaccard pairs. This is the 100 TB dedup
+    * path: candidates ≈ O(n·bucket_size), never n². */
+  def q_llm_minhash_lsh(s: SparkSession, dir: String): DataFrame = {
+    val d = tokenSets(s, dir)
+    val tf = new HashingTF().setInputCol("toks").setOutputCol("features")
+      .setNumFeatures(1 << 18).setBinary(true)
+    val feat = tf.transform(d).filter(size(col("toks")) > 0)
+    val lsh = new MinHashLSH().setInputCol("features").setOutputCol("hashes")
+      .setNumHashTables(8).setSeed(42L)
+    val model = lsh.fit(feat)
+    model.approxSimilarityJoin(feat, feat, 0.5, "jdist")
+      .select(col("datasetA.doc_id").as("doc_a"), col("datasetB.doc_id").as("doc_b"),
+        round(col("jdist"), 6).as("jaccard_dist"))
+      .filter(col("doc_a") < col("doc_b"))
+      .orderBy("doc_a", "doc_b")
+  }
+
+  // ── similarity search ────────────────────────────────────────────────
+
+  /** Brute-force cosine top-k for one query vector: the correctness
+    * baseline. Query side is a broadcast single row; the scan is one
+    * pass, no shuffle until the final top-k (TakeOrderedAndProject). */
+  def q_llm_cosine_topk(s: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(s, dir)
+    val t = emb.filter(col("vec_id") === 0).select(col("embedding").as("tv"))
+    emb.filter(col("vec_id") =!= 0)
+      .crossJoin(broadcast(t))
+      .select(col("vec_id"), round(cosSim(col("embedding"), col("tv")), 6).as("cos_sim"))
+      .orderBy(col("cos_sim").desc, col("vec_id").asc)
+      .limit(10)
+  }
+
+  /** kNN join: top-3 cosine neighbors for each query vector (vec_id<20).
+    * Broadcast-nested-loop with the tiny query side broadcast; per-query
+    * ranking via window. */
+  def q_llm_knn_join(s: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(s, dir)
+    val q = emb.filter(col("vec_id") < 20)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qv"))
+    val cand = emb.select(col("vec_id").as("neighbor_id"), col("embedding").as("nv"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos_sim").desc, col("neighbor_id").asc)
+    cand.join(broadcast(q), col("neighbor_id") =!= col("query_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        round(cosSim(col("nv"), col("qv")), 6).as("cos_sim"))
+      .withColumn("rnk", row_number().over(w).cast("bigint"))
+      .filter(col("rnk") <= 3)
+      .orderBy("query_id", "rnk")
+  }
+
+  // ── text analysis ────────────────────────────────────────────────────
+
+  def q_llm_text_stats(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    val base = docs.groupBy(col("lang")).agg(
+      count(lit(1)).as("n_docs"),
+      (sum(col("n_chars")).cast("double") / count(lit(1))).as("avg_chars"),
+      sum(size(split(col("text"), " "))).cast("bigint").as("total_tokens"))
+    val uniq = docs.select(col("lang"), explode(split(col("text"), " ")).as("token"))
+      .groupBy(col("lang")).agg(countDistinct(col("token")).as("uniq_tokens"))
+    base.join(uniq, "lang").orderBy("lang")
+  }
+
+  /** Multimodal column: text metadata + embedding packed into a struct,
+    * then projected through nested field access (flat deterministic
+    * output for the oracle). */
+  def q_llm_multimodal(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir)
+      .join(Tables.embeddings(s, dir), col("doc_id") === col("vec_id"))
+      .select(struct(col("doc_id"), col("lang"), col("n_chars")).as("meta"),
+        col("embedding"))
+      .select(col("meta.doc_id").as("doc_id"), col("meta.lang").as("lang"),
+        col("meta.n_chars").as("n_chars"),
+        size(col("embedding")).cast("int").as("dim"),
+        round(element_at(col("embedding"), 1).cast("double"), 6).as("e1"))
+      .orderBy("doc_id")
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_llm_dedup_exact" -> q_llm_dedup_exact _,
+    "q_llm_jaccard_pairs" -> q_llm_jaccard_pairs _,
+    "q_llm_minhash_lsh" -> q_llm_minhash_lsh _,
+    "q_llm_cosine_topk" -> q_llm_cosine_topk _,
+    "q_llm_knn_join" -> q_llm_knn_join _,
+    "q_llm_text_stats" -> q_llm_text_stats _,
+    "q_llm_multimodal" -> q_llm_multimodal _
+  )
+}

@@ -293,4 +293,175 @@ object Oracle {
         |FROM (SELECT unnest(string_split(text, ' ')) AS token FROM documents)
         |GROUP BY token ORDER BY cnt DESC, token ASC LIMIT 20""".stripMargin
   )
+
+  /** §2.9 — batch-equivalent semantics of each streaming transform
+    * (Spark's unified model: static-read result == final stream result). */
+  val streaming: Map[String, String] = Map(
+    "q_stream_tumbling" ->
+      """SELECT CAST(date_trunc('day', CAST(ts AS TIMESTAMP)) AS TIMESTAMP) AS day,
+        |  event_type, COUNT(*) AS cnt,
+        |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS val_sum
+        |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    // Each event falls in two 1h/30min windows: the one starting at its
+    // 30-min bucket and the one 30 min earlier (same epoch alignment as
+    // Spark's window()).
+    "q_stream_sliding" ->
+      """WITH e AS (SELECT time_bucket(INTERVAL 30 MINUTE, CAST(ts AS TIMESTAMP)) AS b FROM events),
+        |     w AS (SELECT b AS win_start FROM e
+        |           UNION ALL SELECT b - INTERVAL 30 MINUTE FROM e)
+        |SELECT win_start, COUNT(*) AS cnt FROM w GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // Spark session_window merges an event at exactly gap distance
+    // (verified in StreamingSpec): a new session starts only when the
+    // inter-event gap is STRICTLY greater than 30 min.
+    "q_stream_session" ->
+      """WITH e AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts FROM events),
+        |     g AS (SELECT user_id,
+        |             CASE WHEN LAG(ts) OVER w IS NULL
+        |                    OR ts - LAG(ts) OVER w > INTERVAL 30 MINUTE
+        |                  THEN 1 ELSE 0 END AS new_s
+        |           FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts))
+        |SELECT user_id, CAST(SUM(new_s) AS BIGINT) AS n_sessions,
+        |  COUNT(*) AS n_events
+        |FROM g GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q_stream_dedup" ->
+      """SELECT COUNT(*) AS n_events, COUNT(DISTINCT user_id) AS n_users
+        |FROM (SELECT DISTINCT event_id, user_id FROM events)""".stripMargin,
+
+    "q_stream_stateful" ->
+      """SELECT user_id, COUNT(*) AS n_events,
+        |  MAX(CAST(ts AS TIMESTAMP)) AS last_ts,
+        |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+        |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q_stream_static_join" ->
+      """SELECT c_mktsegment, COUNT(*) AS n_events,
+        |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS val_sum
+        |FROM events JOIN customer ON user_id = c_custkey
+        |GROUP BY 1 ORDER BY 1""".stripMargin
+  )
+
+  private val edgesCte =
+    """edges AS (SELECT DISTINCT o_custkey AS src, l_partkey AS dst
+      |          FROM orders JOIN lineitem ON o_orderkey = l_orderkey)""".stripMargin
+
+  /** §2.10 — co-purchase graph analytics (FIXTURES.md conventions). */
+  val graph: Map[String, String] = Map(
+    "q_graph_degree" ->
+      s"""WITH $edgesCte
+         |SELECT dst AS part_key, COUNT(*) AS degree
+         |FROM edges GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q_graph_cooccur" ->
+      s"""WITH $edgesCte
+         |SELECT e1.dst AS part_a, e2.dst AS part_b, COUNT(*) AS cnt
+         |FROM edges e1 JOIN edges e2 ON e1.src = e2.src AND e1.dst < e2.dst
+         |GROUP BY 1, 2 ORDER BY cnt DESC, part_a ASC, part_b ASC LIMIT 20""".stripMargin,
+
+    "q_graph_triangles" ->
+      s"""WITH $edgesCte,
+         |pp AS (SELECT e1.dst AS a, e2.dst AS b
+         |       FROM edges e1 JOIN edges e2 ON e1.src = e2.src AND e1.dst < e2.dst
+         |       GROUP BY 1, 2 HAVING COUNT(*) >= ${GraphOps.TriangleMinCooccur})
+         |SELECT COUNT(*) AS n_triangles
+         |FROM pp p1 JOIN pp p2 ON p1.b = p2.a
+         |           JOIN pp p3 ON p3.a = p1.a AND p3.b = p2.b""".stripMargin,
+
+    // Reachability closure + min-label per node == connected components;
+    // tractable because the >=K projection fragments into small comps.
+    "q_graph_cc" ->
+      s"""WITH RECURSIVE $edgesCte,
+         |pp AS (SELECT e1.dst AS a, e2.dst AS b
+         |       FROM edges e1 JOIN edges e2 ON e1.src = e2.src AND e1.dst < e2.dst
+         |       GROUP BY 1, 2 HAVING COUNT(*) >= ${GraphOps.CcMinCooccur}),
+         |ue AS (SELECT a, b FROM pp UNION ALL SELECT b, a FROM pp),
+         |reach AS (
+         |  SELECT p_partkey AS n, p_partkey AS r FROM part
+         |  UNION
+         |  SELECT reach.n, ue.b FROM reach JOIN ue ON reach.r = ue.a),
+         |comp AS (SELECT n, MIN(r) AS lbl FROM reach GROUP BY n),
+         |sizes AS (SELECT lbl, COUNT(*) AS sz FROM comp GROUP BY lbl)
+         |SELECT sz AS size, COUNT(*) AS n_components
+         |FROM sizes GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q_graph_neighbor_mean" ->
+      s"""WITH $edgesCte,
+         |n AS (SELECT COUNT(*) AS c FROM embeddings),
+         |f AS (SELECT e.src AS custkey, emb.embedding
+         |      FROM edges e CROSS JOIN n
+         |      JOIN embeddings emb ON emb.vec_id = e.dst % n.c)
+         |SELECT custkey,
+         |  ROUND(AVG(CAST(embedding[1] AS DOUBLE)), 6) AS d1,
+         |  ROUND(AVG(CAST(embedding[2] AS DOUBLE)), 6) AS d2,
+         |  ROUND(AVG(CAST(embedding[3] AS DOUBLE)), 6) AS d3,
+         |  ROUND(AVG(CAST(embedding[4] AS DOUBLE)), 6) AS d4
+         |FROM f GROUP BY 1 ORDER BY 1""".stripMargin
+  )
+
+  private def cosExpr(v: String, q: String): String =
+    s"""(SELECT SUM(CAST(x AS DOUBLE)*CAST(y AS DOUBLE))
+       |   FROM (SELECT UNNEST($v) AS x, UNNEST($q) AS y) zd)
+       | / (sqrt((SELECT SUM(CAST(x AS DOUBLE)*CAST(x AS DOUBLE))
+       |          FROM (SELECT UNNEST($v) AS x) za))
+       |  * sqrt((SELECT SUM(CAST(y AS DOUBLE)*CAST(y AS DOUBLE))
+       |          FROM (SELECT UNNEST($q) AS y) zb)))""".stripMargin
+
+  /** §2.11 — LLM-pipeline ops. Cosine is spelled out in double math on
+    * both sides (DuckDB's list_cosine_similarity accumulates in float32 —
+    * probed 1e-7 off, too coarse for ROUND 6 parity). */
+  val llm: Map[String, String] = Map(
+    "q_llm_dedup_exact" ->
+      """SELECT lang, COUNT(*) AS n_docs, COUNT(DISTINCT md5(text)) AS n_distinct
+        |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q_llm_jaccard_pairs" ->
+      """WITH d AS (SELECT doc_id, lang, list_distinct(string_split(text, ' ')) AS toks
+        |           FROM documents),
+        |p AS (SELECT d1.lang, d1.doc_id AS doc_a, d2.doc_id AS doc_b,
+        |        CAST(len(list_intersect(d1.toks, d2.toks)) AS DOUBLE)
+        |          / (len(d1.toks) + len(d2.toks) - len(list_intersect(d1.toks, d2.toks))) AS jac
+        |      FROM d d1 JOIN d d2 ON d1.lang = d2.lang AND d1.doc_id < d2.doc_id)
+        |SELECT lang, doc_a, doc_b, ROUND(jac, 6) AS jaccard
+        |FROM p WHERE jac >= 0.5 ORDER BY lang, doc_a, doc_b""".stripMargin,
+
+    "q_llm_cosine_topk" ->
+      s"""WITH t AS (SELECT embedding AS tv FROM embeddings WHERE vec_id = 0)
+         |SELECT e.vec_id, ROUND(${cosExpr("e.embedding", "t.tv")}, 6) AS cos_sim
+         |FROM embeddings e CROSS JOIN t
+         |WHERE e.vec_id <> 0
+         |ORDER BY cos_sim DESC, vec_id ASC LIMIT 10""".stripMargin,
+
+    "q_llm_knn_join" ->
+      s"""WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < 20),
+         |c AS (SELECT q.query_id, e.vec_id AS neighbor_id,
+         |        ROUND(${cosExpr("e.embedding", "q.qv")}, 6) AS cos_sim
+         |      FROM q JOIN embeddings e ON e.vec_id <> q.query_id),
+         |r AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+         |        ORDER BY cos_sim DESC, neighbor_id ASC) AS rnk FROM c)
+         |SELECT query_id, neighbor_id, cos_sim, rnk
+         |FROM r WHERE rnk <= 3 ORDER BY query_id, rnk""".stripMargin,
+
+    "q_llm_text_stats" ->
+      """WITH uniq AS (
+        |  SELECT lang, COUNT(DISTINCT token) AS uniq_tokens
+        |  FROM (SELECT lang, unnest(string_split(text, ' ')) AS token FROM documents)
+        |  GROUP BY 1)
+        |SELECT d.lang, COUNT(*) AS n_docs,
+        |  CAST(SUM(n_chars) AS DOUBLE) / COUNT(*) AS avg_chars,
+        |  CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS total_tokens,
+        |  ANY_VALUE(uniq.uniq_tokens) AS uniq_tokens
+        |FROM documents d JOIN uniq ON d.lang = uniq.lang
+        |GROUP BY d.lang ORDER BY d.lang""".stripMargin,
+
+    "q_llm_multimodal" ->
+      """SELECT doc_id, lang, n_chars,
+        |  CAST(len(embedding) AS INT) AS dim,
+        |  ROUND(CAST(embedding[1] AS DOUBLE), 6) AS e1
+        |FROM documents JOIN embeddings ON doc_id = vec_id
+        |ORDER BY doc_id""".stripMargin
+  )
+
+  val all: Map[String, String] = relational ++ streaming ++ graph ++ llm
 }

@@ -1,0 +1,126 @@
+package graft.engine
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Event-stream operators (SURVEY.md §2.9) — the Flink DataStream surface
+  * the reference names (`/root/reference/README.md:2`), re-expressed as
+  * Structured Streaming. Every core transform is a plain
+  * `DataFrame => DataFrame` over the events schema, so the SAME logic runs
+  *  - on `readStream` sources in the streaming scenario tests
+  *    (MemoryStream + watermarks), and
+  *  - on the static parquet read for the driver's DuckDB oracle —
+  * Spark's unified model guarantees the batch result equals the final
+  * streaming result (Armbrust et al., SIGMOD 2018).
+  *
+  * Scale: tumbling/sliding/session aggregations are keyed state with
+  * watermark-driven eviction; at 100 TB the state store shards by
+  * (key, window) across executors — no global state.
+  */
+object StreamingOps {
+
+  /** Typed event row for the stateful path (events.parquet schema after
+    * the Tables.events ns→µs conversion). */
+  case class Ev(event_id: Long, user_id: Long, ts: java.sql.Timestamp, value: Double)
+
+  /** Running per-user state: count, max event-time (µs), exact cents. */
+  case class UserState(n: Long, lastTs: java.sql.Timestamp, cents: Long)
+
+  case class UserAgg(user_id: Long, n_events: Long, last_ts: java.sql.Timestamp,
+      total_value: Double)
+
+  // ── shared stream/batch transforms ───────────────────────────────────
+
+  /** 1-day tumbling window per event_type: count + exact money sum. */
+  def tumblingDaily(ev: DataFrame): DataFrame =
+    ev.groupBy(window(col("ts"), "1 day").as("w"), col("event_type"))
+      .agg(count(lit(1)).as("cnt"), Dsl.moneySum(col("value")).as("val_sum"))
+      .select(col("w.start").as("day"), col("event_type"), col("cnt"), col("val_sum"))
+
+  /** 1-hour window sliding every 30 min: global event counts. */
+  def slidingCounts(ev: DataFrame): DataFrame =
+    ev.groupBy(window(col("ts"), "1 hour", "30 minutes").as("w"))
+      .agg(count(lit(1)).as("cnt"))
+      .select(col("w.start").as("win_start"), col("cnt"))
+
+  /** Per-user session windows with a 30-minute gap. */
+  def sessionPerUser(ev: DataFrame): DataFrame =
+    ev.groupBy(col("user_id"), session_window(col("ts"), "30 minutes").as("sw"))
+      .agg(count(lit(1)).as("n"))
+
+  /** Exactly-once dedup on the event key. */
+  def dedupByEventId(ev: DataFrame): DataFrame =
+    ev.select(col("event_id"), col("user_id")).dropDuplicates("event_id")
+
+  /** Keyed running state (Flink ValueState analog): fold events into
+    * (count, last event-time, exact cents). Cents are accumulated as
+    * longs — exact and order-independent, mirroring the DECIMAL(18,2)
+    * oracle policy. Runs identically under batch (one invocation, empty
+    * state) and streaming (incremental state across micro-batches). */
+  def statefulUpdate(key: Long, events: Iterator[Ev],
+      state: GroupState[UserState]): Iterator[UserAgg] = {
+    val init = state.getOption.getOrElse(UserState(0L, null, 0L))
+    var n = init.n
+    var last = init.lastTs
+    var cents = init.cents
+    events.foreach { e =>
+      n += 1
+      if (last == null || e.ts.compareTo(last) > 0) last = e.ts
+      cents += java.math.BigDecimal.valueOf(e.value)
+        .setScale(2, java.math.RoundingMode.HALF_UP)
+        .movePointRight(2).longValueExact()
+    }
+    state.update(UserState(n, last, cents))
+    Iterator.single(UserAgg(key, n, last, cents / 100.0))
+  }
+
+  def statefulSnapshot(s: SparkSession, ev: DataFrame): Dataset[UserAgg] = {
+    import s.implicits._
+    ev.select(col("event_id"), col("user_id"), col("ts"), col("value")).as[Ev]
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Update, GroupStateTimeout.NoTimeout)(statefulUpdate)
+  }
+
+  /** Stream-static enrichment join (Flink broadcast-state analog). */
+  def staticEnrich(ev: DataFrame, customer: DataFrame): DataFrame =
+    ev.join(broadcast(customer), col("user_id") === col("c_custkey"))
+      .groupBy(col("c_mktsegment"))
+      .agg(count(lit(1)).as("n_events"), Dsl.moneySum(col("value")).as("val_sum"))
+
+  // ── driver-contract queries (batch path of the shared transforms) ────
+
+  def q_stream_tumbling(s: SparkSession, dir: String): DataFrame =
+    tumblingDaily(Tables.events(s, dir)).orderBy("day", "event_type")
+
+  def q_stream_sliding(s: SparkSession, dir: String): DataFrame =
+    slidingCounts(Tables.events(s, dir)).orderBy("win_start")
+
+  def q_stream_session(s: SparkSession, dir: String): DataFrame =
+    sessionPerUser(Tables.events(s, dir))
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n_sessions"), sum(col("n")).as("n_events"))
+      .orderBy("user_id")
+
+  def q_stream_dedup(s: SparkSession, dir: String): DataFrame =
+    dedupByEventId(Tables.events(s, dir))
+      .agg(count(lit(1)).as("n_events"), countDistinct(col("user_id")).as("n_users"))
+
+  def q_stream_stateful(s: SparkSession, dir: String): DataFrame =
+    statefulSnapshot(s, Tables.events(s, dir))
+      .toDF()
+      .orderBy("user_id")
+
+  def q_stream_static_join(s: SparkSession, dir: String): DataFrame =
+    staticEnrich(Tables.events(s, dir), Tables.customer(s, dir))
+      .orderBy("c_mktsegment")
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_stream_tumbling" -> q_stream_tumbling _,
+    "q_stream_sliding" -> q_stream_sliding _,
+    "q_stream_session" -> q_stream_session _,
+    "q_stream_dedup" -> q_stream_dedup _,
+    "q_stream_stateful" -> q_stream_stateful _,
+    "q_stream_static_join" -> q_stream_static_join _
+  )
+}

@@ -1,0 +1,64 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.engine.{Gnn, GraphOps, LlmOps}
+
+class GnnLlmSpec extends AnyFunSuite {
+  import TestSpark._
+
+  test("gnn forward: literal golden values for unit basis inputs") {
+    // mean = e_0 (one-hot dim 0): h_i = ReLU(W[i][0] + b[i]),
+    // W[i][0] = ((i*31)%7 - 3)/10, b[i] = (i%5 - 2)/10 (FIXTURES.md).
+    val e0 = Array.tabulate(64)(j => if (j == 0) 1.0 else 0.0)
+    val h = Gnn.forward(e0)
+    assert(h(0) == 0.0) // W[0][0]=-0.3, b0=-0.2 -> -0.5 -> ReLU 0
+    assert(h(2) == 0.3) // W[2][0]=(62%7-3)/10=0.3, b2=0 -> 0.3
+    assert(h(3) == 0.0) // W[3][0]=(93%7-3)/10=-0.1, b3=0.1 -> 0
+  }
+
+  test("gnn forward: ReLU never negative, zero vector gives ReLU(b)") {
+    val z = Gnn.forward(new Array[Double](64))
+    (0 until 64).foreach { i =>
+      val expect = math.max(0.0, (i % 5 - 2) / 10.0)
+      assert(z(i) == expect, s"dim $i")
+    }
+    assert(Gnn.forward(Array.fill(64)(0.5)).forall(_ >= 0.0))
+  }
+
+  test("gnn layer runs per customer with finite outputs") {
+    val out = Gnn.q_gnn_layer(spark, sf0001).collect()
+    val nCust = GraphOps.edges(spark, sf0001).select("src").distinct().count()
+    assert(out.length == nCust)
+    assert(out.forall(r => (1 to 4).forall(i => !r.getDouble(i).isNaN && r.getDouble(i) >= 0.0)))
+  }
+
+  test("cosine: self-similarity is 1, topk within [-1,1]") {
+    val rows = LlmOps.q_llm_cosine_topk(spark, sf0001).collect()
+    assert(rows.length == 10)
+    assert(rows.forall(r => math.abs(r.getDouble(1)) <= 1.000001))
+    // knn join includes each query's best neighbor with rank 1
+    val knn = LlmOps.q_llm_knn_join(spark, sf0001).collect()
+    assert(knn.count(_.getLong(3) == 1L) == 20)
+    assert(knn.forall(r => r.getLong(0) != r.getLong(1)))
+  }
+
+  test("minhash LSH: distances correct and candidates overlap exact high-sim pairs") {
+    val s = spark
+    val cand = LlmOps.q_llm_minhash_lsh(s, sf0001).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    // every exact pair with jaccard >= 0.8 should be found by 8-table LSH
+    val exact = LlmOps.q_llm_jaccard_pairs(s, sf0001)
+      .filter(col("jaccard") >= 0.8)
+      .select("doc_a", "doc_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = if (exact.isEmpty) 1.0
+      else exact.count(cand.contains).toDouble / exact.size
+    assert(recall >= 0.9, s"LSH recall $recall over ${exact.size} high-sim pairs")
+  }
+
+  test("exact dedup is idempotent and bounded by doc count") {
+    val r = LlmOps.q_llm_dedup_exact(spark, sf0001).collect()
+    r.foreach(row => assert(row.getLong(2) <= row.getLong(1)))
+  }
+}

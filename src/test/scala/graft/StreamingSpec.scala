@@ -1,0 +1,120 @@
+package graft
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.OutputMode
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.engine.{StreamingOps, Tables}
+
+/** Streaming scenario tests (SURVEY.md §5.2.3): the shared transforms run
+  * on MemoryStream sources with explicit watermark / late-data / stateful
+  * scenarios, and their final results must equal the same transform on a
+  * static DataFrame (Spark unified batch/stream semantics).
+  */
+case class E(event_id: Long, user_id: Long, ts: Timestamp, event_type: String, value: Double)
+
+class StreamingSpec extends AnyFunSuite {
+  import TestSpark._
+
+  private def ts(day: Int, h: Int, m: Int = 0): Timestamp =
+    Timestamp.valueOf(f"2024-01-$day%02d $h%02d:$m%02d:00")
+
+  test("tumbling window on stream (complete mode) equals batch on same data") {
+    val s = spark
+    import s.implicits._
+    implicit val sq = s.sqlContext
+    val rows = Seq(
+      E(1, 1, ts(1, 1), "click", 10.0), E(2, 1, ts(1, 23), "click", 5.0),
+      E(3, 2, ts(2, 0), "view", 2.5), E(4, 2, ts(2, 12), "click", 1.0))
+    val ms = MemoryStream[E]
+    ms.addData(rows: _*)
+    val q = StreamingOps.tumblingDaily(ms.toDF())
+      .writeStream.outputMode(OutputMode.Complete)
+      .format("memory").queryName("tumb").start()
+    q.processAllAvailable(); q.stop()
+    val streamed = s.table("tumb").orderBy("day", "event_type").collect().toSeq
+    val batch = StreamingOps.tumblingDaily(rows.toDF())
+      .orderBy("day", "event_type").collect().toSeq
+    assert(streamed == batch)
+    assert(batch.map(_.getLong(2)).sum == 4)
+  }
+
+  test("watermark drops late events in append mode") {
+    val s = spark
+    import s.implicits._
+    implicit val sq = s.sqlContext
+    val ms = MemoryStream[E]
+    val agg = ms.toDF()
+      .withWatermark("ts", "10 minutes")
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("cnt"))
+      .select(col("window.start").as("ws"), col("event_type"), col("cnt"))
+    val q = agg.writeStream.outputMode(OutputMode.Append)
+      .format("memory").queryName("wm").start()
+    // batch 1: two events in the 01:00 window
+    ms.addData(E(1, 1, ts(1, 1, 5), "click", 1.0), E(2, 1, ts(1, 1, 20), "click", 1.0))
+    q.processAllAvailable()
+    // batch 2: event far ahead -> watermark passes 02:00, closing window 1
+    ms.addData(E(3, 1, ts(1, 5), "click", 1.0))
+    q.processAllAvailable()
+    // batch 3: LATE event for the closed 01:00 window -> must be dropped
+    ms.addData(E(4, 1, ts(1, 1, 40), "click", 1.0))
+    q.processAllAvailable()
+    // batch 4: push watermark far past everything to flush remaining windows
+    ms.addData(E(5, 1, ts(3, 0), "click", 1.0))
+    q.processAllAvailable(); q.stop()
+    val out = s.table("wm").collect()
+      .map(r => (r.getTimestamp(0), r.getLong(2))).toMap
+    assert(out(ts(1, 1)) == 2L, s"late event must not reopen closed window: $out")
+  }
+
+  test("stateful flatMapGroupsWithState across micro-batches equals batch snapshot") {
+    val s = spark
+    import s.implicits._
+    implicit val sq = s.sqlContext
+    val b1 = Seq(E(1, 7, ts(1, 1), "click", 1.25), E(2, 7, ts(1, 2), "view", 2.50))
+    val b2 = Seq(E(3, 7, ts(1, 3), "click", 0.25), E(4, 8, ts(1, 4), "view", 9.99))
+    val ms = MemoryStream[E]
+    val q = StreamingOps.statefulSnapshot(s, ms.toDF())
+      .writeStream.outputMode(OutputMode.Update)
+      .format("memory").queryName("st").start()
+    ms.addData(b1: _*); q.processAllAvailable()
+    ms.addData(b2: _*); q.processAllAvailable(); q.stop()
+    // last emitted row per user == final state
+    val finalRows = s.table("st").collect()
+      .groupBy(_.getLong(0)).map { case (u, rs) => u -> rs.maxBy(_.getLong(1)) }
+    val batch = StreamingOps.statefulSnapshot(s, (b1 ++ b2).toDF()).collect()
+      .map(r => r.user_id -> r).toMap
+    assert(finalRows.keySet == batch.keySet)
+    finalRows.foreach { case (u, r) =>
+      assert(r.getLong(1) == batch(u).n_events)
+      assert(r.getTimestamp(2) == batch(u).last_ts)
+      assert(r.getDouble(3) == batch(u).total_value)
+    }
+    assert(batch(7L).total_value == 4.0) // 1.25 + 2.50 + 0.25 exact cents
+  }
+
+  test("session window boundary: exactly-gap merges, gap+1s splits") {
+    val s = spark
+    import s.implicits._
+    val rows = Seq(
+      E(1, 1, ts(1, 1, 0), "click", 0), E(2, 1, ts(1, 1, 29), "click", 0), // same session
+      E(3, 1, ts(1, 1, 59), "click", 0), // exactly 30:00 after #2 -> still same session
+      E(4, 1, Timestamp.valueOf("2024-01-01 02:29:01"), "click", 0), // 30:01 -> NEW
+      E(5, 2, ts(1, 9, 0), "click", 0))
+    val sess = StreamingOps.sessionPerUser(rows.toDF())
+      .groupBy(col("user_id")).agg(count(lit(1)).as("n_sessions"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(sess(1L) == 2L, s"expected 2 sessions for user 1, got $sess")
+    assert(sess(2L) == 1L)
+  }
+
+  test("streaming dedup on fixture equals distinct") {
+    val ev = Tables.events(spark, sf0001)
+    assert(StreamingOps.dedupByEventId(ev).count() ==
+      ev.select("event_id").distinct().count())
+  }
+}
