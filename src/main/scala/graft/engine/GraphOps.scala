@@ -87,12 +87,18 @@ object GraphOps {
     var converged = false
     while (!converged) {
       val nbrMin = und
-        .join(labels.select(col("node").as("bn"), col("lbl").as("blbl")), col("b") === col("bn"))
+        .join(broadcast(labels.select(col("node").as("bn"), col("lbl").as("blbl"))),
+          col("b") === col("bn"))
         .groupBy(col("a"))
         .agg(min(col("blbl")).as("nbr_min"))
-      val next = labels
+      val stepped = labels
         .join(nbrMin, col("node") === col("a"), "left_outer")
         .select(col("node"), least(col("lbl"), coalesce(col("nbr_min"), col("lbl"))).as("lbl"))
+      // pointer jumping (lbl := lbl(lbl)): long chains converge in
+      // O(log diameter) rounds instead of O(diameter).
+      val next = stepped.alias("s")
+        .join(stepped.select(col("node").as("jn"), col("lbl").as("jl")), col("s.lbl") === col("jn"))
+        .select(col("s.node").as("node"), least(col("s.lbl"), col("jl")).as("lbl"))
         .localCheckpoint()
       val changes = next.select(col("node"), col("lbl").as("new_lbl"))
         .join(labels, "node")

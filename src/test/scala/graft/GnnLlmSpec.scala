@@ -44,17 +44,20 @@ class GnnLlmSpec extends AnyFunSuite {
     assert(knn.forall(r => r.getLong(0) != r.getLong(1)))
   }
 
-  test("minhash LSH: distances correct and candidates overlap exact high-sim pairs") {
+  test("minhash LSH: verified pairs are a subset of exact pairs, high recall on near-dups") {
     val s = spark
-    val cand = LlmOps.q_llm_minhash_lsh(s, sf0001).collect()
-      .map(r => (r.getLong(0), r.getLong(1))).toSet
-    // every exact pair with jaccard >= 0.8 should be found by 8-table LSH
-    val exact = LlmOps.q_llm_jaccard_pairs(s, sf0001)
-      .filter(col("jaccard") >= 0.8)
+    val cand = LlmOps.q_llm_minhash_lsh(s, sf0001)
       .select("doc_a", "doc_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
-    val recall = if (exact.isEmpty) 1.0
-      else exact.count(cand.contains).toDouble / exact.size
-    assert(recall >= 0.9, s"LSH recall $recall over ${exact.size} high-sim pairs")
+    val exactAll = LlmOps.q_llm_jaccard_pairs(s, sf0001)
+      .select(col("doc_a"), col("doc_b"), col("jaccard")).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    // precision: every LSH-verified pair is a true >=0.5 pair
+    cand.foreach(p => assert(exactAll.contains(p), s"false positive $p"))
+    // recall on strong near-dups (J >= 0.8): band collision prob 1-(1-J^2)^4
+    val strong = exactAll.filter(_._2 >= 0.8).keySet
+    val recall = if (strong.isEmpty) 1.0
+      else strong.count(cand.contains).toDouble / strong.size
+    assert(recall >= 0.9, s"LSH recall $recall over ${strong.size} high-sim pairs")
   }
 
   test("exact dedup is idempotent and bounded by doc count") {
