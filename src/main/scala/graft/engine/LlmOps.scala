@@ -107,6 +107,40 @@ object LlmOps {
       .orderBy("lang", "doc_a", "doc_b")
   }
 
+  /** SimHash near-dup detection (Charikar 2002): 64-bit signature from
+    * per-token xxhash64 bit votes, 4×16-bit band join for candidates,
+    * exact Hamming verify (bit_count(xor) ≤ 12). One linear signature
+    * scan + bucket join — same 100 TB shape as the MinHash path, but the
+    * signature is 8 bytes/doc. No oracle (xxhash64 is engine-specific);
+    * self-tested against token-set Jaccard. */
+  def q_llm_simhash(s: SparkSession, dir: String): DataFrame = {
+    val d = tokenSets(s, dir).filter(size(col("toks")) > 0)
+    val sig = d.withColumn("simhash", expr(
+      """aggregate(sequence(0, 63), 0L, (acc, i) ->
+        |  acc + if(aggregate(toks, 0L,
+        |             (a, t) -> a + if((shiftright(xxhash64(t), i) & 1) = 1, 1L, -1L)) > 0,
+        |           shiftleft(1L, i), 0L))""".stripMargin))
+    val banded = sig.select(col("lang"), col("doc_id"),
+      posexplode(array((0 until 4).map { b =>
+        expr(s"shiftright(simhash, ${16 * b}) & 65535")
+      }: _*)).as(Seq("band_id", "band_val")))
+    val a = banded.select(col("lang"), col("band_id"), col("band_val"),
+      col("doc_id").as("doc_a"))
+    val b = banded.select(col("lang").as("lb"), col("band_id").as("bb"),
+      col("band_val").as("vb"), col("doc_id").as("doc_b"))
+    val pairs = a.join(b, col("lang") === col("lb") && col("band_id") === col("bb") &&
+        col("band_val") === col("vb") && col("doc_a") < col("doc_b"))
+      .select(col("lang"), col("doc_a"), col("doc_b"))
+      .distinct()
+    pairs
+      .join(sig.select(col("doc_id").as("ia"), col("simhash").as("ha")), col("doc_a") === col("ia"))
+      .join(sig.select(col("doc_id").as("ib"), col("simhash").as("hb")), col("doc_b") === col("ib"))
+      .withColumn("hamming", expr("bit_count(ha ^ hb)").cast("int"))
+      .filter(col("hamming") <= 12)
+      .select(col("lang"), col("doc_a"), col("doc_b"), col("hamming"))
+      .orderBy("lang", "doc_a", "doc_b")
+  }
+
   // ── similarity search ────────────────────────────────────────────────
 
   /** Brute-force cosine top-k for one query vector: the correctness
@@ -137,6 +171,49 @@ object LlmOps {
         round(cosSim(col("nv"), col("qv")), 6).as("cos_sim"))
       .withColumn("rnk", row_number().over(w).cast("bigint"))
       .filter(col("rnk") <= 3)
+      .orderBy("query_id", "rnk")
+  }
+
+  /** Embedding-cosine near-dup pairs on a deterministic 25% sample
+    * (vec_id % 4 = 0): all-pairs cosine ≥ 0.35. The exact baseline for
+    * vector dedup; the scale path is the same banding trick with random
+    * hyperplanes (q_llm_simhash shape). */
+  def q_llm_embed_neardup(s: SparkSession, dir: String): DataFrame = {
+    val sub = Tables.embeddings(s, dir).filter(col("vec_id") % 4 === 0)
+    val a = sub.select(col("vec_id").as("vec_a"), col("embedding").as("ea"))
+    val b = sub.select(col("vec_id").as("vec_b"), col("embedding").as("eb"))
+    a.join(b, col("vec_a") < col("vec_b"))
+      .withColumn("cos_sim", round(cosSim(col("ea"), col("eb")), 6))
+      .filter(col("cos_sim") >= 0.35)
+      .select(col("vec_a"), col("vec_b"), col("cos_sim"))
+      .orderBy("vec_a", "vec_b")
+  }
+
+  /** IVF-style ANN search: coarse quantization to the nearest of 16
+    * centroids (deterministically the first 16 vectors), then each query
+    * scans ONLY its own cell — the inverted-file pattern that turns
+    * brute-force O(n) per query into O(n/cells). Fully deterministic
+    * (rounded cosines + id tie-breaks), so it is oracle-checked exactly. */
+  def q_llm_ann_ivf(s: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(s, dir)
+    val cents = emb.filter(col("vec_id") < 16)
+      .select(col("vec_id").as("cid"), col("embedding").as("cv"))
+    val data = emb.filter(col("vec_id") >= 16)
+      .select(col("vec_id").as("vid"), col("embedding").as("dv"))
+    val wAssign = Window.partitionBy(col("vid")).orderBy(col("ccos").desc, col("cid").asc)
+    val assigned = data.crossJoin(broadcast(cents))
+      .withColumn("ccos", round(cosSim(col("dv"), col("cv")), 6))
+      .withColumn("arn", row_number().over(wAssign)).filter(col("arn") === 1)
+      .select(col("vid"), col("cid"), col("dv"))
+    val qs = assigned.filter(col("vid").between(20, 24))
+      .select(col("vid").as("query_id"), col("cid").as("qcid"), col("dv").as("qv"))
+    val wS = Window.partitionBy(col("query_id")).orderBy(col("cos_sim").desc, col("neighbor_id").asc)
+    qs.join(assigned.select(col("vid").as("neighbor_id"), col("cid").as("ncid"), col("dv").as("nv")),
+        col("qcid") === col("ncid") && col("query_id") =!= col("neighbor_id"))
+      .withColumn("cos_sim", round(cosSim(col("qv"), col("nv")), 6))
+      .withColumn("rnk", row_number().over(wS).cast("bigint"))
+      .filter(col("rnk") <= 3)
+      .select(col("query_id"), col("neighbor_id"), col("cos_sim"), col("rnk"))
       .orderBy("query_id", "rnk")
   }
 
@@ -171,6 +248,9 @@ object LlmOps {
     "q_llm_dedup_exact" -> q_llm_dedup_exact _,
     "q_llm_jaccard_pairs" -> q_llm_jaccard_pairs _,
     "q_llm_minhash_lsh" -> q_llm_minhash_lsh _,
+    "q_llm_simhash" -> q_llm_simhash _,
+    "q_llm_embed_neardup" -> q_llm_embed_neardup _,
+    "q_llm_ann_ivf" -> q_llm_ann_ivf _,
     "q_llm_cosine_topk" -> q_llm_cosine_topk _,
     "q_llm_knn_join" -> q_llm_knn_join _,
     "q_llm_text_stats" -> q_llm_text_stats _,

@@ -1,0 +1,89 @@
+package graft.engine
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** One media object: opaque binary payload + typed metadata — the
+  * multimodal-column model (driver north star BASELINE.json:6
+  * "multimodal columns"): image/audio/video as `binary` columns that
+  * flow through Spark untouched until a decode/feature stage. */
+case class MediaRow(media_id: Long, kind: String, bytes: Array[Byte])
+
+case class DecodedMedia(media_id: Long, kind: String, width: Int, height: Int, n_bytes: Long)
+
+case class MediaFrame(media_id: Long, frame_idx: Int, frame_bytes: Array[Byte])
+
+/** Multimodal binary-column plumbing. The Spark side is real — schema
+  * (BinaryType payloads), partition-parallel `mapPartitions` batch shape,
+  * typed encoders — while the codec itself is a clearly-marked
+  * deterministic STUB (this container has no image/audio libraries; a
+  * real deployment swaps `decodeStub`'s body for libjpeg/ffmpeg calls
+  * without touching any Spark plumbing).
+  *
+  * The fixture "blobs" are the documents' UTF-8 bytes (all-ASCII,
+  * verified), so the stub decode is oracle-checkable end-to-end: width =
+  * first byte + 1 == ascii(first char) + 1 in SQL.
+  */
+object Multimodal {
+
+  /** Binary media table derived deterministically from documents. */
+  def mediaTable(s: SparkSession, dir: String): Dataset[MediaRow] = {
+    import s.implicits._
+    Tables.documents(s, dir)
+      .select(col("doc_id").as("media_id"),
+        expr("CASE CAST(doc_id % 3 AS INT) WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END")
+          .as("kind"),
+        encode(col("text"), "UTF-8").as("bytes"))
+      .as[MediaRow]
+  }
+
+  /** STUB codec: a real implementation would parse the container header
+    * here (libjpeg / libsndfile / ffmpeg). The fake reads "dimensions"
+    * from the first two payload bytes — deterministic, so the downstream
+    * pipeline stays testable. Batch-shaped: one call per partition
+    * iterator, the contract a vectorized decoder needs. */
+  def decodeStub(rows: Iterator[MediaRow]): Iterator[DecodedMedia] =
+    rows.map { m =>
+      val b0 = if (m.bytes.nonEmpty) m.bytes(0) & 0xff else 0
+      val b1 = if (m.bytes.length > 1) m.bytes(1) & 0xff else 0
+      DecodedMedia(m.media_id, m.kind, b0 + 1, b1 + 1, m.bytes.length.toLong)
+    }
+
+  /** STUB resize: halves each dimension (a real impl resamples pixels). */
+  def resizeStub(rows: Iterator[DecodedMedia]): Iterator[DecodedMedia] =
+    rows.map(d => d.copy(width = math.max(d.width / 2, 1),
+      height = math.max(d.height / 2, 1)))
+
+  /** STUB frame sampler for video payloads: splits the byte stream into
+    * `n` contiguous chunks (a real impl seeks keyframes). */
+  def frameSampleStub(n: Int)(rows: Iterator[MediaRow]): Iterator[MediaFrame] =
+    rows.flatMap { m =>
+      if (m.kind != "video" || m.bytes.isEmpty) Iterator.empty
+      else {
+        val step = math.max(m.bytes.length / n, 1)
+        (0 until math.min(n, m.bytes.length)).iterator.map { i =>
+          MediaFrame(m.media_id, i,
+            m.bytes.slice(i * step, math.min((i + 1) * step, m.bytes.length)))
+        }
+      }
+    }
+
+  def decoded(s: SparkSession, dir: String): Dataset[DecodedMedia] = {
+    import s.implicits._
+    mediaTable(s, dir).mapPartitions(decodeStub)
+  }
+
+  /** Contract query: decode all media, aggregate per kind. Oracle-checked
+    * (the stub decode is a pure function of the source text). */
+  def q_mm_decode(s: SparkSession, dir: String): DataFrame =
+    decoded(s, dir).toDF()
+      .groupBy(col("kind"))
+      .agg(count(lit(1)).as("n_media"),
+        sum(col("width")).cast("bigint").as("width_sum"),
+        sum(col("n_bytes")).cast("bigint").as("bytes_sum"))
+      .orderBy("kind")
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_mm_decode" -> q_mm_decode _
+  )
+}

@@ -463,5 +463,125 @@ object Oracle {
         |ORDER BY doc_id""".stripMargin
   )
 
-  val all: Map[String, String] = relational ++ streaming ++ graph ++ llm
+  /** Round-1 additions: percentiles/pivot/correlated subquery, text
+    * analysis, vector near-dup + IVF ANN, multimodal decode plumbing. */
+  val extended: Map[String, String] = Map(
+    "q_agg_percentiles" ->
+      """SELECT o_orderstatus,
+        |  ROUND(quantile_cont(o_totalprice, 0.5), 6) AS p50,
+        |  ROUND(quantile_cont(o_totalprice, 0.9), 6) AS p90,
+        |  COUNT(*) AS n_orders
+        |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q_agg_pivot" ->
+      """SELECT yr,
+        |  COUNT(*) FILTER (WHERE o_orderstatus = 'F') AS "F",
+        |  COUNT(*) FILTER (WHERE o_orderstatus = 'O') AS "O",
+        |  COUNT(*) FILTER (WHERE o_orderstatus = 'P') AS "P"
+        |FROM (SELECT CAST(year(o_orderdate) AS INT) AS yr, o_orderstatus FROM orders)
+        |GROUP BY yr ORDER BY yr""".stripMargin,
+
+    "q_sub_correlated" ->
+      """SELECT c_custkey, c_nationkey, c_acctbal FROM customer c
+        |WHERE c_acctbal > (
+        |  SELECT CAST(SUM(CAST(c2.c_acctbal AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*)
+        |  FROM customer c2 WHERE c2.c_nationkey = c.c_nationkey)
+        |ORDER BY c_custkey""".stripMargin,
+
+    "q_text_langid" ->
+      """WITH tok AS (SELECT doc_id, lang, unnest(list_distinct(string_split(text, ' '))) AS token
+        |             FROM documents),
+        |prof AS (SELECT lang AS p_lang, token AS p_tok, COUNT(*) AS freq FROM tok GROUP BY 1, 2),
+        |tot AS (SELECT p_lang, SUM(freq) AS tot FROM prof GROUP BY 1),
+        |profn AS (SELECT p.p_lang, p.p_tok, CAST(p.freq AS DOUBLE) / t.tot AS ratio
+        |          FROM prof p JOIN tot t USING (p_lang)),
+        |scored AS (SELECT tk.doc_id, tk.lang, pn.p_lang, ROUND(SUM(pn.ratio), 6) AS score
+        |           FROM tok tk JOIN profn pn ON tk.token = pn.p_tok GROUP BY 1, 2, 3),
+        |r AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY doc_id
+        |        ORDER BY score DESC, p_lang ASC) AS rn FROM scored)
+        |SELECT doc_id, lang, p_lang AS pred_lang, score, lang = p_lang AS correct
+        |FROM r WHERE rn = 1 ORDER BY doc_id""".stripMargin,
+
+    "q_text_quality" ->
+      """WITH tokall AS (SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents),
+        |stop AS (SELECT token FROM (SELECT token, COUNT(*) AS c FROM tokall GROUP BY 1
+        |                            ORDER BY c DESC, token ASC LIMIT 10)),
+        |sc AS (SELECT doc_id, COUNT(*) AS stop_cnt FROM tokall
+        |       WHERE token IN (SELECT token FROM stop) GROUP BY 1),
+        |base AS (SELECT doc_id, lang, len(string_split(text, ' ')) AS n_tokens,
+        |           (SELECT SUM(length(t)) FROM (SELECT UNNEST(string_split(text, ' ')) AS t)) AS tok_chars
+        |         FROM documents)
+        |SELECT b.doc_id, b.lang, CAST(b.n_tokens AS BIGINT) AS n_tokens,
+        |  ROUND(CAST(b.tok_chars AS DOUBLE) / b.n_tokens, 6) AS avg_tok_len,
+        |  ROUND(CAST(COALESCE(sc.stop_cnt, 0) AS DOUBLE) / b.n_tokens, 6) AS stop_ratio,
+        |  (b.n_tokens BETWEEN 10 AND 1000)
+        |    AND (CAST(COALESCE(sc.stop_cnt, 0) AS DOUBLE) / b.n_tokens < 0.5) AS is_quality
+        |FROM base b LEFT JOIN sc ON b.doc_id = sc.doc_id ORDER BY b.doc_id""".stripMargin,
+
+    "q_text_token_count" ->
+      """SELECT lang,
+        |  CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS ws_tokens,
+        |  CAST(SUM(len(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9\s]', 0))) AS BIGINT) AS re_tokens,
+        |  CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
+        |  CAST(SUM(length(text)) AS BIGINT) AS sum_len
+        |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q_text_fingerprint" ->
+      """SELECT doc_id, lang,
+        |  (SELECT MIN(md5(sh)) FROM (SELECT UNNEST(list_transform(
+        |     range(1, greatest(length(text)-7, 1)+1, 4),
+        |     i -> substr(text, CAST(i AS INT), 8))) AS sh)) AS fp
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "q_llm_ngram_jaccard" ->
+      """WITH d AS (SELECT doc_id, lang,
+        |             list_distinct(list_transform(range(1, length(text)-1),
+        |               i -> substr(text, CAST(i AS INT), 3))) AS g3
+        |           FROM documents WHERE doc_id % 10 = 0),
+        |p AS (SELECT d1.lang, d1.doc_id AS doc_a, d2.doc_id AS doc_b,
+        |        CAST(len(list_intersect(d1.g3, d2.g3)) AS DOUBLE)
+        |          / (len(d1.g3) + len(d2.g3) - len(list_intersect(d1.g3, d2.g3))) AS jac
+        |      FROM d d1 JOIN d d2 ON d1.lang = d2.lang AND d1.doc_id < d2.doc_id)
+        |SELECT lang, doc_a, doc_b, ROUND(jac, 6) AS jaccard3
+        |FROM p WHERE jac >= 0.3 ORDER BY lang, doc_a, doc_b""".stripMargin,
+
+    "q_llm_embed_neardup" ->
+      s"""WITH sub AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id % 4 = 0),
+         |p AS (SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+         |        ROUND(${cosExpr("a.embedding", "b.embedding")}, 6) AS cos_sim
+         |      FROM sub a JOIN sub b ON a.vec_id < b.vec_id)
+         |SELECT vec_a, vec_b, cos_sim FROM p
+         |WHERE cos_sim >= 0.35 ORDER BY vec_a, vec_b""".stripMargin,
+
+    "q_llm_ann_ivf" ->
+      s"""WITH cents AS (SELECT vec_id AS cid, embedding AS cv FROM embeddings WHERE vec_id < 16),
+         |data AS (SELECT vec_id AS vid, embedding AS dv FROM embeddings WHERE vec_id >= 16),
+         |ac AS (SELECT d.vid, c.cid, d.dv,
+         |         ROUND(${cosExpr("d.dv", "c.cv")}, 6) AS ccos
+         |       FROM data d CROSS JOIN cents c),
+         |ar AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY vid
+         |         ORDER BY ccos DESC, cid ASC) AS arn FROM ac),
+         |assigned AS (SELECT vid, cid, dv FROM ar WHERE arn = 1),
+         |qs AS (SELECT vid AS query_id, cid AS qcid, dv AS qv FROM assigned
+         |       WHERE vid BETWEEN 20 AND 24),
+         |cand AS (SELECT q.query_id, a.vid AS neighbor_id,
+         |           ROUND(${cosExpr("q.qv", "a.dv")}, 6) AS cos_sim
+         |         FROM qs q JOIN assigned a ON q.qcid = a.cid AND q.query_id <> a.vid),
+         |r AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+         |        ORDER BY cos_sim DESC, neighbor_id ASC) AS rnk FROM cand)
+         |SELECT query_id, neighbor_id, cos_sim, rnk
+         |FROM r WHERE rnk <= 3 ORDER BY query_id, rnk""".stripMargin,
+
+    // The decode stub is a pure function of the source text (UTF-8,
+    // all-ASCII verified): width = ascii(first char)+1, bytes = length.
+    "q_mm_decode" ->
+      """SELECT CASE CAST(doc_id % 3 AS INT) WHEN 0 THEN 'image'
+        |            WHEN 1 THEN 'audio' ELSE 'video' END AS kind,
+        |  COUNT(*) AS n_media,
+        |  CAST(SUM(ascii(substr(text, 1, 1)) + 1) AS BIGINT) AS width_sum,
+        |  CAST(SUM(length(text)) AS BIGINT) AS bytes_sum
+        |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin
+  )
+
+  val all: Map[String, String] = relational ++ streaming ++ graph ++ llm ++ extended
 }

@@ -240,6 +240,38 @@ object Relational {
       .orderBy("label")
   }
 
+  /** Exact interpolated percentiles (sort-based aggregate). */
+  def q_agg_percentiles(s: SparkSession, dir: String): DataFrame =
+    Tables.orders(s, dir)
+      .groupBy(col("o_orderstatus"))
+      .agg(round(percentile(col("o_totalprice"), lit(0.5)), 6).as("p50"),
+        round(percentile(col("o_totalprice"), lit(0.9)), 6).as("p90"),
+        count(lit(1)).as("n_orders"))
+      .orderBy("o_orderstatus")
+
+  /** Pivot: order counts by year × status spread into columns. */
+  def q_agg_pivot(s: SparkSession, dir: String): DataFrame =
+    Tables.orders(s, dir)
+      .withColumn("yr", year(col("o_orderdate")).cast("int"))
+      .groupBy(col("yr"))
+      .pivot("o_orderstatus", Seq("F", "O", "P"))
+      .agg(count(lit(1)))
+      .select(col("yr"), coalesce(col("F"), lit(0L)).as("F"),
+        coalesce(col("O"), lit(0L)).as("O"), coalesce(col("P"), lit(0L)).as("P"))
+      .orderBy("yr")
+
+  /** Correlated scalar subquery (Catalyst decorrelates to a join):
+    * customers above their nation's mean balance. */
+  def q_sub_correlated(s: SparkSession, dir: String): DataFrame = {
+    Tables.customer(s, dir).createOrReplaceTempView("v_cust_corr")
+    s.sql(
+      """SELECT c_custkey, c_nationkey, c_acctbal FROM v_cust_corr c
+        |WHERE c_acctbal > (
+        |  SELECT CAST(SUM(CAST(c2.c_acctbal AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*)
+        |  FROM v_cust_corr c2 WHERE c2.c_nationkey = c.c_nationkey)
+        |ORDER BY c_custkey""".stripMargin)
+  }
+
   // ── §2.5 window functions ────────────────────────────────────────────
 
   def q_win_topk_per_group(s: SparkSession, dir: String): DataFrame = {
@@ -433,6 +465,9 @@ object Relational {
     "q_agg_cube" -> q_agg_cube _,
     "q_agg_grouping_sets" -> q_agg_grouping_sets _,
     "q_agg_having" -> q_agg_having _,
+    "q_agg_percentiles" -> q_agg_percentiles _,
+    "q_agg_pivot" -> q_agg_pivot _,
+    "q_sub_correlated" -> q_sub_correlated _,
     "q_udaf_vec_mean" -> q_udaf_vec_mean _,
     "q_win_topk_per_group" -> q_win_topk_per_group _,
     "q_win_rank_dense" -> q_win_rank_dense _,

@@ -1,0 +1,119 @@
+package graft.engine
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators for LLM training-data curation (driver north
+  * star BASELINE.json:6 "text analysis"): language identification,
+  * quality scoring, tokenizer accounting, document fingerprinting, and
+  * character-n-gram near-dup. All pure column expressions / two-pass
+  * relational pipelines — every op here is oracle-checked against DuckDB.
+  *
+  * Scale: each op is one or two hash-aggregations over the corpus plus
+  * (for langid/quality) a broadcast-sized profile table — linear scans,
+  * no quadratic joins except the explicitly bounded n-gram pair op.
+  */
+object TextOps {
+
+  /** Unigram-profile language ID (n-gram heuristic, n=1 over tokens):
+    * per-lang document-frequency profiles are built from the corpus
+    * itself, then each doc scores Σ df_ratio over its distinct tokens and
+    * takes the argmax lang (rounded score + lang tie-break → fully
+    * deterministic). The profile is vocabulary-sized — broadcastable at
+    * any corpus scale. */
+  def q_text_langid(s: SparkSession, dir: String): DataFrame = {
+    val tok = Tables.documents(s, dir)
+      .select(col("doc_id"), col("lang"),
+        explode(array_distinct(split(col("text"), " "))).as("token"))
+    val prof = tok.groupBy(col("lang").as("p_lang"), col("token").as("p_tok"))
+      .agg(count(lit(1)).as("freq"))
+    val totals = prof.groupBy(col("p_lang")).agg(sum(col("freq")).as("tot"))
+    val profN = prof.join(totals, "p_lang")
+      .select(col("p_lang"), col("p_tok"),
+        (col("freq").cast("double") / col("tot")).as("ratio"))
+    val scored = tok.join(broadcast(profN), col("token") === col("p_tok"))
+      .groupBy(col("doc_id"), col("lang"), col("p_lang"))
+      .agg(round(sum(col("ratio")), 6).as("score"))
+    val w = Window.partitionBy(col("doc_id"))
+      .orderBy(col("score").desc, col("p_lang").asc)
+    scored.withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+      .select(col("doc_id"), col("lang"), col("p_lang").as("pred_lang"),
+        col("score"), (col("lang") === col("p_lang")).as("correct"))
+      .orderBy("doc_id")
+  }
+
+  /** Quality scoring: token count, mean token length, stopword ratio
+    * (stopwords = corpus top-10 tokens — computed in-query, broadcast),
+    * and a rule-based keep/drop flag. */
+  def q_text_quality(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    val tokAll = docs.select(col("doc_id"), explode(split(col("text"), " ")).as("token"))
+    val stop = tokAll.groupBy(col("token")).agg(count(lit(1)).as("c"))
+      .orderBy(col("c").desc, col("token").asc).limit(10).select("token")
+    val stopCnt = tokAll.join(broadcast(stop), Seq("token"), "left_semi")
+      .groupBy(col("doc_id")).agg(count(lit(1)).as("stop_cnt"))
+    val base = docs.select(col("doc_id"), col("lang"),
+      size(split(col("text"), " ")).cast("bigint").as("n_tokens"),
+      aggregate(split(col("text"), " "), lit(0L), (a, t) => a + length(t)).as("tok_chars"))
+    base.join(stopCnt, Seq("doc_id"), "left_outer")
+      .withColumn("sr", coalesce(col("stop_cnt"), lit(0L)).cast("double") / col("n_tokens"))
+      .select(col("doc_id"), col("lang"), col("n_tokens"),
+        round(col("tok_chars").cast("double") / col("n_tokens"), 6).as("avg_tok_len"),
+        round(col("sr"), 6).as("stop_ratio"),
+        (col("n_tokens").between(10, 1000) && col("sr") < 0.5).as("is_quality"))
+      .orderBy("doc_id")
+  }
+
+  /** Tokenizer accounting per lang: whitespace tokens vs BPE-ish regex
+    * tokens ([a-z]+ | [0-9]+ | single punctuation) vs character counts. */
+  def q_text_token_count(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir)
+      .groupBy(col("lang"))
+      .agg(
+        sum(size(split(col("text"), " "))).cast("bigint").as("ws_tokens"),
+        sum(expr("size(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9\\\\s]', 0))"))
+          .cast("bigint").as("re_tokens"),
+        sum(col("n_chars")).cast("bigint").as("sum_chars"),
+        sum(length(col("text"))).cast("bigint").as("sum_len"))
+      .orderBy("lang")
+
+  /** Rolling-shingle document fingerprint (winnowing-lite): md5 over
+    * 8-char shingles at stride 4, keep the lexicographic minimum. Two
+    * docs sharing any aligned 8-gram window tend to share fingerprints;
+    * one linear scan, fingerprint is 32 bytes/doc. */
+  def q_text_fingerprint(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir)
+      .select(col("doc_id"), col("lang"),
+        expr("""array_min(transform(
+                  sequence(1, greatest(length(text)-7, 1), 4),
+                  i -> md5(cast(substring(text, i, 8) as binary))))""").as("fp"))
+      .orderBy("doc_id")
+
+  /** Character 3-gram Jaccard near-dup on a deterministic 10% sample
+    * (doc_id % 10 = 0) — the order-sensitive complement to token-set
+    * Jaccard. Bounded quadratic per lang on the sample. */
+  def q_llm_ngram_jaccard(s: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documents(s, dir)
+      .filter(col("doc_id") % 10 === 0)
+      .select(col("doc_id"), col("lang"),
+        array_distinct(expr(
+          "transform(sequence(1, length(text)-2), i -> substring(text, i, 3))")).as("g3"))
+    val a = d.select(col("lang"), col("doc_id").as("doc_a"), col("g3").as("ga"))
+    val b = d.select(col("lang").as("lang_b"), col("doc_id").as("doc_b"), col("g3").as("gb"))
+    a.join(b, col("lang") === col("lang_b") && col("doc_a") < col("doc_b"))
+      .withColumn("ic", size(array_intersect(col("ga"), col("gb"))).cast("double"))
+      .withColumn("jac", col("ic") / (size(col("ga")) + size(col("gb")) - col("ic")))
+      .filter(col("jac") >= 0.3)
+      .select(col("lang"), col("doc_a"), col("doc_b"), round(col("jac"), 6).as("jaccard3"))
+      .orderBy("lang", "doc_a", "doc_b")
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_text_langid" -> q_text_langid _,
+    "q_text_quality" -> q_text_quality _,
+    "q_text_token_count" -> q_text_token_count _,
+    "q_text_fingerprint" -> q_text_fingerprint _,
+    "q_llm_ngram_jaccard" -> q_llm_ngram_jaccard _
+  )
+}

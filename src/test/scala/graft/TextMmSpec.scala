@@ -1,0 +1,93 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.engine.{LlmOps, Multimodal, TextOps}
+
+class TextMmSpec extends AnyFunSuite {
+  import TestSpark._
+
+  test("langid beats chance on 5 languages") {
+    val rows = TextOps.q_text_langid(spark, sf001).collect()
+    val acc = rows.count(_.getBoolean(4)).toDouble / rows.length
+    assert(acc > 0.25, s"langid accuracy $acc not above 5-class chance")
+    assert(rows.map(_.getLong(0)).distinct.length == rows.length) // one prediction per doc
+  }
+
+  test("quality: ratios in [0,1], token counts positive") {
+    TextOps.q_text_quality(spark, sf0001).collect().foreach { r =>
+      assert(r.getLong(2) > 0)
+      assert(r.getDouble(4) >= 0.0 && r.getDouble(4) <= 1.0)
+    }
+  }
+
+  test("token count: regex tokens >= whitespace tokens on space-joined text") {
+    TextOps.q_text_token_count(spark, sf0001).collect().foreach { r =>
+      assert(r.getLong(2) >= r.getLong(1), "regex tokenizer must not lose tokens")
+      assert(r.getLong(4) >= r.getLong(1)) // chars >= tokens
+    }
+  }
+
+  test("fingerprint: deterministic and identical for identical texts") {
+    val a = TextOps.q_text_fingerprint(spark, sf0001).collect().map(r => r.getLong(0) -> r.getString(2))
+    val b = TextOps.q_text_fingerprint(spark, sf0001).collect().map(r => r.getLong(0) -> r.getString(2))
+    assert(a.toSeq == b.toSeq)
+    assert(a.forall(_._2.length == 32)) // md5 hex
+  }
+
+  test("simhash: near-identical token sets collide, hamming bounded") {
+    val rows = LlmOps.q_llm_simhash(spark, sf0001).collect()
+    assert(rows.forall(r => r.getInt(3) >= 0 && r.getInt(3) <= 12))
+    // signature is deterministic across runs
+    val again = LlmOps.q_llm_simhash(spark, sf0001).collect()
+    assert(rows.map(_.toSeq).toSeq == again.map(_.toSeq).toSeq)
+  }
+
+  test("IVF ANN: 3 in-cell neighbors per query, cos within brute-force bound") {
+    val ivf = LlmOps.q_llm_ann_ivf(spark, sf0001).collect()
+    assert(ivf.map(_.getLong(0)).distinct.length == 5)
+    assert(ivf.count(_.getLong(3) == 1L) == 5)
+    // IVF best can't beat the global brute-force best for the same query
+    val best = ivf.filter(_.getLong(3) == 1L).map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    best.foreach { case (_, cos) => assert(cos <= 1.0 && cos >= -1.0) }
+  }
+
+  test("embedding near-dup pairs are symmetric-free and above threshold") {
+    val rows = LlmOps.q_llm_embed_neardup(spark, sf0001).collect()
+    rows.foreach { r =>
+      assert(r.getLong(0) < r.getLong(1))
+      assert(r.getDouble(2) >= 0.35)
+    }
+  }
+
+  test("multimodal: decode stub parses every payload; frame sampler partitions bytes") {
+    val s = spark
+    import s.implicits._
+    val media = Multimodal.mediaTable(s, sf0001)
+    val dec = Multimodal.decoded(s, sf0001).collect()
+    assert(dec.length == media.count())
+    assert(dec.forall(d => d.width >= 1 && d.height >= 1 && d.n_bytes > 0))
+    // resize halves dims, never below 1
+    val resized = Multimodal.decoded(s, sf0001).mapPartitions(Multimodal.resizeStub).collect()
+    assert(resized.forall(d => d.width >= 1))
+    // frame sampling: only video rows, frames reassemble a prefix of the payload
+    val frames = media.mapPartitions(Multimodal.frameSampleStub(4)).collect()
+    assert(frames.nonEmpty)
+    assert(frames.forall(_.frame_idx < 4))
+    val byId = frames.groupBy(_.media_id)
+    val videos = media.filter(_.kind == "video").collect().map(m => m.media_id -> m.bytes).toMap
+    byId.foreach { case (id, fs) =>
+      val joined = fs.sortBy(_.frame_idx).flatMap(_.frame_bytes)
+      assert(videos(id).startsWith(joined.take(videos(id).length)))
+    }
+    assert(byId.keySet == videos.keySet)
+  }
+
+  test("pivot row sums equal unpivoted counts") {
+    val p = graft.engine.Relational.q_agg_pivot(spark, sf0001)
+      .withColumn("tot", col("F") + col("O") + col("P"))
+      .agg(sum("tot")).collect()(0).getLong(0)
+    assert(p == graft.engine.Tables.orders(spark, sf0001).count())
+  }
+}
