@@ -58,7 +58,47 @@ object Gnn {
       .orderBy("custkey")
   }
 
+  /** 2-layer GNN (GraphSAGE depth-2): layer 1 produces customer
+    * representations from part embeddings; layer 2 aggregates those back
+    * over the reversed edges into part representations — two shuffles =
+    * two message-passing supersteps, the Flink iteration-edge analog.
+    * No oracle (chained matmuls); invariant-tested. */
+  def q_gnn_layer2(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val vecMean = udaf(VecMeanAgg)
+    // layer 1: full 64-dim customer representations
+    val h1 = GraphOps.neighborFeatures(s, dir)
+      .groupBy(col("src"))
+      .agg(vecMean(col("embedding")).as("mv"))
+      .as[(Long, Seq[Double])]
+      .map { case (ck, m) => (ck, forward(m.toArray).toSeq) }
+      .toDF("cust", "h1")
+    // layer 2: aggregate customer representations per part, second dense pass
+    val edges = GraphOps.edges(s, dir)
+    edges.join(h1, col("src") === col("cust"))
+      .select(col("dst"), col("h1"))
+      .as[(Long, Seq[Double])]
+      .groupByKey(_._1)
+      .mapGroups { (part, rows) =>
+        val sums = new Array[Double](Dim)
+        var n = 0L
+        rows.foreach { case (_, v) =>
+          var i = 0; while (i < Dim) { sums(i) += v(i); i += 1 }; n += 1
+        }
+        var i = 0
+        while (i < Dim) { sums(i) /= n; i += 1 }
+        val h = forward(sums)
+        (part, h(0), h(1), h(2), h(3))
+      }
+      .toDF("part_key", "g1_raw", "g2_raw", "g3_raw", "g4_raw")
+      .select(col("part_key"),
+        round(col("g1_raw"), 6).as("g1"), round(col("g2_raw"), 6).as("g2"),
+        round(col("g3_raw"), 6).as("g3"), round(col("g4_raw"), 6).as("g4"))
+      .orderBy("part_key")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "q_gnn_layer" -> q_gnn_layer _
+    "q_gnn_layer" -> q_gnn_layer _,
+    "q_gnn_layer2" -> q_gnn_layer2 _
   )
 }

@@ -15,14 +15,30 @@ import org.apache.spark.sql.functions._
   */
 object LlmOps {
 
-  /** Sequential-fold double dot product via higher-order functions —
-    * deterministic order, all inside codegen. */
-  private def dot(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
-      lit(0.0), (acc, x) => acc + x)
+  /** Native codegen'd f64 dot product over float vectors
+    * (graft.functions.FloatVecDot) — registered per session, bit-identical
+    * to the zip_with+aggregate HOF formulation it replaced but runs as a
+    * tight generated loop instead of a lambda per element. */
+  private def vecDot(s: SparkSession)(a: Column, b: Column): Column = {
+    s.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_vec_dot", exprs => graft.functions.FloatVecDot(exprs(0), exprs(1)),
+      "built-in")
+    call_function("graft_vec_dot", a, b)
+  }
 
-  private def cosSim(a: Column, b: Column): Column =
+  private def cosSim(s: SparkSession)(a: Column, b: Column): Column = {
+    val dot = vecDot(s) _
     dot(a, b) / (sqrt(dot(a, a)) * sqrt(dot(b, b)))
+  }
+
+  /** Cosine from a precomputed-norm pair: one dot per pair instead of
+    * three (norms are computed once per vector BEFORE the pair join). */
+  private def cosSimPre(s: SparkSession)(a: Column, b: Column, na: Column, nb: Column): Column =
+    vecDot(s)(a, b) / (na * nb)
+
+  /** Per-vector L2 norm column (same sqrt∘dot the pairwise formula used,
+    * so cosines stay bit-identical). */
+  private def normCol(s: SparkSession)(v: Column): Column = sqrt(vecDot(s)(v, v))
 
   /** Token sets per doc (dedup convention: whitespace split, distinct). */
   private def tokenSets(s: SparkSession, dir: String): DataFrame =
@@ -44,16 +60,50 @@ object LlmOps {
   /** Exact near-dup: same-lang pairs with token-set Jaccard ≥ 0.5.
     * O(n²) per lang — correct baseline; the scale path is
     * q_llm_minhash_lsh which prunes candidates first. */
+  /** Adaptive dictionary+bitmap encoding of token sets (one scalar stats
+    * probe, AQE-style): when the global vocabulary fits in 64 bits, each
+    * token set becomes a bigint mask, so pairwise set math collapses to
+    * `bit_count(ma & mb)` — a bitmap-index join. Returns None for open
+    * vocabularies (callers keep the array path). Identical results either
+    * way. */
+  private def tokenMasks(s: SparkSession, dir: String): Option[DataFrame] = {
+    val d = tokenSets(s, dir)
+    val vocab = d.select(explode(col("toks")).as("vtok")).distinct()
+    if (vocab.count() > 64) None
+    else Some {
+      val vids = vocab.select(col("vtok"),
+        (row_number().over(Window.orderBy(col("vtok"))) - 1).as("vid"))
+      d.select(col("doc_id"), col("lang"), explode(col("toks")).as("tok"))
+        .join(broadcast(vids), col("tok") === col("vtok"))
+        .groupBy(col("doc_id"), col("lang"))
+        .agg(bit_or(expr("shiftleft(1L, vid)")).as("mask"), count(lit(1)).as("nt"))
+    }
+  }
+
   def q_llm_jaccard_pairs(s: SparkSession, dir: String): DataFrame = {
     val d = tokenSets(s, dir)
-    val a = d.select(col("lang"), col("doc_id").as("doc_a"), col("toks").as("ta"))
-    val b = d.select(col("lang").as("lang_b"), col("doc_id").as("doc_b"), col("toks").as("tb"))
-    a.join(b, col("lang") === col("lang_b") && col("doc_a") < col("doc_b") &&
-        // exact-preserving prune: J >= 0.5 forces |A| <= 2|B| and |B| <= 2|A|
-        // (i <= min(|A|,|B|), u >= max(|A|,|B|)) — skip the set math early.
-        size(col("ta")) <= size(col("tb")) * 2 && size(col("tb")) <= size(col("ta")) * 2)
-      .withColumn("ic", size(array_intersect(col("ta"), col("tb"))).cast("double"))
-      .withColumn("jac", col("ic") / (size(col("ta")) + size(col("tb")) - col("ic")))
+    val paired = tokenMasks(s, dir) match {
+      case Some(masks) =>
+        val a = masks.select(col("lang"), col("doc_id").as("doc_a"),
+          col("mask").as("ma"), col("nt").as("na"))
+        val b = masks.select(col("lang").as("lang_b"), col("doc_id").as("doc_b"),
+          col("mask").as("mb"), col("nt").as("nb"))
+        a.join(b, col("lang") === col("lang_b") && col("doc_a") < col("doc_b") &&
+            col("na") <= col("nb") * 2 && col("nb") <= col("na") * 2)
+          .withColumn("ic", expr("bit_count(ma & mb)").cast("double"))
+          .withColumn("jac", col("ic") / (col("na") + col("nb") - col("ic")))
+      case None =>
+        {
+        val a = d.select(col("lang"), col("doc_id").as("doc_a"), col("toks").as("ta"))
+        val b = d.select(col("lang").as("lang_b"), col("doc_id").as("doc_b"), col("toks").as("tb"))
+        a.join(b, col("lang") === col("lang_b") && col("doc_a") < col("doc_b") &&
+            // exact-preserving prune: J >= 0.5 forces |A| <= 2|B| and |B| <= 2|A|
+            size(col("ta")) <= size(col("tb")) * 2 && size(col("tb")) <= size(col("ta")) * 2)
+          .withColumn("ic", size(array_intersect(col("ta"), col("tb"))).cast("double"))
+          .withColumn("jac", col("ic") / (size(col("ta")) + size(col("tb")) - col("ic")))
+        }
+    }
+    paired
       .filter(col("jac") >= 0.5)
       .select(col("lang"), col("doc_a"), col("doc_b"), round(col("jac"), 6).as("jaccard"))
       .orderBy("lang", "doc_a", "doc_b")
@@ -97,11 +147,23 @@ object LlmOps {
         col("band_hash") === col("bh_b") && col("doc_a") < col("doc_b"))
       .select(col("lang"), col("doc_a"), col("doc_b"))
       .distinct()
-    pairs
-      .join(d.select(col("doc_id").as("id_a"), col("toks").as("ta")), col("doc_a") === col("id_a"))
-      .join(d.select(col("doc_id").as("id_b"), col("toks").as("tb")), col("doc_b") === col("id_b"))
-      .withColumn("ic", size(array_intersect(col("ta"), col("tb"))).cast("double"))
-      .withColumn("jac", col("ic") / (size(col("ta")) + size(col("tb")) - col("ic")))
+    val verified = tokenMasks(s, dir) match {
+      case Some(masks) =>
+        pairs
+          .join(masks.select(col("doc_id").as("id_a"), col("mask").as("ma"), col("nt").as("na")),
+            col("doc_a") === col("id_a"))
+          .join(masks.select(col("doc_id").as("id_b"), col("mask").as("mb"), col("nt").as("nb")),
+            col("doc_b") === col("id_b"))
+          .withColumn("ic", expr("bit_count(ma & mb)").cast("double"))
+          .withColumn("jac", col("ic") / (col("na") + col("nb") - col("ic")))
+      case None =>
+        pairs
+          .join(d.select(col("doc_id").as("id_a"), col("toks").as("ta")), col("doc_a") === col("id_a"))
+          .join(d.select(col("doc_id").as("id_b"), col("toks").as("tb")), col("doc_b") === col("id_b"))
+          .withColumn("ic", size(array_intersect(col("ta"), col("tb"))).cast("double"))
+          .withColumn("jac", col("ic") / (size(col("ta")) + size(col("tb")) - col("ic")))
+    }
+    verified
       .filter(col("jac") >= 0.5)
       .select(col("lang"), col("doc_a"), col("doc_b"), round(col("jac"), 6).as("jaccard"))
       .orderBy("lang", "doc_a", "doc_b")
@@ -148,10 +210,13 @@ object LlmOps {
     * pass, no shuffle until the final top-k (TakeOrderedAndProject). */
   def q_llm_cosine_topk(s: SparkSession, dir: String): DataFrame = {
     val emb = Tables.embeddings(s, dir)
-    val t = emb.filter(col("vec_id") === 0).select(col("embedding").as("tv"))
+    val t = emb.filter(col("vec_id") === 0)
+      .select(col("embedding").as("tv"), normCol(s)(col("embedding")).as("tn"))
     emb.filter(col("vec_id") =!= 0)
+      .withColumn("vn", normCol(s)(col("embedding")))
       .crossJoin(broadcast(t))
-      .select(col("vec_id"), round(cosSim(col("embedding"), col("tv")), 6).as("cos_sim"))
+      .select(col("vec_id"),
+        round(cosSimPre(s)(col("embedding"), col("tv"), col("vn"), col("tn")), 6).as("cos_sim"))
       .orderBy(col("cos_sim").desc, col("vec_id").asc)
       .limit(10)
   }
@@ -162,13 +227,15 @@ object LlmOps {
   def q_llm_knn_join(s: SparkSession, dir: String): DataFrame = {
     val emb = Tables.embeddings(s, dir)
     val q = emb.filter(col("vec_id") < 20)
-      .select(col("vec_id").as("query_id"), col("embedding").as("qv"))
-    val cand = emb.select(col("vec_id").as("neighbor_id"), col("embedding").as("nv"))
+      .select(col("vec_id").as("query_id"), col("embedding").as("qv"),
+        normCol(s)(col("embedding")).as("qn"))
+    val cand = emb.select(col("vec_id").as("neighbor_id"), col("embedding").as("nv"),
+      normCol(s)(col("embedding")).as("nn"))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("cos_sim").desc, col("neighbor_id").asc)
     cand.join(broadcast(q), col("neighbor_id") =!= col("query_id"))
       .select(col("query_id"), col("neighbor_id"),
-        round(cosSim(col("nv"), col("qv")), 6).as("cos_sim"))
+        round(cosSimPre(s)(col("nv"), col("qv"), col("nn"), col("qn")), 6).as("cos_sim"))
       .withColumn("rnk", row_number().over(w).cast("bigint"))
       .filter(col("rnk") <= 3)
       .orderBy("query_id", "rnk")
@@ -180,10 +247,11 @@ object LlmOps {
     * hyperplanes (q_llm_simhash shape). */
   def q_llm_embed_neardup(s: SparkSession, dir: String): DataFrame = {
     val sub = Tables.embeddings(s, dir).filter(col("vec_id") % 4 === 0)
-    val a = sub.select(col("vec_id").as("vec_a"), col("embedding").as("ea"))
-    val b = sub.select(col("vec_id").as("vec_b"), col("embedding").as("eb"))
+      .withColumn("nrm", normCol(s)(col("embedding")))
+    val a = sub.select(col("vec_id").as("vec_a"), col("embedding").as("ea"), col("nrm").as("na"))
+    val b = sub.select(col("vec_id").as("vec_b"), col("embedding").as("eb"), col("nrm").as("nb"))
     a.join(b, col("vec_a") < col("vec_b"))
-      .withColumn("cos_sim", round(cosSim(col("ea"), col("eb")), 6))
+      .withColumn("cos_sim", round(cosSimPre(s)(col("ea"), col("eb"), col("na"), col("nb")), 6))
       .filter(col("cos_sim") >= 0.35)
       .select(col("vec_a"), col("vec_b"), col("cos_sim"))
       .orderBy("vec_a", "vec_b")
@@ -197,20 +265,24 @@ object LlmOps {
   def q_llm_ann_ivf(s: SparkSession, dir: String): DataFrame = {
     val emb = Tables.embeddings(s, dir)
     val cents = emb.filter(col("vec_id") < 16)
-      .select(col("vec_id").as("cid"), col("embedding").as("cv"))
+      .select(col("vec_id").as("cid"), col("embedding").as("cv"),
+        normCol(s)(col("embedding")).as("cn"))
     val data = emb.filter(col("vec_id") >= 16)
-      .select(col("vec_id").as("vid"), col("embedding").as("dv"))
+      .select(col("vec_id").as("vid"), col("embedding").as("dv"),
+        normCol(s)(col("embedding")).as("dn"))
     val wAssign = Window.partitionBy(col("vid")).orderBy(col("ccos").desc, col("cid").asc)
     val assigned = data.crossJoin(broadcast(cents))
-      .withColumn("ccos", round(cosSim(col("dv"), col("cv")), 6))
+      .withColumn("ccos", round(cosSimPre(s)(col("dv"), col("cv"), col("dn"), col("cn")), 6))
       .withColumn("arn", row_number().over(wAssign)).filter(col("arn") === 1)
-      .select(col("vid"), col("cid"), col("dv"))
+      .select(col("vid"), col("cid"), col("dv"), col("dn"))
     val qs = assigned.filter(col("vid").between(20, 24))
-      .select(col("vid").as("query_id"), col("cid").as("qcid"), col("dv").as("qv"))
+      .select(col("vid").as("query_id"), col("cid").as("qcid"),
+        col("dv").as("qv"), col("dn").as("qn"))
     val wS = Window.partitionBy(col("query_id")).orderBy(col("cos_sim").desc, col("neighbor_id").asc)
-    qs.join(assigned.select(col("vid").as("neighbor_id"), col("cid").as("ncid"), col("dv").as("nv")),
+    qs.join(assigned.select(col("vid").as("neighbor_id"), col("cid").as("ncid"),
+        col("dv").as("nv"), col("dn").as("nn")),
         col("qcid") === col("ncid") && col("query_id") =!= col("neighbor_id"))
-      .withColumn("cos_sim", round(cosSim(col("qv"), col("nv")), 6))
+      .withColumn("cos_sim", round(cosSimPre(s)(col("qv"), col("nv"), col("qn"), col("nn")), 6))
       .withColumn("rnk", row_number().over(wS).cast("bigint"))
       .filter(col("rnk") <= 3)
       .select(col("query_id"), col("neighbor_id"), col("cos_sim"), col("rnk"))

@@ -386,6 +386,20 @@ object Oracle {
          |SELECT sz AS size, COUNT(*) AS n_components
          |FROM sizes GROUP BY 1 ORDER BY 1""".stripMargin,
 
+    // Final streaming-GNN state == batch neighborhood mean + degree.
+    "q_stream_gnn_embed" ->
+      s"""WITH $edgesCte,
+         |n AS (SELECT COUNT(*) AS c FROM embeddings),
+         |f AS (SELECT e.src AS custkey, emb.embedding
+         |      FROM edges e CROSS JOIN n
+         |      JOIN embeddings emb ON emb.vec_id = e.dst % n.c)
+         |SELECT custkey, COUNT(*) AS n_nbrs,
+         |  ROUND(AVG(CAST(embedding[1] AS DOUBLE)), 6) AS d1,
+         |  ROUND(AVG(CAST(embedding[2] AS DOUBLE)), 6) AS d2,
+         |  ROUND(AVG(CAST(embedding[3] AS DOUBLE)), 6) AS d3,
+         |  ROUND(AVG(CAST(embedding[4] AS DOUBLE)), 6) AS d4
+         |FROM f GROUP BY 1 ORDER BY 1""".stripMargin,
+
     "q_graph_neighbor_mean" ->
       s"""WITH $edgesCte,
          |n AS (SELECT COUNT(*) AS c FROM embeddings),

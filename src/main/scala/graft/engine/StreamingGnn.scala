@@ -1,0 +1,70 @@
+package graft.engine
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Streaming GNN embedding maintenance — the reference's headline
+  * capability (`/root/reference/README.md:1-2` "Streaming GNN implemented
+  * using Flink + DL4J"): as co-purchase edge events arrive, each
+  * customer's neighborhood-mean embedding is updated incrementally in
+  * keyed state (Flink ValueState analog = GroupState), exactly the
+  * event-at-a-time aggregator of TGN/GraphSAGE-style systems.
+  *
+  * State per vertex is (count, 64 f64 sums) — 520 bytes — sharded by key
+  * across the state store; an incoming edge touches one key. The same
+  * update function runs unchanged on a bounded read (driver oracle) and
+  * on a MemoryStream in the scenario tests (unified batch/stream).
+  */
+object StreamingGnn {
+
+  case class EdgeFeat(cust: Long, vec: Seq[Float])
+  case class GnnState(n: Long, sums: Array[Double])
+  case class CustEmbed(custkey: Long, n_nbrs: Long,
+      d1: Double, d2: Double, d3: Double, d4: Double)
+
+  val Dim = 64
+
+  /** Incremental neighbor-mean update: fold new edges into per-customer
+    * running sums, emit the refreshed embedding snapshot (dims 1–4). */
+  def updateEmbed(key: Long, it: Iterator[EdgeFeat],
+      state: GroupState[GnnState]): Iterator[CustEmbed] = {
+    val st = state.getOption.getOrElse(GnnState(0L, new Array[Double](Dim)))
+    var n = st.n
+    val sums = st.sums
+    it.foreach { e =>
+      var i = 0
+      val m = math.min(e.vec.length, Dim)
+      while (i < m) { sums(i) += e.vec(i); i += 1 }
+      n += 1
+    }
+    state.update(GnnState(n, sums))
+    if (n == 0L) Iterator.empty
+    else Iterator.single(CustEmbed(key, n,
+      sums(0) / n, sums(1) / n, sums(2) / n, sums(3) / n))
+  }
+
+  /** Shared transform: (cust, part-embedding) edge rows → per-customer
+    * embedding snapshots via keyed state. */
+  def embedStream(s: SparkSession, edgeFeats: DataFrame): Dataset[CustEmbed] = {
+    import s.implicits._
+    edgeFeats.select(col("src").as("cust"), col("embedding").as("vec")).as[EdgeFeat]
+      .groupByKey(_.cust)
+      .flatMapGroupsWithState(OutputMode.Update, GroupStateTimeout.NoTimeout)(updateEmbed)
+  }
+
+  /** Driver-contract query: run the incremental maintainer over the full
+    * bounded edge set; final snapshots must equal the batch
+    * neighborhood-mean (oracle: per-dim AVG + degree). */
+  def q_stream_gnn_embed(s: SparkSession, dir: String): DataFrame =
+    embedStream(s, GraphOps.neighborFeatures(s, dir))
+      .toDF()
+      .select(col("custkey"), col("n_nbrs"),
+        round(col("d1"), 6).as("d1"), round(col("d2"), 6).as("d2"),
+        round(col("d3"), 6).as("d3"), round(col("d4"), 6).as("d4"))
+      .orderBy("custkey")
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_stream_gnn_embed" -> q_stream_gnn_embed _
+  )
+}
