@@ -3,8 +3,6 @@ package graft.engine
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.functions.VecMeanAgg
-
 /** GNN forward layer (SURVEY.md §2.11 q_gnn_layer) — the dense-layer
   * update the reference runs with DL4J (`/root/reference/README.md:2`):
   * `h'_v = ReLU(W · mean_{u∈N(v)} x_u + b)`, GCN eq. 2 (Kipf & Welling
@@ -40,13 +38,22 @@ object Gnn {
     out
   }
 
+  /** Neighborhood mean as 64 codegen'd per-dim AVG aggregates assembled
+    * into an array — stays entirely inside whole-stage codegen (no UDAF
+    * buffer encoding per row). The typed VecMeanAgg UDAF remains the
+    * contract surface for q_udaf_vec_mean. */
+  private def meanVec(s: SparkSession, dir: String): DataFrame = {
+    val aggs = (1 to Dim).map(i =>
+      avg(element_at(col("embedding"), i).cast("double")).as(s"m$i"))
+    GraphOps.neighborFeatures(s, dir)
+      .groupBy(col("src"))
+      .agg(aggs.head, aggs.tail: _*)
+      .select(col("src"), array((1 to Dim).map(i => col(s"m$i")): _*).as("mv"))
+  }
+
   def q_gnn_layer(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val vecMean = udaf(VecMeanAgg)
-    val agg = GraphOps.neighborFeatures(s, dir)
-      .groupBy(col("src"))
-      .agg(vecMean(col("embedding")).as("mv"))
-    agg.select(col("src"), col("mv")).as[(Long, Seq[Double])]
+    meanVec(s, dir).as[(Long, Seq[Double])]
       .map { case (ck, m) =>
         val h = forward(m.toArray)
         (ck, h(0), h(1), h(2), h(3))
@@ -65,11 +72,8 @@ object Gnn {
     * No oracle (chained matmuls); invariant-tested. */
   def q_gnn_layer2(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val vecMean = udaf(VecMeanAgg)
     // layer 1: full 64-dim customer representations
-    val h1 = GraphOps.neighborFeatures(s, dir)
-      .groupBy(col("src"))
-      .agg(vecMean(col("embedding")).as("mv"))
+    val h1 = meanVec(s, dir)
       .as[(Long, Seq[Double])]
       .map { case (ck, m) => (ck, forward(m.toArray).toSeq) }
       .toDF("cust", "h1")

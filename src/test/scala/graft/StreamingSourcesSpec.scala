@@ -1,0 +1,90 @@
+package graft
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.OutputMode
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.engine.{StreamingOps, Tables}
+
+/** Stream-source coverage beyond MemoryStream: file-based readStream over
+  * the fixture parquet, watermarked within-watermark dedup, and the
+  * RocksDB state-store provider (the 100 TB state backend). */
+class StreamingSourcesSpec extends AnyFunSuite {
+  import TestSpark._
+
+  test("file readStream source: tumbling agg equals batch on same files") {
+    val s = spark
+    // schema from a static read; stream the same parquet file
+    val batchEv = Tables.events(s, sf0001)
+    // file stream sources need a directory; stage the fixture file in one
+    val dir = java.nio.file.Files.createTempDirectory("graft_stream_src")
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(s"$sf0001/events.parquet"),
+      dir.resolve("events.parquet"))
+    val streamEv = {
+      s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      s.readStream
+        .schema(s.read.parquet(s"$sf0001/events.parquet").schema)
+        .parquet(dir.toString)
+        .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    }
+    val q = StreamingOps.tumblingDaily(streamEv)
+      .writeStream.outputMode(OutputMode.Complete)
+      .format("memory").queryName("filetumb").start()
+    q.processAllAvailable(); q.stop()
+    val streamed = s.table("filetumb").orderBy("day", "event_type").collect().toSeq
+    val batch = StreamingOps.tumblingDaily(batchEv)
+      .orderBy("day", "event_type").collect().toSeq
+    assert(streamed == batch)
+    assert(streamed.nonEmpty)
+  }
+
+  test("dropDuplicatesWithinWatermark dedups replays inside the watermark") {
+    val s = spark
+    import s.implicits._
+    implicit val sq = s.sqlContext
+    def ts(h: Int, m: Int) = Timestamp.valueOf(f"2024-01-01 $h%02d:$m%02d:00")
+    val ms = MemoryStream[E]
+    val deduped = ms.toDF()
+      .withWatermark("ts", "1 hour")
+      .dropDuplicatesWithinWatermark("event_id")
+      .groupBy(col("user_id")).agg(count(lit(1)).as("n"))
+    val q = deduped.writeStream.outputMode(OutputMode.Complete)
+      .format("memory").queryName("wmdedup").start()
+    ms.addData(E(1, 1, ts(1, 0), "click", 1.0), E(2, 1, ts(1, 5), "click", 1.0))
+    q.processAllAvailable()
+    // replay of event 1 within the watermark window -> dropped
+    ms.addData(E(1, 1, ts(1, 0), "click", 1.0), E(3, 1, ts(1, 10), "click", 1.0))
+    q.processAllAvailable(); q.stop()
+    val n = s.table("wmdedup").collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(n(1L) == 3L, s"replayed event must be deduped: $n")
+  }
+
+  test("stateful query runs on the RocksDB state store provider") {
+    val s = spark
+    import s.implicits._
+    implicit val sq = s.sqlContext
+    val prev = s.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    s.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      def ts(h: Int) = Timestamp.valueOf(f"2024-01-01 $h%02d:00:00")
+      val ms = MemoryStream[E]
+      val q = StreamingOps.statefulSnapshot(s, ms.toDF())
+        .writeStream.outputMode(OutputMode.Update)
+        .format("memory").queryName("rocks").start()
+      ms.addData(E(1, 5, ts(1), "click", 2.0)); q.processAllAvailable()
+      ms.addData(E(2, 5, ts(2), "view", 3.0)); q.processAllAvailable(); q.stop()
+      val last = s.table("rocks").collect().maxBy(_.getLong(1))
+      assert(last.getLong(1) == 2L && last.getDouble(3) == 5.0)
+    } finally {
+      prev match {
+        case Some(p) => s.conf.set("spark.sql.streaming.stateStore.providerClass", p)
+        case None => s.conf.unset("spark.sql.streaming.stateStore.providerClass")
+      }
+    }
+  }
+}
