@@ -480,6 +480,23 @@ object Oracle {
   /** Round-1 additions: percentiles/pivot/correlated subquery, text
     * analysis, vector near-dup + IVF ANN, multimodal decode plumbing. */
   val extended: Map[String, String] = Map(
+    "q_agg_listagg" ->
+      """SELECT c_nationkey AS nationkey, COUNT(*) AS n_cust,
+        |  string_agg(c_name, ',' ORDER BY c_name) AS names
+        |FROM customer GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q_win_first_last" ->
+      """SELECT o_custkey, first_okey, last_okey FROM (
+        |  SELECT o_custkey,
+        |    FIRST_VALUE(o_orderkey) OVER w AS first_okey,
+        |    LAST_VALUE(o_orderkey) OVER (PARTITION BY o_custkey
+        |      ORDER BY o_orderdate, o_orderkey
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS last_okey,
+        |    ROW_NUMBER() OVER w AS rn
+        |  FROM orders
+        |  WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey))
+        |WHERE rn = 1 ORDER BY o_custkey""".stripMargin,
+
     "q_agg_percentiles" ->
       """SELECT o_orderstatus,
         |  ROUND(quantile_cont(o_totalprice, 0.5), 6) AS p50,

@@ -240,6 +240,29 @@ object Relational {
       .orderBy("label")
   }
 
+  /** Ordered string aggregation (listagg): deterministic because the
+    * collected list is sorted before joining. */
+  def q_agg_listagg(s: SparkSession, dir: String): DataFrame =
+    Tables.customer(s, dir)
+      .groupBy(col("c_nationkey").as("nationkey"))
+      .agg(count(lit(1)).as("n_cust"),
+        array_join(sort_array(collect_list(col("c_name"))), ",").as("names"))
+      .orderBy("nationkey")
+
+  /** first_value / last_value over per-customer order history. */
+  def q_win_first_last(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("o_custkey")).orderBy(col("o_orderdate"), col("o_orderkey"))
+    val wf = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    Tables.orders(s, dir)
+      .select(col("o_custkey"),
+        first(col("o_orderkey")).over(w).as("first_okey"),
+        last(col("o_orderkey")).over(wf).as("last_okey"),
+        row_number().over(w).as("rn"))
+      .filter(col("rn") === 1)
+      .select(col("o_custkey"), col("first_okey"), col("last_okey"))
+      .orderBy("o_custkey")
+  }
+
   /** Exact interpolated percentiles (sort-based aggregate). */
   def q_agg_percentiles(s: SparkSession, dir: String): DataFrame =
     Tables.orders(s, dir)
@@ -465,6 +488,8 @@ object Relational {
     "q_agg_cube" -> q_agg_cube _,
     "q_agg_grouping_sets" -> q_agg_grouping_sets _,
     "q_agg_having" -> q_agg_having _,
+    "q_agg_listagg" -> q_agg_listagg _,
+    "q_win_first_last" -> q_win_first_last _,
     "q_agg_percentiles" -> q_agg_percentiles _,
     "q_agg_pivot" -> q_agg_pivot _,
     "q_sub_correlated" -> q_sub_correlated _,
