@@ -176,12 +176,10 @@ object LlmOps {
     * signature is 8 bytes/doc. No oracle (xxhash64 is engine-specific);
     * self-tested against token-set Jaccard. */
   def q_llm_simhash(s: SparkSession, dir: String): DataFrame = {
+    s.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_simhash64", exprs => graft.functions.SimHash64(exprs.head), "built-in")
     val d = tokenSets(s, dir).filter(size(col("toks")) > 0)
-    val sig = d.withColumn("simhash", expr(
-      """aggregate(sequence(0, 63), 0L, (acc, i) ->
-        |  acc + if(aggregate(toks, 0L,
-        |             (a, t) -> a + if((shiftright(xxhash64(t), i) & 1) = 1, 1L, -1L)) > 0,
-        |           shiftleft(1L, i), 0L))""".stripMargin))
+    val sig = d.withColumn("simhash", call_function("graft_simhash64", col("toks")))
     val banded = sig.select(col("lang"), col("doc_id"),
       posexplode(array((0 until 4).map { b =>
         expr(s"shiftright(simhash, ${16 * b}) & 65535")

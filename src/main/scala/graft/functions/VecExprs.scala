@@ -57,3 +57,49 @@ case class FloatVecDot(left: Expression, right: Expression)
       newLeft: Expression, newRight: Expression): FloatVecDot =
     copy(left = newLeft, right = newRight)
 }
+
+/** 64-bit SimHash (Charikar 2002) of a token array in ONE pass: each
+  * token is xxhash64'd once (Spark's XxHash64, seed 42 — identical to
+  * the SQL builtin) and votes all 64 signature bits. The equivalent
+  * nested higher-order formulation re-hashes every token once per bit
+  * (64× the hash work) with an interpreted lambda per step; this
+  * expression replaced it at identical semantics. Interpreted eval
+  * (CodegenFallback): the per-row cost is ~|tokens| hash calls, already
+  * negligible. */
+case class SimHash64(child: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression
+    with org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback {
+
+  override def dataType: DataType = org.apache.spark.sql.types.LongType
+  override def prettyName: String = "graft_simhash64"
+
+  override def nullSafeEval(input: Any): Any = {
+    val arr = input.asInstanceOf[ArrayData]
+    val votes = new Array[Int](64)
+    var t = 0
+    val n = arr.numElements()
+    while (t < n) {
+      val tok = arr.getUTF8String(t)
+      if (tok != null) {
+        val h = org.apache.spark.sql.catalyst.expressions.XxHash64Function.hash(
+          tok, org.apache.spark.sql.types.StringType, 42L)
+        var i = 0
+        while (i < 64) {
+          if (((h >>> i) & 1L) == 1L) votes(i) += 1 else votes(i) -= 1
+          i += 1
+        }
+      }
+      t += 1
+    }
+    var sig = 0L
+    var i = 0
+    while (i < 64) {
+      if (votes(i) > 0) sig |= (1L << i)
+      i += 1
+    }
+    sig
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): SimHash64 =
+    copy(child = newChild)
+}
