@@ -92,8 +92,11 @@ object GraphOps {
       .localCheckpoint()
     var converged = false
     while (!converged) {
+      // no broadcast hint: the label table is |V|-sized, and forcing it
+      // to the driver every iteration would contradict the no-driver-
+      // state scaling story — AQE picks broadcast when it actually fits.
       val nbrMin = und
-        .join(broadcast(labels.select(col("node").as("bn"), col("lbl").as("blbl"))),
+        .join(labels.select(col("node").as("bn"), col("lbl").as("blbl")),
           col("b") === col("bn"))
         .groupBy(col("a"))
         .agg(min(col("blbl")).as("nbr_min"))

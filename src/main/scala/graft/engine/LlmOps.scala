@@ -66,10 +66,18 @@ object LlmOps {
     * `bit_count(ma & mb)` — a bitmap-index join. Returns None for open
     * vocabularies (callers keep the array path). Identical results either
     * way. */
+  /** Memo for the vocabulary-size stats probe: one count per (session,
+    * dir), not one per calling query (jaccard + minhash would otherwise
+    * each rescan the corpus just to learn the answer). */
+  private val vocabFitsCache =
+    new java.util.concurrent.ConcurrentHashMap[(String, String), java.lang.Boolean]()
+
   private def tokenMasks(s: SparkSession, dir: String): Option[DataFrame] = {
     val d = tokenSets(s, dir)
     val vocab = d.select(explode(col("toks")).as("vtok")).distinct()
-    if (vocab.count() > 64) None
+    val fits = vocabFitsCache.computeIfAbsent(
+      (s.sparkContext.applicationId, dir), _ => vocab.count() <= 64)
+    if (!fits) None
     else Some {
       val vids = vocab.select(col("vtok"),
         (row_number().over(Window.orderBy(col("vtok"))) - 1).as("vid"))
@@ -80,30 +88,45 @@ object LlmOps {
     }
   }
 
-  def q_llm_jaccard_pairs(s: SparkSession, dir: String): DataFrame = {
-    val d = tokenSets(s, dir)
-    val paired = tokenMasks(s, dir) match {
+  /** Shared exact-Jaccard verification: given candidate (lang, doc_a,
+    * doc_b) rows, attach set representations (bitmask when the vocab
+    * fits, token arrays otherwise) and compute `jac` — the ONE place the
+    * ic/jac formula lives for both the exact and the LSH path. */
+  private def jaccardVerify(s: SparkSession, dir: String, pairs: DataFrame): DataFrame =
+    tokenMasks(s, dir) match {
       case Some(masks) =>
-        val a = masks.select(col("lang"), col("doc_id").as("doc_a"),
-          col("mask").as("ma"), col("nt").as("na"))
-        val b = masks.select(col("lang").as("lang_b"), col("doc_id").as("doc_b"),
-          col("mask").as("mb"), col("nt").as("nb"))
-        a.join(b, col("lang") === col("lang_b") && col("doc_a") < col("doc_b") &&
-            col("na") <= col("nb") * 2 && col("nb") <= col("na") * 2)
+        pairs
+          .join(masks.select(col("doc_id").as("id_a"), col("mask").as("ma"), col("nt").as("na")),
+            col("doc_a") === col("id_a"))
+          .join(masks.select(col("doc_id").as("id_b"), col("mask").as("mb"), col("nt").as("nb")),
+            col("doc_b") === col("id_b"))
           .withColumn("ic", expr("bit_count(ma & mb)").cast("double"))
           .withColumn("jac", col("ic") / (col("na") + col("nb") - col("ic")))
       case None =>
-        {
-        val a = d.select(col("lang"), col("doc_id").as("doc_a"), col("toks").as("ta"))
-        val b = d.select(col("lang").as("lang_b"), col("doc_id").as("doc_b"), col("toks").as("tb"))
-        a.join(b, col("lang") === col("lang_b") && col("doc_a") < col("doc_b") &&
-            // exact-preserving prune: J >= 0.5 forces |A| <= 2|B| and |B| <= 2|A|
-            size(col("ta")) <= size(col("tb")) * 2 && size(col("tb")) <= size(col("ta")) * 2)
+        val d = tokenSets(s, dir)
+        pairs
+          .join(d.select(col("doc_id").as("id_a"), col("toks").as("ta")), col("doc_a") === col("id_a"))
+          .join(d.select(col("doc_id").as("id_b"), col("toks").as("tb")), col("doc_b") === col("id_b"))
           .withColumn("ic", size(array_intersect(col("ta"), col("tb"))).cast("double"))
           .withColumn("jac", col("ic") / (size(col("ta")) + size(col("tb")) - col("ic")))
-        }
     }
-    paired
+
+  def q_llm_jaccard_pairs(s: SparkSession, dir: String): DataFrame = {
+    // Slim all-pairs generation (ids + set sizes only), then the shared
+    // jaccardVerify attaches set representations — one formula location
+    // for both this exact path and the LSH candidate path.
+    val sizes = tokenMasks(s, dir) match {
+      case Some(masks) => masks.select(col("doc_id"), col("lang"), col("nt"))
+      case None => tokenSets(s, dir)
+        .select(col("doc_id"), col("lang"), size(col("toks")).cast("bigint").as("nt"))
+    }
+    val a = sizes.select(col("lang"), col("doc_id").as("doc_a"), col("nt").as("pna"))
+    val b = sizes.select(col("lang").as("lang_b"), col("doc_id").as("doc_b"), col("nt").as("pnb"))
+    val pairs = a.join(b, col("lang") === col("lang_b") && col("doc_a") < col("doc_b") &&
+        // exact-preserving prune: J >= 0.5 forces |A| <= 2|B| and |B| <= 2|A|
+        col("pna") <= col("pnb") * 2 && col("pnb") <= col("pna") * 2)
+      .select(col("lang"), col("doc_a"), col("doc_b"))
+    jaccardVerify(s, dir, pairs)
       .filter(col("jac") >= 0.5)
       .select(col("lang"), col("doc_a"), col("doc_b"), round(col("jac"), 6).as("jaccard"))
       .orderBy("lang", "doc_a", "doc_b")
@@ -147,23 +170,7 @@ object LlmOps {
         col("band_hash") === col("bh_b") && col("doc_a") < col("doc_b"))
       .select(col("lang"), col("doc_a"), col("doc_b"))
       .distinct()
-    val verified = tokenMasks(s, dir) match {
-      case Some(masks) =>
-        pairs
-          .join(masks.select(col("doc_id").as("id_a"), col("mask").as("ma"), col("nt").as("na")),
-            col("doc_a") === col("id_a"))
-          .join(masks.select(col("doc_id").as("id_b"), col("mask").as("mb"), col("nt").as("nb")),
-            col("doc_b") === col("id_b"))
-          .withColumn("ic", expr("bit_count(ma & mb)").cast("double"))
-          .withColumn("jac", col("ic") / (col("na") + col("nb") - col("ic")))
-      case None =>
-        pairs
-          .join(d.select(col("doc_id").as("id_a"), col("toks").as("ta")), col("doc_a") === col("id_a"))
-          .join(d.select(col("doc_id").as("id_b"), col("toks").as("tb")), col("doc_b") === col("id_b"))
-          .withColumn("ic", size(array_intersect(col("ta"), col("tb"))).cast("double"))
-          .withColumn("jac", col("ic") / (size(col("ta")) + size(col("tb")) - col("ic")))
-    }
-    verified
+    jaccardVerify(s, dir, pairs)
       .filter(col("jac") >= 0.5)
       .select(col("lang"), col("doc_a"), col("doc_b"), round(col("jac"), 6).as("jaccard"))
       .orderBy("lang", "doc_a", "doc_b")

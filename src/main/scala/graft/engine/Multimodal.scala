@@ -61,9 +61,13 @@ object Multimodal {
       if (m.kind != "video" || m.bytes.isEmpty) Iterator.empty
       else {
         val step = math.max(m.bytes.length / n, 1)
-        (0 until math.min(n, m.bytes.length)).iterator.map { i =>
-          MediaFrame(m.media_id, i,
-            m.bytes.slice(i * step, math.min((i + 1) * step, m.bytes.length)))
+        val frames = math.min(n, m.bytes.length)
+        (0 until frames).iterator.map { i =>
+          // last frame takes the remainder so every payload byte lands
+          // in exactly one frame
+          val end = if (i == frames - 1) m.bytes.length
+            else math.min((i + 1) * step, m.bytes.length)
+          MediaFrame(m.media_id, i, m.bytes.slice(i * step, end))
         }
       }
     }

@@ -3,7 +3,7 @@ package graft.functions
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
 import org.apache.spark.sql.catalyst.util.ArrayData
-import org.apache.spark.sql.types.{DataType, DoubleType}
+import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType, StringType}
 
 /** Native Catalyst expression: dot product of two float vectors,
   * accumulated in f64 — the tensor kernel the reference delegates to
@@ -19,10 +19,26 @@ import org.apache.spark.sql.types.{DataType, DoubleType}
 case class FloatVecDot(left: Expression, right: Expression)
     extends BinaryExpression {
 
-  // Inputs must be array<float>; used only through LlmOps.vecDot, which
-  // always passes embedding columns (AbstractDataType is private[sql],
-  // so ExpectsInputTypes is not available to external expressions).
   override def dataType: DataType = DoubleType
+
+  // ExpectsInputTypes is unavailable outside org.apache.spark.sql
+  // (AbstractDataType is private[sql]), so validate explicitly: the
+  // function is registered session-wide and must reject e.g.
+  // array<double>, which getFloat would otherwise misread silently.
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
+    val ok = ArrayType(FloatType, containsNull = true)
+    def isFloatArray(dt: DataType): Boolean = dt match {
+      case ArrayType(FloatType, _) => true
+      case _ => false
+    }
+    if (isFloatArray(left.dataType) && isFloatArray(right.dataType)) {
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    } else {
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"$prettyName requires two array<float> arguments, got " +
+          s"${left.dataType.simpleString} and ${right.dataType.simpleString} (expected ${ok.simpleString})")
+    }
+  }
   override def prettyName: String = "graft_vec_dot"
 
   override def nullSafeEval(l: Any, r: Any): Any = {
@@ -72,6 +88,15 @@ case class SimHash64(child: Expression)
 
   override def dataType: DataType = org.apache.spark.sql.types.LongType
   override def prettyName: String = "graft_simhash64"
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case ArrayType(StringType, _) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"$prettyName requires array<string>, got ${other.simpleString}")
+    }
 
   override def nullSafeEval(input: Any): Any = {
     val arr = input.asInstanceOf[ArrayData]

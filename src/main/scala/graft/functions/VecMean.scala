@@ -22,7 +22,10 @@ object VecMeanAgg extends Aggregator[Seq[Float], VecBuf, Seq[Double]] {
 
   override def reduce(b: VecBuf, a: Seq[Float]): VecBuf = {
     if (a == null) return b
-    if (b.sums.isEmpty) b.sums = new Array[Double](a.length)
+    if (b.sums.length < a.length) {
+      // ragged input: grow the buffer (missing dims are implicit zeros)
+      b.sums = java.util.Arrays.copyOf(b.sums, a.length)
+    }
     var i = 0
     while (i < a.length) { b.sums(i) += a(i); i += 1 }
     b.n += 1
@@ -30,14 +33,11 @@ object VecMeanAgg extends Aggregator[Seq[Float], VecBuf, Seq[Double]] {
   }
 
   override def merge(x: VecBuf, y: VecBuf): VecBuf = {
-    if (x.sums.isEmpty) y
-    else if (y.sums.isEmpty) x
-    else {
-      var i = 0
-      while (i < x.sums.length) { x.sums(i) += y.sums(i); i += 1 }
-      x.n += y.n
-      x
-    }
+    val (dst, src) = if (x.sums.length >= y.sums.length) (x, y) else (y, x)
+    var i = 0
+    while (i < src.sums.length) { dst.sums(i) += src.sums(i); i += 1 }
+    dst.n += src.n
+    dst
   }
 
   override def finish(b: VecBuf): Seq[Double] =

@@ -79,7 +79,8 @@ class TextMmSpec extends AnyFunSuite {
     val videos = media.filter(_.kind == "video").collect().map(m => m.media_id -> m.bytes).toMap
     byId.foreach { case (id, fs) =>
       val joined = fs.sortBy(_.frame_idx).flatMap(_.frame_bytes)
-      assert(videos(id).startsWith(joined.take(videos(id).length)))
+      assert(joined.toSeq == videos(id).toSeq,
+        s"frames must reconstruct the full payload for media $id")
     }
     assert(byId.keySet == videos.keySet)
   }

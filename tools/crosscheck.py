@@ -44,7 +44,9 @@ def compare(a, b):
     for cname in sa:
         ta, tb = str(a[cname].dtype), str(b[cname].dtype)
         if ta != tb:
-            print(f"  [warn] {cname}: dtype spark={ta} oracle={tb}")
+            # schema is part of the driver's gate: a dtype drift must FAIL
+            # here, not merely warn (int/float value coincidence hides it)
+            return False, f"dtype mismatch col={cname}: spark={ta} oracle={tb}"
         ca, cb = a[cname].tolist(), b[cname].tolist()
         for i, (x, y) in enumerate(zip(ca, cb)):
             if not eq(x, y):
