@@ -82,6 +82,22 @@ object StreamingOps {
       .flatMapGroupsWithState(OutputMode.Update, GroupStateTimeout.NoTimeout)(statefulUpdate)
   }
 
+  /** Stream-stream interval join (Flink intervalJoin analog): purchases
+    * joined to clicks of the same user within the preceding 30 minutes.
+    * Both sides carry watermarks so the state store can evict rows once
+    * the interval can no longer match — bounded state at any scale. */
+  def purchaseClickJoin(purchases: DataFrame, clicks: DataFrame): DataFrame = {
+    val p = purchases.select(col("event_id").as("p_id"), col("user_id"),
+      col("ts").as("p_ts")).withWatermark("p_ts", "1 hour")
+    val c = clicks.select(col("event_id").as("c_id"), col("user_id").as("c_user"),
+      col("ts").as("c_ts")).withWatermark("c_ts", "1 hour")
+    p.join(c,
+      col("user_id") === col("c_user") &&
+        col("c_ts") <= col("p_ts") &&
+        col("c_ts") >= col("p_ts") - expr("INTERVAL 30 MINUTES"))
+      .select(col("p_id"), col("user_id"), col("p_ts"), col("c_id"), col("c_ts"))
+  }
+
   /** Stream-static enrichment join (Flink broadcast-state analog). */
   def staticEnrich(ev: DataFrame, customer: DataFrame): DataFrame =
     ev.join(broadcast(customer), col("user_id") === col("c_custkey"))
