@@ -75,6 +75,41 @@ object StreamingOps {
     Iterator.single(UserAgg(key, n, last, cents / 100.0))
   }
 
+  case class SessionOut(user_id: Long, n_events: Long, last_ts: java.sql.Timestamp)
+
+  /** Flink timer analog: per-user sessions closed by an EVENT-TIME
+    * timeout. While events arrive the state accumulates silently and the
+    * timer is pushed to last_ts + 30 min; when the watermark passes the
+    * timer, the closed session is emitted exactly once and state is
+    * freed — the timeout IS the state-eviction mechanism at scale. */
+  def timedSessionUpdate(key: Long, events: Iterator[Ev],
+      state: GroupState[UserState]): Iterator[SessionOut] = {
+    if (state.hasTimedOut) {
+      val st = state.get
+      state.remove()
+      Iterator.single(SessionOut(key, st.n, st.lastTs))
+    } else {
+      val init = state.getOption.getOrElse(UserState(0L, null, 0L))
+      var n = init.n
+      var last = init.lastTs
+      events.foreach { e =>
+        n += 1
+        if (last == null || e.ts.compareTo(last) > 0) last = e.ts
+      }
+      state.update(UserState(n, last, 0L))
+      state.setTimeoutTimestamp(last.getTime + 30L * 60L * 1000L)
+      Iterator.empty
+    }
+  }
+
+  def timedSessions(s: SparkSession, ev: DataFrame): Dataset[SessionOut] = {
+    import s.implicits._
+    ev.select(col("event_id"), col("user_id"), col("ts"), col("value")).as[Ev]
+      .withWatermark("ts", "10 minutes")
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.EventTimeTimeout)(timedSessionUpdate)
+  }
+
   def statefulSnapshot(s: SparkSession, ev: DataFrame): Dataset[UserAgg] = {
     import s.implicits._
     ev.select(col("event_id"), col("user_id"), col("ts"), col("value")).as[Ev]

@@ -63,6 +63,26 @@ class StreamingSourcesSpec extends AnyFunSuite {
     assert(n(1L) == 3L, s"replayed event must be deduped: $n")
   }
 
+  test("event-time timers close sessions when the watermark passes the timeout") {
+    val s = spark
+    import s.implicits._
+    implicit val sq = s.sqlContext
+    def ts(h: Int, m: Int) = Timestamp.valueOf(f"2024-01-01 $h%02d:$m%02d:00")
+    val ms = MemoryStream[E]
+    val q = StreamingOps.timedSessions(s, ms.toDF())
+      .writeStream.outputMode(OutputMode.Append)
+      .format("memory").queryName("timers").start()
+    // batch 1: user 1 session; timer set to 01:05 + 30 min = 01:35
+    ms.addData(E(1, 1, ts(1, 0), "click", 0), E(2, 1, ts(1, 5), "click", 0))
+    q.processAllAvailable()
+    assert(s.table("timers").count() == 0, "session must stay open before timeout")
+    // batch 2: unrelated user far ahead -> watermark 02:50 > 01:35 fires the timer
+    ms.addData(E(3, 2, ts(3, 0), "click", 0))
+    q.processAllAvailable(); q.stop()
+    val closed = s.table("timers").collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(closed.get(1L).contains(2L), s"user 1 session must close with 2 events: $closed")
+  }
+
   test("stateful query runs on the RocksDB state store provider") {
     val s = spark
     import s.implicits._
