@@ -23,10 +23,17 @@ object Bench {
       System.err.println(f"[bench] $name: $sec%.2f s")
       name -> sec
     }.toMap
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+    def f3(v: Double): String =
+      String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
+    val qs = results.toSeq.sortBy(_._1)
+      .map { case (k, v) => "\"" + k + "\":" + (if (v < 0) "-1" else f3(v)) }
       .mkString("{", ",", "}")
+    val failed = results.collect { case (k, v) if v < 0 => "\"" + k + "\"" }.toSeq.sorted
     val total = results.values.filter(_ >= 0).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    // Key order matters: the driver keeps only the TAIL of the run output,
+    // so the headline fields (metric/value) go LAST — a front-truncated
+    // line still shows them, and values are 3dp to keep the line short.
+    println(s"""{"queries":$qs,"n_failed":${failed.size},"failed":[${failed.mkString(",")}],"sf":"$sfDir","metric":"total","unit":"sec","value":${f3(total)}}""")
     spark.stop()
   }
 }

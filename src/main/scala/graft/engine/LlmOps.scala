@@ -84,7 +84,14 @@ object LlmOps {
       d.select(col("doc_id"), col("lang"), explode(col("toks")).as("tok"))
         .join(broadcast(vids), col("tok") === col("vtok"))
         .groupBy(col("doc_id"), col("lang"))
-        .agg(bit_or(expr("shiftleft(1L, vid)")).as("mask"), count(lit(1)).as("nt"))
+        // Fail LOUDLY if the memoized vocab<=64 probe went stale (data
+        // changed under dir in-session): a vid>=64 would silently wrap
+        // shiftleft mod 64 and corrupt every downstream set operation.
+        .agg(bit_or(expr(
+          """case when vid < 64 then shiftleft(1L, vid)
+             else cast(raise_error(concat('graft: vocab grew past 64 bits mid-session, vid=',
+                                          cast(vid as string))) as bigint) end"""))
+          .as("mask"), count(lit(1)).as("nt"))
     }
   }
 

@@ -77,11 +77,20 @@ object StreamingOps {
 
   case class SessionOut(user_id: Long, n_events: Long, last_ts: java.sql.Timestamp)
 
+  /** Session gap (ms) for the event-time-timer sessionization. */
+  val SessionGapMs: Long = 30L * 60L * 1000L
+
   /** Flink timer analog: per-user sessions closed by an EVENT-TIME
     * timeout. While events arrive the state accumulates silently and the
     * timer is pushed to last_ts + 30 min; when the watermark passes the
     * timer, the closed session is emitted exactly once and state is
-    * freed — the timeout IS the state-eviction mechanism at scale. */
+    * freed — the timeout IS the state-eviction mechanism at scale.
+    *
+    * Events WITHIN one invocation are sorted by event time and split at
+    * intra-batch gaps > 30 min, so session boundaries do not depend on
+    * where the micro-batch cuts fell — a fat batch and an
+    * event-at-a-time stream produce the same sessions (only the final
+    * still-open session awaits its timer). */
   def timedSessionUpdate(key: Long, events: Iterator[Ev],
       state: GroupState[UserState]): Iterator[SessionOut] = {
     if (state.hasTimedOut) {
@@ -92,13 +101,18 @@ object StreamingOps {
       val init = state.getOption.getOrElse(UserState(0L, null, 0L))
       var n = init.n
       var last = init.lastTs
-      events.foreach { e =>
+      val closed = scala.collection.mutable.ArrayBuffer.empty[SessionOut]
+      events.toArray.sortBy(_.ts.getTime).foreach { e =>
+        if (last != null && e.ts.getTime - last.getTime > SessionGapMs) {
+          closed += SessionOut(key, n, last)
+          n = 0L
+        }
         n += 1
         if (last == null || e.ts.compareTo(last) > 0) last = e.ts
       }
       state.update(UserState(n, last, 0L))
-      state.setTimeoutTimestamp(last.getTime + 30L * 60L * 1000L)
-      Iterator.empty
+      state.setTimeoutTimestamp(last.getTime + SessionGapMs)
+      closed.iterator
     }
   }
 

@@ -97,8 +97,12 @@ object TextOps {
     val d = Tables.documents(s, dir)
       .filter(col("doc_id") % 10 === 0)
       .select(col("doc_id"), col("lang"),
+        // Guard length<3: Spark's sequence(1, -1) would DESCEND and emit
+        // spurious substrings while the oracle's range(1, len-1) is empty.
         array_distinct(expr(
-          "transform(sequence(1, length(text)-2), i -> substring(text, i, 3))")).as("g3"))
+          """case when length(text) >= 3
+               then transform(sequence(1, length(text)-2), i -> substring(text, i, 3))
+               else cast(array() as array<string>) end""")).as("g3"))
     val a = d.select(col("lang"), col("doc_id").as("doc_a"), col("g3").as("ga"))
     val b = d.select(col("lang").as("lang_b"), col("doc_id").as("doc_b"), col("g3").as("gb"))
     a.join(b, col("lang") === col("lang_b") && col("doc_a") < col("doc_b"))

@@ -17,9 +17,14 @@ def main(sf_dir, out_dir):
     n_pass = n_fail = 0
     for name in sorted(oracle):
         sql = oracle[name]
-        res_glob = glob.glob(os.path.join(out_dir, name, "*.parquet"))
+        res_glob = sorted(glob.glob(os.path.join(out_dir, name, "*.parquet")))
         if not res_glob:
             print(f"FAIL {name}: no spark result parquet"); n_fail += 1; continue
+        if len(res_glob) != 1:
+            # Verify writes coalesce(1); >1 part would make the ordered
+            # row-by-row compare depend on file order — fail explicitly.
+            print(f"FAIL {name}: expected 1 parquet part, got {len(res_glob)}")
+            n_fail += 1; continue
         try:
             spark_df = con.execute(
                 f"SELECT * FROM read_parquet({res_glob!r})").fetchdf()
