@@ -21,9 +21,9 @@ object SparkEntry {
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted for non-SQL-expressible ops
-    * (q_agg_approx_distinct: per-engine HLL sketches; q_graph_pagerank:
-    * iterative float; q_gnn_layer: 64×64 matmul; q_llm_minhash_lsh:
-    * hash-family specific — all self-checked in the test suite). */
+    * (q_agg_approx_distinct: per-engine HLL sketches; q_llm_minhash_lsh /
+    * q_llm_simhash: xxhash64-family specific — all self-checked in the
+    * test suite). */
   def oracleSql: Map[String, String] =
     Oracle.all
 }

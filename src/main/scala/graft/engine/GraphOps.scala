@@ -1,9 +1,7 @@
 package graft.engine
 
-import org.apache.spark.graphx.{Edge, Graph}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.storage.StorageLevel
 
 /** Graph operators over the co-purchase graph (SURVEY.md §2.10) — the GNN
   * substrate the reference declares (`/root/reference/README.md:1-2`
@@ -68,9 +66,13 @@ object GraphOps {
       .limit(20)
 
   /** Triangle count on the thresholded part–part projection via 3-way
-    * self-join on oriented edges (a<b<c counts each triangle once). */
+    * self-join on oriented edges (a<b<c counts each triangle once).
+    * The projection is localCheckpoint'ed: all three join legs read the
+    * SAME materialized pair set instead of re-running the 12M-row
+    * co-occurrence aggregation three times (the round-1 plan did). */
   def q_graph_triangles(s: SparkSession, dir: String): DataFrame = {
     val pp = partPairs(s, dir, TriangleMinCooccur).select(col("a"), col("b"))
+      .localCheckpoint()
     val p1 = pp.select(col("a").as("x"), col("b").as("y"))
     val p2 = pp.select(col("a").as("y2"), col("b").as("z2"))
     val p3 = pp.select(col("a").as("x3"), col("b").as("z3"))
@@ -86,17 +88,23 @@ object GraphOps {
   def q_graph_cc(s: SparkSession, dir: String): DataFrame = {
     val pp = partPairs(s, dir, CcMinCooccur).select(col("a"), col("b"))
     val und = pp.union(pp.select(col("b").as("a"), col("a").as("b")))
-      .persist(StorageLevel.MEMORY_AND_DISK)
-    var labels = Tables.part(s, dir)
-      .select(col("p_partkey").as("node"), col("p_partkey").as("lbl"))
       .localCheckpoint()
+    // Iterate ONLY over nodes that have at least one edge: isolated parts
+    // never change label, so they are folded back in as singleton
+    // components at the end. This shrinks every per-iteration join from
+    // |V| rows to |V_connected| (the thresholded projection is sparse).
+    var labels = und.select(col("a").as("node")).distinct()
+      .select(col("node"), col("node").as("lbl"))
+      .localCheckpoint()
+    var prevSum = labels.agg(sum(col("lbl"))).collect()(0).getLong(0)
     var converged = false
     while (!converged) {
-      // no broadcast hint: the label table is |V|-sized, and forcing it
-      // to the driver every iteration would contradict the no-driver-
-      // state scaling story — AQE picks broadcast when it actually fits.
+      // explicit broadcast: the label table is checkpointed each round, so
+      // AQE has no size stats and would sort-merge-join the edge list every
+      // iteration. When |V_connected| outgrows broadcast, drop the hints
+      // and pre-hash-partition edges + labels on the join keys instead.
       val nbrMin = und
-        .join(labels.select(col("node").as("bn"), col("lbl").as("blbl")),
+        .join(broadcast(labels.select(col("node").as("bn"), col("lbl").as("blbl"))),
           col("b") === col("bn"))
         .groupBy(col("a"))
         .agg(min(col("blbl")).as("nbr_min"))
@@ -106,38 +114,76 @@ object GraphOps {
       // pointer jumping (lbl := lbl(lbl)): long chains converge in
       // O(log diameter) rounds instead of O(diameter).
       val next = stepped.alias("s")
-        .join(stepped.select(col("node").as("jn"), col("lbl").as("jl")), col("s.lbl") === col("jn"))
+        .join(broadcast(stepped.select(col("node").as("jn"), col("lbl").as("jl"))),
+          col("s.lbl") === col("jn"))
         .select(col("s.node").as("node"), least(col("s.lbl"), col("jl")).as("lbl"))
         .localCheckpoint()
-      val changes = next.select(col("node"), col("lbl").as("new_lbl"))
-        .join(labels, "node")
-        .filter(col("new_lbl") =!= col("lbl"))
-        .count()
+      // Labels are monotone non-increasing, so the iteration is at its
+      // fixpoint exactly when sum(lbl) stops decreasing — one cheap scan
+      // of the just-checkpointed result instead of a change-count join.
+      val curSum = next.agg(sum(col("lbl"))).collect()(0).getLong(0)
       labels = next
-      converged = changes == 0L
+      converged = curSum == prevSum
+      prevSum = curSum
     }
-    und.unpersist()
-    labels.groupBy(col("lbl"))
+    val connHist = labels.groupBy(col("lbl"))
       .agg(count(lit(1)).as("csize"))
       .groupBy(col("csize").as("size"))
       .agg(count(lit(1)).as("n_components"))
+    val singletons = Tables.part(s, dir).select(col("p_partkey").as("node"))
+      .join(labels.select("node"), Seq("node"), "left_anti")
+      .agg(count(lit(1)).as("n_components"))
+      .select(lit(1L).as("size"), col("n_components"))
+    connHist.union(singletons)
+      .groupBy(col("size"))
+      .agg(sum(col("n_components")).as("n_components"))
+      .filter(col("n_components") > 0)
       .orderBy("size")
   }
 
-  /** PageRank (10 iterations, reset 0.15) over the bipartite co-purchase
-    * graph via GraphX Pregel; top-20 parts. No oracle (iterative float) —
-    * invariant-checked in the test suite. Vertex ids: customer→2k,
-    * part→2k+1 (key spaces overlap). */
+  /** PageRank (10 power iterations, reset 0.15, r₀=1) over the
+    * UNDIRECTED co-purchase graph as declarative relational algebra:
+    * each iteration is one join + keyed aggregation — a Pregel superstep
+    * expressed as a shuffle, with no driver-side state (the round-1
+    * GraphX mirror lives on in the test suite as an independent check).
+    * Undirected means no dangling mass: Σr is conserved at exactly
+    * |V_connected| every step. Deterministic (rounded ranks + id
+    * tie-break) and oracle-checked against a 10-step unrolled CTE chain
+    * in DuckDB. Vertex ids: customer→2k, part→2k+1 (key spaces
+    * overlap). */
   def q_graph_pagerank(s: SparkSession, dir: String): DataFrame = {
-    val er = edges(s, dir).rdd.map { r =>
-      Edge(2L * r.getLong(0), 2L * r.getLong(1) + 1L, 1.0)
+    val e = edges(s, dir)
+      .select((col("src") * 2).as("src"), (col("dst") * 2 + 1).as("dst"))
+    val und = e.union(e.select(col("dst").as("src"), col("src").as("dst")))
+    val deg = und.groupBy(col("src").as("node")).agg(count(lit(1)).as("d"))
+    // Edge list with source out-degree attached, materialized ONCE and
+    // reused by all 10 iterations (lineage truncation keeps each step's
+    // plan constant-size instead of growing by one join per iteration).
+    val undW = und.join(deg, col("src") === col("node"))
+      .select(col("src"), col("dst"), col("d"))
+      .localCheckpoint()
+    var ranks = deg.select(col("node"), lit(1.0).as("r"))
+    for (it <- 1 to 10) {
+      ranks = undW
+        // explicit broadcast: the rank table is |V|-sized; chaining the 10
+        // steps through broadcast exchanges makes the whole computation
+        // ONE job (each exchange materializes the previous step's 35k-row
+        // rank table) instead of a checkpoint + scheduler round-trip per
+        // step. At a scale where |V| outgrows broadcast, checkpoint each
+        // step and pre-hash-partition undW + ranks on the join key
+        // (exchange-free SMJ) instead.
+        .join(broadcast(ranks.select(col("node").as("rn"), col("r"))),
+          col("src") === col("rn"))
+        .groupBy(col("dst"))
+        .agg((lit(0.15) + lit(0.85) * sum(col("r") / col("d"))).as("r"))
+        .select(col("dst").as("node"), col("r"))
+      // checkpoint every 2nd step: bounds plan depth (planning + codegen
+      // cost of a 10-deep broadcast chain is worse than 5 short jobs)
+      // without paying a scheduler round-trip for every single step.
+      if (it % 2 == 0) ranks = ranks.localCheckpoint()
     }
-    val ranks = Graph.fromEdges(er, 0.0).staticPageRank(10, 0.15).vertices
-      .filter { case (vid, _) => vid % 2L == 1L }
-      .map { case (vid, rank) => ((vid - 1L) / 2L, rank) }
-    import s.implicits._
-    ranks.toDF("part_key", "rank_raw")
-      .select(col("part_key"), round(col("rank_raw"), 6).as("rank"))
+    ranks.filter(col("node") % 2 === 1)
+      .select(expr("(node - 1) div 2").as("part_key"), round(col("r"), 6).as("rank"))
       .orderBy(col("rank").desc, col("part_key").asc)
       .limit(20)
   }

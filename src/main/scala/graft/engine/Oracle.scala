@@ -369,6 +369,28 @@ object Oracle {
          |FROM pp p1 JOIN pp p2 ON p1.b = p2.a
          |           JOIN pp p3 ON p3.a = p1.a AND p3.b = p2.b""".stripMargin,
 
+    // 10 power-iteration steps unrolled as a CTE chain (recursive CTEs
+    // can't carry aggregation in DuckDB); same formula as the Spark loop:
+    // r_{t+1}(v) = 0.15 + 0.85 * Σ_{u∈N(v)} r_t(u)/deg(u), r_0 = 1.
+    "q_graph_pagerank" -> {
+      val steps = (1 to 10).map { i =>
+        s"""r$i AS (SELECT u.dst AS node,
+           |  CAST(0.15 AS DOUBLE) + CAST(0.85 AS DOUBLE) * SUM(p.r / dg.d) AS r
+           |  FROM u JOIN r${i - 1} p ON u.src = p.node
+           |         JOIN deg dg ON u.src = dg.node
+           |  GROUP BY u.dst)""".stripMargin
+      }.mkString(",\n")
+      s"""WITH $edgesCte,
+         |e2 AS (SELECT src * 2 AS src, dst * 2 + 1 AS dst FROM edges),
+         |u AS (SELECT src, dst FROM e2 UNION ALL SELECT dst AS src, src AS dst FROM e2),
+         |deg AS (SELECT src AS node, COUNT(*) AS d FROM u GROUP BY 1),
+         |r0 AS (SELECT node, CAST(1.0 AS DOUBLE) AS r FROM deg),
+         |$steps
+         |SELECT (node - 1) // 2 AS part_key, ROUND(r, 6) AS rank
+         |FROM r10 WHERE node % 2 = 1
+         |ORDER BY rank DESC, part_key ASC LIMIT 20""".stripMargin
+    },
+
     // Reachability closure + min-label per node == connected components;
     // tractable because the >=K projection fragments into small comps.
     "q_graph_cc" ->

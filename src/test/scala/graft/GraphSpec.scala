@@ -54,22 +54,37 @@ class GraphSpec extends AnyFunSuite {
     assert(gx.toLong == df)
   }
 
-  test("pagerank invariants: positive ranks, mass ~= vertex count, top-20 stable") {
+  test("pagerank equals a driver-side power iteration (independent mirror)") {
     val s = spark
+    // In-memory reference implementation of the same recurrence:
+    // r_{t+1}(v) = 0.15 + 0.85 * Σ_{u∈N(v)} r_t(u)/deg(u), r_0 = 1,
+    // over the undirected doubled-id graph — zero shared code with the
+    // relational loop under test.
+    val es = GraphOps.edges(s, sf0001).collect()
+      .map(r => (2L * r.getLong(0), 2L * r.getLong(1) + 1L))
+    val und = es ++ es.map { case (a, b) => (b, a) }
+    val deg = und.groupBy(_._1).map { case (n, xs) => n -> xs.length }
+    var r = deg.map { case (n, _) => n -> 1.0 }
+    for (_ <- 1 to 10) {
+      val acc = scala.collection.mutable.Map.empty[Long, Double].withDefaultValue(0.0)
+      und.foreach { case (u, v) => acc(v) += r(u) / deg(u) }
+      r = deg.map { case (n, _) => n -> (0.15 + 0.85 * acc(n)) }
+    }
+    // undirected graph has no dangling mass: Σr == |V_connected| exactly
+    val mass = r.values.sum
+    assert(math.abs(mass - deg.size) < 1e-6, s"rank mass $mass vs ${deg.size}")
+    val expected = r.toSeq.collect { case (n, rk) if n % 2 == 1 => ((n - 1) / 2, rk) }
+      .sortBy { case (pk, rk) => (-rk, pk) }.take(20)
     val top = GraphOps.q_graph_pagerank(s, sf0001).collect()
+      .map(row => (row.getLong(0), row.getDouble(1)))
     assert(top.length == 20)
-    assert(top.forall(_.getDouble(1) > 0.0))
-    // rank mass: staticPageRank preserves sum(rank) == n vertices (±5%)
-    val er = GraphOps.edges(s, sf0001).rdd
-      .map(r => Edge(2L * r.getLong(0), 2L * r.getLong(1) + 1L, 1.0))
-    val g = Graph.fromEdges(er, 0.0)
-    val n = g.numVertices.toDouble
-    val mass = g.staticPageRank(10, 0.15).vertices.map(_._2).sum()
-    assert(math.abs(mass - n) / n < 0.05, s"rank mass $mass vs $n vertices")
+    top.zip(expected).foreach { case ((pk, rk), (epk, erk)) =>
+      assert(pk == epk && math.abs(rk - erk) < 1e-5, s"($pk,$rk) vs ($epk,$erk)")
+    }
     // deterministic across runs
     val top2 = GraphOps.q_graph_pagerank(s, sf0001).collect()
-    assert(top.toSeq.map(r => (r.getLong(0), r.getDouble(1))) ==
-      top2.toSeq.map(r => (r.getLong(0), r.getDouble(1))))
+      .map(row => (row.getLong(0), row.getDouble(1)))
+    assert(top.toSeq == top2.toSeq)
   }
 
   test("degree sum equals edge count (bipartite handshake)") {
