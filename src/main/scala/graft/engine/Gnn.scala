@@ -53,9 +53,9 @@ object Gnn {
 
   def q_gnn_layer(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    meanVec(s, dir).as[(Long, Seq[Double])]
+    meanVec(s, dir).as[(Long, Array[Double])]
       .map { case (ck, m) =>
-        val h = forward(m.toArray)
+        val h = forward(m)
         (ck, h(0), h(1), h(2), h(3))
       }
       .toDF("custkey", "h1_raw", "h2_raw", "h3_raw", "h4_raw")
@@ -74,14 +74,14 @@ object Gnn {
     import s.implicits._
     // layer 1: full 64-dim customer representations
     val h1 = meanVec(s, dir)
-      .as[(Long, Seq[Double])]
-      .map { case (ck, m) => (ck, forward(m.toArray).toSeq) }
+      .as[(Long, Array[Double])]
+      .map { case (ck, m) => (ck, forward(m)) }
       .toDF("cust", "h1")
     // layer 2: aggregate customer representations per part, second dense pass
     val edges = GraphOps.edges(s, dir)
     edges.join(h1, col("src") === col("cust"))
       .select(col("dst"), col("h1"))
-      .as[(Long, Seq[Double])]
+      .as[(Long, Array[Double])]
       .groupByKey(_._1)
       .mapGroups { (part, rows) =>
         val sums = new Array[Double](Dim)

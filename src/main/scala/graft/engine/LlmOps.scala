@@ -156,10 +156,14 @@ object LlmOps {
     val numBands = 4
     val rowsPerBand = 2
     val d = tokenSets(s, dir).filter(size(col("toks")) > 0)
-    val sig = d.withColumn("sig",
-      array((0 until numBands * rowsPerBand).map { j =>
-        array_min(transform(col("toks"), t => xxhash64(lit(j), t)))
-      }: _*))
+    // One-pass native signature (graft.functions.MinHashSig): identical
+    // values to array_min(transform(toks, t -> xxhash64(lit(j), t))) per
+    // j, without 8 interpreted lambda passes over every token array.
+    s.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_minhash_sig",
+      exprs => graft.functions.MinHashSig(exprs.head, numBands * rowsPerBand),
+      "built-in")
+    val sig = d.withColumn("sig", call_function("graft_minhash_sig", col("toks")))
     // Slim bucket join: only (lang, band, hash, doc_id) rows cross the
     // shuffle; token arrays are joined back AFTER candidate dedup so each
     // candidate pair materializes its sets exactly once.
