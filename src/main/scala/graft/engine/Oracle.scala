@@ -636,5 +636,74 @@ object Oracle {
         |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin
   )
 
-  val all: Map[String, String] = relational ++ streaming ++ graph ++ llm ++ extended
+  /** §2.12 — training-data pipeline ops (PipelineOps.scala). */
+  val pipeline: Map[String, String] = Map(
+    "q_llm_pack_sequences" ->
+      s"""WITH t AS (SELECT lang, doc_id,
+         |  CAST(len(string_split(text, ' ')) AS BIGINT) AS nt FROM documents),
+         |c AS (SELECT lang, nt,
+         |  COALESCE(SUM(nt) OVER (PARTITION BY lang ORDER BY doc_id
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum_before
+         |  FROM t)
+         |SELECT lang, CAST(cum_before AS BIGINT) // ${PipelineOps.PackLen} AS pack_id,
+         |  COUNT(*) AS n_docs, CAST(SUM(nt) AS BIGINT) AS pack_tokens
+         |FROM c GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    "q_llm_contamination" ->
+      """WITH d AS (SELECT doc_id, lang, string_split(text, ' ') AS toks FROM documents),
+        |traing AS (SELECT DISTINCT lang, array_to_string(toks[i:i+7], ' ') AS g
+        |  FROM d, UNNEST(range(1, len(toks) - 6)) AS u(i) WHERE doc_id % 10 <> 0),
+        |testg AS (SELECT DISTINCT doc_id, lang, array_to_string(toks[i:i+7], ' ') AS g
+        |  FROM d, UNNEST(range(1, len(toks) - 6)) AS u(i) WHERE doc_id % 10 = 0),
+        |contam AS (SELECT lang, COUNT(*) AS c FROM (
+        |  SELECT DISTINCT t.lang, t.doc_id FROM testg t
+        |  JOIN traing tr ON t.lang = tr.lang AND t.g = tr.g) GROUP BY 1),
+        |base AS (SELECT lang, COUNT(*) AS n_test FROM d WHERE doc_id % 10 = 0 GROUP BY 1)
+        |SELECT base.lang, n_test, COALESCE(c, 0) AS n_contam
+        |FROM base LEFT JOIN contam ON base.lang = contam.lang ORDER BY 1""".stripMargin,
+
+    "q_llm_pii_redact" ->
+      s"""WITH h AS (SELECT lang,
+         |  len(regexp_extract_all(text, '${PipelineOps.PiiPattern}')) AS hits,
+         |  length(regexp_replace(text, '${PipelineOps.PiiPattern}', '<PII>', 'g')) AS red_len
+         |  FROM documents)
+         |SELECT lang, COUNT(*) AS n_docs,
+         |  CAST(SUM(CASE WHEN hits > 0 THEN 1 ELSE 0 END) AS BIGINT) AS docs_with_hits,
+         |  CAST(SUM(hits) AS BIGINT) AS total_hits,
+         |  CAST(SUM(red_len) AS BIGINT) AS sum_redacted_chars
+         |FROM h GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q_llm_sample_stratified" ->
+      """WITH t AS (SELECT lang, source,
+        |  CAST(len(string_split(text, ' ')) AS BIGINT) AS nt,
+        |  ROW_NUMBER() OVER (PARTITION BY lang, source ORDER BY doc_id) AS rn
+        |  FROM documents)
+        |SELECT lang, source, COUNT(*) AS n_total,
+        |  CAST(SUM(CASE WHEN rn % 10 = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_sampled,
+        |  CAST(SUM(CASE WHEN rn % 10 = 1 THEN nt ELSE 0 END) AS BIGINT) AS sampled_tokens
+        |FROM t GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    "q_text_normalize" ->
+      """WITH h AS (SELECT lang, md5(text) AS hraw,
+        |  md5(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g'),
+        |      ' +', ' ', 'g'))) AS hnorm
+        |  FROM documents)
+        |SELECT lang, COUNT(*) AS n_docs,
+        |  COUNT(DISTINCT hraw) AS n_distinct_raw,
+        |  COUNT(DISTINCT hnorm) AS n_distinct_norm
+        |FROM h GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q_llm_domain_mix" ->
+      """WITH p AS (SELECT lang,
+        |  CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS n_tokens
+        |  FROM documents GROUP BY 1),
+        |tot AS (SELECT CAST(SUM(n_tokens) AS BIGINT) AS total FROM p)
+        |SELECT lang, n_tokens,
+        |  ROUND(n_tokens / total, 6) AS share,
+        |  ROUND(0.2 * total / n_tokens, 6) AS weight
+        |FROM p CROSS JOIN tot ORDER BY 1""".stripMargin
+  )
+
+  val all: Map[String, String] =
+    relational ++ streaming ++ graph ++ llm ++ extended ++ pipeline
 }
