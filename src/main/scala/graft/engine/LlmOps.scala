@@ -187,6 +187,45 @@ object LlmOps {
       .orderBy("lang", "doc_a", "doc_b")
   }
 
+  /** Cross-engine-verifiable MinHash LSH on the deterministic 10% sample
+    * (doc_id % 10 = 0): the SAME banding scheme as q_llm_minhash_lsh but
+    * with an md5-derived hash family (first 15 hex chars = 60 bits,
+    * decoded with conv/CAST) that DuckDB reproduces bit-for-bit — so the
+    * entire LSH pipeline (signatures → band buckets → candidate dedup →
+    * exact verify) is oracle-checked end-to-end rather than self-tested.
+    * The xxhash64 variant stays the full-corpus fast path; this one is
+    * the auditable sample pass a data-quality job runs. */
+  def q_llm_minhash_md5(s: SparkSession, dir: String): DataFrame = {
+    val numBands = 4
+    val rowsPerBand = 2
+    val d = tokenSets(s, dir)
+      .filter(col("doc_id") % 10 === 0 && size(col("toks")) > 0)
+    val sig = d.withColumn("sig",
+      array((0 until numBands * rowsPerBand).map { j =>
+        array_min(transform(col("toks"), t =>
+          conv(substring(md5(concat(lit(s"$j:"), t).cast("binary")), 1, 15), 16, 10)
+            .cast("long")))
+      }: _*))
+    val banded = sig.select(col("lang"), col("doc_id"),
+      posexplode(array((0 until numBands).map { b =>
+        concat_ws("_",
+          element_at(col("sig"), b * rowsPerBand + 1),
+          element_at(col("sig"), b * rowsPerBand + 2))
+      }: _*)).as(Seq("band_id", "band_val")))
+    val a = banded.select(col("lang"), col("band_id"), col("band_val"),
+      col("doc_id").as("doc_a"))
+    val b = banded.select(col("lang").as("lang_b"), col("band_id").as("bid_b"),
+      col("band_val").as("bv_b"), col("doc_id").as("doc_b"))
+    val pairs = a.join(b, col("lang") === col("lang_b") && col("band_id") === col("bid_b") &&
+        col("band_val") === col("bv_b") && col("doc_a") < col("doc_b"))
+      .select(col("lang"), col("doc_a"), col("doc_b"))
+      .distinct()
+    jaccardVerify(s, dir, pairs)
+      .filter(col("jac") >= 0.5)
+      .select(col("lang"), col("doc_a"), col("doc_b"), round(col("jac"), 6).as("jaccard"))
+      .orderBy("lang", "doc_a", "doc_b")
+  }
+
   /** SimHash near-dup detection (Charikar 2002): 64-bit signature from
     * per-token xxhash64 bit votes, 4×16-bit band join for candidates,
     * exact Hamming verify (bit_count(xor) ≤ 12). One linear signature
@@ -201,6 +240,46 @@ object LlmOps {
     val banded = sig.select(col("lang"), col("doc_id"),
       posexplode(array((0 until 4).map { b =>
         expr(s"shiftright(simhash, ${16 * b}) & 65535")
+      }: _*)).as(Seq("band_id", "band_val")))
+    val a = banded.select(col("lang"), col("band_id"), col("band_val"),
+      col("doc_id").as("doc_a"))
+    val b = banded.select(col("lang").as("lb"), col("band_id").as("bb"),
+      col("band_val").as("vb"), col("doc_id").as("doc_b"))
+    val pairs = a.join(b, col("lang") === col("lb") && col("band_id") === col("bb") &&
+        col("band_val") === col("vb") && col("doc_a") < col("doc_b"))
+      .select(col("lang"), col("doc_a"), col("doc_b"))
+      .distinct()
+    pairs
+      .join(sig.select(col("doc_id").as("ia"), col("simhash").as("ha")), col("doc_a") === col("ia"))
+      .join(sig.select(col("doc_id").as("ib"), col("simhash").as("hb")), col("doc_b") === col("ib"))
+      .withColumn("hamming", expr("bit_count(ha ^ hb)").cast("int"))
+      .filter(col("hamming") <= 12)
+      .select(col("lang"), col("doc_a"), col("doc_b"), col("hamming"))
+      .orderBy("lang", "doc_a", "doc_b")
+  }
+
+  /** Cross-engine-verifiable SimHash on the deterministic 10% sample:
+    * 60-bit signature (md5-derived per-token hash — 15 hex chars decode
+    * to a bigint in both engines), bit votes and signature assembly as
+    * plain relational aggregation (60 conditional sums + a shift-sum),
+    * 4×15-bit band join, Hamming ≤ 12 verify via bit_count(xor).
+    * Everything is oracle-checked; the xxhash64 SimHash64-expression
+    * variant stays the full-corpus fast path. */
+  def q_llm_simhash_md5(s: SparkSession, dir: String): DataFrame = {
+    val d = tokenSets(s, dir).filter(col("doc_id") % 10 === 0 && size(col("toks")) > 0)
+    val tok = d.select(col("doc_id"), col("lang"), explode(col("toks")).as("tok"))
+      .withColumn("h",
+        conv(substring(md5(col("tok").cast("binary")), 1, 15), 16, 10).cast("long"))
+    val votes = (0 until 60).map(b =>
+      sum(when(expr(s"shiftright(h, $b) & 1") === 1, 1).otherwise(-1)).as(s"v$b"))
+    val sigExpr = (0 until 60)
+      .map(b => s"(CASE WHEN v$b > 0 THEN ${1L << b}L ELSE 0L END)").mkString(" + ")
+    val sig = tok.groupBy(col("doc_id"), col("lang"))
+      .agg(votes.head, votes.tail: _*)
+      .select(col("doc_id"), col("lang"), expr(sigExpr).as("simhash"))
+    val banded = sig.select(col("lang"), col("doc_id"),
+      posexplode(array((0 until 4).map { b =>
+        expr(s"shiftright(simhash, ${15 * b}) & 32767")
       }: _*)).as(Seq("band_id", "band_val")))
     val a = banded.select(col("lang"), col("band_id"), col("band_val"),
       col("doc_id").as("doc_a"))
@@ -336,7 +415,9 @@ object LlmOps {
     "q_llm_dedup_exact" -> q_llm_dedup_exact _,
     "q_llm_jaccard_pairs" -> q_llm_jaccard_pairs _,
     "q_llm_minhash_lsh" -> q_llm_minhash_lsh _,
+    "q_llm_minhash_md5" -> q_llm_minhash_md5 _,
     "q_llm_simhash" -> q_llm_simhash _,
+    "q_llm_simhash_md5" -> q_llm_simhash_md5 _,
     "q_llm_embed_neardup" -> q_llm_embed_neardup _,
     "q_llm_ann_ivf" -> q_llm_ann_ivf _,
     "q_llm_cosine_topk" -> q_llm_cosine_topk _,

@@ -462,6 +462,67 @@ object Oracle {
         |SELECT lang, doc_a, doc_b, ROUND(jac, 6) AS jaccard
         |FROM p WHERE jac >= 0.5 ORDER BY lang, doc_a, doc_b""".stripMargin,
 
+    // Full LSH pipeline with the md5-derived 60-bit hash family —
+    // signatures, band buckets, candidate dedup, and exact verify all
+    // reproduced in SQL (CAST('0x'||hex AS BIGINT) == Spark's
+    // conv(hex,16,10)::long for 15 hex chars).
+    "q_llm_minhash_md5" -> {
+      def mh(j: Int): String =
+        s"MIN(CAST('0x' || substr(md5('$j:' || tok), 1, 15) AS BIGINT)) AS s$j"
+      val sigs = (0 until 8).map(mh).mkString(", ")
+      val bands = (0 until 4).map { b =>
+        s"""SELECT doc_id, lang, $b AS band_id,
+           |  CAST(s${2 * b} AS VARCHAR) || '_' || CAST(s${2 * b + 1} AS VARCHAR) AS bv
+           |FROM sig""".stripMargin
+      }.mkString("\nUNION ALL\n")
+      s"""WITH d AS (SELECT doc_id, lang, list_distinct(string_split(text, ' ')) AS toks
+         |           FROM documents WHERE doc_id % 10 = 0
+         |             AND len(list_distinct(string_split(text, ' '))) > 0),
+         |tok AS (SELECT doc_id, lang, unnest(toks) AS tok FROM d),
+         |sig AS (SELECT doc_id, lang, $sigs FROM tok GROUP BY 1, 2),
+         |banded AS ($bands),
+         |pairs AS (SELECT DISTINCT a.lang, a.doc_id AS doc_a, b.doc_id AS doc_b
+         |  FROM banded a JOIN banded b ON a.lang = b.lang AND a.band_id = b.band_id
+         |    AND a.bv = b.bv AND a.doc_id < b.doc_id),
+         |v AS (SELECT p.lang, p.doc_a, p.doc_b,
+         |  CAST(len(list_intersect(da.toks, db.toks)) AS DOUBLE)
+         |    / (len(da.toks) + len(db.toks) - len(list_intersect(da.toks, db.toks))) AS jac
+         |  FROM pairs p JOIN d da ON p.doc_a = da.doc_id
+         |               JOIN d db ON p.doc_b = db.doc_id)
+         |SELECT lang, doc_a, doc_b, ROUND(jac, 6) AS jaccard
+         |FROM v WHERE jac >= 0.5 ORDER BY lang, doc_a, doc_b""".stripMargin
+    },
+
+    // 60-bit md5-family SimHash reproduced fully in SQL: per-bit votes
+    // as 60 conditional sums, signature via shift-sum, 15-bit band join,
+    // Hamming verify via bit_count(xor).
+    "q_llm_simhash_md5" -> {
+      val votes = (0 until 60).map(b =>
+        s"SUM(CASE WHEN (h >> $b) & 1 = 1 THEN 1 ELSE -1 END) AS v$b").mkString(", ")
+      val sigSum = (0 until 60)
+        .map(b => s"(CASE WHEN v$b > 0 THEN ${1L << b} ELSE 0 END)").mkString(" + ")
+      s"""WITH d AS (SELECT doc_id, lang, list_distinct(string_split(text, ' ')) AS toks
+         |           FROM documents WHERE doc_id % 10 = 0
+         |             AND len(list_distinct(string_split(text, ' '))) > 0),
+         |tok AS (SELECT doc_id, lang, unnest(toks) AS tok FROM d),
+         |hh AS (SELECT doc_id, lang,
+         |         CAST('0x' || substr(md5(tok), 1, 15) AS BIGINT) AS h FROM tok),
+         |v AS (SELECT doc_id, lang, $votes FROM hh GROUP BY 1, 2),
+         |sig AS (SELECT doc_id, lang, CAST($sigSum AS BIGINT) AS simhash FROM v),
+         |banded AS (SELECT doc_id, lang, band_id,
+         |  (simhash >> (15 * band_id)) & 32767 AS bv
+         |  FROM sig, UNNEST([0, 1, 2, 3]) AS u(band_id)),
+         |pairs AS (SELECT DISTINCT a.lang, a.doc_id AS doc_a, b.doc_id AS doc_b
+         |  FROM banded a JOIN banded b ON a.lang = b.lang AND a.band_id = b.band_id
+         |    AND a.bv = b.bv AND a.doc_id < b.doc_id)
+         |SELECT p.lang, p.doc_a, p.doc_b,
+         |  CAST(bit_count(xor(sa.simhash, sb.simhash)) AS INTEGER) AS hamming
+         |FROM pairs p JOIN sig sa ON p.doc_a = sa.doc_id
+         |             JOIN sig sb ON p.doc_b = sb.doc_id
+         |WHERE bit_count(xor(sa.simhash, sb.simhash)) <= 12
+         |ORDER BY p.lang, p.doc_a, p.doc_b""".stripMargin
+    },
+
     "q_llm_cosine_topk" ->
       s"""WITH t AS (SELECT embedding AS tv FROM embeddings WHERE vec_id = 0)
          |SELECT e.vec_id, ROUND(${cosExpr("e.embedding", "t.tv")}, 6) AS cos_sim
@@ -636,6 +697,57 @@ object Oracle {
         |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin
   )
 
+  /** §2.11 — GNN forward layers: the seeded 64×64 matmul unrolled into
+    * generated SQL (Gnn.weight/bias are the single source of truth).
+    * The left-associated `+` chain reproduces the Scala accumulator's
+    * sequential add order exactly; AVG vs the loop's sum/n differ only
+    * in float summation order, absorbed by the 6dp rounding. */
+  private def matmulExpr(i: Int, srcPrefix: String): String =
+    (0 until Gnn.Dim).map { j =>
+      s"(CAST(${(i * 31 + j * 17) % 7 - 3} AS DOUBLE)/10)*$srcPrefix${j + 1}"
+    }.mkString(" + ") + s" + CAST(${i % 5 - 2} AS DOUBLE)/10"
+
+  private def relu(c: String): String =
+    s"CASE WHEN $c > 0 THEN $c ELSE CAST(0 AS DOUBLE) END"
+
+  private val meanCte: String = {
+    val avgs = (1 to Gnn.Dim)
+      .map(j => s"AVG(CAST(emb.embedding[$j] AS DOUBLE)) AS m$j").mkString(", ")
+    s"""n AS (SELECT COUNT(*) AS c FROM embeddings),
+       |m AS (SELECT e.src AS custkey, $avgs
+       |      FROM edges e CROSS JOIN n
+       |      JOIN embeddings emb ON emb.vec_id = e.dst % n.c
+       |      GROUP BY 1)""".stripMargin
+  }
+
+  val gnn: Map[String, String] = Map(
+    "q_gnn_layer" -> {
+      val hr = (0 until 4).map(i => s"${matmulExpr(i, "m")} AS h${i + 1}r").mkString(", ")
+      val out = (0 until 4).map(i => s"ROUND(${relu(s"h${i + 1}r")}, 6) AS h${i + 1}").mkString(", ")
+      s"""WITH $edgesCte,
+         |$meanCte,
+         |h AS (SELECT custkey, $hr FROM m)
+         |SELECT custkey, $out FROM h ORDER BY custkey""".stripMargin
+    },
+
+    "q_gnn_layer2" -> {
+      val hr = (0 until Gnn.Dim).map(i => s"${matmulExpr(i, "m")} AS r${i + 1}").mkString(", ")
+      val h64 = (0 until Gnn.Dim).map(i => s"${relu(s"r${i + 1}")} AS h${i + 1}").mkString(", ")
+      val gAvgs = (1 to Gnn.Dim).map(j => s"AVG(h$j) AS gm$j").mkString(", ")
+      val gr = (0 until 4).map(i => s"${matmulExpr(i, "gm")} AS g${i + 1}r").mkString(", ")
+      val out = (0 until 4).map(i => s"ROUND(${relu(s"g${i + 1}r")}, 6) AS g${i + 1}").mkString(", ")
+      s"""WITH $edgesCte,
+         |$meanCte,
+         |hraw AS (SELECT custkey, $hr FROM m),
+         |h64 AS (SELECT custkey, $h64 FROM hraw),
+         |g AS (SELECT e.dst AS part_key, $gAvgs
+         |      FROM edges e JOIN h64 ON e.src = h64.custkey
+         |      GROUP BY 1),
+         |g2 AS (SELECT part_key, $gr FROM g)
+         |SELECT part_key, $out FROM g2 ORDER BY part_key""".stripMargin
+    }
+  )
+
   /** §2.12 — training-data pipeline ops (PipelineOps.scala). */
   val pipeline: Map[String, String] = Map(
     "q_llm_pack_sequences" ->
@@ -705,5 +817,5 @@ object Oracle {
   )
 
   val all: Map[String, String] =
-    relational ++ streaming ++ graph ++ llm ++ extended ++ pipeline
+    relational ++ streaming ++ graph ++ llm ++ extended ++ gnn ++ pipeline
 }
