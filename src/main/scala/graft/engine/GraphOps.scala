@@ -43,8 +43,14 @@ object GraphOps {
     * comprehension was benchmarked 2× slower — interpreted lambdas per
     * generated pair.) Skewed customers are AQE's skew-join case. */
   def partPairs(s: SparkSession, dir: String, minCooccur: Int): DataFrame = {
-    val e1 = edges(s, dir).select(col("src"), col("dst").as("a"))
-    val e2 = edges(s, dir).select(col("src").as("src2"), col("dst").as("b"))
+    // Materialize the distinct edge list ONCE: the two self-join legs
+    // otherwise each re-run the scan + join + distinct pipeline (the
+    // static planner does not reuse the exchange across the aliased
+    // legs). 600k (long, long) rows — trivial to hold, and the 12M-pair
+    // aggregation downstream is the real cost.
+    val e = edges(s, dir).localCheckpoint()
+    val e1 = e.select(col("src"), col("dst").as("a"))
+    val e2 = e.select(col("src").as("src2"), col("dst").as("b"))
     e1.join(e2, col("src") === col("src2") && col("a") < col("b"))
       .groupBy(col("a"), col("b"))
       .agg(count(lit(1)).as("cnt"))

@@ -336,6 +336,14 @@ object Oracle {
         |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
         |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
 
+    // transformWithState runs the same fold as flatMapGroupsWithState —
+    // one oracle text, two stateful APIs.
+    "q_stream_stateful_tws" ->
+      """SELECT user_id, COUNT(*) AS n_events,
+        |  MAX(CAST(ts AS TIMESTAMP)) AS last_ts,
+        |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+        |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
+
     "q_stream_static_join" ->
       """SELECT c_mktsegment, COUNT(*) AS n_events,
         |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS val_sum

@@ -1,8 +1,9 @@
 package graft.engine
 
-import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.{DataFrame, Dataset, Encoders, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode,
+  StatefulProcessor, TTLConfig, TimeMode, TimerValues, ValueState}
 
 /** Event-stream operators (SURVEY.md §2.9) — the Flink DataStream surface
   * the reference names (`/root/reference/README.md:2`), re-expressed as
@@ -124,6 +125,54 @@ object StreamingOps {
       .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.EventTimeTimeout)(timedSessionUpdate)
   }
 
+  /** Spark 4 arbitrary-state API (`transformWithState`): the modern
+    * replacement for flatMapGroupsWithState and the closest Spark analog
+    * of Flink's keyed `ValueState` + `processElement` — typed state
+    * handles in the state store (RocksDB provider at scale), per-key
+    * timers, TTL. Same fold as statefulUpdate so both APIs are covered
+    * by the same oracle. */
+  class UserAggProcessor extends StatefulProcessor[Long, Ev, UserAgg] {
+    @transient private var st: ValueState[UserState] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      st = getHandle.getValueState[UserState]("userAgg",
+        Encoders.product[UserState], TTLConfig.NONE)
+
+    override def handleInputRows(key: Long, events: Iterator[Ev],
+        timerValues: TimerValues): Iterator[UserAgg] = {
+      val init = if (st.exists()) st.get() else UserState(0L, null, 0L)
+      var n = init.n
+      var last = init.lastTs
+      var cents = init.cents
+      events.foreach { e =>
+        n += 1
+        if (last == null || e.ts.compareTo(last) > 0) last = e.ts
+        cents += java.math.BigDecimal.valueOf(e.value)
+          .setScale(2, java.math.RoundingMode.HALF_UP)
+          .movePointRight(2).longValueExact()
+      }
+      st.update(UserState(n, last, cents))
+      Iterator.single(UserAgg(key, n, last, cents / 100.0))
+    }
+  }
+
+  def statefulSnapshotTws(s: SparkSession, ev: DataFrame): Dataset[UserAgg] = {
+    import s.implicits._
+    // transformWithState runs on the RocksDB state store provider only
+    // (its column-family state layout), in batch mode too.
+    s.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    // Batch execution skips the streaming runner that registers the
+    // driver's StateStoreCoordinator RPC endpoint, and RocksDB's
+    // snapshot-upload reporting then kills every task with
+    // RpcEndpointNotFoundException. Force-create it the same way a
+    // streaming run would (private[sql] lazy val, public in bytecode).
+    s.streams.getClass.getMethod("stateStoreCoordinator").invoke(s.streams)
+    ev.select(col("event_id"), col("user_id"), col("ts"), col("value")).as[Ev]
+      .groupByKey(_.user_id)
+      .transformWithState(new UserAggProcessor, TimeMode.None(), OutputMode.Update())
+  }
+
   def statefulSnapshot(s: SparkSession, ev: DataFrame): Dataset[UserAgg] = {
     import s.implicits._
     ev.select(col("event_id"), col("user_id"), col("ts"), col("value")).as[Ev]
@@ -176,6 +225,11 @@ object StreamingOps {
       .toDF()
       .orderBy("user_id")
 
+  def q_stream_stateful_tws(s: SparkSession, dir: String): DataFrame =
+    statefulSnapshotTws(s, Tables.events(s, dir))
+      .toDF()
+      .orderBy("user_id")
+
   def q_stream_static_join(s: SparkSession, dir: String): DataFrame =
     staticEnrich(Tables.events(s, dir), Tables.customer(s, dir))
       .orderBy("c_mktsegment")
@@ -186,6 +240,7 @@ object StreamingOps {
     "q_stream_session" -> q_stream_session _,
     "q_stream_dedup" -> q_stream_dedup _,
     "q_stream_stateful" -> q_stream_stateful _,
+    "q_stream_stateful_tws" -> q_stream_stateful_tws _,
     "q_stream_static_join" -> q_stream_static_join _
   )
 }

@@ -33,6 +33,21 @@ class SourceFormatSpec extends AnyFunSuite {
     assert(q(jsonBack) == q(docs))
   }
 
+  test("orc source round-trips documents and embeddings") {
+    val s = spark
+    val base = java.nio.file.Files.createTempDirectory("graft_fmt_orc").toString
+    val docs = Tables.documents(s, sf0001).orderBy("doc_id")
+    docs.write.mode("overwrite").orc(s"$base/docs")
+    val docsBack = s.read.orc(s"$base/docs").orderBy("doc_id")
+    assert(docsBack.collect().toSeq == docs.collect().toSeq, "orc docs round-trip")
+    val emb = Tables.embeddings(s, sf0001).orderBy("vec_id")
+    emb.write.mode("overwrite").orc(s"$base/emb")
+    val embBack = s.read.orc(s"$base/emb").orderBy("vec_id")
+    assert(embBack.schema == emb.schema, "orc preserves array<float> schema")
+    assert(embBack.collect().toSeq.map(_.getSeq[Float](1).toSeq) ==
+      emb.collect().toSeq.map(_.getSeq[Float](1).toSeq))
+  }
+
   test("json source round-trips the embeddings float arrays") {
     val s = spark
     val emb = Tables.embeddings(s, sf0001).orderBy("vec_id")

@@ -83,6 +83,37 @@ class StreamingSourcesSpec extends AnyFunSuite {
     assert(closed.get(1L).contains(2L), s"user 1 session must close with 2 events: $closed")
   }
 
+  test("transformWithState across micro-batches equals the fGWS fold (RocksDB provider)") {
+    val s = spark
+    import s.implicits._
+    implicit val sq = s.sqlContext
+    val prev = s.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    // transformWithState requires the RocksDB provider in streaming mode
+    s.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      def ts(h: Int) = Timestamp.valueOf(f"2024-01-01 $h%02d:00:00")
+      val ms = MemoryStream[E]
+      val q = StreamingOps.statefulSnapshotTws(s, ms.toDF())
+        .writeStream.outputMode(OutputMode.Update)
+        .format("memory").queryName("tws").start()
+      ms.addData(E(1, 7, ts(1), "click", 2.5), E(2, 7, ts(2), "view", 1.0))
+      q.processAllAvailable()
+      ms.addData(E(3, 7, ts(3), "click", 4.0), E(4, 8, ts(1), "view", 9.0))
+      q.processAllAvailable(); q.stop()
+      // latest snapshot per user equals the one-shot batch fold
+      val streamed = s.table("tws").collect()
+        .groupBy(_.getLong(0)).map { case (u, rows) => u -> rows.maxBy(_.getLong(1)) }
+      assert(streamed(7L).getLong(1) == 3L && streamed(7L).getDouble(3) == 7.5)
+      assert(streamed(8L).getLong(1) == 1L && streamed(8L).getDouble(3) == 9.0)
+    } finally {
+      prev match {
+        case Some(p) => s.conf.set("spark.sql.streaming.stateStore.providerClass", p)
+        case None => s.conf.unset("spark.sql.streaming.stateStore.providerClass")
+      }
+    }
+  }
+
   test("stateful query runs on the RocksDB state store provider") {
     val s = spark
     import s.implicits._
