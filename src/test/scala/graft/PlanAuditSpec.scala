@@ -1,0 +1,72 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.engine.{GraphOps, LlmOps, Relational}
+
+/** Physical-plan audits: the properties the 100 TB scale story depends
+  * on, asserted against the actual planner output so a regression (lost
+  * pushdown, broadcast replaced by a shuffle, partial aggregation
+  * disabled) fails CI rather than silently costing a cluster. */
+class PlanAuditSpec extends AnyFunSuite {
+  import TestSpark._
+
+  private def plan(name: String): String =
+    SparkEntry.queries(name)(spark, sf0001).queryExecution.executedPlan.toString
+
+  test("filter and projection reach the parquet scan (pushdown + pruning)") {
+    val p = plan("q_scan_pruned_filter")
+    assert(p.contains("PushedFilters: ["), "filters must be pushed to the scan")
+    assert(!p.contains("PushedFilters: []"), "pushed filter list must be non-empty")
+    assert(p.contains("ReadSchema"), "scan must expose its read schema")
+    // the query projects a handful of columns; the scan must not read all 16
+    val read = p.linesIterator.find(_.contains("ReadSchema")).get
+      .split("ReadSchema: ").last
+    assert(read.count(_ == ':') < 8, s"column-pruned scan expected, got: $read")
+  }
+
+  test("dimension joins broadcast; the fact side never moves") {
+    val p = plan("q_join_inner_broadcast")
+    assert(p.contains("BroadcastHashJoin"), "dim join must be a broadcast hash join")
+    assert(!p.contains("SortMergeJoin"), "fact table must not shuffle for a dim join")
+  }
+
+  test("aggregations are map-side partial (two HashAggregate phases)") {
+    val p = plan("q_agg_pricing_summary")
+    assert("HashAggregate".r.findAllIn(p).size >= 2,
+      "partial+final aggregation expected so shuffle volume is #groups")
+  }
+
+  test("global top-k plans as TakeOrderedAndProject, not a full sort") {
+    val p = plan("q_topk_global")
+    assert(p.contains("TakeOrderedAndProject"), "top-k must not globally sort")
+  }
+
+  test("cosine top-k keeps the scan pipeline in whole-stage codegen") {
+    // codegen spans appear only in the FINALIZED adaptive plan — run the
+    // query, then audit what actually executed.
+    val df = SparkEntry.queries("q_llm_cosine_topk")(spark, sf0001)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    // "*(n) Project ..." marks a whole-stage-codegen stage; the native
+    // graft_vec_dot expression must sit INSIDE one, not break the span
+    assert(p.contains("*(2) Project [vec_id") || p.contains("*(1) Project [vec_id"),
+      s"vector math must stay inside whole-stage codegen:\n$p")
+    assert(p.contains("TakeOrderedAndProject"), "top-k must not globally sort")
+  }
+
+  test("graph projection self-join reuses one materialized edge list") {
+    // partPairs must reference the SAME checkpointed RDD on both legs —
+    // two LogicalRDD scans, zero parquet scans (the round-1 plan re-ran
+    // the scan + join + distinct pipeline per leg).
+    val pp = GraphOps.partPairs(spark, sf0001, 1)
+    val p = pp.queryExecution.executedPlan.toString
+    assert(!p.contains("Scan parquet"), s"edge list must be materialized once:\n$p")
+  }
+
+  test("exact jaccard uses the bitmap fast path when the vocab fits 64 bits") {
+    val p = SparkEntry.queries("q_llm_jaccard_pairs")(spark, sf0001)
+      .queryExecution.optimizedPlan.toString
+    assert(p.contains("bit_count"), "64-bit-vocab corpus must take the bitmask path")
+  }
+}
