@@ -101,8 +101,57 @@ object Gnn {
       .orderBy("part_key")
   }
 
+  /** Deterministic negative sampling for link-prediction training
+    * (GraphSAGE §3.2 / TGN-style objectives): per positive co-purchase
+    * edge, k=3 negative part candidates drawn by hashing (src, dst, i)
+    * into the dense part-key space — reproducible across engines, runs,
+    * and restarts (no RNG state), which is what a resumable 100 TB
+    * training job needs. Output is per-customer accounting including
+    * false negatives (candidates that are real neighbors — what a
+    * rejection sampler re-draws). */
+  val NegK = 3
+
+  def q_gnn_neg_sampling(s: SparkSession, dir: String): DataFrame = {
+    val e = GraphOps.edges(s, dir).localCheckpoint()
+    val np = Tables.part(s, dir).agg(count(lit(1)).as("np"))
+    val negs = e.crossJoin(broadcast(np))
+      .select(col("src"), explode(expr(
+        s"""transform(sequence(0, ${NegK - 1}), i ->
+            cast(conv(substring(md5(cast(
+              concat(cast(src as string), ':', cast(dst as string), ':', cast(i as string))
+            as binary)), 1, 15), 16, 10) as bigint) % np)""")).as("neg"))
+    val falseNeg = negs
+      .join(e.select(col("src").as("es"), col("dst").as("ed")),
+        col("src") === col("es") && col("neg") === col("ed"), "left_semi")
+      .groupBy(col("src")).agg(count(lit(1)).as("fn"))
+    e.groupBy(col("src")).agg(count(lit(1)).as("n_pos"))
+      .join(falseNeg, Seq("src"), "left_outer")
+      .select(col("src").as("custkey"), col("n_pos"),
+        (col("n_pos") * NegK).as("n_neg"),
+        coalesce(col("fn"), lit(0L)).as("n_false_neg"))
+      .orderBy("custkey")
+  }
+
+  /** Per-dimension z-score normalization of the embedding table (the
+    * feature-standardization pass before training; dims 1–4 surfaced).
+    * One aggregation for the 64 moments, then a broadcast of the 1-row
+    * stats — the classic two-pass normalizer at any scale. */
+  def q_embed_zscore(s: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(s, dir)
+    val el = (j: Int) => element_at(col("embedding"), j).cast("double")
+    val moments = (1 to 4).flatMap(j =>
+      Seq(avg(el(j)).as(s"m$j"), stddev_samp(el(j)).as(s"s$j")))
+    val stats = emb.agg(moments.head, moments.tail: _*)
+    emb.crossJoin(broadcast(stats))
+      .select(col("vec_id") +: (1 to 4).map(j =>
+        round((el(j) - col(s"m$j")) / col(s"s$j"), 6).as(s"z$j")): _*)
+      .orderBy("vec_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_gnn_layer" -> q_gnn_layer _,
-    "q_gnn_layer2" -> q_gnn_layer2 _
+    "q_gnn_layer2" -> q_gnn_layer2 _,
+    "q_gnn_neg_sampling" -> q_gnn_neg_sampling _,
+    "q_embed_zscore" -> q_embed_zscore _
   )
 }

@@ -756,6 +756,35 @@ object Oracle {
     }
   )
 
+  /** §2.11 cont. — GNN training-prep ops (deterministic md5 sampling +
+    * two-pass feature standardization). */
+  val gnnPrep: Map[String, String] = Map(
+    "q_gnn_neg_sampling" ->
+      s"""WITH $edgesCte,
+         |np AS (SELECT COUNT(*) AS np FROM part),
+         |negs AS (SELECT src,
+         |  CAST('0x' || substr(md5(CAST(src AS VARCHAR) || ':' ||
+         |    CAST(dst AS VARCHAR) || ':' || CAST(i AS VARCHAR)), 1, 15) AS BIGINT)
+         |    % np AS neg
+         |  FROM edges CROSS JOIN np, UNNEST([0, 1, 2]) AS u(i)),
+         |fn AS (SELECT n.src, COUNT(*) AS fn FROM negs n
+         |       JOIN edges e ON n.src = e.src AND n.neg = e.dst GROUP BY 1),
+         |pos AS (SELECT src, COUNT(*) AS n_pos FROM edges GROUP BY 1)
+         |SELECT pos.src AS custkey, n_pos, n_pos * ${Gnn.NegK} AS n_neg,
+         |  COALESCE(fn, 0) AS n_false_neg
+         |FROM pos LEFT JOIN fn ON pos.src = fn.src ORDER BY 1""".stripMargin,
+
+    "q_embed_zscore" -> {
+      val stats = (1 to 4).flatMap(j => Seq(
+        s"AVG(CAST(embedding[$j] AS DOUBLE)) AS m$j",
+        s"STDDEV_SAMP(CAST(embedding[$j] AS DOUBLE)) AS s$j")).mkString(", ")
+      val zs = (1 to 4).map(j =>
+        s"ROUND((CAST(embedding[$j] AS DOUBLE) - m$j) / s$j, 6) AS z$j").mkString(", ")
+      s"""WITH st AS (SELECT $stats FROM embeddings)
+         |SELECT vec_id, $zs FROM embeddings CROSS JOIN st ORDER BY vec_id""".stripMargin
+    }
+  )
+
   /** §2.12 — training-data pipeline ops (PipelineOps.scala). */
   val pipeline: Map[String, String] = Map(
     "q_llm_pack_sequences" ->
@@ -825,5 +854,5 @@ object Oracle {
   )
 
   val all: Map[String, String] =
-    relational ++ streaming ++ graph ++ llm ++ extended ++ gnn ++ pipeline
+    relational ++ streaming ++ graph ++ llm ++ extended ++ gnn ++ gnnPrep ++ pipeline
 }
