@@ -194,6 +194,42 @@ object GraphOps {
       .limit(20)
   }
 
+  /** Node-pair Jaccard similarity over part neighborhoods — the classic
+    * link-prediction feature (Liben-Nowell & Kleinberg 2003): for part
+    * pairs with ≥ TriangleMinCooccur common customers,
+    * J = |N(a)∩N(b)| / (|N(a)| + |N(b)| - |N(a)∩N(b)|). Reuses the
+    * co-occurrence projection (common-neighbor counts) + the degree
+    * table — one extra broadcast-able join over what cooccur computes. */
+  def q_graph_jaccard(s: SparkSession, dir: String): DataFrame = {
+    val pp = partPairs(s, dir, TriangleMinCooccur)
+    val deg = edges(s, dir).groupBy(col("dst")).agg(count(lit(1)).as("d"))
+    pp.join(deg.select(col("dst").as("pa"), col("d").as("da")), col("a") === col("pa"))
+      .join(deg.select(col("dst").as("pb"), col("d").as("db")), col("b") === col("pb"))
+      .select(col("a").as("part_a"), col("b").as("part_b"), col("cnt").as("common"),
+        round(col("cnt").cast("double") / (col("da") + col("db") - col("cnt")), 6).as("jaccard"))
+      .filter(col("jaccard") >= 0.25)
+      .orderBy("part_a", "part_b")
+  }
+
+  /** Adamic–Adar index: AA(a,b) = Σ_{z ∈ N(a)∩N(b)} 1/ln(deg(z)) —
+    * common neighbors weighted by rarity (Adamic & Adar 2003); top-20
+    * part pairs. The common-neighbor rows are exactly the co-occurrence
+    * join's output BEFORE the count aggregation, with the customer-side
+    * degree broadcast in. (A shared neighbor always has degree ≥ 2 —
+    * it produced the pair — so ln(deg) > 0.) */
+  def q_graph_adamic_adar(s: SparkSession, dir: String): DataFrame = {
+    val e = edges(s, dir).localCheckpoint()
+    val custDeg = e.groupBy(col("src").as("cd_src")).agg(count(lit(1)).as("cd"))
+    val e1 = e.select(col("src"), col("dst").as("a"))
+    val e2 = e.select(col("src").as("src2"), col("dst").as("b"))
+    e1.join(e2, col("src") === col("src2") && col("a") < col("b"))
+      .join(broadcast(custDeg), col("src") === col("cd_src"))
+      .groupBy(col("a").as("part_a"), col("b").as("part_b"))
+      .agg(round(sum(lit(1.0) / log(col("cd"))), 6).as("aa"))
+      .orderBy(col("aa").desc, col("part_a").asc, col("part_b").asc)
+      .limit(20)
+  }
+
   /** 1-layer GraphSAGE-mean: per customer, element-wise mean of purchased
     * parts' embeddings, dims 1–4 (README.md:1-2; Hamilton et al. 2017
     * §3.1). Oracle-checked via per-dim AVG. */
@@ -222,6 +258,8 @@ object GraphOps {
     "q_graph_triangles" -> q_graph_triangles _,
     "q_graph_cc" -> q_graph_cc _,
     "q_graph_pagerank" -> q_graph_pagerank _,
+    "q_graph_jaccard" -> q_graph_jaccard _,
+    "q_graph_adamic_adar" -> q_graph_adamic_adar _,
     "q_graph_neighbor_mean" -> q_graph_neighbor_mean _
   )
 }

@@ -399,6 +399,28 @@ object Oracle {
          |ORDER BY rank DESC, part_key ASC LIMIT 20""".stripMargin
     },
 
+    "q_graph_jaccard" ->
+      s"""WITH $edgesCte,
+         |pp AS (SELECT e1.dst AS a, e2.dst AS b, COUNT(*) AS cnt
+         |       FROM edges e1 JOIN edges e2 ON e1.src = e2.src AND e1.dst < e2.dst
+         |       GROUP BY 1, 2 HAVING COUNT(*) >= ${GraphOps.TriangleMinCooccur}),
+         |deg AS (SELECT dst, COUNT(*) AS d FROM edges GROUP BY 1),
+         |j AS (SELECT a AS part_a, b AS part_b, cnt AS common,
+         |  ROUND(CAST(cnt AS DOUBLE) / (da.d + db.d - cnt), 6) AS jaccard
+         |  FROM pp JOIN deg da ON pp.a = da.dst JOIN deg db ON pp.b = db.dst)
+         |SELECT part_a, part_b, common, jaccard FROM j
+         |WHERE jaccard >= 0.25 ORDER BY part_a, part_b""".stripMargin,
+
+    "q_graph_adamic_adar" ->
+      s"""WITH $edgesCte,
+         |cd AS (SELECT src, COUNT(*) AS cd FROM edges GROUP BY 1),
+         |cn AS (SELECT e1.src AS z, e1.dst AS a, e2.dst AS b
+         |       FROM edges e1 JOIN edges e2 ON e1.src = e2.src AND e1.dst < e2.dst)
+         |SELECT cn.a AS part_a, cn.b AS part_b,
+         |  ROUND(SUM(CAST(1 AS DOUBLE) / LN(cd.cd)), 6) AS aa
+         |FROM cn JOIN cd ON cn.z = cd.src
+         |GROUP BY 1, 2 ORDER BY aa DESC, part_a ASC, part_b ASC LIMIT 20""".stripMargin,
+
     // Reachability closure + min-label per node == connected components;
     // tractable because the >=K projection fragments into small comps.
     "q_graph_cc" ->
