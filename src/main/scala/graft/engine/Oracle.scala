@@ -336,6 +336,16 @@ object Oracle {
         |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
         |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
 
+    "q_stream_win_topk" ->
+      """WITH c AS (SELECT date_trunc('day', CAST(ts AS TIMESTAMP)) AS day,
+        |             user_id, COUNT(*) AS cnt
+        |           FROM events GROUP BY 1, 2),
+        |r AS (SELECT day, user_id, cnt,
+        |  ROW_NUMBER() OVER (PARTITION BY day ORDER BY cnt DESC, user_id ASC) AS rnk
+        |  FROM c)
+        |SELECT day, user_id, cnt, CAST(rnk AS BIGINT) AS rnk
+        |FROM r WHERE rnk <= 3 ORDER BY day, rnk""".stripMargin,
+
     // transformWithState runs the same fold as flatMapGroupsWithState —
     // one oracle text, two stateful APIs.
     "q_stream_stateful_tws" ->

@@ -50,6 +50,20 @@ object StreamingOps {
     ev.groupBy(col("user_id"), session_window(col("ts"), "30 minutes").as("sw"))
       .agg(count(lit(1)).as("n"))
 
+  /** Per-day top-3 users by event count (the Flink windowed-TopN
+    * pattern): windowed keyed counts, then a rank within each closed
+    * window. On a stream this runs per finalized window (watermark-
+    * closed); the batch path below is the driver-contract equivalent. */
+  def windowTopUsers(ev: DataFrame): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("day")).orderBy(col("cnt").desc, col("user_id").asc)
+    ev.groupBy(window(col("ts"), "1 day").as("w"), col("user_id"))
+      .agg(count(lit(1)).as("cnt"))
+      .select(col("w.start").as("day"), col("user_id"), col("cnt"))
+      .withColumn("rnk", row_number().over(w).cast("bigint"))
+      .filter(col("rnk") <= 3)
+  }
+
   /** Exactly-once dedup on the event key. */
   def dedupByEventId(ev: DataFrame): DataFrame =
     ev.select(col("event_id"), col("user_id")).dropDuplicates("event_id")
@@ -225,6 +239,9 @@ object StreamingOps {
       .toDF()
       .orderBy("user_id")
 
+  def q_stream_win_topk(s: SparkSession, dir: String): DataFrame =
+    windowTopUsers(Tables.events(s, dir)).orderBy("day", "rnk")
+
   def q_stream_stateful_tws(s: SparkSession, dir: String): DataFrame =
     statefulSnapshotTws(s, Tables.events(s, dir))
       .toDF()
@@ -241,6 +258,7 @@ object StreamingOps {
     "q_stream_dedup" -> q_stream_dedup _,
     "q_stream_stateful" -> q_stream_stateful _,
     "q_stream_stateful_tws" -> q_stream_stateful_tws _,
+    "q_stream_win_topk" -> q_stream_win_topk _,
     "q_stream_static_join" -> q_stream_static_join _
   )
 }
