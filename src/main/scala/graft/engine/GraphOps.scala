@@ -165,8 +165,13 @@ object GraphOps {
     // Edge list with source out-degree attached, materialized ONCE and
     // reused by all 10 iterations (lineage truncation keeps each step's
     // plan constant-size instead of growing by one join per iteration).
+    // Pre-hash-partitioned on dst — the checkpoint preserves the
+    // partitioning, the broadcast join keeps it, so every iteration's
+    // groupBy(dst) aggregates partition-locally with NO exchange: the
+    // only per-step data movement is the rank-table broadcast.
     val undW = und.join(deg, col("src") === col("node"))
       .select(col("src"), col("dst"), col("d"))
+      .repartition(col("dst"))
       .localCheckpoint()
     var ranks = deg.select(col("node"), lit(1.0).as("r"))
     for (it <- 1 to 10) {
