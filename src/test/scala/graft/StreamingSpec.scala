@@ -42,6 +42,41 @@ class StreamingSpec extends AnyFunSuite {
     assert(batch.map(_.getLong(2)).sum == 4)
   }
 
+  test("windowed top-N: streaming counts + downstream rank equals batch") {
+    val s = spark
+    import s.implicits._
+    implicit val sq = s.sqlContext
+    val rows = Seq(
+      E(1, 1, ts(1, 1), "click", 0), E(2, 1, ts(1, 2), "click", 0),
+      E(3, 2, ts(1, 3), "view", 0), E(4, 3, ts(1, 4), "view", 0),
+      E(5, 3, ts(1, 5), "view", 0), E(6, 3, ts(1, 6), "view", 0),
+      E(7, 4, ts(1, 7), "view", 0), E(8, 5, ts(2, 1), "click", 0))
+    val ms = MemoryStream[E]
+    ms.addData(rows.take(4): _*)
+    // the windowed COUNT maintains streaming state; the rank is a cheap
+    // downstream batch pass over the (small) materialized counts — the
+    // standard Flink windowed-TopN split in Structured Streaming
+    val q = ms.toDF().groupBy(window(col("ts"), "1 day").as("w"), col("user_id"))
+      .agg(count(lit(1)).as("cnt"))
+      .select(col("w.start").as("day"), col("user_id"), col("cnt"))
+      .writeStream.outputMode(OutputMode.Complete)
+      .format("memory").queryName("wtop").start()
+    q.processAllAvailable()
+    ms.addData(rows.drop(4): _*)
+    q.processAllAvailable(); q.stop()
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("day")).orderBy(col("cnt").desc, col("user_id").asc)
+    val streamed = s.table("wtop")
+      .withColumn("rnk", row_number().over(w).cast("bigint"))
+      .filter(col("rnk") <= 3).orderBy("day", "rnk").collect().toSeq
+    val batch = StreamingOps.windowTopUsers(rows.toDF())
+      .orderBy("day", "rnk").collect().toSeq
+    assert(streamed == batch)
+    // day 1 top-3: user 3 (3 events), user 1 (2), then user 2 (tie-break by id)
+    assert(batch.take(3).map(r => (r.getLong(1), r.getLong(2))) ==
+      Seq((3L, 3L), (1L, 2L), (2L, 1L)))
+  }
+
   test("watermark drops late events in append mode") {
     val s = spark
     import s.implicits._
