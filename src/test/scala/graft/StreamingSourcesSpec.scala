@@ -114,6 +114,32 @@ class StreamingSourcesSpec extends AnyFunSuite {
     }
   }
 
+  test("timed sessions split at intra-batch gaps (batch-cut invariance)") {
+    val s = spark
+    import s.implicits._
+    implicit val sq = s.sqlContext
+    def ts(h: Int, m: Int) = Timestamp.valueOf(f"2024-01-01 $h%02d:$m%02d:00")
+    val ms = MemoryStream[E]
+    val q = StreamingOps.timedSessions(s, ms.toDF())
+      .writeStream.outputMode(OutputMode.Append)
+      .format("memory").queryName("gapsplit").start()
+    // ONE batch containing two sessions of user 1 separated by a 2h gap:
+    // the earlier session must close immediately (not merge because the
+    // micro-batch happened to contain both), the later one awaits its timer
+    ms.addData(E(1, 1, ts(1, 0), "click", 0), E(2, 1, ts(1, 10), "click", 0),
+      E(3, 1, ts(3, 30), "click", 0))
+    q.processAllAvailable()
+    val afterBatch1 = s.table("gapsplit").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getTimestamp(2)))
+    assert(afterBatch1.toSeq == Seq((1L, 2L, ts(1, 10))),
+      s"intra-batch gap must close the first session: ${afterBatch1.toSeq}")
+    // watermark passes the second session's timer -> it closes too
+    ms.addData(E(4, 2, ts(5, 0), "click", 0))
+    q.processAllAvailable(); q.stop()
+    val all = s.table("gapsplit").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(all.contains((1L, 1L)), s"second session must close via timer: $all")
+  }
+
   test("stateful query runs on the RocksDB state store provider") {
     val s = spark
     import s.implicits._
