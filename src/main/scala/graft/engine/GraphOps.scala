@@ -199,6 +199,40 @@ object GraphOps {
       .limit(20)
   }
 
+  /** BFS hop cap shared with the DuckDB recursive-CTE oracle. */
+  val BfsMaxHops = 15
+
+  /** Single-source shortest hop distances (BFS) on the thresholded
+    * part–part projection, from the smallest projected part id; returns
+    * the distance histogram. Frontier expansion is one join + anti-join
+    * per level — the Pregel traversal superstep as relational algebra,
+    * O(diameter) rounds, no driver-side graph. */
+  def q_graph_bfs(s: SparkSession, dir: String): DataFrame = {
+    val pp = partPairs(s, dir, CcMinCooccur).select(col("a"), col("b"))
+    val ue = pp.union(pp.select(col("b").as("a"), col("a").as("b")))
+      .localCheckpoint()
+    val seed = ue.agg(min(col("a")).as("node"))
+      .select(col("node"), lit(0L).as("d"))
+      .localCheckpoint()
+    var dist = seed
+    var frontier = seed
+    var depth = 0L
+    while (depth < BfsMaxHops && frontier.limit(1).count() > 0) {
+      depth += 1
+      val next = frontier
+        .join(ue, col("node") === col("a"))
+        .select(col("b").as("node")).distinct()
+        .join(dist.select(col("node").as("vn")), col("node") === col("vn"), "left_anti")
+        .select(col("node"), lit(depth).as("d"))
+        .localCheckpoint()
+      dist = dist.union(next).localCheckpoint()
+      frontier = next
+    }
+    dist.groupBy(col("d").as("dist"))
+      .agg(count(lit(1)).as("n_nodes"))
+      .orderBy("dist")
+  }
+
   /** Node-pair Jaccard similarity over part neighborhoods — the classic
     * link-prediction feature (Liben-Nowell & Kleinberg 2003): for part
     * pairs with ≥ TriangleMinCooccur common customers,
@@ -263,6 +297,7 @@ object GraphOps {
     "q_graph_triangles" -> q_graph_triangles _,
     "q_graph_cc" -> q_graph_cc _,
     "q_graph_pagerank" -> q_graph_pagerank _,
+    "q_graph_bfs" -> q_graph_bfs _,
     "q_graph_jaccard" -> q_graph_jaccard _,
     "q_graph_adamic_adar" -> q_graph_adamic_adar _,
     "q_graph_neighbor_mean" -> q_graph_neighbor_mean _

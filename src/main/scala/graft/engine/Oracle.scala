@@ -409,6 +409,25 @@ object Oracle {
          |ORDER BY rank DESC, part_key ASC LIMIT 20""".stripMargin
     },
 
+    // BFS min-distances via recursive CTE: UNION dedups (node, d) pairs,
+    // the hop cap bounds recursion on cycles, MIN(d) per node recovers
+    // the BFS level. Same cap as the Spark frontier loop.
+    "q_graph_bfs" ->
+      s"""WITH RECURSIVE $edgesCte,
+         |pp AS (SELECT e1.dst AS a, e2.dst AS b
+         |       FROM edges e1 JOIN edges e2 ON e1.src = e2.src AND e1.dst < e2.dst
+         |       GROUP BY 1, 2 HAVING COUNT(*) >= ${GraphOps.CcMinCooccur}),
+         |ue AS (SELECT a, b FROM pp UNION ALL SELECT b, a FROM pp),
+         |seed AS (SELECT MIN(a) AS s FROM ue),
+         |reach(n, d) AS (
+         |  SELECT s, 0 FROM seed
+         |  UNION
+         |  SELECT ue.b, reach.d + 1 FROM reach JOIN ue ON reach.n = ue.a
+         |  WHERE reach.d < ${GraphOps.BfsMaxHops}),
+         |dm AS (SELECT n, MIN(d) AS d FROM reach GROUP BY n)
+         |SELECT CAST(d AS BIGINT) AS dist, COUNT(*) AS n_nodes
+         |FROM dm GROUP BY 1 ORDER BY 1""".stripMargin,
+
     "q_graph_jaccard" ->
       s"""WITH $edgesCte,
          |pp AS (SELECT e1.dst AS a, e2.dst AS b, COUNT(*) AS cnt
