@@ -217,15 +217,20 @@ object GraphOps {
     var dist = seed
     var frontier = seed
     var depth = 0L
-    while (depth < BfsMaxHops && frontier.limit(1).count() > 0) {
+    var frontierSize = 1L
+    while (depth < BfsMaxHops && frontierSize > 0) {
       depth += 1
+      // one checkpoint + one count job per level: `dist` is a union of
+      // already-checkpointed level outputs, so its lineage stays shallow
+      // without materializing it again.
       val next = frontier
         .join(ue, col("node") === col("a"))
         .select(col("b").as("node")).distinct()
         .join(dist.select(col("node").as("vn")), col("node") === col("vn"), "left_anti")
         .select(col("node"), lit(depth).as("d"))
         .localCheckpoint()
-      dist = dist.union(next).localCheckpoint()
+      frontierSize = next.count()
+      dist = dist.union(next)
       frontier = next
     }
     dist.groupBy(col("d").as("dist"))
