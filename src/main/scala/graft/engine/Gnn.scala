@@ -148,8 +148,39 @@ object Gnn {
       .orderBy("vec_id")
   }
 
+  /** GraphSAGE fixed-size neighborhood sampling (Hamilton et al. 2017
+    * §3.1: uniform fixed-size neighbor sample per node, here made
+    * deterministic): each customer keeps its K=10 neighbors with the
+    * smallest md5(src:dst) hash — a reproducible uniform sample, stable
+    * across engines and restarts — then aggregates their features
+    * (dims 1–4 mean). Bounds per-node aggregation work at any degree
+    * skew: the hot node costs K, not deg(v). */
+  val SampleK = 10
+
+  def q_gnn_sampled_mean(s: SparkSession, dir: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("src")).orderBy(col("h").asc, col("dst").asc)
+    val sampled = GraphOps.edges(s, dir)
+      .withColumn("h", expr(
+        """cast(conv(substring(md5(cast(concat(cast(src as string), ':', cast(dst as string))
+           as binary)), 1, 15), 16, 10) as bigint)"""))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= SampleK)
+    val n = Tables.embeddings(s, dir).agg(count(lit(1)).as("n_emb"))
+    val feats = sampled.crossJoin(broadcast(n))
+      .select(col("src"), (col("dst") % col("n_emb")).as("vkey"))
+      .join(broadcast(Tables.embeddings(s, dir)), col("vkey") === col("vec_id"))
+    val e = (i: Int) => avg(element_at(col("embedding"), i).cast("double"))
+    feats.groupBy(col("src").as("custkey"))
+      .agg(count(lit(1)).as("n_sampled"),
+        round(e(1), 6).as("d1"), round(e(2), 6).as("d2"),
+        round(e(3), 6).as("d3"), round(e(4), 6).as("d4"))
+      .orderBy("custkey")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_gnn_layer" -> q_gnn_layer _,
+    "q_gnn_sampled_mean" -> q_gnn_sampled_mean _,
     "q_gnn_layer2" -> q_gnn_layer2 _,
     "q_gnn_neg_sampling" -> q_gnn_neg_sampling _,
     "q_embed_zscore" -> q_embed_zscore _

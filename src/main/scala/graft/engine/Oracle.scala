@@ -825,6 +825,25 @@ object Oracle {
          |  COALESCE(fn, 0) AS n_false_neg
          |FROM pos LEFT JOIN fn ON pos.src = fn.src ORDER BY 1""".stripMargin,
 
+    "q_gnn_sampled_mean" ->
+      s"""WITH $edgesCte,
+         |h AS (SELECT src, dst,
+         |  CAST('0x' || substr(md5(CAST(src AS VARCHAR) || ':' || CAST(dst AS VARCHAR)), 1, 15) AS BIGINT) AS h
+         |  FROM edges),
+         |r AS (SELECT src, dst,
+         |  ROW_NUMBER() OVER (PARTITION BY src ORDER BY h ASC, dst ASC) AS rn FROM h),
+         |n AS (SELECT COUNT(*) AS c FROM embeddings),
+         |f AS (SELECT r.src AS custkey, emb.embedding
+         |      FROM r CROSS JOIN n
+         |      JOIN embeddings emb ON emb.vec_id = r.dst % n.c
+         |      WHERE r.rn <= ${Gnn.SampleK})
+         |SELECT custkey, COUNT(*) AS n_sampled,
+         |  ROUND(AVG(CAST(embedding[1] AS DOUBLE)), 6) AS d1,
+         |  ROUND(AVG(CAST(embedding[2] AS DOUBLE)), 6) AS d2,
+         |  ROUND(AVG(CAST(embedding[3] AS DOUBLE)), 6) AS d3,
+         |  ROUND(AVG(CAST(embedding[4] AS DOUBLE)), 6) AS d4
+         |FROM f GROUP BY 1 ORDER BY 1""".stripMargin,
+
     "q_embed_zscore" -> {
       val stats = (1 to 4).flatMap(j => Seq(
         s"AVG(CAST(embedding[$j] AS DOUBLE)) AS m$j",
