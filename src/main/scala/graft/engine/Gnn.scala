@@ -178,9 +178,36 @@ object Gnn {
       .orderBy("custkey")
   }
 
+  /** Attention-weighted neighbor aggregation (GAT-lite — Veličković et
+    * al. 2018 §2.1 with a fixed global query vector instead of learned
+    * per-edge attention): score = ⟨neighbor_emb, query⟩/8 (query =
+    * embedding 0), per-customer softmax with max-subtraction
+    * stabilization, output = attention-weighted feature mean (dims 1–4).
+    * The two windows and the final aggregation all key on the customer,
+    * so the whole op is ONE shuffle; the query vector broadcasts. */
+  def q_gnn_attention(s: SparkSession, dir: String): DataFrame = {
+    s.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_vec_dot",
+      exprs => graft.functions.FloatVecDot(exprs(0), exprs(1)), "built-in")
+    val q = Tables.embeddings(s, dir).filter(col("vec_id") === 0)
+      .select(col("embedding").as("qv"))
+    val wspec = org.apache.spark.sql.expressions.Window.partitionBy(col("src"))
+    val scored = GraphOps.neighborFeatures(s, dir)
+      .crossJoin(broadcast(q))
+      .withColumn("score", call_function("graft_vec_dot", col("embedding"), col("qv")) / 8)
+      .withColumn("wexp", exp(col("score") - max(col("score")).over(wspec)))
+      .withColumn("w", col("wexp") / sum(col("wexp")).over(wspec))
+    val e = (i: Int) => sum(col("w") * element_at(col("embedding"), i).cast("double"))
+    scored.groupBy(col("src").as("custkey"))
+      .agg(round(e(1), 6).as("a1"), round(e(2), 6).as("a2"),
+        round(e(3), 6).as("a3"), round(e(4), 6).as("a4"))
+      .orderBy("custkey")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_gnn_layer" -> q_gnn_layer _,
     "q_gnn_sampled_mean" -> q_gnn_sampled_mean _,
+    "q_gnn_attention" -> q_gnn_attention _,
     "q_gnn_layer2" -> q_gnn_layer2 _,
     "q_gnn_neg_sampling" -> q_gnn_neg_sampling _,
     "q_embed_zscore" -> q_embed_zscore _

@@ -825,6 +825,32 @@ object Oracle {
          |  COALESCE(fn, 0) AS n_false_neg
          |FROM pos LEFT JOIN fn ON pos.src = fn.src ORDER BY 1""".stripMargin,
 
+    // Softmax attention in SQL: the dot is SUM over UNNEST (same device
+    // cosExpr uses — FP order differs from the codegen'd loop only in
+    // the last ulp, absorbed by the 6dp rounding).
+    "q_gnn_attention" -> {
+      val dot =
+        """(SELECT SUM(CAST(x AS DOUBLE) * CAST(y AS DOUBLE))
+          |   FROM (SELECT UNNEST(f.embedding) AS x, UNNEST(q.qv) AS y) zd)""".stripMargin
+      s"""WITH $edgesCte,
+         |n AS (SELECT COUNT(*) AS c FROM embeddings),
+         |f AS (SELECT e.src, emb.embedding
+         |      FROM edges e CROSS JOIN n
+         |      JOIN embeddings emb ON emb.vec_id = e.dst % n.c),
+         |q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+         |sc AS (SELECT f.src, f.embedding, $dot / 8 AS score FROM f CROSS JOIN q),
+         |st AS (SELECT src, embedding,
+         |         exp(score - MAX(score) OVER (PARTITION BY src)) AS wexp FROM sc),
+         |wn AS (SELECT src, embedding,
+         |         wexp / SUM(wexp) OVER (PARTITION BY src) AS w FROM st)
+         |SELECT src AS custkey,
+         |  ROUND(SUM(w * CAST(embedding[1] AS DOUBLE)), 6) AS a1,
+         |  ROUND(SUM(w * CAST(embedding[2] AS DOUBLE)), 6) AS a2,
+         |  ROUND(SUM(w * CAST(embedding[3] AS DOUBLE)), 6) AS a3,
+         |  ROUND(SUM(w * CAST(embedding[4] AS DOUBLE)), 6) AS a4
+         |FROM wn GROUP BY 1 ORDER BY 1""".stripMargin
+    },
+
     "q_gnn_sampled_mean" ->
       s"""WITH $edgesCte,
          |h AS (SELECT src, dst,
