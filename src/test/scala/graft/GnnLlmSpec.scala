@@ -34,6 +34,40 @@ class GnnLlmSpec extends AnyFunSuite {
     assert(out.forall(r => (1 to 4).forall(i => !r.getDouble(i).isNaN && r.getDouble(i) >= 0.0)))
   }
 
+  test("sampled neighborhood mean: sample bounded by K, subset semantics") {
+    val s = spark
+    val rows = Gnn.q_gnn_sampled_mean(s, sf0001).collect()
+    assert(rows.nonEmpty)
+    rows.foreach(r => assert(r.getLong(1) >= 1L && r.getLong(1) <= Gnn.SampleK,
+      s"sample size within [1, K]: $r"))
+    // customers with degree <= K keep their full neighborhood: sampled
+    // mean must equal the unsampled neighbor mean for them
+    val deg = GraphOps.edges(s, sf0001).groupBy("src").count().collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val full = GraphOps.q_graph_neighbor_mean(s, sf0001).collect()
+      .map(r => r.getLong(0) -> (r.getDouble(1), r.getDouble(2))).toMap
+    rows.filter(r => deg(r.getLong(0)) <= Gnn.SampleK).take(50).foreach { r =>
+      val (d1, d2) = full(r.getLong(0))
+      assert(math.abs(r.getDouble(2) - d1) < 1e-9 && math.abs(r.getDouble(3) - d2) < 1e-9,
+        s"low-degree customer must keep its exact mean: $r vs ($d1,$d2)")
+    }
+  }
+
+  test("attention aggregation stays inside the neighbor value range (convexity)") {
+    val s = spark
+    // softmax weights are a convex combination: each output dim must lie
+    // within [min, max] of that customer's neighbor feature values
+    val feats = GraphOps.neighborFeatures(s, sf0001)
+      .select(col("src"), element_at(col("embedding"), 1).cast("double").as("e1"))
+      .groupBy("src").agg(min("e1").as("lo"), max("e1").as("hi"))
+      .collect().map(r => r.getLong(0) -> (r.getDouble(1), r.getDouble(2))).toMap
+    Gnn.q_gnn_attention(s, sf0001).collect().foreach { r =>
+      val (lo, hi) = feats(r.getLong(0))
+      assert(r.getDouble(1) >= lo - 1e-6 && r.getDouble(1) <= hi + 1e-6,
+        s"attention output outside neighbor range: $r not in [$lo, $hi]")
+    }
+  }
+
   test("cosine: self-similarity is 1, topk within [-1,1]") {
     val rows = LlmOps.q_llm_cosine_topk(spark, sf0001).collect()
     assert(rows.length == 10)
