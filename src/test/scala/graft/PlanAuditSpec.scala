@@ -55,6 +55,15 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(p.contains("TakeOrderedAndProject"), "top-k must not globally sort")
   }
 
+  test("per-group top-k gets WindowGroupLimit pruning on both shuffle sides") {
+    // rank <= k over a window must plan partial + final WindowGroupLimit:
+    // each map task keeps only its local top-k BEFORE the shuffle, so the
+    // exchange carries O(partitions * k) rows per group, not the full table
+    val p = plan("q_win_topk_per_group")
+    assert("WindowGroupLimit".r.findAllIn(p).size >= 2,
+      s"partial+final window group limit expected:\n$p")
+  }
+
   test("graph projection self-join reuses one materialized edge list") {
     // partPairs must reference the SAME checkpointed RDD on both legs —
     // two LogicalRDD scans, zero parquet scans (the round-1 plan re-ran
