@@ -384,6 +384,46 @@ object LlmOps {
       .orderBy("query_id", "rnk")
   }
 
+  /** Number of random-hyperplane bits for the LSH-bucketed ANN. */
+  val LshBits = 8
+
+  /** Seeded INTEGER-valued hyperplane component (exactly representable
+    * in f32 and f64, so the bucket-bit sign test is bit-identical across
+    * engines — a fractional seed would differ between the float32 plan
+    * constant and the oracle's double literal). */
+  def hyperplane(j: Int, d: Int): Int = (j * 31 + d * 17) % 7 - 3
+
+  /** LSH-bucketed ANN over embeddings (random-hyperplane / SRP-LSH,
+    * Charikar 2002 §3): 8 sign bits of ⟨v, h_j⟩ form a bucket id, each
+    * query (vec_id 20–24) scans ONLY its bucket — the hashing
+    * counterpart of the IVF cell scan (q_llm_ann_ivf), one linear
+    * signature pass + a bucket-equality join at any scale. The seeded
+    * hyperplanes + left-to-right dot make the buckets deterministic, so
+    * even this "approximate" structure is oracle-checked exactly. */
+  def q_llm_ann_lsh(s: SparkSession, dir: String): DataFrame = {
+    val dot = vecDot(s) _
+    val emb = Tables.embeddings(s, dir)
+    val bucket = (0 until LshBits).map { j =>
+      val h = typedlit((0 until 64).map(d => hyperplane(j, d).toFloat))
+      when(dot(col("embedding"), h) > 0, lit(1L << j)).otherwise(lit(0L))
+    }.reduce(_ + _)
+    val b = emb.select(col("vec_id"), col("embedding"), bucket.as("bucket"),
+      normCol(s)(col("embedding")).as("nrm"))
+    val qs = b.filter(col("vec_id").between(20, 24))
+      .select(col("vec_id").as("query_id"), col("bucket").as("qb"),
+        col("embedding").as("qv"), col("nrm").as("qn"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos_sim").desc, col("neighbor_id").asc)
+    b.select(col("vec_id").as("neighbor_id"), col("bucket").as("nb"),
+        col("embedding").as("nv"), col("nrm").as("nn"))
+      .join(broadcast(qs), col("nb") === col("qb") && col("neighbor_id") =!= col("query_id"))
+      .withColumn("cos_sim", round(cosSimPre(s)(col("nv"), col("qv"), col("nn"), col("qn")), 6))
+      .withColumn("rnk", row_number().over(w).cast("bigint"))
+      .filter(col("rnk") <= 3)
+      .select(col("query_id"), col("neighbor_id"), col("cos_sim"), col("rnk"))
+      .orderBy("query_id", "rnk")
+  }
+
   // ── text analysis ────────────────────────────────────────────────────
 
   def q_llm_text_stats(s: SparkSession, dir: String): DataFrame = {
@@ -420,6 +460,7 @@ object LlmOps {
     "q_llm_simhash_md5" -> q_llm_simhash_md5 _,
     "q_llm_embed_neardup" -> q_llm_embed_neardup _,
     "q_llm_ann_ivf" -> q_llm_ann_ivf _,
+    "q_llm_ann_lsh" -> q_llm_ann_lsh _,
     "q_llm_cosine_topk" -> q_llm_cosine_topk _,
     "q_llm_knn_join" -> q_llm_knn_join _,
     "q_llm_text_stats" -> q_llm_text_stats _,

@@ -582,6 +582,27 @@ object Oracle {
          |ORDER BY p.lang, p.doc_a, p.doc_b""".stripMargin
     },
 
+    // SRP-LSH buckets reproduced exactly: integer hyperplane components
+    // and a left-associated + chain give bit-identical sign tests to the
+    // codegen'd FloatVecDot loop; cosines compare at 6dp as usual.
+    "q_llm_ann_lsh" -> {
+      def dotj(j: Int): String = (0 until 64).map(d =>
+        s"CAST(embedding[${d + 1}] AS DOUBLE) * (${LlmOps.hyperplane(j, d)})").mkString(" + ")
+      val bucket = (0 until LlmOps.LshBits).map(j =>
+        s"(CASE WHEN ${dotj(j)} > 0 THEN ${1L << j} ELSE 0 END)").mkString(" + ")
+      s"""WITH b AS (SELECT vec_id, embedding, $bucket AS bucket FROM embeddings),
+         |q AS (SELECT vec_id AS query_id, bucket AS qb, embedding AS qv
+         |      FROM b WHERE vec_id BETWEEN 20 AND 24),
+         |c AS (SELECT q.query_id, b.vec_id AS neighbor_id,
+         |        ROUND(${cosExpr("b.embedding", "q.qv")}, 6) AS cos_sim
+         |      FROM b JOIN q ON b.bucket = q.qb AND b.vec_id <> q.query_id),
+         |r AS (SELECT query_id, neighbor_id, cos_sim,
+         |        ROW_NUMBER() OVER (PARTITION BY query_id
+         |          ORDER BY cos_sim DESC, neighbor_id ASC) AS rn FROM c)
+         |SELECT query_id, neighbor_id, cos_sim, CAST(rn AS BIGINT) AS rnk
+         |FROM r WHERE rn <= 3 ORDER BY query_id, rnk""".stripMargin
+    },
+
     "q_llm_cosine_topk" ->
       s"""WITH t AS (SELECT embedding AS tv FROM embeddings WHERE vec_id = 0)
          |SELECT e.vec_id, ROUND(${cosExpr("e.embedding", "t.tv")}, 6) AS cos_sim
