@@ -15,7 +15,9 @@ import org.apache.spark.sql.functions._
   * aggregate (buffers, not rows, cross the shuffle); the 64×64 matmul
   * runs data-parallel in a typed `map` over (customer, mean) rows —
   * embarrassingly parallel, no further shuffle, scales with executors.
-  * No oracle (64×64 matmul is unreasonable in SQL) — golden-tested.
+  * Oracle-checked: Oracle.gnn generates the 4×64-term matmul SQL from
+  * the same weight/bias formulas (keep them in sync when changing the
+  * layer semantics); also golden-tested on unit-basis inputs.
   */
 object Gnn {
   val Dim = 64
@@ -69,7 +71,8 @@ object Gnn {
     * representations from part embeddings; layer 2 aggregates those back
     * over the reversed edges into part representations — two shuffles =
     * two message-passing supersteps, the Flink iteration-edge analog.
-    * No oracle (chained matmuls); invariant-tested. */
+    * Oracle-checked via Oracle.gnn's generated chained-matmul SQL;
+    * invariant-tested too. */
   def q_gnn_layer2(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     // layer 1: full 64-dim customer representations
@@ -186,15 +189,12 @@ object Gnn {
     * The two windows and the final aggregation all key on the customer,
     * so the whole op is ONE shuffle; the query vector broadcasts. */
   def q_gnn_attention(s: SparkSession, dir: String): DataFrame = {
-    s.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "graft_vec_dot",
-      exprs => graft.functions.FloatVecDot(exprs(0), exprs(1)), "built-in")
     val q = Tables.embeddings(s, dir).filter(col("vec_id") === 0)
       .select(col("embedding").as("qv"))
     val wspec = org.apache.spark.sql.expressions.Window.partitionBy(col("src"))
     val scored = GraphOps.neighborFeatures(s, dir)
       .crossJoin(broadcast(q))
-      .withColumn("score", call_function("graft_vec_dot", col("embedding"), col("qv")) / 8)
+      .withColumn("score", LlmOps.vecDot(s)(col("embedding"), col("qv")) / 8)
       .withColumn("wexp", exp(col("score") - max(col("score")).over(wspec)))
       .withColumn("w", col("wexp") / sum(col("wexp")).over(wspec))
     val e = (i: Int) => sum(col("w") * element_at(col("embedding"), i).cast("double"))

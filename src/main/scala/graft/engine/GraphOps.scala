@@ -102,8 +102,12 @@ object GraphOps {
     var labels = und.select(col("a").as("node")).distinct()
       .select(col("node"), col("node").as("lbl"))
       .localCheckpoint()
-    var prevSum = labels.agg(sum(col("lbl"))).collect()(0).getLong(0)
-    var converged = false
+    // Empty projection (no pair reaches the threshold): sum() is NULL —
+    // skip the loop entirely and fall through to the all-singletons
+    // histogram instead of NPE-ing on the null aggregate.
+    val first = labels.agg(sum(col("lbl"))).collect()(0)
+    var prevSum = if (first.isNullAt(0)) 0L else first.getLong(0)
+    var converged = first.isNullAt(0)
     while (!converged) {
       // explicit broadcast: the label table is checkpointed each round, so
       // AQE has no size stats and would sort-merge-join the edge list every
@@ -245,8 +249,16 @@ object GraphOps {
     * co-occurrence projection (common-neighbor counts) + the degree
     * table — one extra broadcast-able join over what cooccur computes. */
   def q_graph_jaccard(s: SparkSession, dir: String): DataFrame = {
-    val pp = partPairs(s, dir, TriangleMinCooccur)
-    val deg = edges(s, dir).groupBy(col("dst")).agg(count(lit(1)).as("d"))
+    // One materialized edge list feeds BOTH the pair counts and the
+    // degree table (same reuse partPairs/adamic_adar apply internally).
+    val e = edges(s, dir).localCheckpoint()
+    val e1 = e.select(col("src"), col("dst").as("a"))
+    val e2 = e.select(col("src").as("src2"), col("dst").as("b"))
+    val pp = e1.join(e2, col("src") === col("src2") && col("a") < col("b"))
+      .groupBy(col("a"), col("b"))
+      .agg(count(lit(1)).as("cnt"))
+      .filter(col("cnt") >= TriangleMinCooccur)
+    val deg = e.groupBy(col("dst")).agg(count(lit(1)).as("d"))
     pp.join(deg.select(col("dst").as("pa"), col("d").as("da")), col("a") === col("pa"))
       .join(deg.select(col("dst").as("pb"), col("d").as("db")), col("b") === col("pb"))
       .select(col("a").as("part_a"), col("b").as("part_b"), col("cnt").as("common"),

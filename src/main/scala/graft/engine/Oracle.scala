@@ -838,7 +838,8 @@ object Oracle {
          |  CAST('0x' || substr(md5(CAST(src AS VARCHAR) || ':' ||
          |    CAST(dst AS VARCHAR) || ':' || CAST(i AS VARCHAR)), 1, 15) AS BIGINT)
          |    % np AS neg
-         |  FROM edges CROSS JOIN np, UNNEST([0, 1, 2]) AS u(i)),
+         |  FROM edges CROSS JOIN np,
+         |    UNNEST([${(0 until Gnn.NegK).mkString(", ")}]) AS u(i)),
          |fn AS (SELECT n.src, COUNT(*) AS fn FROM negs n
          |       JOIN edges e ON n.src = e.src AND n.neg = e.dst GROUP BY 1),
          |pos AS (SELECT src, COUNT(*) AS n_pos FROM edges GROUP BY 1)

@@ -173,7 +173,12 @@ object StreamingOps {
   def statefulSnapshotTws(s: SparkSession, ev: DataFrame): Dataset[UserAgg] = {
     import s.implicits._
     // transformWithState runs on the RocksDB state store provider only
-    // (its column-family state layout), in batch mode too.
+    // (its column-family state layout), in batch mode too. NOTE this is a
+    // SESSION-WIDE switch taken at plan-build time and deliberately not
+    // restored: the conf is read at execution, so a set/restore here
+    // would race the actual run, and RocksDB is the recommended provider
+    // for every stateful query anyway (results are provider-independent;
+    // the suite's provider tests save/restore around their own calls).
     s.conf.set("spark.sql.streaming.stateStore.providerClass",
       "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
     // Batch execution skips the streaming runner that registers the

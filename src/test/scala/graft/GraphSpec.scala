@@ -87,6 +87,24 @@ class GraphSpec extends AnyFunSuite {
     assert(top.toSeq == top2.toSeq)
   }
 
+  test("cc with no qualifying pairs returns the all-singletons histogram") {
+    val s = spark
+    import s.implicits._
+    // one customer, one part: no pair can reach the co-occurrence
+    // threshold, so the label loop must short-circuit (empty-sum branch)
+    // and every part must come back as a singleton component
+    val dir = java.nio.file.Files.createTempDirectory("graft_cc_empty").toString
+    Seq((0L, 0L)).toDF("o_orderkey", "o_custkey")
+      .write.mode("overwrite").parquet(s"$dir/orders.parquet")
+    Seq((0L, 0L)).toDF("l_orderkey", "l_partkey")
+      .write.mode("overwrite").parquet(s"$dir/lineitem.parquet")
+    Seq(0L, 1L, 2L).toDF("p_partkey")
+      .write.mode("overwrite").parquet(s"$dir/part.parquet")
+    val hist = GraphOps.q_graph_cc(s, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(hist == Seq((1L, 3L)), s"expected 3 singletons, got $hist")
+  }
+
   test("degree sum equals edge count (bipartite handshake)") {
     val s = spark
     val degSum = GraphOps.q_graph_degree(s, sf0001)
