@@ -905,6 +905,23 @@ object Oracle {
 
   /** §2.12 — training-data pipeline ops (PipelineOps.scala). */
   val pipeline: Map[String, String] = Map(
+    "q_text_unigram_xent" ->
+      """WITH tok AS (SELECT doc_id, lang, unnest(string_split(text, ' ')) AS tok
+        |            FROM documents),
+        |counts AS (SELECT lang AS ml, tok AS mt, COUNT(*) AS c
+        |           FROM tok WHERE doc_id % 10 <> 0 GROUP BY 1, 2),
+        |totals AS (SELECT ml, CAST(SUM(c) AS BIGINT) AS tot FROM counts GROUP BY 1),
+        |model AS (SELECT counts.ml, mt, CAST(c AS DOUBLE) / tot AS p
+        |          FROM counts JOIN totals ON counts.ml = totals.ml),
+        |scored AS (SELECT t.doc_id, t.lang,
+        |    -ln(COALESCE(m.p, CAST(1 AS DOUBLE) / tt.tot)) AS nll
+        |  FROM tok t
+        |  JOIN totals tt ON t.lang = tt.ml
+        |  LEFT JOIN model m ON t.lang = m.ml AND t.tok = m.mt
+        |  WHERE t.doc_id % 10 = 0)
+        |SELECT doc_id, lang, COUNT(*) AS n_tokens, ROUND(AVG(nll), 6) AS xent
+        |FROM scored GROUP BY 1, 2 ORDER BY doc_id""".stripMargin,
+
     "q_llm_pack_sequences" ->
       s"""WITH t AS (SELECT lang, doc_id,
          |  CAST(len(string_split(text, ' ')) AS BIGINT) AS nt FROM documents),

@@ -153,7 +153,36 @@ object TextOps {
       .orderBy("lang", "doc_a", "doc_b")
   }
 
+  /** Unigram cross-entropy scoring (the CCNet/Wenzek et al. 2020
+    * perplexity-filter shape with a unigram LM): per-lang token
+    * probabilities are estimated on the train split (doc_id % 10 ≠ 0),
+    * held-out docs score avg −ln p(token) with add-nothing OOV backoff
+    * to 1/total. High cross-entropy = unusual token distribution = drop
+    * candidate. Model table is vocabulary-sized → broadcast; scoring is
+    * one join + keyed mean. */
+  def q_text_unigram_xent(s: SparkSession, dir: String): DataFrame = {
+    val tok = Tables.documents(s, dir)
+      .select(col("doc_id"), col("lang"), explode(split(col("text"), " ")).as("tok"))
+    val train = tok.filter(col("doc_id") % 10 =!= 0)
+    val counts = train.groupBy(col("lang").as("ml"), col("tok").as("mt"))
+      .agg(count(lit(1)).as("c"))
+    val totals = counts.groupBy(col("ml")).agg(sum(col("c")).as("tot"))
+    val model = counts.join(totals, "ml")
+      .select(col("ml"), col("mt"), (col("c").cast("double") / col("tot")).as("p"), col("tot"))
+    tok.filter(col("doc_id") % 10 === 0)
+      .join(broadcast(totals.select(col("ml").as("jl"), col("tot").as("jtot"))),
+        col("lang") === col("jl"))
+      .join(broadcast(model.select(col("ml"), col("mt"), col("p"))),
+        col("lang") === col("ml") && col("tok") === col("mt"), "left_outer")
+      .select(col("doc_id"), col("lang"),
+        (-log(coalesce(col("p"), lit(1.0) / col("jtot")))).as("nll"))
+      .groupBy(col("doc_id"), col("lang"))
+      .agg(count(lit(1)).as("n_tokens"), round(avg(col("nll")), 6).as("xent"))
+      .orderBy("doc_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_text_unigram_xent" -> q_text_unigram_xent _,
     "q_text_langid" -> q_text_langid _,
     "q_text_quality" -> q_text_quality _,
     "q_text_token_count" -> q_text_token_count _,
