@@ -145,9 +145,11 @@ object Gnn {
     val moments = (1 to 4).flatMap(j =>
       Seq(avg(el(j)).as(s"m$j"), stddev_samp(el(j)).as(s"s$j")))
     val stats = emb.agg(moments.head, moments.tail: _*)
+    // nullif guard: a constant dimension has s=0; double division would
+    // yield Inf/NaN (and diverge from the oracle) — NULL in both engines.
     emb.crossJoin(broadcast(stats))
       .select(col("vec_id") +: (1 to 4).map(j =>
-        round((el(j) - col(s"m$j")) / col(s"s$j"), 6).as(s"z$j")): _*)
+        round((el(j) - col(s"m$j")) / nullif(col(s"s$j"), lit(0d)), 6).as(s"z$j")): _*)
       .orderBy("vec_id")
   }
 

@@ -731,7 +731,7 @@ object Oracle {
       """WITH d AS (SELECT doc_id, lang,
         |             list_distinct(list_transform(range(1, length(text)-1),
         |               i -> substr(text, CAST(i AS INT), 3))) AS g3
-        |           FROM documents WHERE doc_id % 10 = 0),
+        |           FROM documents WHERE doc_id % 10 = 0 AND length(text) >= 3),
         |p AS (SELECT d1.lang, d1.doc_id AS doc_a, d2.doc_id AS doc_b,
         |        CAST(len(list_intersect(d1.g3, d2.g3)) AS DOUBLE)
         |          / (len(d1.g3) + len(d2.g3) - len(list_intersect(d1.g3, d2.g3))) AS jac
@@ -897,7 +897,7 @@ object Oracle {
         s"AVG(CAST(embedding[$j] AS DOUBLE)) AS m$j",
         s"STDDEV_SAMP(CAST(embedding[$j] AS DOUBLE)) AS s$j")).mkString(", ")
       val zs = (1 to 4).map(j =>
-        s"ROUND((CAST(embedding[$j] AS DOUBLE) - m$j) / s$j, 6) AS z$j").mkString(", ")
+        s"ROUND((CAST(embedding[$j] AS DOUBLE) - m$j) / NULLIF(s$j, 0), 6) AS z$j").mkString(", ")
       s"""WITH st AS (SELECT $stats FROM embeddings)
          |SELECT vec_id, $zs FROM embeddings CROSS JOIN st ORDER BY vec_id""".stripMargin
     }

@@ -92,43 +92,46 @@ object StreamingOps {
 
   case class SessionOut(user_id: Long, n_events: Long, last_ts: java.sql.Timestamp)
 
+  /** One pending session: event count + inclusive [start, end] in epoch ms. */
+  case class Sess(n: Long, startMs: Long, endMs: Long)
+
+  /** Per-user pending sessions, held until the watermark seals them. */
+  case class SessState(sessions: Seq[Sess])
+
   /** Session gap (ms) for the event-time-timer sessionization. */
   val SessionGapMs: Long = 30L * 60L * 1000L
 
   /** Flink timer analog: per-user sessions closed by an EVENT-TIME
-    * timeout. While events arrive the state accumulates silently and the
-    * timer is pushed to last_ts + 30 min; when the watermark passes the
-    * timer, the closed session is emitted exactly once and state is
-    * freed — the timeout IS the state-eviction mechanism at scale.
-    *
-    * Events WITHIN one invocation are sorted by event time and split at
-    * intra-batch gaps > 30 min, so session boundaries do not depend on
-    * where the micro-batch cuts fell — a fat batch and an
-    * event-at-a-time stream produce the same sessions (only the final
-    * still-open session awaits its timer). */
+    * timeout, late-data-safe. Every incoming event becomes a singleton
+    * session; pending sessions merge whenever their boundaries are
+    * within the 30-min gap (matching session_window, which merges at
+    * exactly gap distance). A session is emitted ONLY once the
+    * watermark passes session_end + gap — before that, an out-of-order
+    * event still above the watermark may extend it or bridge two
+    * pending sessions, so emission is independent of arrival order and
+    * of where the micro-batch cuts fell. The timer (armed at the
+    * earliest pending end + gap) is the state-eviction mechanism:
+    * when it fires, sealed sessions flush and the timer re-arms for
+    * the next pending one. */
   def timedSessionUpdate(key: Long, events: Iterator[Ev],
-      state: GroupState[UserState]): Iterator[SessionOut] = {
-    if (state.hasTimedOut) {
-      val st = state.get
-      state.remove()
-      Iterator.single(SessionOut(key, st.n, st.lastTs))
-    } else {
-      val init = state.getOption.getOrElse(UserState(0L, null, 0L))
-      var n = init.n
-      var last = init.lastTs
-      val closed = scala.collection.mutable.ArrayBuffer.empty[SessionOut]
-      events.toArray.sortBy(_.ts.getTime).foreach { e =>
-        if (last != null && e.ts.getTime - last.getTime > SessionGapMs) {
-          closed += SessionOut(key, n, last)
-          n = 0L
-        }
-        n += 1
-        if (last == null || e.ts.compareTo(last) > 0) last = e.ts
-      }
-      state.update(UserState(n, last, 0L))
-      state.setTimeoutTimestamp(last.getTime + SessionGapMs)
-      closed.iterator
+      state: GroupState[SessState]): Iterator[SessionOut] = {
+    val wm = state.getCurrentWatermarkMs()
+    val prior = state.getOption.map(_.sessions).getOrElse(Seq.empty)
+    val incoming = events.map(e => Sess(1L, e.ts.getTime, e.ts.getTime)).toSeq
+    val merged = (prior ++ incoming).sortBy(s => (s.startMs, s.endMs))
+      .foldLeft(List.empty[Sess]) {
+        case (cur :: rest, s) if s.startMs - cur.endMs <= SessionGapMs =>
+          Sess(cur.n + s.n, cur.startMs, math.max(cur.endMs, s.endMs)) :: rest
+        case (acc, s) => s :: acc
+      }.reverse
+    val (sealed_, open) = merged.partition(_.endMs + SessionGapMs <= wm)
+    if (open.isEmpty) state.remove()
+    else {
+      state.update(SessState(open))
+      // min pending end + gap is > wm by construction of `open`
+      state.setTimeoutTimestamp(open.map(_.endMs).min + SessionGapMs)
     }
+    sealed_.iterator.map(s => SessionOut(key, s.n, new java.sql.Timestamp(s.endMs)))
   }
 
   def timedSessions(s: SparkSession, ev: DataFrame): Dataset[SessionOut] = {
@@ -170,26 +173,41 @@ object StreamingOps {
     }
   }
 
+  /** transformWithState requires the RocksDB state store provider (its
+    * column-family state layout) — the caller configures the provider on
+    * the session that owns `ev` (streaming runs register their own
+    * StateStoreCoordinator; the batch path uses [[batchTwsSession]]). */
   def statefulSnapshotTws(s: SparkSession, ev: DataFrame): Dataset[UserAgg] = {
     import s.implicits._
-    // transformWithState runs on the RocksDB state store provider only
-    // (its column-family state layout), in batch mode too. NOTE this is a
-    // SESSION-WIDE switch taken at plan-build time and deliberately not
-    // restored: the conf is read at execution, so a set/restore here
-    // would race the actual run, and RocksDB is the recommended provider
-    // for every stateful query anyway (results are provider-independent;
-    // the suite's provider tests save/restore around their own calls).
-    s.conf.set("spark.sql.streaming.stateStore.providerClass",
+    ev.select(col("event_id"), col("user_id"), col("ts"), col("value")).as[Ev]
+      .groupByKey(_.user_id)
+      .transformWithState(new UserAggProcessor, TimeMode.None(), OutputMode.Update())
+  }
+
+  /** Session prepared for BATCH transformWithState, cloned from `s` so the
+    * provider override stays scoped to this query instead of silently
+    * switching every later stateful query in the shared session to
+    * RocksDB (builder-level confs — shuffle partitions, TZ, extensions —
+    * are inherited from the shared SparkConf). */
+  private[engine] def batchTwsSession(s: SparkSession): SparkSession = {
+    val s2 = s.newSession()
+    s2.conf.set("spark.sql.streaming.stateStore.providerClass",
       "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
     // Batch execution skips the streaming runner that registers the
     // driver's StateStoreCoordinator RPC endpoint, and RocksDB's
     // snapshot-upload reporting then kills every task with
     // RpcEndpointNotFoundException. Force-create it the same way a
     // streaming run would (private[sql] lazy val, public in bytecode).
-    s.streams.getClass.getMethod("stateStoreCoordinator").invoke(s.streams)
-    ev.select(col("event_id"), col("user_id"), col("ts"), col("value")).as[Ev]
-      .groupByKey(_.user_id)
-      .transformWithState(new UserAggProcessor, TimeMode.None(), OutputMode.Update())
+    try s2.streams.getClass.getMethod("stateStoreCoordinator").invoke(s2.streams)
+    catch {
+      case e: ReflectiveOperationException => throw new IllegalStateException(
+        "Cannot force-create the StateStoreCoordinator: " +
+          "StreamingQueryManager.stateStoreCoordinator (a private[sql] lazy " +
+          "val, public in Spark 4.1 bytecode) was not found — the Spark " +
+          "version in use must have moved it. Run q_stream_stateful_tws as " +
+          "a streaming query (which registers the coordinator itself) instead.", e)
+    }
+    s2
   }
 
   def statefulSnapshot(s: SparkSession, ev: DataFrame): Dataset[UserAgg] = {
@@ -247,10 +265,12 @@ object StreamingOps {
   def q_stream_win_topk(s: SparkSession, dir: String): DataFrame =
     windowTopUsers(Tables.events(s, dir)).orderBy("day", "rnk")
 
-  def q_stream_stateful_tws(s: SparkSession, dir: String): DataFrame =
-    statefulSnapshotTws(s, Tables.events(s, dir))
+  def q_stream_stateful_tws(s: SparkSession, dir: String): DataFrame = {
+    val s2 = batchTwsSession(s)
+    statefulSnapshotTws(s2, Tables.events(s2, dir))
       .toDF()
       .orderBy("user_id")
+  }
 
   def q_stream_static_join(s: SparkSession, dir: String): DataFrame =
     staticEnrich(Tables.events(s, dir), Tables.customer(s, dir))

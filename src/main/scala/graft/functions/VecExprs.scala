@@ -172,14 +172,17 @@ case class MinHashSig(child: Expression, numHashes: Int)
     val n = arr.numElements()
     while (t < n) {
       val tok = arr.getUTF8String(t)
-      if (tok != null) {
-        var j = 0
-        while (j < numHashes) {
-          val h = org.apache.spark.sql.catalyst.expressions.XxHash64Function.hash(
+      var j = 0
+      while (j < numHashes) {
+        // A null element matches the documented HOF semantics: xxhash64 of
+        // a null value leaves the running seed unchanged, so the candidate
+        // for hash j is seeds(j) itself.
+        val h =
+          if (tok == null) seeds(j)
+          else org.apache.spark.sql.catalyst.expressions.XxHash64Function.hash(
             tok, StringType, seeds(j))
-          if (h < mins(j)) mins(j) = h
-          j += 1
-        }
+        if (h < mins(j)) mins(j) = h
+        j += 1
       }
       t += 1
     }

@@ -123,21 +123,52 @@ class StreamingSourcesSpec extends AnyFunSuite {
     val q = StreamingOps.timedSessions(s, ms.toDF())
       .writeStream.outputMode(OutputMode.Append)
       .format("memory").queryName("gapsplit").start()
-    // ONE batch containing two sessions of user 1 separated by a 2h gap:
-    // the earlier session must close immediately (not merge because the
-    // micro-batch happened to contain both), the later one awaits its timer
+    // ONE batch containing two sessions of user 1 separated by a 2h gap.
+    // The batch's own watermark (03:30 - 10 min = 03:20) seals the first
+    // session (end 01:10 + gap = 01:40 <= 03:20) -> it flushes in the
+    // trailing no-data micro-batch; the second (sealed only at 04:00)
+    // stays held. Neither may merge just because the micro-batch
+    // happened to contain both.
     ms.addData(E(1, 1, ts(1, 0), "click", 0), E(2, 1, ts(1, 10), "click", 0),
       E(3, 1, ts(3, 30), "click", 0))
     q.processAllAvailable()
     val afterBatch1 = s.table("gapsplit").collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getTimestamp(2)))
     assert(afterBatch1.toSeq == Seq((1L, 2L, ts(1, 10))),
-      s"intra-batch gap must close the first session: ${afterBatch1.toSeq}")
-    // watermark passes the second session's timer -> it closes too
+      s"watermark must seal exactly the first session: ${afterBatch1.toSeq}")
+    // batch 2 advances the watermark past both session ends + gap ->
+    // two distinct sessions flush (timer + no-data batch)
     ms.addData(E(4, 2, ts(5, 0), "click", 0))
     q.processAllAvailable(); q.stop()
-    val all = s.table("gapsplit").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
-    assert(all.contains((1L, 1L)), s"second session must close via timer: $all")
+    val all = s.table("gapsplit").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getTimestamp(2))).toSet
+    assert(all.contains((1L, 2L, ts(1, 10))) && all.contains((1L, 1L, ts(3, 30))),
+      s"intra-batch gap must yield two separate sessions: $all")
+  }
+
+  test("late event above the watermark bridges two held sessions (ADVICE r2)") {
+    val s = spark
+    import s.implicits._
+    implicit val sq = s.sqlContext
+    def ts(h: Int, m: Int) = Timestamp.valueOf(f"2024-01-01 $h%02d:$m%02d:00")
+    val ms = MemoryStream[E]
+    val q = StreamingOps.timedSessions(s, ms.toDF())
+      .writeStream.outputMode(OutputMode.Append)
+      .format("memory").queryName("latebridge").start()
+    // 01:00 and 01:35 are 35 min apart -> two pending sessions
+    ms.addData(E(1, 1, ts(1, 0), "click", 0), E(2, 1, ts(1, 35), "click", 0))
+    q.processAllAvailable()
+    // watermark is now 01:25; the out-of-order 01:28 is still valid and
+    // must bridge the two pending sessions into one
+    ms.addData(E(3, 1, ts(1, 28), "click", 0))
+    q.processAllAvailable()
+    // advance the watermark far past 01:35 + gap -> the merged session flushes
+    ms.addData(E(4, 2, ts(4, 0), "click", 0))
+    q.processAllAvailable(); q.stop()
+    val user1 = s.table("latebridge").collect()
+      .filter(_.getLong(0) == 1L).map(r => (r.getLong(1), r.getTimestamp(2)))
+    assert(user1.toSeq == Seq((3L, ts(1, 35))),
+      s"late event must merge the held sessions into one of 3 events: ${user1.toSeq}")
   }
 
   test("stateful query runs on the RocksDB state store provider") {
