@@ -47,8 +47,11 @@ object GraphOps {
     // otherwise each re-run the scan + join + distinct pipeline (the
     // static planner does not reuse the exchange across the aliased
     // legs). 600k (long, long) rows — trivial to hold, and the 12M-pair
-    // aggregation downstream is the real cost.
-    val e = edges(s, dir).localCheckpoint()
+    // aggregation downstream is the real cost. Pre-hash-partitioned on
+    // the customer key: the checkpoint preserves the partitioning and
+    // both self-join legs read the SAME partitioning, so the pair join
+    // needs no exchange on either side.
+    val e = edges(s, dir).repartition(col("src")).localCheckpoint()
     val e1 = e.select(col("src"), col("dst").as("a"))
     val e2 = e.select(col("src").as("src2"), col("dst").as("b"))
     e1.join(e2, col("src") === col("src2") && col("a") < col("b"))
@@ -227,10 +230,17 @@ object GraphOps {
       // one checkpoint + one count job per level: `dist` is a union of
       // already-checkpointed level outputs, so its lineage stays shallow
       // without materializing it again.
-      val next = frontier
-        .join(ue, col("node") === col("a"))
+      // Explicit broadcasts: frontier and visited-set are |V_frontier|-
+      // sized (≪ the edge list), but both are checkpointed LogicalRDDs
+      // with no stats, so the planner would sort-merge-join the full
+      // edge list every level. At a scale where the frontier outgrows
+      // broadcast, drop the hints and pre-hash-partition ue + frontier
+      // on the join key instead.
+      val next = ue
+        .join(broadcast(frontier), col("node") === col("a"))
         .select(col("b").as("node")).distinct()
-        .join(dist.select(col("node").as("vn")), col("node") === col("vn"), "left_anti")
+        .join(broadcast(dist.select(col("node").as("vn"))),
+          col("node") === col("vn"), "left_anti")
         .select(col("node"), lit(depth).as("d"))
         .localCheckpoint()
       frontierSize = next.count()
@@ -250,8 +260,9 @@ object GraphOps {
     * table — one extra broadcast-able join over what cooccur computes. */
   def q_graph_jaccard(s: SparkSession, dir: String): DataFrame = {
     // One materialized edge list feeds BOTH the pair counts and the
-    // degree table (same reuse partPairs/adamic_adar apply internally).
-    val e = edges(s, dir).localCheckpoint()
+    // degree table (same reuse partPairs/adamic_adar apply internally);
+    // pre-hash-partitioned on src so the pair self-join is exchange-free.
+    val e = edges(s, dir).repartition(col("src")).localCheckpoint()
     val e1 = e.select(col("src"), col("dst").as("a"))
     val e2 = e.select(col("src").as("src2"), col("dst").as("b"))
     val pp = e1.join(e2, col("src") === col("src2") && col("a") < col("b"))
@@ -274,14 +285,23 @@ object GraphOps {
     * degree broadcast in. (A shared neighbor always has degree ≥ 2 —
     * it produced the pair — so ln(deg) > 0.) */
   def q_graph_adamic_adar(s: SparkSession, dir: String): DataFrame = {
-    val e = edges(s, dir).localCheckpoint()
+    // src-partitioned checkpoint: the degree groupBy AND both pair-join
+    // legs key on src, so neither needs an exchange.
+    val e = edges(s, dir).repartition(col("src")).localCheckpoint()
     val custDeg = e.groupBy(col("src").as("cd_src")).agg(count(lit(1)).as("cd"))
-    val e1 = e.select(col("src"), col("dst").as("a"))
+    // Attach 1/ln(deg) to the |E|-row edge leg BEFORE the pair join: the
+    // weight is per shared customer, so joining it onto the ~20×|E| pair
+    // explosion afterwards (the round-2 plan) did the same lookup on every
+    // pair row. Both legs then flow broadcast-free into one SMJ + partial
+    // sum that stays inside whole-stage codegen.
+    // degree-1 customers can never produce a pair (and ln(1) = 0 would
+    // divide by zero) — the inner join on cd >= 2 drops their edges early.
+    val e1 = e.join(broadcast(custDeg.filter(col("cd") >= 2)), col("src") === col("cd_src"))
+      .select(col("src"), col("dst").as("a"), (lit(1.0) / log(col("cd"))).as("w"))
     val e2 = e.select(col("src").as("src2"), col("dst").as("b"))
     e1.join(e2, col("src") === col("src2") && col("a") < col("b"))
-      .join(broadcast(custDeg), col("src") === col("cd_src"))
       .groupBy(col("a").as("part_a"), col("b").as("part_b"))
-      .agg(round(sum(lit(1.0) / log(col("cd"))), 6).as("aa"))
+      .agg(round(sum(col("w")), 6).as("aa"))
       .orderBy(col("aa").desc, col("part_a").asc, col("part_b").asc)
       .limit(20)
   }

@@ -236,7 +236,10 @@ object LlmOps {
     s.sessionState.functionRegistry.createOrReplaceTempFunction(
       "graft_simhash64", exprs => graft.functions.SimHash64(exprs.head), "built-in")
     val d = tokenSets(s, dir).filter(size(col("toks")) > 0)
+    // materialized once: banding + both Hamming-verify sides reuse it
     val sig = d.withColumn("simhash", call_function("graft_simhash64", col("toks")))
+      .select(col("doc_id"), col("lang"), col("simhash"))
+      .localCheckpoint()
     val banded = sig.select(col("lang"), col("doc_id"),
       posexplode(array((0 until 4).map { b =>
         expr(s"shiftright(simhash, ${16 * b}) & 65535")
@@ -250,8 +253,10 @@ object LlmOps {
       .select(col("lang"), col("doc_a"), col("doc_b"))
       .distinct()
     pairs
-      .join(sig.select(col("doc_id").as("ia"), col("simhash").as("ha")), col("doc_a") === col("ia"))
-      .join(sig.select(col("doc_id").as("ib"), col("simhash").as("hb")), col("doc_b") === col("ib"))
+      .join(broadcast(sig.select(col("doc_id").as("ia"), col("simhash").as("ha"))),
+        col("doc_a") === col("ia"))
+      .join(broadcast(sig.select(col("doc_id").as("ib"), col("simhash").as("hb"))),
+        col("doc_b") === col("ib"))
       .withColumn("hamming", expr("bit_count(ha ^ hb)").cast("int"))
       .filter(col("hamming") <= 12)
       .select(col("lang"), col("doc_a"), col("doc_b"), col("hamming"))
@@ -274,9 +279,13 @@ object LlmOps {
       sum(when(expr(s"shiftright(h, $b) & 1") === 1, 1).otherwise(-1)).as(s"v$b"))
     val sigExpr = (0 until 60)
       .map(b => s"(CASE WHEN v$b > 0 THEN ${1L << b}L ELSE 0L END)").mkString(" + ")
+    // Materialize the signatures ONCE: the banding pass and both sides of
+    // the Hamming verify read `sig`, and each would otherwise re-run the
+    // whole token-explode + md5 + 60-vote aggregation (3× the query cost).
     val sig = tok.groupBy(col("doc_id"), col("lang"))
       .agg(votes.head, votes.tail: _*)
       .select(col("doc_id"), col("lang"), expr(sigExpr).as("simhash"))
+      .localCheckpoint()
     val banded = sig.select(col("lang"), col("doc_id"),
       posexplode(array((0 until 4).map { b =>
         expr(s"shiftright(simhash, ${15 * b}) & 32767")
@@ -290,8 +299,10 @@ object LlmOps {
       .select(col("lang"), col("doc_a"), col("doc_b"))
       .distinct()
     pairs
-      .join(sig.select(col("doc_id").as("ia"), col("simhash").as("ha")), col("doc_a") === col("ia"))
-      .join(sig.select(col("doc_id").as("ib"), col("simhash").as("hb")), col("doc_b") === col("ib"))
+      .join(broadcast(sig.select(col("doc_id").as("ia"), col("simhash").as("ha"))),
+        col("doc_a") === col("ia"))
+      .join(broadcast(sig.select(col("doc_id").as("ib"), col("simhash").as("hb"))),
+        col("doc_b") === col("ib"))
       .withColumn("hamming", expr("bit_count(ha ^ hb)").cast("int"))
       .filter(col("hamming") <= 12)
       .select(col("lang"), col("doc_a"), col("doc_b"), col("hamming"))
