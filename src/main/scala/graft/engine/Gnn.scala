@@ -206,7 +206,33 @@ object Gnn {
       .orderBy("custkey")
   }
 
+  /** GCN symmetric-normalized aggregation (Kipf & Welling 2017 eq. 2,
+    * the D^{-1/2} A D^{-1/2} X message pass that precedes the dense
+    * layer): per customer, Σ_{u∈N(v)} x_u / √(deg(u)·deg(v)) over the
+    * bipartite co-purchase graph, dims 1–4. Differs from the GraphSAGE
+    * mean (q_graph_neighbor_mean) exactly by the degree normalization —
+    * hub neighbors are downweighted. Both degree tables broadcast; one
+    * shuffle total (the per-customer sum). */
+  def q_gnn_gcn_norm(s: SparkSession, dir: String): DataFrame = {
+    val e = GraphOps.edges(s, dir).localCheckpoint()
+    val dc = e.groupBy(col("src").as("dc_key")).agg(count(lit(1)).as("dc"))
+    val dp = e.groupBy(col("dst").as("dp_key")).agg(count(lit(1)).as("dp"))
+    val n = Tables.embeddings(s, dir).agg(count(lit(1)).as("n_emb"))
+    val f = e.crossJoin(broadcast(n))
+      .join(broadcast(dc), col("src") === col("dc_key"))
+      .join(broadcast(dp), col("dst") === col("dp_key"))
+      .select(col("src"), (col("dst") % col("n_emb")).as("vkey"),
+        sqrt((col("dc") * col("dp")).cast("double")).as("nrm"))
+      .join(broadcast(Tables.embeddings(s, dir)), col("vkey") === col("vec_id"))
+    val d = (i: Int) =>
+      round(sum(element_at(col("embedding"), i).cast("double") / col("nrm")), 6).as(s"d$i")
+    f.groupBy(col("src").as("custkey"))
+      .agg(d(1), d(2), d(3), d(4))
+      .orderBy("custkey")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_gnn_gcn_norm" -> q_gnn_gcn_norm _,
     "q_gnn_layer" -> q_gnn_layer _,
     "q_gnn_sampled_mean" -> q_gnn_sampled_mean _,
     "q_gnn_attention" -> q_gnn_attention _,

@@ -306,6 +306,101 @@ object GraphOps {
       .limit(20)
   }
 
+  /** Synchronous label-propagation iterations (fixed count, shared with
+    * the unrolled oracle CTE chain). */
+  val LpIters = 4
+
+  /** Label-propagation community detection (Raghavan et al. 2007) on the
+    * thresholded part–part projection, made deterministic: 4 synchronous
+    * iterations, each node adopts the most frequent label among its
+    * neighbors (ties broken by smallest label; initial label = node id).
+    * One shuffle + one window per iteration — a Pregel superstep as
+    * relational algebra. Returns the community-size histogram over
+    * edge-connected nodes. */
+  def q_graph_label_prop(s: SparkSession, dir: String): DataFrame = {
+    val pp = partPairs(s, dir, TriangleMinCooccur).select(col("a"), col("b"))
+    val ue = pp.union(pp.select(col("b").as("a"), col("a").as("b")))
+      .localCheckpoint()
+    var labels = ue.select(col("a").as("node")).distinct()
+      .select(col("node"), col("node").as("lbl"))
+      .localCheckpoint()
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("a")).orderBy(col("c").desc, col("lbl").asc)
+    for (_ <- 1 to LpIters) {
+      // label table is checkpointed (no stats) — broadcast it explicitly,
+      // same reasoning as the CC loop; every connected node has >= 1
+      // neighbor, so the rn=1 row exists and the node set is preserved.
+      labels = ue
+        .join(broadcast(labels.select(col("node").as("bn"), col("lbl"))),
+          col("b") === col("bn"))
+        .groupBy(col("a"), col("lbl")).agg(count(lit(1)).as("c"))
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .select(col("a").as("node"), col("lbl"))
+        .localCheckpoint()
+    }
+    labels.groupBy(col("lbl")).agg(count(lit(1)).as("csize"))
+      .groupBy(col("csize").as("size")).agg(count(lit(1)).as("n_communities"))
+      .orderBy("size")
+  }
+
+  /** k-core order and peeling rounds (shared with the unrolled oracle;
+    * the spec asserts the peel reaches its fixpoint within the rounds on
+    * the fixtures, so the fixed-round result IS the true 3-core there). */
+  val KCoreK = 3
+  val KCoreRounds = 5
+
+  /** k-core decomposition (Seidman 1983) of the thresholded projection:
+    * iteratively peel nodes of degree < k in the surviving induced
+    * subgraph; returns the 3-core membership with in-core degrees. Each
+    * round is two broadcast semi-joins + one aggregation — no driver-side
+    * graph, O(peel-depth) rounds. */
+  def q_graph_kcore(s: SparkSession, dir: String): DataFrame = {
+    val pp = partPairs(s, dir, TriangleMinCooccur).select(col("a"), col("b"))
+    val ue = pp.union(pp.select(col("b").as("a"), col("a").as("b")))
+      .localCheckpoint()
+    var nodes = ue.select(col("a").as("node")).distinct().localCheckpoint()
+    for (_ <- 1 to KCoreRounds) {
+      nodes = ue
+        .join(broadcast(nodes.select(col("node").as("na"))), col("a") === col("na"), "left_semi")
+        .join(broadcast(nodes.select(col("node").as("nb"))), col("b") === col("nb"), "left_semi")
+        .groupBy(col("a")).agg(count(lit(1)).as("d"))
+        .filter(col("d") >= KCoreK)
+        .select(col("a").as("node"))
+        .localCheckpoint()
+    }
+    ue.join(broadcast(nodes.select(col("node").as("na"))), col("a") === col("na"), "left_semi")
+      .join(broadcast(nodes.select(col("node").as("nb"))), col("b") === col("nb"), "left_semi")
+      .groupBy(col("a").as("node")).agg(count(lit(1)).as("core_deg"))
+      .orderBy("node")
+  }
+
+  /** Local clustering coefficient (Watts & Strogatz 1998) on the
+    * thresholded projection: per node, closed wedges / possible wedges =
+    * 2T(v) / (d(v)(d(v)−1)) for d ≥ 2. Wedge generation is one
+    * self-join on the undirected adjacency; the closure check is a
+    * semi-join against the oriented edge set — all codegen'd joins, no
+    * per-node adjacency materialization. */
+  def q_graph_clustering(s: SparkSession, dir: String): DataFrame = {
+    val pp = partPairs(s, dir, TriangleMinCooccur).select(col("a"), col("b"))
+      .localCheckpoint()
+    val ue = pp.union(pp.select(col("b").as("a"), col("a").as("b")))
+      .localCheckpoint()
+    val u1 = ue.select(col("a").as("v"), col("b").as("x"))
+    val u2 = ue.select(col("a").as("v2"), col("b").as("y"))
+    val tri = u1.join(u2, col("v") === col("v2") && col("x") < col("y"))
+      .join(pp.select(col("a").as("ta"), col("b").as("tb")),
+        col("x") === col("ta") && col("y") === col("tb"), "left_semi")
+      .groupBy(col("v")).agg(count(lit(1)).as("t"))
+    val deg = ue.groupBy(col("a").as("node")).agg(count(lit(1)).as("d"))
+    deg.filter(col("d") >= 2)
+      .join(tri.select(col("v").as("node"), col("t")), Seq("node"), "left_outer")
+      .select(col("node"), col("d").as("degree"),
+        coalesce(col("t"), lit(0L)).as("triangles"),
+        round(coalesce(col("t"), lit(0L)) * lit(2.0) / (col("d") * (col("d") - 1)), 6).as("coef"))
+      .orderBy("node")
+  }
+
   /** 1-layer GraphSAGE-mean: per customer, element-wise mean of purchased
     * parts' embeddings, dims 1–4 (README.md:1-2; Hamilton et al. 2017
     * §3.1). Oracle-checked via per-dim AVG. */
@@ -337,6 +432,9 @@ object GraphOps {
     "q_graph_bfs" -> q_graph_bfs _,
     "q_graph_jaccard" -> q_graph_jaccard _,
     "q_graph_adamic_adar" -> q_graph_adamic_adar _,
+    "q_graph_label_prop" -> q_graph_label_prop _,
+    "q_graph_kcore" -> q_graph_kcore _,
+    "q_graph_clustering" -> q_graph_clustering _,
     "q_graph_neighbor_mean" -> q_graph_neighbor_mean _
   )
 }

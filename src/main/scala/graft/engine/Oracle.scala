@@ -440,6 +440,69 @@ object Oracle {
          |SELECT part_a, part_b, common, jaccard FROM j
          |WHERE jaccard >= 0.25 ORDER BY part_a, part_b""".stripMargin,
 
+    // 4 synchronous label-propagation steps unrolled (argmax neighbor
+    // label, min-label tie-break) — same rule as the Spark loop.
+    "q_graph_label_prop" -> {
+      val steps = (1 to GraphOps.LpIters).map { i =>
+        s"""lp$i AS (SELECT a AS node, lbl FROM (
+           |  SELECT ue.a, l.lbl, COUNT(*) AS c,
+           |    ROW_NUMBER() OVER (PARTITION BY ue.a
+           |      ORDER BY COUNT(*) DESC, l.lbl ASC) AS rn
+           |  FROM ue JOIN lp${i - 1} l ON ue.b = l.node
+           |  GROUP BY ue.a, l.lbl) WHERE rn = 1)""".stripMargin
+      }.mkString(",\n")
+      s"""WITH $edgesCte,
+         |pp AS (SELECT e1.dst AS a, e2.dst AS b
+         |       FROM edges e1 JOIN edges e2 ON e1.src = e2.src AND e1.dst < e2.dst
+         |       GROUP BY 1, 2 HAVING COUNT(*) >= ${GraphOps.TriangleMinCooccur}),
+         |ue AS (SELECT a, b FROM pp UNION ALL SELECT b, a FROM pp),
+         |lp0 AS (SELECT DISTINCT a AS node, a AS lbl FROM ue),
+         |$steps,
+         |sizes AS (SELECT lbl, COUNT(*) AS sz FROM lp${GraphOps.LpIters} GROUP BY lbl)
+         |SELECT sz AS size, COUNT(*) AS n_communities
+         |FROM sizes GROUP BY 1 ORDER BY 1""".stripMargin
+    },
+
+    // 5 unrolled peeling rounds (degree < k nodes removed from the
+    // induced subgraph each round) + final in-core degrees.
+    "q_graph_kcore" -> {
+      val k = GraphOps.KCoreK
+      val steps = (1 to GraphOps.KCoreRounds).map { i =>
+        s"""k$i AS (SELECT a AS node FROM ue
+           |  WHERE a IN (SELECT node FROM k${i - 1}) AND b IN (SELECT node FROM k${i - 1})
+           |  GROUP BY a HAVING COUNT(*) >= $k)""".stripMargin
+      }.mkString(",\n")
+      s"""WITH $edgesCte,
+         |pp AS (SELECT e1.dst AS a, e2.dst AS b
+         |       FROM edges e1 JOIN edges e2 ON e1.src = e2.src AND e1.dst < e2.dst
+         |       GROUP BY 1, 2 HAVING COUNT(*) >= ${GraphOps.TriangleMinCooccur}),
+         |ue AS (SELECT a, b FROM pp UNION ALL SELECT b, a FROM pp),
+         |k0 AS (SELECT DISTINCT a AS node FROM ue),
+         |$steps
+         |SELECT a AS node, COUNT(*) AS core_deg FROM ue
+         |WHERE a IN (SELECT node FROM k${GraphOps.KCoreRounds})
+         |  AND b IN (SELECT node FROM k${GraphOps.KCoreRounds})
+         |GROUP BY 1 ORDER BY 1""".stripMargin
+    },
+
+    "q_graph_clustering" ->
+      s"""WITH $edgesCte,
+         |pp AS (SELECT e1.dst AS a, e2.dst AS b
+         |       FROM edges e1 JOIN edges e2 ON e1.src = e2.src AND e1.dst < e2.dst
+         |       GROUP BY 1, 2 HAVING COUNT(*) >= ${GraphOps.TriangleMinCooccur}),
+         |ue AS (SELECT a, b FROM pp UNION ALL SELECT b, a FROM pp),
+         |tri AS (SELECT u1.a AS node, COUNT(*) AS t
+         |        FROM ue u1 JOIN ue u2 ON u1.a = u2.a AND u1.b < u2.b
+         |        WHERE EXISTS (SELECT 1 FROM pp e
+         |                      WHERE e.a = u1.b AND e.b = u2.b)
+         |        GROUP BY u1.a),
+         |deg AS (SELECT a AS node, COUNT(*) AS d FROM ue GROUP BY a)
+         |SELECT deg.node, deg.d AS degree,
+         |  COALESCE(tri.t, 0) AS triangles,
+         |  ROUND(COALESCE(tri.t, 0) * CAST(2.0 AS DOUBLE) / (deg.d * (deg.d - 1)), 6) AS coef
+         |FROM deg LEFT JOIN tri ON deg.node = tri.node
+         |WHERE deg.d >= 2 ORDER BY deg.node""".stripMargin,
+
     "q_graph_adamic_adar" ->
       s"""WITH $edgesCte,
          |cd AS (SELECT src, COUNT(*) AS cd FROM edges GROUP BY 1),
@@ -801,6 +864,22 @@ object Oracle {
   }
 
   val gnn: Map[String, String] = Map(
+    "q_gnn_gcn_norm" -> {
+      val ds = (1 to 4).map(j =>
+        s"ROUND(SUM(CAST(embedding[$j] AS DOUBLE) / SQRT(CAST(dc.dc * dp.dp AS DOUBLE))), 6) AS d$j")
+        .mkString(", ")
+      s"""WITH $edgesCte,
+         |n AS (SELECT COUNT(*) AS c FROM embeddings),
+         |dc AS (SELECT src, COUNT(*) AS dc FROM edges GROUP BY 1),
+         |dp AS (SELECT dst, COUNT(*) AS dp FROM edges GROUP BY 1)
+         |SELECT e.src AS custkey, $ds
+         |FROM edges e CROSS JOIN n
+         |JOIN embeddings emb ON emb.vec_id = e.dst % n.c
+         |JOIN dc ON e.src = dc.src
+         |JOIN dp ON e.dst = dp.dst
+         |GROUP BY 1 ORDER BY 1""".stripMargin
+    },
+
     "q_gnn_layer" -> {
       val hr = (0 until 4).map(i => s"${matmulExpr(i, "m")} AS h${i + 1}r").mkString(", ")
       val out = (0 until 4).map(i => s"ROUND(${relu(s"h${i + 1}r")}, 6) AS h${i + 1}").mkString(", ")

@@ -111,4 +111,100 @@ class GraphSpec extends AnyFunSuite {
       .agg(sum("degree")).collect()(0).getLong(0)
     assert(degSum == GraphOps.edges(s, sf0001).count())
   }
+
+  /** Undirected adjacency of the thresholded projection, driver-side. */
+  private def adjacency(minCooccur: Int): Map[Long, Set[Long]] = {
+    val s = spark
+    GraphOps.partPairs(s, sf0001, minCooccur)
+      .select("a", "b").collect().map(r => (r.getLong(0), r.getLong(1)))
+      .flatMap { case (a, b) => Seq(a -> b, b -> a) }
+      .groupBy(_._1).map { case (n, es) => n -> es.map(_._2).toSet }
+  }
+
+  test("k-core: fixed-round peel equals the driver-side peel-to-fixpoint") {
+    val s = spark
+    val adj = adjacency(GraphOps.TriangleMinCooccur)
+    // independent mirror: peel until NOTHING changes (not a fixed round
+    // count) — proves the query's KCoreRounds suffice on the fixture
+    var core = adj.keySet
+    var changed = true
+    while (changed) {
+      val next = core.filter(n => (adj(n) & core).size >= GraphOps.KCoreK)
+      changed = next != core
+      core = next
+    }
+    val expected = core.toSeq.sorted.map(n => (n, (adj(n) & core).size.toLong))
+    val got = GraphOps.q_graph_kcore(s, sf0001).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(got == expected, s"k-core mismatch: got=$got expected=$expected")
+  }
+
+  test("clustering coefficient equals the driver-side wedge count") {
+    val s = spark
+    val adj = adjacency(GraphOps.TriangleMinCooccur)
+    val expected = adj.filter(_._2.size >= 2).map { case (v, nbrs) =>
+      val t = nbrs.toSeq.combinations(2).count {
+        case Seq(x, y) => adj(x).contains(y)
+      }
+      val d = nbrs.size
+      v -> (d.toLong, t.toLong,
+        BigDecimal(2.0 * t / (d.toLong * (d - 1)))
+          .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+    }
+    val got = GraphOps.q_graph_clustering(s, sf0001).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getDouble(3)))).toMap
+    assert(got.keySet == expected.keySet)
+    got.foreach { case (v, (d, t, c)) =>
+      val (ed, et, ec) = expected(v)
+      assert(d == ed && t == et && math.abs(c - ec) < 1e-9,
+        s"node $v: got ($d,$t,$c) expected ($ed,$et,$ec)")
+    }
+  }
+
+  test("label propagation equals a driver-side synchronous simulation") {
+    val s = spark
+    val adj = adjacency(GraphOps.TriangleMinCooccur)
+    var lbl = adj.keySet.map(n => n -> n).toMap
+    for (_ <- 1 to GraphOps.LpIters) {
+      lbl = adj.map { case (v, nbrs) =>
+        // most frequent neighbor label, smallest label on ties
+        v -> nbrs.toSeq.map(lbl).groupBy(identity)
+          .map { case (l, occ) => (l, occ.size) }
+          .minBy { case (l, c) => (-c, l) }._1
+      }
+    }
+    val expected = lbl.values.groupBy(identity).map(_._2.size)
+      .groupBy(identity).map { case (sz, cs) => (sz.toLong, cs.size.toLong) }
+    val got = GraphOps.q_graph_label_prop(s, sf0001).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(got == expected, s"LP histogram mismatch: got=$got expected=$expected")
+  }
+
+  test("GCN symmetric normalization equals the driver-side computation") {
+    val s = spark
+    val edges = GraphOps.edges(s, sf0001).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val emb = graft.engine.Tables.embeddings(s, sf0001)
+      .select("vec_id", "embedding").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).toArray).toMap
+    val nEmb = emb.size
+    val dc = edges.groupBy(_._1).map { case (k, v) => k -> v.length }
+    val dp = edges.groupBy(_._2).map { case (k, v) => k -> v.length }
+    val expected = edges.groupBy(_._1).map { case (c, es) =>
+      val sums = (1 to 4).map { j =>
+        es.map { case (src, dst) =>
+          emb(dst % nEmb)(j - 1).toDouble / math.sqrt(dc(src).toDouble * dp(dst))
+        }.sum
+      }
+      c -> sums
+    }
+    val rows = graft.engine.Gnn.q_gnn_gcn_norm(s, sf0001).collect()
+      .map(r => r.getLong(0) -> (1 to 4).map(i => r.getDouble(i))).toMap
+    assert(rows.keySet == expected.keySet)
+    rows.foreach { case (c, ds) =>
+      ds.zip(expected(c)).zipWithIndex.foreach { case ((g, e), i) =>
+        assert(math.abs(g - e) < 1e-6, s"custkey $c dim ${i + 1}: got $g expected $e")
+      }
+    }
+  }
 }
