@@ -984,6 +984,89 @@ object Oracle {
 
   /** §2.12 — training-data pipeline ops (PipelineOps.scala). */
   val pipeline: Map[String, String] = Map(
+    "q_llm_gopher_repetition" ->
+      s"""WITH d AS (SELECT doc_id, lang, string_split(text, ' ') AS toks FROM documents),
+         |base AS (SELECT doc_id, lang, len(toks) AS nt FROM d),
+         |uni AS (SELECT doc_id, MAX(c) AS c1 FROM (
+         |  SELECT doc_id, tok, COUNT(*) AS c
+         |  FROM (SELECT doc_id, UNNEST(toks) AS tok FROM d) GROUP BY 1, 2) GROUP BY 1),
+         |big AS (SELECT doc_id, MAX(c) AS c2 FROM (
+         |  SELECT doc_id, bg, COUNT(*) AS c FROM (
+         |    SELECT doc_id, UNNEST(list_transform(range(1, len(toks)),
+         |      i -> toks[i] || ' ' || toks[i+1])) AS bg
+         |    FROM d WHERE len(toks) >= 2) GROUP BY 1, 2) GROUP BY 1)
+         |SELECT b.doc_id, b.lang, CAST(b.nt AS BIGINT) AS n_tokens,
+         |  ROUND(CAST(COALESCE(uni.c1, 0) AS DOUBLE) / b.nt, 6) AS top_tok_frac,
+         |  ROUND(CAST(COALESCE(big.c2, 0) AS DOUBLE) * 2 / b.nt, 6) AS top_bigram_frac,
+         |  (CAST(COALESCE(uni.c1, 0) AS DOUBLE) / b.nt <= ${PipelineOps.GopherTopTokMax}
+         |   AND CAST(COALESCE(big.c2, 0) AS DOUBLE) * 2 / b.nt <= ${PipelineOps.GopherTopBigramMax}) AS keep
+         |FROM base b LEFT JOIN uni ON b.doc_id = uni.doc_id
+         |            LEFT JOIN big ON b.doc_id = big.doc_id
+         |ORDER BY b.doc_id""".stripMargin,
+
+    "q_llm_tfidf" ->
+      s"""WITH tok AS (SELECT doc_id, lang, UNNEST(string_split(text, ' ')) AS tok
+         |             FROM documents),
+         |nd AS (SELECT lang, COUNT(*) AS n FROM documents GROUP BY 1),
+         |df AS (SELECT lang, tok, COUNT(DISTINCT doc_id) AS df FROM tok GROUP BY 1, 2),
+         |tf AS (SELECT doc_id, lang, tok, COUNT(*) AS tf FROM tok
+         |       WHERE doc_id % ${PipelineOps.TfidfSampleMod} = 0 GROUP BY 1, 2, 3),
+         |sc AS (SELECT tf.doc_id, tf.lang, tf.tok, tf.tf,
+         |         ROUND(tf.tf * LN(CAST(nd.n AS DOUBLE) / df.df), 6) AS tfidf
+         |       FROM tf JOIN df ON tf.lang = df.lang AND tf.tok = df.tok
+         |               JOIN nd ON tf.lang = nd.lang),
+         |rk AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY doc_id
+         |         ORDER BY tfidf DESC, tok ASC) AS rn FROM sc)
+         |SELECT doc_id, lang, tok AS term, CAST(tf AS BIGINT) AS tf, tfidf,
+         |  CAST(rn AS BIGINT) AS rk
+         |FROM rk WHERE rn <= 3 ORDER BY doc_id, rk""".stripMargin,
+
+    "q_llm_bm25" -> {
+      val k1 = PipelineOps.Bm25K1
+      val b = PipelineOps.Bm25B
+      s"""WITH tok AS (SELECT doc_id, UNNEST(string_split(text, ' ')) AS tok
+         |             FROM documents),
+         |nt AS (SELECT COUNT(*) AS n_total FROM documents),
+         |dl AS (SELECT doc_id, lang, CAST(len(string_split(text, ' ')) AS DOUBLE) AS dl
+         |       FROM documents),
+         |ad AS (SELECT AVG(dl) AS avgdl FROM dl),
+         |df AS (SELECT tok, COUNT(DISTINCT doc_id) AS df FROM tok GROUP BY 1),
+         |q AS (SELECT tok, df FROM df ORDER BY df DESC, tok ASC LIMIT 3),
+         |tf AS (SELECT t.doc_id, t.tok, q.df, COUNT(*) AS tf
+         |       FROM tok t JOIN q ON t.tok = q.tok GROUP BY 1, 2, 3),
+         |sc AS (SELECT tf.doc_id, dl.lang,
+         |         ROUND(SUM(LN((nt.n_total - tf.df + 0.5) / (tf.df + 0.5) + 1)
+         |           * tf.tf * ($k1 + 1)
+         |           / (tf.tf + $k1 * (1 - $b + $b * dl.dl / ad.avgdl))), 6) AS bm25
+         |       FROM tf CROSS JOIN nt CROSS JOIN ad
+         |       JOIN dl ON tf.doc_id = dl.doc_id
+         |       GROUP BY 1, 2)
+         |SELECT doc_id, lang, bm25 FROM sc
+         |ORDER BY bm25 DESC, doc_id ASC LIMIT 10""".stripMargin
+    },
+
+    "q_llm_quantize" ->
+      """WITH el AS (SELECT vec_id, CAST(UNNEST(embedding) AS DOUBLE) AS x FROM embeddings),
+        |sc AS (SELECT vec_id, MAX(ABS(x)) / 127 AS scale FROM el GROUP BY 1),
+        |err AS (SELECT el.vec_id, sc.scale,
+        |          el.x - FLOOR(el.x / NULLIF(sc.scale, 0) + 0.5) * sc.scale AS e
+        |        FROM el JOIN sc ON el.vec_id = sc.vec_id)
+        |SELECT vec_id, ROUND(scale, 6) AS scale,
+        |  ROUND(MAX(ABS(e)), 6) AS max_err, ROUND(AVG(e * e), 6) AS mse
+        |FROM err GROUP BY vec_id, scale ORDER BY vec_id""".stripMargin,
+
+    "q_llm_bpe_pairs" ->
+      """WITH tok AS (SELECT UNNEST(string_split(text, ' ')) AS tok FROM documents),
+        |pr AS (SELECT UNNEST(list_transform(range(1, length(tok)),
+        |         i -> substr(tok, CAST(i AS INT), 2))) AS pair
+        |       FROM tok WHERE length(tok) >= 2)
+        |SELECT pair, COUNT(*) AS cnt FROM pr
+        |GROUP BY 1 ORDER BY cnt DESC, pair ASC LIMIT 20""".stripMargin,
+
+    "q_llm_source_dedup" ->
+      """SELECT lang, source, MIN(doc_id) AS kept_doc, COUNT(*) - 1 AS n_removed
+        |FROM documents GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
     "q_text_unigram_xent" ->
       """WITH tok AS (SELECT doc_id, lang, unnest(string_split(text, ' ')) AS tok
         |            FROM documents),

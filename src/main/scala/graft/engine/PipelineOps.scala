@@ -133,7 +133,155 @@ object PipelineOps {
       .orderBy("lang")
   }
 
+  /** Gopher repetition-filter thresholds (Rae et al. 2021 §A1.1, adapted
+    * to the fixture's token streams — the corpus has no line structure). */
+  val GopherTopTokMax = 0.2
+  val GopherTopBigramMax = 0.2
+
+  /** Gopher-style repetition filters: per doc, the fraction of tokens
+    * taken by the most frequent token and the fraction of token
+    * positions covered by the most frequent word-2-gram (2·count/n —
+    * may exceed 1 on degenerate repeats); keep = both under threshold.
+    * Two explode+max aggregations keyed on doc — linear scans at any
+    * corpus size. */
+  def q_llm_gopher_repetition(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+      .select(col("doc_id"), col("lang"), split(col("text"), " ").as("toks"))
+      .withColumn("nt", size(col("toks")).cast("bigint"))
+    val uni = docs.select(col("doc_id"), explode(col("toks")).as("tok"))
+      .groupBy(col("doc_id"), col("tok")).agg(count(lit(1)).as("c"))
+      .groupBy(col("doc_id")).agg(max(col("c")).as("c1"))
+    val big = docs.filter(col("nt") >= 2)
+      .select(col("doc_id"), explode(expr(
+        "transform(sequence(1, size(toks) - 1), i -> concat(toks[i-1], ' ', toks[i]))")).as("bg"))
+      .groupBy(col("doc_id"), col("bg")).agg(count(lit(1)).as("c"))
+      .groupBy(col("doc_id")).agg(max(col("c")).as("c2"))
+    val tokFrac = coalesce(col("c1"), lit(0L)).cast("double") / col("nt")
+    val bigFrac = coalesce(col("c2"), lit(0L)).cast("double") * 2 / col("nt")
+    docs.select(col("doc_id"), col("lang"), col("nt"))
+      .join(uni, Seq("doc_id"), "left_outer")
+      .join(big, Seq("doc_id"), "left_outer")
+      .select(col("doc_id"), col("lang"), col("nt").as("n_tokens"),
+        round(tokFrac, 6).as("top_tok_frac"),
+        round(bigFrac, 6).as("top_bigram_frac"),
+        (tokFrac <= GopherTopTokMax && bigFrac <= GopherTopBigramMax).as("keep"))
+      .orderBy("doc_id")
+  }
+
+  /** Deterministic doc sample for per-doc term scoring outputs. */
+  val TfidfSampleMod = 25
+
+  /** TF-IDF keyword extraction: per-lang document frequencies, top-3
+    * terms per sampled doc by tf·ln(N/df). Ranking uses the ROUNDED
+    * score (+ term tie-break) so the order is reproducible across
+    * engines. df table broadcasts; one explode + two keyed aggs. */
+  def q_llm_tfidf(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    val tok = docs.select(col("doc_id"), col("lang"),
+      explode(split(col("text"), " ")).as("tok"))
+    val nd = docs.groupBy(col("lang")).agg(count(lit(1)).as("n"))
+    val df = tok.select(col("lang"), col("tok"), col("doc_id")).distinct()
+      .groupBy(col("lang"), col("tok")).agg(count(lit(1)).as("df"))
+    val tf = tok.filter(col("doc_id") % TfidfSampleMod === 0)
+      .groupBy(col("doc_id"), col("lang"), col("tok")).agg(count(lit(1)).as("tf"))
+    val w = Window.partitionBy(col("doc_id"))
+      .orderBy(col("tfidf").desc, col("tok").asc)
+    tf.join(broadcast(df), Seq("lang", "tok"))
+      .join(broadcast(nd), Seq("lang"))
+      .withColumn("tfidf",
+        round(col("tf") * log(col("n").cast("double") / col("df")), 6))
+      .withColumn("rk", row_number().over(w).cast("bigint"))
+      .filter(col("rk") <= 3)
+      .select(col("doc_id"), col("lang"), col("tok").as("term"),
+        col("tf"), col("tfidf"), col("rk"))
+      .orderBy("doc_id", "rk")
+  }
+
+  /** BM25 parameters (Robertson et al., Okapi). */
+  val Bm25K1 = 1.2
+  val Bm25B = 0.75
+
+  /** BM25 retrieval scoring: the query is the corpus's 3 highest-df
+    * tokens (deterministic), every doc is scored with the Lucene-form
+    * idf ln((N−df+.5)/(df+.5)+1) and length normalization against the
+    * global mean doc length; top-10 docs by rounded score. Query terms
+    * + df broadcast; the scan stays one explode + keyed agg. */
+  def q_llm_bm25(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    val tok = docs.select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
+    val nTot = docs.agg(count(lit(1)).as("n_total"))
+    val dl = docs.select(col("doc_id"), col("lang"),
+      size(split(col("text"), " ")).cast("double").as("dl"))
+    val avgdl = dl.agg(avg(col("dl")).as("avgdl"))
+    val df = tok.distinct().groupBy(col("tok")).agg(count(lit(1)).as("df"))
+    val q = df.orderBy(col("df").desc, col("tok").asc).limit(3)
+    val tf = tok.join(broadcast(q), Seq("tok"))
+      .groupBy(col("doc_id"), col("tok"), col("df")).agg(count(lit(1)).as("tf"))
+    val score = tf
+      .crossJoin(broadcast(nTot)).crossJoin(broadcast(avgdl))
+      .join(dl, Seq("doc_id"))
+      .withColumn("idf", log((col("n_total") - col("df") + 0.5) / (col("df") + 0.5) + 1))
+      .withColumn("term_score",
+        col("idf") * col("tf") * (Bm25K1 + 1) /
+          (col("tf") + (col("dl") / col("avgdl") * Bm25B + (1 - Bm25B)) * Bm25K1))
+      .groupBy(col("doc_id"), col("lang"))
+      .agg(round(sum(col("term_score")), 6).as("bm25"))
+    score.orderBy(col("bm25").desc, col("doc_id").asc).limit(10)
+      .select(col("doc_id"), col("lang"), col("bm25"))
+  }
+
+  /** Symmetric int8 quantization of the embedding table (the compression
+    * pass before ANN serving): per vector, scale = max|x|/127,
+    * q = ⌊x/scale + ½⌋ (floor form — identical rounding in both
+    * engines), reporting reconstruction error stats. One explode + two
+    * keyed aggs; scales broadcast back. */
+  def q_llm_quantize(s: SparkSession, dir: String): DataFrame = {
+    val el = Tables.embeddings(s, dir)
+      .select(col("vec_id"), explode(col("embedding")).as("xf"))
+      .select(col("vec_id"), col("xf").cast("double").as("x"))
+    val sc = el.groupBy(col("vec_id")).agg((max(abs(col("x"))) / 127).as("scale"))
+    val e = col("x") - floor(col("x") / nullif(col("scale"), lit(0d)) + 0.5) * col("scale")
+    el.join(broadcast(sc), Seq("vec_id"))
+      .select(col("vec_id"), col("scale"), e.as("e"))
+      .groupBy(col("vec_id"), col("scale"))
+      .agg(round(max(abs(col("e"))), 6).as("max_err"),
+        round(avg(col("e") * col("e")), 6).as("mse"))
+      .select(col("vec_id"), round(col("scale"), 6).as("scale"),
+        col("max_err"), col("mse"))
+      .orderBy("vec_id")
+  }
+
+  /** BPE-style pair statistics (Sennrich et al. 2016 §3.2, the counting
+    * step of the first merge): corpus-wide adjacent character-pair
+    * frequencies inside tokens, top-20. The whole op is explode +
+    * count — the shape of one vocab-learner iteration at corpus scale. */
+  def q_llm_bpe_pairs(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir)
+      .select(explode(split(col("text"), " ")).as("tok"))
+      .filter(length(col("tok")) >= 2)
+      .select(explode(expr(
+        "transform(sequence(1, length(tok) - 1), i -> substring(tok, i, 2))")).as("pair"))
+      .groupBy(col("pair")).agg(count(lit(1)).as("cnt"))
+      .orderBy(col("cnt").desc, col("pair").asc)
+      .limit(20)
+
+  /** URL/source-level dedup (the crawl-dedup pass that precedes content
+    * dedup): per (lang, source) keep the smallest doc_id, count the
+    * removals. One keyed aggregation. */
+  def q_llm_source_dedup(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir)
+      .groupBy(col("lang"), col("source"))
+      .agg(min(col("doc_id")).as("kept_doc"),
+        (count(lit(1)) - 1).as("n_removed"))
+      .orderBy("lang", "source")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_llm_gopher_repetition" -> q_llm_gopher_repetition _,
+    "q_llm_tfidf" -> q_llm_tfidf _,
+    "q_llm_bm25" -> q_llm_bm25 _,
+    "q_llm_quantize" -> q_llm_quantize _,
+    "q_llm_bpe_pairs" -> q_llm_bpe_pairs _,
+    "q_llm_source_dedup" -> q_llm_source_dedup _,
     "q_llm_pack_sequences" -> q_llm_pack_sequences _,
     "q_llm_contamination" -> q_llm_contamination _,
     "q_llm_pii_redact" -> q_llm_pii_redact _,

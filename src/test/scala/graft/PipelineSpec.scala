@@ -65,4 +65,83 @@ class PipelineSpec extends AnyFunSuite {
         s"weight*share ~ target for ${r.getString(0)}")
     }
   }
+
+  /** Temp docs table with controlled texts (one lang/source). */
+  private def docsDir(texts: Seq[String]): String = {
+    val s = spark
+    import s.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_pipe_docs").toString
+    texts.zipWithIndex
+      .map { case (t, i) => (i.toLong, t, "en", "src0", t.length.toLong) }
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    dir
+  }
+
+  test("gopher repetition metrics on known texts") {
+    val dir = docsDir(Seq(
+      "a a a b",          // c1=3 -> .75; "a a" x2 -> 2*2/4 = 1.0 -> drop
+      "w x y z"))         // all distinct: .25, bigrams unique: .5 -> drop (bigram > .2)
+    val rows = PipelineOps.q_llm_gopher_repetition(spark, dir).collect()
+      .map(r => r.getLong(0) -> ((r.getDouble(3), r.getDouble(4), r.getBoolean(5)))).toMap
+    assert(rows(0L) == ((0.75, 1.0, false)))
+    assert(rows(1L) == ((0.25, 0.5, false)))
+  }
+
+  test("bpe pair counts on known tokens") {
+    val dir = docsDir(Seq("abab cd", "abc"))
+    // pairs: abab -> ab, ba, ab; cd -> cd; abc -> ab, bc
+    val got = PipelineOps.q_llm_bpe_pairs(spark, dir).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(got == Map("ab" -> 3L, "ba" -> 1L, "cd" -> 1L, "bc" -> 1L))
+  }
+
+  test("tfidf ranks are dense 1..3 and scores non-negative") {
+    val rows = PipelineOps.q_llm_tfidf(spark, sf0001).collect()
+    assert(rows.nonEmpty)
+    rows.groupBy(_.getLong(0)).foreach { case (doc, rs) =>
+      assert(rs.map(_.getLong(5)).sorted.toSeq == (1L to rs.length).toSeq,
+        s"dense ranks for doc $doc")
+    }
+    // idf = ln(N/df) >= 0 since df <= N, so tf*idf >= 0
+    rows.foreach(r => assert(r.getDouble(4) >= 0.0))
+  }
+
+  test("bm25 rewards higher query-term frequency at equal doc length") {
+    val dir = docsDir(Seq(
+      "q q q pad",   // 3 query-term hits
+      "q r s pad",   // 1 hit, same length
+      "q q t pad"))  // 2 hits
+    // query = top-3 df tokens = {pad(3), q(3), r(1)} (df desc, token asc)
+    val got = PipelineOps.q_llm_bm25(spark, dir).collect()
+      .map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    // more q-occurrences at equal length -> higher score (docs 0 vs 2)
+    assert(got(0L) > got(2L), s"tf monotonicity: $got")
+    // doc 1 alone matches the rare query term r -> its idf dominates
+    assert(got(1L) > got(0L), s"rare-term idf dominance: $got")
+  }
+
+  test("quantization error is bounded by half a step") {
+    val rows = PipelineOps.q_llm_quantize(spark, sf0001).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (scale, maxErr, mse) = (r.getDouble(1), r.getDouble(2), r.getDouble(3))
+      assert(scale > 0.0)
+      // both sides are 6dp-rounded -> allow one rounding step of slack
+      assert(maxErr <= scale / 2 + 1e-6, s"max_err $maxErr <= scale/2 ${scale / 2}")
+      assert(mse <= maxErr * maxErr + 1e-6)
+    }
+  }
+
+  test("source dedup keeps the smallest doc id per (lang, source)") {
+    val s = spark
+    val rows = PipelineOps.q_llm_source_dedup(s, sf0001).collect()
+    val total = Tables.documents(s, sf0001).count()
+    assert(rows.map(r => r.getLong(3) + 1).sum == total, "kept+removed covers the corpus")
+    val mins = Tables.documents(s, sf0001)
+      .groupBy(col("lang"), col("source")).agg(min(col("doc_id")).as("m"))
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    rows.foreach(r =>
+      assert(r.getLong(2) == mins((r.getString(0), r.getString(1)))))
+  }
 }
