@@ -358,7 +358,19 @@ object Oracle {
       """SELECT c_mktsegment, COUNT(*) AS n_events,
         |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS val_sum
         |FROM events JOIN customer ON user_id = c_custkey
-        |GROUP BY 1 ORDER BY 1""".stripMargin
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q_stream_stream_join" ->
+      """WITH p AS (SELECT event_id AS p_id, user_id, CAST(ts AS TIMESTAMP) AS p_ts
+        |           FROM events WHERE event_type = 'purchase'),
+        |     c AS (SELECT event_id AS c_id, user_id AS c_user, CAST(ts AS TIMESTAMP) AS c_ts
+        |           FROM events WHERE event_type = 'click'),
+        |     j AS (SELECT p.user_id, p.p_id, c.c_id
+        |           FROM p JOIN c ON p.user_id = c.c_user
+        |             AND c.c_ts <= p.p_ts AND c.c_ts >= p.p_ts - INTERVAL 30 MINUTE)
+        |SELECT user_id, COUNT(*) AS n_pairs,
+        |  COUNT(DISTINCT p_id) AS n_purchases, COUNT(DISTINCT c_id) AS n_clicks
+        |FROM j GROUP BY 1 ORDER BY 1""".stripMargin
   )
 
   private val edgesCte =

@@ -276,6 +276,22 @@ object StreamingOps {
     staticEnrich(Tables.events(s, dir), Tables.customer(s, dir))
       .orderBy("c_mktsegment")
 
+  /** Batch path of the stream-stream interval join (the transform runs
+    * unchanged on MemoryStream sources in JoinSinkSpec — withWatermark
+    * is a no-op in batch): per-user pair accounting of purchases matched
+    * to clicks within the preceding 30 minutes. */
+  def q_stream_stream_join(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(s, dir)
+    purchaseClickJoin(
+      ev.filter(col("event_type") === "purchase"),
+      ev.filter(col("event_type") === "click"))
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n_pairs"),
+        countDistinct(col("p_id")).as("n_purchases"),
+        countDistinct(col("c_id")).as("n_clicks"))
+      .orderBy("user_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_stream_tumbling" -> q_stream_tumbling _,
     "q_stream_sliding" -> q_stream_sliding _,
@@ -284,6 +300,7 @@ object StreamingOps {
     "q_stream_stateful" -> q_stream_stateful _,
     "q_stream_stateful_tws" -> q_stream_stateful_tws _,
     "q_stream_win_topk" -> q_stream_win_topk _,
-    "q_stream_static_join" -> q_stream_static_join _
+    "q_stream_static_join" -> q_stream_static_join _,
+    "q_stream_stream_join" -> q_stream_stream_join _
   )
 }
