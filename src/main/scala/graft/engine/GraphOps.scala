@@ -401,6 +401,39 @@ object GraphOps {
       .orderBy("node")
   }
 
+  /** HITS iterations (shared with the unrolled oracle CTE chain). */
+  val HitsIters = 5
+
+  /** HITS hubs & authorities (Kleinberg 1999) on the bipartite
+    * co-purchase graph — customers are hubs, parts are authorities:
+    * h = A·a, a = Aᵀ·h, each max-normalized per step (max-norm keeps
+    * the arithmetic bit-reproducible across engines; the classic L2
+    * norm would introduce a cross-engine sqrt-of-sum ordering).
+    * 5 iterations, top-20 parts by rounded authority. Each step is two
+    * keyed aggregations over the edge list with the score tables
+    * broadcast — the pagerank execution shape. */
+  def q_graph_hits(s: SparkSession, dir: String): DataFrame = {
+    val e = edges(s, dir).localCheckpoint()
+    var auth = e.select(col("dst").as("node")).distinct()
+      .select(col("node"), lit(1.0).as("a"))
+    for (_ <- 1 to HitsIters) {
+      val hRaw = e.join(broadcast(auth.select(col("node").as("an"), col("a"))),
+          col("dst") === col("an"))
+        .groupBy(col("src")).agg(sum(col("a")).as("h"))
+      val hub = hRaw.crossJoin(broadcast(hRaw.agg(max(col("h")).as("hm"))))
+        .select(col("src"), (col("h") / col("hm")).as("h"))
+      val aRaw = e.join(broadcast(hub.select(col("src").as("hn"), col("h"))),
+          col("src") === col("hn"))
+        .groupBy(col("dst")).agg(sum(col("h")).as("ar"))
+      auth = aRaw.crossJoin(broadcast(aRaw.agg(max(col("ar")).as("am"))))
+        .select(col("dst").as("node"), (col("ar") / col("am")).as("a"))
+        .localCheckpoint()
+    }
+    auth.select(col("node").as("part_key"), round(col("a"), 6).as("authority"))
+      .orderBy(col("authority").desc, col("part_key").asc)
+      .limit(20)
+  }
+
   /** 1-layer GraphSAGE-mean: per customer, element-wise mean of purchased
     * parts' embeddings, dims 1–4 (README.md:1-2; Hamilton et al. 2017
     * §3.1). Oracle-checked via per-dim AVG. */
@@ -432,6 +465,7 @@ object GraphOps {
     "q_graph_bfs" -> q_graph_bfs _,
     "q_graph_jaccard" -> q_graph_jaccard _,
     "q_graph_adamic_adar" -> q_graph_adamic_adar _,
+    "q_graph_hits" -> q_graph_hits _,
     "q_graph_label_prop" -> q_graph_label_prop _,
     "q_graph_kcore" -> q_graph_kcore _,
     "q_graph_clustering" -> q_graph_clustering _,

@@ -370,7 +370,28 @@ object Oracle {
         |             AND c.c_ts <= p.p_ts AND c.c_ts >= p.p_ts - INTERVAL 30 MINUTE)
         |SELECT user_id, COUNT(*) AS n_pairs,
         |  COUNT(DISTINCT p_id) AS n_purchases, COUNT(DISTINCT c_id) AS n_clicks
-        |FROM j GROUP BY 1 ORDER BY 1""".stripMargin
+        |FROM j GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q_stream_funnel" ->
+      """WITH ev AS (SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts, event_type
+        |            FROM events),
+        |lagged AS (SELECT *, LAG(ts) OVER
+        |             (PARTITION BY user_id ORDER BY ts ASC, event_id ASC) AS prev_ts
+        |           FROM ev),
+        |brk AS (SELECT *, CASE WHEN prev_ts IS NULL
+        |            OR ts > prev_ts + INTERVAL 30 MINUTE THEN 1 ELSE 0 END AS b
+        |        FROM lagged),
+        |sess AS (SELECT *, SUM(b) OVER (PARTITION BY user_id
+        |           ORDER BY ts ASC, event_id ASC
+        |           ROWS UNBOUNDED PRECEDING) AS sid FROM brk),
+        |g AS (SELECT user_id, sid, MIN(ts) AS s_start,
+        |        MIN(CASE WHEN event_type = 'click' THEN ts END) AS first_click,
+        |        MAX(CASE WHEN event_type = 'purchase' THEN ts END) AS last_purchase
+        |      FROM sess GROUP BY 1, 2)
+        |SELECT date_trunc('day', s_start) AS day, COUNT(*) AS n_sessions,
+        |  CAST(SUM(CASE WHEN first_click IS NOT NULL AND last_purchase IS NOT NULL
+        |    AND first_click < last_purchase THEN 1 ELSE 0 END) AS BIGINT) AS n_converted
+        |FROM g GROUP BY 1 ORDER BY 1""".stripMargin
   )
 
   private val edgesCte =
@@ -419,6 +440,28 @@ object Oracle {
          |SELECT (node - 1) // 2 AS part_key, ROUND(r, 6) AS rank
          |FROM r10 WHERE node % 2 = 1
          |ORDER BY rank DESC, part_key ASC LIMIT 20""".stripMargin
+    },
+
+    // HITS unrolled: per step h = A·a then a = Aᵀ·h, each max-normalized.
+    // The max comes from a window MAX() OVER () so every CTE is
+    // referenced exactly ONCE downstream — a scalar MAX subquery would
+    // reference each level twice and DuckDB's CTE inlining then
+    // recomputes the chain exponentially (2^10 edge joins).
+    "q_graph_hits" -> {
+      val steps = (1 to GraphOps.HitsIters).map { i =>
+        s"""h${i}r AS (SELECT e.src, SUM(p.a) AS h
+           |  FROM edges e JOIN a${i - 1} p ON e.dst = p.node GROUP BY 1),
+           |h$i AS (SELECT src, h / MAX(h) OVER () AS h FROM h${i}r),
+           |a${i}r AS (SELECT e.dst, SUM(hb.h) AS ar
+           |  FROM edges e JOIN h$i hb ON e.src = hb.src GROUP BY 1),
+           |a$i AS (SELECT dst AS node, ar / MAX(ar) OVER () AS a FROM a${i}r)""".stripMargin
+      }.mkString(",\n")
+      s"""WITH $edgesCte,
+         |a0 AS (SELECT DISTINCT dst AS node, CAST(1.0 AS DOUBLE) AS a FROM edges),
+         |$steps
+         |SELECT node AS part_key, ROUND(a, 6) AS authority
+         |FROM a${GraphOps.HitsIters}
+         |ORDER BY authority DESC, part_key ASC LIMIT 20""".stripMargin
     },
 
     // BFS min-distances via recursive CTE: UNION dedups (node, d) pairs,

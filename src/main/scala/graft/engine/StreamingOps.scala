@@ -276,6 +276,36 @@ object StreamingOps {
     staticEnrich(Tables.events(s, dir), Tables.customer(s, dir))
       .orderBy("c_mktsegment")
 
+  /** Sessionized funnel conversion (the Flink CEP-style click→purchase
+    * pattern as relational algebra): per-user sessions via
+    * gaps-and-islands (strict 30-min gap, ties broken on event_id), a
+    * session converts when any click strictly precedes any purchase
+    * inside it (min click ts < max purchase ts); per-day session and
+    * conversion counts. Two window passes + one keyed agg — the
+    * sessionization shuffle is the only data movement. */
+  def q_stream_funnel(s: SparkSession, dir: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("user_id")).orderBy(col("ts").asc, col("event_id").asc)
+    val sess = Tables.events(s, dir)
+      .withColumn("prev_ts", lag(col("ts"), 1).over(w))
+      .withColumn("brk",
+        when(col("prev_ts").isNull ||
+          col("ts") > col("prev_ts") + expr("INTERVAL 30 MINUTES"), 1L).otherwise(0L))
+      .withColumn("sid", sum(col("brk"))
+        .over(w.rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)))
+    val conv = col("first_click").isNotNull && col("last_purchase").isNotNull &&
+      col("first_click") < col("last_purchase")
+    sess.groupBy(col("user_id"), col("sid"))
+      .agg(min(col("ts")).as("s_start"),
+        min(when(col("event_type") === "click", col("ts"))).as("first_click"),
+        max(when(col("event_type") === "purchase", col("ts"))).as("last_purchase"))
+      .select(date_trunc("day", col("s_start")).as("day"), conv.as("conv"))
+      .groupBy(col("day"))
+      .agg(count(lit(1)).as("n_sessions"),
+        sum(when(col("conv"), 1L).otherwise(0L)).as("n_converted"))
+      .orderBy("day")
+  }
+
   /** Batch path of the stream-stream interval join (the transform runs
     * unchanged on MemoryStream sources in JoinSinkSpec — withWatermark
     * is a no-op in batch): per-user pair accounting of purchases matched
@@ -301,6 +331,7 @@ object StreamingOps {
     "q_stream_stateful_tws" -> q_stream_stateful_tws _,
     "q_stream_win_topk" -> q_stream_win_topk _,
     "q_stream_static_join" -> q_stream_static_join _,
-    "q_stream_stream_join" -> q_stream_stream_join _
+    "q_stream_stream_join" -> q_stream_stream_join _,
+    "q_stream_funnel" -> q_stream_funnel _
   )
 }

@@ -180,6 +180,32 @@ class GraphSpec extends AnyFunSuite {
     assert(got == expected, s"LP histogram mismatch: got=$got expected=$expected")
   }
 
+  test("HITS authorities equal the driver-side power iteration") {
+    val s = spark
+    val edges = GraphOps.edges(s, sf0001).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    var a = edges.map(_._2).distinct.map(_ -> 1.0).toMap
+    for (_ <- 1 to GraphOps.HitsIters) {
+      val hRaw = edges.groupBy(_._1).map { case (c, es) => c -> es.map(e => a(e._2)).sum }
+      val hm = hRaw.values.max
+      val h = hRaw.map { case (c, v) => c -> v / hm }
+      val aRaw = edges.groupBy(_._2).map { case (p, es) => p -> es.map(e => h(e._1)).sum }
+      val am = aRaw.values.max
+      a = aRaw.map { case (p, v) => p -> v / am }
+    }
+    val expected = a.toSeq
+      .map { case (p, v) =>
+        (p, BigDecimal(v).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+      }
+      .sortBy { case (p, v) => (-v, p) }.take(20)
+    val got = GraphOps.q_graph_hits(s, sf0001).collect()
+      .map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(got.map(_._1) == expected.map(_._1), s"HITS order: $got vs $expected")
+    got.zip(expected).foreach { case ((_, g), (_, e)) =>
+      assert(math.abs(g - e) < 1e-6)
+    }
+  }
+
   test("GCN symmetric normalization equals the driver-side computation") {
     val s = spark
     val edges = GraphOps.edges(s, sf0001).collect()

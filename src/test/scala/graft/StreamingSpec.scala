@@ -152,4 +152,31 @@ class StreamingSpec extends AnyFunSuite {
     assert(StreamingOps.dedupByEventId(ev).count() ==
       ev.select("event_id").distinct().count())
   }
+
+  test("funnel conversion on a constructed session set") {
+    val s = spark
+    import s.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_funnel").toString
+    // user 1, day 1: click 9:00 -> purchase 9:10 (converts);
+    //   9:35 extends the same session (25-min gap < 30);
+    // user 1, day 1: 11:00 purchase-only session (no click -> no convert);
+    // user 2, day 2: purchase 8:00 BEFORE click 8:10 -> no convert.
+    // Tables.events expects ts as raw epoch-NANOSECOND longs
+    def ns(t: Timestamp): Long = t.getTime * 1000000L
+    Seq(
+      (1L, 1L, ns(ts(1, 9, 0)), "click", 0.0),
+      (2L, 1L, ns(ts(1, 9, 10)), "purchase", 0.0),
+      (3L, 1L, ns(ts(1, 9, 35)), "view", 0.0),
+      (4L, 1L, ns(ts(1, 11, 0)), "purchase", 0.0),
+      (5L, 2L, ns(ts(2, 8, 0)), "purchase", 0.0),
+      (6L, 2L, ns(ts(2, 8, 10)), "click", 0.0))
+      .toDF("event_id", "user_id", "ts", "event_type", "value")
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val rows = StreamingOps.q_stream_funnel(s, dir).collect().map(r =>
+      (r.getTimestamp(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(rows == Seq(
+      (ts(1, 0), 2L, 1L),   // day 1: converting session + purchase-only session
+      (ts(2, 0), 1L, 0L)),  // day 2: wrong order -> no conversion
+      s"funnel mismatch: $rows")
+  }
 }
