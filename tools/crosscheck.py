@@ -11,6 +11,9 @@ TABLES = ["region","nation","customer","supplier","part","orders","lineitem",
 
 def main(sf_dir, out_dir):
     con = duckdb.connect()
+    # Spill outside the work tree: an in-memory connection otherwise writes
+    # multi-GB duckdb_temp_storage-*.tmp files under ./.tmp in the repo.
+    con.execute("SET temp_directory='/tmp/duckdb_spill'")
     for t in TABLES:
         con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')")
     oracle = json.load(open(os.path.join(out_dir, "oracle_sql.json")))
