@@ -124,12 +124,22 @@ object StreamingOps {
           Sess(cur.n + s.n, cur.startMs, math.max(cur.endMs, s.endMs)) :: rest
         case (acc, s) => s :: acc
       }.reverse
+    // Boundary is intentionally exclusive (ADVICE r3): Spark's fGWS
+    // late-row filter drops rows with ts <= wm before they reach this
+    // function (verified empirically in StreamingSourcesSpec), so every
+    // surviving event has ts > wm >= endMs + gap and can never merge
+    // with a session sealed here. Emission stays arrival-order
+    // independent because the watermark filter, not arrival order,
+    // decides a boundary event's fate.
     val (sealed_, open) = merged.partition(_.endMs + SessionGapMs <= wm)
     if (open.isEmpty) state.remove()
     else {
       state.update(SessState(open))
-      // min pending end + gap is > wm by construction of `open`
-      state.setTimeoutTimestamp(open.map(_.endMs).min + SessionGapMs)
+      // min pending end + gap is > wm by construction of `open`; the
+      // clamp guards the invariant anyway, since Spark rejects timeout
+      // timestamps at or before the current watermark.
+      state.setTimeoutTimestamp(
+        math.max(open.map(_.endMs).min + SessionGapMs, wm + 1L))
     }
     sealed_.iterator.map(s => SessionOut(key, s.n, new java.sql.Timestamp(s.endMs)))
   }

@@ -171,6 +171,37 @@ class StreamingSourcesSpec extends AnyFunSuite {
       s"late event must merge the held sessions into one of 3 events: ${user1.toSeq}")
   }
 
+  test("event exactly at the watermark is dropped, so the sealed boundary is safe (ADVICE r3)") {
+    val s = spark
+    import s.implicits._
+    implicit val sq = s.sqlContext
+    def ts(h: Int, m: Int) = Timestamp.valueOf(f"2024-01-01 $h%02d:$m%02d:00")
+    val ms = MemoryStream[E]
+    val q = StreamingOps.timedSessions(s, ms.toDF())
+      .writeStream.outputMode(OutputMode.Append)
+      .format("memory").queryName("wmboundary").start()
+    // user 1 session ends 01:00; user 9 at 01:40 drives wm to exactly
+    // 01:30 = 01:00 + gap, the sealing boundary.
+    ms.addData(E(1, 1, ts(1, 0), "click", 0), E(2, 9, ts(1, 40), "click", 0))
+    q.processAllAvailable()
+    // An event at ts == wm (01:30) sits exactly gap after the sealed
+    // session. Spark's fGWS late-row filter drops rows with ts <= wm,
+    // so it never reaches the operator: no merge AND no singleton
+    // session — the inclusive seal can never race such an event, and
+    // emission stays arrival-order independent. This pins the drop
+    // semantics the exclusive boundary relies on; if a Spark upgrade
+    // starts delivering ts == wm rows, this test fails and the seal
+    // must become strict (endMs + gap < wm).
+    ms.addData(E(3, 1, ts(1, 30), "click", 0))
+    q.processAllAvailable()
+    ms.addData(E(4, 9, ts(5, 0), "click", 0))
+    q.processAllAvailable(); q.stop()
+    val user1 = s.table("wmboundary").collect()
+      .filter(_.getLong(0) == 1L).map(r => (r.getLong(1), r.getTimestamp(2)))
+    assert(user1.toSeq == Seq((1L, ts(1, 0))),
+      s"ts == wm event must be filtered, leaving the single sealed session: ${user1.toSeq}")
+  }
+
   test("stateful query runs on the RocksDB state store provider") {
     val s = spark
     import s.implicits._
