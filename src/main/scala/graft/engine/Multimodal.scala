@@ -87,7 +87,25 @@ object Multimodal {
         sum(col("n_bytes")).cast("bigint").as("bytes_sum"))
       .orderBy("kind")
 
+  /** Contract query for the frame-sampling stage: sample 4 frames per
+    * video payload, aggregate frame count + byte volume per frame slot.
+    * The chunking arithmetic is a pure function of the payload length,
+    * so the oracle reproduces it from `length(text)` with a range join —
+    * the Spark side still moves real binary frames through the typed
+    * `mapPartitions` pipeline a real keyframe sampler would use. */
+  def q_mm_frames(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    mediaTable(s, dir).mapPartitions(frameSampleStub(4)).toDF()
+      .groupBy(col("frame_idx"))
+      .agg(count(lit(1)).as("n_frames"),
+        sum(length(col("frame_bytes"))).cast("bigint").as("bytes_sum"),
+        min(length(col("frame_bytes"))).cast("bigint").as("min_bytes"),
+        max(length(col("frame_bytes"))).cast("bigint").as("max_bytes"))
+      .orderBy("frame_idx")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "q_mm_decode" -> q_mm_decode _
+    "q_mm_decode" -> q_mm_decode _,
+    "q_mm_frames" -> q_mm_frames _
   )
 }

@@ -1205,6 +1205,112 @@ object Oracle {
         |FROM p CROSS JOIN tot ORDER BY 1""".stripMargin
   )
 
+  /** Round-4 operators (SURVEY §2.15): map functions, distribution
+    * windows, lateral join, temporal-decay GNN aggregation, DSIR,
+    * chained windowed aggregation, multimodal frame sampling. */
+  val round4: Map[String, String] = Map(
+    "q_map_funcs" ->
+      """WITH sc AS (
+        |  SELECT n_name, c_mktsegment, count(*) AS cnt
+        |  FROM customer JOIN nation ON c_nationkey = n_nationkey
+        |  GROUP BY 1, 2)
+        |SELECT n_name,
+        |  CAST(count(*) AS INT) AS n_segments,
+        |  COALESCE(MAX(CASE WHEN c_mktsegment = 'BUILDING' THEN cnt END), 0) AS n_building,
+        |  COALESCE(MAX(CASE WHEN c_mktsegment = 'MACHINERY' THEN cnt END), 0) AS n_machinery,
+        |  CAST(count(*) FILTER (WHERE cnt >= 15) AS INT) AS n_big_segments,
+        |  CAST(SUM(cnt) AS BIGINT) AS n_customers
+        |FROM sc GROUP BY n_name ORDER BY n_name""".stripMargin,
+
+    "q_win_distribution" ->
+      """SELECT c_custkey, c_mktsegment, c_acctbal,
+        |  round(percent_rank() OVER (PARTITION BY c_mktsegment ORDER BY c_acctbal, c_custkey), 6) AS pct_rank,
+        |  round(cume_dist()    OVER (PARTITION BY c_mktsegment ORDER BY c_acctbal, c_custkey), 6) AS cum_dist
+        |FROM customer ORDER BY c_custkey""".stripMargin,
+
+    "q_join_lateral" ->
+      """SELECT c.c_custkey, o.o_orderkey, o.o_totalprice
+        |FROM customer c, LATERAL (
+        |  SELECT o_orderkey, o_totalprice FROM orders
+        |  WHERE o_custkey = c.c_custkey
+        |  ORDER BY o_totalprice DESC, o_orderkey LIMIT 2) o
+        |ORDER BY c.c_custkey, o.o_orderkey""".stripMargin,
+
+    // Weight = round(exp(-0.01·age_days), 9): probed bit-identical
+    // Spark vs DuckDB for all integer ages in [0, 20000); ages whose
+    // weight rounds to exactly 0 are filtered in both engines.
+    "q_gnn_temporal_decay" ->
+      """WITH ed AS (
+        |  SELECT o_custkey AS c,
+        |    l_partkey % (SELECT count(*) FROM embeddings) AS vkey,
+        |    round(exp(-0.01 * date_diff('day', o_orderdate,
+        |                                (SELECT max(o_orderdate) FROM orders))), 9) AS w
+        |  FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
+        |fe AS (SELECT * FROM ed WHERE w > 0)
+        |SELECT c AS custkey, CAST(count(*) AS BIGINT) AS n_recent,
+        |  round(SUM(w * CAST(embedding[1] AS DOUBLE)) / SUM(w), 6) AS d1,
+        |  round(SUM(w * CAST(embedding[2] AS DOUBLE)) / SUM(w), 6) AS d2,
+        |  round(SUM(w * CAST(embedding[3] AS DOUBLE)) / SUM(w), 6) AS d3,
+        |  round(SUM(w * CAST(embedding[4] AS DOUBLE)) / SUM(w), 6) AS d4
+        |FROM fe JOIN embeddings ON vkey = vec_id
+        |GROUP BY c ORDER BY c""".stripMargin,
+
+    // Per-bucket log-ratios round to 9 decimals pre-sum (ln's last ulp
+    // differs across engines); md5 60-bit bucket hash == Spark's
+    // pmod(conv(substr(md5,1,15),16,10), 1024).
+    "q_llm_dsir" ->
+      """WITH toks AS (
+        |  SELECT doc_id, lang,
+        |    CAST('0x' || substr(md5(tok), 1, 15) AS BIGINT) % 1024 AS b
+        |  FROM (SELECT doc_id, lang, unnest(string_split(text, ' ')) AS tok
+        |        FROM documents)),
+        |raw AS (SELECT b AS rb, count(*) AS rcnt FROM toks GROUP BY 1),
+        |tgt AS (SELECT b AS tb, count(*) AS tcnt FROM toks WHERE lang = 'en' GROUP BY 1),
+        |rt AS (SELECT count(*) AS r_total FROM toks),
+        |tt AS (SELECT count(*) AS t_total FROM toks WHERE lang = 'en'),
+        |lr AS (
+        |  SELECT rb, round(
+        |    ln(CAST(COALESCE(tcnt, 0) + 1 AS DOUBLE) / (t_total + 1024)) -
+        |    ln(CAST(rcnt + 1 AS DOUBLE) / (r_total + 1024)), 9) AS lr
+        |  FROM raw LEFT JOIN tgt ON rb = tb CROSS JOIN rt CROSS JOIN tt),
+        |docw AS (
+        |  SELECT doc_id, lang, SUM(lr) AS logw
+        |  FROM toks JOIN lr ON b = rb GROUP BY 1, 2)
+        |SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+        |  round(AVG(logw), 6) AS avg_logw,
+        |  round(MAX(round(logw, 6)), 6) AS max_logw
+        |FROM docw GROUP BY lang ORDER BY lang""".stripMargin,
+
+    "q_stream_chained_agg" ->
+      """WITH h AS (
+        |  SELECT date_trunc('hour', CAST(ts AS TIMESTAMP)) AS hr, event_type,
+        |         count(*) AS hourly_cnt
+        |  FROM events GROUP BY 1, 2)
+        |SELECT CAST(date_trunc('day', hr) AS TIMESTAMP) AS day, event_type,
+        |  CAST(count(*) AS BIGINT) AS n_active_hours,
+        |  CAST(max(hourly_cnt) AS BIGINT) AS max_hourly,
+        |  CAST(min(hourly_cnt) AS BIGINT) AS min_hourly
+        |FROM h GROUP BY 1, 2 ORDER BY day, event_type""".stripMargin,
+
+    // The frame chunking is a pure function of the payload length
+    // (documents are all-ASCII so length(text) == byte length); doc
+    // lengths are >= 48 at every sf, so frames = 4 and step = L // 4.
+    "q_mm_frames" ->
+      """WITH v AS (
+        |  SELECT doc_id, CAST(length(text) AS BIGINT) AS L
+        |  FROM documents WHERE doc_id % 3 = 2),
+        |f AS (
+        |  SELECT doc_id, CAST(i AS INT) AS frame_idx,
+        |    CASE WHEN i < 3 THEN L // 4 ELSE L - 3 * (L // 4) END AS flen
+        |  FROM v, unnest(range(4)) AS t(i))
+        |SELECT frame_idx, CAST(count(*) AS BIGINT) AS n_frames,
+        |  CAST(SUM(flen) AS BIGINT) AS bytes_sum,
+        |  CAST(MIN(flen) AS BIGINT) AS min_bytes,
+        |  CAST(MAX(flen) AS BIGINT) AS max_bytes
+        |FROM f GROUP BY 1 ORDER BY 1""".stripMargin
+  )
+
   val all: Map[String, String] =
-    relational ++ streaming ++ graph ++ llm ++ extended ++ gnn ++ gnnPrep ++ pipeline
+    relational ++ streaming ++ graph ++ llm ++ extended ++ gnn ++ gnnPrep ++
+      pipeline ++ round4
 }

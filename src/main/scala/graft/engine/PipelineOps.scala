@@ -275,7 +275,52 @@ object PipelineOps {
         (count(lit(1)) - 1).as("n_removed"))
       .orderBy("lang", "source")
 
+  /** DSIR data selection (Xie et al. 2023 "Data Selection for Language
+    * Models via Importance Resampling"): hashed-unigram importance
+    * weights of every doc against a target domain (here: the `en`
+    * slice). Tokens hash into 1024 buckets (md5 60-bit family — the
+    * cross-engine-reproducible hash used by q_llm_minhash_md5); bucket
+    * unigram models with add-1 smoothing are fit for target and raw
+    * corpus, and a doc's log importance weight is
+    * Σ_tok [ln p_target(b(tok)) − ln p_raw(b(tok))]. Per-bucket log
+    * ratios round to 9 decimals pre-sum (ln's last ulp differs across
+    * engines, like exp — see q_gnn_temporal_decay), doc and lang stats
+    * round to 6 post-agg (D5).
+    *
+    * Scale shape: the two 1024-row bucket models are tiny aggregates
+    * that broadcast back onto the token stream; the only full shuffle is
+    * the per-doc sum — DSIR's pass structure at 100 TB. */
+  def q_llm_dsir(s: SparkSession, dir: String): DataFrame = {
+    val B = 1024
+    val toks = Tables.documents(s, dir)
+      .select(col("doc_id"), col("lang"), explode(split(col("text"), " ")).as("tok"))
+      .select(col("doc_id"), col("lang"),
+        pmod(conv(substring(md5(col("tok").cast("binary")), 1, 15), 16, 10).cast("long"),
+          lit(B.toLong)).as("b"))
+    val raw = toks.groupBy(col("b").as("rb")).agg(count(lit(1)).as("rcnt"))
+    val tgt = toks.filter(col("lang") === "en")
+      .groupBy(col("b").as("tb")).agg(count(lit(1)).as("tcnt"))
+    val rTot = toks.agg(count(lit(1)).as("r_total"))
+    val tTot = toks.filter(col("lang") === "en").agg(count(lit(1)).as("t_total"))
+    val lr = raw
+      .join(tgt, col("rb") === col("tb"), "left_outer")
+      .crossJoin(broadcast(rTot)).crossJoin(broadcast(tTot))
+      .select(col("rb"),
+        round(
+          log((coalesce(col("tcnt"), lit(0L)) + 1).cast("double") / (col("t_total") + B)) -
+          log((col("rcnt") + 1).cast("double") / (col("r_total") + B)), 9).as("lr"))
+    val docW = toks.join(broadcast(lr), col("b") === col("rb"))
+      .groupBy(col("doc_id"), col("lang"))
+      .agg(sum(col("lr")).as("logw"))
+    docW.groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"),
+        round(avg(col("logw")), 6).as("avg_logw"),
+        round(max(round(col("logw"), 6)), 6).as("max_logw"))
+      .orderBy("lang")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_llm_dsir" -> q_llm_dsir _,
     "q_llm_gopher_repetition" -> q_llm_gopher_repetition _,
     "q_llm_tfidf" -> q_llm_tfidf _,
     "q_llm_bm25" -> q_llm_bm25 _,

@@ -468,7 +468,71 @@ object Relational {
       .orderBy(col("cnt").desc, col("token").asc)
       .limit(20)
 
+  // ── §2.8 map functions / §2.5 distribution windows / §2.3 lateral ────
+
+  /** MapType surface (the §2.8 map column family): per nation, build a
+    * mktsegment→count map with `map_from_entries`, then read it back with
+    * `element_at`, `map_keys`, `map_filter` and a `map_values` fold —
+    * flat output so the oracle is plain conditional aggregation. The map
+    * is built from an already-aggregated 25×5-row input, so the
+    * collect_list order (nondeterministic across partitions) never leaks:
+    * every downstream read is key-addressed or order-independent. */
+  def q_map_funcs(s: SparkSession, dir: String): DataFrame = {
+    val segCounts = Tables.customer(s, dir)
+      .join(broadcast(Tables.nation(s, dir)), col("c_nationkey") === col("n_nationkey"))
+      .groupBy(col("n_name"), col("c_mktsegment"))
+      .agg(count(lit(1)).as("cnt"))
+    segCounts
+      .groupBy(col("n_name"))
+      .agg(map_from_entries(collect_list(struct(col("c_mktsegment"), col("cnt"))))
+        .as("seg_map"))
+      .select(
+        col("n_name"),
+        size(map_keys(col("seg_map"))).as("n_segments"),
+        coalesce(element_at(col("seg_map"), "BUILDING"), lit(0L)).as("n_building"),
+        coalesce(element_at(col("seg_map"), "MACHINERY"), lit(0L)).as("n_machinery"),
+        size(map_filter(col("seg_map"), (_, v) => v >= 15)).as("n_big_segments"),
+        aggregate(map_values(col("seg_map")), lit(0L), (acc, x) => acc + x)
+          .as("n_customers"))
+      .orderBy("n_name")
+  }
+
+  /** Distribution analytics: `percent_rank` + `cume_dist` of customers by
+    * account balance within their market segment (D5 rounded; window
+    * order tie-broken on c_custkey so no two rows are peers and both
+    * functions are exactly reproducible). */
+  def q_win_distribution(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("c_mktsegment"))
+      .orderBy(col("c_acctbal"), col("c_custkey"))
+    Tables.customer(s, dir)
+      .select(col("c_custkey"), col("c_mktsegment"), col("c_acctbal"),
+        round(percent_rank().over(w), 6).as("pct_rank"),
+        round(cume_dist().over(w), 6).as("cum_dist"))
+      .orderBy("c_custkey")
+  }
+
+  /** Correlated LATERAL subquery (SQL:2016 lateral derived table — the
+    * Flink `FlatMapFunction`-with-lookup analog): top-2 orders per
+    * customer by totalprice, expressed as a per-row dependent subquery
+    * with ORDER BY + LIMIT. Catalyst decorrelates this into a ranked
+    * window join (DecorrelateInnerQuery + RewriteLateralSubquery), so the
+    * physical plan is one shuffle — no per-row execution at scale. */
+  def q_join_lateral(s: SparkSession, dir: String): DataFrame = {
+    Tables.customer(s, dir).createOrReplaceTempView("v_cust_lat")
+    Tables.orders(s, dir).createOrReplaceTempView("v_orders_lat")
+    s.sql(
+      """SELECT c.c_custkey, o.o_orderkey, o.o_totalprice
+        |FROM v_cust_lat c JOIN LATERAL (
+        |  SELECT o_orderkey, o_totalprice FROM v_orders_lat
+        |  WHERE o_custkey = c.c_custkey
+        |  ORDER BY o_totalprice DESC, o_orderkey LIMIT 2) o
+        |ORDER BY c.c_custkey, o.o_orderkey""".stripMargin)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_map_funcs" -> q_map_funcs _,
+    "q_win_distribution" -> q_win_distribution _,
+    "q_join_lateral" -> q_join_lateral _,
     "q_scan_project" -> q_scan_project _,
     "q_scan_pruned_filter" -> q_scan_pruned_filter _,
     "q_filter_predicates" -> q_filter_predicates _,

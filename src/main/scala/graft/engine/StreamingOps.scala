@@ -332,7 +332,29 @@ object StreamingOps {
       .orderBy("user_id")
   }
 
+  /** Chained event-time window aggregation (Spark 3.4+ multiple stateful
+    * operators, SPARK-40925; the Flink two-level window cascade): hourly
+    * per-type counts re-windowed into daily stats — max/min hourly load
+    * and the number of active hours. `window()` applied to the first
+    * aggregation's window column keeps event-time (and, in streaming,
+    * watermark) propagation intact, so the SAME transform runs on a
+    * MemoryStream with two stateful aggs in one query (tested in
+    * StreamingSourcesSpec). */
+  def chainedHourlyDaily(ev: DataFrame): DataFrame =
+    ev.groupBy(window(col("ts"), "1 hour").as("hw"), col("event_type"))
+      .agg(count(lit(1)).as("hourly_cnt"))
+      .groupBy(window(col("hw"), "1 day").as("dw"), col("event_type"))
+      .agg(count(lit(1)).as("n_active_hours"),
+        max(col("hourly_cnt")).as("max_hourly"),
+        min(col("hourly_cnt")).as("min_hourly"))
+      .select(col("dw.start").as("day"), col("event_type"),
+        col("n_active_hours"), col("max_hourly"), col("min_hourly"))
+
+  def q_stream_chained_agg(s: SparkSession, dir: String): DataFrame =
+    chainedHourlyDaily(Tables.events(s, dir)).orderBy("day", "event_type")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_stream_chained_agg" -> q_stream_chained_agg _,
     "q_stream_tumbling" -> q_stream_tumbling _,
     "q_stream_sliding" -> q_stream_sliding _,
     "q_stream_session" -> q_stream_session _,

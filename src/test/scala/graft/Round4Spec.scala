@@ -1,0 +1,89 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.engine.{Gnn, Multimodal, PipelineOps, Relational, Tables}
+
+/** Invariant tests for the round-4 operators (SURVEY §2.15). The
+  * cross-engine value check is the DuckDB oracle gate; these pin the
+  * semantic properties a hash-compare alone would not explain. */
+class Round4Spec extends AnyFunSuite {
+  import TestSpark._
+
+  test("map_funcs: map reads agree with direct relational aggregation") {
+    val m = Relational.q_map_funcs(spark, sf0001).collect()
+      .map(r => r.getString(0) -> (r.getInt(1), r.getLong(5))).toMap
+    val direct = Tables.customer(spark, sf0001)
+      .join(Tables.nation(spark, sf0001), col("c_nationkey") === col("n_nationkey"))
+      .groupBy(col("n_name"))
+      .agg(countDistinct(col("c_mktsegment")).cast("int").as("segs"),
+        count(lit(1)).as("n"))
+      .collect().map(r => r.getString(0) -> (r.getInt(1), r.getLong(2))).toMap
+    assert(m == direct, "map-based and direct per-nation stats must agree")
+  }
+
+  test("win_distribution: percent_rank spans [0,1]; cume_dist ends at 1 per segment") {
+    val rows = Relational.q_win_distribution(spark, sf0001).collect()
+    assert(rows.forall(r => r.getDouble(3) >= 0.0 && r.getDouble(3) <= 1.0))
+    val bySeg = rows.groupBy(_.getString(1))
+    bySeg.foreach { case (seg, rs) =>
+      assert(math.abs(rs.map(_.getDouble(4)).max - 1.0) < 1e-9,
+        s"cume_dist must reach 1.0 in segment $seg")
+    }
+  }
+
+  test("join_lateral: at most 2 rows per customer, each customer's true top-2") {
+    val lat = Relational.q_join_lateral(spark, sf0001).collect()
+      .groupBy(_.getLong(0)).map { case (c, rs) => c -> rs.map(_.getLong(1)).toSet }
+    assert(lat.values.forall(_.size <= 2))
+    val win = Tables.orders(spark, sf0001)
+      .withColumn("rn", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("o_custkey"))
+          .orderBy(col("o_totalprice").desc, col("o_orderkey"))))
+      .filter(col("rn") <= 2)
+      .collect().groupBy(_.getAs[Long]("o_custkey"))
+      .map { case (c, rs) => c -> rs.map(_.getAs[Long]("o_orderkey")).toSet }
+    assert(lat == win, "lateral top-2 must equal the window top-2")
+  }
+
+  test("temporal decay: a customer's aggregate is a convex combination of part features") {
+    // weighted mean stays inside [min, max] of the contributing dim-1
+    // values — convexity of Σw·x/Σw with w > 0
+    val out = Gnn.q_gnn_temporal_decay(spark, sf0001).collect()
+    val bounds = Tables.embeddings(spark, sf0001)
+      .select(min(element_at(col("embedding"), 1)), max(element_at(col("embedding"), 1)))
+      .collect()(0)
+    val (lo, hi) = (bounds.getFloat(0).toDouble, bounds.getFloat(1).toDouble)
+    assert(out.forall { r =>
+      val d1 = r.getDouble(2)
+      d1 >= lo - 1e-6 && d1 <= hi + 1e-6
+    }, "weighted mean must stay inside the global feature range")
+    assert(out.forall(_.getLong(1) > 0), "only customers with positive-weight edges appear")
+  }
+
+  test("temporal decay: newer edges outweigh older ones") {
+    // Weight is monotonically decreasing in age: the weight column of the
+    // newest order equals 1 (age 0 → exp(0)) and ages >2100 days round to 0.
+    assert(math.round(math.exp(-0.01 * 0) * 1e9) / 1e9 == 1.0)
+    assert(math.round(math.exp(-0.01 * 2200) * 1e9) / 1e9 == 0.0)
+    assert(math.exp(-0.01 * 10) > math.exp(-0.01 * 100))
+  }
+
+  test("dsir: the target language scores highest on average") {
+    val rows = PipelineOps.q_llm_dsir(spark, sf001).collect()
+      .map(r => r.getString(0) -> r.getDouble(2)).toMap
+    val others = rows.filterNot(_._1 == "en").values
+    assert(others.forall(_ < rows("en")),
+      s"en (the target) must have the highest avg log importance weight: $rows")
+  }
+
+  test("mm_frames: every video byte lands in exactly one frame") {
+    val frames = Multimodal.q_mm_frames(spark, sf0001)
+      .agg(sum(col("bytes_sum"))).collect()(0).getLong(0)
+    val total = Tables.documents(spark, sf0001)
+      .filter(col("doc_id") % 3 === 2)
+      .agg(sum(length(col("text")))).collect()(0).getLong(0)
+    assert(frames == total, "frame bytes must partition the payload bytes")
+  }
+}

@@ -202,6 +202,33 @@ class StreamingSourcesSpec extends AnyFunSuite {
       s"ts == wm event must be filtered, leaving the single sealed session: ${user1.toSeq}")
   }
 
+  test("chained window agg: two stateful operators in one streaming query equal batch") {
+    val s = spark
+    import s.implicits._
+    implicit val sq = s.sqlContext
+    def ts(d: Int, h: Int) = Timestamp.valueOf(f"2024-01-$d%02d $h%02d:15:00")
+    val ms = MemoryStream[E]
+    val q = StreamingOps.chainedHourlyDaily(ms.toDF().withWatermark("ts", "10 minutes"))
+      .writeStream.outputMode(OutputMode.Append)
+      .format("memory").queryName("chained").start()
+    // two days of clicks: day 1 has hours 1,1,2 (max hourly 2), day 2 hour 5
+    val data = Seq(
+      E(1, 1, ts(1, 1), "click", 0), E(2, 2, ts(1, 1), "click", 0),
+      E(3, 1, ts(1, 2), "click", 0), E(4, 1, ts(2, 5), "click", 0))
+    ms.addData(data: _*)
+    q.processAllAvailable()
+    // sentinel far ahead flushes both day windows through BOTH stateful aggs
+    ms.addData(E(9, 9, ts(20, 0), "view", 0))
+    q.processAllAvailable(); q.stop()
+    val streamed = s.table("chained").collect()
+      .filter(_.getString(1) == "click")
+      .map(r => (r.getTimestamp(0), r.getLong(2), r.getLong(3), r.getLong(4))).toSet
+    val batch = StreamingOps.chainedHourlyDaily(data.toDF()).collect()
+      .map(r => (r.getTimestamp(0), r.getLong(2), r.getLong(3), r.getLong(4))).toSet
+    assert(streamed == batch,
+      s"streaming chained agg must equal batch: $streamed vs $batch")
+  }
+
   test("stateful query runs on the RocksDB state store provider") {
     val s = spark
     import s.implicits._
