@@ -203,8 +203,7 @@ object LlmOps {
     val sig = d.withColumn("sig",
       array((0 until numBands * rowsPerBand).map { j =>
         array_min(transform(col("toks"), t =>
-          conv(substring(md5(concat(lit(s"$j:"), t).cast("binary")), 1, 15), 16, 10)
-            .cast("long")))
+          Dsl.md5Hash60(concat(lit(s"$j:"), t))))
       }: _*))
     val banded = sig.select(col("lang"), col("doc_id"),
       posexplode(array((0 until numBands).map { b =>
@@ -273,8 +272,7 @@ object LlmOps {
   def q_llm_simhash_md5(s: SparkSession, dir: String): DataFrame = {
     val d = tokenSets(s, dir).filter(col("doc_id") % 10 === 0 && size(col("toks")) > 0)
     val tok = d.select(col("doc_id"), col("lang"), explode(col("toks")).as("tok"))
-      .withColumn("h",
-        conv(substring(md5(col("tok").cast("binary")), 1, 15), 16, 10).cast("long"))
+      .withColumn("h", Dsl.md5Hash60(col("tok")))
     val votes = (0 until 60).map(b =>
       sum(when(expr(s"shiftright(h, $b) & 1") === 1, 1).otherwise(-1)).as(s"v$b"))
     val sigExpr = (0 until 60)

@@ -295,13 +295,16 @@ object PipelineOps {
     val toks = Tables.documents(s, dir)
       .select(col("doc_id"), col("lang"), explode(split(col("text"), " ")).as("tok"))
       .select(col("doc_id"), col("lang"),
-        pmod(conv(substring(md5(col("tok").cast("binary")), 1, 15), 16, 10).cast("long"),
-          lit(B.toLong)).as("b"))
+        pmod(Dsl.md5Hash60(col("tok")), lit(B.toLong)).as("b"))
     val raw = toks.groupBy(col("b").as("rb")).agg(count(lit(1)).as("rcnt"))
     val tgt = toks.filter(col("lang") === "en")
       .groupBy(col("b").as("tb")).agg(count(lit(1)).as("tcnt"))
-    val rTot = toks.agg(count(lit(1)).as("r_total"))
-    val tTot = toks.filter(col("lang") === "en").agg(count(lit(1)).as("t_total"))
+    // Totals come from the 1024-row bucket models, NOT from re-counting
+    // the token stream: Catalyst does no cross-branch CSE, so a
+    // toks.agg(count) here would re-run the whole tokenize+hash scan —
+    // two redundant full-corpus passes at the 100 TB target.
+    val rTot = raw.agg(sum(col("rcnt")).as("r_total"))
+    val tTot = tgt.agg(sum(col("tcnt")).as("t_total"))
     val lr = raw
       .join(tgt, col("rb") === col("tb"), "left_outer")
       .crossJoin(broadcast(rTot)).crossJoin(broadcast(tTot))

@@ -54,4 +54,13 @@ object Dsl {
 
   /** Exact AVG: decimal sum then double division by count (D2). */
   def moneyAvg(c: Column): Column = sum(dec(c)).cast("double") / count(lit(1))
+
+  /** The cross-engine 60-bit md5 hash family: first 15 hex digits of
+    * md5 as a non-negative long. DuckDB twin (probed byte-equal):
+    * `CAST('0x' || substr(md5(x), 1, 15) AS BIGINT)`. Single source of
+    * truth for every md5-family operator (MinHash/SimHash twins, DSIR
+    * buckets, negative sampling) — widen/change it HERE and in the
+    * oracle strings together, never in one place. */
+  def md5Hash60(c: Column): Column =
+    conv(substring(md5(c.cast("binary")), 1, 15), 16, 10).cast("long")
 }

@@ -62,12 +62,36 @@ class Round4Spec extends AnyFunSuite {
     assert(out.forall(_.getLong(1) > 0), "only customers with positive-weight edges appear")
   }
 
-  test("temporal decay: newer edges outweigh older ones") {
-    // Weight is monotonically decreasing in age: the weight column of the
-    // newest order equals 1 (age 0 → exp(0)) and ages >2100 days round to 0.
-    assert(math.round(math.exp(-0.01 * 0) * 1e9) / 1e9 == 1.0)
-    assert(math.round(math.exp(-0.01 * 2200) * 1e9) / 1e9 == 0.0)
-    assert(math.exp(-0.01 * 10) > math.exp(-0.01 * 100))
+  test("temporal decay: query output matches a from-scratch recomputation") {
+    // Recompute one customer's aggregate directly from the raw tables —
+    // pins the datediff direction, the round-9 weight, the w > 0 filter
+    // and the weighted-mean formula, not just oracle agreement.
+    val out = Gnn.q_gnn_temporal_decay(spark, sf0001).collect()
+    val target = out.head // smallest custkey (output is ordered)
+    val ck = target.getLong(0)
+    val nEmb = Tables.embeddings(spark, sf0001).count()
+    val maxD = Tables.orders(spark, sf0001)
+      .agg(max(col("o_orderdate"))).collect()(0)
+      .getAs[java.time.LocalDateTime](0).toLocalDate
+    val emb1 = Tables.embeddings(spark, sf0001)
+      .select(col("vec_id"), element_at(col("embedding"), 1).cast("double"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val purchases = Tables.orders(spark, sf0001)
+      .filter(col("o_custkey") === ck)
+      .join(Tables.lineitem(spark, sf0001), col("o_orderkey") === col("l_orderkey"))
+      .select(col("o_orderdate"), col("l_partkey"))
+      .collect()
+      .map(r => (r.getAs[java.time.LocalDateTime](0).toLocalDate, r.getLong(1)))
+    val weighted = purchases.map { case (d, pk) =>
+      val age = java.time.temporal.ChronoUnit.DAYS.between(d, maxD)
+      val w = math.round(math.exp(-0.01 * age) * 1e9) / 1e9 // round-9, HALF_UP
+      (w, emb1(pk % nEmb))
+    }.filter(_._1 > 0)
+    assert(target.getLong(1) == weighted.length,
+      s"n_recent must count only positive-weight edges for customer $ck")
+    val expect = weighted.map { case (w, x) => w * x }.sum / weighted.map(_._1).sum
+    assert(math.abs(target.getDouble(2) - expect) < 2e-6,
+      s"d1 for customer $ck: query ${target.getDouble(2)} vs recomputed $expect")
   }
 
   test("dsir: the target language scores highest on average") {
