@@ -1310,7 +1310,53 @@ object Oracle {
         |FROM f GROUP BY 1 ORDER BY 1""".stripMargin
   )
 
+  /** Round-4 second batch: skew-salted join (oracle = the PLAIN join —
+    * salting must be result-invisible), Levenshtein fuzzy-dedup tier,
+    * Lee-2022 duplicated-span accounting. */
+  val round4b: Map[String, String] = Map(
+    "q_join_skew_salted" ->
+      """SELECT c_nationkey, count(*) AS n_events,
+        |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS val_sum
+        |FROM events JOIN customer ON user_id = c_custkey
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q_text_edit_distance" ->
+      """WITH s AS (
+        |  SELECT doc_id, lang, substr(text, 1, 100) AS p
+        |  FROM documents WHERE doc_id % 10 = 0)
+        |SELECT a.lang, count(*) AS n_pairs,
+        |  CAST(min(levenshtein(a.p, b.p)) AS INT) AS min_dist,
+        |  round(avg(levenshtein(a.p, b.p)), 6) AS avg_dist
+        |FROM s a JOIN s b ON a.lang = b.lang AND a.doc_id < b.doc_id
+        |  AND abs(length(a.p) - length(b.p)) <= 20
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // 32-char shingles at stride 16, deduped per doc; a span is
+    // duplicated when it appears in > 1 distinct doc (corpus-wide).
+    "q_llm_span_dedup" ->
+      """WITH sh AS (
+        |  SELECT DISTINCT doc_id, lang, md5(substr(text, CAST(i AS INT), 32)) AS h
+        |  FROM documents, unnest(range(1, length(text) - 30, 16)) AS t(i)
+        |  WHERE length(text) >= 32),
+        |duph AS (
+        |  SELECT h FROM sh GROUP BY h HAVING count(DISTINCT doc_id) > 1),
+        |docdup AS (
+        |  SELECT sh.doc_id, sh.lang, sh.h FROM sh JOIN duph ON sh.h = duph.h),
+        |pld AS (
+        |  SELECT lang, count(DISTINCT doc_id) AS n_dup_docs,
+        |         count(DISTINCT h) AS n_dup_spans
+        |  FROM docdup GROUP BY lang),
+        |base AS (SELECT lang, count(*) AS n_docs FROM documents GROUP BY lang)
+        |SELECT base.lang, base.n_docs,
+        |  COALESCE(pld.n_dup_docs, 0) AS n_dup_docs,
+        |  round(CAST(COALESCE(pld.n_dup_docs, 0) AS DOUBLE) / base.n_docs, 6)
+        |    AS dup_doc_share,
+        |  COALESCE(pld.n_dup_spans, 0) AS n_dup_spans
+        |FROM base LEFT JOIN pld ON base.lang = pld.lang
+        |ORDER BY base.lang""".stripMargin
+  )
+
   val all: Map[String, String] =
     relational ++ streaming ++ graph ++ llm ++ extended ++ gnn ++ gnnPrep ++
-      pipeline ++ round4
+      pipeline ++ round4 ++ round4b
 }

@@ -181,7 +181,71 @@ object TextOps {
       .orderBy("doc_id")
   }
 
+  /** Fuzzy near-dup accounting by edit distance (the Levenshtein tier of
+    * a dedup cascade — catches what token-set Jaccard misses: small
+    * in-place edits). Deterministic 10% sample, same-lang pairs a < b
+    * within 20 chars of length, distance on the 100-char prefix (the
+    * standard bound that keeps the DP quadratic cost fixed per pair
+    * regardless of doc length). Per-lang pair count, min and mean
+    * distance; avg of exact ints → rational, deterministic at 6dp.
+    * Spark and DuckDB levenshtein were probed value-identical. */
+  def q_text_edit_distance(s: SparkSession, dir: String): DataFrame = {
+    val sample = Tables.documents(s, dir)
+      .filter(col("doc_id") % 10 === 0)
+      .select(col("doc_id"), col("lang"), substring(col("text"), 1, 100).as("p"))
+    val a = sample.select(col("lang"), col("doc_id").as("ida"), col("p").as("pa"))
+    val b = sample.select(col("lang").as("lang_b"), col("doc_id").as("idb"), col("p").as("pb"))
+    a.join(b, col("lang") === col("lang_b") && col("ida") < col("idb") &&
+        abs(length(col("pa")) - length(col("pb"))) <= 20)
+      .select(col("lang"), levenshtein(col("pa"), col("pb")).as("d"))
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_pairs"),
+        min(col("d")).cast("int").as("min_dist"),
+        round(avg(col("d")), 6).as("avg_dist"))
+      .orderBy("lang")
+  }
+
+  /** Cross-document duplicated-span accounting (the measurement pass of
+    * exact substring dedup, Lee et al. 2022 "Deduplicating Training Data
+    * Makes Language Models Better": spans repeated verbatim across docs
+    * are the memorization hazard). 32-char shingles at stride 16 (every
+    * duplicated run ≥ 47 chars is guaranteed to contain a sampled
+    * shingle), hashed with md5; a span is duplicated when it occurs in
+    * > 1 distinct doc. Per-lang: docs, docs containing a duplicated
+    * span, share, distinct duplicated spans present.
+    * Scale shape: explode + two keyed aggs + a semi-join — the same
+    * linear scan shape as the n-gram ops; the span hash table shuffles
+    * once. */
+  def q_llm_span_dedup(s: SparkSession, dir: String): DataFrame = {
+    val sh = Tables.documents(s, dir)
+      .filter(length(col("text")) >= 32)
+      .select(col("doc_id"), col("lang"),
+        explode(expr(
+          "array_distinct(transform(sequence(1, length(text) - 31, 16)," +
+            " i -> md5(substring(text, i, 32))))")).as("h"))
+    val dupH = sh.groupBy(col("h")).agg(countDistinct(col("doc_id")).as("nd"))
+      .filter(col("nd") > 1)
+      .select(col("h").as("dh"))
+    val docDup = sh.join(dupH, col("h") === col("dh"))
+      .select(col("doc_id"), col("lang"), col("h"))
+    val perLangDup = docDup.groupBy(col("lang").as("lang_d"))
+      .agg(countDistinct(col("doc_id")).as("n_dup_docs"),
+        countDistinct(col("h")).as("n_dup_spans"))
+    Tables.documents(s, dir)
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"))
+      .join(perLangDup, col("lang") === col("lang_d"), "left_outer")
+      .select(col("lang"), col("n_docs"),
+        coalesce(col("n_dup_docs"), lit(0L)).as("n_dup_docs"),
+        round(coalesce(col("n_dup_docs"), lit(0L)).cast("double") / col("n_docs"), 6)
+          .as("dup_doc_share"),
+        coalesce(col("n_dup_spans"), lit(0L)).as("n_dup_spans"))
+      .orderBy("lang")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_text_edit_distance" -> q_text_edit_distance _,
+    "q_llm_span_dedup" -> q_llm_span_dedup _,
     "q_text_unigram_xent" -> q_text_unigram_xent _,
     "q_text_langid" -> q_text_langid _,
     "q_text_quality" -> q_text_quality _,

@@ -102,6 +102,52 @@ class Round4Spec extends AnyFunSuite {
       s"en (the target) must have the highest avg log importance weight: $rows")
   }
 
+  test("salted join equals the plain join, and the hot key spreads across salts") {
+    import graft.engine.Skew
+    val ev = Tables.events(spark, sf0001)
+    val cust = Tables.customer(spark, sf0001)
+    val salted = Skew.saltedJoin(ev, cust, col("user_id"), col("c_custkey"),
+        salts = 8, saltSource = col("event_id"))
+      .groupBy(col("c_custkey")).agg(count(lit(1)).as("n"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val plain = ev.join(cust, col("user_id") === col("c_custkey"))
+      .groupBy(col("c_custkey")).agg(count(lit(1)).as("n"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(salted == plain, "salting must be invisible in the join result")
+    // the busiest user's events really scatter over >1 salt bucket
+    val hot = ev.groupBy(col("user_id")).count().orderBy(col("count").desc)
+      .collect().head.getLong(0)
+    val nSalts = ev.filter(col("user_id") === hot)
+      .select(pmod(col("event_id"), lit(8)).as("s")).distinct().count()
+    assert(nSalts > 1, s"hot user $hot must spread across salt buckets")
+  }
+
+  test("edit distance: pair counts bounded by the sample, distances within the prefix cap") {
+    val rows = graft.engine.TextOps.q_text_edit_distance(spark, sf001).collect()
+    val sampleSizes = Tables.documents(spark, sf001)
+      .filter(col("doc_id") % 10 === 0).groupBy(col("lang")).count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    rows.foreach { r =>
+      val (lang, nPairs, minD) = (r.getString(0), r.getLong(1), r.getInt(2))
+      val n = sampleSizes(lang)
+      assert(nPairs <= n * (n - 1) / 2, s"$lang: more pairs than C(n,2)")
+      assert(minD >= 0 && minD <= 100, s"$lang: distance outside the 100-char prefix bound")
+      assert(r.getDouble(3) >= minD, s"$lang: mean below min")
+    }
+  }
+
+  test("span dedup: duplicated-doc counts are bounded and the share is consistent") {
+    val rows = graft.engine.TextOps.q_llm_span_dedup(spark, sf001).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (nDocs, nDup, share) = (r.getLong(1), r.getLong(2), r.getDouble(3))
+      assert(nDup <= nDocs)
+      assert(math.abs(share - math.round(nDup.toDouble / nDocs * 1e6) / 1e6) < 1e-9)
+    }
+    assert(rows.map(_.getLong(4)).sum > 0,
+      "the sf0.01 corpus is known to contain cross-doc duplicated spans")
+  }
+
   test("mm_frames: every video byte lands in exactly one frame") {
     val frames = Multimodal.q_mm_frames(spark, sf0001)
       .agg(sum(col("bytes_sum"))).collect()(0).getLong(0)
