@@ -78,4 +78,34 @@ class PlanAuditSpec extends AnyFunSuite {
       .queryExecution.optimizedPlan.toString
     assert(p.contains("bit_count"), "64-bit-vocab corpus must take the bitmask path")
   }
+
+  test("lateral subquery decorrelates to a ranked join, not per-row execution") {
+    // Catalyst must rewrite the correlated LATERAL (ORDER BY + LIMIT) into
+    // a window/limit over a join — the physical plan may contain no
+    // lateral/nested-loop-per-row operator and no leftover subquery.
+    val p = plan("q_join_lateral")
+    assert(!p.toLowerCase.contains("lateral"),
+      s"lateral must be decorrelated away in the physical plan:\n$p")
+    assert(p.contains("WindowGroupLimit") || p.contains("Window"),
+      s"decorrelated top-2-per-key should rank via a window:\n$p")
+  }
+
+  test("temporal decay broadcasts every small input; only the fact join shuffles") {
+    val df = SparkEntry.queries("q_gnn_temporal_decay")(spark, sf0001)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    // max-date scalar, embedding count, and the embedding table itself
+    // all broadcast; the orders⋈lineitem fact join + final agg are the
+    // only exchanges
+    assert("BroadcastExchange".r.findAllIn(p).size >= 3,
+      s"max-date, count and feature table must broadcast:\n$p")
+  }
+
+  test("dsir bucket models broadcast onto the token stream") {
+    val df = SparkEntry.queries("q_llm_dsir")(spark, sf0001)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("BroadcastHashJoin"),
+      s"the 1024-row log-ratio model must broadcast, not shuffle the tokens:\n$p")
+  }
 }
