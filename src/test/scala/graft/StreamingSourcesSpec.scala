@@ -229,6 +229,38 @@ class StreamingSourcesSpec extends AnyFunSuite {
       s"streaming chained agg must equal batch: $streamed vs $batch")
   }
 
+  test("stateful query resumes from a checkpoint with state intact (Flink savepoint analog)") {
+    val s = spark
+    import s.implicits._
+    implicit val sq = s.sqlContext
+    def ts(h: Int) = Timestamp.valueOf(f"2024-01-01 $h%02d:00:00")
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_ckpt").toString
+    val ms = MemoryStream[E]
+    // memory sink refuses checkpoint recovery; foreachBatch is the
+    // restart-capable sink (and the Flink two-phase-commit-sink analog)
+    val buf = scala.collection.mutable.ArrayBuffer[(Long, Long, Double)]()
+    def start() = StreamingOps.statefulSnapshot(s, ms.toDF())
+      .writeStream.outputMode(OutputMode.Update)
+      .option("checkpointLocation", ckpt)
+      .foreachBatch {
+        (df: org.apache.spark.sql.Dataset[graft.engine.StreamingOps.UserAgg], _: Long) =>
+          val rows = df.collect().map(u => (u.user_id, u.n_events, u.total_value))
+          buf.synchronized { buf ++= rows }; ()
+      }
+      .start()
+    val q1 = start()
+    ms.addData(E(1, 7, ts(1), "click", 2.0))
+    q1.processAllAvailable(); q1.stop()
+    // restart from the checkpoint: the keyed state (count=1, total=2.0)
+    // must survive the restart, so the next event folds onto it
+    ms.addData(E(2, 7, ts(2), "view", 3.0))
+    val q2 = start()
+    q2.processAllAvailable(); q2.stop()
+    val last = buf.synchronized(buf.filter(_._1 == 7L).maxBy(_._2))
+    assert(last._2 == 2L && last._3 == 5.0,
+      s"restarted query must resume from checkpointed state: $last")
+  }
+
   test("stateful query runs on the RocksDB state store provider") {
     val s = spark
     import s.implicits._
