@@ -324,19 +324,21 @@ object GraphOps {
     var labels = ue.select(col("a").as("node")).distinct()
       .select(col("node"), col("node").as("lbl"))
       .localCheckpoint()
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("a")).orderBy(col("c").desc, col("lbl").asc)
     for (_ <- 1 to LpIters) {
       // label table is checkpointed (no stats) — broadcast it explicitly,
       // same reasoning as the CC loop; every connected node has >= 1
-      // neighbor, so the rn=1 row exists and the node set is preserved.
+      // neighbor, so an argmax row exists and the node set is preserved.
+      // Argmax as a lexicographic struct MAX (largest count, then
+      // smallest label via the negated key): pure partial+final
+      // aggregation, no per-group sort — the window+row_number form
+      // added a full sort of the (node, label) counts every iteration.
       labels = ue
         .join(broadcast(labels.select(col("node").as("bn"), col("lbl"))),
           col("b") === col("bn"))
         .groupBy(col("a"), col("lbl")).agg(count(lit(1)).as("c"))
-        .withColumn("rn", row_number().over(w))
-        .filter(col("rn") === 1)
-        .select(col("a").as("node"), col("lbl"))
+        .groupBy(col("a"))
+        .agg(max(struct(col("c"), (-col("lbl")).as("nl"))).as("m"))
+        .select(col("a").as("node"), (-col("m.nl")).as("lbl"))
         .localCheckpoint()
     }
     labels.groupBy(col("lbl")).agg(count(lit(1)).as("csize"))
