@@ -393,6 +393,50 @@ object LlmOps {
       .orderBy("query_id", "rnk")
   }
 
+  /** SemDeDup (Abbas et al. 2023 "SemDeDup: Data-efficient learning at
+    * web-scale through semantic deduplication"): semantic dedup scoped
+    * to coarse clusters — every vector assigns to its nearest of the 16
+    * deterministic IVF centroids (same assignment as q_llm_ann_ivf, here
+    * over ALL vectors), then inside each cell a vector is dropped when
+    * an EARLIER cell-mate (smaller vec_id) has cosine ≥ 0.35 with it.
+    * This is the one-pass keep-first relaxation of the sequential greedy
+    * (a vector drops even if its witness itself dropped) — the standard
+    * relational formulation, fully deterministic. Per-cell drop
+    * accounting; cosines in double math, rounded 6 (D5).
+    *
+    * Scale shape: the 16-row centroid table broadcasts; pair comparison
+    * happens only WITHIN a cell (the clustering is what makes semantic
+    * dedup sub-quadratic at corpus scale — pairs are O(Σ cell²), not
+    * O(n²)). */
+  def q_llm_semdedup(s: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(s, dir)
+    val cents = emb.filter(col("vec_id") < 16)
+      .select(col("vec_id").as("cid"), col("embedding").as("cv"),
+        normCol(s)(col("embedding")).as("cn"))
+    val data = emb.select(col("vec_id").as("vid"), col("embedding").as("dv"),
+      normCol(s)(col("embedding")).as("dn"))
+    val wAssign = Window.partitionBy(col("vid")).orderBy(col("ccos").desc, col("cid").asc)
+    val assigned = data.crossJoin(broadcast(cents))
+      .withColumn("ccos", round(cosSimPre(s)(col("dv"), col("cv"), col("dn"), col("cn")), 6))
+      .withColumn("arn", row_number().over(wAssign)).filter(col("arn") === 1)
+      .select(col("vid"), col("cid"), col("dv"), col("dn"))
+    val earlier = assigned.select(col("cid").as("ca"), col("vid").as("va"),
+      col("dv").as("av"), col("dn").as("an"))
+    val dropped = assigned
+      .join(earlier, col("cid") === col("ca") && col("va") < col("vid"))
+      .withColumn("cs", round(cosSimPre(s)(col("dv"), col("av"), col("dn"), col("an")), 6))
+      .filter(col("cs") >= 0.35)
+      .select(col("cid"), col("vid")).distinct()
+    assigned.groupBy(col("cid")).agg(count(lit(1)).as("n_vecs"))
+      .join(dropped.groupBy(col("cid").as("dc")).agg(count(lit(1)).as("n_dropped")),
+        col("cid") === col("dc"), "left_outer")
+      .select(col("cid"), col("n_vecs"),
+        coalesce(col("n_dropped"), lit(0L)).as("n_dropped"),
+        round(coalesce(col("n_dropped"), lit(0L)).cast("double") / col("n_vecs"), 6)
+          .as("drop_share"))
+      .orderBy("cid")
+  }
+
   /** Number of random-hyperplane bits for the LSH-bucketed ANN. */
   val LshBits = 8
 
@@ -470,6 +514,7 @@ object LlmOps {
     "q_llm_embed_neardup" -> q_llm_embed_neardup _,
     "q_llm_ann_ivf" -> q_llm_ann_ivf _,
     "q_llm_ann_lsh" -> q_llm_ann_lsh _,
+    "q_llm_semdedup" -> q_llm_semdedup _,
     "q_llm_cosine_topk" -> q_llm_cosine_topk _,
     "q_llm_knn_join" -> q_llm_knn_join _,
     "q_llm_text_stats" -> q_llm_text_stats _,

@@ -1356,7 +1356,55 @@ object Oracle {
         |ORDER BY base.lang""".stripMargin
   )
 
+  /** Round-4 third batch: SemDeDup cluster-scoped dedup and sliding-
+    * window chunking. */
+  val round4c: Map[String, String] = Map(
+    // Same cell assignment as q_llm_ann_ivf but over ALL vectors; a
+    // vector drops when an earlier (smaller vec_id) cell-mate is within
+    // cosine >= 0.35 — the one-pass keep-first greedy relaxation.
+    "q_llm_semdedup" ->
+      s"""WITH cents AS (SELECT vec_id AS cid, embedding AS cv FROM embeddings WHERE vec_id < 16),
+         |data AS (SELECT vec_id AS vid, embedding AS dv FROM embeddings),
+         |ac AS (SELECT d.vid, c.cid, d.dv,
+         |         ROUND(${cosExpr("d.dv", "c.cv")}, 6) AS ccos
+         |       FROM data d CROSS JOIN cents c),
+         |ar AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY vid
+         |         ORDER BY ccos DESC, cid ASC) AS arn FROM ac),
+         |assigned AS (SELECT vid, cid, dv FROM ar WHERE arn = 1),
+         |pair AS (SELECT b.cid, b.vid,
+         |           ROUND(${cosExpr("b.dv", "a.dv")}, 6) AS cs
+         |         FROM assigned b JOIN assigned a
+         |           ON b.cid = a.cid AND a.vid < b.vid),
+         |dropped AS (SELECT DISTINCT cid, vid FROM pair WHERE cs >= 0.35),
+         |dc AS (SELECT cid, count(*) AS n_dropped FROM dropped GROUP BY 1),
+         |sz AS (SELECT cid, count(*) AS n_vecs FROM assigned GROUP BY 1)
+         |SELECT sz.cid, sz.n_vecs,
+         |  COALESCE(dc.n_dropped, 0) AS n_dropped,
+         |  ROUND(CAST(COALESCE(dc.n_dropped, 0) AS DOUBLE) / sz.n_vecs, 6) AS drop_share
+         |FROM sz LEFT JOIN dc ON sz.cid = dc.cid
+         |ORDER BY sz.cid""".stripMargin,
+
+    // Chunk starts 1, 49, 97, … (64-token chunks, stride 48 = 16-token
+    // overlap); DuckDB range() is stop-exclusive so stop = stop_incl + 1.
+    "q_llm_chunk_overlap" ->
+      """WITH d AS (
+        |  SELECT lang, doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS n
+        |  FROM documents),
+        |c AS (
+        |  SELECT lang, doc_id, n, least(64, n - i + 1) AS clen
+        |  FROM d, unnest(range(1, greatest(n - 16, 1) + 1, 48)) AS t(i)),
+        |agg AS (
+        |  SELECT lang, count(DISTINCT doc_id) AS n_docs, count(*) AS n_chunks,
+        |         CAST(SUM(clen) AS BIGINT) AS chunk_tokens,
+        |         round(AVG(clen), 6) AS avg_chunk_len
+        |  FROM c GROUP BY 1),
+        |tot AS (SELECT lang, CAST(SUM(n) AS BIGINT) AS total FROM d GROUP BY 1)
+        |SELECT agg.lang, n_docs, n_chunks, chunk_tokens,
+        |  chunk_tokens - total AS overlap_tokens, avg_chunk_len
+        |FROM agg JOIN tot ON agg.lang = tot.lang ORDER BY agg.lang""".stripMargin
+  )
+
   val all: Map[String, String] =
     relational ++ streaming ++ graph ++ llm ++ extended ++ gnn ++ gnnPrep ++
-      pipeline ++ round4 ++ round4b
+      pipeline ++ round4 ++ round4b ++ round4c
 }

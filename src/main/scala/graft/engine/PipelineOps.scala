@@ -322,7 +322,35 @@ object PipelineOps {
       .orderBy("lang")
   }
 
+  /** Sliding-window document chunking (the splitter a pre-training or
+    * retrieval pipeline runs before embedding/packing): 64-token chunks
+    * with 16-token overlap — chunk starts at 1, 49, 97, … (stride 48),
+    * the final chunk absorbs the tail (a doc shorter than one chunk is a
+    * single chunk). Per-lang chunk/token accounting incl. the overlap
+    * (re-tokenized) volume. Linear scan + explode, no shuffle beyond the
+    * per-lang aggregation. */
+  def q_llm_chunk_overlap(s: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documents(s, dir)
+      .select(col("lang"), col("doc_id"), nTokens.as("n"))
+    val chunks = d
+      .select(col("lang"), col("doc_id"), col("n"),
+        explode(sequence(lit(1L), greatest(col("n") - 16, lit(1L)), lit(48L))).as("cs"))
+      .withColumn("clen", least(lit(64L), col("n") - col("cs") + 1))
+    val agg = chunks.groupBy(col("lang"))
+      .agg(countDistinct(col("doc_id")).as("n_docs"),
+        count(lit(1)).as("n_chunks"),
+        sum(col("clen")).as("chunk_tokens"),
+        round(avg(col("clen")), 6).as("avg_chunk_len"))
+    val tot = d.groupBy(col("lang").as("lang_t")).agg(sum(col("n")).as("total"))
+    agg.join(tot, col("lang") === col("lang_t"))
+      .select(col("lang"), col("n_docs"), col("n_chunks"), col("chunk_tokens"),
+        (col("chunk_tokens") - col("total")).as("overlap_tokens"),
+        col("avg_chunk_len"))
+      .orderBy("lang")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_llm_chunk_overlap" -> q_llm_chunk_overlap _,
     "q_llm_dsir" -> q_llm_dsir _,
     "q_llm_gopher_repetition" -> q_llm_gopher_repetition _,
     "q_llm_tfidf" -> q_llm_tfidf _,

@@ -148,6 +148,25 @@ class Round4Spec extends AnyFunSuite {
       "the sf0.01 corpus is known to contain cross-doc duplicated spans")
   }
 
+  test("semdedup: cells partition the vectors; a cell never drops its first vector") {
+    val rows = graft.engine.LlmOps.q_llm_semdedup(spark, sf001).collect()
+    val total = Tables.embeddings(spark, sf001).count()
+    assert(rows.map(_.getLong(1)).sum == total, "cell sizes must partition the corpus")
+    rows.foreach(r => assert(r.getLong(2) < r.getLong(1),
+      s"cell ${r.getLong(0)}: the keep-first greedy always keeps the earliest vector"))
+    assert(rows.map(_.getLong(2)).sum > 0,
+      "the sf0.01 corpus is known to contain semantic near-dups at cos >= 0.35")
+  }
+
+  test("chunk overlap: every non-first chunk re-covers exactly 16 tokens") {
+    val rows = graft.engine.PipelineOps.q_llm_chunk_overlap(spark, sf001).collect()
+    rows.foreach { r =>
+      val (nDocs, nChunks, overlap) = (r.getLong(1), r.getLong(2), r.getLong(4))
+      assert(overlap == 16L * (nChunks - nDocs),
+        s"${r.getString(0)}: overlap must be 16 tokens per continuation chunk")
+    }
+  }
+
   test("mm_frames: every video byte lands in exactly one frame") {
     val frames = Multimodal.q_mm_frames(spark, sf0001)
       .agg(sum(col("bytes_sum"))).collect()(0).getLong(0)
