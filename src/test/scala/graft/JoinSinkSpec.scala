@@ -36,6 +36,39 @@ class JoinSinkSpec extends AnyFunSuite {
     assert(matches == Set((1L, 11L)), s"got $matches")
   }
 
+  test("left-outer interval join emits the unmatched purchase once the watermark closes it") {
+    val s = spark
+    import s.implicits._
+    implicit val sq = s.sqlContext
+    val pm = MemoryStream[E]
+    val cm = MemoryStream[E]
+    val p = pm.toDF().select(col("event_id").as("p_id"), col("user_id"),
+      col("ts").as("p_ts")).withWatermark("p_ts", "10 minutes")
+    val c = cm.toDF().select(col("event_id").as("c_id"), col("user_id").as("c_user"),
+      col("ts").as("c_ts")).withWatermark("c_ts", "10 minutes")
+    val j = p.join(c,
+      col("user_id") === col("c_user") &&
+        col("c_ts") <= col("p_ts") &&
+        col("c_ts") >= col("p_ts") - org.apache.spark.sql.functions.expr("INTERVAL 30 MINUTES"),
+      "left_outer")
+    val q = j.writeStream.outputMode(OutputMode.Append)
+      .format("memory").queryName("ssleft").start()
+    // user 1's purchase has a click in range; user 2's has none
+    cm.addData(E(10, 1, ts(1, 50), "click", 0))
+    pm.addData(E(1, 1, ts(2, 0), "purchase", 5.0), E(2, 2, ts(2, 0), "purchase", 7.0))
+    q.processAllAvailable()
+    // advance both watermarks far past the interval so the unmatched row
+    // can be finalized as (purchase, null)
+    cm.addData(E(90, 9, ts(9, 0), "click", 0))
+    pm.addData(E(91, 9, ts(9, 0), "purchase", 0))
+    q.processAllAvailable(); q.stop()
+    val rows = s.table("ssleft").collect()
+      .map(r => (r.getLong(0), if (r.isNullAt(3)) -1L else r.getLong(3))).toMap
+    assert(rows(1L) == 10L, s"matched purchase must pair with its click: $rows")
+    assert(rows(2L) == -1L,
+      s"unmatched purchase must emit with a null click after the watermark: $rows")
+  }
+
   test("GraphX aggregateMessages neighbor mean equals DataFrame neighbor mean") {
     val s = spark
     val feats = GraphOps.neighborFeatures(s, sf0001) // (src customer, embedding)
