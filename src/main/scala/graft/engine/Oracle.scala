@@ -1404,7 +1404,31 @@ object Oracle {
         |FROM agg JOIN tot ON agg.lang = tot.lang ORDER BY agg.lang""".stripMargin
   )
 
+  /** Round-4 fourth batch: exact-moment statistical aggregates (the
+    * decimal-sum determinism pattern applied to stddev/var/corr). */
+  val round4d: Map[String, String] = Map(
+    "q_agg_stats" ->
+      """WITH m AS (
+        |  SELECT o_orderstatus, count(*) AS n,
+        |    CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sx,
+        |    CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2)) *
+        |             CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sxx,
+        |    CAST(SUM(CAST(year(o_orderdate) AS DECIMAL(18,2))) AS DOUBLE) AS sy,
+        |    CAST(SUM(CAST(year(o_orderdate) AS DECIMAL(18,2)) *
+        |             CAST(year(o_orderdate) AS DECIMAL(18,2))) AS DOUBLE) AS syy,
+        |    CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2)) *
+        |             CAST(year(o_orderdate) AS DECIMAL(18,2))) AS DOUBLE) AS sxy
+        |  FROM orders GROUP BY 1)
+        |SELECT o_orderstatus, n AS n_orders,
+        |  round(sqrt((sxx - sx * sx / n) / (n - 1)), 6) AS price_stddev,
+        |  round((sxx - sx * sx / n) / (n - 1), 6) AS price_var,
+        |  round((sxy - sx * sy / n) /
+        |        (sqrt(sxx - sx * sx / n) * sqrt(syy - sy * sy / n)), 6)
+        |    AS price_year_corr
+        |FROM m ORDER BY o_orderstatus""".stripMargin
+  )
+
   val all: Map[String, String] =
     relational ++ streaming ++ graph ++ llm ++ extended ++ gnn ++ gnnPrep ++
-      pipeline ++ round4 ++ round4b ++ round4c
+      pipeline ++ round4 ++ round4b ++ round4c ++ round4d
 }

@@ -497,6 +497,34 @@ object Relational {
       .orderBy("n_name")
   }
 
+  /** Statistical aggregates — sample stddev/variance of order totals and
+    * the order-total↔order-year correlation per status. NOT the built-in
+    * stddev_samp/corr (their streaming one-pass accumulations differ
+    * across engines in the last ulps): the moments Σx, Σx², Σxy are
+    * summed EXACTLY through decimals, cast once to double, and the
+    * textbook formulas run in identical double arithmetic on both
+    * engines — bit-equal results, the same trick as Dsl.moneySum. */
+  def q_agg_stats(s: SparkSession, dir: String): DataFrame = {
+    val x = col("o_totalprice").cast("decimal(18,2)")
+    val y = year(col("o_orderdate")).cast("decimal(18,2)")
+    Tables.orders(s, dir)
+      .groupBy(col("o_orderstatus"))
+      .agg(count(lit(1)).as("n"),
+        sum(x).cast("double").as("sx"), sum(x * x).cast("double").as("sxx"),
+        sum(y).cast("double").as("sy"), sum(y * y).cast("double").as("syy"),
+        sum(x * y).cast("double").as("sxy"))
+      .select(col("o_orderstatus"), col("n").as("n_orders"),
+        round(sqrt((col("sxx") - col("sx") * col("sx") / col("n")) / (col("n") - 1)), 6)
+          .as("price_stddev"),
+        round((col("sxx") - col("sx") * col("sx") / col("n")) / (col("n") - 1), 6)
+          .as("price_var"),
+        round((col("sxy") - col("sx") * col("sy") / col("n")) /
+            (sqrt(col("sxx") - col("sx") * col("sx") / col("n")) *
+             sqrt(col("syy") - col("sy") * col("sy") / col("n"))), 6)
+          .as("price_year_corr"))
+      .orderBy("o_orderstatus")
+  }
+
   /** Distribution analytics: `percent_rank` + `cume_dist` of customers by
     * account balance within their market segment (D5 rounded; window
     * order tie-broken on c_custkey so no two rows are peers and both
@@ -530,6 +558,7 @@ object Relational {
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_agg_stats" -> q_agg_stats _,
     "q_map_funcs" -> q_map_funcs _,
     "q_win_distribution" -> q_win_distribution _,
     "q_join_lateral" -> q_join_lateral _,

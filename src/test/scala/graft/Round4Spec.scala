@@ -167,6 +167,20 @@ class Round4Spec extends AnyFunSuite {
     }
   }
 
+  test("exact-moment stats agree with Spark's built-in stddev_samp and corr") {
+    val exact = Relational.q_agg_stats(spark, sf001).collect()
+      .map(r => r.getString(0) -> (r.getDouble(2), r.getDouble(4))).toMap
+    val builtin = Tables.orders(spark, sf001)
+      .groupBy(col("o_orderstatus"))
+      .agg(stddev_samp(col("o_totalprice")).as("sd"),
+        corr(col("o_totalprice"), year(col("o_orderdate")).cast("double")).as("c"))
+      .collect().map(r => r.getString(0) -> (r.getDouble(1), r.getDouble(2))).toMap
+    exact.foreach { case (k, (sd, c)) =>
+      assert(math.abs(sd - builtin(k)._1) < 1e-3, s"$k stddev: $sd vs ${builtin(k)._1}")
+      assert(math.abs(c - builtin(k)._2) < 1e-6, s"$k corr: $c vs ${builtin(k)._2}")
+    }
+  }
+
   test("mm_frames: every video byte lands in exactly one frame") {
     val frames = Multimodal.q_mm_frames(spark, sf0001)
       .agg(sum(col("bytes_sum"))).collect()(0).getLong(0)
