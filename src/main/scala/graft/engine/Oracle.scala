@@ -1428,7 +1428,33 @@ object Oracle {
         |FROM m ORDER BY o_orderstatus""".stripMargin
   )
 
+  /** Round-4 capstone: the composed curation DAG (same stage formulas
+    * as the individual operators' oracles). */
+  val round4e: Map[String, String] = Map(
+    "q_llm_pipeline_e2e" ->
+      """WITH en AS (
+        |  SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS nt,
+        |         md5(text) AS th
+        |  FROM documents WHERE lang = 'en'),
+        |longdocs AS (SELECT * FROM en WHERE nt >= 30),
+        |kept AS (
+        |  SELECT doc_id, nt FROM (
+        |    SELECT doc_id, nt,
+        |           ROW_NUMBER() OVER (PARTITION BY th ORDER BY doc_id) AS rn
+        |    FROM longdocs) d WHERE rn = 1),
+        |packed AS (
+        |  SELECT doc_id, nt,
+        |    CAST(COALESCE(SUM(nt) OVER (ORDER BY doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+        |      // 2048 AS pack_id
+        |  FROM kept)
+        |SELECT pack_id, count(*) AS n_docs,
+        |  CAST(SUM(nt) AS BIGINT) AS pack_tokens,
+        |  MIN(doc_id) AS first_doc
+        |FROM packed GROUP BY 1 ORDER BY 1""".stripMargin
+  )
+
   val all: Map[String, String] =
     relational ++ streaming ++ graph ++ llm ++ extended ++ gnn ++ gnnPrep ++
-      pipeline ++ round4 ++ round4b ++ round4c ++ round4d
+      pipeline ++ round4 ++ round4b ++ round4c ++ round4d ++ round4e
 }

@@ -349,7 +349,36 @@ object PipelineOps {
       .orderBy("lang")
   }
 
+  /** End-to-end curation DAG — the composition proof that the operator
+    * library chains the way a real pipeline uses it, in ONE declarative
+    * query Catalyst plans as a whole: language select (en) → length
+    * filter (≥ 30 tokens) → exact-dedup keep-first (md5(text), smallest
+    * doc_id wins) → greedy 2048-token sequence packing of the
+    * survivors → per-pack accounting. Every stage is the already-tested
+    * operator's exact formula; the oracle mirrors the same CTE chain.
+    * Scale shape: linear scans + one hash-dedup shuffle + the packer's
+    * per-lang sort — no stage materializes between steps. */
+  def q_llm_pipeline_e2e(s: SparkSession, dir: String): DataFrame = {
+    val wDedup = Window.partitionBy(col("th")).orderBy(col("doc_id"))
+    val kept = Tables.documents(s, dir)
+      .filter(col("lang") === "en")
+      .select(col("doc_id"), nTokens.as("nt"), md5(col("text")).as("th"))
+      .filter(col("nt") >= 30)
+      .withColumn("rn", row_number().over(wDedup))
+      .filter(col("rn") === 1)
+    val wPack = Window.orderBy(col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    kept
+      .withColumn("cum_before", coalesce(sum(col("nt")).over(wPack), lit(0L)))
+      .withColumn("pack_id", expr(s"cum_before div $PackLen"))
+      .groupBy(col("pack_id"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("nt")).as("pack_tokens"),
+        min(col("doc_id")).as("first_doc"))
+      .orderBy("pack_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_llm_pipeline_e2e" -> q_llm_pipeline_e2e _,
     "q_llm_chunk_overlap" -> q_llm_chunk_overlap _,
     "q_llm_dsir" -> q_llm_dsir _,
     "q_llm_gopher_repetition" -> q_llm_gopher_repetition _,

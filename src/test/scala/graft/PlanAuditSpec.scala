@@ -101,6 +101,18 @@ class PlanAuditSpec extends AnyFunSuite {
       s"max-date, count and feature table must broadcast:\n$p")
   }
 
+  test("semdedup pair work is cell-scoped: an equi-join on cid, never a cartesian") {
+    val df = SparkEntry.queries("q_llm_semdedup")(spark, sf0001)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    // the only cartesian allowed is the 16-row centroid broadcast; the
+    // pair comparison must key on the cell id
+    assert(!p.contains("CartesianProduct"),
+      s"pair join must not be a cartesian product:\n$p")
+    assert(p.toLowerCase.contains("cid"),
+      s"pair join must be keyed on the cell id:\n$p")
+  }
+
   test("dsir bucket models broadcast onto the token stream") {
     val df = SparkEntry.queries("q_llm_dsir")(spark, sf0001)
     df.collect()
