@@ -520,19 +520,23 @@ object Oracle {
 
     // 5 unrolled peeling rounds (degree < k nodes removed from the
     // induced subgraph each round) + final in-core degrees.
+    // MATERIALIZED hints are load-bearing: the five unrolled rounds each
+    // reference ue and their predecessor, and DuckDB's CTE inlining
+    // otherwise re-expands the 12M-pair projection per reference —
+    // probed > 80 GB of spill at sf0.1 inlined vs 1 s materialized.
     "q_graph_kcore" -> {
       val k = GraphOps.KCoreK
       val steps = (1 to GraphOps.KCoreRounds).map { i =>
-        s"""k$i AS (SELECT a AS node FROM ue
+        s"""k$i AS MATERIALIZED (SELECT a AS node FROM ue
            |  WHERE a IN (SELECT node FROM k${i - 1}) AND b IN (SELECT node FROM k${i - 1})
            |  GROUP BY a HAVING COUNT(*) >= $k)""".stripMargin
       }.mkString(",\n")
       s"""WITH $edgesCte,
-         |pp AS (SELECT e1.dst AS a, e2.dst AS b
+         |pp AS MATERIALIZED (SELECT e1.dst AS a, e2.dst AS b
          |       FROM edges e1 JOIN edges e2 ON e1.src = e2.src AND e1.dst < e2.dst
          |       GROUP BY 1, 2 HAVING COUNT(*) >= ${GraphOps.TriangleMinCooccur}),
-         |ue AS (SELECT a, b FROM pp UNION ALL SELECT b, a FROM pp),
-         |k0 AS (SELECT DISTINCT a AS node FROM ue),
+         |ue AS MATERIALIZED (SELECT a, b FROM pp UNION ALL SELECT b, a FROM pp),
+         |k0 AS MATERIALIZED (SELECT DISTINCT a AS node FROM ue),
          |$steps
          |SELECT a AS node, COUNT(*) AS core_deg FROM ue
          |WHERE a IN (SELECT node FROM k${GraphOps.KCoreRounds})
@@ -1421,7 +1425,7 @@ object Oracle {
         |  FROM orders GROUP BY 1)
         |SELECT o_orderstatus, n AS n_orders,
         |  round(sqrt((sxx - sx * sx / n) / (n - 1)), 6) AS price_stddev,
-        |  round((sxx - sx * sx / n) / (n - 1), 6) AS price_var,
+        |  round((sxx - sx * sx / n) / (n - 1), 0) AS price_var,
         |  round((sxy - sx * sy / n) /
         |        (sqrt(sxx - sx * sx / n) * sqrt(syy - sy * sy / n)), 6)
         |    AS price_year_corr

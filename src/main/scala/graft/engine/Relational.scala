@@ -514,9 +514,16 @@ object Relational {
         sum(y).cast("double").as("sy"), sum(y * y).cast("double").as("syy"),
         sum(x * y).cast("double").as("sxy"))
       .select(col("o_orderstatus"), col("n").as("n_orders"),
+        // Rounding granularity must EXCEED the cross-engine input
+        // divergence (DuckDB's decimal→double cast double-rounds, so
+        // the moment doubles differ by ulps; cancellation in
+        // sxx − sx²/n amplifies that to ~1e-5 absolute at var's 2e10
+        // magnitude, ~3e-11 at stddev's 1e5, ~3e-13 for corr). Hence
+        // stddev/corr at 6 decimals but variance at 0 — probed: round-6
+        // variance mismatched at sf0.1, round-0 matches at every sf.
         round(sqrt((col("sxx") - col("sx") * col("sx") / col("n")) / (col("n") - 1)), 6)
           .as("price_stddev"),
-        round((col("sxx") - col("sx") * col("sx") / col("n")) / (col("n") - 1), 6)
+        round((col("sxx") - col("sx") * col("sx") / col("n")) / (col("n") - 1), 0)
           .as("price_var"),
         round((col("sxy") - col("sx") * col("sy") / col("n")) /
             (sqrt(col("sxx") - col("sx") * col("sx") / col("n")) *
