@@ -366,19 +366,27 @@ object LlmOps {
     * scans ONLY its own cell — the inverted-file pattern that turns
     * brute-force O(n) per query into O(n/cells). Fully deterministic
     * (rounded cosines + id tie-breaks), so it is oracle-checked exactly. */
-  def q_llm_ann_ivf(s: SparkSession, dir: String): DataFrame = {
-    val emb = Tables.embeddings(s, dir)
+  /** Shared IVF cell assignment (single source of truth for the
+    * assignment convention — centroids = vec_id < 16, rounded-cosine
+    * argmax with cid tie-break): every vector of `vecs` labeled with its
+    * nearest centroid. Both q_llm_ann_ivf and q_llm_semdedup (and their
+    * oracles' `ac`/`ar`/`assigned` CTEs) must stay in sync with this. */
+  private def ivfAssign(s: SparkSession, emb: DataFrame, vecs: DataFrame): DataFrame = {
     val cents = emb.filter(col("vec_id") < 16)
       .select(col("vec_id").as("cid"), col("embedding").as("cv"),
         normCol(s)(col("embedding")).as("cn"))
-    val data = emb.filter(col("vec_id") >= 16)
-      .select(col("vec_id").as("vid"), col("embedding").as("dv"),
-        normCol(s)(col("embedding")).as("dn"))
+    val data = vecs.select(col("vec_id").as("vid"), col("embedding").as("dv"),
+      normCol(s)(col("embedding")).as("dn"))
     val wAssign = Window.partitionBy(col("vid")).orderBy(col("ccos").desc, col("cid").asc)
-    val assigned = data.crossJoin(broadcast(cents))
+    data.crossJoin(broadcast(cents))
       .withColumn("ccos", round(cosSimPre(s)(col("dv"), col("cv"), col("dn"), col("cn")), 6))
       .withColumn("arn", row_number().over(wAssign)).filter(col("arn") === 1)
       .select(col("vid"), col("cid"), col("dv"), col("dn"))
+  }
+
+  def q_llm_ann_ivf(s: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(s, dir)
+    val assigned = ivfAssign(s, emb, emb.filter(col("vec_id") >= 16))
     val qs = assigned.filter(col("vid").between(20, 24))
       .select(col("vid").as("query_id"), col("cid").as("qcid"),
         col("dv").as("qv"), col("dn").as("qn"))
@@ -409,17 +417,11 @@ object LlmOps {
     * dedup sub-quadratic at corpus scale — pairs are O(Σ cell²), not
     * O(n²)). */
   def q_llm_semdedup(s: SparkSession, dir: String): DataFrame = {
+    // materialized ONCE: three consumers below (size agg + both pair-join
+    // legs) would otherwise each re-run the window sort downstream of
+    // the reused exchange (same pattern as GraphOps.partPairs)
     val emb = Tables.embeddings(s, dir)
-    val cents = emb.filter(col("vec_id") < 16)
-      .select(col("vec_id").as("cid"), col("embedding").as("cv"),
-        normCol(s)(col("embedding")).as("cn"))
-    val data = emb.select(col("vec_id").as("vid"), col("embedding").as("dv"),
-      normCol(s)(col("embedding")).as("dn"))
-    val wAssign = Window.partitionBy(col("vid")).orderBy(col("ccos").desc, col("cid").asc)
-    val assigned = data.crossJoin(broadcast(cents))
-      .withColumn("ccos", round(cosSimPre(s)(col("dv"), col("cv"), col("dn"), col("cn")), 6))
-      .withColumn("arn", row_number().over(wAssign)).filter(col("arn") === 1)
-      .select(col("vid"), col("cid"), col("dv"), col("dn"))
+    val assigned = ivfAssign(s, emb, emb).localCheckpoint()
     val earlier = assigned.select(col("cid").as("ca"), col("vid").as("va"),
       col("dv").as("av"), col("dn").as("an"))
     val dropped = assigned

@@ -1436,7 +1436,7 @@ object Oracle {
     * as the individual operators' oracles). */
   val round4e: Map[String, String] = Map(
     "q_llm_pipeline_e2e" ->
-      """WITH en AS (
+      s"""WITH en AS (
         |  SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS nt,
         |         md5(text) AS th
         |  FROM documents WHERE lang = 'en'),
@@ -1450,7 +1450,7 @@ object Oracle {
         |  SELECT doc_id, nt,
         |    CAST(COALESCE(SUM(nt) OVER (ORDER BY doc_id
         |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
-        |      // 2048 AS pack_id
+        |      // ${PipelineOps.PackLen} AS pack_id
         |  FROM kept)
         |SELECT pack_id, count(*) AS n_docs,
         |  CAST(SUM(nt) AS BIGINT) AS pack_tokens,

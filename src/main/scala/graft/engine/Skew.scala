@@ -27,7 +27,11 @@ object Skew {
     * Result equals the plain inner join (salt columns dropped). */
   def saltedJoin(big: DataFrame, small: DataFrame, bigKey: Column,
       smallKey: Column, salts: Int, saltSource: Column): DataFrame = {
-    val b = big.withColumn("_salt_b", pmod(saltSource, lit(salts)).cast("int"))
+    // null saltSource lands in bucket 0 instead of vanishing: pmod(null)
+    // is null and would never equal a small-side salt, silently dropping
+    // rows the plain inner join keeps.
+    val b = big.withColumn("_salt_b",
+      pmod(coalesce(saltSource, lit(0)), lit(salts)).cast("int"))
     val sm = small.withColumn("_salt_s",
       explode(sequence(lit(0), lit(salts - 1))))
     b.join(sm, bigKey === smallKey && col("_salt_b") === col("_salt_s"))

@@ -231,7 +231,8 @@ object StreamingOps {
     * joined to clicks of the same user within the preceding 30 minutes.
     * Both sides carry watermarks so the state store can evict rows once
     * the interval can no longer match — bounded state at any scale. */
-  def purchaseClickJoin(purchases: DataFrame, clicks: DataFrame): DataFrame = {
+  def purchaseClickJoin(purchases: DataFrame, clicks: DataFrame,
+      joinType: String = "inner"): DataFrame = {
     val p = purchases.select(col("event_id").as("p_id"), col("user_id"),
       col("ts").as("p_ts")).withWatermark("p_ts", "1 hour")
     val c = clicks.select(col("event_id").as("c_id"), col("user_id").as("c_user"),
@@ -239,7 +240,8 @@ object StreamingOps {
     p.join(c,
       col("user_id") === col("c_user") &&
         col("c_ts") <= col("p_ts") &&
-        col("c_ts") >= col("p_ts") - expr("INTERVAL 30 MINUTES"))
+        col("c_ts") >= col("p_ts") - expr("INTERVAL 30 MINUTES"),
+      joinType)
       .select(col("p_id"), col("user_id"), col("p_ts"), col("c_id"), col("c_ts"))
   }
 

@@ -42,15 +42,9 @@ class JoinSinkSpec extends AnyFunSuite {
     implicit val sq = s.sqlContext
     val pm = MemoryStream[E]
     val cm = MemoryStream[E]
-    val p = pm.toDF().select(col("event_id").as("p_id"), col("user_id"),
-      col("ts").as("p_ts")).withWatermark("p_ts", "10 minutes")
-    val c = cm.toDF().select(col("event_id").as("c_id"), col("user_id").as("c_user"),
-      col("ts").as("c_ts")).withWatermark("c_ts", "10 minutes")
-    val j = p.join(c,
-      col("user_id") === col("c_user") &&
-        col("c_ts") <= col("p_ts") &&
-        col("c_ts") >= col("p_ts") - org.apache.spark.sql.functions.expr("INTERVAL 30 MINUTES"),
-      "left_outer")
+    // the SHIPPED transform with its outer variant — not a hand-rolled
+    // copy that could drift from StreamingOps.purchaseClickJoin
+    val j = StreamingOps.purchaseClickJoin(pm.toDF(), cm.toDF(), "left_outer")
     val q = j.writeStream.outputMode(OutputMode.Append)
       .format("memory").queryName("ssleft").start()
     // user 1's purchase has a click in range; user 2's has none

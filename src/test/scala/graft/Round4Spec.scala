@@ -115,7 +115,8 @@ class Round4Spec extends AnyFunSuite {
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(salted == plain, "salting must be invisible in the join result")
     // the busiest user's events really scatter over >1 salt bucket
-    val hot = ev.groupBy(col("user_id")).count().orderBy(col("count").desc)
+    val hot = ev.groupBy(col("user_id")).count()
+      .orderBy(col("count").desc, col("user_id")) // deterministic under ties
       .collect().head.getLong(0)
     val nSalts = ev.filter(col("user_id") === hot)
       .select(pmod(col("event_id"), lit(8)).as("s")).distinct().count()
