@@ -401,6 +401,57 @@ object LlmOps {
       .orderBy("query_id", "rnk")
   }
 
+  /** Dedup clustering — the step AFTER pair generation that every real
+    * dedup pipeline needs: near-dup pairs are edges, duplicate groups
+    * are their connected components, and one canonical doc (min doc_id)
+    * survives per component. Pairs: exact token-set Jaccard ≥ 0.8 on the
+    * deterministic 10% sample (same jaccardVerify formula as
+    * q_llm_jaccard_pairs, with the exact-preserving size prune
+    * 5·min ≥ 4·max for J ≥ 0.8); components via the same monotone
+    * min-label fixpoint loop as q_graph_cc. Per-lang accounting:
+    * sampled docs, clusters, removable dups (= docs − clusters), and
+    * the largest duplicate group. */
+  def q_llm_dedup_clusters(s: SparkSession, dir: String): DataFrame = {
+    val docs = tokenSets(s, dir)
+      .filter(col("doc_id") % 10 === 0 && size(col("toks")) > 0)
+      .select(col("doc_id"), col("lang"), size(col("toks")).cast("bigint").as("nt"))
+      .localCheckpoint()
+    val a = docs.select(col("lang"), col("doc_id").as("doc_a"), col("nt").as("pna"))
+    val b = docs.select(col("lang").as("lang_b"), col("doc_id").as("doc_b"), col("nt").as("pnb"))
+    val cand = a.join(b, col("lang") === col("lang_b") && col("doc_a") < col("doc_b") &&
+        col("pna") * 4 <= col("pnb") * 5 && col("pnb") * 4 <= col("pna") * 5)
+      .select(col("lang"), col("doc_a"), col("doc_b"))
+    val pairs = jaccardVerify(s, dir, cand).filter(col("jac") >= 0.8)
+      .select(col("doc_a").as("x"), col("doc_b").as("y"))
+    val ue = pairs.union(pairs.select(col("y").as("x"), col("x").as("y")))
+      .localCheckpoint()
+    var labels = docs.select(col("doc_id").as("node"), col("doc_id").as("lbl"))
+      .localCheckpoint()
+    var prevSum = labels.agg(sum(col("lbl"))).collect()(0).getLong(0)
+    var converged = false
+    while (!converged) {
+      val nbrMin = ue
+        .join(broadcast(labels.select(col("node").as("bn"), col("lbl").as("blbl"))),
+          col("y") === col("bn"))
+        .groupBy(col("x")).agg(min(col("blbl")).as("nbr_min"))
+      val next = labels
+        .join(nbrMin, col("node") === col("x"), "left_outer")
+        .select(col("node"), least(col("lbl"), coalesce(col("nbr_min"), col("lbl"))).as("lbl"))
+        .localCheckpoint()
+      val curSum = next.agg(sum(col("lbl"))).collect()(0).getLong(0)
+      labels = next
+      converged = curSum == prevSum
+      prevSum = curSum
+    }
+    labels.join(docs, col("node") === col("doc_id"))
+      .groupBy(col("lang"), col("lbl")).agg(count(lit(1)).as("sz"))
+      .groupBy(col("lang"))
+      .agg(sum(col("sz")).as("n_docs"), count(lit(1)).as("n_clusters"),
+        (sum(col("sz")) - count(lit(1))).as("n_dup_docs"),
+        max(col("sz")).as("max_cluster"))
+      .orderBy("lang")
+  }
+
   /** SemDeDup (Abbas et al. 2023 "SemDeDup: Data-efficient learning at
     * web-scale through semantic deduplication"): semantic dedup scoped
     * to coarse clusters — every vector assigns to its nearest of the 16
@@ -517,6 +568,7 @@ object LlmOps {
     "q_llm_ann_ivf" -> q_llm_ann_ivf _,
     "q_llm_ann_lsh" -> q_llm_ann_lsh _,
     "q_llm_semdedup" -> q_llm_semdedup _,
+    "q_llm_dedup_clusters" -> q_llm_dedup_clusters _,
     "q_llm_cosine_topk" -> q_llm_cosine_topk _,
     "q_llm_knn_join" -> q_llm_knn_join _,
     "q_llm_text_stats" -> q_llm_text_stats _,

@@ -1458,7 +1458,38 @@ object Oracle {
         |FROM packed GROUP BY 1 ORDER BY 1""".stripMargin
   )
 
+  /** Round-4 dedup clustering: reachability closure over the J ≥ 0.8
+    * sampled pair graph (same recursive-CTE shape as q_graph_cc). */
+  val round4f: Map[String, String] = Map(
+    "q_llm_dedup_clusters" ->
+      """WITH RECURSIVE d AS (
+        |  SELECT doc_id, lang, list_distinct(string_split(text, ' ')) AS toks
+        |  FROM documents
+        |  WHERE doc_id % 10 = 0 AND len(list_distinct(string_split(text, ' '))) > 0),
+        |p AS (
+        |  SELECT d1.doc_id AS x, d2.doc_id AS y
+        |  FROM d d1 JOIN d d2 ON d1.lang = d2.lang AND d1.doc_id < d2.doc_id
+        |  WHERE CAST(len(list_intersect(d1.toks, d2.toks)) AS DOUBLE)
+        |    / (len(d1.toks) + len(d2.toks) - len(list_intersect(d1.toks, d2.toks)))
+        |    >= 0.8),
+        |ue AS (SELECT x, y FROM p UNION ALL SELECT y, x FROM p),
+        |reach AS (
+        |  SELECT doc_id AS n, doc_id AS r FROM d
+        |  UNION
+        |  SELECT reach.n, ue.y FROM reach JOIN ue ON reach.r = ue.x),
+        |comp AS (SELECT n, MIN(r) AS lbl FROM reach GROUP BY n),
+        |cl AS (
+        |  SELECT d.lang, comp.lbl, COUNT(*) AS sz
+        |  FROM comp JOIN d ON comp.n = d.doc_id
+        |  GROUP BY 1, 2)
+        |SELECT lang, CAST(SUM(sz) AS BIGINT) AS n_docs,
+        |  COUNT(*) AS n_clusters,
+        |  CAST(SUM(sz) - COUNT(*) AS BIGINT) AS n_dup_docs,
+        |  CAST(MAX(sz) AS BIGINT) AS max_cluster
+        |FROM cl GROUP BY lang ORDER BY lang""".stripMargin
+  )
+
   val all: Map[String, String] =
     relational ++ streaming ++ graph ++ llm ++ extended ++ gnn ++ gnnPrep ++
-      pipeline ++ round4 ++ round4b ++ round4c ++ round4d ++ round4e
+      pipeline ++ round4 ++ round4b ++ round4c ++ round4d ++ round4e ++ round4f
 }

@@ -182,6 +182,21 @@ class Round4Spec extends AnyFunSuite {
     }
   }
 
+  test("dedup clusters partition the sample; dups = docs minus canonicals") {
+    val rows = graft.engine.LlmOps.q_llm_dedup_clusters(spark, sf001).collect()
+    val sampled = Tables.documents(spark, sf001)
+      .filter(col("doc_id") % 10 === 0).count()
+    assert(rows.map(_.getLong(1)).sum == sampled,
+      "per-lang cluster membership must partition the sampled docs")
+    rows.foreach { r =>
+      assert(r.getLong(3) == r.getLong(1) - r.getLong(2),
+        s"${r.getString(0)}: one canonical survives per cluster")
+      assert(r.getLong(4) <= r.getLong(1), "a cluster cannot exceed its language sample")
+    }
+    assert(rows.map(_.getLong(3)).sum > 0,
+      "the sf0.01 sample is known to contain J >= 0.8 duplicate groups")
+  }
+
   test("mm_frames: every video byte lands in exactly one frame") {
     val frames = Multimodal.q_mm_frames(spark, sf0001)
       .agg(sum(col("bytes_sum"))).collect()(0).getLong(0)
