@@ -1489,7 +1489,45 @@ object Oracle {
         |FROM cl GROUP BY lang ORDER BY lang""".stripMargin
   )
 
+  /** Round-4 continuation: histogram / RANGE frame / bucketed band join.
+    * Histogram bucket math is pure BIGINT (DuckDB `//` = Spark `div`);
+    * the band-join oracle is the NAIVE |Δt| ≤ δ join the bucketing must
+    * reproduce exactly. */
+  val round5: Map[String, String] = Map(
+    "q_agg_histogram" ->
+      """WITH b AS (SELECT CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents
+        |           FROM orders),
+        |m AS (SELECT min(cents) AS mn, max(cents) AS mx FROM b)
+        |SELECT ((cents - mn) * 20) // (mx - mn + 1) AS bucket,
+        |  COUNT(*) AS cnt, CAST(SUM(cents) AS BIGINT) AS total_cents,
+        |  MIN(mn / 100.0) AS range_lo, MAX(mx / 100.0) AS range_hi
+        |FROM b, m GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q_win_range_frame" ->
+      """SELECT o_custkey, o_orderkey, o_orderdate,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) OVER w AS DOUBLE) AS trail30_total,
+        |  CAST(COUNT(*) OVER w AS BIGINT) AS trail30_orders
+        |FROM orders
+        |WINDOW w AS (PARTITION BY o_custkey
+        |  ORDER BY datediff('day', DATE '1992-01-01', CAST(o_orderdate AS DATE))
+        |  RANGE BETWEEN 30 PRECEDING AND CURRENT ROW)
+        |ORDER BY o_custkey, o_orderkey""".stripMargin,
+
+    "q_join_range_bucket" ->
+      """WITH e AS (SELECT event_id, CAST(ts AS TIMESTAMP) AS ts, event_type FROM events),
+        |err AS (SELECT event_id AS e_id, epoch_us(ts) AS e_us FROM e
+        |        WHERE event_type = 'error'),
+        |pur AS (SELECT event_id AS p_id, ts AS p_ts, epoch_us(ts) AS p_us FROM e
+        |        WHERE event_type = 'purchase')
+        |SELECT CAST(p_ts AS DATE) AS day, COUNT(*) AS n_pairs,
+        |  CAST(COUNT(DISTINCT p_id) AS BIGINT) AS n_purchases,
+        |  CAST(COUNT(DISTINCT e_id) AS BIGINT) AS n_errors
+        |FROM pur JOIN err ON abs(p_us - e_us) <= 600000000
+        |GROUP BY 1 ORDER BY 1""".stripMargin
+  )
+
   val all: Map[String, String] =
     relational ++ streaming ++ graph ++ llm ++ extended ++ gnn ++ gnnPrep ++
-      pipeline ++ round4 ++ round4b ++ round4c ++ round4d ++ round4e ++ round4f
+      pipeline ++ round4 ++ round4b ++ round4c ++ round4d ++ round4e ++
+      round4f ++ round5
 }

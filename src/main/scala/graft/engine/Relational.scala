@@ -564,7 +564,83 @@ object Relational {
         |ORDER BY c.c_custkey, o.o_orderkey""".stripMargin)
   }
 
+  // ── §2 round-4 extensions: histogram / range frame / band join ───────
+
+  /** Equi-width 20-bucket histogram of o_totalprice. Two-pass shape:
+    * tiny global min/max aggregate broadcast back onto the scan, then one
+    * hash aggregate on the computed bucket — the standard distributed
+    * histogram (no sort, no collect). All bucket arithmetic is exact
+    * integer math on DECIMAL(18,2) cents so the bucket boundaries cannot
+    * drift between engines: bucket = (cents-min)*20 div (max-min+1) is
+    * always in [0,20). */
+  def q_agg_histogram(s: SparkSession, dir: String): DataFrame = {
+    val cents = Tables.orders(s, dir)
+      .select((dec(col("o_totalprice")) * 100).cast("long").as("cents"))
+    val bounds = cents.agg(min(col("cents")).as("mn"), max(col("cents")).as("mx"))
+    cents.crossJoin(broadcast(bounds))
+      .select(expr("((cents - mn) * 20) div (mx - mn + 1)").as("bucket"),
+        col("cents"), col("mn"), col("mx"))
+      .groupBy(col("bucket"))
+      .agg(count(lit(1)).as("cnt"), sum(col("cents")).as("total_cents"),
+        // exact double: integer/100.0 is a single IEEE-rounded division
+        min(col("mn") / lit(100.0)).as("range_lo"),
+        max(col("mx") / lit(100.0)).as("range_hi"))
+      .orderBy("bucket")
+  }
+
+  /** Value-RANGE window frame (vs q_win_sliding_frame's ROWS frame):
+    * per-customer trailing-30-day order spend. The frame is defined on
+    * the day-number ORDER BY value, so same-day peer rows are always all
+    * included — deterministic under any intra-partition order. One
+    * shuffle on o_custkey; the frame scan is the standard streaming
+    * window-frame evaluation (no self-join). */
+  def q_win_range_frame(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("o_custkey")).orderBy(col("dayno"))
+      .rangeBetween(-30, 0)
+    Tables.orders(s, dir)
+      .select(col("o_custkey"), col("o_orderkey"), col("o_orderdate"),
+        datediff(col("o_orderdate"), lit("1992-01-01").cast("date")).as("dayno"),
+        dec(col("o_totalprice")).as("p"))
+      .select(col("o_custkey"), col("o_orderkey"), col("o_orderdate"),
+        sum(col("p")).over(w).cast("double").as("trail30_total"),
+        count(lit(1)).over(w).cast("long").as("trail30_orders"))
+      .orderBy("o_custkey", "o_orderkey")
+  }
+
+  /** Bucketed band join — the scale path for a non-equi |t1−t2| ≤ δ join
+    * with NO equi key (q_join_theta / q_join_interval_asof both lean on
+    * one). Naive is a broadcast nested loop (O(n·m) comparisons on one
+    * task at cluster scale). Here: each right row lands in exactly one
+    * δ-wide time bucket; each left row probes only its ⌈2δ/δ⌉+1 = 3
+    * overlapping buckets (explode over sequence), so the join becomes an
+    * equi-join on bucket — shuffle-partitionable by bucket, and each pair
+    * is produced exactly once (right side is in ONE bucket). The oracle
+    * is the NAIVE range join: bucketing must be result-invisible. */
+  def q_join_range_bucket(s: SparkSession, dir: String): DataFrame = {
+    val bucketUs = 600L * 1000000L // 10-minute buckets = the band half-width
+    val ev = Tables.events(s, dir)
+    val err = ev.filter(col("event_type") === "error")
+      .select(col("event_id").as("e_id"), unix_micros(col("ts")).as("e_us"))
+      .withColumn("bucket", expr(s"e_us div ${bucketUs}L"))
+    val pur = ev.filter(col("event_type") === "purchase")
+      .select(col("event_id").as("p_id"), col("ts").as("p_ts"),
+        unix_micros(col("ts")).as("p_us"))
+      .withColumn("bucket", explode(sequence(
+        expr(s"(p_us - ${bucketUs}L) div ${bucketUs}L"),
+        expr(s"(p_us + ${bucketUs}L) div ${bucketUs}L"))))
+    pur.join(err, pur("bucket") === err("bucket") &&
+        abs(col("p_us") - col("e_us")) <= bucketUs)
+      .groupBy(to_date(col("p_ts")).as("day"))
+      .agg(count(lit(1)).as("n_pairs"),
+        countDistinct(col("p_id")).as("n_purchases"),
+        countDistinct(col("e_id")).as("n_errors"))
+      .orderBy("day")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_agg_histogram" -> q_agg_histogram _,
+    "q_win_range_frame" -> q_win_range_frame _,
+    "q_join_range_bucket" -> q_join_range_bucket _,
     "q_agg_stats" -> q_agg_stats _,
     "q_map_funcs" -> q_map_funcs _,
     "q_win_distribution" -> q_win_distribution _,
