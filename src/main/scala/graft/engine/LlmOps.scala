@@ -557,7 +557,59 @@ object LlmOps {
         round(element_at(col("embedding"), 1).cast("double"), 6).as("e1"))
       .orderBy("doc_id")
 
+  /** Bloom-prefiltered decontamination semi-join. At 100 TB the exact
+    * "train grams ∩ held-out grams" semi-join shuffles the full train
+    * gram stream; the standard fix is a broadcast Bloom filter built
+    * from the (much smaller) held-out side, so only bloom-positive
+    * grams reach the exact join. Here the filter is a RELATIONAL
+    * blocked Bloom: 4096 × 63-bit buckets (bucket = (h div 4096) %
+    * 4096, two probe bits h % 63 and (h div 64) % 63 — 63, not 64:
+    * DuckDB's BIGINT << errors on bit 63), built with one bit_or
+    * aggregate and broadcast as a ≤4096-row table. Membership = both
+    * probe bits set. Bloom positives ⊇ true matches (no false
+    * negatives by construction — same h family both sides), so the
+    * exact confirm join restores exactness; the oracle replays BOTH
+    * the candidate accounting and the exact counts in SQL, so the
+    * bloom arithmetic itself is cross-engine-checked. Word-5-grams
+    * (vs contamination's 8): the two ops probe different overlap
+    * scales and opposite directions (here: which TRAIN docs to drop). */
+  def q_llm_bloom_prefilter(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    def grams(df: DataFrame): DataFrame = df
+      .select(col("doc_id"), col("lang"), split(col("text"), " ").as("toks"))
+      .filter(size(col("toks")) >= 5)
+      .select(col("doc_id"), col("lang"), explode(expr(
+        "array_distinct(transform(sequence(1, size(toks) - 4)," +
+          " i -> array_join(slice(toks, i, 5), ' ')))")).as("g"))
+      .select(col("doc_id"), col("lang"), Dsl.md5Hash60(col("g")).as("h"))
+    val held = grams(docs.filter(col("doc_id") % 10 === 0))
+    val train = grams(docs.filter(col("doc_id") % 10 =!= 0))
+    val m = expr("shiftleft(1L, int(h % 63)) | shiftleft(1L, int((h div 64) % 63))")
+    val bitmap = held
+      .select(expr("(h div 4096) % 4096").as("bucket"), m.as("m"))
+      .groupBy(col("bucket")).agg(expr("bit_or(m)").as("bits"))
+    val cand = train
+      .withColumn("bucket", expr("(h div 4096) % 4096"))
+      .join(broadcast(bitmap), "bucket")
+      .filter((expr("bits") bitwiseAND m) === m)
+      .select(col("doc_id"), col("lang"), col("h"))
+    val hits = cand.join(held.select(col("h").as("hh")).distinct(),
+      col("h") === col("hh"), "left_semi")
+    val candAgg = cand.groupBy(col("lang"))
+      .agg(countDistinct(col("doc_id")).as("n_cand_docs"),
+        countDistinct(col("h")).as("n_cand_grams"))
+    val hitAgg = hits.groupBy(col("lang").as("lang_h"))
+      .agg(countDistinct(col("doc_id")).as("n_hit_docs"),
+        countDistinct(col("h")).as("n_hit_grams"))
+    candAgg.join(hitAgg, col("lang") === col("lang_h"), "left_outer")
+      .select(col("lang"), col("n_cand_docs"), col("n_cand_grams"),
+        coalesce(col("n_hit_docs"), lit(0L)).as("n_hit_docs"),
+        coalesce(col("n_hit_grams"), lit(0L)).as("n_hit_grams"))
+      .orderBy("lang")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_llm_bloom_prefilter" -> q_llm_bloom_prefilter _,
     "q_llm_dedup_exact" -> q_llm_dedup_exact _,
     "q_llm_jaccard_pairs" -> q_llm_jaccard_pairs _,
     "q_llm_minhash_lsh" -> q_llm_minhash_lsh _,

@@ -1523,7 +1523,72 @@ object Oracle {
         |  CAST(COUNT(DISTINCT p_id) AS BIGINT) AS n_purchases,
         |  CAST(COUNT(DISTINCT e_id) AS BIGINT) AS n_errors
         |FROM pur JOIN err ON abs(p_us - e_us) <= 600000000
-        |GROUP BY 1 ORDER BY 1""".stripMargin
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // Replays the ENTIRE blocked-bloom arithmetic (bucket, probe bits,
+    // bit_or bitmap, membership test) plus the exact confirm — the
+    // bloom path itself is cross-engine-checked, not just the final
+    // exact counts. Probe bits are mod 63: DuckDB BIGINT << 63 errors.
+    "q_llm_bloom_prefilter" ->
+      """WITH d AS (SELECT doc_id, lang, string_split(text, ' ') AS toks FROM documents),
+        |hg AS (SELECT DISTINCT doc_id, lang,
+        |    CAST('0x' || substr(md5(array_to_string(toks[i:i+4], ' ')), 1, 15) AS BIGINT) AS h
+        |  FROM d, UNNEST(range(1, len(toks) - 3)) AS u(i) WHERE doc_id % 10 = 0),
+        |tg AS (SELECT DISTINCT doc_id, lang,
+        |    CAST('0x' || substr(md5(array_to_string(toks[i:i+4], ' ')), 1, 15) AS BIGINT) AS h
+        |  FROM d, UNNEST(range(1, len(toks) - 3)) AS u(i) WHERE doc_id % 10 <> 0),
+        |bm AS (SELECT (h // 4096) % 4096 AS bucket,
+        |    bit_or((1::BIGINT << CAST(h % 63 AS INT)) |
+        |           (1::BIGINT << CAST((h // 64) % 63 AS INT))) AS bits
+        |  FROM hg GROUP BY 1),
+        |cand AS (SELECT doc_id, lang, h FROM tg JOIN bm
+        |    ON (tg.h // 4096) % 4096 = bm.bucket
+        |  WHERE (bits & ((1::BIGINT << CAST(h % 63 AS INT)) |
+        |                 (1::BIGINT << CAST((h // 64) % 63 AS INT)))) =
+        |        ((1::BIGINT << CAST(h % 63 AS INT)) |
+        |         (1::BIGINT << CAST((h // 64) % 63 AS INT)))),
+        |hits AS (SELECT doc_id, lang, h FROM cand WHERE h IN (SELECT h FROM hg)),
+        |ca AS (SELECT lang, COUNT(DISTINCT doc_id) AS n_cand_docs,
+        |    COUNT(DISTINCT h) AS n_cand_grams FROM cand GROUP BY 1),
+        |ha AS (SELECT lang, COUNT(DISTINCT doc_id) AS n_hit_docs,
+        |    COUNT(DISTINCT h) AS n_hit_grams FROM hits GROUP BY 1)
+        |SELECT ca.lang, n_cand_docs, n_cand_grams,
+        |  COALESCE(n_hit_docs, 0) AS n_hit_docs,
+        |  COALESCE(n_hit_grams, 0) AS n_hit_grams
+        |FROM ca LEFT JOIN ha ON ca.lang = ha.lang ORDER BY 1""".stripMargin,
+
+    // Same fixed left-assoc weighted sum as the Spark expression; the
+    // explicit ::DOUBLE casts stop DuckDB from doing DECIMAL-literal
+    // arithmetic. ln features round-9 (the probed policy); z means
+    // through DECIMAL(18,6) so summation order cannot leak.
+    "q_llm_quality_classifier" ->
+      """WITH t AS (SELECT lang, string_split(text, ' ') AS toks, text FROM documents),
+        |f AS (SELECT lang,
+        |  round(ln(1.0::DOUBLE + len(toks)), 9) AS f_len,
+        |  CAST(length(text) - (len(toks) - 1) AS DOUBLE) / len(toks) AS f_awl,
+        |  CAST(len(list_distinct(toks)) AS DOUBLE) / len(toks) AS f_ttr,
+        |  CAST(len(list_filter(toks, s -> length(s) <= 3)) AS DOUBLE) / len(toks) AS f_short
+        |  FROM t),
+        |zz AS (SELECT lang,
+        |  round(0.8::DOUBLE * f_len + 0.5::DOUBLE * f_ttr - 0.4::DOUBLE * f_short
+        |        + 0.05::DOUBLE * f_awl - 2.0::DOUBLE, 6) AS z FROM f)
+        |SELECT lang, COUNT(*) AS n_docs,
+        |  CAST(SUM(CASE WHEN z > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_keep,
+        |  CAST(SUM(CAST(z AS DECIMAL(18,6))) AS DOUBLE) / COUNT(*) AS avg_z,
+        |  MIN(z) AS min_z, MAX(z) AS max_z
+        |FROM zz GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // The struct-MAX upsert pick equals the ts DESC, event_id DESC
+    // row_number argmax (event_id unique → identical total order).
+    "q_stream_cdc_latest" ->
+      """WITH e AS (SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts,
+        |    event_type, value FROM events),
+        |r AS (SELECT user_id, ts AS last_ts, event_id AS last_event_id,
+        |    event_type AS last_type, value AS last_value,
+        |    ROW_NUMBER() OVER (PARTITION BY user_id
+        |      ORDER BY ts DESC, event_id DESC) AS rn FROM e)
+        |SELECT user_id, last_ts, last_event_id, last_type, last_value
+        |FROM r WHERE rn = 1 ORDER BY user_id""".stripMargin
   )
 
   val all: Map[String, String] =

@@ -68,6 +68,22 @@ object StreamingOps {
   def dedupByEventId(ev: DataFrame): DataFrame =
     ev.select(col("event_id"), col("user_id")).dropDuplicates("event_id")
 
+  /** CDC / upsert materialization (Flink changelog-to-table, SCD-1
+    * "latest snapshot"): the most recent event per user, picked as a
+    * lexicographic struct MAX on (ts, event_id, …). MAX is associative
+    * and order-blind, so the same expression is a one-shuffle batch
+    * aggregate AND an incrementally-maintained streaming aggregate
+    * (unlike a row_number window, which streams can't evaluate).
+    * event_id is unique → no ties → fully deterministic. */
+  def cdcLatest(ev: DataFrame): DataFrame =
+    ev.groupBy(col("user_id"))
+      .agg(max(struct(col("ts"), col("event_id"), col("event_type"),
+        col("value"))).as("last"))
+      .select(col("user_id"), col("last.ts").as("last_ts"),
+        col("last.event_id").as("last_event_id"),
+        col("last.event_type").as("last_type"),
+        col("last.value").as("last_value"))
+
   /** Keyed running state (Flink ValueState analog): fold events into
     * (count, last event-time, exact cents). Cents are accumulated as
     * longs — exact and order-independent, mirroring the DECIMAL(18,2)
@@ -265,6 +281,9 @@ object StreamingOps {
       .agg(count(lit(1)).as("n_sessions"), sum(col("n")).as("n_events"))
       .orderBy("user_id")
 
+  def q_stream_cdc_latest(s: SparkSession, dir: String): DataFrame =
+    cdcLatest(Tables.events(s, dir)).orderBy("user_id")
+
   def q_stream_dedup(s: SparkSession, dir: String): DataFrame =
     dedupByEventId(Tables.events(s, dir))
       .agg(count(lit(1)).as("n_events"), countDistinct(col("user_id")).as("n_users"))
@@ -361,6 +380,7 @@ object StreamingOps {
     "q_stream_sliding" -> q_stream_sliding _,
     "q_stream_session" -> q_stream_session _,
     "q_stream_dedup" -> q_stream_dedup _,
+    "q_stream_cdc_latest" -> q_stream_cdc_latest _,
     "q_stream_stateful" -> q_stream_stateful _,
     "q_stream_stateful_tws" -> q_stream_stateful_tws _,
     "q_stream_win_topk" -> q_stream_win_topk _,

@@ -243,7 +243,41 @@ object TextOps {
       .orderBy("lang")
   }
 
+  /** Fixed-weight linear quality classifier INFERENCE (the fasttext-style
+    * quality-scoring stage of a curation pipeline, run as a pure
+    * expression at scan time — the model is 4 weights + bias, broadcast
+    * by constant-folding, no UDF). Features: ln(1+tokens) (round-9 — the
+    * probed cross-engine ln policy), avg word length, type-token ratio,
+    * short-token ratio — the last three are exact integer ratios, IEEE
+    * single-division deterministic. z is a fixed left-assoc weighted sum
+    * rounded to 6dp; keep = z > 0. Per-lang keep-rate and exact decimal
+    * mean/extrema of z. */
+  def q_llm_quality_classifier(s: SparkSession, dir: String): DataFrame = {
+    val z = Tables.documents(s, dir)
+      .select(col("lang"), split(col("text"), " ").as("toks"), col("text"))
+      .select(col("lang"),
+        round(log(lit(1.0) + size(col("toks"))), 9).as("f_len"),
+        ((length(col("text")) - (size(col("toks")) - 1)).cast("double") /
+          size(col("toks"))).as("f_awl"),
+        (size(array_distinct(col("toks"))).cast("double") / size(col("toks")))
+          .as("f_ttr"),
+        (size(expr("filter(toks, t -> length(t) <= 3)")).cast("double") /
+          size(col("toks"))).as("f_short"))
+      .select(col("lang"),
+        round(lit(0.8) * col("f_len") + lit(0.5) * col("f_ttr") -
+          lit(0.4) * col("f_short") + lit(0.05) * col("f_awl") - lit(2.0), 6)
+          .as("z"))
+    z.groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("z") > 0, 1L).otherwise(0L)).as("n_keep"),
+        (sum(col("z").cast("decimal(18,6)")).cast("double") / count(lit(1)))
+          .as("avg_z"),
+        min(col("z")).as("min_z"), max(col("z")).as("max_z"))
+      .orderBy("lang")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_llm_quality_classifier" -> q_llm_quality_classifier _,
     "q_text_edit_distance" -> q_text_edit_distance _,
     "q_llm_span_dedup" -> q_llm_span_dedup _,
     "q_text_unigram_xent" -> q_text_unigram_xent _,

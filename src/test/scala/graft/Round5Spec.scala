@@ -1,9 +1,13 @@
 package graft
 
+import java.sql.Timestamp
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.OutputMode
 import org.scalatest.funsuite.AnyFunSuite
 
-import graft.engine.{Relational, Tables}
+import graft.engine.{LlmOps, Relational, StreamingOps, Tables, TextOps}
 
 /** Invariant tests for the round-4 continuation operators. As with
   * Round4Spec, cross-engine values are pinned by the DuckDB oracle gate;
@@ -66,4 +70,67 @@ class Round5Spec extends AnyFunSuite {
     assert(bucketed == naive,
       "bucketing must be result-invisible vs the naive band join")
   }
+
+  test("bloom prefilter: candidates are a superset of exact hits; hits equal plain semi-join") {
+    val out = LlmOps.q_llm_bloom_prefilter(spark, sf0001).collect()
+    out.foreach { r =>
+      assert(r.getLong(1) >= r.getLong(3), s"cand docs >= hit docs in ${r.getString(0)}")
+      assert(r.getLong(2) >= r.getLong(4), s"cand grams >= hit grams in ${r.getString(0)}")
+    }
+    // exact hits must equal a bloom-free 5-gram intersection
+    def grams(heldOut: Boolean) = Tables.documents(spark, sf0001)
+      .filter(if (heldOut) col("doc_id") % 10 === 0 else col("doc_id") % 10 =!= 0)
+      .select(col("doc_id"), col("lang"), split(col("text"), " ").as("toks"))
+      .filter(size(col("toks")) >= 5)
+      .select(col("doc_id"), col("lang"), explode(expr(
+        "array_distinct(transform(sequence(1, size(toks) - 4)," +
+          " i -> array_join(slice(toks, i, 5), ' ')))")).as("g"))
+    val plain = grams(heldOut = false)
+      .join(grams(heldOut = true).select(col("g").as("hg")).distinct(),
+        col("g") === col("hg"), "left_semi")
+      .groupBy("lang")
+      .agg(countDistinct("doc_id").as("d"), countDistinct("g").as("h"))
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    out.filter(_.getLong(3) > 0).foreach { r =>
+      assert(plain(r.getString(0)) == (r.getLong(3), r.getLong(4)),
+        s"exact hit counts for ${r.getString(0)}")
+    }
+  }
+
+  test("quality classifier: keep counts bounded, mean inside [min, max]") {
+    val rows = TextOps.q_llm_quality_classifier(spark, sf0001).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getLong(2) <= r.getLong(1), "n_keep <= n_docs")
+      assert(r.getDouble(3) >= r.getDouble(4) - 1e-9 &&
+        r.getDouble(3) <= r.getDouble(5) + 1e-9, "avg_z within [min_z, max_z]")
+    }
+  }
+
+  test("cdc latest snapshot on a stream (complete mode) equals batch; upserts win") {
+    val s = spark
+    import s.implicits._
+    implicit val sq = s.sqlContext
+    def ts(d: Int, h: Int) = Timestamp.valueOf(f"2024-01-$d%02d $h%02d:00:00")
+    val early = Seq(
+      R5E(1, 1, ts(1, 1), "click", 10.0), R5E(2, 2, ts(1, 2), "view", 1.0))
+    val late = Seq(
+      R5E(3, 1, ts(2, 5), "purchase", 99.0), // upserts user 1
+      R5E(4, 3, ts(1, 9), "signup", 0.0))
+    val ms = MemoryStream[R5E]
+    val q = StreamingOps.cdcLatest(ms.toDF())
+      .writeStream.outputMode(OutputMode.Complete)
+      .format("memory").queryName("cdc5").start()
+    ms.addData(early: _*); q.processAllAvailable()
+    ms.addData(late: _*); q.processAllAvailable(); q.stop()
+    val streamed = s.table("cdc5").orderBy("user_id").collect().toSeq
+    val batch = StreamingOps.cdcLatest((early ++ late).toDF())
+      .orderBy("user_id").collect().toSeq
+    assert(streamed == batch, "incremental snapshot must equal batch")
+    val u1 = streamed.find(_.getLong(0) == 1L).get
+    assert(u1.getLong(2) == 3L && u1.getString(3) == "purchase",
+      "later event must upsert user 1's snapshot row")
+  }
 }
+
+case class R5E(event_id: Long, user_id: Long, ts: Timestamp, event_type: String, value: Double)
