@@ -64,6 +64,33 @@ class PlanAuditSpec extends AnyFunSuite {
       s"partial+final window group limit expected:\n$p")
   }
 
+  test("bucketed band join plans as a hash join on bucket, not a nested loop") {
+    val df = SparkEntry.queries("q_join_range_bucket")(spark, sf0001)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+      s"band join must not degrade to a nested loop:\n$p")
+    assert(p.contains("HashJoin"), "bucket equi-key must drive a hash join")
+  }
+
+  test("bloom prefilter: the bitmap side broadcasts; exact confirm follows it") {
+    val df = SparkEntry.queries("q_llm_bloom_prefilter")(spark, sf0001)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("BroadcastHashJoin"),
+      s"the <=4096-row bloom bitmap must broadcast, never shuffle the grams:\n$p")
+  }
+
+  test("histogram min/max bounds broadcast back onto the scan") {
+    val df = SparkEntry.queries("q_agg_histogram")(spark, sf0001)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"),
+      s"1-row bounds must broadcast:\n$p")
+    assert("HashAggregate".r.findAllIn(p).size >= 2,
+      "bucket aggregation must be partial+final")
+  }
+
   test("graph projection self-join reuses one materialized edge list") {
     // partPairs must reference the SAME checkpointed RDD on both legs —
     // two LogicalRDD scans, zero parquet scans (the round-1 plan re-ran
