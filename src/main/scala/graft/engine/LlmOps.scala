@@ -608,7 +608,52 @@ object LlmOps {
       .orderBy("lang")
   }
 
+  /** Product-quantization ANN (Jégou et al., TPAMI 2011) — the
+    * memory-bounded fourth ANN variant next to brute-force / LSH / IVF:
+    * at 100 TB the raw vectors (256 B each) cannot sit in RAM, but the
+    * PQ codes (8 × 4-bit-ish codes here, 8 numbers per vector) can, and
+    * query-time asymmetric distance (ADC) is a broadcast join against a
+    * 128-row lookup table instead of any per-candidate vector math.
+    * Deterministic codebook: M = 8 subspaces × K = 16 centroids, where
+    * centroid (m, j) is vec j's m-th 8-dim subvector (vec_ids 0–15 act
+    * as the codebook — no RNG, oracle-expressible). Encode = argmin
+    * subspace L2² (ties → smallest j, via struct MIN); ADC(q, x) =
+    * Σ_m lut(m, code_m(x)) with the per-term round-9 → exact DECIMAL
+    * sum policy so summation order can't leak. Query = vec 0; top-10
+    * by ADC, vec_id tie-break. */
+  def q_llm_ann_pq(s: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(s, dir)
+    // (id, m, 8-dim subvector) for every vector; centroids = ids 0-15
+    def subs(df: DataFrame, idCol: String): DataFrame = df
+      .select(col("vec_id").as(idCol), explode(expr(
+        "transform(sequence(0, 7), m -> struct(m as m, slice(embedding, m*8 + 1, 8) as sv))"))
+        .as("e"))
+      .select(col(idCol), col("e.m").as("m"), col("e.sv").as("sv"))
+    val cents = subs(emb.filter(col("vec_id") < 16), "j")
+      .select(col("j"), col("m").as("cm"), col("sv").as("cv"))
+    // fixed-order L2²: double promotion per element, left-to-right sum
+    val d2 = expr("aggregate(zip_with(sv, cv, (x, c) -> " +
+      "(cast(x as double) - cast(c as double)) * (cast(x as double) - cast(c as double)))," +
+      " cast(0.0 as double), (acc, v) -> acc + v)")
+    val dists = subs(emb, "vid")
+      .join(broadcast(cents), col("m") === col("cm"))
+      .select(col("vid"), col("m"), col("j"), d2.as("d2"))
+    val codes = dists.groupBy(col("vid"), col("m"))
+      .agg(min(struct(col("d2"), col("j"))).as("best"))
+      .select(col("vid"), col("m"), col("best.j").as("code"))
+    val lut = dists.filter(col("vid") === 0)
+      .select(col("m").as("lm"), col("j").as("lj"),
+        round(col("d2"), 9).cast("decimal(20,9)").as("qd2"))
+    codes.join(broadcast(lut), col("m") === col("lm") && col("code") === col("lj"))
+      .groupBy(col("vid"))
+      .agg(sum(col("qd2")).cast("double").as("adc_dist"))
+      .select(col("vid").as("vec_id"), round(col("adc_dist"), 6).as("adc_dist"))
+      .orderBy(col("adc_dist").asc, col("vec_id").asc)
+      .limit(10)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_llm_ann_pq" -> q_llm_ann_pq _,
     "q_llm_bloom_prefilter" -> q_llm_bloom_prefilter _,
     "q_llm_dedup_exact" -> q_llm_dedup_exact _,
     "q_llm_jaccard_pairs" -> q_llm_jaccard_pairs _,

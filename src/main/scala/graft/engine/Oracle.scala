@@ -1588,7 +1588,51 @@ object Oracle {
         |    ROW_NUMBER() OVER (PARTITION BY user_id
         |      ORDER BY ts DESC, event_id DESC) AS rn FROM e)
         |SELECT user_id, last_ts, last_event_id, last_type, last_value
-        |FROM r WHERE rn = 1 ORDER BY user_id""".stripMargin
+        |FROM r WHERE rn = 1 ORDER BY user_id""".stripMargin,
+
+    // The 8-term subspace L2² is generated as an explicit left-assoc
+    // chain so DuckDB's summation order provably equals Spark's
+    // aggregate() fold; ADC terms go round-9 → DECIMAL so the final sum
+    // is order-blind. Codebook = vec_ids 0-15 (deterministic, no RNG).
+    "q_llm_ann_pq" -> {
+      val d2terms = (1 to 8).map(i =>
+        s"(CAST(xv[$i] AS DOUBLE) - CAST(cv[$i] AS DOUBLE)) * " +
+          s"(CAST(xv[$i] AS DOUBLE) - CAST(cv[$i] AS DOUBLE))").mkString(" + ")
+      s"""WITH s AS (SELECT vec_id, m, embedding[m*8 + 1 : m*8 + 8] AS xv
+         |  FROM embeddings, UNNEST(range(0, 8)) AS t(m)),
+         |c AS (SELECT vec_id AS j, m AS cm, xv AS cv FROM s WHERE vec_id < 16),
+         |d AS (SELECT s.vec_id AS vid, s.m, c.j, $d2terms AS d2
+         |  FROM s JOIN c ON s.m = c.cm),
+         |codes AS (SELECT vid, m, j AS code FROM (
+         |  SELECT vid, m, j, ROW_NUMBER() OVER (PARTITION BY vid, m
+         |    ORDER BY d2, j) AS rn FROM d) WHERE rn = 1),
+         |lut AS (SELECT m AS lm, j AS lj, CAST(round(d2, 9) AS DECIMAL(20,9)) AS qd2
+         |  FROM d WHERE vid = 0),
+         |adc AS (SELECT vid, CAST(SUM(qd2) AS DOUBLE) AS a
+         |  FROM codes JOIN lut ON m = lm AND code = lj GROUP BY vid)
+         |SELECT vid AS vec_id, round(a, 6) AS adc_dist FROM adc
+         |ORDER BY round(a, 6), vec_id LIMIT 10""".stripMargin
+    },
+
+    "q_text_bigram_xent" ->
+      """WITH t AS (SELECT doc_id, lang, string_split(text, ' ') AS toks FROM documents),
+        |bi AS (SELECT doc_id, lang, toks[i] AS a, toks[i+1] AS b
+        |  FROM t, UNNEST(range(1, len(toks))) AS u(i)),
+        |tr AS (SELECT * FROM bi WHERE doc_id % 10 <> 0),
+        |bc AS (SELECT lang, a, b, COUNT(*) AS cab FROM tr GROUP BY 1, 2, 3),
+        |ac AS (SELECT lang, a, COUNT(*) AS ca FROM tr GROUP BY 1, 2),
+        |vocab AS (SELECT lang, COUNT(DISTINCT tok) AS v FROM (
+        |  SELECT lang, unnest(toks) AS tok FROM t WHERE doc_id % 10 <> 0) GROUP BY 1),
+        |nl AS (SELECT he.lang, he.doc_id,
+        |    round(-ln(CAST(COALESCE(cab, 0) + 1 AS DOUBLE) /
+        |              CAST(COALESCE(ca, 0) + v AS DOUBLE)), 9) AS nll
+        |  FROM (SELECT * FROM bi WHERE doc_id % 10 = 0) he
+        |  LEFT JOIN bc ON he.lang = bc.lang AND he.a = bc.a AND he.b = bc.b
+        |  LEFT JOIN ac ON he.lang = ac.lang AND he.a = ac.a
+        |  JOIN vocab ON he.lang = vocab.lang)
+        |SELECT lang, CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs,
+        |  COUNT(*) AS n_bigrams, round(AVG(nll), 6) AS xent2
+        |FROM nl GROUP BY 1 ORDER BY 1""".stripMargin
   )
 
   val all: Map[String, String] =

@@ -276,7 +276,49 @@ object TextOps {
       .orderBy("lang")
   }
 
+  /** Bigram-LM cross-entropy (the order-2 step past q_text_unigram_xent's
+    * CCNet signal): per-lang add-1-smoothed bigram model on the train
+    * split — p(b|a) = (c(a,b)+1)/(c(a)+V), the unseen-context case
+    * collapsing to 1/V under the same formula — scoring held-out docs
+    * with round-9 −ln (the probed cross-engine ln policy) and a round-6
+    * per-lang mean. The model stays relational (two keyed count tables +
+    * a per-lang vocab scalar), so at corpus scale the model join is a
+    * plain shuffled equi-join on (lang, gram) — no driver-side model
+    * object, unlike an ML-library LM. */
+  def q_text_bigram_xent(s: SparkSession, dir: String): DataFrame = {
+    val toks = Tables.documents(s, dir)
+      .select(col("doc_id"), col("lang"), split(col("text"), " ").as("toks"))
+    val bi = toks.filter(size(col("toks")) >= 2)
+      .select(col("doc_id"), col("lang"), explode(expr(
+        "transform(sequence(1, size(toks) - 1)," +
+          " i -> struct(element_at(toks, i) as a, element_at(toks, i + 1) as b))"))
+        .as("p"))
+      .select(col("doc_id"), col("lang"), col("p.a").as("a"), col("p.b").as("b"))
+    val train = bi.filter(col("doc_id") % 10 =!= 0)
+    val bc = train.groupBy(col("lang").as("bl"), col("a").as("ba"), col("b").as("bb"))
+      .agg(count(lit(1)).as("cab"))
+    val ac = train.groupBy(col("lang").as("al"), col("a").as("aa"))
+      .agg(count(lit(1)).as("ca"))
+    val vocab = toks.filter(col("doc_id") % 10 =!= 0)
+      .select(col("lang"), explode(col("toks")).as("t"))
+      .groupBy(col("lang").as("vl")).agg(countDistinct(col("t")).as("v"))
+    bi.filter(col("doc_id") % 10 === 0)
+      .join(bc, col("lang") === col("bl") && col("a") === col("ba") &&
+        col("b") === col("bb"), "left_outer")
+      .join(ac, col("lang") === col("al") && col("a") === col("aa"), "left_outer")
+      .join(broadcast(vocab), col("lang") === col("vl"))
+      .select(col("lang"), col("doc_id"),
+        round(-log((coalesce(col("cab"), lit(0L)) + 1).cast("double") /
+          (coalesce(col("ca"), lit(0L)) + col("v")).cast("double")), 9).as("nll"))
+      .groupBy(col("lang"))
+      .agg(countDistinct(col("doc_id")).as("n_docs"),
+        count(lit(1)).as("n_bigrams"),
+        round(avg(col("nll")), 6).as("xent2"))
+      .orderBy("lang")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_text_bigram_xent" -> q_text_bigram_xent _,
     "q_llm_quality_classifier" -> q_llm_quality_classifier _,
     "q_text_edit_distance" -> q_text_edit_distance _,
     "q_llm_span_dedup" -> q_llm_span_dedup _,

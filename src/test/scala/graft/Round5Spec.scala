@@ -107,6 +107,34 @@ class Round5Spec extends AnyFunSuite {
     }
   }
 
+  test("pq ann: the query vector itself ranks first with zero ADC distance") {
+    val rows = LlmOps.q_llm_ann_pq(spark, sf0001).collect()
+    assert(rows.length == 10)
+    // vec 0 is both the query and centroid 0 of every subspace, so its
+    // codes are exact and its asymmetric distance is exactly 0
+    assert(rows.head.getLong(0) == 0L && rows.head.getDouble(1) == 0.0,
+      "query vector must self-retrieve at distance 0")
+    val d = rows.map(_.getDouble(1))
+    assert(d.forall(_ >= 0.0) && d.sameElements(d.sorted),
+      "ADC distances must be non-negative and ascending")
+  }
+
+  test("bigram xent: bigram counts match the token stream; scores positive") {
+    val out = TextOps.q_text_bigram_xent(spark, sf0001).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getDouble(3))).toMap
+    val expected = Tables.documents(spark, sf0001)
+      .filter(col("doc_id") % 10 === 0)
+      .select(col("lang"), (size(split(col("text"), " ")) - 1).as("nb"))
+      .filter(col("nb") >= 1)
+      .groupBy("lang").agg(count(lit(1)).as("nd"), sum(col("nb")).as("n"))
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    expected.foreach { case (lang, (nd, nb)) =>
+      val (gotNd, gotNb, xent) = out(lang)
+      assert(gotNd == nd && gotNb == nb, s"doc/bigram counts for $lang")
+      assert(xent > 0.0, s"cross-entropy must be positive for $lang")
+    }
+  }
+
   test("cdc latest snapshot on a stream (complete mode) equals batch; upserts win") {
     val s = spark
     import s.implicits._
