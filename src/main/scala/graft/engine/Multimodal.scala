@@ -13,6 +13,9 @@ case class DecodedMedia(media_id: Long, kind: String, width: Int, height: Int, n
 
 case class MediaFrame(media_id: Long, frame_idx: Int, frame_bytes: Array[Byte])
 
+case class MediaFeatures(media_id: Long, kind: String, n_bytes: Long,
+    byte_sum: Long, n_distinct_bytes: Int)
+
 /** Multimodal binary-column plumbing. The Spark side is real — schema
   * (BinaryType payloads), partition-parallel `mapPartitions` batch shape,
   * typed encoders — while the codec itself is a clearly-marked
@@ -72,6 +75,25 @@ object Multimodal {
       }
     }
 
+  /** STUB feature extractor (the embedding/fingerprint stage an audio or
+    * image featurizer fills in): exact integer moments over the raw
+    * payload — byte count, byte sum, distinct byte values. Integer
+    * accumulation keeps the downstream mean exactly reproducible (one
+    * IEEE division at the end, never a running double sum). */
+  def featureStub(rows: Iterator[MediaRow]): Iterator[MediaFeatures] =
+    rows.map { m =>
+      var sum = 0L
+      val seen = new java.util.BitSet(256)
+      var i = 0
+      while (i < m.bytes.length) {
+        val b = m.bytes(i) & 0xff
+        sum += b
+        seen.set(b)
+        i += 1
+      }
+      MediaFeatures(m.media_id, m.kind, m.bytes.length.toLong, sum, seen.cardinality())
+    }
+
   def decoded(s: SparkSession, dir: String): Dataset[DecodedMedia] = {
     import s.implicits._
     mediaTable(s, dir).mapPartitions(decodeStub)
@@ -104,8 +126,43 @@ object Multimodal {
       .orderBy("frame_idx")
   }
 
+  /** Contract query for the resize stage: decode → resize chained through
+    * two typed mapPartitions stages (the pipeline shape a real
+    * decode→preprocess chain uses — one partition-batched call each, no
+    * per-row UDF). Halved dims are pure integer arithmetic on the stub
+    * header bytes, so the oracle reproduces them from the source text. */
+  def q_mm_resize(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    decoded(s, dir).mapPartitions(resizeStub).toDF()
+      .groupBy(col("kind"))
+      .agg(count(lit(1)).as("n_media"),
+        sum(col("width")).cast("bigint").as("width_sum"),
+        sum(col("height")).cast("bigint").as("height_sum"),
+        max(col("width")).cast("int").as("max_width"))
+      .orderBy("kind")
+  }
+
+  /** Contract query for the feature-extract stage: per-media exact byte
+    * moments (stub for a real featurizer), aggregated per kind — mean
+    * byte value from integer sums (single IEEE division, round-6) and
+    * payload-alphabet stats. Oracle recomputes the moments from the
+    * documents' ASCII codes. */
+  def q_mm_features(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    mediaTable(s, dir).mapPartitions(featureStub).toDF()
+      .groupBy(col("kind"))
+      .agg(count(lit(1)).as("n_media"),
+        sum(col("n_bytes")).cast("bigint").as("bytes_sum"),
+        round((sum(col("byte_sum")).cast("double") /
+          sum(col("n_bytes")).cast("double")), 6).as("mean_byte"),
+        max(col("n_distinct_bytes")).cast("int").as("max_alphabet"))
+      .orderBy("kind")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_mm_decode" -> q_mm_decode _,
-    "q_mm_frames" -> q_mm_frames _
+    "q_mm_frames" -> q_mm_frames _,
+    "q_mm_resize" -> q_mm_resize _,
+    "q_mm_features" -> q_mm_features _
   )
 }

@@ -1632,7 +1632,40 @@ object Oracle {
         |  JOIN vocab ON he.lang = vocab.lang)
         |SELECT lang, CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs,
         |  COUNT(*) AS n_bigrams, round(AVG(nll), 6) AS xent2
-        |FROM nl GROUP BY 1 ORDER BY 1""".stripMargin
+        |FROM nl GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // Stub-resize arithmetic (max(dim div 2, 1)) replayed from the
+    // header bytes the stub decoder reads (doc text is all-ASCII).
+    "q_mm_resize" ->
+      """WITH m AS (SELECT
+        |    CASE CAST(doc_id % 3 AS INT) WHEN 0 THEN 'image'
+        |         WHEN 1 THEN 'audio' ELSE 'video' END AS kind,
+        |    GREATEST((ascii(substr(text, 1, 1)) + 1) // 2, 1) AS w,
+        |    GREATEST((CASE WHEN length(text) > 1
+        |      THEN ascii(substr(text, 2, 1)) ELSE 0 END + 1) // 2, 1) AS h
+        |  FROM documents)
+        |SELECT kind, COUNT(*) AS n_media,
+        |  CAST(SUM(w) AS BIGINT) AS width_sum,
+        |  CAST(SUM(h) AS BIGINT) AS height_sum,
+        |  CAST(MAX(w) AS INT) AS max_width
+        |FROM m GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // Byte moments from ASCII codes (byte == char for the fixture);
+    // integer sums, one IEEE division for the mean.
+    "q_mm_features" ->
+      """WITH f AS (SELECT
+        |    CASE CAST(doc_id % 3 AS INT) WHEN 0 THEN 'image'
+        |         WHEN 1 THEN 'audio' ELSE 'video' END AS kind,
+        |    length(text) AS nb,
+        |    list_sum(list_transform(range(1, length(text) + 1),
+        |      i -> ascii(substr(text, i, 1)))) AS bs,
+        |    len(list_distinct(list_transform(range(1, length(text) + 1),
+        |      i -> ascii(substr(text, i, 1))))) AS nd
+        |  FROM documents)
+        |SELECT kind, COUNT(*) AS n_media, CAST(SUM(nb) AS BIGINT) AS bytes_sum,
+        |  round(CAST(SUM(bs) AS DOUBLE) / CAST(SUM(nb) AS DOUBLE), 6) AS mean_byte,
+        |  CAST(MAX(nd) AS INT) AS max_alphabet
+        |FROM f GROUP BY 1 ORDER BY 1""".stripMargin
   )
 
   val all: Map[String, String] =

@@ -7,7 +7,7 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.OutputMode
 import org.scalatest.funsuite.AnyFunSuite
 
-import graft.engine.{LlmOps, Relational, StreamingOps, Tables, TextOps}
+import graft.engine.{LlmOps, Multimodal, Relational, StreamingOps, Tables, TextOps}
 
 /** Invariant tests for the round-4 continuation operators. As with
   * Round4Spec, cross-engine values are pinned by the DuckDB oracle gate;
@@ -132,6 +132,34 @@ class Round5Spec extends AnyFunSuite {
       val (gotNd, gotNb, xent) = out(lang)
       assert(gotNd == nd && gotNb == nb, s"doc/bigram counts for $lang")
       assert(xent > 0.0, s"cross-entropy must be positive for $lang")
+    }
+  }
+
+  test("mm resize halves the decoded dimensions (floor, min 1) per media") {
+    val s = spark
+    import s.implicits._
+    val dec = Multimodal.decoded(s, sf0001).collect()
+      .map(d => d.media_id -> d).toMap
+    val res = Multimodal.decoded(s, sf0001)
+      .mapPartitions(Multimodal.resizeStub).collect()
+    assert(res.nonEmpty)
+    res.foreach { r =>
+      val d = dec(r.media_id)
+      assert(r.width == math.max(d.width / 2, 1) &&
+        r.height == math.max(d.height / 2, 1), s"resize of media ${r.media_id}")
+    }
+  }
+
+  test("mm features: byte volume matches decode; mean byte is a valid ASCII value") {
+    val feat = Multimodal.q_mm_features(spark, sf0001).collect()
+      .map(r => r.getString(0) -> (r.getLong(2), r.getDouble(3), r.getInt(4))).toMap
+    val dec = Multimodal.q_mm_decode(spark, sf0001).collect()
+      .map(r => r.getString(0) -> r.getLong(3)).toMap
+    dec.foreach { case (kind, bytes) =>
+      val (gotBytes, meanByte, alphabet) = feat(kind)
+      assert(gotBytes == bytes, s"byte volume for $kind")
+      assert(meanByte > 0.0 && meanByte < 128.0, "ASCII payload mean")
+      assert(alphabet > 0 && alphabet <= 128, "ASCII alphabet size")
     }
   }
 
