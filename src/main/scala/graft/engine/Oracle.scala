@@ -1668,8 +1668,94 @@ object Oracle {
         |FROM f GROUP BY 1 ORDER BY 1""".stripMargin
   )
 
+  /** Round-6 additions: format round-trips, reshaping/window/spine
+    * relational surface, sketches, shard assignment, watermarked dedup. */
+  val round6: Map[String, String] = Map(
+    // The oracle aggregates the ORIGINAL parquet — a pass proves the
+    // CSV sink+scan round trip was lossless, not merely self-consistent.
+    "q_src_csv_roundtrip" ->
+      """SELECT s_nationkey, COUNT(*) AS n_suppliers,
+        |  CAST(SUM(CAST(s_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS sum_bal
+        |FROM supplier GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q_src_json_roundtrip" ->
+      """SELECT CAST(year(o_orderdate) AS INTEGER) AS o_year, o_orderstatus,
+        |  COUNT(*) AS n_orders,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+        |FROM orders GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    "q_src_orc_roundtrip" ->
+      """SELECT l_returnflag, COUNT(*) AS n_items,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+        |FROM lineitem WHERE l_quantity >= 25 GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // Pivot∘unpivot round trip collapses to the plain long-form group-by.
+    "q_unpivot_stack" ->
+      """SELECT CAST(year(o_orderdate) AS INTEGER) AS yr, o_orderstatus,
+        |  COUNT(*) AS n_orders
+        |FROM orders GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    "q_win_nth_value" ->
+      """SELECT o_custkey, n_orders, second_price, third_price FROM (
+        |  SELECT o_custkey,
+        |    COUNT(*) OVER wf AS n_orders,
+        |    nth_value(o_totalprice, 2) OVER wf AS second_price,
+        |    nth_value(o_totalprice, 3) OVER wf AS third_price,
+        |    row_number() OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) AS rn
+        |  FROM orders
+        |  WINDOW wf AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+        |                ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+        |) WHERE rn = 1 ORDER BY o_custkey""".stripMargin,
+
+    "q_time_spine" ->
+      """WITH ev AS (SELECT CAST(CAST(ts AS TIMESTAMP) AS DATE) AS day FROM events),
+        |per AS (SELECT day, COUNT(*) AS n_events FROM ev GROUP BY 1),
+        |bounds AS (SELECT MIN(day) AS mn, MAX(day) AS mx FROM ev),
+        |spine AS (SELECT CAST(UNNEST(generate_series(CAST(mn AS TIMESTAMP),
+        |                  CAST(mx AS TIMESTAMP), INTERVAL 1 DAY)) AS DATE) AS day
+        |          FROM bounds)
+        |SELECT s.day, COALESCE(p.n_events, 0) AS n_events
+        |FROM spine s LEFT JOIN per p USING (day) ORDER BY s.day""".stripMargin,
+
+    "q_stream_dedup_wm" ->
+      """WITH dd AS (SELECT DISTINCT user_id, event_type,
+        |  date_trunc('minute', CAST(ts AS TIMESTAMP)) AS minute FROM events)
+        |SELECT event_type, COUNT(*) AS n_keys, COUNT(DISTINCT user_id) AS n_users
+        |FROM dd GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // Full CMS replay: same md5 60-bit family, same 4×256 grid.
+    "q_llm_cms_topk" ->
+      s"""WITH tok AS (SELECT UNNEST(string_split(text, ' ')) AS tok FROM documents),
+         |tok2 AS (SELECT tok FROM tok WHERE len(tok) > 0),
+         |exact_cnt AS (SELECT tok, COUNT(*) AS "exact" FROM tok2 GROUP BY 1),
+         |topt AS (SELECT tok, "exact" FROM exact_cnt ORDER BY "exact" DESC, tok ASC LIMIT 10),
+         |ds AS (SELECT UNNEST([0, 1, 2, 3]) AS d),
+         |salted AS (SELECT d,
+         |    CAST('0x' || substr(md5(CAST(d AS VARCHAR) || ':' || tok), 1, 15) AS BIGINT)
+         |      % ${SketchOps.CmsWidth} AS bucket
+         |  FROM tok2 CROSS JOIN ds),
+         |cms AS (SELECT d, bucket, COUNT(*) AS c FROM salted GROUP BY 1, 2),
+         |probes AS (SELECT t.tok, t."exact", ds.d,
+         |    CAST('0x' || substr(md5(CAST(ds.d AS VARCHAR) || ':' || t.tok), 1, 15) AS BIGINT)
+         |      % ${SketchOps.CmsWidth} AS bucket
+         |  FROM topt t CROSS JOIN ds)
+         |SELECT p.tok, p."exact", MIN(c.c) AS est, MIN(c.c) - p."exact" AS overcount
+         |FROM probes p JOIN cms c ON p.d = c.d AND p.bucket = c.bucket
+         |GROUP BY p.tok, p."exact" ORDER BY p."exact" DESC, p.tok ASC""".stripMargin,
+
+    "q_llm_shard_assign" ->
+      s"""WITH d AS (SELECT doc_id, len(string_split(text, ' ')) AS n_toks,
+         |  CAST('0x' || substr(md5('shard:' || CAST(doc_id AS VARCHAR)), 1, 15) AS BIGINT)
+         |    % ${SketchOps.NumShards} AS shard FROM documents),
+         |per AS (SELECT shard, COUNT(*) AS n_docs, CAST(SUM(n_toks) AS BIGINT) AS n_tokens,
+         |  MIN(doc_id) AS min_doc, MAX(doc_id) AS max_doc FROM d GROUP BY 1)
+         |SELECT shard, n_docs, n_tokens, min_doc, max_doc,
+         |  ROUND(n_tokens / (SUM(n_tokens) OVER () / ${SketchOps.NumShards}), 6) AS balance
+         |FROM per ORDER BY shard""".stripMargin
+  )
+
   val all: Map[String, String] =
     relational ++ streaming ++ graph ++ llm ++ extended ++ gnn ++ gnnPrep ++
       pipeline ++ round4 ++ round4b ++ round4c ++ round4d ++ round4e ++
-      round4f ++ round5
+      round4f ++ round5 ++ round6
 }

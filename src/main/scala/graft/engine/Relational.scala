@@ -283,6 +283,57 @@ object Relational {
         coalesce(col("O"), lit(0L)).as("O"), coalesce(col("P"), lit(0L)).as("P"))
       .orderBy("yr")
 
+  /** UNPIVOT (wide→long reshaping, the inverse of q_agg_pivot): the
+    * year × status count matrix melted back to (yr, status, n_orders)
+    * rows via `Dataset.unpivot` — a zero-shuffle Expand over the already
+    * aggregated wide table. Zero-count cells are dropped (the round trip
+    * back to long form recovers exactly the observed groups). */
+  def q_unpivot_stack(s: SparkSession, dir: String): DataFrame = {
+    val wide = Tables.orders(s, dir)
+      .withColumn("yr", year(col("o_orderdate")).cast("int"))
+      .groupBy(col("yr"))
+      .pivot("o_orderstatus", Seq("F", "O", "P"))
+      .agg(count(lit(1)))
+    wide.unpivot(Array(col("yr")), Array(col("F"), col("O"), col("P")),
+        "o_orderstatus", "n_orders")
+      .filter(col("n_orders").isNotNull && col("n_orders") > 0)
+      .orderBy("yr", "o_orderstatus")
+  }
+
+  /** nth_value over the full partition frame: each customer's 2nd and 3rd
+    * order price in (date, key) order — NULL when fewer orders exist.
+    * One shuffle on the partition key; the rn=1 filter collapses the
+    * per-row window output back to one row per customer. */
+  def q_win_nth_value(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("o_custkey")).orderBy(col("o_orderdate"), col("o_orderkey"))
+    val wf = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    Tables.orders(s, dir)
+      .select(col("o_custkey"),
+        nth_value(col("o_totalprice"), 2).over(wf).as("second_price"),
+        nth_value(col("o_totalprice"), 3).over(wf).as("third_price"),
+        count(lit(1)).over(wf).as("n_orders"),
+        row_number().over(w).as("rn"))
+      .filter(col("rn") === 1)
+      .select(col("o_custkey"), col("n_orders"), col("second_price"), col("third_price"))
+      .orderBy("o_custkey")
+  }
+
+  /** Calendar densification (time-series spine): a generated day spine
+    * (`sequence` + explode over the min/max scalar bounds) LEFT-joined to
+    * per-day event counts, so zero-activity days surface as explicit 0
+    * rows. The spine generator is O(#days) — independent of fact volume —
+    * and the fact side aggregates BEFORE the join, so the spine join is
+    * #days × #days, never #days × #events. */
+  def q_time_spine(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(s, dir).select(to_date(col("ts")).as("day"))
+    val perDay = ev.groupBy(col("day")).agg(count(lit(1)).as("n_events"))
+    val spine = ev.agg(min(col("day")).as("mn"), max(col("day")).as("mx"))
+      .select(explode(sequence(col("mn"), col("mx"))).as("day"))
+    spine.join(perDay, Seq("day"), "left")
+      .select(col("day"), coalesce(col("n_events"), lit(0L)).as("n_events"))
+      .orderBy("day")
+  }
+
   /** Correlated scalar subquery (Catalyst decorrelates to a join):
     * customers above their nation's mean balance. */
   def q_sub_correlated(s: SparkSession, dir: String): DataFrame = {
@@ -668,6 +719,9 @@ object Relational {
     "q_win_first_last" -> q_win_first_last _,
     "q_agg_percentiles" -> q_agg_percentiles _,
     "q_agg_pivot" -> q_agg_pivot _,
+    "q_unpivot_stack" -> q_unpivot_stack _,
+    "q_win_nth_value" -> q_win_nth_value _,
+    "q_time_spine" -> q_time_spine _,
     "q_sub_correlated" -> q_sub_correlated _,
     "q_udaf_vec_mean" -> q_udaf_vec_mean _,
     "q_win_topk_per_group" -> q_win_topk_per_group _,

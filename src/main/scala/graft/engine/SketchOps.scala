@@ -1,0 +1,89 @@
+package graft.engine
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Sketch / partition-assignment operators for corpus-scale accounting
+  * (SURVEY.md §2.16). Both run in bounded memory regardless of corpus
+  * size: the count-min sketch is a fixed 4×256 counter grid (Cormode &
+  * Muthukrishnan 2005), shard assignment is a stateless hash. Hashing is
+  * the cross-engine md5 60-bit family (Dsl.md5Hash60) so DuckDB replays
+  * every bucket id exactly.
+  */
+object SketchOps {
+
+  /** CMS geometry: depth 4 (independent salted hash rows) × width 256. */
+  val CmsDepth = 4
+  val CmsWidth = 256
+
+  /** Count-min sketch heavy hitters: build the 4×256 sketch over the full
+    * token stream in ONE pass (explode tokens × 4 salted hashes → keyed
+    * count — partial aggregation means shuffle volume is ≤ 4·256 rows per
+    * partition, not 4·|tokens|), then probe it for the global top-10
+    * exact tokens. `est = min_d cms[d][h_d(tok)]` always ≥ the exact
+    * count (the sketch never undercounts); `overcount` surfaces the
+    * collision error the 256-wide grid introduces.
+    *
+    * Scale: this is the bounded-memory frequency path for 100 TB streams —
+    * the exact groupBy here exists to quantify sketch error on the
+    * fixture, and the probe side is 40 broadcast rows. */
+  def q_llm_cms_topk(s: SparkSession, dir: String): DataFrame = {
+    val toks = Tables.documents(s, dir)
+      .select(explode(split(col("text"), " ")).as("tok"))
+      .filter(length(col("tok")) > 0)
+    val exact = toks.groupBy(col("tok")).agg(count(lit(1)).as("exact"))
+    val top = exact
+      .orderBy(col("exact").desc, col("tok").asc)
+      .limit(10)
+
+    val salted = toks.select(col("tok"),
+      explode(array((0 until CmsDepth).map(lit): _*)).as("d"))
+      .select(col("d"),
+        pmod(Dsl.md5Hash60(concat(col("d").cast("string"), lit(":"), col("tok"))),
+          lit(CmsWidth)).as("bucket"))
+    val cms = salted.groupBy(col("d"), col("bucket")).agg(count(lit(1)).as("c"))
+
+    val probes = top.select(col("tok"), col("exact"),
+      explode(array((0 until CmsDepth).map(lit): _*)).as("d"))
+      .withColumn("bucket",
+        pmod(Dsl.md5Hash60(concat(col("d").cast("string"), lit(":"), col("tok"))),
+          lit(CmsWidth)))
+    probes.join(cms, Seq("d", "bucket"))
+      .groupBy(col("tok"), col("exact"))
+      .agg(min(col("c")).as("est"))
+      .withColumn("overcount", col("est") - col("exact"))
+      .orderBy(col("exact").desc, col("tok").asc)
+  }
+
+  /** Shard count for training-shard assignment. */
+  val NumShards = 16
+
+  /** Deterministic training-shard assignment: each doc hashes to one of
+    * 16 shards (stateless md5 — no coordination, reproducible across
+    * engines and re-runs), with per-shard doc/token accounting and the
+    * token-balance ratio vs the ideal uniform share. This is the step
+    * that turns a curated corpus into the fixed shard layout a training
+    * job consumes; the balance column is the health check that the hash
+    * is spreading load (ratio ≈ 1). One explode-free pass + one 16-group
+    * aggregation. */
+  def q_llm_shard_assign(s: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documents(s, dir)
+      .select(col("doc_id"), size(split(col("text"), " ")).as("n_toks"),
+        pmod(Dsl.md5Hash60(concat(lit("shard:"), col("doc_id").cast("string"))),
+          lit(NumShards)).as("shard"))
+    val per = d.groupBy(col("shard"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_toks")).as("n_tokens"),
+        min(col("doc_id")).as("min_doc"), max(col("doc_id")).as("max_doc"))
+    per
+      .withColumn("balance",
+        round(col("n_tokens") / (sum(col("n_tokens")).over() / lit(NumShards)), 6))
+      .select(col("shard"), col("n_docs"), col("n_tokens"), col("min_doc"),
+        col("max_doc"), col("balance"))
+      .orderBy("shard")
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_llm_cms_topk" -> q_llm_cms_topk _,
+    "q_llm_shard_assign" -> q_llm_shard_assign _
+  )
+}

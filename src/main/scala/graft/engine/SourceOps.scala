@@ -1,0 +1,93 @@
+package graft.engine
+
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Source/sink format coverage (SURVEY.md §2.1): the engine's relational
+  * surface is format-agnostic — the same query runs over parquet, CSV,
+  * JSON-lines, and ORC scans. Each round-trip op WRITES a fixture table in
+  * the target format (exercising the sink), reads it back with an explicit
+  * schema (no inference pass — at 100 TB schema inference is a full extra
+  * scan), and aggregates; the DuckDB oracle computes the same aggregate
+  * from the original parquet, so the check proves the round trip is
+  * lossless, not merely self-consistent.
+  *
+  * Scale notes: text formats are row-major and schema-free — no column
+  * pruning or predicate pushdown reaches a CSV/JSON scan, so these paths
+  * exist for INGEST (land once, convert to parquet), never for the hot
+  * analytical path. The explicit-schema read keeps ingestion a single
+  * pass. Ref: reference ingest surface, /root/reference/README.md:2.
+  */
+object SourceOps {
+
+  /** Scratch dir per (format, fixture): overwritten on every run so the
+    * check never reads a stale round-trip from a previous session. */
+  private def scratch(fmt: String, dir: String): String =
+    s"${System.getProperty("java.io.tmpdir")}/graft_fmt/$fmt-${new java.io.File(dir).getName}"
+
+  private val supplierSchema = StructType(Seq(
+    StructField("s_suppkey", LongType),
+    StructField("s_name", StringType),
+    StructField("s_nationkey", IntegerType),
+    StructField("s_acctbal", DoubleType)))
+
+  /** CSV sink + scan round trip: supplier → headered CSV → explicit-schema
+    * read → per-nation count + exact decimal balance sum. Doubles survive
+    * the text round trip exactly (Spark writes shortest-round-trip repr). */
+  def q_src_csv_roundtrip(s: SparkSession, dir: String): DataFrame = {
+    val path = scratch("csv", dir)
+    Tables.supplier(s, dir).write.mode(SaveMode.Overwrite)
+      .option("header", "true").csv(path)
+    s.read.schema(supplierSchema).option("header", "true").csv(path)
+      .groupBy(col("s_nationkey"))
+      .agg(count(lit(1)).as("n_suppliers"),
+        Dsl.moneySum(col("s_acctbal")).as("sum_bal"))
+      .orderBy("s_nationkey")
+  }
+
+  /** JSON-lines sink + scan round trip: orders projected to JSON-safe
+    * types (the date collapses to its year — JSON has no date type, and
+    * ingest pipelines carry epoch ints for exactly this reason), then
+    * per-(year, status) counts + exact decimal revenue. */
+  def q_src_json_roundtrip(s: SparkSession, dir: String): DataFrame = {
+    val path = scratch("json", dir)
+    Tables.orders(s, dir)
+      .select(col("o_orderkey"), col("o_orderstatus"),
+        col("o_totalprice"), year(col("o_orderdate")).as("o_year"))
+      .write.mode(SaveMode.Overwrite).json(path)
+    val schema = StructType(Seq(
+      StructField("o_orderkey", LongType),
+      StructField("o_orderstatus", StringType),
+      StructField("o_totalprice", DoubleType),
+      StructField("o_year", IntegerType)))
+    s.read.schema(schema).json(path)
+      .groupBy(col("o_year"), col("o_orderstatus"))
+      .agg(count(lit(1)).as("n_orders"),
+        Dsl.moneySum(col("o_totalprice")).as("sum_price"))
+      .orderBy("o_year", "o_orderstatus")
+  }
+
+  /** ORC sink + scan round trip (the columnar alternative: pruning and
+    * predicate pushdown DO apply here, unlike the text formats): lineitem
+    * quantity/price slice with a pushed filter on the read-back side. */
+  def q_src_orc_roundtrip(s: SparkSession, dir: String): DataFrame = {
+    val path = scratch("orc", dir)
+    Tables.lineitem(s, dir)
+      .select(col("l_orderkey"), col("l_linenumber"), col("l_quantity"),
+        col("l_extendedprice"), col("l_returnflag"))
+      .write.mode(SaveMode.Overwrite).orc(path)
+    s.read.orc(path)
+      .filter(col("l_quantity") >= 25)
+      .groupBy(col("l_returnflag"))
+      .agg(count(lit(1)).as("n_items"),
+        Dsl.moneySum(col("l_extendedprice")).as("sum_price"))
+      .orderBy("l_returnflag")
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_src_csv_roundtrip" -> q_src_csv_roundtrip _,
+    "q_src_json_roundtrip" -> q_src_json_roundtrip _,
+    "q_src_orc_roundtrip" -> q_src_orc_roundtrip _
+  )
+}

@@ -68,6 +68,26 @@ object StreamingOps {
   def dedupByEventId(ev: DataFrame): DataFrame =
     ev.select(col("event_id"), col("user_id")).dropDuplicates("event_id")
 
+  /** Watermark-bounded dedup (`dropDuplicatesWithinWatermark`): dedup on a
+    * business key (user, type, minute) where the state store only has to
+    * retain keys inside the watermark horizon — the unbounded-state
+    * problem of plain streaming dropDuplicates solved by bounding how
+    * late a duplicate can arrive. Only the dedup key columns are kept, so
+    * the surviving row is fully determined and the batch run (where the
+    * dedup is exact — Spark rejects the watermarked variant on batch
+    * plans, so the batch leg IS plain `dropDuplicates`) equals the
+    * streaming run whenever duplicates arrive within the horizon. */
+  def dedupWithinWm(ev: DataFrame): DataFrame = {
+    val keyed = ev.select(col("ts"), col("user_id"), col("event_type"))
+      .withColumn("minute", date_trunc("minute", col("ts")))
+    val dd =
+      if (keyed.isStreaming)
+        keyed.withWatermark("ts", "1 hour")
+          .dropDuplicatesWithinWatermark("user_id", "event_type", "minute")
+      else keyed.dropDuplicates("user_id", "event_type", "minute")
+    dd.select(col("user_id"), col("event_type"), col("minute"))
+  }
+
   /** CDC / upsert materialization (Flink changelog-to-table, SCD-1
     * "latest snapshot"): the most recent event per user, picked as a
     * lexicographic struct MAX on (ts, event_id, …). MAX is associative
@@ -288,6 +308,12 @@ object StreamingOps {
     dedupByEventId(Tables.events(s, dir))
       .agg(count(lit(1)).as("n_events"), countDistinct(col("user_id")).as("n_users"))
 
+  def q_stream_dedup_wm(s: SparkSession, dir: String): DataFrame =
+    dedupWithinWm(Tables.events(s, dir))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_keys"), countDistinct(col("user_id")).as("n_users"))
+      .orderBy("event_type")
+
   def q_stream_stateful(s: SparkSession, dir: String): DataFrame =
     statefulSnapshot(s, Tables.events(s, dir))
       .toDF()
@@ -380,6 +406,7 @@ object StreamingOps {
     "q_stream_sliding" -> q_stream_sliding _,
     "q_stream_session" -> q_stream_session _,
     "q_stream_dedup" -> q_stream_dedup _,
+    "q_stream_dedup_wm" -> q_stream_dedup_wm _,
     "q_stream_cdc_latest" -> q_stream_cdc_latest _,
     "q_stream_stateful" -> q_stream_stateful _,
     "q_stream_stateful_tws" -> q_stream_stateful_tws _,

@@ -63,6 +63,34 @@ class StreamingSourcesSpec extends AnyFunSuite {
     assert(n(1L) == 3L, s"replayed event must be deduped: $n")
   }
 
+  test("dedupWithinWm transform: streaming result equals the batch leg") {
+    val s = spark
+    import s.implicits._
+    implicit val sq = s.sqlContext
+    def ts(h: Int, m: Int, sec: Int = 0) =
+      Timestamp.valueOf(f"2024-01-01 $h%02d:$m%02d:$sec%02d")
+    val rows = Seq(
+      E(1, 1, ts(1, 0), "click", 1.0),
+      E(2, 1, ts(1, 0, 30), "click", 1.0), // same (user,type,minute) -> dup
+      E(3, 2, ts(1, 0), "click", 1.0),
+      E(4, 1, ts(1, 5), "buy", 2.0),
+      E(5, 1, ts(1, 5, 10), "buy", 2.0))   // dup again
+    val ms = MemoryStream[E]
+    val q = StreamingOps.dedupWithinWm(ms.toDF())
+      .writeStream.outputMode(OutputMode.Append)
+      .format("memory").queryName("wmdd").start()
+    ms.addData(rows.take(3))
+    q.processAllAvailable()
+    ms.addData(rows.drop(3))
+    q.processAllAvailable(); q.stop()
+    val streamed = s.table("wmdd")
+      .orderBy("user_id", "event_type", "minute").collect().toSeq
+    val batch = StreamingOps.dedupWithinWm(rows.toDF())
+      .orderBy("user_id", "event_type", "minute").collect().toSeq
+    assert(streamed == batch)
+    assert(streamed.size == 3, s"5 events collapse to 3 dedup keys: $streamed")
+  }
+
   test("event-time timers close sessions when the watermark passes the timeout") {
     val s = spark
     import s.implicits._
