@@ -268,7 +268,49 @@ object Gnn {
       .orderBy("custkey")
   }
 
+  /** Walk length for the deterministic random-walk sampler. */
+  val WalkSteps = 4
+
+  /** DeepWalk/node2vec-style walk sampling (Perozzi et al. 2014 §4.1,
+    * p=q=1), made deterministic: from EVERY node of the thresholded
+    * part–part projection, a 4-step walk where step i out of node u
+    * follows the neighbor b minimizing md5("walk:seed:i:u:b") — a
+    * reproducible stand-in for a uniform draw, stable across engines,
+    * partitionings, and re-runs (the property a training corpus needs:
+    * re-generating the walk corpus yields byte-identical shards).
+    *
+    * Each step is one equi-join frontier⋈edges + a struct-MIN argmin —
+    * the Pregel superstep as relational algebra, O(walk_len) rounds.
+    * The projection is built once and checkpointed; per-walk state that
+    * rides along is just the path columns. n_distinct counts revisits
+    * (walks that double back — the signal node2vec's p parameter tunes). */
+  def q_gnn_rand_walk(s: SparkSession, dir: String): DataFrame = {
+    val pp = GraphOps.partPairs(s, dir, GraphOps.TriangleMinCooccur)
+      .select(col("a"), col("b"))
+    val ue = pp.union(pp.select(col("b").as("a"), col("a").as("b")))
+      .repartition(col("a")).localCheckpoint()
+    var walk = ue.select(col("a").as("seed")).distinct()
+      .select(col("seed"), col("seed").as("cur"))
+    for (i <- 1 to WalkSteps) {
+      // s$j = node reached after step j; cur duplicates the latest one.
+      val path = (1 until i).map(j => col(s"s$j"))
+      walk = walk.join(ue, col("cur") === col("a"))
+        .withColumn("h", Dsl.md5Hash60(concat_ws(":",
+          lit("walk"), col("seed"), lit(i), col("cur"), col("b"))))
+        .groupBy(col("seed") +: path :+ col("cur"): _*)
+        .agg(min(struct(col("h"), col("b"))).as("m"))
+        .select(col("seed") +: path :+ col("m.b").as(s"s$i"): _*)
+        .withColumn("cur", col(s"s$i"))
+    }
+    val path = (1 to WalkSteps).map(j => col(s"s$j"))
+    walk.select(col("seed") +: path: _*)
+      .withColumn("n_distinct",
+        size(array_distinct(array(col("seed") +: path: _*))).cast("bigint"))
+      .orderBy("seed")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_gnn_rand_walk" -> q_gnn_rand_walk _,
     "q_gnn_temporal_decay" -> q_gnn_temporal_decay _,
     "q_gnn_gcn_norm" -> q_gnn_gcn_norm _,
     "q_gnn_layer" -> q_gnn_layer _,

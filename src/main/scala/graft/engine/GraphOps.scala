@@ -458,7 +458,53 @@ object GraphOps {
       .select(col("src"), col("embedding"))
   }
 
+  /** Power-iteration count for personalized PageRank (shared with the
+    * unrolled oracle CTE chain). */
+  val PprIters = 8
+
+  /** Personalized PageRank (Jeh & Widom 2003; the random-surfer-with-
+    * home-base variant of q_graph_pagerank): teleport mass lands ONLY on
+    * the seed node — the smallest part id — so scores measure proximity
+    * to the seed instead of global centrality (the recommendation /
+    * related-items primitive). Same bipartite customer–part encoding and
+    * broadcast-chained power iteration as q_graph_pagerank; nodes the
+    * seed's mass has not reached carry implicit rank 0 and simply stay
+    * absent from the rank table, so iteration cost GROWS with reach
+    * rather than starting at |V| — the frontier-expansion property that
+    * makes PPR cheap on huge graphs. Top-20 parts by round-6 rank. */
+  def q_graph_ppr(s: SparkSession, dir: String): DataFrame = {
+    val e = edges(s, dir)
+      .select((col("src") * 2).as("src"), (col("dst") * 2 + 1).as("dst"))
+    val und = e.union(e.select(col("dst").as("src"), col("src").as("dst")))
+    val deg = und.groupBy(col("src").as("node")).agg(count(lit(1)).as("d"))
+    val undW = und.join(deg, col("src") === col("node"))
+      .select(col("src"), col("dst"), col("d"))
+      .repartition(col("dst"))
+      .localCheckpoint()
+    // seed = smallest part node in the odd encoding; 1-row broadcast
+    val seed = deg.filter(col("node") % 2 === 1).agg(min(col("node")).as("sn"))
+    val teleport = seed.select(col("sn").as("node"), lit(0.15).as("r"))
+    var ranks = seed.select(col("sn").as("node"), lit(1.0).as("r"))
+    for (it <- 1 to PprIters) {
+      ranks = undW
+        .join(broadcast(ranks.select(col("node").as("rn"), col("r"))),
+          col("src") === col("rn"))
+        .groupBy(col("dst"))
+        .agg((lit(0.85) * sum(col("r") / col("d"))).as("r"))
+        .select(col("dst").as("node"), col("r"))
+        .unionByName(teleport)
+        .groupBy(col("node")).agg(sum(col("r")).as("r"))
+      if (it % 2 == 0) ranks = ranks.localCheckpoint()
+    }
+    ranks.filter(col("node") % 2 === 1)
+      .select(expr("(node - 1) div 2").as("part_key"), round(col("r"), 6).as("rank"))
+      .filter(col("rank") > 0)
+      .orderBy(col("rank").desc, col("part_key").asc)
+      .limit(20)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_graph_ppr" -> q_graph_ppr _,
     "q_graph_degree" -> q_graph_degree _,
     "q_graph_cooccur" -> q_graph_cooccur _,
     "q_graph_triangles" -> q_graph_triangles _,

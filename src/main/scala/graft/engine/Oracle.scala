@@ -809,10 +809,13 @@ object Oracle {
         |             FROM documents),
         |prof AS (SELECT lang AS p_lang, token AS p_tok, COUNT(*) AS freq FROM tok GROUP BY 1, 2),
         |tot AS (SELECT p_lang, SUM(freq) AS tot FROM prof GROUP BY 1),
-        |profn AS (SELECT p.p_lang, p.p_tok, CAST(p.freq AS DOUBLE) / t.tot AS ratio
-        |          FROM prof p JOIN tot t USING (p_lang)),
-        |scored AS (SELECT tk.doc_id, tk.lang, pn.p_lang, ROUND(SUM(pn.ratio), 6) AS score
-        |           FROM tok tk JOIN profn pn ON tk.token = pn.p_tok GROUP BY 1, 2, 3),
+        |-- exact-integer freq sum, ONE double division (tot constant per
+        |-- p_lang): bit-deterministic, no rounding-tie class (see TextOps)
+        |sf AS (SELECT tk.doc_id, tk.lang, pn.p_lang, SUM(pn.freq) AS sf
+        |       FROM tok tk JOIN prof pn ON tk.token = pn.p_tok GROUP BY 1, 2, 3),
+        |scored AS (SELECT s.doc_id, s.lang, s.p_lang,
+        |             CAST(s.sf AS DOUBLE) / CAST(t.tot AS DOUBLE) AS score
+        |           FROM sf s JOIN tot t USING (p_lang)),
         |r AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY doc_id
         |        ORDER BY score DESC, p_lang ASC) AS rn FROM scored)
         |SELECT doc_id, lang, p_lang AS pred_lang, score, lang = p_lang AS correct
@@ -1754,8 +1757,61 @@ object Oracle {
          |FROM per ORDER BY shard""".stripMargin
   )
 
+  /** Round-6 graph/GNN additions: personalized PageRank (unrolled power
+    * iteration, same shape as q_graph_pagerank) and the deterministic
+    * random-walk sampler (one unrolled CTE per step, md5-argmin next
+    * hop). MATERIALIZED hints per the round-4 kcore lesson: every CTE a
+    * step chain references more than once is pinned. */
+  val round6graph: Map[String, String] = Map(
+    "q_graph_ppr" -> {
+      val steps = (1 to GraphOps.PprIters).map { i =>
+        s"""r$i AS (SELECT node, SUM(r) AS r FROM (
+           |  SELECT u.dst AS node, CAST(0.85 AS DOUBLE) * SUM(p.r / dg.d) AS r
+           |  FROM u JOIN r${i - 1} p ON u.src = p.node
+           |         JOIN deg dg ON u.src = dg.node
+           |  GROUP BY u.dst
+           |  UNION ALL SELECT sn AS node, CAST(0.15 AS DOUBLE) FROM seed)
+           |GROUP BY node)""".stripMargin
+      }.mkString(",\n")
+      s"""WITH $edgesCte,
+         |e2 AS (SELECT src * 2 AS src, dst * 2 + 1 AS dst FROM edges),
+         |u AS MATERIALIZED (SELECT src, dst FROM e2 UNION ALL SELECT dst AS src, src AS dst FROM e2),
+         |deg AS MATERIALIZED (SELECT src AS node, COUNT(*) AS d FROM u GROUP BY 1),
+         |seed AS MATERIALIZED (SELECT MIN(node) AS sn FROM deg WHERE node % 2 = 1),
+         |r0 AS (SELECT sn AS node, CAST(1.0 AS DOUBLE) AS r FROM seed),
+         |$steps
+         |SELECT (node - 1) // 2 AS part_key, ROUND(r, 6) AS rank
+         |FROM r${GraphOps.PprIters} WHERE node % 2 = 1 AND ROUND(r, 6) > 0
+         |ORDER BY rank DESC, part_key ASC LIMIT 20""".stripMargin
+    },
+
+    "q_gnn_rand_walk" -> {
+      val steps = (1 to Gnn.WalkSteps).map { i =>
+        val prior = (1 until i).map(j => s"w.s$j, ").mkString
+        s"""w$i AS MATERIALIZED (SELECT seed, ${(1 to i).map(j => s"s$j").mkString(", ")}, s$i AS cur FROM (
+           |  SELECT w.seed, ${prior}ue.b AS s$i,
+           |    ROW_NUMBER() OVER (PARTITION BY w.seed ORDER BY
+           |      CAST('0x' || substr(md5('walk:' || CAST(w.seed AS VARCHAR) || ':$i:' ||
+           |        CAST(w.cur AS VARCHAR) || ':' || CAST(ue.b AS VARCHAR)), 1, 15) AS BIGINT),
+           |      ue.b) AS rn
+           |  FROM w${i - 1} w JOIN ue ON w.cur = ue.a) WHERE rn = 1)""".stripMargin
+      }.mkString(",\n")
+      val sCols = (1 to Gnn.WalkSteps).map(j => s"s$j").mkString(", ")
+      s"""WITH $edgesCte,
+         |pp AS MATERIALIZED (SELECT e1.dst AS a, e2.dst AS b
+         |  FROM edges e1 JOIN edges e2 ON e1.src = e2.src AND e1.dst < e2.dst
+         |  GROUP BY 1, 2 HAVING COUNT(*) >= ${GraphOps.TriangleMinCooccur}),
+         |ue AS MATERIALIZED (SELECT a, b FROM pp UNION ALL SELECT b AS a, a AS b FROM pp),
+         |w0 AS (SELECT DISTINCT a AS seed, a AS cur FROM ue),
+         |$steps
+         |SELECT seed, $sCols,
+         |  CAST(len(list_distinct([seed, $sCols])) AS BIGINT) AS n_distinct
+         |FROM w${Gnn.WalkSteps} ORDER BY seed""".stripMargin
+    }
+  )
+
   val all: Map[String, String] =
     relational ++ streaming ++ graph ++ llm ++ extended ++ gnn ++ gnnPrep ++
       pipeline ++ round4 ++ round4b ++ round4c ++ round4d ++ round4e ++
-      round4f ++ round5 ++ round6
+      round4f ++ round5 ++ round6 ++ round6graph ++ ClusterOps.oracle
 }

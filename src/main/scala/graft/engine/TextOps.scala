@@ -29,12 +29,16 @@ object TextOps {
     val prof = tok.groupBy(col("lang").as("p_lang"), col("token").as("p_tok"))
       .agg(count(lit(1)).as("freq"))
     val totals = prof.groupBy(col("p_lang")).agg(sum(col("freq")).as("tot"))
-    val profN = prof.join(totals, "p_lang")
-      .select(col("p_lang"), col("p_tok"),
-        (col("freq").cast("double") / col("tot")).as("ratio"))
-    val scored = tok.join(broadcast(profN), col("token") === col("p_tok"))
+    // Score Σ_t freq_t/tot as an exact-integer SUM(freq) and ONE double
+    // division: tot is constant per p_lang, so the rational never passes
+    // through an order-dependent double sum — and needs NO rounding. The
+    // round-6 form diverged at sf0.1 on an exact .5 tie (0.8984375 =
+    // 115/128; Spark HALF_UP vs DuckDB half-even disagree there).
+    val scored = tok.join(broadcast(prof), col("token") === col("p_tok"))
       .groupBy(col("doc_id"), col("lang"), col("p_lang"))
-      .agg(round(sum(col("ratio")), 6).as("score"))
+      .agg(sum(col("freq")).as("sf"))
+      .join(broadcast(totals), "p_lang")
+      .withColumn("score", col("sf").cast("double") / col("tot").cast("double"))
     val w = Window.partitionBy(col("doc_id"))
       .orderBy(col("score").desc, col("p_lang").asc)
     scored.withColumn("rn", row_number().over(w)).filter(col("rn") === 1)

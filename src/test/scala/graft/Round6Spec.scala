@@ -1,0 +1,99 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.engine.{ClusterOps, Gnn, GraphOps, Relational, SketchOps, Tables}
+
+/** Invariant tests for the round-6 operators. Cross-engine values are
+  * pinned by the DuckDB oracle gate; these pin the semantics a
+  * hash-compare would not explain (partition/conservation laws,
+  * sketch one-sidedness, walk validity, determinism under re-run).
+  */
+class Round6Spec extends AnyFunSuite {
+  import TestSpark._
+
+  test("kmeans: clusters partition the table; inertia finite and non-negative") {
+    val rows = ClusterOps.q_llm_kmeans(spark, sf0001).collect()
+    val total = Tables.embeddings(spark, sf0001).count()
+    assert(rows.map(_.getLong(1)).sum == total,
+      "cluster sizes must partition the embedding table")
+    assert(rows.length <= ClusterOps.KmeansK)
+    assert(rows.forall(_.getDouble(2) >= 0.0))
+    // deterministic: a re-run (fresh plan) reproduces byte-equal output
+    val again = ClusterOps.q_llm_kmeans(spark, sf0001).collect()
+    assert(rows.toSeq == again.toSeq)
+  }
+
+  test("random walks: every hop is a projection edge; walks are reproducible") {
+    val pp = GraphOps.partPairs(spark, sf0001, GraphOps.TriangleMinCooccur)
+      .select(col("a"), col("b")).collect().map(r => (r.getLong(0), r.getLong(1)))
+    val und = (pp ++ pp.map(_.swap)).toSet
+    val walks = Gnn.q_gnn_rand_walk(spark, sf0001).collect()
+    assert(walks.nonEmpty)
+    walks.foreach { r =>
+      val path = (0 to Gnn.WalkSteps).map(r.getLong)
+      path.sliding(2).foreach { case Seq(u, v) =>
+        assert(und.contains((u, v)), s"hop $u->$v not an edge (walk ${path.mkString("->")})")
+      }
+      val nd = r.getLong(Gnn.WalkSteps + 1)
+      assert(nd == path.distinct.size && nd <= Gnn.WalkSteps + 1)
+    }
+    val again = Gnn.q_gnn_rand_walk(spark, sf0001).collect()
+    assert(walks.toSeq == again.toSeq)
+  }
+
+  test("personalized pagerank: scores in (0,1]; seed part ranks first") {
+    val rows = GraphOps.q_graph_ppr(spark, sf0001).collect()
+    assert(rows.nonEmpty && rows.length <= 20)
+    assert(rows.forall(r => r.getDouble(1) > 0 && r.getDouble(1) <= 1.0))
+    // the seed (smallest part id in the graph) receives the only teleport
+    // mass, so with 0.15 restart it must dominate every other part
+    val seedPart = GraphOps.edges(spark, sf0001)
+      .agg(min(col("dst"))).collect()(0).getLong(0)
+    assert(rows(0).getLong(0) == seedPart,
+      s"seed $seedPart must rank first, got ${rows(0)}")
+  }
+
+  test("count-min sketch never undercounts; estimates are consistent") {
+    val rows = SketchOps.q_llm_cms_topk(spark, sf0001).collect()
+    assert(rows.length == 10)
+    rows.foreach { r =>
+      val (exact, est, over) = (r.getLong(1), r.getLong(2), r.getLong(3))
+      assert(est >= exact, s"CMS undercounted ${r.getString(0)}: $est < $exact")
+      assert(over == est - exact)
+    }
+  }
+
+  test("shard assignment: shards partition the corpus with sane balance") {
+    val rows = SketchOps.q_llm_shard_assign(spark, sf0001).collect()
+    val nDocs = Tables.documents(spark, sf0001).count()
+    assert(rows.map(_.getLong(1)).sum == nDocs)
+    assert(rows.length <= SketchOps.NumShards)
+    // md5 spreads uniformly: no shard should be pathologically off-target
+    rows.foreach(r => assert(r.getDouble(5) > 0.3 && r.getDouble(5) < 3.0,
+      s"shard ${r.getLong(0)} balance ${r.getDouble(5)} out of range"))
+  }
+
+  test("time spine: consecutive days, zero-filled, conserves event count") {
+    val rows = Relational.q_time_spine(spark, sf0001).collect()
+    val days = rows.map(_.getDate(0).toLocalDate)
+    days.sliding(2).foreach { case Array(a, b) =>
+      assert(b == a.plusDays(1), s"spine gap between $a and $b")
+    }
+    val nEvents = Tables.events(spark, sf0001).count()
+    assert(rows.map(_.getLong(1)).sum == nEvents)
+    assert(rows.exists(_.getLong(1) == 0L) || days.length == rows.count(_.getLong(1) > 0),
+      "spine must surface zero days explicitly when gaps exist")
+  }
+
+  test("unpivot melts the pivot back to the long-form group-by") {
+    val long = Relational.q_unpivot_stack(spark, sf0001).collect()
+      .map(r => (r.getInt(0), r.getString(1)) -> r.getLong(2)).toMap
+    val direct = Tables.orders(spark, sf0001)
+      .groupBy(year(col("o_orderdate")).cast("int").as("yr"), col("o_orderstatus"))
+      .agg(count(lit(1)).as("n")).collect()
+      .map(r => (r.getInt(0), r.getString(1)) -> r.getLong(2)).toMap
+    assert(long == direct)
+  }
+}
