@@ -1,0 +1,112 @@
+package graft.engine
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Iterated BPE merge training (Sennrich et al. 2016 §3.2) — the actual
+  * merge LOOP, not just the first-pair statistics (q_llm_bpe_pairs): 3
+  * rounds of count-pairs → pick-top → greedy left-to-right merge →
+  * renumber, entirely as relational algebra over a positional (doc, pos,
+  * symbol) encoding. No driver-side token state: each round is one
+  * lead-window pair count, a 1-row top-pair broadcast, and a
+  * gaps-and-islands pass that reproduces greedy semantics exactly —
+  * overlapping matches only arise for self-pairs (a,a), where a run of
+  * k matches keeps the 1st, 3rd, … (odd ranks within the island).
+  *
+  * Scale: every window partitions by doc_id (the natural shard key of a
+  * tokenizer-training corpus); the only global step is the pair-count
+  * aggregation, whose output is vocabulary²-bounded and whose top-1 row
+  * broadcasts. This is how BPE training distributes at corpus scale —
+  * Spark's window machinery replaces the in-memory symbol list.
+  */
+object BpeOps {
+
+  val BpeRounds = 3
+  /** Char-prefix per doc fed to the trainer (bounds positional rows). */
+  val BpePrefix = 200
+
+  /** (doc_id, pos, sym) positional char encoding of the en 10% sample. */
+  private def base(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir)
+      .filter(col("lang") === "en" && col("doc_id") % 10 === 0)
+      .select(col("doc_id"),
+        posexplode(split(substring(col("text"), 1, BpePrefix), "")))
+      .select(col("doc_id"), (col("pos") + 1).as("pos"), col("col").as("sym"))
+
+  /** One merge round: returns (merged sequence, 1-row top-pair DF). */
+  private def mergeRound(t: DataFrame, i: Int): (DataFrame, DataFrame) = {
+    val wDoc = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+    val p = t.withColumn("nxt", lead(col("sym"), 1).over(wDoc))
+    val top = p.filter(col("nxt").isNotNull)
+      .groupBy(col("sym").as("a"), col("nxt").as("b")).agg(count(lit(1)).as("c"))
+      .orderBy(col("c").desc, col("a").asc, col("b").asc).limit(1)
+    val m = p.crossJoin(broadcast(top))
+      .withColumn("ismatch",
+        coalesce(col("sym") === col("a") && col("nxt") === col("b"), lit(false)))
+    val wIsm = Window.partitionBy(col("doc_id"), col("ismatch")).orderBy(col("pos"))
+    val g = m.withColumn("grp", col("pos") - row_number().over(wIsm))
+    val wGrp = Window.partitionBy(col("doc_id"), col("ismatch"), col("grp")).orderBy(col("pos"))
+    val v = g.withColumn("valid", col("ismatch") && row_number().over(wGrp) % 2 === 1)
+    val c = v.withColumn("consumed",
+      coalesce(lag(col("valid"), 1).over(wDoc), lit(false)))
+    val merged = c.filter(!col("consumed"))
+      .select(col("doc_id"), col("pos"),
+        when(col("valid"), concat(col("a"), col("b"))).otherwise(col("sym")).as("sym"))
+      .withColumn("pos", row_number().over(wDoc))
+      // checkpoint: bounds the 7-window-per-round plan growth (and the
+      // next round's pair count re-reads the merged table, not the chain)
+      .localCheckpoint()
+    (merged, top)
+  }
+
+  /** The learned merge table: per round, the merged pair, its count at
+    * selection time, and the corpus symbol count after applying it. */
+  def q_llm_bpe_train(s: SparkSession, dir: String): DataFrame = {
+    var t = base(s, dir)
+    val rows = (1 to BpeRounds).map { i =>
+      val (merged, top) = mergeRound(t, i)
+      t = merged
+      top.crossJoin(merged.agg(count(lit(1)).as("n_symbols")))
+        .select(lit(i).as("step"), col("a"), col("b"),
+          col("c").as("pair_count"), col("n_symbols"))
+    }
+    rows.reduce(_ unionByName _).orderBy("step")
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_llm_bpe_train" -> q_llm_bpe_train _
+  )
+
+  // ── DuckDB oracle: the 3 rounds unrolled, same islands arithmetic ────
+
+  private def roundCtes(i: Int): String =
+    s"""p$i AS (SELECT doc_id, pos, sym, lead(sym) OVER (PARTITION BY doc_id ORDER BY pos) AS nxt FROM t${i - 1}),
+       |top$i AS (SELECT sym AS a, nxt AS b, COUNT(*) AS c FROM p$i WHERE nxt IS NOT NULL
+       |          GROUP BY 1, 2 ORDER BY c DESC, a ASC, b ASC LIMIT 1),
+       |m$i AS (SELECT p.doc_id, p.pos, p.sym, t.a, t.b, t.c,
+       |          COALESCE(p.sym = t.a AND p.nxt = t.b, false) AS ismatch
+       |        FROM p$i p CROSS JOIN top$i t),
+       |g$i AS (SELECT *, pos - ROW_NUMBER() OVER (PARTITION BY doc_id, ismatch ORDER BY pos) AS grp FROM m$i),
+       |v$i AS (SELECT *, ismatch AND (ROW_NUMBER() OVER (PARTITION BY doc_id, ismatch, grp ORDER BY pos) % 2 = 1) AS valid FROM g$i),
+       |c$i AS (SELECT *, COALESCE(lag(valid) OVER (PARTITION BY doc_id ORDER BY pos), false) AS consumed FROM v$i),
+       |o$i AS (SELECT doc_id, pos, CASE WHEN valid THEN a || b ELSE sym END AS sym FROM c$i WHERE NOT consumed),
+       |t$i AS MATERIALIZED (SELECT doc_id, ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY pos) AS pos, sym FROM o$i),
+       |s$i AS (SELECT $i AS step, a, b, c AS pair_count,
+       |          (SELECT COUNT(*) FROM t$i) AS n_symbols FROM top$i)""".stripMargin
+
+  val oracle: Map[String, String] = Map(
+    "q_llm_bpe_train" -> {
+      val rounds = (1 to BpeRounds).map(roundCtes).mkString(",\n")
+      val sel = (1 to BpeRounds)
+        .map(i => s"SELECT step, a, b, pair_count, n_symbols FROM s$i")
+        .mkString(" UNION ALL ")
+      s"""WITH t0 AS MATERIALIZED (
+         |  SELECT doc_id, generate_subscripts(string_split(substr(text, 1, $BpePrefix), ''), 1) AS pos,
+         |         UNNEST(string_split(substr(text, 1, $BpePrefix), '')) AS sym
+         |  FROM documents WHERE lang = 'en' AND doc_id % 10 = 0),
+         |$rounds
+         |$sel ORDER BY step""".stripMargin
+    }
+  )
+}

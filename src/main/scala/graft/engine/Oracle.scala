@@ -1726,6 +1726,17 @@ object Oracle {
         |SELECT event_type, COUNT(*) AS n_keys, COUNT(DISTINCT user_id) AS n_users
         |FROM dd GROUP BY 1 ORDER BY 1""".stripMargin,
 
+    "q_stream_scd2" ->
+      """WITH e AS (SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts, event_type,
+        |  lag(event_type) OVER (PARTITION BY user_id ORDER BY CAST(ts AS TIMESTAMP), event_id) AS prev_type
+        |  FROM events),
+        |ch AS (SELECT user_id, event_id, ts, event_type FROM e
+        |       WHERE prev_type IS NULL OR prev_type <> event_type)
+        |SELECT user_id, event_id, event_type, ts AS valid_from,
+        |  lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS valid_to,
+        |  lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL AS is_current
+        |FROM ch ORDER BY user_id, event_id""".stripMargin,
+
     // Full CMS replay: same md5 60-bit family, same 4×256 grid.
     "q_llm_cms_topk" ->
       s"""WITH tok AS (SELECT UNNEST(string_split(text, ' ')) AS tok FROM documents),
@@ -1813,5 +1824,6 @@ object Oracle {
   val all: Map[String, String] =
     relational ++ streaming ++ graph ++ llm ++ extended ++ gnn ++ gnnPrep ++
       pipeline ++ round4 ++ round4b ++ round4c ++ round4d ++ round4e ++
-      round4f ++ round5 ++ round6 ++ round6graph ++ ClusterOps.oracle
+      round4f ++ round5 ++ round6 ++ round6graph ++ ClusterOps.oracle ++
+      BpeOps.oracle
 }

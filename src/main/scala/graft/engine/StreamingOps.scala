@@ -104,6 +104,26 @@ object StreamingOps {
         col("last.event_type").as("last_type"),
         col("last.value").as("last_value"))
 
+  /** Changelog → SCD-2 history (the full-history counterpart of
+    * cdcLatest's SCD-1 snapshot): per user, each event_type CHANGE opens
+    * a versioned row [valid_from, valid_to), closed by the next change
+    * (NULL = current). Change detection and interval assembly are two
+    * windows on the same (user) partitioning — one shuffle total.
+    * event_id breaks same-timestamp ties, so the history is unique. */
+  def scd2History(ev: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    val changes = ev
+      .select(col("user_id"), col("event_id"), col("ts"), col("event_type"))
+      .withColumn("prev_type", lag(col("event_type"), 1).over(w))
+      .filter(col("prev_type").isNull || col("prev_type") =!= col("event_type"))
+    changes
+      .withColumn("valid_to", lead(col("ts"), 1).over(w))
+      .select(col("user_id"), col("event_id"), col("event_type"),
+        col("ts").as("valid_from"), col("valid_to"),
+        col("valid_to").isNull.as("is_current"))
+  }
+
   /** Keyed running state (Flink ValueState analog): fold events into
     * (count, last event-time, exact cents). Cents are accumulated as
     * longs — exact and order-independent, mirroring the DECIMAL(18,2)
@@ -314,6 +334,10 @@ object StreamingOps {
       .agg(count(lit(1)).as("n_keys"), countDistinct(col("user_id")).as("n_users"))
       .orderBy("event_type")
 
+  def q_stream_scd2(s: SparkSession, dir: String): DataFrame =
+    scd2History(Tables.events(s, dir))
+      .orderBy("user_id", "event_id")
+
   def q_stream_stateful(s: SparkSession, dir: String): DataFrame =
     statefulSnapshot(s, Tables.events(s, dir))
       .toDF()
@@ -407,6 +431,7 @@ object StreamingOps {
     "q_stream_session" -> q_stream_session _,
     "q_stream_dedup" -> q_stream_dedup _,
     "q_stream_dedup_wm" -> q_stream_dedup_wm _,
+    "q_stream_scd2" -> q_stream_scd2 _,
     "q_stream_cdc_latest" -> q_stream_cdc_latest _,
     "q_stream_stateful" -> q_stream_stateful _,
     "q_stream_stateful_tws" -> q_stream_stateful_tws _,

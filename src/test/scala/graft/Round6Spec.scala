@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 
-import graft.engine.{ClusterOps, Gnn, GraphOps, Relational, SketchOps, Tables}
+import graft.engine.{BpeOps, ClusterOps, Gnn, GraphOps, Relational, SketchOps, StreamingOps, Tables}
 
 /** Invariant tests for the round-6 operators. Cross-engine values are
   * pinned by the DuckDB oracle gate; these pin the semantics a
@@ -85,6 +85,62 @@ class Round6Spec extends AnyFunSuite {
     assert(rows.map(_.getLong(1)).sum == nEvents)
     assert(rows.exists(_.getLong(1) == 0L) || days.length == rows.count(_.getLong(1) > 0),
       "spine must surface zero days explicitly when gaps exist")
+  }
+
+  test("bpe training: symbol count shrinks by the applied merges each round") {
+    val rows = BpeOps.q_llm_bpe_train(spark, sf0001).collect()
+    assert(rows.length == BpeOps.BpeRounds)
+    // each round removes one symbol per VALID merge: at least one, at
+    // most pair_count (overlapping self-pair runs merge only odd ranks)
+    val nChars = Tables.documents(spark, sf0001)
+      .filter(col("lang") === "en" && col("doc_id") % 10 === 0)
+      .agg(sum(length(substring(col("text"), 1, BpeOps.BpePrefix))))
+      .collect()(0).getLong(0)
+    var prev = nChars
+    rows.foreach { r =>
+      val n = r.getLong(4)
+      assert(n < prev && prev - n <= r.getLong(3),
+        s"step ${r.getInt(0)}: $prev -> $n outside (0, pair_count=${r.getLong(3)}]")
+      prev = n
+    }
+    // pair counts are non-increasing: a later top pair can never beat an
+    // earlier round's maximum
+    rows.sliding(2).foreach { case Array(x, y) =>
+      assert(y.getLong(3) <= x.getLong(3))
+    }
+  }
+
+  test("bpe greedy merge: overlapping self-pair runs keep odd-rank matches") {
+    val s = spark
+    import s.implicits._
+    // corpus of one doc 'aaabab': round-1 top pair must be (a,b) count 2
+    // hmm — pairs: aa,aa,ab,ba,ab → (a,a)=2,(a,b)=2,(b,a)=1; tie broken
+    // lexicographically -> (a,a) merged greedily: aaabab -> [aa,a,b,a,b]
+    val docs = Seq((0L, "aaabab", "en", "src0", 6L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val dir = java.nio.file.Files.createTempDirectory("graft_bpe").toString
+    docs.write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val out = BpeOps.q_llm_bpe_train(s, dir).collect()
+    assert(out(0).getString(1) == "a" && out(0).getString(2) == "a",
+      s"round-1 pair must be the lexicographic tie-winner (a,a): ${out(0)}")
+    assert(out(0).getLong(3) == 2L, "greedy count includes the overlap pair")
+    assert(out(0).getLong(4) == 5L, "aaabab merges to [aa,a,b,a,b] = 5 symbols")
+  }
+
+  test("scd2 history: versions chain without overlap; one current row per user") {
+    val rows = StreamingOps.q_stream_scd2(spark, sf0001).collect()
+    assert(rows.nonEmpty)
+    val byUser = rows.groupBy(_.getLong(0))
+    byUser.foreach { case (u, vs) =>
+      assert(vs.count(_.getBoolean(5)) == 1, s"user $u must have exactly one current row")
+      val sorted = vs.sortBy(_.getTimestamp(3).getTime)
+      sorted.sliding(2).foreach { case Array(a, b) =>
+        assert(a.getTimestamp(4) == b.getTimestamp(3),
+          s"user $u: valid_to of one version must open the next")
+        assert(a.getString(2) != b.getString(2),
+          s"user $u: consecutive versions must differ in type")
+      }
+    }
   }
 
   test("unpivot melts the pivot back to the long-form group-by") {
