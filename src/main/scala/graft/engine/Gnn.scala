@@ -294,7 +294,10 @@ object Gnn {
     for (i <- 1 to WalkSteps) {
       // s$j = node reached after step j; cur duplicates the latest one.
       val path = (1 until i).map(j => col(s"s$j"))
-      walk = walk.join(ue, col("cur") === col("a"))
+      // checkpointed ue carries no AQE stats → hint the broadcast (the
+      // thresholded projection is dimension-sized; at a scale where it
+      // is not, drop the hint and the SMJ co-partitions on cur/a)
+      walk = walk.join(broadcast(ue), col("cur") === col("a"))
         .withColumn("h", Dsl.md5Hash60(concat_ws(":",
           lit("walk"), col("seed"), lit(i), col("cur"), col("b"))))
         .groupBy(col("seed") +: path :+ col("cur"): _*)
