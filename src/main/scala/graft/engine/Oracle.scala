@@ -1737,6 +1737,25 @@ object Oracle {
         |  lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL AS is_current
         |FROM ch ORDER BY user_id, event_id""".stripMargin,
 
+    // Bit-exact keep-decision replay: every arithmetic step is the same
+    // fixed IEEE double sequence (all literals CAST to DOUBLE — DuckDB
+    // bare decimal literals are DECIMAL and would diverge).
+    "q_llm_rejection_sample" ->
+      """WITH d AS (SELECT doc_id, lang, len(string_split(text, ' ')) AS nt FROM documents),
+        |p AS (SELECT lang, CAST(SUM(nt) AS BIGINT) AS lang_tokens FROM d GROUP BY 1),
+        |tot AS (SELECT CAST(SUM(lang_tokens) AS BIGINT) AS total FROM p),
+        |k AS (SELECT d.lang,
+        |  LEAST(CAST(1.0 AS DOUBLE),
+        |        CAST(0.5 AS DOUBLE) * (CAST(0.2 AS DOUBLE) * tot.total / p.lang_tokens)) AS pk,
+        |  CAST('0x' || substr(md5('rs:' || CAST(d.doc_id AS VARCHAR)), 1, 15) AS BIGINT)
+        |    / CAST(1152921504606846976 AS DOUBLE) AS u
+        |  FROM d JOIN p USING (lang) CROSS JOIN tot)
+        |SELECT lang, COUNT(*) AS n_docs,
+        |  CAST(SUM(CASE WHEN u < pk THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+        |  MAX(pk) AS p_keep,
+        |  CAST(SUM(CASE WHEN u < pk THEN 1 ELSE 0 END) AS BIGINT) / CAST(COUNT(*) AS DOUBLE) AS acceptance
+        |FROM k GROUP BY lang ORDER BY lang""".stripMargin,
+
     // Full CMS replay: same md5 60-bit family, same 4×256 grid.
     "q_llm_cms_topk" ->
       s"""WITH tok AS (SELECT UNNEST(string_split(text, ' ')) AS tok FROM documents),

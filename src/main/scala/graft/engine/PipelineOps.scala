@@ -133,6 +133,39 @@ object PipelineOps {
       .orderBy("lang")
   }
 
+  /** Deterministic rejection sampling — the APPLY step of domain-mixture
+    * reweighting (q_llm_domain_mix computes the weights; this executes
+    * them, Xie et al. 2023's resampled-corpus materialization): doc kept
+    * iff u(doc) < p(lang), where u is an md5-uniform in [0,1) (stateless,
+    * reproducible — re-running the pipeline regenerates the identical
+    * subsample, the property a training corpus needs) and p = min(1,
+    * 0.5·target/actual token share). Every arithmetic step is a fixed
+    * IEEE double sequence, so the DuckDB oracle reproduces keep decisions
+    * bit-exactly — no rounding anywhere.
+    *
+    * Scale: two tiny broadcast joins (per-lang totals) onto one corpus
+    * scan; the keep decision is scan-local. */
+  def q_llm_rejection_sample(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+      .select(col("doc_id"), col("lang"), nTokens.as("nt"))
+    val perLang = docs.groupBy(col("lang")).agg(sum(col("nt")).as("lang_tokens"))
+    val total = perLang.agg(sum(col("lang_tokens")).as("total"))
+    docs.join(broadcast(perLang), "lang")
+      .crossJoin(broadcast(total))
+      .withColumn("pk",
+        least(lit(1.0), lit(0.5) * (lit(0.2) * col("total") / col("lang_tokens"))))
+      .withColumn("u",
+        Dsl.md5Hash60(concat(lit("rs:"), col("doc_id").cast("string"))) /
+          lit(1152921504606846976L).cast("double"))
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("u") < col("pk"), 1L).otherwise(0L)).as("n_kept"),
+        max(col("pk")).as("p_keep"))
+      .withColumn("acceptance", col("n_kept") / col("n_docs").cast("double"))
+      .select(col("lang"), col("n_docs"), col("n_kept"), col("p_keep"), col("acceptance"))
+      .orderBy("lang")
+  }
+
   /** Gopher repetition-filter thresholds (Rae et al. 2021 §A1.1, adapted
     * to the fixture's token streams — the corpus has no line structure). */
   val GopherTopTokMax = 0.2
@@ -392,6 +425,7 @@ object PipelineOps {
     "q_llm_pii_redact" -> q_llm_pii_redact _,
     "q_llm_sample_stratified" -> q_llm_sample_stratified _,
     "q_text_normalize" -> q_text_normalize _,
-    "q_llm_domain_mix" -> q_llm_domain_mix _
+    "q_llm_domain_mix" -> q_llm_domain_mix _,
+    "q_llm_rejection_sample" -> q_llm_rejection_sample _
   )
 }

@@ -283,6 +283,23 @@ object Relational {
         coalesce(col("O"), lit(0L)).as("O"), coalesce(col("P"), lit(0L)).as("P"))
       .orderBy("yr")
 
+  /** Approximate percentiles (Greenwald–Khanna sketch — the bounded-
+    * memory quantile path, vs q_agg_percentiles' exact sort-based
+    * aggregate). Self-checked like q_agg_approx_distinct: GK summaries
+    * are engine-specific (and merge-order-sensitive), so the spec
+    * asserts proximity to the exact percentiles instead of a DuckDB
+    * hash match. At 100 TB this is THE percentile operator — the exact
+    * twin exists to quantify its error on the fixture. */
+  def q_agg_approx_percentile(s: SparkSession, dir: String): DataFrame =
+    Tables.orders(s, dir)
+      .groupBy(col("o_orderstatus"))
+      .agg(percentile_approx(col("o_totalprice"), array(lit(0.5), lit(0.9)), lit(10000))
+        .as("apx"))
+      .select(col("o_orderstatus"),
+        element_at(col("apx"), 1).as("p50_approx"),
+        element_at(col("apx"), 2).as("p90_approx"))
+      .orderBy("o_orderstatus")
+
   /** UNPIVOT (wide→long reshaping, the inverse of q_agg_pivot): the
     * year × status count matrix melted back to (yr, status, n_orders)
     * rows via `Dataset.unpivot` — a zero-shuffle Expand over the already
@@ -719,6 +736,7 @@ object Relational {
     "q_win_first_last" -> q_win_first_last _,
     "q_agg_percentiles" -> q_agg_percentiles _,
     "q_agg_pivot" -> q_agg_pivot _,
+    "q_agg_approx_percentile" -> q_agg_approx_percentile _,
     "q_unpivot_stack" -> q_unpivot_stack _,
     "q_win_nth_value" -> q_win_nth_value _,
     "q_time_spine" -> q_time_spine _,

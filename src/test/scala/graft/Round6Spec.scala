@@ -143,6 +143,33 @@ class Round6Spec extends AnyFunSuite {
     }
   }
 
+  test("approx percentiles sit within 2% of the exact sort-based values") {
+    val apx = Relational.q_agg_approx_percentile(spark, sf001).collect()
+      .map(r => r.getString(0) -> (r.getDouble(1), r.getDouble(2))).toMap
+    val exact = Tables.orders(spark, sf001)
+      .groupBy(col("o_orderstatus"))
+      .agg(percentile(col("o_totalprice"), lit(0.5)).as("p50"),
+        percentile(col("o_totalprice"), lit(0.9)).as("p90"))
+      .collect().map(r => r.getString(0) -> (r.getDouble(1), r.getDouble(2))).toMap
+    assert(apx.keySet == exact.keySet)
+    apx.foreach { case (k, (a50, a90)) =>
+      val (e50, e90) = exact(k)
+      assert(math.abs(a50 - e50) / e50 < 0.02, s"$k p50: $a50 vs $e50")
+      assert(math.abs(a90 - e90) / e90 < 0.02, s"$k p90: $a90 vs $e90")
+    }
+  }
+
+  test("rejection sampling: acceptance tracks p_keep; skewed langs downsampled") {
+    val rows = graft.engine.PipelineOps.q_llm_rejection_sample(spark, sf001).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (n, kept, p, acc) = (r.getLong(1), r.getLong(2), r.getDouble(3), r.getDouble(4))
+      assert(kept <= n && acc <= 1.0)
+      // md5-uniform LLN: acceptance within ±0.15 of the target p at n≥100
+      if (n >= 100) assert(math.abs(acc - p) < 0.15, s"${r.getString(0)}: acc $acc vs p $p")
+    }
+  }
+
   test("unpivot melts the pivot back to the long-form group-by") {
     val long = Relational.q_unpivot_stack(spark, sf0001).collect()
       .map(r => (r.getInt(0), r.getString(1)) -> r.getLong(2)).toMap

@@ -63,6 +63,31 @@ class StreamingSourcesSpec extends AnyFunSuite {
     assert(n(1L) == 3L, s"replayed event must be deduped: $n")
   }
 
+  test("streaming parquet file sink: append-mode rows land and read back") {
+    val s = spark
+    import s.implicits._
+    implicit val sq = s.sqlContext
+    def ts(h: Int, m: Int) = Timestamp.valueOf(f"2024-01-01 $h%02d:$m%02d:00")
+    val out = java.nio.file.Files.createTempDirectory("graft_pq_sink").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_pq_ckpt").toString
+    val ms = MemoryStream[E]
+    val q = ms.toDF()
+      .withColumn("day", to_date(col("ts")))
+      .writeStream.outputMode(OutputMode.Append)
+      .option("checkpointLocation", ckpt)
+      .partitionBy("day")
+      .format("parquet").start(out)
+    ms.addData(E(1, 1, ts(1, 0), "click", 1.0), E(2, 2, ts(2, 0), "buy", 2.0))
+    q.processAllAvailable()
+    ms.addData(E(3, 1, ts(3, 0), "click", 3.0))
+    q.processAllAvailable(); q.stop()
+    val back = s.read.parquet(out)
+    assert(back.count() == 3)
+    // day partition column survives the partitioned layout round trip
+    assert(back.select("day").distinct().count() == 1)
+    assert(back.agg(sum(col("value"))).collect()(0).getDouble(0) == 6.0)
+  }
+
   test("dedupWithinWm transform: streaming result equals the batch leg") {
     val s = spark
     import s.implicits._
