@@ -115,7 +115,7 @@ object Gnn {
   val NegK = 3
 
   def q_gnn_neg_sampling(s: SparkSession, dir: String): DataFrame = {
-    val e = GraphOps.edges(s, dir).localCheckpoint()
+    val e = GraphOps.edges(s, dir)
     val np = Tables.part(s, dir).agg(count(lit(1)).as("np"))
     val negs = e.crossJoin(broadcast(np))
       .select(col("src"), explode(expr(
@@ -214,7 +214,7 @@ object Gnn {
     * hub neighbors are downweighted. Both degree tables broadcast; one
     * shuffle total (the per-customer sum). */
   def q_gnn_gcn_norm(s: SparkSession, dir: String): DataFrame = {
-    val e = GraphOps.edges(s, dir).localCheckpoint()
+    val e = GraphOps.edges(s, dir)
     val dc = e.groupBy(col("src").as("dc_key")).agg(count(lit(1)).as("dc"))
     val dp = e.groupBy(col("dst").as("dp_key")).agg(count(lit(1)).as("dp"))
     val n = Tables.embeddings(s, dir).agg(count(lit(1)).as("n_emb"))
