@@ -26,22 +26,30 @@ object BpeOps {
   /** Char-prefix per doc fed to the trainer (bounds positional rows). */
   val BpePrefix = 200
 
-  /** (doc_id, pos, sym) positional char encoding of the en 10% sample. */
-  private def base(s: SparkSession, dir: String): DataFrame =
+  /** (doc_id, pos, sym) positional char encoding of one en doc_id%10
+    * residue split (0 = train, 1 = held-out eval). */
+  private def base(s: SparkSession, dir: String, residue: Int): DataFrame =
     Tables.documents(s, dir)
-      .filter(col("lang") === "en" && col("doc_id") % 10 === 0)
+      .filter(col("lang") === "en" && col("doc_id") % 10 === residue)
       .select(col("doc_id"),
         posexplode(split(substring(col("text"), 1, BpePrefix), "")))
       .select(col("doc_id"), (col("pos") + 1).as("pos"), col("col").as("sym"))
 
-  /** One merge round: returns (merged sequence, 1-row top-pair DF). */
-  private def mergeRound(t: DataFrame, i: Int): (DataFrame, DataFrame) = {
-    val wDoc = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
-    val p = t.withColumn("nxt", lead(col("sym"), 1).over(wDoc))
-    val top = p.filter(col("nxt").isNotNull)
+  private def wDoc = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+
+  /** Most frequent adjacent pair (deterministic tie-break) as a 1-row DF. */
+  private def topPair(t: DataFrame): DataFrame =
+    t.withColumn("nxt", lead(col("sym"), 1).over(wDoc))
+      .filter(col("nxt").isNotNull)
       .groupBy(col("sym").as("a"), col("nxt").as("b")).agg(count(lit(1)).as("c"))
       .orderBy(col("c").desc, col("a").asc, col("b").asc).limit(1)
-    val m = p.crossJoin(broadcast(top))
+
+  /** Greedy left-to-right application of ONE merge pair (a 1-row DF with
+    * columns a, b, …) — the mechanics both training (freshly-counted top
+    * pair) and apply/encode (a trained pair) share. */
+  private def applyMerge(t: DataFrame, pair: DataFrame): DataFrame = {
+    val p = t.withColumn("nxt", lead(col("sym"), 1).over(wDoc))
+    val m = p.crossJoin(broadcast(pair.select(col("a"), col("b"))))
       .withColumn("ismatch",
         coalesce(col("sym") === col("a") && col("nxt") === col("b"), lit(false)))
     val wIsm = Window.partitionBy(col("doc_id"), col("ismatch")).orderBy(col("pos"))
@@ -50,22 +58,27 @@ object BpeOps {
     val v = g.withColumn("valid", col("ismatch") && row_number().over(wGrp) % 2 === 1)
     val c = v.withColumn("consumed",
       coalesce(lag(col("valid"), 1).over(wDoc), lit(false)))
-    val merged = c.filter(!col("consumed"))
+    c.filter(!col("consumed"))
       .select(col("doc_id"), col("pos"),
         when(col("valid"), concat(col("a"), col("b"))).otherwise(col("sym")).as("sym"))
       .withColumn("pos", row_number().over(wDoc))
       // checkpoint: bounds the 7-window-per-round plan growth (and the
       // next round's pair count re-reads the merged table, not the chain)
       .localCheckpoint()
-    (merged, top)
+  }
+
+  /** One training round: returns (merged sequence, 1-row top-pair DF). */
+  private def mergeRound(t: DataFrame): (DataFrame, DataFrame) = {
+    val top = topPair(t)
+    (applyMerge(t, top), top)
   }
 
   /** The learned merge table: per round, the merged pair, its count at
     * selection time, and the corpus symbol count after applying it. */
   def q_llm_bpe_train(s: SparkSession, dir: String): DataFrame = {
-    var t = base(s, dir)
+    var t = base(s, dir, 0)
     val rows = (1 to BpeRounds).map { i =>
-      val (merged, top) = mergeRound(t, i)
+      val (merged, top) = mergeRound(t)
       t = merged
       top.crossJoin(merged.agg(count(lit(1)).as("n_symbols")))
         .select(lit(i).as("step"), col("a"), col("b"),
@@ -74,8 +87,28 @@ object BpeOps {
     rows.reduce(_ unionByName _).orderBy("step")
   }
 
+  /** Tokenizer ENCODE with the learned merges: the 3 trained pairs are
+    * applied in training order to the held-out split (doc_id%10 = 1) —
+    * the train → apply separation a production tokenizer pipeline has.
+    * Merges the eval corpus never exhibits apply as no-ops (count
+    * unchanged), exactly like a real encoder. Output tracks the eval
+    * symbol count after each applied merge. */
+  def q_llm_bpe_apply(s: SparkSession, dir: String): DataFrame = {
+    var tr = base(s, dir, 0)
+    var ev = base(s, dir, 1)
+    val rows = (1 to BpeRounds).map { i =>
+      val (mergedTr, top) = mergeRound(tr)
+      tr = mergedTr
+      ev = applyMerge(ev, top)
+      top.crossJoin(ev.agg(count(lit(1)).as("n_symbols_eval")))
+        .select(lit(i).as("step"), col("a"), col("b"), col("n_symbols_eval"))
+    }
+    rows.reduce(_ unionByName _).orderBy("step")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "q_llm_bpe_train" -> q_llm_bpe_train _
+    "q_llm_bpe_train" -> q_llm_bpe_train _,
+    "q_llm_bpe_apply" -> q_llm_bpe_apply _
   )
 
   // ── DuckDB oracle: the 3 rounds unrolled, same islands arithmetic ────
@@ -95,17 +128,47 @@ object BpeOps {
        |s$i AS (SELECT $i AS step, a, b, c AS pair_count,
        |          (SELECT COUNT(*) FROM t$i) AS n_symbols FROM top$i)""".stripMargin
 
+  /** Apply-side merge block: e{i-1} → e{i} via the TRAIN chain's top$i. */
+  private def applyCtes(i: Int): String =
+    s"""pe$i AS (SELECT doc_id, pos, sym, lead(sym) OVER (PARTITION BY doc_id ORDER BY pos) AS nxt FROM e${i - 1}),
+       |me$i AS (SELECT p.doc_id, p.pos, p.sym, t.a, t.b,
+       |          COALESCE(p.sym = t.a AND p.nxt = t.b, false) AS ismatch
+       |        FROM pe$i p CROSS JOIN top$i t),
+       |ge$i AS (SELECT *, pos - ROW_NUMBER() OVER (PARTITION BY doc_id, ismatch ORDER BY pos) AS grp FROM me$i),
+       |ve$i AS (SELECT *, ismatch AND (ROW_NUMBER() OVER (PARTITION BY doc_id, ismatch, grp ORDER BY pos) % 2 = 1) AS valid FROM ge$i),
+       |ce$i AS (SELECT *, COALESCE(lag(valid) OVER (PARTITION BY doc_id ORDER BY pos), false) AS consumed FROM ve$i),
+       |oe$i AS (SELECT doc_id, pos, CASE WHEN valid THEN a || b ELSE sym END AS sym FROM ce$i WHERE NOT consumed),
+       |e$i AS MATERIALIZED (SELECT doc_id, ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY pos) AS pos, sym FROM oe$i),
+       |se$i AS (SELECT $i AS step, a, b,
+       |          (SELECT COUNT(*) FROM e$i) AS n_symbols_eval FROM top$i)""".stripMargin
+
+  private def baseCte(name: String, residue: Int): String =
+    s"""$name AS MATERIALIZED (
+       |  SELECT doc_id, generate_subscripts(string_split(substr(text, 1, $BpePrefix), ''), 1) AS pos,
+       |         UNNEST(string_split(substr(text, 1, $BpePrefix), '')) AS sym
+       |  FROM documents WHERE lang = 'en' AND doc_id % 10 = $residue)""".stripMargin
+
   val oracle: Map[String, String] = Map(
     "q_llm_bpe_train" -> {
       val rounds = (1 to BpeRounds).map(roundCtes).mkString(",\n")
       val sel = (1 to BpeRounds)
         .map(i => s"SELECT step, a, b, pair_count, n_symbols FROM s$i")
         .mkString(" UNION ALL ")
-      s"""WITH t0 AS MATERIALIZED (
-         |  SELECT doc_id, generate_subscripts(string_split(substr(text, 1, $BpePrefix), ''), 1) AS pos,
-         |         UNNEST(string_split(substr(text, 1, $BpePrefix), '')) AS sym
-         |  FROM documents WHERE lang = 'en' AND doc_id % 10 = 0),
+      s"""WITH ${baseCte("t0", 0)},
          |$rounds
+         |$sel ORDER BY step""".stripMargin
+    },
+
+    "q_llm_bpe_apply" -> {
+      val trainRounds = (1 to BpeRounds).map(roundCtes).mkString(",\n")
+      val applyRounds = (1 to BpeRounds).map(applyCtes).mkString(",\n")
+      val sel = (1 to BpeRounds)
+        .map(i => s"SELECT step, a, b, n_symbols_eval FROM se$i")
+        .mkString(" UNION ALL ")
+      s"""WITH ${baseCte("t0", 0)},
+         |${baseCte("e0", 1)},
+         |$trainRounds,
+         |$applyRounds
          |$sel ORDER BY step""".stripMargin
     }
   )

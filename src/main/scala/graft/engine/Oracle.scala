@@ -1692,6 +1692,13 @@ object Oracle {
         |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
         |FROM lineitem WHERE l_quantity >= 25 GROUP BY 1 ORDER BY 1""".stripMargin,
 
+    "q_src_partitioned_sink" ->
+      """SELECT CAST(CAST(ts AS TIMESTAMP) AS DATE) AS day,
+        |  COUNT(*) AS n_events, COUNT(DISTINCT user_id) AS n_users,
+        |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS val_sum
+        |FROM events WHERE event_type = 'purchase'
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+
     // Pivot∘unpivot round trip collapses to the plain long-form group-by.
     "q_unpivot_stack" ->
       """SELECT CAST(year(o_orderdate) AS INTEGER) AS yr, o_orderstatus,

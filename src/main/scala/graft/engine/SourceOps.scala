@@ -85,9 +85,31 @@ object SourceOps {
       .orderBy("l_returnflag")
   }
 
+  /** Hive-style partitioned parquet sink + partition-pruned scan: events
+    * land partitioned by event_type (the 100 TB layout primitive — a
+    * predicate on the partition column prunes directories, so the scan
+    * reads 1/5th of the files, verified in PlanAuditSpec), then one
+    * partition is read back and aggregated per day. The oracle aggregates
+    * the ORIGINAL parquet, proving the partitioned round trip lossless. */
+  def q_src_partitioned_sink(s: SparkSession, dir: String): DataFrame = {
+    val path = scratch("part", dir)
+    Tables.events(s, dir)
+      .select(col("event_id"), col("ts"), col("user_id"), col("event_type"),
+        col("value"))
+      .write.mode(SaveMode.Overwrite).partitionBy("event_type").parquet(path)
+    s.read.parquet(path)
+      .filter(col("event_type") === "purchase")
+      .groupBy(to_date(col("ts")).as("day"))
+      .agg(count(lit(1)).as("n_events"),
+        countDistinct(col("user_id")).as("n_users"),
+        Dsl.moneySum(col("value")).as("val_sum"))
+      .orderBy("day")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_src_csv_roundtrip" -> q_src_csv_roundtrip _,
     "q_src_json_roundtrip" -> q_src_json_roundtrip _,
-    "q_src_orc_roundtrip" -> q_src_orc_roundtrip _
+    "q_src_orc_roundtrip" -> q_src_orc_roundtrip _,
+    "q_src_partitioned_sink" -> q_src_partitioned_sink _
   )
 }

@@ -31,6 +31,19 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(!p.contains("SortMergeJoin"), "fact table must not shuffle for a dim join")
   }
 
+  test("partitioned-layout scan prunes to the filtered partition") {
+    // run once so the partitioned scratch layout exists, then audit the
+    // read-back plan: the event_type predicate must become a partition
+    // filter (directory pruning), not a data filter over all files.
+    val df = SparkEntry.queries("q_src_partitioned_sink")(spark, sf0001)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("PartitionFilters: ["), "partition filters must appear in the scan")
+    assert(p.linesIterator.exists(l =>
+      l.contains("PartitionFilters") && l.contains("event_type")),
+      s"event_type must prune partitions, plan:\n$p")
+  }
+
   test("aggregations are map-side partial (two HashAggregate phases)") {
     val p = plan("q_agg_pricing_summary")
     assert("HashAggregate".r.findAllIn(p).size >= 2,

@@ -127,6 +127,26 @@ class Round6Spec extends AnyFunSuite {
     assert(out(0).getLong(4) == 5L, "aaabab merges to [aa,a,b,a,b] = 5 symbols")
   }
 
+  test("bpe apply: trained merges shrink (or keep) the eval corpus monotonically") {
+    val rows = BpeOps.q_llm_bpe_apply(spark, sf0001).collect()
+    assert(rows.length == BpeOps.BpeRounds)
+    // the merge table must be identical to the one training reports
+    val trained = BpeOps.q_llm_bpe_train(spark, sf0001).collect()
+    assert(rows.map(r => (r.getString(1), r.getString(2))).toSeq ==
+      trained.map(r => (r.getString(1), r.getString(2))).toSeq,
+      "apply must use the trained merge table in training order")
+    val evalChars = Tables.documents(spark, sf0001)
+      .filter(col("lang") === "en" && col("doc_id") % 10 === 1)
+      .agg(sum(length(substring(col("text"), 1, BpeOps.BpePrefix))))
+      .collect()(0).getLong(0)
+    var prev = evalChars
+    rows.foreach { r =>
+      val n = r.getLong(3)
+      assert(n <= prev, "eval symbol count can never grow under a merge")
+      prev = n
+    }
+  }
+
   test("scd2 history: versions chain without overlap; one current row per user") {
     val rows = StreamingOps.q_stream_scd2(spark, sf0001).collect()
     assert(rows.nonEmpty)
