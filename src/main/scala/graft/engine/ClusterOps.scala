@@ -62,8 +62,65 @@ object ClusterOps {
       .orderBy("cluster")
   }
 
+  // ── relational PCA ───────────────────────────────────────────────────
+
+  /** Leading-block dims and power-iteration count for q_embed_pca. */
+  val PcaDims = 8
+  val PcaIters = 6
+
+  /** Relational PCA (leading principal component of the dims-1..8
+    * covariance block): ONE moment aggregation over the corpus — Σx_j
+    * and Σx_jx_k as exact order-blind DECIMAL sums of round-9 inputs
+    * (the q_agg_stats recipe) — then the entire power iteration runs as
+    * scalar expressions over that single broadcastable row: C·v matvecs,
+    * L∞ normalization (HITS-style, deterministic with the fixed e₁
+    * start), Rayleigh-quotient eigenvalue. The corpus is touched ONCE;
+    * at 100 TB the moment agg is the only distributed stage (52 partial
+    * sums per partition), which is exactly how a production whitening /
+    * embedding-compression pass computes its covariance. */
+  def q_embed_pca(s: SparkSession, dir: String): DataFrame = {
+    val D = PcaDims
+    def el(j: Int) = element_at(col("embedding"), j).cast("double")
+    def dsum(c: org.apache.spark.sql.Column) =
+      sum(round(c, 9).cast("decimal(24,9)")).cast("double")
+    val moments =
+      (1 to D).map(j => dsum(el(j)).as(s"sx_$j")) ++
+        (for (j <- 1 to D; k <- j to D) yield dsum(el(j) * el(k)).as(s"sxy_${j}_$k")) :+
+        count(lit(1)).cast("double").as("n")
+    var df = Tables.embeddings(s, dir).agg(moments.head, moments.tail: _*)
+    // covariance block from the exact sums (fixed IEEE op order)
+    val covCols = for (j <- 1 to D; k <- 1 to D) yield {
+      val (a, b) = (math.min(j, k), math.max(j, k))
+      ((col(s"sxy_${a}_$b") - col(s"sx_$j") * col(s"sx_$k") / col("n")) / (col("n") - 1))
+        .as(s"c_${j}_$k")
+    }
+    df = df.select(covCols :+ col("n"): _*)
+    // v0 = e1; each iteration projects the previous columns so expression
+    // trees stay attribute-shallow (no exponential blowup)
+    df = df.select(df.columns.map(col) ++
+      (1 to D).map(j => lit(if (j == 1) 1.0 else 0.0).as(s"v_$j")): _*)
+    for (_ <- 1 to PcaIters) {
+      val w = (1 to D).map(j =>
+        (1 to D).map(k => col(s"c_${j}_$k") * col(s"v_$k")).reduceLeft(_ + _).as(s"w_$j"))
+      df = df.select(df.columns.map(col) ++ w: _*)
+      val nrm = greatest((1 to D).map(j => abs(col(s"w_$j"))): _*)
+      df = df.select(df.columns.filterNot(_.startsWith("v_")).map(col) ++
+        (1 to D).map(j => (col(s"w_$j") / nrm).as(s"v_$j")): _*)
+      df = df.select(df.columns.filterNot(_.startsWith("w_")).map(col): _*)
+    }
+    // Rayleigh quotient λ = (vᵀCv)/(vᵀv) on the converged direction
+    val cv = (1 to D).map(j =>
+      (1 to D).map(k => col(s"c_${j}_$k") * col(s"v_$k")).reduceLeft(_ + _).as(s"cv_$j"))
+    df = df.select(df.columns.map(col) ++ cv: _*)
+    val num = (1 to D).map(j => col(s"cv_$j") * col(s"v_$j")).reduceLeft(_ + _)
+    val den = (1 to D).map(j => col(s"v_$j") * col(s"v_$j")).reduceLeft(_ + _)
+    df.select(round(num / den, 6).as("eigenvalue") +:
+      (1 to D).map(j => round(col(s"v_$j"), 6).as(s"l$j")): _*)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "q_llm_kmeans" -> q_llm_kmeans _
+    "q_llm_kmeans" -> q_llm_kmeans _,
+    "q_embed_pca" -> q_embed_pca _
   )
 
   // ── DuckDB oracle (generated: 64-term distance chains, unrolled Lloyd) ──
@@ -89,7 +146,45 @@ object ClusterOps {
        |  FROM a$fromAssign a JOIN embeddings e USING (vec_id) GROUP BY a.cl)""".stripMargin
   }
 
+  private def pcaOracle: String = {
+    val D = PcaDims
+    def e(j: Int) = s"CAST(embedding[$j] AS DOUBLE)"
+    val sx = (1 to D).map(j =>
+      s"CAST(SUM(CAST(round(${e(j)}, 9) AS DECIMAL(24,9))) AS DOUBLE) AS sx_$j")
+    val sxy = for (j <- 1 to D; k <- j to D) yield
+      s"CAST(SUM(CAST(round(${e(j)} * ${e(k)}, 9) AS DECIMAL(24,9))) AS DOUBLE) AS sxy_${j}_$k"
+    val cov = for (j <- 1 to D; k <- 1 to D) yield {
+      val (a, b) = (math.min(j, k), math.max(j, k))
+      s"(sxy_${a}_$b - sx_$j * sx_$k / n) / (n - 1) AS c_${j}_$k"
+    }
+    val cCols = (for (j <- 1 to D; k <- 1 to D) yield s"c_${j}_$k").mkString(", ")
+    val v0 = (1 to D).map(j =>
+      s"CAST(${if (j == 1) "1.0" else "0.0"} AS DOUBLE) AS v_$j").mkString(", ")
+    val iters = (1 to PcaIters).map { i =>
+      val w = (1 to D).map(j =>
+        (1 to D).map(k => s"c_${j}_$k * v_$k").mkString(" + ") + s" AS w_$j").mkString(", ")
+      val nrm = (1 to D).map(j => s"ABS(w_$j)").mkString("GREATEST(", ", ", ")")
+      val v = (1 to D).map(j => s"w_$j / $nrm AS v_$j").mkString(", ")
+      s"""wi$i AS (SELECT $cCols, $w FROM it${i - 1}),
+         |it$i AS (SELECT $cCols, $v FROM wi$i)""".stripMargin
+    }.mkString(",\n")
+    val cv = (1 to D).map(j =>
+      (1 to D).map(k => s"c_${j}_$k * v_$k").mkString(" + ") + s" AS cv_$j").mkString(", ")
+    val vCols = (1 to D).map(j => s"v_$j").mkString(", ")
+    val num = (1 to D).map(j => s"cv_$j * v_$j").mkString(" + ")
+    val den = (1 to D).map(j => s"v_$j * v_$j").mkString(" + ")
+    val loads = (1 to D).map(j => s"ROUND(v_$j, 6) AS l$j").mkString(", ")
+    s"""WITH mom AS MATERIALIZED (SELECT ${(sx ++ sxy).mkString(", ")},
+       |  CAST(COUNT(*) AS DOUBLE) AS n FROM embeddings),
+       |cov AS (SELECT ${cov.mkString(", ")}, n FROM mom),
+       |it0 AS (SELECT $cCols, $v0 FROM cov),
+       |$iters,
+       |fin AS (SELECT $vCols, $cv FROM it$PcaIters)
+       |SELECT ROUND(($num) / ($den), 6) AS eigenvalue, $loads FROM fin""".stripMargin
+  }
+
   val oracle: Map[String, String] = Map(
+    "q_embed_pca" -> pcaOracle,
     "q_llm_kmeans" -> {
       val c0 = (1 to EmbDims).map(j => s"CAST(embedding[$j] AS DOUBLE) AS c$j").mkString(", ")
       s"""WITH cents0 AS MATERIALIZED (

@@ -25,6 +25,42 @@ class Round6Spec extends AnyFunSuite {
     assert(rows.toSeq == again.toSeq)
   }
 
+  test("pca: engine matches the driver-side algorithm replica; Rayleigh bounds hold") {
+    val rows = ClusterOps.q_embed_pca(spark, sf0001).collect()
+    assert(rows.length == 1)
+    val lam = rows(0).getDouble(0)
+    val v = (1 to ClusterOps.PcaDims).map(rows(0).getDouble).toArray
+    assert(lam > 0, "leading eigenvalue of a covariance matrix is positive")
+    assert(math.abs(v.map(math.abs).max - 1.0) < 1e-6, "L-inf normalized direction")
+    // ground truth: sample covariance + 100 power iterations in Scala
+    val x = Tables.embeddings(spark, sf0001)
+      .select((1 to ClusterOps.PcaDims).map(j =>
+        element_at(col("embedding"), j).cast("double")): _*)
+      .collect().map(r => Array.tabulate(ClusterOps.PcaDims)(r.getDouble))
+    val d = ClusterOps.PcaDims; val n = x.length
+    val m = Array.tabulate(d)(j => x.map(_(j)).sum / n)
+    val c = Array.tabulate(d, d)((j, k) =>
+      x.map(r => (r(j) - m(j)) * (r(k) - m(k))).sum / (n - 1))
+    // replicate the SAME 6-iteration L∞ power iteration driver-side: the
+    // corpus spectrum is near-degenerate (random-ish embeddings), so a
+    // converged eigenvector is NOT a sound reference — the algorithm
+    // replica is
+    var t = Array.tabulate(d)(j => if (j == 0) 1.0 else 0.0)
+    for (_ <- 1 to ClusterOps.PcaIters) {
+      val w = Array.tabulate(d)(j => (0 until d).map(k => c(j)(k) * t(k)).sum)
+      val nrm = w.map(math.abs).max
+      t = w.map(_ / nrm)
+    }
+    v.zip(t).zipWithIndex.foreach { case ((a, b), j) =>
+      assert(math.abs(a - b) < 1e-4, s"loading l${j + 1}: engine $a vs replica $b")
+    }
+    // Rayleigh quotient is monotone under power iteration and bounded by
+    // the spectrum: c_11 = RQ(v0) <= lambda <= trace(C)
+    val trace = (0 until d).map(j => c(j)(j)).sum
+    assert(lam >= c(0)(0) - 1e-9 && lam <= trace + 1e-9,
+      s"eigenvalue $lam outside [c11=${c(0)(0)}, trace=$trace]")
+  }
+
   test("random walks: every hop is a projection edge; walks are reproducible") {
     val pp = GraphOps.partPairs(spark, sf0001, GraphOps.TriangleMinCooccur)
       .select(col("a"), col("b")).collect().map(r => (r.getLong(0), r.getLong(1)))
@@ -113,9 +149,8 @@ class Round6Spec extends AnyFunSuite {
   test("bpe greedy merge: overlapping self-pair runs keep odd-rank matches") {
     val s = spark
     import s.implicits._
-    // corpus of one doc 'aaabab': round-1 top pair must be (a,b) count 2
-    // hmm — pairs: aa,aa,ab,ba,ab → (a,a)=2,(a,b)=2,(b,a)=1; tie broken
-    // lexicographically -> (a,a) merged greedily: aaabab -> [aa,a,b,a,b]
+    // one doc 'aaabab': pairs (a,a)=2, (a,b)=2, (b,a)=1 — the c-tie breaks
+    // lexicographically to (a,a), merged greedily: aaabab -> [aa,a,b,a,b]
     val docs = Seq((0L, "aaabab", "en", "src0", 6L))
       .toDF("doc_id", "text", "lang", "source", "n_chars")
     val dir = java.nio.file.Files.createTempDirectory("graft_bpe").toString
