@@ -1617,6 +1617,40 @@ object Oracle {
          |ORDER BY round(a, 6), vec_id LIMIT 10""".stripMargin
     },
 
+    // Interpolated Kneser–Ney: exact integer count tables, fixed IEEE op
+    // chain (explicit DOUBLE casts — bare literals are DECIMAL in DuckDB),
+    // round-9 only at the −ln, round-6 mean.
+    "q_text_kneser_ney" ->
+      """WITH t AS (SELECT doc_id, lang, string_split(text, ' ') AS toks FROM documents),
+        |bi AS (SELECT doc_id, lang, toks[i] AS a, toks[i+1] AS b
+        |  FROM t, UNNEST(range(1, len(toks))) AS u(i)),
+        |tr AS (SELECT * FROM bi WHERE doc_id % 10 <> 0),
+        |bc AS (SELECT lang, a, b, COUNT(*) AS cab FROM tr GROUP BY 1, 2, 3),
+        |ctx AS (SELECT lang, a, CAST(SUM(cab) AS BIGINT) AS ca, COUNT(*) AS n1a FROM bc GROUP BY 1, 2),
+        |cont AS (SELECT lang, b, COUNT(*) AS n1b FROM bc GROUP BY 1, 2),
+        |tot AS (SELECT lang, COUNT(*) AS n1pp FROM bc GROUP BY 1),
+        |ev AS (SELECT * FROM bi WHERE doc_id % 10 = 0),
+        |sc AS (SELECT ev.lang, ev.doc_id, ctx.ca, tot.n1pp,
+        |    CASE WHEN ctx.ca IS NOT NULL THEN
+        |      GREATEST(CAST(COALESCE(bc.cab, 0) AS DOUBLE) - CAST(0.75 AS DOUBLE), CAST(0.0 AS DOUBLE))
+        |        / CAST(ctx.ca AS DOUBLE)
+        |      + ((CAST(0.75 AS DOUBLE) * CAST(ctx.n1a AS DOUBLE)) / CAST(ctx.ca AS DOUBLE))
+        |        * (CAST(COALESCE(cont.n1b, 0) AS DOUBLE) / CAST(tot.n1pp AS DOUBLE))
+        |    ELSE CAST(COALESCE(cont.n1b, 0) AS DOUBLE) / CAST(tot.n1pp AS DOUBLE) END AS praw
+        |  FROM ev LEFT JOIN bc ON ev.lang = bc.lang AND ev.a = bc.a AND ev.b = bc.b
+        |          LEFT JOIN ctx ON ev.lang = ctx.lang AND ev.a = ctx.a
+        |          LEFT JOIN cont ON ev.lang = cont.lang AND ev.b = cont.b
+        |          JOIN tot ON ev.lang = tot.lang),
+        |nl AS (SELECT lang, doc_id, ca, praw <= CAST(0.0 AS DOUBLE) AS floored,
+        |    round(-ln(CASE WHEN praw > CAST(0.0 AS DOUBLE) THEN praw
+        |              ELSE CAST(1.0 AS DOUBLE) / CAST(n1pp + 1 AS DOUBLE) END), 9) AS nll
+        |  FROM sc)
+        |SELECT lang, COUNT(DISTINCT doc_id) AS n_docs, COUNT(*) AS n_bigrams,
+        |  CAST(SUM(CASE WHEN ca IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_ctx_backoff,
+        |  CAST(SUM(CASE WHEN floored THEN 1 ELSE 0 END) AS BIGINT) AS n_floor,
+        |  ROUND(AVG(nll), 6) AS kn_xent
+        |FROM nl GROUP BY lang ORDER BY lang""".stripMargin,
+
     "q_text_bigram_xent" ->
       """WITH t AS (SELECT doc_id, lang, string_split(text, ' ') AS toks FROM documents),
         |bi AS (SELECT doc_id, lang, toks[i] AS a, toks[i+1] AS b

@@ -321,7 +321,68 @@ object TextOps {
       .orderBy("lang")
   }
 
+  /** Absolute discount for the Kneser–Ney model. */
+  val KnD = 0.75
+
+  /** Interpolated Kneser–Ney bigram scoring (Kneser & Ney 1995; the
+    * counts-of-counts smoothing every serious n-gram quality signal
+    * uses, vs q_text_bigram_xent's add-1):
+    *   p(b|a) = max(c(ab)−D,0)/c(a·) + D·N1+(a·)/c(a·) · N1+(·b)/N1+(··)
+    * with backoff to the continuation probability for unseen contexts
+    * and a 1/(N1+(··)+1) floor when the continuation is also unseen.
+    * The model is four relational count tables derived from ONE bigram
+    * aggregation (context totals, context fan-out, continuation fan-in,
+    * type total) — no driver-side model. Every probability is exact
+    * integer counts through a fixed chain of IEEE ops (explicit double
+    * casts both engines), so only the −ln needs the round-9 policy.
+    * Scale: one bigram shuffle builds the model; scoring is equi-joins
+    * on (lang, gram) + a broadcast type-total. */
+  def q_text_kneser_ney(s: SparkSession, dir: String): DataFrame = {
+    val toks = Tables.documents(s, dir)
+      .select(col("doc_id"), col("lang"), split(col("text"), " ").as("toks"))
+    val bi = toks.filter(size(col("toks")) >= 2)
+      .select(col("doc_id"), col("lang"), explode(expr(
+        "transform(sequence(1, size(toks) - 1)," +
+          " i -> struct(element_at(toks, i) as a, element_at(toks, i + 1) as b))"))
+        .as("p"))
+      .select(col("doc_id"), col("lang"), col("p.a").as("a"), col("p.b").as("b"))
+    val bc = bi.filter(col("doc_id") % 10 =!= 0)
+      .groupBy(col("lang").as("bl"), col("a").as("ba"), col("b").as("bb"))
+      .agg(count(lit(1)).as("cab"))
+    val ctx = bc.groupBy(col("bl").as("cl"), col("ba").as("ca_tok"))
+      .agg(sum(col("cab")).as("ca"), count(lit(1)).as("n1a"))
+    val cont = bc.groupBy(col("bl").as("nl"), col("bb").as("nb_tok"))
+      .agg(count(lit(1)).as("n1b"))
+    val tot = bc.groupBy(col("bl").as("tl")).agg(count(lit(1)).as("n1pp"))
+    val d = lit(KnD)
+    val scored = bi.filter(col("doc_id") % 10 === 0)
+      .join(bc, col("lang") === col("bl") && col("a") === col("ba") &&
+        col("b") === col("bb"), "left_outer")
+      .join(ctx, col("lang") === col("cl") && col("a") === col("ca_tok"), "left_outer")
+      .join(cont, col("lang") === col("nl") && col("b") === col("nb_tok"), "left_outer")
+      .join(broadcast(tot), col("lang") === col("tl"))
+      .withColumn("pcont",
+        coalesce(col("n1b"), lit(0L)).cast("double") / col("n1pp").cast("double"))
+      .withColumn("praw", when(col("ca").isNotNull,
+        greatest(coalesce(col("cab"), lit(0L)).cast("double") - d, lit(0.0)) /
+          col("ca").cast("double") +
+          ((d * col("n1a").cast("double")) / col("ca").cast("double")) * col("pcont"))
+        .otherwise(col("pcont")))
+      .withColumn("floored", col("praw") <= 0.0)
+      .withColumn("p", when(!col("floored"), col("praw"))
+        .otherwise(lit(1.0) / (col("n1pp") + 1).cast("double")))
+      .withColumn("nll", round(-log(col("p")), 9))
+    scored.groupBy(col("lang"))
+      .agg(countDistinct(col("doc_id")).as("n_docs"),
+        count(lit(1)).as("n_bigrams"),
+        sum(when(col("ca").isNull, 1L).otherwise(0L)).as("n_ctx_backoff"),
+        sum(when(col("floored"), 1L).otherwise(0L)).as("n_floor"),
+        round(avg(col("nll")), 6).as("kn_xent"))
+      .orderBy("lang")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_text_kneser_ney" -> q_text_kneser_ney _,
     "q_text_bigram_xent" -> q_text_bigram_xent _,
     "q_llm_quality_classifier" -> q_llm_quality_classifier _,
     "q_text_edit_distance" -> q_text_edit_distance _,

@@ -182,6 +182,45 @@ class Round6Spec extends AnyFunSuite {
     }
   }
 
+  test("kneser-ney: p(.|a) sums to 1 over the continuation vocabulary") {
+    // rebuild the count tables driver-side from the train split and check
+    // the defining property of interpolated KN: for any seen context a,
+    // Σ_b [max(c(ab)-D,0)/c(a·) + D·N1+(a·)/c(a·)·N1+(·b)/N1+(··)] = 1
+    val s = spark
+    val bigrams = Tables.documents(s, sf0001)
+      .filter(col("doc_id") % 10 =!= 0)
+      .select(col("lang"), split(col("text"), " ").as("toks"))
+      .filter(size(col("toks")) >= 2)
+      .select(col("lang"), explode(expr(
+        "transform(sequence(1, size(toks) - 1)," +
+          " i -> struct(element_at(toks, i) as a, element_at(toks, i + 1) as b))")).as("p"))
+      .select(col("lang"), col("p.a"), col("p.b"))
+      .collect().map(r => (r.getString(0), r.getString(1), r.getString(2)))
+    val lang = bigrams.head._1
+    val bc = bigrams.filter(_._1 == lang).groupBy(p => (p._2, p._3)).view.mapValues(_.length).toMap
+    val ca = bc.groupBy(_._1._1).view.mapValues(_.values.sum).toMap
+    val n1a = bc.groupBy(_._1._1).view.mapValues(_.size).toMap
+    val n1b = bc.groupBy(_._1._2).view.mapValues(_.size).toMap
+    val n1pp = bc.size.toDouble
+    val d = graft.engine.TextOps.KnD
+    val vocabB = n1b.keys.toSeq
+    ca.keys.take(20).foreach { a =>
+      val sum = vocabB.map { b =>
+        math.max(bc.getOrElse((a, b), 0) - d, 0.0) / ca(a) +
+          d * n1a(a) / ca(a) * (n1b(b) / n1pp)
+      }.sum
+      assert(math.abs(sum - 1.0) < 1e-9, s"KN mass for context '$a' = $sum")
+    }
+    // and the engine output is sane
+    val rows = graft.engine.TextOps.q_text_kneser_ney(s, sf0001).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getLong(2) >= r.getLong(3) && r.getLong(2) >= r.getLong(4),
+        "backoff/floor counts bounded by bigram count")
+      assert(r.getDouble(5) > 0, "cross-entropy positive")
+    }
+  }
+
   test("scd2 history: versions chain without overlap; one current row per user") {
     val rows = StreamingOps.q_stream_scd2(spark, sf0001).collect()
     assert(rows.nonEmpty)
