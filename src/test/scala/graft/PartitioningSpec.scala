@@ -41,6 +41,30 @@ class PartitioningSpec extends AnyFunSuite {
     }
   }
 
+  test("range-partitioned sort is globally ordered with NO single-partition sort") {
+    val s = spark
+    // the 100 TB global-sort pattern: repartitionByRange samples split
+    // points, each partition sorts locally, partition order == key order —
+    // a full ORDER BY materialization with no one-node bottleneck
+    val sorted = Tables.customer(s, sf0001)
+      .repartitionByRange(8, col("c_acctbal").desc, col("c_custkey").asc)
+      .sortWithinPartitions(col("c_acctbal").desc, col("c_custkey").asc)
+    val plan = sorted.queryExecution.executedPlan.toString
+    assert(plan.contains("rangepartitioning"), s"range exchange expected:\n$plan")
+    assert(!plan.toLowerCase.contains("singlepartition"),
+      "global sort must not collapse to one partition")
+    // partitions concatenated in index order yield the exact global order
+    val collected = sorted.select(col("c_acctbal"), col("c_custkey")).collect()
+      .map(r => (r.getDouble(0), r.getLong(1)))
+    val expected = Tables.customer(s, sf0001)
+      .select(col("c_acctbal"), col("c_custkey")).collect()
+      .map(r => (r.getDouble(0), r.getLong(1)))
+      .sortBy { case (bal, key) => (-bal, key) }
+    assert(collected.toSeq == expected.toSeq,
+      "partition-index concatenation must equal the global ORDER BY")
+    assert(sorted.rdd.getNumPartitions > 1, "work must spread over partitions")
+  }
+
   test("salted two-phase aggregation equals direct aggregation on skewed keys") {
     val s = spark
     val li = Tables.lineitem(s, sf0001) // l_returnflag: 3 heavily-skewed keys
