@@ -1767,6 +1767,19 @@ object Oracle {
         |SELECT event_type, COUNT(*) AS n_keys, COUNT(DISTINCT user_id) AS n_users
         |FROM dd GROUP BY 1 ORDER BY 1""".stripMargin,
 
+    "q_stream_interval_outer" ->
+      """WITH p AS (SELECT event_id AS p_id, user_id AS pu, CAST(ts AS TIMESTAMP) AS pts
+        |           FROM events WHERE event_type = 'purchase'),
+        |c AS (SELECT event_id AS c_id, user_id AS cu, CAST(ts AS TIMESTAMP) AS cts
+        |      FROM events WHERE event_type = 'click'),
+        |j AS (SELECT p_id, pts, c_id, cts FROM p FULL OUTER JOIN c
+        |      ON pu = cu AND cts <= pts AND cts >= pts - INTERVAL 30 MINUTE)
+        |SELECT CAST(COALESCE(pts, cts) AS DATE) AS day,
+        |  CAST(SUM(CASE WHEN p_id IS NOT NULL AND c_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_matched,
+        |  CAST(SUM(CASE WHEN c_id IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_purchase_only,
+        |  CAST(SUM(CASE WHEN p_id IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_click_only
+        |FROM j GROUP BY 1 ORDER BY 1""".stripMargin,
+
     "q_stream_scd2" ->
       """WITH e AS (SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts, event_type,
         |  lag(event_type) OVER (PARTITION BY user_id ORDER BY CAST(ts AS TIMESTAMP), event_id) AS prev_type

@@ -298,7 +298,10 @@ object StreamingOps {
         col("c_ts") <= col("p_ts") &&
         col("c_ts") >= col("p_ts") - expr("INTERVAL 30 MINUTES"),
       joinType)
-      .select(col("p_id"), col("user_id"), col("p_ts"), col("c_id"), col("c_ts"))
+      // coalesced key: for inner/left the p side is always present; for
+      // FULL OUTER an unmatched click must still carry its user
+      .select(col("p_id"), coalesce(col("user_id"), col("c_user")).as("user_id"),
+        col("p_ts"), col("c_id"), col("c_ts"))
   }
 
   /** Stream-static enrichment join (Flink broadcast-state analog). */
@@ -403,6 +406,25 @@ object StreamingOps {
       .orderBy("user_id")
   }
 
+  /** FULL OUTER stream-stream interval join (completes the streaming
+    * join-type matrix: inner = q_stream_stream_join, left-outer tested
+    * in the specs): per-day accounting of matched purchase–click pairs
+    * vs unmatched rows on either side. In streaming, both watermarks
+    * bound the state and unmatched rows emit once their interval can no
+    * longer match; the batch run is the plain non-equi FULL OUTER. */
+  def q_stream_interval_outer(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(s, dir)
+    purchaseClickJoin(
+      ev.filter(col("event_type") === "purchase"),
+      ev.filter(col("event_type") === "click"), "full_outer")
+      .groupBy(to_date(coalesce(col("p_ts"), col("c_ts"))).as("day"))
+      .agg(sum(when(col("p_id").isNotNull && col("c_id").isNotNull, 1L).otherwise(0L))
+        .as("n_matched"),
+        sum(when(col("c_id").isNull, 1L).otherwise(0L)).as("n_purchase_only"),
+        sum(when(col("p_id").isNull, 1L).otherwise(0L)).as("n_click_only"))
+      .orderBy("day")
+  }
+
   /** Chained event-time window aggregation (Spark 3.4+ multiple stateful
     * operators, SPARK-40925; the Flink two-level window cascade): hourly
     * per-type counts re-windowed into daily stats — max/min hourly load
@@ -438,6 +460,7 @@ object StreamingOps {
     "q_stream_win_topk" -> q_stream_win_topk _,
     "q_stream_static_join" -> q_stream_static_join _,
     "q_stream_stream_join" -> q_stream_stream_join _,
+    "q_stream_interval_outer" -> q_stream_interval_outer _,
     "q_stream_funnel" -> q_stream_funnel _
   )
 }

@@ -63,6 +63,31 @@ class JoinSinkSpec extends AnyFunSuite {
       s"unmatched purchase must emit with a null click after the watermark: $rows")
   }
 
+  test("full-outer interval join emits unmatched rows from BOTH sides") {
+    val s = spark
+    import s.implicits._
+    implicit val sq = s.sqlContext
+    val pm = MemoryStream[E]
+    val cm = MemoryStream[E]
+    val j = StreamingOps.purchaseClickJoin(pm.toDF(), cm.toDF(), "full_outer")
+    val q = j.writeStream.outputMode(OutputMode.Append)
+      .format("memory").queryName("ssfull").start()
+    // user 1: matched pair; user 2: purchase only; user 3: click only
+    cm.addData(E(10, 1, ts(1, 50), "click", 0), E(30, 3, ts(1, 55), "click", 0))
+    pm.addData(E(1, 1, ts(2, 0), "purchase", 5.0), E(2, 2, ts(2, 0), "purchase", 7.0))
+    q.processAllAvailable()
+    cm.addData(E(90, 9, ts(9, 0), "click", 0))
+    pm.addData(E(91, 9, ts(9, 0), "purchase", 0))
+    q.processAllAvailable(); q.stop()
+    val rows = s.table("ssfull").collect()
+      .map(r => (r.getLong(1),
+        (if (r.isNullAt(0)) -1L else r.getLong(0), if (r.isNullAt(3)) -1L else r.getLong(3))))
+      .toMap
+    assert(rows(1L) == (1L, 10L), s"matched pair: $rows")
+    assert(rows(2L) == (2L, -1L), s"purchase-only row must emit with null click: $rows")
+    assert(rows(3L) == (-1L, 30L), s"click-only row must emit with null purchase: $rows")
+  }
+
   test("GraphX aggregateMessages neighbor mean equals DataFrame neighbor mean") {
     val s = spark
     val feats = GraphOps.neighborFeatures(s, sf0001) // (src customer, embedding)
