@@ -1726,6 +1726,32 @@ object Oracle {
         |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
         |FROM lineitem WHERE l_quantity >= 25 GROUP BY 1 ORDER BY 1""".stripMargin,
 
+    "q_agg_bool_funcs" ->
+      """SELECT event_type,
+        |  CAST(SUM(CASE WHEN value > 100 THEN 1 ELSE 0 END) AS BIGINT) AS n_big,
+        |  BOOL_OR(value > 500) AS has_huge,
+        |  BOOL_AND(value >= 0) AS all_nonneg,
+        |  CAST(SUM(CASE WHEN user_id % 2 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_even_users
+        |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // dayofweek: DuckDB is 0=Sunday, Spark is 1=Sunday -> +1
+    "q_date_arith" ->
+      """SELECT o_orderkey,
+        |  CAST(o_orderdate + INTERVAL 2 MONTH AS DATE) AS plus2m,
+        |  last_day(CAST(o_orderdate AS DATE)) AS eom,
+        |  CAST(date_trunc('quarter', o_orderdate) AS DATE) AS qtr,
+        |  CAST(dayofweek(o_orderdate) + 1 AS INTEGER) AS dow,
+        |  CAST(quarter(o_orderdate) AS INTEGER) AS q
+        |FROM orders ORDER BY o_orderkey""".stripMargin,
+
+    "q_null_funcs" ->
+      """SELECT c_custkey,
+        |  NULLIF(c_mktsegment, 'BUILDING') AS seg_nb,
+        |  COALESCE(NULLIF(c_mktsegment, 'BUILDING'), '(redacted)') AS seg_filled,
+        |  NULLIF(c_mktsegment, 'BUILDING') IS NULL AS was_building,
+        |  CASE WHEN c_acctbal < 0 THEN NULL ELSE c_acctbal END AS bal_pos
+        |FROM customer ORDER BY c_custkey""".stripMargin,
+
     "q_src_partitioned_sink" ->
       """SELECT CAST(CAST(ts AS TIMESTAMP) AS DATE) AS day,
         |  COUNT(*) AS n_events, COUNT(DISTINCT user_id) AS n_users,

@@ -283,6 +283,43 @@ object Relational {
         coalesce(col("O"), lit(0L)).as("O"), coalesce(col("P"), lit(0L)).as("P"))
       .orderBy("yr")
 
+  /** Boolean/conditional aggregation surface: count_if, any/bool_or,
+    * every/bool_and — the predicates-as-aggregates idiom (all map-side
+    * partial, shuffle volume = #groups). */
+  def q_agg_bool_funcs(s: SparkSession, dir: String): DataFrame =
+    Tables.events(s, dir)
+      .groupBy(col("event_type"))
+      .agg(count_if(col("value") > 100).as("n_big"),
+        bool_or(col("value") > 500).as("has_huge"),
+        bool_and(col("value") >= 0).as("all_nonneg"),
+        count_if(col("user_id") % 2 === 0).as("n_even_users"))
+      .orderBy("event_type")
+
+  /** Date arithmetic surface: add_months (month-end clamping), last_day,
+    * quarter truncation, day-of-week — per-row over orders. */
+  def q_date_arith(s: SparkSession, dir: String): DataFrame =
+    Tables.orders(s, dir)
+      .select(col("o_orderkey"),
+        add_months(col("o_orderdate"), 2).as("plus2m"),
+        last_day(col("o_orderdate")).as("eom"),
+        date_trunc("quarter", col("o_orderdate")).cast("date").as("qtr"),
+        dayofweek(col("o_orderdate")).as("dow"),
+        quarter(col("o_orderdate")).as("q"))
+      .orderBy("o_orderkey")
+
+  /** NULL-handling surface: nullif / coalesce / null predicates flowing
+    * through expressions (the three-valued-logic corners). */
+  def q_null_funcs(s: SparkSession, dir: String): DataFrame =
+    Tables.customer(s, dir)
+      .select(col("c_custkey"),
+        nullif(col("c_mktsegment"), lit("BUILDING")).as("seg_nb"),
+        coalesce(nullif(col("c_mktsegment"), lit("BUILDING")), lit("(redacted)"))
+          .as("seg_filled"),
+        nullif(col("c_mktsegment"), lit("BUILDING")).isNull.as("was_building"),
+        when(col("c_acctbal") < 0, lit(null).cast("double"))
+          .otherwise(col("c_acctbal")).as("bal_pos"))
+      .orderBy("c_custkey")
+
   /** Approximate percentiles (Greenwald–Khanna sketch — the bounded-
     * memory quantile path, vs q_agg_percentiles' exact sort-based
     * aggregate). Self-checked like q_agg_approx_distinct: GK summaries
@@ -737,6 +774,9 @@ object Relational {
     "q_agg_percentiles" -> q_agg_percentiles _,
     "q_agg_pivot" -> q_agg_pivot _,
     "q_agg_approx_percentile" -> q_agg_approx_percentile _,
+    "q_agg_bool_funcs" -> q_agg_bool_funcs _,
+    "q_date_arith" -> q_date_arith _,
+    "q_null_funcs" -> q_null_funcs _,
     "q_unpivot_stack" -> q_unpivot_stack _,
     "q_win_nth_value" -> q_win_nth_value _,
     "q_time_spine" -> q_time_spine _,
