@@ -1734,6 +1734,18 @@ object Oracle {
         |  CAST(SUM(CASE WHEN user_id % 2 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_even_users
         |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
 
+    "q_agg_mode" ->
+      """WITH pc AS (SELECT c_mktsegment, c_nationkey, COUNT(*) AS cnt
+        |            FROM customer GROUP BY 1, 2),
+        |r AS (SELECT c_mktsegment, c_nationkey, cnt,
+        |        ROW_NUMBER() OVER (PARTITION BY c_mktsegment
+        |          ORDER BY cnt DESC, c_nationkey ASC) AS rn,
+        |        SUM(cnt) OVER (PARTITION BY c_mktsegment) AS n_customers
+        |      FROM pc)
+        |SELECT c_mktsegment, CAST(c_nationkey AS INTEGER) AS modal_nation,
+        |  cnt AS modal_cnt, CAST(n_customers AS BIGINT) AS n_customers
+        |FROM r WHERE rn = 1 ORDER BY c_mktsegment""".stripMargin,
+
     // dayofweek: DuckDB is 0=Sunday, Spark is 1=Sunday -> +1
     "q_date_arith" ->
       """SELECT o_orderkey,

@@ -283,6 +283,22 @@ object Relational {
         coalesce(col("O"), lit(0L)).as("O"), coalesce(col("P"), lit(0L)).as("P"))
       .orderBy("yr")
 
+  /** Statistical mode per group with an explicit deterministic tie-break
+    * (largest count, then smallest key — engines' built-in mode() tie
+    * rules differ, so BOTH sides run the same lexicographic argmax):
+    * the most common nation per market segment. Pure partial+final
+    * aggregation, no per-group sort. */
+  def q_agg_mode(s: SparkSession, dir: String): DataFrame =
+    Tables.customer(s, dir)
+      .groupBy(col("c_mktsegment"), col("c_nationkey"))
+      .agg(count(lit(1)).as("cnt"))
+      .groupBy(col("c_mktsegment"))
+      .agg(max(struct(col("cnt"), (-col("c_nationkey")).as("nk"))).as("m"),
+        sum(col("cnt")).as("n_customers"))
+      .select(col("c_mktsegment"), (-col("m.nk")).cast("int").as("modal_nation"),
+        col("m.cnt").as("modal_cnt"), col("n_customers"))
+      .orderBy("c_mktsegment")
+
   /** Boolean/conditional aggregation surface: count_if, any/bool_or,
     * every/bool_and — the predicates-as-aggregates idiom (all map-side
     * partial, shuffle volume = #groups). */
@@ -775,6 +791,7 @@ object Relational {
     "q_agg_pivot" -> q_agg_pivot _,
     "q_agg_approx_percentile" -> q_agg_approx_percentile _,
     "q_agg_bool_funcs" -> q_agg_bool_funcs _,
+    "q_agg_mode" -> q_agg_mode _,
     "q_date_arith" -> q_date_arith _,
     "q_null_funcs" -> q_null_funcs _,
     "q_unpivot_stack" -> q_unpivot_stack _,
