@@ -11,6 +11,11 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// Inherit stdout/stderr directly in forked `run` (no "[info] "/"[error] "
+// logger prefixes): the driver parses Bench's final stdout JSON line, and
+// a prefixed line is not valid JSON — likely why every BENCH_r0N.json so
+// far has "parsed": null.
+run / outputStrategy := Some(StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

@@ -966,6 +966,28 @@ object Oracle {
          |      GROUP BY 1),
          |g2 AS (SELECT part_key, $gr FROM g)
          |SELECT part_key, $out FROM g2 ORDER BY part_key""".stripMargin
+    },
+
+    // Streaming twin of q_gnn_layer2: the chained keyed-state maintainer's
+    // final snapshot must equal the batch 2-layer math; only the per-part
+    // neighbor count is additionally surfaced. Layer-2's aggregation order
+    // differs (sorted state fold vs AVG), absorbed by the 6dp rounding —
+    // the same argument as the batch twin's loop-vs-AVG order.
+    "q_stream_gnn_layer2" -> {
+      val hr = (0 until Gnn.Dim).map(i => s"${matmulExpr(i, "m")} AS r${i + 1}").mkString(", ")
+      val h64 = (0 until Gnn.Dim).map(i => s"${relu(s"r${i + 1}")} AS h${i + 1}").mkString(", ")
+      val gAvgs = (1 to Gnn.Dim).map(j => s"AVG(h$j) AS gm$j").mkString(", ")
+      val gr = (0 until 4).map(i => s"${matmulExpr(i, "gm")} AS g${i + 1}r").mkString(", ")
+      val out = (0 until 4).map(i => s"ROUND(${relu(s"g${i + 1}r")}, 6) AS g${i + 1}").mkString(", ")
+      s"""WITH $edgesCte,
+         |$meanCte,
+         |hraw AS (SELECT custkey, $hr FROM m),
+         |h64 AS (SELECT custkey, $h64 FROM hraw),
+         |g AS (SELECT e.dst AS part_key, COUNT(*) AS n_custs, $gAvgs
+         |      FROM edges e JOIN h64 ON e.src = h64.custkey
+         |      GROUP BY 1),
+         |g2 AS (SELECT part_key, n_custs, $gr FROM g)
+         |SELECT part_key, n_custs, $out FROM g2 ORDER BY part_key""".stripMargin
     }
   )
 
