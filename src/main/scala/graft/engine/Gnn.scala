@@ -268,6 +268,89 @@ object Gnn {
       .orderBy("custkey")
   }
 
+  /** Learning rate for the SGD step (written as 1/10 in both engines so
+    * the constant is the identical double). */
+  val SgdEta = 0.1
+
+  /** Initial link-prediction weights: row 0 of the FIXTURES.md seeded
+    * weight matrix — (-0.3, 0.0, 0.3, -0.1). */
+  def sgdW(j: Int): Double = weight(0, j - 1)
+
+  /** One deterministic full-batch logistic-loss gradient step on the
+    * link-prediction objective (the "DL4J = trainable" half of the
+    * reference, README.md:2; GraphSAGE §3.2 unsupervised loss with
+    * negative sampling): examples are the co-purchase edges (y=1) plus
+    * q_gnn_neg_sampling's md5-seeded candidates with true edges rejected
+    * (y=0); features φ_j = m_c[j]·x_p[j] (customer neighborhood mean ×
+    * part embedding, dims 1–4); score s = Σ w_j·φ_j, σ = logistic, and
+    * the emitted row is the updated weights w_j − η·Σ(σ(s)−y)·φ_j / N
+    * plus the pre-step mean loss.
+    *
+    * Cross-engine determinism (see PERF.md determinism recipes): m_c
+    * rounds to 6dp after the AVG (pins the only order-dependent input);
+    * s is a fixed-order 4-term fold; σ and the log-loss round to 9dp
+    * (absorbs libm exp/ln last-ulp differences — the temporal-decay
+    * device); and the gradient/loss sums go through DECIMAL(38,9), which
+    * is exact and order-blind, so no double summation order exists at
+    * all. The weight update itself is scalar double math in a pinned
+    * order.
+    *
+    * Scale shape: two broadcast dims (counts + embeddings), the mean is
+    * one shuffle on the customer key, negatives are generated inline and
+    * rejected with one anti-join, and the gradient is a map-side-partial
+    * decimal aggregation to a single row — linear in |E| at any scale,
+    * exactly one extra shuffle over the forward pass. */
+  def q_gnn_sgd_step(s: SparkSession, dir: String): DataFrame = {
+    val e = GraphOps.edges(s, dir)
+    val ne = Tables.embeddings(s, dir).agg(count(lit(1)).as("c"))
+    val np = Tables.part(s, dir).agg(count(lit(1)).as("np"))
+    val el = (j: Int) => element_at(col("embedding"), j).cast("double")
+    // per-customer neighborhood mean, dims 1-4, rounded 6dp (determinism pin)
+    val mAggs = (1 to 4).map(j => round(avg(el(j)), 6).as(s"m$j"))
+    val m = e.crossJoin(broadcast(ne))
+      .select(col("src"), (col("dst") % col("c")).as("vkey"))
+      .join(broadcast(Tables.embeddings(s, dir)), col("vkey") === col("vec_id"))
+      .groupBy(col("src").as("cust"))
+      .agg(mAggs.head, mAggs.tail: _*)
+    val pos = e.select(col("src"), col("dst").as("p"), lit(1.0).as("y"))
+    val negRaw = e.crossJoin(broadcast(np))
+      .select(col("src"), explode(expr(
+        s"""transform(sequence(0, ${NegK - 1}), i ->
+            cast(conv(substring(md5(cast(
+              concat(cast(src as string), ':', cast(dst as string), ':', cast(i as string))
+            as binary)), 1, 15), 16, 10) as bigint) % np)""")).as("p"))
+    // rejection step: candidates that are true neighbors are dropped
+    val neg = negRaw.join(e.select(col("src").as("es"), col("dst").as("ed")),
+        col("src") === col("es") && col("p") === col("ed"), "left_anti")
+      .select(col("src"), col("p"), lit(0.0).as("y"))
+    val feat = pos.unionByName(neg).crossJoin(broadcast(ne))
+      .select(col("src"), col("y"), (col("p") % col("c")).as("vkey"))
+      .join(broadcast(Tables.embeddings(s, dir)), col("vkey") === col("vec_id"))
+      .join(m, col("src") === col("cust"))
+      .select(col("y") +: (1 to 4).map(j => (col(s"m$j") * el(j)).as(s"f$j")): _*)
+    // fixed-order 4-term score fold (identical IEEE op sequence in the oracle)
+    val sExpr = (2 to 4).foldLeft(lit(sgdW(1)) * col("f1"))(
+      (acc, j) => acc + lit(sgdW(j)) * col(s"f$j"))
+    val sig = lit(1.0) / (lit(1.0) + exp(-sExpr))
+    val scored = feat
+      .withColumn("resid", round(sig - col("y"), 9))
+      .withColumn("lossr", round(-(col("y") * log(sig)
+        + (lit(1.0) - col("y")) * log(lit(1.0) - sig)), 9))
+    val gradAggs = (1 to 4).map(j =>
+      sum(round(col("resid") * col(s"f$j"), 9).cast("decimal(38,9)")).as(s"g$j"))
+    val aggs = Seq(
+      sum(when(col("y") === 1.0, 1L).otherwise(0L)).as("n_pos"),
+      sum(when(col("y") === 0.0, 1L).otherwise(0L)).as("n_neg"),
+      count(lit(1)).as("n_ex"),
+      sum(col("lossr").cast("decimal(38,9)")).as("losssum")) ++ gradAggs
+    scored.agg(aggs.head, aggs.tail: _*)
+      .select(col("n_pos") +: col("n_neg") +:
+        round(col("losssum").cast("double") / col("n_ex"), 6).as("mean_loss") +:
+        (1 to 4).map(j =>
+          round(lit(sgdW(j)) - lit(SgdEta) * (col(s"g$j").cast("double") / col("n_ex")), 6)
+            .as(s"w${j}_new")): _*)
+  }
+
   /** Walk length for the deterministic random-walk sampler. */
   val WalkSteps = 4
 
@@ -321,6 +404,7 @@ object Gnn {
     "q_gnn_attention" -> q_gnn_attention _,
     "q_gnn_layer2" -> q_gnn_layer2 _,
     "q_gnn_neg_sampling" -> q_gnn_neg_sampling _,
+    "q_gnn_sgd_step" -> q_gnn_sgd_step _,
     "q_embed_zscore" -> q_embed_zscore _
   )
 }

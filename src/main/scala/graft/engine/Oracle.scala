@@ -1010,6 +1010,61 @@ object Oracle {
          |  COALESCE(fn, 0) AS n_false_neg
          |FROM pos LEFT JOIN fn ON pos.src = fn.src ORDER BY 1""".stripMargin,
 
+    // One full-batch logistic gradient step. Mirrors the Spark query's
+    // arithmetic step for step: round-6 neighborhood means, fixed-order
+    // 4-term score fold, round-9 sigmoid residual/log-loss, exact
+    // DECIMAL(38,9) sums (order-blind), pinned-order weight update.
+    "q_gnn_sgd_step" -> {
+      val w = (1 to 4).map(j => s"(CAST(${(j - 1) * 17 % 7 - 3} AS DOUBLE)/10)")
+      val sFold = (2 to 4).foldLeft(s"${w(0)}*f1")((acc, j) => s"$acc + ${w(j - 1)}*f$j")
+      val sig = s"1/(1+exp(-($sFold)))"
+      val mAvgs = (1 to 4)
+        .map(j => s"ROUND(AVG(CAST(emb.embedding[$j] AS DOUBLE)), 6) AS m$j").mkString(", ")
+      val feats = (1 to 4).map(j => s"m.m$j * CAST(emb.embedding[$j] AS DOUBLE) AS f$j").mkString(", ")
+      val grads = (1 to 4)
+        .map(j => s"SUM(CAST(ROUND(resid*f$j, 9) AS DECIMAL(38,9))) AS g$j").mkString(", ")
+      val wNew = (1 to 4)
+        .map(j => s"ROUND(${w(j - 1)} - (CAST(1 AS DOUBLE)/10) * (CAST(g$j AS DOUBLE) / n_ex), 6) AS w${j}_new")
+        .mkString(", ")
+      s"""WITH $edgesCte,
+         |ne AS (SELECT COUNT(*) AS c FROM embeddings),
+         |np AS (SELECT COUNT(*) AS np FROM part),
+         |m AS (SELECT e.src AS cust, $mAvgs
+         |      FROM edges e CROSS JOIN ne
+         |      JOIN embeddings emb ON emb.vec_id = e.dst % ne.c
+         |      GROUP BY 1),
+         |pos AS (SELECT src, dst AS p, CAST(1 AS DOUBLE) AS y FROM edges),
+         |negraw AS (SELECT src,
+         |  CAST('0x' || substr(md5(CAST(src AS VARCHAR) || ':' ||
+         |    CAST(dst AS VARCHAR) || ':' || CAST(i AS VARCHAR)), 1, 15) AS BIGINT)
+         |    % np AS p
+         |  FROM edges CROSS JOIN np,
+         |    UNNEST([${(0 until Gnn.NegK).mkString(", ")}]) AS u(i)),
+         |neg AS (SELECT n.src, n.p, CAST(0 AS DOUBLE) AS y FROM negraw n
+         |        WHERE NOT EXISTS (SELECT 1 FROM edges e
+         |                          WHERE e.src = n.src AND e.dst = n.p)),
+         |ex AS (SELECT * FROM pos UNION ALL SELECT * FROM neg),
+         |feat AS (SELECT ex.y, $feats
+         |         FROM ex CROSS JOIN ne
+         |         JOIN embeddings emb ON emb.vec_id = ex.p % ne.c
+         |         JOIN m ON m.cust = ex.src),
+         |sc AS (SELECT y, f1, f2, f3, f4,
+         |         ROUND($sig - y, 9) AS resid,
+         |         ROUND(-(y*ln($sig) + (1-y)*ln(1 - $sig)), 9) AS lossr
+         |       FROM feat),
+         |agg AS (SELECT
+         |  CAST(SUM(CASE WHEN y = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_pos,
+         |  CAST(SUM(CASE WHEN y = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_neg,
+         |  COUNT(*) AS n_ex,
+         |  SUM(CAST(lossr AS DECIMAL(38,9))) AS losssum,
+         |  $grads
+         |FROM sc)
+         |SELECT n_pos, n_neg,
+         |  ROUND(CAST(losssum AS DOUBLE) / n_ex, 6) AS mean_loss,
+         |  $wNew
+         |FROM agg""".stripMargin
+    },
+
     // Softmax attention in SQL: the dot is SUM over UNNEST (same device
     // cosExpr uses — FP order differs from the codegen'd loop only in
     // the last ulp, absorbed by the 6dp rounding).
@@ -1954,9 +2009,84 @@ object Oracle {
     }
   )
 
+  /** §0.1 — streaming HDRF edge partitioning: the sequential greedy fold
+    * replayed as a recursive CTE whose working row carries the whole
+    * partitioner state (partition sizes, vertex replica set, partial
+    * degree table) as list-typed columns, advanced one edge per
+    * recursion step. Score arithmetic is ordered exactly as the Scala
+    * kernel's (θ division, 2−θ, g-sum, + λ·balance) so the argmax —
+    * list_position picks the FIRST max, the lowest-index tie-break —
+    * matches bit-for-bit. Validated against an independent scripted
+    * replay of the greedy rule before wiring (round-5 notes, PERF.md). */
+  val partitioning: Map[String, String] = Map(
+    "q_graph_partition_hdrf" -> {
+      val k = PartitionOps.HdrfK
+      val plist = (0 until k).mkString("[", ",", "]")
+      val zeros = Seq.fill(k)("0").mkString("[", ",", "]")
+      val lam = PartitionOps.HdrfLambda.toInt // written as CAST(n AS DOUBLE)
+      val eps = PartitionOps.HdrfEps.toInt // written as CAST(n AS DOUBLE)
+      s"""WITH RECURSIVE $edgesCte,
+         |es AS (SELECT row_number() OVER (ORDER BY src, dst) AS i,
+         |              src*2 AS u, dst*2+1 AS v
+         |       FROM (SELECT src, dst FROM edges ORDER BY src, dst LIMIT ${PartitionOps.HdrfEdges})),
+         |st AS (
+         |  SELECT 0::BIGINT AS i,
+         |         $zeros::BIGINT[] AS sizes,
+         |         CAST([] AS STRUCT(v BIGINT, p INTEGER)[]) AS reps,
+         |         CAST([] AS STRUCT(v BIGINT, d BIGINT)[]) AS degs
+         |  UNION ALL
+         |  SELECT i, sizes2 AS sizes, reps2 AS reps, degs2 AS degs FROM (
+         |    SELECT q2.i,
+         |      list_transform($plist, q -> CASE WHEN q = pstar THEN sizes[q+1] + 1 ELSE sizes[q+1] END) AS sizes2,
+         |      reps
+         |        || (CASE WHEN len(list_filter(reps, r -> r.v = u AND r.p = pstar)) > 0
+         |            THEN CAST([] AS STRUCT(v BIGINT, p INTEGER)[])
+         |            ELSE [struct_pack(v := u, p := pstar)] END)
+         |        || (CASE WHEN len(list_filter(reps, r -> r.v = v AND r.p = pstar)) > 0
+         |            THEN CAST([] AS STRUCT(v BIGINT, p INTEGER)[])
+         |            ELSE [struct_pack(v := v, p := pstar)] END) AS reps2,
+         |      list_transform(degs, x -> CASE WHEN x.v = u OR x.v = v
+         |                                THEN struct_pack(v := x.v, d := x.d + 1) ELSE x END)
+         |        || (CASE WHEN list_contains(list_transform(degs, x -> x.v), u)
+         |            THEN CAST([] AS STRUCT(v BIGINT, d BIGINT)[])
+         |            ELSE [struct_pack(v := u, d := 1::BIGINT)] END)
+         |        || (CASE WHEN list_contains(list_transform(degs, x -> x.v), v)
+         |            THEN CAST([] AS STRUCT(v BIGINT, d BIGINT)[])
+         |            ELSE [struct_pack(v := v, d := 1::BIGINT)] END) AS degs2
+         |    FROM (
+         |      SELECT q1.*,
+         |        CAST(list_position(scores, list_max(scores)) - 1 AS INTEGER) AS pstar
+         |      FROM (
+         |        SELECT q0.*,
+         |          list_transform($plist, p ->
+         |            ((CASE WHEN len(list_filter(reps, r -> r.v = u AND r.p = p)) > 0
+         |                THEN 2 - (du / (du + dv)) ELSE CAST(0 AS DOUBLE) END)
+         |             + (CASE WHEN len(list_filter(reps, r -> r.v = v AND r.p = p)) > 0
+         |                THEN 2 - (dv / (du + dv)) ELSE CAST(0 AS DOUBLE) END))
+         |            + CAST($lam AS DOUBLE) *
+         |              ((list_max(sizes) - sizes[p+1]) /
+         |               (CAST($eps AS DOUBLE) + (list_max(sizes) - list_min(sizes))))) AS scores
+         |        FROM (
+         |          SELECT e.i, e.u, e.v, st.sizes, st.reps, st.degs,
+         |            coalesce(list_filter(st.degs, x -> x.v = e.u)[1].d, 0) + 1 AS du,
+         |            coalesce(list_filter(st.degs, x -> x.v = e.v)[1].d, 0) + 1 AS dv
+         |          FROM st JOIN es e ON e.i = st.i + 1
+         |        ) q0
+         |      ) q1
+         |    ) q2
+         |  ) q3
+         |),
+         |fin AS (SELECT * FROM st WHERE i = (SELECT MAX(i) FROM st))
+         |SELECT p AS partition, fin.sizes[p+1] AS n_edges,
+         |  CAST(len(list_filter(fin.reps, r -> r.p = p)) AS BIGINT) AS n_replicas
+         |FROM fin, UNNEST($plist) AS t(p)
+         |ORDER BY 1""".stripMargin
+    }
+  )
+
   val all: Map[String, String] =
     relational ++ streaming ++ graph ++ llm ++ extended ++ gnn ++ gnnPrep ++
       pipeline ++ round4 ++ round4b ++ round4c ++ round4d ++ round4e ++
       round4f ++ round5 ++ round6 ++ round6graph ++ ClusterOps.oracle ++
-      BpeOps.oracle
+      BpeOps.oracle ++ partitioning
 }

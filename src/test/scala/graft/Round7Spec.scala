@@ -4,7 +4,7 @@ import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
 import org.apache.spark.sql.streaming.OutputMode
 import org.scalatest.funsuite.AnyFunSuite
 
-import graft.engine.{Gnn, GraphOps, StreamingGnn}
+import graft.engine.{Gnn, GraphOps, PartitionOps, StreamingGnn}
 
 /** Bipartite edge event for the two-hop streaming scenario. */
 case class L2Edge(src: Long, dst: Long, embedding: Seq[Float])
@@ -34,6 +34,58 @@ class Round7Spec extends AnyFunSuite {
         assert(math.abs(a - b) <= 2e-6, s"part $part: stream $gs vs batch ${batch(part)}")
       }
     }
+  }
+
+  test("hdrf: edges partitioned exactly once; balanced; beats hash-cut replication") {
+    // full-stream behavior (the contract query covers only the oracle
+    // prefix): run the kernel over ALL sf0.01 co-purchase edges, k=8
+    val edges = GraphOps.edges(spark, sf001).orderBy("src", "dst").collect()
+      .map(r => (r.getLong(0) * 2, r.getLong(1) * 2 + 1))
+    val k = 8
+    val (sizes, replicas) = PartitionOps.hdrfAssign(edges.iterator, k)
+    assert(sizes.sum == edges.length, "each edge assigned to exactly one partition")
+    val (mx, mn) = (sizes.max, sizes.min)
+    assert(mx - mn <= math.max(64L, edges.length / 100),
+      s"balance: sizes ${sizes.toSeq}")
+    // replication factor vs a hash vertex-cut baseline on the same stream
+    val verts = edges.flatMap(e => Seq(e._1, e._2)).distinct
+    val rfHdrf = replicas.sum.toDouble / verts.length
+    val hashParts = scala.collection.mutable.HashMap.empty[Long, Set[Int]]
+    edges.foreach { case (u, v) =>
+      // unbiased random edge-cut baseline (a linear-congruential mix of
+      // the raw keys collides on partition parity classes — measured RF
+      // 4.0 vs murmur's 7.8, i.e. it accidentally half-partitions)
+      val p = math.floorMod(scala.util.hashing.MurmurHash3.productHash((u, v)), k)
+      hashParts(u) = hashParts.getOrElse(u, Set.empty) + p
+      hashParts(v) = hashParts.getOrElse(v, Set.empty) + p
+    }
+    val rfHash = hashParts.valuesIterator.map(_.size).sum.toDouble / verts.length
+    assert(rfHdrf >= 1.0 && rfHdrf <= rfHash,
+      f"HDRF replication factor $rfHdrf%.3f must not exceed hash-cut $rfHash%.3f")
+    // deterministic: same stream, same assignment
+    val (sizes2, replicas2) = PartitionOps.hdrfAssign(edges.iterator, k)
+    assert(sizes.toSeq == sizes2.toSeq && replicas.toSeq == replicas2.toSeq)
+  }
+
+  test("sgd step: example accounting ties to neg-sampling; loss positive; weights move") {
+    val r = Gnn.q_gnn_sgd_step(spark, sf0001).collect()
+    assert(r.length == 1)
+    val row = r(0)
+    val nPos = row.getLong(0); val nNeg = row.getLong(1)
+    assert(nPos == GraphOps.edges(spark, sf0001).count())
+    // negatives = 3 per positive minus the rejected (false-negative) draws,
+    // which q_gnn_neg_sampling accounts per customer
+    val falseNegs = Gnn.q_gnn_neg_sampling(spark, sf0001).collect()
+      .map(_.getLong(3)).sum
+    assert(nNeg == Gnn.NegK * nPos - falseNegs,
+      s"n_neg $nNeg vs ${Gnn.NegK} * $nPos - $falseNegs")
+    assert(row.getDouble(2) > 0.0, "pre-step logistic loss is positive")
+    val wNew = (3 to 6).map(row.getDouble)
+    assert(wNew.forall(w => !w.isNaN && !w.isInfinite))
+    assert((1 to 4).exists(j => math.abs(wNew(j - 1) - Gnn.sgdW(j)) > 1e-9),
+      "a full-batch gradient step must move at least one weight")
+    // deterministic: re-run reproduces byte-equal output
+    assert(Gnn.q_gnn_sgd_step(spark, sf0001).collect().toSeq == r.toSeq)
   }
 
   test("stream 2-layer GNN: chained two-hop streaming pipeline converges to batch") {
