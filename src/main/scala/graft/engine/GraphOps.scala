@@ -34,16 +34,36 @@ object GraphOps {
     * 12M-row co-occurrence aggregation per operator was the single
     * largest cost block in the bench (PERF.md). Entries key on
     * (application, fixture dir) — same pattern as LlmOps' vocabulary
-    * stats memo. The benign put race (two concurrent builds, first
-    * wins) is preferable to computeIfAbsent, whose nested recursive
-    * update (pairCounts builds via edges) is illegal on one map. */
+    * stats memo. Builds serialize under one REENTRANT lock (ADVICE r4):
+    * computeIfAbsent is illegal here because pairCounts recursively
+    * memoizes edges on the same map, but `synchronized` re-enters on the
+    * same thread, so the nested build is fine and no duplicate
+    * checkpoint is ever created to leak. Entries are evicted when their
+    * application ends (the checkpoint blocks die with the executors;
+    * this frees the map in a long-lived multi-session JVM). */
   private val matCache = new java.util.concurrent.ConcurrentHashMap[String, DataFrame]()
+  private val matLock = new Object
+  private val evictionHooked = java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
 
   private def memo(s: SparkSession, key: String)(build: => DataFrame): DataFrame = {
-    val k = s.sparkContext.applicationId + "|" + key
+    val appId = s.sparkContext.applicationId
+    if (evictionHooked.add(appId)) {
+      s.sparkContext.addSparkListener(new org.apache.spark.scheduler.SparkListener {
+        override def onApplicationEnd(
+            end: org.apache.spark.scheduler.SparkListenerApplicationEnd): Unit = {
+          matCache.keySet.removeIf(_.startsWith(appId + "|"))
+          evictionHooked.remove(appId)
+        }
+      })
+    }
+    val k = appId + "|" + key
     val cur = matCache.get(k)
     if (cur != null) cur
-    else { matCache.putIfAbsent(k, build); matCache.get(k) }
+    else matLock.synchronized {
+      val winner = matCache.get(k)
+      if (winner != null) winner
+      else { val built = build; matCache.put(k, built); built }
+    }
   }
 
   /** Co-purchase bipartite edges: DISTINCT (customer, part) — built once

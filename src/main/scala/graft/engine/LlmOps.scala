@@ -119,6 +119,11 @@ object LlmOps {
     }
 
   def q_llm_jaccard_pairs(s: SparkSession, dir: String): DataFrame = {
+    // EXACT BASELINE — not the scale path. O(n²/lang) by design: this is
+    // the oracle-checkable ground truth the banded-LSH production path
+    // (q_llm_minhash_lsh / q_llm_minhash_md5) is tested against. Do NOT
+    // scale its input up; at corpus scale run the LSH twin (PERF.md
+    // "exact-baseline fences").
     // Slim all-pairs generation (ids + set sizes only), then the shared
     // jaccardVerify attaches set representations — one formula location
     // for both this exact path and the LSH candidate path.
@@ -346,9 +351,13 @@ object LlmOps {
   }
 
   /** Embedding-cosine near-dup pairs on a deterministic 25% sample
-    * (vec_id % 4 = 0): all-pairs cosine ≥ 0.35. The exact baseline for
-    * vector dedup; the scale path is the same banding trick with random
-    * hyperplanes (q_llm_simhash shape). */
+    * (vec_id % 4 = 0): all-pairs cosine ≥ 0.35.
+    *
+    * EXACT BASELINE — not the scale path. All-pairs by design (bounded by
+    * the sample): the ground truth the bucketed production twins
+    * (q_llm_semdedup cell-scoped dedup, q_llm_simhash hyperplane banding)
+    * are tested against. Do NOT scale its sample up; see PERF.md
+    * "exact-baseline fences". */
   def q_llm_embed_neardup(s: SparkSession, dir: String): DataFrame = {
     val sub = Tables.embeddings(s, dir).filter(col("vec_id") % 4 === 0)
       .withColumn("nrm", normCol(s)(col("embedding")))

@@ -21,10 +21,21 @@ import org.apache.spark.sql.types._
   */
 object SourceOps {
 
+  /** Per-process scratch root (ADVICE r4): keyed by PID + start time so
+    * two concurrent JVMs (bench + correctness harness, parallel CI) can
+    * never race each other's SaveMode.Overwrite writes, and distinct
+    * fixture dirs sharing a basename stay separated per process. Cleaned
+    * by the OS tmp reaper; one JVM reuses its own root across queries
+    * (that reuse is what the Overwrite mode is for). */
+  private lazy val scratchRoot: String = {
+    val rh = java.lang.management.ManagementFactory.getRuntimeMXBean
+    s"${System.getProperty("java.io.tmpdir")}/graft_fmt-${rh.getName.takeWhile(_ != '@')}-${rh.getStartTime}"
+  }
+
   /** Scratch dir per (format, fixture): overwritten on every run so the
     * check never reads a stale round-trip from a previous session. */
   private def scratch(fmt: String, dir: String): String =
-    s"${System.getProperty("java.io.tmpdir")}/graft_fmt/$fmt-${new java.io.File(dir).getName}"
+    s"$scratchRoot/$fmt-${new java.io.File(dir).getName}"
 
   private val supplierSchema = StructType(Seq(
     StructField("s_suppkey", LongType),

@@ -4,7 +4,7 @@ import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
 import org.apache.spark.sql.streaming.OutputMode
 import org.scalatest.funsuite.AnyFunSuite
 
-import graft.engine.{Gnn, GraphOps, PartitionOps, StreamingGnn}
+import graft.engine.{Gnn, GraphOps, PartitionOps, StreamingGnn, StreamingOps}
 
 /** Bipartite edge event for the two-hop streaming scenario. */
 case class L2Edge(src: Long, dst: Long, embedding: Seq[Float])
@@ -34,6 +34,45 @@ class Round7Spec extends AnyFunSuite {
         assert(math.abs(a - b) <= 2e-6, s"part $part: stream $gs vs batch ${batch(part)}")
       }
     }
+  }
+
+  test("session seal boundary: wm == end+gap seals, and the earliest admissible event cannot merge") {
+    // Pins the inclusive-seal convention (ADVICE r3/r4): a session sealed
+    // at exactly wm = endMs + gap is SAFE because Spark's fMGWS late-row
+    // filter admits only events with ts > wm, and such an event starts
+    // at least gap+1 past the sealed end — strictly outside the
+    // inclusive merge rule (startMs - endMs <= gap). Both halves of that
+    // argument are exercised here through TestGroupState.
+    import org.apache.spark.sql.streaming.{GroupStateTimeout, TestGroupState}
+    import org.apache.spark.api.java.Optional
+    val gap = StreamingOps.SessionGapMs
+    val end = 10_000_000L
+    // 1) timer fires with wm exactly at end + gap → the session seals
+    val sealSt = TestGroupState.create[StreamingOps.SessState](
+      Optional.of(StreamingOps.SessState(Seq(StreamingOps.Sess(3L, end - 1000, end)))),
+      GroupStateTimeout.EventTimeTimeout, 0L,
+      Optional.of(java.lang.Long.valueOf(end + gap)), hasTimedOut = true)
+    val sealed_ = StreamingOps.timedSessionUpdate(42L, Iterator.empty, sealSt).toList
+    assert(sealed_.map(_.n_events) == List(3L), "boundary wm == end+gap must seal")
+    assert(sealSt.isRemoved, "no pending sessions remain")
+    // 2) one ms earlier it must NOT seal (the boundary is tight)
+    val holdSt = TestGroupState.create[StreamingOps.SessState](
+      Optional.of(StreamingOps.SessState(Seq(StreamingOps.Sess(3L, end - 1000, end)))),
+      GroupStateTimeout.EventTimeTimeout, 0L,
+      Optional.of(java.lang.Long.valueOf(end + gap - 1)), hasTimedOut = true)
+    assert(StreamingOps.timedSessionUpdate(42L, Iterator.empty, holdSt).isEmpty,
+      "wm == end+gap-1 must keep the session pending")
+    // 3) the earliest event the watermark filter can admit (ts = wm + 1)
+    // starts a NEW session gap+1 past the sealed end: merge impossible
+    // under the inclusive rule, so the seal can never lose a bridge.
+    val lateSt = TestGroupState.create[StreamingOps.SessState](
+      Optional.empty(), GroupStateTimeout.EventTimeTimeout, 0L,
+      Optional.of(java.lang.Long.valueOf(end + gap)), hasTimedOut = false)
+    val ev = StreamingOps.Ev(1L, 42L, new java.sql.Timestamp(end + gap + 1), 1.0)
+    assert(StreamingOps.timedSessionUpdate(42L, Iterator(ev), lateSt).isEmpty,
+      "admitted boundary event opens a new pending session, no emission")
+    assert(lateSt.get.sessions.map(s => (s.n, s.startMs)) == Seq((1L, end + gap + 1)))
+    assert((end + gap + 1) - end > gap, "new session start is strictly outside the merge gap")
   }
 
   test("hdrf: edges partitioned exactly once; balanced; beats hash-cut replication") {
