@@ -300,7 +300,12 @@ object Gnn {
     * rejected with one anti-join, and the gradient is a map-side-partial
     * decimal aggregation to a single row — linear in |E| at any scale,
     * exactly one extra shuffle over the forward pass. */
-  def q_gnn_sgd_step(s: SparkSession, dir: String): DataFrame = {
+  /** Shared link-prediction training-example builder (the SGD step, the
+    * multi-step loops in TrainOps, and the AUC evaluation all consume
+    * it): (y, f1..f4) rows where positives are the co-purchase edges,
+    * negatives the md5-seeded rejected candidates, and φ_j = m_c[j]·
+    * x_p[j] (round-6 customer neighborhood mean × part embedding). */
+  def linkPredFeatures(s: SparkSession, dir: String): DataFrame = {
     val e = GraphOps.edges(s, dir)
     val ne = Tables.embeddings(s, dir).agg(count(lit(1)).as("c"))
     val np = Tables.part(s, dir).agg(count(lit(1)).as("np"))
@@ -323,14 +328,23 @@ object Gnn {
     val neg = negRaw.join(e.select(col("src").as("es"), col("dst").as("ed")),
         col("src") === col("es") && col("p") === col("ed"), "left_anti")
       .select(col("src"), col("p"), lit(0.0).as("y"))
-    val feat = pos.unionByName(neg).crossJoin(broadcast(ne))
+    pos.unionByName(neg).crossJoin(broadcast(ne))
       .select(col("src"), col("y"), (col("p") % col("c")).as("vkey"))
       .join(broadcast(Tables.embeddings(s, dir)), col("vkey") === col("vec_id"))
       .join(m, col("src") === col("cust"))
       .select(col("y") +: (1 to 4).map(j => (col(s"m$j") * el(j)).as(s"f$j")): _*)
+  }
+
+  /** Fixed-order 4-term score fold Σ w_j·φ_j (identical IEEE op sequence
+    * in the oracle — left-associated, j ascending). */
+  def scoreFold(w: Int => Double): org.apache.spark.sql.Column =
+    (2 to 4).foldLeft(lit(w(1)) * col("f1"))(
+      (acc, j) => acc + lit(w(j)) * col(s"f$j"))
+
+  def q_gnn_sgd_step(s: SparkSession, dir: String): DataFrame = {
+    val feat = linkPredFeatures(s, dir)
     // fixed-order 4-term score fold (identical IEEE op sequence in the oracle)
-    val sExpr = (2 to 4).foldLeft(lit(sgdW(1)) * col("f1"))(
-      (acc, j) => acc + lit(sgdW(j)) * col(s"f$j"))
+    val sExpr = scoreFold(sgdW)
     val sig = lit(1.0) / (lit(1.0) + exp(-sExpr))
     val scored = feat
       .withColumn("resid", round(sig - col("y"), 9))

@@ -355,7 +355,10 @@ object GraphOps {
     * One shuffle + one window per iteration — a Pregel superstep as
     * relational algebra. Returns the community-size histogram over
     * edge-connected nodes. */
-  def q_graph_label_prop(s: SparkSession, dir: String): DataFrame = {
+  /** The label-propagation loop itself, shared by q_graph_label_prop and
+    * q_graph_modularity: 4 synchronous iterations over the thresholded
+    * projection, returning the final (node, lbl) table. */
+  def lpLabels(s: SparkSession, dir: String): DataFrame = {
     val pp = partPairs(s, dir, TriangleMinCooccur).select(col("a"), col("b"))
     val ue = pp.union(pp.select(col("b").as("a"), col("a").as("b")))
       .localCheckpoint()
@@ -379,9 +382,73 @@ object GraphOps {
         .select(col("a").as("node"), (-col("m.nl")).as("lbl"))
         .localCheckpoint()
     }
-    labels.groupBy(col("lbl")).agg(count(lit(1)).as("csize"))
+    labels
+  }
+
+  def q_graph_label_prop(s: SparkSession, dir: String): DataFrame =
+    lpLabels(s, dir).groupBy(col("lbl")).agg(count(lit(1)).as("csize"))
       .groupBy(col("csize").as("size")).agg(count(lit(1)).as("n_communities"))
       .orderBy("size")
+
+  /** Newman modularity (Newman & Girvan 2004 eq. 5) of the label-prop
+    * communities on the thresholded projection:
+    * Q = Σ_c [e_c/m − (d_c/2m)²] — computed as the exact integer ratio
+    * (4m·Σe_c − Σd_c²) / (4m²), so the ONLY floating-point operation is
+    * the final division of two exact BIGINTs (identical in both engines;
+    * no rounding needed at all — the round-9/round-6 tie classes cannot
+    * occur). The labels table is community-count-sized → broadcast; the
+    * rest is two keyed aggregations over the projection. At 100 TB the
+    * integer sums would move to DECIMAL(38,0), same shape. */
+  def q_graph_modularity(s: SparkSession, dir: String): DataFrame = {
+    val pp = partPairs(s, dir, TriangleMinCooccur).select(col("a"), col("b"))
+    val ue = pp.union(pp.select(col("b").as("a"), col("a").as("b")))
+    val labels = lpLabels(s, dir)
+    val deg = ue.groupBy(col("a").as("n")).agg(count(lit(1)).as("d"))
+    val la = labels.select(col("node").as("na"), col("lbl").as("la"))
+    val lb = labels.select(col("node").as("nb"), col("lbl").as("lb"))
+    val intra = pp.join(broadcast(la), col("a") === col("na"))
+      .join(broadcast(lb), col("b") === col("nb"))
+      .filter(col("la") === col("lb"))
+      .groupBy(col("la").as("c")).agg(count(lit(1)).as("ec"))
+    val dc = deg.join(broadcast(labels), col("n") === col("node"))
+      .groupBy(col("lbl")).agg(sum(col("d")).as("dcsum"))
+    val comm = dc.join(intra, col("lbl") === col("c"), "left_outer")
+      .select(col("lbl"), coalesce(col("ec"), lit(0L)).as("ec"), col("dcsum"))
+    val mRow = pp.agg(count(lit(1)).as("m"))
+    comm.agg(count(lit(1)).as("n_communities"),
+        sum(col("ec")).as("intra_edges"),
+        sum(col("dcsum") * col("dcsum")).as("sum_dc2"))
+      .crossJoin(broadcast(mRow))
+      .select(col("n_communities"), col("m").as("n_edges"), col("intra_edges"),
+        ((lit(4L) * col("m") * col("intra_edges") - col("sum_dc2")).cast("double")
+          / ((lit(4L) * col("m")) * col("m")).cast("double")).as("modularity"))
+  }
+
+  /** Degree assortativity (Newman 2002, Pearson correlation of endpoint
+    * degrees over the symmetrized arc set): r = (M·Σxy − (Σx)²) /
+    * (M·Σx² − (Σx)²), where x,y are the endpoint degrees of each arc and
+    * the symmetrization makes Σx = Σy, Σx² = Σy². All sums are exact
+    * BIGINTs; ONE double division at the end — the same zero-rounding
+    * determinism shape as q_graph_modularity. Degree table broadcasts
+    * onto the arc list twice; one aggregation, no further shuffle. */
+  def q_graph_assortativity(s: SparkSession, dir: String): DataFrame = {
+    val pp = partPairs(s, dir, TriangleMinCooccur).select(col("a"), col("b"))
+    val ue = pp.union(pp.select(col("b").as("a"), col("a").as("b")))
+    val deg = ue.groupBy(col("a").as("n")).agg(count(lit(1)).as("d"))
+    val arcs = ue
+      .join(broadcast(deg.select(col("n").as("n1"), col("d").as("dx"))),
+        col("a") === col("n1"))
+      .join(broadcast(deg.select(col("n").as("n2"), col("d").as("dy"))),
+        col("b") === col("n2"))
+    arcs.agg(count(lit(1)).as("arcs"),
+        sum(col("dx")).as("s1"),
+        sum(col("dx") * col("dy")).as("sxy"),
+        sum(col("dx") * col("dx")).as("sxx"))
+      .select((col("arcs") / 2).cast("bigint").as("n_edges"),
+        col("arcs").as("n_arcs"),
+        ((col("arcs") * col("sxy") - col("s1") * col("s1")).cast("double")
+          / (col("arcs") * col("sxx") - col("s1") * col("s1")).cast("double"))
+          .as("assortativity"))
   }
 
   /** k-core order and peeling rounds (shared with the unrolled oracle;
@@ -553,6 +620,8 @@ object GraphOps {
     "q_graph_adamic_adar" -> q_graph_adamic_adar _,
     "q_graph_hits" -> q_graph_hits _,
     "q_graph_label_prop" -> q_graph_label_prop _,
+    "q_graph_modularity" -> q_graph_modularity _,
+    "q_graph_assortativity" -> q_graph_assortativity _,
     "q_graph_kcore" -> q_graph_kcore _,
     "q_graph_clustering" -> q_graph_clustering _,
     "q_graph_neighbor_mean" -> q_graph_neighbor_mean _

@@ -2084,9 +2084,252 @@ object Oracle {
     }
   )
 
+  /** §2.11 cont. — GNN training loops (TrainOps). The example-set CTE
+    * chain replicates q_gnn_sgd_step's; each step's scalar weight/moment
+    * updates are carried through 1-row CTEs cross-joined into the next
+    * step's scoring — the SQL mirror of the driver-side scalar loop.
+    * feat MATERIALIZED: the unrolled steps each re-reference it. */
+  private val linkPredFeatCte: String = {
+    val mAvgs = (1 to 4)
+      .map(j => s"ROUND(AVG(CAST(emb.embedding[$j] AS DOUBLE)), 6) AS m$j").mkString(", ")
+    val feats = (1 to 4)
+      .map(j => s"m.m$j * CAST(emb.embedding[$j] AS DOUBLE) AS f$j").mkString(", ")
+    s"""ne AS (SELECT COUNT(*) AS c FROM embeddings),
+       |np AS (SELECT COUNT(*) AS np FROM part),
+       |m AS (SELECT e.src AS cust, $mAvgs
+       |      FROM edges e CROSS JOIN ne
+       |      JOIN embeddings emb ON emb.vec_id = e.dst % ne.c
+       |      GROUP BY 1),
+       |pos AS (SELECT src, dst AS p, CAST(1 AS DOUBLE) AS y FROM edges),
+       |negraw AS (SELECT src,
+       |  CAST('0x' || substr(md5(CAST(src AS VARCHAR) || ':' ||
+       |    CAST(dst AS VARCHAR) || ':' || CAST(i AS VARCHAR)), 1, 15) AS BIGINT)
+       |    % np AS p
+       |  FROM edges CROSS JOIN np,
+       |    UNNEST([${(0 until Gnn.NegK).mkString(", ")}]) AS u(i)),
+       |neg AS (SELECT n.src, n.p, CAST(0 AS DOUBLE) AS y FROM negraw n
+       |        WHERE NOT EXISTS (SELECT 1 FROM edges e
+       |                          WHERE e.src = n.src AND e.dst = n.p)),
+       |ex AS (SELECT * FROM pos UNION ALL SELECT * FROM neg),
+       |feat AS MATERIALIZED (SELECT ex.y, $feats
+       |         FROM ex CROSS JOIN ne
+       |         JOIN embeddings emb ON emb.vec_id = ex.p % ne.c
+       |         JOIN m ON m.cust = ex.src)""".stripMargin
+  }
+
+  /** Initial link-prediction weight literal (Gnn.sgdW). */
+  private def sgdWLit(j: Int): String = s"(CAST(${(j - 1) * 17 % 7 - 3} AS DOUBLE)/10)"
+
+  /** Score fold at weights taken from 1-row CTE alias `w`. */
+  private def scoreFoldSql(ref: Int => String): String =
+    (1 to 4).map(j => s"${ref(j)}*f$j").mkString(" + ")
+
+  /** One gradient-evaluation step: sc/ag CTE pair at the weights of the
+    * 1-row CTE `$wFrom` (columns w1..w4). */
+  private def gradStepCtes(t: Int, wFrom: String): String = {
+    val sig = s"1/(1+exp(-(${scoreFoldSql(j => s"w.w$j")})))"
+    val grads = (1 to 4)
+      .map(j => s"SUM(CAST(ROUND(resid*f$j, 9) AS DECIMAL(38,9))) AS g$j").mkString(", ")
+    s"""sc$t AS (SELECT y, f1, f2, f3, f4,
+       |    ROUND($sig - y, 9) AS resid,
+       |    ROUND(-(y*ln($sig) + (1-y)*ln(1 - $sig)), 9) AS lossr
+       |  FROM feat CROSS JOIN $wFrom w),
+       |ag$t AS (SELECT COUNT(*) AS n_ex,
+       |    SUM(CAST(lossr AS DECIMAL(38,9))) AS losssum, $grads
+       |  FROM sc$t),
+       |gn$t AS (SELECT n_ex,
+       |    ROUND(CAST(losssum AS DOUBLE) / n_ex, 6) AS mean_loss,
+       |    ${(1 to 4).map(j => s"CAST(g$j AS DOUBLE) / n_ex AS gn$j").mkString(", ")}
+       |  FROM ag$t)""".stripMargin
+  }
+
+  val train: Map[String, String] = Map(
+    "q_gnn_sgd_epoch" -> {
+      val w0 = (1 to 4).map(j => s"${sgdWLit(j)} AS w$j").mkString(", ")
+      val steps = (1 to TrainOps.EpochSteps).map { t =>
+        val wNew = (1 to 4)
+          .map(j => s"w.w$j - (CAST(1 AS DOUBLE)/10) * g.gn$j AS w$j").mkString(", ")
+        s"""${gradStepCtes(t, s"w${t - 1}")},
+           |w$t AS (SELECT $wNew, g.mean_loss AS mean_loss
+           |        FROM gn$t g CROSS JOIN w${t - 1} w)""".stripMargin
+      }.mkString(",\n")
+      val out = (1 to TrainOps.EpochSteps).map { t =>
+        s"""SELECT CAST($t AS INT) AS step, mean_loss,
+           |  ${(1 to 4).map(j => s"ROUND(w$j, 6) AS w$j").mkString(", ")} FROM w$t""".stripMargin
+      }.mkString("\nUNION ALL\n")
+      s"""WITH $edgesCte,
+         |$linkPredFeatCte,
+         |w0 AS (SELECT $w0),
+         |$steps
+         |$out
+         |ORDER BY step""".stripMargin
+    },
+
+    "q_gnn_adam_step" -> {
+      val b1 = "(CAST(9 AS DOUBLE)/10)"
+      val b2 = "(CAST(999 AS DOUBLE)/1000)"
+      // bias-correction denominators as explicit literal products (no pow)
+      def prod(lit: String, t: Int): String = Seq.fill(t)(lit).mkString("*")
+      val st0 = ((1 to 4).map(j => s"${sgdWLit(j)} AS w$j") ++
+        (1 to 4).map(j => s"CAST(0 AS DOUBLE) AS m$j") ++
+        (1 to 4).map(j => s"CAST(0 AS DOUBLE) AS v$j")).mkString(", ")
+      val steps = (1 to TrainOps.AdamSteps).map { t =>
+        val mv = ((1 to 4).map(j => s"p.w$j AS ow$j") ++
+          (1 to 4).map(j => s"$b1*p.m$j + (1 - $b1)*g.gn$j AS m$j") ++
+          (1 to 4).map(j => s"$b2*p.v$j + (1 - $b2)*(g.gn$j*g.gn$j) AS v$j"))
+          .mkString(", ")
+        val wNew = (1 to 4).map(j =>
+          s"""ow$j - (CAST(1 AS DOUBLE)/10) * ((m$j/(1 - ${prod(b1, t)}))
+             | / (sqrt(v$j/(1 - ${prod(b2, t)})) + 1e-8)) AS w$j""".stripMargin)
+          .mkString(", ")
+        s"""${gradStepCtes(t, s"st${t - 1}")},
+           |mv$t AS (SELECT $mv, g.mean_loss AS mean_loss
+           |         FROM gn$t g CROSS JOIN st${t - 1} p),
+           |st$t AS (SELECT $wNew,
+           |  ${(1 to 4).map(j => s"m$j").mkString(", ")},
+           |  ${(1 to 4).map(j => s"v$j").mkString(", ")}, mean_loss
+           |  FROM mv$t)""".stripMargin
+      }.mkString(",\n")
+      val out = (1 to TrainOps.AdamSteps).map { t =>
+        s"""SELECT CAST($t AS INT) AS step, mean_loss,
+           |  ${(1 to 4).map(j => s"ROUND(w$j, 6) AS w$j").mkString(", ")} FROM st$t""".stripMargin
+      }.mkString("\nUNION ALL\n")
+      s"""WITH $edgesCte,
+         |$linkPredFeatCte,
+         |st0 AS (SELECT $st0),
+         |$steps
+         |$out
+         |ORDER BY step""".stripMargin
+    },
+
+    // Exact Mann–Whitney AUC with average-rank tie handling, computed
+    // over the DISTINCT-score histogram: 2·Σ_pos contributions stays an
+    // exact integer; ONE double division at the end (no rounding — both
+    // engines divide identical integers).
+    "q_gnn_link_pred_auc" ->
+      s"""WITH $edgesCte,
+         |$linkPredFeatCte,
+         |s AS (SELECT y, ${scoreFoldSql(sgdWLit)} AS sc FROM feat),
+         |g AS (SELECT sc, SUM(CASE WHEN y = 1 THEN 1 ELSE 0 END) AS p,
+         |             SUM(CASE WHEN y = 0 THEN 1 ELSE 0 END) AS n
+         |      FROM s GROUP BY sc),
+         |c AS (SELECT p, n, COALESCE(SUM(n) OVER (ORDER BY sc
+         |        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cumn
+         |      FROM g),
+         |a AS (SELECT CAST(SUM(p) AS BIGINT) AS n_pos,
+         |             CAST(SUM(n) AS BIGINT) AS n_neg,
+         |             CAST(SUM(p*(2*cumn + n)) AS BIGINT) AS num2 FROM c)
+         |SELECT n_pos, n_neg,
+         |  CAST(num2 AS DOUBLE) / ((CAST(2 AS DOUBLE) * n_pos) * n_neg) AS auc
+         |FROM a""".stripMargin,
+
+    "q_gnn_dropout_forward" -> {
+      def mask(j: Int): String =
+        s"""(CAST('0x' || substr(md5('drop:' || CAST(custkey AS VARCHAR) || ':$j'), 1, 15)
+           | AS BIGINT) % 10 < ${TrainOps.DropTenths})""".stripMargin
+      val ks = (1 to Gnn.Dim).map(j => s"${mask(j)} AS k$j").mkString(", ")
+      val ms = (1 to Gnn.Dim).map(j => s"m$j").mkString(", ")
+      val nd = "CAST(" +
+        (1 to Gnn.Dim).map(j => s"(CASE WHEN k$j THEN 1 ELSE 0 END)").mkString(" + ") +
+        " AS BIGINT) AS n_dropped"
+      val ds = (1 to Gnn.Dim).map(j =>
+        s"CASE WHEN k$j THEN CAST(0 AS DOUBLE) ELSE m$j*(CAST(10 AS DOUBLE)/7) END AS d$j")
+        .mkString(", ")
+      val hr = (0 until 4).map(i => s"${matmulExpr(i, "d")} AS h${i + 1}r").mkString(", ")
+      val out = (0 until 4)
+        .map(i => s"ROUND(${relu(s"h${i + 1}r")}, 6) AS h${i + 1}").mkString(", ")
+      s"""WITH $edgesCte,
+         |$meanCte,
+         |k AS (SELECT custkey, $ms, $ks FROM m),
+         |d AS (SELECT custkey, $nd, $ds FROM k),
+         |hr AS (SELECT custkey, n_dropped, $hr FROM d)
+         |SELECT custkey, n_dropped, $out FROM hr ORDER BY custkey""".stripMargin
+    },
+
+    "q_gnn_graphsage_pool" -> {
+      def zExpr(i: Int): String = {
+        val r = i + TrainOps.PoolOff
+        val terms = (0 until Gnn.Dim).map { j =>
+          s"(CAST(${(r * 31 + j * 17) % 7 - 3} AS DOUBLE)/10)*CAST(embedding[${j + 1}] AS DOUBLE)"
+        }.mkString(" + ") + s" + CAST(${r % 5 - 2} AS DOUBLE)/10"
+        s"ROUND(1/(1+exp(-($terms))), 9) AS z${i + 1}"
+      }
+      val zs = (0 until 4).map(zExpr).mkString(",\n  ")
+      s"""WITH $edgesCte,
+         |n AS (SELECT COUNT(*) AS c FROM embeddings),
+         |f AS (SELECT e.src, emb.embedding
+         |      FROM edges e CROSS JOIN n
+         |      JOIN embeddings emb ON emb.vec_id = e.dst % n.c),
+         |z AS (SELECT src,
+         |  $zs
+         |FROM f)
+         |SELECT src AS custkey, COUNT(*) AS n_neigh,
+         |  MAX(z1) AS p1, MAX(z2) AS p2, MAX(z3) AS p3, MAX(z4) AS p4
+         |FROM z GROUP BY 1 ORDER BY 1""".stripMargin
+    }
+  )
+
+  /** §2.10 cont. — whole-graph structure metrics (round 8). Both are
+    * exact-integer ratios: the only double op is the final division. */
+  val graphAnalytics: Map[String, String] = Map(
+    "q_graph_modularity" -> {
+      val steps = (1 to GraphOps.LpIters).map { i =>
+        s"""lp$i AS (SELECT a AS node, lbl FROM (
+           |  SELECT ue.a, l.lbl, COUNT(*) AS c,
+           |    ROW_NUMBER() OVER (PARTITION BY ue.a
+           |      ORDER BY COUNT(*) DESC, l.lbl ASC) AS rn
+           |  FROM ue JOIN lp${i - 1} l ON ue.b = l.node
+           |  GROUP BY ue.a, l.lbl) WHERE rn = 1)""".stripMargin
+      }.mkString(",\n")
+      s"""WITH $edgesCte,
+         |pp AS MATERIALIZED (SELECT e1.dst AS a, e2.dst AS b
+         |       FROM edges e1 JOIN edges e2 ON e1.src = e2.src AND e1.dst < e2.dst
+         |       GROUP BY 1, 2 HAVING COUNT(*) >= ${GraphOps.TriangleMinCooccur}),
+         |ue AS MATERIALIZED (SELECT a, b FROM pp UNION ALL SELECT b, a FROM pp),
+         |lp0 AS (SELECT DISTINCT a AS node, a AS lbl FROM ue),
+         |$steps,
+         |lab AS (SELECT node, lbl FROM lp${GraphOps.LpIters}),
+         |deg AS (SELECT a AS node, COUNT(*) AS d FROM ue GROUP BY 1),
+         |mm AS (SELECT COUNT(*) AS m FROM pp),
+         |intra AS (SELECT l1.lbl AS c, COUNT(*) AS ec
+         |          FROM pp JOIN lab l1 ON pp.a = l1.node
+         |                  JOIN lab l2 ON pp.b = l2.node AND l1.lbl = l2.lbl
+         |          GROUP BY 1),
+         |dc AS (SELECT l.lbl, CAST(SUM(deg.d) AS BIGINT) AS dcsum
+         |       FROM lab l JOIN deg ON l.node = deg.node GROUP BY 1),
+         |comm AS (SELECT dc.lbl, COALESCE(intra.ec, 0) AS ec, dcsum
+         |         FROM dc LEFT JOIN intra ON dc.lbl = intra.c),
+         |agg AS (SELECT COUNT(*) AS n_communities,
+         |               CAST(SUM(ec) AS BIGINT) AS intra_edges,
+         |               CAST(SUM(dcsum*dcsum) AS BIGINT) AS sum_dc2 FROM comm)
+         |SELECT n_communities, m AS n_edges, intra_edges,
+         |  CAST(4*m*intra_edges - sum_dc2 AS DOUBLE)
+         |    / CAST((4*m)*m AS DOUBLE) AS modularity
+         |FROM agg CROSS JOIN mm""".stripMargin
+    },
+
+    "q_graph_assortativity" ->
+      s"""WITH $edgesCte,
+         |pp AS (SELECT e1.dst AS a, e2.dst AS b
+         |       FROM edges e1 JOIN edges e2 ON e1.src = e2.src AND e1.dst < e2.dst
+         |       GROUP BY 1, 2 HAVING COUNT(*) >= ${GraphOps.TriangleMinCooccur}),
+         |ue AS (SELECT a, b FROM pp UNION ALL SELECT b, a FROM pp),
+         |deg AS (SELECT a AS n, COUNT(*) AS d FROM ue GROUP BY 1),
+         |arcs AS (SELECT d1.d AS dx, d2.d AS dy
+         |         FROM ue JOIN deg d1 ON ue.a = d1.n JOIN deg d2 ON ue.b = d2.n),
+         |agg AS (SELECT COUNT(*) AS arcs,
+         |               CAST(SUM(dx) AS BIGINT) AS s1,
+         |               CAST(SUM(dx*dy) AS BIGINT) AS sxy,
+         |               CAST(SUM(dx*dx) AS BIGINT) AS sxx FROM arcs)
+         |SELECT CAST(arcs / 2 AS BIGINT) AS n_edges, arcs AS n_arcs,
+         |  CAST(arcs*sxy - s1*s1 AS DOUBLE)
+         |    / CAST(arcs*sxx - s1*s1 AS DOUBLE) AS assortativity
+         |FROM agg""".stripMargin
+  )
+
   val all: Map[String, String] =
     relational ++ streaming ++ graph ++ llm ++ extended ++ gnn ++ gnnPrep ++
       pipeline ++ round4 ++ round4b ++ round4c ++ round4d ++ round4e ++
       round4f ++ round5 ++ round6 ++ round6graph ++ ClusterOps.oracle ++
-      BpeOps.oracle ++ partitioning
+      BpeOps.oracle ++ partitioning ++ train ++ graphAnalytics
 }

@@ -1,0 +1,226 @@
+package graft.engine
+
+import org.apache.spark.sql.{Column, DataFrame, Row, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** GNN training-loop operators (SURVEY.md §2.11 cont.) — the iterative
+  * "DL4J = trainable" half of the reference (`/root/reference/README.md:2`)
+  * past the single q_gnn_sgd_step: a multi-step SGD epoch, an Adam
+  * optimizer state machine, ranking-quality evaluation (AUC), seeded
+  * dropout regularization, and the GraphSAGE max-pool aggregator
+  * (Hamilton et al. 2017 §3.3, the third aggregator family next to the
+  * mean and attention variants already in Gnn.scala).
+  *
+  * All steps share Gnn.linkPredFeatures — one build of the (y, φ1..φ4)
+  * example set, localCheckpoint'ed so the training loop re-reads
+  * materialized blocks instead of re-running the join DAG per step (the
+  * same cached-training-set shape a real epoch loop has).
+  *
+  * Cross-engine determinism: the per-step gradient/loss sums are exact
+  * DECIMAL(38,9) (order-blind); every scalar weight/moment update is
+  * double math in a pinned operation order, mirrored expression-for-
+  * expression in the oracle CTE chain; σ/log-loss round at 9dp to absorb
+  * libm exp/ln last-ulp differences (the q_gnn_sgd_step recipe). The
+  * driver-side per-step collect is ONE aggregated row — the documented
+  * Pregel-outside-Pregel loop shape, not a data collect.
+  */
+object TrainOps {
+
+  /** Steps in the SGD epoch loop (shared with the unrolled oracle CTEs). */
+  val EpochSteps = 3
+
+  /** Steps in the Adam loop; classic β/ε from Kingma & Ba 2015, written
+    * as exact-double forms both engines parse identically. */
+  val AdamSteps = 2
+  val AdamB1: Double = 9.0 / 10
+  val AdamB2: Double = 999.0 / 1000
+  val AdamEps: Double = 1e-8
+
+  /** One full-batch gradient evaluation at weights w: returns
+    * (mean_loss rounded 6dp, g_j/N as full doubles) — all computed
+    * engine-side so the collected scalars are bit-identical to the
+    * oracle's CTE columns. */
+  private def gradEval(feat: DataFrame, w: Array[Double]): Row = {
+    val sExpr = Gnn.scoreFold(j => w(j - 1))
+    val sig = lit(1.0) / (lit(1.0) + exp(-sExpr))
+    val scored = feat
+      .withColumn("resid", round(sig - col("y"), 9))
+      .withColumn("lossr", round(-(col("y") * log(sig)
+        + (lit(1.0) - col("y")) * log(lit(1.0) - sig)), 9))
+    val gradAggs = (1 to 4).map(j =>
+      sum(round(col("resid") * col(s"f$j"), 9).cast("decimal(38,9)")).as(s"g$j"))
+    val aggs = Seq(count(lit(1)).as("n_ex"),
+      sum(col("lossr").cast("decimal(38,9)")).as("losssum")) ++ gradAggs
+    scored.agg(aggs.head, aggs.tail: _*)
+      .select(round(col("losssum").cast("double") / col("n_ex"), 6).as("mean_loss") +:
+        (1 to 4).map(j => (col(s"g$j").cast("double") / col("n_ex")).as(s"gn$j")): _*)
+      .collect()(0)
+  }
+
+  private def stepRowsToDf(s: SparkSession,
+      rows: Seq[(Int, Double, Array[Double])]): DataFrame = {
+    import s.implicits._
+    rows.map { case (t, l, w) => (t, l, w(0), w(1), w(2), w(3)) }
+      .toDF("step", "mean_loss", "w1r", "w2r", "w3r", "w4r")
+      .select(col("step"), col("mean_loss"),
+        round(col("w1r"), 6).as("w1"), round(col("w2r"), 6).as("w2"),
+        round(col("w3r"), 6).as("w3"), round(col("w4r"), 6).as("w4"))
+      .orderBy("step")
+  }
+
+  /** Multi-step SGD training loop (a 3-step "epoch" over the full batch):
+    * step t re-scores the fixed example set at the CURRENT weights and
+    * applies w ← w − η·∇. Step 1 reproduces q_gnn_sgd_step exactly
+    * (cross-checked in the spec); weights stay full-precision doubles
+    * between steps (no intermediate rounding — the round-6 display cast
+    * happens only on output, so no cascading tie risk). */
+  def q_gnn_sgd_epoch(s: SparkSession, dir: String): DataFrame = {
+    val feat = Gnn.linkPredFeatures(s, dir).localCheckpoint()
+    var w = Array.tabulate(4)(j => Gnn.sgdW(j + 1))
+    val rows = (1 to EpochSteps).map { t =>
+      val r = gradEval(feat, w)
+      w = Array.tabulate(4)(j => w(j) - Gnn.SgdEta * r.getDouble(1 + j))
+      (t, r.getDouble(0), w)
+    }
+    stepRowsToDf(s, rows)
+  }
+
+  /** Adam optimizer steps (Kingma & Ba 2015) on the same objective:
+    * m ← β1·m + (1−β1)·g, v ← β2·v + (1−β2)·g², bias-corrected
+    * m̂ = m/(1−β1^t), v̂ = v/(1−β2^t), w ← w − η·m̂/(√v̂ + ε). The
+    * bias-correction denominators are spelled as explicit products
+    * (1−β1, 1−β1·β1, …) — `pow` is not guaranteed correctly rounded
+    * across libms, a plain multiply is. √ is IEEE-exact in both engines. */
+  def q_gnn_adam_step(s: SparkSession, dir: String): DataFrame = {
+    val feat = Gnn.linkPredFeatures(s, dir).localCheckpoint()
+    var w = Array.tabulate(4)(j => Gnn.sgdW(j + 1))
+    val m = Array.fill(4)(0.0)
+    val v = Array.fill(4)(0.0)
+    var b1t = 1.0
+    var b2t = 1.0
+    val rows = (1 to AdamSteps).map { t =>
+      val r = gradEval(feat, w)
+      b1t *= AdamB1
+      b2t *= AdamB2
+      for (j <- 0 until 4) {
+        val g = r.getDouble(1 + j)
+        m(j) = AdamB1 * m(j) + (1.0 - AdamB1) * g
+        v(j) = AdamB2 * v(j) + (1.0 - AdamB2) * (g * g)
+        val mhat = m(j) / (1.0 - b1t)
+        val vhat = v(j) / (1.0 - b2t)
+        w(j) = w(j) - Gnn.SgdEta * (mhat / (math.sqrt(vhat) + AdamEps))
+      }
+      (t, r.getDouble(0), w.clone())
+    }
+    stepRowsToDf(s, rows)
+  }
+
+  /** Link-prediction ranking quality: exact Mann–Whitney AUC of the
+    * initial-weight scores over positives vs negatives, with average
+    * ranks for ties — AUC = (Σ_{p,n}[s_p > s_n] + ½[s_p = s_n]) / (P·N),
+    * computed without materializing pairs: group examples by distinct
+    * score (scores are bit-identical across engines — a fixed-order fold
+    * of exact products, no rounding), then one ordered pass over the
+    * score histogram accumulates 2·Σ contributions as exact integers;
+    * ONE double division at the end. The global window runs over
+    * DISTINCT scores (≪ examples), the same bounded-ordered-scan shape
+    * as q_topk_global. */
+  def q_gnn_link_pred_auc(s: SparkSession, dir: String): DataFrame = {
+    val scored = Gnn.linkPredFeatures(s, dir)
+      .select(col("y"), Gnn.scoreFold(Gnn.sgdW).as("sc"))
+    val grp = scored.groupBy(col("sc")).agg(
+      sum(when(col("y") === 1.0, 1L).otherwise(0L)).as("p"),
+      sum(when(col("y") === 0.0, 1L).otherwise(0L)).as("n"))
+    val wsp = Window.orderBy(col("sc"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    grp.withColumn("cumn", coalesce(sum(col("n")).over(wsp), lit(0L)))
+      .select(col("p"), col("n"),
+        (col("p") * (lit(2L) * col("cumn") + col("n"))).as("c2"))
+      .agg(sum(col("p")).as("n_pos"), sum(col("n")).as("n_neg"),
+        sum(col("c2")).as("num2"))
+      .select(col("n_pos"), col("n_neg"),
+        (col("num2").cast("double")
+          / ((lit(2.0) * col("n_pos")) * col("n_neg"))).as("auc"))
+  }
+
+  /** Dropout probability numerator: md5 % 10 < 3 → 30% of the mean-vector
+    * coordinates dropped, survivors scaled by 1/(1−p) = 10/7 (inverted
+    * dropout, Srivastava et al. 2014). */
+  val DropTenths = 3
+
+  /** Seeded-dropout forward pass: the q_gnn_layer forward with a
+    * deterministic per-(customer, dim) dropout mask on the aggregated
+    * neighborhood mean — md5("drop:cust:j") % 10 < 3 drops the
+    * coordinate, survivors scale by 10/7. Reproducible across engines,
+    * partitionings, and restarts (the property a resumable training job
+    * needs from its regularizer — same device as q_gnn_neg_sampling).
+    * Fully relational: the mask, scale, 64×4 matmul, and ReLU are all
+    * generated codegen'd column expressions — no UDF, one shuffle (the
+    * mean aggregation). */
+  def q_gnn_dropout_forward(s: SparkSession, dir: String): DataFrame = {
+    val aggs = (1 to Gnn.Dim).map(i =>
+      avg(element_at(col("embedding"), i).cast("double")).as(s"m$i"))
+    val m = GraphOps.neighborFeatures(s, dir)
+      .groupBy(col("src")).agg(aggs.head, aggs.tail: _*)
+    val maskCols = (1 to Gnn.Dim).map { j =>
+      (pmod(Dsl.md5Hash60(concat_ws(":", lit("drop"), col("src"), lit(j))),
+        lit(10L)) < DropTenths).as(s"k$j")
+    }
+    val masked = m.select(col("src") +: (1 to Gnn.Dim).map(j => col(s"m$j")) ++: maskCols: _*)
+    val dCols = (1 to Gnn.Dim).map { j =>
+      when(col(s"k$j"), lit(0.0))
+        .otherwise(col(s"m$j") * (lit(10.0) / lit(7))).as(s"d$j")
+    }
+    val nDropped = (1 to Gnn.Dim)
+      .map(j => when(col(s"k$j"), 1).otherwise(0))
+      .reduce(_ + _).cast("bigint").as("n_dropped")
+    val dropped = masked.select(col("src") +: nDropped +: dCols: _*)
+    val hCols = (0 until 4).map { i =>
+      val fold = (2 to Gnn.Dim).foldLeft(
+        lit(Gnn.weight(i, 0)) * col("d1"))(
+        (acc, j) => acc + lit(Gnn.weight(i, j - 1)) * col(s"d$j"))
+      val z = fold + lit(Gnn.bias(i))
+      round(when(z > 0.0, z).otherwise(lit(0.0)), 6).as(s"h${i + 1}")
+    }
+    dropped.select(col("src").as("custkey") +: col("n_dropped") +: hCols: _*)
+      .orderBy("custkey")
+  }
+
+  /** Row offset into the seeded weight fixture for the pool aggregator's
+    * own parameters (distinct from the forward layer's rows 0–3). */
+  val PoolOff = 4
+
+  /** GraphSAGE max-pooling aggregator (Hamilton et al. 2017 §3.3):
+    * h_v[i] = max_{u∈N(v)} σ(W_pool[i]·x_u + b_pool[i]) — each neighbor
+    * embedding through a seeded dense layer + sigmoid, pooled by
+    * element-wise MAX. MAX is order-blind, so the only determinism pin
+    * needed is the round-9 sigmoid (libm exp ulp); no sum-order issue
+    * exists at all. One shuffle (the per-customer max aggregation); the
+    * per-neighbor dense layer is a generated codegen'd expression. */
+  def q_gnn_graphsage_pool(s: SparkSession, dir: String): DataFrame = {
+    val zCols = (0 until 4).map { i =>
+      val fold = (2 to Gnn.Dim).foldLeft(
+        lit(Gnn.weight(i + PoolOff, 0)) * element_at(col("embedding"), 1).cast("double"))(
+        (acc, j) => acc + lit(Gnn.weight(i + PoolOff, j - 1))
+          * element_at(col("embedding"), j).cast("double"))
+      round(lit(1.0) / (lit(1.0) + exp(-(fold + lit(Gnn.bias(i + PoolOff))))), 9)
+        .as(s"z${i + 1}")
+    }
+    GraphOps.neighborFeatures(s, dir)
+      .select(col("src") +: zCols: _*)
+      .groupBy(col("src").as("custkey"))
+      .agg(count(lit(1)).as("n_neigh"),
+        max(col("z1")).as("p1"), max(col("z2")).as("p2"),
+        max(col("z3")).as("p3"), max(col("z4")).as("p4"))
+      .orderBy("custkey")
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_gnn_sgd_epoch" -> q_gnn_sgd_epoch _,
+    "q_gnn_adam_step" -> q_gnn_adam_step _,
+    "q_gnn_link_pred_auc" -> q_gnn_link_pred_auc _,
+    "q_gnn_dropout_forward" -> q_gnn_dropout_forward _,
+    "q_gnn_graphsage_pool" -> q_gnn_graphsage_pool _
+  )
+}
