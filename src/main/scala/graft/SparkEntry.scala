@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
-import graft.engine.{BpeOps, ClusterOps, Gnn, GraphOps, LlmOps, Multimodal, Oracle, PartitionOps, PipelineOps, Relational, SketchOps, Skew, SourceOps, StreamingGnn, StreamingOps, TextOps, TrainOps}
+import graft.engine.{BpeOps, ClusterOps, CurationOps, Gnn, GraphOps, LlmOps, Multimodal, Oracle, PartitionOps, PipelineOps, Relational, SketchOps, Skew, SourceOps, StatsOps, StreamingGnn, StreamingOps, TextOps, TrainOps}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   * Query surface: SURVEY.md §2 (normative contract reconstructed from the
@@ -19,7 +19,8 @@ object SparkEntry {
       Gnn.queries ++ LlmOps.queries ++ TextOps.queries ++ Multimodal.queries ++
       StreamingGnn.queries ++ PipelineOps.queries ++ Skew.queries ++
       SourceOps.queries ++ SketchOps.queries ++ ClusterOps.queries ++
-      BpeOps.queries ++ PartitionOps.queries ++ TrainOps.queries
+      BpeOps.queries ++ PartitionOps.queries ++ TrainOps.queries ++
+      CurationOps.queries ++ StatsOps.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted for non-SQL-expressible ops

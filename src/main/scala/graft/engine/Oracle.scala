@@ -2327,9 +2327,160 @@ object Oracle {
          |FROM agg""".stripMargin
   )
 
+  /** §2.19 — corpus-curation filters (round 8). Integer rules + exact
+    * counts; the only doubles are raw single divisions. */
+  val curation: Map[String, String] = Map(
+    "q_llm_c4_filter" -> {
+      val reason = s"""CASE WHEN wc < ${CurationOps.C4MinWords} THEN 'too_short'
+        |       WHEN wc > ${CurationOps.C4MaxWords} THEN 'too_long'
+        |       WHEN n_distinct * 10 < wc * 4 THEN 'low_diversity'
+        |       WHEN max_cnt * 100 > wc * 12 THEN 'repetitive'
+        |       WHEN tok_chars < wc * 4 THEN 'short_words'
+        |       WHEN tok_chars > wc * 5 THEN 'long_words'
+        |       ELSE 'kept' END""".stripMargin
+      s"""WITH tc AS (SELECT doc_id, tok, COUNT(*) AS c
+         |  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents)
+         |  GROUP BY 1, 2),
+         |st AS (SELECT doc_id, CAST(SUM(c) AS BIGINT) AS wc,
+         |       COUNT(*) AS n_distinct, CAST(MAX(c) AS BIGINT) AS max_cnt
+         |       FROM tc GROUP BY 1),
+         |d AS (SELECT doc.doc_id, doc.lang, st.wc, st.n_distinct, st.max_cnt,
+         |      doc.n_chars - (st.wc - 1) AS tok_chars
+         |      FROM documents doc JOIN st ON doc.doc_id = st.doc_id),
+         |r AS (SELECT *, $reason AS reason FROM d)
+         |SELECT doc_id, lang, wc, n_distinct, max_cnt, tok_chars, reason,
+         |  (reason = 'kept') AS keep
+         |FROM r ORDER BY doc_id""".stripMargin
+    },
+
+    "q_llm_ccnet_bucket" ->
+      """WITH tok AS (SELECT doc_id, lang, unnest(string_split(text, ' ')) AS tok
+        |            FROM documents),
+        |counts AS (SELECT lang AS ml, tok AS mt, COUNT(*) AS c
+        |           FROM tok WHERE doc_id % 10 <> 0 GROUP BY 1, 2),
+        |totals AS (SELECT ml, CAST(SUM(c) AS BIGINT) AS tot FROM counts GROUP BY 1),
+        |model AS (SELECT counts.ml, mt, CAST(c AS DOUBLE) / tot AS p
+        |          FROM counts JOIN totals ON counts.ml = totals.ml),
+        |scored AS (SELECT t.doc_id, t.lang,
+        |    -ln(COALESCE(m.p, CAST(1 AS DOUBLE) / tt.tot)) AS nll
+        |  FROM tok t
+        |  JOIN totals tt ON t.lang = tt.ml
+        |  LEFT JOIN model m ON t.lang = m.ml AND t.tok = m.mt
+        |  WHERE t.doc_id % 10 = 0),
+        |x AS (SELECT doc_id, lang, ROUND(AVG(nll), 6) AS xent
+        |      FROM scored GROUP BY 1, 2),
+        |b AS (SELECT lang, xent, CAST(NTILE(3) OVER (
+        |        PARTITION BY lang ORDER BY xent, doc_id) AS INT) AS bucket FROM x)
+        |SELECT lang, bucket, COUNT(*) AS n_docs,
+        |  MIN(xent) AS min_xent, MAX(xent) AS max_xent,
+        |  CAST(SUM(CAST(xent AS DECIMAL(18,6))) AS DOUBLE) AS xent_sum
+        |FROM b GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    "q_text_rouge2" ->
+      """WITH d AS (SELECT doc_id, lang, string_split(text, ' ') AS toks,
+        |                  len(string_split(text, ' ')) AS wc
+        |           FROM documents WHERE len(string_split(text, ' ')) >= 2),
+        |bg AS (SELECT doc_id, toks[i] || ' ' || toks[i + 1] AS g, COUNT(*) AS c
+        |       FROM d, UNNEST(range(1, wc)) AS u(i) GROUP BY 1, 2),
+        |p AS (SELECT lang, doc_id AS doc_a, CAST(wc - 1 AS BIGINT) AS ta,
+        |        LEAD(doc_id) OVER (PARTITION BY lang ORDER BY doc_id) AS doc_b,
+        |        LEAD(CAST(wc - 1 AS BIGINT)) OVER (
+        |          PARTITION BY lang ORDER BY doc_id) AS tb
+        |      FROM d),
+        |pp AS (SELECT * FROM p WHERE doc_b IS NOT NULL),
+        |i AS (SELECT pp.doc_a AS ia, CAST(SUM(LEAST(a.c, b.c)) AS BIGINT) AS n_overlap
+        |      FROM pp JOIN bg a ON pp.doc_a = a.doc_id
+        |              JOIN bg b ON pp.doc_b = b.doc_id AND a.g = b.g
+        |      GROUP BY 1)
+        |SELECT lang, doc_a, doc_b, COALESCE(n_overlap, 0) AS n_overlap, ta, tb,
+        |  CAST(COALESCE(n_overlap, 0) AS DOUBLE) / tb AS rouge2_p,
+        |  CAST(COALESCE(n_overlap, 0) AS DOUBLE) / ta AS rouge2_r,
+        |  (CAST(2 AS DOUBLE) * COALESCE(n_overlap, 0)) / (ta + tb) AS rouge2_f1
+        |FROM pp LEFT JOIN i ON pp.doc_a = i.ia
+        |ORDER BY lang, doc_a""".stripMargin
+  )
+
+  /** §2.19 cont. — statistical / time-series ops (round 8). Exact
+    * HUGEINT/DECIMAL sums; all float math is pinned-order scalar
+    * expressions over the cast sums. */
+  val stats: Map[String, String] = Map(
+    "q_agg_corr" -> {
+      def corr(sxy: String, sx: String, sy: String, sxx: String, syy: String) =
+        s"""(CAST(n_rows AS DOUBLE)*$sxy - $sx*$sy)
+           | / (sqrt(CAST(n_rows AS DOUBLE)*$sxx - $sx*$sx)
+           |    * sqrt(CAST(n_rows AS DOUBLE)*$syy - $sy*$sy))""".stripMargin
+      // NOTE the VARCHAR round-trip on every sum: DuckDB's direct
+      // HUGEINT→DOUBLE cast is NOT correctly rounded once the value
+      // exceeds 2^64 (it computes upper·2^64 + lower in double — two
+      // roundings), e.g. Σp² = 22240711483861231690 at sf0.1 lands one
+      // ulp low and shifted corr_price_disc at the 16th digit. The
+      // string path is correctly rounded, matching Spark's
+      // Decimal.toDouble (BigDecimal.doubleValue, correctly rounded).
+      s"""WITH li AS (SELECT CAST(l_quantity AS BIGINT) AS q,
+         |  CAST(ROUND(l_extendedprice * 100, 0) AS BIGINT) AS p,
+         |  CAST(ROUND(l_discount * 100, 0) AS BIGINT) AS d,
+         |  CAST(ROUND(l_tax * 100, 0) AS BIGINT) AS t FROM lineitem),
+         |a AS (SELECT COUNT(*) AS n_rows,
+         |  CAST(CAST(SUM(q) AS VARCHAR) AS DOUBLE) AS sq,
+         |  CAST(CAST(SUM(p) AS VARCHAR) AS DOUBLE) AS sp,
+         |  CAST(CAST(SUM(d) AS VARCHAR) AS DOUBLE) AS sd,
+         |  CAST(CAST(SUM(t) AS VARCHAR) AS DOUBLE) AS st,
+         |  CAST(CAST(SUM(q*q) AS VARCHAR) AS DOUBLE) AS sqq,
+         |  CAST(CAST(SUM(p*p) AS VARCHAR) AS DOUBLE) AS spp,
+         |  CAST(CAST(SUM(d*d) AS VARCHAR) AS DOUBLE) AS sdd,
+         |  CAST(CAST(SUM(t*t) AS VARCHAR) AS DOUBLE) AS stt,
+         |  CAST(CAST(SUM(q*p) AS VARCHAR) AS DOUBLE) AS sqp,
+         |  CAST(CAST(SUM(q*d) AS VARCHAR) AS DOUBLE) AS sqd,
+         |  CAST(CAST(SUM(p*d) AS VARCHAR) AS DOUBLE) AS spd,
+         |  CAST(CAST(SUM(d*t) AS VARCHAR) AS DOUBLE) AS sdt
+         |  FROM li)
+         |SELECT n_rows,
+         |  ${corr("sqp", "sq", "sp", "sqq", "spp")} AS corr_qty_price,
+         |  ${corr("sqd", "sq", "sd", "sqq", "sdd")} AS corr_qty_disc,
+         |  ${corr("spd", "sp", "sd", "spp", "sdd")} AS corr_price_disc,
+         |  ${corr("sdt", "sd", "st", "sdd", "stt")} AS corr_disc_tax
+         |FROM a""".stripMargin
+    },
+
+    "q_time_interpolate" -> {
+      val back = "OVER (PARTITION BY event_type ORDER BY idx " +
+        "ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)"
+      val fwd = "OVER (PARTITION BY event_type ORDER BY idx " +
+        "ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING)"
+      s"""WITH ev AS (SELECT event_type,
+         |      date_trunc('hour', CAST(ts AS TIMESTAMP)) AS hr,
+         |      CAST(ROUND(value, 6) AS DECIMAL(18,6)) AS v6 FROM events),
+         |obs AS (SELECT event_type AS ot, hr AS ohr, SUM(v6) AS v
+         |        FROM ev GROUP BY 1, 2),
+         |bounds AS (SELECT MIN(hr) AS mn, MAX(hr) AS mx FROM ev),
+         |types AS (SELECT DISTINCT event_type FROM ev),
+         |spine AS (SELECT t.event_type, b.mn, UNNEST(range(0,
+         |            (epoch_us(b.mx) - epoch_us(b.mn)) // 3600000000 + 1)) AS idx
+         |          FROM types t CROSS JOIN bounds b),
+         |sp2 AS (SELECT event_type, idx,
+         |          mn + TO_MICROSECONDS(idx * 3600000000) AS hr FROM spine),
+         |j AS (SELECT s.event_type, s.idx, s.hr, CAST(o.v AS DOUBLE) AS obs_v
+         |      FROM sp2 s LEFT JOIN obs o
+         |        ON s.event_type = o.ot AND s.hr = o.ohr),
+         |f AS (SELECT event_type, idx, hr, obs_v,
+         |        LAST_VALUE(obs_v IGNORE NULLS) $back AS pv,
+         |        LAST_VALUE(CASE WHEN obs_v IS NOT NULL THEN idx END IGNORE NULLS)
+         |          $back AS pidx,
+         |        FIRST_VALUE(obs_v IGNORE NULLS) $fwd AS nv,
+         |        FIRST_VALUE(CASE WHEN obs_v IS NOT NULL THEN idx END IGNORE NULLS)
+         |          $fwd AS nidx
+         |      FROM j)
+         |SELECT event_type, hr, (obs_v IS NOT NULL) AS observed,
+         |  CASE WHEN obs_v IS NOT NULL THEN obs_v
+         |       ELSE pv + (nv - pv) * ((idx - pidx) / (nidx - pidx)) END AS value
+         |FROM f ORDER BY event_type, hr""".stripMargin
+    }
+  )
+
   val all: Map[String, String] =
     relational ++ streaming ++ graph ++ llm ++ extended ++ gnn ++ gnnPrep ++
       pipeline ++ round4 ++ round4b ++ round4c ++ round4d ++ round4e ++
       round4f ++ round5 ++ round6 ++ round6graph ++ ClusterOps.oracle ++
-      BpeOps.oracle ++ partitioning ++ train ++ graphAnalytics
+      BpeOps.oracle ++ partitioning ++ train ++ graphAnalytics ++ curation ++
+      stats
 }

@@ -1,0 +1,110 @@
+package graft.engine
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Statistical / time-series operators (SURVEY.md §2.19 cont.):
+  * a Pearson correlation matrix over scaled-integer fact columns and
+  * linear gap-fill interpolation over an hourly event series — the two
+  * standard feature-engineering passes (feature correlation screening,
+  * series regularization) a training-data pipeline runs over fact data.
+  *
+  * Determinism: both operators keep every aggregation exact (BIGINT /
+  * DECIMAL sums, order-blind) and do ALL floating-point arithmetic in
+  * pinned-order scalar expressions over those exact values — identical
+  * IEEE sequences in both engines, no rounding anywhere. */
+object StatsOps {
+
+  /** Pearson correlation matrix over lineitem's numeric measures,
+    * integer-scaled (quantity as-is; price/discount/tax in cents):
+    * corr(x,y) = (n·Σxy − Σx·Σy) / (√(n·Σx² − (Σx)²)·√(n·Σy² − (Σy)²)).
+    * The 13 moment sums go through DECIMAL(38,0) (Σp² ≈ 2.8e19 at sf0.1
+    * overflows BIGINT — and silently wraps in Spark); every sum is then
+    * cast once to double and combined in a pinned order. ONE aggregation
+    * over the fact table (map-side partials), a 1-row result — the same
+    * shape at any scale. */
+  def q_agg_corr(s: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(s, dir).select(
+      col("l_quantity").cast("bigint").as("q"),
+      round(col("l_extendedprice") * 100, 0).cast("bigint").as("p"),
+      round(col("l_discount") * 100, 0).cast("bigint").as("d"),
+      round(col("l_tax") * 100, 0).cast("bigint").as("t"))
+    def dsum(c: org.apache.spark.sql.Column, n: String) =
+      sum(c.cast("decimal(38,0)")).cast("double").as(n)
+    val agg = li.agg(
+      count(lit(1)).as("n_rows"),
+      dsum(col("q"), "sq"), dsum(col("p"), "sp"),
+      dsum(col("d"), "sd"), dsum(col("t"), "st"),
+      dsum(col("q") * col("q"), "sqq"), dsum(col("p") * col("p"), "spp"),
+      dsum(col("d") * col("d"), "sdd"), dsum(col("t") * col("t"), "stt"),
+      dsum(col("q") * col("p"), "sqp"), dsum(col("q") * col("d"), "sqd"),
+      dsum(col("p") * col("d"), "spd"), dsum(col("d") * col("t"), "sdt"))
+    def corr(sxy: String, sx: String, sy: String, sxx: String, syy: String) = {
+      val n = col("n_rows").cast("double")
+      (n * col(sxy) - col(sx) * col(sy)) /
+        (sqrt(n * col(sxx) - col(sx) * col(sx))
+          * sqrt(n * col(syy) - col(sy) * col(sy)))
+    }
+    agg.select(col("n_rows"),
+      corr("sqp", "sq", "sp", "sqq", "spp").as("corr_qty_price"),
+      corr("sqd", "sq", "sd", "sqq", "sdd").as("corr_qty_disc"),
+      corr("spd", "sp", "sd", "spp", "sdd").as("corr_price_disc"),
+      corr("sdt", "sd", "st", "sdd", "stt").as("corr_disc_tax"))
+  }
+
+  /** Micros per hour (bigint) — the idx scale both engines divide by. */
+  private val HourUs = 3600000000L
+
+  /** Linear gap-fill interpolation over the hourly event-value series
+    * (per event_type, value = hourly DECIMAL(18,6) sum of round(value,6)):
+    * the spine enumerates every hour between the corpus min/max; missing
+    * interior hours get pv + (nv − pv)·(Δ/gap) between the nearest
+    * observed neighbors (IGNORE NULLS window scans both directions);
+    * leading/trailing gaps stay NULL. Hour indexes are exact epoch-µs
+    * integer divisions, so the interpolation weights are identical
+    * rationals in both engines. Scale shape: one keyed agg over events,
+    * a dimension-sized spine join, two windows per type partition. */
+  def q_time_interpolate(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(s, dir)
+      .select(col("event_type"), date_trunc("hour", col("ts")).as("hr"),
+        round(col("value"), 6).cast("decimal(18,6)").as("v6"))
+    val obs = ev.groupBy(col("event_type").as("ot"), col("hr").as("ohr"))
+      .agg(sum(col("v6")).as("v"))
+    val bounds = ev.agg(min(col("hr")).as("mn"), max(col("hr")).as("mx"))
+      .select(col("mn"),
+        ((unix_micros(col("mx")) - unix_micros(col("mn"))) / HourUs).cast("bigint")
+          .as("nh"))
+    val types = ev.select(col("event_type")).distinct()
+    val spine = types.crossJoin(broadcast(bounds))
+      .select(col("event_type"), col("mn"),
+        explode(sequence(lit(0L), col("nh"))).as("idx"))
+      .select(col("event_type"), col("idx"),
+        timestamp_micros(unix_micros(col("mn")) + col("idx") * HourUs).as("hr"))
+    val joined = spine.join(obs,
+        col("event_type") === col("ot") && col("hr") === col("ohr"), "left_outer")
+      .select(col("event_type"), col("idx"), col("hr"),
+        col("v").cast("double").as("obs_v"))
+    val order = Window.partitionBy(col("event_type")).orderBy(col("idx"))
+    val back = order.rowsBetween(Window.unboundedPreceding, -1)
+    val fwd = order.rowsBetween(1, Window.unboundedFollowing)
+    val obsIdx = when(col("obs_v").isNotNull, col("idx"))
+    val filled = joined
+      .withColumn("pv", last(col("obs_v"), ignoreNulls = true).over(back))
+      .withColumn("pidx", last(obsIdx, ignoreNulls = true).over(back))
+      .withColumn("nv", first(col("obs_v"), ignoreNulls = true).over(fwd))
+      .withColumn("nidx", first(obsIdx, ignoreNulls = true).over(fwd))
+    filled.select(col("event_type"), col("hr"),
+        col("obs_v").isNotNull.as("observed"),
+        when(col("obs_v").isNotNull, col("obs_v"))
+          .otherwise(col("pv") + (col("nv") - col("pv"))
+            * ((col("idx") - col("pidx")) / (col("nidx") - col("pidx"))))
+          .as("value"))
+      .orderBy("event_type", "hr")
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_agg_corr" -> q_agg_corr _,
+    "q_time_interpolate" -> q_time_interpolate _
+  )
+}

@@ -1,0 +1,94 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.engine.{CurationOps, StatsOps, Tables}
+
+/** Round-8 curation + stats operators: semantic invariants beyond the
+  * oracle hash-compare. */
+class CurationStatsSpec extends AnyFunSuite {
+  import TestSpark._
+
+  test("c4 filter: rule partition is total and keep mirrors reason") {
+    val rows = CurationOps.q_llm_c4_filter(spark, sf001).collect()
+    val total = Tables.documents(spark, sf001).count()
+    assert(rows.length == total, "every document must get a verdict")
+    val reasons = rows.map(_.getString(6)).toSet
+    assert(reasons.contains("kept"), "no document survived the filters")
+    assert(reasons.size >= 3, s"filters never fire: $reasons")
+    rows.foreach { r =>
+      assert(r.getBoolean(7) == (r.getString(6) == "kept"))
+    }
+  }
+
+  test("ccnet buckets: 3 per lang, near-equal sizes, monotone xent ranges") {
+    val rows = CurationOps.q_llm_ccnet_bucket(spark, sf001).collect()
+      .map(r => (r.getString(0), r.getInt(1), r.getLong(2),
+        r.getDouble(3), r.getDouble(4)))
+    rows.groupBy(_._1).foreach { case (lang, bs) =>
+      assert(bs.map(_._2).sorted.toSeq == Seq(1, 2, 3), s"$lang buckets")
+      val sizes = bs.map(_._3)
+      assert(sizes.max - sizes.min <= 1, s"$lang NTILE sizes off: ${sizes.toSeq}")
+      val sorted = bs.sortBy(_._2)
+      sorted.sliding(2).foreach { case Array(lo, hi) =>
+        assert(lo._5 <= hi._4, s"$lang bucket ranges overlap: $lo vs $hi")
+      }
+    }
+  }
+
+  test("rouge2: overlap bounded by totals, scores in [0,1]") {
+    val rows = CurationOps.q_text_rouge2(spark, sf001).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (ov, ta, tb) = (r.getLong(3), r.getLong(4), r.getLong(5))
+      assert(ov <= math.min(ta, tb), "multiset intersection exceeds a total")
+      Seq(6, 7, 8).foreach { i =>
+        val v = r.getDouble(i)
+        assert(v >= 0.0 && v <= 1.0, s"rouge score out of range: $v")
+      }
+    }
+  }
+
+  test("corr matrix matches Spark's built-in corr within 1e-9") {
+    import org.apache.spark.sql.functions._
+    val r = StatsOps.q_agg_corr(spark, sf001).collect()(0)
+    val ref = Tables.lineitem(spark, sf001)
+      .select(col("l_quantity").cast("bigint").cast("double").as("q"),
+        round(col("l_extendedprice") * 100, 0).as("p"))
+      .agg(corr(col("q"), col("p"))).collect()(0).getDouble(0)
+    assert(math.abs(r.getDouble(1) - ref) < 1e-9,
+      s"corr_qty_price ${r.getDouble(1)} vs built-in $ref")
+    (1 to 4).foreach { i =>
+      assert(math.abs(r.getDouble(i)) <= 1.0, s"corr out of [-1,1]")
+    }
+  }
+
+  test("interpolation: observed rows preserved, gaps bounded by neighbors") {
+    val rows = StatsOps.q_time_interpolate(spark, sf0001).collect()
+      .map(r => (r.getString(0), r.getTimestamp(1), r.getBoolean(2),
+        Option(r.get(3)).map(_.asInstanceOf[Double])))
+    val byType = rows.groupBy(_._1)
+    byType.foreach { case (_, series) =>
+      val s = series.sortBy(_._2.getTime)
+      // interior interpolated values sit between their observed neighbors
+      var prevObs: Option[Double] = None
+      s.foreach { case (_, _, observed, v) =>
+        if (observed) prevObs = v
+        else if (v.isDefined && prevObs.isDefined) {
+          // bounded check: interp stays inside the observed envelope
+          val mx = s.filter(_._3).flatMap(_._4).max
+          val mn = s.filter(_._3).flatMap(_._4).min
+          assert(v.get >= mn - 1e-9 && v.get <= mx + 1e-9,
+            s"interpolated ${v.get} outside observed envelope [$mn,$mx]")
+        }
+      }
+      // null values appear only in leading/trailing runs
+      val defined = s.map(_._4.isDefined)
+      val firstDef = defined.indexOf(true)
+      val lastDef = defined.lastIndexOf(true)
+      (firstDef to lastDef).foreach { i =>
+        assert(defined(i), "interior gap left un-interpolated")
+      }
+    }
+  }
+}
