@@ -304,8 +304,15 @@ object Gnn {
     * multi-step loops in TrainOps, and the AUC evaluation all consume
     * it): (y, f1..f4) rows where positives are the co-purchase edges,
     * negatives the md5-seeded rejected candidates, and φ_j = m_c[j]·
-    * x_p[j] (round-6 customer neighborhood mean × part embedding). */
-  def linkPredFeatures(s: SparkSession, dir: String): DataFrame = {
+    * x_p[j] (round-6 customer neighborhood mean × part embedding).
+    * Materialized ONCE per (session, fixture) — the training-set MV a
+    * real epoch loop reads per step; a deployment persists exactly this
+    * table before training. Memo + localCheckpoint share GraphOps'
+    * cache/eviction machinery. */
+  def linkPredFeatures(s: SparkSession, dir: String): DataFrame =
+    GraphOps.memo(s, s"linkPredFeat|$dir")(buildLinkPredFeatures(s, dir).localCheckpoint())
+
+  private def buildLinkPredFeatures(s: SparkSession, dir: String): DataFrame = {
     val e = GraphOps.edges(s, dir)
     val ne = Tables.embeddings(s, dir).agg(count(lit(1)).as("c"))
     val np = Tables.part(s, dir).agg(count(lit(1)).as("np"))

@@ -45,7 +45,9 @@ object GraphOps {
   private val matLock = new Object
   private val evictionHooked = java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
 
-  private def memo(s: SparkSession, key: String)(build: => DataFrame): DataFrame = {
+  /** Shared with Gnn.linkPredFeatures (the training-set MV) — same
+    * (application, fixture) keying and eviction. */
+  private[engine] def memo(s: SparkSession, key: String)(build: => DataFrame): DataFrame = {
     val appId = s.sparkContext.applicationId
     if (evictionHooked.add(appId)) {
       s.sparkContext.addSparkListener(new org.apache.spark.scheduler.SparkListener {

@@ -12,10 +12,11 @@ import org.apache.spark.sql.functions._
   * (Hamilton et al. 2017 §3.3, the third aggregator family next to the
   * mean and attention variants already in Gnn.scala).
   *
-  * All steps share Gnn.linkPredFeatures — one build of the (y, φ1..φ4)
-  * example set, localCheckpoint'ed so the training loop re-reads
-  * materialized blocks instead of re-running the join DAG per step (the
-  * same cached-training-set shape a real epoch loop has).
+  * All steps share Gnn.linkPredFeatures — the (y, φ1..φ4) example set
+  * is a session-scoped materialized view (memo + localCheckpoint, the
+  * GraphOps MV machinery), so training loops re-read materialized
+  * blocks instead of re-running the join DAG per step — the same
+  * cached-training-set shape a real epoch loop has.
   *
   * Cross-engine determinism: the per-step gradient/loss sums are exact
   * DECIMAL(38,9) (order-blind); every scalar weight/moment update is
@@ -76,7 +77,7 @@ object TrainOps {
     * between steps (no intermediate rounding — the round-6 display cast
     * happens only on output, so no cascading tie risk). */
   def q_gnn_sgd_epoch(s: SparkSession, dir: String): DataFrame = {
-    val feat = Gnn.linkPredFeatures(s, dir).localCheckpoint()
+    val feat = Gnn.linkPredFeatures(s, dir)
     var w = Array.tabulate(4)(j => Gnn.sgdW(j + 1))
     val rows = (1 to EpochSteps).map { t =>
       val r = gradEval(feat, w)
@@ -93,7 +94,7 @@ object TrainOps {
     * (1−β1, 1−β1·β1, …) — `pow` is not guaranteed correctly rounded
     * across libms, a plain multiply is. √ is IEEE-exact in both engines. */
   def q_gnn_adam_step(s: SparkSession, dir: String): DataFrame = {
-    val feat = Gnn.linkPredFeatures(s, dir).localCheckpoint()
+    val feat = Gnn.linkPredFeatures(s, dir)
     var w = Array.tabulate(4)(j => Gnn.sgdW(j + 1))
     val m = Array.fill(4)(0.0)
     val v = Array.fill(4)(0.0)
