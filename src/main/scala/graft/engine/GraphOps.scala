@@ -359,8 +359,14 @@ object GraphOps {
     * edge-connected nodes. */
   /** The label-propagation loop itself, shared by q_graph_label_prop and
     * q_graph_modularity: 4 synchronous iterations over the thresholded
-    * projection, returning the final (node, lbl) table. */
-  def lpLabels(s: SparkSession, dir: String): DataFrame = {
+    * projection, returning the final (node, lbl) table. Memoized per
+    * (session, fixture) — the loop's last iteration already
+    * localCheckpoints, so the memo just prevents the second consumer
+    * from re-running all 4 supersteps. */
+  def lpLabels(s: SparkSession, dir: String): DataFrame =
+    memo(s, s"lpLabels|$dir")(buildLpLabels(s, dir))
+
+  private def buildLpLabels(s: SparkSession, dir: String): DataFrame = {
     val pp = partPairs(s, dir, TriangleMinCooccur).select(col("a"), col("b"))
     val ue = pp.union(pp.select(col("b").as("a"), col("a").as("b")))
       .localCheckpoint()

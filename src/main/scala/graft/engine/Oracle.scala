@@ -2269,6 +2269,44 @@ object Oracle {
     }
   )
 
+  /** GIN convolution: 1e6-scaled integer features, exact integer
+    * neighbor sums (the sum aggregator needs no rounding at all), dense
+    * layer divides back to double per term. */
+  val gin: Map[String, String] = Map(
+    "q_gnn_gin" -> {
+      val xq = (1 to Gnn.Dim).map(j =>
+        s"CAST(ROUND(CAST(embedding[$j] AS DOUBLE) * 1000000, 0) AS BIGINT) AS x$j")
+        .mkString(", ")
+      val nbs = (1 to Gnn.Dim)
+        .map(j => s"CAST(SUM(fb.x$j) AS BIGINT) AS nb$j").mkString(", ")
+      val ss = (1 to Gnn.Dim).map(j => s"2*f.x$j + nb.nb$j AS s$j").mkString(", ")
+      def hExpr(i: Int): String = {
+        val r = i + TrainOps.GinOff
+        val terms = (0 until Gnn.Dim).map { j =>
+          s"(CAST(${(r * 31 + j * 17) % 7 - 3} AS DOUBLE)/10)*(s${j + 1} / 1000000)"
+        }.mkString(" + ") + s" + CAST(${r % 5 - 2} AS DOUBLE)/10"
+        s"ROUND(1/(1+exp(-($terms))), 9) AS h${i + 1}"
+      }
+      val hs = (0 until 4).map(hExpr).mkString(",\n  ")
+      s"""WITH $edgesCte,
+         |pp AS MATERIALIZED (SELECT e1.dst AS a, e2.dst AS b
+         |       FROM edges e1 JOIN edges e2 ON e1.src = e2.src AND e1.dst < e2.dst
+         |       GROUP BY 1, 2 HAVING COUNT(*) >= ${GraphOps.TriangleMinCooccur}),
+         |ue AS MATERIALIZED (SELECT a, b FROM pp UNION ALL SELECT b, a FROM pp),
+         |n AS (SELECT COUNT(*) AS c FROM embeddings),
+         |feats AS MATERIALIZED (SELECT nd.node, $xq
+         |  FROM (SELECT DISTINCT a AS node FROM ue) nd CROSS JOIN n
+         |  JOIN embeddings emb ON emb.vec_id = nd.node % n.c),
+         |nsum AS (SELECT ue.a, $nbs
+         |         FROM ue JOIN feats fb ON ue.b = fb.node GROUP BY ue.a),
+         |pre AS (SELECT f.node, $ss
+         |        FROM feats f JOIN nsum nb ON f.node = nb.a)
+         |SELECT node AS part_key,
+         |  $hs
+         |FROM pre ORDER BY part_key""".stripMargin
+    }
+  )
+
   /** §2.10 cont. — whole-graph structure metrics (round 8). Both are
     * exact-integer ratios: the only double op is the final division. */
   val graphAnalytics: Map[String, String] = Map(
@@ -2482,5 +2520,8 @@ object Oracle {
       pipeline ++ round4 ++ round4b ++ round4c ++ round4d ++ round4e ++
       round4f ++ round5 ++ round6 ++ round6graph ++ ClusterOps.oracle ++
       BpeOps.oracle ++ partitioning ++ train ++ graphAnalytics ++ curation ++
-      stats
+      stats ++ gin ++
+      // streaming max-pool: the final snapshot IS the batch pool — the
+      // batch operator's oracle replays it verbatim
+      Map("q_stream_gnn_pool" -> train("q_gnn_graphsage_pool"))
 }

@@ -174,8 +174,77 @@ object StreamingGnn {
       .orderBy("part_key")
   }
 
+  // ---- Streaming max-pool aggregator (round 8) --------------------------
+  // Streaming twin of q_gnn_graphsage_pool: element-wise MAX is a MONOTONE
+  // accumulator, so unlike the mean/layer ops the keyed state is just
+  // (count, 4 running maxima) — 40 bytes, no neighbor replication, and the
+  // snapshot after any prefix is the true pool of the edges seen so far
+  // (the property that makes max-pool the cheapest streaming aggregator).
+
+  case class PoolState(n: Long, mx: Array[Double])
+  case class CustPool(custkey: Long, n_neigh: Long,
+      p1: Double, p2: Double, p3: Double, p4: Double)
+
+  /** Per-neighbor pooled pre-activations: σ(W_pool[i]·x + b_pool[i]),
+    * round-9 — the EXACT arithmetic of the batch operator's generated
+    * column expression (same left-assoc fold, same Math.exp, and the
+    * same scala-BigDecimal HALF_UP rounding Spark's Round uses), so the
+    * streaming snapshot hash-matches the batch oracle. */
+  def poolZ(vec: Array[Float]): Array[Double] = {
+    val out = new Array[Double](4)
+    var i = 0
+    while (i < 4) {
+      val r = i + TrainOps.PoolOff
+      var acc = Gnn.weight(r, 0) * vec(0).toDouble
+      var j = 1
+      val m = math.min(Gnn.Dim, vec.length)
+      while (j < m) { acc += Gnn.weight(r, j) * vec(j).toDouble; j += 1 }
+      acc += Gnn.bias(r)
+      val sig = 1.0 / (1.0 + math.exp(-acc))
+      out(i) = BigDecimal(sig)
+        .setScale(9, BigDecimal.RoundingMode.HALF_UP).toDouble
+      i += 1
+    }
+    out
+  }
+
+  def updatePool(key: Long, it: Iterator[EdgeFeat],
+      state: GroupState[PoolState]): Iterator[CustPool] = {
+    val st = state.getOption
+      .getOrElse(PoolState(0L, Array.fill(4)(Double.NegativeInfinity)))
+    var n = st.n
+    val mx = st.mx
+    it.foreach { e =>
+      val z = poolZ(e.vec)
+      var i = 0
+      while (i < 4) { if (z(i) > mx(i)) mx(i) = z(i); i += 1 }
+      n += 1
+    }
+    state.update(PoolState(n, mx))
+    if (n == 0L) Iterator.empty
+    else Iterator.single(CustPool(key, n, mx(0), mx(1), mx(2), mx(3)))
+  }
+
+  /** Shared transform for the scenario tests and the contract query. */
+  def poolStream(s: SparkSession, edgeFeats: DataFrame): Dataset[CustPool] = {
+    import s.implicits._
+    edgeFeats.select(col("src").as("cust"), col("embedding").as("vec")).as[EdgeFeat]
+      .groupByKey(_.cust)
+      .flatMapGroupsWithState(OutputMode.Update, GroupStateTimeout.NoTimeout)(updatePool)
+  }
+
+  /** Driver-contract query: final streaming snapshots must equal the
+    * batch max-pool aggregator (shares q_gnn_graphsage_pool's oracle). */
+  def q_stream_gnn_pool(s: SparkSession, dir: String): DataFrame =
+    poolStream(s, GraphOps.neighborFeatures(s, dir))
+      .toDF()
+      .select(col("custkey"), col("n_neigh"),
+        col("p1"), col("p2"), col("p3"), col("p4"))
+      .orderBy("custkey")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_stream_gnn_embed" -> q_stream_gnn_embed _,
-    "q_stream_gnn_layer2" -> q_stream_gnn_layer2 _
+    "q_stream_gnn_layer2" -> q_stream_gnn_layer2 _,
+    "q_stream_gnn_pool" -> q_stream_gnn_pool _
   )
 }

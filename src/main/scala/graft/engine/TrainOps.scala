@@ -217,11 +217,64 @@ object TrainOps {
       .orderBy("custkey")
   }
 
+  /** Weight-fixture row offset for the GIN layer's parameters (rows 8–11;
+    * the forward layer uses 0–3, the pool aggregator 4–7). */
+  val GinOff = 8
+
+  /** GIN convolution (Xu et al. 2019 "How Powerful are GNNs", eq. 4.1)
+    * over the thresholded part–part projection, with ε = 1 so the
+    * pre-activation s = (1+ε)·x_v + Σ_{u∈N(v)} x_u stays EXACT: features
+    * are 1e6-scaled BIGINTs (float·1e6 is an exact ≤44-bit product), the
+    * neighbor SUM is integer (order-blind — the sum aggregator is
+    * exactly what distinguishes GIN from mean/max, and the reason this
+    * op needs the integer trick where GraphSAGE-mean needs round-6),
+    * and the dense layer divides back to double once per term.
+    * One shuffle (the 64-column neighbor sum); feature table broadcast. */
+  def q_gnn_gin(s: SparkSession, dir: String): DataFrame = {
+    val pp = GraphOps.partPairs(s, dir, GraphOps.TriangleMinCooccur)
+      .select(col("a"), col("b"))
+    val ue = pp.union(pp.select(col("b").as("a"), col("a").as("b")))
+    val n = Tables.embeddings(s, dir).agg(count(lit(1)).as("c"))
+    val xq = (1 to Gnn.Dim).map(j =>
+      round(element_at(col("embedding"), j).cast("double") * 1000000, 0)
+        .cast("bigint").as(s"x$j"))
+    // node-count-sized feature table, materialized once (it feeds both
+    // the neighbor-sum leg and the self-feature leg) and broadcast into
+    // both joins — the only real shuffle left is the 64-column sum
+    val feats = ue.select(col("a").as("node")).distinct()
+      .crossJoin(broadcast(n))
+      .select(col("node"), (col("node") % col("c")).as("vkey"))
+      .join(broadcast(Tables.embeddings(s, dir)), col("vkey") === col("vec_id"))
+      .select(col("node") +: xq: _*)
+      .localCheckpoint()
+    val featsB = feats.select(col("node").as("fb") +:
+      (1 to Gnn.Dim).map(j => col(s"x$j").as(s"bx$j")): _*)
+    val nsums = ue.join(broadcast(featsB), col("b") === col("fb"))
+      .groupBy(col("a"))
+      .agg(sum(col("bx1")).as("nb1"),
+        (2 to Gnn.Dim).map(j => sum(col(s"bx$j")).as(s"nb$j")): _*)
+    val sCols = (1 to Gnn.Dim).map(j =>
+      (lit(2L) * col(s"x$j") + col(s"nb$j")).as(s"s$j"))
+    val pre = broadcast(feats).join(nsums, col("node") === col("a"))
+      .select(col("node") +: sCols: _*)
+    val hCols = (0 until 4).map { i =>
+      val r = i + GinOff
+      val fold = (2 to Gnn.Dim).foldLeft(
+        lit(Gnn.weight(r, 0)) * (col("s1") / lit(1000000)))(
+        (acc, j) => acc + lit(Gnn.weight(r, j - 1)) * (col(s"s$j") / lit(1000000)))
+      round(lit(1.0) / (lit(1.0) + exp(-(fold + lit(Gnn.bias(r))))), 9)
+        .as(s"h${i + 1}")
+    }
+    pre.select(col("node").as("part_key") +: hCols: _*)
+      .orderBy("part_key")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_gnn_sgd_epoch" -> q_gnn_sgd_epoch _,
     "q_gnn_adam_step" -> q_gnn_adam_step _,
     "q_gnn_link_pred_auc" -> q_gnn_link_pred_auc _,
     "q_gnn_dropout_forward" -> q_gnn_dropout_forward _,
-    "q_gnn_graphsage_pool" -> q_gnn_graphsage_pool _
+    "q_gnn_graphsage_pool" -> q_gnn_graphsage_pool _,
+    "q_gnn_gin" -> q_gnn_gin _
   )
 }
