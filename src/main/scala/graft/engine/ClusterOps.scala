@@ -118,9 +118,71 @@ object ClusterOps {
       (1 to D).map(j => round(col(s"v_$j"), 6).as(s"l$j")): _*)
   }
 
+  /** Dims whitened (the surfaced 1–4 convention). */
+  val WhitenDims = 4
+
+  /** ZCA-style decorrelation via Cholesky (the whitening pass an
+    * embedding-compression / feature-standardization pipeline runs
+    * before training): z = L⁻¹(x − μ) where C = LLᵀ over dims 1–4 —
+    * after which the sample covariance of z is the identity (spec-
+    * verified). The 4×4 Cholesky and the per-vector forward substitution
+    * are UNROLLED into fixed-order scalar expressions over the exact
+    * decimal moment sums (the q_embed_pca moment machinery), so every
+    * double op is identical cross-engine and the output needs NO
+    * rounding. Corpus touched once (the moment agg — 15 partial sums);
+    * the 1-row Cholesky broadcast onto the scan. */
+  def q_embed_whiten(s: SparkSession, dir: String): DataFrame = {
+    val D = WhitenDims
+    def el(j: Int) = element_at(col("embedding"), j).cast("double")
+    def dsum(c: org.apache.spark.sql.Column) =
+      sum(round(c, 9).cast("decimal(24,9)")).cast("double")
+    val moments =
+      (1 to D).map(j => dsum(el(j)).as(s"sx_$j")) ++
+        (for (j <- 1 to D; k <- j to D) yield dsum(el(j) * el(k)).as(s"sxy_${j}_$k")) :+
+        count(lit(1)).cast("double").as("n")
+    val mom = Tables.embeddings(s, dir).agg(moments.head, moments.tail: _*)
+    val covCols = (for (j <- 1 to D; k <- 1 to j) yield {
+      ((col(s"sxy_${k}_$j") - col(s"sx_$j") * col(s"sx_$k") / col("n"))
+        / (col("n") - 1)).as(s"c_${j}_$k")
+    }) ++ (1 to D).map(j => (col(s"sx_$j") / col("n")).as(s"mu_$j"))
+    var ch = mom.select(covCols: _*)
+    def keep = ch.columns.map(col)
+    // unrolled Cholesky, one factor column per select (fixed op order)
+    ch = ch.select(keep :+ sqrt(col("c_1_1")).as("l11"): _*)
+    ch = ch.select(keep :+ (col("c_2_1") / col("l11")).as("l21")
+      :+ (col("c_3_1") / col("l11")).as("l31")
+      :+ (col("c_4_1") / col("l11")).as("l41"): _*)
+    ch = ch.select(keep :+ sqrt(col("c_2_2") - col("l21") * col("l21")).as("l22"): _*)
+    ch = ch.select(keep
+      :+ ((col("c_3_2") - col("l31") * col("l21")) / col("l22")).as("l32")
+      :+ ((col("c_4_2") - col("l41") * col("l21")) / col("l22")).as("l42"): _*)
+    ch = ch.select(keep :+ sqrt(col("c_3_3") - col("l31") * col("l31")
+      - col("l32") * col("l32")).as("l33"): _*)
+    ch = ch.select(keep :+ ((col("c_4_3") - col("l41") * col("l31")
+      - col("l42") * col("l32")) / col("l33")).as("l43"): _*)
+    ch = ch.select(keep :+ sqrt(col("c_4_4") - col("l41") * col("l41")
+      - col("l42") * col("l42") - col("l43") * col("l43")).as("l44"): _*)
+    // forward substitution per vector: z = L⁻¹(x − μ)
+    var z = Tables.embeddings(s, dir).select(col("vec_id"),
+        el(1).as("x1"), el(2).as("x2"), el(3).as("x3"), el(4).as("x4"))
+      .crossJoin(broadcast(ch))
+    z = z.withColumn("z1", (col("x1") - col("mu_1")) / col("l11"))
+    z = z.withColumn("z2",
+      ((col("x2") - col("mu_2")) - col("l21") * col("z1")) / col("l22"))
+    z = z.withColumn("z3",
+      ((col("x3") - col("mu_3")) - col("l31") * col("z1")
+        - col("l32") * col("z2")) / col("l33"))
+    z = z.withColumn("z4",
+      ((col("x4") - col("mu_4")) - col("l41") * col("z1")
+        - col("l42") * col("z2") - col("l43") * col("z3")) / col("l44"))
+    z.select(col("vec_id"), col("z1"), col("z2"), col("z3"), col("z4"))
+      .orderBy("vec_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_llm_kmeans" -> q_llm_kmeans _,
-    "q_embed_pca" -> q_embed_pca _
+    "q_embed_pca" -> q_embed_pca _,
+    "q_embed_whiten" -> q_embed_whiten _
   )
 
   // ── DuckDB oracle (generated: 64-term distance chains, unrolled Lloyd) ──
@@ -183,8 +245,42 @@ object ClusterOps {
        |SELECT ROUND(($num) / ($den), 6) AS eigenvalue, $loads FROM fin""".stripMargin
   }
 
+  private def whitenOracle: String = {
+    val D = WhitenDims
+    def e(j: Int) = s"CAST(embedding[$j] AS DOUBLE)"
+    val sx = (1 to D).map(j =>
+      s"CAST(SUM(CAST(round(${e(j)}, 9) AS DECIMAL(24,9))) AS DOUBLE) AS sx_$j")
+    val sxy = for (j <- 1 to D; k <- j to D) yield
+      s"CAST(SUM(CAST(round(${e(j)} * ${e(k)}, 9) AS DECIMAL(24,9))) AS DOUBLE) AS sxy_${j}_$k"
+    val cov = (for (j <- 1 to D; k <- 1 to j) yield
+      s"(sxy_${k}_$j - sx_$j * sx_$k / n) / (n - 1) AS c_${j}_$k") ++
+      (1 to D).map(j => s"sx_$j / n AS mu_$j")
+    s"""WITH mom AS MATERIALIZED (SELECT ${(sx ++ sxy).mkString(", ")},
+       |  CAST(COUNT(*) AS DOUBLE) AS n FROM embeddings),
+       |cov AS (SELECT ${cov.mkString(", ")} FROM mom),
+       |ch1 AS (SELECT *, sqrt(c_1_1) AS l11 FROM cov),
+       |ch2 AS (SELECT *, c_2_1 / l11 AS l21, c_3_1 / l11 AS l31,
+       |               c_4_1 / l11 AS l41 FROM ch1),
+       |ch3 AS (SELECT *, sqrt(c_2_2 - l21 * l21) AS l22 FROM ch2),
+       |ch4 AS (SELECT *, (c_3_2 - l31 * l21) / l22 AS l32,
+       |               (c_4_2 - l41 * l21) / l22 AS l42 FROM ch3),
+       |ch5 AS (SELECT *, sqrt(c_3_3 - l31 * l31 - l32 * l32) AS l33 FROM ch4),
+       |ch6 AS (SELECT *, (c_4_3 - l41 * l31 - l42 * l32) / l33 AS l43 FROM ch5),
+       |ch7 AS (SELECT *, sqrt(c_4_4 - l41 * l41 - l42 * l42 - l43 * l43) AS l44
+       |        FROM ch6),
+       |x AS (SELECT vec_id, ${(1 to D).map(j => s"${e(j)} AS x$j").mkString(", ")}
+       |      FROM embeddings),
+       |z1c AS (SELECT x.*, ch7.*, (x1 - mu_1) / l11 AS z1 FROM x CROSS JOIN ch7),
+       |z2c AS (SELECT *, ((x2 - mu_2) - l21 * z1) / l22 AS z2 FROM z1c),
+       |z3c AS (SELECT *, ((x3 - mu_3) - l31 * z1 - l32 * z2) / l33 AS z3 FROM z2c),
+       |z4c AS (SELECT *, ((x4 - mu_4) - l41 * z1 - l42 * z2 - l43 * z3) / l44 AS z4
+       |        FROM z3c)
+       |SELECT vec_id, z1, z2, z3, z4 FROM z4c ORDER BY vec_id""".stripMargin
+  }
+
   val oracle: Map[String, String] = Map(
     "q_embed_pca" -> pcaOracle,
+    "q_embed_whiten" -> whitenOracle,
     "q_llm_kmeans" -> {
       val c0 = (1 to EmbDims).map(j => s"CAST(embedding[$j] AS DOUBLE) AS c$j").mkString(", ")
       s"""WITH cents0 AS MATERIALIZED (

@@ -2271,8 +2271,29 @@ object Oracle {
 
   /** GIN convolution: 1e6-scaled integer features, exact integer
     * neighbor sums (the sum aggregator needs no rounding at all), dense
-    * layer divides back to double per term. */
+    * layer divides back to double per term. Plus LayerNorm over the
+    * round-6-pinned mean vector — per-row pinned scalar math, raw
+    * double output (no rounding exists to tie). */
   val gin: Map[String, String] = Map(
+    "q_gnn_layer_norm" -> {
+      val mAvgs = (1 to Gnn.Dim)
+        .map(j => s"ROUND(AVG(CAST(emb.embedding[$j] AS DOUBLE)), 6) AS m$j")
+        .mkString(", ")
+      val mu = "(" + (1 to Gnn.Dim).map(j => s"m$j").mkString(" + ") + s") / ${Gnn.Dim}"
+      val vr = "(" + (1 to Gnn.Dim).map(j => s"(m$j - mu) * (m$j - mu)").mkString(" + ") +
+        s") / ${Gnn.Dim}"
+      val outs = (1 to 4)
+        .map(i => s"(m$i - mu) / sqrt(vr + 1e-5) AS ln$i").mkString(", ")
+      s"""WITH $edgesCte,
+         |n AS (SELECT COUNT(*) AS c FROM embeddings),
+         |m AS (SELECT e.src AS custkey, $mAvgs
+         |      FROM edges e CROSS JOIN n
+         |      JOIN embeddings emb ON emb.vec_id = e.dst % n.c
+         |      GROUP BY 1),
+         |wm AS (SELECT *, $mu AS mu FROM m),
+         |wv AS (SELECT *, $vr AS vr FROM wm)
+         |SELECT custkey, $outs FROM wv ORDER BY custkey""".stripMargin
+    },
     "q_gnn_gin" -> {
       val xq = (1 to Gnn.Dim).map(j =>
         s"CAST(ROUND(CAST(embedding[$j] AS DOUBLE) * 1000000, 0) AS BIGINT) AS x$j")

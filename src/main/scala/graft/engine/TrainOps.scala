@@ -269,12 +269,42 @@ object TrainOps {
       .orderBy("part_key")
   }
 
+  /** LayerNorm epsilon, written identically in both engines (1e-5 is an
+    * exact double literal in Spark and DuckDB's scientific notation). */
+  val LnEps = 1e-5
+
+  /** LayerNorm (Ba et al. 2016) over the aggregated 64-dim neighborhood
+    * mean — the normalization a transformer-era GNN applies between
+    * layers: per row, μ and σ² over the 64 coordinates in a FIXED
+    * left-associated fold, out = (m_i − μ)/√(σ² + ε), dims 1–4, γ=1 β=0.
+    * Determinism: the mean vector rounds to 6dp first (pins the only
+    * order-dependent input, the q_gnn_sgd_step device); everything after
+    * is per-row scalar math in pinned order → raw doubles surface with
+    * NO output rounding (no tie class at all). One shuffle (the mean). */
+  def q_gnn_layer_norm(s: SparkSession, dir: String): DataFrame = {
+    val aggs = (1 to Gnn.Dim).map(i =>
+      round(avg(element_at(col("embedding"), i).cast("double")), 6).as(s"m$i"))
+    val m = GraphOps.neighborFeatures(s, dir)
+      .groupBy(col("src")).agg(aggs.head, aggs.tail: _*)
+    val mu = (2 to Gnn.Dim).foldLeft(col("m1"))((acc, j) => acc + col(s"m$j")) / Gnn.Dim
+    val withMu = m.withColumn("mu", mu)
+    val varExpr = (2 to Gnn.Dim).foldLeft(
+      (col("m1") - col("mu")) * (col("m1") - col("mu")))(
+      (acc, j) => acc + (col(s"m$j") - col("mu")) * (col(s"m$j") - col("mu"))) / Gnn.Dim
+    val withVar = withMu.withColumn("vr", varExpr)
+    val outs = (1 to 4).map(i =>
+      ((col(s"m$i") - col("mu")) / sqrt(col("vr") + lit(LnEps))).as(s"ln$i"))
+    withVar.select(col("src").as("custkey") +: outs: _*)
+      .orderBy("custkey")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_gnn_sgd_epoch" -> q_gnn_sgd_epoch _,
     "q_gnn_adam_step" -> q_gnn_adam_step _,
     "q_gnn_link_pred_auc" -> q_gnn_link_pred_auc _,
     "q_gnn_dropout_forward" -> q_gnn_dropout_forward _,
     "q_gnn_graphsage_pool" -> q_gnn_graphsage_pool _,
-    "q_gnn_gin" -> q_gnn_gin _
+    "q_gnn_gin" -> q_gnn_gin _,
+    "q_gnn_layer_norm" -> q_gnn_layer_norm _
   )
 }

@@ -59,6 +59,33 @@ class StreamPoolGinSpec extends AnyFunSuite {
     }
   }
 
+  test("whitening: z has ~zero mean and ~identity covariance") {
+    val z = graft.engine.ClusterOps.q_embed_whiten(spark, sf001).collect()
+      .map(r => Array(r.getDouble(1), r.getDouble(2), r.getDouble(3), r.getDouble(4)))
+    val n = z.length
+    val mean = Array.tabulate(4)(j => z.map(_(j)).sum / n)
+    mean.foreach(m => assert(math.abs(m) < 1e-6, s"whitened mean not ~0: $m"))
+    for (j <- 0 until 4; k <- 0 until 4) {
+      val c = z.map(v => (v(j) - mean(j)) * (v(k) - mean(k))).sum / (n - 1)
+      val expect = if (j == k) 1.0 else 0.0
+      assert(math.abs(c - expect) < 1e-5,
+        s"whitened cov($j,$k) = $c, expected $expect")
+    }
+  }
+
+  test("layer norm: outputs bounded by the max possible z-score") {
+    val rows = TrainOps.q_gnn_layer_norm(spark, sf0001).collect()
+    assert(rows.nonEmpty)
+    // for a sample of 64 values, |x - mean|/std <= sqrt(63)
+    val bound = math.sqrt(63.0) + 1e-9
+    rows.foreach { r =>
+      (1 to 4).foreach { i =>
+        val v = r.getDouble(i)
+        assert(!v.isNaN && math.abs(v) <= bound, s"layer-norm out of bound: $v")
+      }
+    }
+  }
+
   test("GIN: sigmoid range, projection node coverage, sum-aggregator sensitivity") {
     val rows = TrainOps.q_gnn_gin(spark, sf0001).collect()
     val nodes = GraphOps.partPairs(spark, sf0001, GraphOps.TriangleMinCooccur)
