@@ -661,7 +661,75 @@ object LlmOps {
       .limit(10)
   }
 
+  /** MMR constants: selection size, candidate pool, trade-off λ (written
+    * as 7/10 so the literal double is identical in both engines). */
+  val MmrK = 8
+  val MmrPool = 20
+  val MmrLambda: Double = 7.0 / 10
+
+  /** Maximal Marginal Relevance re-ranking (Carbonell & Goldstein 1998)
+    * — the diversified-retrieval step after a similarity search: from
+    * the top-20 cosine candidates for the query vector, greedily select
+    * k=8 maximizing λ·rel(c) − (1−λ)·max_{s∈S} sim(c,s) (smallest-id
+    * tie-break). Relevance and pairwise sims are the established round-6
+    * cosine family; the score arithmetic is pinned double ops on those
+    * identical inputs, so the greedy trace is bit-reproducible and the
+    * oracle replays it as 8 unrolled argmax CTEs.
+    * Scale shape: the candidate pool is top-k-sized by construction
+    * (the expensive part IS the similarity search, q_llm_cosine_topk /
+    * ANN tier); the greedy loop touches 20 rows × 8 steps and collects
+    * ONE argmax row per step — the bounded-k loop of a reranker, not a
+    * data collect. */
+  def q_llm_mmr(s: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(s, dir)
+    val t = emb.filter(col("vec_id") === 0)
+      .select(col("embedding").as("tv"), normCol(s)(col("embedding")).as("tn"))
+    val cand = emb.filter(col("vec_id") =!= 0)
+      .withColumn("vn", normCol(s)(col("embedding")))
+      .crossJoin(broadcast(t))
+      .select(col("vec_id"),
+        round(cosSimPre(s)(col("embedding"), col("tv"), col("vn"), col("tn")), 6).as("rel"))
+      .orderBy(col("rel").desc, col("vec_id").asc)
+      .limit(MmrPool)
+      .localCheckpoint()
+    val cv = cand.select(col("vec_id").as("cid"))
+      .join(emb, col("cid") === col("vec_id"))
+      .select(col("cid"), col("embedding"), normCol(s)(col("embedding")).as("cn"))
+    val aSide = cv.select(col("cid").as("sa"), col("embedding").as("va"), col("cn").as("na"))
+    val bSide = cv.select(col("cid").as("sb"), col("embedding").as("vb"), col("cn").as("nb"))
+    val sims = aSide.join(bSide, col("sa") =!= col("sb"))
+      .select(col("sa"), col("sb"),
+        round(cosSimPre(s)(col("va"), col("vb"), col("na"), col("nb")), 6).as("sim"))
+      .localCheckpoint()
+    val selIds = scala.collection.mutable.ArrayBuffer.empty[Long]
+    val out = scala.collection.mutable.ArrayBuffer.empty[(Int, Long, Double, Double)]
+    for (step <- 1 to MmrK) {
+      val remaining =
+        if (selIds.isEmpty) cand
+        else cand.filter(!col("vec_id").isin(selIds.toSeq: _*))
+      val pen =
+        if (selIds.isEmpty) remaining.withColumn("ms", lit(0.0))
+        else {
+          val selSims = sims.filter(col("sb").isin(selIds.toSeq: _*))
+            .groupBy(col("sa")).agg(max(col("sim")).as("m"))
+          remaining.join(selSims, col("vec_id") === col("sa"), "left_outer")
+            .select(col("vec_id"), col("rel"),
+              coalesce(col("m"), lit(0.0)).as("ms"))
+        }
+      val r = pen.select(col("vec_id"), col("rel"),
+          (lit(MmrLambda) * col("rel")
+            - lit(1.0 - MmrLambda) * col("ms")).as("score"))
+        .orderBy(col("score").desc, col("vec_id").asc)
+        .limit(1).collect()(0)
+      selIds += r.getLong(0)
+      out += ((step, r.getLong(0), r.getDouble(1), r.getDouble(2)))
+    }
+    import s.implicits._
+    out.toSeq.toDF("rank", "vec_id", "rel", "score").orderBy("rank")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_llm_mmr" -> q_llm_mmr _,
     "q_llm_ann_pq" -> q_llm_ann_pq _,
     "q_llm_bloom_prefilter" -> q_llm_bloom_prefilter _,
     "q_llm_dedup_exact" -> q_llm_dedup_exact _,

@@ -2386,6 +2386,51 @@ object Oracle {
          |FROM agg""".stripMargin
   )
 
+  /** MMR: the greedy diversified-selection trace as 8 unrolled argmax
+    * CTEs — each step scores the remaining candidates with the pinned
+    * λ·rel − (1−λ)·max-sim formula and picks ORDER BY score DESC,
+    * vec_id LIMIT 1 (the smallest-id tie-break of the Spark loop). */
+  val mmr: Map[String, String] = Map(
+    "q_llm_mmr" -> {
+      val L = "(CAST(7 AS DOUBLE)/10)"
+      val steps = (1 to LlmOps.MmrK).map { t =>
+        val (scoreExpr, from) =
+          if (t == 1)
+            (s"$L*c.rel - (1 - $L)*CAST(0 AS DOUBLE)", "FROM cand c")
+          else
+            (s"$L*c.rel - (1 - $L)*COALESCE(ms.m, CAST(0 AS DOUBLE))",
+              s"""FROM cand c LEFT JOIN (
+                 |    SELECT s.sa, MAX(s.sim) AS m FROM sims s
+                 |    JOIN ch${t - 1} ch ON s.sb = ch.vec_id GROUP BY s.sa) ms
+                 |  ON ms.sa = c.vec_id
+                 |WHERE c.vec_id NOT IN (SELECT vec_id FROM ch${t - 1})""".stripMargin)
+        val chDef =
+          if (t == 1) "SELECT vec_id FROM p1"
+          else s"SELECT vec_id FROM ch${t - 1} UNION ALL SELECT vec_id FROM p$t"
+        s"""p$t AS (SELECT c.vec_id, c.rel, $scoreExpr AS score
+           |$from
+           |ORDER BY score DESC, c.vec_id LIMIT 1),
+           |ch$t AS ($chDef)""".stripMargin
+      }.mkString(",\n")
+      val out = (1 to LlmOps.MmrK)
+        .map(t => s"SELECT CAST($t AS INT) AS rank, vec_id, rel, score FROM p$t")
+        .mkString("\nUNION ALL\n")
+      s"""WITH qv AS (SELECT embedding AS q FROM embeddings WHERE vec_id = 0),
+         |cand AS MATERIALIZED (SELECT e.vec_id,
+         |    ROUND(${cosExpr("e.embedding", "qv.q")}, 6) AS rel
+         |  FROM embeddings e CROSS JOIN qv WHERE e.vec_id <> 0
+         |  ORDER BY rel DESC, e.vec_id LIMIT ${LlmOps.MmrPool}),
+         |cv AS MATERIALIZED (SELECT c.vec_id, e.embedding
+         |  FROM cand c JOIN embeddings e USING (vec_id)),
+         |sims AS MATERIALIZED (SELECT a.vec_id AS sa, b.vec_id AS sb,
+         |    ROUND(${cosExpr("a.embedding", "b.embedding")}, 6) AS sim
+         |  FROM cv a JOIN cv b ON a.vec_id <> b.vec_id),
+         |$steps
+         |$out
+         |ORDER BY rank""".stripMargin
+    }
+  )
+
   /** §2.19 — corpus-curation filters (round 8). Integer rules + exact
     * counts; the only doubles are raw single divisions. */
   val curation: Map[String, String] = Map(
@@ -2541,7 +2586,7 @@ object Oracle {
       pipeline ++ round4 ++ round4b ++ round4c ++ round4d ++ round4e ++
       round4f ++ round5 ++ round6 ++ round6graph ++ ClusterOps.oracle ++
       BpeOps.oracle ++ partitioning ++ train ++ graphAnalytics ++ curation ++
-      stats ++ gin ++
+      stats ++ gin ++ mmr ++
       // streaming max-pool: the final snapshot IS the batch pool — the
       // batch operator's oracle replays it verbatim
       Map("q_stream_gnn_pool" -> train("q_gnn_graphsage_pool"))

@@ -63,6 +63,21 @@ class CurationStatsSpec extends AnyFunSuite {
     }
   }
 
+  test("MMR: distinct picks from the pool, argmax-rel first, scores non-increasing") {
+    import graft.engine.LlmOps
+    val rows = LlmOps.q_llm_mmr(spark, sf001).collect().sortBy(_.getInt(0))
+    assert(rows.length == LlmOps.MmrK)
+    val ids = rows.map(_.getLong(1))
+    assert(ids.distinct.length == ids.length, "duplicate selection")
+    // rank 1 is the pure-relevance argmax (empty-set penalty is zero)
+    val top = LlmOps.q_llm_cosine_topk(spark, sf001).collect()(0).getLong(0)
+    assert(ids.head == top, s"first pick ${ids.head} != top-relevance $top")
+    // the greedy max over a shrinking set with growing penalties cannot rise
+    rows.map(_.getDouble(3)).sliding(2).foreach { case Array(a, b) =>
+      assert(b <= a + 1e-12, s"MMR score increased: $a -> $b")
+    }
+  }
+
   test("interpolation: observed rows preserved, gaps bounded by neighbors") {
     val rows = StatsOps.q_time_interpolate(spark, sf0001).collect()
       .map(r => (r.getString(0), r.getTimestamp(1), r.getBoolean(2),
