@@ -160,4 +160,44 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(p.contains("BroadcastHashJoin"),
       s"the 1024-row log-ratio model must broadcast, not shuffle the tokens:\n$p")
   }
+
+  test("GIN joins broadcast the feature table; no cartesian, one sum shuffle") {
+    val df = SparkEntry.queries("q_gnn_gin")(spark, sf0001)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    assert(!p.contains("CartesianProduct"), s"no cartesian in GIN:\n$p")
+    assert(!p.contains("SortMergeJoin"),
+      s"node-feature joins must broadcast, not shuffle-sort:\n$p")
+    assert("BroadcastHashJoin".r.findAllIn(p).size >= 2,
+      s"both GIN join legs must be broadcast:\n$p")
+  }
+
+  test("correlation matrix is one partial+final aggregation, no join") {
+    val df = SparkEntry.queries("q_agg_corr")(spark, sf0001)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    assert("HashAggregate".r.findAllIn(p).size >= 2,
+      "moment sums must combine map-side partials")
+    assert(!p.contains("Join"), s"single-pass moments need no join:\n$p")
+  }
+
+  test("whitening broadcasts the 1-row Cholesky onto the scan") {
+    val df = SparkEntry.queries("q_embed_whiten")(spark, sf0001)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"),
+      s"the factor row must broadcast:\n$p")
+    assert(!p.contains("CartesianProduct"), s"no cartesian:\n$p")
+  }
+
+  test("training-set gradient pass is a single decimal aggregation to one row") {
+    val df = graft.engine.Gnn.linkPredFeatures(spark, sf0001)
+      .agg(org.apache.spark.sql.functions.count(
+        org.apache.spark.sql.functions.lit(1)))
+    df.collect()
+    // the MV is checkpointed: downstream passes must plan as scan+agg
+    // with no joins left in them
+    val p = df.queryExecution.executedPlan.toString
+    assert(!p.contains("Join"), s"checkpointed training set must not re-join:\n$p")
+  }
 }
