@@ -2546,6 +2546,34 @@ object Oracle {
          |FROM a""".stripMargin
     },
 
+    "q_llm_drift_psi" -> {
+      // outer parens are load-bearing: these interpolate into `$p / $q`,
+      // which without them parses as a left-assoc 4-way division chain
+      val p = "(CAST(cr + 1 AS DOUBLE) / CAST(nr + 10 AS DOUBLE))"
+      val q = "(CAST(cc + 1 AS DOUBLE) / CAST(nc + 10 AS DOUBLE))"
+      s"""WITH ev AS (SELECT event_type,
+         |    CAST(LEAST(9, FLOOR(value / 50)) AS INT) AS b,
+         |    (CAST(CAST(ts AS TIMESTAMP) AS DATE) <= DATE '2024-01-15') AS is_ref
+         |  FROM events),
+         |counts AS (SELECT event_type AS ct, b AS cb,
+         |    CAST(SUM(CASE WHEN is_ref THEN 1 ELSE 0 END) AS BIGINT) AS cr,
+         |    CAST(SUM(CASE WHEN NOT is_ref THEN 1 ELSE 0 END) AS BIGINT) AS cc
+         |  FROM ev GROUP BY 1, 2),
+         |types AS (SELECT DISTINCT event_type FROM ev),
+         |spine AS (SELECT t.event_type, u.b FROM types t, UNNEST(range(0, 10)) AS u(b)),
+         |filled AS (SELECT s.event_type, s.b, COALESCE(c.cr, 0) AS cr,
+         |    COALESCE(c.cc, 0) AS cc
+         |  FROM spine s LEFT JOIN counts c ON s.event_type = c.ct AND s.b = c.cb),
+         |tot AS (SELECT event_type AS tt, CAST(SUM(cr) AS BIGINT) AS nr,
+         |    CAST(SUM(cc) AS BIGINT) AS nc FROM filled GROUP BY 1),
+         |terms AS (SELECT f.event_type, tot.nr, tot.nc,
+         |    CAST(ROUND(($p - $q) * ln($p / $q), 9) AS DECIMAL(18,9)) AS term
+         |  FROM filled f JOIN tot ON f.event_type = tot.tt)
+         |SELECT event_type, MAX(nr) AS n_ref, MAX(nc) AS n_cur,
+         |  CAST(SUM(term) AS DOUBLE) AS psi
+         |FROM terms GROUP BY 1 ORDER BY 1""".stripMargin
+    },
+
     "q_time_interpolate" -> {
       val back = "OVER (PARTITION BY event_type ORDER BY idx " +
         "ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)"

@@ -103,8 +103,57 @@ object StatsOps {
       .orderBy("event_type", "hr")
   }
 
+  /** PSI bucket width and count; Laplace smoothing keeps every bucket
+    * probability an exact nonzero rational. */
+  val PsiBucketWidth = 50
+  val PsiBuckets = 10
+
+  /** Population Stability Index drift monitor (the standard
+    * training-data drift check between a reference and a current
+    * window): per event_type, PSI = Σ_b (p_b − q_b)·ln(p_b/q_b) over
+    * 10 equal-width value buckets, reference = first half of the month,
+    * current = second half, with add-one smoothing so p,q are exact
+    * nonzero rationals. Each bucket term rounds at 9dp (absorbs the
+    * only non-reproducible op, libm ln) and the PSI total is an exact
+    * DECIMAL sum of those terms — no other float path exists. A full
+    * bucket spine (type × 0..9) makes missing buckets explicit.
+    * NOTE floor(): DuckDB's CAST(double AS INT) ROUNDS while Spark's
+    * truncates — the bucket id must be an explicit FLOOR in both.
+    * Scale shape: one keyed count aggregation + a dimension-sized spine
+    * join; PSI per key is a 10-term fixed fold. */
+  def q_llm_drift_psi(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(s, dir)
+      .select(col("event_type"),
+        least(lit(PsiBuckets - 1),
+          floor(col("value") / PsiBucketWidth)).cast("int").as("b"),
+        (to_date(col("ts")) <= lit("2024-01-15").cast("date")).as("is_ref"))
+    val counts = ev.groupBy(col("event_type").as("ct"), col("b").as("cb"))
+      .agg(sum(when(col("is_ref"), 1L).otherwise(0L)).as("cr"),
+        sum(when(!col("is_ref"), 1L).otherwise(0L)).as("cc"))
+    val types = ev.select(col("event_type")).distinct()
+    val spine = types.select(col("event_type"),
+      explode(sequence(lit(0), lit(PsiBuckets - 1))).as("b"))
+    val filled = spine.join(counts,
+        col("event_type") === col("ct") && col("b") === col("cb"), "left_outer")
+      .select(col("event_type"), col("b"),
+        coalesce(col("cr"), lit(0L)).as("cr"),
+        coalesce(col("cc"), lit(0L)).as("cc"))
+    val totals = filled.groupBy(col("event_type").as("tt"))
+      .agg(sum(col("cr")).as("nr"), sum(col("cc")).as("nc"))
+    val p = (col("cr") + 1).cast("double") / (col("nr") + PsiBuckets).cast("double")
+    val q = (col("cc") + 1).cast("double") / (col("nc") + PsiBuckets).cast("double")
+    filled.join(broadcast(totals), col("event_type") === col("tt"))
+      .select(col("event_type"), col("nr"), col("nc"),
+        round((p - q) * log(p / q), 9).cast("decimal(18,9)").as("term"))
+      .groupBy(col("event_type"))
+      .agg(max(col("nr")).as("n_ref"), max(col("nc")).as("n_cur"),
+        sum(col("term")).cast("double").as("psi"))
+      .orderBy("event_type")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_agg_corr" -> q_agg_corr _,
-    "q_time_interpolate" -> q_time_interpolate _
+    "q_time_interpolate" -> q_time_interpolate _,
+    "q_llm_drift_psi" -> q_llm_drift_psi _
   )
 }

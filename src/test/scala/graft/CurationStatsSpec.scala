@@ -78,6 +78,18 @@ class CurationStatsSpec extends AnyFunSuite {
     }
   }
 
+  test("PSI drift: non-negative, totals partition the stream") {
+    val rows = StatsOps.q_llm_drift_psi(spark, sf001).collect()
+    val total = Tables.events(spark, sf001).count()
+    assert(rows.map(r => r.getLong(1) + r.getLong(2)).sum == total,
+      "ref+cur counts must partition the events")
+    rows.foreach { r =>
+      // PSI = sum of (p-q)ln(p/q) terms, each >= 0
+      assert(r.getDouble(3) >= 0.0, s"PSI negative: ${r.getDouble(3)}")
+      assert(r.getDouble(3) < 1.0, "synthetic halves should not drift heavily")
+    }
+  }
+
   test("interpolation: observed rows preserved, gaps bounded by neighbors") {
     val rows = StatsOps.q_time_interpolate(spark, sf0001).collect()
       .map(r => (r.getString(0), r.getTimestamp(1), r.getBoolean(2),
