@@ -2615,7 +2615,8 @@ object Oracle {
       round4f ++ round5 ++ round6 ++ round6graph ++ ClusterOps.oracle ++
       BpeOps.oracle ++ partitioning ++ train ++ graphAnalytics ++ curation ++
       stats ++ gin ++ mmr ++
-      // streaming max-pool: the final snapshot IS the batch pool — the
-      // batch operator's oracle replays it verbatim
-      Map("q_stream_gnn_pool" -> train("q_gnn_graphsage_pool"))
+      // streaming twins: the final snapshot IS the batch result — the
+      // batch operators' oracles replay them verbatim
+      Map("q_stream_gnn_pool" -> train("q_gnn_graphsage_pool"),
+        "q_stream_drift_psi" -> stats("q_llm_drift_psi"))
 }

@@ -151,9 +151,69 @@ object StatsOps {
       .orderBy("event_type")
   }
 
+  // ---- Streaming PSI maintainer -----------------------------------------
+  // Keyed-state twin of q_llm_drift_psi: per event_type the state is the
+  // 2×10 bucket histogram (pure longs — exact, order-blind, mergeable),
+  // and the PSI arithmetic runs only at snapshot-emit time, replaying the
+  // batch expression exactly: StrictMath.log (what Spark's `log` codegen
+  // calls — NOT Math.log, which may route to an intrinsic), scala
+  // BigDecimal HALF_UP round-9 per term, exact decimal total. The final
+  // bounded-run snapshot therefore shares the batch operator's oracle.
+
+  case class PsiEvent(etype: String, b: Int, isRef: Boolean)
+  case class PsiState(ref: Array[Long], cur: Array[Long])
+  case class PsiSnap(event_type: String, n_ref: Long, n_cur: Long, psi: Double)
+
+  def psiOf(ref: Array[Long], cur: Array[Long]): PsiSnap = {
+    val nr = ref.sum
+    val nc = cur.sum
+    var total = BigDecimal(0)
+    var b = 0
+    while (b < PsiBuckets) {
+      val p = (ref(b) + 1).toDouble / (nr + PsiBuckets).toDouble
+      val q = (cur(b) + 1).toDouble / (nc + PsiBuckets).toDouble
+      val raw = (p - q) * StrictMath.log(p / q)
+      total += BigDecimal(raw).setScale(9, BigDecimal.RoundingMode.HALF_UP)
+      b += 1
+    }
+    PsiSnap("", nr, nc, total.toDouble)
+  }
+
+  def updatePsi(key: String, it: Iterator[PsiEvent],
+      state: org.apache.spark.sql.streaming.GroupState[PsiState]): Iterator[PsiSnap] = {
+    val st = state.getOption
+      .getOrElse(PsiState(new Array[Long](PsiBuckets), new Array[Long](PsiBuckets)))
+    it.foreach { e =>
+      if (e.isRef) st.ref(e.b) += 1 else st.cur(e.b) += 1
+    }
+    state.update(st)
+    val s = psiOf(st.ref, st.cur)
+    Iterator.single(s.copy(event_type = key))
+  }
+
+  /** Driver-contract query: the incremental drift maintainer over the
+    * bounded event set; final snapshots equal the batch PSI (shared
+    * oracle). At scale one state row per event_type key — a dashboard
+    * metric maintained event-at-a-time instead of recomputed per batch. */
+  def q_stream_drift_psi(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables.events(s, dir)
+      .select(col("event_type").as("etype"),
+        least(lit(PsiBuckets - 1),
+          floor(col("value") / PsiBucketWidth)).cast("int").as("b"),
+        (to_date(col("ts")) <= lit("2024-01-15").cast("date")).as("isRef"))
+      .as[PsiEvent]
+      .groupByKey(_.etype)
+      .flatMapGroupsWithState(org.apache.spark.sql.streaming.OutputMode.Update,
+        org.apache.spark.sql.streaming.GroupStateTimeout.NoTimeout)(updatePsi)
+      .toDF()
+      .orderBy("event_type")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_agg_corr" -> q_agg_corr _,
     "q_time_interpolate" -> q_time_interpolate _,
-    "q_llm_drift_psi" -> q_llm_drift_psi _
+    "q_llm_drift_psi" -> q_llm_drift_psi _,
+    "q_stream_drift_psi" -> q_stream_drift_psi _
   )
 }

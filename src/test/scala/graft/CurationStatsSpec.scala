@@ -90,6 +90,44 @@ class CurationStatsSpec extends AnyFunSuite {
     }
   }
 
+  test("streaming PSI: incremental histogram state converges to batch PSI") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import org.apache.spark.sql.streaming.OutputMode
+    import graft.engine.StatsOps
+    val s = spark
+    import s.implicits._
+    implicit val sq = s.sqlContext
+    val b1 = Seq(StatsOps.PsiEvent("a", 0, true), StatsOps.PsiEvent("a", 1, true),
+      StatsOps.PsiEvent("a", 0, false))
+    val b2 = Seq(StatsOps.PsiEvent("a", 2, false), StatsOps.PsiEvent("a", 0, true))
+    val ms = MemoryStream[StatsOps.PsiEvent]
+    val q = ms.toDS().groupByKey(_.etype)
+      .flatMapGroupsWithState(OutputMode.Update,
+        org.apache.spark.sql.streaming.GroupStateTimeout.NoTimeout)(StatsOps.updatePsi)
+      .writeStream.outputMode(OutputMode.Update)
+      .format("memory").queryName("psist").start()
+    ms.addData(b1: _*); q.processAllAvailable()
+    ms.addData(b2: _*); q.processAllAvailable(); q.stop()
+    val snaps = s.table("psist").collect()
+      .map(r => (r.getLong(1), r.getLong(2), r.getDouble(3)))
+    assert(snaps.length == 2, "one snapshot per micro-batch")
+    val fin = snaps.maxBy(t => t._1 + t._2)
+    assert(fin._1 == 3 && fin._2 == 2)
+    // one-shot fold over the union equals the incremental result
+    val ref = Array(2L, 1L, 0, 0, 0, 0, 0, 0, 0, 0)
+    val cur = Array(1L, 0, 1L, 0, 0, 0, 0, 0, 0, 0)
+    assert(fin._3 == StatsOps.psiOf(ref, cur).psi)
+  }
+
+  test("streaming PSI over fixture equals batch PSI operator") {
+    import graft.engine.StatsOps
+    val stream = StatsOps.q_stream_drift_psi(spark, sf0001).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getDouble(3)))).toMap
+    val batch = StatsOps.q_llm_drift_psi(spark, sf0001).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getDouble(3)))).toMap
+    assert(stream == batch, s"stream $stream vs batch $batch")
+  }
+
   test("interpolation: observed rows preserved, gaps bounded by neighbors") {
     val rows = StatsOps.q_time_interpolate(spark, sf0001).collect()
       .map(r => (r.getString(0), r.getTimestamp(1), r.getBoolean(2),
