@@ -2618,5 +2618,15 @@ object Oracle {
       // streaming twins: the final snapshot IS the batch result — the
       // batch operators' oracles replay them verbatim
       Map("q_stream_gnn_pool" -> train("q_gnn_graphsage_pool"),
-        "q_stream_drift_psi" -> stats("q_llm_drift_psi"))
+        "q_stream_drift_psi" -> stats("q_llm_drift_psi"),
+        // deterministic bottom-k reservoir: batch twin = hash-rank window
+        "q_stream_reservoir" ->
+          s"""WITH h AS (SELECT lang, doc_id,
+             |  CAST('0x' || substr(md5('res:' || CAST(doc_id AS VARCHAR)), 1, 15) AS BIGINT) AS h
+             |  FROM documents)
+             |SELECT lang, CAST(rn AS INT) AS rank, doc_id, h FROM (
+             |  SELECT lang, doc_id, h,
+             |    ROW_NUMBER() OVER (PARTITION BY lang ORDER BY h, doc_id) AS rn
+             |  FROM h)
+             |WHERE rn <= ${StatsOps.ReservoirK} ORDER BY lang, rank""".stripMargin)
 }

@@ -210,10 +210,55 @@ object StatsOps {
       .orderBy("event_type")
   }
 
+  // ---- Streaming deterministic reservoir (bottom-k sketch) --------------
+  // The scalable streaming sampler: per language keep the K docs with the
+  // smallest md5("res:"+doc_id) hash. Bottom-k over a uniform hash IS a
+  // uniform sample, and unlike a classic RNG reservoir it is order-blind
+  // and MERGEABLE (union of two bottom-k sets → bottom-k of the union),
+  // so shards can sample independently and merge — the property a
+  // distributed corpus sampler needs. State per key: K (hash, id) pairs.
+  // Integer-only — no float path exists anywhere in this operator.
+
+  val ReservoirK = 5
+
+  case class ResDoc(lang: String, doc_id: Long, h: Long)
+  case class ResState(hs: Array[Long], ids: Array[Long])
+  case class ResPick(lang: String, rank: Int, doc_id: Long, h: Long)
+
+  def updateReservoir(key: String, it: Iterator[ResDoc],
+      state: org.apache.spark.sql.streaming.GroupState[ResState]): Iterator[ResPick] = {
+    val st = state.getOption.getOrElse(ResState(Array.empty, Array.empty))
+    var pairs = st.hs.zip(st.ids)
+    it.foreach { d =>
+      pairs = (pairs :+ (d.h, d.doc_id)).sortBy(identity).take(ReservoirK)
+    }
+    state.update(ResState(pairs.map(_._1), pairs.map(_._2)))
+    pairs.iterator.zipWithIndex.map { case ((h, id), i) =>
+      ResPick(key, i + 1, id, h)
+    }
+  }
+
+  /** Driver-contract query: the keyed bottom-k maintainer over the
+    * bounded document set; final snapshot = the batch bottom-k (window
+    * rank over the hash — the oracle). */
+  def q_stream_reservoir(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables.documents(s, dir)
+      .select(col("lang"), col("doc_id"),
+        Dsl.md5Hash60(concat(lit("res:"), col("doc_id").cast("string"))).as("h"))
+      .as[ResDoc]
+      .groupByKey(_.lang)
+      .flatMapGroupsWithState(org.apache.spark.sql.streaming.OutputMode.Update,
+        org.apache.spark.sql.streaming.GroupStateTimeout.NoTimeout)(updateReservoir)
+      .toDF()
+      .orderBy("lang", "rank")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_agg_corr" -> q_agg_corr _,
     "q_time_interpolate" -> q_time_interpolate _,
     "q_llm_drift_psi" -> q_llm_drift_psi _,
-    "q_stream_drift_psi" -> q_stream_drift_psi _
+    "q_stream_drift_psi" -> q_stream_drift_psi _,
+    "q_stream_reservoir" -> q_stream_reservoir _
   )
 }

@@ -128,6 +128,26 @@ class CurationStatsSpec extends AnyFunSuite {
     assert(stream == batch, s"stream $stream vs batch $batch")
   }
 
+  test("reservoir bottom-k is order-blind and mergeable") {
+    import graft.engine.StatsOps
+    // one-shot over the fixture == streaming contract run (same engine
+    // path on bounded input) — pin the semantic: picks are the K
+    // globally-smallest hashes per lang regardless of arrival order
+    val picks = StatsOps.q_stream_reservoir(spark, sf0001).collect()
+      .map(r => (r.getString(0), r.getInt(1), r.getLong(2), r.getLong(3)))
+    picks.groupBy(_._1).foreach { case (lang, ps) =>
+      assert(ps.length == StatsOps.ReservoirK, s"$lang must keep K picks")
+      val hs = ps.sortBy(_._2).map(_._4)
+      assert(hs.sameElements(hs.sorted), s"$lang picks must be rank-ordered by hash")
+    }
+    // mergeability: bottom-k of union == bottom-k of (bottom-k ∪ bottom-k)
+    val all = picks.map(p => (p._4, p._3)).sorted
+    val (h1, h2) = all.splitAt(all.length / 2)
+    val merged = (h1.take(StatsOps.ReservoirK) ++ h2.take(StatsOps.ReservoirK))
+      .sorted.take(StatsOps.ReservoirK)
+    assert(merged.sameElements(all.take(StatsOps.ReservoirK)))
+  }
+
   test("interpolation: observed rows preserved, gaps bounded by neighbors") {
     val rows = StatsOps.q_time_interpolate(spark, sf0001).collect()
       .map(r => (r.getString(0), r.getTimestamp(1), r.getBoolean(2),
