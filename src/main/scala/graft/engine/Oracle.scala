@@ -2606,7 +2606,72 @@ object Oracle {
          |  CASE WHEN obs_v IS NOT NULL THEN obs_v
          |       ELSE pv + (nv - pv) * ((idx - pidx) / (nidx - pidx)) END AS value
          |FROM f ORDER BY event_type, hr""".stripMargin
-    }
+    },
+
+    // Round 9. Same moment recipe as q_agg_corr (integer-exact sums —
+    // Σq⁴ ≈ 3.8e12 < 2^53, so the direct DOUBLE cast is exact), then the
+    // identical pinned-order expression per statistic. No pow(): σ^1.5
+    // is m2·sqrt(m2) (Math.pow and libm pow are not correctly rounded).
+    "q_agg_skew_kurt" ->
+      """WITH li AS (SELECT l_returnflag, CAST(l_quantity AS BIGINT) AS q FROM lineitem),
+        |a AS (SELECT l_returnflag, COUNT(*) AS n_rows,
+        |  CAST(SUM(q) AS DOUBLE) AS s1, CAST(SUM(q*q) AS DOUBLE) AS s2,
+        |  CAST(SUM(q*q*q) AS DOUBLE) AS s3, CAST(SUM(q*q*q*q) AS DOUBLE) AS s4
+        |  FROM li GROUP BY 1),
+        |m AS (SELECT l_returnflag, n_rows,
+        |  s1 / CAST(n_rows AS DOUBLE) AS m1,
+        |  s2 / CAST(n_rows AS DOUBLE) AS s2n,
+        |  s3 / CAST(n_rows AS DOUBLE) AS s3n,
+        |  s4 / CAST(n_rows AS DOUBLE) AS s4n
+        |  FROM a),
+        |mm AS (SELECT l_returnflag, n_rows, m1,
+        |  s2n - m1 * m1 AS m2,
+        |  s3n - CAST(3 AS DOUBLE) * m1 * s2n + CAST(2 AS DOUBLE) * m1 * m1 * m1 AS m3,
+        |  s4n - CAST(4 AS DOUBLE) * m1 * s3n + CAST(6 AS DOUBLE) * m1 * m1 * s2n
+        |      - CAST(3 AS DOUBLE) * m1 * m1 * m1 * m1 AS m4
+        |  FROM m)
+        |SELECT l_returnflag, n_rows, m1 AS mean_qty,
+        |  m3 / (m2 * sqrt(m2)) AS skewness,
+        |  m4 / (m2 * m2) - CAST(3 AS DOUBLE) AS kurtosis_excess
+        |FROM mm ORDER BY l_returnflag""".stripMargin,
+
+    // Round 9. Gap tests are exact epoch-µs integer comparisons; the
+    // break flag's running sum is the session id in both engines.
+    "q_sessionize_batch" ->
+      s"""WITH e AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, event_id,
+         |    CAST(value AS DECIMAL(18,2)) AS v FROM events),
+         |f AS (SELECT *, epoch_us(ts)
+         |    - LAG(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS gap
+         |  FROM e),
+         |g AS (SELECT *, CASE WHEN gap IS NULL OR gap > ${StatsOps.SessionGapMin * 60000000L}
+         |    THEN 1 ELSE 0 END AS brk FROM f),
+         |h AS (SELECT *, CAST(SUM(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_id
+         |  FROM g)
+         |SELECT user_id, session_id, COUNT(*) AS n_events,
+         |  MIN(ts) AS start_ts, MAX(ts) AS end_ts,
+         |  CAST(SUM(v) AS DOUBLE) AS session_value
+         |FROM h GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    // Round 9. Prefix-stat replay of the streaming detector: the flag
+    // test is the cross-multiplied INTEGER comparison (no float; the
+    // products reach ~2.5e19 → HUGEINT, BigInt on the Spark side).
+    "q_stream_anomaly" ->
+      s"""WITH e AS (SELECT event_type, event_id, CAST(ts AS TIMESTAMP) AS ts,
+         |    CAST(ROUND(value * 100, 0) AS BIGINT) AS c FROM events),
+         |w AS (SELECT event_type, event_id, c,
+         |    COUNT(*) OVER pw AS n,
+         |    COALESCE(SUM(c) OVER pw, 0) AS s1,
+         |    COALESCE(SUM(c*c) OVER pw, 0) AS s2
+         |  FROM e
+         |  WINDOW pw AS (PARTITION BY event_type ORDER BY ts, event_id
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING))
+         |SELECT event_type, event_id, c AS value_cents, CAST(n AS BIGINT) AS n_prior
+         |FROM w
+         |WHERE n >= ${StatsOps.AnomalyMinPrior}
+         |  AND (CAST(n AS HUGEINT) * c - s1) * (CAST(n AS HUGEINT) * c - s1)
+         |      > (CAST(n AS HUGEINT) * s2 - CAST(s1 AS HUGEINT) * s1) * 9
+         |ORDER BY event_type, event_id""".stripMargin
   )
 
   val all: Map[String, String] =
@@ -2619,6 +2684,8 @@ object Oracle {
       // batch operators' oracles replay them verbatim
       Map("q_stream_gnn_pool" -> train("q_gnn_graphsage_pool"),
         "q_stream_drift_psi" -> stats("q_llm_drift_psi"),
+        // streaming CMS grid is cell-identical to the batch sketch
+        "q_stream_cms" -> round6("q_llm_cms_topk"),
         // deterministic bottom-k reservoir: batch twin = hash-rank window
         "q_stream_reservoir" ->
           s"""WITH h AS (SELECT lang, doc_id,

@@ -82,8 +82,60 @@ object SketchOps {
       .orderBy("shard")
   }
 
+  // ---- Streaming CMS maintainer -----------------------------------------
+  // Keyed-state twin of q_llm_cms_topk: one state row per sketch depth d,
+  // holding that row's 256 counters as pure longs — exact, order-blind and
+  // MERGEABLE (CMS grids add cell-wise), which is what lets shards sketch
+  // independently and merge at 100 TB. The final grid is cell-identical to
+  // the batch sketch, so the probe stage and the oracle are shared verbatim.
+
+  case class CmsIn(d: Int, bucket: Int)
+  case class CmsCell(d: Int, bucket: Int, c: Long)
+
+  def updateCms(key: Int, it: Iterator[CmsIn],
+      state: org.apache.spark.sql.streaming.GroupState[Array[Long]]): Iterator[CmsCell] = {
+    val grid = state.getOption.getOrElse(new Array[Long](CmsWidth))
+    it.foreach(e => grid(e.bucket) += 1)
+    state.update(grid)
+    grid.iterator.zipWithIndex.filter(_._1 > 0)
+      .map { case (c, b) => CmsCell(key, b, c) }
+  }
+
+  /** Driver-contract query: the incrementally-maintained sketch replaces
+    * the batch grid inside the q_llm_cms_topk probe; output (and oracle)
+    * are identical to the batch operator. */
+  def q_stream_cms(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val toks = Tables.documents(s, dir)
+      .select(explode(split(col("text"), " ")).as("tok"))
+      .filter(length(col("tok")) > 0)
+    val cms = toks.select(col("tok"),
+        explode(array((0 until CmsDepth).map(lit): _*)).as("d"))
+      .select(col("d"),
+        pmod(Dsl.md5Hash60(concat(col("d").cast("string"), lit(":"), col("tok"))),
+          lit(CmsWidth)).cast("int").as("bucket"))
+      .as[CmsIn]
+      .groupByKey(_.d)
+      .flatMapGroupsWithState(org.apache.spark.sql.streaming.OutputMode.Update,
+        org.apache.spark.sql.streaming.GroupStateTimeout.NoTimeout)(updateCms)
+      .toDF()
+    val exact = toks.groupBy(col("tok")).agg(count(lit(1)).as("exact"))
+    val top = exact.orderBy(col("exact").desc, col("tok").asc).limit(10)
+    val probes = top.select(col("tok"), col("exact"),
+        explode(array((0 until CmsDepth).map(lit): _*)).as("d"))
+      .withColumn("bucket",
+        pmod(Dsl.md5Hash60(concat(col("d").cast("string"), lit(":"), col("tok"))),
+          lit(CmsWidth)).cast("int"))
+    probes.join(cms, Seq("d", "bucket"))
+      .groupBy(col("tok"), col("exact"))
+      .agg(min(col("c")).as("est"))
+      .withColumn("overcount", col("est") - col("exact"))
+      .orderBy(col("exact").desc, col("tok").asc)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_llm_cms_topk" -> q_llm_cms_topk _,
-    "q_llm_shard_assign" -> q_llm_shard_assign _
+    "q_llm_shard_assign" -> q_llm_shard_assign _,
+    "q_stream_cms" -> q_stream_cms _
   )
 }

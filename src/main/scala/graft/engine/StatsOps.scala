@@ -254,7 +254,125 @@ object StatsOps {
       .orderBy("lang", "rank")
   }
 
+  /** Skewness / excess kurtosis per return flag over quantity — the
+    * distribution-shape screen a feature pipeline runs next to q_agg_corr.
+    * Same determinism recipe: the 5 raw moment sums are exact DECIMAL(38,0)
+    * (order-blind; Σq⁴ ≈ 3.8e12 at sf0.1 — integer-exact even as double),
+    * then ONE pinned-order double expression per statistic. pow() is
+    * deliberately absent (Math.pow vs libm pow differ in ulps):
+    * σ³ = m2·√m2 uses only correctly-rounded IEEE ops. One map-side-partial
+    * aggregation to 5 rows — the same shape at any scale. */
+  def q_agg_skew_kurt(s: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(s, dir).select(col("l_returnflag"),
+      col("l_quantity").cast("bigint").as("q"))
+    def dsum(c: org.apache.spark.sql.Column, n: String) =
+      sum(c.cast("decimal(38,0)")).cast("double").as(n)
+    val agg = li.groupBy(col("l_returnflag")).agg(
+      count(lit(1)).as("n_rows"),
+      dsum(col("q"), "s1"),
+      dsum(col("q") * col("q"), "s2"),
+      dsum(col("q") * col("q") * col("q"), "s3"),
+      dsum(col("q") * col("q") * col("q") * col("q"), "s4"))
+    val n = col("n_rows").cast("double")
+    val m1 = col("s1") / n
+    val m2 = col("s2") / n - m1 * m1
+    val m3 = col("s3") / n - lit(3.0) * m1 * (col("s2") / n) +
+      lit(2.0) * m1 * m1 * m1
+    val m4 = col("s4") / n - lit(4.0) * m1 * (col("s3") / n) +
+      lit(6.0) * m1 * m1 * (col("s2") / n) - lit(3.0) * m1 * m1 * m1 * m1
+    agg.select(col("l_returnflag"), col("n_rows"), m1.as("mean_qty"),
+        (m3 / (m2 * sqrt(m2))).as("skewness"),
+        (m4 / (m2 * m2) - lit(3.0)).as("kurtosis_excess"))
+      .orderBy("l_returnflag")
+  }
+
+  /** Session gap (minutes) shared with the oracle. */
+  val SessionGapMin = 30
+
+  /** Batch sessionization of the event stream (the lakehouse twin of
+    * q_stream_session, producing the per-session fact table instead of
+    * per-user counts): per user, a session breaks where the inter-event
+    * gap exceeds 30 min; session ids are running counts of breaks. Gap
+    * tests are exact epoch-µs integer comparisons; session value goes
+    * through DECIMAL(18,2) (D2). Shape: two windows + one aggregation,
+    * all partitioned on user_id — a single shuffle at any scale. */
+  def q_sessionize_batch(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(s, dir).select(col("user_id"),
+      col("ts"), col("event_id"), Dsl.dec(col("value")).as("v"))
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    val run = w.rowsBetween(Window.unboundedPreceding, 0)
+    val gapUs = SessionGapMin * 60000000L
+    val sess = ev
+      .withColumn("prev_us", lag(unix_micros(col("ts")), 1).over(w))
+      .withColumn("brk",
+        when(col("prev_us").isNull ||
+          unix_micros(col("ts")) - col("prev_us") > gapUs, 1L).otherwise(0L))
+      .withColumn("session_id", sum(col("brk")).over(run))
+    sess.groupBy(col("user_id"), col("session_id"))
+      .agg(count(lit(1)).as("n_events"),
+        min(col("ts")).as("start_ts"), max(col("ts")).as("end_ts"),
+        sum(col("v")).cast("double").as("session_value"))
+      .orderBy("user_id", "session_id")
+  }
+
+  // ---- Streaming prefix-z-score anomaly detector ------------------------
+  // Per event_type the keyed state is (n, Σc, Σc²) over value-cents — pure
+  // integers, exact and mergeable. An arriving event is flagged against the
+  // stats of all PRIOR events of its type: |v − μ| > 3σ, tested as the
+  // cross-multiplied integer comparison (n·c − Σ)² > 9·(n·Σc² − Σ²) so no
+  // float exists anywhere (the products reach ~2.5e19 → BigInt here,
+  // HUGEINT in the oracle). Events replay in (ts, event_id) order — the
+  // order a watermark-sorted production stream delivers.
+
+  /** Anomaly warm-up: no flags until this many prior events. */
+  val AnomalyMinPrior = 30
+
+  case class AnomEvent(etype: String, tsUs: Long, event_id: Long, c: Long)
+  case class AnomState(n: Long, s1: Long, s2: Long)
+  case class AnomHit(event_type: String, event_id: Long, value_cents: Long,
+      n_prior: Long)
+
+  def updateAnomaly(key: String, it: Iterator[AnomEvent],
+      state: org.apache.spark.sql.streaming.GroupState[AnomState]): Iterator[AnomHit] = {
+    var st = state.getOption.getOrElse(AnomState(0L, 0L, 0L))
+    val hits = scala.collection.mutable.ArrayBuffer.empty[AnomHit]
+    // event-time replay order (deterministic tie-break on event_id)
+    it.toArray.sortBy(e => (e.tsUs, e.event_id)).foreach { e =>
+      if (st.n >= AnomalyMinPrior) {
+        val dev = BigInt(st.n) * e.c - BigInt(st.s1)
+        val varN = BigInt(st.n) * st.s2 - BigInt(st.s1) * st.s1
+        if (dev * dev > varN * 9) {
+          hits += AnomHit(key, e.event_id, e.c, st.n)
+        }
+      }
+      st = AnomState(st.n + 1, st.s1 + e.c, st.s2 + e.c * e.c)
+    }
+    state.update(st)
+    hits.iterator
+  }
+
+  /** Driver-contract query: the streaming anomaly detector over the
+    * bounded event set; the batch oracle replays the same prefix stats
+    * with running windows. At scale: state is 3 longs per key and the
+    * per-batch sort is bounded by the micro-batch, not the stream. */
+  def q_stream_anomaly(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables.events(s, dir)
+      .select(col("event_type").as("etype"), unix_micros(col("ts")).as("tsUs"),
+        col("event_id"),
+        round(col("value") * 100, 0).cast("bigint").as("c"))
+      .as[AnomEvent]
+      .groupByKey(_.etype)
+      .flatMapGroupsWithState(org.apache.spark.sql.streaming.OutputMode.Update,
+        org.apache.spark.sql.streaming.GroupStateTimeout.NoTimeout)(updateAnomaly)
+      .toDF()
+      .orderBy("event_type", "event_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_agg_skew_kurt" -> q_agg_skew_kurt _,
+    "q_sessionize_batch" -> q_sessionize_batch _,
+    "q_stream_anomaly" -> q_stream_anomaly _,
     "q_agg_corr" -> q_agg_corr _,
     "q_time_interpolate" -> q_time_interpolate _,
     "q_llm_drift_psi" -> q_llm_drift_psi _,

@@ -1,0 +1,72 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.engine.{SketchOps, StatsOps, Tables}
+
+/** Round-9 operators: semantic invariants beyond the oracle hash-compare. */
+class Round9Spec extends AnyFunSuite {
+  import TestSpark._
+
+  test("skew/kurt: matches Spark's built-in skewness/kurtosis within 1e-9") {
+    import org.apache.spark.sql.functions._
+    val rows = StatsOps.q_agg_skew_kurt(spark, sf001).collect()
+      .map(r => r.getString(0) -> (r.getDouble(3), r.getDouble(4))).toMap
+    val ref = Tables.lineitem(spark, sf001)
+      .select(col("l_returnflag"), col("l_quantity").cast("bigint").cast("double").as("q"))
+      .groupBy("l_returnflag")
+      .agg(skewness(col("q")), kurtosis(col("q"))).collect()
+      .map(r => r.getString(0) -> (r.getDouble(1), r.getDouble(2))).toMap
+    ref.foreach { case (flag, (sk, ku)) =>
+      assert(math.abs(rows(flag)._1 - sk) < 1e-9, s"$flag skew ${rows(flag)._1} vs $sk")
+      assert(math.abs(rows(flag)._2 - ku) < 1e-9, s"$flag kurt ${rows(flag)._2} vs $ku")
+    }
+  }
+
+  test("sessionize: events conserved, session spans within gap semantics") {
+    val rows = StatsOps.q_sessionize_batch(spark, sf0001).collect()
+    val total = Tables.events(spark, sf0001).count()
+    assert(rows.map(_.getLong(2)).sum == total, "sessionization must conserve events")
+    // session ids are 1..K contiguous per user
+    rows.groupBy(_.getLong(0)).foreach { case (u, rs) =>
+      val ids = rs.map(_.getLong(1)).sorted
+      assert(ids.toSeq == (1L to ids.length).toSeq, s"user $u session ids: ${ids.toSeq}")
+    }
+    // start <= end within each session
+    rows.foreach { r =>
+      assert(!r.getTimestamp(3).after(r.getTimestamp(4)), "session start after end")
+    }
+  }
+
+  test("anomaly: flagged events really deviate >3 sigma from prior stats") {
+    import org.apache.spark.sql.functions._
+    val hits = StatsOps.q_stream_anomaly(spark, sf001).collect()
+    assert(hits.nonEmpty, "no anomalies flagged at sf0.01")
+    // replay prefix stats for one flagged event and confirm the inequality
+    val h = hits.head
+    val (etype, eid) = (h.getString(0), h.getLong(1))
+    val ev = Tables.events(spark, sf001)
+      .filter(col("event_type") === etype)
+      .select(col("event_id"), unix_micros(col("ts")).as("us"),
+        round(col("value") * 100, 0).cast("bigint").as("c"))
+      .collect().map(r => (r.getLong(1), r.getLong(0), r.getLong(2)))
+      .sortBy(t => (t._1, t._2))
+    val idx = ev.indexWhere(_._2 == eid)
+    val prior = ev.take(idx).map(_._3)
+    val (n, s1, s2) = (BigInt(prior.length), prior.map(BigInt(_)).sum,
+      prior.map(c => BigInt(c) * c).sum)
+    val dev = n * ev(idx)._3 - s1
+    assert(n >= StatsOps.AnomalyMinPrior && dev * dev > (n * s2 - s1 * s1) * 9,
+      s"replayed stats do not confirm the flag for $etype/$eid")
+  }
+
+  test("stream cms: grid snapshot cell-identical to the batch sketch") {
+    import org.apache.spark.sql.functions._
+    val stream = SketchOps.q_stream_cms(spark, sf0001).collect()
+    val batch = SketchOps.q_llm_cms_topk(spark, sf0001).collect()
+    assert(stream.length == batch.length)
+    stream.zip(batch).foreach { case (a, b) => assert(a == b) }
+    // sketch never undercounts
+    stream.foreach(r => assert(r.getLong(3) >= 0L, "CMS undercounted"))
+  }
+}
