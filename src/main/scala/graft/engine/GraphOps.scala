@@ -616,7 +616,82 @@ object GraphOps {
       .limit(20)
   }
 
+  /** Butterfly (bipartite 4-cycle) census of the customer–part graph
+    * (Sanei-Mehri 2018) — the bipartite analog of the triangle count and
+    * the standard cohesion metric for co-purchase data. Exact integer
+    * combinatorics over the two session MVs: wedges from the degree
+    * tables (Σ C(deg,2) per side), butterflies from the pair-count MV
+    * (Σ C(cnt,2) — each pair of customers sharing a part pair closes one
+    * 4-cycle). d·(d−1) is always even so `div 2` is exact; sums go
+    * through the bigint aggregation (≪ 2^63 at any plausible scale,
+    * DECIMAL(38,0) being the 100 TB swap). One row out. */
+  def q_graph_butterflies(s: SparkSession, dir: String): DataFrame = {
+    val e = edges(s, dir)
+    val nEdges = e.agg(count(lit(1)).as("n_edges"))
+    val wc = e.groupBy(col("src")).agg(count(lit(1)).as("d"))
+      .agg(sum(expr("d * (d - 1) div 2")).as("n_wedges_customer"))
+    val wp = e.groupBy(col("dst")).agg(count(lit(1)).as("d"))
+      .agg(sum(expr("d * (d - 1) div 2")).as("n_wedges_part"))
+    val bf = pairCounts(s, dir)
+      .agg(sum(expr("cnt * (cnt - 1) div 2")).as("n_butterflies"))
+    nEdges.crossJoin(broadcast(wc)).crossJoin(broadcast(wp))
+      .crossJoin(broadcast(bf))
+  }
+
+  /** Truncated-BFS hop cap for closeness (k-hop closeness; the full
+    * eccentricity sweep is q_graph_bfs's 15-hop variant). */
+  val CloseMaxHops = 6
+  /** Seed count for the closeness sweep. */
+  val CloseSeeds = 8
+
+  /** K-hop truncated closeness centrality from the 8 smallest nodes of
+    * the thresholded part–part projection: multi-source BFS carrying
+    * (seed, node, dist) rows — the q_graph_bfs frontier superstep with a
+    * seed column, so all seeds advance in the SAME per-level join (one
+    * scan of the edge list per level, not per seed). closeness =
+    * (reached−1)/Σdist as a single exact-integer division; eccentricity
+    * = max dist within the horizon. */
+  def q_graph_closeness(s: SparkSession, dir: String): DataFrame = {
+    val pp = partPairs(s, dir, CcMinCooccur).select(col("a"), col("b"))
+    val ue = pp.union(pp.select(col("b").as("a"), col("a").as("b")))
+      .localCheckpoint()
+    val seeds = ue.select(col("a")).distinct()
+      .orderBy(col("a")).limit(CloseSeeds)
+      .select(col("a").as("seed"), col("a").as("node"), lit(0L).as("d"))
+      .localCheckpoint()
+    var dist = seeds
+    var frontier = seeds
+    var depth = 0L
+    var frontierSize = frontier.count()
+    while (depth < CloseMaxHops && frontierSize > 0) {
+      depth += 1
+      // same broadcast rationale as q_graph_bfs: checkpointed frontiers
+      // carry no stats; at frontier ≫ broadcast scale, pre-partition
+      // ue + frontier on the node key instead.
+      val next = ue
+        .join(broadcast(frontier), col("node") === col("a"))
+        .select(col("seed"), col("b").as("node")).distinct()
+        .join(broadcast(dist.select(col("seed").as("vs"), col("node").as("vn"))),
+          col("seed") === col("vs") && col("node") === col("vn"), "left_anti")
+        .select(col("seed"), col("node"), lit(depth).as("d"))
+        .localCheckpoint()
+      frontierSize = next.count()
+      dist = dist.union(next)
+      frontier = next
+    }
+    dist.groupBy(col("seed"))
+      .agg(count(lit(1)).as("n_reached"), sum(col("d")).as("sum_dist"),
+        max(col("d")).as("ecc"))
+      .select(col("seed"), col("n_reached"), col("sum_dist"), col("ecc"),
+        when(col("sum_dist") > 0,
+          (col("n_reached") - 1).cast("double") / col("sum_dist").cast("double"))
+          .otherwise(lit(0.0)).as("closeness"))
+      .orderBy("seed")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_graph_butterflies" -> q_graph_butterflies _,
+    "q_graph_closeness" -> q_graph_closeness _,
     "q_graph_ppr" -> q_graph_ppr _,
     "q_graph_degree" -> q_graph_degree _,
     "q_graph_cooccur" -> q_graph_cooccur _,

@@ -2331,6 +2331,47 @@ object Oracle {
   /** §2.10 cont. — whole-graph structure metrics (round 8). Both are
     * exact-integer ratios: the only double op is the final division. */
   val graphAnalytics: Map[String, String] = Map(
+    // Exact bipartite-motif combinatorics over the same DISTINCT edge
+    // projection; d·(d−1) is even so the integer halving is exact.
+    "q_graph_butterflies" ->
+      s"""WITH $edgesCte,
+         |pc AS (SELECT e1.dst AS a, e2.dst AS b, COUNT(*) AS cnt
+         |       FROM edges e1 JOIN edges e2 ON e1.src = e2.src AND e1.dst < e2.dst
+         |       GROUP BY 1, 2),
+         |ne AS (SELECT COUNT(*) AS n_edges FROM edges),
+         |wc AS (SELECT CAST(SUM(d * (d - 1) // 2) AS BIGINT) AS n_wedges_customer
+         |       FROM (SELECT COUNT(*) AS d FROM edges GROUP BY src)),
+         |wp AS (SELECT CAST(SUM(d * (d - 1) // 2) AS BIGINT) AS n_wedges_part
+         |       FROM (SELECT COUNT(*) AS d FROM edges GROUP BY dst)),
+         |bf AS (SELECT CAST(SUM(cnt * (cnt - 1) // 2) AS BIGINT) AS n_butterflies
+         |       FROM pc)
+         |SELECT n_edges, n_wedges_customer, n_wedges_part, n_butterflies
+         |FROM ne CROSS JOIN wc CROSS JOIN wp CROSS JOIN bf""".stripMargin,
+
+    // Multi-source truncated BFS (recursive CTE carries the seed column;
+    // UNION dedups (seed,node,d) so the recursion terminates).
+    "q_graph_closeness" ->
+      s"""WITH RECURSIVE $edgesCte,
+         |pp AS MATERIALIZED (SELECT e1.dst AS a, e2.dst AS b
+         |       FROM edges e1 JOIN edges e2 ON e1.src = e2.src AND e1.dst < e2.dst
+         |       GROUP BY 1, 2 HAVING COUNT(*) >= ${GraphOps.CcMinCooccur}),
+         |ue AS MATERIALIZED (SELECT a, b FROM pp UNION ALL SELECT b, a FROM pp),
+         |seeds AS (SELECT DISTINCT a FROM ue ORDER BY a LIMIT ${GraphOps.CloseSeeds}),
+         |reach(seed, n, d) AS (
+         |  SELECT a, a, 0 FROM seeds
+         |  UNION
+         |  SELECT reach.seed, ue.b, reach.d + 1 FROM reach JOIN ue ON reach.n = ue.a
+         |  WHERE reach.d < ${GraphOps.CloseMaxHops}),
+         |dm AS (SELECT seed, n, MIN(d) AS d FROM reach GROUP BY 1, 2),
+         |agg AS (SELECT seed, COUNT(*) AS n_reached,
+         |    CAST(SUM(d) AS BIGINT) AS sum_dist, CAST(MAX(d) AS BIGINT) AS ecc
+         |  FROM dm GROUP BY 1)
+         |SELECT seed, n_reached, sum_dist, ecc,
+         |  CASE WHEN sum_dist > 0
+         |    THEN CAST(n_reached - 1 AS DOUBLE) / CAST(sum_dist AS DOUBLE)
+         |    ELSE CAST(0 AS DOUBLE) END AS closeness
+         |FROM agg ORDER BY seed""".stripMargin,
+
     "q_graph_modularity" -> {
       val steps = (1 to GraphOps.LpIters).map { i =>
         s"""lp$i AS (SELECT a AS node, lbl FROM (

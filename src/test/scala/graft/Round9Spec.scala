@@ -2,7 +2,7 @@ package graft
 
 import org.scalatest.funsuite.AnyFunSuite
 
-import graft.engine.{SketchOps, StatsOps, Tables}
+import graft.engine.{GraphOps, SketchOps, StatsOps, Tables}
 
 /** Round-9 operators: semantic invariants beyond the oracle hash-compare. */
 class Round9Spec extends AnyFunSuite {
@@ -58,6 +58,34 @@ class Round9Spec extends AnyFunSuite {
     val dev = n * ev(idx)._3 - s1
     assert(n >= StatsOps.AnomalyMinPrior && dev * dev > (n * s2 - s1 * s1) * 9,
       s"replayed stats do not confirm the flag for $etype/$eid")
+  }
+
+  test("butterflies: part-side count equals the customer-side identity") {
+    import org.apache.spark.sql.functions._
+    val r = GraphOps.q_graph_butterflies(spark, sf0001).collect()(0)
+    // a butterfly is counted once from either side of the bipartite graph:
+    // Σ_partpairs C(common_customers, 2) == Σ_custpairs C(shared_parts, 2)
+    val e = GraphOps.edges(spark, sf0001)
+    val c1 = e.select(col("dst"), col("src").as("c1"))
+    val c2 = e.select(col("dst").as("dst2"), col("src").as("c2"))
+    val custSide = c1.join(c2, col("dst") === col("dst2") && col("c1") < col("c2"))
+      .groupBy(col("c1"), col("c2")).agg(count(lit(1)).as("sh"))
+      .agg(sum(expr("sh * (sh - 1) div 2"))).collect()(0).getLong(0)
+    assert(r.getLong(3) == custSide,
+      s"butterfly identity broken: part-side ${r.getLong(3)} vs customer-side $custSide")
+    assert(r.getLong(1) > 0 && r.getLong(2) > 0, "wedge counts must be positive")
+  }
+
+  test("closeness: seeds reach themselves, ecc bounded, closeness consistent") {
+    val rows = GraphOps.q_graph_closeness(spark, sf0001).collect()
+    assert(rows.nonEmpty && rows.length <= GraphOps.CloseSeeds)
+    rows.foreach { r =>
+      val (nr, sd, ecc, cl) = (r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4))
+      assert(nr >= 1, "seed must reach itself")
+      assert(ecc <= GraphOps.CloseMaxHops, s"ecc $ecc beyond horizon")
+      assert(sd >= nr - 1, "each non-seed node is at distance >= 1")
+      if (sd > 0) assert(math.abs(cl - (nr - 1).toDouble / sd) < 1e-15)
+    }
   }
 
   test("stream cms: grid snapshot cell-identical to the batch sketch") {
