@@ -416,7 +416,58 @@ object Gnn {
       .orderBy("seed")
   }
 
+  /** node2vec walk length (shared with the oracle's unrolled CTEs). */
+  val N2vSteps = 4
+
+  /** node2vec-style second-order biased walks (Grover & Leskovec 2016)
+    * on the thresholded part–part projection — the q_gnn_rand_walk
+    * machinery with the return/in-out bias made deterministic: at step
+    * i ≥ 2 a candidate's hash is integer-divided by its bias class
+    * (return → 1, common neighbor of prev → 4, farther → 2 — the scaled
+    * p=4, q=2 weights; bigger divisor = favored) and the walk takes the
+    * argmin (score, id). Step 1 has no prev and is the uniform hash
+    * argmin. The in-out test is one broadcast self-join of the edge
+    * list per step (is the candidate adjacent to prev?) — at a scale
+    * where the projection outgrows broadcast, both joins co-partition
+    * on their node key. All-integer scores: no float, no tie class. */
+  def q_gnn_node2vec(s: SparkSession, dir: String): DataFrame = {
+    val pp = GraphOps.partPairs(s, dir, GraphOps.TriangleMinCooccur)
+      .select(col("a"), col("b"))
+    val ue = pp.union(pp.select(col("b").as("a"), col("a").as("b")))
+      .repartition(col("a")).localCheckpoint()
+    val adj = ue.select(col("a").as("pa"), col("b").as("pb"))
+    var walk = ue.select(col("a").as("seed")).distinct()
+      .select(col("seed"), col("seed").as("cur"), col("seed").as("prev"))
+    for (i <- 1 to N2vSteps) {
+      val path = (1 until i).map(j => col(s"s$j"))
+      val step0 = walk.join(broadcast(ue), col("cur") === col("a"))
+      val step =
+        if (i == 1) step0.withColumn("alpha", lit(1L))
+        else step0
+          .join(broadcast(adj),
+            col("prev") === col("pa") && col("b") === col("pb"), "left_outer")
+          .withColumn("alpha",
+            when(col("b") === col("prev"), lit(1L))
+              .when(col("pb").isNotNull, lit(4L)).otherwise(lit(2L)))
+      walk = step
+        .withColumn("h", Dsl.md5Hash60(concat_ws(":",
+          lit("n2v"), col("seed"), lit(i), col("cur"), col("b"))))
+        .withColumn("sc", expr("h div alpha"))
+        .groupBy(col("seed") +: path :+ col("cur") :+ col("prev"): _*)
+        .agg(min(struct(col("sc"), col("b"))).as("m"))
+        .select(col("seed") +: path :+ col("cur").as("prev")
+          :+ col("m.b").as(s"s$i"): _*)
+        .withColumn("cur", col(s"s$i"))
+    }
+    val path = (1 to N2vSteps).map(j => col(s"s$j"))
+    walk.select(col("seed") +: path: _*)
+      .withColumn("n_distinct",
+        size(array_distinct(array(col("seed") +: path: _*))).cast("bigint"))
+      .orderBy("seed")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_gnn_node2vec" -> q_gnn_node2vec _,
     "q_gnn_rand_walk" -> q_gnn_rand_walk _,
     "q_gnn_temporal_decay" -> q_gnn_temporal_decay _,
     "q_gnn_gcn_norm" -> q_gnn_gcn_norm _,

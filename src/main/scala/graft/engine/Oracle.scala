@@ -2006,6 +2006,47 @@ object Oracle {
          |SELECT seed, $sCols,
          |  CAST(len(list_distinct([seed, $sCols])) AS BIGINT) AS n_distinct
          |FROM w${Gnn.WalkSteps} ORDER BY seed""".stripMargin
+    },
+
+    // Second-order biased walk: per step ONE left join classifies each
+    // candidate against prev (return / common-neighbor / farther) and
+    // the hash is integer-divided by the scaled p=4,q=2 weight — `//`
+    // on non-negative BIGINTs matches Spark's `div` exactly. Step 1 has
+    // no prev and replays the uniform argmin.
+    "q_gnn_node2vec" -> {
+      def hx(i: Int) =
+        s"""CAST('0x' || substr(md5('n2v:' || CAST(w.seed AS VARCHAR) || ':$i:' ||
+           |        CAST(w.cur AS VARCHAR) || ':' || CAST(ue.b AS VARCHAR)), 1, 15) AS BIGINT)""".stripMargin
+      val steps = (1 to Gnn.N2vSteps).map { i =>
+        val priorSel = (1 until i).map(j => s"w.s$j, ").mkString
+        val outCols = (1 to i).map(j => s"s$j").mkString(", ")
+        if (i == 1)
+          s"""w1 AS MATERIALIZED (SELECT seed, s1, s1 AS cur, cur_old AS prev FROM (
+             |  SELECT w.seed, w.cur AS cur_old, ue.b AS s1,
+             |    ROW_NUMBER() OVER (PARTITION BY w.seed ORDER BY ${hx(i)}, ue.b) AS rn
+             |  FROM w0 w JOIN ue ON w.cur = ue.a) WHERE rn = 1)""".stripMargin
+        else
+          s"""w$i AS MATERIALIZED (SELECT seed, $outCols, s$i AS cur, cur_old AS prev FROM (
+             |  SELECT w.seed, ${priorSel}w.cur AS cur_old, ue.b AS s$i,
+             |    ROW_NUMBER() OVER (PARTITION BY w.seed ORDER BY
+             |      ${hx(i)}
+             |      // (CASE WHEN ue.b = w.prev THEN 1
+             |            WHEN adj.b IS NOT NULL THEN 4 ELSE 2 END),
+             |      ue.b) AS rn
+             |  FROM w${i - 1} w JOIN ue ON w.cur = ue.a
+             |  LEFT JOIN ue adj ON adj.a = w.prev AND adj.b = ue.b) WHERE rn = 1)""".stripMargin
+      }.mkString(",\n")
+      val sCols = (1 to Gnn.N2vSteps).map(j => s"s$j").mkString(", ")
+      s"""WITH $edgesCte,
+         |pp AS MATERIALIZED (SELECT e1.dst AS a, e2.dst AS b
+         |  FROM edges e1 JOIN edges e2 ON e1.src = e2.src AND e1.dst < e2.dst
+         |  GROUP BY 1, 2 HAVING COUNT(*) >= ${GraphOps.TriangleMinCooccur}),
+         |ue AS MATERIALIZED (SELECT a, b FROM pp UNION ALL SELECT b AS a, a AS b FROM pp),
+         |w0 AS (SELECT DISTINCT a AS seed, a AS cur, a AS prev FROM ue),
+         |$steps
+         |SELECT seed, $sCols,
+         |  CAST(len(list_distinct([seed, $sCols])) AS BIGINT) AS n_distinct
+         |FROM w${Gnn.N2vSteps} ORDER BY seed""".stripMargin
     }
   )
 

@@ -2,7 +2,7 @@ package graft
 
 import org.scalatest.funsuite.AnyFunSuite
 
-import graft.engine.{GraphOps, SketchOps, StatsOps, Tables}
+import graft.engine.{Gnn, GraphOps, SketchOps, StatsOps, Tables}
 
 /** Round-9 operators: semantic invariants beyond the oracle hash-compare. */
 class Round9Spec extends AnyFunSuite {
@@ -86,6 +86,28 @@ class Round9Spec extends AnyFunSuite {
       assert(sd >= nr - 1, "each non-seed node is at distance >= 1")
       if (sd > 0) assert(math.abs(cl - (nr - 1).toDouble / sd) < 1e-15)
     }
+  }
+
+  test("node2vec: every hop follows a projection edge and bias changes paths") {
+    import org.apache.spark.sql.functions._
+    val pp = GraphOps.partPairs(spark, sf0001, GraphOps.TriangleMinCooccur)
+      .select(col("a"), col("b")).collect()
+      .flatMap(r => Seq((r.getLong(0), r.getLong(1)), (r.getLong(1), r.getLong(0))))
+      .toSet
+    val walks = Gnn.q_gnn_node2vec(spark, sf0001).collect()
+    assert(walks.nonEmpty)
+    walks.foreach { r =>
+      val path = (0 to Gnn.N2vSteps).map(r.getLong)
+      path.sliding(2).foreach { case Seq(u, v) =>
+        assert(pp.contains((u, v)), s"hop $u->$v is not a projection edge")
+      }
+    }
+    // the second-order bias must actually change at least one walk vs the
+    // uniform first-order walk over the same graph and hash family
+    val uniform = Gnn.q_gnn_rand_walk(spark, sf0001).collect()
+      .map(r => (0 to Gnn.WalkSteps).map(r.getLong).mkString(",")).toSet
+    val biased = walks.map(r => (0 to Gnn.N2vSteps).map(r.getLong).mkString(",")).toSet
+    assert(biased != uniform, "bias had no effect on any walk")
   }
 
   test("stream cms: grid snapshot cell-identical to the batch sketch") {
