@@ -1792,6 +1792,16 @@ object Oracle {
         |  CAST(SUM(CAST(s_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS sum_bal
         |FROM supplier GROUP BY 1 ORDER BY 1""".stripMargin,
 
+    // The bucketed layout must be LOSSLESS: the oracle aggregates the
+    // original parquet, not the bucketed copy.
+    "q_join_bucketed" ->
+      """SELECT o_orderstatus, COUNT(*) AS n_lines,
+        |  CAST(COUNT(DISTINCT o_orderkey) AS BIGINT) AS n_orders,
+        |  CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+        |FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+
     "q_src_json_roundtrip" ->
       """SELECT CAST(year(o_orderdate) AS INTEGER) AS o_year, o_orderstatus,
         |  COUNT(*) AS n_orders,

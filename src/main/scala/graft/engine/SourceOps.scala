@@ -117,7 +117,52 @@ object SourceOps {
       .orderBy("day")
   }
 
+  /** Bucket count for the co-located join (both sides identical). */
+  val JoinBuckets = 8
+
+  /** The shuffle-free side of q_join_bucketed, exposed for the plan
+    * audit: both fact tables are written bucketed + sorted on the join
+    * key (Spark's bucketBy sink = the lakehouse layout a 100 TB
+    * deployment maintains), then joined — the planner sees matching
+    * bucket specs and emits a SortMergeJoin with NO Exchange on either
+    * side. PlanAuditSpec asserts the zero-shuffle plan. */
+  def bucketedJoin(s: SparkSession, dir: String): DataFrame = {
+    val base = scratch("bucketed", dir)
+    val tag = new java.io.File(dir).getName.replaceAll("[^A-Za-z0-9]", "_")
+    val (oTbl, lTbl) = (s"graft_bkt_orders_$tag", s"graft_bkt_lineitem_$tag")
+    if (!s.catalog.tableExists(oTbl)) {
+      Tables.orders(s, dir)
+        .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"))
+        .write.mode(SaveMode.Overwrite).option("path", s"$base/orders")
+        .bucketBy(JoinBuckets, "o_orderkey").sortBy("o_orderkey")
+        .saveAsTable(oTbl)
+      Tables.lineitem(s, dir)
+        .select(col("l_orderkey"), col("l_quantity"), col("l_extendedprice"))
+        .write.mode(SaveMode.Overwrite).option("path", s"$base/lineitem")
+        .bucketBy(JoinBuckets, "l_orderkey").sortBy("l_orderkey")
+        .saveAsTable(lTbl)
+    }
+    s.table(oTbl).join(s.table(lTbl), col("o_orderkey") === col("l_orderkey"))
+  }
+
+  /** Bucketed co-located join: the layout-aware join path. Writing both
+    * fact tables bucketed on the join key trades one up-front shuffle
+    * (at sink time) for EVERY subsequent join being exchange-free — the
+    * decisive layout at 100 TB where the fact⋈fact shuffle dominates.
+    * The aggregate is computed off the bucketed round trip; the oracle
+    * computes it from the original parquet, proving the layout is
+    * lossless, not merely self-consistent. */
+  def q_join_bucketed(s: SparkSession, dir: String): DataFrame =
+    bucketedJoin(s, dir)
+      .groupBy(col("o_orderstatus"))
+      .agg(count(lit(1)).as("n_lines"),
+        countDistinct(col("o_orderkey")).as("n_orders"),
+        sum(col("l_quantity").cast("bigint")).as("sum_qty"),
+        Dsl.moneySum(col("l_extendedprice")).as("sum_price"))
+      .orderBy("o_orderstatus")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_join_bucketed" -> q_join_bucketed _,
     "q_src_csv_roundtrip" -> q_src_csv_roundtrip _,
     "q_src_json_roundtrip" -> q_src_json_roundtrip _,
     "q_src_orc_roundtrip" -> q_src_orc_roundtrip _,

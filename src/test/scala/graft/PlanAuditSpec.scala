@@ -200,4 +200,27 @@ class PlanAuditSpec extends AnyFunSuite {
     val p = df.queryExecution.executedPlan.toString
     assert(!p.contains("Join"), s"checkpointed training set must not re-join:\n$p")
   }
+
+  test("bucketed fact join is exchange-free on both sides") {
+    // at fixture scale the planner correctly prefers broadcast; force the
+    // large-scale plan (no broadcast) to audit the bucket co-location path
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    val prevA = spark.conf.get("spark.sql.adaptive.autoBroadcastJoinThreshold", prev)
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    spark.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
+    try {
+      val df = graft.engine.SourceOps.bucketedJoin(spark, sf0001)
+      df.collect()
+      val p = df.queryExecution.executedPlan.toString
+      assert(p.contains("SortMergeJoin"), s"bucketed join must sort-merge:\n$p")
+      assert(!p.contains("Exchange"),
+        s"matching bucket specs must eliminate every shuffle:\n$p")
+      // AQE prints the plan twice (Final + Initial) → 2 scans per copy
+      assert("Bucketed: true".r.findAllIn(p).size >= 2,
+        s"both scans must be bucket-aware:\n$p")
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+      spark.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", prevA)
+    }
+  }
 }
