@@ -728,7 +728,63 @@ object LlmOps {
     out.toSeq.toDF("rank", "vec_id", "rel", "score").orderBy("rank")
   }
 
+  /** Soft deduplication (down-WEIGHT duplicates instead of dropping
+    * them — the SoftDeDup recipe): same candidate graph and min-label
+    * fixpoint as q_llm_dedup_clusters, but every doc keeps sampling
+    * weight 1/cluster_size. Per-language accounting: Σweights is
+    * EXACTLY n_clusters (each cluster contributes sz·(1/sz) = 1, no
+    * float sum needed), and effective tokens sum the per-cluster
+    * round-9 term tot_tokens/sz as exact DECIMAL (the PSI recipe —
+    * cross-cluster double addition is the one order-dependent op).
+    * Shape: identical to the cluster pass + one more keyed agg. */
+  def q_llm_soft_dedup(s: SparkSession, dir: String): DataFrame = {
+    val docs = tokenSets(s, dir)
+      .filter(col("doc_id") % 10 === 0 && size(col("toks")) > 0)
+      .select(col("doc_id"), col("lang"), size(col("toks")).cast("bigint").as("nt"))
+      .localCheckpoint()
+    val a = docs.select(col("lang"), col("doc_id").as("doc_a"), col("nt").as("pna"))
+    val b = docs.select(col("lang").as("lang_b"), col("doc_id").as("doc_b"), col("nt").as("pnb"))
+    val cand = a.join(b, col("lang") === col("lang_b") && col("doc_a") < col("doc_b") &&
+        col("pna") * 4 <= col("pnb") * 5 && col("pnb") * 4 <= col("pna") * 5)
+      .select(col("lang"), col("doc_a"), col("doc_b"))
+    val pairs = jaccardVerify(s, dir, cand).filter(col("jac") >= 0.8)
+      .select(col("doc_a").as("x"), col("doc_b").as("y"))
+    val ue = pairs.union(pairs.select(col("y").as("x"), col("x").as("y")))
+      .localCheckpoint()
+    var labels = docs.select(col("doc_id").as("node"), col("doc_id").as("lbl"))
+      .localCheckpoint()
+    var prevSum = labels.agg(sum(col("lbl"))).collect()(0).getLong(0)
+    var converged = false
+    while (!converged) {
+      val nbrMin = ue
+        .join(broadcast(labels.select(col("node").as("bn"), col("lbl").as("blbl"))),
+          col("y") === col("bn"))
+        .groupBy(col("x")).agg(min(col("blbl")).as("nbr_min"))
+      val next = labels
+        .join(nbrMin, col("node") === col("x"), "left_outer")
+        .select(col("node"), least(col("lbl"), coalesce(col("nbr_min"), col("lbl"))).as("lbl"))
+        .localCheckpoint()
+      val curSum = next.agg(sum(col("lbl"))).collect()(0).getLong(0)
+      labels = next
+      converged = curSum == prevSum
+      prevSum = curSum
+    }
+    val clusters = labels.join(docs, col("node") === col("doc_id"))
+      .groupBy(col("lang"), col("lbl"))
+      .agg(count(lit(1)).as("sz"), sum(col("nt")).as("tot"))
+    clusters
+      .select(col("lang"), col("sz"), col("tot"),
+        round(col("tot").cast("double") / col("sz").cast("double"), 9)
+          .cast("decimal(18,9)").as("eff"))
+      .groupBy(col("lang"))
+      .agg(sum(col("sz")).as("n_docs"), count(lit(1)).as("n_clusters"),
+        sum(col("tot")).as("tot_tokens"),
+        sum(col("eff")).cast("double").as("eff_tokens"))
+      .orderBy("lang")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_llm_soft_dedup" -> q_llm_soft_dedup _,
     "q_llm_mmr" -> q_llm_mmr _,
     "q_llm_ann_pq" -> q_llm_ann_pq _,
     "q_llm_bloom_prefilter" -> q_llm_bloom_prefilter _,

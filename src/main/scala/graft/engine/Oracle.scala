@@ -1566,7 +1566,41 @@ object Oracle {
         |  COUNT(*) AS n_clusters,
         |  CAST(SUM(sz) - COUNT(*) AS BIGINT) AS n_dup_docs,
         |  CAST(MAX(sz) AS BIGINT) AS max_cluster
-        |FROM cl GROUP BY lang ORDER BY lang""".stripMargin
+        |FROM cl GROUP BY lang ORDER BY lang""".stripMargin,
+
+    // Round 9. Same cluster CTE chain as q_llm_dedup_clusters; the only
+    // float op is the per-cluster tot/sz division, round-9 + exact
+    // DECIMAL sum (the PSI recipe for cross-group addition).
+    "q_llm_soft_dedup" ->
+      """WITH RECURSIVE d AS (
+        |  SELECT doc_id, lang, list_distinct(string_split(text, ' ')) AS toks
+        |  FROM documents
+        |  WHERE doc_id % 10 = 0 AND len(list_distinct(string_split(text, ' '))) > 0),
+        |p AS (
+        |  SELECT d1.doc_id AS x, d2.doc_id AS y
+        |  FROM d d1 JOIN d d2 ON d1.lang = d2.lang AND d1.doc_id < d2.doc_id
+        |  WHERE CAST(len(list_intersect(d1.toks, d2.toks)) AS DOUBLE)
+        |    / (len(d1.toks) + len(d2.toks) - len(list_intersect(d1.toks, d2.toks)))
+        |    >= 0.8),
+        |ue AS (SELECT x, y FROM p UNION ALL SELECT y, x FROM p),
+        |reach AS (
+        |  SELECT doc_id AS n, doc_id AS r FROM d
+        |  UNION
+        |  SELECT reach.n, ue.y FROM reach JOIN ue ON reach.r = ue.x),
+        |comp AS (SELECT n, MIN(r) AS lbl FROM reach GROUP BY n),
+        |cl AS (
+        |  SELECT d.lang, comp.lbl, COUNT(*) AS sz,
+        |    CAST(SUM(len(d.toks)) AS BIGINT) AS tot
+        |  FROM comp JOIN d ON comp.n = d.doc_id
+        |  GROUP BY 1, 2),
+        |t AS (SELECT lang, sz, tot,
+        |    CAST(ROUND(CAST(tot AS DOUBLE) / CAST(sz AS DOUBLE), 9)
+        |      AS DECIMAL(18,9)) AS eff
+        |  FROM cl)
+        |SELECT lang, CAST(SUM(sz) AS BIGINT) AS n_docs, COUNT(*) AS n_clusters,
+        |  CAST(SUM(tot) AS BIGINT) AS tot_tokens,
+        |  CAST(SUM(eff) AS DOUBLE) AS eff_tokens
+        |FROM t GROUP BY lang ORDER BY lang""".stripMargin
   )
 
   /** Round-4 continuation: histogram / RANGE frame / bucketed band join.
@@ -2763,7 +2797,59 @@ object Oracle {
          |WHERE n >= ${StatsOps.AnomalyMinPrior}
          |  AND (CAST(n AS HUGEINT) * c - s1) * (CAST(n AS HUGEINT) * c - s1)
          |      > (CAST(n AS HUGEINT) * s2 - CAST(s1 AS HUGEINT) * s1) * 9
-         |ORDER BY event_type, event_id""".stripMargin
+         |ORDER BY event_type, event_id""".stripMargin,
+
+    // Round 9. −p·ln(p) terms round-9 (absorbing libm ln — the PSI
+    // recipe), exact DECIMAL total; p is an exact rational both sides.
+    "q_agg_entropy" ->
+      """WITH ev AS (SELECT CAST(date_trunc('day', CAST(ts AS TIMESTAMP)) AS TIMESTAMP) AS day,
+        |    event_type FROM events),
+        |c AS (SELECT day, event_type, COUNT(*) AS c FROM ev GROUP BY 1, 2),
+        |t AS (SELECT day AS td, CAST(SUM(c) AS BIGINT) AS n, COUNT(*) AS k
+        |      FROM c GROUP BY 1),
+        |terms AS (SELECT c.day, t.n, t.k,
+        |    CAST(ROUND(-(CAST(c.c AS DOUBLE) / CAST(t.n AS DOUBLE))
+        |      * ln(CAST(c.c AS DOUBLE) / CAST(t.n AS DOUBLE)), 9)
+        |      AS DECIMAL(18,9)) AS term
+        |  FROM c JOIN t ON c.day = t.td)
+        |SELECT day, MAX(n) AS n_events, MAX(k) AS n_types,
+        |  CAST(SUM(term) AS DOUBLE) AS entropy
+        |FROM terms GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // Round 9. Per-row scalar math over exact integer counts; every
+    // literal CAST to DOUBLE (DuckDB bare literals are DECIMAL).
+    "q_text_readability" ->
+      """WITH d AS (SELECT doc_id, lang,
+        |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_words,
+        |    CAST(len(regexp_extract_all(text, '[aeiou]+')) AS BIGINT) AS n_syllables
+        |  FROM documents)
+        |SELECT doc_id, lang, n_words, n_syllables,
+        |  CAST(n_syllables AS DOUBLE) / CAST(n_words AS DOUBLE) AS syll_per_word,
+        |  CAST(206.835 AS DOUBLE) - CAST(1.015 AS DOUBLE) * CAST(n_words AS DOUBLE)
+        |    - CAST(84.6 AS DOUBLE)
+        |      * (CAST(n_syllables AS DOUBLE) / CAST(n_words AS DOUBLE)) AS flesch
+        |FROM d ORDER BY doc_id""".stripMargin,
+
+    // Round 9. MERGE reconciliation: matched→update, target-only→keep,
+    // source-only→insert; all money through DECIMAL(18,2).
+    "q_merge_upsert" ->
+      """WITH cust AS (SELECT c_custkey, c_mktsegment,
+        |    CAST(c_acctbal AS DECIMAL(18,2)) AS bal FROM customer),
+        |d AS (SELECT user_id,
+        |    CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS delta
+        |  FROM events WHERE event_type = 'purchase' GROUP BY 1),
+        |m AS (SELECT COALESCE(c_custkey, user_id) AS custkey,
+        |    COALESCE(c_mktsegment, 'UNASSIGNED') AS seg,
+        |    COALESCE(bal, CAST(0 AS DECIMAL(18,2)))
+        |      + COALESCE(delta, CAST(0 AS DECIMAL(18,2))) AS new_bal,
+        |    (c_custkey IS NOT NULL AND user_id IS NOT NULL) AS upd,
+        |    (c_custkey IS NULL) AS ins
+        |  FROM cust FULL OUTER JOIN d ON c_custkey = user_id)
+        |SELECT seg, COUNT(*) AS n_rows,
+        |  CAST(SUM(CASE WHEN upd THEN 1 ELSE 0 END) AS BIGINT) AS n_updated,
+        |  CAST(SUM(CASE WHEN ins THEN 1 ELSE 0 END) AS BIGINT) AS n_inserted,
+        |  CAST(SUM(new_bal) AS DOUBLE) AS sum_bal
+        |FROM m GROUP BY 1 ORDER BY 1""".stripMargin
   )
 
   val all: Map[String, String] =

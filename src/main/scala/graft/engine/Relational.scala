@@ -758,7 +758,39 @@ object Relational {
       .orderBy("day")
   }
 
+  /** MERGE/upsert semantics as a full-outer reconciliation (the batch
+    * DML pattern a lakehouse MERGE INTO compiles to): target = customer
+    * balances, source = per-user purchase totals from the event stream;
+    * matched rows update (balance + delta), target-only rows keep, and
+    * source-only rows would insert (surfaced by the `n_inserted`
+    * branch; the fixture's user ids are a customer-key prefix so the
+    * branch is structurally exercised with 0 rows). All money through
+    * DECIMAL(18,2); one shuffle on the merge key at any scale. */
+  def q_merge_upsert(s: SparkSession, dir: String): DataFrame = {
+    val cust = Tables.customer(s, dir).select(col("c_custkey"),
+      col("c_mktsegment"), Dsl.dec(col("c_acctbal")).as("bal"))
+    val delta = Tables.events(s, dir)
+      .filter(col("event_type") === "purchase")
+      .groupBy(col("user_id"))
+      .agg(sum(Dsl.dec(col("value"))).cast("decimal(18,2)").as("delta"))
+    val zero = lit(0).cast("decimal(18,2)")
+    val merged = cust.join(delta, col("c_custkey") === col("user_id"), "full_outer")
+      .select(
+        coalesce(col("c_custkey"), col("user_id")).as("custkey"),
+        coalesce(col("c_mktsegment"), lit("UNASSIGNED")).as("seg"),
+        (coalesce(col("bal"), zero) + coalesce(col("delta"), zero)).as("new_bal"),
+        (col("c_custkey").isNotNull && col("user_id").isNotNull).as("upd"),
+        col("c_custkey").isNull.as("ins"))
+    merged.groupBy(col("seg"))
+      .agg(count(lit(1)).as("n_rows"),
+        sum(when(col("upd"), 1L).otherwise(0L)).as("n_updated"),
+        sum(when(col("ins"), 1L).otherwise(0L)).as("n_inserted"),
+        sum(col("new_bal")).cast("double").as("sum_bal"))
+      .orderBy("seg")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_merge_upsert" -> q_merge_upsert _,
     "q_agg_histogram" -> q_agg_histogram _,
     "q_win_range_frame" -> q_win_range_frame _,
     "q_join_range_bucket" -> q_join_range_bucket _,

@@ -369,7 +369,31 @@ object StatsOps {
       .orderBy("event_type", "event_id")
   }
 
+  /** Daily Shannon entropy of the event-type mix — the diversity
+    * monitor beside the PSI drift check: p_i = c_i/n are exact
+    * rationals, each term −p·ln(p) rounds at 9dp (absorbing libm ln,
+    * the PSI recipe) and the total is an exact DECIMAL sum. One keyed
+    * count + a broadcast totals join; day count × type count rows of
+    * shuffle at any scale. */
+  def q_agg_entropy(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(s, dir)
+      .select(date_trunc("day", col("ts")).as("day"), col("event_type"))
+    val counts = ev.groupBy(col("day"), col("event_type"))
+      .agg(count(lit(1)).as("c"))
+    val totals = counts.groupBy(col("day").as("td"))
+      .agg(sum(col("c")).as("n"), count(lit(1)).as("k"))
+    val p = col("c").cast("double") / col("n").cast("double")
+    counts.join(broadcast(totals), col("day") === col("td"))
+      .select(col("day"), col("n"), col("k"),
+        round(-p * log(p), 9).cast("decimal(18,9)").as("term"))
+      .groupBy(col("day"))
+      .agg(max(col("n")).as("n_events"), max(col("k")).as("n_types"),
+        sum(col("term")).cast("double").as("entropy"))
+      .orderBy("day")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_agg_entropy" -> q_agg_entropy _,
     "q_agg_skew_kurt" -> q_agg_skew_kurt _,
     "q_sessionize_batch" -> q_sessionize_batch _,
     "q_stream_anomaly" -> q_stream_anomaly _,

@@ -381,7 +381,29 @@ object TextOps {
       .orderBy("lang")
   }
 
+  /** Flesch-style readability per document (each doc scored as one
+    * "sentence" — the corpus is sentence-free word soup): syllables
+    * approximated as vowel-group count (the standard regex heuristic),
+    * score = 206.835 − 1.015·words − 84.6·(syll/words) as ONE
+    * pinned-order double expression over exact integer counts — per-row
+    * scalar math, no aggregation, no rounding, no tie class. The
+    * downstream use is a quality-filter feature (readability bands). */
+  def q_text_readability(s: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documents(s, dir).select(col("doc_id"), col("lang"),
+      size(split(col("text"), " ")).cast("bigint").as("n_words"),
+      expr("size(regexp_extract_all(text, '[aeiou]+', 0))").cast("bigint")
+        .as("n_syllables"))
+    d.select(col("doc_id"), col("lang"), col("n_words"), col("n_syllables"),
+        (col("n_syllables").cast("double") / col("n_words").cast("double"))
+          .as("syll_per_word"),
+        (lit(206.835) - lit(1.015) * col("n_words").cast("double")
+          - lit(84.6) * (col("n_syllables").cast("double")
+            / col("n_words").cast("double"))).as("flesch"))
+      .orderBy("doc_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_text_readability" -> q_text_readability _,
     "q_text_kneser_ney" -> q_text_kneser_ney _,
     "q_text_bigram_xent" -> q_text_bigram_xent _,
     "q_llm_quality_classifier" -> q_llm_quality_classifier _,

@@ -2,7 +2,7 @@ package graft
 
 import org.scalatest.funsuite.AnyFunSuite
 
-import graft.engine.{Gnn, GraphOps, SketchOps, StatsOps, Tables}
+import graft.engine.{Gnn, GraphOps, LlmOps, Relational, SketchOps, StatsOps, Tables, TextOps}
 
 /** Round-9 operators: semantic invariants beyond the oracle hash-compare. */
 class Round9Spec extends AnyFunSuite {
@@ -108,6 +108,56 @@ class Round9Spec extends AnyFunSuite {
       .map(r => (0 to Gnn.WalkSteps).map(r.getLong).mkString(",")).toSet
     val biased = walks.map(r => (0 to Gnn.N2vSteps).map(r.getLong).mkString(",")).toSet
     assert(biased != uniform, "bias had no effect on any walk")
+  }
+
+  test("soft dedup: weight mass equals cluster count, effective <= total tokens") {
+    val rows = LlmOps.q_llm_soft_dedup(spark, sf001).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (nd, nc, tot, eff) = (r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4))
+      assert(nc <= nd, "more clusters than docs")
+      assert(eff <= tot + 1e-6, "down-weighting cannot create tokens")
+      // a cluster's effective tokens are its mean doc length -> bounded below
+      assert(eff >= tot.toDouble / nd - 1e-6 * nd, "effective mass below the uniform floor")
+    }
+  }
+
+  test("entropy: bounded by ln(n_types) and positive on mixed days") {
+    val rows = StatsOps.q_agg_entropy(spark, sf001).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (k, h) = (r.getLong(2), r.getDouble(3))
+      assert(h >= 0.0 && h <= math.log(k.toDouble) + 1e-6,
+        s"entropy $h outside [0, ln($k)]")
+    }
+  }
+
+  test("readability: syllables bounded by text, flesch matches the formula") {
+    val rows = TextOps.q_text_readability(spark, sf0001).collect()
+    assert(rows.length == Tables.documents(spark, sf0001).count())
+    rows.foreach { r =>
+      val (w, sy, spw, fl) = (r.getLong(2), r.getLong(3), r.getDouble(4), r.getDouble(5))
+      assert(w >= 1 && sy >= 0)
+      assert(math.abs(spw - sy.toDouble / w) < 1e-15)
+      assert(math.abs(fl - (206.835 - 1.015 * w - 84.6 * (sy.toDouble / w))) < 1e-9)
+    }
+  }
+
+  test("merge upsert: balances reconcile to target + source totals") {
+    import org.apache.spark.sql.functions._
+    val rows = Relational.q_merge_upsert(spark, sf0001).collect()
+    val nCust = Tables.customer(spark, sf0001).count()
+    val nIns = rows.map(_.getLong(3)).sum
+    assert(rows.map(_.getLong(1)).sum == nCust + nIns, "row conservation broken")
+    val balSum = Tables.customer(spark, sf0001)
+      .agg(sum(expr("cast(c_acctbal as decimal(18,2))"))).collect()(0)
+      .getDecimal(0).doubleValue()
+    val deltaSum = Tables.events(spark, sf0001)
+      .filter(col("event_type") === "purchase")
+      .agg(sum(expr("cast(value as decimal(18,2))"))).collect()(0)
+      .getDecimal(0).doubleValue()
+    assert(math.abs(rows.map(_.getDouble(4)).sum - (balSum + deltaSum)) < 1e-6,
+      "merged balance mass must equal target + source mass")
   }
 
   test("stream cms: grid snapshot cell-identical to the batch sketch") {
