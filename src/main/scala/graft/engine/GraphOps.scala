@@ -1,6 +1,7 @@
 package graft.engine
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Graph operators over the co-purchase graph (SURVEY.md §2.10) — the GNN
@@ -689,7 +690,28 @@ object GraphOps {
       .orderBy("seed")
   }
 
+  /** Part-side degree distribution with CCDF — the power-law tail check
+    * run before choosing a partitioning strategy (a heavy tail is what
+    * makes hash partitioning skew and motivates HDRF/salting). Exact
+    * integer histogram; the survival share is one per-row division of
+    * exact counts. Two keyed aggregations + one tiny window. */
+  def q_graph_degree_dist(s: SparkSession, dir: String): DataFrame = {
+    val deg = edges(s, dir).groupBy(col("dst")).agg(count(lit(1)).as("degree"))
+    val hist = deg.groupBy(col("degree")).agg(count(lit(1)).as("n_parts"))
+    val w = Window.orderBy(col("degree"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val tot = Window.partitionBy()
+    hist
+      .withColumn("n_ge", sum(col("n_parts")).over(tot)
+        - coalesce(sum(col("n_parts")).over(w), lit(0L)))
+      .withColumn("ccdf",
+        col("n_ge").cast("double") / sum(col("n_parts")).over(tot).cast("double"))
+      .select(col("degree"), col("n_parts"), col("n_ge"), col("ccdf"))
+      .orderBy("degree")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_graph_degree_dist" -> q_graph_degree_dist _,
     "q_graph_butterflies" -> q_graph_butterflies _,
     "q_graph_closeness" -> q_graph_closeness _,
     "q_graph_ppr" -> q_graph_ppr _,

@@ -2433,6 +2433,22 @@ object Oracle {
          |SELECT n_edges, n_wedges_customer, n_wedges_part, n_butterflies
          |FROM ne CROSS JOIN wc CROSS JOIN wp CROSS JOIN bf""".stripMargin,
 
+    // Exact integer histogram; the survival share divides exact counts.
+    "q_graph_degree_dist" ->
+      s"""WITH $edgesCte,
+         |deg AS (SELECT dst, COUNT(*) AS degree FROM edges GROUP BY 1),
+         |hist AS (SELECT degree, COUNT(*) AS n_parts FROM deg GROUP BY 1),
+         |c AS (SELECT degree, n_parts,
+         |    CAST(SUM(n_parts) OVER () AS BIGINT)
+         |      - CAST(COALESCE(SUM(n_parts) OVER (ORDER BY degree
+         |          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+         |      AS n_ge,
+         |    CAST(SUM(n_parts) OVER () AS BIGINT) AS tot
+         |  FROM hist)
+         |SELECT degree, n_parts, n_ge,
+         |  CAST(n_ge AS DOUBLE) / CAST(tot AS DOUBLE) AS ccdf
+         |FROM c ORDER BY degree""".stripMargin,
+
     // Multi-source truncated BFS (recursive CTE carries the seed column;
     // UNION dedups (seed,node,d) so the recursion terminates).
     "q_graph_closeness" ->
@@ -2849,7 +2865,57 @@ object Oracle {
         |  CAST(SUM(CASE WHEN upd THEN 1 ELSE 0 END) AS BIGINT) AS n_updated,
         |  CAST(SUM(CASE WHEN ins THEN 1 ELSE 0 END) AS BIGINT) AS n_inserted,
         |  CAST(SUM(new_bal) AS DOUBLE) AS sum_bal
-        |FROM m GROUP BY 1 ORDER BY 1""".stripMargin
+        |FROM m GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // Round 9. Σi·x and Σx are exact DECIMAL(38,0) (< 2^64, both
+    // engines' double casts correctly rounded there); rank ties carry
+    // equal x so the tie order cannot move Σi·x.
+    "q_agg_gini" ->
+      """WITH o AS (SELECT c_mktsegment AS seg, o_orderkey,
+        |    CAST(ROUND(o_totalprice * 100, 0) AS BIGINT) AS cents
+        |  FROM orders JOIN customer ON o_custkey = c_custkey),
+        |r AS (SELECT seg, cents,
+        |    ROW_NUMBER() OVER (PARTITION BY seg ORDER BY cents, o_orderkey) AS i
+        |  FROM o),
+        |a AS (SELECT seg, COUNT(*) AS n_orders,
+        |    CAST(SUM(cents) AS DOUBLE) AS sx,
+        |    CAST(SUM(i * cents) AS DOUBLE) AS six
+        |  FROM r GROUP BY 1)
+        |SELECT seg, n_orders,
+        |  CAST(2 AS DOUBLE) * six / (CAST(n_orders AS DOUBLE) * sx)
+        |    - (CAST(n_orders AS DOUBLE) + CAST(1 AS DOUBLE))
+        |      / CAST(n_orders AS DOUBLE) AS gini
+        |FROM a ORDER BY seg""".stripMargin,
+
+    // Round 9. Holt recursion replayed as a recursive CTE: α=1/2,
+    // β=1/4 are exact dyadic doubles and every step is the same
+    // correctly-rounded IEEE sequence — no rounding anywhere. The
+    // inline l_t recomputation inside b_t yields the identical double.
+    "q_stream_holt" -> {
+      val a = "CAST(0.5 AS DOUBLE)"
+      val b = "CAST(0.25 AS DOUBLE)"
+      val oneA = "CAST(0.5 AS DOUBLE)"
+      val oneB = "CAST(0.75 AS DOUBLE)"
+      s"""WITH RECURSIVE s AS (SELECT event_type,
+         |    CAST(date_trunc('day', CAST(ts AS TIMESTAMP)) AS TIMESTAMP) AS day,
+         |    CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS y
+         |  FROM events GROUP BY 1, 2),
+         |o AS (SELECT event_type, y,
+         |    ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY day) AS t
+         |  FROM s),
+         |n AS (SELECT event_type, MAX(t) AS nmax FROM o GROUP BY 1),
+         |h(event_type, t, l, b) AS (
+         |  SELECT event_type, 1, y, CAST(0 AS DOUBLE) FROM o WHERE t = 1
+         |  UNION ALL
+         |  SELECT o.event_type, o.t,
+         |    $a * o.y + $oneA * (h.l + h.b),
+         |    $b * (($a * o.y + $oneA * (h.l + h.b)) - h.l) + $oneB * h.b
+         |  FROM h JOIN o ON o.event_type = h.event_type AND o.t = h.t + 1)
+         |SELECT h.event_type, CAST(n.nmax AS BIGINT) AS n_days,
+         |  h.l AS level, h.b AS trend, h.l + h.b AS forecast
+         |FROM h JOIN n ON h.event_type = n.event_type AND h.t = n.nmax
+         |ORDER BY h.event_type""".stripMargin
+    }
   )
 
   val all: Map[String, String] =

@@ -392,7 +392,85 @@ object StatsOps {
       .orderBy("day")
   }
 
+  /** Gini coefficient of order spend per market segment — the
+    * concentration metric a curation pipeline runs over source/domain
+    * token shares: with x sorted ascending, G = 2·Σi·x_i/(n·Σx) −
+    * (n+1)/n. Everything up to the final expression is exact integer
+    * arithmetic in cents (rank ties carry equal x so the tie order
+    * cannot change Σi·x_i); the two divisions are one pinned-order
+    * double expression. Σi·x_i ≈ 4.5e16 at sf0.1 → DECIMAL(38,0) sums
+    * (below 2^64, where both engines' double casts are correctly
+    * rounded). One window + one aggregation per segment. */
+  def q_agg_gini(s: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(s, dir)
+      .join(Tables.customer(s, dir), col("o_custkey") === col("c_custkey"))
+      .select(col("c_mktsegment").as("seg"), col("o_orderkey"),
+        round(col("o_totalprice") * 100, 0).cast("bigint").as("cents"))
+    val w = Window.partitionBy(col("seg")).orderBy(col("cents"), col("o_orderkey"))
+    val ranked = o.withColumn("i", row_number().over(w))
+    val agg = ranked.groupBy(col("seg")).agg(
+      count(lit(1)).as("n_orders"),
+      sum(col("cents").cast("decimal(38,0)")).cast("double").as("sx"),
+      sum((col("i") * col("cents")).cast("decimal(38,0)")).cast("double").as("six"))
+    val n = col("n_orders").cast("double")
+    agg.select(col("seg"), col("n_orders"),
+        (lit(2.0) * col("six") / (n * col("sx")) - (n + lit(1.0)) / n).as("gini"))
+      .orderBy("seg")
+  }
+
+  // ---- Streaming Holt linear-trend smoother -----------------------------
+  // Keyed state per event_type = (level, trend, n) over the daily value
+  // series: l_t = α·y_t + (1−α)·(l_{t−1}+b_{t−1}), b_t = β·(l_t−l_{t−1})
+  // + (1−β)·b_{t−1}, initialized l_1 = y_1, b_1 = 0. α = 1/2 and β = 1/4
+  // are exact dyadic doubles and every step is the same correctly-rounded
+  // IEEE sequence in both engines, so the recursion needs NO rounding
+  // anywhere. Days replay in event-time order (watermark-sorted batches).
+
+  val HoltAlpha = 0.5
+  val HoltBeta = 0.25
+
+  case class HoltIn(etype: String, dayUs: Long, y: Double)
+  case class HoltState(l: Double, b: Double, n: Long)
+  case class HoltSnap(event_type: String, n_days: Long, level: Double,
+      trend: Double, forecast: Double)
+
+  def updateHolt(key: String, it: Iterator[HoltIn],
+      state: org.apache.spark.sql.streaming.GroupState[HoltState]): Iterator[HoltSnap] = {
+    var st = state.getOption.getOrElse(HoltState(0.0, 0.0, 0L))
+    it.toArray.sortBy(_.dayUs).foreach { e =>
+      st =
+        if (st.n == 0L) HoltState(e.y, 0.0, 1L)
+        else {
+          val lNew = HoltAlpha * e.y + (1 - HoltAlpha) * (st.l + st.b)
+          val bNew = HoltBeta * (lNew - st.l) + (1 - HoltBeta) * st.b
+          HoltState(lNew, bNew, st.n + 1)
+        }
+    }
+    state.update(st)
+    Iterator.single(HoltSnap(key, st.n, st.l, st.b, st.l + st.b))
+  }
+
+  /** Driver-contract query: the streaming trend maintainer over the
+    * bounded daily series; the oracle replays the recursion as a
+    * recursive CTE. State per key is 2 doubles + a count. */
+  def q_stream_holt(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables.events(s, dir)
+      .groupBy(col("event_type").as("etype"),
+        date_trunc("day", col("ts")).as("day"))
+      .agg(sum(Dsl.dec(col("value"))).cast("double").as("y"))
+      .select(col("etype"), unix_micros(col("day")).as("dayUs"), col("y"))
+      .as[HoltIn]
+      .groupByKey(_.etype)
+      .flatMapGroupsWithState(org.apache.spark.sql.streaming.OutputMode.Update,
+        org.apache.spark.sql.streaming.GroupStateTimeout.NoTimeout)(updateHolt)
+      .toDF()
+      .orderBy("event_type")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_agg_gini" -> q_agg_gini _,
+    "q_stream_holt" -> q_stream_holt _,
     "q_agg_entropy" -> q_agg_entropy _,
     "q_agg_skew_kurt" -> q_agg_skew_kurt _,
     "q_sessionize_batch" -> q_sessionize_batch _,

@@ -160,6 +160,48 @@ class Round9Spec extends AnyFunSuite {
       "merged balance mass must equal target + source mass")
   }
 
+  test("gini: in [0,1) and invariant to rank tie order") {
+    val rows = StatsOps.q_agg_gini(spark, sf001).collect()
+    assert(rows.length == 5)
+    rows.foreach { r =>
+      val g = r.getDouble(2)
+      assert(g >= 0.0 && g < 1.0, s"gini $g out of range for ${r.getString(0)}")
+    }
+  }
+
+  test("holt: final state replays the sequential recursion exactly") {
+    import org.apache.spark.sql.functions._
+    val snap = StatsOps.q_stream_holt(spark, sf0001).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getDouble(2), r.getDouble(3))).toMap
+    val series = Tables.events(spark, sf0001)
+      .groupBy(col("event_type"), date_trunc("day", col("ts")).as("day"))
+      .agg(sum(expr("cast(value as decimal(18,2))")).cast("double").as("y"))
+      .collect().map(r => (r.getString(0), r.getTimestamp(1), r.getDouble(2)))
+    series.groupBy(_._1).foreach { case (et, rows) =>
+      var (l, b, n) = (0.0, 0.0, 0L)
+      rows.sortBy(_._2.getTime).foreach { case (_, _, y) =>
+        if (n == 0) { l = y; b = 0.0; n = 1 }
+        else {
+          val lNew = 0.5 * y + 0.5 * (l + b)
+          b = 0.25 * (lNew - l) + 0.75 * b; l = lNew; n += 1
+        }
+      }
+      assert(snap(et) == ((n, l, b)), s"$et holt state mismatch")
+    }
+  }
+
+  test("degree dist: histogram mass conserved, ccdf monotone from 1.0") {
+    val rows = GraphOps.q_graph_degree_dist(spark, sf0001).collect()
+    val nParts = GraphOps.edges(spark, sf0001)
+      .select("dst").distinct().count()
+    assert(rows.map(_.getLong(1)).sum == nParts, "histogram must cover every part")
+    assert(rows.head.getLong(2) == nParts && math.abs(rows.head.getDouble(3) - 1.0) < 1e-15,
+      "ccdf must start at 1")
+    rows.sliding(2).foreach { case Array(a, b) =>
+      assert(a.getLong(2) > b.getLong(2), "survival counts must strictly decrease")
+    }
+  }
+
   test("stream cms: grid snapshot cell-identical to the batch sketch") {
     import org.apache.spark.sql.functions._
     val stream = SketchOps.q_stream_cms(spark, sf0001).collect()
