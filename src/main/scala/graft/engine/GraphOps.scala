@@ -710,7 +710,44 @@ object GraphOps {
       .orderBy("degree")
   }
 
+  /** Rich-club degree thresholds (shared with the oracle). */
+  val RichClubKs = Seq(1, 2, 4, 8, 16, 32)
+
+  /** Rich-club coefficient φ(k) of the thresholded part–part projection:
+    * among nodes with degree > k, φ = 2·E_k / (N_k·(N_k−1)) — do the
+    * hubs preferentially interconnect? Everything is exact-integer
+    * (each edge's min endpoint degree joins the threshold spine; N and
+    * E are counts) with φ a single pinned-order double expression.
+    * Degrees + one edge join + two tiny threshold joins at any scale. */
+  def q_graph_richclub(s: SparkSession, dir: String): DataFrame = {
+    val pp = partPairs(s, dir, CcMinCooccur).select(col("a"), col("b"))
+    val ue = pp.union(pp.select(col("b").as("a"), col("a").as("b")))
+    val deg = ue.groupBy(col("a").as("node")).agg(count(lit(1)).as("d"))
+      .localCheckpoint()
+    val ks = s.range(0, 1).select(
+      explode(array(RichClubKs.map(lit): _*)).as("k"))
+    val nk = ks.join(deg, col("d") > col("k"))
+      .groupBy(col("k")).agg(count(lit(1)).as("n_nodes"))
+    val pe = pp
+      .join(deg.select(col("node").as("na"), col("d").as("da")), col("a") === col("na"))
+      .join(deg.select(col("node").as("nb"), col("d").as("db")), col("b") === col("nb"))
+      .select(least(col("da"), col("db")).as("md"))
+    val ek = ks.join(pe, col("md") > col("k"))
+      .groupBy(col("k").as("ek_k")).agg(count(lit(1)).as("n_edges"))
+    val n = col("n_nodes").cast("double")
+    ks.join(nk, Seq("k"), "left_outer")
+      .join(ek, col("k") === col("ek_k"), "left_outer")
+      .select(col("k"), coalesce(col("n_nodes"), lit(0L)).as("n_nodes"),
+        coalesce(col("n_edges"), lit(0L)).as("n_edges"))
+      .select(col("k"), col("n_nodes"), col("n_edges"),
+        when(col("n_nodes") >= 2,
+          lit(2.0) * col("n_edges").cast("double") / (n * (n - lit(1.0))))
+          .otherwise(lit(0.0)).as("phi"))
+      .orderBy("k")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_graph_richclub" -> q_graph_richclub _,
     "q_graph_degree_dist" -> q_graph_degree_dist _,
     "q_graph_butterflies" -> q_graph_butterflies _,
     "q_graph_closeness" -> q_graph_closeness _,

@@ -159,7 +159,58 @@ object Multimodal {
       .orderBy("kind")
   }
 
+  /** pHash block count (bits in the fingerprint). */
+  val PhashBlocks = 64
+
+  /** Perceptual-hash near-dup detection over the media payloads — the
+    * multimodal dedup stage (pHash-style): split each payload into 64
+    * contiguous blocks, bit b = 1 iff block-mean > global-mean, tested
+    * as the exact integer cross-product s_b·len > s·cnt_b (no division,
+    * no float). The hash is a 64-char bit STRING (numeric 2^63 would
+    * overflow signed BIGINT), built with an ordered listagg over a full
+    * block spine so short payloads get explicit 0-bits. Identical
+    * fingerprints → dup buckets, ΣC(sz,2) dup pairs per kind. Fully
+    * relational (explode + two keyed aggs + spine window) — the shape a
+    * real pixel-based pHash keeps, with only the byte source swapped.
+    * Payload bytes = the verified-ASCII document text (mediaTable). */
+  def q_mm_phash(s: SparkSession, dir: String): DataFrame = {
+    val m = mediaTable(s, dir).toDF()
+      .select(col("media_id"), col("kind"),
+        decode(col("bytes"), "UTF-8").as("txt"))
+      .withColumn("len", length(col("txt")).cast("bigint"))
+    val chars = m
+      .select(col("media_id"), col("kind"), col("len"),
+        posexplode(split(col("txt"), "")).as(Seq("pos", "ch")))
+      .select(col("media_id"), col("kind"), col("len"),
+        expr(s"(pos * $PhashBlocks) div len").as("blk"),
+        ascii(col("ch")).cast("bigint").as("v"))
+    val blocks = chars.groupBy(col("media_id"), col("kind"), col("len"), col("blk"))
+      .agg(count(lit(1)).as("cnt"), sum(col("v")).as("sb"))
+    val totals = blocks.groupBy(col("media_id").as("tid"))
+      .agg(sum(col("sb")).as("stot"))
+    val spine = m.select(col("media_id"), col("kind"), col("len"),
+      explode(sequence(lit(0), lit(PhashBlocks - 1))).as("blk"))
+    val bits = spine
+      .join(blocks, Seq("media_id", "kind", "len", "blk"), "left_outer")
+      .join(broadcast(totals), col("media_id") === col("tid"))
+      .select(col("media_id"), col("kind"), col("blk"),
+        when(coalesce(col("sb"), lit(0L)) * col("len")
+          > col("stot") * coalesce(col("cnt"), lit(0L)), lit("1"))
+          .otherwise(lit("0")).as("bit"))
+    val hashes = bits.groupBy(col("media_id"), col("kind"))
+      .agg(concat_ws("", array_sort(collect_list(struct(col("blk"), col("bit"))))
+        .getField("bit")).as("phash"))
+    val buckets = hashes.groupBy(col("kind"), col("phash"))
+      .agg(count(lit(1)).as("sz"))
+    buckets.groupBy(col("kind"))
+      .agg(sum(col("sz")).as("n_media"), count(lit(1)).as("n_hashes"),
+        max(col("sz")).as("max_bucket"),
+        sum(expr("sz * (sz - 1) div 2")).as("n_dup_pairs"))
+      .orderBy("kind")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_mm_phash" -> q_mm_phash _,
     "q_mm_decode" -> q_mm_decode _,
     "q_mm_frames" -> q_mm_frames _,
     "q_mm_resize" -> q_mm_resize _,

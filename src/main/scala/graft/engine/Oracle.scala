@@ -893,6 +893,40 @@ object Oracle {
 
     // The decode stub is a pure function of the source text (UTF-8,
     // all-ASCII verified): width = ascii(first char)+1, bytes = length.
+    // Relational pHash replay: block bit = exact integer cross-product
+    // (block-sum·len > total·block-count); the 64-bit fingerprint is an
+    // ordered bit STRING (2^63 would overflow signed BIGINT).
+    "q_mm_phash" ->
+      s"""WITH m AS (SELECT doc_id AS media_id,
+         |    CASE CAST(doc_id % 3 AS INT) WHEN 0 THEN 'image'
+         |      WHEN 1 THEN 'audio' ELSE 'video' END AS kind,
+         |    text AS txt, CAST(len(text) AS BIGINT) AS len FROM documents),
+         |chars AS (SELECT media_id, kind, len,
+         |    ((u.i - 1) * ${Multimodal.PhashBlocks}) // len AS blk,
+         |    CAST(ord(substr(txt, CAST(u.i AS INT), 1)) AS BIGINT) AS v
+         |  FROM m, UNNEST(range(1, len + 1)) AS u(i)),
+         |blocks AS (SELECT media_id, kind, len, blk, COUNT(*) AS cnt,
+         |    CAST(SUM(v) AS BIGINT) AS sb
+         |  FROM chars GROUP BY 1, 2, 3, 4),
+         |totals AS (SELECT media_id AS tid, CAST(SUM(sb) AS BIGINT) AS stot
+         |  FROM blocks GROUP BY 1),
+         |spine AS (SELECT media_id, kind, len, u.blk
+         |  FROM m, UNNEST(range(0, ${Multimodal.PhashBlocks})) AS u(blk)),
+         |bits AS (SELECT s.media_id, s.kind, s.blk,
+         |    CASE WHEN COALESCE(b.sb, 0) * s.len > t.stot * COALESCE(b.cnt, 0)
+         |      THEN '1' ELSE '0' END AS bit
+         |  FROM spine s
+         |  LEFT JOIN blocks b ON s.media_id = b.media_id AND s.blk = b.blk
+         |  JOIN totals t ON s.media_id = t.tid),
+         |hashes AS (SELECT media_id, kind,
+         |    STRING_AGG(bit, '' ORDER BY blk) AS phash
+         |  FROM bits GROUP BY 1, 2),
+         |buckets AS (SELECT kind, phash, COUNT(*) AS sz FROM hashes GROUP BY 1, 2)
+         |SELECT kind, CAST(SUM(sz) AS BIGINT) AS n_media, COUNT(*) AS n_hashes,
+         |  CAST(MAX(sz) AS BIGINT) AS max_bucket,
+         |  CAST(SUM(sz * (sz - 1) // 2) AS BIGINT) AS n_dup_pairs
+         |FROM buckets GROUP BY 1 ORDER BY 1""".stripMargin,
+
     "q_mm_decode" ->
       """SELECT CASE CAST(doc_id % 3 AS INT) WHEN 0 THEN 'image'
         |            WHEN 1 THEN 'audio' ELSE 'video' END AS kind,
@@ -2432,6 +2466,36 @@ object Oracle {
          |       FROM pc)
          |SELECT n_edges, n_wedges_customer, n_wedges_part, n_butterflies
          |FROM ne CROSS JOIN wc CROSS JOIN wp CROSS JOIN bf""".stripMargin,
+
+    // Exact-integer rich-club accounting: each edge carries its min
+    // endpoint degree onto the threshold spine; φ is one pinned
+    // double expression.
+    "q_graph_richclub" -> {
+      val ksList = GraphOps.RichClubKs.mkString("[", ", ", "]")
+      s"""WITH $edgesCte,
+         |pp AS MATERIALIZED (SELECT e1.dst AS a, e2.dst AS b
+         |  FROM edges e1 JOIN edges e2 ON e1.src = e2.src AND e1.dst < e2.dst
+         |  GROUP BY 1, 2 HAVING COUNT(*) >= ${GraphOps.CcMinCooccur}),
+         |ue AS (SELECT a, b FROM pp UNION ALL SELECT b, a FROM pp),
+         |deg AS (SELECT a AS node, COUNT(*) AS d FROM ue GROUP BY 1),
+         |ks AS (SELECT UNNEST($ksList) AS k),
+         |nk AS (SELECT k, COUNT(*) AS n_nodes FROM ks JOIN deg ON deg.d > ks.k
+         |       GROUP BY 1),
+         |pe AS (SELECT LEAST(d1.d, d2.d) AS md
+         |       FROM pp JOIN deg d1 ON pp.a = d1.node
+         |               JOIN deg d2 ON pp.b = d2.node),
+         |ek AS (SELECT k, COUNT(*) AS n_edges FROM ks JOIN pe ON pe.md > ks.k
+         |       GROUP BY 1)
+         |SELECT ks.k, CAST(COALESCE(nk.n_nodes, 0) AS BIGINT) AS n_nodes,
+         |  CAST(COALESCE(ek.n_edges, 0) AS BIGINT) AS n_edges,
+         |  CASE WHEN COALESCE(nk.n_nodes, 0) >= 2
+         |    THEN CAST(2 AS DOUBLE) * CAST(COALESCE(ek.n_edges, 0) AS DOUBLE)
+         |      / (CAST(COALESCE(nk.n_nodes, 0) AS DOUBLE)
+         |         * (CAST(COALESCE(nk.n_nodes, 0) AS DOUBLE) - CAST(1 AS DOUBLE)))
+         |    ELSE CAST(0 AS DOUBLE) END AS phi
+         |FROM ks LEFT JOIN nk ON ks.k = nk.k LEFT JOIN ek ON ks.k = ek.k
+         |ORDER BY ks.k""".stripMargin
+    },
 
     // Exact integer histogram; the survival share divides exact counts.
     "q_graph_degree_dist" ->

@@ -202,6 +202,62 @@ class Round9Spec extends AnyFunSuite {
     }
   }
 
+  test("phash: media conserved per kind, one fingerprint replayed exactly") {
+    import org.apache.spark.sql.functions._
+    val rows = graft.engine.Multimodal.q_mm_phash(spark, sf0001).collect()
+    val perKind = graft.engine.Multimodal.mediaTable(spark, sf0001).toDF()
+      .groupBy("kind").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    rows.foreach { r =>
+      assert(r.getLong(1) == perKind(r.getString(0)), "media count drift")
+      assert(r.getLong(2) <= r.getLong(1), "more hashes than media")
+    }
+    // replay the bit rule for one document in plain scala
+    val doc = Tables.documents(spark, sf0001).select("doc_id", "text")
+      .orderBy("doc_id").limit(1).collect()(0)
+    val bytes = doc.getString(1).getBytes("UTF-8").map(_.toLong & 0xff)
+    val len = bytes.length
+    val blocks = bytes.zipWithIndex.groupBy { case (_, i) =>
+      i.toLong * graft.engine.Multimodal.PhashBlocks / len }
+    val stot = bytes.sum
+    val expected = (0 until graft.engine.Multimodal.PhashBlocks).map { b =>
+      val blk = blocks.getOrElse(b.toLong, Array.empty)
+      if (blk.map(_._1).sum * len > stot * blk.length) '1' else '0'
+    }.mkString
+    // recompute the engine's fingerprint for that doc via the same plan
+    val m = graft.engine.Multimodal.mediaTable(spark, sf0001).toDF()
+      .filter(col("media_id") === doc.getLong(0))
+      .select(decode(col("bytes"), "UTF-8").as("txt"))
+    val engineHash = {
+      val chars = m.select(length(col("txt")).cast("bigint").as("len"),
+          posexplode(split(col("txt"), "")).as(Seq("pos", "ch")))
+        .select(col("len"), expr(s"(pos * ${graft.engine.Multimodal.PhashBlocks}) div len").as("blk"),
+          ascii(col("ch")).cast("bigint").as("v"))
+      val bl = chars.groupBy("len", "blk")
+        .agg(count(lit(1)).as("cnt"), sum(col("v")).as("sb")).collect()
+      val l = bl.head.getLong(0); val st = bl.map(_.getLong(3)).sum
+      val byBlk = bl.map(r => r.getLong(1) -> (r.getLong(2), r.getLong(3))).toMap
+      (0 until graft.engine.Multimodal.PhashBlocks).map { b =>
+        val (cnt, sb) = byBlk.getOrElse(b.toLong, (0L, 0L))
+        if (sb * l > st * cnt) '1' else '0'
+      }.mkString
+    }
+    assert(engineHash == expected, s"phash mismatch:\n$engineHash\n$expected")
+  }
+
+  test("richclub: phi in [0,1], node and edge counts shrink as k grows") {
+    val rows = GraphOps.q_graph_richclub(spark, sf0001).collect()
+    assert(rows.length == GraphOps.RichClubKs.length)
+    rows.foreach { r =>
+      assert(r.getDouble(3) >= 0.0 && r.getDouble(3) <= 1.0 + 1e-12,
+        s"phi ${r.getDouble(3)} out of range at k=${r.getInt(0)}")
+    }
+    rows.sliding(2).foreach { case Array(a, b) =>
+      assert(a.getLong(1) >= b.getLong(1), "node counts must not grow with k")
+      assert(a.getLong(2) >= b.getLong(2), "edge counts must not grow with k")
+    }
+  }
+
   test("stream cms: grid snapshot cell-identical to the batch sketch") {
     import org.apache.spark.sql.functions._
     val stream = SketchOps.q_stream_cms(spark, sf0001).collect()
