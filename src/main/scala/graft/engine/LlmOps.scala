@@ -783,7 +783,51 @@ object LlmOps {
       .orderBy("lang")
   }
 
+  /** ANN quality accounting: recall@3 of the IVF cell-scoped search
+    * against the exact brute-force top-3 over the full vector set —
+    * the measurement every ANN deployment keeps next to its index
+    * (cell-scoped search misses neighbors whose cell differs from the
+    * query's). Both rankings use the same round-6 cosine family with
+    * id tie-breaks, so the intersection count is exact-integer
+    * deterministic; recall is one division by k. Exact side is the
+    * broadcast-query TakeOrdered shape; IVF side reuses the assignment
+    * machinery. */
+  def q_llm_ann_recall(s: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(s, dir)
+    val assigned = ivfAssign(s, emb, emb.filter(col("vec_id") >= 16))
+    val qs = assigned.filter(col("vid").between(20, 24))
+      .select(col("vid").as("query_id"), col("cid").as("qcid"),
+        col("dv").as("qv"), col("dn").as("qn"))
+    val wS = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos_sim").desc, col("neighbor_id").asc)
+    val ivf = qs.join(assigned.select(col("vid").as("neighbor_id"),
+        col("cid").as("ncid"), col("dv").as("nv"), col("dn").as("nn")),
+        col("qcid") === col("ncid") && col("query_id") =!= col("neighbor_id"))
+      .withColumn("cos_sim", round(cosSimPre(s)(col("qv"), col("nv"), col("qn"), col("nn")), 6))
+      .withColumn("rnk", row_number().over(wS))
+      .filter(col("rnk") <= 3)
+      .select(col("query_id").as("iq"), col("neighbor_id").as("in"))
+    val data = emb.filter(col("vec_id") >= 16)
+      .select(col("vec_id").as("neighbor_id"), col("embedding").as("nv"),
+        normCol(s)(col("embedding")).as("nn"))
+    val exact = qs.select(col("query_id"), col("qv"), col("qn"))
+      .crossJoin(data).filter(col("query_id") =!= col("neighbor_id"))
+      .withColumn("cos_sim", round(cosSimPre(s)(col("qv"), col("nv"), col("qn"), col("nn")), 6))
+      .withColumn("rnk", row_number().over(wS))
+      .filter(col("rnk") <= 3)
+      .select(col("query_id"), col("neighbor_id"))
+    exact.join(ivf,
+        col("query_id") === col("iq") && col("neighbor_id") === col("in"),
+        "left_outer")
+      .groupBy(col("query_id"))
+      .agg(sum(when(col("in").isNotNull, 1L).otherwise(0L)).as("n_hits"))
+      .select(col("query_id"), col("n_hits"),
+        (col("n_hits").cast("double") / lit(3.0)).as("recall_at_3"))
+      .orderBy("query_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_llm_ann_recall" -> q_llm_ann_recall _,
     "q_llm_soft_dedup" -> q_llm_soft_dedup _,
     "q_llm_mmr" -> q_llm_mmr _,
     "q_llm_ann_pq" -> q_llm_ann_pq _,

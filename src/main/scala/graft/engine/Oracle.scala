@@ -891,6 +891,42 @@ object Oracle {
          |SELECT query_id, neighbor_id, cos_sim, rnk
          |FROM r WHERE rnk <= 3 ORDER BY query_id, rnk""".stripMargin,
 
+    // Recall@3 of the cell-scoped IVF search vs the exact brute-force
+    // ranking — same round-6 cosine + id tie-breaks on both sides, so
+    // the intersection count is exact.
+    "q_llm_ann_recall" ->
+      s"""WITH cents AS (SELECT vec_id AS cid, embedding AS cv FROM embeddings WHERE vec_id < 16),
+         |data AS (SELECT vec_id AS vid, embedding AS dv FROM embeddings WHERE vec_id >= 16),
+         |ac AS (SELECT d.vid, c.cid, d.dv,
+         |         ROUND(${cosExpr("d.dv", "c.cv")}, 6) AS ccos
+         |       FROM data d CROSS JOIN cents c),
+         |ar AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY vid
+         |         ORDER BY ccos DESC, cid ASC) AS arn FROM ac),
+         |assigned AS (SELECT vid, cid, dv FROM ar WHERE arn = 1),
+         |qs AS (SELECT vid AS query_id, cid AS qcid, dv AS qv FROM assigned
+         |       WHERE vid BETWEEN 20 AND 24),
+         |icand AS (SELECT q.query_id, a.vid AS neighbor_id,
+         |            ROUND(${cosExpr("q.qv", "a.dv")}, 6) AS cos_sim
+         |          FROM qs q JOIN assigned a ON q.qcid = a.cid AND q.query_id <> a.vid),
+         |ir AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+         |         ORDER BY cos_sim DESC, neighbor_id ASC) AS rnk FROM icand),
+         |ivf AS (SELECT query_id, neighbor_id FROM ir WHERE rnk <= 3),
+         |ecand AS (SELECT q.query_id, d.vid AS neighbor_id,
+         |            ROUND(${cosExpr("q.qv", "d.dv")}, 6) AS cos_sim
+         |          FROM qs q JOIN data d ON q.query_id <> d.vid),
+         |er AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+         |         ORDER BY cos_sim DESC, neighbor_id ASC) AS rnk FROM ecand),
+         |ex AS (SELECT query_id, neighbor_id FROM er WHERE rnk <= 3),
+         |agg AS (SELECT e.query_id,
+         |    CAST(SUM(CASE WHEN i.neighbor_id IS NOT NULL THEN 1 ELSE 0 END)
+         |      AS BIGINT) AS n_hits
+         |  FROM ex e LEFT JOIN ivf i
+         |    ON e.query_id = i.query_id AND e.neighbor_id = i.neighbor_id
+         |  GROUP BY 1)
+         |SELECT query_id, n_hits,
+         |  CAST(n_hits AS DOUBLE) / CAST(3 AS DOUBLE) AS recall_at_3
+         |FROM agg ORDER BY query_id""".stripMargin,
+
     // The decode stub is a pure function of the source text (UTF-8,
     // all-ASCII verified): width = ascii(first char)+1, bytes = length.
     // Relational pHash replay: block bit = exact integer cross-product
@@ -2878,6 +2914,34 @@ object Oracle {
          |  AND (CAST(n AS HUGEINT) * c - s1) * (CAST(n AS HUGEINT) * c - s1)
          |      > (CAST(n AS HUGEINT) * s2 - CAST(s1 AS HUGEINT) * s1) * 9
          |ORDER BY event_type, event_id""".stripMargin,
+
+    // Round 9. KS drift: exact-integer cross-multiplied CDF gap, one
+    // final division (f·n products ≤ ~4e8 — far inside BIGINT).
+    "q_agg_ks_test" ->
+      """WITH ev AS (SELECT event_type,
+        |    CAST(ROUND(value * 100, 0) AS BIGINT) AS c,
+        |    (CAST(CAST(ts AS TIMESTAMP) AS DATE) <= DATE '2024-01-15') AS is_ref
+        |  FROM events),
+        |counts AS (SELECT event_type, c,
+        |    CAST(SUM(CASE WHEN is_ref THEN 1 ELSE 0 END) AS BIGINT) AS cr,
+        |    CAST(SUM(CASE WHEN NOT is_ref THEN 1 ELSE 0 END) AS BIGINT) AS cc
+        |  FROM ev GROUP BY 1, 2),
+        |cum AS (SELECT event_type, c, cr, cc,
+        |    CAST(SUM(cr) OVER pw AS BIGINT) AS f1,
+        |    CAST(SUM(cc) OVER pw AS BIGINT) AS f2
+        |  FROM counts
+        |  WINDOW pw AS (PARTITION BY event_type ORDER BY c
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+        |tot AS (SELECT event_type AS tt, CAST(SUM(cr) AS BIGINT) AS n_ref,
+        |    CAST(SUM(cc) AS BIGINT) AS n_cur FROM counts GROUP BY 1),
+        |agg AS (SELECT cum.event_type, MAX(tot.n_ref) AS n_ref,
+        |    MAX(tot.n_cur) AS n_cur,
+        |    MAX(ABS(f1 * tot.n_cur - f2 * tot.n_ref)) AS d_num
+        |  FROM cum JOIN tot ON cum.event_type = tot.tt
+        |  GROUP BY 1)
+        |SELECT event_type, n_ref, n_cur,
+        |  CAST(d_num AS DOUBLE) / CAST(n_ref * n_cur AS DOUBLE) AS ks_stat
+        |FROM agg ORDER BY event_type""".stripMargin,
 
     // Round 9. −p·ln(p) terms round-9 (absorbing libm ln — the PSI
     // recipe), exact DECIMAL total; p is an exact rational both sides.

@@ -468,7 +468,40 @@ object StatsOps {
       .orderBy("event_type")
   }
 
+  /** Two-sample Kolmogorov–Smirnov drift statistic per event_type
+    * (the distribution-free companion to the PSI monitor, same
+    * reference/current halves): D = max_v |F_ref(v) − F_cur(v)|,
+    * computed entirely in exact integers as max|c_ref·n_cur −
+    * c_cur·n_ref| over the merged value ladder (cumulative counts via
+    * one window), divided ONCE at the end by n_ref·n_cur. No float
+    * anywhere before the final division. One keyed count + one window
+    * per type partition. */
+  def q_agg_ks_test(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(s, dir).select(col("event_type"),
+      round(col("value") * 100, 0).cast("bigint").as("c"),
+      (to_date(col("ts")) <= lit("2024-01-15").cast("date")).as("is_ref"))
+    val counts = ev.groupBy(col("event_type"), col("c"))
+      .agg(sum(when(col("is_ref"), 1L).otherwise(0L)).as("cr"),
+        sum(when(!col("is_ref"), 1L).otherwise(0L)).as("cc"))
+    val w = Window.partitionBy(col("event_type")).orderBy(col("c"))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val cum = counts
+      .withColumn("f1", sum(col("cr")).over(w))
+      .withColumn("f2", sum(col("cc")).over(w))
+    val totals = counts.groupBy(col("event_type").as("tt"))
+      .agg(sum(col("cr")).as("n_ref"), sum(col("cc")).as("n_cur"))
+    cum.join(broadcast(totals), col("event_type") === col("tt"))
+      .groupBy(col("event_type"))
+      .agg(max(col("n_ref")).as("n_ref"), max(col("n_cur")).as("n_cur"),
+        max(abs(col("f1") * col("n_cur") - col("f2") * col("n_ref"))).as("d_num"))
+      .select(col("event_type"), col("n_ref"), col("n_cur"),
+        (col("d_num").cast("double")
+          / (col("n_ref") * col("n_cur")).cast("double")).as("ks_stat"))
+      .orderBy("event_type")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_agg_ks_test" -> q_agg_ks_test _,
     "q_agg_gini" -> q_agg_gini _,
     "q_stream_holt" -> q_stream_holt _,
     "q_agg_entropy" -> q_agg_entropy _,

@@ -258,6 +258,80 @@ class Round9Spec extends AnyFunSuite {
     }
   }
 
+  test("ks test: in [0,1] and zero against an identical distribution") {
+    val rows = StatsOps.q_agg_ks_test(spark, sf001).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val ks = r.getDouble(3)
+      assert(ks >= 0.0 && ks <= 1.0, s"ks $ks out of range")
+    }
+  }
+
+  test("ann recall: bounded by 1, exact search always finds 3 neighbors") {
+    val rows = LlmOps.q_llm_ann_recall(spark, sf001).collect()
+    assert(rows.length == 5, "5 query vectors expected")
+    rows.foreach { r =>
+      val (h, rec) = (r.getLong(1), r.getDouble(2))
+      assert(h >= 0 && h <= 3, s"hits $h out of range")
+      assert(math.abs(rec - h / 3.0) < 1e-15)
+    }
+  }
+
+  test("streaming anomaly carries state across micro-batches") {
+    val s = spark
+    import s.implicits._
+    implicit val sq = s.sqlContext
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import org.apache.spark.sql.streaming.OutputMode
+    // batch 1: 35 calm events (value 100); batch 2: one extreme spike.
+    // the spike must be flagged against state accumulated in batch 1.
+    val calm = (1 to 35).map(i => StatsOps.AnomEvent("t", i.toLong, i.toLong, 100L))
+    val spike = Seq(StatsOps.AnomEvent("t", 100L, 100L, 100000L))
+    val ms = MemoryStream[StatsOps.AnomEvent]
+    val q = ms.toDS()
+      .groupByKey(_.etype)
+      .flatMapGroupsWithState(OutputMode.Update,
+        org.apache.spark.sql.streaming.GroupStateTimeout.NoTimeout)(StatsOps.updateAnomaly)
+      .toDF()
+      .writeStream.outputMode(OutputMode.Update)
+      .format("memory").queryName("anomst").start()
+    ms.addData(calm: _*); q.processAllAvailable()
+    val afterCalm = s.table("anomst").collect()
+    assert(afterCalm.isEmpty, "identical calm values must not flag")
+    ms.addData(spike: _*); q.processAllAvailable(); q.stop()
+    val hits = s.table("anomst").collect()
+    assert(hits.length == 1 && hits(0).getLong(1) == 100L,
+      "the spike must be flagged against batch-1 state")
+    assert(hits(0).getLong(3) == 35L, "prior count must span the earlier batch")
+  }
+
+  test("streaming holt converges to the batch recursion across micro-batches") {
+    val s = spark
+    import s.implicits._
+    implicit val sq = s.sqlContext
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import org.apache.spark.sql.streaming.OutputMode
+    val days = (1 to 6).map(d => StatsOps.HoltIn("t", d.toLong, d * 10.0))
+    val ms = MemoryStream[StatsOps.HoltIn]
+    val q = ms.toDS()
+      .groupByKey(_.etype)
+      .flatMapGroupsWithState(OutputMode.Update,
+        org.apache.spark.sql.streaming.GroupStateTimeout.NoTimeout)(StatsOps.updateHolt)
+      .toDF()
+      .writeStream.outputMode(OutputMode.Update)
+      .format("memory").queryName("holtst").start()
+    ms.addData(days.take(3): _*); q.processAllAvailable()
+    ms.addData(days.drop(3): _*); q.processAllAvailable(); q.stop()
+    val fin = s.table("holtst").collect().maxBy(_.getLong(1))
+    var (l, b, n) = (0.0, 0.0, 0L)
+    days.foreach { e =>
+      if (n == 0) { l = e.y; b = 0.0; n = 1 }
+      else { val ln = 0.5 * e.y + 0.5 * (l + b); b = 0.25 * (ln - l) + 0.75 * b; l = ln; n += 1 }
+    }
+    assert(fin.getLong(1) == n && fin.getDouble(2) == l && fin.getDouble(3) == b,
+      "cross-batch state must equal the sequential recursion bit-for-bit")
+  }
+
   test("stream cms: grid snapshot cell-identical to the batch sketch") {
     import org.apache.spark.sql.functions._
     val stream = SketchOps.q_stream_cms(spark, sf0001).collect()
