@@ -2676,6 +2676,48 @@ object Oracle {
   /** §2.19 — corpus-curation filters (round 8). Integer rules + exact
     * counts; the only doubles are raw single divisions. */
   val curation: Map[String, String] = Map(
+    // Round 9. Threshold test is the exact cross-product cum·100 ≥
+    // pct·total; rank ties break on token text.
+    "q_llm_tokenizer_coverage" -> {
+      val targets = TextOps.CoverageTargets.mkString("[", ", ", "]")
+      s"""WITH tok AS (SELECT UNNEST(string_split(text, ' ')) AS tok FROM documents),
+         |freq AS (SELECT tok, COUNT(*) AS cnt FROM tok WHERE len(tok) > 0 GROUP BY 1),
+         |ranked AS (SELECT tok, cnt,
+         |    CAST(ROW_NUMBER() OVER wo AS BIGINT) AS rnk,
+         |    CAST(SUM(cnt) OVER (wo ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+         |      AS BIGINT) AS cum,
+         |    CAST(SUM(cnt) OVER () AS BIGINT) AS total
+         |  FROM freq WINDOW wo AS (ORDER BY cnt DESC, tok ASC)),
+         |ts AS (SELECT UNNEST($targets) AS pct)
+         |SELECT pct, MIN(rnk) AS vocab_size,
+         |  MIN_BY(cum, rnk) AS covered_tokens, MIN_BY(total, rnk) AS total_tokens
+         |FROM ts JOIN ranked ON cum * 100 >= pct * total
+         |GROUP BY 1 ORDER BY 1""".stripMargin
+    },
+
+    // Round 9. First-apparition novelty: exact occurrence counts, one
+    // raw division per doc; sub-3-token docs surface an explicit 0.
+    "q_llm_ngram_novelty" ->
+      """WITH d AS (SELECT doc_id, lang, string_split(text, ' ') AS toks FROM documents),
+        |g AS (SELECT doc_id,
+        |    toks[CAST(u.i AS INT)] || ' ' || toks[CAST(u.i + 1 AS INT)]
+        |      || ' ' || toks[CAST(u.i + 2 AS INT)] AS gram
+        |  FROM d, UNNEST(range(1, CAST(len(toks) - 1 AS BIGINT))) AS u(i)
+        |  WHERE len(toks) >= 3),
+        |f AS (SELECT gram, MIN(doc_id) AS first_doc FROM g GROUP BY 1),
+        |pd AS (SELECT g.doc_id AS gd, COUNT(*) AS n_grams,
+        |    CAST(SUM(CASE WHEN f.first_doc = g.doc_id THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS n_novel
+        |  FROM g JOIN f ON g.gram = f.gram GROUP BY 1)
+        |SELECT d.doc_id, d.lang,
+        |  COALESCE(pd.n_grams, 0) AS n_grams,
+        |  COALESCE(pd.n_novel, 0) AS n_novel,
+        |  CASE WHEN COALESCE(pd.n_grams, 0) > 0
+        |    THEN CAST(pd.n_novel AS DOUBLE) / CAST(pd.n_grams AS DOUBLE)
+        |    ELSE CAST(0 AS DOUBLE) END AS novelty
+        |FROM d LEFT JOIN pd ON d.doc_id = pd.gd
+        |ORDER BY d.doc_id""".stripMargin,
+
     "q_llm_c4_filter" -> {
       val reason = s"""CASE WHEN wc < ${CurationOps.C4MinWords} THEN 'too_short'
         |       WHEN wc > ${CurationOps.C4MaxWords} THEN 'too_long'

@@ -402,7 +402,71 @@ object TextOps {
       .orderBy("doc_id")
   }
 
+  /** Coverage percent targets (shared with the oracle). */
+  val CoverageTargets = Seq(50, 90, 95, 99)
+
+  /** Tokenizer vocabulary planning: the smallest frequency-ranked vocab
+    * whose cumulative occurrence share reaches each coverage target —
+    * the sizing pass run before training a tokenizer. The threshold
+    * test is the exact integer cross-product cum·100 ≥ pct·total (no
+    * float until never); rank ties break on token text so the ladder is
+    * deterministic. One count agg + one window + a 4-row spine join. */
+  def q_llm_tokenizer_coverage(s: SparkSession, dir: String): DataFrame = {
+    val freq = Tables.documents(s, dir)
+      .select(explode(split(col("text"), " ")).as("tok"))
+      .filter(length(col("tok")) > 0)
+      .groupBy(col("tok")).agg(count(lit(1)).as("cnt"))
+    val w = Window.orderBy(col("cnt").desc, col("tok").asc)
+    val ranked = freq
+      .withColumn("rnk", row_number().over(w).cast("bigint"))
+      .withColumn("cum", sum(col("cnt"))
+        .over(w.rowsBetween(Window.unboundedPreceding, 0)))
+      .withColumn("total", sum(col("cnt")).over(Window.partitionBy()))
+    val targets = s.range(0, 1)
+      .select(explode(array(CoverageTargets.map(lit): _*)).as("pct"))
+    targets.join(ranked, col("cum") * 100 >= col("pct") * col("total"))
+      .groupBy(col("pct"))
+      .agg(min(struct(col("rnk"), col("cum"), col("total"))).as("m"))
+      .select(col("pct"), col("m.rnk").as("vocab_size"),
+        col("m.cum").as("covered_tokens"), col("m.total").as("total_tokens"))
+      .orderBy("pct")
+  }
+
+  /** N-gram novelty curation metric: the share of a document's 3-gram
+    * occurrences whose FIRST corpus apparition (min doc_id) is this
+    * document — repeated boilerplate scores near 0, fresh text near 1.
+    * Exact integer occurrence counts, one raw division per doc (0.0
+    * for docs shorter than 3 tokens, made explicit via the left join).
+    * One explode + two keyed aggs; the first-seen table is the only
+    * corpus-wide state, keyed on the gram. */
+  def q_llm_ngram_novelty(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+      .select(col("doc_id"), col("lang"), split(col("text"), " ").as("toks"))
+    val grams = docs.filter(size(col("toks")) >= 3)
+      .select(col("doc_id"), explode(expr(
+        "transform(sequence(1, size(toks) - 2), " +
+          "i -> concat_ws(' ', element_at(toks, i), element_at(toks, i + 1), " +
+          "element_at(toks, i + 2)))")).as("gram"))
+    val first = grams.groupBy(col("gram")).agg(min(col("doc_id")).as("first_doc"))
+    val perDoc = grams.join(first, Seq("gram"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_grams"),
+        sum(when(col("first_doc") === col("doc_id"), 1L).otherwise(0L)).as("n_novel"))
+      .withColumnRenamed("doc_id", "gd")
+    docs.join(perDoc, col("doc_id") === col("gd"), "left_outer")
+      .select(col("doc_id"), col("lang"),
+        coalesce(col("n_grams"), lit(0L)).as("n_grams"),
+        coalesce(col("n_novel"), lit(0L)).as("n_novel"))
+      .withColumn("novelty",
+        when(col("n_grams") > 0,
+          col("n_novel").cast("double") / col("n_grams").cast("double"))
+          .otherwise(lit(0.0)))
+      .orderBy("doc_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_llm_tokenizer_coverage" -> q_llm_tokenizer_coverage _,
+    "q_llm_ngram_novelty" -> q_llm_ngram_novelty _,
     "q_text_readability" -> q_text_readability _,
     "q_text_kneser_ney" -> q_text_kneser_ney _,
     "q_text_bigram_xent" -> q_text_bigram_xent _,

@@ -332,6 +332,36 @@ class Round9Spec extends AnyFunSuite {
       "cross-batch state must equal the sequential recursion bit-for-bit")
   }
 
+  test("tokenizer coverage: vocab ladder is monotone and actually covers") {
+    val rows = TextOps.q_llm_tokenizer_coverage(spark, sf001).collect()
+    assert(rows.map(_.getInt(0)).toSeq == TextOps.CoverageTargets)
+    rows.sliding(2).foreach { case Array(a, b) =>
+      assert(a.getLong(1) <= b.getLong(1), "higher target needs at least as much vocab")
+    }
+    rows.foreach { r =>
+      val (pct, v, cum, tot) = (r.getInt(0), r.getLong(1), r.getLong(2), r.getLong(3))
+      assert(cum * 100 >= pct * tot, "reported vocab does not reach its target")
+      assert(v >= 1 && cum <= tot)
+    }
+  }
+
+  test("ngram novelty: first doc scores 1.0, occurrences conserved") {
+    import org.apache.spark.sql.functions._
+    val rows = TextOps.q_llm_ngram_novelty(spark, sf0001).collect()
+    assert(rows.length == Tables.documents(spark, sf0001).count())
+    val firstWithGrams = rows.find(_.getLong(2) > 0).get
+    assert(firstWithGrams.getDouble(4) == 1.0,
+      "the earliest doc's grams are all first apparitions")
+    val expected = Tables.documents(spark, sf0001)
+      .select(col("doc_id"),
+        greatest(size(split(col("text"), " ")) - 2, lit(0)).as("ng"))
+      .collect().map(r => r.getLong(0) -> r.getInt(1).toLong).toMap
+    rows.foreach { r =>
+      assert(r.getLong(3) <= r.getLong(2), "novel occurrences exceed total")
+      assert(r.getLong(2) == expected(r.getLong(0)), s"doc ${r.getLong(0)} gram count")
+    }
+  }
+
   test("stream cms: grid snapshot cell-identical to the batch sketch") {
     import org.apache.spark.sql.functions._
     val stream = SketchOps.q_stream_cms(spark, sf0001).collect()
