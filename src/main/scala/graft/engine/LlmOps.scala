@@ -420,39 +420,56 @@ object LlmOps {
     * min-label fixpoint loop as q_graph_cc. Per-lang accounting:
     * sampled docs, clusters, removable dups (= docs − clusters), and
     * the largest duplicate group. */
-  def q_llm_dedup_clusters(s: SparkSession, dir: String): DataFrame = {
-    val docs = tokenSets(s, dir)
-      .filter(col("doc_id") % 10 === 0 && size(col("toks")) > 0)
-      .select(col("doc_id"), col("lang"), size(col("toks")).cast("bigint").as("nt"))
-      .localCheckpoint()
-    val a = docs.select(col("lang"), col("doc_id").as("doc_a"), col("nt").as("pna"))
-    val b = docs.select(col("lang").as("lang_b"), col("doc_id").as("doc_b"), col("nt").as("pnb"))
-    val cand = a.join(b, col("lang") === col("lang_b") && col("doc_a") < col("doc_b") &&
-        col("pna") * 4 <= col("pnb") * 5 && col("pnb") * 4 <= col("pna") * 5)
-      .select(col("lang"), col("doc_a"), col("doc_b"))
-    val pairs = jaccardVerify(s, dir, cand).filter(col("jac") >= 0.8)
-      .select(col("doc_a").as("x"), col("doc_b").as("y"))
-    val ue = pairs.union(pairs.select(col("y").as("x"), col("x").as("y")))
-      .localCheckpoint()
-    var labels = docs.select(col("doc_id").as("node"), col("doc_id").as("lbl"))
-      .localCheckpoint()
-    var prevSum = labels.agg(sum(col("lbl"))).collect()(0).getLong(0)
-    var converged = false
-    while (!converged) {
-      val nbrMin = ue
-        .join(broadcast(labels.select(col("node").as("bn"), col("lbl").as("blbl"))),
-          col("y") === col("bn"))
-        .groupBy(col("x")).agg(min(col("blbl")).as("nbr_min"))
-      val next = labels
-        .join(nbrMin, col("node") === col("x"), "left_outer")
-        .select(col("node"), least(col("lbl"), coalesce(col("nbr_min"), col("lbl"))).as("lbl"))
+  /** Sampled dedup universe (doc, lang, token count) — session MV
+    * shared by the cluster and soft-dedup passes. */
+  private[engine] def dedupDocs(s: SparkSession, dir: String): DataFrame =
+    GraphOps.memo(s, s"dedupDocs|$dir") {
+      tokenSets(s, dir)
+        .filter(col("doc_id") % 10 === 0 && size(col("toks")) > 0)
+        .select(col("doc_id"), col("lang"), size(col("toks")).cast("bigint").as("nt"))
         .localCheckpoint()
-      val curSum = next.agg(sum(col("lbl"))).collect()(0).getLong(0)
-      labels = next
-      converged = curSum == prevSum
-      prevSum = curSum
     }
-    labels.join(docs, col("node") === col("doc_id"))
+
+  /** Duplicate-component labels (node → min-id label) over the
+    * 0.8-jaccard pair graph — the min-label fixpoint, materialized ONCE
+    * per (session, fixture) because both dedup accounting passes (and
+    * any future canonical-doc selection) consume the same components. */
+  private[engine] def dedupLabels(s: SparkSession, dir: String): DataFrame =
+    GraphOps.memo(s, s"dedupLabels|$dir") {
+      val docs = dedupDocs(s, dir)
+      val a = docs.select(col("lang"), col("doc_id").as("doc_a"), col("nt").as("pna"))
+      val b = docs.select(col("lang").as("lang_b"), col("doc_id").as("doc_b"), col("nt").as("pnb"))
+      val cand = a.join(b, col("lang") === col("lang_b") && col("doc_a") < col("doc_b") &&
+          col("pna") * 4 <= col("pnb") * 5 && col("pnb") * 4 <= col("pna") * 5)
+        .select(col("lang"), col("doc_a"), col("doc_b"))
+      val pairs = jaccardVerify(s, dir, cand).filter(col("jac") >= 0.8)
+        .select(col("doc_a").as("x"), col("doc_b").as("y"))
+      val ue = pairs.union(pairs.select(col("y").as("x"), col("x").as("y")))
+        .localCheckpoint()
+      var labels = docs.select(col("doc_id").as("node"), col("doc_id").as("lbl"))
+        .localCheckpoint()
+      var prevSum = labels.agg(sum(col("lbl"))).collect()(0).getLong(0)
+      var converged = false
+      while (!converged) {
+        val nbrMin = ue
+          .join(broadcast(labels.select(col("node").as("bn"), col("lbl").as("blbl"))),
+            col("y") === col("bn"))
+          .groupBy(col("x")).agg(min(col("blbl")).as("nbr_min"))
+        val next = labels
+          .join(nbrMin, col("node") === col("x"), "left_outer")
+          .select(col("node"), least(col("lbl"), coalesce(col("nbr_min"), col("lbl"))).as("lbl"))
+          .localCheckpoint()
+        val curSum = next.agg(sum(col("lbl"))).collect()(0).getLong(0)
+        labels = next
+        converged = curSum == prevSum
+        prevSum = curSum
+      }
+      labels
+    }
+
+  def q_llm_dedup_clusters(s: SparkSession, dir: String): DataFrame = {
+    val docs = dedupDocs(s, dir)
+    dedupLabels(s, dir).join(docs, col("node") === col("doc_id"))
       .groupBy(col("lang"), col("lbl")).agg(count(lit(1)).as("sz"))
       .groupBy(col("lang"))
       .agg(sum(col("sz")).as("n_docs"), count(lit(1)).as("n_clusters"),
@@ -738,38 +755,8 @@ object LlmOps {
     * cross-cluster double addition is the one order-dependent op).
     * Shape: identical to the cluster pass + one more keyed agg. */
   def q_llm_soft_dedup(s: SparkSession, dir: String): DataFrame = {
-    val docs = tokenSets(s, dir)
-      .filter(col("doc_id") % 10 === 0 && size(col("toks")) > 0)
-      .select(col("doc_id"), col("lang"), size(col("toks")).cast("bigint").as("nt"))
-      .localCheckpoint()
-    val a = docs.select(col("lang"), col("doc_id").as("doc_a"), col("nt").as("pna"))
-    val b = docs.select(col("lang").as("lang_b"), col("doc_id").as("doc_b"), col("nt").as("pnb"))
-    val cand = a.join(b, col("lang") === col("lang_b") && col("doc_a") < col("doc_b") &&
-        col("pna") * 4 <= col("pnb") * 5 && col("pnb") * 4 <= col("pna") * 5)
-      .select(col("lang"), col("doc_a"), col("doc_b"))
-    val pairs = jaccardVerify(s, dir, cand).filter(col("jac") >= 0.8)
-      .select(col("doc_a").as("x"), col("doc_b").as("y"))
-    val ue = pairs.union(pairs.select(col("y").as("x"), col("x").as("y")))
-      .localCheckpoint()
-    var labels = docs.select(col("doc_id").as("node"), col("doc_id").as("lbl"))
-      .localCheckpoint()
-    var prevSum = labels.agg(sum(col("lbl"))).collect()(0).getLong(0)
-    var converged = false
-    while (!converged) {
-      val nbrMin = ue
-        .join(broadcast(labels.select(col("node").as("bn"), col("lbl").as("blbl"))),
-          col("y") === col("bn"))
-        .groupBy(col("x")).agg(min(col("blbl")).as("nbr_min"))
-      val next = labels
-        .join(nbrMin, col("node") === col("x"), "left_outer")
-        .select(col("node"), least(col("lbl"), coalesce(col("nbr_min"), col("lbl"))).as("lbl"))
-        .localCheckpoint()
-      val curSum = next.agg(sum(col("lbl"))).collect()(0).getLong(0)
-      labels = next
-      converged = curSum == prevSum
-      prevSum = curSum
-    }
-    val clusters = labels.join(docs, col("node") === col("doc_id"))
+    val docs = dedupDocs(s, dir)
+    val clusters = dedupLabels(s, dir).join(docs, col("node") === col("doc_id"))
       .groupBy(col("lang"), col("lbl"))
       .agg(count(lit(1)).as("sz"), sum(col("nt")).as("tot"))
     clusters

@@ -1896,6 +1896,18 @@ object Oracle {
         |  CAST(SUM(CAST(s_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS sum_bal
         |FROM supplier GROUP BY 1 ORDER BY 1""".stripMargin,
 
+    // Schema-evolution replay: the generation split decides which rows
+    // carry a price; the merged scan must reproduce exactly that.
+    "q_src_schema_evolution" ->
+      """WITH g AS (SELECT o_orderstatus,
+        |    CASE WHEN o_orderkey % 2 = 1 THEN o_totalprice END AS price
+        |  FROM orders)
+        |SELECT o_orderstatus, COUNT(*) AS n_rows,
+        |  CAST(SUM(CASE WHEN price IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_priced,
+        |  CAST(SUM(CAST(price AS DECIMAL(18,2))) AS DOUBLE) AS sum_priced
+        |FROM g GROUP BY 1 ORDER BY 1""".stripMargin,
+
     // The bucketed layout must be LOSSLESS: the oracle aggregates the
     // original parquet, not the bucketed copy.
     "q_join_bucketed" ->

@@ -161,7 +161,33 @@ object SourceOps {
         Dsl.moneySum(col("l_extendedprice")).as("sum_price"))
       .orderBy("o_orderstatus")
 
+  /** Parquet schema evolution: half the corpus is written with the old
+    * 2-column schema, half with the widened 3-column schema, and ONE
+    * mergeSchema scan reads both generations — rows from the old files
+    * surface an explicit NULL for the added column (exactly how a
+    * 100 TB lake absorbs schema drift without rewriting history). The
+    * aggregate separates row counts from priced-row counts so the
+    * oracle (replaying the generation split from the original parquet)
+    * proves the merge is lossless AND null-faithful. */
+  def q_src_schema_evolution(s: SparkSession, dir: String): DataFrame = {
+    val base = scratch("evolve", dir)
+    val o = Tables.orders(s, dir)
+    o.filter(col("o_orderkey") % 2 === 0)
+      .select(col("o_orderkey"), col("o_orderstatus"))
+      .write.mode(SaveMode.Overwrite).parquet(s"$base/gen0")
+    o.filter(col("o_orderkey") % 2 === 1)
+      .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"))
+      .write.mode(SaveMode.Overwrite).parquet(s"$base/gen1")
+    s.read.option("mergeSchema", "true").parquet(s"$base/gen0", s"$base/gen1")
+      .groupBy(col("o_orderstatus"))
+      .agg(count(lit(1)).as("n_rows"),
+        sum(when(col("o_totalprice").isNotNull, 1L).otherwise(0L)).as("n_priced"),
+        Dsl.moneySum(col("o_totalprice")).as("sum_priced"))
+      .orderBy("o_orderstatus")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_src_schema_evolution" -> q_src_schema_evolution _,
     "q_join_bucketed" -> q_join_bucketed _,
     "q_src_csv_roundtrip" -> q_src_csv_roundtrip _,
     "q_src_json_roundtrip" -> q_src_json_roundtrip _,

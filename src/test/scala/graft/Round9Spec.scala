@@ -362,6 +362,28 @@ class Round9Spec extends AnyFunSuite {
     }
   }
 
+  test("schema evolution: merged scan is null-faithful to the generation split") {
+    import org.apache.spark.sql.functions._
+    val rows = graft.engine.SourceOps.q_src_schema_evolution(spark, sf0001).collect()
+    val o = Tables.orders(spark, sf0001)
+    assert(rows.map(_.getLong(1)).sum == o.count(), "merged scan dropped rows")
+    val oddCount = o.filter(col("o_orderkey") % 2 === 1).count()
+    assert(rows.map(_.getLong(2)).sum == oddCount,
+      "exactly the new-generation rows carry the evolved column")
+  }
+
+  test("soft dedup and cluster pass share one materialized label fixpoint") {
+    // both queries must agree on the component structure they report
+    val soft = LlmOps.q_llm_soft_dedup(spark, sf0001).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    val clus = LlmOps.q_llm_dedup_clusters(spark, sf0001).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(soft.keySet == clus.keySet)
+    soft.foreach { case (lang, (nd, nc)) =>
+      assert(clus(lang) == ((nd, nc)), s"$lang doc/cluster counts diverge")
+    }
+  }
+
   test("stream cms: grid snapshot cell-identical to the batch sketch") {
     import org.apache.spark.sql.functions._
     val stream = SketchOps.q_stream_cms(spark, sf0001).collect()
