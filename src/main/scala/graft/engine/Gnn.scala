@@ -466,7 +466,41 @@ object Gnn {
       .orderBy("seed")
   }
 
+  /** Label homophily of the part–part projection — THE diagnostic for
+    * whether neighborhood aggregation can work at all (GNNs assume
+    * neighbors share labels): observed same-label edge share vs the
+    * random-mixing expectation Σ share². Both are single divisions of
+    * exact integer counts (n_same/n_edges and Σcnt²/n²) — no float
+    * anywhere before the two final divisions. One label join per
+    * endpoint + two tiny aggregations. */
+  def q_gnn_label_smoothness(s: SparkSession, dir: String): DataFrame = {
+    val pp = GraphOps.partPairs(s, dir, GraphOps.CcMinCooccur)
+      .select(col("a"), col("b"))
+    val nEmb = Tables.embeddings(s, dir).agg(count(lit(1)).as("n_emb"))
+    val lab = Tables.embeddings(s, dir).select(col("vec_id"), col("label"))
+    val nodes = pp.select(col("a").as("node"))
+      .union(pp.select(col("b").as("node"))).distinct()
+    val nlab = nodes.crossJoin(broadcast(nEmb))
+      .select(col("node"), (col("node") % col("n_emb")).as("vkey"))
+      .join(broadcast(lab), col("vkey") === col("vec_id"))
+      .select(col("node"), col("label"))
+    val edges = pp
+      .join(nlab.select(col("node").as("na"), col("label").as("la")), col("a") === col("na"))
+      .join(nlab.select(col("node").as("nb"), col("label").as("lb")), col("b") === col("nb"))
+      .agg(count(lit(1)).as("n_edges"),
+        sum(when(col("la") === col("lb"), 1L).otherwise(0L)).as("n_same"))
+    val shares = nlab.groupBy(col("label")).agg(count(lit(1)).as("c"))
+      .agg(sum(col("c") * col("c")).as("sc2"), sum(col("c")).as("nn"))
+    edges.crossJoin(broadcast(shares))
+      .select(col("n_edges"), col("n_same"),
+        (col("n_same").cast("double") / col("n_edges").cast("double"))
+          .as("homophily"),
+        (col("sc2").cast("double") / (col("nn") * col("nn")).cast("double"))
+          .as("expected_homophily"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_gnn_label_smoothness" -> q_gnn_label_smoothness _,
     "q_gnn_node2vec" -> q_gnn_node2vec _,
     "q_gnn_rand_walk" -> q_gnn_rand_walk _,
     "q_gnn_temporal_decay" -> q_gnn_temporal_decay _,

@@ -2515,6 +2515,31 @@ object Oracle {
          |SELECT n_edges, n_wedges_customer, n_wedges_part, n_butterflies
          |FROM ne CROSS JOIN wc CROSS JOIN wp CROSS JOIN bf""".stripMargin,
 
+    // Homophily: two single divisions of exact integer counts (observed
+    // same-label share; random-mixing expectation Σcnt²/n²).
+    "q_gnn_label_smoothness" ->
+      s"""WITH $edgesCte,
+         |pp AS MATERIALIZED (SELECT e1.dst AS a, e2.dst AS b
+         |  FROM edges e1 JOIN edges e2 ON e1.src = e2.src AND e1.dst < e2.dst
+         |  GROUP BY 1, 2 HAVING COUNT(*) >= ${GraphOps.CcMinCooccur}),
+         |nodes AS (SELECT DISTINCT node FROM
+         |  (SELECT a AS node FROM pp UNION ALL SELECT b FROM pp)),
+         |nlab AS (SELECT node, e.label FROM nodes
+         |  JOIN embeddings e
+         |    ON node % (SELECT COUNT(*) FROM embeddings) = e.vec_id),
+         |ed AS (SELECT COUNT(*) AS n_edges,
+         |    CAST(SUM(CASE WHEN la.label = lb.label THEN 1 ELSE 0 END)
+         |      AS BIGINT) AS n_same
+         |  FROM pp JOIN nlab la ON pp.a = la.node
+         |          JOIN nlab lb ON pp.b = lb.node),
+         |sh AS (SELECT CAST(SUM(c * c) AS BIGINT) AS sc2,
+         |    CAST(SUM(c) AS BIGINT) AS nn
+         |  FROM (SELECT COUNT(*) AS c FROM nlab GROUP BY label))
+         |SELECT n_edges, n_same,
+         |  CAST(n_same AS DOUBLE) / CAST(n_edges AS DOUBLE) AS homophily,
+         |  CAST(sc2 AS DOUBLE) / CAST(nn * nn AS DOUBLE) AS expected_homophily
+         |FROM ed CROSS JOIN sh""".stripMargin,
+
     // Exact-integer rich-club accounting: each edge carries its min
     // endpoint degree onto the threshold spine; φ is one pinned
     // double expression.
@@ -2968,6 +2993,57 @@ object Oracle {
          |  AND (CAST(n AS HUGEINT) * c - s1) * (CAST(n AS HUGEINT) * c - s1)
          |      > (CAST(n AS HUGEINT) * s2 - CAST(s1 AS HUGEINT) * s1) * 9
          |ORDER BY event_type, event_id""".stripMargin,
+
+    // Round 9. Lag-k autocorrelation: exact DATE-arithmetic pair
+    // alignment (gap-safe) + the q_agg_corr pinned Pearson recipe.
+    "q_time_autocorr" -> {
+      val lagList = StatsOps.AutocorrLags.mkString("[", ", ", "]")
+      s"""WITH daily AS (SELECT event_type,
+         |    CAST(CAST(ts AS TIMESTAMP) AS DATE) AS day,
+         |    CAST(SUM(CAST(ROUND(value * 100, 0) AS BIGINT)) AS BIGINT) AS c
+         |  FROM events GROUP BY 1, 2),
+         |lags AS (SELECT UNNEST($lagList) AS lag),
+         |pairs AS (SELECT d.event_type, l.lag, d.c AS y, p.c AS x
+         |  FROM daily d CROSS JOIN lags l
+         |  JOIN daily p ON d.event_type = p.event_type
+         |    AND d.day = p.day + l.lag),
+         |a AS (SELECT event_type, lag, COUNT(*) AS n_pairs,
+         |    CAST(SUM(x) AS DOUBLE) AS sx, CAST(SUM(y) AS DOUBLE) AS sy,
+         |    CAST(SUM(x*x) AS DOUBLE) AS sxx, CAST(SUM(y*y) AS DOUBLE) AS syy,
+         |    CAST(SUM(x*y) AS DOUBLE) AS sxy
+         |  FROM pairs GROUP BY 1, 2)
+         |SELECT event_type, lag, n_pairs,
+         |  (CAST(n_pairs AS DOUBLE) * sxy - sx * sy)
+         |    / (sqrt(CAST(n_pairs AS DOUBLE) * sxx - sx * sx)
+         |       * sqrt(CAST(n_pairs AS DOUBLE) * syy - sy * sy)) AS autocorr
+         |FROM a ORDER BY event_type, lag""".stripMargin
+    },
+
+    // Round 9. Gaps-and-islands streaks: pure integer date arithmetic;
+    // best streak = longest (earliest start on ties).
+    "q_win_streaks" ->
+      """WITH d AS (SELECT DISTINCT user_id,
+        |    CAST(CAST(ts AS TIMESTAMP) AS DATE) AS day
+        |  FROM events WHERE event_type = 'purchase'),
+        |dd AS (SELECT user_id, day,
+        |    CAST(day - DATE '2024-01-01' AS BIGINT) AS didx FROM d),
+        |isl AS (SELECT user_id, day,
+        |    didx - ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY didx)
+        |      AS island
+        |  FROM dd),
+        |st AS (SELECT user_id, island, COUNT(*) AS len,
+        |    MIN(day) AS streak_start FROM isl GROUP BY 1, 2),
+        |r AS (SELECT user_id, len, streak_start,
+        |    ROW_NUMBER() OVER (PARTITION BY user_id
+        |      ORDER BY len DESC, streak_start ASC) AS rn
+        |  FROM st),
+        |a AS (SELECT user_id, CAST(SUM(len) AS BIGINT) AS n_active_days,
+        |    COUNT(*) AS n_streaks, CAST(MAX(len) AS BIGINT) AS max_streak
+        |  FROM st GROUP BY 1)
+        |SELECT a.user_id, a.n_active_days, a.n_streaks, a.max_streak,
+        |  r.streak_start AS best_streak_start
+        |FROM a JOIN r ON a.user_id = r.user_id AND r.rn = 1
+        |ORDER BY a.user_id""".stripMargin,
 
     // Round 9. KS drift: exact-integer cross-multiplied CDF gap, one
     // final division (f·n products ≤ ~4e8 — far inside BIGINT).

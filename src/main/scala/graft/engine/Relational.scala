@@ -789,7 +789,32 @@ object Relational {
       .orderBy("seg")
   }
 
+  /** Longest purchase-day streaks per user (gaps-and-islands): island
+    * id = day index − dense row number over the user's distinct active
+    * days, so consecutive days share an island; streak stats are plain
+    * counts over islands. All exact integer date arithmetic — one
+    * window + two aggregations, everything partitioned on user_id. */
+  def q_win_streaks(s: SparkSession, dir: String): DataFrame = {
+    val days = Tables.events(s, dir)
+      .filter(col("event_type") === "purchase")
+      .select(col("user_id"), to_date(col("ts")).as("day")).distinct()
+      .withColumn("didx", datediff(col("day"), lit("2024-01-01").cast("date")))
+    val w = Window.partitionBy(col("user_id")).orderBy(col("didx"))
+    val islands = days
+      .withColumn("island", col("didx") - row_number().over(w))
+      .groupBy(col("user_id"), col("island"))
+      .agg(count(lit(1)).as("len"), min(col("day")).as("streak_start"))
+    islands.groupBy(col("user_id"))
+      .agg(sum(col("len")).as("n_active_days"),
+        count(lit(1)).as("n_streaks"),
+        max(col("len")).as("max_streak"),
+        min(struct(negate(col("len")), col("streak_start"))).getField("streak_start")
+          .as("best_streak_start"))
+      .orderBy("user_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_win_streaks" -> q_win_streaks _,
     "q_merge_upsert" -> q_merge_upsert _,
     "q_agg_histogram" -> q_agg_histogram _,
     "q_win_range_frame" -> q_win_range_frame _,

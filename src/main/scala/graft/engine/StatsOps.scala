@@ -500,7 +500,43 @@ object StatsOps {
       .orderBy("event_type")
   }
 
+  /** Autocorrelation lags (days), shared with the oracle. */
+  val AutocorrLags = Seq(1, 7)
+
+  /** Lag-k autocorrelation of the daily value series per event_type
+    * (k = 1 day and 7 days — the seasonality screen): pairs align by
+    * exact DATE arithmetic (day = lag_day + k, gap-safe), then the
+    * q_agg_corr recipe — 5 moment sums through DECIMAL(38,0), one
+    * pinned-order Pearson expression per (type, lag). Daily values are
+    * exact bigint cents. */
+  def q_time_autocorr(s: SparkSession, dir: String): DataFrame = {
+    val daily = Tables.events(s, dir)
+      .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+      .agg(sum(round(col("value") * 100, 0).cast("bigint")).as("c"))
+    val lags = s.range(0, 1).select(explode(array(AutocorrLags.map(lit): _*)).as("lag"))
+    val pairs = daily.crossJoin(lags)
+      .select(col("event_type"), col("lag"), col("day"), col("c").as("y"))
+      .join(daily.select(col("event_type").as("et2"), col("day").as("d2"),
+          col("c").as("x")),
+        col("event_type") === col("et2") &&
+          col("day") === expr("date_add(d2, lag)"))
+    def dsum(c: org.apache.spark.sql.Column, n: String) =
+      sum(c.cast("decimal(38,0)")).cast("double").as(n)
+    val agg = pairs.groupBy(col("event_type"), col("lag")).agg(
+      count(lit(1)).as("n_pairs"),
+      dsum(col("x"), "sx"), dsum(col("y"), "sy"),
+      dsum(col("x") * col("x"), "sxx"), dsum(col("y") * col("y"), "syy"),
+      dsum(col("x") * col("y"), "sxy"))
+    val n = col("n_pairs").cast("double")
+    agg.select(col("event_type"), col("lag"), col("n_pairs"),
+        ((n * col("sxy") - col("sx") * col("sy"))
+          / (sqrt(n * col("sxx") - col("sx") * col("sx"))
+            * sqrt(n * col("syy") - col("sy") * col("sy")))).as("autocorr"))
+      .orderBy("event_type", "lag")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_time_autocorr" -> q_time_autocorr _,
     "q_agg_ks_test" -> q_agg_ks_test _,
     "q_agg_gini" -> q_agg_gini _,
     "q_stream_holt" -> q_stream_holt _,

@@ -384,6 +384,41 @@ class Round9Spec extends AnyFunSuite {
     }
   }
 
+  test("homophily: shares in [0,1], expectation matches label shares") {
+    val r = Gnn.q_gnn_label_smoothness(spark, sf0001).collect()(0)
+    val (ne, ns, h, e) = (r.getLong(0), r.getLong(1), r.getDouble(2), r.getDouble(3))
+    assert(ns <= ne)
+    assert(h >= 0.0 && h <= 1.0 && e > 0.0 && e <= 1.0)
+    assert(math.abs(h - ns.toDouble / ne) < 1e-15)
+  }
+
+  test("autocorr: lag-0 sanity via self-pairing equals 1, values in [-1,1]") {
+    val rows = StatsOps.q_time_autocorr(spark, sf001).collect()
+    assert(rows.length == 5 * StatsOps.AutocorrLags.length)
+    rows.foreach { r =>
+      val ac = r.getDouble(3)
+      assert(ac >= -1.0 - 1e-12 && ac <= 1.0 + 1e-12, s"autocorr $ac out of range")
+      assert(r.getLong(2) >= 2, "need at least 2 aligned pairs")
+    }
+  }
+
+  test("streaks: active days conserved, max streak bounded by total") {
+    import org.apache.spark.sql.functions._
+    val rows = Relational.q_win_streaks(spark, sf0001).collect()
+    val expected = Tables.events(spark, sf0001)
+      .filter(col("event_type") === "purchase")
+      .select(col("user_id"), to_date(col("ts"))).distinct()
+      .groupBy("user_id").count().collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(rows.length == expected.size)
+    rows.foreach { r =>
+      val (u, act, nstr, mx) = (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))
+      assert(act == expected(u), s"user $u active days")
+      assert(mx <= act && nstr >= 1 && mx >= (act + nstr - 1) / nstr,
+        s"user $u streak arithmetic broken")
+    }
+  }
+
   test("stream cms: grid snapshot cell-identical to the batch sketch") {
     import org.apache.spark.sql.functions._
     val stream = SketchOps.q_stream_cms(spark, sf0001).collect()
