@@ -813,7 +813,40 @@ object LlmOps {
       .orderBy("query_id")
   }
 
+  /** Feature-hash dimensionality (hashing-trick vectorizer). */
+  val FeatureHashDims = 32
+
+  /** Hashing-trick vectorizer (Weinberger 2009 — the stateless,
+    * vocabulary-free featurizer a streaming pipeline can apply with NO
+    * fitted state): every token hashes to one of 32 dims with a ±1
+    * sign hash; a document's vector is the signed occurrence sum.
+    * Per-doc accounting stays ALL-integer (nnz, L1, squared L2 — no
+    * sqrt, no float anywhere): the md5 60-bit family keys both hashes
+    * so DuckDB replays every bucket and sign exactly. One explode +
+    * two keyed aggs; at 100 TB this is the featurizer that needs no
+    * broadcast model at all. */
+  def q_llm_feature_hash(s: SparkSession, dir: String): DataFrame = {
+    val toks = Tables.documents(s, dir)
+      .select(col("doc_id"), col("lang"),
+        explode(split(col("text"), " ")).as("tok"))
+      .filter(length(col("tok")) > 0)
+    val signed = toks.select(col("doc_id"), col("lang"),
+      pmod(Dsl.md5Hash60(concat(lit("fh:"), col("tok"))),
+        lit(FeatureHashDims)).as("dim"),
+      when(pmod(Dsl.md5Hash60(concat(lit("fs:"), col("tok"))), lit(2)) === 0,
+        lit(1L)).otherwise(lit(-1L)).as("sgn"))
+    val dims = signed.groupBy(col("doc_id"), col("lang"), col("dim"))
+      .agg(sum(col("sgn")).as("v"))
+      .filter(col("v") =!= 0)
+    dims.groupBy(col("doc_id"), col("lang"))
+      .agg(count(lit(1)).as("nnz"),
+        sum(abs(col("v"))).as("l1"),
+        sum(col("v") * col("v")).as("l2_sq"))
+      .orderBy("doc_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_llm_feature_hash" -> q_llm_feature_hash _,
     "q_llm_ann_recall" -> q_llm_ann_recall _,
     "q_llm_soft_dedup" -> q_llm_soft_dedup _,
     "q_llm_mmr" -> q_llm_mmr _,

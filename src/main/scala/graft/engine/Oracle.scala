@@ -891,6 +891,24 @@ object Oracle {
          |SELECT query_id, neighbor_id, cos_sim, rnk
          |FROM r WHERE rnk <= 3 ORDER BY query_id, rnk""".stripMargin,
 
+    // Hashing-trick vectorizer: md5 60-bit family keys bucket and sign;
+    // all-integer accounting (no sqrt — L2 stays squared).
+    "q_llm_feature_hash" ->
+      s"""WITH t AS (SELECT doc_id, lang, UNNEST(string_split(text, ' ')) AS tok
+         |  FROM documents),
+         |sg AS (SELECT doc_id, lang,
+         |    CAST('0x' || substr(md5('fh:' || tok), 1, 15) AS BIGINT)
+         |      % ${LlmOps.FeatureHashDims} AS dim,
+         |    CASE WHEN CAST('0x' || substr(md5('fs:' || tok), 1, 15) AS BIGINT)
+         |      % 2 = 0 THEN 1 ELSE -1 END AS sgn
+         |  FROM t WHERE len(tok) > 0),
+         |dims AS (SELECT doc_id, lang, dim, CAST(SUM(sgn) AS BIGINT) AS v
+         |  FROM sg GROUP BY 1, 2, 3 HAVING SUM(sgn) <> 0)
+         |SELECT doc_id, lang, COUNT(*) AS nnz,
+         |  CAST(SUM(ABS(v)) AS BIGINT) AS l1,
+         |  CAST(SUM(v * v) AS BIGINT) AS l2_sq
+         |FROM dims GROUP BY 1, 2 ORDER BY doc_id""".stripMargin,
+
     // Recall@3 of the cell-scoped IVF search vs the exact brute-force
     // ranking — same round-6 cosine + id tie-breaks on both sides, so
     // the intersection count is exact.

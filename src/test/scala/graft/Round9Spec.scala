@@ -419,6 +419,21 @@ class Round9Spec extends AnyFunSuite {
     }
   }
 
+  test("feature hash: norms bounded by token count, nnz by dims") {
+    import org.apache.spark.sql.functions._
+    val rows = LlmOps.q_llm_feature_hash(spark, sf0001).collect()
+    val tokCounts = Tables.documents(spark, sf0001)
+      .select(col("doc_id"), size(split(col("text"), " ")).as("nt"))
+      .collect().map(r => r.getLong(0) -> r.getInt(1).toLong).toMap
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (id, nnz, l1, l2sq) = (r.getLong(0), r.getLong(2), r.getLong(3), r.getLong(4))
+      assert(nnz >= 1 && nnz <= LlmOps.FeatureHashDims)
+      assert(l1 <= tokCounts(id), "signed sums cannot exceed token count")
+      assert(l2sq >= l1, "with integer entries, sum v^2 >= sum |v|")
+    }
+  }
+
   test("stream cms: grid snapshot cell-identical to the batch sketch") {
     import org.apache.spark.sql.functions._
     val stream = SketchOps.q_stream_cms(spark, sf0001).collect()
