@@ -2974,6 +2974,25 @@ object Oracle {
         |  m4 / (m2 * m2) - CAST(3 AS DOUBLE) AS kurtosis_excess
         |FROM mm ORDER BY l_returnflag""".stripMargin,
 
+    // Round 9. The native session_window sessionizer shares the islands
+    // CTE chain (no session id — min/max event times identify sessions),
+    // pinning that both sessionization paths implement the same merge rule.
+    "q_stream_sessionize" ->
+      s"""WITH e AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, event_id,
+         |    CAST(value AS DECIMAL(18,2)) AS v FROM events),
+         |f AS (SELECT *, epoch_us(ts)
+         |    - LAG(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS gap
+         |  FROM e),
+         |g AS (SELECT *, CASE WHEN gap IS NULL OR gap > ${StatsOps.SessionGapMin * 60000000L}
+         |    THEN 1 ELSE 0 END AS brk FROM f),
+         |h AS (SELECT *, CAST(SUM(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_id
+         |  FROM g)
+         |SELECT user_id, COUNT(*) AS n_events,
+         |  MIN(ts) AS start_ts, MAX(ts) AS end_ts,
+         |  CAST(SUM(v) AS DOUBLE) AS session_value
+         |FROM h GROUP BY user_id, session_id ORDER BY user_id, start_ts""".stripMargin,
+
     // Round 9. Gap tests are exact epoch-µs integer comparisons; the
     // break flag's running sum is the session id in both engines.
     "q_sessionize_batch" ->

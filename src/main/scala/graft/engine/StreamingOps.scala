@@ -446,7 +446,27 @@ object StreamingOps {
   def q_stream_chained_agg(s: SparkSession, dir: String): DataFrame =
     chainedHourlyDaily(Tables.events(s, dir)).orderBy("day", "event_type")
 
+  /** Session FACT table via the native session_window operator (the
+    * streaming-first sessionizer, vs q_sessionize_batch's manual
+    * gaps-and-islands): one row per merged session with exact event
+    * span and DECIMAL value. Dropping the synthetic window bounds and
+    * surfacing min/max event time makes the output convention-free —
+    * the SAME oracle CTE chain checks both sessionizers, pinning that
+    * session_window's inclusive merge (gap ≤ 30 min) equals the
+    * islands break rule (gap > 30 min starts a new island). */
+  def q_stream_sessionize(s: SparkSession, dir: String): DataFrame =
+    Tables.events(s, dir)
+      .select(col("user_id"), col("ts"), Dsl.dec(col("value")).as("v"))
+      .groupBy(col("user_id"), session_window(col("ts"), "30 minutes").as("sw"))
+      .agg(count(lit(1)).as("n_events"),
+        min(col("ts")).as("start_ts"), max(col("ts")).as("end_ts"),
+        sum(col("v")).cast("double").as("session_value"))
+      .select(col("user_id"), col("n_events"), col("start_ts"),
+        col("end_ts"), col("session_value"))
+      .orderBy("user_id", "start_ts")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_stream_sessionize" -> q_stream_sessionize _,
     "q_stream_chained_agg" -> q_stream_chained_agg _,
     "q_stream_tumbling" -> q_stream_tumbling _,
     "q_stream_sliding" -> q_stream_sliding _,

@@ -434,6 +434,17 @@ class Round9Spec extends AnyFunSuite {
     }
   }
 
+  test("both sessionizers produce the identical session fact set") {
+    val native = graft.engine.StreamingOps.q_stream_sessionize(spark, sf0001)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getTimestamp(2),
+        r.getTimestamp(3), r.getDouble(4))).toSet
+    val islands = StatsOps.q_sessionize_batch(spark, sf0001)
+      .collect().map(r => (r.getLong(0), r.getLong(2), r.getTimestamp(3),
+        r.getTimestamp(4), r.getDouble(5))).toSet
+    assert(native == islands,
+      "session_window and gaps-and-islands must implement the same merge rule")
+  }
+
   test("stream cms: grid snapshot cell-identical to the batch sketch") {
     import org.apache.spark.sql.functions._
     val stream = SketchOps.q_stream_cms(spark, sf0001).collect()
