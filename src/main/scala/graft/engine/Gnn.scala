@@ -389,6 +389,16 @@ object Gnn {
     * rides along is just the path columns. n_distinct counts revisits
     * (walks that double back — the signal node2vec's p parameter tunes). */
   def q_gnn_rand_walk(s: SparkSession, dir: String): DataFrame = {
+    val path = (1 to WalkSteps).map(j => col(s"s$j"))
+    walkPaths(s, dir).select(col("seed") +: path: _*)
+      .withColumn("n_distinct",
+        size(array_distinct(array(col("seed") +: path: _*))).cast("bigint"))
+      .orderBy("seed")
+  }
+
+  /** The deterministic walk table (seed, s1..s4) — shared by the walk
+    * query and the skip-gram context extraction. */
+  private def walkPaths(s: SparkSession, dir: String): DataFrame = {
     val pp = GraphOps.partPairs(s, dir, GraphOps.TriangleMinCooccur)
       .select(col("a"), col("b"))
     val ue = pp.union(pp.select(col("b").as("a"), col("a").as("b")))
@@ -409,11 +419,29 @@ object Gnn {
         .select(col("seed") +: path :+ col("m.b").as(s"s$i"): _*)
         .withColumn("cur", col(s"s$i"))
     }
-    val path = (1 to WalkSteps).map(j => col(s"s$j"))
-    walk.select(col("seed") +: path: _*)
-      .withColumn("n_distinct",
-        size(array_distinct(array(col("seed") +: path: _*))).cast("bigint"))
-      .orderBy("seed")
+    walk
+  }
+
+  /** Skip-gram context window (hops either side of the center). */
+  val CtxWindow = 2
+
+  /** Skip-gram (center, context) pair extraction from the walk corpus
+    * (word2vec over walks = DeepWalk's training-pair stage, Perozzi
+    * 2014 §4.2): every walk position pairs with neighbors within ±2
+    * hops; global pair frequencies feed the embedding trainer. Exact
+    * integer counts with full (cnt, center, context) tie-break — the
+    * top-20 co-visitation pairs. One generator + one keyed count. */
+  def q_gnn_walk_context(s: SparkSession, dir: String): DataFrame = {
+    val arr = array(col("seed") +: (1 to WalkSteps).map(j => col(s"s$j")): _*)
+    walkPaths(s, dir).select(arr.as("a"))
+      .select(col("a"), posexplode(col("a")).as(Seq("i", "center")))
+      .select(col("i"), col("center"), posexplode(col("a")).as(Seq("j", "context")))
+      .filter(col("i") =!= col("j") &&
+        abs(col("i") - col("j")) <= CtxWindow)
+      .groupBy(col("center"), col("context"))
+      .agg(count(lit(1)).as("cnt"))
+      .orderBy(col("cnt").desc, col("center").asc, col("context").asc)
+      .limit(20)
   }
 
   /** node2vec walk length (shared with the oracle's unrolled CTEs). */
@@ -500,6 +528,7 @@ object Gnn {
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_gnn_walk_context" -> q_gnn_walk_context _,
     "q_gnn_label_smoothness" -> q_gnn_label_smoothness _,
     "q_gnn_node2vec" -> q_gnn_node2vec _,
     "q_gnn_rand_walk" -> q_gnn_rand_walk _,

