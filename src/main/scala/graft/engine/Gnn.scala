@@ -397,8 +397,13 @@ object Gnn {
   }
 
   /** The deterministic walk table (seed, s1..s4) — shared by the walk
-    * query and the skip-gram context extraction. */
-  private def walkPaths(s: SparkSession, dir: String): DataFrame = {
+    * query and the skip-gram context extraction, materialized ONCE per
+    * (session, fixture): the iterative walk build is the expensive
+    * part and both consumers read the identical table. */
+  private def walkPaths(s: SparkSession, dir: String): DataFrame =
+    GraphOps.memo(s, s"walkPaths|$dir") { buildWalkPaths(s, dir).localCheckpoint() }
+
+  private def buildWalkPaths(s: SparkSession, dir: String): DataFrame = {
     val pp = GraphOps.partPairs(s, dir, GraphOps.TriangleMinCooccur)
       .select(col("a"), col("b"))
     val ue = pp.union(pp.select(col("b").as("a"), col("a").as("b")))
