@@ -310,7 +310,7 @@ object Gnn {
     * table before training. Memo + localCheckpoint share GraphOps'
     * cache/eviction machinery. */
   def linkPredFeatures(s: SparkSession, dir: String): DataFrame =
-    GraphOps.memo(s, s"linkPredFeat|$dir")(buildLinkPredFeatures(s, dir).localCheckpoint())
+    Mv.memo(s, s"linkPredFeat|$dir")(buildLinkPredFeatures(s, dir).localCheckpoint())
 
   private def buildLinkPredFeatures(s: SparkSession, dir: String): DataFrame = {
     val e = GraphOps.edges(s, dir)
@@ -401,13 +401,10 @@ object Gnn {
     * (session, fixture): the iterative walk build is the expensive
     * part and both consumers read the identical table. */
   private def walkPaths(s: SparkSession, dir: String): DataFrame =
-    GraphOps.memo(s, s"walkPaths|$dir") { buildWalkPaths(s, dir).localCheckpoint() }
+    Mv.memo(s, s"walkPaths|$dir") { buildWalkPaths(s, dir).localCheckpoint() }
 
   private def buildWalkPaths(s: SparkSession, dir: String): DataFrame = {
-    val pp = GraphOps.partPairs(s, dir, GraphOps.TriangleMinCooccur)
-      .select(col("a"), col("b"))
-    val ue = pp.union(pp.select(col("b").as("a"), col("a").as("b")))
-      .repartition(col("a")).localCheckpoint()
+    val ue = GraphOps.undProj(s, dir, GraphOps.TriangleMinCooccur)
     var walk = ue.select(col("a").as("seed")).distinct()
       .select(col("seed"), col("seed").as("cur"))
     for (i <- 1 to WalkSteps) {
@@ -464,10 +461,7 @@ object Gnn {
     * where the projection outgrows broadcast, both joins co-partition
     * on their node key. All-integer scores: no float, no tie class. */
   def q_gnn_node2vec(s: SparkSession, dir: String): DataFrame = {
-    val pp = GraphOps.partPairs(s, dir, GraphOps.TriangleMinCooccur)
-      .select(col("a"), col("b"))
-    val ue = pp.union(pp.select(col("b").as("a"), col("a").as("b")))
-      .repartition(col("a")).localCheckpoint()
+    val ue = GraphOps.undProj(s, dir, GraphOps.TriangleMinCooccur)
     val adj = ue.select(col("a").as("pa"), col("b").as("pb"))
     var walk = ue.select(col("a").as("seed")).distinct()
       .select(col("seed"), col("seed").as("cur"), col("seed").as("prev"))

@@ -423,7 +423,7 @@ object LlmOps {
   /** Sampled dedup universe (doc, lang, token count) — session MV
     * shared by the cluster and soft-dedup passes. */
   private[engine] def dedupDocs(s: SparkSession, dir: String): DataFrame =
-    GraphOps.memo(s, s"dedupDocs|$dir") {
+    Mv.memo(s, s"dedupDocs|$dir") {
       tokenSets(s, dir)
         .filter(col("doc_id") % 10 === 0 && size(col("toks")) > 0)
         .select(col("doc_id"), col("lang"), size(col("toks")).cast("bigint").as("nt"))
@@ -435,7 +435,7 @@ object LlmOps {
     * per (session, fixture) because both dedup accounting passes (and
     * any future canonical-doc selection) consume the same components. */
   private[engine] def dedupLabels(s: SparkSession, dir: String): DataFrame =
-    GraphOps.memo(s, s"dedupLabels|$dir") {
+    Mv.memo(s, s"dedupLabels|$dir") {
       val docs = dedupDocs(s, dir)
       val a = docs.select(col("lang"), col("doc_id").as("doc_a"), col("nt").as("pna"))
       val b = docs.select(col("lang").as("lang_b"), col("doc_id").as("doc_b"), col("nt").as("pnb"))

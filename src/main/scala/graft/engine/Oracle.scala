@@ -423,10 +423,13 @@ object Oracle {
     // 10 power-iteration steps unrolled as a CTE chain (recursive CTEs
     // can't carry aggregation in DuckDB); same formula as the Spark loop:
     // r_{t+1}(v) = 0.15 + 0.85 * Σ_{u∈N(v)} r_t(u)/deg(u), r_0 = 1.
+    // Per-term round-9 into an exact DECIMAL(38,9) sum — order-blind,
+    // mirroring the Spark loop (the q_embed_pca moments recipe).
     "q_graph_pagerank" -> {
       val steps = (1 to 10).map { i =>
         s"""r$i AS (SELECT u.dst AS node,
-           |  CAST(0.15 AS DOUBLE) + CAST(0.85 AS DOUBLE) * SUM(p.r / dg.d) AS r
+           |  CAST(0.15 AS DOUBLE) + CAST(0.85 AS DOUBLE)
+           |    * CAST(SUM(CAST(ROUND(p.r / dg.d, 9) AS DECIMAL(38,9))) AS DOUBLE) AS r
            |  FROM u JOIN r${i - 1} p ON u.src = p.node
            |         JOIN deg dg ON u.src = dg.node
            |  GROUP BY u.dst)""".stripMargin
@@ -2107,9 +2110,14 @@ object Oracle {
     * step chain references more than once is pinned. */
   val round6graph: Map[String, String] = Map(
     "q_graph_ppr" -> {
+      // per-term round-9 → DECIMAL(38,9) exact sum, mirroring the Spark
+      // loop (retires the last order-dependent double SUM; the outer
+      // teleport SUM folds ≤2 rows — IEEE addition of two doubles is
+      // commutative, so no order class exists there)
       val steps = (1 to GraphOps.PprIters).map { i =>
         s"""r$i AS (SELECT node, SUM(r) AS r FROM (
-           |  SELECT u.dst AS node, CAST(0.85 AS DOUBLE) * SUM(p.r / dg.d) AS r
+           |  SELECT u.dst AS node, CAST(0.85 AS DOUBLE)
+           |    * CAST(SUM(CAST(ROUND(p.r / dg.d, 9) AS DECIMAL(38,9))) AS DOUBLE) AS r
            |  FROM u JOIN r${i - 1} p ON u.src = p.node
            |         JOIN deg dg ON u.src = dg.node
            |  GROUP BY u.dst

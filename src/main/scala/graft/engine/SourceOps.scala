@@ -130,12 +130,17 @@ object SourceOps {
     val base = scratch("bucketed", dir)
     val tag = new java.io.File(dir).getName.replaceAll("[^A-Za-z0-9]", "_")
     val (oTbl, lTbl) = (s"graft_bkt_orders_$tag", s"graft_bkt_lineitem_$tag")
+    // Each table guarded independently (ADVICE r5): if a first
+    // invocation dies between the two writes, the missing table is
+    // re-created on the next call instead of failing confusingly.
     if (!s.catalog.tableExists(oTbl)) {
       Tables.orders(s, dir)
         .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"))
         .write.mode(SaveMode.Overwrite).option("path", s"$base/orders")
         .bucketBy(JoinBuckets, "o_orderkey").sortBy("o_orderkey")
         .saveAsTable(oTbl)
+    }
+    if (!s.catalog.tableExists(lTbl)) {
       Tables.lineitem(s, dir)
         .select(col("l_orderkey"), col("l_quantity"), col("l_extendedprice"))
         .write.mode(SaveMode.Overwrite).option("path", s"$base/lineitem")

@@ -187,9 +187,12 @@ object StreamingGnn {
 
   /** Per-neighbor pooled pre-activations: σ(W_pool[i]·x + b_pool[i]),
     * round-9 — the EXACT arithmetic of the batch operator's generated
-    * column expression (same left-assoc fold, same Math.exp, and the
-    * same scala-BigDecimal HALF_UP rounding Spark's Round uses), so the
-    * streaming snapshot hash-matches the batch oracle. */
+    * column expression: same left-assoc fold, StrictMath.exp (Spark
+    * 4.1.2's exp codegen calls java.lang.StrictMath.exp, while
+    * Math.exp may be JIT-intrinsified and differ in the last ulp —
+    * ADVICE r5; the StatsOps.psiOf StrictMath.log pattern), and the
+    * same scala-BigDecimal HALF_UP rounding Spark's Round uses, so the
+    * streaming snapshot hash-matches the batch oracle on any JVM. */
   def poolZ(vec: Array[Float]): Array[Double] = {
     val out = new Array[Double](4)
     var i = 0
@@ -200,7 +203,7 @@ object StreamingGnn {
       val m = math.min(Gnn.Dim, vec.length)
       while (j < m) { acc += Gnn.weight(r, j) * vec(j).toDouble; j += 1 }
       acc += Gnn.bias(r)
-      val sig = 1.0 / (1.0 + math.exp(-acc))
+      val sig = 1.0 / (1.0 + StrictMath.exp(-acc))
       out(i) = BigDecimal(sig)
         .setScale(9, BigDecimal.RoundingMode.HALF_UP).toDouble
       i += 1

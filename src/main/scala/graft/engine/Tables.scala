@@ -27,16 +27,29 @@ object Tables {
   def documents(s: SparkSession, dir: String): DataFrame = read(s, dir, "documents")
   def embeddings(s: SparkSession, dir: String): DataFrame = read(s, dir, "embeddings")
 
-  /** events.ts is parquet timestamp[ns], which Spark 4.1.2 cannot read
-    * natively (PARQUET_TYPE_ILLEGAL). Read it as raw ns-longs and truncate
-    * to µs — exactly what the DuckDB oracle's `CAST(ts AS TIMESTAMP)` does.
-    * NOTE integer `div`, not `/`: epoch-ns magnitudes (~1.7e18) exceed
-    * 2^53, so a double round-trip would corrupt the microsecond value.
+  /** events.ts has shipped as parquet timestamp[ns] (earlier fixture
+    * generations) and timestamp[us] (round-6 regeneration) — read either,
+    * normalizing to µs-precision TimestampType:
+    *  - timestamp[ns]: Spark 4.1.2 cannot read it natively
+    *    (PARQUET_TYPE_ILLEGAL) → read as raw ns-longs and truncate to µs,
+    *    exactly what the DuckDB oracle's `CAST(ts AS TIMESTAMP)` does.
+    *    NOTE integer `div`, not `/`: epoch-ns magnitudes (~1.7e18) exceed
+    *    2^53, so a double round-trip would corrupt the microsecond value.
+    *  - timestamp[us] (isAdjustedToUTC=false → TIMESTAMP_NTZ): cast to
+    *    TimestampType — value-preserving under the UTC session timezone
+    *    every entry point pins, and downstream operators (window(),
+    *    unix_micros, watermarks) keep the type they were written for.
     */
   def events(s: SparkSession, dir: String): DataFrame = {
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    read(s, dir, "events")
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    val df = read(s, dir, "events")
+    df.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case org.apache.spark.sql.types.TimestampNTZType =>
+        df.withColumn("ts", col("ts").cast("timestamp"))
+      case _ => df
+    }
   }
 }
 

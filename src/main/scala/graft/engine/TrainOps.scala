@@ -231,9 +231,7 @@ object TrainOps {
     * and the dense layer divides back to double once per term.
     * One shuffle (the 64-column neighbor sum); feature table broadcast. */
   def q_gnn_gin(s: SparkSession, dir: String): DataFrame = {
-    val pp = GraphOps.partPairs(s, dir, GraphOps.TriangleMinCooccur)
-      .select(col("a"), col("b"))
-    val ue = pp.union(pp.select(col("b").as("a"), col("a").as("b")))
+    val ue = GraphOps.undProj(s, dir, GraphOps.TriangleMinCooccur)
     val n = Tables.embeddings(s, dir).agg(count(lit(1)).as("c"))
     val xq = (1 to Gnn.Dim).map(j =>
       round(element_at(col("embedding"), j).cast("double") * 1000000, 0)

@@ -26,10 +26,18 @@ class StreamingSourcesSpec extends AnyFunSuite {
       dir.resolve("events.parquet"))
     val streamEv = {
       s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-      s.readStream
+      val raw = s.readStream
         .schema(s.read.parquet(s"$sf0001/events.parquet").schema)
         .parquet(dir.toString)
-        .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      // normalize ts exactly like Tables.events (ns-long legacy fixtures
+      // vs native timestamp[us] round-6 fixtures)
+      raw.schema("ts").dataType match {
+        case org.apache.spark.sql.types.LongType =>
+          raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+        case org.apache.spark.sql.types.TimestampNTZType =>
+          raw.withColumn("ts", col("ts").cast("timestamp"))
+        case _ => raw
+      }
     }
     val q = StreamingOps.tumblingDaily(streamEv)
       .writeStream.outputMode(OutputMode.Complete)
