@@ -194,12 +194,18 @@ object Gnn {
     val q = Tables.embeddings(s, dir).filter(col("vec_id") === 0)
       .select(col("embedding").as("qv"))
     val wspec = org.apache.spark.sql.expressions.Window.partitionBy(col("src"))
+    // round-9 softmax numerators into exact DECIMAL sums (window and
+    // final): absorbs the cross-engine exp last-ulp and removes the
+    // summation-order class — the round-6 double-SUM retirement sweep
     val scored = GraphOps.neighborFeatures(s, dir)
       .crossJoin(broadcast(q))
       .withColumn("score", LlmOps.vecDot(s)(col("embedding"), col("qv")) / 8)
-      .withColumn("wexp", exp(col("score") - max(col("score")).over(wspec)))
-      .withColumn("w", col("wexp") / sum(col("wexp")).over(wspec))
-    val e = (i: Int) => sum(col("w") * element_at(col("embedding"), i).cast("double"))
+      .withColumn("wexp", round(exp(col("score") - max(col("score")).over(wspec)), 9))
+      .withColumn("w", col("wexp")
+        / sum(col("wexp").cast("decimal(38,9)")).over(wspec).cast("double"))
+    val e = (i: Int) => sum(
+      round(col("w") * element_at(col("embedding"), i).cast("double"), 9)
+        .cast("decimal(38,9)")).cast("double")
     scored.groupBy(col("src").as("custkey"))
       .agg(round(e(1), 6).as("a1"), round(e(2), 6).as("a2"),
         round(e(3), 6).as("a3"), round(e(4), 6).as("a4"))
@@ -224,8 +230,11 @@ object Gnn {
       .select(col("src"), (col("dst") % col("n_emb")).as("vkey"),
         sqrt((col("dc") * col("dp")).cast("double")).as("nrm"))
       .join(broadcast(Tables.embeddings(s, dir)), col("vkey") === col("vec_id"))
+    // round-9 normalized messages into exact DECIMAL sums (order-blind)
+    // — the round-6 double-SUM retirement sweep
     val d = (i: Int) =>
-      round(sum(element_at(col("embedding"), i).cast("double") / col("nrm")), 6).as(s"d$i")
+      round(sum(round(element_at(col("embedding"), i).cast("double") / col("nrm"), 9)
+        .cast("decimal(38,9)")).cast("double"), 6).as(s"d$i")
     f.groupBy(col("src").as("custkey"))
       .agg(d(1), d(2), d(3), d(4))
       .orderBy("custkey")
@@ -259,8 +268,12 @@ object Gnn {
         (col("l_partkey") % col("n_emb")).as("vkey"),
         round(exp(lit(-0.01) * datediff(col("max_d"), col("o_orderdate"))), 9).as("w"))
       .filter(col("w") > 0)
+    // round-9 products / already-round-9 weights into exact DECIMAL sums
+    // (order-blind) — the round-6 double-SUM retirement sweep
     val d = (i: Int) =>
-      round(sum(col("w") * element_at(col("embedding"), i).cast("double")) / sum(col("w")), 6)
+      round(sum(round(col("w") * element_at(col("embedding"), i).cast("double"), 9)
+          .cast("decimal(38,9)")).cast("double")
+        / sum(col("w").cast("decimal(38,9)")).cast("double"), 6)
         .as(s"d$i")
     ed.join(broadcast(Tables.embeddings(s, dir)), col("vkey") === col("vec_id"))
       .groupBy(col("c").as("custkey"))

@@ -344,12 +344,16 @@ object GraphOps {
     // sum that stays inside whole-stage codegen.
     // degree-1 customers can never produce a pair (and ln(1) = 0 would
     // divide by zero) — the inner join on cd >= 2 drops their edges early.
+    // round-9 weights into an exact DECIMAL sum: absorbs the cross-engine
+    // LN last-ulp AND removes the summation-order class entirely (the
+    // q_embed_pca recipe; round-6 sweep retiring every double SUM)
     val e1 = e.join(broadcast(custDeg.filter(col("cd") >= 2)), col("src") === col("cd_src"))
-      .select(col("src"), col("dst").as("a"), (lit(1.0) / log(col("cd"))).as("w"))
+      .select(col("src"), col("dst").as("a"),
+        round(lit(1.0) / log(col("cd")), 9).as("w"))
     val e2 = e.select(col("src").as("src2"), col("dst").as("b"))
     e1.join(e2, col("src") === col("src2") && col("a") < col("b"))
       .groupBy(col("a").as("part_a"), col("b").as("part_b"))
-      .agg(round(sum(col("w")), 6).as("aa"))
+      .agg(round(sum(col("w").cast("decimal(38,9)")).cast("double"), 6).as("aa"))
       .orderBy(col("aa").desc, col("part_a").asc, col("part_b").asc)
       .limit(20)
   }
@@ -535,14 +539,19 @@ object GraphOps {
     var auth = e.select(col("dst").as("node")).distinct()
       .select(col("node"), lit(1.0).as("a"))
     for (_ <- 1 to HitsIters) {
+      // round-9 scores into exact DECIMAL sums (order-blind; the scores
+      // are ≤ 1 post-max-norm so round-9 loses ≤ 5e-10 per term) — the
+      // round-6 sweep retiring every order-dependent double SUM
       val hRaw = e.join(broadcast(auth.select(col("node").as("an"), col("a"))),
           col("dst") === col("an"))
-        .groupBy(col("src")).agg(sum(col("a")).as("h"))
+        .groupBy(col("src"))
+        .agg(sum(round(col("a"), 9).cast("decimal(38,9)")).cast("double").as("h"))
       val hub = hRaw.crossJoin(broadcast(hRaw.agg(max(col("h")).as("hm"))))
         .select(col("src"), (col("h") / col("hm")).as("h"))
       val aRaw = e.join(broadcast(hub.select(col("src").as("hn"), col("h"))),
           col("src") === col("hn"))
-        .groupBy(col("dst")).agg(sum(col("h")).as("ar"))
+        .groupBy(col("dst"))
+        .agg(sum(round(col("h"), 9).cast("decimal(38,9)")).cast("double").as("ar"))
       auth = aRaw.crossJoin(broadcast(aRaw.agg(max(col("ar")).as("am"))))
         .select(col("dst").as("node"), (col("ar") / col("am")).as("a"))
         .localCheckpoint()

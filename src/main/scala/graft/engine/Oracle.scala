@@ -451,11 +451,15 @@ object Oracle {
     // reference each level twice and DuckDB's CTE inlining then
     // recomputes the chain exponentially (2^10 edge joins).
     "q_graph_hits" -> {
+      // round-9 scores → exact DECIMAL sums per step (order-blind),
+      // mirroring the Spark loop term-for-term
       val steps = (1 to GraphOps.HitsIters).map { i =>
-        s"""h${i}r AS (SELECT e.src, SUM(p.a) AS h
+        s"""h${i}r AS (SELECT e.src,
+           |  CAST(SUM(CAST(ROUND(p.a, 9) AS DECIMAL(38,9))) AS DOUBLE) AS h
            |  FROM edges e JOIN a${i - 1} p ON e.dst = p.node GROUP BY 1),
            |h$i AS (SELECT src, h / MAX(h) OVER () AS h FROM h${i}r),
-           |a${i}r AS (SELECT e.dst, SUM(hb.h) AS ar
+           |a${i}r AS (SELECT e.dst,
+           |  CAST(SUM(CAST(ROUND(hb.h, 9) AS DECIMAL(38,9))) AS DOUBLE) AS ar
            |  FROM edges e JOIN h$i hb ON e.src = hb.src GROUP BY 1),
            |a$i AS (SELECT dst AS node, ar / MAX(ar) OVER () AS a FROM a${i}r)""".stripMargin
       }.mkString(",\n")
@@ -565,13 +569,16 @@ object Oracle {
          |FROM deg LEFT JOIN tri ON deg.node = tri.node
          |WHERE deg.d >= 2 ORDER BY deg.node""".stripMargin,
 
+    // round-9 weights → exact DECIMAL sum (absorbs the cross-engine LN
+    // last-ulp AND the summation order — the q_embed_pca moments recipe)
     "q_graph_adamic_adar" ->
       s"""WITH $edgesCte,
-         |cd AS (SELECT src, COUNT(*) AS cd FROM edges GROUP BY 1),
+         |cd AS (SELECT src, ROUND(CAST(1 AS DOUBLE) / LN(COUNT(*)), 9) AS w
+         |       FROM edges GROUP BY src HAVING COUNT(*) >= 2),
          |cn AS (SELECT e1.src AS z, e1.dst AS a, e2.dst AS b
          |       FROM edges e1 JOIN edges e2 ON e1.src = e2.src AND e1.dst < e2.dst)
          |SELECT cn.a AS part_a, cn.b AS part_b,
-         |  ROUND(SUM(CAST(1 AS DOUBLE) / LN(cd.cd)), 6) AS aa
+         |  ROUND(CAST(SUM(CAST(cd.w AS DECIMAL(38,9))) AS DOUBLE), 6) AS aa
          |FROM cn JOIN cd ON cn.z = cd.src
          |GROUP BY 1, 2 ORDER BY aa DESC, part_a ASC, part_b ASC LIMIT 20""".stripMargin,
 
@@ -1017,9 +1024,11 @@ object Oracle {
   }
 
   val gnn: Map[String, String] = Map(
+    // round-9 messages → exact DECIMAL sums (order-blind), mirroring the
+    // Spark aggregation term-for-term
     "q_gnn_gcn_norm" -> {
       val ds = (1 to 4).map(j =>
-        s"ROUND(SUM(CAST(embedding[$j] AS DOUBLE) / SQRT(CAST(dc.dc * dp.dp AS DOUBLE))), 6) AS d$j")
+        s"ROUND(CAST(SUM(CAST(ROUND(CAST(embedding[$j] AS DOUBLE) / SQRT(CAST(dc.dc * dp.dp AS DOUBLE)), 9) AS DECIMAL(38,9))) AS DOUBLE), 6) AS d$j")
         .mkString(", ")
       s"""WITH $edgesCte,
          |n AS (SELECT COUNT(*) AS c FROM embeddings),
@@ -1171,14 +1180,15 @@ object Oracle {
          |q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
          |sc AS (SELECT f.src, f.embedding, $dot / 8 AS score FROM f CROSS JOIN q),
          |st AS (SELECT src, embedding,
-         |         exp(score - MAX(score) OVER (PARTITION BY src)) AS wexp FROM sc),
+         |         ROUND(exp(score - MAX(score) OVER (PARTITION BY src)), 9) AS wexp FROM sc),
          |wn AS (SELECT src, embedding,
-         |         wexp / SUM(wexp) OVER (PARTITION BY src) AS w FROM st)
+         |         wexp / CAST(SUM(CAST(wexp AS DECIMAL(38,9)))
+         |                       OVER (PARTITION BY src) AS DOUBLE) AS w FROM st)
          |SELECT src AS custkey,
-         |  ROUND(SUM(w * CAST(embedding[1] AS DOUBLE)), 6) AS a1,
-         |  ROUND(SUM(w * CAST(embedding[2] AS DOUBLE)), 6) AS a2,
-         |  ROUND(SUM(w * CAST(embedding[3] AS DOUBLE)), 6) AS a3,
-         |  ROUND(SUM(w * CAST(embedding[4] AS DOUBLE)), 6) AS a4
+         |  ROUND(CAST(SUM(CAST(ROUND(w * CAST(embedding[1] AS DOUBLE), 9) AS DECIMAL(38,9))) AS DOUBLE), 6) AS a1,
+         |  ROUND(CAST(SUM(CAST(ROUND(w * CAST(embedding[2] AS DOUBLE), 9) AS DECIMAL(38,9))) AS DOUBLE), 6) AS a2,
+         |  ROUND(CAST(SUM(CAST(ROUND(w * CAST(embedding[3] AS DOUBLE), 9) AS DECIMAL(38,9))) AS DOUBLE), 6) AS a3,
+         |  ROUND(CAST(SUM(CAST(ROUND(w * CAST(embedding[4] AS DOUBLE), 9) AS DECIMAL(38,9))) AS DOUBLE), 6) AS a4
          |FROM wn GROUP BY 1 ORDER BY 1""".stripMargin
     },
 
@@ -1265,9 +1275,11 @@ object Oracle {
          |tf AS (SELECT t.doc_id, t.tok, q.df, COUNT(*) AS tf
          |       FROM tok t JOIN q ON t.tok = q.tok GROUP BY 1, 2, 3),
          |sc AS (SELECT tf.doc_id, dl.lang,
-         |         ROUND(SUM(LN((nt.n_total - tf.df + 0.5) / (tf.df + 0.5) + 1)
+         |         ROUND(CAST(SUM(CAST(ROUND(
+         |           LN((nt.n_total - tf.df + 0.5) / (tf.df + 0.5) + 1)
          |           * tf.tf * ($k1 + 1)
-         |           / (tf.tf + $k1 * (1 - $b + $b * dl.dl / ad.avgdl))), 6) AS bm25
+         |           / (tf.tf + $k1 * (1 - $b + $b * dl.dl / ad.avgdl)), 9)
+         |           AS DECIMAL(38,9))) AS DOUBLE), 6) AS bm25
          |       FROM tf CROSS JOIN nt CROSS JOIN ad
          |       JOIN dl ON tf.doc_id = dl.doc_id
          |       GROUP BY 1, 2)
@@ -1423,10 +1435,14 @@ object Oracle {
         |  FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
         |fe AS (SELECT * FROM ed WHERE w > 0)
         |SELECT c AS custkey, CAST(count(*) AS BIGINT) AS n_recent,
-        |  round(SUM(w * CAST(embedding[1] AS DOUBLE)) / SUM(w), 6) AS d1,
-        |  round(SUM(w * CAST(embedding[2] AS DOUBLE)) / SUM(w), 6) AS d2,
-        |  round(SUM(w * CAST(embedding[3] AS DOUBLE)) / SUM(w), 6) AS d3,
-        |  round(SUM(w * CAST(embedding[4] AS DOUBLE)) / SUM(w), 6) AS d4
+        |  round(CAST(SUM(CAST(round(w * CAST(embedding[1] AS DOUBLE), 9) AS DECIMAL(38,9))) AS DOUBLE)
+        |    / CAST(SUM(CAST(w AS DECIMAL(38,9))) AS DOUBLE), 6) AS d1,
+        |  round(CAST(SUM(CAST(round(w * CAST(embedding[2] AS DOUBLE), 9) AS DECIMAL(38,9))) AS DOUBLE)
+        |    / CAST(SUM(CAST(w AS DECIMAL(38,9))) AS DOUBLE), 6) AS d2,
+        |  round(CAST(SUM(CAST(round(w * CAST(embedding[3] AS DOUBLE), 9) AS DECIMAL(38,9))) AS DOUBLE)
+        |    / CAST(SUM(CAST(w AS DECIMAL(38,9))) AS DOUBLE), 6) AS d3,
+        |  round(CAST(SUM(CAST(round(w * CAST(embedding[4] AS DOUBLE), 9) AS DECIMAL(38,9))) AS DOUBLE)
+        |    / CAST(SUM(CAST(w AS DECIMAL(38,9))) AS DOUBLE), 6) AS d4
         |FROM fe JOIN embeddings ON vkey = vec_id
         |GROUP BY c ORDER BY c""".stripMargin,
 

@@ -254,11 +254,13 @@ object PipelineOps {
       .crossJoin(broadcast(nTot)).crossJoin(broadcast(avgdl))
       .join(dl, Seq("doc_id"))
       .withColumn("idf", log((col("n_total") - col("df") + 0.5) / (col("df") + 0.5) + 1))
+      // round-9 term scores into an exact DECIMAL sum (order-blind;
+      // absorbs the cross-engine LN last-ulp) — the round-6 sweep
       .withColumn("term_score",
-        col("idf") * col("tf") * (Bm25K1 + 1) /
-          (col("tf") + (col("dl") / col("avgdl") * Bm25B + (1 - Bm25B)) * Bm25K1))
+        round(col("idf") * col("tf") * (Bm25K1 + 1) /
+          (col("tf") + (col("dl") / col("avgdl") * Bm25B + (1 - Bm25B)) * Bm25K1), 9))
       .groupBy(col("doc_id"), col("lang"))
-      .agg(round(sum(col("term_score")), 6).as("bm25"))
+      .agg(round(sum(col("term_score").cast("decimal(38,9)")).cast("double"), 6).as("bm25"))
     score.orderBy(col("bm25").desc, col("doc_id").asc).limit(10)
       .select(col("doc_id"), col("lang"), col("bm25"))
   }
