@@ -7,7 +7,7 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.OutputMode
 import org.scalatest.funsuite.AnyFunSuite
 
-import graft.engine.{StreamingOps, Tables}
+import graft.engine.{Dsl, SketchOps, StreamingOps, Tables}
 
 /** Stream-source coverage beyond MemoryStream: file-based readStream over
   * the fixture parquet, watermarked within-watermark dedup, and the
@@ -339,6 +339,58 @@ class StreamingSourcesSpec extends AnyFunSuite {
       ms.addData(E(2, 5, ts(2), "view", 3.0)); q.processAllAvailable(); q.stop()
       val last = s.table("rocks").collect().maxBy(_.getLong(1))
       assert(last.getLong(1) == 2L && last.getDouble(3) == 5.0)
+    } finally {
+      prev match {
+        case Some(p) => s.conf.set("spark.sql.streaming.stateStore.providerClass", p)
+        case None => s.conf.unset("spark.sql.streaming.stateStore.providerClass")
+      }
+    }
+  }
+
+  test("streaming CMS maintainer is state-provider independent (RocksDB)") {
+    // q_stream_cms's keyed CMS grid must survive a provider swap: replay
+    // the fixture token cells through the SAME updateCms fold as a real
+    // micro-batched streaming query under the RocksDB provider (the
+    // 100 TB state backend) and require the final grid cell-identical to
+    // the direct count — pinning state-provider independence the way the
+    // transformWithState test does for timers/TTL state.
+    val s = spark
+    import s.implicits._
+    implicit val sq = s.sqlContext
+    val prev = s.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    s.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val cells = Tables.documents(s, sf0001)
+        .select(explode(split(col("text"), " ")).as("tok"))
+        .filter(length(col("tok")) > 0)
+        .select(col("tok"),
+          explode(array((0 until SketchOps.CmsDepth).map(lit): _*)).as("d"))
+        .select(col("d").cast("int").as("d"),
+          pmod(Dsl.md5Hash60(concat(col("d").cast("string"), lit(":"), col("tok"))),
+            lit(SketchOps.CmsWidth)).cast("int").as("bucket"))
+        .as[SketchOps.CmsIn].collect()
+      val ms = MemoryStream[SketchOps.CmsIn]
+      val q = ms.toDS()
+        .groupByKey(_.d)
+        .flatMapGroupsWithState(OutputMode.Update,
+          org.apache.spark.sql.streaming.GroupStateTimeout.NoTimeout)(
+          SketchOps.updateCms)
+        .writeStream.outputMode(OutputMode.Update)
+        .format("memory").queryName("cms_rocks").start()
+      // two micro-batches: the grid must accumulate across the state
+      // round-trip, not restart per batch
+      val (half1, half2) = cells.splitAt(cells.length / 2)
+      ms.addData(half1.toIndexedSeq: _*); q.processAllAvailable()
+      ms.addData(half2.toIndexedSeq: _*); q.processAllAvailable(); q.stop()
+      // counters only grow: the latest emission per cell is its max
+      val streamed = s.table("cms_rocks").collect()
+        .map(r => ((r.getInt(0), r.getInt(1)), r.getLong(2)))
+        .groupBy(_._1).map { case (k, vs) => k -> vs.map(_._2).max }
+      val expected = cells.groupBy(c => (c.d, c.bucket))
+        .map { case (k, vs) => k -> vs.length.toLong }
+      assert(streamed == expected,
+        s"RocksDB-backed grid differs: ${streamed.size} vs ${expected.size} cells")
     } finally {
       prev match {
         case Some(p) => s.conf.set("spark.sql.streaming.stateStore.providerClass", p)
