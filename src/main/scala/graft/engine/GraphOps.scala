@@ -344,16 +344,19 @@ object GraphOps {
     // sum that stays inside whole-stage codegen.
     // degree-1 customers can never produce a pair (and ln(1) = 0 would
     // divide by zero) — the inner join on cd >= 2 drops their edges early.
-    // round-9 weights into an exact DECIMAL sum: absorbs the cross-engine
-    // LN last-ulp AND removes the summation-order class entirely (the
-    // q_embed_pca recipe; round-6 sweep retiring every double SUM)
+    // round-9 weights, summed as 1e9-scaled BIGINTs (the q_gnn_gin
+    // integer device): exact and order-blind like the DECIMAL recipe but
+    // long-fast — this sum runs over the 12M-row pair explosion, where a
+    // BigDecimal-backed DECIMAL(38,9) accumulator cost 3× (measured).
+    // w ≤ 1/ln 2, so the scaled per-group sum overflows 2^63 only past
+    // ~6e9 shared customers per pair — DECIMAL(38,9) is the swap there.
     val e1 = e.join(broadcast(custDeg.filter(col("cd") >= 2)), col("src") === col("cd_src"))
       .select(col("src"), col("dst").as("a"),
-        round(lit(1.0) / log(col("cd")), 9).as("w"))
+        round(round(lit(1.0) / log(col("cd")), 9) * 1e9, 0).cast("bigint").as("w9"))
     val e2 = e.select(col("src").as("src2"), col("dst").as("b"))
     e1.join(e2, col("src") === col("src2") && col("a") < col("b"))
       .groupBy(col("a").as("part_a"), col("b").as("part_b"))
-      .agg(round(sum(col("w").cast("decimal(38,9)")).cast("double"), 6).as("aa"))
+      .agg(round(sum(col("w9")).cast("double") / 1e9, 6).as("aa"))
       .orderBy(col("aa").desc, col("part_a").asc, col("part_b").asc)
       .limit(20)
   }

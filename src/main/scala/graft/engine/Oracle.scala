@@ -569,16 +569,17 @@ object Oracle {
          |FROM deg LEFT JOIN tri ON deg.node = tri.node
          |WHERE deg.d >= 2 ORDER BY deg.node""".stripMargin,
 
-    // round-9 weights → exact DECIMAL sum (absorbs the cross-engine LN
-    // last-ulp AND the summation order — the q_embed_pca moments recipe)
+    // round-9 weights → exact 1e9-scaled BIGINT sum (order-blind; the
+    // q_gnn_gin integer device, mirroring the Spark aggregation)
     "q_graph_adamic_adar" ->
       s"""WITH $edgesCte,
-         |cd AS (SELECT src, ROUND(CAST(1 AS DOUBLE) / LN(COUNT(*)), 9) AS w
+         |cd AS (SELECT src,
+         |         CAST(ROUND(ROUND(CAST(1 AS DOUBLE) / LN(COUNT(*)), 9) * 1e9, 0) AS BIGINT) AS w9
          |       FROM edges GROUP BY src HAVING COUNT(*) >= 2),
          |cn AS (SELECT e1.src AS z, e1.dst AS a, e2.dst AS b
          |       FROM edges e1 JOIN edges e2 ON e1.src = e2.src AND e1.dst < e2.dst)
          |SELECT cn.a AS part_a, cn.b AS part_b,
-         |  ROUND(CAST(SUM(CAST(cd.w AS DECIMAL(38,9))) AS DOUBLE), 6) AS aa
+         |  ROUND(CAST(SUM(cd.w9) AS DOUBLE) / 1e9, 6) AS aa
          |FROM cn JOIN cd ON cn.z = cd.src
          |GROUP BY 1, 2 ORDER BY aa DESC, part_a ASC, part_b ASC LIMIT 20""".stripMargin,
 
