@@ -120,7 +120,11 @@ object GraphOps {
       undArcs(s, dir)
         .join(undDegrees(s, dir), col("src") === col("node"))
         .select(col("src"), col("dst"), col("d"))
-        .repartition(col("dst"))
+        // EXPLICIT partition count: a count-less repartition is an AQE
+        // coalesce candidate, and the coalesced exchange's partitioning
+        // is not captured by the checkpoint — every consumer would
+        // re-shuffle (caught by PlanAuditSpec's power-iteration pin)
+        .repartition(s.sessionState.conf.numShufflePartitions, col("dst"))
         .localCheckpoint()
     }
 
@@ -542,19 +546,20 @@ object GraphOps {
     var auth = e.select(col("dst").as("node")).distinct()
       .select(col("node"), lit(1.0).as("a"))
     for (_ <- 1 to HitsIters) {
-      // round-9 scores into exact DECIMAL sums (order-blind; the scores
-      // are ≤ 1 post-max-norm so round-9 loses ≤ 5e-10 per term) — the
-      // round-6 sweep retiring every order-dependent double SUM
+      // round-9 scores summed as 1e9-scaled BIGINTs (exact, order-blind,
+      // long-fast — the q_gnn_gin/adamic-adar integer device; scores are
+      // ≤ 1 post-max-norm so overflow needs ~9e9 neighbors, DECIMAL
+      // being the swap there) — the round-6 double-SUM retirement sweep
       val hRaw = e.join(broadcast(auth.select(col("node").as("an"), col("a"))),
           col("dst") === col("an"))
         .groupBy(col("src"))
-        .agg(sum(round(col("a"), 9).cast("decimal(38,9)")).cast("double").as("h"))
+        .agg((sum(round(col("a") * 1e9, 0).cast("bigint")).cast("double") / 1e9).as("h"))
       val hub = hRaw.crossJoin(broadcast(hRaw.agg(max(col("h")).as("hm"))))
         .select(col("src"), (col("h") / col("hm")).as("h"))
       val aRaw = e.join(broadcast(hub.select(col("src").as("hn"), col("h"))),
           col("src") === col("hn"))
         .groupBy(col("dst"))
-        .agg(sum(round(col("h"), 9).cast("decimal(38,9)")).cast("double").as("ar"))
+        .agg((sum(round(col("h") * 1e9, 0).cast("bigint")).cast("double") / 1e9).as("ar"))
       auth = aRaw.crossJoin(broadcast(aRaw.agg(max(col("ar")).as("am"))))
         .select(col("dst").as("node"), (col("ar") / col("am")).as("a"))
         .localCheckpoint()

@@ -43,7 +43,23 @@ object Mv {
     else lock.synchronized {
       val winner = cache.get(k)
       if (winner != null) winner
-      else { val built = build; cache.put(k, built); built }
+      else {
+        // Build with AQE OFF: an adaptively-executed plan reports
+        // UnknownPartitioning, so localCheckpoint would NOT capture the
+        // repartition layout and every MV consumer would silently
+        // re-shuffle (measured: hashpartitioning survives the checkpoint
+        // exactly when the build runs non-adaptively; pinned by
+        // PlanAuditSpec's power-iteration test). The builds are fixed-
+        // shape one-time jobs with explicit broadcast hints — they lose
+        // nothing from AQE; consumers keep it.
+        val prev = s.conf.get("spark.sql.adaptive.enabled", "true")
+        s.conf.set("spark.sql.adaptive.enabled", "false")
+        val built =
+          try build
+          finally s.conf.set("spark.sql.adaptive.enabled", prev)
+        cache.put(k, built)
+        built
+      }
     }
   }
 }

@@ -451,15 +451,15 @@ object Oracle {
     // reference each level twice and DuckDB's CTE inlining then
     // recomputes the chain exponentially (2^10 edge joins).
     "q_graph_hits" -> {
-      // round-9 scores → exact DECIMAL sums per step (order-blind),
-      // mirroring the Spark loop term-for-term
+      // round-9 scores → exact 1e9-scaled BIGINT sums per step
+      // (order-blind), mirroring the Spark loop term-for-term
       val steps = (1 to GraphOps.HitsIters).map { i =>
         s"""h${i}r AS (SELECT e.src,
-           |  CAST(SUM(CAST(ROUND(p.a, 9) AS DECIMAL(38,9))) AS DOUBLE) AS h
+           |  CAST(SUM(CAST(ROUND(p.a * 1e9, 0) AS BIGINT)) AS DOUBLE) / 1e9 AS h
            |  FROM edges e JOIN a${i - 1} p ON e.dst = p.node GROUP BY 1),
            |h$i AS (SELECT src, h / MAX(h) OVER () AS h FROM h${i}r),
            |a${i}r AS (SELECT e.dst,
-           |  CAST(SUM(CAST(ROUND(hb.h, 9) AS DECIMAL(38,9))) AS DOUBLE) AS ar
+           |  CAST(SUM(CAST(ROUND(hb.h * 1e9, 0) AS BIGINT)) AS DOUBLE) / 1e9 AS ar
            |  FROM edges e JOIN h$i hb ON e.src = hb.src GROUP BY 1),
            |a$i AS (SELECT dst AS node, ar / MAX(ar) OVER () AS a FROM a${i}r)""".stripMargin
       }.mkString(",\n")

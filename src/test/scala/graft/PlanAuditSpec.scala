@@ -201,6 +201,24 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(!p.contains("Join"), s"checkpointed training set must not re-join:\n$p")
   }
 
+  test("power-iteration step over the undWeighted MV shuffles nothing but the rank broadcast") {
+    // the 100 TB pagerank/ppr story: the arc-list MV is pre-hash-
+    // partitioned on dst and the checkpoint preserves that partitioning,
+    // so each iteration's groupBy(dst) aggregates partition-locally —
+    // the ONLY per-step data movement is the |V|-sized rank broadcast
+    import org.apache.spark.sql.functions.{broadcast, col, lit, sum}
+    val undW = GraphOps.undWeighted(spark, sf0001)
+    val ranks = GraphOps.undDegrees(spark, sf0001)
+      .select(col("node").as("rn"), lit(1.0).as("r"))
+    val step = undW.join(broadcast(ranks), col("src") === col("rn"))
+      .groupBy(col("dst")).agg(sum(col("r") / col("d")).as("r"))
+    step.collect()
+    val p = step.queryExecution.executedPlan.toString
+    assert(p.contains("BroadcastHashJoin"), s"rank table must broadcast:\n$p")
+    assert(!p.contains("Exchange hashpartitioning"),
+      s"pre-partitioned arc MV must make the per-step aggregation exchange-free:\n$p")
+  }
+
   test("bucketed fact join is exchange-free on both sides") {
     // at fixture scale the planner correctly prefers broadcast; force the
     // large-scale plan (no broadcast) to audit the bucket co-location path
