@@ -83,22 +83,24 @@ object SketchOps {
   }
 
   // ---- Streaming CMS maintainer -----------------------------------------
-  // Keyed-state twin of q_llm_cms_topk: one state row per sketch depth d,
-  // holding that row's 256 counters as pure longs — exact, order-blind and
-  // MERGEABLE (CMS grids add cell-wise), which is what lets shards sketch
-  // independently and merge at 100 TB. The final grid is cell-identical to
-  // the batch sketch, so the probe stage and the oracle are shared verbatim.
+  // Keyed-state twin of q_llm_cms_topk: one state row PER CELL (d, bucket)
+  // holding its counter as a pure long — exact, order-blind and MERGEABLE
+  // (CMS grids add cell-wise), which is what lets shards sketch
+  // independently and merge at 100 TB. Keying by cell (4·256 = 1024 keys)
+  // rather than by depth row (4 keys) is what makes the maintainer
+  // PARALLEL: a depth-keyed fold funnels the whole corpus through 4
+  // tasks — the classic low-cardinality-keyed-state bottleneck. The
+  // final grid is cell-identical to the batch sketch, so the probe stage
+  // and the oracle are shared verbatim.
 
   case class CmsIn(d: Int, bucket: Int)
   case class CmsCell(d: Int, bucket: Int, c: Long)
 
-  def updateCms(key: Int, it: Iterator[CmsIn],
-      state: org.apache.spark.sql.streaming.GroupState[Array[Long]]): Iterator[CmsCell] = {
-    val grid = state.getOption.getOrElse(new Array[Long](CmsWidth))
-    it.foreach(e => grid(e.bucket) += 1)
-    state.update(grid)
-    grid.iterator.zipWithIndex.filter(_._1 > 0)
-      .map { case (c, b) => CmsCell(key, b, c) }
+  def updateCms(key: CmsIn, it: Iterator[CmsIn],
+      state: org.apache.spark.sql.streaming.GroupState[Long]): Iterator[CmsCell] = {
+    val c = state.getOption.getOrElse(0L) + it.size
+    state.update(c)
+    Iterator.single(CmsCell(key.d, key.bucket, c))
   }
 
   /** Driver-contract query: the incrementally-maintained sketch replaces
@@ -115,7 +117,7 @@ object SketchOps {
         pmod(Dsl.md5Hash60(concat(col("d").cast("string"), lit(":"), col("tok"))),
           lit(CmsWidth)).cast("int").as("bucket"))
       .as[CmsIn]
-      .groupByKey(_.d)
+      .groupByKey(identity)
       .flatMapGroupsWithState(org.apache.spark.sql.streaming.OutputMode.Update,
         org.apache.spark.sql.streaming.GroupStateTimeout.NoTimeout)(updateCms)
       .toDF()

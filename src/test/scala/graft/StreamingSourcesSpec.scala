@@ -372,7 +372,7 @@ class StreamingSourcesSpec extends AnyFunSuite {
         .as[SketchOps.CmsIn].collect()
       val ms = MemoryStream[SketchOps.CmsIn]
       val q = ms.toDS()
-        .groupByKey(_.d)
+        .groupByKey(identity)
         .flatMapGroupsWithState(OutputMode.Update,
           org.apache.spark.sql.streaming.GroupStateTimeout.NoTimeout)(
           SketchOps.updateCms)
