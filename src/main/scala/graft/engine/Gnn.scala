@@ -194,21 +194,25 @@ object Gnn {
     val q = Tables.embeddings(s, dir).filter(col("vec_id") === 0)
       .select(col("embedding").as("qv"))
     val wspec = org.apache.spark.sql.expressions.Window.partitionBy(col("src"))
-    // round-9 softmax numerators into exact DECIMAL sums (window and
-    // final): absorbs the cross-engine exp last-ulp and removes the
-    // summation-order class — the round-6 double-SUM retirement sweep
+    // softmax numerators as 1e9-scaled BIGINTs, summed exactly (window
+    // and final): absorbs the cross-engine exp last-ulp AND the
+    // summation order. round(y*1e9, 0) is computed on the same double
+    // product in both engines (measured zero-divergence; round(y, 9)'s
+    // decimal-vs-float implementations split true near-ties).
     val scored = GraphOps.neighborFeatures(s, dir)
       .crossJoin(broadcast(q))
       .withColumn("score", LlmOps.vecDot(s)(col("embedding"), col("qv")) / 8)
-      .withColumn("wexp", round(exp(col("score") - max(col("score")).over(wspec)), 9))
-      .withColumn("w", col("wexp")
-        / sum(col("wexp").cast("decimal(38,9)")).over(wspec).cast("double"))
-    val e = (i: Int) => sum(
-      round(col("w") * element_at(col("embedding"), i).cast("double"), 9)
-        .cast("decimal(38,9)")).cast("double")
+      .withColumn("wexp9",
+        round(exp(col("score") - max(col("score")).over(wspec)) * 1e9, 0).cast("bigint"))
+      .withColumn("w", col("wexp9").cast("double")
+        / sum(col("wexp9")).over(wspec).cast("double"))
+    // final 6-dp values derive from the exact integer sums
+    // (round(sum9/1000, 0)/1e6 — the gcn_norm true-tie device)
+    val e = (i: Int) => round(sum(
+      round(col("w") * element_at(col("embedding"), i).cast("double") * 1e9, 0)
+        .cast("bigint")).cast("double") / 1000, 0) / 1e6
     scored.groupBy(col("src").as("custkey"))
-      .agg(round(e(1), 6).as("a1"), round(e(2), 6).as("a2"),
-        round(e(3), 6).as("a3"), round(e(4), 6).as("a4"))
+      .agg(e(1).as("a1"), e(2).as("a2"), e(3).as("a3"), e(4).as("a4"))
       .orderBy("custkey")
   }
 
@@ -230,11 +234,18 @@ object Gnn {
       .select(col("src"), (col("dst") % col("n_emb")).as("vkey"),
         sqrt((col("dc") * col("dp")).cast("double")).as("nrm"))
       .join(broadcast(Tables.embeddings(s, dir)), col("vkey") === col("vec_id"))
-    // round-9 normalized messages into exact DECIMAL sums (order-blind)
-    // — the round-6 double-SUM retirement sweep
+    // normalized messages as 1e9-scaled BIGINTs, summed exactly (order-
+    // blind). The scaled form, not round-9: round(y, 9)'s decimal-vs-
+    // float engine implementations split true near-ties (~1e-5 of
+    // terms), and with 2.2M terms at sf0.1 exactly one did. The final
+    // 6-dp rounding derives from the exact integer sum the same way —
+    // round(sum9/1000, 0)/1e6 — because a group landed on a TRUE 6-dp
+    // tie (sum9 = -15925500 at sf0.1) where decimal-vs-float round(x,6)
+    // split; /1000 of an exact-integer double is correctly rounded and
+    // an exact tie divides to a representable .5 in both engines.
     val d = (i: Int) =>
-      round(sum(round(element_at(col("embedding"), i).cast("double") / col("nrm"), 9)
-        .cast("decimal(38,9)")).cast("double"), 6).as(s"d$i")
+      (round(sum(round(element_at(col("embedding"), i).cast("double") / col("nrm") * 1e9, 0)
+        .cast("bigint")).cast("double") / 1000, 0) / 1e6).as(s"d$i")
     f.groupBy(col("src").as("custkey"))
       .agg(d(1), d(2), d(3), d(4))
       .orderBy("custkey")
@@ -268,12 +279,14 @@ object Gnn {
         (col("l_partkey") % col("n_emb")).as("vkey"),
         round(exp(lit(-0.01) * datediff(col("max_d"), col("o_orderdate"))), 9).as("w"))
       .filter(col("w") > 0)
-    // round-9 products / already-round-9 weights into exact DECIMAL sums
-    // (order-blind) — the round-6 double-SUM retirement sweep
+    // weighted products and weights as 1e9-scaled BIGINTs, summed
+    // exactly (order-blind); the 1e9 scale cancels in the ratio, so the
+    // division runs on the two exact integer sums directly (mirrored
+    // verbatim in the oracle)
     val d = (i: Int) =>
-      round(sum(round(col("w") * element_at(col("embedding"), i).cast("double"), 9)
-          .cast("decimal(38,9)")).cast("double")
-        / sum(col("w").cast("decimal(38,9)")).cast("double"), 6)
+      round(sum(round(col("w") * element_at(col("embedding"), i).cast("double") * 1e9, 0)
+          .cast("bigint")).cast("double")
+        / sum(round(col("w") * 1e9, 0).cast("bigint")).cast("double"), 6)
         .as(s"d$i")
     ed.join(broadcast(Tables.embeddings(s, dir)), col("vkey") === col("vec_id"))
       .groupBy(col("c").as("custkey"))

@@ -250,11 +250,14 @@ object GraphOps {
         .join(broadcast(ranks.select(col("node").as("rn"), col("r"))),
           col("src") === col("rn"))
         .groupBy(col("dst"))
-        // round-9 contributions into an exact DECIMAL sum (order-blind):
-        // the last order-dependent double reduction in the engine
-        // (VERDICT r5 item 4) — the q_embed_pca moments recipe.
+        // per-term contributions rounded at the 9th decimal via the
+        // 1e9-scaled BIGINT device and summed exactly (order-blind).
+        // round(y*1e9, 0) is computed on the SAME double product in both
+        // engines — measured zero-divergence, unlike round(y, 9) whose
+        // decimal-vs-float implementations split true near-ties
+        // (~1e-5 of terms; one such term broke gcn_norm at sf0.1).
         .agg((lit(0.15) + lit(0.85)
-          * sum(round(col("r") / col("d"), 9).cast("decimal(38,9)")).cast("double")).as("r"))
+          * (sum(round(col("r") / col("d") * 1e9, 0).cast("bigint")).cast("double") / 1e9)).as("r"))
         .select(col("dst").as("node"), col("r"))
       // checkpoint every 2nd step: bounds plan depth (planning + codegen
       // cost of a 10-deep broadcast chain is worse than 5 short jobs)
@@ -356,11 +359,12 @@ object GraphOps {
     // ~6e9 shared customers per pair — DECIMAL(38,9) is the swap there.
     val e1 = e.join(broadcast(custDeg.filter(col("cd") >= 2)), col("src") === col("cd_src"))
       .select(col("src"), col("dst").as("a"),
-        round(round(lit(1.0) / log(col("cd")), 9) * 1e9, 0).cast("bigint").as("w9"))
+        round(lit(1.0) / log(col("cd")) * 1e9, 0).cast("bigint").as("w9"))
     val e2 = e.select(col("src").as("src2"), col("dst").as("b"))
     e1.join(e2, col("src") === col("src2") && col("a") < col("b"))
       .groupBy(col("a").as("part_a"), col("b").as("part_b"))
-      .agg(round(sum(col("w9")).cast("double") / 1e9, 6).as("aa"))
+      // 6-dp output from the exact integer sum (true-tie-safe rounding)
+      .agg((round(sum(col("w9")).cast("double") / 1000, 0) / 1e6).as("aa"))
       .orderBy(col("aa").desc, col("part_a").asc, col("part_b").asc)
       .limit(20)
   }
@@ -549,20 +553,27 @@ object GraphOps {
       // round-9 scores summed as 1e9-scaled BIGINTs (exact, order-blind,
       // long-fast — the q_gnn_gin/adamic-adar integer device; scores are
       // ≤ 1 post-max-norm so overflow needs ~9e9 neighbors, DECIMAL
-      // being the swap there) — the round-6 double-SUM retirement sweep
+      // being the swap there) — the round-6 double-SUM retirement sweep.
+      // hRaw/aRaw each feed TWO branches (the max-norm broadcast and the
+      // main chain): persist() so the broadcast job's computation is
+      // reused instead of re-running the edge join per branch.
       val hRaw = e.join(broadcast(auth.select(col("node").as("an"), col("a"))),
           col("dst") === col("an"))
         .groupBy(col("src"))
         .agg((sum(round(col("a") * 1e9, 0).cast("bigint")).cast("double") / 1e9).as("h"))
+        .persist()
       val hub = hRaw.crossJoin(broadcast(hRaw.agg(max(col("h")).as("hm"))))
         .select(col("src"), (col("h") / col("hm")).as("h"))
       val aRaw = e.join(broadcast(hub.select(col("src").as("hn"), col("h"))),
           col("src") === col("hn"))
         .groupBy(col("dst"))
         .agg((sum(round(col("h") * 1e9, 0).cast("bigint")).cast("double") / 1e9).as("ar"))
+        .persist()
       auth = aRaw.crossJoin(broadcast(aRaw.agg(max(col("ar")).as("am"))))
         .select(col("dst").as("node"), (col("ar") / col("am")).as("a"))
         .localCheckpoint()
+      hRaw.unpersist(false)
+      aRaw.unpersist(false)
     }
     auth.select(col("node").as("part_key"), round(col("a"), 6).as("authority"))
       .orderBy(col("authority").desc, col("part_key").asc)
@@ -618,10 +629,10 @@ object GraphOps {
         .join(broadcast(ranks.select(col("node").as("rn"), col("r"))),
           col("src") === col("rn"))
         .groupBy(col("dst"))
-        // round-9 → DECIMAL(38,9) exact sum: retires the last order-
-        // dependent double SUM (VERDICT r5 item 4; q_embed_pca recipe)
+        // 1e9-scaled BIGINT per-term rounding + exact sum (order-blind;
+        // see q_graph_pagerank for why the scaled form, not round-9)
         .agg((lit(0.85)
-          * sum(round(col("r") / col("d"), 9).cast("decimal(38,9)")).cast("double")).as("r"))
+          * (sum(round(col("r") / col("d") * 1e9, 0).cast("bigint")).cast("double") / 1e9)).as("r"))
         .select(col("dst").as("node"), col("r"))
         .unionByName(teleport)
         .groupBy(col("node")).agg(sum(col("r")).as("r"))

@@ -423,13 +423,13 @@ object Oracle {
     // 10 power-iteration steps unrolled as a CTE chain (recursive CTEs
     // can't carry aggregation in DuckDB); same formula as the Spark loop:
     // r_{t+1}(v) = 0.15 + 0.85 * Σ_{u∈N(v)} r_t(u)/deg(u), r_0 = 1.
-    // Per-term round-9 into an exact DECIMAL(38,9) sum — order-blind,
-    // mirroring the Spark loop (the q_embed_pca moments recipe).
+    // Per-term 1e9-scaled BIGINT rounding + exact sum — order-blind and
+    // computed on the identical double product in both engines.
     "q_graph_pagerank" -> {
       val steps = (1 to 10).map { i =>
         s"""r$i AS (SELECT u.dst AS node,
            |  CAST(0.15 AS DOUBLE) + CAST(0.85 AS DOUBLE)
-           |    * CAST(SUM(CAST(ROUND(p.r / dg.d, 9) AS DECIMAL(38,9))) AS DOUBLE) AS r
+           |    * (CAST(SUM(CAST(ROUND(p.r / dg.d * 1e9, 0) AS BIGINT)) AS DOUBLE) / 1e9) AS r
            |  FROM u JOIN r${i - 1} p ON u.src = p.node
            |         JOIN deg dg ON u.src = dg.node
            |  GROUP BY u.dst)""".stripMargin
@@ -574,12 +574,12 @@ object Oracle {
     "q_graph_adamic_adar" ->
       s"""WITH $edgesCte,
          |cd AS (SELECT src,
-         |         CAST(ROUND(ROUND(CAST(1 AS DOUBLE) / LN(COUNT(*)), 9) * 1e9, 0) AS BIGINT) AS w9
+         |         CAST(ROUND(CAST(1 AS DOUBLE) / LN(COUNT(*)) * 1e9, 0) AS BIGINT) AS w9
          |       FROM edges GROUP BY src HAVING COUNT(*) >= 2),
          |cn AS (SELECT e1.src AS z, e1.dst AS a, e2.dst AS b
          |       FROM edges e1 JOIN edges e2 ON e1.src = e2.src AND e1.dst < e2.dst)
          |SELECT cn.a AS part_a, cn.b AS part_b,
-         |  ROUND(CAST(SUM(cd.w9) AS DOUBLE) / 1e9, 6) AS aa
+         |  ROUND(CAST(SUM(cd.w9) AS DOUBLE) / 1000, 0) / 1e6 AS aa
          |FROM cn JOIN cd ON cn.z = cd.src
          |GROUP BY 1, 2 ORDER BY aa DESC, part_a ASC, part_b ASC LIMIT 20""".stripMargin,
 
@@ -1025,11 +1025,11 @@ object Oracle {
   }
 
   val gnn: Map[String, String] = Map(
-    // round-9 messages → exact DECIMAL sums (order-blind), mirroring the
-    // Spark aggregation term-for-term
+    // messages → exact 1e9-scaled BIGINT sums (order-blind), mirroring
+    // the Spark aggregation term-for-term on the identical double product
     "q_gnn_gcn_norm" -> {
       val ds = (1 to 4).map(j =>
-        s"ROUND(CAST(SUM(CAST(ROUND(CAST(embedding[$j] AS DOUBLE) / SQRT(CAST(dc.dc * dp.dp AS DOUBLE)), 9) AS DECIMAL(38,9))) AS DOUBLE), 6) AS d$j")
+        s"ROUND(CAST(SUM(CAST(ROUND(CAST(embedding[$j] AS DOUBLE) / SQRT(CAST(dc.dc * dp.dp AS DOUBLE)) * 1e9, 0) AS BIGINT)) AS DOUBLE) / 1000, 0) / 1e6 AS d$j")
         .mkString(", ")
       s"""WITH $edgesCte,
          |n AS (SELECT COUNT(*) AS c FROM embeddings),
@@ -1181,15 +1181,15 @@ object Oracle {
          |q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
          |sc AS (SELECT f.src, f.embedding, $dot / 8 AS score FROM f CROSS JOIN q),
          |st AS (SELECT src, embedding,
-         |         ROUND(exp(score - MAX(score) OVER (PARTITION BY src)), 9) AS wexp FROM sc),
+         |         CAST(ROUND(exp(score - MAX(score) OVER (PARTITION BY src)) * 1e9, 0) AS BIGINT) AS wexp9 FROM sc),
          |wn AS (SELECT src, embedding,
-         |         wexp / CAST(SUM(CAST(wexp AS DECIMAL(38,9)))
+         |         CAST(wexp9 AS DOUBLE) / CAST(SUM(wexp9)
          |                       OVER (PARTITION BY src) AS DOUBLE) AS w FROM st)
          |SELECT src AS custkey,
-         |  ROUND(CAST(SUM(CAST(ROUND(w * CAST(embedding[1] AS DOUBLE), 9) AS DECIMAL(38,9))) AS DOUBLE), 6) AS a1,
-         |  ROUND(CAST(SUM(CAST(ROUND(w * CAST(embedding[2] AS DOUBLE), 9) AS DECIMAL(38,9))) AS DOUBLE), 6) AS a2,
-         |  ROUND(CAST(SUM(CAST(ROUND(w * CAST(embedding[3] AS DOUBLE), 9) AS DECIMAL(38,9))) AS DOUBLE), 6) AS a3,
-         |  ROUND(CAST(SUM(CAST(ROUND(w * CAST(embedding[4] AS DOUBLE), 9) AS DECIMAL(38,9))) AS DOUBLE), 6) AS a4
+         |  ROUND(CAST(SUM(CAST(ROUND(w * CAST(embedding[1] AS DOUBLE) * 1e9, 0) AS BIGINT)) AS DOUBLE) / 1000, 0) / 1e6 AS a1,
+         |  ROUND(CAST(SUM(CAST(ROUND(w * CAST(embedding[2] AS DOUBLE) * 1e9, 0) AS BIGINT)) AS DOUBLE) / 1000, 0) / 1e6 AS a2,
+         |  ROUND(CAST(SUM(CAST(ROUND(w * CAST(embedding[3] AS DOUBLE) * 1e9, 0) AS BIGINT)) AS DOUBLE) / 1000, 0) / 1e6 AS a3,
+         |  ROUND(CAST(SUM(CAST(ROUND(w * CAST(embedding[4] AS DOUBLE) * 1e9, 0) AS BIGINT)) AS DOUBLE) / 1000, 0) / 1e6 AS a4
          |FROM wn GROUP BY 1 ORDER BY 1""".stripMargin
     },
 
@@ -1279,8 +1279,8 @@ object Oracle {
          |         ROUND(CAST(SUM(CAST(ROUND(
          |           LN((nt.n_total - tf.df + 0.5) / (tf.df + 0.5) + 1)
          |           * tf.tf * ($k1 + 1)
-         |           / (tf.tf + $k1 * (1 - $b + $b * dl.dl / ad.avgdl)), 9)
-         |           AS DECIMAL(38,9))) AS DOUBLE), 6) AS bm25
+         |           / (tf.tf + $k1 * (1 - $b + $b * dl.dl / ad.avgdl)) * 1e9, 0)
+         |           AS BIGINT)) AS DOUBLE) / 1000, 0) / 1e6 AS bm25
          |       FROM tf CROSS JOIN nt CROSS JOIN ad
          |       JOIN dl ON tf.doc_id = dl.doc_id
          |       GROUP BY 1, 2)
@@ -1436,14 +1436,14 @@ object Oracle {
         |  FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
         |fe AS (SELECT * FROM ed WHERE w > 0)
         |SELECT c AS custkey, CAST(count(*) AS BIGINT) AS n_recent,
-        |  round(CAST(SUM(CAST(round(w * CAST(embedding[1] AS DOUBLE), 9) AS DECIMAL(38,9))) AS DOUBLE)
-        |    / CAST(SUM(CAST(w AS DECIMAL(38,9))) AS DOUBLE), 6) AS d1,
-        |  round(CAST(SUM(CAST(round(w * CAST(embedding[2] AS DOUBLE), 9) AS DECIMAL(38,9))) AS DOUBLE)
-        |    / CAST(SUM(CAST(w AS DECIMAL(38,9))) AS DOUBLE), 6) AS d2,
-        |  round(CAST(SUM(CAST(round(w * CAST(embedding[3] AS DOUBLE), 9) AS DECIMAL(38,9))) AS DOUBLE)
-        |    / CAST(SUM(CAST(w AS DECIMAL(38,9))) AS DOUBLE), 6) AS d3,
-        |  round(CAST(SUM(CAST(round(w * CAST(embedding[4] AS DOUBLE), 9) AS DECIMAL(38,9))) AS DOUBLE)
-        |    / CAST(SUM(CAST(w AS DECIMAL(38,9))) AS DOUBLE), 6) AS d4
+        |  round(CAST(SUM(CAST(round(w * CAST(embedding[1] AS DOUBLE) * 1e9, 0) AS BIGINT)) AS DOUBLE)
+        |    / CAST(SUM(CAST(round(w * 1e9, 0) AS BIGINT)) AS DOUBLE), 6) AS d1,
+        |  round(CAST(SUM(CAST(round(w * CAST(embedding[2] AS DOUBLE) * 1e9, 0) AS BIGINT)) AS DOUBLE)
+        |    / CAST(SUM(CAST(round(w * 1e9, 0) AS BIGINT)) AS DOUBLE), 6) AS d2,
+        |  round(CAST(SUM(CAST(round(w * CAST(embedding[3] AS DOUBLE) * 1e9, 0) AS BIGINT)) AS DOUBLE)
+        |    / CAST(SUM(CAST(round(w * 1e9, 0) AS BIGINT)) AS DOUBLE), 6) AS d3,
+        |  round(CAST(SUM(CAST(round(w * CAST(embedding[4] AS DOUBLE) * 1e9, 0) AS BIGINT)) AS DOUBLE)
+        |    / CAST(SUM(CAST(round(w * 1e9, 0) AS BIGINT)) AS DOUBLE), 6) AS d4
         |FROM fe JOIN embeddings ON vkey = vec_id
         |GROUP BY c ORDER BY c""".stripMargin,
 
@@ -2127,14 +2127,14 @@ object Oracle {
     * step chain references more than once is pinned. */
   val round6graph: Map[String, String] = Map(
     "q_graph_ppr" -> {
-      // per-term round-9 → DECIMAL(38,9) exact sum, mirroring the Spark
-      // loop (retires the last order-dependent double SUM; the outer
-      // teleport SUM folds ≤2 rows — IEEE addition of two doubles is
-      // commutative, so no order class exists there)
+      // per-term 1e9-scaled BIGINT rounding + exact sum, mirroring the
+      // Spark loop (order-blind; the outer teleport SUM folds ≤2 rows —
+      // IEEE addition of two doubles is commutative, so no order class
+      // exists there)
       val steps = (1 to GraphOps.PprIters).map { i =>
         s"""r$i AS (SELECT node, SUM(r) AS r FROM (
            |  SELECT u.dst AS node, CAST(0.85 AS DOUBLE)
-           |    * CAST(SUM(CAST(ROUND(p.r / dg.d, 9) AS DECIMAL(38,9))) AS DOUBLE) AS r
+           |    * (CAST(SUM(CAST(ROUND(p.r / dg.d * 1e9, 0) AS BIGINT)) AS DOUBLE) / 1e9) AS r
            |  FROM u JOIN r${i - 1} p ON u.src = p.node
            |         JOIN deg dg ON u.src = dg.node
            |  GROUP BY u.dst

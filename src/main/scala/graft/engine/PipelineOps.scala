@@ -254,13 +254,16 @@ object PipelineOps {
       .crossJoin(broadcast(nTot)).crossJoin(broadcast(avgdl))
       .join(dl, Seq("doc_id"))
       .withColumn("idf", log((col("n_total") - col("df") + 0.5) / (col("df") + 0.5) + 1))
-      // round-9 term scores into an exact DECIMAL sum (order-blind;
-      // absorbs the cross-engine LN last-ulp) — the round-6 sweep
+      // term scores as 1e9-scaled BIGINTs, summed exactly (order-blind;
+      // absorbs the cross-engine LN last-ulp — the scaled product form,
+      // measured zero-divergence across engines)
       .withColumn("term_score",
-        round(col("idf") * col("tf") * (Bm25K1 + 1) /
-          (col("tf") + (col("dl") / col("avgdl") * Bm25B + (1 - Bm25B)) * Bm25K1), 9))
+        col("idf") * col("tf") * (Bm25K1 + 1) /
+          (col("tf") + (col("dl") / col("avgdl") * Bm25B + (1 - Bm25B)) * Bm25K1))
       .groupBy(col("doc_id"), col("lang"))
-      .agg(round(sum(col("term_score").cast("decimal(38,9)")).cast("double"), 6).as("bm25"))
+      // 6-dp output from the exact integer sum (true-tie-safe rounding)
+      .agg((round(sum(round(col("term_score") * 1e9, 0).cast("bigint")).cast("double") / 1000, 0)
+        / 1e6).as("bm25"))
     score.orderBy(col("bm25").desc, col("doc_id").asc).limit(10)
       .select(col("doc_id"), col("lang"), col("bm25"))
   }
