@@ -555,25 +555,24 @@ object GraphOps {
       // ≤ 1 post-max-norm so overflow needs ~9e9 neighbors, DECIMAL
       // being the swap there) — the round-6 double-SUM retirement sweep.
       // hRaw/aRaw each feed TWO branches (the max-norm broadcast and the
-      // main chain): persist() so the broadcast job's computation is
-      // reused instead of re-running the edge join per branch.
+      // main chain) and are deliberately NOT persisted: A/B-measured,
+      // caching the 15k-row aggregates per iteration (columnar
+      // InMemoryRelation build + codegen-pipeline break) costs ~2.5 s
+      // more per query than recomputing the cheap broadcast-join
+      // aggregation (9.5 s vs 6.9 s steady-state at sf0.1).
       val hRaw = e.join(broadcast(auth.select(col("node").as("an"), col("a"))),
           col("dst") === col("an"))
         .groupBy(col("src"))
         .agg((sum(round(col("a") * 1e9, 0).cast("bigint")).cast("double") / 1e9).as("h"))
-        .persist()
       val hub = hRaw.crossJoin(broadcast(hRaw.agg(max(col("h")).as("hm"))))
         .select(col("src"), (col("h") / col("hm")).as("h"))
       val aRaw = e.join(broadcast(hub.select(col("src").as("hn"), col("h"))),
           col("src") === col("hn"))
         .groupBy(col("dst"))
         .agg((sum(round(col("h") * 1e9, 0).cast("bigint")).cast("double") / 1e9).as("ar"))
-        .persist()
       auth = aRaw.crossJoin(broadcast(aRaw.agg(max(col("ar")).as("am"))))
         .select(col("dst").as("node"), (col("ar") / col("am")).as("a"))
         .localCheckpoint()
-      hRaw.unpersist(false)
-      aRaw.unpersist(false)
     }
     auth.select(col("node").as("part_key"), round(col("a"), 6).as("authority"))
       .orderBy(col("authority").desc, col("part_key").asc)
