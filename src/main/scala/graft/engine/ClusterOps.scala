@@ -57,7 +57,10 @@ object ClusterOps {
     assign(emb, cents)
       .groupBy(col("cl").as("cluster"))
       .agg(count(lit(1)).as("n_members"),
-        round(sum(round(col("d2"), 9).cast("decimal(24,9)")).cast("double"), 4)
+        // round the EXACT decimal sum before the double cast: both
+        // engines round decimals exactly, whereas ROUND-4 of the cast
+        // double splits a true 4-dp tie (the gcn_norm tie class)
+        round(sum(round(col("d2"), 9).cast("decimal(24,9)")), 4).cast("double")
           .as("inertia"))
       .orderBy("cluster")
   }
@@ -291,7 +294,7 @@ object ClusterOps {
          |${centsCte(2, 2)},
          |${assignCte(3, "cents2")}
          |SELECT cl AS cluster, COUNT(*) AS n_members,
-         |  ROUND(CAST(SUM(CAST(ROUND(d2, 9) AS DECIMAL(24,9))) AS DOUBLE), 4) AS inertia
+         |  CAST(ROUND(SUM(CAST(ROUND(d2, 9) AS DECIMAL(24,9))), 4) AS DOUBLE) AS inertia
          |FROM a3 GROUP BY cl ORDER BY cluster""".stripMargin
     }
   )
