@@ -316,10 +316,11 @@ object Gnn {
     * rounds to 6dp after the AVG (pins the only order-dependent input);
     * s is a fixed-order 4-term fold; σ and the log-loss round to 9dp
     * (absorbs libm exp/ln last-ulp differences — the temporal-decay
-    * device); and the gradient/loss sums go through DECIMAL(38,9), which
-    * is exact and order-blind, so no double summation order exists at
-    * all. The weight update itself is scalar double math in a pinned
-    * order.
+    * device); and the gradient/loss sums are 1e9-scaled BIGINT sums —
+    * exact and order-blind like the former DECIMAL(38,9) form but
+    * codegen-fast, and both engines round the identical IEEE product
+    * x·1e9 (zero near-tie divergence). The weight update itself is
+    * scalar double math in a pinned order.
     *
     * Scale shape: two broadcast dims (counts + embeddings), the mean is
     * one shuffle on the customer key, negatives are generated inline and
@@ -379,22 +380,25 @@ object Gnn {
     // fixed-order 4-term score fold (identical IEEE op sequence in the oracle)
     val sExpr = scoreFold(sgdW)
     val sig = lit(1.0) / (lit(1.0) + exp(-sExpr))
+    // 1e9-scaled BIGINT sums (the TrainOps.gradEval device — exact,
+    // order-blind, codegen-fast; both engines round the same IEEE product)
     val scored = feat
       .withColumn("resid", round(sig - col("y"), 9))
-      .withColumn("lossr", round(-(col("y") * log(sig)
-        + (lit(1.0) - col("y")) * log(lit(1.0) - sig)), 9))
+      .withColumn("lossr9", round((-(col("y") * log(sig)
+        + (lit(1.0) - col("y")) * log(lit(1.0) - sig))) * lit(1.0e9), 0).cast("bigint"))
     val gradAggs = (1 to 4).map(j =>
-      sum(round(col("resid") * col(s"f$j"), 9).cast("decimal(38,9)")).as(s"g$j"))
+      sum(round(col("resid") * col(s"f$j") * lit(1.0e9), 0).cast("bigint")).as(s"g$j"))
     val aggs = Seq(
       sum(when(col("y") === 1.0, 1L).otherwise(0L)).as("n_pos"),
       sum(when(col("y") === 0.0, 1L).otherwise(0L)).as("n_neg"),
       count(lit(1)).as("n_ex"),
-      sum(col("lossr").cast("decimal(38,9)")).as("losssum")) ++ gradAggs
+      sum(col("lossr9")).as("losssum")) ++ gradAggs
     scored.agg(aggs.head, aggs.tail: _*)
       .select(col("n_pos") +: col("n_neg") +:
-        round(col("losssum").cast("double") / col("n_ex"), 6).as("mean_loss") +:
+        round(col("losssum").cast("double") / lit(1.0e9) / col("n_ex"), 6).as("mean_loss") +:
         (1 to 4).map(j =>
-          round(lit(sgdW(j)) - lit(SgdEta) * (col(s"g$j").cast("double") / col("n_ex")), 6)
+          round(lit(sgdW(j)) - lit(SgdEta)
+            * (col(s"g$j").cast("double") / lit(1.0e9) / col("n_ex")), 6)
             .as(s"w${j}_new")): _*)
   }
 
@@ -426,7 +430,7 @@ object Gnn {
     * query and the skip-gram context extraction, materialized ONCE per
     * (session, fixture): the iterative walk build is the expensive
     * part and both consumers read the identical table. */
-  private def walkPaths(s: SparkSession, dir: String): DataFrame =
+  private[graft] def walkPaths(s: SparkSession, dir: String): DataFrame =
     Mv.memo(s, s"walkPaths|$dir") { buildWalkPaths(s, dir).localCheckpoint() }
 
   private def buildWalkPaths(s: SparkSession, dir: String): DataFrame = {

@@ -546,7 +546,13 @@ object GraphOps {
     * keyed aggregations over the edge list with the score tables
     * broadcast — the pagerank execution shape. */
   def q_graph_hits(s: SparkSession, dir: String): DataFrame = {
-    val e = edges(s, dir)
+    // coalesce the checkpointed edge MV for the iterative scans: each of
+    // the 10 matvec jobs is scheduler-bound at this |E| (tiny rows, 32
+    // blocks) — 8 wider tasks cut per-job latency without a shuffle
+    // (narrow dependency over the checkpoint blocks). At a scale where
+    // |E|/8 no longer fits a task comfortably, drop the coalesce — the
+    // loop is correct under any partitioning.
+    val e = edges(s, dir).coalesce(8)
     var auth = e.select(col("dst").as("node")).distinct()
       .select(col("node"), lit(1.0).as("a"))
     for (_ <- 1 to HitsIters) {
@@ -555,24 +561,30 @@ object GraphOps {
       // ≤ 1 post-max-norm so overflow needs ~9e9 neighbors, DECIMAL
       // being the swap there) — the round-6 double-SUM retirement sweep.
       // hRaw/aRaw each feed TWO branches (the max-norm broadcast and the
-      // main chain) and are deliberately NOT persisted: A/B-measured,
-      // caching the 15k-row aggregates per iteration (columnar
-      // InMemoryRelation build + codegen-pipeline break) costs ~2.5 s
-      // more per query than recomputing the cheap broadcast-join
-      // aggregation (9.5 s vs 6.9 s steady-state at sf0.1).
+      // main chain); WITHOUT a cut, each downstream broadcast build
+      // re-executes the |E|-scan join+agg, ~6 edge scans per iteration
+      // (the r06 job-count indictment: ~25 jobs / 8.7 s for 5
+      // iterations). localCheckpoint materializes the 15k-row aggregate
+      // ONCE per leg — 2 edge scans per iteration, every max-norm /
+      // broadcast consumer reads the materialized blocks. (Plain
+      // .persist was A/B-measured ~2.5 s SLOWER here — columnar
+      // InMemoryRelation build + codegen-pipeline break — but it also
+      // never cut the recompute chain for the broadcast subqueries;
+      // the checkpoint does both.)
       val hRaw = e.join(broadcast(auth.select(col("node").as("an"), col("a"))),
           col("dst") === col("an"))
         .groupBy(col("src"))
         .agg((sum(round(col("a") * 1e9, 0).cast("bigint")).cast("double") / 1e9).as("h"))
+        .localCheckpoint()
       val hub = hRaw.crossJoin(broadcast(hRaw.agg(max(col("h")).as("hm"))))
         .select(col("src"), (col("h") / col("hm")).as("h"))
       val aRaw = e.join(broadcast(hub.select(col("src").as("hn"), col("h"))),
           col("src") === col("hn"))
         .groupBy(col("dst"))
         .agg((sum(round(col("h") * 1e9, 0).cast("bigint")).cast("double") / 1e9).as("ar"))
+        .localCheckpoint()
       auth = aRaw.crossJoin(broadcast(aRaw.agg(max(col("ar")).as("am"))))
         .select(col("dst").as("node"), (col("ar") / col("am")).as("a"))
-        .localCheckpoint()
     }
     auth.select(col("node").as("part_key"), round(col("a"), 6).as("authority"))
       .orderBy(col("authority").desc, col("part_key").asc)

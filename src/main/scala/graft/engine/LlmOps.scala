@@ -434,7 +434,7 @@ object LlmOps {
     * 0.8-jaccard pair graph — the min-label fixpoint, materialized ONCE
     * per (session, fixture) because both dedup accounting passes (and
     * any future canonical-doc selection) consume the same components. */
-  private[engine] def dedupLabels(s: SparkSession, dir: String): DataFrame =
+  private[graft] def dedupLabels(s: SparkSession, dir: String): DataFrame =
     Mv.memo(s, s"dedupLabels|$dir") {
       val docs = dedupDocs(s, dir)
       val a = docs.select(col("lang"), col("doc_id").as("doc_a"), col("nt").as("pna"))

@@ -1113,8 +1113,9 @@ object Oracle {
 
     // One full-batch logistic gradient step. Mirrors the Spark query's
     // arithmetic step for step: round-6 neighborhood means, fixed-order
-    // 4-term score fold, round-9 sigmoid residual/log-loss, exact
-    // DECIMAL(38,9) sums (order-blind), pinned-order weight update.
+    // 4-term score fold, round-9 sigmoid residual, exact 1e9-scaled
+    // BIGINT loss/gradient sums (order-blind, both engines round the
+    // same IEEE product), pinned-order weight update.
     "q_gnn_sgd_step" -> {
       val w = (1 to 4).map(j => s"(CAST(${(j - 1) * 17 % 7 - 3} AS DOUBLE)/10)")
       val sFold = (2 to 4).foldLeft(s"${w(0)}*f1")((acc, j) => s"$acc + ${w(j - 1)}*f$j")
@@ -1123,9 +1124,9 @@ object Oracle {
         .map(j => s"ROUND(AVG(CAST(emb.embedding[$j] AS DOUBLE)), 6) AS m$j").mkString(", ")
       val feats = (1 to 4).map(j => s"m.m$j * CAST(emb.embedding[$j] AS DOUBLE) AS f$j").mkString(", ")
       val grads = (1 to 4)
-        .map(j => s"SUM(CAST(ROUND(resid*f$j, 9) AS DECIMAL(38,9))) AS g$j").mkString(", ")
+        .map(j => s"SUM(CAST(ROUND(resid*f$j*1e9, 0) AS BIGINT)) AS g$j").mkString(", ")
       val wNew = (1 to 4)
-        .map(j => s"ROUND(${w(j - 1)} - (CAST(1 AS DOUBLE)/10) * (CAST(g$j AS DOUBLE) / n_ex), 6) AS w${j}_new")
+        .map(j => s"ROUND(${w(j - 1)} - (CAST(1 AS DOUBLE)/10) * (CAST(g$j AS DOUBLE) / 1e9 / n_ex), 6) AS w${j}_new")
         .mkString(", ")
       s"""WITH $edgesCte,
          |ne AS (SELECT COUNT(*) AS c FROM embeddings),
@@ -1151,17 +1152,17 @@ object Oracle {
          |         JOIN m ON m.cust = ex.src),
          |sc AS (SELECT y, f1, f2, f3, f4,
          |         ROUND($sig - y, 9) AS resid,
-         |         ROUND(-(y*ln($sig) + (1-y)*ln(1 - $sig)), 9) AS lossr
+         |         CAST(ROUND(-(y*ln($sig) + (1-y)*ln(1 - $sig)) * 1e9, 0) AS BIGINT) AS lossr9
          |       FROM feat),
          |agg AS (SELECT
          |  CAST(SUM(CASE WHEN y = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_pos,
          |  CAST(SUM(CASE WHEN y = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_neg,
          |  COUNT(*) AS n_ex,
-         |  SUM(CAST(lossr AS DECIMAL(38,9))) AS losssum,
+         |  SUM(lossr9) AS losssum,
          |  $grads
          |FROM sc)
          |SELECT n_pos, n_neg,
-         |  ROUND(CAST(losssum AS DOUBLE) / n_ex, 6) AS mean_loss,
+         |  ROUND(CAST(losssum AS DOUBLE) / 1e9 / n_ex, 6) AS mean_loss,
          |  $wNew
          |FROM agg""".stripMargin
     },
@@ -2371,18 +2372,21 @@ object Oracle {
     * 1-row CTE `$wFrom` (columns w1..w4). */
   private def gradStepCtes(t: Int, wFrom: String): String = {
     val sig = s"1/(1+exp(-(${scoreFoldSql(j => s"w.w$j")})))"
+    // 1e9-scaled BIGINT sums mirroring TrainOps.gradEval: round the SAME
+    // IEEE product x*1e9 in both engines (zero near-tie divergence,
+    // unlike decimal-vs-float ROUND(x,9)), sum exact longs.
     val grads = (1 to 4)
-      .map(j => s"SUM(CAST(ROUND(resid*f$j, 9) AS DECIMAL(38,9))) AS g$j").mkString(", ")
+      .map(j => s"SUM(CAST(ROUND(resid*f$j*1e9, 0) AS BIGINT)) AS g$j").mkString(", ")
     s"""sc$t AS (SELECT y, f1, f2, f3, f4,
        |    ROUND($sig - y, 9) AS resid,
-       |    ROUND(-(y*ln($sig) + (1-y)*ln(1 - $sig)), 9) AS lossr
+       |    CAST(ROUND(-(y*ln($sig) + (1-y)*ln(1 - $sig)) * 1e9, 0) AS BIGINT) AS lossr9
        |  FROM feat CROSS JOIN $wFrom w),
        |ag$t AS (SELECT COUNT(*) AS n_ex,
-       |    SUM(CAST(lossr AS DECIMAL(38,9))) AS losssum, $grads
+       |    SUM(lossr9) AS losssum, $grads
        |  FROM sc$t),
        |gn$t AS (SELECT n_ex,
-       |    ROUND(CAST(losssum AS DOUBLE) / n_ex, 6) AS mean_loss,
-       |    ${(1 to 4).map(j => s"CAST(g$j AS DOUBLE) / n_ex AS gn$j").mkString(", ")}
+       |    ROUND(CAST(losssum AS DOUBLE) / 1e9 / n_ex, 6) AS mean_loss,
+       |    ${(1 to 4).map(j => s"CAST(g$j AS DOUBLE) / 1e9 / n_ex AS gn$j").mkString(", ")}
        |  FROM ag$t)""".stripMargin
   }
 

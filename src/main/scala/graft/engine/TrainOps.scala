@@ -19,7 +19,7 @@ import org.apache.spark.sql.functions._
   * cached-training-set shape a real epoch loop has.
   *
   * Cross-engine determinism: the per-step gradient/loss sums are exact
-  * DECIMAL(38,9) (order-blind); every scalar weight/moment update is
+  * 1e9-scaled BIGINT sums (order-blind); every scalar weight/moment update is
   * double math in a pinned operation order, mirrored expression-for-
   * expression in the oracle CTE chain; σ/log-loss round at 9dp to absorb
   * libm exp/ln last-ulp differences (the q_gnn_sgd_step recipe). The
@@ -41,21 +41,34 @@ object TrainOps {
   /** One full-batch gradient evaluation at weights w: returns
     * (mean_loss rounded 6dp, g_j/N as full doubles) — all computed
     * engine-side so the collected scalars are bit-identical to the
-    * oracle's CTE columns. */
+    * oracle's CTE columns.
+    *
+    * The per-term sums use the 1e9-scaled BIGINT device (round the IEEE
+    * product x·1e9 to an integer, sum as long) rather than per-term
+    * ROUND(x,9) into DECIMAL(38,9): the scaled form is exact and
+    * order-blind like the decimal form, but the long accumulation stays
+    * inside whole-stage codegen (the BigDecimal-backed decimal sum was
+    * measured 3× slower on the 12M-row Adamic–Adar path) AND rounds the
+    * identical IEEE product in both engines, where ROUND(x,9) is a
+    * decimal-vs-float near-tie split (~1e-5 of terms). Overflow headroom:
+    * |loss| ≲ 25 and |resid·f| ≲ 5 → ≲2.5e10 per scaled term, ~9e18/2.5e10
+    * ≈ 3.7e8 examples per overflow — DECIMAL is the swap past that. */
   private def gradEval(feat: DataFrame, w: Array[Double]): Row = {
     val sExpr = Gnn.scoreFold(j => w(j - 1))
     val sig = lit(1.0) / (lit(1.0) + exp(-sExpr))
     val scored = feat
       .withColumn("resid", round(sig - col("y"), 9))
-      .withColumn("lossr", round(-(col("y") * log(sig)
-        + (lit(1.0) - col("y")) * log(lit(1.0) - sig)), 9))
+      .withColumn("lossr9", round((-(col("y") * log(sig)
+        + (lit(1.0) - col("y")) * log(lit(1.0) - sig))) * lit(1.0e9), 0).cast("bigint"))
     val gradAggs = (1 to 4).map(j =>
-      sum(round(col("resid") * col(s"f$j"), 9).cast("decimal(38,9)")).as(s"g$j"))
+      sum(round(col("resid") * col(s"f$j") * lit(1.0e9), 0).cast("bigint")).as(s"g$j"))
     val aggs = Seq(count(lit(1)).as("n_ex"),
-      sum(col("lossr").cast("decimal(38,9)")).as("losssum")) ++ gradAggs
+      sum(col("lossr9")).as("losssum")) ++ gradAggs
     scored.agg(aggs.head, aggs.tail: _*)
-      .select(round(col("losssum").cast("double") / col("n_ex"), 6).as("mean_loss") +:
-        (1 to 4).map(j => (col(s"g$j").cast("double") / col("n_ex")).as(s"gn$j")): _*)
+      .select(round(col("losssum").cast("double") / lit(1.0e9) / col("n_ex"), 6)
+          .as("mean_loss") +:
+        (1 to 4).map(j =>
+          (col(s"g$j").cast("double") / lit(1.0e9) / col("n_ex")).as(s"gn$j")): _*)
       .collect()(0)
   }
 
