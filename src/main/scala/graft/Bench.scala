@@ -165,8 +165,15 @@ object Bench {
     val retimedJson = retimed.toSeq.sortBy(_._1).map { case (k, (a, b)) =>
       "\"" + k + "\":{\"first\":" + f3(a) + ",\"retime\":" + f3(b) + "}"
     }.mkString("{", ",", "}")
+    // MV registry footprint (VERDICT r6 item 8): how many session MVs are
+    // held and the application's persisted-block bytes — the number that
+    // would grow unbounded in a long-lived session without Mv.evict.
+    val (mvN, rddN, memB, diskB) = engine.Mv.census(spark)
+    System.err.println(s"[bench] mv census: $mvN MVs, $rddN persisted RDDs, " +
+      s"mem=${memB / 1048576} MiB, disk=${diskB / 1048576} MiB")
+    val mvJson = s"""{"n":$mvN,"rdds":$rddN,"mem_mb":${memB / 1048576}}"""
     val head =
-      s""""canary":{"start":${f3(canaryStart)},"mid":${f3(canaryMid)},"end":${f3(canaryEnd)}},"retimed":$retimedJson,"warmup_failed":[$wfail],"n_queries":${results.size},"n_failed":${failed.size},"failed":[${failed.mkString(",")}],"sf":"$sfDir","metric":"total","unit":"sec","value":${f3(total)}"""
+      s""""canary":{"start":${f3(canaryStart)},"mid":${f3(canaryMid)},"end":${f3(canaryEnd)}},"retimed":$retimedJson,"mv":$mvJson,"warmup_failed":[$wfail],"n_queries":${results.size},"n_failed":${failed.size},"failed":[${failed.mkString(",")}],"sf":"$sfDir","metric":"total","unit":"sec","value":${f3(total)}"""
     // Complete per-query map (alphabetical) → target/bench.json.
     val full = s"""{"queries":${qmap(results)},$head}"""
     val out = new java.io.File("target/bench.json")

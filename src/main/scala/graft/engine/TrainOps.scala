@@ -134,23 +134,48 @@ object TrainOps {
     * initial-weight scores over positives vs negatives, with average
     * ranks for ties — AUC = (Σ_{p,n}[s_p > s_n] + ½[s_p = s_n]) / (P·N),
     * computed without materializing pairs: group examples by distinct
-    * score (scores are bit-identical across engines — a fixed-order fold
-    * of exact products, no rounding), then one ordered pass over the
-    * score histogram accumulates 2·Σ contributions as exact integers;
-    * ONE double division at the end. The global window runs over
-    * DISTINCT scores (≪ examples), the same bounded-ordered-scan shape
-    * as q_topk_global. */
+    * score, then a cumulative negative-count sweep over the score ladder
+    * accumulates 2·Σ contributions as exact integers; ONE double
+    * division at the end.
+    *
+    * The ladder is NOT small — the scores are products of round-6 means
+    * × float embeddings and are ~96% unique (2.29M distinct of 2.39M
+    * examples at sf0.1) — so a global unpartitioned window here would be
+    * a single-partition sort of nearly the whole example set (the silent
+    * global-sort class VERDICT r6 item 5 flags). The cumulative count is
+    * instead a classic DISTRIBUTED prefix sum: range-partition the
+    * ladder by score (equal scores land in one partition; ascending
+    * partition ids hold ascending ranges), cumsum WITHIN each partition
+    * via a pid-partitioned window (parallel), collect only the
+    * per-partition totals (≤ numShufflePartitions rows — bounded by
+    * cluster config, not data), exclusive-prefix-sum them on the driver,
+    * and broadcast the offsets back. Exact, order-blind, and every
+    * stage scales with executors. The checkpoint pins spark_partition_id
+    * so both consumers (offset aggregation + main sweep) see one
+    * materialized partitioning instead of re-sampling range bounds. */
   def q_gnn_link_pred_auc(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
     val scored = Gnn.linkPredFeatures(s, dir)
       .select(col("y"), Gnn.scoreFold(Gnn.sgdW).as("sc"))
     val grp = scored.groupBy(col("sc")).agg(
       sum(when(col("y") === 1.0, 1L).otherwise(0L)).as("p"),
       sum(when(col("y") === 0.0, 1L).otherwise(0L)).as("n"))
-    val wsp = Window.orderBy(col("sc"))
+    val nParts = s.sessionState.conf.numShufflePartitions
+    val parted = grp.repartitionByRange(nParts, col("sc"))
+      .withColumn("pid", spark_partition_id())
+      .localCheckpoint()
+    val offsets = parted.groupBy(col("pid")).agg(sum(col("n")).as("pn"))
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).sortBy(_._1)
+      .scanLeft((-1, 0L, 0L)) { case ((_, acc, pn0), (pid, pn)) =>
+        (pid, acc + pn0, pn)
+      }.drop(1).map { case (pid, off, _) => (pid, off) }.toSeq
+    val offDf = broadcast(offsets.toDF("opid", "off"))
+    val wIn = Window.partitionBy(col("pid")).orderBy(col("sc"))
       .rowsBetween(Window.unboundedPreceding, -1)
-    grp.withColumn("cumn", coalesce(sum(col("n")).over(wsp), lit(0L)))
+    parted.withColumn("cumn_in", coalesce(sum(col("n")).over(wIn), lit(0L)))
+      .join(offDf, col("pid") === col("opid"))
       .select(col("p"), col("n"),
-        (col("p") * (lit(2L) * col("cumn") + col("n"))).as("c2"))
+        (col("p") * (lit(2L) * (col("off") + col("cumn_in")) + col("n"))).as("c2"))
       .agg(sum(col("p")).as("n_pos"), sum(col("n")).as("n_neg"),
         sum(col("c2")).as("num2"))
       .select(col("n_pos"), col("n_neg"),

@@ -241,4 +241,59 @@ class PlanAuditSpec extends AnyFunSuite {
       spark.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", prevA)
     }
   }
+
+  // ── unpartitioned-window audit (VERDICT r6 item 5) ──────────────────
+  // A window without PARTITION BY is a single-partition sort of its
+  // whole input. The engine's standard: such a window is legal ONLY
+  // over an input bounded by something other than data volume (a vocab,
+  // a value domain, a fixed spine) — never a fact table. These pins
+  // make a fixture change that silently breaks a bound fail CI.
+
+  test("link-pred AUC has NO unpartitioned window (distributed prefix sum)") {
+    // the score ladder is ~96% of the example count (measured sf0.1:
+    // 2.29M distinct of 2.39M) — it grows with the data, so the cumsum
+    // must never fall back to a global window
+    val df = SparkEntry.queries("q_gnn_link_pred_auc")(spark, sf0001)
+    val wins = df.queryExecution.sparkPlan.collect {
+      case w: org.apache.spark.sql.execution.window.WindowExec => w
+    }
+    assert(wins.nonEmpty, "expected the pid-partitioned cumsum window")
+    wins.foreach(w => assert(w.partitionSpec.nonEmpty,
+      s"AUC window must be partitioned (distributed prefix sum):\n$w"))
+  }
+
+  test("tokenizer-coverage ladder is vocab-bounded (global window is legal)") {
+    // the ranked ladder the two global windows sort is the DISTINCT
+    // token vocabulary — scale-independent (31 tokens in the synthetic
+    // fixture at every sf; a natural-language corpus is ~1e5-1e6, still
+    // executor-memory-sized). Pin the bound so a tokenization change
+    // (e.g. char-grams of raw text) can't silently make it corpus-sized.
+    import org.apache.spark.sql.functions._
+    val vocab = graft.engine.Tables.documents(spark, sf001)
+      .select(explode(split(col("text"), " ")).as("tok"))
+      .filter(length(col("tok")) > 0)
+      .select(col("tok")).distinct().count()
+    assert(vocab <= 10000L,
+      s"tokenizer ladder must stay vocab-bounded, got $vocab distinct tokens")
+  }
+
+  test("KS value ladder is value-domain-bounded and event_type-partitioned") {
+    // the cumulative window partitions by event_type and sorts the
+    // distinct ROUND(value*100) cents ladder — bounded by the value
+    // domain (measured: 1826/type at sf0.01, 9913/type at sf0.1),
+    // not by event count
+    import org.apache.spark.sql.functions._
+    val maxLadder = graft.engine.Tables.events(spark, sf001)
+      .select(col("event_type"), round(col("value") * 100, 0).as("c"))
+      .distinct().groupBy(col("event_type")).count()
+      .agg(max(col("count"))).collect()(0).getLong(0)
+    assert(maxLadder <= 20001L,
+      s"KS ladder must stay value-domain-bounded, got $maxLadder rows/type")
+    val wins = SparkEntry.queries("q_agg_ks_test")(spark, sf0001)
+      .queryExecution.sparkPlan.collect {
+        case w: org.apache.spark.sql.execution.window.WindowExec => w
+      }
+    wins.foreach(w => assert(w.partitionSpec.nonEmpty,
+      s"KS cumulative window must partition by event_type:\n$w"))
+  }
 }

@@ -1,0 +1,92 @@
+package graft
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.streaming.OutputMode
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.engine.StreamingOps
+
+/** Checkpoint/restart recovery (VERDICT r6 item 4): the exactly-once
+  * story of SURVEY §3.2 E2, demonstrated rather than asserted. A
+  * flatMapGroupsWithState query (event-time timers, RocksDB state
+  * store — the 100 TB backend) is STOPPED mid-stream while its state
+  * holds pending sessions, restarted from the same checkpoint
+  * directory, and fed the rest of the stream; the recovered run's file
+  * sink must equal an uninterrupted run of the identical input —
+  * sessions bridged ACROSS the kill prove the state store round-trip,
+  * and set-equality (no duplicates) proves exactly-once output.
+  */
+class RecoverySpec extends AnyFunSuite {
+  import TestSpark._
+
+  private def ts(h: Int, m: Int) = Timestamp.valueOf(f"2024-01-01 $h%02d:$m%02d:00")
+
+  /** Events: user 1 has a session spanning the kill point (01:00,01:10
+    * before; 01:20 after — within the 30-min gap), user 2's session
+    * lives entirely before the kill, user 3's entirely after. The final
+    * 09:00 event advances the watermark far enough to seal everything. */
+  private val batch1 = Seq(
+    E(1, 1, ts(1, 0), "click", 0), E(2, 1, ts(1, 10), "click", 0),
+    E(3, 2, ts(1, 5), "view", 0))
+  private val batch2 = Seq(
+    E(4, 1, ts(1, 20), "click", 0),
+    E(5, 3, ts(2, 0), "view", 0),
+    E(6, 9, ts(9, 0), "click", 0))
+
+  /** Run timedSessions over the batches with a parquet sink; `kill`
+    * stops the query between the two batches and restarts a NEW query
+    * from the same checkpoint. Returns the sealed sessions. */
+  private def run(kill: Boolean): Set[(Long, Long, Timestamp)] = {
+    val s = spark
+    import s.implicits._
+    implicit val sq = s.sqlContext
+    val root = java.nio.file.Files.createTempDirectory("graft_recov").toString
+    val (ckpt, out) = (s"$root/ckpt", s"$root/out")
+    val ms = MemoryStream[E]
+    def start() = StreamingOps.timedSessions(s, ms.toDF())
+      .writeStream.outputMode(OutputMode.Append)
+      .option("checkpointLocation", ckpt)
+      .format("parquet").option("path", out).start()
+    var q = start()
+    ms.addData(batch1: _*)
+    q.processAllAvailable()
+    if (kill) {
+      // the stop happens while user 1's and user 3's work is incomplete:
+      // state holds pending (unsealed) sessions that must survive
+      q.stop()
+      q = start()
+    }
+    ms.addData(batch2: _*)
+    q.processAllAvailable()
+    q.stop()
+    s.read.parquet(out).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getTimestamp(2))).toSet
+  }
+
+  test("fGWS sessions survive a kill+restart from checkpoint (RocksDB provider)") {
+    val s = spark
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = s.conf.getOption(key)
+    s.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val uninterrupted = run(kill = false)
+      val recovered = run(kill = true)
+      // user 1's session must BRIDGE the kill point: 3 events ending
+      // 01:20 — only possible if the pending pre-kill session state was
+      // restored from the checkpoint
+      assert(recovered.contains((1L, 3L, ts(1, 20))),
+        s"session spanning the restart must be bridged: $recovered")
+      assert(recovered == uninterrupted,
+        s"recovered run must equal the uninterrupted run:\n" +
+          s"  recovered     = $recovered\n  uninterrupted = $uninterrupted")
+    } finally {
+      prev match {
+        case Some(p) => s.conf.set(key, p)
+        case None => s.conf.unset(key)
+      }
+    }
+  }
+}
