@@ -165,6 +165,18 @@ object Bench {
     val retimedJson = retimed.toSeq.sortBy(_._1).map { case (k, (a, b)) =>
       "\"" + k + "\":{\"first\":" + f3(a) + ",\"retime\":" + f3(b) + "}"
     }.mkString("{", ",", "}")
+    // Approx-operator error bounds (VERDICT r6 item 7): measured deltas
+    // of the self-checked tier vs exact twins, archived as an artifact.
+    // Post-sweep so every input is warm; a failure must not kill the run.
+    try {
+      val ab = ApproxBounds.measureJson(spark, sfDir)
+      val abOut = new java.io.File("target/approx_bounds.json")
+      val abW = new java.io.PrintWriter(abOut, "UTF-8")
+      try abW.println(ab) finally abW.close()
+      System.err.println(s"[bench] approx bounds: $ab")
+    } catch { case e: Throwable =>
+      System.err.println(s"[bench] approx bounds FAILED: ${e.getMessage}")
+    }
     // MV registry footprint (VERDICT r6 item 8): how many session MVs are
     // held and the application's persisted-block bytes — the number that
     // would grow unbounded in a long-lived session without Mv.evict.

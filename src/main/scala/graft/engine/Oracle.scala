@@ -998,7 +998,32 @@ object Oracle {
         |  COUNT(*) AS n_media,
         |  CAST(SUM(ascii(substr(text, 1, 1)) + 1) AS BIGINT) AS width_sum,
         |  CAST(SUM(length(text)) AS BIGINT) AS bytes_sum
-        |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin
+        |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // Real-PNG round trip: dims from the first two payload bytes
+    // (w = b0%24+8, h = b1%16+8), pixel (y,x) = byte (y*w+x) mod len —
+    // the oracle replays the pixel grid from the (verified all-ASCII)
+    // text via a bounded spine join (max w*h = 31*23 = 713 < 768), so a
+    // divergence anywhere in the PNG encode→decode pipeline breaks the
+    // exact px_sum compare.
+    "q_mm_decode_real" ->
+      """WITH imgs AS (
+        |  SELECT doc_id AS media_id, text, length(text) AS len,
+        |    (ascii(substr(text, 1, 1)) % 24) + 8 AS w,
+        |    ((CASE WHEN length(text) > 1 THEN ascii(substr(text, 2, 1))
+        |           ELSE 0 END) % 16) + 8 AS h
+        |  FROM documents
+        |  WHERE CAST(doc_id % 3 AS INT) = 0 AND length(text) > 0),
+        |spine AS (SELECT i FROM range(0, 768) t(i)),
+        |px AS (
+        |  SELECT m.media_id, m.w, m.h,
+        |    ascii(substr(m.text, CAST(s.i % m.len AS INT) + 1, 1)) AS v
+        |  FROM imgs m JOIN spine s ON s.i < m.w * m.h),
+        |per AS (SELECT media_id, w, h, SUM(v) AS px_sum FROM px GROUP BY 1, 2, 3)
+        |SELECT CAST(w AS INT) AS width, COUNT(*) AS n_images,
+        |  CAST(SUM(h) AS BIGINT) AS height_sum,
+        |  CAST(SUM(px_sum) AS BIGINT) AS px_sum
+        |FROM per GROUP BY 1 ORDER BY 1""".stripMargin
   )
 
   /** §2.11 — GNN forward layers: the seeded 64×64 matmul unrolled into
