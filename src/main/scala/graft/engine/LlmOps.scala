@@ -718,28 +718,31 @@ object LlmOps {
       .select(col("sa"), col("sb"),
         round(cosSimPre(s)(col("va"), col("vb"), col("na"), col("nb")), 6).as("sim"))
       .localCheckpoint()
+    // The greedy rerank is inherently sequential and POOL-BOUNDED: both
+    // inputs are ≤ MmrPool (20) rows resp. ≤ MmrPool² pairs, so collect
+    // them ONCE and run the k steps in memory — identical arithmetic
+    // (λ·rel − (1−λ)·max-sim on the same round-6 doubles, same
+    // score-desc/id-asc tie order), but one driver round-trip instead of
+    // k scheduler jobs over a 20-row table. The distributed work — the
+    // corpus-wide relevance scan and the pool sim matrix — stays above.
+    val candRows = cand.select(col("vec_id"), col("rel")).collect()
+      .map(r => (r.getLong(0), r.getDouble(1)))
+    val simMap = sims.select(col("sa"), col("sb"), col("sim")).collect()
+      .map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
     val selIds = scala.collection.mutable.ArrayBuffer.empty[Long]
     val out = scala.collection.mutable.ArrayBuffer.empty[(Int, Long, Double, Double)]
     for (step <- 1 to MmrK) {
-      val remaining =
-        if (selIds.isEmpty) cand
-        else cand.filter(!col("vec_id").isin(selIds.toSeq: _*))
-      val pen =
-        if (selIds.isEmpty) remaining.withColumn("ms", lit(0.0))
-        else {
-          val selSims = sims.filter(col("sb").isin(selIds.toSeq: _*))
-            .groupBy(col("sa")).agg(max(col("sim")).as("m"))
-          remaining.join(selSims, col("vec_id") === col("sa"), "left_outer")
-            .select(col("vec_id"), col("rel"),
-              coalesce(col("m"), lit(0.0)).as("ms"))
+      val best = candRows.iterator
+        .filterNot { case (id, _) => selIds.contains(id) }
+        .map { case (id, rel) =>
+          val ms =
+            if (selIds.isEmpty) 0.0
+            else selIds.iterator.map(sb => simMap.getOrElse((id, sb), 0.0)).max
+          (id, rel, MmrLambda * rel - (1.0 - MmrLambda) * ms)
         }
-      val r = pen.select(col("vec_id"), col("rel"),
-          (lit(MmrLambda) * col("rel")
-            - lit(1.0 - MmrLambda) * col("ms")).as("score"))
-        .orderBy(col("score").desc, col("vec_id").asc)
-        .limit(1).collect()(0)
-      selIds += r.getLong(0)
-      out += ((step, r.getLong(0), r.getDouble(1), r.getDouble(2)))
+        .minBy { case (id, _, score) => (-score, id) }
+      selIds += best._1
+      out += ((step, best._1, best._2, best._3))
     }
     import s.implicits._
     out.toSeq.toDF("rank", "vec_id", "rel", "score").orderBy("rank")

@@ -31,17 +31,28 @@ object SketchOps {
     val toks = Tables.documents(s, dir)
       .select(explode(split(col("text"), " ")).as("tok"))
       .filter(length(col("tok")) > 0)
+    // Vocabulary-bounded checkpoint: three consumers (top-10 probe set,
+    // sketch build, estimate join) would otherwise each re-run the
+    // corpus-sized token explode + count.
     val exact = toks.groupBy(col("tok")).agg(count(lit(1)).as("exact"))
+      .localCheckpoint()
     val top = exact
       .orderBy(col("exact").desc, col("tok").asc)
       .limit(10)
 
-    val salted = toks.select(col("tok"),
+    // The grid cell (d, b) holds Σ count(tok) over tokens hashing to b —
+    // so build it as a WEIGHTED insert from the per-token counts already
+    // in hand (vocab-sized: |V|×depth rows) instead of re-exploding every
+    // token INSTANCE ×depth (corpus-sized). Identical cell values; this
+    // is the standard batch-side CMS construction. The instance-at-a-time
+    // maintainer lives in q_stream_cms, where it belongs.
+    val salted = exact.select(col("tok"), col("exact"),
       explode(array((0 until CmsDepth).map(lit): _*)).as("d"))
       .select(col("d"),
         pmod(Dsl.md5Hash60(concat(col("d").cast("string"), lit(":"), col("tok"))),
-          lit(CmsWidth)).as("bucket"))
-    val cms = salted.groupBy(col("d"), col("bucket")).agg(count(lit(1)).as("c"))
+          lit(CmsWidth)).as("bucket"),
+        col("exact"))
+    val cms = salted.groupBy(col("d"), col("bucket")).agg(sum(col("exact")).as("c"))
 
     val probes = top.select(col("tok"), col("exact"),
       explode(array((0 until CmsDepth).map(lit): _*)).as("d"))

@@ -262,6 +262,31 @@ class PlanAuditSpec extends AnyFunSuite {
       s"AUC window must be partitioned (distributed prefix sum):\n$w"))
   }
 
+  test("CMS sketch builds from the vocab-sized count table, not a corpus re-scan") {
+    // the grid cell (d,b) is Σ count(tok) over tokens hashing to b, so the
+    // sketch must derive from the checkpointed per-token counts (weighted
+    // insert, |V|×depth rows); a plan that re-reads parquet is re-exploding
+    // every token INSTANCE ×depth — corpus-sized work for vocab-sized output
+    val df = SparkEntry.queries("q_llm_cms_topk")(spark, sf0001)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    assert(!p.contains("Scan parquet"),
+      s"sketch build must consume the materialized count table:\n$p")
+  }
+
+  test("label-smoothness endpoint joins broadcast the node-label table") {
+    // the node-label table is |V|-bounded and checkpointed once; both
+    // endpoint joins must be broadcast hash joins over ONE pair-table
+    // scan — a sort-merge join here re-sorts the pair table per leg
+    val df = SparkEntry.queries("q_gnn_label_smoothness")(spark, sf0001)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    assert(!p.contains("SortMergeJoin"),
+      s"endpoint label joins must broadcast, not shuffle-sort:\n$p")
+    assert("BroadcastHashJoin".r.findAllIn(p).size >= 2,
+      s"both endpoint joins must be broadcast:\n$p")
+  }
+
   test("tokenizer-coverage ladder is vocab-bounded (global window is legal)") {
     // the ranked ladder the two global windows sort is the DISTINCT
     // token vocabulary — scale-independent (31 tokens in the synthetic
