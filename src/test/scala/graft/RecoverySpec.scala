@@ -65,6 +65,86 @@ class RecoverySpec extends AnyFunSuite {
       .map(r => (r.getLong(0), r.getLong(1), r.getTimestamp(2))).toSet
   }
 
+  /** Same recovery story for the MODERN arbitrary-state API
+    * (`transformWithState`, Spark 4 StatefulProcessor with typed
+    * ValueState handles): kill the query between micro-batches while
+    * every key holds accumulated state, restart from the checkpoint,
+    * and require the final per-user snapshot to equal the uninterrupted
+    * run — counts and cent-exact sums must BRIDGE the kill, which is
+    * only possible if the ValueState round-tripped through the RocksDB
+    * checkpoint. (Update-mode memory sink: the post-restart rows embed
+    * the cumulative state, so equality of the final per-key snapshot is
+    * the state-recovery proof.) */
+  /** Cent-bearing variants of the two batches so the exact-cents sum
+    * (not just the count) must bridge the kill. */
+  private val twsBatch1 = Seq(
+    E(1, 1, ts(1, 0), "click", 1.25), E(2, 1, ts(1, 10), "click", 2.50),
+    E(3, 2, ts(1, 5), "view", 0.75))
+  private val twsBatch2 = Seq(
+    E(4, 1, ts(1, 20), "click", 4.00),
+    E(5, 3, ts(2, 0), "view", 3.33))
+
+  private def runTws(kill: Boolean): Map[Long, (Long, Double)] = {
+    val s = spark
+    import s.implicits._
+    implicit val sq = s.sqlContext
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_recov_tws").toString
+    val ms = MemoryStream[E]
+    // foreachBatch is the checkpoint-recoverable sink here (the memory
+    // sink refuses recoverFromCheckpoint): committed batch ids are NOT
+    // re-run after the restart, so the in-JVM buffer — which outlives
+    // the killed query object — sees every emission exactly once.
+    val got = new java.util.concurrent.ConcurrentLinkedQueue[(Long, Long, Double)]
+    def start() = StreamingOps.statefulSnapshotTws(s, ms.toDF())
+      .writeStream.outputMode(OutputMode.Update())
+      .option("checkpointLocation", ckpt)
+      .foreachBatch { (df: org.apache.spark.sql.Dataset[StreamingOps.UserAgg], _: Long) =>
+        df.collect().foreach(r => got.add((r.user_id, r.n_events, r.total_value)))
+      }.start()
+    var q = start()
+    ms.addData(twsBatch1: _*)
+    q.processAllAvailable()
+    if (kill) {
+      q.stop()
+      q = start()
+    }
+    ms.addData(twsBatch2: _*)
+    q.processAllAvailable()
+    q.stop()
+    // highest-count Update-mode emission per user = the final state
+    // snapshot (n_events is monotone per key, so this is order-proof)
+    import scala.jdk.CollectionConverters._
+    got.asScala.toSeq.groupBy(_._1)
+      .map { case (u, rows) =>
+        val last = rows.maxBy(_._2)
+        u -> (last._2, last._3)
+      }
+  }
+
+  test("transformWithState ValueState survives a kill+restart from checkpoint") {
+    val s = spark
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = s.conf.getOption(key)
+    s.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val uninterrupted = runTws(kill = false)
+      val recovered = runTws(kill = true)
+      // user 1 has events on BOTH sides of the kill: its final count can
+      // only be 3 if the pre-kill ValueState was restored
+      assert(recovered(1L) == ((3L, 7.75)),
+        s"user 1 count and exact-cents sum must bridge the restart: $recovered")
+      assert(recovered == uninterrupted,
+        s"recovered snapshot must equal the uninterrupted run:\n" +
+          s"  recovered     = $recovered\n  uninterrupted = $uninterrupted")
+    } finally {
+      prev match {
+        case Some(p) => s.conf.set(key, p)
+        case None => s.conf.unset(key)
+      }
+    }
+  }
+
   test("fGWS sessions survive a kill+restart from checkpoint (RocksDB provider)") {
     val s = spark
     val key = "spark.sql.streaming.stateStore.providerClass"
