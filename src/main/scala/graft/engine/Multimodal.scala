@@ -20,6 +20,10 @@ case class EncodedImage(media_id: Long, png: Array[Byte])
 
 case class DecodedImage(media_id: Long, width: Int, height: Int, px_sum: Long)
 
+case class EncodedClip(media_id: Long, wav: Array[Byte])
+
+case class DecodedClip(media_id: Long, n_samples: Long, sample_sum: Long)
+
 /** Multimodal binary-column plumbing. The Spark side is real — schema
   * (BinaryType payloads), partition-parallel `mapPartitions` batch shape,
   * typed encoders — while the codec itself is a clearly-marked
@@ -160,6 +164,81 @@ object Multimodal {
     }
   }
 
+  // ── REAL audio codec path: WAV via javax.sound.sampled ─────────────
+
+  /** REAL audio encoder (pure-JVM, javax.sound.sampled WAV writer):
+    * synthesizes each audio-kind payload as a genuine RIFF/WAVE
+    * container — 16-bit signed little-endian mono PCM at 8 kHz, sample
+    * count n = (b0 % 384) + 128 (the PNG path's header-byte
+    * convention), sample i = (payload byte (i mod len) − 128) · 256.
+    * The bytes leaving this stage carry a real WAV header (RIFF chunk,
+    * fmt block, data chunk sizes), so the decode stage parses an actual
+    * audio container. Like ImageIO, javax.sound's file codecs are pure
+    * format ops — no audio device needed on executors. */
+  def encodeWav(rows: Iterator[MediaRow]): Iterator[EncodedClip] =
+    rows.filter(m => m.kind == "audio" && m.bytes.nonEmpty).map { m =>
+      val n = ((m.bytes(0) & 0xff) % 384) + 128
+      val pcm = new Array[Byte](n * 2)
+      var i = 0
+      while (i < n) {
+        val v = ((m.bytes(i % m.bytes.length) & 0xff) - 128) * 256
+        pcm(2 * i) = (v & 0xff).toByte           // little-endian low byte
+        pcm(2 * i + 1) = ((v >> 8) & 0xff).toByte
+        i += 1
+      }
+      val fmt = new javax.sound.sampled.AudioFormat(8000f, 16, 1, true, false)
+      val ais = new javax.sound.sampled.AudioInputStream(
+        new java.io.ByteArrayInputStream(pcm), fmt, n.toLong)
+      val baos = new java.io.ByteArrayOutputStream()
+      javax.sound.sampled.AudioSystem.write(
+        ais, javax.sound.sampled.AudioFileFormat.Type.WAVE, baos)
+      EncodedClip(m.media_id, baos.toByteArray)
+    }
+
+  /** REAL audio decoder: javax.sound.sampled parses the WAV container
+    * (header fields drive the frame format), streams the PCM frames,
+    * and the samples are re-assembled per the PARSED format's
+    * endianness — the exact integer sample sum is reproducible by the
+    * oracle from the source text because 16-bit PCM in WAV is lossless.
+    * Swap-in point for libsndfile/ffmpeg at a real deployment. */
+  def decodeWav(rows: Iterator[EncodedClip]): Iterator[DecodedClip] =
+    rows.map { e =>
+      val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
+        new java.io.ByteArrayInputStream(e.wav))
+      val fmt = ais.getFormat
+      require(fmt.getSampleSizeInBits == 16 && fmt.getChannels == 1,
+        s"unexpected decoded WAV format: $fmt")
+      val data = ais.readAllBytes()
+      val n = data.length / 2
+      var sum = 0L
+      var i = 0
+      while (i < n) {
+        val lo = if (fmt.isBigEndian) data(2 * i + 1) else data(2 * i)
+        val hi = if (fmt.isBigEndian) data(2 * i) else data(2 * i + 1)
+        sum += ((hi << 8) | (lo & 0xff)).toShort.toLong
+        i += 1
+      }
+      DecodedClip(e.media_id, n.toLong, sum)
+    }
+
+  /** Contract query for the REAL audio path: every audio payload goes
+    * through an actual WAV encode → container parse → PCM decode, then
+    * aggregates per duration bucket (n div 16 — ASCII first bytes put
+    * the sample counts in 160..254, so buckets 10..15). The oracle
+    * replays sample count and
+    * the exact sample sum from the document text via a bounded spine
+    * join; any divergence in the container round trip (header fields,
+    * frame packing, endianness) shifts the sums and fails the hash. */
+  def q_mm_audio_real(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    mediaTable(s, dir).mapPartitions(encodeWav).mapPartitions(decodeWav).toDF()
+      .groupBy(expr("CAST(n_samples div 16 AS INT)").as("duration_bucket"))
+      .agg(count(lit(1)).as("n_clips"),
+        sum(col("n_samples")).cast("bigint").as("samples_sum"),
+        sum(col("sample_sum")).cast("bigint").as("sample_sum"))
+      .orderBy("duration_bucket")
+  }
+
   /** Contract query for the REAL codec path: encode every image payload
     * to an actual PNG, decode it back through javax.imageio, aggregate
     * per decoded width. The oracle recomputes dims and the pixel sum
@@ -289,6 +368,7 @@ object Multimodal {
     "q_mm_phash" -> q_mm_phash _,
     "q_mm_decode" -> q_mm_decode _,
     "q_mm_decode_real" -> q_mm_decode_real _,
+    "q_mm_audio_real" -> q_mm_audio_real _,
     "q_mm_frames" -> q_mm_frames _,
     "q_mm_resize" -> q_mm_resize _,
     "q_mm_features" -> q_mm_features _

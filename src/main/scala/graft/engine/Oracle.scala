@@ -1023,6 +1023,28 @@ object Oracle {
         |SELECT CAST(w AS INT) AS width, COUNT(*) AS n_images,
         |  CAST(SUM(h) AS BIGINT) AS height_sum,
         |  CAST(SUM(px_sum) AS BIGINT) AS px_sum
+        |FROM per GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // Real WAV path: sample count from the first payload byte, 16-bit
+    // sample i = (byte(i mod len) − 128)·256 — replayed from the text
+    // via the same bounded-spine device as the PNG pixel grid. The
+    // container round trip is lossless, so the integer sums must match
+    // bit for bit.
+    "q_mm_audio_real" ->
+      """WITH clips AS (
+        |  SELECT doc_id AS media_id, text, length(text) AS len,
+        |    (ascii(substr(text, 1, 1)) % 384) + 128 AS n
+        |  FROM documents
+        |  WHERE CAST(doc_id % 3 AS INT) = 1 AND length(text) > 0),
+        |spine AS (SELECT i FROM range(0, 512) t(i)),
+        |smp AS (
+        |  SELECT c.media_id, c.n,
+        |    (ascii(substr(c.text, CAST(s.i % c.len AS INT) + 1, 1)) - 128) * 256 AS v
+        |  FROM clips c JOIN spine s ON s.i < c.n),
+        |per AS (SELECT media_id, n, SUM(v) AS ssum FROM smp GROUP BY 1, 2)
+        |SELECT CAST(n // 16 AS INT) AS duration_bucket, COUNT(*) AS n_clips,
+        |  CAST(SUM(n) AS BIGINT) AS samples_sum,
+        |  CAST(SUM(ssum) AS BIGINT) AS sample_sum
         |FROM per GROUP BY 1 ORDER BY 1""".stripMargin
   )
 

@@ -117,4 +117,31 @@ class TextMmSpec extends AnyFunSuite {
     assert(Multimodal.encodePng(Iterator(
       MediaRow(1L, "audio", payload), MediaRow(2L, "image", Array.empty))).isEmpty)
   }
+
+  test("real WAV codec: container is genuine RIFF/WAVE; PCM decode round-trips exactly") {
+    import graft.engine.{MediaRow, Multimodal}
+    val payload = "pack my box with five dozen liquor jugs".getBytes("UTF-8")
+    val enc = Multimodal.encodeWav(
+      Iterator(MediaRow(0L, "audio", payload))).toSeq
+    assert(enc.size == 1)
+    // a REAL WAV container: RIFF chunk id + WAVE form type in the header
+    val wav = enc.head.wav
+    assert(new String(wav.take(4), "US-ASCII") == "RIFF",
+      "output must carry the RIFF chunk id")
+    assert(new String(wav.slice(8, 12), "US-ASCII") == "WAVE",
+      "output must carry the WAVE form type")
+    val dec = Multimodal.decodeWav(enc.iterator).toSeq.head
+    // sample count from the header-byte convention; the exact 16-bit
+    // sample sum replayed in plain scala
+    val n = ((payload(0) & 0xff) % 384) + 128
+    val expected = (0 until n)
+      .map(i => ((payload(i % payload.length) & 0xff) - 128).toLong * 256).sum
+    assert(dec.n_samples == n.toLong,
+      s"decoded sample count ${dec.n_samples} must be $n")
+    assert(dec.sample_sum == expected,
+      s"decoded sample sum ${dec.sample_sum} must equal replayed $expected")
+    // non-audio kinds and empty payloads never enter the codec
+    assert(Multimodal.encodeWav(Iterator(
+      MediaRow(1L, "image", payload), MediaRow(2L, "audio", Array.empty))).isEmpty)
+  }
 }
