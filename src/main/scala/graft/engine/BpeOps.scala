@@ -58,7 +58,7 @@ object BpeOps {
     * carried only while inside a run), rank-in-run = mc − base + 1, so
     * valid ⇔ ismatch ∧ (mc − base) even. One hash exchange on doc_id,
     * every window pass reuses it. */
-  private def applyMerge(t: DataFrame, pair: DataFrame): DataFrame = {
+  private[graft] def applyMerge(t: DataFrame, pair: DataFrame): DataFrame = {
     val p = t.withColumn("nxt", lead(col("sym"), 1).over(wDoc))
     val m = p.crossJoin(broadcast(pair.select(col("a"), col("b"))))
       .withColumn("ismatch",

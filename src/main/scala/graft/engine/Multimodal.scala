@@ -24,6 +24,10 @@ case class EncodedClip(media_id: Long, wav: Array[Byte])
 
 case class DecodedClip(media_id: Long, n_samples: Long, sample_sum: Long)
 
+case class EncodedVideo(media_id: Long, gif: Array[Byte])
+
+case class DecodedFrame(media_id: Long, frame_idx: Int, width: Int, height: Int, px_sum: Long)
+
 /** Multimodal binary-column plumbing. The Spark side is real — schema
   * (BinaryType payloads), partition-parallel `mapPartitions` batch shape,
   * typed encoders — while the codec itself is a clearly-marked
@@ -162,6 +166,101 @@ object Multimodal {
       }
       DecodedImage(e.media_id, w, h, sum)
     }
+  }
+
+  // ── REAL video codec path: animated GIF via javax.imageio ──────────
+
+  /** Frames per synthesized video container. */
+  val VideoFrames = 4
+
+  /** REAL video encoder (pure-JVM): each video-kind payload becomes a
+    * genuine ANIMATED GIF container — GIF89a header, logical screen
+    * descriptor, one image descriptor + LZW-compressed data block per
+    * frame, written through javax.imageio's sequence writer. Frame f's
+    * pixel (y,x) is payload byte (f·w·h + y·w + x) mod len with the PNG
+    * path's header-byte dims; 8-bit grayscale maps onto a 256-gray GIF
+    * palette losslessly, so the decode side is exactly replayable. */
+  def encodeGif(rows: Iterator[MediaRow]): Iterator[EncodedVideo] = {
+    javax.imageio.ImageIO.setUseCache(false)
+    rows.filter(m => m.kind == "video" && m.bytes.nonEmpty).map { m =>
+      val w = ((m.bytes(0) & 0xff) % 24) + 8
+      val h = ((if (m.bytes.length > 1) m.bytes(1) & 0xff else 0) % 16) + 8
+      val baos = new java.io.ByteArrayOutputStream()
+      val ios = javax.imageio.ImageIO.createImageOutputStream(baos)
+      val writer = javax.imageio.ImageIO.getImageWritersByFormatName("gif").next()
+      writer.setOutput(ios)
+      writer.prepareWriteSequence(null)
+      var f = 0
+      while (f < VideoFrames) {
+        val img = new java.awt.image.BufferedImage(
+          w, h, java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+        val raster = img.getRaster
+        var y = 0
+        while (y < h) {
+          var x = 0
+          while (x < w) {
+            raster.setSample(x, y, 0,
+              m.bytes((f * w * h + y * w + x) % m.bytes.length) & 0xff)
+            x += 1
+          }
+          y += 1
+        }
+        writer.writeToSequence(new javax.imageio.IIOImage(img, null, null), null)
+        f += 1
+      }
+      writer.endWriteSequence()
+      writer.dispose()
+      ios.close()
+      EncodedVideo(m.media_id, baos.toByteArray)
+    }
+  }
+
+  /** REAL video decoder: javax.imageio parses the GIF container, counts
+    * the stored frames, and LZW-decodes each one; the per-frame exact
+    * pixel sum reads gray values through getRGB (the decoded image is
+    * palette-indexed — raster samples would be palette INDICES, the
+    * RGB lookup resolves them to the gray value the encoder wrote). */
+  def decodeGif(rows: Iterator[EncodedVideo]): Iterator[DecodedFrame] = {
+    javax.imageio.ImageIO.setUseCache(false)
+    rows.flatMap { e =>
+      val iis = javax.imageio.ImageIO.createImageInputStream(
+        new java.io.ByteArrayInputStream(e.gif))
+      val reader = javax.imageio.ImageIO.getImageReadersByFormatName("gif").next()
+      reader.setInput(iis)
+      val n = reader.getNumImages(true)
+      val out = (0 until n).map { f =>
+        val img = reader.read(f)
+        val (w, h) = (img.getWidth, img.getHeight)
+        var sum = 0L
+        var y = 0
+        while (y < h) {
+          var x = 0
+          while (x < w) { sum += (img.getRGB(x, y) & 0xff).toLong; x += 1 }
+          y += 1
+        }
+        DecodedFrame(e.media_id, f, w, h, sum)
+      }
+      reader.dispose()
+      iis.close()
+      out.iterator
+    }
+  }
+
+  /** Contract query for the REAL video path: every video payload goes
+    * through an actual animated-GIF encode → container parse → per-frame
+    * LZW decode, then aggregates per frame index — the real-container
+    * version of q_mm_frames' stub sampler. The oracle replays every
+    * frame's exact pixel sum from the document text (grayscale→palette
+    * is lossless), so a wrong frame count, frame order, or any pixel
+    * divergence fails the hash compare. */
+  def q_mm_video_real(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    mediaTable(s, dir).mapPartitions(encodeGif).mapPartitions(decodeGif).toDF()
+      .groupBy(col("frame_idx"))
+      .agg(count(lit(1)).as("n_videos"),
+        sum(col("width")).cast("bigint").as("width_sum"),
+        sum(col("px_sum")).cast("bigint").as("px_sum"))
+      .orderBy("frame_idx")
   }
 
   // ── REAL audio codec path: WAV via javax.sound.sampled ─────────────
@@ -369,6 +468,7 @@ object Multimodal {
     "q_mm_decode" -> q_mm_decode _,
     "q_mm_decode_real" -> q_mm_decode_real _,
     "q_mm_audio_real" -> q_mm_audio_real _,
+    "q_mm_video_real" -> q_mm_video_real _,
     "q_mm_frames" -> q_mm_frames _,
     "q_mm_resize" -> q_mm_resize _,
     "q_mm_features" -> q_mm_features _

@@ -1045,6 +1045,29 @@ object Oracle {
         |SELECT CAST(n // 16 AS INT) AS duration_bucket, COUNT(*) AS n_clips,
         |  CAST(SUM(n) AS BIGINT) AS samples_sum,
         |  CAST(SUM(ssum) AS BIGINT) AS sample_sum
+        |FROM per GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // Real animated-GIF path: 4 frames per video, frame f pixel
+    // (y,x) = byte (f·w·h + y·w + x) mod len — the PNG grid replay with
+    // a frame axis. Grayscale→256-palette is lossless, so the per-frame
+    // pixel sums must match bit for bit.
+    "q_mm_video_real" ->
+      """WITH vids AS (
+        |  SELECT doc_id AS media_id, text, length(text) AS len,
+        |    (ascii(substr(text, 1, 1)) % 24) + 8 AS w,
+        |    ((CASE WHEN length(text) > 1 THEN ascii(substr(text, 2, 1))
+        |           ELSE 0 END) % 16) + 8 AS h
+        |  FROM documents
+        |  WHERE CAST(doc_id % 3 AS INT) = 2 AND length(text) > 0),
+        |spine AS (SELECT i FROM range(0, 3072) t(i)),
+        |px AS (
+        |  SELECT m.media_id, m.w, CAST(s.i // (m.w * m.h) AS INT) AS f,
+        |    ascii(substr(m.text, CAST(s.i % m.len AS INT) + 1, 1)) AS v
+        |  FROM vids m JOIN spine s ON s.i < 4 * m.w * m.h),
+        |per AS (SELECT media_id, w, f, SUM(v) AS px_sum FROM px GROUP BY 1, 2, 3)
+        |SELECT CAST(f AS INT) AS frame_idx, COUNT(*) AS n_videos,
+        |  CAST(SUM(w) AS BIGINT) AS width_sum,
+        |  CAST(SUM(px_sum) AS BIGINT) AS px_sum
         |FROM per GROUP BY 1 ORDER BY 1""".stripMargin
   )
 

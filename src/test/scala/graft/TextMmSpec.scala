@@ -144,4 +144,35 @@ class TextMmSpec extends AnyFunSuite {
     assert(Multimodal.encodeWav(Iterator(
       MediaRow(1L, "image", payload), MediaRow(2L, "audio", Array.empty))).isEmpty)
   }
+
+  test("real GIF codec: container is genuine animated GIF89a; frames decode exactly") {
+    import graft.engine.{MediaRow, Multimodal}
+    val payload = "sphinx of black quartz judge my vow".getBytes("UTF-8")
+    val enc = Multimodal.encodeGif(
+      Iterator(MediaRow(0L, "video", payload))).toSeq
+    assert(enc.size == 1)
+    // a REAL GIF container: GIF89a magic (sequence writer emits 89a for
+    // multi-frame streams)
+    val gif = enc.head.gif
+    assert(new String(gif.take(6), "US-ASCII") == "GIF89a",
+      "output must carry the GIF89a signature")
+    val frames = Multimodal.decodeGif(enc.iterator).toSeq
+    assert(frames.size == Multimodal.VideoFrames,
+      s"all ${Multimodal.VideoFrames} stored frames must decode, got ${frames.size}")
+    val w = ((payload(0) & 0xff) % 24) + 8
+    val h = ((payload(1) & 0xff) % 16) + 8
+    frames.foreach { fr =>
+      assert(fr.width == w && fr.height == h,
+        s"frame dims (${fr.width},${fr.height}) must be ($w,$h)")
+      val expected = (0 until w * h)
+        .map(i => payload((fr.frame_idx * w * h + i) % payload.length) & 0xff)
+        .map(_.toLong).sum
+      assert(fr.px_sum == expected,
+        s"frame ${fr.frame_idx} pixel sum ${fr.px_sum} must equal replayed $expected " +
+          "(grayscale->palette round trip must be lossless)")
+    }
+    // non-video kinds and empty payloads never enter the codec
+    assert(Multimodal.encodeGif(Iterator(
+      MediaRow(1L, "image", payload), MediaRow(2L, "video", Array.empty))).isEmpty)
+  }
 }
