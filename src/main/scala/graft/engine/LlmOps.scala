@@ -200,16 +200,23 @@ object LlmOps {
     * exact verify) is oracle-checked end-to-end rather than self-tested.
     * The xxhash64 variant stays the full-corpus fast path; this one is
     * the auditable sample pass a data-quality job runs. */
+  /** md5-family MinHash signatures over the deterministic 10% sample
+    * (doc_id % 10 = 0): the shared signature pass of q_llm_minhash_md5
+    * (banded dedup) and q_llm_minhash_est (estimator audit). 8 60-bit
+    * components per doc, bit-reproducible in DuckDB. */
+  private def md5SampleSig(s: SparkSession, dir: String): DataFrame =
+    tokenSets(s, dir)
+      .filter(col("doc_id") % 10 === 0 && size(col("toks")) > 0)
+      .withColumn("sig",
+        array((0 until 8).map { j =>
+          array_min(transform(col("toks"), t =>
+            Dsl.md5Hash60(concat(lit(s"$j:"), t))))
+        }: _*))
+
   def q_llm_minhash_md5(s: SparkSession, dir: String): DataFrame = {
     val numBands = 4
     val rowsPerBand = 2
-    val d = tokenSets(s, dir)
-      .filter(col("doc_id") % 10 === 0 && size(col("toks")) > 0)
-    val sig = d.withColumn("sig",
-      array((0 until numBands * rowsPerBand).map { j =>
-        array_min(transform(col("toks"), t =>
-          Dsl.md5Hash60(concat(lit(s"$j:"), t))))
-      }: _*))
+    val sig = md5SampleSig(s, dir)
     val banded = sig.select(col("lang"), col("doc_id"),
       posexplode(array((0 until numBands).map { b =>
         concat_ws("_",
@@ -228,6 +235,62 @@ object LlmOps {
       .filter(col("jac") >= 0.5)
       .select(col("lang"), col("doc_a"), col("doc_b"), round(col("jac"), 6).as("jaccard"))
       .orderBy("lang", "doc_a", "doc_b")
+  }
+
+  /** MinHash Jaccard-estimator audit (round 7; Broder 1997 §3: the
+    * expected component-agreement rate of two MinHash signatures equals
+    * the sets' Jaccard): over the md5-banded candidate pairs of the 10%
+    * sample, est = (#agreeing components)/8 vs the EXACT token Jaccard,
+    * aggregated per lang — n_pairs, mean est (exact eighth-multiples /
+    * one division), MAE / bias / max error. This is the number that
+    * justifies every signature budget decision in the dedup tier: a
+    * production deployment monitors it on samples exactly like this
+    * before trusting 8 components at 100 TB. Determinism: est is an
+    * exact multiple of 1/8; |est−jac| and (est−jac) terms round-9 →
+    * exact DECIMAL sums (the PSI recipe); one double division each at
+    * the end. Same bounded candidate set as the dedup pass — no new
+    * quadratic anywhere. */
+  def q_llm_minhash_est(s: SparkSession, dir: String): DataFrame = {
+    val numBands = 4
+    val rowsPerBand = 2
+    val sig = md5SampleSig(s, dir)
+    val banded = sig.select(col("lang"), col("doc_id"),
+      posexplode(array((0 until numBands).map { b =>
+        concat_ws("_",
+          element_at(col("sig"), b * rowsPerBand + 1),
+          element_at(col("sig"), b * rowsPerBand + 2))
+      }: _*)).as(Seq("band_id", "band_val")))
+    val a = banded.select(col("lang"), col("band_id"), col("band_val"),
+      col("doc_id").as("doc_a"))
+    val b = banded.select(col("lang").as("lang_b"), col("band_id").as("bid_b"),
+      col("band_val").as("bv_b"), col("doc_id").as("doc_b"))
+    val pairs = a.join(b, col("lang") === col("lang_b") && col("band_id") === col("bid_b") &&
+        col("band_val") === col("bv_b") && col("doc_a") < col("doc_b"))
+      .select(col("lang"), col("doc_a"), col("doc_b"))
+      .distinct()
+    val sa = sig.select(col("doc_id").as("sid_a"), col("sig").as("sig_a"))
+    val sb = sig.select(col("doc_id").as("sid_b"), col("sig").as("sig_b"))
+    val agree = (1 to 8).map(j =>
+      when(element_at(col("sig_a"), j) === element_at(col("sig_b"), j), 1L)
+        .otherwise(0L)).reduce(_ + _)
+    val scored = jaccardVerify(s, dir, pairs)
+      .join(sa, col("doc_a") === col("sid_a"))
+      .join(sb, col("doc_b") === col("sid_b"))
+      .withColumn("agree", agree)
+      .withColumn("est", col("agree").cast("double") / 8.0)
+      .withColumn("errt", round(abs(col("est") - col("jac")), 9).cast("decimal(18,9)"))
+      .withColumn("biast", round(col("est") - col("jac"), 9).cast("decimal(18,9)"))
+    scored.groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_pairs"), sum(col("agree")).as("sum_agree"),
+        sum(col("errt")).as("sum_err"), sum(col("biast")).as("sum_bias"),
+        max(col("errt")).cast("double").as("max_abs_err"))
+      .select(col("lang"), col("n_pairs"),
+        (col("sum_agree").cast("double")
+          / (col("n_pairs") * 8).cast("double")).as("mean_est"),
+        (col("sum_err").cast("double") / col("n_pairs").cast("double")).as("mae"),
+        (col("sum_bias").cast("double") / col("n_pairs").cast("double")).as("bias"),
+        col("max_abs_err"))
+      .orderBy("lang")
   }
 
   /** SimHash near-dup detection (Charikar 2002): 64-bit signature from
@@ -859,6 +922,7 @@ object LlmOps {
     "q_llm_jaccard_pairs" -> q_llm_jaccard_pairs _,
     "q_llm_minhash_lsh" -> q_llm_minhash_lsh _,
     "q_llm_minhash_md5" -> q_llm_minhash_md5 _,
+    "q_llm_minhash_est" -> q_llm_minhash_est _,
     "q_llm_simhash" -> q_llm_simhash _,
     "q_llm_simhash_md5" -> q_llm_simhash_md5 _,
     "q_llm_embed_neardup" -> q_llm_embed_neardup _,

@@ -685,6 +685,56 @@ object Oracle {
          |FROM v WHERE jac >= 0.5 ORDER BY lang, doc_a, doc_b""".stripMargin
     },
 
+    // Round 7 (driver). MinHash estimator audit: same md5 signature +
+    // band CTEs as q_llm_minhash_md5, plus the component-agreement
+    // count; |est−jac| terms round-9 → exact DECIMAL sums (PSI recipe).
+    "q_llm_minhash_est" -> {
+      def mh(j: Int): String =
+        s"MIN(CAST('0x' || substr(md5('$j:' || tok), 1, 15) AS BIGINT)) AS s$j"
+      val sigs = (0 until 8).map(mh).mkString(", ")
+      val bands = (0 until 4).map { b =>
+        s"""SELECT doc_id, lang, $b AS band_id,
+           |  CAST(s${2 * b} AS VARCHAR) || '_' || CAST(s${2 * b + 1} AS VARCHAR) AS bv
+           |FROM sig""".stripMargin
+      }.mkString("\nUNION ALL\n")
+      val agree = (0 until 8)
+        .map(j => s"(CASE WHEN sa.s$j = sb.s$j THEN 1 ELSE 0 END)")
+        .mkString(" + ")
+      s"""WITH d AS (SELECT doc_id, lang, list_distinct(string_split(text, ' ')) AS toks
+         |           FROM documents WHERE doc_id % 10 = 0
+         |             AND len(list_distinct(string_split(text, ' '))) > 0),
+         |tok AS (SELECT doc_id, lang, unnest(toks) AS tok FROM d),
+         |sig AS (SELECT doc_id, lang, $sigs FROM tok GROUP BY 1, 2),
+         |banded AS ($bands),
+         |pairs AS (SELECT DISTINCT a.lang, a.doc_id AS doc_a, b.doc_id AS doc_b
+         |  FROM banded a JOIN banded b ON a.lang = b.lang AND a.band_id = b.band_id
+         |    AND a.bv = b.bv AND a.doc_id < b.doc_id),
+         |v AS (SELECT p.lang, p.doc_a, p.doc_b,
+         |  CAST(len(list_intersect(da.toks, db.toks)) AS DOUBLE)
+         |    / (len(da.toks) + len(db.toks) - len(list_intersect(da.toks, db.toks))) AS jac
+         |  FROM pairs p JOIN d da ON p.doc_a = da.doc_id
+         |               JOIN d db ON p.doc_b = db.doc_id),
+         |sc AS (SELECT v.lang, CAST($agree AS BIGINT) AS agree,
+         |    CAST($agree AS DOUBLE) / CAST(8 AS DOUBLE) AS est, v.jac
+         |  FROM v JOIN sig sa ON v.doc_a = sa.doc_id
+         |         JOIN sig sb ON v.doc_b = sb.doc_id),
+         |t AS (SELECT lang, agree,
+         |    CAST(ROUND(ABS(est - jac), 9) AS DECIMAL(18,9)) AS errt,
+         |    CAST(ROUND(est - jac, 9) AS DECIMAL(18,9)) AS biast
+         |  FROM sc),
+         |a AS (SELECT lang, COUNT(*) AS n_pairs,
+         |    CAST(SUM(agree) AS BIGINT) AS sum_agree,
+         |    SUM(errt) AS sum_err, SUM(biast) AS sum_bias,
+         |    CAST(MAX(errt) AS DOUBLE) AS max_abs_err
+         |  FROM t GROUP BY 1)
+         |SELECT lang, n_pairs,
+         |  CAST(sum_agree AS DOUBLE) / CAST(n_pairs * 8 AS DOUBLE) AS mean_est,
+         |  CAST(sum_err AS DOUBLE) / CAST(n_pairs AS DOUBLE) AS mae,
+         |  CAST(sum_bias AS DOUBLE) / CAST(n_pairs AS DOUBLE) AS bias,
+         |  max_abs_err
+         |FROM a ORDER BY lang""".stripMargin
+    },
+
     // 60-bit md5-family SimHash reproduced fully in SQL: per-bit votes
     // as 60 conditional sums, signature via shift-sum, 15-bit band join,
     // Hamming verify via bit_count(xor).
@@ -862,6 +912,41 @@ object Oracle {
         |     range(1, greatest(length(text)-7, 1)+1, 4),
         |     i -> substr(text, CAST(i AS INT), 8))) AS sh)) AS fp
         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    // Round 7 (driver). Winnowing (Schleimer 2003): the full selection
+    // replayed — 40-bit md5 gram hashes, (hash asc, pos desc) encoded
+    // into one integer key, window-of-4 MIN, exact integer // decode.
+    "q_llm_winnowing" ->
+      """WITH d AS (SELECT doc_id, lang, text FROM documents
+        |           WHERE doc_id % 10 = 0 AND length(text) >= 11),
+        |g0 AS (SELECT doc_id, lang, CAST(length(text) - 7 AS BIGINT) AS n_grams,
+        |    UNNEST(list_transform(range(1, length(text) - 6),
+        |      i -> struct_pack(pos := i,
+        |             h := CAST('0x' || substr(md5(substr(text, CAST(i AS INT), 8)), 1, 10)
+        |                    AS BIGINT)))) AS u
+        |  FROM d),
+        |keyed AS (SELECT doc_id, lang, n_grams, CAST(u.pos AS BIGINT) AS pos,
+        |    u.h * 2097152 + (2097151 - CAST(u.pos AS BIGINT)) AS key
+        |  FROM g0),
+        |w AS (SELECT doc_id, lang, n_grams, pos,
+        |    MIN(key) OVER (PARTITION BY doc_id ORDER BY pos
+        |      ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS winner
+        |  FROM keyed),
+        |sel AS (SELECT DISTINCT doc_id, lang, winner FROM w
+        |        WHERE pos <= n_grams - 3),
+        |la AS (SELECT lang, COUNT(*) AS n_docs,
+        |    CAST(SUM(length(text) - 7) AS BIGINT) AS n_grams FROM d GROUP BY 1),
+        |fp AS (SELECT lang AS lf, COUNT(*) AS n_fp FROM sel GROUP BY 1),
+        |hd AS (SELECT DISTINCT lang, winner // 2097152 AS h, doc_id FROM sel),
+        |hh AS (SELECT lang, h, COUNT(DISTINCT doc_id) AS nd FROM hd GROUP BY 1, 2),
+        |ha AS (SELECT lang AS lh, COUNT(*) AS n_hashes,
+        |    CAST(SUM(CASE WHEN nd >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_shared
+        |  FROM hh GROUP BY 1)
+        |SELECT la.lang, la.n_docs, la.n_grams, CAST(fp.n_fp AS BIGINT) AS n_fp,
+        |  CAST(ha.n_hashes AS BIGINT) AS n_hashes, ha.n_shared,
+        |  CAST(fp.n_fp AS DOUBLE) / CAST(la.n_grams AS DOUBLE) AS density
+        |FROM la JOIN fp ON la.lang = fp.lf JOIN ha ON la.lang = ha.lh
+        |ORDER BY la.lang""".stripMargin,
 
     "q_llm_ngram_jaccard" ->
       """WITH d AS (SELECT doc_id, lang,
@@ -3162,6 +3247,64 @@ object Oracle {
          |  AND (CAST(n AS HUGEINT) * c - s1) * (CAST(n AS HUGEINT) * c - s1)
          |      > (CAST(n AS HUGEINT) * s2 - CAST(s1 AS HUGEINT) * s1) * 9
          |ORDER BY event_type, event_id""".stripMargin,
+
+    // Round 7 (driver). OLS daily-trend fit: exact BIGINT moments over
+    // (day index, daily cents), one double cast each, pinned-order
+    // slope/intercept/r² combination — the autocorr/corr recipe.
+    "q_agg_ols_trend" ->
+      """WITH d0 AS (SELECT event_type,
+        |    CAST(CAST(ts AS TIMESTAMP) AS DATE) AS day,
+        |    CAST(SUM(CAST(ROUND(value * 100, 0) AS BIGINT)) AS BIGINT) AS y
+        |  FROM events GROUP BY 1, 2),
+        |daily AS (SELECT event_type,
+        |    CAST(day - DATE '2024-01-01' AS BIGINT) AS x, y FROM d0),
+        |a AS (SELECT event_type, COUNT(*) AS n_days,
+        |    CAST(SUM(x) AS DOUBLE) AS sx, CAST(SUM(y) AS DOUBLE) AS sy,
+        |    CAST(SUM(x*x) AS DOUBLE) AS sxx, CAST(SUM(y*y) AS DOUBLE) AS syy,
+        |    CAST(SUM(x*y) AS DOUBLE) AS sxy
+        |  FROM daily GROUP BY 1)
+        |SELECT event_type, n_days,
+        |  (CAST(n_days AS DOUBLE) * sxy - sx * sy)
+        |    / (CAST(n_days AS DOUBLE) * sxx - sx * sx) AS slope,
+        |  (sy - (CAST(n_days AS DOUBLE) * sxy - sx * sy)
+        |    / (CAST(n_days AS DOUBLE) * sxx - sx * sx) * sx)
+        |    / CAST(n_days AS DOUBLE) AS intercept,
+        |  ((CAST(n_days AS DOUBLE) * sxy - sx * sy)
+        |    / (sqrt(CAST(n_days AS DOUBLE) * sxx - sx * sx)
+        |       * sqrt(CAST(n_days AS DOUBLE) * syy - sy * sy)))
+        |  * ((CAST(n_days AS DOUBLE) * sxy - sx * sy)
+        |    / (sqrt(CAST(n_days AS DOUBLE) * sxx - sx * sx)
+        |       * sqrt(CAST(n_days AS DOUBLE) * syy - sy * sy))) AS r2
+        |FROM a ORDER BY event_type""".stripMargin,
+
+    // Round 7 (driver). CUSUM changepoint: all-integer cross-multiplied
+    // n·S_i = n·P_i − i·T (the anomaly device), argmax |·| with
+    // earliest-day ties, two exact-integer divisions for the shift.
+    "q_time_changepoint" ->
+      """WITH daily AS (SELECT event_type,
+        |    CAST(CAST(ts AS TIMESTAMP) AS DATE) AS day,
+        |    CAST(SUM(CAST(ROUND(value * 100, 0) AS BIGINT)) AS BIGINT) AS y
+        |  FROM events GROUP BY 1, 2),
+        |pre AS (SELECT event_type, day, y,
+        |    CAST(SUM(y) OVER pw AS BIGINT) AS p,
+        |    CAST(ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY day)
+        |      AS BIGINT) AS i
+        |  FROM daily
+        |  WINDOW pw AS (PARTITION BY event_type ORDER BY day
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+        |tot AS (SELECT event_type AS tt, CAST(SUM(y) AS BIGINT) AS t,
+        |    COUNT(*) AS n FROM daily GROUP BY 1),
+        |scored AS (SELECT pre.event_type, pre.day, pre.p, pre.i, tot.t, tot.n,
+        |    pre.p * tot.n - pre.i * tot.t AS ns
+        |  FROM pre JOIN tot ON pre.event_type = tot.tt
+        |  WHERE pre.i < tot.n),
+        |r AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY event_type
+        |    ORDER BY ABS(ns) DESC, day ASC) AS rn FROM scored)
+        |SELECT event_type, CAST(n AS BIGINT) AS n_days, day AS cp_day,
+        |  CAST(ABS(ns) AS BIGINT) AS cusum_num,
+        |  CAST(t - p AS DOUBLE) / CAST(n - i AS DOUBLE)
+        |    - CAST(p AS DOUBLE) / CAST(i AS DOUBLE) AS mean_shift
+        |FROM r WHERE rn = 1 ORDER BY event_type""".stripMargin,
 
     // Round 9. Lag-k autocorrelation: exact DATE-arithmetic pair
     // alignment (gap-safe) + the q_agg_corr pinned Pearson recipe.

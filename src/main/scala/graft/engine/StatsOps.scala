@@ -535,7 +535,82 @@ object StatsOps {
       .orderBy("event_type", "lag")
   }
 
+  /** OLS trend fit of the daily value series per event_type (round 7 —
+    * the trend screen beside the Holt smoother): regress daily exact
+    * cents y on the day index x = day − 2024-01-01 (small integers, so
+    * every moment stays far inside BIGINT; the q_time_autocorr device).
+    * slope = (nΣxy − ΣxΣy)/(nΣx² − (Σx)²), intercept = (Σy − slope·Σx)/n,
+    * r² via the q_agg_corr pinned Pearson. All moment sums exact
+    * DECIMAL(38,0) → one double cast each → pinned-order combination;
+    * nΣxy ≈ 31·2.5e11 and ΣxΣy ≈ 7e12 are exactly representable doubles
+    * (< 2^53), so slope's numerator/denominator are EXACT, and the later
+    * products are the same correctly-rounded IEEE sequence both engines.
+    * ONE keyed aggregation over the daily series — map-side partials,
+    * k×1 rows out at any corpus scale. */
+  def q_agg_ols_trend(s: SparkSession, dir: String): DataFrame = {
+    val daily = Tables.events(s, dir)
+      .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+      .agg(sum(round(col("value") * 100, 0).cast("bigint")).as("c"))
+      .select(col("event_type"),
+        datediff(col("day"), lit("2024-01-01").cast("date")).cast("bigint").as("x"),
+        col("c").as("y"))
+    def dsum(c: org.apache.spark.sql.Column, n: String) =
+      sum(c.cast("decimal(38,0)")).cast("double").as(n)
+    val agg = daily.groupBy(col("event_type")).agg(
+      count(lit(1)).as("n_days"),
+      dsum(col("x"), "sx"), dsum(col("y"), "sy"),
+      dsum(col("x") * col("x"), "sxx"), dsum(col("y") * col("y"), "syy"),
+      dsum(col("x") * col("y"), "sxy"))
+    val n = col("n_days").cast("double")
+    val num = n * col("sxy") - col("sx") * col("sy")
+    val den = n * col("sxx") - col("sx") * col("sx")
+    val slope = num / den
+    agg.select(col("event_type"), col("n_days"),
+        slope.as("slope"),
+        ((col("sy") - slope * col("sx")) / n).as("intercept"),
+        ((num / (sqrt(den) * sqrt(n * col("syy") - col("sy") * col("sy"))))
+          * (num / (sqrt(den) * sqrt(n * col("syy") - col("sy") * col("sy")))))
+          .as("r2"))
+      .orderBy("event_type")
+  }
+
+  /** CUSUM changepoint detection over the daily value series per
+    * event_type (round 7 — the level-shift screen beside PSI/KS):
+    * S_i = Σ_{j≤i}(y_j − ȳ) over the day-ordered series, changepoint =
+    * argmax |S_i| for i < n (S_n ≡ 0). Cross-multiplied to stay ALL
+    * integer (the q_stream_anomaly device): n·S_i = n·P_i − i·T with
+    * P_i the prefix sum (one window), T/n the per-type totals — products
+    * ≤ ~2e11 at sf0.1, no float before the two final divisions. Tie rule:
+    * earliest day. Mean shift = (T−P)/(n−i) − P/i, two exact-integer
+    * divisions and one subtraction. One window + one ranked argmax per
+    * type partition (bounded by #days, not events). */
+  def q_time_changepoint(s: SparkSession, dir: String): DataFrame = {
+    val daily = Tables.events(s, dir)
+      .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+      .agg(sum(round(col("value") * 100, 0).cast("bigint")).as("y"))
+    val w = Window.partitionBy(col("event_type")).orderBy(col("day"))
+    val pre = daily
+      .withColumn("p", sum(col("y")).over(w.rowsBetween(Window.unboundedPreceding, 0)))
+      .withColumn("i", row_number().over(w).cast("bigint"))
+    val tot = daily.groupBy(col("event_type").as("tt"))
+      .agg(sum(col("y")).as("t"), count(lit(1)).as("n"))
+    val scored = pre.join(broadcast(tot), col("event_type") === col("tt"))
+      .filter(col("i") < col("n"))
+      .withColumn("ns", col("n") * col("p") - col("i") * col("t"))
+    val rw = Window.partitionBy(col("event_type"))
+      .orderBy(abs(col("ns")).desc, col("day").asc)
+    scored.withColumn("rn", row_number().over(rw))
+      .filter(col("rn") === 1)
+      .select(col("event_type"), col("n").as("n_days"), col("day").as("cp_day"),
+        abs(col("ns")).as("cusum_num"),
+        ((col("t") - col("p")).cast("double") / (col("n") - col("i")).cast("double")
+          - col("p").cast("double") / col("i").cast("double")).as("mean_shift"))
+      .orderBy("event_type")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_agg_ols_trend" -> q_agg_ols_trend _,
+    "q_time_changepoint" -> q_time_changepoint _,
     "q_time_autocorr" -> q_time_autocorr _,
     "q_agg_ks_test" -> q_agg_ks_test _,
     "q_agg_gini" -> q_agg_gini _,

@@ -94,6 +94,66 @@ object TextOps {
                   i -> md5(cast(substring(text, i, 8) as binary))))""").as("fp"))
       .orderBy("doc_id")
 
+  /** Winnowing fingerprint selection (Schleimer, Wilkerson & Aiken,
+    * SIGMOD 2003 — the canonical local document-fingerprinting
+    * algorithm; round 7): over the 10% sample, hash every 8-char gram
+    * (stride 1) with a 40-bit md5 family, slide a w=4 window over the
+    * gram sequence and keep each window's minimum hash (rightmost on
+    * ties — the paper's rule). The guarantee: any shared substring of
+    * ≥ k+w−1 = 11 chars yields a shared fingerprint, with expected
+    * density 2/(w+1) of the gram count. Per-lang accounting: docs,
+    * grams, selected fingerprints, distinct hash values, hashes shared
+    * by ≥2 docs — plus density as the single division.
+    *
+    * Determinism: the (hash asc, pos desc) selection order is encoded
+    * into ONE integer key = h40·2²¹ + (2²¹−1−pos), so the window min is
+    * a plain integer MIN in both engines — no struct comparators, no
+    * float, no tie class. Execution: one linear gram scan, one window
+    * partitioned by doc_id (bounded by doc length), two keyed aggs —
+    * the 100 TB shape; at scale the per-doc window never shuffles more
+    * than the doc's own grams. */
+  def q_llm_winnowing(s: SparkSession, dir: String): DataFrame = {
+    val posCap = 2097152L // 2^21: > any fixture doc length, keeps key < 2^61
+    val d = Tables.documents(s, dir)
+      .filter(col("doc_id") % 10 === 0 && length(col("text")) >= 11)
+    val grams = d.select(col("doc_id"), col("lang"),
+        (length(col("text")) - 7).cast("bigint").as("n_grams"),
+        posexplode(expr(
+          """transform(sequence(1, length(text)-7),
+             |  i -> conv(substring(md5(cast(substring(text, i, 8) as binary)), 1, 10), 16, 10))
+             |""".stripMargin)).as(Seq("p0", "hs")))
+      .select(col("doc_id"), col("lang"), col("n_grams"),
+        (col("p0") + 1).cast("bigint").as("pos"), col("hs").cast("long").as("h"))
+      .withColumn("key", col("h") * posCap + (lit(posCap - 1) - col("pos")))
+    val w = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+      .rowsBetween(0, 3)
+    val sel = grams
+      .withColumn("winner", min(col("key")).over(w))
+      .filter(col("pos") <= col("n_grams") - 3)
+      .select(col("doc_id"), col("lang"), col("winner")).distinct()
+    val perLang = d.groupBy(col("lang")).agg(
+      count(lit(1)).as("n_docs"),
+      sum((length(col("text")) - 7).cast("bigint")).as("n_grams"))
+    val fpCounts = sel.groupBy(col("lang").as("lf")).agg(count(lit(1)).as("n_fp"))
+    val hashDocs = sel
+      // exact integer division — winner can exceed 2^53, a double
+      // quotient would round across hash boundaries
+      .select(col("lang"), expr(s"winner div ${posCap}L").as("h"), col("doc_id"))
+      .distinct()
+      .groupBy(col("lang").as("lh"), col("h"))
+      .agg(countDistinct(col("doc_id")).as("nd"))
+    val hashAgg = hashDocs.groupBy(col("lh")).agg(
+      count(lit(1)).as("n_hashes"),
+      sum(when(col("nd") >= 2, 1L).otherwise(0L)).as("n_shared"))
+    perLang
+      .join(fpCounts, col("lang") === col("lf"))
+      .join(hashAgg, col("lang") === col("lh"))
+      .select(col("lang"), col("n_docs"), col("n_grams"), col("n_fp"),
+        col("n_hashes"), col("n_shared"),
+        (col("n_fp").cast("double") / col("n_grams").cast("double")).as("density"))
+      .orderBy("lang")
+  }
+
   /** Character 3-gram Jaccard near-dup on a deterministic 10% sample
     * (doc_id % 10 = 0) — the order-sensitive complement to token-set
     * Jaccard. Bounded quadratic per lang on the sample.
@@ -465,6 +525,7 @@ object TextOps {
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_llm_winnowing" -> q_llm_winnowing _,
     "q_llm_tokenizer_coverage" -> q_llm_tokenizer_coverage _,
     "q_llm_ngram_novelty" -> q_llm_ngram_novelty _,
     "q_text_readability" -> q_text_readability _,

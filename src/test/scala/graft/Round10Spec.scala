@@ -1,0 +1,127 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.engine.{LlmOps, StatsOps, Tables}
+
+/** Driver-round-7 additions: semantic invariants beyond the oracle
+  * hash-compare for the trend/changepoint monitors and the MinHash
+  * estimator audit. */
+class Round10Spec extends AnyFunSuite {
+  import TestSpark._
+
+  /** The daily cents series the two monitors consume, replayed. */
+  private def daily(sf: String): Map[String, Seq[(Int, Long)]] = {
+    import org.apache.spark.sql.functions._
+    Tables.events(spark, sf)
+      .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+      .agg(sum(round(col("value") * 100, 0).cast("bigint")).as("c"))
+      .select(col("event_type"),
+        datediff(col("day"), lit("2024-01-01").cast("date")).as("x"), col("c"))
+      .collect()
+      .map(r => (r.getString(0), r.getInt(1), r.getLong(2)))
+      .groupBy(_._1).view.mapValues(_.map(t => (t._2, t._3)).sortBy(_._1).toSeq)
+      .toMap
+  }
+
+  test("ols_trend: matches a scala least-squares replay to 1e-9") {
+    val fit = StatsOps.q_agg_ols_trend(spark, sf001).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getDouble(2), r.getDouble(3)))
+      .toMap
+    daily(sf001).foreach { case (et, series) =>
+      val n = series.length.toDouble
+      val sx = series.map(_._1.toDouble).sum
+      val sy = series.map(_._2.toDouble).sum
+      val sxx = series.map(p => p._1.toDouble * p._1).sum
+      val sxy = series.map(p => p._1.toDouble * p._2).sum
+      val slope = (n * sxy - sx * sy) / (n * sxx - sx * sx)
+      val intercept = (sy - slope * sx) / n
+      val (nd, s, i0) = fit(et)
+      assert(nd == series.length, s"$et n_days")
+      assert(math.abs(s - slope) <= 1e-9 * math.max(1.0, math.abs(slope)), s"$et slope $s vs $slope")
+      assert(math.abs(i0 - intercept) <= 1e-6 * math.max(1.0, math.abs(intercept)),
+        s"$et intercept $i0 vs $intercept")
+      // the fitted line passes through the mean point
+      assert(math.abs((i0 + s * (sx / n)) - sy / n) <= 1e-6 * math.abs(sy / n))
+    }
+  }
+
+  test("changepoint: argmax |n·S_i| replayed exactly (earliest-day ties)") {
+    val got = StatsOps.q_time_changepoint(spark, sf001).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getDate(2).toString, r.getLong(3)))
+      .toMap
+    daily(sf001).foreach { case (et, series) =>
+      val n = series.length.toLong
+      var p = 0L
+      val t = series.map(_._2).sum
+      val scored = series.zipWithIndex.init.map { case ((x, y), idx) =>
+        p += y
+        (x, math.abs(n * p - (idx + 1L) * t))
+      }
+      val best = scored.maxBy { case (x, ns) => (ns, -x) }
+      val (nd, cpDay, cn) = got(et)
+      assert(nd == n, s"$et n_days")
+      assert(cn == best._2, s"$et cusum_num $cn vs ${best._2}")
+      val expectDay = java.time.LocalDate.of(2024, 1, 1).plusDays(best._1)
+      assert(cpDay == expectDay.toString, s"$et cp_day $cpDay vs $expectDay")
+    }
+  }
+
+  test("winnowing: full per-lang accounting replayed in plain scala") {
+    val got = graft.engine.TextOps.q_llm_winnowing(spark, sf0001).collect()
+      .map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5)))
+      .toMap
+    val docs = Tables.documents(spark, sf0001)
+      .filter(org.apache.spark.sql.functions.expr("doc_id % 10 = 0 AND length(text) >= 11"))
+      .select("doc_id", "lang", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+    assert(docs.nonEmpty)
+    val md = java.security.MessageDigest.getInstance("MD5")
+    def h40(s: String): Long = {
+      val hex = md.digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+      java.lang.Long.parseLong(hex.take(10), 16)
+    }
+    val cap = 2097152L
+    val sel = docs.flatMap { case (id, lang, text) =>
+      val keys = (1 to text.length - 7).map(i =>
+        h40(text.substring(i - 1, i + 7)) * cap + (cap - 1 - i))
+      (0 to keys.length - 4).map(s => keys.slice(s, s + 4).min).distinct
+        .map(k => (lang, id, k))
+    }
+    val perLang = docs.groupBy(_._2)
+    perLang.foreach { case (lang, ds) =>
+      val langSel = sel.filter(_._1 == lang)
+      val hashDocs = langSel.map { case (_, id, k) => (k / cap, id) }.distinct
+      val byHash = hashDocs.groupBy(_._1)
+      val (nDocs, nGrams, nFp, nHashes, nShared) = got(lang)
+      assert(nDocs == ds.length, s"$lang n_docs")
+      assert(nGrams == ds.map(_._3.length - 7).map(_.toLong).sum, s"$lang n_grams")
+      assert(nFp == langSel.length, s"$lang n_fp $nFp vs ${langSel.length}")
+      assert(nHashes == byHash.size, s"$lang n_hashes")
+      assert(nShared == byHash.count(_._2.map(_._2).distinct.size >= 2), s"$lang n_shared")
+    }
+  }
+
+  test("minhash_est: estimator stats well-formed; candidates cover the dedup output") {
+    val est = LlmOps.q_llm_minhash_est(spark, sf0001).collect()
+      .map(r => r.getString(0) ->
+        (r.getLong(1), r.getDouble(2), r.getDouble(3), r.getDouble(4), r.getDouble(5)))
+      .toMap
+    est.foreach { case (lang, (n, meanEst, mae, bias, maxErr)) =>
+      assert(n > 0, s"$lang: empty candidate set")
+      assert(meanEst >= 0.0 && meanEst <= 1.0, s"$lang mean_est $meanEst")
+      assert(mae >= 0.0 && mae <= 1.0, s"$lang mae $mae")
+      assert(math.abs(bias) <= mae + 1e-12, s"$lang |bias| ${bias} > mae $mae")
+      assert(maxErr >= mae - 1e-12 && maxErr <= 1.0, s"$lang max_abs_err $maxErr")
+    }
+    // every pair the banded dedup pass emits is (by construction) one of
+    // the estimator's candidates: per-lang candidate count >= dedup rows
+    val dedup = LlmOps.q_llm_minhash_md5(spark, sf0001).collect()
+      .groupBy(_.getString(0)).view.mapValues(_.length.toLong).toMap
+    dedup.foreach { case (lang, nd) =>
+      assert(est.contains(lang) && est(lang)._1 >= nd,
+        s"$lang: ${est.get(lang).map(_._1)} candidates < $nd dedup pairs")
+    }
+  }
+}
