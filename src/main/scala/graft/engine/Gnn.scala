@@ -251,6 +251,57 @@ object Gnn {
       .orderBy("custkey")
   }
 
+  /** APPNP propagation (Gasteiger/Klicpera et al., ICLR 2019 "Predict
+    * then Propagate" — personalized-PageRank-weighted feature diffusion:
+    * z^k = (1−α)·Â·z^{k−1} + α·x decouples the prediction features from
+    * their propagation; round 7) over the thresholded part–part
+    * projection, with row-stochastic Â (neighbor mean), α = 1/4 and
+    * K = 3 power steps — the finite-K truncation of pushing each node's
+    * feature along personalized-PageRank weights.
+    *
+    * Determinism: features enter as the GIN 1e6-scaled exact BIGINTs;
+    * each step's neighbor SUM is exact integer (order-blind), and the
+    * blend t = 0.75·(nsum/deg) + 0.25·x6 is the identical IEEE sequence
+    * over exact-integer inputs in both engines (α dyadic → both products
+    * correctly rounded), re-pinned to integer state by round(t, 0)
+    * before the next step — iterations can never compound float
+    * divergence. Execution: K keyed sums over the pre-partitioned
+    * projection MV with the |V|-bounded z table broadcast per step
+    * (the pagerank shape); feature/degree tables built once. */
+  def q_gnn_appnp(s: SparkSession, dir: String): DataFrame = {
+    val ue = GraphOps.undProj(s, dir, GraphOps.TriangleMinCooccur)
+    val n = Tables.embeddings(s, dir).agg(count(lit(1)).as("c"))
+    val xq = (1 to 4).map(j =>
+      round(element_at(col("embedding"), j).cast("double") * 1000000, 0)
+        .cast("bigint").as(s"x$j"))
+    val deg = ue.groupBy(col("a").as("dn")).agg(count(lit(1)).as("deg"))
+    val feats = ue.select(col("a").as("node")).distinct()
+      .crossJoin(broadcast(n))
+      .select(col("node"), (col("node") % col("c")).as("vkey"))
+      .join(broadcast(Tables.embeddings(s, dir)), col("vkey") === col("vec_id"))
+      .select(col("node") +: xq: _*)
+      .join(broadcast(deg), col("node") === col("dn"))
+      .select(col("node") +: col("deg") +: (1 to 4).map(j => col(s"x$j")): _*)
+      .localCheckpoint()
+    var z = feats.select(col("node") +: (1 to 4).map(j => col(s"x$j").as(s"z$j")): _*)
+    for (_ <- 1 to 3) {
+      val zB = z.select(col("node").as("zn") +:
+        (1 to 4).map(j => col(s"z$j").as(s"bz$j")): _*)
+      val nsum = ue.join(broadcast(zB), col("b") === col("zn"))
+        .groupBy(col("a"))
+        .agg(sum(col("bz1")).as("s1"),
+          (2 to 4).map(j => sum(col(s"bz$j")).as(s"s$j")): _*)
+      z = feats.join(nsum, col("node") === col("a"))
+        .select(col("node") +: (1 to 4).map(j =>
+          round(lit(0.75) * (col(s"s$j").cast("double") / col("deg").cast("double"))
+            + lit(0.25) * col(s"x$j").cast("double"), 0)
+            .cast("bigint").as(s"z$j")): _*)
+    }
+    z.select(col("node").as("part_key") +:
+        (1 to 4).map(j => (col(s"z$j") / lit(1000000)).as(s"z$j")): _*)
+      .orderBy("part_key")
+  }
+
   /** TGN-style time-decayed neighborhood aggregation (Rossi et al. 2020
     * §4.2 temporal embedding with an exponential time kernel; the
     * streaming-GNN recency bias the reference's "streaming" half implies,
@@ -568,6 +619,7 @@ object Gnn {
     "q_gnn_rand_walk" -> q_gnn_rand_walk _,
     "q_gnn_temporal_decay" -> q_gnn_temporal_decay _,
     "q_gnn_gcn_norm" -> q_gnn_gcn_norm _,
+    "q_gnn_appnp" -> q_gnn_appnp _,
     "q_gnn_layer" -> q_gnn_layer _,
     "q_gnn_sampled_mean" -> q_gnn_sampled_mean _,
     "q_gnn_attention" -> q_gnn_attention _,

@@ -2696,6 +2696,49 @@ object Oracle {
          |wv AS (SELECT *, $vr AS vr FROM wm)
          |SELECT custkey, $outs FROM wv ORDER BY custkey""".stripMargin
     },
+    // Round 7 (driver). APPNP: 3 unrolled propagation CTEs — exact
+    // integer neighbor sums, the dyadic 0.75/0.25 blend on identical
+    // IEEE inputs, re-pinned to integer state by ROUND each step.
+    "q_gnn_appnp" -> {
+      val xq4 = (1 to 4).map(j =>
+        s"CAST(ROUND(CAST(embedding[$j] AS DOUBLE) * 1000000, 0) AS BIGINT) AS x$j")
+        .mkString(", ")
+      def step(k: Int): String = {
+        val prev = if (k == 1) "z0" else s"z${k - 1}"
+        val sums = (1 to 4)
+          .map(j => s"CAST(SUM(zb.z$j) AS BIGINT) AS s$j").mkString(", ")
+        val blend = (1 to 4).map(j =>
+          s"""CAST(ROUND(CAST(0.75 AS DOUBLE)
+             |      * (CAST(ns.s$j AS DOUBLE) / CAST(f.deg AS DOUBLE))
+             |      + CAST(0.25 AS DOUBLE) * CAST(f.x$j AS DOUBLE), 0)
+             |    AS BIGINT) AS z$j""".stripMargin).mkString(",\n  ")
+        s"""ns$k AS (SELECT ue.a, $sums
+           |  FROM ue JOIN $prev zb ON ue.b = zb.node GROUP BY ue.a),
+           |z$k AS (SELECT f.node,
+           |  $blend
+           |  FROM feats f JOIN ns$k ns ON f.node = ns.a)""".stripMargin
+      }
+      s"""WITH $edgesCte,
+         |pp AS MATERIALIZED (SELECT e1.dst AS a, e2.dst AS b
+         |       FROM edges e1 JOIN edges e2 ON e1.src = e2.src AND e1.dst < e2.dst
+         |       GROUP BY 1, 2 HAVING COUNT(*) >= ${GraphOps.TriangleMinCooccur}),
+         |ue AS MATERIALIZED (SELECT a, b FROM pp UNION ALL SELECT b, a FROM pp),
+         |n AS (SELECT COUNT(*) AS c FROM embeddings),
+         |deg AS (SELECT a AS dn, COUNT(*) AS deg FROM ue GROUP BY 1),
+         |feats AS MATERIALIZED (SELECT nd.node, deg.deg, $xq4
+         |  FROM (SELECT DISTINCT a AS node FROM ue) nd CROSS JOIN n
+         |  JOIN embeddings emb ON emb.vec_id = nd.node % n.c
+         |  JOIN deg ON deg.dn = nd.node),
+         |z0 AS (SELECT node, x1 AS z1, x2 AS z2, x3 AS z3, x4 AS z4 FROM feats),
+         |${step(1)},
+         |${step(2)},
+         |${step(3)}
+         |SELECT node AS part_key,
+         |  CAST(z1 AS DOUBLE) / 1000000 AS z1, CAST(z2 AS DOUBLE) / 1000000 AS z2,
+         |  CAST(z3 AS DOUBLE) / 1000000 AS z3, CAST(z4 AS DOUBLE) / 1000000 AS z4
+         |FROM z3 ORDER BY part_key""".stripMargin
+    },
+
     "q_gnn_gin" -> {
       val xq = (1 to Gnn.Dim).map(j =>
         s"CAST(ROUND(CAST(embedding[$j] AS DOUBLE) * 1000000, 0) AS BIGINT) AS x$j")

@@ -67,6 +67,42 @@ class Round10Spec extends AnyFunSuite {
     }
   }
 
+  test("appnp: 3-step propagation replayed in plain scala") {
+    import graft.engine.{Gnn, GraphOps}
+    val ue = GraphOps.undProj(spark, sf0001, GraphOps.TriangleMinCooccur)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val emb = Tables.embeddings(spark, sf0001).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).toArray).toMap
+    val nEmb = emb.size
+    def hup(t: Double): Long =
+      java.math.BigDecimal.valueOf(t)
+        .setScale(0, java.math.RoundingMode.HALF_UP).longValueExact()
+    val nodes = ue.map(_._1).distinct
+    val deg = ue.groupBy(_._1).view.mapValues(_.length.toLong).toMap
+    val nbrs = ue.groupBy(_._1).view.mapValues(_.map(_._2)).toMap
+    val x6 = nodes.map { v =>
+      v -> (0 until 4).map(j => hup(emb(v % nEmb)(j).toDouble * 1000000)).toArray
+    }.toMap
+    var z = x6
+    for (_ <- 1 to 3) {
+      z = nodes.map { v =>
+        val ns = nbrs(v).map(z)
+        v -> (0 until 4).map { j =>
+          hup(0.75 * (ns.map(_(j)).sum.toDouble / deg(v)) + 0.25 * x6(v)(j))
+        }.toArray
+      }.toMap
+    }
+    val got = Gnn.q_gnn_appnp(spark, sf0001).collect()
+      .map(r => r.getLong(0) -> (1 to 4).map(r.getDouble).toArray).toMap
+    assert(got.keySet == z.keySet, "node sets differ")
+    z.foreach { case (v, zv) =>
+      (0 until 4).foreach { j =>
+        val expect = zv(j).toDouble / 1000000
+        assert(got(v)(j) == expect, s"node $v dim ${j + 1}: ${got(v)(j)} vs $expect")
+      }
+    }
+  }
+
   test("winnowing: full per-lang accounting replayed in plain scala") {
     val got = graft.engine.TextOps.q_llm_winnowing(spark, sf0001).collect()
       .map(r => r.getString(0) ->
