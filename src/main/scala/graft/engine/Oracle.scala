@@ -913,6 +913,36 @@ object Oracle {
         |     i -> substr(text, CAST(i AS INT), 8))) AS sh)) AS fp
         |FROM documents ORDER BY doc_id""".stripMargin,
 
+    // Round 7 (driver). Zipf fit: round-9 ln terms (PSI device) → exact
+    // DECIMAL moment sums → the pinned OLS combination.
+    "q_text_zipf" ->
+      """WITH tok AS (SELECT lang, unnest(string_split(text, ' ')) AS tok
+        |             FROM documents),
+        |tf AS (SELECT lang, tok, COUNT(*) AS f FROM tok
+        |       WHERE length(tok) > 0 GROUP BY 1, 2),
+        |r AS (SELECT lang, tok, f,
+        |    ROW_NUMBER() OVER (PARTITION BY lang ORDER BY f DESC, tok ASC) AS rnk
+        |  FROM tf),
+        |t AS (SELECT lang,
+        |    CAST(ROUND(ln(CAST(rnk AS DOUBLE)), 9) AS DECIMAL(18,9)) AS lx,
+        |    CAST(ROUND(ln(CAST(f AS DOUBLE)), 9) AS DECIMAL(18,9)) AS ly,
+        |    CAST(ROUND(ROUND(ln(CAST(rnk AS DOUBLE)), 9)
+        |               * ROUND(ln(CAST(rnk AS DOUBLE)), 9), 9) AS DECIMAL(28,9)) AS lxx,
+        |    CAST(ROUND(ROUND(ln(CAST(rnk AS DOUBLE)), 9)
+        |               * ROUND(ln(CAST(f AS DOUBLE)), 9), 9) AS DECIMAL(28,9)) AS lxy
+        |  FROM r WHERE rnk <= 100),
+        |a AS (SELECT lang, COUNT(*) AS n_top,
+        |    CAST(SUM(lx) AS DOUBLE) AS sx, CAST(SUM(ly) AS DOUBLE) AS sy,
+        |    CAST(SUM(lxx) AS DOUBLE) AS sxx, CAST(SUM(lxy) AS DOUBLE) AS sxy
+        |  FROM t GROUP BY 1)
+        |SELECT lang, n_top,
+        |  (CAST(n_top AS DOUBLE) * sxy - sx * sy)
+        |    / (CAST(n_top AS DOUBLE) * sxx - sx * sx) AS zipf_slope,
+        |  (sy - (CAST(n_top AS DOUBLE) * sxy - sx * sy)
+        |    / (CAST(n_top AS DOUBLE) * sxx - sx * sx) * sx)
+        |    / CAST(n_top AS DOUBLE) AS intercept
+        |FROM a ORDER BY lang""".stripMargin,
+
     // Round 7 (driver). Winnowing (Schleimer 2003): the full selection
     // replayed — 40-bit md5 gram hashes, (hash asc, pos desc) encoded
     // into one integer key, window-of-4 MIN, exact integer // decode.
@@ -3290,6 +3320,38 @@ object Oracle {
          |  AND (CAST(n AS HUGEINT) * c - s1) * (CAST(n AS HUGEINT) * c - s1)
          |      > (CAST(n AS HUGEINT) * s2 - CAST(s1 AS HUGEINT) * s1) * 9
          |ORDER BY event_type, event_id""".stripMargin,
+
+    // Round 7 (driver). Welch t-test: 6 exact moment sums per type, one
+    // pinned double expression for t and the Satterthwaite df.
+    "q_agg_ttest" ->
+      """WITH ev AS (SELECT event_type,
+        |    CAST(ROUND(value * 100, 0) AS BIGINT) AS c,
+        |    (CAST(CAST(ts AS TIMESTAMP) AS DATE) <= DATE '2024-01-15') AS is_ref
+        |  FROM events),
+        |a AS (SELECT event_type,
+        |    CAST(SUM(CASE WHEN is_ref THEN 1 ELSE 0 END) AS BIGINT) AS n_ref,
+        |    CAST(SUM(CASE WHEN NOT is_ref THEN 1 ELSE 0 END) AS BIGINT) AS n_cur,
+        |    CAST(SUM(CASE WHEN is_ref THEN c ELSE 0 END) AS DOUBLE) AS s1,
+        |    CAST(SUM(CASE WHEN is_ref THEN c * c ELSE 0 END) AS DOUBLE) AS q1,
+        |    CAST(SUM(CASE WHEN NOT is_ref THEN c ELSE 0 END) AS DOUBLE) AS s2,
+        |    CAST(SUM(CASE WHEN NOT is_ref THEN c * c ELSE 0 END) AS DOUBLE) AS q2
+        |  FROM ev GROUP BY 1
+        |  HAVING n_ref > 1 AND n_cur > 1),
+        |x AS (SELECT event_type, n_ref, n_cur, s1, s2,
+        |    (CAST(n_ref AS DOUBLE) * q1 - s1 * s1)
+        |      / (CAST(n_ref AS DOUBLE) * (CAST(n_ref AS DOUBLE) - 1))
+        |      / CAST(n_ref AS DOUBLE) AS se1,
+        |    (CAST(n_cur AS DOUBLE) * q2 - s2 * s2)
+        |      / (CAST(n_cur AS DOUBLE) * (CAST(n_cur AS DOUBLE) - 1))
+        |      / CAST(n_cur AS DOUBLE) AS se2
+        |  FROM a)
+        |SELECT event_type, n_ref, n_cur,
+        |  (s1 / CAST(n_ref AS DOUBLE) - s2 / CAST(n_cur AS DOUBLE))
+        |    / sqrt(se1 + se2) AS t_stat,
+        |  (se1 + se2) * (se1 + se2)
+        |    / (se1 * se1 / (CAST(n_ref AS DOUBLE) - 1)
+        |       + se2 * se2 / (CAST(n_cur AS DOUBLE) - 1)) AS df_welch
+        |FROM x ORDER BY event_type""".stripMargin,
 
     // Round 7 (driver). OLS daily-trend fit: exact BIGINT moments over
     // (day index, daily cents), one double cast each, pinned-order

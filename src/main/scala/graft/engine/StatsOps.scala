@@ -608,7 +608,44 @@ object StatsOps {
       .orderBy("event_type")
   }
 
+  /** Welch's two-sample t-statistic per event_type (round 7 — the
+    * parametric companion to the KS/PSI drift screens, same
+    * reference/current split): t = (m̄₁−m̄₂)/√(v₁/n₁+v₂/n₂) with the
+    * Welch–Satterthwaite df. The 6 moment sums (counts, Σc, Σc² per
+    * half) are exact DECIMAL(38,0) over value cents — ONE aggregation,
+    * map-side partials; every later op is a pinned-order double
+    * expression over the exactly-cast sums (the q_agg_corr device:
+    * v = (n·Σc² − (Σc)²)/(n(n−1)) avoids squaring a BIGINT). Groups
+    * with a degenerate half (n ≤ 1) are excluded in both engines. */
+  def q_agg_ttest(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(s, dir).select(col("event_type"),
+      round(col("value") * 100, 0).cast("bigint").as("c"),
+      (to_date(col("ts")) <= lit("2024-01-15").cast("date")).as("is_ref"))
+    def dsum(c: org.apache.spark.sql.Column, n: String) =
+      sum(c.cast("decimal(38,0)")).cast("double").as(n)
+    val agg = ev.groupBy(col("event_type")).agg(
+      sum(when(col("is_ref"), 1L).otherwise(0L)).as("n_ref"),
+      sum(when(!col("is_ref"), 1L).otherwise(0L)).as("n_cur"),
+      dsum(when(col("is_ref"), col("c")).otherwise(0L), "s1"),
+      dsum(when(col("is_ref"), col("c") * col("c")).otherwise(0L), "q1"),
+      dsum(when(!col("is_ref"), col("c")).otherwise(0L), "s2"),
+      dsum(when(!col("is_ref"), col("c") * col("c")).otherwise(0L), "q2"))
+      .filter(col("n_ref") > 1 && col("n_cur") > 1)
+    val n1 = col("n_ref").cast("double")
+    val n2 = col("n_cur").cast("double")
+    val v1 = (n1 * col("q1") - col("s1") * col("s1")) / (n1 * (n1 - 1))
+    val v2 = (n2 * col("q2") - col("s2") * col("s2")) / (n2 * (n2 - 1))
+    val se1 = v1 / n1
+    val se2 = v2 / n2
+    agg.select(col("event_type"), col("n_ref"), col("n_cur"),
+        ((col("s1") / n1 - col("s2") / n2) / sqrt(se1 + se2)).as("t_stat"),
+        ((se1 + se2) * (se1 + se2)
+          / (se1 * se1 / (n1 - 1) + se2 * se2 / (n2 - 1))).as("df_welch"))
+      .orderBy("event_type")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_agg_ttest" -> q_agg_ttest _,
     "q_agg_ols_trend" -> q_agg_ols_trend _,
     "q_time_changepoint" -> q_time_changepoint _,
     "q_time_autocorr" -> q_time_autocorr _,

@@ -524,7 +524,46 @@ object TextOps {
       .orderBy("doc_id")
   }
 
+  /** Zipf-law fit of the token frequency distribution per lang (round 7
+    * — the distribution screen a corpus audit runs beside tokenizer
+    * coverage; Zipf 1949: freq ∝ rank^s with s ≈ −1): OLS of ln(freq)
+    * on ln(rank) over the top-100 frequency-ranked tokens (rank ties
+    * break on token text, the coverage-ladder rule). Determinism: each
+    * ln is rounded to 9 decimals (absorbing libm ulp — the PSI device),
+    * the four moment terms re-round-9 after their products, sums are
+    * exact DECIMALs, and the slope/intercept combination is the pinned
+    * OLS expression over exactly-cast doubles. One explode + one keyed
+    * count (linear), a vocab-bounded per-lang rank window, 100 terms
+    * per lang into the fit. */
+  def q_text_zipf(s: SparkSession, dir: String): DataFrame = {
+    val tf = Tables.documents(s, dir)
+      .select(col("lang"), explode(split(col("text"), " ")).as("tok"))
+      .filter(length(col("tok")) > 0)
+      .groupBy(col("lang"), col("tok")).agg(count(lit(1)).as("f"))
+    val w = Window.partitionBy(col("lang")).orderBy(col("f").desc, col("tok").asc)
+    val ranked = tf.withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= 100)
+    val lx = round(log(col("rnk").cast("double")), 9)
+    val ly = round(log(col("f").cast("double")), 9)
+    val terms = ranked.select(col("lang"),
+      lx.cast("decimal(18,9)").as("lx"), ly.cast("decimal(18,9)").as("ly"),
+      round(lx * lx, 9).cast("decimal(28,9)").as("lxx"),
+      round(lx * ly, 9).cast("decimal(28,9)").as("lxy"))
+    val agg = terms.groupBy(col("lang")).agg(
+      count(lit(1)).as("n_top"),
+      sum(col("lx")).cast("double").as("sx"), sum(col("ly")).cast("double").as("sy"),
+      sum(col("lxx")).cast("double").as("sxx"), sum(col("lxy")).cast("double").as("sxy"))
+    val n = col("n_top").cast("double")
+    val num = n * col("sxy") - col("sx") * col("sy")
+    val den = n * col("sxx") - col("sx") * col("sx")
+    val slope = num / den
+    agg.select(col("lang"), col("n_top"), slope.as("zipf_slope"),
+        ((col("sy") - slope * col("sx")) / n).as("intercept"))
+      .orderBy("lang")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_text_zipf" -> q_text_zipf _,
     "q_llm_winnowing" -> q_llm_winnowing _,
     "q_llm_tokenizer_coverage" -> q_llm_tokenizer_coverage _,
     "q_llm_ngram_novelty" -> q_llm_ngram_novelty _,

@@ -67,6 +67,71 @@ class Round10Spec extends AnyFunSuite {
     }
   }
 
+  test("ttest: welch statistic replayed from exact moments to 1e-9") {
+    import org.apache.spark.sql.functions._
+    val got = StatsOps.q_agg_ttest(spark, sf001).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getDouble(3), r.getDouble(4)))
+      .toMap
+    val ev = Tables.events(spark, sf001).select(col("event_type"),
+        round(col("value") * 100, 0).cast("bigint").as("c"),
+        (to_date(col("ts")) <= lit("2024-01-15").cast("date")).as("is_ref"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getBoolean(2)))
+    ev.groupBy(_._1).foreach { case (et, rows) =>
+      val (ref, cur) = rows.partition(_._3)
+      val (n1, n2) = (ref.length.toLong, cur.length.toLong)
+      if (n1 > 1 && n2 > 1) {
+        def mom(xs: Array[(String, Long, Boolean)]) =
+          (xs.map(r => BigInt(r._2)).sum.toDouble,
+            xs.map(r => BigInt(r._2) * r._2).sum.toDouble)
+        val (s1, q1) = mom(ref); val (s2, q2) = mom(cur)
+        val v1 = (n1 * q1 - s1 * s1) / (n1.toDouble * (n1 - 1))
+        val v2 = (n2 * q2 - s2 * s2) / (n2.toDouble * (n2 - 1))
+        val (se1, se2) = (v1 / n1, v2 / n2)
+        val t = (s1 / n1 - s2 / n2) / math.sqrt(se1 + se2)
+        val df = (se1 + se2) * (se1 + se2) /
+          (se1 * se1 / (n1 - 1) + se2 * se2 / (n2 - 1))
+        val (gn1, gn2, gt, gdf) = got(et)
+        assert(gn1 == n1 && gn2 == n2, s"$et counts")
+        assert(math.abs(gt - t) <= 1e-9 * math.max(1, math.abs(t)), s"$et t $gt vs $t")
+        assert(math.abs(gdf - df) <= 1e-6 * df, s"$et df $gdf vs $df")
+      } else assert(!got.contains(et), s"$et degenerate half must be excluded")
+    }
+  }
+
+  test("zipf: slope negative; fit replayed over the ranked vocabulary") {
+    import org.apache.spark.sql.functions._
+    val got = graft.engine.TextOps.q_text_zipf(spark, sf001).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getDouble(2), r.getDouble(3)))
+      .toMap
+    val tf = Tables.documents(spark, sf001)
+      .select(col("lang"), explode(split(col("text"), " ")).as("tok"))
+      .filter(length(col("tok")) > 0)
+      .groupBy("lang", "tok").count().collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+    def r9(x: Double): java.math.BigDecimal =
+      java.math.BigDecimal.valueOf(x).setScale(9, java.math.RoundingMode.HALF_UP)
+    tf.groupBy(_._1).foreach { case (lang, rows) =>
+      val top = rows.sortBy(r => (-r._3, r._2)).take(100).zipWithIndex
+      var (sx, sy, sxx, sxy) = (java.math.BigDecimal.ZERO, java.math.BigDecimal.ZERO,
+        java.math.BigDecimal.ZERO, java.math.BigDecimal.ZERO)
+      top.foreach { case ((_, _, f), i) =>
+        val lx = r9(StrictMath.log((i + 1).toDouble))
+        val ly = r9(StrictMath.log(f.toDouble))
+        sx = sx.add(lx); sy = sy.add(ly)
+        sxx = sxx.add(r9(lx.doubleValue * lx.doubleValue))
+        sxy = sxy.add(r9(lx.doubleValue * ly.doubleValue))
+      }
+      val n = top.length.toDouble
+      val slope = (n * sxy.doubleValue - sx.doubleValue * sy.doubleValue) /
+        (n * sxx.doubleValue - sx.doubleValue * sx.doubleValue)
+      val (nTop, gSlope, _) = got(lang)
+      assert(nTop == top.length, s"$lang n_top")
+      assert(gSlope < 0, s"$lang slope must be negative: $gSlope")
+      assert(math.abs(gSlope - slope) <= 1e-9 * math.abs(slope),
+        s"$lang slope $gSlope vs $slope")
+    }
+  }
+
   test("appnp: 3-step propagation replayed in plain scala") {
     import graft.engine.{Gnn, GraphOps}
     val ue = GraphOps.undProj(spark, sf0001, GraphOps.TriangleMinCooccur)
