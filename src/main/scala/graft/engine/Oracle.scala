@@ -2276,6 +2276,45 @@ object Oracle {
         |FROM k GROUP BY lang ORDER BY lang""".stripMargin,
 
     // Full CMS replay: same md5 60-bit family, same 4×256 grid.
+    // Round 7 (driver). Relational HyperLogLog, md5 family: bucket/rho
+    // via exact integer bit ops (bin() strips leading zeros in both
+    // engines), registers = MAX per bucket over a 256-row spine, exact
+    // integer harmonic denominator, pinned estimate expression.
+    "q_agg_hll_md5" ->
+      """WITH ev AS (SELECT event_type, user_id,
+        |    CAST('0x' || substr(md5('hll:' || CAST(user_id AS VARCHAR)), 1, 15)
+        |      AS BIGINT) AS h
+        |  FROM events),
+        |regs AS (SELECT event_type, h >> 52 AS bucket,
+        |    MAX(CASE WHEN (h & 4503599627370495) = 0 THEN 53
+        |         ELSE 53 - length(bin(h & 4503599627370495)) END) AS mj
+        |  FROM ev GROUP BY 1, 2),
+        |spine AS (SELECT DISTINCT event_type FROM ev),
+        |bk AS (SELECT UNNEST(range(0, 256)) AS sb),
+        |full0 AS (SELECT s.event_type, COALESCE(r.mj, 0) AS m
+        |  FROM spine s CROSS JOIN bk
+        |  LEFT JOIN regs r ON r.event_type = s.event_type AND r.bucket = bk.sb),
+        |sk AS (SELECT event_type,
+        |    CAST(SUM(1::BIGINT << CAST(53 - m AS INT)) AS BIGINT) AS z_scaled,
+        |    CAST(SUM(CASE WHEN m = 0 THEN 1 ELSE 0 END) AS BIGINT) AS v_zero
+        |  FROM full0 GROUP BY 1),
+        |ex AS (SELECT event_type AS et, COUNT(DISTINCT user_id) AS n_exact
+        |       FROM ev GROUP BY 1),
+        |f AS (SELECT sk.event_type, ex.n_exact, sk.z_scaled, sk.v_zero,
+        |    CAST(0.7213 AS DOUBLE)
+        |      / (CAST(1.0 AS DOUBLE) + CAST(1.079 AS DOUBLE) / CAST(256.0 AS DOUBLE))
+        |      * CAST(256.0 AS DOUBLE) * CAST(256.0 AS DOUBLE)
+        |      * CAST(9007199254740992.0 AS DOUBLE)
+        |      / CAST(z_scaled AS DOUBLE) AS e_raw
+        |  FROM sk JOIN ex ON sk.event_type = ex.et)
+        |SELECT event_type, n_exact, z_scaled, v_zero,
+        |  ROUND(CASE WHEN e_raw <= CAST(2.5 AS DOUBLE) * CAST(256.0 AS DOUBLE)
+        |               AND v_zero > 0
+        |        THEN CAST(256.0 AS DOUBLE)
+        |             * ln(CAST(256.0 AS DOUBLE) / CAST(v_zero AS DOUBLE))
+        |        ELSE e_raw END, 6) AS est
+        |FROM f ORDER BY event_type""".stripMargin,
+
     "q_llm_cms_topk" ->
       s"""WITH tok AS (SELECT UNNEST(string_split(text, ' ')) AS tok FROM documents),
          |tok2 AS (SELECT tok FROM tok WHERE len(tok) > 0),

@@ -146,7 +146,62 @@ object SketchOps {
       .orderBy(col("exact").desc, col("tok").asc)
   }
 
+  /** HLL geometry: b = 8 bucket bits → m = 256 registers; the remaining
+    * 52 bits of the 60-bit md5 family feed the rho (leading-zero) scan. */
+  val HllBuckets = 256
+
+  /** Fully-relational HyperLogLog over the md5 60-bit family (round 7;
+    * Flajolet et al. 2007) — the ORACLED twin of the engine-specific
+    * q_agg_approx_distinct, exactly as q_llm_minhash_md5 is the oracled
+    * twin of the xxhash64 MinHash path: distinct users per event_type
+    * estimated from a 256-register sketch that DuckDB replays bucket by
+    * bucket. bucket = h >> 52; rho = 53 − bitlength(h & (2⁵²−1))
+    * (integer-exact via bin(); 53 for the all-zero suffix); register
+    * M_j = MAX(rho) — an order-blind, MERGEABLE aggregate, which is the
+    * whole 100 TB story: shards sketch independently and registers
+    * merge by MAX, 256 bytes per key forever.
+    *
+    * Determinism: the harmonic-mean denominator Σ2^{−M_j} is kept as the
+    * EXACT integer Σ2^{53−M_j} (≤ 256·2⁵³ = 2⁶¹ — inside BIGINT); the
+    * raw estimate α·m²·2⁵³/Z is one pinned double expression, the
+    * small-range branch compares that identical double both engines, and
+    * the linear-counting ln(m/V) absorbs libm ulp in the round-6 output.
+    * Empty buckets are explicit via a 256-row spine (M = 0). */
+  def q_agg_hll_md5(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(s, dir).select(col("event_type"),
+      col("user_id"),
+      Dsl.md5Hash60(concat(lit("hll:"), col("user_id").cast("string"))).as("h"))
+    val regs = ev
+      .select(col("event_type"), expr("h >> 52").as("bucket"),
+        when(expr("h & 4503599627370495") === 0, lit(53))
+          .otherwise(lit(53) - length(expr("bin(h & 4503599627370495)")))
+          .cast("bigint").as("rho"))
+      .groupBy(col("event_type"), col("bucket"))
+      .agg(max(col("rho")).as("mj"))
+    val spine = ev.select(col("event_type")).distinct()
+      .crossJoin(s.range(0, HllBuckets).select(col("id").as("sb")))
+    val full = spine
+      .join(regs, spine("event_type") === regs("event_type") && col("sb") === col("bucket"),
+        "left_outer")
+      .select(spine("event_type"), coalesce(col("mj"), lit(0L)).as("m"))
+    val sk = full.groupBy(col("event_type"))
+      .agg(sum(expr("shiftleft(CAST(1 AS BIGINT), CAST(53 - m AS INT))")).as("z_scaled"),
+        sum(when(col("m") === 0, 1L).otherwise(0L)).as("v_zero"))
+    val exact = ev.groupBy(col("event_type").as("et"))
+      .agg(countDistinct(col("user_id")).as("n_exact"))
+    val alpha = lit(0.7213) / (lit(1.0) + lit(1.079) / lit(256.0))
+    val mD = lit(HllBuckets.toDouble)
+    val eRaw = alpha * mD * mD * lit(9007199254740992.0) / col("z_scaled").cast("double")
+    val est = when(eRaw <= lit(2.5) * mD && col("v_zero") > 0,
+      mD * log(mD / col("v_zero").cast("double"))).otherwise(eRaw)
+    sk.join(broadcast(exact), col("event_type") === col("et"))
+      .select(col("event_type"), col("n_exact"), col("z_scaled"), col("v_zero"),
+        round(est, 6).as("est"))
+      .orderBy("event_type")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_agg_hll_md5" -> q_agg_hll_md5 _,
     "q_llm_cms_topk" -> q_llm_cms_topk _,
     "q_llm_shard_assign" -> q_llm_shard_assign _,
     "q_stream_cms" -> q_stream_cms _

@@ -204,6 +204,43 @@ class Round10Spec extends AnyFunSuite {
     }
   }
 
+  test("hll_md5: sketch replayed exactly in scala; estimate within 20% of exact") {
+    import org.apache.spark.sql.functions._
+    val got = graft.engine.SketchOps.q_agg_hll_md5(spark, sf001).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4)))
+      .toMap
+    val users = Tables.events(spark, sf001)
+      .select(col("event_type"), col("user_id")).distinct().collect()
+      .map(r => (r.getString(0), r.getLong(1)))
+    val md = java.security.MessageDigest.getInstance("MD5")
+    def h60(s2: String): Long = {
+      val hex = md.digest(s2.getBytes("UTF-8")).map("%02x".format(_)).mkString
+      java.lang.Long.parseLong(hex.take(15), 16)
+    }
+    users.groupBy(_._1).foreach { case (et, us) =>
+      val regs = Array.fill(256)(0L)
+      us.foreach { case (_, uid) =>
+        val h = h60(s"hll:$uid")
+        val bucket = (h >> 52).toInt
+        val suffix = h & 4503599627370495L
+        val rho = if (suffix == 0) 53L else 53L - (64 - java.lang.Long.numberOfLeadingZeros(suffix))
+        if (rho > regs(bucket)) regs(bucket) = rho
+      }
+      val z = regs.map(m => 1L << (53 - m)).sum
+      val v = regs.count(_ == 0L).toLong
+      val eRaw = 0.7213 / (1.0 + 1.079 / 256.0) * 256.0 * 256.0 * 9007199254740992.0 / z.toDouble
+      val e = if (eRaw <= 2.5 * 256.0 && v > 0) 256.0 * math.log(256.0 / v) else eRaw
+      val est = java.math.BigDecimal.valueOf(e)
+        .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue
+      val (nExact, gz, gv, gest) = got(et)
+      assert(nExact == us.length.toLong, s"$et n_exact")
+      assert(gz == z && gv == v, s"$et registers: z $gz vs $z, v $gv vs $v")
+      assert(gest == est, s"$et est $gest vs $est")
+      assert(math.abs(gest - nExact) <= 0.2 * nExact,
+        s"$et estimate $gest vs exact $nExact outside 20%")
+    }
+  }
+
   test("minhash_est: estimator stats well-formed; candidates cover the dedup output") {
     val est = LlmOps.q_llm_minhash_est(spark, sf0001).collect()
       .map(r => r.getString(0) ->
