@@ -3605,6 +3605,54 @@ object Oracle {
     // β=1/4 are exact dyadic doubles and every step is the same
     // correctly-rounded IEEE sequence — no rounding anywhere. The
     // inline l_t recomputation inside b_t yields the identical double.
+    // Round 7 (driver). Additive Holt-Winters: the Holt recursive-CTE
+    // device extended with 7 calendar-indexed seasonal registers; all
+    // coefficients dyadic, identical IEEE sequences, zero rounding.
+    "q_stream_holt_winters" -> {
+      val a = "CAST(0.5 AS DOUBLE)"
+      val oneA = "CAST(0.5 AS DOUBLE)"
+      val bC = "CAST(0.25 AS DOUBLE)"
+      val oneB = "CAST(0.75 AS DOUBLE)"
+      val g = "CAST(0.5 AS DOUBLE)"
+      val oneG = "CAST(0.5 AS DOUBLE)"
+      val idx = "((o.x % 7) + 7) % 7"
+      val sPrev = s"(CASE $idx " +
+        (0 to 6).map(i => s"WHEN $i THEN h.s$i").mkString(" ") + " END)"
+      val lNew = s"$a * (o.y - $sPrev) + $oneA * (h.l + h.b)"
+      val bNew = s"$bC * (($lNew) - h.l) + $oneB * h.b"
+      val sNew = s"$g * (o.y - ($lNew)) + $oneG * $sPrev"
+      val sCols = (0 to 6).map(i =>
+        s"CASE WHEN $idx = $i THEN $sNew ELSE h.s$i END").mkString(",\n  ")
+      val sNext = "(CASE ((h.x + 1) % 7 + 7) % 7 " +
+        (0 to 6).map(i => s"WHEN $i THEN h.s$i").mkString(" ") + " END)"
+      s"""WITH RECURSIVE sd AS (SELECT event_type,
+         |    CAST(CAST(ts AS TIMESTAMP) AS DATE) AS day,
+         |    CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS y
+         |  FROM events GROUP BY 1, 2),
+         |o AS (SELECT event_type, y,
+         |    CAST(day - DATE '2024-01-01' AS BIGINT) AS x,
+         |    ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY day) AS t
+         |  FROM sd),
+         |n AS (SELECT event_type, MAX(t) AS nmax FROM o GROUP BY 1),
+         |h(event_type, t, x, l, b, s0, s1, s2, s3, s4, s5, s6) AS (
+         |  SELECT event_type, 1, x, y, CAST(0 AS DOUBLE),
+         |    CAST(0 AS DOUBLE), CAST(0 AS DOUBLE), CAST(0 AS DOUBLE),
+         |    CAST(0 AS DOUBLE), CAST(0 AS DOUBLE), CAST(0 AS DOUBLE),
+         |    CAST(0 AS DOUBLE)
+         |  FROM o WHERE t = 1
+         |  UNION ALL
+         |  SELECT o.event_type, o.t, o.x,
+         |  $lNew,
+         |  $bNew,
+         |  $sCols
+         |  FROM h JOIN o ON o.event_type = h.event_type AND o.t = h.t + 1)
+         |SELECT h.event_type, CAST(n.nmax AS BIGINT) AS n_days,
+         |  h.l AS level, h.b AS trend, $sNext AS season_next,
+         |  h.l + h.b + $sNext AS forecast
+         |FROM h JOIN n ON h.event_type = n.event_type AND h.t = n.nmax
+         |ORDER BY h.event_type""".stripMargin
+    },
+
     "q_stream_holt" -> {
       val a = "CAST(0.5 AS DOUBLE)"
       val b = "CAST(0.25 AS DOUBLE)"

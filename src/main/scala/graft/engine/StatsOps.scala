@@ -468,6 +468,66 @@ object StatsOps {
       .orderBy("event_type")
   }
 
+  // ---- Streaming Holt-Winters seasonal smoother -------------------------
+  // The weekly-seasonality extension of q_stream_holt (additive
+  // Holt-Winters, Winters 1960): keyed state per event_type adds a
+  // 7-slot seasonal register indexed by calendar day-of-week
+  // ((x mod 7 + 7) mod 7 of the day index — calendar-stable, so missing
+  // days can't shift the season like a sequence-position index would).
+  //   l_t = α(y_t − s_prev) + (1−α)(l+b);  b_t = β(l_t−l) + (1−β)b;
+  //   s_idx ← γ(y_t − l_t) + (1−γ)s_prev;  first day: l=y, b=0, s=0.
+  // α = 1/2, β = 1/4, γ = 1/2 are exact dyadic doubles — every step is
+  // the identical correctly-rounded IEEE sequence in both engines
+  // (the Holt device), so the recursion needs no rounding anywhere;
+  // the oracle replays it as a recursive CTE carrying the 7 registers.
+
+  val HwGamma = 0.5
+
+  case class HwIn(etype: String, x: Long, y: Double)
+  case class HwState(l: Double, b: Double, s: Array[Double], n: Long, lastX: Long)
+  case class HwSnap(event_type: String, n_days: Long, level: Double,
+      trend: Double, season_next: Double, forecast: Double)
+
+  def updateHw(key: String, it: Iterator[HwIn],
+      state: org.apache.spark.sql.streaming.GroupState[HwState]): Iterator[HwSnap] = {
+    var st = state.getOption.getOrElse(HwState(0.0, 0.0, Array.fill(7)(0.0), 0L, 0L))
+    it.toArray.sortBy(_.x).foreach { e =>
+      val idx = ((e.x % 7) + 7).toInt % 7
+      st =
+        if (st.n == 0L) HwState(e.y, 0.0, st.s, 1L, e.x)
+        else {
+          val sPrev = st.s(idx)
+          val lNew = HoltAlpha * (e.y - sPrev) + (1 - HoltAlpha) * (st.l + st.b)
+          val bNew = HoltBeta * (lNew - st.l) + (1 - HoltBeta) * st.b
+          val sNew = HwGamma * (e.y - lNew) + (1 - HwGamma) * sPrev
+          val s2 = st.s.clone(); s2(idx) = sNew
+          HwState(lNew, bNew, s2, st.n + 1, e.x)
+        }
+    }
+    state.update(st)
+    val nIdx = (((st.lastX + 1) % 7) + 7).toInt % 7
+    Iterator.single(HwSnap(key, st.n, st.l, st.b, st.s(nIdx), st.l + st.b + st.s(nIdx)))
+  }
+
+  /** Driver-contract query: the seasonal maintainer's bounded-run
+    * snapshot (the streaming fold over the daily series; state = 9
+    * doubles + 2 longs per key at any stream length). */
+  def q_stream_holt_winters(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables.events(s, dir)
+      .groupBy(col("event_type").as("etype"), to_date(col("ts")).as("day"))
+      .agg(sum(Dsl.dec(col("value"))).cast("double").as("y"))
+      .select(col("etype"),
+        datediff(col("day"), lit("2024-01-01").cast("date")).cast("bigint").as("x"),
+        col("y"))
+      .as[HwIn]
+      .groupByKey(_.etype)
+      .flatMapGroupsWithState(org.apache.spark.sql.streaming.OutputMode.Update,
+        org.apache.spark.sql.streaming.GroupStateTimeout.NoTimeout)(updateHw)
+      .toDF()
+      .orderBy("event_type")
+  }
+
   /** Two-sample Kolmogorov–Smirnov drift statistic per event_type
     * (the distribution-free companion to the PSI monitor, same
     * reference/current halves): D = max_v |F_ref(v) − F_cur(v)|,
@@ -646,6 +706,7 @@ object StatsOps {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_agg_ttest" -> q_agg_ttest _,
+    "q_stream_holt_winters" -> q_stream_holt_winters _,
     "q_agg_ols_trend" -> q_agg_ols_trend _,
     "q_time_changepoint" -> q_time_changepoint _,
     "q_time_autocorr" -> q_time_autocorr _,

@@ -204,6 +204,68 @@ class Round10Spec extends AnyFunSuite {
     }
   }
 
+  /** Sequential Holt-Winters replay shared by both tests below. */
+  private def hwReplay(series: Seq[(Long, Double)]): (Long, Double, Double, Double) = {
+    var (l, b, n, lastX) = (0.0, 0.0, 0L, 0L)
+    val s = Array.fill(7)(0.0)
+    series.sortBy(_._1).foreach { case (x, y) =>
+      val idx = ((x % 7) + 7).toInt % 7
+      if (n == 0) { l = y; b = 0.0; n = 1; lastX = x }
+      else {
+        val sPrev = s(idx)
+        val lNew = 0.5 * (y - sPrev) + 0.5 * (l + b)
+        b = 0.25 * (lNew - l) + 0.75 * b
+        s(idx) = 0.5 * (y - lNew) + 0.5 * sPrev
+        l = lNew; n += 1; lastX = x
+      }
+    }
+    val nIdx = (((lastX + 1) % 7) + 7).toInt % 7
+    (n, l, b, s(nIdx))
+  }
+
+  test("holt_winters: final state replays the sequential recursion exactly") {
+    import org.apache.spark.sql.functions._
+    val snap = StatsOps.q_stream_holt_winters(spark, sf0001).collect()
+      .map(r => r.getString(0) ->
+        (r.getLong(1), r.getDouble(2), r.getDouble(3), r.getDouble(4), r.getDouble(5)))
+      .toMap
+    val series = Tables.events(spark, sf0001)
+      .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+      .agg(sum(expr("cast(value as decimal(18,2))")).cast("double").as("y"))
+      .select(col("event_type"),
+        datediff(col("day"), lit("2024-01-01").cast("date")).cast("bigint").as("x"),
+        col("y"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2)))
+    series.groupBy(_._1).foreach { case (et, rows) =>
+      val (n, l, b, sn) = hwReplay(rows.map(r => (r._2, r._3)).toSeq)
+      assert(snap(et) == ((n, l, b, sn, l + b + sn)), s"$et holt-winters mismatch")
+    }
+  }
+
+  test("streaming holt_winters converges to the batch recursion across micro-batches") {
+    val s = spark
+    import s.implicits._
+    implicit val sq = s.sqlContext
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import org.apache.spark.sql.streaming.OutputMode
+    val days = (1 to 17).map(d => StatsOps.HwIn("t", d.toLong, d * 10.0 + (d % 7) * 3.0))
+    val ms = MemoryStream[StatsOps.HwIn]
+    val q = ms.toDS()
+      .groupByKey(_.etype)
+      .flatMapGroupsWithState(OutputMode.Update,
+        org.apache.spark.sql.streaming.GroupStateTimeout.NoTimeout)(StatsOps.updateHw)
+      .toDF()
+      .writeStream.outputMode(OutputMode.Update)
+      .format("memory").queryName("hwst").start()
+    ms.addData(days.take(8): _*); q.processAllAvailable()
+    ms.addData(days.drop(8): _*); q.processAllAvailable(); q.stop()
+    val fin = s.table("hwst").collect().maxBy(_.getLong(1))
+    val (n, l, b, sn) = hwReplay(days.map(e => (e.x, e.y)))
+    assert(fin.getLong(1) == n && fin.getDouble(2) == l && fin.getDouble(3) == b
+        && fin.getDouble(4) == sn,
+      "cross-batch seasonal state must equal the sequential recursion bit-for-bit")
+  }
+
   test("hll_md5: sketch replayed exactly in scala; estimate within 20% of exact") {
     import org.apache.spark.sql.functions._
     val got = graft.engine.SketchOps.q_agg_hll_md5(spark, sf001).collect()
