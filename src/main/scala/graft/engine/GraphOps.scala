@@ -783,7 +783,90 @@ object GraphOps {
       .orderBy("k")
   }
 
+  /** Betweenness geometry (shared with the oracle): 4 sources, 4-hop
+    * truncation — k-source approximate betweenness (Brandes 2001 §4;
+    * Bader et al. 2007 sampling variant with deterministic seed choice:
+    * the 4 smallest projection node ids, the closeness rule). */
+  val BetwSeeds = 4
+  val BetwHops = 4
+
+  /** k-source truncated betweenness centrality (Brandes 2001: forward
+    * level-synchronous BFS accumulating shortest-path counts σ, then the
+    * backward dependency sweep δ(v) = Σ_{w∈succ(v)} σ_v/σ_w·(1+δ(w)));
+    * round 7 — the path-centrality screen beside closeness/HITS.
+    * Both sweeps are UNROLLED to the fixed 4-hop horizon, one keyed
+    * aggregation per level (the q_graph_closeness frontier shape), so
+    * the oracle replays them as plain generated CTEs — no recursion.
+    *
+    * Determinism: σ is an exact integer SUM over predecessors
+    * (order-blind); each dependency term rounds to 9 decimals before an
+    * exact DECIMAL(38,9) per-node sum (the PSI device), δ re-enters the
+    * next level as the deterministic double cast of that decimal; the
+    * cross-seed accumulation sums the DECIMALs exactly, and only the
+    * final centrality rounds to 6dp. Top-20 with id tie-break.
+    * Scale: per-level frontier joins against the pre-partitioned
+    * projection MV; frontier/δ tables are reach-bounded (broadcast at
+    * fixture scale — at larger reach, pre-partition on the node key,
+    * same plan shape). */
+  def q_graph_betweenness(s: SparkSession, dir: String): DataFrame = {
+    val ue = undProj(s, dir, CcMinCooccur)
+    val seeds = ue.select(col("a")).distinct()
+      .orderBy(col("a")).limit(BetwSeeds).select(col("a").as("seed"))
+    val l0 = seeds
+      .select(col("seed"), col("seed").as("node"), lit(1L).as("sigma"))
+      .localCheckpoint()
+    val levels = scala.collection.mutable.ArrayBuffer(l0)
+    var visited = l0.select(col("seed"), col("node"))
+    for (_ <- 1 to BetwHops) {
+      val cur = levels.last
+      val nxt = ue
+        .join(broadcast(cur.select(col("seed"), col("node").as("fa"), col("sigma").as("fs"))),
+          col("a") === col("fa"))
+        .select(col("seed"), col("b").as("node"), col("fs"))
+        .join(broadcast(visited.select(col("seed").as("vs"), col("node").as("vn"))),
+          col("seed") === col("vs") && col("node") === col("vn"), "left_anti")
+        .groupBy(col("seed"), col("node")).agg(sum(col("fs")).as("sigma"))
+        .localCheckpoint()
+      levels += nxt
+      visited = visited.union(nxt.select(col("seed"), col("node"))).localCheckpoint()
+    }
+    val zeroDec = lit(java.math.BigDecimal.ZERO).cast("decimal(38,9)")
+    // backward sweep: level H has no successors → δ = 0
+    var deltas = List(levels(BetwHops)
+      .select(col("seed"), col("node"), col("sigma"),
+        zeroDec.as("ddec"), lit(0.0).as("delta")))
+    for (d <- (0 until BetwHops).reverse) {
+      val wSide = deltas.head.select(col("seed").as("ws_seed"),
+        col("node").as("wn"), col("sigma").as("wsig"), col("delta").as("wd"))
+      val terms = ue.join(broadcast(wSide), col("b") === col("wn"))
+        .join(broadcast(levels(d).select(col("seed").as("v_seed"),
+            col("node").as("vn"), col("sigma").as("vsig"))),
+          col("ws_seed") === col("v_seed") && col("a") === col("vn"))
+        .select(col("v_seed").as("seed"), col("vn").as("node"),
+          round((col("vsig").cast("double") / col("wsig").cast("double"))
+            * (lit(1.0) + col("wd")), 9).cast("decimal(28,9)").as("term"))
+      val sums = terms.groupBy(col("seed").as("s_seed"), col("node").as("s_node"))
+        .agg(sum(col("term")).as("sd"))
+      val lvl = levels(d)
+        .join(sums, col("seed") === col("s_seed") && col("node") === col("s_node"),
+          "left_outer")
+        .select(col("seed"), col("node"), col("sigma"),
+          coalesce(col("sd"), zeroDec).as("ddec"))
+        .withColumn("delta", col("ddec").cast("double"))
+        .localCheckpoint()
+      deltas = lvl :: deltas
+    }
+    deltas.reduce(_ unionByName _)
+      .filter(col("node") =!= col("seed"))
+      .groupBy(col("node"))
+      .agg(sum(col("ddec")).as("bcd"))
+      .select(col("node"), round(col("bcd").cast("double"), 6).as("centrality"))
+      .orderBy(col("centrality").desc, col("node").asc)
+      .limit(20)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_graph_betweenness" -> q_graph_betweenness _,
     "q_graph_richclub" -> q_graph_richclub _,
     "q_graph_degree_dist" -> q_graph_degree_dist _,
     "q_graph_butterflies" -> q_graph_butterflies _,

@@ -2935,6 +2935,55 @@ object Oracle {
 
     // Multi-source truncated BFS (recursive CTE carries the seed column;
     // UNION dedups (seed,node,d) so the recursion terminates).
+    // Round 7 (driver). k-source truncated Brandes betweenness: forward
+    // σ-BFS and backward δ-sweep both UNROLLED per hop (no recursion) —
+    // exact integer σ sums, round-9 dependency terms into exact DECIMAL
+    // per-node sums, δ re-entering as the decimal's double cast.
+    "q_graph_betweenness" -> {
+      val h = GraphOps.BetwHops
+      val fwd = (1 to h).map { d =>
+        s"""c$d AS (SELECT f.seed, ue.b AS node, CAST(SUM(f.sigma) AS BIGINT) AS sigma
+           |  FROM ue JOIN l${d - 1} f ON ue.a = f.node GROUP BY 1, 2),
+           |l$d AS (SELECT c.seed, c.node, c.sigma FROM c$d c
+           |  LEFT JOIN vis${d - 1} v ON v.seed = c.seed AND v.node = c.node
+           |  WHERE v.node IS NULL),
+           |vis$d AS (SELECT seed, node FROM vis${d - 1}
+           |          UNION ALL SELECT seed, node FROM l$d)""".stripMargin
+      }.mkString(",\n")
+      val bwd = (0 until h).reverse.map { d =>
+        s"""t$d AS (SELECT v.seed, v.node,
+           |    CAST(ROUND(CAST(v.sigma AS DOUBLE) / CAST(w.sigma AS DOUBLE)
+           |      * (CAST(1.0 AS DOUBLE) + w.delta), 9) AS DECIMAL(28,9)) AS term
+           |  FROM ue JOIN d${d + 1} w ON ue.b = w.node
+           |  JOIN l$d v ON v.seed = w.seed AND ue.a = v.node),
+           |s$d AS (SELECT seed, node, SUM(term) AS sd FROM t$d GROUP BY 1, 2),
+           |d$d AS (SELECT l.seed, l.node, l.sigma,
+           |    COALESCE(s.sd, CAST(0 AS DECIMAL(38,9))) AS ddec,
+           |    CAST(COALESCE(s.sd, CAST(0 AS DECIMAL(38,9))) AS DOUBLE) AS delta
+           |  FROM l$d l LEFT JOIN s$d s ON s.seed = l.seed AND s.node = l.node)""".stripMargin
+      }.mkString(",\n")
+      val unions = (0 to h).map(d => s"SELECT seed, node, ddec FROM d$d")
+        .mkString("\n  UNION ALL ")
+      s"""WITH $edgesCte,
+         |pp AS MATERIALIZED (SELECT e1.dst AS a, e2.dst AS b
+         |       FROM edges e1 JOIN edges e2 ON e1.src = e2.src AND e1.dst < e2.dst
+         |       GROUP BY 1, 2 HAVING COUNT(*) >= ${GraphOps.CcMinCooccur}),
+         |ue AS MATERIALIZED (SELECT a, b FROM pp UNION ALL SELECT b, a FROM pp),
+         |seeds AS (SELECT a AS seed FROM (SELECT DISTINCT a FROM ue
+         |          ORDER BY a LIMIT ${GraphOps.BetwSeeds}) t),
+         |l0 AS (SELECT seed, seed AS node, CAST(1 AS BIGINT) AS sigma FROM seeds),
+         |vis0 AS (SELECT seed, node FROM l0),
+         |$fwd,
+         |d$h AS (SELECT seed, node, sigma, CAST(0 AS DECIMAL(38,9)) AS ddec,
+         |        CAST(0 AS DOUBLE) AS delta FROM l$h),
+         |$bwd,
+         |allr AS ($unions),
+         |bc AS (SELECT node, SUM(ddec) AS bcd FROM allr
+         |       WHERE node <> seed GROUP BY 1)
+         |SELECT node, ROUND(CAST(bcd AS DOUBLE), 6) AS centrality
+         |FROM bc ORDER BY centrality DESC, node LIMIT 20""".stripMargin
+    },
+
     "q_graph_closeness" ->
       s"""WITH RECURSIVE $edgesCte,
          |pp AS MATERIALIZED (SELECT e1.dst AS a, e2.dst AS b

@@ -204,6 +204,67 @@ class Round10Spec extends AnyFunSuite {
     }
   }
 
+  test("betweenness: forward sigma + backward delta replayed in plain scala") {
+    import graft.engine.GraphOps
+    val ue = GraphOps.undProj(spark, sf0001, GraphOps.CcMinCooccur)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val nbrs = ue.groupBy(_._1).view.mapValues(_.map(_._2)).toMap
+    val seeds = ue.map(_._1).distinct.sorted.take(GraphOps.BetwSeeds)
+    def r9(x: Double): java.math.BigDecimal =
+      java.math.BigDecimal.valueOf(x).setScale(9, java.math.RoundingMode.HALF_UP)
+    val bc = scala.collection.mutable.Map.empty[Long, java.math.BigDecimal]
+    seeds.foreach { s0 =>
+      // forward: per-level sigma
+      var levels = List(Map(s0 -> 1L))
+      var visited = Set(s0)
+      for (_ <- 1 to GraphOps.BetwHops) {
+        val nxt = scala.collection.mutable.Map.empty[Long, Long]
+        levels.head.foreach { case (v, sig) =>
+          nbrs.getOrElse(v, Array.empty[Long]).foreach { w =>
+            if (!visited.contains(w)) nxt(w) = nxt.getOrElse(w, 0L) + sig
+          }
+        }
+        visited ++= nxt.keys
+        levels = nxt.toMap :: levels
+      }
+      val lv = levels.reverse // lv(0) = seed level ... lv(H)
+      // backward: delta per level
+      var delta = Map.empty[Long, (java.math.BigDecimal, Double)]
+      var wLevel = lv(GraphOps.BetwHops).keys
+        .map(n => n -> (java.math.BigDecimal.ZERO, 0.0)).toMap
+      // record level-H zero deltas too (they contribute 0)
+      for (d <- (0 until GraphOps.BetwHops).reverse) {
+        val dl = lv(d).map { case (v, vsig) =>
+          var sum = java.math.BigDecimal.ZERO
+          nbrs.getOrElse(v, Array.empty[Long]).foreach { w =>
+            lv(d + 1).get(w).foreach { wsig =>
+              val wd = wLevel(w)._2
+              sum = sum.add(r9(vsig.toDouble / wsig.toDouble * (1.0 + wd)))
+            }
+          }
+          v -> (sum, sum.doubleValue)
+        }
+        delta ++= dl
+        wLevel = dl
+      }
+      (delta ++ lv(GraphOps.BetwHops).keys.map(n =>
+          n -> (java.math.BigDecimal.ZERO, 0.0)).toMap)
+        .foreach { case (v, (dec, _)) =>
+          if (v != s0)
+            bc(v) = bc.getOrElse(v, java.math.BigDecimal.ZERO).add(dec)
+        }
+    }
+    val expect = bc.toSeq
+      .map { case (v, dec) =>
+        (v, java.math.BigDecimal.valueOf(dec.doubleValue)
+          .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue)
+      }
+      .sortBy { case (v, c) => (-c, v) }.take(20)
+    val got = GraphOps.q_graph_betweenness(spark, sf0001).collect()
+      .map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(got == expect, s"top-20 mismatch:\n got=$got\n exp=$expect")
+  }
+
   /** Sequential Holt-Winters replay shared by both tests below. */
   private def hwReplay(series: Seq[(Long, Double)]): (Long, Double, Double, Double) = {
     var (l, b, n, lastX) = (0.0, 0.0, 0L, 0L)
