@@ -1513,6 +1513,37 @@ object Oracle {
         |SELECT doc_id, lang, COUNT(*) AS n_tokens, ROUND(AVG(nll), 6) AS xent
         |FROM scored GROUP BY 1, 2 ORDER BY doc_id""".stripMargin,
 
+    // Round 7 (driver). T5 span-corruption mask accounting: md5-seeded
+    // integer start rule, window-max mask, islands sentinel count —
+    // all integer until the two final divisions.
+    "q_llm_span_corruption" ->
+      """WITH d AS (SELECT doc_id, lang,
+        |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n FROM documents),
+        |p AS (SELECT doc_id, lang, UNNEST(range(1, n + 1)) AS pos FROM d),
+        |stt AS (SELECT doc_id, lang, pos,
+        |    CASE WHEN CAST('0x' || substr(md5('span:' || CAST(doc_id AS VARCHAR)
+        |           || ':' || CAST(pos AS VARCHAR)), 1, 15) AS BIGINT) % 20 = 0
+        |      THEN 1 ELSE 0 END AS sflag
+        |  FROM p),
+        |mk AS (SELECT doc_id, lang, pos,
+        |    MAX(sflag) OVER (PARTITION BY doc_id ORDER BY pos
+        |      ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS m
+        |  FROM stt),
+        |sm AS (SELECT doc_id, lang, m,
+        |    CASE WHEN m = 1 AND COALESCE(LAG(m) OVER (PARTITION BY doc_id
+        |           ORDER BY pos), 0) = 0 THEN 1 ELSE 0 END AS sent
+        |  FROM mk),
+        |a AS (SELECT lang, COUNT(DISTINCT doc_id) AS n_docs,
+        |    COUNT(*) AS n_tokens, CAST(SUM(m) AS BIGINT) AS n_masked,
+        |    CAST(SUM(sent) AS BIGINT) AS n_sentinels
+        |  FROM sm GROUP BY 1)
+        |SELECT lang, n_docs, n_tokens, n_masked, n_sentinels,
+        |  CAST(n_masked AS DOUBLE) / CAST(n_tokens AS DOUBLE) AS mask_ratio,
+        |  CASE WHEN n_sentinels > 0
+        |    THEN CAST(n_masked AS DOUBLE) / CAST(n_sentinels AS DOUBLE)
+        |    ELSE CAST(0 AS DOUBLE) END AS mean_span_len
+        |FROM a ORDER BY lang""".stripMargin,
+
     "q_llm_pack_sequences" ->
       s"""WITH t AS (SELECT lang, doc_id,
          |  CAST(len(string_split(text, ' ')) AS BIGINT) AS nt FROM documents),

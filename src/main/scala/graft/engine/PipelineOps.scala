@@ -423,7 +423,48 @@ object PipelineOps {
       .orderBy("pack_id")
   }
 
+  /** T5-style span-corruption mask accounting (Raffel et al. 2020
+    * §3.1.4 — the denoising-objective prep step between packing and
+    * tokenization; round 7): deterministic md5-seeded span starts
+    * (position starts a 3-token span iff md5("span:doc:pos") % 20 = 0 →
+    * ~15% corruption rate), overlapping spans merge (gaps-and-islands),
+    * one sentinel per merged span. Per-lang accounting: docs, tokens,
+    * masked tokens, sentinels, mask ratio and mean merged-span length
+    * (two exact-integer divisions). Masking is position-based — the
+    * token text never leaves the scan. Determinism: hash rule integer,
+    * mask/sentinel via windows on ONE (doc_id, pos) partitioning; no
+    * float before the two final divisions. Linear in corpus tokens. */
+  def q_llm_span_corruption(s: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documents(s, dir).select(col("doc_id"), col("lang"),
+      size(split(col("text"), " ")).cast("bigint").as("n"))
+    val pos = d.select(col("doc_id"), col("lang"), col("n"),
+      explode(expr("sequence(1L, n)")).as("pos"))
+    val st = pos.withColumn("start",
+      when(Dsl.md5Hash60(concat(lit("span:"), col("doc_id").cast("string"),
+        lit(":"), col("pos").cast("string"))) % 20 === 0, 1L).otherwise(0L))
+    val w = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+    val masked = st
+      .withColumn("m", max(col("start")).over(w.rowsBetween(-2, 0)))
+      .withColumn("sent",
+        when(col("m") === 1 && coalesce(lag(col("m"), 1).over(w), lit(0L)) === 0, 1L)
+          .otherwise(0L))
+    masked.groupBy(col("lang"))
+      .agg(countDistinct(col("doc_id")).as("n_docs"),
+        count(lit(1)).as("n_tokens"),
+        sum(col("m")).as("n_masked"),
+        sum(col("sent")).as("n_sentinels"))
+      .select(col("lang"), col("n_docs"), col("n_tokens"), col("n_masked"),
+        col("n_sentinels"),
+        (col("n_masked").cast("double") / col("n_tokens").cast("double"))
+          .as("mask_ratio"),
+        when(col("n_sentinels") > 0,
+          col("n_masked").cast("double") / col("n_sentinels").cast("double"))
+          .otherwise(lit(0.0)).as("mean_span_len"))
+      .orderBy("lang")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_llm_span_corruption" -> q_llm_span_corruption _,
     "q_llm_pipeline_e2e" -> q_llm_pipeline_e2e _,
     "q_llm_chunk_overlap" -> q_llm_chunk_overlap _,
     "q_llm_dsir" -> q_llm_dsir _,

@@ -204,6 +204,38 @@ class Round10Spec extends AnyFunSuite {
     }
   }
 
+  test("span_corruption: mask and sentinel accounting replayed in plain scala") {
+    val got = graft.engine.PipelineOps.q_llm_span_corruption(spark, sf0001).collect()
+      .map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+      .toMap
+    val docs = Tables.documents(spark, sf0001)
+      .select("doc_id", "lang", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+    val md = java.security.MessageDigest.getInstance("MD5")
+    def h60(x: String): Long = {
+      val hex = md.digest(x.getBytes("UTF-8")).map("%02x".format(_)).mkString
+      java.lang.Long.parseLong(hex.take(15), 16)
+    }
+    docs.groupBy(_._2).foreach { case (lang, ds) =>
+      var (tok, masked, sent) = (0L, 0L, 0L)
+      ds.foreach { case (id, _, text) =>
+        val n = text.split(" ", -1).length
+        tok += n
+        val starts = (1 to n).map(p => h60(s"span:$id:$p") % 20 == 0)
+        var prev = false
+        (1 to n).foreach { p =>
+          val m = (math.max(1, p - 2) to p).exists(q => starts(q - 1))
+          if (m) { masked += 1; if (!prev) sent += 1 }
+          prev = m
+        }
+      }
+      val (nd, nt, nm, ns) = got(lang)
+      assert(nd == ds.length && nt == tok && nm == masked && ns == sent,
+        s"$lang: got ($nd,$nt,$nm,$ns) vs (${ds.length},$tok,$masked,$sent)")
+    }
+  }
+
   test("betweenness: forward sigma + backward delta replayed in plain scala") {
     import graft.engine.GraphOps
     val ue = GraphOps.undProj(spark, sf0001, GraphOps.CcMinCooccur)
