@@ -302,6 +302,45 @@ class PlanAuditSpec extends AnyFunSuite {
       s"tokenizer ladder must stay vocab-bounded, got $vocab distinct tokens")
   }
 
+  test("round-7 windowed operators: every window is key-partitioned") {
+    // winnowing (doc_id), zipf rank (lang), changepoint (event_type),
+    // span-corruption (doc_id): none may fall back to a global sort
+    Seq("q_llm_winnowing", "q_text_zipf", "q_time_changepoint",
+      "q_llm_span_corruption").foreach { name =>
+      val wins = SparkEntry.queries(name)(spark, sf0001)
+        .queryExecution.sparkPlan.collect {
+          case w: org.apache.spark.sql.execution.window.WindowExec => w
+        }
+      assert(wins.nonEmpty, s"$name: expected window operators")
+      wins.foreach(w => assert(w.partitionSpec.nonEmpty,
+        s"$name window must be key-partitioned:\n$w"))
+    }
+  }
+
+  test("betweenness: final plan aggregates checkpointed levels; top-k never sorts globally") {
+    // the per-level frontier joins materialize eagerly (localCheckpoint
+    // bounds the 9-stage plan tower), so the FINAL plan must be just the
+    // union + exact-decimal aggregation over checkpointed RDDs and a
+    // TakeOrderedAndProject — no join, no cartesian, no global sort
+    val df = SparkEntry.queries("q_graph_betweenness")(spark, sf0001)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    assert(!p.contains("CartesianProduct"), s"no cartesian product allowed:\n$p")
+    assert(p.contains("TakeOrderedAndProject"), s"top-20 must not globally sort:\n$p")
+    assert(p.contains("ExistingRDD"),
+      s"levels must come from checkpointed RDDs (bounded plan tower):\n$p")
+    // the per-level frontier join itself must broadcast the frontier
+    val ue = GraphOps.undProj(spark, sf0001, GraphOps.CcMinCooccur)
+    val seeds = ue.select(org.apache.spark.sql.functions.col("a")).distinct()
+      .orderBy("a").limit(GraphOps.BetwSeeds)
+      .select(org.apache.spark.sql.functions.col("a").as("fa"))
+    val step = ue.join(org.apache.spark.sql.functions.broadcast(seeds),
+      org.apache.spark.sql.functions.col("a") ===
+        org.apache.spark.sql.functions.col("fa"))
+    assert(step.queryExecution.executedPlan.toString.contains("BroadcastHashJoin"),
+      "frontier joins must broadcast the reach-bounded frontier")
+  }
+
   test("KS value ladder is value-domain-bounded and event_type-partitioned") {
     // the cumulative window partitions by event_type and sorts the
     // distinct ROUND(value*100) cents ladder — bounded by the value
