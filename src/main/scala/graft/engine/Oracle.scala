@@ -2146,6 +2146,29 @@ object Oracle {
   val round6: Map[String, String] = Map(
     // The oracle aggregates the ORIGINAL parquet — a pass proves the
     // CSV sink+scan round trip was lossless, not merely self-consistent.
+    // Round 7 (driver). Text round trip: the oracle applies the same
+    // tab/newline sanitize to the ORIGINAL table — a lossy line format
+    // (splits, encoding drift) breaks the hash.
+    "q_src_text_roundtrip" ->
+      """SELECT lang, COUNT(*) AS n_docs, COUNT(DISTINCT doc_id) AS n_ids,
+        |  CAST(SUM(length(replace(replace(text, chr(9), ' '), chr(10), ' ')))
+        |    AS BIGINT) AS sum_chars
+        |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // Round 7 (driver). binaryFile ingest: every number replayed from
+    // the documents table (payload = UTF-8 text bytes, all-ASCII).
+    "q_src_binary_ingest" ->
+      """WITH m AS (SELECT doc_id AS media_id,
+        |    CASE CAST(doc_id % 3 AS INT) WHEN 0 THEN 'image'
+        |      WHEN 1 THEN 'audio' ELSE 'video' END AS kind,
+        |    text FROM documents WHERE doc_id % 100 = 0)
+        |SELECT kind, COUNT(*) AS n_files,
+        |  CAST(SUM(length(text)) AS BIGINT) AS sum_bytes,
+        |  COUNT(DISTINCT md5(text)) AS n_distinct,
+        |  CAST(MIN(media_id) AS BIGINT) AS min_id,
+        |  CAST(MAX(media_id) AS BIGINT) AS max_id
+        |FROM m GROUP BY 1 ORDER BY 1""".stripMargin,
+
     "q_src_csv_roundtrip" ->
       """SELECT s_nationkey, COUNT(*) AS n_suppliers,
         |  CAST(SUM(CAST(s_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS sum_bal

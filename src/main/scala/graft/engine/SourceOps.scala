@@ -191,7 +191,77 @@ object SourceOps {
       .orderBy("o_orderstatus")
   }
 
+  /** Line-delimited text sink + scan round trip (round 7 — the rawest
+    * interchange format; completes the text-format pair beside CSV/JSON):
+    * documents flatten to one TAB-joined line each (doc_id, lang, text
+    * with tab/newline sanitized to spaces — the line format's invariant),
+    * read back through the `text` source and re-split. Per-lang doc
+    * count, distinct-id count, and exact char mass must survive; the
+    * oracle applies the same sanitize to the ORIGINAL table, so a lossy
+    * round trip (line splits, encoding drift) breaks the hash. */
+  def q_src_text_roundtrip(s: SparkSession, dir: String): DataFrame = {
+    val path = scratch("text", dir)
+    Tables.documents(s, dir)
+      .select(concat_ws("\t", col("doc_id"), col("lang"),
+        translate(col("text"), "\t\n", "  ")).as("value"))
+      .write.mode(SaveMode.Overwrite).text(path)
+    s.read.text(path)
+      .select(split(col("value"), "\t", 3).as("f"))
+      .select(element_at(col("f"), 1).cast("long").as("doc_id"),
+        element_at(col("f"), 2).as("lang"),
+        element_at(col("f"), 3).as("text"))
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"),
+        countDistinct(col("doc_id")).as("n_ids"),
+        sum(length(col("text")).cast("bigint")).as("sum_chars"))
+      .orderBy("lang")
+  }
+
+  /** binaryFile multimodal ingest (round 7 — the crawler→pipeline
+    * boundary: one opaque file per media object, exactly what
+    * `spark.read.format("binaryFile")` exists for): the sampled media
+    * table (doc_id % 100 = 0) lands as `<kind>_<id>.bin` files written
+    * from the executors, then the binaryFile source reads them back and
+    * the payload identity is proven per kind — file count, exact byte
+    * mass (the source's `length` column), distinct content hashes, id
+    * range parsed from the path. The oracle replays every number from
+    * the documents table, so a dropped/truncated/duplicated file breaks
+    * the compare. Scale shape: the source lists files in parallel and
+    * never materializes a payload before its partition needs it. */
+  def q_src_binary_ingest(s: SparkSession, dir: String): DataFrame = {
+    val path = scratch("bin", dir)
+    val root = new java.io.File(path)
+    def wipe(f: java.io.File): Unit = {
+      if (f.isDirectory) f.listFiles().foreach(wipe)
+      f.delete(); ()
+    }
+    if (root.exists()) wipe(root)
+    root.mkdirs()
+    Multimodal.mediaTable(s, dir)
+      .filter(col("media_id") % 100 === 0)
+      .foreachPartition { it: Iterator[MediaRow] =>
+        it.foreach { m =>
+          java.nio.file.Files.write(
+            java.nio.file.Paths.get(path, s"${m.kind}_${m.media_id}.bin"),
+            m.bytes)
+        }
+      }
+    val re = "([a-z]+)_([0-9]+)\\.bin$"
+    s.read.format("binaryFile").load(path)
+      .select(regexp_extract(col("path"), re, 1).as("kind"),
+        regexp_extract(col("path"), re, 2).cast("long").as("media_id"),
+        col("length"), md5(col("content")).as("h"))
+      .groupBy(col("kind"))
+      .agg(count(lit(1)).as("n_files"),
+        sum(col("length")).as("sum_bytes"),
+        countDistinct(col("h")).as("n_distinct"),
+        min(col("media_id")).as("min_id"), max(col("media_id")).as("max_id"))
+      .orderBy("kind")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_src_text_roundtrip" -> q_src_text_roundtrip _,
+    "q_src_binary_ingest" -> q_src_binary_ingest _,
     "q_src_schema_evolution" -> q_src_schema_evolution _,
     "q_join_bucketed" -> q_join_bucketed _,
     "q_src_csv_roundtrip" -> q_src_csv_roundtrip _,

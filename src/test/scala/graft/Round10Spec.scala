@@ -204,6 +204,22 @@ class Round10Spec extends AnyFunSuite {
     }
   }
 
+  test("text/binary round trips conserve docs, ids and byte mass") {
+    import org.apache.spark.sql.functions._
+    val docs = Tables.documents(spark, sf0001)
+    val byLang = docs.groupBy("lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val txt = graft.engine.SourceOps.q_src_text_roundtrip(spark, sf0001).collect()
+    txt.foreach { r =>
+      assert(r.getLong(1) == byLang(r.getString(0)), s"${r.getString(0)} doc count")
+      assert(r.getLong(2) == r.getLong(1), "every doc id must survive distinct")
+    }
+    val bin = graft.engine.SourceOps.q_src_binary_ingest(spark, sf0001).collect()
+    val sampled = docs.filter(col("doc_id") % 100 === 0).count()
+    assert(bin.map(_.getLong(1)).sum == sampled, "one file per sampled media object")
+    assert(bin.map(_.getString(0)).sorted.toSeq == Seq("audio", "image", "video"))
+  }
+
   test("span_corruption: mask and sentinel accounting replayed in plain scala") {
     val got = graft.engine.PipelineOps.q_llm_span_corruption(spark, sf0001).collect()
       .map(r => r.getString(0) ->
