@@ -3463,6 +3463,29 @@ object Oracle {
          |      > (CAST(n AS HUGEINT) * s2 - CAST(s1 AS HUGEINT) * s1) * 9
          |ORDER BY event_type, event_id""".stripMargin,
 
+    // Round 7 (driver). Additive seasonal decomposition: centered
+    // RANGE-frame MA trend (exact ints, one division), round-9 detrended
+    // terms → exact DECIMAL seasonal means.
+    "q_time_seasonal_decompose" ->
+      """WITH d0 AS (SELECT event_type,
+        |    CAST(CAST(ts AS TIMESTAMP) AS DATE) AS day,
+        |    CAST(SUM(CAST(ROUND(value * 100, 0) AS BIGINT)) AS BIGINT) AS y
+        |  FROM events GROUP BY 1, 2),
+        |daily AS (SELECT event_type,
+        |    CAST(day - DATE '2024-01-01' AS BIGINT) AS x, y FROM d0),
+        |det AS (SELECT event_type, ((x % 7) + 7) % 7 AS dow,
+        |    CAST(ROUND(CAST(y AS DOUBLE)
+        |      - CAST(SUM(y) OVER fr AS DOUBLE) / CAST(COUNT(*) OVER fr AS DOUBLE),
+        |      9) AS DECIMAL(28,9)) AS term
+        |  FROM daily
+        |  WINDOW fr AS (PARTITION BY event_type ORDER BY x
+        |    RANGE BETWEEN 3 PRECEDING AND 3 FOLLOWING)),
+        |a AS (SELECT event_type, dow, COUNT(*) AS n_obs, SUM(term) AS sd
+        |      FROM det GROUP BY 1, 2)
+        |SELECT event_type, CAST(dow AS BIGINT) AS dow, n_obs,
+        |  ROUND(CAST(sd AS DOUBLE) / CAST(n_obs AS DOUBLE), 6) AS seasonal
+        |FROM a ORDER BY event_type, dow""".stripMargin,
+
     // Round 7 (driver). Welch t-test: 6 exact moment sums per type, one
     // pinned double expression for t and the Satterthwaite df.
     "q_agg_ttest" ->

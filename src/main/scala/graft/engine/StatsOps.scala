@@ -704,7 +704,42 @@ object StatsOps {
       .orderBy("event_type")
   }
 
+  /** Classical additive seasonal decomposition of the daily value series
+    * per event_type (round 7 — the moving-average method behind STL,
+    * Cleveland 1990 §2: trend = centered MA, seasonal = mean detrended
+    * residual per season slot): trend is a ±3-day CENTERED RANGE-frame
+    * average over the day index (gap-safe — the frame is value-based,
+    * so a missing day shrinks the window instead of shifting it),
+    * seasonal index = per-(type, day-of-week) mean of y − trend.
+    * Determinism: trend = exact-integer frame sum / frame count (ONE
+    * division); detrended terms round-9 → exact DECIMAL sums (PSI
+    * device); one division + round-6 at output. One windowed pass over
+    * the bounded daily series + one keyed aggregation. */
+  def q_time_seasonal_decompose(s: SparkSession, dir: String): DataFrame = {
+    val daily = Tables.events(s, dir)
+      .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+      .agg(sum(round(col("value") * 100, 0).cast("bigint")).as("y"))
+      .select(col("event_type"),
+        datediff(col("day"), lit("2024-01-01").cast("date")).cast("bigint").as("x"),
+        col("y"))
+    val w = Window.partitionBy(col("event_type")).orderBy(col("x"))
+      .rangeBetween(-3, 3)
+    val det = daily
+      .withColumn("trend",
+        sum(col("y")).over(w).cast("double") / count(lit(1)).over(w).cast("double"))
+      .withColumn("term",
+        round(col("y").cast("double") - col("trend"), 9).cast("decimal(28,9)"))
+      .withColumn("dow", ((col("x") % 7) + 7) % 7)
+    det.groupBy(col("event_type"), col("dow"))
+      .agg(count(lit(1)).as("n_obs"), sum(col("term")).as("sd"))
+      .select(col("event_type"), col("dow"), col("n_obs"),
+        round(col("sd").cast("double") / col("n_obs").cast("double"), 6)
+          .as("seasonal"))
+      .orderBy("event_type", "dow")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_time_seasonal_decompose" -> q_time_seasonal_decompose _,
     "q_agg_ttest" -> q_agg_ttest _,
     "q_stream_holt_winters" -> q_stream_holt_winters _,
     "q_agg_ols_trend" -> q_agg_ols_trend _,

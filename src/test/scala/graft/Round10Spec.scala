@@ -204,6 +204,33 @@ class Round10Spec extends AnyFunSuite {
     }
   }
 
+  test("seasonal decompose: MA trend + per-dow means replayed in plain scala") {
+    val got = StatsOps.q_time_seasonal_decompose(spark, sf001).collect()
+      .map(r => (r.getString(0), r.getLong(1)) -> (r.getLong(2), r.getDouble(3)))
+      .toMap
+    def r9(x: Double): java.math.BigDecimal =
+      java.math.BigDecimal.valueOf(x).setScale(9, java.math.RoundingMode.HALF_UP)
+    daily(sf001).foreach { case (et, series) =>
+      val s = series.sortBy(_._1)
+      val byDow = scala.collection.mutable.Map
+        .empty[Long, (Long, java.math.BigDecimal)]
+      s.foreach { case (x, y) =>
+        val inFrame = s.filter(p => math.abs(p._1 - x) <= 3)
+        val trend = inFrame.map(p => BigInt(p._2)).sum.toDouble / inFrame.length
+        val term = r9(y.toDouble - trend)
+        val dow = ((x % 7) + 7) % 7
+        val (c, acc) = byDow.getOrElse(dow.toLong, (0L, java.math.BigDecimal.ZERO))
+        byDow(dow.toLong) = (c + 1, acc.add(term))
+      }
+      byDow.foreach { case (dow, (n, acc)) =>
+        val seasonal = java.math.BigDecimal.valueOf(acc.doubleValue / n)
+          .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue
+        assert(got((et, dow)) == ((n, seasonal)),
+          s"$et dow=$dow: ${got((et, dow))} vs ($n, $seasonal)")
+      }
+    }
+  }
+
   test("text/binary round trips conserve docs, ids and byte mass") {
     import org.apache.spark.sql.functions._
     val docs = Tables.documents(spark, sf0001)
