@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
-import graft.engine.{BpeOps, ClusterOps, CurationOps, Gnn, GraphOps, LlmOps, Multimodal, Oracle, PartitionOps, PipelineOps, Relational, SketchOps, Skew, SourceOps, StatsOps, StreamingGnn, StreamingOps, TextOps, TrainOps}
+import graft.engine.{BpeOps, ClusterOps, CurationOps, Gnn, GraphOps, LlmOps, Multimodal, Oracle, PartitionOps, PipelineOps, RankOps, Relational, SketchOps, Skew, SourceOps, StatsOps, StreamingGnn, StreamingOps, TextOps, TrainOps}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   * Query surface: SURVEY.md §2 (normative contract reconstructed from the
@@ -20,7 +20,7 @@ object SparkEntry {
       StreamingGnn.queries ++ PipelineOps.queries ++ Skew.queries ++
       SourceOps.queries ++ SketchOps.queries ++ ClusterOps.queries ++
       BpeOps.queries ++ PartitionOps.queries ++ TrainOps.queries ++
-      CurationOps.queries ++ StatsOps.queries
+      CurationOps.queries ++ StatsOps.queries ++ RankOps.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted for non-SQL-expressible ops

@@ -187,10 +187,52 @@ object ClusterOps {
       .orderBy("vec_id")
   }
 
+  /** Projected dimensionality for the random projection. */
+  val RpDims = 8
+
+  /** Database-friendly Johnson–Lindenstrauss random projection
+    * (Achlioptas JCSS 2003 — ±1 entries preserve pairwise distances in
+    * expectation exactly like Gaussian entries, and make the projection
+    * EXACT integer arithmetic): R[j,k] = ±1 from the md5 family's parity
+    * (seeded, engine-independent), inputs as 1e6-scaled BIGINTs (the GIN
+    * feature device), y_k = Σ_j x̂_j·R[j,k] an exact BIGINT — the
+    * dimension-reduction pass before LSH/ANN at 100 TB is one explode +
+    * one broadcast-join + one keyed sum, no float anywhere. Per sampled
+    * vector: the 8 projected components + the JL distortion audit
+    * ratio = (Σ_k y_k²/8)/Σ_j x̂_j² (exact integer sums, ONE division,
+    * round-6). Projection matrix = 64×8 = 512 broadcast rows. */
+  def q_embed_rand_proj(s: SparkSession, dir: String): DataFrame = {
+    val rmat = s.range(0, EmbDims.toLong).select(col("id").as("j"))
+      .crossJoin(s.range(0, RpDims.toLong).select(col("id").as("k")))
+      .select(col("j"), col("k"),
+        when(pmod(Dsl.md5Hash60(concat(lit("rp:"), col("j").cast("string"),
+          lit(":"), col("k").cast("string"))), lit(2)) === 0, 1L)
+          .otherwise(-1L).as("sgn"))
+    val xe = Tables.embeddings(s, dir)
+      .filter(col("vec_id") % 20 === 0)
+      .select(col("vec_id"), posexplode(col("embedding")).as(Seq("j", "xf")))
+      .select(col("vec_id"), col("j").cast("bigint").as("j"),
+        round(col("xf").cast("double") * 1e6, 0).cast("bigint").as("xi"))
+    val proj = xe.join(broadcast(rmat), Seq("j"))
+      .groupBy(col("vec_id"), col("k"))
+      .agg(sum(col("xi") * col("sgn")).as("y"))
+    val norms = proj.groupBy(col("vec_id").as("nv"))
+      .agg(sum(col("y") * col("y")).as("ny2"))
+    val inNorm = xe.groupBy(col("vec_id").as("iv"))
+      .agg(sum(col("xi") * col("xi")).as("nx2"))
+    proj.join(broadcast(norms), col("vec_id") === col("nv"))
+      .join(broadcast(inNorm), col("vec_id") === col("iv"))
+      .select(col("vec_id"), col("k"), col("y"),
+        round((col("ny2").cast("double") / RpDims) / col("nx2").cast("double"), 6)
+          .as("jl_ratio"))
+      .orderBy("vec_id", "k")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_llm_kmeans" -> q_llm_kmeans _,
     "q_embed_pca" -> q_embed_pca _,
-    "q_embed_whiten" -> q_embed_whiten _
+    "q_embed_whiten" -> q_embed_whiten _,
+    "q_embed_rand_proj" -> q_embed_rand_proj _
   )
 
   // ── DuckDB oracle (generated: 64-term distance chains, unrolled Lloyd) ──

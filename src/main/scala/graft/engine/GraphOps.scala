@@ -128,6 +128,77 @@ object GraphOps {
         .localCheckpoint()
     }
 
+  /** DIRECTED part→part transition edges: consecutive lineitems within
+    * an order, ordered by line number (the item-transition / session
+    * graph a recommender pipeline builds from basket sequences — the
+    * directed companion of the undirected co-purchase projection).
+    * DISTINCT (src, dst), self-loops dropped. Built as ONE keyed lead()
+    * window over (orderkey, linenumber) — no self-join; at 100 TB this
+    * is a single shuffle on the order key (orders are the natural
+    * partition unit) and the output is a bounded |P|² edge table a
+    * deployment persists as an MV. Consumed by reciprocity + motif
+    * census (2 operators → Mv.memo).
+    *
+    * Determinism: l_linenumber is NOT unique within an order in the
+    * fixture, so the window orders by (l_linenumber, l_partkey) — rows
+    * tying on both carry the SAME part key, so any residual permutation
+    * yields the identical transition sequence in both engines. */
+  private[graft] def transEdges(s: SparkSession, dir: String): DataFrame =
+    Mv.memo(s, s"transEdges|$dir") {
+      val w = Window.partitionBy(col("l_orderkey"))
+        .orderBy(col("l_linenumber"), col("l_partkey"))
+      Tables.lineitem(s, dir)
+        .select(col("l_orderkey"), col("l_linenumber"), col("l_partkey"))
+        .withColumn("nxt", lead(col("l_partkey"), 1).over(w))
+        .filter(col("nxt").isNotNull && col("nxt") =!= col("l_partkey"))
+        .select(col("l_partkey").as("src"), col("nxt").as("dst"))
+        .distinct()
+        .repartition(s.sessionState.conf.numShufflePartitions, col("src"))
+        .localCheckpoint()
+    }
+
+  /** Directed-edge reciprocity (Wasserman–Faust dyad census, mutual /
+    * asymmetric dyads) of the transition graph: an edge is reciprocated
+    * iff its reverse exists. ONE left-semi self-join on the transEdges
+    * MV — a plain hash/SMJ on (src,dst) that scales linearly in |E|.
+    * Exact integers + one final division. */
+  def q_graph_reciprocity(s: SparkSession, dir: String): DataFrame = {
+    val t = transEdges(s, dir)
+    val rev = t.select(col("dst").as("rs"), col("src").as("rd"))
+    val recip = t.join(rev, col("src") === col("rs") && col("dst") === col("rd"),
+        "left_semi")
+      .agg(count(lit(1)).as("n_recip"))
+    val tot = t.agg(count(lit(1)).as("n_edges"))
+    tot.crossJoin(recip)
+      .select(col("n_edges"), (col("n_recip") / 2).cast("bigint").as("n_mutual_dyads"),
+        (col("n_edges") - col("n_recip")).as("n_asym"),
+        round(col("n_recip").cast("double") / col("n_edges").cast("double"), 6)
+          .as("reciprocity"))
+  }
+
+  /** Directed triad motif census (Milo et al., Science 2002) on the
+    * transition graph: cyclic triangles a→b→c→a (min-id anchor a<b, a<c
+    * counts each 3-cycle exactly once) vs transitive/feed-forward
+    * triples (a→b, b→c, a→c with a≠c — each ordered role assignment is
+    * one motif instance). Two joins over the SAME transEdges MV — the
+    * triangle-enumeration cost class the undirected census already
+    * carries; path explosion is bounded by Σ deg_out·deg_in. */
+  def q_graph_motifs(s: SparkSession, dir: String): DataFrame = {
+    val t = transEdges(s, dir).localCheckpoint()
+    val ab = t.select(col("src").as("a"), col("dst").as("b"))
+    val bc = t.select(col("src").as("b2"), col("dst").as("c"))
+    val paths = ab.join(bc, col("b") === col("b2")).select(col("a"), col("b"), col("c"))
+    val closeCyc = t.select(col("src").as("c3"), col("dst").as("a3"))
+    val cyc = paths.filter(col("a") < col("b") && col("a") < col("c"))
+      .join(closeCyc, col("c") === col("c3") && col("a") === col("a3"), "left_semi")
+      .agg(count(lit(1)).as("n_cyclic"))
+    val closeTrans = t.select(col("src").as("a4"), col("dst").as("c4"))
+    val trans = paths.filter(col("a") =!= col("c"))
+      .join(closeTrans, col("a") === col("a4") && col("c") === col("c4"), "left_semi")
+      .agg(count(lit(1)).as("n_transitive"))
+    cyc.crossJoin(trans)
+  }
+
   def q_graph_degree(s: SparkSession, dir: String): DataFrame =
     edges(s, dir)
       .groupBy(col("dst").as("part_key"))
@@ -866,6 +937,8 @@ object GraphOps {
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_graph_reciprocity" -> q_graph_reciprocity _,
+    "q_graph_motifs" -> q_graph_motifs _,
     "q_graph_betweenness" -> q_graph_betweenness _,
     "q_graph_richclub" -> q_graph_richclub _,
     "q_graph_degree_dist" -> q_graph_degree_dist _,

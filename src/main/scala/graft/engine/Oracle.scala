@@ -3806,12 +3806,214 @@ object Oracle {
     }
   )
 
+  /** Directed transition-edge CTE shared by reciprocity + motifs —
+    * mirrors GraphOps.transEdges: LEAD over (l_linenumber, l_partkey)
+    * within the order (linenumber alone is NOT unique in the fixture;
+    * ties share the part key, so the sequence is engine-independent). */
+  private val transCte: String =
+    """t AS (SELECT DISTINCT l_partkey AS src, nxt AS dst FROM (
+      |  SELECT l_partkey, LEAD(l_partkey) OVER (PARTITION BY l_orderkey
+      |    ORDER BY l_linenumber, l_partkey) AS nxt
+      |  FROM lineitem) WHERE nxt IS NOT NULL AND nxt <> l_partkey)""".stripMargin
+
+  /** Round 13 (driver round 7, this session): directed transition-graph
+    * census, retrieval fusion/eval, robust statistics, JL projection,
+    * decayed heavy hitters. */
+  val round13: Map[String, String] = Map(
+    "q_graph_reciprocity" ->
+      s"""WITH $transCte,
+         |r AS (SELECT COUNT(*) AS n_recip FROM t e
+         |      WHERE EXISTS (SELECT 1 FROM t x
+         |                    WHERE x.src = e.dst AND x.dst = e.src)),
+         |n AS (SELECT COUNT(*) AS n_edges FROM t)
+         |SELECT CAST(n.n_edges AS BIGINT) AS n_edges,
+         |  CAST(r.n_recip / 2 AS BIGINT) AS n_mutual_dyads,
+         |  CAST(n.n_edges - r.n_recip AS BIGINT) AS n_asym,
+         |  ROUND(CAST(r.n_recip AS DOUBLE) / CAST(n.n_edges AS DOUBLE), 6)
+         |    AS reciprocity
+         |FROM n, r""".stripMargin,
+
+    "q_graph_motifs" ->
+      s"""WITH $transCte,
+         |cy AS (SELECT COUNT(*) AS n_cyclic
+         |       FROM t ab JOIN t bc ON ab.dst = bc.src
+         |       JOIN t ca ON ca.src = bc.dst AND ca.dst = ab.src
+         |       WHERE ab.src < ab.dst AND ab.src < bc.dst),
+         |tr AS (SELECT COUNT(*) AS n_transitive
+         |       FROM t ab JOIN t bc ON ab.dst = bc.src
+         |       JOIN t ac ON ac.src = ab.src AND ac.dst = bc.dst
+         |       WHERE ab.src <> bc.dst)
+         |SELECT CAST(cy.n_cyclic AS BIGINT) AS n_cyclic,
+         |  CAST(tr.n_transitive AS BIGINT) AS n_transitive
+         |FROM cy, tr""".stripMargin,
+
+    "q_agg_theil_sen" ->
+      """WITH daily AS (SELECT event_type,
+        |    CAST(CAST(ts AS TIMESTAMP) AS DATE) AS day,
+        |    CAST(SUM(CAST(ROUND(value * 100, 0) AS BIGINT)) AS BIGINT) AS y
+        |  FROM events GROUP BY 1, 2),
+        |d AS (SELECT event_type,
+        |    CAST(day - DATE '2024-01-01' AS BIGINT) AS x, y FROM daily),
+        |p AS (SELECT a.event_type, b.y - a.y AS dy, b.x - a.x AS dx, a.x AS x1,
+        |    ROUND(CAST(b.y - a.y AS DOUBLE) / CAST(b.x - a.x AS DOUBLE), 9)
+        |      AS slope
+        |  FROM d a JOIN d b ON a.event_type = b.event_type AND a.x < b.x),
+        |r AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY event_type
+        |    ORDER BY slope ASC, dy ASC, dx ASC, x1 ASC) AS rn,
+        |    COUNT(*) OVER (PARTITION BY event_type) AS np FROM p),
+        |m AS (SELECT event_type, np, slope FROM r
+        |      WHERE rn = (np + 1) // 2 OR rn = (np + 2) // 2)
+        |SELECT event_type, CAST(MAX(np) AS BIGINT) AS n_pairs,
+        |  ROUND(SUM(slope) / COUNT(*), 6) AS slope_cents_per_day
+        |FROM m GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q_time_mad" ->
+      """WITH daily AS (SELECT event_type,
+        |    CAST(CAST(ts AS TIMESTAMP) AS DATE) AS day,
+        |    CAST(SUM(CAST(ROUND(value * 100, 0) AS BIGINT)) AS BIGINT) AS y
+        |  FROM events GROUP BY 1, 2),
+        |ry AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY event_type
+        |    ORDER BY y ASC, day ASC) AS rn,
+        |    COUNT(*) OVER (PARTITION BY event_type) AS n FROM daily),
+        |med AS (SELECT event_type AS mt, CAST(MAX(n) AS BIGINT) AS n_days,
+        |    CAST(CASE WHEN COUNT(*) = 1 THEN SUM(y) * 2 ELSE SUM(y) END
+        |      AS BIGINT) AS med2
+        |  FROM ry WHERE rn = (n + 1) // 2 OR rn = (n + 2) // 2 GROUP BY 1),
+        |dev AS (SELECT d.event_type, d.day, med.n_days, med.med2,
+        |    ABS(d.y * 2 - med.med2) AS d2
+        |  FROM daily d JOIN med ON d.event_type = med.mt),
+        |rd AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY event_type
+        |    ORDER BY d2 ASC, day ASC) AS rn,
+        |    COUNT(*) OVER (PARTITION BY event_type) AS n FROM dev),
+        |mad AS (SELECT event_type AS dt,
+        |    CAST(CASE WHEN COUNT(*) = 1 THEN SUM(d2) * 2 ELSE SUM(d2) END
+        |      AS BIGINT) AS mad4
+        |  FROM rd WHERE rn = (n + 1) // 2 OR rn = (n + 2) // 2 GROUP BY 1)
+        |SELECT dev.event_type, dev.n_days,
+        |  ROUND(CAST(dev.med2 AS DOUBLE) / 200, 2) AS median_value,
+        |  ROUND(CAST(mad.mad4 AS DOUBLE) / 400, 4) AS mad_value,
+        |  CAST(SUM(CASE WHEN dev.d2 * 20000 > mad.mad4 * 44478
+        |    THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers
+        |FROM dev JOIN mad ON dev.event_type = mad.dt
+        |GROUP BY 1, 2, dev.med2, mad.mad4 ORDER BY 1""".stripMargin,
+
+    // Closed form of the streaming recursion: every term c·2^−(T−d) is a
+    // dyadic rational with ≤2^29 denominator and counts ≤2^10, so the
+    // double sum is EXACT and order-blind — the snapshot equals this
+    // formula bit-for-bit.
+    "q_stream_decay_topk" ->
+      """WITH daily AS (SELECT event_type,
+        |    CAST(CAST(ts AS TIMESTAMP) AS DATE) AS day, COUNT(*) AS c
+        |  FROM events GROUP BY 1, 2),
+        |d AS (SELECT event_type,
+        |    CAST(day - DATE '2024-01-01' AS BIGINT) AS x, c FROM daily),
+        |t AS (SELECT MAX(x) AS tmax FROM d),
+        |ws AS (SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_days,
+        |    SUM(CAST(c AS DOUBLE)
+        |        / CAST(CAST(1 AS BIGINT) << CAST(t.tmax - x AS INT) AS DOUBLE))
+        |      AS w
+        |  FROM d, t GROUP BY 1),
+        |tot AS (SELECT SUM(w) AS tw FROM ws)
+        |SELECT event_type, n_days, ROUND(w, 6) AS decayed_count,
+        |  ROUND(w / tot.tw, 6) AS share
+        |FROM ws, tot ORDER BY decayed_count DESC, event_type ASC""".stripMargin,
+
+    "q_embed_rand_proj" ->
+      """WITH rm AS (SELECT s1.j, s2.k,
+        |    CASE WHEN CAST('0x' || substr(md5('rp:' || s1.j || ':' || s2.k), 1, 15)
+        |        AS BIGINT) % 2 = 0 THEN 1 ELSE -1 END AS sgn
+        |  FROM (SELECT UNNEST(range(0, 64)) AS j) s1,
+        |       (SELECT UNNEST(range(0, 8)) AS k) s2),
+        |xe AS (SELECT e.vec_id, s.j,
+        |    CAST(ROUND(CAST(e.embedding[CAST(s.j + 1 AS INT)] AS DOUBLE) * 1e6, 0)
+        |      AS BIGINT) AS xi
+        |  FROM embeddings e, (SELECT UNNEST(range(0, 64)) AS j) s
+        |  WHERE e.vec_id % 20 = 0),
+        |proj AS (SELECT xe.vec_id, rm.k, CAST(SUM(xe.xi * rm.sgn) AS BIGINT) AS y
+        |  FROM xe JOIN rm ON xe.j = rm.j GROUP BY 1, 2),
+        |nn AS (SELECT vec_id, CAST(SUM(y * y) AS BIGINT) AS ny2
+        |       FROM proj GROUP BY 1),
+        |ix AS (SELECT vec_id, CAST(SUM(xi * xi) AS BIGINT) AS nx2
+        |       FROM xe GROUP BY 1)
+        |SELECT p.vec_id, p.k, p.y,
+        |  ROUND((CAST(nn.ny2 AS DOUBLE) / 8) / CAST(ix.nx2 AS DOUBLE), 6)
+        |    AS jl_ratio
+        |FROM proj p JOIN nn ON p.vec_id = nn.vec_id
+        |JOIN ix ON p.vec_id = ix.vec_id
+        |ORDER BY p.vec_id, p.k""".stripMargin,
+
+    "q_llm_rrf" ->
+      s"""WITH tok AS (SELECT doc_id, UNNEST(string_split(text, ' ')) AS tok
+         |             FROM documents),
+         |df AS (SELECT tok, COUNT(DISTINCT doc_id) AS df FROM tok GROUP BY 1),
+         |q AS (SELECT tok FROM df ORDER BY df DESC, tok ASC LIMIT 3),
+         |cand AS (SELECT doc_id, lang FROM documents WHERE doc_id % 10 = 0),
+         |lex AS (SELECT t.doc_id, COUNT(*) AS score_lex
+         |        FROM tok t JOIN q ON t.tok = q.tok GROUP BY 1),
+         |qv AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+         |sem AS (SELECT e.vec_id AS doc_id,
+         |          ROUND(${cosExpr("e.embedding", "qv.qv")}, 6) AS score_sem
+         |        FROM embeddings e CROSS JOIN qv),
+         |sc AS (SELECT c.lang, c.doc_id,
+         |         COALESCE(l.score_lex, 0) AS score_lex, s.score_sem
+         |       FROM cand c LEFT JOIN lex l ON c.doc_id = l.doc_id
+         |       JOIN sem s ON c.doc_id = s.doc_id),
+         |rk AS (SELECT *,
+         |    ROW_NUMBER() OVER (PARTITION BY lang
+         |      ORDER BY score_lex DESC, doc_id ASC) AS rank_lex,
+         |    ROW_NUMBER() OVER (PARTITION BY lang
+         |      ORDER BY score_sem DESC, doc_id ASC) AS rank_sem
+         |  FROM sc),
+         |fr AS (SELECT lang, doc_id, rank_lex, rank_sem,
+         |    CAST(ROUND(CAST(1 AS DOUBLE) / (rank_lex + 60), 9)
+         |      AS DECIMAL(28,9))
+         |    + CAST(ROUND(CAST(1 AS DOUBLE) / (rank_sem + 60), 9)
+         |      AS DECIMAL(28,9)) AS rrf
+         |  FROM rk),
+         |f2 AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY lang
+         |    ORDER BY rrf DESC, doc_id ASC) AS rank_fused FROM fr)
+         |SELECT lang, CAST(rank_fused AS BIGINT) AS rank_fused, doc_id,
+         |  CAST(rank_lex AS BIGINT) AS rank_lex,
+         |  CAST(rank_sem AS BIGINT) AS rank_sem,
+         |  ROUND(CAST(rrf AS DOUBLE), 6) AS rrf
+         |FROM f2 WHERE rank_fused <= 5 ORDER BY lang, rank_fused""".stripMargin,
+
+    "q_text_ndcg" ->
+      s"""WITH q AS (SELECT vec_id AS query_id, embedding AS qv,
+         |             label AS qlabel FROM embeddings WHERE vec_id < 10),
+         |sc AS (SELECT q.query_id, q.qlabel, e.vec_id, e.label,
+         |    ROUND(${cosExpr("e.embedding", "q.qv")}, 6) AS cos_sim
+         |  FROM embeddings e CROSS JOIN q WHERE e.vec_id <> q.query_id),
+         |nr AS (SELECT query_id AS qr,
+         |    CAST(SUM(CASE WHEN label = qlabel THEN 1 ELSE 0 END) AS BIGINT)
+         |      AS n_rel
+         |  FROM sc GROUP BY 1),
+         |rk AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+         |    ORDER BY cos_sim DESC, vec_id ASC) AS pos FROM sc),
+         |dcg AS (SELECT query_id,
+         |    SUM(CAST(ROUND((CASE WHEN label = qlabel THEN CAST(3 AS DOUBLE)
+         |      ELSE CAST(0 AS DOUBLE) END) / log2(pos + 1), 9)
+         |      AS DECIMAL(28,9))) AS dcg_d
+         |  FROM rk WHERE pos <= 10 GROUP BY 1),
+         |sp AS (SELECT UNNEST(range(1, 11)) AS i),
+         |idcg AS (SELECT nr.qr, nr.n_rel,
+         |    SUM(CAST(ROUND(CAST(3 AS DOUBLE) / log2(sp.i + 1), 9)
+         |      AS DECIMAL(28,9))) AS idcg_d
+         |  FROM nr JOIN sp ON sp.i <= LEAST(nr.n_rel, 10) GROUP BY 1, 2)
+         |SELECT d.query_id, idcg.n_rel,
+         |  ROUND(CAST(dcg_d AS DOUBLE), 6) AS dcg,
+         |  ROUND(CAST(idcg_d AS DOUBLE), 6) AS idcg,
+         |  ROUND(CAST(dcg_d AS DOUBLE) / CAST(idcg_d AS DOUBLE), 6) AS ndcg
+         |FROM dcg d JOIN idcg ON d.query_id = idcg.qr
+         |ORDER BY query_id""".stripMargin
+  )
+
   val all: Map[String, String] =
     relational ++ streaming ++ graph ++ llm ++ extended ++ gnn ++ gnnPrep ++
       pipeline ++ round4 ++ round4b ++ round4c ++ round4d ++ round4e ++
       round4f ++ round5 ++ round6 ++ round6graph ++ ClusterOps.oracle ++
       BpeOps.oracle ++ partitioning ++ train ++ graphAnalytics ++ curation ++
-      stats ++ gin ++ mmr ++
+      stats ++ gin ++ mmr ++ round13 ++
       // streaming twins: the final snapshot IS the batch result — the
       // batch operators' oracles replay them verbatim
       Map("q_stream_gnn_pool" -> train("q_gnn_graphsage_pool"),

@@ -738,7 +738,165 @@ object StatsOps {
       .orderBy("event_type", "dow")
   }
 
+  /** Theil–Sen robust trend slope per event_type (Theil 1950, Sen 1968 —
+    * the median-of-pairwise-slopes estimator, 29% breakdown vs OLS's 0):
+    * over the daily cents series (x = day index, y = exact cents),
+    * slope_ij = (y_j − y_i)/(x_j − x_i) for all i<j, median by the
+    * dual-mid-rank device (lo = ⌊(n+1)/2⌋, hi = ⌊(n+2)/2⌋ — one row when
+    * n is odd, two averaged when even). Determinism: each slope is
+    * round-9 BEFORE ranking; the sort key appends the exact integer
+    * (dy, dx, x_i) triple so true ties order identically in both
+    * engines; the final average is over ≤2 doubles (commutative).
+    * The pair set is calendar-bounded (days², ~435/type at 30 days) —
+    * independent of event count, so the keyed window never sees
+    * fact-table cardinality at any corpus scale. */
+  def q_agg_theil_sen(s: SparkSession, dir: String): DataFrame = {
+    val daily = Tables.events(s, dir)
+      .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+      .agg(sum(round(col("value") * 100, 0).cast("bigint")).as("y"))
+      .select(col("event_type"),
+        datediff(col("day"), lit("2024-01-01").cast("date")).cast("bigint").as("x"),
+        col("y"))
+    val a = daily.select(col("event_type"), col("x").as("x1"), col("y").as("y1"))
+    val b = daily.select(col("event_type").as("et2"), col("x").as("x2"),
+      col("y").as("y2"))
+    val pairs = a.join(b, col("event_type") === col("et2") && col("x1") < col("x2"))
+      .withColumn("dy", col("y2") - col("y1"))
+      .withColumn("dx", col("x2") - col("x1"))
+      .withColumn("slope",
+        round(col("dy").cast("double") / col("dx").cast("double"), 9))
+    val w = Window.partitionBy(col("event_type"))
+      .orderBy(col("slope").asc, col("dy").asc, col("dx").asc, col("x1").asc)
+    val cw = Window.partitionBy(col("event_type"))
+    pairs
+      .withColumn("rn", row_number().over(w).cast("bigint"))
+      .withColumn("np", count(lit(1)).over(cw))
+      .filter(col("rn") === floor((col("np") + 1) / 2) ||
+        col("rn") === floor((col("np") + 2) / 2))
+      .groupBy(col("event_type"))
+      .agg(max(col("np")).as("n_pairs"), count(lit(1)).as("nm"),
+        sum(col("slope")).as("ss"))
+      .select(col("event_type"), col("n_pairs"),
+        round(col("ss") / col("nm"), 6).as("slope_cents_per_day"))
+      .orderBy("event_type")
+  }
+
+  /** MAD robust outlier screen per event_type (Hampel 1974; the robust
+    * z-score replacing mean/stddev with median/MAD): daily cents y,
+    * med = median(y), MAD = median(|y − med|), outlier ⟺
+    * |y − med| > 3·1.4826·MAD. EVERYTHING stays exact integers: medians
+    * via the dual-mid-rank device kept DOUBLED (med2 = 2·median and
+    * mad4 = 4·MAD are exact integer cents — a mid-pair average never
+    * leaves ℤ/2), and the flag cross-multiplies to
+    * 20000·|2y − med2| > 44478·mad4 (3·1.4826 = 4.4478 exactly, a
+    * 4-decimal rational) — no float appears anywhere before the two
+    * round-2/round-4 display divisions. Both median windows are keyed by
+    * event_type and calendar-bounded. */
+  def q_time_mad(s: SparkSession, dir: String): DataFrame = {
+    val daily = Tables.events(s, dir)
+      .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+      .agg(sum(round(col("value") * 100, 0).cast("bigint")).as("y"))
+    // med2 = 2·median(y), exact integer
+    val wy = Window.partitionBy(col("event_type")).orderBy(col("y").asc, col("day").asc)
+    val cw = Window.partitionBy(col("event_type"))
+    val med = daily
+      .withColumn("rn", row_number().over(wy).cast("bigint"))
+      .withColumn("n", count(lit(1)).over(cw))
+      .filter(col("rn") === floor((col("n") + 1) / 2) ||
+        col("rn") === floor((col("n") + 2) / 2))
+      .groupBy(col("event_type").as("mt"))
+      .agg(count(lit(1)).as("nm"), sum(col("y")).as("sy"), max(col("n")).as("n_days"))
+      .select(col("mt"), col("n_days"),
+        when(col("nm") === 1, col("sy") * 2).otherwise(col("sy")).as("med2"))
+    val dev = daily.join(broadcast(med), col("event_type") === col("mt"))
+      .withColumn("d2", abs(col("y") * 2 - col("med2")))
+    // mad4 = 4·MAD = 2·median(d2), exact integer
+    val wd = Window.partitionBy(col("event_type")).orderBy(col("d2").asc, col("day").asc)
+    val mad = dev
+      .withColumn("rn", row_number().over(wd).cast("bigint"))
+      .withColumn("n", count(lit(1)).over(cw))
+      .filter(col("rn") === floor((col("n") + 1) / 2) ||
+        col("rn") === floor((col("n") + 2) / 2))
+      .groupBy(col("event_type").as("dt"))
+      .agg(count(lit(1)).as("nm"), sum(col("d2")).as("sd"))
+      .select(col("dt"),
+        when(col("nm") === 1, col("sd") * 2).otherwise(col("sd")).as("mad4"))
+    dev.join(broadcast(mad), col("event_type") === col("dt"))
+      .groupBy(col("event_type"), col("n_days"), col("med2"), col("mad4"))
+      .agg(sum(when(col("d2") * 20000 > col("mad4") * 44478, 1L).otherwise(0L))
+        .as("n_outliers"))
+      .select(col("event_type"), col("n_days"),
+        round(col("med2").cast("double") / 200, 2).as("median_value"),
+        round(col("mad4").cast("double") / 400, 4).as("mad_value"),
+        col("n_outliers"))
+      .orderBy("event_type")
+  }
+
+  // ---- Streaming exponentially-decayed heavy hitters --------------------
+  // Per-day half-life decayed event counts per event_type (the decayed
+  // frequency monitor behind trending-topics / hot-key detection):
+  //   w ← w · 2^−Δdays + count_day,   halving per day.
+  // EXACT: the decay factor is the reciprocal of a power of two
+  // (1/(1<<Δ) — division by 2^k is always exact in IEEE), daily counts
+  // ≤ ~2^10 and the horizon ≤ 30 days, so every state value is a dyadic
+  // rational with ≤ 2^29 denominator and < 2^53 total bits — the
+  // recursion AND the closed form Σ cnt_d·2^−(T−d) are the same exact
+  // number, order-blind, in both engines (the oracle uses the closed
+  // form; zero rounding until the round-6 display).
+  case class DecayIn(etype: String, x: Long, c: Long)
+  case class DecayState(lastX: Long, w: Double)
+  case class DecaySnap(event_type: String, n_days: Long, last_x: Long, w_raw: Double)
+
+  def updateDecay(key: String, it: Iterator[DecayIn],
+      state: org.apache.spark.sql.streaming.GroupState[DecayState]): Iterator[DecaySnap] = {
+    var st = state.getOption.getOrElse(DecayState(Long.MinValue, 0.0))
+    var n = 0L
+    it.toArray.sortBy(_.x).foreach { e =>
+      val dx = if (st.lastX == Long.MinValue) 0L else e.x - st.lastX
+      val decay = if (dx >= 63) 0.0 else 1.0 / (1L << dx).toDouble
+      st = DecayState(e.x, st.w * decay + e.c)
+      n += 1
+    }
+    state.update(st)
+    Iterator.single(DecaySnap(key, n, st.lastX, st.w))
+  }
+
+  /** Driver-contract query: decayed heavy hitters over the daily count
+    * series — the keyed-state maintainer (8 bytes weight + 8 bytes day
+    * per key forever), normalized to the global last day and ranked by
+    * decayed weight. The share denominator is a 5-row aggregate —
+    * crossJoined, not an unpartitioned window. */
+  def q_stream_decay_topk(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val daily = Tables.events(s, dir)
+      .groupBy(col("event_type").as("etype"), to_date(col("ts")).as("day"))
+      .agg(count(lit(1)).as("c"))
+      .select(col("etype"),
+        datediff(col("day"), lit("2024-01-01").cast("date")).cast("bigint").as("x"),
+        col("c"))
+    val snap = daily.as[DecayIn]
+      .groupByKey(_.etype)
+      .flatMapGroupsWithState(org.apache.spark.sql.streaming.OutputMode.Update,
+        org.apache.spark.sql.streaming.GroupStateTimeout.NoTimeout)(updateDecay)
+      .toDF()
+    val tmax = daily.agg(max(col("x")).as("tmax"))
+    val norm = snap.crossJoin(broadcast(tmax))
+      .withColumn("gap", col("tmax") - col("last_x"))
+      .withColumn("w", col("w_raw") *
+        when(col("gap") >= 63, lit(0.0))
+          .otherwise(expr("1.0d / cast(shiftleft(cast(1 as bigint), cast(gap as int)) as double)")))
+    val tot = norm.agg(sum(col("w")).as("tw"))
+    norm.crossJoin(broadcast(tot))
+      .select(col("event_type"), col("n_days"),
+        round(col("w"), 6).as("decayed_count"),
+        round(col("w") / col("tw"), 6).as("share"))
+      .orderBy(col("decayed_count").desc, col("event_type").asc)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_agg_theil_sen" -> q_agg_theil_sen _,
+    "q_time_mad" -> q_time_mad _,
+    "q_stream_decay_topk" -> q_stream_decay_topk _,
     "q_time_seasonal_decompose" -> q_time_seasonal_decompose _,
     "q_agg_ttest" -> q_agg_ttest _,
     "q_stream_holt_winters" -> q_stream_holt_winters _,

@@ -1,0 +1,204 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.engine.{ClusterOps, GraphOps, RankOps, StatsOps, Tables}
+
+/** Round-13 additions (driver round 7, this session): plain-Scala
+  * replays and semantic invariants for the transition-graph census,
+  * retrieval fusion/eval, robust statistics, JL projection, and decayed
+  * heavy hitters — the layer of pinning beyond the DuckDB hash gate. */
+class Round13Spec extends AnyFunSuite {
+  import TestSpark._
+
+  /** The daily cents series the robust monitors consume, replayed. */
+  private def dailyCents(sf: String): Map[String, Seq[(Int, Long)]] = {
+    import org.apache.spark.sql.functions._
+    Tables.events(spark, sf)
+      .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+      .agg(sum(round(col("value") * 100, 0).cast("bigint")).as("c"))
+      .select(col("event_type"),
+        datediff(col("day"), lit("2024-01-01").cast("date")).as("x"), col("c"))
+      .collect()
+      .map(r => (r.getString(0), r.getInt(1), r.getLong(2)))
+      .groupBy(_._1).view.mapValues(_.map(t => (t._2, t._3)).sortBy(_._1).toSeq)
+      .toMap
+  }
+
+  /** The directed transition edge set, replayed from raw lineitem rows
+    * with the same (linenumber, partkey) ordering rule. */
+  private def transSet(sf: String): Set[(Long, Long)] = {
+    import org.apache.spark.sql.functions._
+    Tables.lineitem(spark, sf)
+      .select(col("l_orderkey"), col("l_linenumber"), col("l_partkey"))
+      .collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2)))
+      .groupBy(_._1)
+      .valuesIterator
+      .flatMap { rows =>
+        val seq = rows.sortBy(r => (r._2, r._3)).map(_._3)
+        seq.zip(seq.tail).filter(p => p._1 != p._2)
+      }
+      .toSet
+  }
+
+  test("transition edges: MV equals the per-order sequence replay") {
+    val mv = GraphOps.transEdges(spark, sf0001).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(mv == transSet(sf0001))
+  }
+
+  test("reciprocity: counts replayed from the edge set") {
+    val t = transSet(sf0001)
+    val recip = t.count(e => t.contains((e._2, e._1)))
+    val r = GraphOps.q_graph_reciprocity(spark, sf0001).collect().head
+    assert(r.getLong(0) == t.size.toLong)
+    assert(r.getLong(1) == recip / 2L)
+    assert(r.getLong(2) == t.size.toLong - recip)
+    assert(math.abs(r.getDouble(3) - recip.toDouble / t.size) <= 5e-7)
+  }
+
+  test("motifs: cyclic and transitive triads replayed by brute force") {
+    val t = transSet(sf0001)
+    val out = t.groupBy(_._1).view.mapValues(_.map(_._2)).toMap
+    var cyc = 0L
+    var trans = 0L
+    for ((a, bs) <- out; b <- bs; c <- out.getOrElse(b, Set.empty)) {
+      if (a < b && a < c && t.contains((c, a))) cyc += 1
+      if (a != c && t.contains((a, c))) trans += 1
+    }
+    val r = GraphOps.q_graph_motifs(spark, sf0001).collect().head
+    assert(r.getLong(0) == cyc, s"cyclic ${r.getLong(0)} vs $cyc")
+    assert(r.getLong(1) == trans, s"transitive ${r.getLong(1)} vs $trans")
+  }
+
+  test("theil_sen: median-of-pairwise-slopes replayed exactly") {
+    val got = StatsOps.q_agg_theil_sen(spark, sf001).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    dailyCents(sf001).foreach { case (et, series) =>
+      val slopes = (for {
+        (i, ii) <- series.zipWithIndex
+        j <- series.drop(ii + 1)
+      } yield {
+        val dy = j._2 - i._2
+        val dx = (j._1 - i._1).toLong
+        (BigDecimal(dy.toDouble / dx)
+          .setScale(9, BigDecimal.RoundingMode.HALF_UP).toDouble, dy, dx, i._1)
+      }).sortBy(t => (t._1, t._2, t._3, t._4))
+      val n = slopes.length
+      val lo = slopes((n + 1) / 2 - 1)._1
+      val hi = slopes((n + 2) / 2 - 1)._1
+      val med = BigDecimal((lo + hi) / 2)
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      val (np, s) = got(et)
+      assert(np == n.toLong, s"$et n_pairs")
+      assert(s == med, s"$et slope $s vs $med")
+    }
+  }
+
+  test("mad: doubled-median device replayed; outlier rule all-integer") {
+    def median2(xs: Seq[Long]): Long = {
+      val s = xs.sorted
+      val n = s.length
+      val lo = s((n + 1) / 2 - 1)
+      val hi = s((n + 2) / 2 - 1)
+      lo + hi // = 2·median, exact integer
+    }
+    val got = StatsOps.q_time_mad(spark, sf001).collect()
+      .map(r => r.getString(0) ->
+        (r.getLong(1), r.getDouble(2), r.getDouble(3), r.getLong(4))).toMap
+    dailyCents(sf001).foreach { case (et, series) =>
+      val ys = series.map(_._2)
+      val med2 = median2(ys)
+      val d2s = ys.map(y => math.abs(2 * y - med2))
+      val mad4 = median2(d2s)
+      val nOut = d2s.count(d2 => d2 * 20000L > mad4 * 44478L)
+      val (nd, medV, madV, no) = got(et)
+      assert(nd == ys.length.toLong)
+      assert(medV == BigDecimal(med2.toDouble / 200)
+        .setScale(2, BigDecimal.RoundingMode.HALF_UP).toDouble)
+      assert(madV == BigDecimal(mad4.toDouble / 400)
+        .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble)
+      assert(no == nOut.toLong, s"$et outliers $no vs $nOut")
+    }
+  }
+
+  test("decay_topk: recursion equals the closed form exactly (dyadic)") {
+    import org.apache.spark.sql.functions._
+    val dailyN = Tables.events(spark, sf001)
+      .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+      .agg(count(lit(1)).as("c"))
+      .select(col("event_type"),
+        datediff(col("day"), lit("2024-01-01").cast("date")).as("x"), col("c"))
+      .collect()
+      .map(r => (r.getString(0), r.getInt(1), r.getLong(2)))
+    val tmax = dailyN.map(_._2).max
+    val want = dailyN.groupBy(_._1).view.mapValues { rows =>
+      // closed form Σ c·2^−(T−d): exact dyadic arithmetic
+      rows.map(r => r._3.toDouble / (1L << (tmax - r._2)).toDouble).sum
+    }.toMap
+    val tot = want.values.sum
+    val got = StatsOps.q_stream_decay_topk(spark, sf001).collect()
+    assert(got.map(_.getString(0)).toSet == want.keySet)
+    got.foreach { r =>
+      val w = want(r.getString(0))
+      assert(r.getDouble(2) == BigDecimal(w)
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble,
+        s"${r.getString(0)} decayed_count")
+      assert(math.abs(r.getDouble(3) - w / tot) <= 5e-7)
+    }
+    // output is ranked by decayed weight
+    val ws = got.map(_.getDouble(2)).toSeq
+    assert(ws == ws.sorted.reverse)
+  }
+
+  test("rand_proj: exact integer projection and JL ratio near 1") {
+    val rows = ClusterOps.q_embed_rand_proj(spark, sf001).collect()
+    // 8 components per sampled vector, exact integers (bigint column)
+    val byVec = rows.groupBy(_.getLong(0))
+    assert(byVec.values.forall(_.length == 8))
+    // the distortion audit: E[ratio] = 1 under ±1 JL; individual vectors
+    // concentrate within a loose [0.3, 3] band at d=64→8
+    val ratios = byVec.view.mapValues(_.head.getDouble(3)).values.toSeq
+    assert(ratios.forall(r => r > 0.2 && r < 5.0), s"ratios out of band: $ratios")
+    val mean = ratios.sum / ratios.size
+    assert(mean > 0.6 && mean < 1.6, s"mean JL ratio $mean")
+  }
+
+  test("rrf: fused score equals 1/(60+r_lex)+1/(60+r_sem); top-5 per lang") {
+    val rows = RankOps.q_llm_rrf(spark, sf001).collect()
+    rows.foreach { r =>
+      val (rl, rs) = (r.getLong(3), r.getLong(4))
+      val want = BigDecimal(
+        BigDecimal(1.0 / (60 + rl)).setScale(9, BigDecimal.RoundingMode.HALF_UP)
+          .toDouble +
+        BigDecimal(1.0 / (60 + rs)).setScale(9, BigDecimal.RoundingMode.HALF_UP)
+          .toDouble)
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      assert(r.getDouble(5) == want, s"rrf mismatch at ${r.getLong(2)}")
+    }
+    rows.groupBy(_.getString(0)).foreach { case (lang, rs) =>
+      assert(rs.length <= 5, s"$lang more than 5 fused results")
+      assert(rs.map(_.getLong(1)).sorted.toSeq == (1L to rs.length).toSeq)
+    }
+  }
+
+  test("ndcg: bounded in (0,1]; idcg is the ideal prefix; n_rel sane") {
+    val rows = RankOps.q_text_ndcg(spark, sf001).collect()
+    assert(rows.length == 10)
+    rows.foreach { r =>
+      val (nRel, dcg, idcg, ndcg) = (r.getLong(1), r.getDouble(2),
+        r.getDouble(3), r.getDouble(4))
+      assert(nRel > 0)
+      assert(dcg >= 0 && idcg > 0 && dcg <= idcg + 1e-9)
+      assert(ndcg >= 0 && ndcg <= 1.0)
+      // idcg for n_rel ≥ 10 equals the full 10-position ideal sum
+      if (nRel >= 10) {
+        val want = (1 to 10).map(i =>
+          BigDecimal(3.0 / (math.log(i + 1) / math.log(2)))
+            .setScale(9, BigDecimal.RoundingMode.HALF_UP).toDouble).sum
+        assert(math.abs(idcg - want) <= 1e-6)
+      }
+    }
+  }
+}
