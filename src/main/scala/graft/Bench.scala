@@ -54,6 +54,8 @@ object Bench {
     "undProjCc" -> (() => { engine.GraphOps
       .undProj(spark, sfDir, engine.GraphOps.CcMinCooccur).count(); () }),
     "undWeighted" -> (() => { engine.GraphOps.undWeighted(spark, sfDir).count(); () }),
+    // directed transition graph: reciprocity + motif census both consume it
+    "transEdges" -> (() => { engine.GraphOps.transEdges(spark, sfDir).count(); () }),
     // the link-prediction training set is the same MV class: four
     // training/eval operators consume it per session
     "linkPredFeatures" -> (() => { engine.Gnn.linkPredFeatures(spark, sfDir).count(); () }),
@@ -136,17 +138,28 @@ object Bench {
     }
     val canaryEnd = canary()
     // Outlier retime pass: committed clean-box targets decide suspects.
+    // Round-13 hardening: the old max(3 s, 2.5×target) floor let every
+    // sub-3-second query inflate unchallenged — a loaded early sweep put
+    // the surface at a MEDIAN 1.27× target with a tail of 12×-but-2.4 s
+    // entries, ~60 s of diffuse inflation the defense never saw. Now any
+    // query > max(0.8 s, 2×target) is suspect (no-target queries: >10 s),
+    // ranked by inflation ratio, retimed up to a 45-query budget (bounds
+    // the pass at roughly the cost of the true outliers, not a second
+    // full sweep). Official value stays min(first, retime) — the less
+    // load-biased of two honest samples; the first sample stays in the
+    // artifact for audit.
     val targets: Map[String, Double] =
       try parseFlatJson(scala.io.Source.fromFile("tools/bench_targets.json")
         .mkString)
       catch { case _: Throwable => Map.empty }
-    val suspects = firstPass.filter { case (name, sec) =>
-      sec >= 0 && (targets.get(name) match {
-        case Some(t) => sec > math.max(3.0, 2.5 * t)
-        case None => sec > 10.0
-      })
-    }
-    val retimed = suspects.map { case (name, first) =>
+    val suspects = firstPass.flatMap { case (name, sec) =>
+      targets.get(name) match {
+        case Some(t) if sec > math.max(0.8, 2.0 * t) => Some((name, sec, sec / t))
+        case None if sec > 10.0 => Some((name, sec, 2.0))
+        case _ => None
+      }
+    }.sortBy(-_._3).take(45)
+    val retimed = suspects.map { case (name, first, _) =>
       val again = timeOne(name, SparkEntry.queries(name))
       System.err.println(f"[bench] RETIME $name: first=$first%.2f s retime=$again%.2f s")
       name -> (first, again)

@@ -3978,6 +3978,112 @@ object Oracle {
          |  ROUND(CAST(rrf AS DOUBLE), 6) AS rrf
          |FROM f2 WHERE rank_fused <= 5 ORDER BY lang, rank_fused""".stripMargin,
 
+    "q_agg_chi2" ->
+      """WITH ev AS (SELECT event_type,
+        |    CAST(LEAST(9, FLOOR(value / 50)) AS INT) AS b FROM events),
+        |cells AS (SELECT event_type, b, CAST(COUNT(*) AS BIGINT) AS o
+        |          FROM ev GROUP BY 1, 2),
+        |spine AS (SELECT t.event_type, s.b
+        |          FROM (SELECT DISTINCT event_type FROM ev) t,
+        |               (SELECT UNNEST(range(0, 10)) AS b) s),
+        |filled AS (SELECT sp.event_type, sp.b, COALESCE(c.o, 0) AS o
+        |           FROM spine sp LEFT JOIN cells c
+        |           ON sp.event_type = c.event_type AND sp.b = c.b),
+        |rt AS (SELECT event_type AS rte, CAST(SUM(o) AS BIGINT) AS r
+        |       FROM filled GROUP BY 1),
+        |ct AS (SELECT b AS cb, CAST(SUM(o) AS BIGINT) AS c
+        |       FROM filled GROUP BY 1),
+        |nt AS (SELECT CAST(SUM(o) AS BIGINT) AS n,
+        |         CAST(COUNT(DISTINCT event_type) AS BIGINT) AS nr FROM filled),
+        |nc AS (SELECT CAST(COUNT(*) AS BIGINT) AS ncol FROM ct WHERE c > 0),
+        |terms AS (SELECT nt.n, nt.nr, nc.ncol,
+        |    CAST(ROUND(
+        |      (CAST(f.o AS DOUBLE)
+        |        - CAST(rt.r AS DOUBLE) * CAST(ct.c AS DOUBLE)
+        |          / CAST(nt.n AS DOUBLE))
+        |      * (CAST(f.o AS DOUBLE)
+        |        - CAST(rt.r AS DOUBLE) * CAST(ct.c AS DOUBLE)
+        |          / CAST(nt.n AS DOUBLE))
+        |      / (CAST(rt.r AS DOUBLE) * CAST(ct.c AS DOUBLE)
+        |          / CAST(nt.n AS DOUBLE)), 9) AS DECIMAL(28,9)) AS term
+        |  FROM filled f
+        |  JOIN rt ON f.event_type = rt.rte
+        |  JOIN ct ON f.b = ct.cb AND ct.c > 0, nt, nc),
+        |agg AS (SELECT n, nr, ncol, SUM(term) AS chi2d
+        |        FROM terms GROUP BY 1, 2, 3)
+        |SELECT n, (nr - 1) * (ncol - 1) AS df,
+        |  ROUND(CAST(chi2d AS DOUBLE), 6) AS chi2,
+        |  ROUND(SQRT(CAST(chi2d AS DOUBLE)
+        |    / (CAST(n AS DOUBLE) * CAST(LEAST(nr - 1, ncol - 1) AS DOUBLE))), 6)
+        |    AS cramers_v
+        |FROM agg""".stripMargin,
+
+    "q_agg_benford" ->
+      """WITH cents AS (SELECT CAST(ROUND(value * 100, 0) AS BIGINT) AS cents
+        |               FROM events
+        |               WHERE CAST(ROUND(value * 100, 0) AS BIGINT) > 0),
+        |obs AS (SELECT CAST(substr(CAST(cents AS VARCHAR), 1, 1) AS INT) AS digit,
+        |          CAST(COUNT(*) AS BIGINT) AS o
+        |        FROM cents GROUP BY 1),
+        |spine AS (SELECT CAST(UNNEST(range(1, 10)) AS INT) AS digit),
+        |n AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM cents)
+        |SELECT s.digit, COALESCE(obs.o, 0) AS n_obs,
+        |  ROUND(CAST(COALESCE(obs.o, 0) AS DOUBLE) / CAST(n.n AS DOUBLE), 6)
+        |    AS obs_share,
+        |  ROUND(log10(CAST(1 AS DOUBLE) + CAST(1 AS DOUBLE) / s.digit), 6)
+        |    AS benford_p,
+        |  ROUND((CAST(COALESCE(obs.o, 0) AS DOUBLE)
+        |      - CAST(n.n AS DOUBLE)
+        |        * log10(CAST(1 AS DOUBLE) + CAST(1 AS DOUBLE) / s.digit))
+        |    / SQRT(CAST(n.n AS DOUBLE)
+        |        * log10(CAST(1 AS DOUBLE) + CAST(1 AS DOUBLE) / s.digit)
+        |        * (CAST(1 AS DOUBLE)
+        |          - log10(CAST(1 AS DOUBLE) + CAST(1 AS DOUBLE) / s.digit))), 6)
+        |    AS z
+        |FROM spine s LEFT JOIN obs ON s.digit = obs.digit, n
+        |ORDER BY s.digit""".stripMargin,
+
+    "q_text_lang_confusion" ->
+      """WITH tok AS (SELECT doc_id, lang,
+        |    unnest(list_distinct(string_split(text, ' '))) AS token
+        |  FROM documents),
+        |prof AS (SELECT lang AS p_lang, token AS p_tok, COUNT(*) AS freq
+        |         FROM tok GROUP BY 1, 2),
+        |tot AS (SELECT p_lang, SUM(freq) AS tot FROM prof GROUP BY 1),
+        |sf AS (SELECT tk.doc_id, tk.lang, pn.p_lang, SUM(pn.freq) AS sf
+        |       FROM tok tk JOIN prof pn ON tk.token = pn.p_tok GROUP BY 1, 2, 3),
+        |scored AS (SELECT s.doc_id, s.lang, s.p_lang,
+        |             CAST(s.sf AS DOUBLE) / CAST(t.tot AS DOUBLE) AS score
+        |           FROM sf s JOIN tot t USING (p_lang)),
+        |r AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY doc_id
+        |        ORDER BY score DESC, p_lang ASC) AS rn FROM scored),
+        |pred AS (SELECT doc_id, lang, p_lang AS pred_lang FROM r WHERE rn = 1),
+        |cells AS (SELECT lang, pred_lang, CAST(COUNT(*) AS BIGINT) AS n_docs
+        |          FROM pred GROUP BY 1, 2),
+        |lt AS (SELECT lang AS tl, CAST(SUM(n_docs) AS BIGINT) AS nt
+        |       FROM cells GROUP BY 1)
+        |SELECT c.lang, c.pred_lang, c.n_docs,
+        |  ROUND(CAST(c.n_docs AS DOUBLE) / CAST(lt.nt AS DOUBLE), 6) AS share,
+        |  c.lang = c.pred_lang AS is_diag
+        |FROM cells c JOIN lt ON c.lang = lt.tl
+        |ORDER BY c.lang, c.pred_lang""".stripMargin,
+
+    "q_join_asof_nearest" ->
+      """WITH p AS (SELECT event_id AS p_id, user_id, ts AS p_ts FROM events
+        |           WHERE event_type = 'purchase'),
+        |c AS (SELECT event_id AS c_id, user_id AS c_user, ts AS c_ts FROM events
+        |      WHERE event_type = 'click'),
+        |j AS (SELECT p.p_id, p.user_id, p.p_ts, c.c_id,
+        |        ABS(date_diff('microsecond', p.p_ts, c.c_ts)) AS dt_us, c.c_ts
+        |      FROM p LEFT JOIN c ON p.user_id = c.c_user
+        |        AND c.c_ts >= p.p_ts - INTERVAL 30 MINUTE
+        |        AND c.c_ts <= p.p_ts + INTERVAL 30 MINUTE),
+        |r AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY p_id
+        |        ORDER BY dt_us ASC NULLS LAST, c_ts ASC NULLS LAST,
+        |          c_id ASC NULLS LAST) AS rn FROM j)
+        |SELECT p_id AS event_id, user_id, p_ts AS ts, c_id AS click_id, dt_us
+        |FROM r WHERE rn = 1 ORDER BY event_id""".stripMargin,
+
     "q_text_ndcg" ->
       s"""WITH q AS (SELECT vec_id AS query_id, embedding AS qv,
          |             label AS qlabel FROM embeddings WHERE vec_id < 10),

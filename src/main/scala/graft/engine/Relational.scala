@@ -155,6 +155,36 @@ object Relational {
       .orderBy("event_id")
   }
 
+  /** NEAREST-neighbor as-of join (the bidirectional variant of the
+    * backward as-of: kdb/pandas `merge_asof direction='nearest'`):
+    * for each purchase, the click closest in EITHER direction within
+    * ±30 min, by |Δt| with (earlier ts, lower id) tie-breaks. The
+    * equi-key on user plus the bounded time band keeps the range probe
+    * linear — the same SMJ-band shape the backward as-of already has;
+    * the per-purchase rank window sees only in-band candidates. */
+  def q_join_asof_nearest(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(s, dir)
+    val p = ev.filter(col("event_type") === "purchase")
+      .select(col("event_id").as("p_id"), col("user_id"), col("ts").as("p_ts"))
+    val c = ev.filter(col("event_type") === "click")
+      .select(col("event_id").as("c_id"), col("user_id").as("c_user"), col("ts").as("c_ts"))
+    val dtUs = abs(unix_micros(col("c_ts")) - unix_micros(col("p_ts")))
+    val w = Window.partitionBy(col("p_id"))
+      .orderBy(col("dt_us").asc_nulls_last, col("c_ts").asc_nulls_last,
+        col("c_id").asc_nulls_last)
+    p.join(c,
+        col("user_id") === col("c_user") &&
+          col("c_ts") >= col("p_ts") - expr("INTERVAL 30 MINUTES") &&
+          col("c_ts") <= col("p_ts") + expr("INTERVAL 30 MINUTES"),
+        "left_outer")
+      .withColumn("dt_us", dtUs)
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("p_id").as("event_id"), col("user_id"), col("p_ts").as("ts"),
+        col("c_id").as("click_id"), col("dt_us"))
+      .orderBy("event_id")
+  }
+
   // ── §2.4 aggregations ────────────────────────────────────────────────
 
   /** Flagship (TPC-H Q1 shape): partial+final HashAggregate over the fact
@@ -814,6 +844,7 @@ object Relational {
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_join_asof_nearest" -> q_join_asof_nearest _,
     "q_win_streaks" -> q_win_streaks _,
     "q_merge_upsert" -> q_merge_upsert _,
     "q_agg_histogram" -> q_agg_histogram _,

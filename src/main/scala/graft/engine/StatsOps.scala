@@ -738,6 +738,79 @@ object StatsOps {
       .orderBy("event_type", "dow")
   }
 
+  /** Pearson χ² independence test of event_type × value bucket (the
+    * categorical-association companion to KS/PSI/t-test; Pearson 1900):
+    * contingency over the PSI value buckets (full spine — zero cells
+    * contribute their expectation), χ² = Σ (O−E)²/E with E = R·C/N.
+    * Determinism: O, R, C, N exact integers; every double product stays
+    * < 2^53 at any realistic scale (R·C ≤ 1e12 at 1M events), E and each
+    * term are pinned-order IEEE expressions (the OLS/t-test device),
+    * terms round-9 → exact DECIMAL sum; Cramér's V from the rounded χ².
+    * Empty COLUMNS (no events in a bucket anywhere) are dropped from
+    * both the cells and df = (r−1)(c−1). One keyed count + two broadcast
+    * marginals — map-side partials, one row out. */
+  def q_agg_chi2(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(s, dir)
+      .select(col("event_type"),
+        least(lit(PsiBuckets - 1),
+          floor(col("value") / PsiBucketWidth)).cast("int").as("b"))
+    val cells = ev.groupBy(col("event_type"), col("b")).agg(count(lit(1)).as("o"))
+    val spine = ev.select(col("event_type")).distinct()
+      .select(col("event_type"), explode(sequence(lit(0), lit(PsiBuckets - 1))).as("b"))
+    val filled = spine.join(cells, Seq("event_type", "b"), "left_outer")
+      .select(col("event_type"), col("b"), coalesce(col("o"), lit(0L)).as("o"))
+    val rowTot = filled.groupBy(col("event_type").as("rt")).agg(sum(col("o")).as("r"))
+    val colTot = filled.groupBy(col("b").as("cb")).agg(sum(col("o")).as("c"))
+    val nTot = filled.agg(sum(col("o")).as("n"),
+      countDistinct(col("event_type")).as("nr"))
+    val nc = colTot.filter(col("c") > 0).agg(count(lit(1)).as("ncol"))
+    val e = col("r").cast("double") * col("c").cast("double") / col("n").cast("double")
+    val term = (col("o").cast("double") - e) * (col("o").cast("double") - e) / e
+    filled
+      .join(broadcast(rowTot), col("event_type") === col("rt"))
+      .join(broadcast(colTot.filter(col("c") > 0)), col("b") === col("cb"))
+      .crossJoin(broadcast(nTot)).crossJoin(broadcast(nc))
+      .select(col("n"), col("nr"), col("ncol"),
+        round(term, 9).cast("decimal(28,9)").as("term"))
+      .groupBy(col("n"), col("nr"), col("ncol"))
+      .agg(sum(col("term")).as("chi2d"))
+      .select(col("n"), ((col("nr") - 1) * (col("ncol") - 1)).as("df"),
+        round(col("chi2d").cast("double"), 6).as("chi2"),
+        round(sqrt(col("chi2d").cast("double") /
+          (col("n").cast("double") *
+            least(col("nr") - 1, col("ncol") - 1).cast("double"))), 6)
+          .as("cramers_v"))
+  }
+
+  /** Benford first-digit screen over the cents values (Benford 1938;
+    * Nigrini's fraud/data-quality test): digit = first character of the
+    * exact integer cents (the STRING of a BIGINT — no float log10 digit
+    * extraction), per-digit observed counts on the full 1–9 spine vs
+    * Benford p_d = log10(1+1/d), and the standardized deviation
+    * z = (O − N·p)/√(N·p(1−p)) in pinned-order doubles. One scan +
+    * 9-row spine; all counts exact integers. */
+  def q_agg_benford(s: SparkSession, dir: String): DataFrame = {
+    val cents = Tables.events(s, dir)
+      .select(round(col("value") * 100, 0).cast("bigint").as("cents"))
+      .filter(col("cents") > 0)
+    val obs = cents
+      .select(substring(col("cents").cast("string"), 1, 1).cast("int").as("digit"))
+      .groupBy(col("digit")).agg(count(lit(1)).as("o"))
+    val spine = s.range(1, 10).select(col("id").cast("int").as("digit"))
+    val n = cents.agg(count(lit(1)).as("n"))
+    val p = log10(lit(1.0) + lit(1.0) / col("digit"))
+    spine.join(obs, Seq("digit"), "left_outer")
+      .select(col("digit"), coalesce(col("o"), lit(0L)).as("n_obs"))
+      .crossJoin(broadcast(n))
+      .select(col("digit"), col("n_obs"),
+        round(col("n_obs").cast("double") / col("n").cast("double"), 6)
+          .as("obs_share"),
+        round(p, 6).as("benford_p"),
+        round((col("n_obs").cast("double") - col("n").cast("double") * p) /
+          sqrt(col("n").cast("double") * p * (lit(1.0) - p)), 6).as("z"))
+      .orderBy("digit")
+  }
+
   /** Theil–Sen robust trend slope per event_type (Theil 1950, Sen 1968 —
     * the median-of-pairwise-slopes estimator, 29% breakdown vs OLS's 0):
     * over the daily cents series (x = day index, y = exact cents),
@@ -894,6 +967,8 @@ object StatsOps {
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_agg_chi2" -> q_agg_chi2 _,
+    "q_agg_benford" -> q_agg_benford _,
     "q_agg_theil_sen" -> q_agg_theil_sen _,
     "q_time_mad" -> q_time_mad _,
     "q_stream_decay_topk" -> q_stream_decay_topk _,

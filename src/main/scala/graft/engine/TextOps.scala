@@ -22,7 +22,9 @@ object TextOps {
     * takes the argmax lang (rounded score + lang tie-break → fully
     * deterministic). The profile is vocabulary-sized — broadcastable at
     * any corpus scale. */
-  def q_text_langid(s: SparkSession, dir: String): DataFrame = {
+  /** Shared langid argmax prediction (doc_id, lang, pred_lang, score) —
+    * consumed by q_text_langid and the confusion-matrix evaluation. */
+  private def langidPred(s: SparkSession, dir: String): DataFrame = {
     val tok = Tables.documents(s, dir)
       .select(col("doc_id"), col("lang"),
         explode(array_distinct(split(col("text"), " "))).as("token"))
@@ -43,8 +45,34 @@ object TextOps {
       .orderBy(col("score").desc, col("p_lang").asc)
     scored.withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
       .select(col("doc_id"), col("lang"), col("p_lang").as("pred_lang"),
-        col("score"), (col("lang") === col("p_lang")).as("correct"))
+        col("score"))
+  }
+
+  def q_text_langid(s: SparkSession, dir: String): DataFrame =
+    langidPred(s, dir)
+      .select(col("doc_id"), col("lang"), col("pred_lang"),
+        col("score"), (col("lang") === col("pred_lang")).as("correct"))
       .orderBy("doc_id")
+
+  /** Confusion-matrix evaluation of the langid classifier (the accuracy
+    * accounting a production language-ID stage ships with): per
+    * (true lang, predicted lang) document counts plus the per-true-lang
+    * share (the diagonal cell's share IS that lang's recall). Exact
+    * integer counts; one division per cell against the broadcast
+    * true-lang totals. Same pipeline as q_text_langid via the shared
+    * argmax helper — the evaluation can never drift from the classifier
+    * it scores. */
+  def q_text_lang_confusion(s: SparkSession, dir: String): DataFrame = {
+    val pred = langidPred(s, dir)
+    val cells = pred.groupBy(col("lang"), col("pred_lang"))
+      .agg(count(lit(1)).as("n_docs"))
+    val tot = cells.groupBy(col("lang").as("tl")).agg(sum(col("n_docs")).as("nt"))
+    cells.join(broadcast(tot), col("lang") === col("tl"))
+      .select(col("lang"), col("pred_lang"), col("n_docs"),
+        round(col("n_docs").cast("double") / col("nt").cast("double"), 6)
+          .as("share"),
+        (col("lang") === col("pred_lang")).as("is_diag"))
+      .orderBy("lang", "pred_lang")
   }
 
   /** Quality scoring: token count, mean token length, stopword ratio
@@ -563,6 +591,7 @@ object TextOps {
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_text_lang_confusion" -> q_text_lang_confusion _,
     "q_text_zipf" -> q_text_zipf _,
     "q_llm_winnowing" -> q_llm_winnowing _,
     "q_llm_tokenizer_coverage" -> q_llm_tokenizer_coverage _,

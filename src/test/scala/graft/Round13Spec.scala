@@ -2,7 +2,7 @@ package graft
 
 import org.scalatest.funsuite.AnyFunSuite
 
-import graft.engine.{ClusterOps, GraphOps, RankOps, StatsOps, Tables}
+import graft.engine.{ClusterOps, GraphOps, RankOps, Relational, StatsOps, Tables, TextOps}
 
 /** Round-13 additions (driver round 7, this session): plain-Scala
   * replays and semantic invariants for the transition-graph census,
@@ -181,6 +181,75 @@ class Round13Spec extends AnyFunSuite {
       assert(rs.length <= 5, s"$lang more than 5 fused results")
       assert(rs.map(_.getLong(1)).sorted.toSeq == (1L to rs.length).toSeq)
     }
+  }
+
+  test("chi2: replayed from the raw contingency table") {
+    import org.apache.spark.sql.functions._
+    val cells = Tables.events(spark, sf001)
+      .select(col("event_type"),
+        least(lit(9), floor(col("value") / 50)).cast("int").as("b"))
+      .groupBy("event_type", "b").agg(count(lit(1)).as("o"))
+      .collect().map(r => ((r.getString(0), r.getInt(1)), r.getLong(2))).toMap
+    val types = cells.keySet.map(_._1).toSeq.sorted
+    val buckets = (0 until 10).filter(b => types.exists(t => cells.getOrElse((t, b), 0L) > 0))
+    val n = cells.values.sum.toDouble
+    val rT = types.map(t => t -> (0 until 10).map(b => cells.getOrElse((t, b), 0L)).sum).toMap
+    val cT = buckets.map(b => b -> types.map(t => cells.getOrElse((t, b), 0L)).sum).toMap
+    val chi2 = (for (t <- types; b <- buckets) yield {
+      val o = cells.getOrElse((t, b), 0L).toDouble
+      val e = rT(t).toDouble * cT(b).toDouble / n
+      BigDecimal((o - e) * (o - e) / e)
+        .setScale(9, BigDecimal.RoundingMode.HALF_UP).toDouble
+    }).sum
+    val r = StatsOps.q_agg_chi2(spark, sf001).collect().head
+    assert(r.getLong(0) == n.toLong)
+    assert(r.getLong(1) == (types.size - 1).toLong * (buckets.size - 1))
+    assert(math.abs(r.getDouble(2) - chi2) <= 1e-5, s"chi2 ${r.getDouble(2)} vs $chi2")
+    assert(r.getDouble(3) >= 0 && r.getDouble(3) <= 1.0) // Cramér's V in [0,1]
+  }
+
+  test("benford: digit shares sum to 1; z replayed for one digit") {
+    val rows = StatsOps.q_agg_benford(spark, sf001).collect()
+    assert(rows.length == 9)
+    assert(math.abs(rows.map(_.getDouble(2)).sum - 1.0) <= 5e-6)
+    val n = rows.map(_.getLong(1)).sum.toDouble
+    rows.foreach { r =>
+      val p = math.log10(1.0 + 1.0 / r.getInt(0))
+      val z = (r.getLong(1) - n * p) / math.sqrt(n * p * (1 - p))
+      assert(math.abs(r.getDouble(4) - z) <= 1e-5, s"digit ${r.getInt(0)} z")
+      assert(math.abs(r.getDouble(3) - p) <= 1e-6)
+    }
+  }
+
+  test("lang_confusion: cells equal the grouped langid predictions") {
+    val pred = TextOps.q_text_langid(spark, sf0001).collect()
+      .map(r => (r.getString(1), r.getString(2)))
+    val want = pred.groupBy(identity).view.mapValues(_.length.toLong).toMap
+    val rows = TextOps.q_text_lang_confusion(spark, sf0001).collect()
+    val got = rows.map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    assert(got == want)
+    // per-true-lang shares sum to 1
+    rows.groupBy(_.getString(0)).foreach { case (lang, rs) =>
+      assert(math.abs(rs.map(_.getDouble(3)).sum - 1.0) <= 5e-6, lang)
+    }
+  }
+
+  test("asof_nearest: replayed nearest-click within ±30min per purchase") {
+    import org.apache.spark.sql.functions._
+    val ev = Tables.events(spark, sf0001)
+      .select(col("event_id"), col("user_id"), col("event_type"),
+        unix_micros(col("ts")).as("us"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getLong(3)))
+    val clicks = ev.filter(_._3 == "click")
+    val want = ev.filter(_._3 == "purchase").map { p =>
+      val cand = clicks.filter(c => c._2 == p._2 && math.abs(c._4 - p._4) <= 30L * 60 * 1000000)
+      val best = cand.sortBy(c => (math.abs(c._4 - p._4), c._4, c._1)).headOption
+      p._1 -> best.map(c => (c._1, math.abs(c._4 - p._4)))
+    }.toMap
+    val got = Relational.q_join_asof_nearest(spark, sf0001).collect()
+      .map(r => r.getLong(0) ->
+        (if (r.isNullAt(3)) None else Some((r.getLong(3), r.getLong(4))))).toMap
+    assert(got == want)
   }
 
   test("ndcg: bounded in (0,1]; idcg is the ideal prefix; n_rel sane") {
