@@ -3978,6 +3978,72 @@ object Oracle {
          |  ROUND(CAST(rrf AS DOUBLE), 6) AS rrf
          |FROM f2 WHERE rank_fused <= 5 ORDER BY lang, rank_fused""".stripMargin,
 
+    "q_graph_scc_colors" -> {
+      val k = GraphOps.SccHops
+      val fSteps = (1 to k).map { i =>
+        s"""f$i AS (SELECT v, MIN(f) AS f FROM (
+           |    SELECT v, f FROM f${i - 1}
+           |    UNION ALL
+           |    SELECT e.dst AS v, p.f FROM t e JOIN f${i - 1} p ON e.src = p.v)
+           |  GROUP BY v)""".stripMargin
+      }.mkString(",\n")
+      val bSteps = (1 to k).map { i =>
+        s"""b$i AS (SELECT v, MIN(b) AS b FROM (
+           |    SELECT v, b FROM b${i - 1}
+           |    UNION ALL
+           |    SELECT e.src AS v, p.b FROM t e JOIN b${i - 1} p ON e.dst = p.v)
+           |  GROUP BY v)""".stripMargin
+      }.mkString(",\n")
+      s"""WITH $transCte,
+         |nodes AS (SELECT DISTINCT v FROM (
+         |  SELECT src AS v FROM t UNION ALL SELECT dst AS v FROM t)),
+         |f0 AS (SELECT v, v AS f FROM nodes),
+         |$fSteps,
+         |b0 AS (SELECT v, v AS b FROM nodes),
+         |$bSteps
+         |SELECT f$k.f AS f_label, b$k.b AS b_label,
+         |  CAST(COUNT(*) AS BIGINT) AS class_size
+         |FROM f$k JOIN b$k USING (v)
+         |GROUP BY 1, 2
+         |ORDER BY class_size DESC, f_label ASC, b_label ASC
+         |LIMIT 10""".stripMargin
+    },
+
+    "q_text_rake" ->
+      """WITH d AS (SELECT doc_id, lang, string_split(text, ' ') AS toks
+        |           FROM documents),
+        |tokall AS (SELECT doc_id, lang, CAST(u.i - 1 AS BIGINT) AS pos,
+        |             toks[CAST(u.i AS INT)] AS tok
+        |           FROM d, UNNEST(range(1, len(toks) + 1)) AS u(i)),
+        |stop AS (SELECT tok AS stok FROM (
+        |    SELECT tok, COUNT(DISTINCT doc_id) AS df FROM tokall GROUP BY 1
+        |    ORDER BY df DESC, tok ASC LIMIT 20)),
+        |runs AS (SELECT doc_id, lang, pos, tok,
+        |    pos - ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY pos) AS grp
+        |  FROM tokall
+        |  WHERE doc_id % 10 = 0 AND tok NOT IN (SELECT stok FROM stop)),
+        |phr AS (SELECT doc_id, lang, grp,
+        |    string_agg(tok, ' ' ORDER BY pos) AS phrase,
+        |    CAST(COUNT(*) AS BIGINT) AS len
+        |  FROM runs GROUP BY 1, 2, 3),
+        |ws AS (SELECT runs.tok AS word, CAST(COUNT(*) AS BIGINT) AS freq,
+        |    CAST(SUM(phr.len) AS BIGINT) AS deg
+        |  FROM runs JOIN phr USING (doc_id, grp) GROUP BY 1),
+        |types AS (SELECT lang, phrase, len, CAST(COUNT(*) AS BIGINT) AS n_occ
+        |          FROM phr GROUP BY 1, 2, 3),
+        |tw AS (SELECT lang, phrase, len, n_occ,
+        |         UNNEST(string_split(phrase, ' ')) AS word FROM types),
+        |sc AS (SELECT tw.lang, tw.phrase, tw.len, tw.n_occ,
+        |    SUM(CAST(ROUND(CAST(ws.deg AS DOUBLE) / CAST(ws.freq AS DOUBLE), 9)
+        |      AS DECIMAL(28,9))) AS scd
+        |  FROM tw JOIN ws ON tw.word = ws.word GROUP BY 1, 2, 3, 4),
+        |r AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY lang
+        |    ORDER BY ROUND(CAST(scd AS DOUBLE), 6) DESC, phrase ASC) AS rk
+        |  FROM sc)
+        |SELECT lang, CAST(rk AS BIGINT) AS rk, phrase, len AS n_words, n_occ,
+        |  ROUND(CAST(scd AS DOUBLE), 6) AS score
+        |FROM r WHERE rk <= 3 ORDER BY lang, rk""".stripMargin,
+
     "q_agg_chi2" ->
       """WITH ev AS (SELECT event_type,
         |    CAST(LEAST(9, FLOOR(value / 50)) AS INT) AS b FROM events),

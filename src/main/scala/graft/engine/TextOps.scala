@@ -590,7 +590,69 @@ object TextOps {
       .orderBy("lang")
   }
 
+  /** RAKE keyphrase extraction (Rose, Engel, Cramer & Cowley 2010 —
+    * "Automatic keyword extraction from individual documents", the
+    * canonical unsupervised keyphrase algorithm): candidate phrases are
+    * maximal runs of non-stopword tokens (stoplist = corpus top-20 df
+    * tokens, broadcast), word score = deg(w)/freq(w) where deg sums the
+    * phrase length over each occurrence, phrase score = Σ word scores
+    * (round-9 terms → exact DECIMAL sum). Runs on the deterministic 10%
+    * doc sample (the winnowing/simhash convention) so the per-lang
+    * rank window sees a bounded phrase-type set; the stoplist df scan is
+    * the full corpus. Islands by the pos − row_number device on ONE
+    * (doc) partitioning; top-3 phrase types per lang with ties on the
+    * phrase text. */
+  def q_text_rake(s: SparkSession, dir: String): DataFrame = {
+    val tokAll = Tables.documents(s, dir)
+      .select(col("doc_id"), col("lang"),
+        posexplode(split(col("text"), " ")).as(Seq("pos", "tok")))
+    val stop = tokAll.select(col("tok"), col("doc_id")).distinct()
+      .groupBy(col("tok")).agg(count(lit(1)).as("df"))
+      .orderBy(col("df").desc, col("tok").asc).limit(20)
+      .select(col("tok").as("stok"))
+    val w = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+    val runs = tokAll
+      .filter(col("doc_id") % 10 === 0)
+      .join(broadcast(stop), col("tok") === col("stok"), "left_anti")
+      .withColumn("grp", col("pos") - row_number().over(w))
+    val phrases = runs.groupBy(col("doc_id"), col("lang"), col("grp"))
+      .agg(array_sort(collect_list(struct(col("pos"), col("tok")))).as("ts"))
+      .select(col("doc_id"), col("lang"),
+        expr("array_join(transform(ts, x -> x.tok), ' ')").as("phrase"),
+        size(col("ts")).cast("bigint").as("len"),
+        expr("transform(ts, x -> x.tok)").as("words"))
+    // word stats over all phrase occurrences: freq = occurrences,
+    // deg = Σ phrase length per occurrence (vocab-bounded table)
+    val wordStats = phrases
+      .select(col("len"), explode(col("words")).as("word"))
+      .groupBy(col("word"))
+      .agg(count(lit(1)).as("freq"), sum(col("len")).as("deg"))
+    // score per phrase TYPE (identical text ⇒ identical word multiset ⇒
+    // identical score): occurrences collapse to a count first, then the
+    // type's words re-derive from the phrase text (single-space join of
+    // whitespace-split tokens — lossless)
+    val types = phrases
+      .groupBy(col("lang"), col("phrase"), col("len"))
+      .agg(count(lit(1)).as("n_occ"))
+      .select(col("lang"), col("phrase"), col("len"), col("n_occ"),
+        explode(split(col("phrase"), " ")).as("word"))
+      .join(broadcast(wordStats), Seq("word"))
+      .groupBy(col("lang"), col("phrase"), col("len"), col("n_occ"))
+      .agg(sum(round(col("deg").cast("double") / col("freq").cast("double"), 9)
+        .cast("decimal(28,9)")).as("scd"))
+    val rw = Window.partitionBy(col("lang"))
+      .orderBy(col("score").desc, col("phrase").asc)
+    types
+      .withColumn("score", round(col("scd").cast("double"), 6))
+      .withColumn("rk", row_number().over(rw).cast("bigint"))
+      .filter(col("rk") <= 3)
+      .select(col("lang"), col("rk"), col("phrase"),
+        col("len").as("n_words"), col("n_occ"), col("score"))
+      .orderBy("lang", "rk")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_text_rake" -> q_text_rake _,
     "q_text_lang_confusion" -> q_text_lang_confusion _,
     "q_text_zipf" -> q_text_zipf _,
     "q_llm_winnowing" -> q_llm_winnowing _,

@@ -360,4 +360,48 @@ class PlanAuditSpec extends AnyFunSuite {
     wins.foreach(w => assert(w.partitionSpec.nonEmpty,
       s"KS cumulative window must partition by event_type:\n$w"))
   }
+
+  test("round-13 windowed operators: every window is key-partitioned") {
+    // theil_sen/mad (event_type), rrf (lang), ndcg (query_id),
+    // asof_nearest (p_id): none may fall back to a global sort
+    Seq("q_agg_theil_sen", "q_time_mad", "q_llm_rrf", "q_text_ndcg",
+      "q_join_asof_nearest").foreach { name =>
+      val wins = SparkEntry.queries(name)(spark, sf0001)
+        .queryExecution.sparkPlan.collect {
+          case w: org.apache.spark.sql.execution.window.WindowExec => w
+        }
+      assert(wins.nonEmpty, s"$name: expected window operators")
+      wins.foreach(w => assert(w.partitionSpec.nonEmpty,
+        s"$name window must be key-partitioned:\n$w"))
+    }
+  }
+
+  test("round-13 bounded inputs: theil_sen pairs and rrf pool stay small") {
+    import org.apache.spark.sql.functions._
+    // Theil–Sen's pair set is calendar-bounded: days²/2 per type, NOT
+    // event-count-bounded — a fixture change that explodes the day span
+    // must trip this before it turns the keyed window into a giant sort
+    val maxDays = graft.engine.Tables.events(spark, sf001)
+      .select(col("event_type"), to_date(col("ts")).as("d")).distinct()
+      .groupBy(col("event_type")).count()
+      .agg(max(col("count"))).collect()(0).getLong(0)
+    assert(maxDays <= 400L, s"theil_sen day span must stay bounded, got $maxDays")
+    // RRF's candidate pool is the 10% sample per lang — the fusion
+    // windows must never see full-corpus cardinality
+    val maxPool = graft.engine.Tables.documents(spark, sf001)
+      .filter(col("doc_id") % 10 === 0)
+      .groupBy(col("lang")).count()
+      .agg(max(col("count"))).collect()(0).getLong(0)
+    assert(maxPool <= 5000L, s"rrf candidate pool must stay bounded, got $maxPool")
+  }
+
+  test("motifs: one path scan with broadcast closure joins, no cartesian") {
+    val df = SparkEntry.queries("q_graph_motifs")(spark, sf0001)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    assert(!p.contains("CartesianProduct"), s"no cartesian product allowed:\n$p")
+    val nBroadcast = "BroadcastHashJoin".r.findAllIn(p).length
+    assert(nBroadcast >= 2,
+      s"both closing-edge joins must broadcast the edge table:\n$p")
+  }
 }

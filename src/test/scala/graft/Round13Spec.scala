@@ -183,6 +183,67 @@ class Round13Spec extends AnyFunSuite {
     }
   }
 
+  test("scc_colors: FW-BW k-hop min-label refinement replayed") {
+    val t = transSet(sf0001)
+    val nodes = (t.map(_._1) ++ t.map(_._2)).toSet
+    def refine(edges: Set[(Long, Long)]): Map[Long, Long] = {
+      var lab = nodes.map(v => v -> v).toMap
+      (1 to GraphOps.SccHops).foreach { _ =>
+        val prop = edges.toSeq.map { case (u, v) => v -> lab(u) }
+        lab = (lab.toSeq ++ prop).groupBy(_._1).view.mapValues(_.map(_._2).min).toMap
+      }
+      lab
+    }
+    val f = refine(t)
+    val b = refine(t.map(e => (e._2, e._1)))
+    val classes = nodes.groupBy(v => (f(v), b(v))).view.mapValues(_.size.toLong)
+    val want = classes.toSeq
+      .sortBy { case ((fl, bl), sz) => (-sz, fl, bl) }.take(10)
+      .map { case ((fl, bl), sz) => (fl, bl, sz) }
+    val got = GraphOps.q_graph_scc_colors(spark, sf0001).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(got == want)
+  }
+
+  test("rake: full extraction replayed in plain scala") {
+    val docs = Tables.documents(spark, sf0001).collect()
+      .map(r => (r.getLong(0), r.getString(2), r.getString(1)))
+    val tokAll = docs.flatMap { case (id, lang, text) =>
+      text.split(" ", -1).zipWithIndex.map { case (tok, pos) => (id, lang, pos, tok) }
+    }
+    val stop = tokAll.map(t => (t._4, t._1)).distinct.groupBy(_._1)
+      .view.mapValues(_.size).toSeq
+      .sortBy { case (tok, df) => (-df, tok) }.take(20).map(_._1).toSet
+    val phrases = tokAll.filter(t => t._1 % 10 == 0)
+      .groupBy(t => (t._1, t._2)).toSeq.flatMap { case ((id, lang), rows) =>
+        val nonStop = rows.sortBy(_._3).filterNot(r => stop(r._4))
+        // islands: pos − index-within-filtered-run
+        nonStop.zipWithIndex.groupBy { case (r, i) => r._3 - i }
+          .values.map(run => (lang, run.map(_._1._4).toSeq))
+      }
+    val wordStats = phrases.flatMap { case (_, ws) => ws.map(w => (w, ws.length)) }
+      .groupBy(_._1).view.mapValues(rs => (rs.length, rs.map(_._2).sum)).toMap
+    val types = phrases.groupBy { case (lang, ws) => (lang, ws.mkString(" ")) }
+      .map { case ((lang, phrase), occ) =>
+        val ws = occ.head._2
+        val score = ws.map { w =>
+          val (freq, deg) = wordStats(w)
+          BigDecimal(deg.toDouble / freq)
+            .setScale(9, BigDecimal.RoundingMode.HALF_UP).toDouble
+        }.sum
+        (lang, phrase, ws.length.toLong, occ.size.toLong,
+          BigDecimal(score).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+      }
+    val want = types.groupBy(_._1).toSeq.flatMap { case (_, ts) =>
+      ts.toSeq.sortBy(t => (-t._5, t._2)).take(3).zipWithIndex
+        .map { case (t, i) => (t._1, (i + 1).toLong, t._2, t._3, t._4, t._5) }
+    }.sortBy(t => (t._1, t._2))
+    val got = TextOps.q_text_rake(spark, sf0001).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getString(2), r.getLong(3),
+        r.getLong(4), r.getDouble(5))).toSeq
+    assert(got == want)
+  }
+
   test("chi2: replayed from the raw contingency table") {
     import org.apache.spark.sql.functions._
     val cells = Tables.events(spark, sf001)
