@@ -152,6 +152,33 @@ class Round13Spec extends AnyFunSuite {
     assert(ws == ws.sorted.reverse)
   }
 
+  test("streaming decay state bridges micro-batches bit-for-bit") {
+    val s = spark
+    import s.implicits._
+    implicit val sq = s.sqlContext
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import org.apache.spark.sql.streaming.OutputMode
+    // gap day (x=4 missing) exercises the multi-day decay branch
+    val days = Seq((1L, 100L), (2L, 50L), (3L, 80L), (5L, 10L), (6L, 40L))
+      .map { case (x, c) => StatsOps.DecayIn("t", x, c) }
+    val ms = MemoryStream[StatsOps.DecayIn]
+    val q = ms.toDS()
+      .groupByKey(_.etype)
+      .flatMapGroupsWithState(OutputMode.Update,
+        org.apache.spark.sql.streaming.GroupStateTimeout.NoTimeout)(StatsOps.updateDecay)
+      .toDF()
+      .writeStream.outputMode(OutputMode.Update)
+      .format("memory").queryName("decayst").start()
+    ms.addData(days.take(2): _*); q.processAllAvailable()
+    ms.addData(days.drop(2): _*); q.processAllAvailable(); q.stop()
+    val fin = s.table("decayst").collect().maxBy(_.getLong(2))
+    // closed form Σ c·2^−(T−d), exact dyadic — must match bit-for-bit
+    val want = days.map(e => e.c.toDouble / (1L << (6 - e.x)).toDouble).sum
+    assert(fin.getLong(2) == 6L)
+    assert(fin.getDouble(3) == want,
+      s"cross-batch decayed weight ${fin.getDouble(3)} vs closed form $want")
+  }
+
   test("rand_proj: exact integer projection and JL ratio near 1") {
     val rows = ClusterOps.q_embed_rand_proj(spark, sf001).collect()
     // 8 components per sampled vector, exact integers (bigint column)
