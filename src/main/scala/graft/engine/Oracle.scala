@@ -4190,6 +4190,10 @@ object Oracle {
       // batch operators' oracles replay them verbatim
       Map("q_stream_gnn_pool" -> train("q_gnn_graphsage_pool"),
         "q_stream_drift_psi" -> stats("q_llm_drift_psi"),
+        // streaming χ²/Benford snapshots run the SAME shared assembly as
+        // their batch twins — one oracle each
+        "q_stream_chi2" -> round13("q_agg_chi2"),
+        "q_stream_benford" -> round13("q_agg_benford"),
         // streaming CMS grid is cell-identical to the batch sketch
         "q_stream_cms" -> round6("q_llm_cms_topk"),
         // deterministic bottom-k reservoir: batch twin = hash-rank window

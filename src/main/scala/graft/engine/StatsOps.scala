@@ -759,6 +759,14 @@ object StatsOps {
       .select(col("event_type"), explode(sequence(lit(0), lit(PsiBuckets - 1))).as("b"))
     val filled = spine.join(cells, Seq("event_type", "b"), "left_outer")
       .select(col("event_type"), col("b"), coalesce(col("o"), lit(0L)).as("o"))
+    chi2From(filled)
+  }
+
+  /** Shared χ² assembly over the zero-filled (event_type, b, o)
+    * contingency — consumed by the batch scan AND the streaming
+    * keyed-histogram maintainer, so the snapshot arithmetic can never
+    * drift from the batch operator (they share one oracle). */
+  private def chi2From(filled: DataFrame): DataFrame = {
     val rowTot = filled.groupBy(col("event_type").as("rt")).agg(sum(col("o")).as("r"))
     val colTot = filled.groupBy(col("b").as("cb")).agg(sum(col("o")).as("c"))
     val nTot = filled.agg(sum(col("o")).as("n"),
@@ -790,14 +798,21 @@ object StatsOps {
     * z = (O − N·p)/√(N·p(1−p)) in pinned-order doubles. One scan +
     * 9-row spine; all counts exact integers. */
   def q_agg_benford(s: SparkSession, dir: String): DataFrame = {
-    val cents = Tables.events(s, dir)
+    val obs = Tables.events(s, dir)
       .select(round(col("value") * 100, 0).cast("bigint").as("cents"))
       .filter(col("cents") > 0)
-    val obs = cents
       .select(substring(col("cents").cast("string"), 1, 1).cast("int").as("digit"))
       .groupBy(col("digit")).agg(count(lit(1)).as("o"))
+    benfordFrom(s, obs)
+  }
+
+  /** Shared Benford assembly over the per-digit counts — consumed by the
+    * batch scan AND the streaming keyed-counter maintainer (one oracle
+    * for both; the N denominator re-derives from the digit counts, which
+    * partition the positive-cents population exactly). */
+  private def benfordFrom(s: SparkSession, obs: DataFrame): DataFrame = {
     val spine = s.range(1, 10).select(col("id").cast("int").as("digit"))
-    val n = cents.agg(count(lit(1)).as("n"))
+    val n = obs.agg(sum(col("o")).as("n"))
     val p = log10(lit(1.0) + lit(1.0) / col("digit"))
     spine.join(obs, Seq("digit"), "left_outer")
       .select(col("digit"), coalesce(col("o"), lit(0L)).as("n_obs"))
@@ -809,6 +824,68 @@ object StatsOps {
         round((col("n_obs").cast("double") - col("n").cast("double") * p) /
           sqrt(col("n").cast("double") * p * (lit(1.0) - p)), 6).as("z"))
       .orderBy("digit")
+  }
+
+  // ---- Streaming χ² / Benford maintainers -------------------------------
+  // Keyed-state twins of q_agg_chi2 / q_agg_benford (the PSI-maintainer
+  // device): state is the pure-integer histogram (exact, order-blind,
+  // mergeable — 80 B/key and 8 B/key respectively, forever), and ALL
+  // test arithmetic runs at snapshot time through the SAME shared
+  // assembly the batch operators use, so the streaming snapshots share
+  // the batch oracles verbatim.
+
+  case class Chi2Ev(etype: String, b: Int)
+  case class Chi2Snap(event_type: String, counts: Array[Long])
+
+  def updateChi2(key: String, it: Iterator[Chi2Ev],
+      state: org.apache.spark.sql.streaming.GroupState[Array[Long]]): Iterator[Chi2Snap] = {
+    val c = state.getOption.getOrElse(Array.fill(PsiBuckets)(0L))
+    it.foreach(e => c(e.b) += 1)
+    state.update(c)
+    Iterator.single(Chi2Snap(key, c))
+  }
+
+  /** Driver-contract query: the streaming contingency maintainer; the
+    * final per-type histograms feed the shared χ² assembly. */
+  def q_stream_chi2(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val snap = Tables.events(s, dir)
+      .select(col("event_type").as("etype"),
+        least(lit(PsiBuckets - 1),
+          floor(col("value") / PsiBucketWidth)).cast("int").as("b"))
+      .as[Chi2Ev]
+      .groupByKey(_.etype)
+      .flatMapGroupsWithState(org.apache.spark.sql.streaming.OutputMode.Update,
+        org.apache.spark.sql.streaming.GroupStateTimeout.NoTimeout)(updateChi2)
+      .toDF()
+    chi2From(snap.select(col("event_type"),
+      posexplode(col("counts")).as(Seq("b", "o"))))
+  }
+
+  case class BenfEv(digit: Int)
+  case class BenfSnap(digit: Int, o: Long)
+
+  def updateBenford(key: Int, it: Iterator[BenfEv],
+      state: org.apache.spark.sql.streaming.GroupState[Long]): Iterator[BenfSnap] = {
+    val c = state.getOption.getOrElse(0L) + it.size
+    state.update(c)
+    Iterator.single(BenfSnap(key, c))
+  }
+
+  /** Driver-contract query: the streaming first-digit counter (9 keys,
+    * 8 bytes each); snapshots feed the shared Benford assembly. */
+  def q_stream_benford(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val snap = Tables.events(s, dir)
+      .select(round(col("value") * 100, 0).cast("bigint").as("cents"))
+      .filter(col("cents") > 0)
+      .select(substring(col("cents").cast("string"), 1, 1).cast("int").as("digit"))
+      .as[BenfEv]
+      .groupByKey(_.digit)
+      .flatMapGroupsWithState(org.apache.spark.sql.streaming.OutputMode.Update,
+        org.apache.spark.sql.streaming.GroupStateTimeout.NoTimeout)(updateBenford)
+      .toDF()
+    benfordFrom(s, snap.select(col("digit"), col("o")))
   }
 
   /** Theil–Sen robust trend slope per event_type (Theil 1950, Sen 1968 —
@@ -969,6 +1046,8 @@ object StatsOps {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_agg_chi2" -> q_agg_chi2 _,
     "q_agg_benford" -> q_agg_benford _,
+    "q_stream_chi2" -> q_stream_chi2 _,
+    "q_stream_benford" -> q_stream_benford _,
     "q_agg_theil_sen" -> q_agg_theil_sen _,
     "q_time_mad" -> q_time_mad _,
     "q_stream_decay_topk" -> q_stream_decay_topk _,

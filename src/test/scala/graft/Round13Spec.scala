@@ -179,6 +179,50 @@ class Round13Spec extends AnyFunSuite {
       s"cross-batch decayed weight ${fin.getDouble(3)} vs closed form $want")
   }
 
+  test("streaming chi2 histogram state bridges micro-batches") {
+    val s = spark
+    import s.implicits._
+    implicit val sq = s.sqlContext
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import org.apache.spark.sql.streaming.OutputMode
+    val evs = Seq(("a", 0), ("a", 1), ("a", 1), ("b", 2), ("b", 0), ("a", 9))
+      .map { case (t, b) => StatsOps.Chi2Ev(t, b) }
+    val ms = MemoryStream[StatsOps.Chi2Ev]
+    val q = ms.toDS().groupByKey(_.etype)
+      .flatMapGroupsWithState(OutputMode.Update,
+        org.apache.spark.sql.streaming.GroupStateTimeout.NoTimeout)(StatsOps.updateChi2)
+      .toDF()
+      .writeStream.outputMode(OutputMode.Update)
+      .format("memory").queryName("chi2st").start()
+    ms.addData(evs.take(3): _*); q.processAllAvailable()
+    ms.addData(evs.drop(3): _*); q.processAllAvailable(); q.stop()
+    val last = s.table("chi2st").collect()
+      .groupBy(_.getString(0)).view.mapValues(rs =>
+        rs.map(_.getSeq[Long](1).sum).max).toMap
+    assert(last == Map("a" -> 4L, "b" -> 2L),
+      "final histograms must accumulate across batches")
+  }
+
+  test("streaming benford counter state bridges micro-batches") {
+    val s = spark
+    import s.implicits._
+    implicit val sq = s.sqlContext
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import org.apache.spark.sql.streaming.OutputMode
+    val ms = MemoryStream[StatsOps.BenfEv]
+    val q = ms.toDS().groupByKey(_.digit)
+      .flatMapGroupsWithState(OutputMode.Update,
+        org.apache.spark.sql.streaming.GroupStateTimeout.NoTimeout)(StatsOps.updateBenford)
+      .toDF()
+      .writeStream.outputMode(OutputMode.Update)
+      .format("memory").queryName("benfst").start()
+    ms.addData(StatsOps.BenfEv(1), StatsOps.BenfEv(1)); q.processAllAvailable()
+    ms.addData(StatsOps.BenfEv(1), StatsOps.BenfEv(2)); q.processAllAvailable(); q.stop()
+    val last = s.table("benfst").collect()
+      .groupBy(_.getInt(0)).view.mapValues(_.map(_.getLong(1)).max).toMap
+    assert(last == Map(1 -> 3L, 2 -> 1L))
+  }
+
   test("rand_proj: exact integer projection and JL ratio near 1") {
     val rows = ClusterOps.q_embed_rand_proj(spark, sf001).collect()
     // 8 components per sampled vector, exact integers (bigint column)
