@@ -3978,6 +3978,44 @@ object Oracle {
          |  ROUND(CAST(rrf AS DOUBLE), 6) AS rrf
          |FROM f2 WHERE rank_fused <= 5 ORDER BY lang, rank_fused""".stripMargin,
 
+    "q_text_lexical_diversity" ->
+      """WITH tf AS (SELECT lang, UNNEST(string_split(text, ' ')) AS tok
+        |            FROM documents),
+        |cnt AS (SELECT lang, tok, COUNT(*) AS f FROM tf GROUP BY 1, 2)
+        |SELECT lang, CAST(SUM(f) AS BIGINT) AS n_tokens,
+        |  CAST(COUNT(*) AS BIGINT) AS vocab,
+        |  ROUND(CAST(COUNT(*) AS DOUBLE) / CAST(SUM(f) AS DOUBLE), 6) AS ttr,
+        |  ROUND(CAST(SUM(CASE WHEN f = 1 THEN 1 ELSE 0 END) AS DOUBLE)
+        |    / CAST(COUNT(*) AS DOUBLE), 6) AS hapax_share,
+        |  ROUND(CAST(10000 AS DOUBLE) * CAST(SUM(f * f) - SUM(f) AS DOUBLE)
+        |    / (CAST(SUM(f) AS DOUBLE) * CAST(SUM(f) AS DOUBLE)), 6) AS yule_k
+        |FROM cnt GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q_time_periodogram" ->
+      """WITH daily AS (SELECT event_type,
+        |    CAST(CAST(ts AS TIMESTAMP) AS DATE) AS day,
+        |    CAST(SUM(CAST(ROUND(value * 100, 0) AS BIGINT)) AS BIGINT) AS y
+        |  FROM events GROUP BY 1, 2),
+        |d AS (SELECT event_type,
+        |    CAST(day - DATE '2024-01-01' AS BIGINT) AS x, y FROM daily),
+        |p AS (SELECT UNNEST([7, 14]) AS t),
+        |terms AS (SELECT d.event_type, p.t, d.y,
+        |    CAST(ROUND(cos(CAST(2 AS DOUBLE) * pi() * CAST(d.x AS DOUBLE)
+        |      / CAST(p.t AS DOUBLE)) * 1e9, 0) AS BIGINT) AS c9,
+        |    CAST(ROUND(sin(CAST(2 AS DOUBLE) * pi() * CAST(d.x AS DOUBLE)
+        |      / CAST(p.t AS DOUBLE)) * 1e9, 0) AS BIGINT) AS s9
+        |  FROM d, p),
+        |agg AS (SELECT event_type, t, CAST(COUNT(*) AS BIGINT) AS n_days,
+        |    CAST(SUM(y * c9) AS BIGINT) AS cs,
+        |    CAST(SUM(y * s9) AS BIGINT) AS ss
+        |  FROM terms GROUP BY 1, 2)
+        |SELECT event_type, CAST(t AS INT) AS period_days, n_days,
+        |  ROUND(SQRT((CAST(cs AS DOUBLE) / 1e9) * (CAST(cs AS DOUBLE) / 1e9)
+        |    + (CAST(ss AS DOUBLE) / 1e9) * (CAST(ss AS DOUBLE) / 1e9))
+        |    * CAST(2 AS DOUBLE) / CAST(n_days AS DOUBLE)
+        |    / CAST(100 AS DOUBLE), 3) AS amplitude
+        |FROM agg ORDER BY event_type, period_days""".stripMargin,
+
     "q_graph_scc_colors" -> {
       val k = GraphOps.SccHops
       val fSteps = (1 to k).map { i =>

@@ -888,6 +888,53 @@ object StatsOps {
     benfordFrom(s, snap.select(col("digit"), col("o")))
   }
 
+  /** Candidate periods (days) for the periodogram. */
+  val PeriodogramPeriods = Seq(7, 14)
+
+  /** Schuster periodogram of the daily cents series per event_type at
+    * the calendar-meaningful candidate periods (7/14 days — the weekly
+    * seasonality screen beside Holt-Winters/seasonal-decompose; Schuster
+    * 1898): C = Σ y·cos(2πx/T), S = Σ y·sin(2πx/T), reported as the
+    * fitted-sinusoid semi-amplitude 2·√(C²+S²)/n (dollars). Cross-engine
+    * determinism, two devices: (1) trig factors go through the
+    * 1e9-scaled BIGINT product form (ROUND(cos·1e9, 0) — round-TO-
+    * INTEGER of a scaled float is exact in both engines where the 9-dp
+    * decimal ROUND is not: DuckDB rounds decimals in float arithmetic),
+    * so each y·cos term and both sums are exact integers (≤3e17 at
+    * sf0.1 — headroom to ~2e9 daily cents/type before the DECIMAL swap,
+    * the adamic_adar convention); (2) the OUTPUT is amplitude, not raw
+    * power — power ~1.5e12 made the final display round itself diverge
+    * (ROUND(x,3) computes x·1000 > 2^53 in DuckDB), while amplitude
+    * ~1e3 rounds exactly everywhere. sqrt is IEEE-correctly-rounded, so
+    * the pinned double combination is bit-identical. One keyed
+    * aggregation per (type, period); the period spine is 2 rows. */
+  def q_time_periodogram(s: SparkSession, dir: String): DataFrame = {
+    val daily = Tables.events(s, dir)
+      .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+      .agg(sum(round(col("value") * 100, 0).cast("bigint")).as("y"))
+      .select(col("event_type"),
+        datediff(col("day"), lit("2024-01-01").cast("date")).cast("bigint").as("x"),
+        col("y"))
+    val periods = PeriodogramPeriods
+      .map(p => s.range(1).select(lit(p).as("t")))
+      .reduce(_.union(_))
+    val theta = lit(2.0) * lit(math.Pi) * col("x").cast("double") / col("t").cast("double")
+    val csd = col("cs").cast("double") / 1e9
+    val ssd = col("ss").cast("double") / 1e9
+    daily.crossJoin(broadcast(periods))
+      .select(col("event_type"), col("t"), col("y"),
+        round(cos(theta) * 1e9, 0).cast("bigint").as("c9"),
+        round(sin(theta) * 1e9, 0).cast("bigint").as("s9"))
+      .groupBy(col("event_type"), col("t"))
+      .agg(count(lit(1)).as("n_days"),
+        sum(col("y") * col("c9")).as("cs"),
+        sum(col("y") * col("s9")).as("ss"))
+      .select(col("event_type"), col("t").as("period_days"), col("n_days"),
+        round(sqrt(csd * csd + ssd * ssd) * lit(2.0) /
+          col("n_days").cast("double") / lit(100.0), 3).as("amplitude"))
+      .orderBy("event_type", "period_days")
+  }
+
   /** Theil–Sen robust trend slope per event_type (Theil 1950, Sen 1968 —
     * the median-of-pairwise-slopes estimator, 29% breakdown vs OLS's 0):
     * over the daily cents series (x = day index, y = exact cents),
@@ -1048,6 +1095,7 @@ object StatsOps {
     "q_agg_benford" -> q_agg_benford _,
     "q_stream_chi2" -> q_stream_chi2 _,
     "q_stream_benford" -> q_stream_benford _,
+    "q_time_periodogram" -> q_time_periodogram _,
     "q_agg_theil_sen" -> q_agg_theil_sen _,
     "q_time_mad" -> q_time_mad _,
     "q_stream_decay_topk" -> q_stream_decay_topk _,

@@ -651,7 +651,36 @@ object TextOps {
       .orderBy("lang", "rk")
   }
 
+  /** Lexical-diversity profile per lang (the vocabulary-health screen a
+    * corpus report leads with): token count N, vocabulary V, type-token
+    * ratio V/N, hapax-legomenon share (Zipf's tail mass), and Yule's
+    * characteristic K = 10⁴·(Σf² − N)/N² (Yule 1944 — repeat-rate
+    * measure, length-invariant unlike raw TTR). EVERYTHING except the
+    * final divisions is exact integer arithmetic: Σf² ≤ N·max f < 2^53
+    * at any realistic shard size, and the three ratios are single pinned
+    * divisions (round-6). One explode + two keyed aggregations. */
+  def q_text_lexical_diversity(s: SparkSession, dir: String): DataFrame = {
+    val tf = Tables.documents(s, dir)
+      .select(col("lang"), explode(split(col("text"), " ")).as("tok"))
+      .groupBy(col("lang"), col("tok")).agg(count(lit(1)).as("f"))
+    tf.groupBy(col("lang"))
+      .agg(sum(col("f")).as("n_tokens"),
+        count(lit(1)).as("vocab"),
+        sum(col("f") * col("f")).as("sf2"),
+        sum(when(col("f") === 1, 1L).otherwise(0L)).as("hapax"))
+      .select(col("lang"), col("n_tokens"), col("vocab"),
+        round(col("vocab").cast("double") / col("n_tokens").cast("double"), 6)
+          .as("ttr"),
+        round(col("hapax").cast("double") / col("vocab").cast("double"), 6)
+          .as("hapax_share"),
+        round(lit(10000.0) * (col("sf2") - col("n_tokens")).cast("double") /
+          (col("n_tokens").cast("double") * col("n_tokens").cast("double")), 6)
+          .as("yule_k"))
+      .orderBy("lang")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_text_lexical_diversity" -> q_text_lexical_diversity _,
     "q_text_rake" -> q_text_rake _,
     "q_text_lang_confusion" -> q_text_lang_confusion _,
     "q_text_zipf" -> q_text_zipf _,

@@ -315,6 +315,53 @@ class Round13Spec extends AnyFunSuite {
     assert(got == want)
   }
 
+  test("lexical diversity: replayed from token frequencies") {
+    import org.apache.spark.sql.functions._
+    val tf = Tables.documents(spark, sf0001)
+      .select(col("lang"), explode(split(col("text"), " ")).as("tok"))
+      .collect().map(r => (r.getString(0), r.getString(1)))
+      .groupBy(identity).view.mapValues(_.length.toLong).toMap
+    val got = TextOps.q_text_lexical_diversity(spark, sf0001).collect()
+      .map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getDouble(3), r.getDouble(4), r.getDouble(5)))
+      .toMap
+    tf.keySet.map(_._1).foreach { lang =>
+      val fs = tf.collect { case ((l, _), f) if l == lang => f }.toSeq
+      val n = fs.sum; val v = fs.length.toLong
+      val sf2 = fs.map(f => f * f).sum
+      val hapax = fs.count(_ == 1L).toLong
+      val (gn, gv, ttr, hs, yk) = got(lang)
+      assert(gn == n && gv == v)
+      assert(math.abs(ttr - v.toDouble / n) <= 5e-7)
+      assert(math.abs(hs - hapax.toDouble / v) <= 5e-7)
+      assert(math.abs(yk - 10000.0 * (sf2 - n) / (n.toDouble * n)) <= 1e-4)
+    }
+  }
+
+  test("periodogram: amplitude replayed from the scaled-trig sums") {
+    val got = StatsOps.q_time_periodogram(spark, sf001).collect()
+      .map(r => (r.getString(0), r.getInt(1)) -> (r.getLong(2), r.getDouble(3)))
+      .toMap
+    dailyCents(sf001).foreach { case (et, series) =>
+      StatsOps.PeriodogramPeriods.foreach { t =>
+        val terms = series.map { case (x, y) =>
+          val theta = 2.0 * math.Pi * x / t
+          (y * math.round(math.cos(theta) * 1e9),
+            y * math.round(math.sin(theta) * 1e9))
+        }
+        val cs = terms.map(_._1).sum / 1e9
+        val ss = terms.map(_._2).sum / 1e9
+        val amp = math.sqrt(cs * cs + ss * ss) * 2.0 / series.length / 100.0
+        val (nd, a) = got((et, t))
+        assert(nd == series.length.toLong)
+        assert(math.abs(a - amp) <= 2e-3, s"$et T=$t amp $a vs $amp")
+      }
+    }
+    // the weekly-seeded fixture should show 7-day amplitude ≥ 14-day for
+    // at least some types is NOT guaranteed — only pin positivity
+    got.values.foreach { case (_, a) => assert(a >= 0) }
+  }
+
   test("chi2: replayed from the raw contingency table") {
     import org.apache.spark.sql.functions._
     val cells = Tables.events(spark, sf001)
