@@ -221,10 +221,13 @@ object GraphOps {
     * Pinar 2000's divide-and-conquer FW–BW SCC algorithm, truncated to a
     * k-hop horizon — the closeness/betweenness convention for iterative
     * ops with unrollable oracles): F(v) = min id reaching v within ≤k
-    * forward hops, B(v) = min id v reaches within ≤k hops. Every true
-    * SCC (of diameter ≤ horizon) lies ENTIRELY inside one (F,B) color
-    * class — the refinement that seeds the recursive FW–BW split; the
-    * census reports the top-10 classes. Each hop is one |E| keyed
+    * forward hops, B(v) = min id v reaches within ≤k hops. At the
+    * UNTRUNCATED fixpoint every SCC lies entirely inside one (F,B)
+    * class (both labels are SCC-invariant there); at finite k this is
+    * the bounded-horizon APPROXIMATION of that coloring — the horizon
+    * can clip the ancestor/descendant sets differently for members of
+    * the same SCC, so class boundaries near the horizon are heuristic.
+    * The census reports the top-10 classes of the k-hop refinement. Each hop is one |E| keyed
     * min-aggregation (the pagerank shuffle shape), label tables
     * localCheckpoint'ed per hop to bound the plan tower; top-10 via
     * TakeOrderedAndProject, never a global sort. */
