@@ -257,6 +257,47 @@ object GraphOps {
       .limit(10)
   }
 
+  /** Peel rounds for the truncated 4-truss decomposition. */
+  val TrussRounds = 3
+
+  /** Truncated 4-truss peel (Cohen 2008 "Trusses: cohesive subgraphs
+    * for social network analysis" — the edge analog of k-core: an edge
+    * survives iff it closes ≥ k−2 triangles in the CURRENT graph;
+    * peeling to fixpoint yields the maximal k-truss): 3 peel rounds on
+    * the thresholded part projection, each round = one triangle-support
+    * join (sup(a,b) = common neighbors over the symmetrized current
+    * edges, the q_graph_clustering shape) + a left-anti filter of
+    * edges below support 2. Per-round accounting (edges in / peeled /
+    * remaining) is emitted — ALWAYS TrussRounds rows at any scale, and
+    * the truncation is the closeness/betweenness unrollable-oracle
+    * convention. Edge tables are localCheckpoint'ed per round to bound
+    * the plan tower; all joins are equi-joins on part keys. */
+  def q_graph_ktruss(s: SparkSession, dir: String): DataFrame = {
+    var cur = partPairs(s, dir, TriangleMinCooccur)
+      .select(col("a"), col("b")).localCheckpoint()
+    val rounds = (1 to TrussRounds).map { r =>
+      val nIn = cur.count()
+      val und = cur.select(col("a").as("s"), col("b").as("d"))
+        .union(cur.select(col("b").as("s"), col("a").as("d")))
+      val sup = cur
+        .join(und.select(col("s").as("sa"), col("d").as("w1")), col("a") === col("sa"))
+        .join(und.select(col("s").as("sb"), col("d").as("w2")),
+          col("b") === col("sb") && col("w1") === col("w2"))
+        .groupBy(col("a"), col("b")).agg(count(lit(1)).as("sup"))
+        .filter(col("sup") >= 2)
+        .select(col("a").as("ka"), col("b").as("kb"))
+      cur = cur.join(sup, col("a") === col("ka") && col("b") === col("kb"),
+        "left_semi").localCheckpoint()
+      val nOut = cur.count()
+      (r, nIn, nIn - nOut, nOut)
+    }
+    import s.implicits._
+    rounds.toDF("round", "n_edges_in", "n_peeled", "n_remaining")
+      .select(col("round").cast("int").as("round"), col("n_edges_in"),
+        col("n_peeled"), col("n_remaining"))
+      .orderBy("round")
+  }
+
   def q_graph_degree(s: SparkSession, dir: String): DataFrame =
     edges(s, dir)
       .groupBy(col("dst").as("part_key"))
@@ -998,6 +1039,7 @@ object GraphOps {
     "q_graph_reciprocity" -> q_graph_reciprocity _,
     "q_graph_motifs" -> q_graph_motifs _,
     "q_graph_scc_colors" -> q_graph_scc_colors _,
+    "q_graph_ktruss" -> q_graph_ktruss _,
     "q_graph_betweenness" -> q_graph_betweenness _,
     "q_graph_richclub" -> q_graph_richclub _,
     "q_graph_degree_dist" -> q_graph_degree_dist _,

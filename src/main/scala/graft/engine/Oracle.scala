@@ -3978,6 +3978,41 @@ object Oracle {
          |  ROUND(CAST(rrf AS DOUBLE), 6) AS rrf
          |FROM f2 WHERE rank_fused <= 5 ORDER BY lang, rank_fused""".stripMargin,
 
+    "q_graph_ktruss" -> {
+      val k = GraphOps.TrussRounds
+      // every CTE is MATERIALIZED: each pp_r is referenced 4-5× (both
+      // wedge legs + the per-round counts), and DuckDB inlines CTEs by
+      // default — without the hint the chain re-expands multiplicatively
+      // down to the 12M-row co-occurrence aggregation (measured: the
+      // un-hinted form ran >8 min at sf0.01; hinted, sub-second)
+      val peels = (1 to k).map { r =>
+        s"""und${r - 1} AS MATERIALIZED (SELECT a AS s, b AS d FROM pp${r - 1}
+           |  UNION ALL SELECT b, a FROM pp${r - 1}),
+           |pp$r AS MATERIALIZED (SELECT p.a, p.b FROM pp${r - 1} p
+           |  JOIN und${r - 1} u1 ON u1.s = p.a
+           |  JOIN und${r - 1} u2 ON u2.s = p.b AND u2.d = u1.d
+           |  GROUP BY 1, 2 HAVING COUNT(*) >= 2)""".stripMargin
+      }.mkString(",\n")
+      val rows = (1 to k).map { r =>
+        s"""SELECT $r AS round,
+           |  (SELECT COUNT(*) FROM pp${r - 1}) AS n_edges_in,
+           |  (SELECT COUNT(*) FROM pp${r - 1})
+           |    - (SELECT COUNT(*) FROM pp$r) AS n_peeled,
+           |  (SELECT COUNT(*) FROM pp$r) AS n_remaining""".stripMargin
+      }.mkString("\nUNION ALL\n")
+      s"""WITH $edgesCte,
+         |pp0 AS MATERIALIZED (SELECT e1.dst AS a, e2.dst AS b
+         |        FROM edges e1 JOIN edges e2
+         |          ON e1.src = e2.src AND e1.dst < e2.dst
+         |        GROUP BY 1, 2 HAVING COUNT(*) >= ${GraphOps.TriangleMinCooccur}),
+         |$peels
+         |SELECT CAST(round AS INT) AS round,
+         |  CAST(n_edges_in AS BIGINT) AS n_edges_in,
+         |  CAST(n_peeled AS BIGINT) AS n_peeled,
+         |  CAST(n_remaining AS BIGINT) AS n_remaining
+         |FROM ($rows) ORDER BY round""".stripMargin
+    },
+
     "q_text_lexical_diversity" ->
       """WITH tf AS (SELECT lang, UNNEST(string_split(text, ' ')) AS tok
         |            FROM documents),

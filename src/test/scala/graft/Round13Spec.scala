@@ -315,6 +315,27 @@ class Round13Spec extends AnyFunSuite {
     assert(got == want)
   }
 
+  test("ktruss: 3-round peel replayed by brute force") {
+    val pp = GraphOps.partPairs(spark, sf0001, GraphOps.TriangleMinCooccur)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    var cur = pp
+    val want = (1 to GraphOps.TrussRounds).map { r =>
+      val nIn = cur.size.toLong
+      val und = cur ++ cur.map(e => (e._2, e._1))
+      val nbrs = und.groupBy(_._1).view.mapValues(_.map(_._2)).toMap
+      cur = cur.filter { case (a, b) =>
+        (nbrs.getOrElse(a, Set.empty).toSet
+          intersect nbrs.getOrElse(b, Set.empty).toSet).size >= 2
+      }
+      (r, nIn, nIn - cur.size, cur.size.toLong)
+    }
+    val got = GraphOps.q_graph_ktruss(spark, sf0001).collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSeq
+    assert(got == want)
+    // the surviving edge set is (weakly) shrinking and support-valid
+    assert(got.map(_._4).sliding(2).forall(p => p.head >= p.last))
+  }
+
   test("lexical diversity: replayed from token frequencies") {
     import org.apache.spark.sql.functions._
     val tf = Tables.documents(spark, sf0001)
