@@ -3978,6 +3978,47 @@ object Oracle {
          |  ROUND(CAST(rrf AS DOUBLE), 6) AS rrf
          |FROM f2 WHERE rank_fused <= 5 ORDER BY lang, rank_fused""".stripMargin,
 
+    "q_llm_calibration" ->
+      """WITH tokall AS (SELECT doc_id, unnest(string_split(text, ' ')) AS token
+        |               FROM documents),
+        |stop AS (SELECT token FROM (SELECT token, COUNT(*) AS c FROM tokall
+        |         GROUP BY 1 ORDER BY c DESC, token ASC LIMIT 10)),
+        |sc AS (SELECT doc_id, COUNT(*) AS stop_cnt FROM tokall
+        |       WHERE token IN (SELECT token FROM stop) GROUP BY 1),
+        |t AS (SELECT doc_id, string_split(text, ' ') AS toks, text FROM documents),
+        |f AS (SELECT doc_id, CAST(len(toks) AS BIGINT) AS n_tokens,
+        |  round(ln(1.0::DOUBLE + len(toks)), 9) AS f_len,
+        |  CAST(length(text) - (len(toks) - 1) AS DOUBLE) / len(toks) AS f_awl,
+        |  CAST(len(list_distinct(toks)) AS DOUBLE) / len(toks) AS f_ttr,
+        |  CAST(len(list_filter(toks, s -> length(s) <= 3)) AS DOUBLE)
+        |    / len(toks) AS f_short
+        |  FROM t),
+        |zz AS (SELECT doc_id, n_tokens,
+        |  round(0.8::DOUBLE * f_len + 0.5::DOUBLE * f_ttr
+        |        - 0.4::DOUBLE * f_short + 0.05::DOUBLE * f_awl
+        |        - 2.0::DOUBLE, 6) AS z FROM f),
+        |scored AS (SELECT zz.doc_id,
+        |    CASE WHEN (zz.n_tokens BETWEEN 10 AND 1000)
+        |      AND (CAST(COALESCE(sc.stop_cnt, 0) AS DOUBLE) / zz.n_tokens
+        |           < 0.5::DOUBLE) THEN 1 ELSE 0 END AS label,
+        |    CAST(ROUND(CAST(1 AS DOUBLE) / (CAST(1 AS DOUBLE) + exp(-z)), 9)
+        |      AS DECIMAL(10,9)) AS p9
+        |  FROM zz LEFT JOIN sc ON zz.doc_id = sc.doc_id),
+        |binned AS (SELECT CAST(LEAST(9, FLOOR(p9 * 10)) AS INT) AS bin,
+        |    label, p9 FROM scored),
+        |bins AS (SELECT bin, CAST(COUNT(*) AS BIGINT) AS n_docs,
+        |    CAST(SUM(p9) AS DOUBLE) / COUNT(*) AS conf,
+        |    CAST(SUM(label) AS DOUBLE) / COUNT(*) AS acc
+        |  FROM binned GROUP BY 1),
+        |g AS (SELECT bin, n_docs, conf, acc, ABS(acc - conf) AS gap FROM bins),
+        |tot AS (SELECT CAST(SUM(n_docs) AS BIGINT) AS nt,
+        |    SUM(CAST(ROUND(gap * CAST(n_docs AS DOUBLE), 9)
+        |      AS DECIMAL(28,9))) AS gw FROM g)
+        |SELECT g.bin, g.n_docs, ROUND(g.conf, 6) AS conf, ROUND(g.acc, 6) AS acc,
+        |  ROUND(g.gap, 6) AS gap,
+        |  ROUND(CAST(tot.gw AS DOUBLE) / CAST(tot.nt AS DOUBLE), 6) AS ece
+        |FROM g, tot ORDER BY g.bin""".stripMargin,
+
     "q_graph_ktruss" -> {
       val k = GraphOps.TrussRounds
       // every CTE is MATERIALIZED: each pp_r is referenced 4-5× (both

@@ -679,7 +679,68 @@ object TextOps {
       .orderBy("lang")
   }
 
+  /** Calibration of the quality classifier (reliability diagram + ECE,
+    * Guo et al. ICML 2017 — the measurement a curation pipeline runs
+    * BEFORE using classifier scores as sampling weights): per doc,
+    * confidence p = σ(z) of the q_llm_quality_classifier score, ground
+    * truth = the INDEPENDENT rule-based q_text_quality keep label
+    * (token-count band + stopword ratio). Docs bin by confidence decile
+    * (binning on ROUND-9 p in exact decimal — ×10 and floor never touch
+    * a float); per bin: n, mean confidence (decimal sum of round-9 p),
+    * empirical accuracy, |gap|; ECE = Σ n_b/N·gap_b re-derived from the
+    * 10-row bin table. σ's exp is absorbed by the round-9 device. One
+    * token scan feeds both the features and the label; every join is
+    * broadcast (top-10 stoplist, 1-row totals). */
+  def q_llm_calibration(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    val tokAll = docs.select(col("doc_id"), explode(split(col("text"), " ")).as("token"))
+    val stop = tokAll.groupBy(col("token")).agg(count(lit(1)).as("c"))
+      .orderBy(col("c").desc, col("token").asc).limit(10).select("token")
+    val stopCnt = tokAll.join(broadcast(stop), Seq("token"), "left_semi")
+      .groupBy(col("doc_id")).agg(count(lit(1)).as("stop_cnt"))
+    val base = docs
+      .select(col("doc_id"), split(col("text"), " ").as("toks"), col("text"))
+      .select(col("doc_id"),
+        size(col("toks")).cast("bigint").as("n_tokens"),
+        round(log(lit(1.0) + size(col("toks"))), 9).as("f_len"),
+        ((length(col("text")) - (size(col("toks")) - 1)).cast("double") /
+          size(col("toks"))).as("f_awl"),
+        (size(array_distinct(col("toks"))).cast("double") / size(col("toks")))
+          .as("f_ttr"),
+        (size(expr("filter(toks, t -> length(t) <= 3)")).cast("double") /
+          size(col("toks"))).as("f_short"))
+    val z = round(lit(0.8) * col("f_len") + lit(0.5) * col("f_ttr") -
+      lit(0.4) * col("f_short") + lit(0.05) * col("f_awl") - lit(2.0), 6)
+    val scored = base.join(stopCnt, Seq("doc_id"), "left_outer")
+      .withColumn("sr",
+        coalesce(col("stop_cnt"), lit(0L)).cast("double") / col("n_tokens"))
+      .withColumn("label",
+        (col("n_tokens").between(10, 1000) && col("sr") < 0.5).cast("long"))
+      .withColumn("p9",
+        round(lit(1.0) / (lit(1.0) + exp(-z)), 9).cast("decimal(10,9)"))
+      .withColumn("bin",
+        least(lit(9), floor(col("p9") * 10)).cast("int"))
+    val bins = scored.groupBy(col("bin"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("p9")).as("sp"),
+        sum(col("label")).as("nk"))
+      .select(col("bin"), col("n_docs"),
+        (col("sp").cast("double") / col("n_docs").cast("double")).as("conf"),
+        (col("nk").cast("double") / col("n_docs").cast("double")).as("acc"))
+      .withColumn("gap", abs(col("acc") - col("conf")))
+    val tot = bins.agg(sum(col("n_docs")).as("nt"),
+      sum(round(col("gap") * col("n_docs").cast("double"), 9)
+        .cast("decimal(28,9)")).as("gw"))
+    bins.crossJoin(broadcast(tot))
+      .select(col("bin"), col("n_docs"),
+        round(col("conf"), 6).as("conf"), round(col("acc"), 6).as("acc"),
+        round(col("gap"), 6).as("gap"),
+        round(col("gw").cast("double") / col("nt").cast("double"), 6).as("ece"))
+      .orderBy("bin")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_llm_calibration" -> q_llm_calibration _,
     "q_text_lexical_diversity" -> q_text_lexical_diversity _,
     "q_text_rake" -> q_text_rake _,
     "q_text_lang_confusion" -> q_text_lang_confusion _,

@@ -336,6 +336,24 @@ class Round13Spec extends AnyFunSuite {
     assert(got.map(_._4).sliding(2).forall(p => p.head >= p.last))
   }
 
+  test("calibration: bins self-consistent; ece equals the bin-weighted gap") {
+    val rows = TextOps.q_llm_calibration(spark, sf001).collect()
+    assert(rows.nonEmpty && rows.length <= 10)
+    val n = rows.map(_.getLong(1)).sum
+    rows.foreach { r =>
+      val (bin, conf, acc, gap) =
+        (r.getInt(0), r.getDouble(2), r.getDouble(3), r.getDouble(4))
+      assert(bin >= 0 && bin <= 9)
+      assert(conf >= 0 && conf <= 1 && acc >= 0 && acc <= 1)
+      // confidence decile membership (round-6 display slack at the edge)
+      assert(conf >= bin / 10.0 - 1e-6 && (bin == 9 || conf <= (bin + 1) / 10.0 + 1e-6))
+      assert(math.abs(gap - math.abs(acc - conf)) <= 2e-6)
+    }
+    val ece = rows.map(r => r.getDouble(4) * r.getLong(1)).sum / n
+    rows.foreach(r => assert(math.abs(r.getDouble(5) - ece) <= 2e-5,
+      s"ece ${r.getDouble(5)} vs recomputed $ece"))
+  }
+
   test("lexical diversity: replayed from token frequencies") {
     import org.apache.spark.sql.functions._
     val tf = Tables.documents(spark, sf0001)
