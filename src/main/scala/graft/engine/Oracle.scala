@@ -3978,6 +3978,48 @@ object Oracle {
          |  ROUND(CAST(rrf AS DOUBLE), 6) AS rrf
          |FROM f2 WHERE rank_fused <= 5 ORDER BY lang, rank_fused""".stripMargin,
 
+    "q_agg_bootstrap_ci" -> {
+      val b = StatsOps.BootstrapB
+      val lo = math.ceil(0.05 * b).toInt
+      val hi = math.ceil(0.95 * b).toInt
+      s"""WITH daily AS (SELECT event_type,
+         |    CAST(CAST(ts AS TIMESTAMP) AS DATE) AS day,
+         |    CAST(SUM(CAST(ROUND(value * 100, 0) AS BIGINT)) AS BIGINT) AS y
+         |  FROM events GROUP BY 1, 2),
+         |idx AS (SELECT event_type AS it,
+         |    CAST(ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY day) - 1
+         |      AS BIGINT) AS i, y
+         |  FROM daily),
+         |np AS (SELECT it AS nt, CAST(COUNT(*) AS BIGINT) AS n
+         |       FROM idx GROUP BY 1),
+         |slots AS (SELECT t.event_type, np.n, r.b, u.slot
+         |  FROM (SELECT DISTINCT it AS event_type FROM idx) t
+         |  JOIN np ON t.event_type = np.nt,
+         |  (SELECT UNNEST(range(0, $b)) AS b) r,
+         |  UNNEST(range(0, np.n)) AS u(slot)),
+         |draw AS (SELECT event_type, n, b, slot,
+         |    CAST('0x' || substr(md5('bs:' || event_type || ':' || b || ':'
+         |      || slot), 1, 15) AS BIGINT) % n AS j
+         |  FROM slots),
+         |means AS (SELECT d.event_type, d.b, d.n,
+         |    CAST(SUM(idx.y) AS DOUBLE) / CAST(d.n AS DOUBLE) AS m
+         |  FROM draw d JOIN idx ON d.event_type = idx.it AND d.j = idx.i
+         |  GROUP BY 1, 2, 3),
+         |ranked AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY event_type
+         |    ORDER BY m ASC, b ASC) AS rk FROM means),
+         |ci AS (SELECT event_type AS ct, MIN(m) AS mlo, MAX(m) AS mhi
+         |       FROM ranked WHERE rk = $lo OR rk = $hi GROUP BY 1),
+         |base AS (SELECT event_type AS bt, CAST(COUNT(*) AS BIGINT) AS n_days,
+         |    CAST(SUM(y) AS BIGINT) AS ty FROM daily GROUP BY 1)
+         |SELECT base.bt AS event_type, base.n_days,
+         |  ROUND(CAST(base.ty AS DOUBLE) / CAST(base.n_days AS DOUBLE) / 100, 2)
+         |    AS mean_value,
+         |  ROUND(ci.mlo / 100, 2) AS ci_lo,
+         |  ROUND(ci.mhi / 100, 2) AS ci_hi
+         |FROM ci JOIN base ON ci.ct = base.bt
+         |ORDER BY event_type""".stripMargin
+    },
+
     "q_llm_calibration" ->
       """WITH tokall AS (SELECT doc_id, unnest(string_split(text, ' ')) AS token
         |               FROM documents),

@@ -888,6 +888,62 @@ object StatsOps {
     benfordFrom(s, snap.select(col("digit"), col("o")))
   }
 
+  /** Bootstrap replicates for the daily-mean CI. */
+  val BootstrapB = 32
+
+  /** Deterministic bootstrap CI of the mean daily cents per event_type
+    * (Efron 1979, with the md5-family seeded resampler — the engine's
+    * only randomness device, so the 'random' resample is reproducible
+    * across engines and runs): replicate b draws n day-slots WITH
+    * replacement via j = md5('bs:type:b:i') mod n over the day-index
+    * ladder; each replicate mean is an exact integer sum / n; the 90%
+    * percentile interval takes the ⌈0.05B⌉/⌈0.95B⌉-ranked replicate
+    * means (ties by replicate id). Work = B·n resample rows per type —
+    * calendar-bounded (32×~30), NEVER event-count-bounded, because the
+    * resampler runs over the pre-aggregated daily series; at any corpus
+    * scale this costs B×days keyed lookups. */
+  def q_agg_bootstrap_ci(s: SparkSession, dir: String): DataFrame = {
+    val daily = Tables.events(s, dir)
+      .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+      .agg(sum(round(col("value") * 100, 0).cast("bigint")).as("y"))
+    val wd = Window.partitionBy(col("event_type")).orderBy(col("day"))
+    val idx = daily
+      .withColumn("i", row_number().over(wd).cast("bigint") - 1)
+      .select(col("event_type").as("it"), col("i"), col("y"))
+      .localCheckpoint()
+    val nPer = idx.groupBy(col("it").as("nt")).agg(count(lit(1)).as("n"))
+    val reps = s.range(0, BootstrapB.toLong).select(col("id").as("b"))
+    val slots = idx.select(col("it").as("event_type")).distinct()
+      .join(broadcast(nPer), col("event_type") === col("nt"))
+      .crossJoin(broadcast(reps))
+      .select(col("event_type"), col("n"), col("b"),
+        explode(expr("sequence(0, n - 1)")).as("slot"))
+    val draw = slots.withColumn("j",
+      pmod(Dsl.md5Hash60(concat(lit("bs:"), col("event_type"), lit(":"),
+        col("b").cast("string"), lit(":"), col("slot").cast("string"))), col("n")))
+    val means = draw
+      .join(idx, col("event_type") === col("it") && col("j") === col("i"))
+      .groupBy(col("event_type"), col("b"), col("n"))
+      .agg(sum(col("y")).as("sy"))
+      .withColumn("m", col("sy").cast("double") / col("n").cast("double"))
+    val wr = Window.partitionBy(col("event_type")).orderBy(col("m").asc, col("b").asc)
+    val lo = math.ceil(0.05 * BootstrapB).toLong
+    val hi = math.ceil(0.95 * BootstrapB).toLong
+    val ranked = means.withColumn("rk", row_number().over(wr).cast("bigint"))
+    val base = daily.groupBy(col("event_type").as("bt"))
+      .agg(count(lit(1)).as("n_days"), sum(col("y")).as("ty"))
+    ranked.filter(col("rk") === lo || col("rk") === hi)
+      .groupBy(col("event_type"))
+      .agg(min(col("m")).as("mlo"), max(col("m")).as("mhi"))
+      .join(broadcast(base), col("event_type") === col("bt"))
+      .select(col("event_type"), col("n_days"),
+        round(col("ty").cast("double") / col("n_days").cast("double") / 100, 2)
+          .as("mean_value"),
+        round(col("mlo") / 100, 2).as("ci_lo"),
+        round(col("mhi") / 100, 2).as("ci_hi"))
+      .orderBy("event_type")
+  }
+
   /** Candidate periods (days) for the periodogram. */
   val PeriodogramPeriods = Seq(7, 14)
 
@@ -1096,6 +1152,7 @@ object StatsOps {
     "q_stream_chi2" -> q_stream_chi2 _,
     "q_stream_benford" -> q_stream_benford _,
     "q_time_periodogram" -> q_time_periodogram _,
+    "q_agg_bootstrap_ci" -> q_agg_bootstrap_ci _,
     "q_agg_theil_sen" -> q_agg_theil_sen _,
     "q_time_mad" -> q_time_mad _,
     "q_stream_decay_topk" -> q_stream_decay_topk _,

@@ -336,6 +336,37 @@ class Round13Spec extends AnyFunSuite {
     assert(got.map(_._4).sliding(2).forall(p => p.head >= p.last))
   }
 
+  test("bootstrap_ci: md5 resampler and percentile ranks replayed") {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    def h60(s: String): Long = {
+      val hex = md.digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+      java.lang.Long.parseLong(hex.take(15), 16)
+    }
+    val got = StatsOps.q_agg_bootstrap_ci(spark, sf001).collect()
+      .map(r => r.getString(0) ->
+        (r.getLong(1), r.getDouble(2), r.getDouble(3), r.getDouble(4))).toMap
+    dailyCents(sf001).foreach { case (et, series) =>
+      val ys = series.map(_._2) // day order = index order (sorted by x)
+      val n = ys.length
+      val means = (0 until StatsOps.BootstrapB).map { b =>
+        val sum = (0 until n).map { slot =>
+          ys((h60(s"bs:$et:$b:$slot") % n).toInt)
+        }.sum
+        (sum.toDouble / n, b)
+      }.sortBy(identity)
+      val lo = means(math.ceil(0.05 * StatsOps.BootstrapB).toInt - 1)._1
+      val hi = means(math.ceil(0.95 * StatsOps.BootstrapB).toInt - 1)._1
+      def r2(x: Double) = BigDecimal(x)
+        .setScale(2, BigDecimal.RoundingMode.HALF_UP).toDouble
+      val (nd, mv, cl, ch) = got(et)
+      assert(nd == n.toLong)
+      assert(mv == r2(ys.sum.toDouble / n / 100))
+      assert(cl == r2(lo / 100), s"$et ci_lo $cl vs ${r2(lo / 100)}")
+      assert(ch == r2(hi / 100), s"$et ci_hi $ch vs ${r2(hi / 100)}")
+      assert(cl <= mv && mv <= ch, s"$et mean outside CI")
+    }
+  }
+
   test("calibration: bins self-consistent; ece equals the bin-weighted gap") {
     val rows = TextOps.q_llm_calibration(spark, sf001).collect()
     assert(rows.nonEmpty && rows.length <= 10)
