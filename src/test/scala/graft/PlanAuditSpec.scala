@@ -365,7 +365,7 @@ class PlanAuditSpec extends AnyFunSuite {
     // theil_sen/mad (event_type), rrf (lang), ndcg (query_id),
     // asof_nearest (p_id): none may fall back to a global sort
     Seq("q_agg_theil_sen", "q_time_mad", "q_llm_rrf", "q_text_ndcg",
-      "q_join_asof_nearest").foreach { name =>
+      "q_join_asof_nearest", "q_text_rake", "q_agg_bootstrap_ci").foreach { name =>
       val wins = SparkEntry.queries(name)(spark, sf0001)
         .queryExecution.sparkPlan.collect {
           case w: org.apache.spark.sql.execution.window.WindowExec => w
