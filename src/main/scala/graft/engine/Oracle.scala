@@ -3978,6 +3978,47 @@ object Oracle {
          |  ROUND(CAST(rrf AS DOUBLE), 6) AS rrf
          |FROM f2 WHERE rank_fused <= 5 ORDER BY lang, rank_fused""".stripMargin,
 
+    "q_agg_permutation_test" -> {
+      val b = StatsOps.PermB
+      s"""WITH daily AS (SELECT event_type,
+         |    CAST(CAST(ts AS TIMESTAMP) AS DATE) AS day,
+         |    CAST(SUM(CAST(ROUND(value * 100, 0) AS BIGINT)) AS BIGINT) AS y
+         |  FROM events GROUP BY 1, 2),
+         |d AS (SELECT event_type,
+         |    CAST(day - DATE '2024-01-01' AS BIGINT) AS x, y,
+         |    day <= DATE '2024-01-15' AS is_ref FROM daily),
+         |sizes AS (SELECT event_type AS st,
+         |    CAST(SUM(CASE WHEN is_ref THEN 1 ELSE 0 END) AS BIGINT) AS nr
+         |  FROM d GROUP BY 1),
+         |obs AS (SELECT event_type AS ot,
+         |    CAST(SUM(CASE WHEN is_ref THEN y ELSE 0 END) AS BIGINT) AS sr,
+         |    CAST(SUM(CASE WHEN NOT is_ref THEN y ELSE 0 END) AS BIGINT) AS sc,
+         |    CAST(SUM(CASE WHEN is_ref THEN 1 ELSE 0 END) AS BIGINT) AS onr,
+         |    CAST(SUM(CASE WHEN NOT is_ref THEN 1 ELSE 0 END) AS BIGINT) AS onc
+         |  FROM d GROUP BY 1),
+         |perm AS (SELECT d.event_type, r.b, d.y, s.nr,
+         |    ROW_NUMBER() OVER (PARTITION BY d.event_type, r.b
+         |      ORDER BY CAST('0x' || substr(md5('pm:' || d.event_type || ':'
+         |        || r.b || ':' || d.x), 1, 15) AS BIGINT) ASC, d.x ASC) AS rk
+         |  FROM d CROSS JOIN (SELECT UNNEST(range(0, $b)) AS b) r
+         |  JOIN sizes s ON d.event_type = s.st),
+         |pstat AS (SELECT event_type, b,
+         |    CAST(SUM(CASE WHEN rk <= nr THEN y ELSE 0 END) AS BIGINT) AS psr,
+         |    CAST(SUM(CASE WHEN rk > nr THEN y ELSE 0 END) AS BIGINT) AS psc
+         |  FROM perm GROUP BY 1, 2),
+         |cmp AS (SELECT p.event_type, o.sr, o.sc, o.onr, o.onc,
+         |    ABS(p.psr * o.onc - p.psc * o.onr) AS pd,
+         |    ABS(o.sr * o.onc - o.sc * o.onr) AS od
+         |  FROM pstat p JOIN obs o ON p.event_type = o.ot)
+         |SELECT event_type, onr AS n_ref, onc AS n_cur,
+         |  ROUND((CAST(sr AS DOUBLE) / CAST(onr AS DOUBLE)
+         |    - CAST(sc AS DOUBLE) / CAST(onc AS DOUBLE)) / 100, 2) AS mean_diff,
+         |  ROUND(CAST(SUM(CASE WHEN pd >= od THEN 1 ELSE 0 END) + 1 AS DOUBLE)
+         |    / ${b + 1}, 6) AS p_value
+         |FROM cmp GROUP BY event_type, onr, onc, sr, sc
+         |ORDER BY event_type""".stripMargin
+    },
+
     "q_agg_bootstrap_ci" -> {
       val b = StatsOps.BootstrapB
       val lo = math.ceil(0.05 * b).toInt

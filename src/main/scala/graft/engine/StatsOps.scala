@@ -944,6 +944,70 @@ object StatsOps {
       .orderBy("event_type")
   }
 
+  /** Permutation-test replicates. */
+  val PermB = 64
+
+  /** Deterministic permutation test of the ref-vs-current daily-mean
+    * difference per event_type (Fisher 1935 exact-test logic via the
+    * md5-seeded shuffler — the nonparametric EXACT companion to the
+    * Welch t (parametric) and KS (distribution-free) screens, sharing
+    * their 2024-01-15 split): observed statistic = |mean_ref − mean_cur|
+    * in exact cents; each of B=64 permutations reassigns days to a
+    * pseudo-ref group of the SAME size by ranking md5('pm:type:b:x')
+    * (a seeded uniform shuffle — rank < n_ref picks the permuted ref
+    * set); p = (1 + #{permutations with |diff| ≥ observed}) / (B + 1)
+    * (the add-one unbiased form). All sums exact integers; the ≥
+    * compare cross-multiplies to integer form so no float decides a
+    * tie. Work = B×days per type — calendar-bounded (the bootstrap
+    * device). */
+  def q_agg_permutation_test(s: SparkSession, dir: String): DataFrame = {
+    val daily = Tables.events(s, dir)
+      .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+      .agg(sum(round(col("value") * 100, 0).cast("bigint")).as("y"))
+      .withColumn("x",
+        datediff(col("day"), lit("2024-01-01").cast("date")).cast("bigint"))
+      .withColumn("is_ref", col("day") <= lit("2024-01-15").cast("date"))
+      .localCheckpoint()
+    val sizes = daily.groupBy(col("event_type").as("st"))
+      .agg(sum(when(col("is_ref"), 1L).otherwise(0L)).as("nr"),
+        count(lit(1)).as("n"))
+    // observed |mean_ref − mean_cur| cross-multiplied to integer form:
+    // |sr·nc − sc·nr| with denominators carried separately
+    val obs = daily.groupBy(col("event_type").as("ot"))
+      .agg(sum(when(col("is_ref"), col("y")).otherwise(0L)).as("sr"),
+        sum(when(!col("is_ref"), col("y")).otherwise(0L)).as("sc"),
+        sum(when(col("is_ref"), 1L).otherwise(0L)).as("onr"),
+        sum(when(!col("is_ref"), 1L).otherwise(0L)).as("onc"))
+    val reps = s.range(0, PermB.toLong).select(col("id").as("b"))
+    val wp = Window.partitionBy(col("event_type"), col("b"))
+      .orderBy(col("h").asc, col("x").asc)
+    val perm = daily.crossJoin(broadcast(reps))
+      .withColumn("h", Dsl.md5Hash60(concat(lit("pm:"), col("event_type"),
+        lit(":"), col("b").cast("string"), lit(":"), col("x").cast("string"))))
+      .withColumn("rk", row_number().over(wp).cast("bigint"))
+      .join(broadcast(sizes), col("event_type") === col("st"))
+      .withColumn("p_ref", col("rk") <= col("nr"))
+    val pstat = perm.groupBy(col("event_type"), col("b"), col("nr"), col("n"))
+      .agg(sum(when(col("p_ref"), col("y")).otherwise(0L)).as("psr"),
+        sum(when(!col("p_ref"), col("y")).otherwise(0L)).as("psc"))
+    // permuted group sizes equal (nr, n−nr) by construction, so the
+    // cross-multiplied |diff| compare shares one denominator and stays
+    // ALL integer: |psr·nc − psc·nr| ≥ |sr·nc − sc·nr|
+    val cmp = pstat.join(broadcast(obs), col("event_type") === col("ot"))
+      .withColumn("pd", abs(col("psr") * col("onc") - col("psc") * col("onr")))
+      .withColumn("od", abs(col("sr") * col("onc") - col("sc") * col("onr")))
+    cmp.groupBy(col("event_type"), col("onr"), col("onc"),
+        col("sr"), col("sc"), col("od"))
+      .agg(sum(when(col("pd") >= col("od"), 1L).otherwise(0L)).as("ge"))
+      .select(col("event_type"),
+        col("onr").as("n_ref"), col("onc").as("n_cur"),
+        round((col("sr").cast("double") / col("onr").cast("double") -
+          col("sc").cast("double") / col("onc").cast("double")) / 100, 2)
+          .as("mean_diff"),
+        round((col("ge") + 1).cast("double") / (PermB + 1), 6).as("p_value"))
+      .orderBy("event_type")
+  }
+
   /** Candidate periods (days) for the periodogram. */
   val PeriodogramPeriods = Seq(7, 14)
 
@@ -1153,6 +1217,7 @@ object StatsOps {
     "q_stream_benford" -> q_stream_benford _,
     "q_time_periodogram" -> q_time_periodogram _,
     "q_agg_bootstrap_ci" -> q_agg_bootstrap_ci _,
+    "q_agg_permutation_test" -> q_agg_permutation_test _,
     "q_agg_theil_sen" -> q_agg_theil_sen _,
     "q_time_mad" -> q_time_mad _,
     "q_stream_decay_topk" -> q_stream_decay_topk _,

@@ -367,6 +367,43 @@ class Round13Spec extends AnyFunSuite {
     }
   }
 
+  test("permutation_test: md5 shuffle and integer compare replayed") {
+    import org.apache.spark.sql.functions._
+    val md = java.security.MessageDigest.getInstance("MD5")
+    def h60(s: String): Long = {
+      val hex = md.digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+      java.lang.Long.parseLong(hex.take(15), 16)
+    }
+    val d = Tables.events(spark, sf001)
+      .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+      .agg(sum(round(col("value") * 100, 0).cast("bigint")).as("y"))
+      .select(col("event_type"),
+        datediff(col("day"), lit("2024-01-01").cast("date")).as("x"), col("y"),
+        (col("day") <= lit("2024-01-15").cast("date")).as("is_ref"))
+      .collect().map(r => (r.getString(0), r.getInt(1), r.getLong(2), r.getBoolean(3)))
+    val got = StatsOps.q_agg_permutation_test(spark, sf001).collect()
+      .map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getDouble(3), r.getDouble(4))).toMap
+    d.groupBy(_._1).foreach { case (et, rows) =>
+      val nr = rows.count(_._4).toLong
+      val nc = rows.length - nr
+      val sr = rows.filter(_._4).map(_._3).sum
+      val sc = rows.filterNot(_._4).map(_._3).sum
+      val od = math.abs(sr * nc - sc * nr)
+      val ge = (0 until StatsOps.PermB).count { b =>
+        val ranked = rows.sortBy(r => (h60(s"pm:$et:$b:${r._2}"), r._2))
+        val psr = ranked.take(nr.toInt).map(_._3).sum
+        val psc = ranked.drop(nr.toInt).map(_._3).sum
+        math.abs(psr * nc - psc * nr) >= od
+      }
+      val p = BigDecimal((ge + 1).toDouble / (StatsOps.PermB + 1))
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      val (gr, gc, _, gp) = got(et)
+      assert(gr == nr && gc == nc)
+      assert(gp == p, s"$et p-value $gp vs $p")
+    }
+  }
+
   test("calibration: bins self-consistent; ece equals the bin-weighted gap") {
     val rows = TextOps.q_llm_calibration(spark, sf001).collect()
     assert(rows.nonEmpty && rows.length <= 10)
