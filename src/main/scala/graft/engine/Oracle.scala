@@ -4391,6 +4391,7 @@ object Oracle {
         // their batch twins — one oracle each
         "q_stream_chi2" -> round13("q_agg_chi2"),
         "q_stream_benford" -> round13("q_agg_benford"),
+        "q_stream_ttest" -> stats("q_agg_ttest"),
         // streaming CMS grid is cell-identical to the batch sketch
         "q_stream_cms" -> round6("q_llm_cms_topk"),
         // deterministic bottom-k reservoir: batch twin = hash-rank window

@@ -690,18 +690,70 @@ object StatsOps {
       dsum(when(col("is_ref"), col("c") * col("c")).otherwise(0L), "q1"),
       dsum(when(!col("is_ref"), col("c")).otherwise(0L), "s2"),
       dsum(when(!col("is_ref"), col("c") * col("c")).otherwise(0L), "q2"))
-      .filter(col("n_ref") > 1 && col("n_cur") > 1)
+    ttestFrom(agg)
+  }
+
+  /** Shared Welch-t assembly over the per-type moment table
+    * (n_ref, n_cur, s1, q1, s2, q2) — consumed by the batch scan AND the
+    * streaming moment maintainer, so both share one oracle. Every moment
+    * arrives as the double cast of the same exact integer (Σc² ≈ 2e14 at
+    * sf0.1, far inside 2^53), so the pinned Welch combination is
+    * bit-identical regardless of which side produced it. */
+  private def ttestFrom(agg: DataFrame): DataFrame = {
     val n1 = col("n_ref").cast("double")
     val n2 = col("n_cur").cast("double")
     val v1 = (n1 * col("q1") - col("s1") * col("s1")) / (n1 * (n1 - 1))
     val v2 = (n2 * col("q2") - col("s2") * col("s2")) / (n2 * (n2 - 1))
     val se1 = v1 / n1
     val se2 = v2 / n2
-    agg.select(col("event_type"), col("n_ref"), col("n_cur"),
+    agg.filter(col("n_ref") > 1 && col("n_cur") > 1)
+      .select(col("event_type"), col("n_ref"), col("n_cur"),
         ((col("s1") / n1 - col("s2") / n2) / sqrt(se1 + se2)).as("t_stat"),
         ((se1 + se2) * (se1 + se2)
           / (se1 * se1 / (n1 - 1) + se2 * se2 / (n2 - 1))).as("df_welch"))
       .orderBy("event_type")
+  }
+
+  // ---- Streaming Welch-t maintainer -------------------------------------
+  // Keyed-state twin of q_agg_ttest (the chi2/benford shared-assembly
+  // device): state = the six exact integer moments (48 B/key forever,
+  // order-blind and MERGEABLE — shards maintain moments independently
+  // and add them); the Welch arithmetic runs only at snapshot time
+  // through the SAME assembly as the batch operator. Σc² headroom:
+  // ≈2e14 at sf0.1 per type, Long overflows at ~9e18 — swap s/q to
+  // DECIMAL state at ~1M× current volume.
+  case class TtEv(etype: String, c: Long, isRef: Boolean)
+  case class TtState(nr: Long, nc: Long, s1: Long, q1: Long, s2: Long, q2: Long)
+  case class TtSnap(event_type: String, n_ref: Long, n_cur: Long,
+    s1: Long, q1: Long, s2: Long, q2: Long)
+
+  def updateTtest(key: String, it: Iterator[TtEv],
+      state: org.apache.spark.sql.streaming.GroupState[TtState]): Iterator[TtSnap] = {
+    var st = state.getOption.getOrElse(TtState(0L, 0L, 0L, 0L, 0L, 0L))
+    it.foreach { e =>
+      st =
+        if (e.isRef) st.copy(nr = st.nr + 1, s1 = st.s1 + e.c, q1 = st.q1 + e.c * e.c)
+        else st.copy(nc = st.nc + 1, s2 = st.s2 + e.c, q2 = st.q2 + e.c * e.c)
+    }
+    state.update(st)
+    Iterator.single(TtSnap(key, st.nr, st.nc, st.s1, st.q1, st.s2, st.q2))
+  }
+
+  /** Driver-contract query: the streaming moment maintainer; snapshots
+    * feed the shared Welch assembly (one oracle with q_agg_ttest). */
+  def q_stream_ttest(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val snap = Tables.events(s, dir).select(col("event_type").as("etype"),
+        round(col("value") * 100, 0).cast("bigint").as("c"),
+        (to_date(col("ts")) <= lit("2024-01-15").cast("date")).as("isRef"))
+      .as[TtEv]
+      .groupByKey(_.etype)
+      .flatMapGroupsWithState(org.apache.spark.sql.streaming.OutputMode.Update,
+        org.apache.spark.sql.streaming.GroupStateTimeout.NoTimeout)(updateTtest)
+      .toDF()
+    ttestFrom(snap.select(col("event_type"), col("n_ref"), col("n_cur"),
+      col("s1").cast("double").as("s1"), col("q1").cast("double").as("q1"),
+      col("s2").cast("double").as("s2"), col("q2").cast("double").as("q2")))
   }
 
   /** Classical additive seasonal decomposition of the daily value series
@@ -1223,6 +1275,7 @@ object StatsOps {
     "q_stream_decay_topk" -> q_stream_decay_topk _,
     "q_time_seasonal_decompose" -> q_time_seasonal_decompose _,
     "q_agg_ttest" -> q_agg_ttest _,
+    "q_stream_ttest" -> q_stream_ttest _,
     "q_stream_holt_winters" -> q_stream_holt_winters _,
     "q_agg_ols_trend" -> q_agg_ols_trend _,
     "q_time_changepoint" -> q_time_changepoint _,

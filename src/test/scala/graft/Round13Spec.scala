@@ -223,6 +223,34 @@ class Round13Spec extends AnyFunSuite {
     assert(last == Map(1 -> 3L, 2 -> 1L))
   }
 
+  test("streaming ttest moments bridge micro-batches; snapshot equals batch") {
+    val s = spark
+    import s.implicits._
+    implicit val sq = s.sqlContext
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import org.apache.spark.sql.streaming.OutputMode
+    val evs = Seq(("a", 100L, true), ("a", 140L, true), ("a", 90L, false),
+      ("a", 200L, false), ("a", 120L, true), ("a", 210L, false))
+      .map { case (t, c, r) => StatsOps.TtEv(t, c, r) }
+    val ms = MemoryStream[StatsOps.TtEv]
+    val q = ms.toDS().groupByKey(_.etype)
+      .flatMapGroupsWithState(OutputMode.Update,
+        org.apache.spark.sql.streaming.GroupStateTimeout.NoTimeout)(StatsOps.updateTtest)
+      .toDF()
+      .writeStream.outputMode(OutputMode.Update)
+      .format("memory").queryName("ttestst").start()
+    ms.addData(evs.take(3): _*); q.processAllAvailable()
+    ms.addData(evs.drop(3): _*); q.processAllAvailable(); q.stop()
+    val last = s.table("ttestst").collect().maxBy(r => r.getLong(1) + r.getLong(2))
+    assert(last.getLong(1) == 3L && last.getLong(2) == 3L)
+    assert(last.getLong(3) == 360L && last.getLong(4) == 100 * 100 + 140 * 140 + 120 * 120)
+    assert(last.getLong(5) == 500L && last.getLong(6) == 90 * 90 + 200 * 200 + 210 * 210)
+    // batch and streaming operators agree on the fixture
+    val a = StatsOps.q_agg_ttest(spark, sf0001).collect().map(_.toString).toSeq
+    val b = StatsOps.q_stream_ttest(spark, sf0001).collect().map(_.toString).toSeq
+    assert(a == b, "streaming snapshot must equal the batch Welch output")
+  }
+
   test("rand_proj: exact integer projection and JL ratio near 1") {
     val rows = ClusterOps.q_embed_rand_proj(spark, sf001).collect()
     // 8 components per sampled vector, exact integers (bigint column)
