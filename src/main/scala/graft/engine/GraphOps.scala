@@ -257,6 +257,39 @@ object GraphOps {
       .limit(10)
   }
 
+  /** Markov transition entropy per source part (the sequence-
+    * predictability screen over the basket-transition chain — high
+    * entropy = the next item is unpredictable from this one): from the
+    * COUNTED (not distinct) transition pairs, H(src) = −Σ p·ln p over
+    * the out-distribution, p an exact rational (count/out-total, ONE
+    * division), each −p·ln p term round-9 → exact DECIMAL sum (the PSI
+    * device, absorbing the libm ln ulp). Top-20 sources by (entropy
+    * round-6 desc, out-degree desc, src asc) via TakeOrderedAndProject.
+    * One keyed lead window + two keyed aggregations — the transEdges
+    * cost class with counts kept. */
+  def q_graph_transition_entropy(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("l_orderkey"))
+      .orderBy(col("l_linenumber"), col("l_partkey"))
+    val cnt = Tables.lineitem(s, dir)
+      .select(col("l_orderkey"), col("l_linenumber"), col("l_partkey"))
+      .withColumn("nxt", lead(col("l_partkey"), 1).over(w))
+      .filter(col("nxt").isNotNull && col("nxt") =!= col("l_partkey"))
+      .groupBy(col("l_partkey").as("src"), col("nxt").as("dst"))
+      .agg(count(lit(1)).as("c"))
+    val tot = cnt.groupBy(col("src").as("ts"))
+      .agg(sum(col("c")).as("t"), count(lit(1)).as("fanout"))
+    val p = col("c").cast("double") / col("t").cast("double")
+    cnt.join(tot, col("src") === col("ts"))
+      .select(col("src"), col("fanout"), col("t"),
+        round(-p * log(p), 9).cast("decimal(18,9)").as("term"))
+      .groupBy(col("src"), col("fanout"), col("t"))
+      .agg(round(sum(col("term")).cast("double"), 6).as("entropy"))
+      .select(col("src"), col("fanout").as("out_degree"),
+        col("t").as("n_transitions"), col("entropy"))
+      .orderBy(col("entropy").desc, col("out_degree").desc, col("src").asc)
+      .limit(20)
+  }
+
   /** Peel rounds for the truncated 4-truss decomposition. */
   val TrussRounds = 3
 
@@ -1040,6 +1073,7 @@ object GraphOps {
     "q_graph_motifs" -> q_graph_motifs _,
     "q_graph_scc_colors" -> q_graph_scc_colors _,
     "q_graph_ktruss" -> q_graph_ktruss _,
+    "q_graph_transition_entropy" -> q_graph_transition_entropy _,
     "q_graph_betweenness" -> q_graph_betweenness _,
     "q_graph_richclub" -> q_graph_richclub _,
     "q_graph_degree_dist" -> q_graph_degree_dist _,

@@ -4102,6 +4102,25 @@ object Oracle {
         |  ROUND(CAST(tot.gw AS DOUBLE) / CAST(tot.nt AS DOUBLE), 6) AS ece
         |FROM g, tot ORDER BY g.bin""".stripMargin,
 
+    "q_graph_transition_entropy" ->
+      """WITH seq AS (SELECT l_partkey,
+        |    LEAD(l_partkey) OVER (PARTITION BY l_orderkey
+        |      ORDER BY l_linenumber, l_partkey) AS nxt
+        |  FROM lineitem),
+        |cnt AS (SELECT l_partkey AS src, nxt AS dst, CAST(COUNT(*) AS BIGINT) AS c
+        |  FROM seq WHERE nxt IS NOT NULL AND nxt <> l_partkey GROUP BY 1, 2),
+        |tot AS (SELECT src AS ts, CAST(SUM(c) AS BIGINT) AS t,
+        |    CAST(COUNT(*) AS BIGINT) AS fanout FROM cnt GROUP BY 1),
+        |terms AS (SELECT cnt.src, tot.fanout, tot.t,
+        |    CAST(ROUND(-(CAST(cnt.c AS DOUBLE) / CAST(tot.t AS DOUBLE))
+        |      * ln(CAST(cnt.c AS DOUBLE) / CAST(tot.t AS DOUBLE)), 9)
+        |      AS DECIMAL(18,9)) AS term
+        |  FROM cnt JOIN tot ON cnt.src = tot.ts)
+        |SELECT src, fanout AS out_degree, t AS n_transitions,
+        |  ROUND(CAST(SUM(term) AS DOUBLE), 6) AS entropy
+        |FROM terms GROUP BY src, fanout, t
+        |ORDER BY entropy DESC, out_degree DESC, src ASC LIMIT 20""".stripMargin,
+
     "q_graph_ktruss" -> {
       val k = GraphOps.TrussRounds
       // every CTE is MATERIALIZED: each pp_r is referenced 4-5× (both

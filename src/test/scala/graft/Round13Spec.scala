@@ -343,6 +343,34 @@ class Round13Spec extends AnyFunSuite {
     assert(got == want)
   }
 
+  test("transition entropy: replayed from counted pairs; bounds hold") {
+    val counts = Tables.lineitem(spark, sf0001)
+      .select("l_orderkey", "l_linenumber", "l_partkey").collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2)))
+      .groupBy(_._1).valuesIterator
+      .flatMap { rows =>
+        val seq = rows.sortBy(r => (r._2, r._3)).map(_._3)
+        seq.zip(seq.tail).filter(p => p._1 != p._2)
+      }
+      .toSeq.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val want = counts.keys.map(_._1).toSet.toSeq.map { (src: Long) =>
+      val outs = counts.collect { case ((s, _), c) if s == src => c }.toSeq
+      val t = outs.sum
+      val h = outs.map { c =>
+        val p = c.toDouble / t
+        BigDecimal(-p * math.log(p))
+          .setScale(9, BigDecimal.RoundingMode.HALF_UP)
+      }.sum // exact decimal sum, matching the engine's DECIMAL aggregation
+      (src, outs.size.toLong, t,
+        BigDecimal(h.toDouble).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+    }.sortBy(r => (-r._4, -r._2, r._1)).take(20)
+    val got = GraphOps.q_graph_transition_entropy(spark, sf0001).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3))).toSeq
+    assert(got == want)
+    // entropy ≤ ln(fanout), the uniform upper bound
+    got.foreach { case (_, f, _, h) => assert(h <= math.log(f.toDouble) + 1e-6) }
+  }
+
   test("ktruss: 3-round peel replayed by brute force") {
     val pp = GraphOps.partPairs(spark, sf0001, GraphOps.TriangleMinCooccur)
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
