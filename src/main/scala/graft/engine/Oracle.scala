@@ -3978,6 +3978,40 @@ object Oracle {
          |  ROUND(CAST(rrf AS DOUBLE), 6) AS rrf
          |FROM f2 WHERE rank_fused <= 5 ORDER BY lang, rank_fused""".stripMargin,
 
+    "q_time_ljungbox" -> {
+      val m = StatsOps.LjungBoxLags
+      s"""WITH daily AS (SELECT event_type,
+         |    CAST(CAST(ts AS TIMESTAMP) AS DATE) AS day,
+         |    CAST(SUM(CAST(ROUND(value * 100, 0) AS BIGINT)) AS BIGINT) AS y
+         |  FROM events GROUP BY 1, 2),
+         |d AS (SELECT event_type,
+         |    CAST(day - DATE '2024-01-01' AS BIGINT) AS x, y FROM daily),
+         |st AS (SELECT event_type AS s_t, CAST(COUNT(*) AS BIGINT) AS n,
+         |    CAST(SUM(y) AS BIGINT) AS sy FROM d GROUP BY 1),
+         |resid AS (SELECT d.event_type, d.x,
+         |    d.y * st.n - st.sy AS e, st.n
+         |  FROM d JOIN st ON d.event_type = st.s_t),
+         |num AS (SELECT a.event_type, l.lag, a.n,
+         |    SUM(CAST(a.e * b.e AS DECIMAL(38,0))) AS nk
+         |  FROM resid a
+         |  CROSS JOIN (SELECT UNNEST(range(1, ${m + 1})) AS lag) l
+         |  JOIN resid b ON a.event_type = b.event_type
+         |    AND a.x = b.x + l.lag
+         |  GROUP BY 1, 2, 3),
+         |den AS (SELECT event_type AS dt,
+         |    SUM(CAST(e * e AS DECIMAL(38,0))) AS d FROM resid GROUP BY 1),
+         |terms AS (SELECT num.event_type, num.n,
+         |    CAST(ROUND((CAST(nk AS DOUBLE) / CAST(den.d AS DOUBLE))
+         |      * (CAST(nk AS DOUBLE) / CAST(den.d AS DOUBLE))
+         |      / CAST(num.n - num.lag AS DOUBLE), 9) AS DECIMAL(28,9)) AS term
+         |  FROM num JOIN den ON num.event_type = den.dt)
+         |SELECT event_type, n AS n_days,
+         |  ROUND(CAST(n AS DOUBLE) * CAST(n + 2 AS DOUBLE)
+         |    * CAST(SUM(term) AS DOUBLE), 6) AS q_stat,
+         |  CAST($m AS BIGINT) AS df
+         |FROM terms GROUP BY event_type, n ORDER BY event_type""".stripMargin
+    },
+
     "q_agg_permutation_test" -> {
       val b = StatsOps.PermB
       s"""WITH daily AS (SELECT event_type,

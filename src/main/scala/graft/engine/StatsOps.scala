@@ -996,6 +996,57 @@ object StatsOps {
       .orderBy("event_type")
   }
 
+  /** Ljung–Box lag horizon. */
+  val LjungBoxLags = 7
+
+  /** Ljung–Box portmanteau white-noise test per event_type (Ljung & Box
+    * 1978 — the joint-significance companion to the per-lag q_time_
+    * autocorr screen): Q = n(n+2)·Σ_{k=1..m} r_k²/(n−k) over lags 1..7
+    * of the daily cents series, with the CANONICAL full-series
+    * mean-centered r_k (shared ȳ and denominator, unlike the pairwise
+    * Pearson the autocorr op reports). Exactness: residuals are scaled
+    * to integers e_t = n·y_t − Σy (|e| ≤ ~9e8 ⇒ products ≤ 8e17, safe
+    * in the DECIMAL(38,0) sums), r_k = exact-int ratio in ONE pinned
+    * division; the r²/(n−k) terms round-9 → exact DECIMAL sum; gap
+    * days simply drop their pairs (the join is day-index-exact), making
+    * this the gap-tolerant variant — documented, identical both
+    * engines. One keyed lag join over the calendar-bounded series. */
+  def q_time_ljungbox(s: SparkSession, dir: String): DataFrame = {
+    val daily = Tables.events(s, dir)
+      .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+      .agg(sum(round(col("value") * 100, 0).cast("bigint")).as("y"))
+      .select(col("event_type"),
+        datediff(col("day"), lit("2024-01-01").cast("date")).cast("bigint").as("x"),
+        col("y"))
+    val stats = daily.groupBy(col("event_type").as("st"))
+      .agg(count(lit(1)).as("n"), sum(col("y")).as("sy"))
+    val resid = daily.join(broadcast(stats), col("event_type") === col("st"))
+      .select(col("event_type"), col("x"),
+        (col("y") * col("n") - col("sy")).as("e"), col("n"))
+      .localCheckpoint()
+    val lags = s.range(1, LjungBoxLags + 1L).select(col("id").as("lag"))
+    val num = resid.crossJoin(broadcast(lags))
+      .join(resid.select(col("event_type").as("e2t"), col("x").as("x2"),
+          col("e").as("e2")),
+        col("event_type") === col("e2t") && col("x") === col("x2") + col("lag"))
+      .groupBy(col("event_type"), col("lag"), col("n"))
+      .agg(sum((col("e") * col("e2")).cast("decimal(38,0)")).as("nk"))
+    val den = resid.groupBy(col("event_type").as("dt"))
+      .agg(sum((col("e") * col("e")).cast("decimal(38,0)")).as("d"))
+    val r = col("nk").cast("double") / col("d").cast("double")
+    val term = round(r * r / (col("n") - col("lag")).cast("double"), 9)
+      .cast("decimal(28,9)")
+    num.join(broadcast(den), col("event_type") === col("dt"))
+      .select(col("event_type"), col("n"), term.as("term"))
+      .groupBy(col("event_type"), col("n"))
+      .agg(sum(col("term")).as("qs"))
+      .select(col("event_type"), col("n").as("n_days"),
+        round(col("n").cast("double") * (col("n") + 2).cast("double") *
+          col("qs").cast("double"), 6).as("q_stat"),
+        lit(LjungBoxLags).cast("bigint").as("df"))
+      .orderBy("event_type")
+  }
+
   /** Permutation-test replicates. */
   val PermB = 64
 
@@ -1270,6 +1321,7 @@ object StatsOps {
     "q_time_periodogram" -> q_time_periodogram _,
     "q_agg_bootstrap_ci" -> q_agg_bootstrap_ci _,
     "q_agg_permutation_test" -> q_agg_permutation_test _,
+    "q_time_ljungbox" -> q_time_ljungbox _,
     "q_agg_theil_sen" -> q_agg_theil_sen _,
     "q_time_mad" -> q_time_mad _,
     "q_stream_decay_topk" -> q_stream_decay_topk _,

@@ -423,6 +423,32 @@ class Round13Spec extends AnyFunSuite {
     }
   }
 
+  test("ljungbox: Q statistic replayed from mean-centered autocorrelations") {
+    val got = StatsOps.q_time_ljungbox(spark, sf001).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getDouble(2), r.getLong(3))).toMap
+    dailyCents(sf001).foreach { case (et, series) =>
+      val byX = series.toMap
+      val n = series.length.toLong
+      val sy = series.map(_._2).sum
+      val e = series.map { case (x, y) => x -> (y * n - sy) }.toMap
+      val den = e.values.map(v => BigInt(v) * BigInt(v)).sum
+      val qs = (1 to StatsOps.LjungBoxLags).map { k =>
+        val nk = series.collect {
+          case (x, _) if byX.contains(x - k) => BigInt(e(x)) * BigInt(e(x - k))
+        }.sum
+        val r = nk.toDouble / den.toDouble
+        BigDecimal(r * r / (n - k))
+          .setScale(9, BigDecimal.RoundingMode.HALF_UP)
+      }.sum
+      val q = BigDecimal(n.toDouble * (n + 2).toDouble * qs.toDouble)
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      val (nd, gq, df) = got(et)
+      assert(nd == n && df == StatsOps.LjungBoxLags.toLong)
+      assert(gq == q, s"$et Q $gq vs $q")
+      assert(gq >= 0)
+    }
+  }
+
   test("permutation_test: md5 shuffle and integer compare replayed") {
     import org.apache.spark.sql.functions._
     val md = java.security.MessageDigest.getInstance("MD5")
