@@ -3978,6 +3978,26 @@ object Oracle {
          |  ROUND(CAST(rrf AS DOUBLE), 6) AS rrf
          |FROM f2 WHERE rank_fused <= 5 ORDER BY lang, rank_fused""".stripMargin,
 
+    "q_agg_hodges_lehmann" ->
+      """WITH daily AS (SELECT event_type,
+        |    CAST(CAST(ts AS TIMESTAMP) AS DATE) AS day,
+        |    CAST(SUM(CAST(ROUND(value * 100, 0) AS BIGINT)) AS BIGINT) AS y
+        |  FROM events GROUP BY 1, 2),
+        |d AS (SELECT event_type,
+        |    CAST(day - DATE '2024-01-01' AS BIGINT) AS x, y FROM daily),
+        |p AS (SELECT a.event_type, a.x AS x1, b.x AS x2,
+        |    a.y + b.y AS w2
+        |  FROM d a JOIN d b ON a.event_type = b.event_type AND a.x <= b.x),
+        |r AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY event_type
+        |    ORDER BY w2 ASC, x1 ASC, x2 ASC) AS rn,
+        |    COUNT(*) OVER (PARTITION BY event_type) AS np FROM p),
+        |m AS (SELECT event_type, np, w2 FROM r
+        |      WHERE rn = (np + 1) // 2 OR rn = (np + 2) // 2)
+        |SELECT event_type, CAST(MAX(np) AS BIGINT) AS n_pairs,
+        |  ROUND(CAST(SUM(w2) AS DOUBLE)
+        |    / CAST(COUNT(*) * 2 AS DOUBLE) / 100, 2) AS pseudo_median
+        |FROM m GROUP BY 1 ORDER BY 1""".stripMargin,
+
     "q_time_ljungbox" -> {
       val m = StatsOps.LjungBoxLags
       s"""WITH daily AS (SELECT event_type,

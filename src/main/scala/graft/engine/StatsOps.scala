@@ -1201,6 +1201,47 @@ object StatsOps {
       .orderBy("event_type")
   }
 
+  /** Hodges–Lehmann robust location estimator per event_type (Hodges &
+    * Lehmann 1963 — the pseudo-median: median of all pairwise Walsh
+    * averages (y_i+y_j)/2, i ≤ j; the location companion to Theil–Sen's
+    * slope, 29% breakdown): Walsh averages stay EXACT by doubling —
+    * w2 = y_i + y_j is an exact integer (the q_time_mad med2 device), so
+    * ranking, the dual-mid-rank median, and the final display division
+    * never meet a float until round-2. Pair count is calendar-bounded
+    * (days(days+1)/2 per type). */
+  def q_agg_hodges_lehmann(s: SparkSession, dir: String): DataFrame = {
+    val daily = Tables.events(s, dir)
+      .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+      .agg(sum(round(col("value") * 100, 0).cast("bigint")).as("y"))
+      .select(col("event_type"),
+        datediff(col("day"), lit("2024-01-01").cast("date")).cast("bigint").as("x"),
+        col("y"))
+    val a = daily.select(col("event_type"), col("x").as("x1"), col("y").as("y1"))
+    val b = daily.select(col("event_type").as("et2"), col("x").as("x2"),
+      col("y").as("y2"))
+    val pairs = a.join(b, col("event_type") === col("et2") && col("x1") <= col("x2"))
+      .withColumn("w2", col("y1") + col("y2")) // 2× the Walsh average, exact
+    val w = Window.partitionBy(col("event_type"))
+      .orderBy(col("w2").asc, col("x1").asc, col("x2").asc)
+    val cw = Window.partitionBy(col("event_type"))
+    pairs
+      .withColumn("rn", row_number().over(w).cast("bigint"))
+      .withColumn("np", count(lit(1)).over(cw))
+      .filter(col("rn") === floor((col("np") + 1) / 2) ||
+        col("rn") === floor((col("np") + 2) / 2))
+      .groupBy(col("event_type"))
+      .agg(max(col("np")).as("n_pairs"), count(lit(1)).as("nm"),
+        sum(col("w2")).as("sw"))
+      // pseudo-median in dollars: Σmid·2/nm halves the doubled average,
+      // then /2 for the Walsh mean, then /100 cents→dollars — one
+      // combined division (·2/nm/2/100 = /(nm·100)) keeps it exact-int
+      // over exact-int until the single round-2
+      .select(col("event_type"), col("n_pairs"),
+        round(col("sw").cast("double") /
+          (col("nm") * 2).cast("double") / 100, 2).as("pseudo_median"))
+      .orderBy("event_type")
+  }
+
   /** MAD robust outlier screen per event_type (Hampel 1974; the robust
     * z-score replacing mean/stddev with median/MAD): daily cents y,
     * med = median(y), MAD = median(|y − med|), outlier ⟺
@@ -1324,6 +1365,7 @@ object StatsOps {
     "q_time_ljungbox" -> q_time_ljungbox _,
     "q_agg_theil_sen" -> q_agg_theil_sen _,
     "q_time_mad" -> q_time_mad _,
+    "q_agg_hodges_lehmann" -> q_agg_hodges_lehmann _,
     "q_stream_decay_topk" -> q_stream_decay_topk _,
     "q_time_seasonal_decompose" -> q_time_seasonal_decompose _,
     "q_agg_ttest" -> q_agg_ttest _,

@@ -96,6 +96,27 @@ class Round13Spec extends AnyFunSuite {
     }
   }
 
+  test("hodges_lehmann: pseudo-median of Walsh averages replayed") {
+    val got = StatsOps.q_agg_hodges_lehmann(spark, sf001).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    dailyCents(sf001).foreach { case (et, series) =>
+      val w2s = (for {
+        (i, ii) <- series.zipWithIndex
+        j <- series.drop(ii) // x1 <= x2 includes the diagonal
+      } yield (i._2 + j._2, i._1, j._1)).sortBy(identity)
+      val n = w2s.length
+      val lo = w2s((n + 1) / 2 - 1)._1
+      val hi = w2s((n + 2) / 2 - 1)._1
+      val nm = if ((n + 1) / 2 == (n + 2) / 2) 1 else 2
+      val sumMids = if (nm == 2) lo + hi else lo
+      val pm = BigDecimal(sumMids.toDouble / (nm * 2) / 100)
+        .setScale(2, BigDecimal.RoundingMode.HALF_UP).toDouble
+      val (np, g) = got(et)
+      assert(np == n.toLong)
+      assert(g == pm, s"$et pseudo-median $g vs $pm")
+    }
+  }
+
   test("mad: doubled-median device replayed; outlier rule all-integer") {
     def median2(xs: Seq[Long]): Long = {
       val s = xs.sorted
