@@ -3978,6 +3978,29 @@ object Oracle {
          |  ROUND(CAST(rrf AS DOUBLE), 6) AS rrf
          |FROM f2 WHERE rank_fused <= 5 ORDER BY lang, rank_fused""".stripMargin,
 
+    "q_text_burstiness" ->
+      """WITH nd AS (SELECT lang AS nl, CAST(COUNT(*) AS BIGINT) AS nn
+        |            FROM documents GROUP BY 1),
+        |perdoc AS (SELECT lang, tok, doc_id, CAST(COUNT(*) AS BIGINT) AS c
+        |  FROM (SELECT lang, doc_id, UNNEST(string_split(text, ' ')) AS tok
+        |        FROM documents)
+        |  GROUP BY 1, 2, 3),
+        |mom AS (SELECT lang, tok, CAST(COUNT(*) AS BIGINT) AS n_docs_with,
+        |    CAST(SUM(c) AS BIGINT) AS sc, CAST(SUM(c * c) AS BIGINT) AS sc2
+        |  FROM perdoc GROUP BY 1, 2),
+        |top AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY lang
+        |    ORDER BY sc DESC, tok ASC) AS rk FROM mom)
+        |SELECT t.lang, CAST(t.rk AS BIGINT) AS rk, t.tok, nd.nn AS n_docs,
+        |  t.n_docs_with, t.sc AS total_count,
+        |  ROUND(CAST(t.sc AS DOUBLE) / CAST(nd.nn AS DOUBLE), 6)
+        |    AS mean_per_doc,
+        |  ROUND(((CAST(nd.nn AS DOUBLE) * CAST(t.sc2 AS DOUBLE)
+        |      - CAST(t.sc AS DOUBLE) * CAST(t.sc AS DOUBLE))
+        |    / (CAST(nd.nn AS DOUBLE) * (CAST(nd.nn AS DOUBLE) - 1)))
+        |    / (CAST(t.sc AS DOUBLE) / CAST(nd.nn AS DOUBLE)), 6) AS vmr
+        |FROM top t JOIN nd ON t.lang = nd.nl
+        |WHERE t.rk <= 4 ORDER BY t.lang, t.rk""".stripMargin,
+
     "q_agg_hodges_lehmann" ->
       """WITH daily AS (SELECT event_type,
         |    CAST(CAST(ts AS TIMESTAMP) AS DATE) AS day,

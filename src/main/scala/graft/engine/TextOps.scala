@@ -739,7 +739,44 @@ object TextOps {
       .orderBy("bin")
   }
 
+  /** Token burstiness per lang (Church & Gale 1995 — content words are
+    * BURSTY: their per-document counts are over-dispersed relative to
+    * Poisson; the Fano factor VMR = s²/mean ≫ 1 flags them, function
+    * words sit near 1): for each lang's top-4 total-count tokens,
+    * per-doc count moments INCLUDING zero docs (the docs that don't
+    * contain the token — folding them in via lang doc totals keeps the
+    * scan one pass), s² = (NΣc²−(Σc)²)/(N(N−1)) from exact integer
+    * moments (< 2^53 products), mean and VMR as pinned round-6
+    * divisions. One explode + two keyed aggs + broadcast doc totals. */
+  def q_text_burstiness(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    val nd = docs.groupBy(col("lang").as("nl")).agg(count(lit(1)).as("nn"))
+    val perDoc = docs
+      .select(col("lang"), col("doc_id"), explode(split(col("text"), " ")).as("tok"))
+      .groupBy(col("lang"), col("tok"), col("doc_id"))
+      .agg(count(lit(1)).as("c"))
+    val mom = perDoc.groupBy(col("lang"), col("tok"))
+      .agg(count(lit(1)).as("n_docs_with"), sum(col("c")).as("sc"),
+        sum(col("c") * col("c")).as("sc2"))
+    val w = Window.partitionBy(col("lang"))
+      .orderBy(col("sc").desc, col("tok").asc)
+    val top = mom.withColumn("rk", row_number().over(w)).filter(col("rk") <= 4)
+    // zero docs contribute 0 to Σc and Σc²: moments over ALL N docs are
+    // the with-token moments unchanged, only N comes from the lang total
+    val nD = col("nn").cast("double")
+    val varD = (nD * col("sc2").cast("double") -
+      col("sc").cast("double") * col("sc").cast("double")) / (nD * (nD - 1))
+    val meanD = col("sc").cast("double") / nD
+    top.join(broadcast(nd), col("lang") === col("nl"))
+      .select(col("lang"), col("rk").cast("bigint").as("rk"), col("tok"),
+        col("nn").as("n_docs"), col("n_docs_with"), col("sc").as("total_count"),
+        round(meanD, 6).as("mean_per_doc"),
+        round(varD / meanD, 6).as("vmr"))
+      .orderBy("lang", "rk")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_text_burstiness" -> q_text_burstiness _,
     "q_llm_calibration" -> q_llm_calibration _,
     "q_text_lexical_diversity" -> q_text_lexical_diversity _,
     "q_text_rake" -> q_text_rake _,

@@ -525,6 +525,32 @@ class Round13Spec extends AnyFunSuite {
       s"ece ${r.getDouble(5)} vs recomputed $ece"))
   }
 
+  test("burstiness: Fano factor replayed; zero-doc folding correct") {
+    import org.apache.spark.sql.functions._
+    val perDoc = Tables.documents(spark, sf0001)
+      .select(col("lang"), col("doc_id"), explode(split(col("text"), " ")).as("tok"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getString(2)))
+    val nDocs = perDoc.map(r => (r._1, r._2)).distinct.groupBy(_._1)
+      .view.mapValues(_.size.toLong).toMap
+    val got = TextOps.q_text_burstiness(spark, sf0001).collect()
+      .map(r => (r.getString(0), r.getString(2)) ->
+        (r.getLong(3), r.getLong(4), r.getLong(5), r.getDouble(6), r.getDouble(7)))
+      .toMap
+    got.foreach { case ((lang, tok), (nn, ndw, sc, mean, vmr)) =>
+      val counts = perDoc.filter(r => r._1 == lang && r._3 == tok)
+        .groupBy(_._2).view.mapValues(_.size.toLong).values.toSeq
+      assert(nn == nDocs(lang))
+      assert(ndw == counts.length.toLong && sc == counts.sum)
+      val n = nn.toDouble
+      val s2 = (n * counts.map(c => c * c).sum - sc.toDouble * sc) / (n * (n - 1))
+      assert(math.abs(mean - sc.toDouble / n) <= 5e-7)
+      assert(math.abs(vmr - s2 / (sc / n)) <= 1e-4, s"$lang/$tok vmr")
+      // top tokens are high-frequency function words: near-Poisson or
+      // bursty, but the estimator must stay positive
+      assert(vmr > 0)
+    }
+  }
+
   test("lexical diversity: replayed from token frequencies") {
     import org.apache.spark.sql.functions._
     val tf = Tables.documents(spark, sf0001)
