@@ -3978,6 +3978,51 @@ object Oracle {
          |  ROUND(CAST(rrf AS DOUBLE), 6) AS rrf
          |FROM f2 WHERE rank_fused <= 5 ORDER BY lang, rank_fused""".stripMargin,
 
+    "q_time_runs_test" ->
+      """WITH daily AS (SELECT event_type,
+        |    CAST(CAST(ts AS TIMESTAMP) AS DATE) AS day,
+        |    CAST(SUM(CAST(ROUND(value * 100, 0) AS BIGINT)) AS BIGINT) AS y
+        |  FROM events GROUP BY 1, 2),
+        |ry AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY event_type
+        |    ORDER BY y ASC, day ASC) AS rn,
+        |    COUNT(*) OVER (PARTITION BY event_type) AS n FROM daily),
+        |med AS (SELECT event_type AS mt,
+        |    CAST(CASE WHEN COUNT(*) = 1 THEN SUM(y) * 2 ELSE SUM(y) END
+        |      AS BIGINT) AS med2
+        |  FROM ry WHERE rn = (n + 1) // 2 OR rn = (n + 2) // 2 GROUP BY 1),
+        |signs AS (SELECT d.event_type, d.day,
+        |    CAST(d.y * 2 > med.med2 AS INT) AS above
+        |  FROM daily d JOIN med ON d.event_type = med.mt
+        |  WHERE d.y * 2 <> med.med2),
+        |chg AS (SELECT event_type, above,
+        |    CASE WHEN LAG(above) OVER w IS NULL THEN 1
+        |         WHEN LAG(above) OVER w <> above THEN 1 ELSE 0 END AS chg
+        |  FROM signs WINDOW w AS (PARTITION BY event_type ORDER BY day)),
+        |agg AS (SELECT event_type,
+        |    CAST(SUM(above) AS BIGINT) AS n_pos,
+        |    CAST(SUM(1 - above) AS BIGINT) AS n_neg,
+        |    CAST(SUM(chg) AS BIGINT) AS n_runs
+        |  FROM chg GROUP BY 1)
+        |SELECT event_type, n_pos, n_neg, n_runs,
+        |  ROUND(CAST(2 AS DOUBLE) * CAST(n_pos AS DOUBLE)
+        |    * CAST(n_neg AS DOUBLE)
+        |    / (CAST(n_pos AS DOUBLE) + CAST(n_neg AS DOUBLE)) + 1, 6)
+        |    AS expected_runs,
+        |  ROUND((CAST(n_runs AS DOUBLE)
+        |      - (CAST(2 AS DOUBLE) * CAST(n_pos AS DOUBLE)
+        |         * CAST(n_neg AS DOUBLE)
+        |         / (CAST(n_pos AS DOUBLE) + CAST(n_neg AS DOUBLE)) + 1))
+        |    / SQRT((CAST(2 AS DOUBLE) * CAST(n_pos AS DOUBLE)
+        |        * CAST(n_neg AS DOUBLE)
+        |        * (CAST(2 AS DOUBLE) * CAST(n_pos AS DOUBLE)
+        |           * CAST(n_neg AS DOUBLE)
+        |           - (CAST(n_pos AS DOUBLE) + CAST(n_neg AS DOUBLE))))
+        |      / ((CAST(n_pos AS DOUBLE) + CAST(n_neg AS DOUBLE))
+        |         * (CAST(n_pos AS DOUBLE) + CAST(n_neg AS DOUBLE))
+        |         * (CAST(n_pos AS DOUBLE) + CAST(n_neg AS DOUBLE) - 1))), 6)
+        |    AS z
+        |FROM agg ORDER BY event_type""".stripMargin,
+
     "q_text_burstiness" ->
       """WITH nd AS (SELECT lang AS nl, CAST(COUNT(*) AS BIGINT) AS nn
         |            FROM documents GROUP BY 1),

@@ -996,6 +996,53 @@ object StatsOps {
       .orderBy("event_type")
   }
 
+  /** Wald–Wolfowitz runs test per event_type (1940 — the sign-pattern
+    * randomness screen beside Ljung–Box's autocorrelation screen): the
+    * day-ordered daily cents classify above/below the median (ties at
+    * the exact median drop — the standard convention; the med2 doubled
+    * median keeps the tie test EXACT: 2y = med2), R = number of runs =
+    * 1 + Σ[sign_t ≠ sign_{t−1}] via one lag over the kept days. Under
+    * randomness E[R] = 2n₊n₋/n + 1 and Var from the closed form — both
+    * exact-integer-ratio doubles, z pinned, round-6. One keyed sort of
+    * the calendar-bounded series. */
+  def q_time_runs_test(s: SparkSession, dir: String): DataFrame = {
+    val daily = Tables.events(s, dir)
+      .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+      .agg(sum(round(col("value") * 100, 0).cast("bigint")).as("y"))
+    val wy = Window.partitionBy(col("event_type")).orderBy(col("y").asc, col("day").asc)
+    val cw = Window.partitionBy(col("event_type"))
+    val med = daily
+      .withColumn("rn", row_number().over(wy).cast("bigint"))
+      .withColumn("n", count(lit(1)).over(cw))
+      .filter(col("rn") === floor((col("n") + 1) / 2) ||
+        col("rn") === floor((col("n") + 2) / 2))
+      .groupBy(col("event_type").as("mt"))
+      .agg(count(lit(1)).as("nm"), sum(col("y")).as("sy"))
+      .select(col("mt"),
+        when(col("nm") === 1, col("sy") * 2).otherwise(col("sy")).as("med2"))
+    val wd = Window.partitionBy(col("event_type")).orderBy(col("day"))
+    val signs = daily.join(broadcast(med), col("event_type") === col("mt"))
+      .filter(col("y") * 2 =!= col("med2")) // exact-median ties drop
+      .withColumn("above", (col("y") * 2 > col("med2")).cast("int"))
+      .withColumn("chg",
+        when(lag(col("above"), 1).over(wd).isNull, 1)
+          .when(lag(col("above"), 1).over(wd) =!= col("above"), 1)
+          .otherwise(0))
+    val np = col("n_pos").cast("double")
+    val nn = col("n_neg").cast("double")
+    val n = np + nn
+    val er = lit(2.0) * np * nn / n + 1
+    val vr = (lit(2.0) * np * nn * (lit(2.0) * np * nn - n)) / (n * n * (n - 1))
+    signs.groupBy(col("event_type"))
+      .agg(sum(col("above")).as("n_pos"),
+        sum(lit(1) - col("above")).as("n_neg"),
+        sum(col("chg")).as("n_runs"))
+      .select(col("event_type"), col("n_pos"), col("n_neg"), col("n_runs"),
+        round(er, 6).as("expected_runs"),
+        round((col("n_runs").cast("double") - er) / sqrt(vr), 6).as("z"))
+      .orderBy("event_type")
+  }
+
   /** Ljung–Box lag horizon. */
   val LjungBoxLags = 7
 
@@ -1363,6 +1410,7 @@ object StatsOps {
     "q_agg_bootstrap_ci" -> q_agg_bootstrap_ci _,
     "q_agg_permutation_test" -> q_agg_permutation_test _,
     "q_time_ljungbox" -> q_time_ljungbox _,
+    "q_time_runs_test" -> q_time_runs_test _,
     "q_agg_theil_sen" -> q_agg_theil_sen _,
     "q_time_mad" -> q_time_mad _,
     "q_agg_hodges_lehmann" -> q_agg_hodges_lehmann _,

@@ -444,6 +444,29 @@ class Round13Spec extends AnyFunSuite {
     }
   }
 
+  test("runs_test: run counting and z replayed from the sign sequence") {
+    val got = StatsOps.q_time_runs_test(spark, sf001).collect()
+      .map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(5))).toMap
+    dailyCents(sf001).foreach { case (et, series) =>
+      val ys = series.map(_._2)
+      val sorted = ys.sorted
+      val n0 = ys.length
+      val med2 = sorted((n0 + 1) / 2 - 1) + sorted((n0 + 2) / 2 - 1)
+      val signs = series.filter(p => p._2 * 2 != med2)
+        .map(p => p._2 * 2 > med2) // day order preserved from sorted series
+      val runs = 1 + signs.zip(signs.tail).count(p => p._1 != p._2)
+      val np = signs.count(identity).toLong
+      val nn = signs.length - np
+      val (gp, gn, gr, gz) = got(et)
+      assert(gp == np && gn == nn && gr == runs.toLong, s"$et run counts")
+      val nd = (np + nn).toDouble
+      val er = 2.0 * np * nn / nd + 1
+      val vr = (2.0 * np * nn * (2.0 * np * nn - nd)) / (nd * nd * (nd - 1))
+      assert(math.abs(gz - (runs - er) / math.sqrt(vr)) <= 1e-5, s"$et z")
+    }
+  }
+
   test("ljungbox: Q statistic replayed from mean-centered autocorrelations") {
     val got = StatsOps.q_time_ljungbox(spark, sf001).collect()
       .map(r => r.getString(0) -> (r.getLong(1), r.getDouble(2), r.getLong(3))).toMap
