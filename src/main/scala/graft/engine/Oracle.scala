@@ -3978,6 +3978,53 @@ object Oracle {
          |  ROUND(CAST(rrf AS DOUBLE), 6) AS rrf
          |FROM f2 WHERE rank_fused <= 5 ORDER BY lang, rank_fused""".stripMargin,
 
+    "q_agg_tukey" -> {
+      // doubled-median (med2 device) of a day-valued CTE, as SQL
+      def med2(src: String, out: String): String =
+        s"""$out AS (SELECT event_type AS ${out}_t,
+           |    CAST(CASE WHEN COUNT(*) = 1 THEN SUM(y) * 2 ELSE SUM(y) END
+           |      AS BIGINT) AS $out
+           |  FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY event_type
+           |      ORDER BY y ASC, day ASC) AS r2,
+           |      COUNT(*) OVER (PARTITION BY event_type) AS n2 FROM $src)
+           |  WHERE r2 = (n2 + 1) // 2 OR r2 = (n2 + 2) // 2 GROUP BY 1)""".stripMargin
+      s"""WITH daily AS (SELECT event_type,
+         |    CAST(CAST(ts AS TIMESTAMP) AS DATE) AS day,
+         |    CAST(SUM(CAST(ROUND(value * 100, 0) AS BIGINT)) AS BIGINT) AS y
+         |  FROM events GROUP BY 1, 2),
+         |ranked AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY event_type
+         |    ORDER BY y ASC, day ASC) AS rn,
+         |    COUNT(*) OVER (PARTITION BY event_type) AS n FROM daily),
+         |lower_h AS (SELECT event_type, day, y FROM ranked
+         |            WHERE rn <= (n + 1) // 2),
+         |upper_h AS (SELECT event_type, day, y FROM ranked WHERE rn > n // 2),
+         |${med2("daily", "m2")},
+         |${med2("lower_h", "q12")},
+         |${med2("upper_h", "q32")},
+         |ext AS (SELECT event_type AS et, CAST(COUNT(*) AS BIGINT) AS n_days,
+         |    CAST(MIN(y) AS BIGINT) AS ymin, CAST(MAX(y) AS BIGINT) AS ymax
+         |  FROM daily GROUP BY 1),
+         |j AS (SELECT ext.*, m2.m2, q12.q12, q32.q32
+         |  FROM ext JOIN m2 ON ext.et = m2.m2_t
+         |  JOIN q12 ON ext.et = q12.q12_t
+         |  JOIN q32 ON ext.et = q32.q32_t),
+         |fences AS (SELECT d.event_type,
+         |    CAST(SUM(CASE WHEN d.y * 4 < j.q12 * 2 - (j.q32 - j.q12) * 3
+         |      THEN 1 ELSE 0 END) AS BIGINT) AS n_low_out,
+         |    CAST(SUM(CASE WHEN d.y * 4 > j.q32 * 2 + (j.q32 - j.q12) * 3
+         |      THEN 1 ELSE 0 END) AS BIGINT) AS n_high_out
+         |  FROM daily d JOIN j ON d.event_type = j.et GROUP BY 1)
+         |SELECT j.et AS event_type, j.n_days,
+         |  ROUND(CAST(j.ymin AS DOUBLE) / 100, 2) AS min_value,
+         |  ROUND(CAST(j.q12 AS DOUBLE) / 200, 2) AS q1,
+         |  ROUND(CAST(j.m2 AS DOUBLE) / 200, 2) AS median,
+         |  ROUND(CAST(j.q32 AS DOUBLE) / 200, 2) AS q3,
+         |  ROUND(CAST(j.ymax AS DOUBLE) / 100, 2) AS max_value,
+         |  f.n_low_out, f.n_high_out
+         |FROM j JOIN fences f ON j.et = f.event_type
+         |ORDER BY event_type""".stripMargin
+    },
+
     "q_time_runs_test" ->
       """WITH daily AS (SELECT event_type,
         |    CAST(CAST(ts AS TIMESTAMP) AS DATE) AS day,

@@ -996,6 +996,67 @@ object StatsOps {
       .orderBy("event_type")
   }
 
+  /** Tukey five-number summary + fence outliers per event_type (Tukey
+    * 1977 boxplot): quartiles are TUKEY HINGES — the medians of the
+    * lower/upper halves including the overall median position when n is
+    * odd — so every quantile is a dual-mid-rank median and stays EXACT
+    * by doubling (q2 = 2·hinge integer, the med2 device). Fence tests
+    * multiply through by 4: y is a low outlier ⟺ 4y < 2·q1₂ − 3·IQR₂
+    * (1.5·IQR without ever leaving ℤ). Three dual-rank windows over the
+    * calendar-bounded series, display divisions at round-2 only. */
+  def q_agg_tukey(s: SparkSession, dir: String): DataFrame = {
+    val daily = Tables.events(s, dir)
+      .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+      .agg(sum(round(col("value") * 100, 0).cast("bigint")).as("y"))
+    val wy = Window.partitionBy(col("event_type")).orderBy(col("y").asc, col("day").asc)
+    val cw = Window.partitionBy(col("event_type"))
+    val ranked = daily
+      .withColumn("rn", row_number().over(wy).cast("bigint"))
+      .withColumn("n", count(lit(1)).over(cw))
+      .localCheckpoint()
+    def med2Of(df: DataFrame, outName: String): DataFrame = {
+      val w2 = Window.partitionBy(col("event_type")).orderBy(col("y").asc, col("day").asc)
+      val c2 = Window.partitionBy(col("event_type"))
+      df.withColumn("r2", row_number().over(w2).cast("bigint"))
+        .withColumn("n2", count(lit(1)).over(c2))
+        .filter(col("r2") === floor((col("n2") + 1) / 2) ||
+          col("r2") === floor((col("n2") + 2) / 2))
+        .groupBy(col("event_type").as(outName + "_t"))
+        .agg(when(count(lit(1)) === 1, sum(col("y")) * 2).otherwise(sum(col("y")))
+          .as(outName))
+    }
+    // halves INCLUDE the middle position when n is odd (Tukey hinges):
+    // lower = ranks 1..⌈n/2⌉, upper = ranks ⌊n/2⌋+1..n
+    val lower = ranked.filter(col("rn") <= floor((col("n") + 1) / 2))
+    val upper = ranked.filter(col("rn") > floor(col("n") / 2))
+    val med = med2Of(ranked, "m2")
+    val q1 = med2Of(lower, "q12")
+    val q3 = med2Of(upper, "q32")
+    val ext = ranked.groupBy(col("event_type").as("et"))
+      .agg(max(col("n")).as("n_days"), min(col("y")).as("ymin"),
+        max(col("y")).as("ymax"))
+    val iqr2 = col("q32") - col("q12")
+    val joined = ext
+      .join(broadcast(med), col("et") === col("m2_t"))
+      .join(broadcast(q1), col("et") === col("q12_t"))
+      .join(broadcast(q3), col("et") === col("q32_t"))
+    val fences = daily.join(broadcast(joined), col("event_type") === col("et"))
+      .groupBy(col("event_type"))
+      .agg(sum(when(col("y") * 4 < col("q12") * 2 - iqr2 * 3, 1L).otherwise(0L))
+        .as("n_low_out"),
+        sum(when(col("y") * 4 > col("q32") * 2 + iqr2 * 3, 1L).otherwise(0L))
+        .as("n_high_out"))
+    joined.join(broadcast(fences), col("et") === fences("event_type"))
+      .select(col("et").as("event_type"), col("n_days"),
+        round(col("ymin").cast("double") / 100, 2).as("min_value"),
+        round(col("q12").cast("double") / 200, 2).as("q1"),
+        round(col("m2").cast("double") / 200, 2).as("median"),
+        round(col("q32").cast("double") / 200, 2).as("q3"),
+        round(col("ymax").cast("double") / 100, 2).as("max_value"),
+        col("n_low_out"), col("n_high_out"))
+      .orderBy("event_type")
+  }
+
   /** Wald–Wolfowitz runs test per event_type (1940 — the sign-pattern
     * randomness screen beside Ljung–Box's autocorrelation screen): the
     * day-ordered daily cents classify above/below the median (ties at
@@ -1411,6 +1472,7 @@ object StatsOps {
     "q_agg_permutation_test" -> q_agg_permutation_test _,
     "q_time_ljungbox" -> q_time_ljungbox _,
     "q_time_runs_test" -> q_time_runs_test _,
+    "q_agg_tukey" -> q_agg_tukey _,
     "q_agg_theil_sen" -> q_agg_theil_sen _,
     "q_time_mad" -> q_time_mad _,
     "q_agg_hodges_lehmann" -> q_agg_hodges_lehmann _,

@@ -444,6 +444,36 @@ class Round13Spec extends AnyFunSuite {
     }
   }
 
+  test("tukey: hinge quartiles and fence outliers replayed") {
+    def med2(xs: Seq[Long]): Long = {
+      val s = xs.sorted; val n = s.length
+      s((n + 1) / 2 - 1) + s((n + 2) / 2 - 1)
+    }
+    val got = StatsOps.q_agg_tukey(spark, sf001).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getDouble(2), r.getDouble(3),
+        r.getDouble(4), r.getDouble(5), r.getDouble(6), r.getLong(7), r.getLong(8)))
+      .toMap
+    def r2(x: Double) = BigDecimal(x)
+      .setScale(2, BigDecimal.RoundingMode.HALF_UP).toDouble
+    dailyCents(sf001).foreach { case (et, series) =>
+      val ys = series.map(_._2).sorted
+      val n = ys.length
+      val m2 = med2(ys)
+      val q12 = med2(ys.take((n + 1) / 2))
+      val q32 = med2(ys.drop(n / 2))
+      val iqr2 = q32 - q12
+      val lowN = ys.count(y => y * 4 < q12 * 2 - iqr2 * 3).toLong
+      val highN = ys.count(y => y * 4 > q32 * 2 + iqr2 * 3).toLong
+      val (nd, mn, q1, md, q3, mx, lo, hi) = got(et)
+      assert(nd == n.toLong)
+      assert(mn == r2(ys.min.toDouble / 100) && mx == r2(ys.max.toDouble / 100))
+      assert(q1 == r2(q12.toDouble / 200) && md == r2(m2.toDouble / 200) &&
+        q3 == r2(q32.toDouble / 200), s"$et quartiles")
+      assert(lo == lowN && hi == highN, s"$et fences")
+      assert(q1 <= md && md <= q3)
+    }
+  }
+
   test("runs_test: run counting and z replayed from the sign sequence") {
     val got = StatsOps.q_time_runs_test(spark, sf001).collect()
       .map(r => r.getString(0) ->
