@@ -48,6 +48,27 @@ object LlmOps {
 
   // ── dedup ────────────────────────────────────────────────────────────
 
+  /** Duplication-count histogram (the dedup REPORT a curation run
+    * ships: how much of the corpus is k-times duplicated): exact
+    * content-hash group sizes → histogram of copy counts with doc and
+    * distinct-content mass per bucket, plus each bucket's share of all
+    * docs. Two keyed counts — the linear dedup shape; the histogram is
+    * copy-count-bounded at any scale. */
+  def q_llm_dup_histogram(s: SparkSession, dir: String): DataFrame = {
+    val sizes = Tables.documents(s, dir)
+      .select(md5(col("text").cast("binary")).as("h"))
+      .groupBy(col("h")).agg(count(lit(1)).as("copies"))
+    val tot = sizes.agg(sum(col("copies")).as("n_total"))
+    sizes.groupBy(col("copies"))
+      .agg(count(lit(1)).as("n_contents"),
+        sum(col("copies")).as("n_docs"))
+      .crossJoin(broadcast(tot))
+      .select(col("copies"), col("n_contents"), col("n_docs"),
+        round(col("n_docs").cast("double") / col("n_total").cast("double"), 6)
+          .as("doc_share"))
+      .orderBy("copies")
+  }
+
   /** Exact dedup accounting: per-lang doc count vs distinct content
     * hashes. Hash-groupBy scales linearly (shuffle on md5 prefix). */
   def q_llm_dedup_exact(s: SparkSession, dir: String): DataFrame =
@@ -919,6 +940,7 @@ object LlmOps {
     "q_llm_ann_pq" -> q_llm_ann_pq _,
     "q_llm_bloom_prefilter" -> q_llm_bloom_prefilter _,
     "q_llm_dedup_exact" -> q_llm_dedup_exact _,
+    "q_llm_dup_histogram" -> q_llm_dup_histogram _,
     "q_llm_jaccard_pairs" -> q_llm_jaccard_pairs _,
     "q_llm_minhash_lsh" -> q_llm_minhash_lsh _,
     "q_llm_minhash_md5" -> q_llm_minhash_md5 _,

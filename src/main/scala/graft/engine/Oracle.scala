@@ -3978,6 +3978,41 @@ object Oracle {
          |  ROUND(CAST(rrf AS DOUBLE), 6) AS rrf
          |FROM f2 WHERE rank_fused <= 5 ORDER BY lang, rank_fused""".stripMargin,
 
+    "q_agg_winsorized_mean" ->
+      """WITH daily AS (SELECT event_type,
+        |    CAST(CAST(ts AS TIMESTAMP) AS DATE) AS day,
+        |    CAST(SUM(CAST(ROUND(value * 100, 0) AS BIGINT)) AS BIGINT) AS y
+        |  FROM events GROUP BY 1, 2),
+        |ranked AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY event_type
+        |    ORDER BY y ASC, day ASC) AS rn,
+        |    COUNT(*) OVER (PARTITION BY event_type) AS n FROM daily),
+        |rk AS (SELECT *, GREATEST(1, CAST(CEIL(n * 0.05) AS BIGINT)) AS k
+        |       FROM ranked),
+        |bounds AS (SELECT event_type AS bt, CAST(MIN(y) AS BIGINT) AS lo,
+        |    CAST(MAX(y) AS BIGINT) AS hi, CAST(MAX(k) AS BIGINT) AS k
+        |  FROM rk WHERE rn = k OR rn = n + 1 - k GROUP BY 1),
+        |cl AS (SELECT r.event_type, r.n, b.k,
+        |    GREATEST(b.lo, LEAST(b.hi, r.y)) AS w,
+        |    CASE WHEN r.y <> GREATEST(b.lo, LEAST(b.hi, r.y))
+        |      THEN 1 ELSE 0 END AS clamped
+        |  FROM rk r JOIN bounds b ON r.event_type = b.bt)
+        |SELECT event_type, CAST(MAX(n) AS BIGINT) AS n_days,
+        |  CAST(MAX(k) AS BIGINT) AS k_clamped_each_side,
+        |  CAST(SUM(clamped) AS BIGINT) AS n_clamped,
+        |  ROUND(CAST(SUM(w) AS DOUBLE) / CAST(MAX(n) AS DOUBLE) / 100, 2)
+        |    AS winsorized_mean
+        |FROM cl GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q_llm_dup_histogram" ->
+      """WITH sizes AS (SELECT md5(text) AS h, CAST(COUNT(*) AS BIGINT) AS copies
+        |  FROM documents GROUP BY 1),
+        |tot AS (SELECT CAST(SUM(copies) AS BIGINT) AS n_total FROM sizes)
+        |SELECT copies, CAST(COUNT(*) AS BIGINT) AS n_contents,
+        |  CAST(SUM(copies) AS BIGINT) AS n_docs,
+        |  ROUND(CAST(SUM(copies) AS DOUBLE) / CAST(tot.n_total AS DOUBLE), 6)
+        |    AS doc_share
+        |FROM sizes, tot GROUP BY copies, tot.n_total ORDER BY copies""".stripMargin,
+
     "q_agg_tukey" -> {
       // doubled-median (med2 device) of a day-valued CTE, as SQL
       def med2(src: String, out: String): String =

@@ -996,6 +996,40 @@ object StatsOps {
       .orderBy("event_type")
   }
 
+  /** Winsorized mean of the daily cents per event_type (the standard
+    * robust aggregation for metrics pipelines — clamp, don't drop:
+    * values below the 5th / above the 95th order statistic move TO the
+    * bound): bounds are the exact k-th order statistics at
+    * k = max(1, ⌈0.05n⌉) and n+1−k (dual-rank-free — a single rank
+    * filter each), the clamp is integer LEAST/GREATEST, and the mean is
+    * one exact-integer sum with a single round-2 display division. */
+  def q_agg_winsorized_mean(s: SparkSession, dir: String): DataFrame = {
+    val daily = Tables.events(s, dir)
+      .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+      .agg(sum(round(col("value") * 100, 0).cast("bigint")).as("y"))
+    val wy = Window.partitionBy(col("event_type")).orderBy(col("y").asc, col("day").asc)
+    val cw = Window.partitionBy(col("event_type"))
+    val ranked = daily
+      .withColumn("rn", row_number().over(wy).cast("bigint"))
+      .withColumn("n", count(lit(1)).over(cw))
+      .withColumn("k", greatest(lit(1L), ceil(col("n") * lit(0.05)).cast("bigint")))
+    val bounds = ranked
+      .filter(col("rn") === col("k") || col("rn") === col("n") + 1 - col("k"))
+      .groupBy(col("event_type").as("bt"))
+      .agg(min(col("y")).as("lo"), max(col("y")).as("hi"), max(col("k")).as("kb"))
+    ranked.join(broadcast(bounds), col("event_type") === col("bt"))
+      .withColumn("w", greatest(col("lo"), least(col("hi"), col("y"))))
+      .groupBy(col("event_type"))
+      .agg(max(col("n")).as("n_days"), max(col("kb")).as("k_clamped_each_side"),
+        sum(col("w")).as("sw"),
+        sum(when(col("y") =!= col("w"), 1L).otherwise(0L)).as("n_clamped"))
+      .select(col("event_type"), col("n_days"), col("k_clamped_each_side"),
+        col("n_clamped"),
+        round(col("sw").cast("double") / col("n_days").cast("double") / 100, 2)
+          .as("winsorized_mean"))
+      .orderBy("event_type")
+  }
+
   /** Tukey five-number summary + fence outliers per event_type (Tukey
     * 1977 boxplot): quartiles are TUKEY HINGES — the medians of the
     * lower/upper halves including the overall median position when n is
@@ -1473,6 +1507,7 @@ object StatsOps {
     "q_time_ljungbox" -> q_time_ljungbox _,
     "q_time_runs_test" -> q_time_runs_test _,
     "q_agg_tukey" -> q_agg_tukey _,
+    "q_agg_winsorized_mean" -> q_agg_winsorized_mean _,
     "q_agg_theil_sen" -> q_agg_theil_sen _,
     "q_time_mad" -> q_time_mad _,
     "q_agg_hodges_lehmann" -> q_agg_hodges_lehmann _,

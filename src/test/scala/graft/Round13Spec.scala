@@ -2,7 +2,7 @@ package graft
 
 import org.scalatest.funsuite.AnyFunSuite
 
-import graft.engine.{ClusterOps, GraphOps, RankOps, Relational, StatsOps, Tables, TextOps}
+import graft.engine.{ClusterOps, GraphOps, LlmOps, RankOps, Relational, StatsOps, Tables, TextOps}
 
 /** Round-13 additions (driver round 7, this session): plain-Scala
   * replays and semantic invariants for the transition-graph census,
@@ -442,6 +442,37 @@ class Round13Spec extends AnyFunSuite {
       assert(ch == r2(hi / 100), s"$et ci_hi $ch vs ${r2(hi / 100)}")
       assert(cl <= mv && mv <= ch, s"$et mean outside CI")
     }
+  }
+
+  test("winsorized mean: order-stat bounds and clamp replayed") {
+    val got = StatsOps.q_agg_winsorized_mean(spark, sf001).collect()
+      .map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4))).toMap
+    dailyCents(sf001).foreach { case (et, series) =>
+      val ys = series.map(_._2).sorted
+      val n = ys.length
+      val k = math.max(1, math.ceil(n * 0.05).toInt)
+      val (lo, hi) = (ys(k - 1), ys(n - k))
+      val ws = ys.map(y => math.max(lo, math.min(hi, y)))
+      val clamped = ys.zip(ws).count(p => p._1 != p._2).toLong
+      val wm = BigDecimal(ws.sum.toDouble / n / 100)
+        .setScale(2, BigDecimal.RoundingMode.HALF_UP).toDouble
+      val (nd, gk, nc, gm) = got(et)
+      assert(nd == n.toLong && gk == k.toLong && nc == clamped)
+      assert(gm == wm, s"$et winsorized mean $gm vs $wm")
+    }
+  }
+
+  test("dup_histogram: copy-count buckets conserve the corpus") {
+    val rows = LlmOps.q_llm_dup_histogram(spark, sf001).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    val nDocs = Tables.documents(spark, sf001).count()
+    assert(rows.map(_._3).sum == nDocs, "doc mass must be conserved")
+    rows.foreach { case (copies, contents, docs, share) =>
+      assert(docs == copies * contents, "bucket mass = copies x contents")
+      assert(math.abs(share - docs.toDouble / nDocs) <= 5e-7)
+    }
+    assert(math.abs(rows.map(_._4).sum - 1.0) <= 1e-5)
   }
 
   test("tukey: hinge quartiles and fence outliers replayed") {
