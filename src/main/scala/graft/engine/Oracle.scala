@@ -3323,7 +3323,7 @@ object Oracle {
       val p = "(CAST(cr + 1 AS DOUBLE) / CAST(nr + 10 AS DOUBLE))"
       val q = "(CAST(cc + 1 AS DOUBLE) / CAST(nc + 10 AS DOUBLE))"
       s"""WITH ev AS (SELECT event_type,
-         |    CAST(LEAST(9, FLOOR(value / 50)) AS INT) AS b,
+         |    CAST(LEAST(9, GREATEST(0, FLOOR(value / 50))) AS INT) AS b,
          |    (CAST(CAST(ts AS TIMESTAMP) AS DATE) <= DATE '2024-01-15') AS is_ref
          |  FROM events),
          |counts AS (SELECT event_type AS ct, b AS cb,
@@ -3909,8 +3909,10 @@ object Oracle {
         |    CAST(day - DATE '2024-01-01' AS BIGINT) AS x, c FROM daily),
         |t AS (SELECT MAX(x) AS tmax FROM d),
         |ws AS (SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_days,
-        |    SUM(CAST(c AS DOUBLE)
-        |        / CAST(CAST(1 AS BIGINT) << CAST(t.tmax - x AS INT) AS DOUBLE))
+        |    SUM(CASE WHEN t.tmax - x >= 63 THEN CAST(0 AS DOUBLE)
+        |        ELSE CAST(c AS DOUBLE)
+        |        / CAST(CAST(1 AS BIGINT) << CAST(t.tmax - x AS INT) AS DOUBLE)
+        |        END)
         |      AS w
         |  FROM d, t GROUP BY 1),
         |tot AS (SELECT SUM(w) AS tw FROM ws)
@@ -4090,6 +4092,7 @@ object Oracle {
         |    * CAST(n_neg AS DOUBLE)
         |    / (CAST(n_pos AS DOUBLE) + CAST(n_neg AS DOUBLE)) + 1, 6)
         |    AS expected_runs,
+        |  CASE WHEN n_pos = 0 OR n_neg = 0 THEN NULL ELSE
         |  ROUND((CAST(n_runs AS DOUBLE)
         |      - (CAST(2 AS DOUBLE) * CAST(n_pos AS DOUBLE)
         |         * CAST(n_neg AS DOUBLE)
@@ -4102,6 +4105,7 @@ object Oracle {
         |      / ((CAST(n_pos AS DOUBLE) + CAST(n_neg AS DOUBLE))
         |         * (CAST(n_pos AS DOUBLE) + CAST(n_neg AS DOUBLE))
         |         * (CAST(n_pos AS DOUBLE) + CAST(n_neg AS DOUBLE) - 1))), 6)
+        |  END
         |    AS z
         |FROM agg ORDER BY event_type""".stripMargin,
 
@@ -4373,20 +4377,22 @@ object Oracle {
         |    / (CAST(SUM(f) AS DOUBLE) * CAST(SUM(f) AS DOUBLE)), 6) AS yule_k
         |FROM cnt GROUP BY 1 ORDER BY 1""".stripMargin,
 
-    "q_time_periodogram" ->
-      """WITH daily AS (SELECT event_type,
+    // trig factors are the SAME driver-materialized integer literals the
+    // Spark plan uses (StatsOps.PeriodogramTrig) — no DuckDB libm either
+    "q_time_periodogram" -> {
+      val trigVals = StatsOps.PeriodogramTrig
+        .map { case (t, m, c9, s9) => s"($t, $m, CAST($c9 AS BIGINT), CAST($s9 AS BIGINT))" }
+        .mkString(",\n        |    ")
+      s"""WITH daily AS (SELECT event_type,
         |    CAST(CAST(ts AS TIMESTAMP) AS DATE) AS day,
         |    CAST(SUM(CAST(ROUND(value * 100, 0) AS BIGINT)) AS BIGINT) AS y
         |  FROM events GROUP BY 1, 2),
         |d AS (SELECT event_type,
         |    CAST(day - DATE '2024-01-01' AS BIGINT) AS x, y FROM daily),
-        |p AS (SELECT UNNEST([7, 14]) AS t),
-        |terms AS (SELECT d.event_type, p.t, d.y,
-        |    CAST(ROUND(cos(CAST(2 AS DOUBLE) * pi() * CAST(d.x AS DOUBLE)
-        |      / CAST(p.t AS DOUBLE)) * 1e9, 0) AS BIGINT) AS c9,
-        |    CAST(ROUND(sin(CAST(2 AS DOUBLE) * pi() * CAST(d.x AS DOUBLE)
-        |      / CAST(p.t AS DOUBLE)) * 1e9, 0) AS BIGINT) AS s9
-        |  FROM d, p),
+        |trig AS (SELECT * FROM (VALUES
+        |    $trigVals) AS v(t, m, c9, s9)),
+        |terms AS (SELECT d.event_type, trig.t, d.y, trig.c9, trig.s9
+        |  FROM d JOIN trig ON (d.x % trig.t) = trig.m),
         |agg AS (SELECT event_type, t, CAST(COUNT(*) AS BIGINT) AS n_days,
         |    CAST(SUM(y * c9) AS BIGINT) AS cs,
         |    CAST(SUM(y * s9) AS BIGINT) AS ss
@@ -4396,7 +4402,8 @@ object Oracle {
         |    + (CAST(ss AS DOUBLE) / 1e9) * (CAST(ss AS DOUBLE) / 1e9))
         |    * CAST(2 AS DOUBLE) / CAST(n_days AS DOUBLE)
         |    / CAST(100 AS DOUBLE), 3) AS amplitude
-        |FROM agg ORDER BY event_type, period_days""".stripMargin,
+        |FROM agg ORDER BY event_type, period_days""".stripMargin
+    },
 
     "q_graph_scc_colors" -> {
       val k = GraphOps.SccHops
@@ -4466,7 +4473,7 @@ object Oracle {
 
     "q_agg_chi2" ->
       """WITH ev AS (SELECT event_type,
-        |    CAST(LEAST(9, FLOOR(value / 50)) AS INT) AS b FROM events),
+        |    CAST(LEAST(9, GREATEST(0, FLOOR(value / 50))) AS INT) AS b FROM events),
         |cells AS (SELECT event_type, b, CAST(COUNT(*) AS BIGINT) AS o
         |          FROM ev GROUP BY 1, 2),
         |spine AS (SELECT t.event_type, s.b

@@ -27,8 +27,13 @@ object RankOps {
     * of heterogeneous rankings, robust to incomparable score scales):
     * fuses a LEXICAL ranking (occurrence count of the corpus's top-3
     * df tokens — the BM25 query convention) and a SEMANTIC ranking
-    * (cosine to the query vector, vec_id 0 — the cosine_topk convention)
-    * over the per-lang 10% sample candidate pool. Ranks are integers;
+    * (cosine to the query vector, vec_id 0 — the cosine_topk convention).
+    * Candidate pool = the per-lang 10% document sample INTERSECTED with
+    * the embedding id space (the inner join on doc_id = vec_id requires
+    * a semantic score; docs without an embedding are not fusable and
+    * drop — at sf0.1 that is ~50 of the 500 sampled ids). Production
+    * variant: left-join with score_sem = 0 to keep lexical-only docs;
+    * the contract pins the intersected pool. Ranks are integers;
     * the two 1/(60+r) terms are round-9 → exact DECIMAL sum (order-blind)
     * → round-6 display; top-5 fused per lang with doc_id ties.
     * One token scan for the lexical signal + one broadcast query vector

@@ -125,7 +125,7 @@ object StatsOps {
     val ev = Tables.events(s, dir)
       .select(col("event_type"),
         least(lit(PsiBuckets - 1),
-          floor(col("value") / PsiBucketWidth)).cast("int").as("b"),
+          greatest(lit(0L), floor(col("value") / PsiBucketWidth))).cast("int").as("b"),
         (to_date(col("ts")) <= lit("2024-01-15").cast("date")).as("is_ref"))
     val counts = ev.groupBy(col("event_type").as("ct"), col("b").as("cb"))
       .agg(sum(when(col("is_ref"), 1L).otherwise(0L)).as("cr"),
@@ -200,7 +200,7 @@ object StatsOps {
     Tables.events(s, dir)
       .select(col("event_type").as("etype"),
         least(lit(PsiBuckets - 1),
-          floor(col("value") / PsiBucketWidth)).cast("int").as("b"),
+          greatest(lit(0L), floor(col("value") / PsiBucketWidth))).cast("int").as("b"),
         (to_date(col("ts")) <= lit("2024-01-15").cast("date")).as("isRef"))
       .as[PsiEvent]
       .groupByKey(_.etype)
@@ -805,7 +805,7 @@ object StatsOps {
     val ev = Tables.events(s, dir)
       .select(col("event_type"),
         least(lit(PsiBuckets - 1),
-          floor(col("value") / PsiBucketWidth)).cast("int").as("b"))
+          greatest(lit(0L), floor(col("value") / PsiBucketWidth))).cast("int").as("b"))
     val cells = ev.groupBy(col("event_type"), col("b")).agg(count(lit(1)).as("o"))
     val spine = ev.select(col("event_type")).distinct()
       .select(col("event_type"), explode(sequence(lit(0), lit(PsiBuckets - 1))).as("b"))
@@ -904,7 +904,7 @@ object StatsOps {
     val snap = Tables.events(s, dir)
       .select(col("event_type").as("etype"),
         least(lit(PsiBuckets - 1),
-          floor(col("value") / PsiBucketWidth)).cast("int").as("b"))
+          greatest(lit(0L), floor(col("value") / PsiBucketWidth))).cast("int").as("b"))
       .as[Chi2Ev]
       .groupByKey(_.etype)
       .flatMapGroupsWithState(org.apache.spark.sql.streaming.OutputMode.Update,
@@ -1134,7 +1134,11 @@ object StatsOps {
         sum(col("chg")).as("n_runs"))
       .select(col("event_type"), col("n_pos"), col("n_neg"), col("n_runs"),
         round(er, 6).as("expected_runs"),
-        round((col("n_runs").cast("double") - er) / sqrt(vr), 6).as("z"))
+        // degenerate type (all-above or all-below after tie-dropping):
+        // vr = 0 ⇒ NULL z in BOTH engines, never an engine-specific ±Inf/NaN
+        when(col("n_pos") === 0 || col("n_neg") === 0, lit(null).cast("double"))
+          .otherwise(round((col("n_runs").cast("double") - er) / sqrt(vr), 6))
+          .as("z"))
       .orderBy("event_type")
   }
 
@@ -1256,15 +1260,33 @@ object StatsOps {
   /** Candidate periods (days) for the periodogram. */
   val PeriodogramPeriods = Seq(7, 14)
 
+  /** Shared integer trig table for the periodogram: x mod T visits at
+    * most T distinct angles, so the 1e9-scaled cos/sin factors are
+    * materialized ONCE here (StrictMath + BigDecimal HALF_UP) and fed
+    * as LITERALS into both the Spark plan and the DuckDB oracle SQL.
+    * Neither engine's libm ever runs on the hot path, which removes the
+    * residual ulp-boundary risk of ROUND(cos·1e9, 0) straddling a .5
+    * differently across libms (round-8 ADVICE): the factor integers are
+    * definitionally identical in both engines. Rows: Σ T = 21. */
+  val PeriodogramTrig: Seq[(Int, Int, Long, Long)] =
+    PeriodogramPeriods.flatMap { t =>
+      (0 until t).map { m =>
+        val th = 2.0 * math.Pi * m.toDouble / t.toDouble
+        def i9(v: Double): Long =
+          BigDecimal(v * 1e9).setScale(0, BigDecimal.RoundingMode.HALF_UP).toLongExact
+        (t, m, i9(StrictMath.cos(th)), i9(StrictMath.sin(th)))
+      }
+    }
+
   /** Schuster periodogram of the daily cents series per event_type at
     * the calendar-meaningful candidate periods (7/14 days — the weekly
     * seasonality screen beside Holt-Winters/seasonal-decompose; Schuster
     * 1898): C = Σ y·cos(2πx/T), S = Σ y·sin(2πx/T), reported as the
     * fitted-sinusoid semi-amplitude 2·√(C²+S²)/n (dollars). Cross-engine
-    * determinism, two devices: (1) trig factors go through the
-    * 1e9-scaled BIGINT product form (ROUND(cos·1e9, 0) — round-TO-
-    * INTEGER of a scaled float is exact in both engines where the 9-dp
-    * decimal ROUND is not: DuckDB rounds decimals in float arithmetic),
+    * determinism, two devices: (1) trig factors come from the SHARED
+    * driver-materialized integer table PeriodogramTrig (x mod T → 1e9-
+    * scaled c9/s9 literals injected into both engines — no engine libm
+    * on the hot path, so no ulp-boundary risk; round-8 hardening),
     * so each y·cos term and both sums are exact integers (≤3e17 at
     * sf0.1 — headroom to ~2e9 daily cents/type before the DECIMAL swap,
     * the adamic_adar convention); (2) the OUTPUT is amplitude, not raw
@@ -1280,16 +1302,12 @@ object StatsOps {
       .select(col("event_type"),
         datediff(col("day"), lit("2024-01-01").cast("date")).cast("bigint").as("x"),
         col("y"))
-    val periods = PeriodogramPeriods
-      .map(p => s.range(1).select(lit(p).as("t")))
-      .reduce(_.union(_))
-    val theta = lit(2.0) * lit(math.Pi) * col("x").cast("double") / col("t").cast("double")
+    import s.implicits._
+    val trig = PeriodogramTrig.toDF("t", "m", "c9", "s9")
     val csd = col("cs").cast("double") / 1e9
     val ssd = col("ss").cast("double") / 1e9
-    daily.crossJoin(broadcast(periods))
-      .select(col("event_type"), col("t"), col("y"),
-        round(cos(theta) * 1e9, 0).cast("bigint").as("c9"),
-        round(sin(theta) * 1e9, 0).cast("bigint").as("s9"))
+    daily.join(broadcast(trig), pmod(col("x"), col("t").cast("bigint")) === col("m"))
+      .select(col("event_type"), col("t"), col("y"), col("c9"), col("s9"))
       .groupBy(col("event_type"), col("t"))
       .agg(count(lit(1)).as("n_days"),
         sum(col("y") * col("c9")).as("cs"),
