@@ -30,7 +30,18 @@ import org.apache.spark.sql.functions._
   *     per-query value / headline total take min(first, retime): the
   *     minimum of two honest end-to-end samples is the less-load-biased
   *     estimator of the query's true cost, and the raw first sample
-  *     stays in the artifact for audit.
+  *     stays in the artifact for audit;
+  *  4. canary-drift GATE (VERDICT r8 lead item): the r08 record showed
+  *     the defense DETECTING contamination (canary 0.139 → 2.204 s,
+  *     16×) while the official value still published the poisoned
+  *     total. Now the canary triple gates the record: if any sample
+  *     exceeds max(0.5 s, 2.5× the best sample) — the clean-box
+  *     signature is 0.10–0.25 s — the ENTIRE sweep re-runs once with a
+  *     fresh canary triple, the official per-query value takes the min
+  *     across all honest samples, and only if the second triple drifts
+  *     too does the record carry `"contaminated": true` (an honest
+  *     poisoned record instead of a silently poisoned one). Both
+  *     triples are always emitted in the JSON.
   */
 object Bench {
 
@@ -117,7 +128,6 @@ object Bench {
       (System.nanoTime() - t0) / 1e9
     }
     canary() // untimed prime: the canary measures load, not parquet-footer reads
-    val canaryStart = canary()
     def timeOne(name: String, fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Double = {
       val t0 = System.nanoTime()
       // A failed query must NOT contribute a plausible-looking time to the
@@ -129,14 +139,42 @@ object Bench {
       }
     }
     val ordered = SparkEntry.queries.toSeq.sortBy(_._1)
-    var canaryMid = -1.0
-    val firstPass = ordered.zipWithIndex.map { case ((name, fn), i) =>
-      if (i == ordered.size / 2) canaryMid = canary()
-      val sec = timeOne(name, fn)
-      System.err.println(f"[bench] $name: $sec%.2f s")
-      name -> sec
+    // One full timed pass with a start/mid/end canary triple.
+    def sweep(tag: String): (Seq[(String, Double)], (Double, Double, Double)) = {
+      val cStart = canary()
+      var cMid = -1.0
+      val pass = ordered.zipWithIndex.map { case ((name, fn), i) =>
+        if (i == ordered.size / 2) cMid = canary()
+        val sec = timeOne(name, fn)
+        System.err.println(f"[bench:$tag] $name: $sec%.2f s")
+        name -> sec
+      }
+      (pass, (cStart, cMid, canary()))
     }
-    val canaryEnd = canary()
+    // Drift gate: contaminated if any canary sample exceeds
+    // max(0.5 s, 2.5× best sample). Ratio catches load arriving during
+    // the run; the absolute floor catches a box loaded from the start
+    // (where start/mid/end inflate together and the ratio stays flat).
+    def drifted(c: (Double, Double, Double)): Boolean = {
+      val xs = Seq(c._1, c._2, c._3).filter(_ > 0)
+      xs.nonEmpty && xs.max > math.max(0.5, 2.5 * xs.min)
+    }
+    val (firstPass, canary1) = sweep("1")
+    val resweep = drifted(canary1)
+    val (secondPass, canary2) =
+      if (resweep) {
+        System.err.println(f"[bench] CANARY DRIFT (${canary1._1}%.3f/${canary1._2}%.3f/${canary1._3}%.3f) — re-running full sweep")
+        sweep("2")
+      } else (Seq.empty[(String, Double)], (-1.0, -1.0, -1.0))
+    val second = secondPass.toMap
+    // Official per-query value so far: min across honest samples.
+    val merged = firstPass.map { case (name, sec) =>
+      second.get(name) match {
+        case Some(b) if b >= 0 && (sec < 0 || b < sec) => name -> b
+        case _ => name -> sec
+      }
+    }
+    val contaminated = resweep && drifted(canary2)
     // Outlier retime pass: committed clean-box targets decide suspects.
     // Round-13 hardening: the old max(3 s, 2.5×target) floor let every
     // sub-3-second query inflate unchallenged — a loaded early sweep put
@@ -152,7 +190,7 @@ object Bench {
       try parseFlatJson(scala.io.Source.fromFile("tools/bench_targets.json")
         .mkString)
       catch { case _: Throwable => Map.empty }
-    val suspects = firstPass.flatMap { case (name, sec) =>
+    val suspects = merged.flatMap { case (name, sec) =>
       targets.get(name) match {
         case Some(t) if sec > math.max(0.8, 2.0 * t) => Some((name, sec, sec / t))
         case None if sec > 10.0 => Some((name, sec, 2.0))
@@ -164,7 +202,7 @@ object Bench {
       System.err.println(f"[bench] RETIME $name: first=$first%.2f s retime=$again%.2f s")
       name -> (first, again)
     }.toMap
-    val results = firstPass.map { case (name, sec) =>
+    val results = merged.map { case (name, sec) =>
       retimed.get(name) match {
         case Some((first, again)) if again >= 0 => name -> math.min(first, again)
         case _ => name -> sec
@@ -200,8 +238,10 @@ object Bench {
     System.err.println(s"[bench] mv census: $mvN MVs, $rddN persisted RDDs, " +
       s"mem=${memB / 1048576} MiB, disk=${diskB / 1048576} MiB")
     val mvJson = s"""{"n":$mvN,"rdds":$rddN,"mem_mb":${memB / 1048576}}"""
+    def cjson(c: (Double, Double, Double)): String =
+      s"""{"start":${f3(c._1)},"mid":${f3(c._2)},"end":${f3(c._3)}}"""
     val head =
-      s""""canary":{"start":${f3(canaryStart)},"mid":${f3(canaryMid)},"end":${f3(canaryEnd)}},"retimed":$retimedJson,"mv":$mvJson,"warmup_failed":[$wfail],"n_queries":${results.size},"n_failed":${failed.size},"failed":[${failed.mkString(",")}],"sf":"$sfDir","metric":"total","unit":"sec","value":${f3(total)}"""
+      s""""canary":${cjson(canary1)},"canary2":${cjson(canary2)},"resweep":$resweep,"contaminated":$contaminated,"retimed":$retimedJson,"mv":$mvJson,"warmup_failed":[$wfail],"n_queries":${results.size},"n_failed":${failed.size},"failed":[${failed.mkString(",")}],"sf":"$sfDir","metric":"total","unit":"sec","value":${f3(total)}"""
     // Complete per-query map (alphabetical) → target/bench.json.
     val full = s"""{"queries":${qmap(results)},$head}"""
     val out = new java.io.File("target/bench.json")

@@ -3900,7 +3900,10 @@ object Oracle {
     // Closed form of the streaming recursion: every term c·2^−(T−d) is a
     // dyadic rational with ≤2^29 denominator and counts ≤2^10, so the
     // double sum is EXACT and order-blind — the snapshot equals this
-    // formula bit-for-bit.
+    // formula bit-for-bit. Guard domain (ADVICE r8): the per-TERM
+    // tmax−x ≥ 63 zero here matches Spark's per-STEP dx ≥ 63 + gap ≥ 63
+    // guards exactly while the calendar span stays < 63 days (the 30-day
+    // fixture); see the matching note in StatsOps.updateDecay.
     "q_stream_decay_topk" ->
       """WITH daily AS (SELECT event_type,
         |    CAST(CAST(ts AS TIMESTAMP) AS DATE) AS day, COUNT(*) AS c
@@ -4092,7 +4095,8 @@ object Oracle {
         |    * CAST(n_neg AS DOUBLE)
         |    / (CAST(n_pos AS DOUBLE) + CAST(n_neg AS DOUBLE)) + 1, 6)
         |    AS expected_runs,
-        |  CASE WHEN n_pos = 0 OR n_neg = 0 THEN NULL ELSE
+        |  CASE WHEN n_pos = 0 OR n_neg = 0
+        |    OR 2 * n_pos * n_neg = n_pos + n_neg THEN NULL ELSE
         |  ROUND((CAST(n_runs AS DOUBLE)
         |      - (CAST(2 AS DOUBLE) * CAST(n_pos AS DOUBLE)
         |         * CAST(n_neg AS DOUBLE)
@@ -4392,7 +4396,11 @@ object Oracle {
         |trig AS (SELECT * FROM (VALUES
         |    $trigVals) AS v(t, m, c9, s9)),
         |terms AS (SELECT d.event_type, trig.t, d.y, trig.c9, trig.s9
-        |  FROM d JOIN trig ON (d.x % trig.t) = trig.m),
+        |  -- sign-safe residue (ADVICE r8): DuckDB % keeps the dividend's
+        |  -- sign while Spark uses PMOD, so a pre-epoch day (x < 0) would
+        |  -- silently drop here under plain %; the double-mod form matches
+        |  -- PMOD for every x
+        |  FROM d JOIN trig ON ((d.x % trig.t) + trig.t) % trig.t = trig.m),
         |agg AS (SELECT event_type, t, CAST(COUNT(*) AS BIGINT) AS n_days,
         |    CAST(SUM(y * c9) AS BIGINT) AS cs,
         |    CAST(SUM(y * s9) AS BIGINT) AS ss

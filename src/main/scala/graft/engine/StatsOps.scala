@@ -1134,9 +1134,13 @@ object StatsOps {
         sum(col("chg")).as("n_runs"))
       .select(col("event_type"), col("n_pos"), col("n_neg"), col("n_runs"),
         round(er, 6).as("expected_runs"),
-        // degenerate type (all-above or all-below after tie-dropping):
-        // vr = 0 ⇒ NULL z in BOTH engines, never an engine-specific ±Inf/NaN
-        when(col("n_pos") === 0 || col("n_neg") === 0, lit(null).cast("double"))
+        // degenerate series: vr = 0 exactly when one sign class is empty
+        // OR 2·n₊·n₋ = n (i.e. n₊ = n₋ = 1) — guard the FULL condition so
+        // z is NULL in BOTH engines, never an engine-specific ±Inf/NaN
+        // (Spark double/0 → ±Inf, DuckDB → NULL; ADVICE r8)
+        when(col("n_pos") === 0 || col("n_neg") === 0 ||
+            col("n_pos") * col("n_neg") * 2 === col("n_pos") + col("n_neg"),
+            lit(null).cast("double"))
           .otherwise(round((col("n_runs").cast("double") - er) / sqrt(vr), 6))
           .as("z"))
       .orderBy("event_type")
@@ -1474,6 +1478,15 @@ object StatsOps {
     var n = 0L
     it.toArray.sortBy(_.x).foreach { e =>
       val dx = if (st.lastX == Long.MinValue) 0L else e.x - st.lastX
+      // Overflow-guard equivalence domain (ADVICE r8): this zeroes
+      // per-STEP at dx ≥ 63 (1L << 63 would overflow) while the oracle
+      // zeroes per-TERM at total distance tmax − x ≥ 63. The two are
+      // bit-identical exactly while the calendar span stays < 63 days
+      // (true for the 30-day fixture and pinned by the oracle's
+      // matching shift guard); a wider calendar would leave a 2^-63-
+      // scale nonzero here that the oracle makes exact 0 — invisible
+      // after the round-6 display but not raw-bit-equal. Widening the
+      // calendar requires revisiting BOTH guards together.
       val decay = if (dx >= 63) 0.0 else 1.0 / (1L << dx).toDouble
       st = DecayState(e.x, st.w * decay + e.c)
       n += 1
