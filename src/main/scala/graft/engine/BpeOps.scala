@@ -98,8 +98,8 @@ object BpeOps {
     * BpeRounds rows — the checkpoint is merge-table-sized, not corpus-
     * sized. */
   def bpeMerges(s: SparkSession, dir: String): DataFrame =
-    Mv.memo(s, s"bpeMerges|$dir") {
-      var t = base(s, dir, 0)
+    Mv.memo(s, s"bpeMerges|$dir") { bs =>
+      var t = base(bs, dir, 0)
       val rows = (1 to BpeRounds).map { i =>
         val (merged, top) = mergeRound(t)
         t = merged

@@ -388,7 +388,7 @@ object Gnn {
     * table before training. Memo + localCheckpoint share GraphOps'
     * cache/eviction machinery. */
   def linkPredFeatures(s: SparkSession, dir: String): DataFrame =
-    Mv.memo(s, s"linkPredFeat|$dir")(buildLinkPredFeatures(s, dir).localCheckpoint())
+    Mv.memo(s, s"linkPredFeat|$dir")(bs => buildLinkPredFeatures(bs, dir).localCheckpoint())
 
   private def buildLinkPredFeatures(s: SparkSession, dir: String): DataFrame = {
     val e = GraphOps.edges(s, dir)
@@ -482,7 +482,7 @@ object Gnn {
     * (session, fixture): the iterative walk build is the expensive
     * part and both consumers read the identical table. */
   private[graft] def walkPaths(s: SparkSession, dir: String): DataFrame =
-    Mv.memo(s, s"walkPaths|$dir") { buildWalkPaths(s, dir).localCheckpoint() }
+    Mv.memo(s, s"walkPaths|$dir") { bs => buildWalkPaths(bs, dir).localCheckpoint() }
 
   private def buildWalkPaths(s: SparkSession, dir: String): DataFrame = {
     val ue = GraphOps.undProj(s, dir, GraphOps.TriangleMinCooccur)

@@ -41,9 +41,9 @@ object GraphOps {
     * (what the pair self-join, the customer-degree aggregation, and the
     * weighted-edge joins all want) and localCheckpoint'ed. */
   def edges(s: SparkSession, dir: String): DataFrame =
-    Mv.memo(s, s"edges|$dir") {
-      Tables.orders(s, dir)
-        .join(Tables.lineitem(s, dir), col("o_orderkey") === col("l_orderkey"))
+    Mv.memo(s, s"edges|$dir") { bs =>
+      Tables.orders(bs, dir)
+        .join(Tables.lineitem(bs, dir), col("o_orderkey") === col("l_orderkey"))
         .select(col("o_custkey").as("src"), col("l_partkey").as("dst"))
         .distinct()
         .repartition(col("src"))
@@ -56,8 +56,8 @@ object GraphOps {
     * it. At 100 TB this is the table a deployment would persist as a
     * bucketed MV on (a, b). */
   def pairCounts(s: SparkSession, dir: String): DataFrame =
-    Mv.memo(s, s"pairCounts|$dir") {
-      val e = edges(s, dir)
+    Mv.memo(s, s"pairCounts|$dir") { bs =>
+      val e = edges(bs, dir)
       val e1 = e.select(col("src"), col("dst").as("a"))
       val e2 = e.select(col("src").as("src2"), col("dst").as("b"))
       e1.join(e2, col("src") === col("src2") && col("a") < col("b"))
@@ -83,8 +83,8 @@ object GraphOps {
     * closeness/richclub/label-prop/GIN and both walk samplers each
     * rebuilt + re-checkpointed their own copy). */
   private[graft] def undProj(s: SparkSession, dir: String, minCooccur: Int): DataFrame =
-    Mv.memo(s, s"undProj|$minCooccur|$dir") {
-      val pp = partPairs(s, dir, minCooccur).select(col("a"), col("b"))
+    Mv.memo(s, s"undProj|$minCooccur|$dir") { bs =>
+      val pp = partPairs(bs, dir, minCooccur).select(col("a"), col("b"))
       pp.union(pp.select(col("b").as("a"), col("a").as("b")))
         .repartition(col("a"))
         .localCheckpoint()
@@ -102,8 +102,8 @@ object GraphOps {
     * graph — |V|-sized session MV; seeds PageRank's r₀ and PPR's seed
     * selection without re-aggregating the arc list. */
   private[graft] def undDegrees(s: SparkSession, dir: String): DataFrame =
-    Mv.memo(s, s"undDegrees|$dir") {
-      undArcs(s, dir)
+    Mv.memo(s, s"undDegrees|$dir") { bs =>
+      undArcs(bs, dir)
         .groupBy(col("src").as("node")).agg(count(lit(1)).as("d"))
         .localCheckpoint()
     }
@@ -116,15 +116,15 @@ object GraphOps {
     * until round 6 (VERDICT r5 what's-wrong #1); at 100 TB this is a
     * persisted adjacency layout, built once per corpus snapshot. */
   private[graft] def undWeighted(s: SparkSession, dir: String): DataFrame =
-    Mv.memo(s, s"undW|$dir") {
-      undArcs(s, dir)
-        .join(undDegrees(s, dir), col("src") === col("node"))
+    Mv.memo(s, s"undW|$dir") { bs =>
+      undArcs(bs, dir)
+        .join(undDegrees(bs, dir), col("src") === col("node"))
         .select(col("src"), col("dst"), col("d"))
         // EXPLICIT partition count: a count-less repartition is an AQE
         // coalesce candidate, and the coalesced exchange's partitioning
         // is not captured by the checkpoint — every consumer would
         // re-shuffle (caught by PlanAuditSpec's power-iteration pin)
-        .repartition(s.sessionState.conf.numShufflePartitions, col("dst"))
+        .repartition(bs.sessionState.conf.numShufflePartitions, col("dst"))
         .localCheckpoint()
     }
 
@@ -144,16 +144,16 @@ object GraphOps {
     * tying on both carry the SAME part key, so any residual permutation
     * yields the identical transition sequence in both engines. */
   private[graft] def transEdges(s: SparkSession, dir: String): DataFrame =
-    Mv.memo(s, s"transEdges|$dir") {
+    Mv.memo(s, s"transEdges|$dir") { bs =>
       val w = Window.partitionBy(col("l_orderkey"))
         .orderBy(col("l_linenumber"), col("l_partkey"))
-      Tables.lineitem(s, dir)
+      Tables.lineitem(bs, dir)
         .select(col("l_orderkey"), col("l_linenumber"), col("l_partkey"))
         .withColumn("nxt", lead(col("l_partkey"), 1).over(w))
         .filter(col("nxt").isNotNull && col("nxt") =!= col("l_partkey"))
         .select(col("l_partkey").as("src"), col("nxt").as("dst"))
         .distinct()
-        .repartition(s.sessionState.conf.numShufflePartitions, col("src"))
+        .repartition(bs.sessionState.conf.numShufflePartitions, col("src"))
         .localCheckpoint()
     }
 
@@ -590,7 +590,7 @@ object GraphOps {
     * localCheckpoints, so the memo just prevents the second consumer
     * from re-running all 4 supersteps. */
   def lpLabels(s: SparkSession, dir: String): DataFrame =
-    Mv.memo(s, s"lpLabels|$dir")(buildLpLabels(s, dir))
+    Mv.memo(s, s"lpLabels|$dir")(bs => buildLpLabels(bs, dir))
 
   private def buildLpLabels(s: SparkSession, dir: String): DataFrame = {
     val ue = undProj(s, dir, TriangleMinCooccur)

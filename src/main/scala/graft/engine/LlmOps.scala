@@ -320,10 +320,19 @@ object LlmOps {
     * scan + bucket join — same 100 TB shape as the MinHash path, but the
     * signature is 8 bytes/doc. No oracle (xxhash64 is engine-specific);
     * self-tested against token-set Jaccard. */
-  def q_llm_simhash(s: SparkSession, dir: String): DataFrame = {
+  def q_llm_simhash(s: SparkSession, dir: String): DataFrame =
+    simhashXx(s, dir, sampled = false)
+
+  /** The xx-signature pipeline, optionally restricted to the SAME
+    * deterministic 10% sample the md5 twin runs on — that restriction is
+    * what lets ApproxBounds measure the fast path against the exact
+    * Jaccard ground truth and the oracled twin on identical input
+    * (VERDICT r8 item 5). */
+  private[graft] def simhashXx(s: SparkSession, dir: String, sampled: Boolean): DataFrame = {
     s.sessionState.functionRegistry.createOrReplaceTempFunction(
       "graft_simhash64", exprs => graft.functions.SimHash64(exprs.head), "built-in")
-    val d = tokenSets(s, dir).filter(size(col("toks")) > 0)
+    val d0 = tokenSets(s, dir).filter(size(col("toks")) > 0)
+    val d = if (sampled) d0.filter(col("doc_id") % 10 === 0) else d0
     // materialized once: banding + both Hamming-verify sides reuse it
     val sig = d.withColumn("simhash", call_function("graft_simhash64", col("toks")))
       .select(col("doc_id"), col("lang"), col("simhash"))
@@ -507,8 +516,8 @@ object LlmOps {
   /** Sampled dedup universe (doc, lang, token count) — session MV
     * shared by the cluster and soft-dedup passes. */
   private[engine] def dedupDocs(s: SparkSession, dir: String): DataFrame =
-    Mv.memo(s, s"dedupDocs|$dir") {
-      tokenSets(s, dir)
+    Mv.memo(s, s"dedupDocs|$dir") { bs =>
+      tokenSets(bs, dir)
         .filter(col("doc_id") % 10 === 0 && size(col("toks")) > 0)
         .select(col("doc_id"), col("lang"), size(col("toks")).cast("bigint").as("nt"))
         .localCheckpoint()
@@ -519,14 +528,14 @@ object LlmOps {
     * per (session, fixture) because both dedup accounting passes (and
     * any future canonical-doc selection) consume the same components. */
   private[graft] def dedupLabels(s: SparkSession, dir: String): DataFrame =
-    Mv.memo(s, s"dedupLabels|$dir") {
-      val docs = dedupDocs(s, dir)
+    Mv.memo(s, s"dedupLabels|$dir") { bs =>
+      val docs = dedupDocs(bs, dir)
       val a = docs.select(col("lang"), col("doc_id").as("doc_a"), col("nt").as("pna"))
       val b = docs.select(col("lang").as("lang_b"), col("doc_id").as("doc_b"), col("nt").as("pnb"))
       val cand = a.join(b, col("lang") === col("lang_b") && col("doc_a") < col("doc_b") &&
           col("pna") * 4 <= col("pnb") * 5 && col("pnb") * 4 <= col("pna") * 5)
         .select(col("lang"), col("doc_a"), col("doc_b"))
-      val pairs = jaccardVerify(s, dir, cand).filter(col("jac") >= 0.8)
+      val pairs = jaccardVerify(bs, dir, cand).filter(col("jac") >= 0.8)
         .select(col("doc_a").as("x"), col("doc_b").as("y"))
       val ue = pairs.union(pairs.select(col("y").as("x"), col("x").as("y")))
         .localCheckpoint()

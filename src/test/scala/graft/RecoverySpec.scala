@@ -145,6 +145,109 @@ class RecoverySpec extends AnyFunSuite {
     }
   }
 
+  // ---- Chained-stage recovery (VERDICT r7 item 6 / r8 item 6) ----------
+  // q_stream_gnn_layer2's production shape is TWO chained fMGWS stages
+  // (layer 1 keyed by customer, layer 2 keyed by part) connected by an
+  // explicit stream — Flink's iteration edge made explicit. Single-query
+  // recovery is covered above; this kills BOTH stages between
+  // micro-batches while layer-1 state (cust 1's accumulator) AND layer-2
+  // state (part 10's neighbor-rep map) hold data that the post-kill
+  // batch must combine with, restarts both from their own checkpoints,
+  // and requires the final part snapshot to equal the uninterrupted run.
+  private def vec(xs: Float*): Seq[Float] = xs ++ Seq.fill(64 - xs.length)(0.0f)
+  private val gnnB1 = Seq(L2Edge(1, 10, vec(1f, 2f)), L2Edge(2, 10, vec(10f, 0f)))
+  private val gnnB2 = Seq(L2Edge(1, 11, vec(3f, 4f)))
+
+  private def runChained(kill: Boolean): Map[Long, (Long, Double)] = {
+    val s = spark
+    import s.implicits._
+    implicit val sq = s.sqlContext
+    import graft.engine.StreamingGnn
+    val root = java.nio.file.Files.createTempDirectory("graft_recov_l2").toString
+    val ms1 = MemoryStream[L2Edge]
+    val ms2 = MemoryStream[StreamingGnn.PartMsg]
+    // edges seen so far — the growing edge table the production pipeline
+    // joins layer-1 emissions against to fan them out to parts
+    val edgesSoFar = new java.util.concurrent.CopyOnWriteArrayList[(Long, Long)]
+    val partSnaps = new java.util.concurrent.ConcurrentLinkedQueue[(Long, Long, Double)]
+    def startL1() = StreamingGnn.custRepStream(s, ms1.toDF())
+      .writeStream.outputMode(OutputMode.Update())
+      .option("checkpointLocation", s"$root/ckpt1")
+      .foreachBatch { (df: org.apache.spark.sql.Dataset[StreamingGnn.CustRep], _: Long) =>
+        import scala.jdk.CollectionConverters._
+        val msgs = df.collect().flatMap { r =>
+          edgesSoFar.asScala.collect { case (c, p) if c == r.cust =>
+            StreamingGnn.PartMsg(p, c, r.rep)
+          }
+        }
+        if (msgs.nonEmpty) { ms2.addData(msgs.toIndexedSeq: _*); () }
+      }.start()
+    def startL2() = StreamingGnn.partRepStream(s, ms2.toDS())
+      .writeStream.outputMode(OutputMode.Update())
+      .option("checkpointLocation", s"$root/ckpt2")
+      .foreachBatch { (df: org.apache.spark.sql.Dataset[StreamingGnn.PartEmbed], _: Long) =>
+        df.collect().foreach(r => partSnaps.add((r.part_key, r.n_custs, r.g1)))
+      }.start()
+    var q1 = startL1()
+    var q2 = startL2()
+    def feed(batch: Seq[L2Edge]): Unit = {
+      batch.foreach(e => edgesSoFar.add((e.src, e.dst)))
+      ms1.addData(batch: _*)
+      q1.processAllAvailable()
+      q2.processAllAvailable()
+    }
+    feed(gnnB1)
+    if (kill) {
+      // kill BETWEEN the stages' work: layer 1 holds cust accumulators,
+      // layer 2 holds part 10's two neighbor reps — both must round-trip
+      q1.stop(); q2.stop()
+      q1 = startL1(); q2 = startL2()
+    }
+    feed(gnnB2)
+    q1.stop(); q2.stop()
+    // last Update-mode emission per part = the final snapshot
+    import scala.jdk.CollectionConverters._
+    partSnaps.asScala.toSeq.groupBy(_._1)
+      .map { case (p, rows) => p -> (rows.last._2, rows.last._3) }
+  }
+
+  test("chained 2-stage streaming GNN survives a kill of BOTH stages between batches") {
+    val s = spark
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = s.conf.getOption(key)
+    s.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val uninterrupted = runChained(kill = false)
+      val recovered = runChained(kill = true)
+      // batch ground truth (Round7Spec's math): after ALL edges, cust 1's
+      // rep reflects BOTH its edges (layer-1 state bridged the kill) and
+      // part 10 aggregates custs {1, 2} (layer-2 state bridged the kill)
+      import graft.engine.Gnn
+      val h1 = Map(
+        1L -> Gnn.forward(Array.tabulate(64)(i =>
+          if (i == 0) 2.0 else if (i == 1) 3.0 else 0.0)),
+        2L -> Gnn.forward(Array.tabulate(64)(i => if (i == 0) 10.0 else 0.0)))
+      def l2(custs: Seq[Long]): Double = {
+        val mean = Array.tabulate(64)(i => custs.map(c => h1(c)(i)).sum / custs.length)
+        Gnn.forward(mean)(0)
+      }
+      assert(recovered(10L)._1 == 2L, s"part 10 must still see 2 neighbor custs: $recovered")
+      assert(math.abs(recovered(10L)._2 - l2(Seq(1L, 2L))) < 1e-9,
+        "part 10's embedding must combine pre-kill state with the post-kill update")
+      assert(math.abs(recovered(11L)._2 - l2(Seq(1L))) < 1e-9,
+        "part 11 must see cust 1's FULL post-kill representation")
+      assert(recovered == uninterrupted,
+        s"recovered chained run must equal the uninterrupted run:\n" +
+          s"  recovered     = $recovered\n  uninterrupted = $uninterrupted")
+    } finally {
+      prev match {
+        case Some(p) => s.conf.set(key, p)
+        case None => s.conf.unset(key)
+      }
+    }
+  }
+
   test("fGWS sessions survive a kill+restart from checkpoint (RocksDB provider)") {
     val s = spark
     val key = "spark.sql.streaming.stateStore.providerClass"

@@ -6,7 +6,11 @@ import org.apache.spark.sql.SparkSession
 object TestSpark {
   lazy val spark: SparkSession = {
     val s = SparkSession.builder()
-      .master("local[4]")
+      // local[4, 2]: 4 threads, maxFailures = 2 — identical to local[4]
+      // except a failed task is retried once, which is what
+      // RetryDeterminismSpec needs to demonstrate that md5-seeded
+      // operators produce byte-identical output across task re-execution
+      .master("local[4, 2]")
       .config("spark.sql.shuffle.partitions", "4")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
