@@ -20,6 +20,28 @@ object ScaleProbe {
     * scheduling floor gives way to data-bound linear growth. */
   val Tiers = Seq(4 -> "/tmp/graft_scale/sf0.4", 16 -> "/tmp/graft_scale/sf1.6")
 
+  /** GRAPH tiers (VERDICT r8 item 3): every fact AND dimension key is
+    * shifted, so each copy is a DISJOINT replica of the co-purchase
+    * graph — |V| and |E| both scale by the copy count, per-customer
+    * basket sizes (and so pair density, fixpoint round counts, and
+    * component diameters) stay exactly the base graph's. That is the
+    * horizontal-scaling axis the iterative/fixpoint tier must be
+    * measured on; the fact tiers above leave customers unshifted, which
+    * scales basket DENSITY (a different, super-linear axis pairCounts
+    * documents). */
+  val GraphTiers = Seq(4 -> "/tmp/graft_scale/g4", 16 -> "/tmp/graft_scale/g16")
+
+  /** PERTURBED-DOCUMENT tiers (VERDICT r8 item 9): copy k > 0 appends
+    * the copy index to EVERY whitespace token, so for any two docs A, B
+    * within a copy J(A_k, B_k) = J(A, B) exactly (one uniform bijection
+    * on the token universe), while cross-copy token sets are fully
+    * disjoint. The 16× corpus therefore has 16× the docs at the BASE
+    * near-dup rate — unlike naive replication, which hands every doc 15
+    * exact twins and makes a 16× LSH probe measure fixture duplication
+    * (the reason q_llm_minhash_md5 was excluded from the fact-tier 16×,
+    * PERF.md). */
+  val PerturbTiers = Seq(4 -> "/tmp/graft_scale/p4", 16 -> "/tmp/graft_scale/p16")
+
   def main(args: Array[String]): Unit = {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
@@ -45,11 +67,12 @@ object ScaleProbe {
         .parquet(s"$out/$name.parquet")
     }
 
+    // key spans chosen >> max key so shifted copies never collide; all
+    // are multiples of 10 so deterministic `% 10` samples keep their rate
+    val oSpan = 100000000L
+    val dSpan = 10000000L
     Tiers.foreach { case (copies, out) =>
       if (!new java.io.File(s"$out/lineitem.parquet").exists || args.contains("rebuild")) {
-        // key spans chosen >> max key so shifted copies never collide
-        val oSpan = 100000000L
-        val dSpan = 10000000L
         replicate(out, copies, "lineitem", Map("l_orderkey" -> oSpan))
         replicate(out, copies, "orders", Map("o_orderkey" -> oSpan))
         replicate(out, copies, "events", Map("event_id" -> dSpan))
@@ -62,44 +85,118 @@ object ScaleProbe {
         System.err.println(s"[scale] ${copies}x replica built at $out")
       }
     }
+    GraphTiers.foreach { case (copies, out) =>
+      if (!new java.io.File(s"$out/lineitem.parquet").exists || args.contains("rebuild")) {
+        // disjoint graph copies: shift the customer and part key spaces
+        // along with the order keys, and replicate those dimensions with
+        // the same shifts so every dimension join still resolves
+        replicate(out, copies, "lineitem",
+          Map("l_orderkey" -> oSpan, "l_partkey" -> dSpan))
+        replicate(out, copies, "orders",
+          Map("o_orderkey" -> oSpan, "o_custkey" -> dSpan))
+        replicate(out, copies, "customer", Map("c_custkey" -> dSpan))
+        replicate(out, copies, "part", Map("p_partkey" -> dSpan))
+        Seq("region", "nation", "supplier", "events", "documents",
+          "embeddings").foreach { t =>
+          table(Base, t).write.mode("overwrite").parquet(s"$out/$t.parquet")
+        }
+        System.err.println(s"[scale] ${copies}x GRAPH replica built at $out")
+      }
+    }
+    PerturbTiers.foreach { case (copies, out) =>
+      if (!new java.io.File(s"$out/documents.parquet").exists || args.contains("rebuild")) {
+        val base = table(Base, "documents")
+        val reps = (0 until copies).map { k =>
+          val shifted = base.withColumn("doc_id", col("doc_id") + lit(k * dSpan))
+          // copy 0 keeps the original text; copy k suffixes every token
+          // with k — a uniform bijection per copy, so intra-copy Jaccard
+          // structure is preserved EXACTLY and cross-copy overlap is zero
+          if (k == 0) shifted
+          else shifted.withColumn("text",
+            regexp_replace(col("text"), "(\\S+)", "$1" + k.toString))
+        }
+        reps.reduce(_.union(_)).write.mode("overwrite")
+          .parquet(s"$out/documents.parquet")
+        Seq("region", "nation", "customer", "supplier", "part", "orders",
+          "lineitem", "events", "embeddings").foreach { t =>
+          table(Base, t).write.mode("overwrite").parquet(s"$out/$t.parquet")
+        }
+        System.err.println(s"[scale] ${copies}x PERTURBED-DOC replica built at $out")
+      }
+    }
 
-    val probes = Seq(
-      "q_agg_pricing_summary",  // fact scan + partial/final agg
-      "q_join_star_5way",       // broadcast-dim star join
-      "q_llm_dedup_exact",      // hash-groupBy dedup
-      "q_llm_minhash_md5",      // banded MinHash LSH (the 100 TB dedup path)
-      "q_text_token_count",     // text scan + per-lang agg
-      "q_llm_cosine_topk",      // embedding scan + top-k
-      "q_graph_degree",         // fact-join edge build + keyed count
-      "q_win_topk_per_group")   // keyed rank window over the fact table
     def time(name: String, dir: String): Double = {
       val t0 = System.nanoTime()
       SparkEntry.queries(name)(spark, dir).count()
       (System.nanoTime() - t0) / 1e9
     }
-    // q_llm_minhash_md5 is EXCLUDED from the 16× tier: replicating the
-    // corpus 16× manufactures ~256× the true near-dup pairs (every doc
-    // gains 15 exact twins), so the 16× number would measure fixture
-    // duplication, not engine scaling — the 4× tier already covers it.
-    val dirs = Seq(1 -> Base) ++ Tiers
-    // untimed warm pass at EVERY scale: session/codegen init AND the
-    // session MVs (edges etc.) build once per (session, dir) — timing a
-    // warm 1× against a cold replica would misattribute the one-time
-    // build
-    probes.foreach { q =>
-      dirs.foreach { case (c, d) =>
-        if (!(q == "q_llm_minhash_md5" && c == 16)) time(q, d)
+    /** Warm pass at every scale (session/codegen init plus the one-time
+      * session-MV builds per dir), then min-of-2 timed samples. The warm
+      * pass's FIRST call per (query, dir) is also reported as `cold`:
+      * for MV-consuming queries it includes the one-time fixpoint/build
+      * cost at that scale (attributed to the group's first consumer —
+      * shared MVs make later queries' cold times partly warm). */
+    def runGroup(title: String, probes: Seq[String], tiers: Seq[(Int, String)],
+        exclude: Set[(String, Int)] = Set.empty): Unit = {
+      val dirs = Seq(1 -> Base) ++ tiers
+      val cold = scala.collection.mutable.Map.empty[(String, Int), Double]
+      probes.foreach { q =>
+        dirs.foreach { case (c, d) =>
+          if (!exclude((q, c))) cold((q, c)) = time(q, d)
+        }
+      }
+      println(s"== $title ==")
+      println(f"${"query"}%-26s ${"sf0.1"}%8s ${"x4"}%8s ${"x16"}%8s ${"r4"}%6s ${"r16"}%6s ${"c1"}%7s ${"c4"}%7s ${"c16"}%7s")
+      probes.foreach { q =>
+        def m(dir: String): Double = math.min(time(q, dir), time(q, dir))
+        val a = m(Base)
+        val b = m(tiers(0)._2)
+        val c = if (exclude((q, 16))) -1.0 else m(tiers(1)._2)
+        val c16 = if (c < 0) "      -" else f"$c%7.2f"
+        val r16 = if (c < 0) "     -" else f"${c / a}%6.2f"
+        def cd(n: Int): String = cold.get((q, n)).map(v => f"$v%7.2f").getOrElse("      -")
+        println(f"$q%-26s $a%8.2f $b%8.2f $c16%8s ${b / a}%6.2f $r16%6s ${cd(1)}%7s ${cd(4)}%7s ${cd(16)}%7s")
       }
     }
-    println(f"${"query"}%-26s ${"sf0.1"}%8s ${"x4"}%8s ${"x16"}%8s ${"r4"}%6s ${"r16"}%6s")
-    probes.foreach { q =>
-      def m(dir: String): Double = math.min(time(q, dir), time(q, dir))
-      val a = m(Base)
-      val b = m(Tiers(0)._2)
-      val c = if (q == "q_llm_minhash_md5") -1.0 else m(Tiers(1)._2)
-      val c16 = if (c < 0) "      -" else f"$c%7.2f"
-      val r16 = if (c < 0) "     -" else f"${c / a}%6.2f"
-      println(f"$q%-26s $a%8.2f $b%8.2f $c16%8s ${b / a}%6.2f $r16%6s")
+
+    val groups = if (args.exists(a => a != "rebuild")) args.filter(_ != "rebuild").toSet
+      else Set("fact", "iter", "lsh")
+    if (groups("fact")) {
+      // q_llm_minhash_md5 stays EXCLUDED from the FACT-tier 16×: naive
+      // replication manufactures ~256× the true near-dup pairs (every
+      // doc gains 15 exact twins) — its realistic 16× curve is the
+      // `lsh` group below on the perturbed corpus.
+      runGroup("fact tiers (density axis)", Seq(
+        "q_agg_pricing_summary",  // fact scan + partial/final agg
+        "q_join_star_5way",       // broadcast-dim star join
+        "q_llm_dedup_exact",      // hash-groupBy dedup
+        "q_llm_minhash_md5",      // banded MinHash LSH (the 100 TB dedup path)
+        "q_text_token_count",     // text scan + per-lang agg
+        "q_llm_cosine_topk",      // embedding scan + top-k
+        "q_graph_degree",         // fact-join edge build + keyed count
+        "q_win_topk_per_group"),  // keyed rank window over the fact table
+        Tiers, Set("q_llm_minhash_md5" -> 16))
+    }
+    if (groups("iter")) {
+      // the iterative/fixpoint tier on DISJOINT graph copies: per-round
+      // cost should scale ~linearly with |E| while round counts stay
+      // flat (component structure is copy-invariant)
+      runGroup("graph tiers (iterative/fixpoint, horizontal axis)", Seq(
+        "q_graph_cc",             // min-label + pointer jumping fixpoint
+        "q_graph_label_prop",     // synchronous label propagation
+        "q_graph_hits",           // hub/authority power iteration
+        "q_graph_ppr",            // personalized-pagerank push
+        "q_graph_betweenness",    // k-source BFS accumulation
+        "q_graph_pagerank"),      // global power iteration
+        GraphTiers)
+    }
+    if (groups("lsh")) {
+      // realistic 16× LSH + dedup clustering: per-copy near-dup rate is
+      // exactly the base corpus's (uniform token bijection per copy)
+      runGroup("perturbed-doc tiers (realistic near-dup rate)", Seq(
+        "q_llm_minhash_md5",      // banded LSH + exact verify
+        "q_llm_dedup_clusters"),  // candidate graph + min-label fixpoint
+        PerturbTiers)
     }
     spark.stop()
   }

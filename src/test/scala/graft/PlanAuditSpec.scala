@@ -395,6 +395,31 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(maxPool <= 5000L, s"rrf candidate pool must stay bounded, got $maxPool")
   }
 
+  test("ntile: the one global window reads ONLY the customer dimension (r7 carried pin)") {
+    // q_win_ntile assigns global quartiles, so its window is legitimately
+    // unpartitioned — but ONLY because the input is the customer
+    // DIMENSION, never a fact table. This pin fails if the query is ever
+    // rewired to a fact-sized input. Scale note: when the dimension
+    // outgrows a single sort partition, the drop-in alternative is the
+    // two-pass range-partitioned form — repartitionByRange(acctbal desc)
+    // + per-partition row_number + broadcast per-partition counts to
+    // turn local ranks into global ntile buckets — which keeps the same
+    // output contract without any single-partition sort.
+    val df = SparkEntry.queries("q_win_ntile")(spark, sf0001)
+    val wins = df.queryExecution.sparkPlan.collect {
+      case w: org.apache.spark.sql.execution.window.WindowExec => w
+    }
+    assert(wins.size == 1, s"expected exactly one window, got ${wins.size}")
+    assert(wins.head.partitionSpec.isEmpty,
+      "global quartiles are BY DESIGN a single unpartitioned window")
+    val scanned = df.queryExecution.sparkPlan.collect {
+      case sc: org.apache.spark.sql.execution.FileSourceScanExec =>
+        sc.relation.location.rootPaths.map(_.getName).mkString(",")
+    }
+    assert(scanned.nonEmpty && scanned.forall(_.contains("customer")),
+      s"the global ntile window must read only the customer dimension, scans=$scanned")
+  }
+
   test("motifs: one path scan with broadcast closure joins, no cartesian") {
     val df = SparkEntry.queries("q_graph_motifs")(spark, sf0001)
     df.collect()
