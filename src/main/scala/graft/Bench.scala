@@ -92,6 +92,32 @@ object Bench {
     "\"([^\"]+)\"\\s*:\\s*(-?[0-9.]+)".r.findAllMatchIn(text)
       .map(m => m.group(1) -> m.group(2).toDouble).toMap
 
+  /** Canary-drift gate (VERDICT r8 lead item): contaminated if any
+    * sample exceeds 2.5× the best sample (load arriving DURING the run)
+    * OR exceeds 0.5 s absolute (a box loaded from the START, where
+    * start/mid/end inflate together and the ratio stays flat — the
+    * committed clean-box signature at the contract's sf0.1 is
+    * 0.10–0.25 s). The two conditions are OR'd: either alone marks the
+    * record suspect, and the worst case is one bounded re-sweep. Failed
+    * samples (-1) are ignored. */
+  private[graft] def canaryDrifted(c: (Double, Double, Double)): Boolean = {
+    val xs = Seq(c._1, c._2, c._3).filter(_ > 0)
+    xs.nonEmpty && (xs.max > 0.5 || xs.max > 2.5 * xs.min)
+  }
+
+  /** Official-value merge: per query, the minimum across honest
+    * (non-failed) samples — the less load-biased estimator; a failed
+    * first sample is replaced by a valid re-run, a failed re-run keeps
+    * the first. */
+  private[graft] def mergeMin(first: Seq[(String, Double)],
+      second: Map[String, Double]): Seq[(String, Double)] =
+    first.map { case (name, sec) =>
+      second.get(name) match {
+        case Some(b) if b >= 0 && (sec < 0 || b < sec) => name -> b
+        case _ => name -> sec
+      }
+    }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
@@ -151,30 +177,16 @@ object Bench {
       }
       (pass, (cStart, cMid, canary()))
     }
-    // Drift gate: contaminated if any canary sample exceeds
-    // max(0.5 s, 2.5× best sample). Ratio catches load arriving during
-    // the run; the absolute floor catches a box loaded from the start
-    // (where start/mid/end inflate together and the ratio stays flat).
-    def drifted(c: (Double, Double, Double)): Boolean = {
-      val xs = Seq(c._1, c._2, c._3).filter(_ > 0)
-      xs.nonEmpty && xs.max > math.max(0.5, 2.5 * xs.min)
-    }
     val (firstPass, canary1) = sweep("1")
-    val resweep = drifted(canary1)
+    val resweep = canaryDrifted(canary1)
     val (secondPass, canary2) =
       if (resweep) {
         System.err.println(f"[bench] CANARY DRIFT (${canary1._1}%.3f/${canary1._2}%.3f/${canary1._3}%.3f) — re-running full sweep")
         sweep("2")
       } else (Seq.empty[(String, Double)], (-1.0, -1.0, -1.0))
-    val second = secondPass.toMap
     // Official per-query value so far: min across honest samples.
-    val merged = firstPass.map { case (name, sec) =>
-      second.get(name) match {
-        case Some(b) if b >= 0 && (sec < 0 || b < sec) => name -> b
-        case _ => name -> sec
-      }
-    }
-    val contaminated = resweep && drifted(canary2)
+    val merged = mergeMin(firstPass, secondPass.toMap)
+    val contaminated = resweep && canaryDrifted(canary2)
     // Outlier retime pass: committed clean-box targets decide suspects.
     // Round-13 hardening: the old max(3 s, 2.5×target) floor let every
     // sub-3-second query inflate unchallenged — a loaded early sweep put

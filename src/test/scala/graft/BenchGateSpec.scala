@@ -1,0 +1,55 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Contract pins for the bench canary-drift gate (VERDICT r8 lead
+  * item). The clean-box r9 record never triggered the resweep path, so
+  * the gate logic is pinned here rather than left to the next poisoned
+  * run to exercise. */
+class BenchGateSpec extends AnyFunSuite {
+
+  test("flat clean-box triple passes") {
+    assert(!Bench.canaryDrifted((0.143, 0.192, 0.140)))
+    assert(!Bench.canaryDrifted((0.12, 0.15, 0.14)))
+  }
+
+  test("the r08 poisoned triple is caught") {
+    // the actual r08 record: 0.139 start -> 2.204 end (16x)
+    assert(Bench.canaryDrifted((0.139, 0.152, 2.204)))
+  }
+
+  test("mid-run load that clears before the end is still caught") {
+    assert(Bench.canaryDrifted((0.14, 1.9, 0.15)))
+  }
+
+  test("a box loaded from the START trips the absolute floor despite a flat ratio") {
+    // all three inflated together: ratio ~1, but every sample is far
+    // above the 0.10-0.25 s clean signature
+    assert(Bench.canaryDrifted((0.62, 0.70, 0.65)))
+  }
+
+  test("small jitter below both thresholds passes") {
+    // 2.4x ratio but max under the 0.5 s floor
+    assert(!Bench.canaryDrifted((0.10, 0.24, 0.12)))
+  }
+
+  test("failed canary samples are ignored, not treated as drift") {
+    assert(!Bench.canaryDrifted((-1.0, 0.15, 0.14)))
+    assert(!Bench.canaryDrifted((-1.0, -1.0, -1.0)))
+  }
+
+  test("mergeMin takes the per-query minimum across honest samples") {
+    val first = Seq("a" -> 1.0, "b" -> 5.0, "c" -> -1.0, "d" -> 2.0)
+    val second = Map("a" -> 2.0, "b" -> 3.0, "c" -> 4.0)
+    val m = Bench.mergeMin(first, second).toMap
+    assert(m("a") == 1.0, "first sample wins when smaller")
+    assert(m("b") == 3.0, "resweep sample wins when smaller")
+    assert(m("c") == 4.0, "a valid resweep replaces a FAILED first sample")
+    assert(m("d") == 2.0, "a query absent from the resweep keeps its first sample")
+  }
+
+  test("mergeMin never lets a failed resweep erase an honest first sample") {
+    val m = Bench.mergeMin(Seq("a" -> 1.5), Map("a" -> -1.0)).toMap
+    assert(m("a") == 1.5)
+  }
+}
