@@ -52,4 +52,44 @@ class RetryDeterminismSpec extends AnyFunSuite {
         s"$q output under task retry must be byte-identical to the clean run")
     }
   }
+
+  test("a retried MAP task upstream of a shuffle reproduces its shuffle output") {
+    // The result-stage tests above re-execute the partition feeding the
+    // collect; the riskier production case is a retry UPSTREAM of a
+    // shuffle, where the re-run map task's output must byte-match what
+    // the first attempt would have produced or the downstream aggregate
+    // silently drifts. Same md5-seeding discipline, demonstrated on the
+    // engine's sampling shape: an md5-keyed 30% row sample (the
+    // q_llm_rejection_sample primitive) computed in the MAP stage — with
+    // an induced first-attempt failure — feeding a groupBy aggregation
+    // across the shuffle boundary.
+    val s = spark
+    import org.apache.spark.sql.functions._
+    val docs = graft.engine.Tables.documents(s, sf0001)
+      .select(col("doc_id"), col("lang"), length(col("text")).as("len"))
+    def sampled(induceFailure: Boolean) = {
+      val base = docs.rdd.mapPartitionsWithIndex { (pid, it) =>
+        val tc = TaskContext.get()
+        if (induceFailure && pid == 0 && tc != null && tc.attemptNumber() == 0) {
+          throw new RuntimeException("induced map-stage failure")
+        }
+        // md5-keyed acceptance: seeded on DATA, not on attempt/partition
+        it.filter { r =>
+          val h = java.security.MessageDigest.getInstance("MD5")
+            .digest(s"retry:${r.getLong(0)}".getBytes("UTF-8"))
+          ((h(0) & 0xff) * 256 + (h(1) & 0xff)) % 10 < 3
+        }
+      }
+      s.createDataFrame(base, docs.schema)
+        .groupBy("lang")
+        .agg(count(lit(1)).as("n"), sum(col("len")).as("total_len"),
+          sum(col("doc_id")).as("id_sum"))
+        .collect().toIndexedSeq
+    }
+    val clean = snapshot(sampled(induceFailure = false))
+    val retried = snapshot(sampled(induceFailure = true))
+    assert(clean.nonEmpty)
+    assert(retried == clean,
+      "aggregates over a retried map stage must equal the clean run")
+  }
 }
