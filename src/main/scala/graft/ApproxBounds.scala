@@ -75,10 +75,15 @@ object ApproxBounds {
         abs(col("p50_approx") - col("p50")) / abs(col("p50")),
         abs(col("p90_approx") - col("p90")) / abs(col("p90"))).as("re"))
       .agg(max(col("re")).as("mx")).collect()(0)
-    // LSH precision/recall vs exact ground truth
+    // LSH precision/recall vs exact ground truth. Each pair set feeds
+    // 2-4 counts/joins below; without persist every one re-runs its full
+    // pipeline — for `exact` that is the O(n²/lang) quadratic baseline
+    // (round-9 code review: measureJson was re-executing it 6×).
     val cand = LlmOps.q_llm_minhash_lsh(s, dir).select(col("doc_a"), col("doc_b"))
+      .persist()
     val exact = LlmOps.q_llm_jaccard_pairs(s, dir)
       .select(col("doc_a"), col("doc_b"), col("jaccard"))
+      .persist()
     val strong = exact.filter(col("jaccard") >= 0.8)
     val nStrong = strong.count()
     val nStrongHit = strong.join(cand, Seq("doc_a", "doc_b"), "left_semi").count()
@@ -94,8 +99,10 @@ object ApproxBounds {
     // the other three self-checked rows already have.
     val xxPairs = LlmOps.simhashXx(s, dir, sampled = true)
       .select(col("doc_a"), col("doc_b"))
+      .persist()
     val md5Pairs = LlmOps.q_llm_simhash_md5(s, dir)
       .select(col("doc_a"), col("doc_b"))
+      .persist()
     val exactSample = exact
       .filter(col("doc_a") % 10 === 0 && col("doc_b") % 10 === 0)
     val shStrong = exactSample.filter(col("jaccard") >= 0.8)
@@ -110,6 +117,7 @@ object ApproxBounds {
     val shPrec = if (shN == 0) 1.0 else shTrue.toDouble / shN
     val shAgree = if (math.max(shN, shMd5N) == 0) 1.0
       else shBoth.toDouble / math.max(shN, shMd5N)
+    Seq(cand, exact, xxPairs, md5Pairs).foreach(_.unpersist())
     s"""{"sf":"$dir",""" +
       s""""hll":{"max_rel_err":${f6(hll.getDouble(0))},"avg_rel_err":${f6(hll.getDouble(1))}},""" +
       s""""gk":{"max_rel_err":${f6(gk.getDouble(0))}},""" +

@@ -43,6 +43,12 @@ object ScaleProbe {
   val PerturbTiers = Seq(4 -> "/tmp/graft_scale/p4", 16 -> "/tmp/graft_scale/p16")
 
   def main(args: Array[String]): Unit = {
+    // fail fast on a typo'd group name BEFORE the (long) replica builds
+    val known = Set("fact", "iter", "lsh")
+    val asked = args.filter(_ != "rebuild").toSet
+    val unknown = asked -- known
+    require(unknown.isEmpty,
+      s"unknown probe group(s) ${unknown.mkString(", ")} — valid: ${known.mkString(", ")} (plus 'rebuild')")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -109,11 +115,15 @@ object ScaleProbe {
         val reps = (0 until copies).map { k =>
           val shifted = base.withColumn("doc_id", col("doc_id") + lit(k * dSpan))
           // copy 0 keeps the original text; copy k suffixes every token
-          // with k — a uniform bijection per copy, so intra-copy Jaccard
-          // structure is preserved EXACTLY and cross-copy overlap is zero
+          // with ·k — a uniform bijection per copy, so intra-copy
+          // Jaccard structure is preserved EXACTLY and cross-copy
+          // overlap is zero. The middle-dot separator is outside the
+          // fixture's token alphabet; a bare digit suffix is NOT
+          // collision-free for k ≥ 10 ("x"+"11" == "x1"+"1", so copies
+          // 1 and 11 would share tokens — round-9 code-review catch)
           if (k == 0) shifted
           else shifted.withColumn("text",
-            regexp_replace(col("text"), "(\\S+)", "$1" + k.toString))
+            regexp_replace(col("text"), "(\\S+)", "$1·" + k.toString))
         }
         reps.reduce(_.union(_)).write.mode("overwrite")
           .parquet(s"$out/documents.parquet")
@@ -159,8 +169,7 @@ object ScaleProbe {
       }
     }
 
-    val groups = if (args.exists(a => a != "rebuild")) args.filter(_ != "rebuild").toSet
-      else Set("fact", "iter", "lsh")
+    val groups = if (asked.nonEmpty) asked else known
     if (groups("fact")) {
       // q_llm_minhash_md5 stays EXCLUDED from the FACT-tier 16×: naive
       // replication manufactures ~256× the true near-dup pairs (every

@@ -52,7 +52,16 @@ object Mv {
   // Builds serialize under `lock`, and a NESTED build (pairCounts →
   // edges) attributes its own ids on completion — the outer diff
   // excludes everything already attributed, so eviction of the outer MV
-  // never unpersists an inner MV's blocks.
+  // never unpersists an inner MV's blocks. The diff deliberately also
+  // catches a build's INTERMEDIATE checkpoints (the per-step
+  // localCheckpoints of the fixpoint builds), so evict frees them
+  // eagerly instead of waiting for GC + ContextCleaner. Caveat: the
+  // diff is context-global, so a checkpoint created by an UNRELATED
+  // thread during a build window would be attributed to that build's
+  // key and freed on its eviction — acceptable under the engine's
+  // documented contract that MV builds are single-threaded per session
+  // (a deployment sharing one session across query threads warms its
+  // MVs up front, as Bench.warmups does).
   private val rddIds = new java.util.concurrent.ConcurrentHashMap[String, Set[Int]]()
 
   def memo(s: SparkSession, key: String)(build: SparkSession => DataFrame): DataFrame = {
@@ -67,12 +76,22 @@ object Mv {
         }
       })
     }
+    // Re-bind on EVERY cache hit whose session differs from the caller:
+    // a nested build (pairCounts → edges(bs, ...)) memoizes the inner MV
+    // with the OUTER build's clone as caller, so the cached entry can be
+    // clone-bound — without this, a later direct consumer would chain
+    // its whole query off the clone (AQE off, empty temp-function
+    // registry; the round-9 code-review catch). The rebind is a plan
+    // re-wrap of a checkpoint-backed leaf — O(1), no data movement.
+    def bound(df: DataFrame): DataFrame =
+      if (df.sparkSession eq s) df
+      else org.apache.spark.sql.graft.SessionBridge.rebind(s, df)
     val k = appId + "|" + key
     val cur = cache.get(k)
-    if (cur != null) cur
+    if (cur != null) bound(cur)
     else lock.synchronized {
       val winner = cache.get(k)
-      if (winner != null) winner
+      if (winner != null) bound(winner)
       else {
         // Build with AQE OFF: an adaptively-executed plan reports
         // UnknownPartitioning, so localCheckpoint would NOT capture the

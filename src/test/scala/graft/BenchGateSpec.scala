@@ -33,6 +33,13 @@ class BenchGateSpec extends AnyFunSuite {
     assert(!Bench.canaryDrifted((0.10, 0.24, 0.12)))
   }
 
+  test("a raised floor accommodates a legitimately slower configuration") {
+    // e.g. a bigger sf or fewer cores: flat triple above the sf0.1
+    // floor must pass once the floor is set for that configuration
+    assert(!Bench.canaryDrifted((0.62, 0.70, 0.65), floor = 1.5))
+    assert(Bench.canaryDrifted((0.62, 0.70, 1.9), floor = 1.5))
+  }
+
   test("failed canary samples are ignored, not treated as drift") {
     assert(!Bench.canaryDrifted((-1.0, 0.15, 0.14)))
     assert(!Bench.canaryDrifted((-1.0, -1.0, -1.0)))

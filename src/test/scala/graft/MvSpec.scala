@@ -131,10 +131,11 @@ class MvSpec extends AnyFunSuite {
     val kIn = s"mvspec-nest-in-$runId"
     val kOut = s"mvspec-nest-out-$runId"
     Mv.memo(s, kOut) { bs =>
-      // outer build memoizes its input on the same registry (the
-      // pairCounts → edges shape); eviction of the outer entry must not
-      // free the inner entry's checkpoint blocks
-      val inner = Mv.memo(s, kIn)(b2 => b2.range(10).toDF().localCheckpoint())
+      // outer build memoizes its input on the same registry, passing the
+      // CLONE as the inner caller — the production shape (pairCounts
+      // does edges(bs, dir)); eviction of the outer entry must not free
+      // the inner entry's checkpoint blocks
+      val inner = Mv.memo(bs, kIn)(b2 => b2.range(10).toDF().localCheckpoint())
       inner.union(bs.range(5).toDF()).localCheckpoint()
     }
     assert(Mv.evict(s, kOut))
@@ -143,6 +144,11 @@ class MvSpec extends AnyFunSuite {
     // inner blocks, this count would throw (block not found), not recompute
     val inner = Mv.memo(s, kIn)(_ => sys.error("must be cached"))
     assert(inner.count() == 10)
+    // a nested-built entry is cached CLONE-bound; a direct lookup must
+    // re-bind it to the caller (round-9 code-review catch: consumers of
+    // undDegrees/dedupDocs otherwise ran under the outer build's clone)
+    assert(inner.sparkSession eq s,
+      "cache hits must re-bind clone-built MVs to the caller's session")
     assert(Mv.evict(s, kIn))
   }
 }
