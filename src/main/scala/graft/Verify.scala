@@ -19,7 +19,25 @@ object Verify {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    new java.io.File(outDir).mkdirs()
+    // Clear any prior dump for the selected queries FIRST: a query that
+    // fails this run must leave NO parquet behind, or a stale dump from
+    // an earlier run silently passes the oracle compare (observed in
+    // round 9: a failed q_gnn_attention "passed" against a 2-hour-old
+    // dump). Scoped to the name filter so dev re-runs of a subset don't
+    // wipe the rest.
+    val outRoot = new java.io.File(outDir)
+    if (outRoot.isDirectory) {
+      outRoot.listFiles().foreach { f =>
+        if (f.isDirectory && f.getName.matches(nameRe)) {
+          def rm(x: java.io.File): Unit = {
+            if (x.isDirectory) x.listFiles().foreach(rm)
+            x.delete(); ()
+          }
+          rm(f)
+        }
+      }
+    }
+    outRoot.mkdirs()
     SparkEntry.queries.filter(_._1.matches(nameRe)).foreach { case (name, fn) =>
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")
