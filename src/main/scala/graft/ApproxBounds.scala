@@ -40,15 +40,8 @@ object ApproxBounds {
   /** Dev entry: print the bounds JSON for SPARK_GRAFT_SF_DIR without a
     * full Bench sweep. */
   def main(args: Array[String]): Unit = {
-    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01")
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
-    val spark = SparkSession.builder()
-      .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
-      .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.ui.enabled", "false")
-      .getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
+    val sfDir = Harness.sfDir("/root/testdata/sf0.01")
+    val spark = Harness.session()
     println(measureJson(spark, sfDir))
     spark.stop()
   }

@@ -124,15 +124,9 @@ object Bench {
     }
 
   def main(args: Array[String]): Unit = {
-    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
-    val spark = SparkSession.builder()
-      .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
-      .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.ui.enabled", "false")
-      .getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
+    val sfDir = Harness.sfDir()
+    // the driver contract's default core count (BASELINE.md row 4)
+    val spark = Harness.session(defaultCpus = "4")
     // A warmup failure is NOT swallowed silently (ADVICE r5): the
     // one-time cost would land on the first timed consumer and corrupt
     // cross-round comparability — log it and surface it in bench.json.

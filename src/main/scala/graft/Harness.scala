@@ -1,0 +1,27 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** Shared session factory for the builder/driver mains (Bench, Verify,
+  * TimeQ, TimeOne, ScaleProbe, StreamBench, ApproxBounds, Explain):
+  * one place for the contract configuration — local[SPARK_GRAFT_CPUS],
+  * shuffle partitions = cores (not the 200 default), UTC, no UI — so
+  * the eight entry points cannot drift apart. */
+object Harness {
+  def session(defaultCpus: String = "32",
+      extraConfs: Map[String, String] = Map.empty): SparkSession = {
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", defaultCpus)
+    val b = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+    val s = extraConfs.foldLeft(b) { case (bb, (k, v)) => bb.config(k, v) }
+      .getOrCreate()
+    s.sparkContext.setLogLevel(sys.env.getOrElse("SPARK_GRAFT_LOG", "WARN"))
+    s
+  }
+
+  def sfDir(default: String = "/root/testdata/sf0.1"): String =
+    sys.env.getOrElse("SPARK_GRAFT_SF_DIR", default)
+}

@@ -49,14 +49,7 @@ object ScaleProbe {
     val unknown = asked -- known
     require(unknown.isEmpty,
       s"unknown probe group(s) ${unknown.mkString(", ")} — valid: ${known.mkString(", ")} (plus 'rebuild')")
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
-    val spark = SparkSession.builder()
-      .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
-      .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.ui.enabled", "false")
-      .getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
+    val spark = Harness.session()
 
     def table(dir: String, name: String): DataFrame =
       spark.read.parquet(s"$dir/$name.parquet")

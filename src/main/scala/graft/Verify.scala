@@ -11,14 +11,7 @@ object Verify {
       case Array(a, b)     => (a, b, ".*")
       case Array(a, b, re) => (a, b, re)
     }
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
-    val spark = SparkSession.builder()
-      .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
-      .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.ui.enabled", "false")
-      .getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
+    val spark = Harness.session(defaultCpus = "4")
     // Clear any prior dump for the selected queries FIRST: a query that
     // fails this run must leave NO parquet behind, or a stale dump from
     // an earlier run silently passes the oracle compare (observed in
