@@ -4113,6 +4113,58 @@ object Oracle {
         |    AS z
         |FROM agg ORDER BY event_type""".stripMargin,
 
+    // PMI collocations: the exact-integer ratio reaches LN as one
+    // division (identical IEEE double both engines); round-6 absorbs the
+    // libm-vs-StrictMath last-ulp (the q_agg_entropy device)
+    "q_text_pmi" ->
+      """WITH tok AS (SELECT DISTINCT lang, doc_id, tok FROM (
+        |    SELECT lang, doc_id, UNNEST(string_split(text, ' ')) AS tok
+        |    FROM documents) WHERE tok <> ''),
+        |nd AS (SELECT lang AS nl, CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs
+        |  FROM tok GROUP BY 1),
+        |wc AS (SELECT lang AS wl, tok AS ww, CAST(COUNT(*) AS BIGINT) AS cw
+        |  FROM tok GROUP BY 1, 2),
+        |pr AS (SELECT a.lang, a.tok AS wa, b.tok AS wb,
+        |    CAST(COUNT(*) AS BIGINT) AS cab
+        |  FROM tok a JOIN tok b
+        |    ON a.doc_id = b.doc_id AND a.lang = b.lang AND a.tok < b.tok
+        |  GROUP BY 1, 2, 3 HAVING COUNT(*) >= 5),
+        |sc AS (SELECT pr.lang, wa, wb, cab,
+        |    ROUND(LN(CAST(cab * nd.n_docs AS DOUBLE)
+        |      / CAST(ca.cw * cb.cw AS DOUBLE)), 6) AS pmi
+        |  FROM pr JOIN nd ON pr.lang = nd.nl
+        |  JOIN wc ca ON pr.lang = ca.wl AND pr.wa = ca.ww
+        |  JOIN wc cb ON pr.lang = cb.wl AND pr.wb = cb.ww),
+        |rk AS (SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY lang
+        |    ORDER BY pmi DESC, wa ASC, wb ASC) AS BIGINT) AS rnk FROM sc)
+        |SELECT lang, rnk, wa AS word_a, wb AS word_b,
+        |  cab AS n_pair_docs, pmi
+        |FROM rk WHERE rnk <= 10 ORDER BY lang, rnk""".stripMargin,
+
+    // CUSUM path in exact n-scaled integer residuals (the Ljung-Box
+    // device); the one display division rounds on the k*100/n grid whose
+    // true .5 ties are exactly representable (both engines round up)
+    "q_time_cusum" ->
+      """WITH daily AS (SELECT event_type,
+        |    CAST(CAST(ts AS TIMESTAMP) AS DATE) AS day,
+        |    CAST(SUM(CAST(ROUND(value * 100, 0) AS BIGINT)) AS BIGINT) AS y
+        |  FROM events GROUP BY 1, 2),
+        |st AS (SELECT event_type AS s_et, CAST(COUNT(*) AS BIGINT) AS n,
+        |    CAST(SUM(y) AS BIGINT) AS sy FROM daily GROUP BY 1),
+        |cu AS (SELECT d.event_type, d.day, st.n,
+        |    CAST(SUM(st.n * d.y - st.sy) OVER (PARTITION BY d.event_type
+        |      ORDER BY d.day) AS BIGINT) AS cu
+        |  FROM daily d JOIN st ON d.event_type = st.s_et),
+        |pk AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY event_type
+        |    ORDER BY cu DESC, day ASC) AS pk FROM cu)
+        |SELECT event_type, CAST(MAX(n) AS BIGINT) AS n_days,
+        |  CAST(MAX(cu) AS BIGINT) AS cusum_max,
+        |  CAST(MIN(cu) AS BIGINT) AS cusum_min,
+        |  MAX(CASE WHEN pk = 1 THEN day END) AS peak_day,
+        |  ROUND(CAST(MAX(cu) - MIN(cu) AS DOUBLE) * 100
+        |    / CAST(MAX(n) AS DOUBLE), 0) / 1e4 AS range_value
+        |FROM pk GROUP BY 1 ORDER BY 1""".stripMargin,
+
     "q_text_burstiness" ->
       """WITH nd AS (SELECT lang AS nl, CAST(COUNT(*) AS BIGINT) AS nn
         |            FROM documents GROUP BY 1),

@@ -1527,7 +1527,42 @@ object StatsOps {
       .orderBy(col("decayed_count").desc, col("event_type").asc)
   }
 
+  /** CUSUM drift diagnostic (Page 1954, zero-allowance form) per
+    * event_type over the daily cents series: with residuals scaled to
+    * EXACT integers e_t = n·y_t − Σy (the Ljung–Box device — no
+    * division, so the cumulative path is exact and order-deterministic)
+    * the running sum C_t is Page's cumulative deviation path; its max,
+    * min, peak day (earliest argmax) and normalized range
+    * (C_max − C_min)/n are the classic change-diagnostic a drift
+    * monitor plots (the path always returns to 0 at t = n). Everything
+    * is BIGINT until the ONE display division, which rounds through an
+    * exactly-representable grid (k·100/n true ties land on
+    * representable .5 — both engines round them up). One keyed window
+    * over the calendar-bounded series. */
+  def q_time_cusum(s: SparkSession, dir: String): DataFrame = {
+    val daily = Tables.events(s, dir)
+      .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+      .agg(sum(round(col("value") * 100, 0).cast("bigint")).as("y"))
+    val stats = daily.groupBy(col("event_type").as("st"))
+      .agg(count(lit(1)).as("n"), sum(col("y")).as("sy"))
+    val w = Window.partitionBy(col("event_type")).orderBy(col("day"))
+    val path = daily.join(broadcast(stats), col("event_type") === col("st"))
+      .withColumn("cu", sum(col("n") * col("y") - col("sy")).over(w))
+    val wpk = Window.partitionBy(col("event_type"))
+      .orderBy(col("cu").desc, col("day").asc)
+    path.withColumn("pk", row_number().over(wpk))
+      .groupBy(col("event_type"), col("n"))
+      .agg(max(col("cu")).as("cusum_max"), min(col("cu")).as("cusum_min"),
+        max(when(col("pk") === 1, col("day"))).as("peak_day"))
+      .select(col("event_type"), col("n").as("n_days"),
+        col("cusum_max"), col("cusum_min"), col("peak_day"),
+        (round((col("cusum_max") - col("cusum_min")).cast("double") * 100
+          / col("n"), 0) / 1e4).as("range_value"))
+      .orderBy("event_type")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_time_cusum" -> q_time_cusum _,
     "q_agg_chi2" -> q_agg_chi2 _,
     "q_agg_benford" -> q_agg_benford _,
     "q_stream_chi2" -> q_stream_chi2 _,

@@ -775,7 +775,56 @@ object TextOps {
       .orderBy("lang", "rk")
   }
 
+  /** PMI collocation mining (Church & Hanks 1990) — the phrase-mining
+    * screen a tokenizer/curation pipeline runs before merging frequent
+    * word pairs: presence-based within-doc co-occurrence per lang,
+    * PMI(a,b) = ln(N·c_ab / (c_a·c_b)) over documents containing both
+    * words, min support 5 docs, top-10 pairs per lang by
+    * (pmi desc, pair asc). Exactness: the ratio reaches ln as ONE exact
+    * integer-product division (same IEEE double both engines), and the
+    * single ln result is round-6 (the q_agg_entropy cross-engine
+    * device). Scale: the pair space is VOCAB-bounded (≤|V|²/2 per lang
+    * regardless of corpus size — the tokenizer-ladder argument), and
+    * pairs explode per doc from the distinct-token array in one pass
+    * (no self-join); everything downstream is keyed aggregation over
+    * vocab-bounded keys with broadcast count tables. */
+  def q_text_pmi(s: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documents(s, dir)
+      .select(col("doc_id"), col("lang"),
+        expr("filter(array_distinct(split(text, ' ')), t -> t <> '')").as("toks"))
+      .filter(size(col("toks")) > 0)
+    val tok = d.select(col("doc_id"), col("lang"), explode(col("toks")).as("w"))
+    val nd = tok.groupBy(col("lang").as("nl"))
+      .agg(countDistinct(col("doc_id")).as("n_docs"))
+    val wc = tok.groupBy(col("lang").as("wl"), col("w").as("ww"))
+      .agg(count(lit(1)).as("cw")) // toks is distinct per doc ⇒ doc freq
+    val pairs = d.select(col("lang"),
+        explode(expr(
+          "flatten(transform(toks, a -> transform(filter(toks, b -> b > a), b -> struct(a, b))))"
+        )).as("p"))
+      .groupBy(col("lang"), col("p.a").as("wa"), col("p.b").as("wb"))
+      .agg(count(lit(1)).as("cab"))
+      .filter(col("cab") >= 5)
+    val scored = pairs
+      .join(broadcast(nd), col("lang") === col("nl"))
+      .join(broadcast(wc.select(col("wl").as("la"), col("ww").as("ta"), col("cw").as("ca"))),
+        col("lang") === col("la") && col("wa") === col("ta"))
+      .join(broadcast(wc.select(col("wl").as("lb"), col("ww").as("tb"), col("cw").as("cb"))),
+        col("lang") === col("lb") && col("wb") === col("tb"))
+      .select(col("lang"), col("wa"), col("wb"), col("cab"),
+        round(log((col("cab") * col("n_docs")).cast("double")
+          / (col("ca") * col("cb")).cast("double")), 6).as("pmi"))
+    val wr = Window.partitionBy(col("lang"))
+      .orderBy(col("pmi").desc, col("wa").asc, col("wb").asc)
+    scored.withColumn("rnk", row_number().over(wr).cast("bigint"))
+      .filter(col("rnk") <= 10)
+      .select(col("lang"), col("rnk"), col("wa").as("word_a"),
+        col("wb").as("word_b"), col("cab").as("n_pair_docs"), col("pmi"))
+      .orderBy("lang", "rnk")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_text_pmi" -> q_text_pmi _,
     "q_text_burstiness" -> q_text_burstiness _,
     "q_llm_calibration" -> q_llm_calibration _,
     "q_text_lexical_diversity" -> q_text_lexical_diversity _,
