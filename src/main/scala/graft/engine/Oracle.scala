@@ -4141,6 +4141,38 @@ object Oracle {
         |  cab AS n_pair_docs, pmi
         |FROM rk WHERE rnk <= 10 ORDER BY lang, rnk""".stripMargin,
 
+    // Streaming Page CUSUM replayed via the drawdown identity
+    // C+_t = R_t - min(0, min_j R_j) — a window expression over the
+    // exact integer increments, bit-identical to the recursive fold
+    "q_stream_cusum" ->
+      """WITH daily AS (SELECT event_type,
+        |    CAST(CAST(ts AS TIMESTAMP) AS DATE) AS day,
+        |    CAST(SUM(CAST(ROUND(value * 100, 0) AS BIGINT)) AS BIGINT) AS y
+        |  FROM events GROUP BY 1, 2),
+        |d AS (SELECT event_type,
+        |    CAST(day - DATE '2024-01-01' AS BIGINT) AS x, y FROM daily),
+        |rk AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY event_type
+        |    ORDER BY x) AS rn FROM d),
+        |ref AS (SELECT event_type AS ret, CAST(SUM(y) AS BIGINT) AS sref
+        |  FROM rk WHERE rn <= 10 GROUP BY 1),
+        |mon AS (SELECT rk.event_type, rk.x,
+        |    CAST(10 * rk.y - ref.sref AS BIGINT) AS dlt, ref.sref
+        |  FROM rk JOIN ref ON rk.event_type = ref.ret WHERE rk.rn > 10),
+        |p1 AS (SELECT *, CAST(SUM(dlt) OVER (PARTITION BY event_type
+        |    ORDER BY x) AS BIGINT) AS r FROM mon),
+        |p2 AS (SELECT *, CAST(r - LEAST(CAST(0 AS BIGINT),
+        |    MIN(r) OVER (PARTITION BY event_type ORDER BY x)) AS BIGINT) AS c
+        |  FROM p1),
+        |pk AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY event_type
+        |    ORDER BY c DESC, x ASC) AS pk FROM p2)
+        |SELECT event_type, CAST(10 AS BIGINT) AS n_ref_days,
+        |  CAST(COUNT(*) AS BIGINT) AS n_monitored,
+        |  CAST(MAX(c) AS BIGINT) AS cusum_pos_max,
+        |  CAST(MAX(CASE WHEN pk = 1 THEN x END) AS BIGINT) AS peak_x,
+        |  CAST(SUM(CASE WHEN 10 * c > 10 * sref THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS alarm_days
+        |FROM pk GROUP BY 1 ORDER BY 1""".stripMargin,
+
     // CUSUM path in exact n-scaled integer residuals (the Ljung-Box
     // device); the one display division rounds on the k*100/n grid whose
     // true .5 ties are exactly representable (both engines round up)

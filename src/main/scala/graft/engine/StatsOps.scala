@@ -1561,8 +1561,68 @@ object StatsOps {
       .orderBy("event_type")
   }
 
+  /** Reference-window length of the streaming CUSUM (days). */
+  val CusumRefDays = 10
+
+  case class CusumIn(etype: String, x: Long, y: Long)
+  case class CusumSnap(event_type: String, n_ref_days: Long, n_monitored: Long,
+      cusum_pos_max: Long, peak_x: Long, alarm_days: Long)
+
+  /** Streaming Page fold: accumulate the first `CusumRefDays` days as
+    * the in-control reference, then maintain the recursive one-sided
+    * CUSUM C⁺_t = max(0, C⁺_{t-1} + (n_ref·y_t − S_ref)) in EXACT
+    * integers — tracked as the running sum R_t and its running min
+    * (the drawdown identity C⁺_t = R_t − min(0, min_j R_j), which is
+    * also what makes the oracle a window expression). State per key:
+    * 6 longs — the bounded-state drift detector a monitor deploys. */
+  def updateCusumPos(key: String, it: Iterator[CusumIn],
+      state: org.apache.spark.sql.streaming.GroupState[Array[Long]]):
+      Iterator[CusumSnap] = {
+    // state layout: seenRef, sRef, r, rMin, cMax, cMaxX, alarms, monitored
+    val st = state.getOption.getOrElse(Array(0L, 0L, 0L, 0L, Long.MinValue, -1L, 0L, 0L))
+    it.toArray.sortBy(_.x).foreach { e =>
+      if (st(0) < CusumRefDays) { st(0) += 1; st(1) += e.y }
+      else {
+        st(7) += 1
+        val d = CusumRefDays * e.y - st(1)
+        st(2) += d
+        if (st(2) < st(3)) st(3) = st(2)
+        val c = st(2) - math.min(0L, st(3))
+        if (c > st(4)) { st(4) = c; st(5) = e.x }
+        if (10L * c > CusumRefDays * st(1)) st(6) += 1
+      }
+    }
+    state.update(st)
+    if (st(7) == 0L) Iterator.empty
+    else Iterator.single(CusumSnap(key, st(0), st(7), st(4), st(5), st(6)))
+  }
+
+  /** Driver-contract query: the streaming CUSUM drift monitor over the
+    * bounded daily series (the batch-mode fMGWS run of the maintainer,
+    * the q_stream_decay_topk template): per event_type, the reference
+    * window size, monitored days, max positive excursion C⁺ with its
+    * earliest peak day index, and the count of alarm days
+    * (10·C⁺ > n_ref·S_ref — cumulative excess beyond 10% of the
+    * reference total). */
+  def q_stream_cusum(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val daily = Tables.events(s, dir)
+      .groupBy(col("event_type").as("etype"), to_date(col("ts")).as("day"))
+      .agg(sum(round(col("value") * 100, 0).cast("bigint")).as("y"))
+      .select(col("etype"),
+        datediff(col("day"), lit("2024-01-01").cast("date")).cast("bigint").as("x"),
+        col("y"))
+    daily.as[CusumIn]
+      .groupByKey(_.etype)
+      .flatMapGroupsWithState(org.apache.spark.sql.streaming.OutputMode.Update,
+        org.apache.spark.sql.streaming.GroupStateTimeout.NoTimeout)(updateCusumPos)
+      .toDF()
+      .orderBy("event_type")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_time_cusum" -> q_time_cusum _,
+    "q_stream_cusum" -> q_stream_cusum _,
     "q_agg_chi2" -> q_agg_chi2 _,
     "q_agg_benford" -> q_agg_benford _,
     "q_stream_chi2" -> q_stream_chi2 _,

@@ -47,6 +47,46 @@ class Round14Spec extends AnyFunSuite {
       s"pmi replay mismatch:\n got=${got.take(5)}\n exp=${expected.take(5)}")
   }
 
+  test("q_stream_cusum fold: micro-batch split equals single shot; drawdown = recursion") {
+    import org.apache.spark.sql.streaming.{GroupStateTimeout, TestGroupState}
+    // deterministic 25-day series with a level shift at day 18
+    val days = (0 until 25).map { x =>
+      StatsOps.CusumIn("t", x.toLong, 1000L + (x % 7) * 13L + (if (x >= 18) 400L else 0L))
+    }
+    def fold(batches: Seq[Seq[StatsOps.CusumIn]]): StatsOps.CusumSnap = {
+      var st: Option[Array[Long]] = None
+      var out: StatsOps.CusumSnap = null
+      batches.foreach { b =>
+        val gs = TestGroupState.create[Array[Long]](
+          optionalState = st.map(org.apache.spark.api.java.Optional.of[Array[Long]])
+            .getOrElse(org.apache.spark.api.java.Optional.empty[Array[Long]]()),
+          timeoutConf = GroupStateTimeout.NoTimeout,
+          batchProcessingTimeMs = 0L,
+          eventTimeWatermarkMs = org.apache.spark.api.java.Optional.empty[Long](),
+          hasTimedOut = false)
+        val res = StatsOps.updateCusumPos("t", b.iterator, gs).toSeq
+        if (res.nonEmpty) out = res.last
+        st = Some(gs.get)
+      }
+      out
+    }
+    val single = fold(Seq(days))
+    val split = fold(Seq(days.take(12), days.slice(12, 19), days.drop(19)))
+    assert(split == single,
+      "state carried across micro-batches must reproduce the single-shot fold")
+    // independent mirror: the textbook max(0, ...) recursion
+    val sref = days.take(10).map(_.y).sum
+    var c = 0L; var cmax = 0L; var peak = -1L; var alarms = 0L
+    days.drop(10).foreach { e =>
+      c = math.max(0L, c + (10L * e.y - sref))
+      if (c > cmax) { cmax = c; peak = e.x }
+      if (10L * c > 10L * sref) alarms += 1
+    }
+    assert(single.cusum_pos_max == cmax && single.peak_x == peak &&
+      single.alarm_days == alarms && single.n_monitored == 15L,
+      s"drawdown-identity fold must equal the Page recursion: $single vs ($cmax, $peak, $alarms)")
+  }
+
   test("q_time_cusum equals a driver-side replay; the path closes at zero") {
     val s = spark
     val ev = Tables.events(s, sf0001)
