@@ -1,6 +1,5 @@
 package graft
 
-import org.apache.spark.sql.SparkSession
 
 /** Plan inspector: prints the formatted physical plan for the named
   * queries (all queries if no names given). Usage:

@@ -1,5 +1,4 @@
 package graft
-import org.apache.spark.sql.SparkSession
 
 /** Dev utility: time a single SparkEntry query repeatedly.
   * Usage: runMain graft.TimeOne <queryName> [reps]

@@ -1,6 +1,5 @@
 package graft
 
-import org.apache.spark.sql.SparkSession
 
 /** Dev timing harness: `sbt "runMain graft.TimeQ q_a q_b ..."` times the
   * named queries (repeat a name to measure warm runs) on

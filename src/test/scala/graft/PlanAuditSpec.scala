@@ -420,6 +420,24 @@ class PlanAuditSpec extends AnyFunSuite {
       s"the global ntile window must read only the customer dimension, scans=$scanned")
   }
 
+  test("round-14 bounded inputs: the PMI pair space stays vocab-bounded") {
+    import org.apache.spark.sql.functions._
+    // q_text_pmi's 100 TB claim is that the pair space is |V|²/2 per
+    // lang REGARDLESS of corpus size — the same fixture assumption the
+    // tokenizer-ladder pin protects. A fixture change that explodes the
+    // vocabulary must trip this before the pair aggregation becomes
+    // corpus-sized.
+    val vocab = graft.engine.Tables.documents(spark, sf001)
+      .select(col("lang"), explode(split(col("text"), " ")).as("w"))
+      .filter(length(col("w")) > 0)
+      .groupBy(col("lang")).agg(countDistinct(col("w")).as("v"))
+      .agg(max(col("v"))).collect()(0).getLong(0)
+    assert(vocab <= 500L, s"PMI vocab must stay bounded per lang, got $vocab")
+    // and the query's own pair output is capped by |V|²/2 · top-10 rank
+    val rows = SparkEntry.queries("q_text_pmi")(spark, sf001).count()
+    assert(rows <= 10L * 16L, s"top-10-per-lang output must stay lang-bounded, got $rows")
+  }
+
   test("motifs: one path scan with broadcast closure joins, no cartesian") {
     val df = SparkEntry.queries("q_graph_motifs")(spark, sf0001)
     df.collect()
