@@ -148,17 +148,27 @@ object ScaleProbe {
           if (!exclude((q, c))) cold((q, c)) = time(q, d)
         }
       }
+      // Columns and exclusion keys all derive from `tiers` (ADVICE r9:
+      // the old body hard-coded exclude((q, 16)) and tiers(0)/tiers(1),
+      // so editing a tier list silently misaligned the printed columns).
       println(s"== $title ==")
-      println(f"${"query"}%-26s ${"sf0.1"}%8s ${"x4"}%8s ${"x16"}%8s ${"r4"}%6s ${"r16"}%6s ${"c1"}%7s ${"c4"}%7s ${"c16"}%7s")
+      val timedHdr = tiers.map { case (n, _) => f"${s"x$n"}%8s" }.mkString(" ")
+      val ratioHdr = tiers.map { case (n, _) => f"${s"r$n"}%6s" }.mkString(" ")
+      val coldHdr = dirs.map { case (n, _) => f"${s"c$n"}%7s" }.mkString(" ")
+      println(f"${"query"}%-26s ${"sf0.1"}%8s $timedHdr $ratioHdr $coldHdr")
       probes.foreach { q =>
         def m(dir: String): Double = math.min(time(q, dir), time(q, dir))
         val a = m(Base)
-        val b = m(tiers(0)._2)
-        val c = if (exclude((q, 16))) -1.0 else m(tiers(1)._2)
-        val c16 = if (c < 0) "      -" else f"$c%7.2f"
-        val r16 = if (c < 0) "     -" else f"${c / a}%6.2f"
-        def cd(n: Int): String = cold.get((q, n)).map(v => f"$v%7.2f").getOrElse("      -")
-        println(f"$q%-26s $a%8.2f $b%8.2f $c16%8s ${b / a}%6.2f $r16%6s ${cd(1)}%7s ${cd(4)}%7s ${cd(16)}%7s")
+        val ts = tiers.map { case (n, d) =>
+          n -> (if (exclude((q, n))) -1.0 else m(d))
+        }
+        val timedCols = ts.map { case (_, v) =>
+          if (v < 0) f"${"-"}%8s" else f"$v%8.2f" }.mkString(" ")
+        val ratioCols = ts.map { case (_, v) =>
+          if (v < 0) f"${"-"}%6s" else f"${v / a}%6.2f" }.mkString(" ")
+        val coldCols = dirs.map { case (n, _) =>
+          cold.get((q, n)).map(v => f"$v%7.2f").getOrElse(f"${"-"}%7s") }.mkString(" ")
+        println(f"$q%-26s $a%8.2f $timedCols $ratioCols $coldCols")
       }
     }
 

@@ -319,7 +319,13 @@ object LlmOps {
     * exact Hamming verify (bit_count(xor) ≤ 12). One linear signature
     * scan + bucket join — same 100 TB shape as the MinHash path, but the
     * signature is 8 bytes/doc. No oracle (xxhash64 is engine-specific);
-    * self-tested against token-set Jaccard. */
+    * self-tested against token-set Jaccard.
+    *
+    * Measured designation (APPROX_BOUNDS.json `simhash_sweep` @ sf0.1):
+    * this default is a PRECISION SCREEN — precision 0.98 at recall 0.29
+    * on strong (J ≥ 0.8) near-dups. When recall matters, run
+    * `simhashXxParam(nBands = 8, hammingMax = 16)` (recall 0.96 @
+    * precision 0.91) or the MinHash LSH tier (recall 0.99 @ 1.0). */
   def q_llm_simhash(s: SparkSession, dir: String): DataFrame =
     simhashXx(s, dir, sampled = false)
 
@@ -328,7 +334,23 @@ object LlmOps {
     * what lets ApproxBounds measure the fast path against the exact
     * Jaccard ground truth and the oracled twin on identical input
     * (VERDICT r8 item 5). */
-  private[graft] def simhashXx(s: SparkSession, dir: String, sampled: Boolean): DataFrame = {
+  private[graft] def simhashXx(s: SparkSession, dir: String, sampled: Boolean): DataFrame =
+    simhashXxParam(s, dir, nBands = 4, hammingMax = 12, sampled = sampled)
+
+  /** Band/threshold-parameterized xx-SimHash (VERDICT r9 item 4): the
+    * 64-bit signature split into `nBands` equal bands (bands must divide
+    * 64; more/narrower bands = higher candidate recall at a larger
+    * bucket-join fan-out — at 100 TB, band width below ~8 bits makes
+    * bucket occupancy corpus-fractional and the join quadratic, so the
+    * production setting stays 4×16), then exact Hamming verify at
+    * `hammingMax`. ApproxBounds sweeps this grid against the exact
+    * Jaccard ground truth so a user can choose simhash-vs-minhash from
+    * measured recall/precision, not folklore. */
+  private[graft] def simhashXxParam(s: SparkSession, dir: String, nBands: Int,
+      hammingMax: Int, sampled: Boolean): DataFrame = {
+    require(64 % nBands == 0, s"bands must divide 64, got $nBands")
+    val bandBits = 64 / nBands
+    val bandMask = if (bandBits == 64) -1L else (1L << bandBits) - 1
     s.sessionState.functionRegistry.createOrReplaceTempFunction(
       "graft_simhash64", exprs => graft.functions.SimHash64(exprs.head), "built-in")
     val d0 = tokenSets(s, dir).filter(size(col("toks")) > 0)
@@ -338,8 +360,8 @@ object LlmOps {
       .select(col("doc_id"), col("lang"), col("simhash"))
       .localCheckpoint()
     val banded = sig.select(col("lang"), col("doc_id"),
-      posexplode(array((0 until 4).map { b =>
-        expr(s"shiftright(simhash, ${16 * b}) & 65535")
+      posexplode(array((0 until nBands).map { b =>
+        expr(s"shiftright(simhash, ${bandBits * b}) & $bandMask")
       }: _*)).as(Seq("band_id", "band_val")))
     val a = banded.select(col("lang"), col("band_id"), col("band_val"),
       col("doc_id").as("doc_a"))
@@ -355,7 +377,7 @@ object LlmOps {
       .join(broadcast(sig.select(col("doc_id").as("ib"), col("simhash").as("hb"))),
         col("doc_b") === col("ib"))
       .withColumn("hamming", expr("bit_count(ha ^ hb)").cast("int"))
-      .filter(col("hamming") <= 12)
+      .filter(col("hamming") <= hammingMax)
       .select(col("lang"), col("doc_a"), col("doc_b"), col("hamming"))
       .orderBy("lang", "doc_a", "doc_b")
   }

@@ -110,7 +110,14 @@ object Mv {
         // shuffle-partition count, timezone, etc.
         val clone = s.newSession()
         s.conf.getAll.foreach { case (ck, cv) =>
-          try clone.conf.set(ck, cv) catch { case _: Throwable => () }
+          // Only the EXPECTED failure is swallowed — static confs refuse
+          // runtime SET with AnalysisException. Fatal errors (OOM,
+          // interrupts) must propagate, not vanish per-key (ADVICE r9).
+          try clone.conf.set(ck, cv)
+          catch {
+            case _: org.apache.spark.sql.AnalysisException => ()
+            case scala.util.control.NonFatal(_) => ()
+          }
         }
         clone.conf.set("spark.sql.adaptive.enabled", "false")
         val before = s.sparkContext.getPersistentRDDs.keySet.toSet
@@ -147,7 +154,23 @@ object Mv {
     * returns — the rotation contract a deployment swapping corpus
     * snapshots needs. Any block this misses (none observed) is still
     * freed by ContextCleaner once the DataFrame is unreachable. The
-    * next `memo` on the key rebuilds. Returns false if absent. */
+    * next `memo` on the key rebuilds. Returns false if absent.
+    *
+    * CONSUMER-LIFETIME CONTRACT (ADVICE r9, binding): a DataFrame
+    * obtained from `memo` before an `evict` of its key MUST NOT be
+    * executed after the evict — its checkpoint lineage is truncated, so
+    * a late execution fails with unrecoverable missing-block errors
+    * rather than falling back to a recompute. Rotation order is
+    * therefore: build the replacement key, re-point consumers, THEN
+    * evict the superseded key (exactly what MvSpec's rotation test
+    * does). Relatedly, RDD-id attribution diffs the context-global
+    * persisted set around the build window, so MV builds (and any other
+    * localCheckpoint activity) must be single-threaded per session while
+    * a build is in flight — a checkpoint created by an unrelated thread
+    * during the window would be attributed to the building key and freed
+    * on its eviction. A deployment sharing one session across query
+    * threads warms its MVs up front, as Bench.warmups does; after
+    * warmup, concurrent READS of memoized MVs are unrestricted. */
   def evict(s: SparkSession, key: String): Boolean = {
     val k = s.sparkContext.applicationId + "|" + key
     val present = cache.remove(k) != null

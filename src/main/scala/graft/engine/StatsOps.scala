@@ -1574,7 +1574,8 @@ object StatsOps {
     * integers — tracked as the running sum R_t and its running min
     * (the drawdown identity C⁺_t = R_t − min(0, min_j R_j), which is
     * also what makes the oracle a window expression). State per key:
-    * 6 longs — the bounded-state drift detector a monitor deploys. */
+    * 8 longs / 64 B (seenRef, sRef, r, rMin, cMax, cMaxX, alarms,
+    * monitored) — the bounded-state drift detector a monitor deploys. */
   def updateCusumPos(key: String, it: Iterator[CusumIn],
       state: org.apache.spark.sql.streaming.GroupState[Array[Long]]):
       Iterator[CusumSnap] = {

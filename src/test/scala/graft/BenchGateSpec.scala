@@ -59,4 +59,31 @@ class BenchGateSpec extends AnyFunSuite {
     val m = Bench.mergeMin(Seq("a" -> 1.5), Map("a" -> -1.0)).toMap
     assert(m("a") == 1.5)
   }
+
+  test("every registered query has a committed clean-box target (VERDICT r9 item 7)") {
+    // A query with no entry in tools/bench_targets.json only becomes a
+    // retime suspect above the 10 s no-target rule — a 9 s regression in
+    // a new operator would pass unchallenged. This gate fails loudly the
+    // moment an operator is registered without a target.
+    val targets = Bench.parseFlatJson(
+      scala.io.Source.fromFile("tools/bench_targets.json").mkString)
+    val missing = SparkEntry.queries.keySet -- targets.keySet
+    assert(missing.isEmpty,
+      s"queries missing a bench target: ${missing.toSeq.sorted.mkString(", ")}")
+  }
+
+  test("the committed APPROX_BOUNDS.json matches the working artifact when both exist") {
+    // VERDICT r9 item 2: the root copy went one regeneration stale. Both
+    // files are now written from the same string by
+    // ApproxBounds.writeArtifacts; this pin catches any future drift
+    // between them (e.g. a hand edit of one copy).
+    val root = new java.io.File("APPROX_BOUNDS.json")
+    val work = new java.io.File("target/approx_bounds.json")
+    if (root.exists && work.exists) {
+      val r = scala.io.Source.fromFile(root).mkString.trim
+      val w = scala.io.Source.fromFile(work).mkString.trim
+      assert(r == w, "APPROX_BOUNDS.json and target/approx_bounds.json have diverged — " +
+        "re-run graft.ApproxBounds (or Bench) to regenerate both from one measurement")
+    }
+  }
 }

@@ -438,6 +438,21 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(rows <= 10L * 16L, s"top-10-per-lang output must stay lang-bounded, got $rows")
   }
 
+  test("round-10 scale pin: PMI's vocab-sized doc-freq joins carry no broadcast hint") {
+    // VERDICT r9 item 2: the word-doc-frequency table is vocab-sized at a
+    // real corpus (10⁷–10⁸ rows) — an unconditional broadcast hint there
+    // forces a driver OOM at 100 TB where a shuffled join planned by AQE
+    // degrades gracefully. Only the lang-cardinality `nd` table (≤16
+    // rows) may be hinted. Count ResolvedHint nodes in the ANALYZED plan
+    // (before AQE/optimizer folds them into the join strategy).
+    val df = SparkEntry.queries("q_text_pmi")(spark, sf0001)
+    val hints = df.queryExecution.analyzed.collect {
+      case h: org.apache.spark.sql.catalyst.plans.logical.ResolvedHint => h
+    }
+    assert(hints.size <= 1,
+      s"q_text_pmi may hint only the lang-cardinality doc-count table, found ${hints.size} hints")
+  }
+
   test("motifs: one path scan with broadcast closure joins, no cartesian") {
     val df = SparkEntry.queries("q_graph_motifs")(spark, sf0001)
     df.collect()
