@@ -28,19 +28,34 @@ import graft.engine.{StreamingGnn, StreamingOps}
   * micro-batches to a noop sink; the measured window is first
   * addData → last processAllAvailable. Run:
   *   SPARK_GRAFT_CPUS=32 sbt "runMain graft.StreamBench"
+  *
+  * KEY-COUNT axis (VERDICT r9 item 5): `runMain graft.StreamBench keys`
+  * re-runs all three shapes at 1×/4×/16× the DISTINCT-KEY count with
+  * the event volume held fixed — the state table grows linearly in keys
+  * while per-event work must stay flat (each maintainer folds one event
+  * into one bounded, order-blind state row; RocksDB gets per-key
+  * point lookups). This is the streaming analog of ScaleProbe's
+  * graph-replica tiers: at 100 TB the key axis (users/vertices) is the
+  * axis that grows, and a super-linear reading here would mean the
+  * maintainer secretly rescans its state. Results → PERF.md.
   */
 object StreamBench {
   case class Ev2(event_id: Long, user_id: Long, ts: Timestamp, value: Double)
 
   var Events = 600000
   var Batches = 12
+  /** Distinct-key multiplier over the sf0.1-shaped base (15k vertices /
+    * 20k users); the `keys` mode sweeps 1/4/16. */
+  var KeyMult = 1
 
   def main(args: Array[String]): Unit = {
     // optional: <events> <batches> — throughput is micro-batch-floor
     // bound (~0.5-2 s per batch regardless of size), so larger batches
     // amortize it; run both shapes to see the curve
-    if (args.length >= 1) Events = args(0).toInt
-    if (args.length >= 2) Batches = args(1).toInt
+    val keyAxis = args.contains("keys")
+    val numeric = args.filter(_ != "keys")
+    if (numeric.length >= 1) Events = numeric(0).toInt
+    if (numeric.length >= 2) Batches = numeric(1).toInt
     val spark = Harness.session(extraConfs = Map(
       "spark.sql.streaming.stateStore.providerClass" ->
         "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider"))
@@ -51,19 +66,22 @@ object StreamBench {
     def edgeBatch(b: Int): Seq[StreamingGnn.EdgeFeat] =
       (0 until perBatch).map { i =>
         val g = b.toLong * perBatch + i
-        // 15k vertices (sf0.1 customer count), deterministic 64-dim vec
-        StreamingGnn.EdgeFeat(g % 15000,
+        // 15k vertices (sf0.1 customer count) × KeyMult, deterministic
+        // 64-dim vec
+        StreamingGnn.EdgeFeat(g % (15000L * KeyMult),
           Array.tabulate(64)(j => ((g * 31 + j * 7) % 1000).toFloat / 1000f))
       }
-    def evBatch(b: Int): Seq[Ev2] =
+    def evBatch(b: Int): Seq[Ev2] = {
+      val users = 20000L * KeyMult
       (0 until perBatch).map { i =>
         val g = b.toLong * perBatch + i
-        // 20k users, one event per user per simulated minute: sessions
-        // stay OPEN across the whole run (state actually accumulates)
-        Ev2(g, g % 20000,
-          new Timestamp(1704067200000L + (g / 20000) * 60000L),
+        // 20k users × KeyMult, one event per user per simulated minute:
+        // sessions stay OPEN across the whole run (state accumulates)
+        Ev2(g, g % users,
+          new Timestamp(1704067200000L + (g / users) * 60000L),
           (g % 997).toDouble / 100.0)
       }
+    }
 
     def run[T](name: String, mkBatch: Int => Seq[T],
         start: MemoryStream[T] => org.apache.spark.sql.streaming.StreamingQuery,
@@ -87,31 +105,41 @@ object StreamBench {
     def ckpt(tag: String): String =
       java.nio.file.Files.createTempDirectory(s"graft_sb_$tag").toString
 
-    val ms1 = MemoryStream[StreamingGnn.EdgeFeat]
-    run[StreamingGnn.EdgeFeat]("gnn_embed(fMGWS)", edgeBatch,
-      m => StreamingGnn.embedStream(spark, m.toDF()
-          .select(org.apache.spark.sql.functions.col("cust").as("src"),
-            org.apache.spark.sql.functions.col("vec").as("embedding")))
-        .writeStream.outputMode(OutputMode.Update())
-        .option("checkpointLocation", ckpt("embed"))
-        .format("noop").start(),
-      ms1)
+    def runAll(): Unit = {
+      val ms1 = MemoryStream[StreamingGnn.EdgeFeat]
+      run[StreamingGnn.EdgeFeat](s"gnn_embed(fMGWS)@${KeyMult}x", edgeBatch,
+        m => StreamingGnn.embedStream(spark, m.toDF()
+            .select(org.apache.spark.sql.functions.col("cust").as("src"),
+              org.apache.spark.sql.functions.col("vec").as("embedding")))
+          .writeStream.outputMode(OutputMode.Update())
+          .option("checkpointLocation", ckpt("embed"))
+          .format("noop").start(),
+        ms1)
 
-    val ms2 = MemoryStream[Ev2]
-    run[Ev2]("sessions(fMGWS+timer)", evBatch,
-      m => StreamingOps.timedSessions(spark, m.toDF())
-        .writeStream.outputMode(OutputMode.Append())
-        .option("checkpointLocation", ckpt("sess"))
-        .format("noop").start(),
-      ms2)
+      val ms2 = MemoryStream[Ev2]
+      run[Ev2](s"sessions(fMGWS+timer)@${KeyMult}x", evBatch,
+        m => StreamingOps.timedSessions(spark, m.toDF())
+          .writeStream.outputMode(OutputMode.Append())
+          .option("checkpointLocation", ckpt("sess"))
+          .format("noop").start(),
+        ms2)
 
-    val ms3 = MemoryStream[Ev2]
-    run[Ev2]("snapshot(tws)", evBatch,
-      m => StreamingOps.statefulSnapshotTws(spark, m.toDF())
-        .writeStream.outputMode(OutputMode.Update())
-        .option("checkpointLocation", ckpt("tws"))
-        .format("noop").start(),
-      ms3)
+      val ms3 = MemoryStream[Ev2]
+      run[Ev2](s"snapshot(tws)@${KeyMult}x", evBatch,
+        m => StreamingOps.statefulSnapshotTws(spark, m.toDF())
+          .writeStream.outputMode(OutputMode.Update())
+          .option("checkpointLocation", ckpt("tws"))
+          .format("noop").start(),
+        ms3)
+    }
+
+    val mults = if (keyAxis) Seq(1, 4, 16) else Seq(KeyMult)
+    mults.foreach { m =>
+      KeyMult = m
+      if (keyAxis) println(s"[streambench] == key tier ${m}x: " +
+        s"${15000 * m} vertices / ${20000 * m} users, $Events events ==")
+      runAll()
+    }
 
     spark.stop()
   }
