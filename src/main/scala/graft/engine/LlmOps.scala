@@ -963,7 +963,76 @@ object LlmOps {
       .orderBy("doc_id")
   }
 
+  /** IVF-PQ composite index (Jégou et al. 2011 "Product Quantization
+    * for Nearest Neighbor Search" §IV — the production ANN shape):
+    * coarse IVF cell assignment (the q_llm_ann_ivf convention: centroids
+    * = vec_id < 16, rounded-cosine argmax), RESIDUAL vectors
+    * r = v − centroid(v), PQ codes over the residuals (M = 8 subspaces
+    * × K = 16 codebook entries, codebook = the residuals of vec_ids
+    * 16–31 — deterministic, no RNG), and query-time cell-scoped ADC:
+    * each query (vec_ids 20–24) scans ONLY its own cell, with the
+    * distance Σ_m lut(m, code_m) a broadcast join against its
+    * 128-row residual-distance LUT. Per-term round-9 → DECIMAL sum so
+    * summation order can't leak (the q_llm_ann_pq device); top-3 by
+    * (adc asc, id asc).
+    *
+    * Scale shape: this is the index a 100 TB deployment actually runs —
+    * candidates are cell-bounded (IVF), per-candidate storage is 8
+    * code bytes instead of 64 floats (PQ), and query-side math is a
+    * LUT join, not vector arithmetic. Codebook (128 rows) and LUTs
+    * (128 rows/query) broadcast at any corpus size. */
+  def q_llm_ann_ivfpq(s: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(s, dir)
+    val assigned = ivfAssign(s, emb, emb.filter(col("vec_id") >= 16))
+    val cents = emb.filter(col("vec_id") < 16)
+      .select(col("vec_id").as("rc"), col("embedding").as("rcv"))
+    // residuals, materialized once: codebook, codes, and query LUTs all
+    // re-read this table (double components: float→double casts are
+    // exact, the subtraction is one correctly-rounded op both engines)
+    val res = assigned.join(broadcast(cents), col("cid") === col("rc"))
+      .select(col("vid"), col("cid"),
+        expr("zip_with(dv, rcv, (x, c) -> cast(x as double) - cast(c as double))")
+          .as("rv"))
+      .localCheckpoint()
+    def subs(df: DataFrame, idCol: String): DataFrame = df
+      .select(col("vid").as(idCol), explode(expr(
+        "transform(sequence(0, 7), m -> struct(m as m, slice(rv, m*8 + 1, 8) as sv))"))
+        .as("e"))
+      .select(col(idCol), col("e.m").as("m"), col("e.sv").as("sv"))
+    val cb = subs(res.filter(col("vid").between(16, 31)), "j")
+      .select(col("j"), col("m").as("cm"), col("sv").as("cv"))
+    // fixed-order L2² fold — left-assoc, same chain as the oracle's
+    val d2 = expr("aggregate(zip_with(sv, cv, (x, c) -> (x - c) * (x - c)), " +
+      "cast(0.0 as double), (acc, v) -> acc + v)")
+    val dists = subs(res, "dvid").join(broadcast(cb), col("m") === col("cm"))
+      .select(col("dvid"), col("m"), col("j"), d2.as("d2"))
+    val codes = dists.groupBy(col("dvid"), col("m"))
+      .agg(min(struct(col("d2"), col("j"))).as("best"))
+      .select(col("dvid").as("nid"), col("m").as("nm"), col("best.j").as("code"))
+    val qlut = dists.filter(col("dvid").between(20, 24))
+      .select(col("dvid").as("query_id"), col("m").as("lm"), col("j").as("lj"),
+        round(col("d2"), 9).cast("decimal(20,9)").as("qd2"))
+    val qcells = assigned.filter(col("vid").between(20, 24))
+      .select(col("vid").as("qid"), col("cid").as("qcid"))
+    val cand = assigned.select(col("vid").as("cvid"), col("cid").as("ncid"))
+      .join(broadcast(qcells), col("ncid") === col("qcid") && col("cvid") =!= col("qid"))
+      .join(codes, col("cvid") === col("nid"))
+    val adc = cand.join(broadcast(qlut),
+        col("qid") === col("query_id") && col("nm") === col("lm") &&
+          col("code") === col("lj"))
+      .groupBy(col("qid"), col("cvid"))
+      .agg(sum(col("qd2")).cast("double").as("adc"))
+    val wR = Window.partitionBy(col("qid"))
+      .orderBy(round(col("adc"), 6).asc, col("cvid").asc)
+    adc.withColumn("rnk", row_number().over(wR).cast("bigint"))
+      .filter(col("rnk") <= 3)
+      .select(col("qid").as("query_id"), col("cvid").as("neighbor_id"),
+        round(col("adc"), 6).as("adc_dist"), col("rnk"))
+      .orderBy("query_id", "rnk")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_llm_ann_ivfpq" -> q_llm_ann_ivfpq _,
     "q_llm_feature_hash" -> q_llm_feature_hash _,
     "q_llm_ann_recall" -> q_llm_ann_recall _,
     "q_llm_soft_dedup" -> q_llm_soft_dedup _,

@@ -4699,12 +4699,135 @@ object Oracle {
          |ORDER BY query_id""".stripMargin
   )
 
+  /** Round 10 (driver): Mann–Whitney U, binary-decay EWMA (batch +
+    * streaming twin), the WIMBD-style n-gram census, and the IVF-PQ
+    * composite ANN index. Devices: 2×-scaled integer ranks (exact
+    * BIGINT rank sums + tie term, one pinned double z), power-of-two
+    * EWMA weights (exact BIGINT numerator, one exact division), and the
+    * established ann_ivf assignment / ann_pq left-assoc-L2²+DECIMAL-ADC
+    * recipes composed over RESIDUAL vectors. */
+  val round15: Map[String, String] = {
+    val ewmaLags = (0 until StatsOps.EwmaTaps)
+      .map(k => s"LAG(y, $k) OVER w * ${1L << (StatsOps.EwmaTaps - 1 - k)}")
+      .mkString(" + ")
+    val ewmaCte =
+      s"""WITH d0 AS (SELECT event_type, CAST(CAST(ts AS TIMESTAMP) AS DATE) AS day,
+         |    CAST(SUM(CAST(ROUND(value * 100, 0) AS BIGINT)) AS BIGINT) AS y
+         |  FROM events GROUP BY 1, 2),
+         |daily AS (SELECT event_type,
+         |    CAST(day - DATE '2024-01-01' AS BIGINT) AS x, y FROM d0),
+         |l AS (SELECT event_type, x, y, CAST($ewmaLags AS BIGINT) AS num,
+         |    LAG(y, ${StatsOps.EwmaTaps - 1}) OVER w AS oldest,
+         |    ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY x DESC) AS rdesc,
+         |    COUNT(*) OVER (PARTITION BY event_type) AS nd
+         |  FROM daily WINDOW w AS (PARTITION BY event_type ORDER BY x))""".stripMargin
+    val d2terms = (1 to 8).map(i =>
+      s"(xv[$i] - cv2[$i]) * (xv[$i] - cv2[$i])").mkString(" + ")
+    Map(
+      "q_agg_mannwhitney" ->
+        """WITH ev AS (SELECT event_type,
+          |    CAST(ROUND(value * 100, 0) AS BIGINT) AS c,
+          |    (CAST(CAST(ts AS TIMESTAMP) AS DATE) <= DATE '2024-01-15') AS is_ref
+          |  FROM events),
+          |counts AS (SELECT event_type, c,
+          |    CAST(SUM(CASE WHEN is_ref THEN 1 ELSE 0 END) AS BIGINT) AS cr,
+          |    CAST(SUM(CASE WHEN NOT is_ref THEN 1 ELSE 0 END) AS BIGINT) AS cc
+          |  FROM ev GROUP BY 1, 2),
+          |cum AS (SELECT event_type, c, cr, cc,
+          |    CAST(COALESCE(SUM(cr + cc) OVER (PARTITION BY event_type ORDER BY c
+          |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS bef
+          |  FROM counts),
+          |agg AS (SELECT event_type,
+          |    CAST(SUM(cr) AS BIGINT) AS n1, CAST(SUM(cc) AS BIGINT) AS n2,
+          |    CAST(SUM(cr * (2 * bef + cr + cc + 1)) AS BIGINT) AS r1_2,
+          |    CAST(SUM((cr + cc) * (cr + cc) * (cr + cc) - (cr + cc)) AS BIGINT) AS ties
+          |  FROM cum GROUP BY 1
+          |  HAVING n1 > 0 AND n2 > 0)
+          |SELECT event_type, n1 AS n_ref, n2 AS n_cur,
+          |  CAST(r1_2 - n1 * (n1 + 1) AS DOUBLE) / CAST(2 AS DOUBLE) AS u_stat,
+          |  CAST(r1_2 - n1 * (n1 + 1) - n1 * n2 AS DOUBLE)
+          |    / (CAST(2 AS DOUBLE) * sqrt(
+          |        CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE) / CAST(12 AS DOUBLE)
+          |        * ((CAST(n1 + n2 AS DOUBLE) + CAST(1 AS DOUBLE))
+          |           - CAST(ties AS DOUBLE)
+          |             / (CAST(n1 + n2 AS DOUBLE)
+          |                * (CAST(n1 + n2 AS DOUBLE) - CAST(1 AS DOUBLE))))))
+          |    AS z_stat
+          |FROM agg ORDER BY event_type""".stripMargin,
+
+      "q_time_ewma" ->
+        s"""$ewmaCte
+           |SELECT event_type, x, y, num,
+           |  CAST(num AS DOUBLE) / CAST(${StatsOps.EwmaDenom} AS DOUBLE) AS ewma
+           |FROM l WHERE oldest IS NOT NULL ORDER BY event_type, x""".stripMargin,
+
+      "q_stream_ewma" ->
+        s"""$ewmaCte
+           |SELECT event_type, CAST(nd AS BIGINT) AS n_days, x AS x_last, num,
+           |  CAST(num AS DOUBLE) / CAST(${StatsOps.EwmaDenom} AS DOUBLE) AS ewma
+           |FROM l WHERE rdesc = 1 AND oldest IS NOT NULL
+           |ORDER BY event_type""".stripMargin,
+
+      "q_text_ngram_topk" ->
+        """WITH d AS (SELECT lang,
+          |    list_filter(string_split(text, ' '), t -> t <> '') AS t FROM documents),
+          |g AS (SELECT lang, t[i + 1] || ' ' || t[i + 2] || ' ' || t[i + 3] AS ngram
+          |  FROM d, UNNEST(range(len(t) - 2)) AS u(i) WHERE len(t) >= 3),
+          |c AS (SELECT lang, ngram, CAST(COUNT(*) AS BIGINT) AS n FROM g GROUP BY 1, 2),
+          |r AS (SELECT lang, ngram, n,
+          |    CAST(ROW_NUMBER() OVER (PARTITION BY lang
+          |      ORDER BY n DESC, ngram ASC) AS BIGINT) AS rnk
+          |  FROM c)
+          |SELECT lang, rnk, ngram, n FROM r WHERE rnk <= 10
+          |ORDER BY lang, rnk""".stripMargin,
+
+      "q_llm_ann_ivfpq" ->
+        s"""WITH cents AS (SELECT vec_id AS cid, embedding AS cv FROM embeddings WHERE vec_id < 16),
+           |data AS (SELECT vec_id AS vid, embedding AS dv FROM embeddings WHERE vec_id >= 16),
+           |ac AS (SELECT d.vid, c.cid, d.dv,
+           |         ROUND(${cosExpr("d.dv", "c.cv")}, 6) AS ccos
+           |       FROM data d CROSS JOIN cents c),
+           |ar AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY vid
+           |         ORDER BY ccos DESC, cid ASC) AS arn FROM ac),
+           |assigned AS (SELECT vid, cid, dv FROM ar WHERE arn = 1),
+           |res AS (SELECT a.vid, a.cid,
+           |    list_transform(range(1, 65),
+           |      i -> CAST(a.dv[i] AS DOUBLE) - CAST(c.cv[i] AS DOUBLE)) AS rv
+           |  FROM assigned a JOIN cents c ON a.cid = c.cid),
+           |s AS (SELECT vid, m, rv[m*8 + 1 : m*8 + 8] AS xv
+           |  FROM res, UNNEST(range(0, 8)) AS t(m)),
+           |cb AS (SELECT vid AS j, m AS cm, xv AS cv2 FROM s
+           |  WHERE vid BETWEEN 16 AND 31),
+           |d2t AS (SELECT s.vid, s.m, cb.j, $d2terms AS d2
+           |  FROM s JOIN cb ON s.m = cb.cm),
+           |codes AS (SELECT vid AS nid, m AS nm, j AS code FROM (
+           |  SELECT vid, m, j, ROW_NUMBER() OVER (PARTITION BY vid, m
+           |    ORDER BY d2, j) AS rn FROM d2t) WHERE rn = 1),
+           |qlut AS (SELECT vid AS query_id, m AS lm, j AS lj,
+           |    CAST(round(d2, 9) AS DECIMAL(20,9)) AS qd2
+           |  FROM d2t WHERE vid BETWEEN 20 AND 24),
+           |qcells AS (SELECT vid AS qid, cid AS qcid FROM assigned
+           |  WHERE vid BETWEEN 20 AND 24),
+           |cand AS (SELECT q.qid, a.vid AS cvid FROM qcells q
+           |  JOIN assigned a ON a.cid = q.qcid AND a.vid <> q.qid),
+           |adc AS (SELECT c.qid, c.cvid, CAST(SUM(l.qd2) AS DOUBLE) AS a
+           |  FROM cand c JOIN codes k ON k.nid = c.cvid
+           |  JOIN qlut l ON l.query_id = c.qid AND l.lm = k.nm AND l.lj = k.code
+           |  GROUP BY 1, 2),
+           |r AS (SELECT qid, cvid, round(a, 6) AS adc_dist,
+           |    CAST(ROW_NUMBER() OVER (PARTITION BY qid
+           |      ORDER BY round(a, 6), cvid) AS BIGINT) AS rnk FROM adc)
+           |SELECT qid AS query_id, cvid AS neighbor_id, adc_dist, rnk
+           |FROM r WHERE rnk <= 3 ORDER BY query_id, rnk""".stripMargin
+    )
+  }
+
   val all: Map[String, String] =
     relational ++ streaming ++ graph ++ llm ++ extended ++ gnn ++ gnnPrep ++
       pipeline ++ round4 ++ round4b ++ round4c ++ round4d ++ round4e ++
       round4f ++ round5 ++ round6 ++ round6graph ++ ClusterOps.oracle ++
       BpeOps.oracle ++ partitioning ++ train ++ graphAnalytics ++ curation ++
-      stats ++ gin ++ mmr ++ round13 ++
+      stats ++ gin ++ mmr ++ round13 ++ round15 ++
       // streaming twins: the final snapshot IS the batch result — the
       // batch operators' oracles replay them verbatim
       Map("q_stream_gnn_pool" -> train("q_gnn_graphsage_pool"),

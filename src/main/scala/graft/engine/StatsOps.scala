@@ -1621,7 +1621,138 @@ object StatsOps {
       .orderBy("event_type")
   }
 
+  /** Mann–Whitney U (Wilcoxon rank-sum) per event_type over the same
+    * reference/current split as the t/KS screens (round 10) — the
+    * non-parametric location test a drift monitor runs when the value
+    * distribution is non-normal. Rank arithmetic stays EXACT integers
+    * end to end via the 2×-scaled-rank device: per distinct value,
+    * avg-rank·2 = 2·(count below) + tieCount + 1 is an integer, so the
+    * ref-sample rank sum R₁ (and with it 2U₁ = 2R₁ − 2·n₁(n₁+1)/2) is
+    * an exact BIGINT, as is the tie-correction Σ(t³−t). The normal
+    * approximation z = (U − n₁n₂/2)/σ_U with tie-corrected
+    * σ²_U = n₁n₂/12·((N+1) − Σ(t³−t)/(N(N−1))) is ONE pinned-order
+    * double expression over those integers (the q_agg_ttest device).
+    * Shape: one keyed agg over distinct values + one keyed window —
+    * distinct-value-bounded, never row-bounded, at any corpus size. */
+  def q_agg_mannwhitney(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(s, dir).select(col("event_type"),
+      round(col("value") * 100, 0).cast("bigint").as("c"),
+      (to_date(col("ts")) <= lit("2024-01-15").cast("date")).as("is_ref"))
+    val counts = ev.groupBy(col("event_type"), col("c")).agg(
+      sum(when(col("is_ref"), 1L).otherwise(0L)).as("cr"),
+      sum(when(!col("is_ref"), 1L).otherwise(0L)).as("cc"))
+    val w = Window.partitionBy(col("event_type")).orderBy(col("c"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val cum = counts.withColumn("before",
+      coalesce(sum(col("cr") + col("cc")).over(w), lit(0L)))
+    val t = col("cr") + col("cc")
+    val agg = cum.groupBy(col("event_type")).agg(
+        sum(col("cr")).as("n1"), sum(col("cc")).as("n2"),
+        sum(col("cr") * (lit(2L) * col("before") + col("cr") + col("cc") + 1L)).as("r1_2"),
+        sum(t * t * t - t).as("ties"))
+      .filter(col("n1") > 0 && col("n2") > 0)
+    val n1d = col("n1").cast("double")
+    val n2d = col("n2").cast("double")
+    val nd = (col("n1") + col("n2")).cast("double")
+    val varU = n1d * n2d / lit(12.0) *
+      ((nd + lit(1.0)) - col("ties").cast("double") / (nd * (nd - lit(1.0))))
+    agg.select(col("event_type"), col("n1").as("n_ref"), col("n2").as("n_cur"),
+        ((col("r1_2") - col("n1") * (col("n1") + 1L)).cast("double") / lit(2.0))
+          .as("u_stat"),
+        ((col("r1_2") - col("n1") * (col("n1") + 1L) - col("n1") * col("n2"))
+          .cast("double") / (lit(2.0) * sqrt(varU))).as("z_stat"))
+      .orderBy("event_type")
+  }
+
+  /** EWMA tap count and the exact weight denominator 2^taps − 1. */
+  val EwmaTaps = 20
+  val EwmaDenom: Long = (1L << EwmaTaps) - 1
+
+  /** Binary-decay EWMA of the daily value series per event_type
+    * (round 10): a 20-tap exponentially-weighted moving average with
+    * α = 1/2, truncated so every output row has exactly 20 taps
+    * (weights 2^19…2^0 over the last 20 observed days, normalized by
+    * 2^20 − 1). Powers of two make the weighted numerator an EXACT
+    * BIGINT (y ≈ 2e6 cents · 2^19 · 20 taps ≈ 2e13, far inside 2^53 and
+    * BIGINT), and the single normalizing division is one correctly-
+    * rounded IEEE op both engines — no rounding device needed anywhere.
+    * Shape: one keyed window with 20 row-lags over the daily series —
+    * day-count-bounded per key, never event-bounded. */
+  def q_time_ewma(s: SparkSession, dir: String): DataFrame = {
+    val daily = Tables.events(s, dir)
+      .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+      .agg(sum(round(col("value") * 100, 0).cast("bigint")).as("y"))
+      .select(col("event_type"),
+        datediff(col("day"), lit("2024-01-01").cast("date")).cast("bigint").as("x"),
+        col("y"))
+    val w = Window.partitionBy(col("event_type")).orderBy(col("x"))
+    val num = (0 until EwmaTaps).map { k =>
+        val yk = if (k == 0) col("y") else lag(col("y"), k).over(w)
+        yk * lit(1L << (EwmaTaps - 1 - k))
+      }.reduce(_ + _)
+    daily.withColumn("num", num)
+      .withColumn("oldest", lag(col("y"), EwmaTaps - 1).over(w))
+      .filter(col("oldest").isNotNull)
+      .select(col("event_type"), col("x"), col("y"), col("num"),
+        (col("num").cast("double") / lit(EwmaDenom.toDouble)).as("ewma"))
+      .orderBy("event_type", "x")
+  }
+
+  case class EwmaIn(etype: String, x: Long, y: Long)
+  case class EwmaSnap(event_type: String, n_days: Long, x_last: Long,
+      num: Long, ewma: Double)
+
+  /** Streaming EWMA fold: ring-buffer of the last `EwmaTaps` daily
+    * values per key (state: 22 longs / 176 B — count, last day index,
+    * 20-slot ring), folded in day order; the snapshot emits the LAST
+    * day's 20-tap numerator and EWMA once ≥ 20 days are seen. Same
+    * exact-integer numerator as the batch window, so both share one
+    * oracle (the q_stream_ttest shared-assembly device). */
+  def updateEwma(key: String, it: Iterator[EwmaIn],
+      state: org.apache.spark.sql.streaming.GroupState[Array[Long]]):
+      Iterator[EwmaSnap] = {
+    // state layout: n, lastX, ring[EwmaTaps] (write pos = n % taps)
+    val st = state.getOption.getOrElse(Array.fill(2 + EwmaTaps)(0L))
+    it.toArray.sortBy(_.x).foreach { e =>
+      st(2 + (st(0) % EwmaTaps).toInt) = e.y
+      st(0) += 1
+      st(1) = e.x
+    }
+    state.update(st)
+    if (st(0) < EwmaTaps) Iterator.empty
+    else {
+      val n = st(0)
+      val num = (0 until EwmaTaps).map { k =>
+        val idx = ((n - 1 - k) % EwmaTaps).toInt
+        st(2 + idx) * (1L << (EwmaTaps - 1 - k))
+      }.sum
+      Iterator.single(EwmaSnap(key, n, st(1), num, num.toDouble / EwmaDenom.toDouble))
+    }
+  }
+
+  /** Driver-contract query: the streaming EWMA maintainer over the
+    * bounded daily series (the q_stream_cusum batch-mode fMGWS run);
+    * one snapshot row per event_type = the latest 20-tap EWMA. */
+  def q_stream_ewma(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables.events(s, dir)
+      .groupBy(col("event_type").as("etype"), to_date(col("ts")).as("day"))
+      .agg(sum(round(col("value") * 100, 0).cast("bigint")).as("y"))
+      .select(col("etype"),
+        datediff(col("day"), lit("2024-01-01").cast("date")).cast("bigint").as("x"),
+        col("y"))
+      .as[EwmaIn]
+      .groupByKey(_.etype)
+      .flatMapGroupsWithState(org.apache.spark.sql.streaming.OutputMode.Update,
+        org.apache.spark.sql.streaming.GroupStateTimeout.NoTimeout)(updateEwma)
+      .toDF()
+      .orderBy("event_type")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_agg_mannwhitney" -> q_agg_mannwhitney _,
+    "q_time_ewma" -> q_time_ewma _,
+    "q_stream_ewma" -> q_stream_ewma _,
     "q_time_cusum" -> q_time_cusum _,
     "q_stream_cusum" -> q_stream_cusum _,
     "q_agg_chi2" -> q_agg_chi2 _,

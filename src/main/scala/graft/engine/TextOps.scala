@@ -828,7 +828,34 @@ object TextOps {
       .orderBy("lang", "rnk")
   }
 
+  /** Corpus n-gram census (round 10 — the WIMBD-style "what is in my
+    * corpus" analysis, Elazar et al. 2024): top-10 word trigrams per
+    * lang by count (ties → ngram asc). Trigrams are generated per doc
+    * from the token array in ONE narrow pass
+    * (`transform(sequence(...))` — no per-token shuffle, no window, no
+    * self-join), then counted by keyed aggregation with map-side
+    * partials; the final top-k is a lang-keyed rank window over the
+    * n-gram-vocabulary-bounded count table. At 100 TB the count table
+    * is vocab³-bounded in principle but Zipf-truncated in practice;
+    * the heavy-hitter alternative when even that blows up is the CMS
+    * top-k tier (q_llm_cms_topk). */
+  def q_text_ngram_topk(s: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documents(s, dir)
+      .select(col("lang"), expr("filter(split(text, ' '), t -> t <> '')").as("t"))
+      .filter(size(col("t")) >= 3)
+    val g = d.select(col("lang"), explode(expr(
+      "transform(sequence(0, size(t) - 3), i -> concat(t[i], ' ', t[i+1], ' ', t[i+2]))"))
+      .as("ngram"))
+    val c = g.groupBy(col("lang"), col("ngram")).agg(count(lit(1)).as("n"))
+    val w = Window.partitionBy(col("lang")).orderBy(col("n").desc, col("ngram").asc)
+    c.withColumn("rnk", row_number().over(w).cast("bigint"))
+      .filter(col("rnk") <= 10)
+      .select(col("lang"), col("rnk"), col("ngram"), col("n"))
+      .orderBy("lang", "rnk")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_text_ngram_topk" -> q_text_ngram_topk _,
     "q_text_pmi" -> q_text_pmi _,
     "q_text_burstiness" -> q_text_burstiness _,
     "q_llm_calibration" -> q_llm_calibration _,

@@ -1,0 +1,202 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.engine.{LlmOps, StatsOps, Tables, TextOps}
+
+/** Plain-Scala replays of the round-15 operators at sf0.001 — the
+  * independent-mirror discipline of Round13/14Spec: every number the
+  * query emits is recomputed from the raw fixture with driver-side
+  * Scala (same pinned IEEE op order where doubles are involved), then
+  * compared exactly. */
+class Round15Spec extends AnyFunSuite {
+  import TestSpark._
+
+  private def r6(x: Double): Double =
+    BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+
+  /** (event_type, day-index x, exact daily cents y) from the raw
+    * fixture — the shared daily-series convention of the q_time_* tier. */
+  private def dailySeries(): Map[String, Seq[(Long, Long)]] = {
+    import org.apache.spark.sql.functions._
+    Tables.events(spark, sf0001)
+      .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+      .agg(sum(round(col("value") * 100, 0).cast("bigint")).as("y"))
+      .select(col("event_type"),
+        datediff(col("day"), lit("2024-01-01").cast("date")).cast("bigint").as("x"),
+        col("y"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+      .groupBy(_._1).view.mapValues(_.map(t => (t._2, t._3)).sortBy(_._1).toSeq)
+      .toMap
+  }
+
+  test("q_agg_mannwhitney equals a driver-side rank-sum replay") {
+    import org.apache.spark.sql.functions._
+    val ev = Tables.events(spark, sf0001)
+      .select(col("event_type"),
+        round(col("value") * 100, 0).cast("bigint").as("c"),
+        (to_date(col("ts")) <= lit("2024-01-15").cast("date")).as("is_ref"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getBoolean(2)))
+    val expected = ev.groupBy(_._1).toSeq.flatMap { case (et, xs) =>
+      val n1 = xs.count(_._3).toLong
+      val n2 = xs.count(!_._3).toLong
+      if (n1 == 0 || n2 == 0) Seq.empty
+      else {
+        // 2×-scaled average ranks per distinct value, exact integers
+        val byVal = xs.groupBy(_._2).toSeq.sortBy(_._1)
+        var before = 0L
+        var r12 = 0L
+        var ties = 0L
+        byVal.foreach { case (_, g) =>
+          val cr = g.count(_._3).toLong
+          val t = g.size.toLong
+          r12 += cr * (2 * before + t + 1)
+          ties += t * t * t - t
+          before += t
+        }
+        val n1d = n1.toDouble; val n2d = n2.toDouble; val nd = (n1 + n2).toDouble
+        val varU = n1d * n2d / 12.0 * ((nd + 1.0) - ties.toDouble / (nd * (nd - 1.0)))
+        val u = (r12 - n1 * (n1 + 1)).toDouble / 2.0
+        val z = (r12 - n1 * (n1 + 1) - n1 * n2).toDouble / (2.0 * math.sqrt(varU))
+        Seq((et, n1, n2, u, z))
+      }
+    }.sortBy(_._1)
+    val got = StatsOps.q_agg_mannwhitney(spark, sf0001).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getDouble(3), r.getDouble(4))).toSeq
+    assert(got.nonEmpty && got == expected,
+      s"mannwhitney replay mismatch:\n got=$got\n exp=$expected")
+  }
+
+  test("q_time_ewma equals the driver-side 20-tap weighted sum; exact numerator") {
+    val daily = dailySeries()
+    val expected = daily.toSeq.flatMap { case (et, series) =>
+      series.indices.drop(StatsOps.EwmaTaps - 1).map { i =>
+        val num = (0 until StatsOps.EwmaTaps).map { k =>
+          series(i - k)._2 * (1L << (StatsOps.EwmaTaps - 1 - k))
+        }.sum
+        (et, series(i)._1, series(i)._2, num,
+          num.toDouble / StatsOps.EwmaDenom.toDouble)
+      }
+    }.sortBy(t => (t._1, t._2))
+    val got = StatsOps.q_time_ewma(spark, sf0001).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getDouble(4))).toSeq
+    assert(got == expected,
+      s"ewma replay mismatch:\n got=${got.take(3)}\n exp=${expected.take(3)}")
+    // numerator weights sum to the denominator: a constant series y
+    // yields ewma == y exactly
+    assert(StatsOps.EwmaDenom == (0 until StatsOps.EwmaTaps).map(1L << _).sum)
+  }
+
+  test("q_stream_ewma fold: micro-batch split equals single shot equals batch last row") {
+    import org.apache.spark.sql.streaming.{GroupStateTimeout, TestGroupState}
+    val series = (0 until 30).map(x =>
+      StatsOps.EwmaIn("t", x.toLong, 900L + (x % 11) * 37L))
+    def fold(batches: Seq[Seq[StatsOps.EwmaIn]]): StatsOps.EwmaSnap = {
+      var st: Option[Array[Long]] = None
+      var out: StatsOps.EwmaSnap = null
+      batches.foreach { b =>
+        val gs = TestGroupState.create[Array[Long]](
+          optionalState = st.map(org.apache.spark.api.java.Optional.of[Array[Long]])
+            .getOrElse(org.apache.spark.api.java.Optional.empty[Array[Long]]()),
+          timeoutConf = GroupStateTimeout.NoTimeout,
+          batchProcessingTimeMs = 0L,
+          eventTimeWatermarkMs = org.apache.spark.api.java.Optional.empty[Long](),
+          hasTimedOut = false)
+        val it = StatsOps.updateEwma("t", b.iterator, gs)
+        it.foreach(out = _)
+        st = if (gs.exists) Some(gs.get) else None
+      }
+      out
+    }
+    val single = fold(Seq(series))
+    val split = fold(series.grouped(7).toSeq)
+    assert(single == split, "state carry across micro-batches must not change the snapshot")
+    // equals the batch window on the same series
+    val num = (0 until StatsOps.EwmaTaps).map { k =>
+      series(29 - k).y * (1L << (StatsOps.EwmaTaps - 1 - k))
+    }.sum
+    assert(single == StatsOps.EwmaSnap("t", 30L, 29L, num,
+      num.toDouble / StatsOps.EwmaDenom.toDouble))
+  }
+
+  test("q_text_ngram_topk equals a driver-side trigram census") {
+    val docs = Tables.documents(spark, sf0001)
+      .select("lang", "text").collect()
+      .map(r => (r.getString(0), r.getString(1)))
+    val expected = docs.groupBy(_._1).toSeq.flatMap { case (lang, ds) =>
+      val grams = ds.flatMap { case (_, text) =>
+        val t = text.split(" ").filter(_.nonEmpty)
+        if (t.length < 3) Seq.empty
+        else (0 to t.length - 3).map(i => s"${t(i)} ${t(i + 1)} ${t(i + 2)}")
+      }
+      grams.groupBy(identity).toSeq
+        .map { case (g, xs) => (g, xs.size.toLong) }
+        .sortBy { case (g, n) => (-n, g) }
+        .take(10).zipWithIndex
+        .map { case ((g, n), i) => (lang, (i + 1).toLong, g, n) }
+    }.sortBy(t => (t._1, t._2))
+    val got = TextOps.q_text_ngram_topk(spark, sf0001).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getString(2), r.getLong(3))).toSeq
+    assert(got.nonEmpty && got == expected,
+      s"ngram census mismatch:\n got=${got.take(5)}\n exp=${expected.take(5)}")
+  }
+
+  test("q_llm_ann_ivfpq equals a driver-side IVF+residual-PQ replay") {
+    val emb = Tables.embeddings(spark, sf0001)
+      .select("vec_id", "embedding").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).toArray).toMap
+    // same left-to-right double fold as graft_vec_dot
+    def dot(a: Array[Float], b: Array[Float]): Double = {
+      var acc = 0.0; var i = 0
+      while (i < a.length) { acc += a(i).toDouble * b(i).toDouble; i += 1 }
+      acc
+    }
+    def cos(a: Array[Float], b: Array[Float]): Double =
+      dot(a, b) / (math.sqrt(dot(a, a)) * math.sqrt(dot(b, b)))
+    val cents = (0L until 16L).map(c => c -> emb(c)).toMap
+    // IVF assignment: rounded-6 cosine argmax, cid tie-break
+    val assigned = emb.keys.filter(_ >= 16).map { vid =>
+      val best = cents.toSeq.map { case (cid, cv) => (cid, r6(cos(emb(vid), cv))) }
+        .minBy { case (cid, c) => (-c, cid) }
+      vid -> best._1
+    }.toMap
+    // residuals (double), 8 subvectors, codebook = residuals of 16..31
+    def residual(vid: Long): Array[Double] = {
+      val v = emb(vid); val c = cents(assigned(vid))
+      Array.tabulate(64)(i => v(i).toDouble - c(i).toDouble)
+    }
+    def sub(rv: Array[Double], m: Int): Array[Double] = rv.slice(m * 8, m * 8 + 8)
+    def d2(x: Array[Double], c: Array[Double]): Double = {
+      var acc = 0.0; var i = 0
+      while (i < 8) { acc += (x(i) - c(i)) * (x(i) - c(i)); i += 1 }
+      acc
+    }
+    val cb = (16L to 31L).map(j => j -> residual(j)).toMap
+    def codeOf(vid: Long, m: Int): Long = {
+      val sv = sub(residual(vid), m)
+      cb.toSeq.map { case (j, rv) => (j, d2(sv, sub(rv, m))) }
+        .minBy { case (j, d) => (d, j) }._1
+    }
+    def r9(x: Double): BigDecimal =
+      BigDecimal(x).setScale(9, BigDecimal.RoundingMode.HALF_UP)
+    val expected = (20L to 24L).flatMap { qid =>
+      val qrv = residual(qid)
+      val lut = (0 until 8).flatMap { m =>
+        cb.keys.map(j => (m, j) -> r9(d2(sub(qrv, m), sub(cb(j), m))))
+      }.toMap
+      val cand = assigned.keys.filter(v => v != qid && assigned(v) == assigned(qid))
+      cand.toSeq.map { nid =>
+        val adc = (0 until 8).map(m => lut((m, codeOf(nid, m)))).sum.toDouble
+        (nid, r6(adc))
+      }.sortBy { case (nid, a) => (a, nid) }.take(3).zipWithIndex
+        .map { case ((nid, a), i) => (qid, nid, a, (i + 1).toLong) }
+    }.sortBy(t => (t._1, t._4))
+    val got = LlmOps.q_llm_ann_ivfpq(spark, sf0001).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getLong(3))).toSeq
+    assert(got.size == 15, s"5 queries x top-3 expected, got ${got.size}")
+    assert(got == expected,
+      s"ivfpq replay mismatch:\n got=${got.take(6)}\n exp=${expected.take(6)}")
+  }
+}
