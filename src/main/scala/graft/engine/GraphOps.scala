@@ -486,6 +486,17 @@ object GraphOps {
     val seed = ue.agg(min(col("a")).as("node"))
       .select(col("node"), lit(0L).as("d"))
       .localCheckpoint()
+    bfsDistances(ue, seed)
+      .groupBy(col("d").as("dist"))
+      .agg(count(lit(1)).as("n_nodes"))
+      .orderBy("dist")
+  }
+
+  /** Frontier-superstep BFS from a checkpointed 1+-row seed table
+    * (node, d=0): one join + anti-join per level, O(diameter) rounds,
+    * no driver-side graph. Shared by q_graph_bfs and the double-sweep
+    * pseudo-diameter. Returns the (node, d) min-distance table. */
+  private def bfsDistances(ue: DataFrame, seed: DataFrame): DataFrame = {
     var dist = seed
     var frontier = seed
     var depth = 0L
@@ -512,9 +523,35 @@ object GraphOps {
       dist = dist.union(next)
       frontier = next
     }
-    dist.groupBy(col("d").as("dist"))
-      .agg(count(lit(1)).as("n_nodes"))
-      .orderBy("dist")
+    dist
+  }
+
+  /** Double-sweep pseudo-diameter (Magnien, Latapy & Habib 2009 — the
+    * standard cheap diameter lower bound): BFS from the min projected
+    * part, take the farthest node (hop tie → min node id), BFS again
+    * from it; the second eccentricity is the pseudo-diameter. Two
+    * O(diameter)-round frontier loops over the same thresholded
+    * projection MV — the cost of exactly two BFS queries at any scale,
+    * vs the |V| BFS runs an exact diameter needs. All-integer output:
+    * one row (seed, both sweep endpoints, both eccentricities). */
+  def q_graph_pseudo_diameter(s: SparkSession, dir: String): DataFrame = {
+    val ue = undProj(s, dir, CcMinCooccur)
+    val seed = ue.agg(min(col("a")).as("node"))
+      .select(col("node"), lit(0L).as("d"))
+      .localCheckpoint()
+    val d1 = bfsDistances(ue, seed)
+    // 1-row far-endpoint tables via TakeOrdered (distributed top-1, no
+    // global window sort); they stay DataFrames — broadcast seeds for
+    // the next sweep, no driver collect
+    val far1 = d1.orderBy(col("d").desc, col("node").asc).limit(1)
+      .select(col("node"), col("d").as("ecc1"))
+      .localCheckpoint()
+    val d2 = bfsDistances(ue, far1.select(col("node"), lit(0L).as("d")))
+    val far2 = d2.orderBy(col("d").desc, col("node").asc).limit(1)
+      .select(col("node").as("far_node2"), col("d").as("pseudo_diameter"))
+    seed.select(col("node").as("seed_node"))
+      .crossJoin(far1.select(col("node").as("far_node1"), col("ecc1")))
+      .crossJoin(far2)
   }
 
   /** Node-pair Jaccard similarity over part neighborhoods — the classic
@@ -1069,6 +1106,7 @@ object GraphOps {
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_graph_pseudo_diameter" -> q_graph_pseudo_diameter _,
     "q_graph_reciprocity" -> q_graph_reciprocity _,
     "q_graph_motifs" -> q_graph_motifs _,
     "q_graph_scc_colors" -> q_graph_scc_colors _,

@@ -1031,7 +1031,80 @@ object LlmOps {
       .orderBy("query_id", "rnk")
   }
 
+  /** LSH-candidate dedup clustering (round 10) — the clustering a 100 TB
+    * pipeline ACTUALLY runs: connected components over the banded-
+    * MinHash candidate pairs verified at the strong threshold
+    * (q_llm_minhash_md5's oracled pipeline, J ≥ 0.8), instead of the
+    * exact all-pairs graph q_llm_dedup_clusters uses as ground truth.
+    * Same min-label fixpoint, same per-lang accounting; the delta vs
+    * the exact clustering IS the banding recall loss (measured 99.1 %
+    * at J ≥ 0.8 — APPROX_BOUNDS.json minhash_lsh), which is why the
+    * exact tier stays in the contract as the audit baseline. Pair
+    * volume is candidate-bounded (bucket joins), never quadratic. */
+  def q_llm_lsh_clusters(s: SparkSession, dir: String): DataFrame = {
+    val docs = dedupDocs(s, dir)
+    val p = q_llm_minhash_md5(s, dir).filter(col("jaccard") >= 0.8)
+      .select(col("doc_a").as("x"), col("doc_b").as("y"))
+    val ue = p.union(p.select(col("y").as("x"), col("x").as("y")))
+      .localCheckpoint()
+    var labels = docs.select(col("doc_id").as("node"), col("doc_id").as("lbl"))
+      .localCheckpoint()
+    var prevSum = labels.agg(sum(col("lbl"))).collect()(0).getLong(0)
+    var converged = false
+    while (!converged) {
+      val nbrMin = ue
+        .join(broadcast(labels.select(col("node").as("bn"), col("lbl").as("blbl"))),
+          col("y") === col("bn"))
+        .groupBy(col("x")).agg(min(col("blbl")).as("nbr_min"))
+      val next = labels
+        .join(nbrMin, col("node") === col("x"), "left_outer")
+        .select(col("node"),
+          least(col("lbl"), coalesce(col("nbr_min"), col("lbl"))).as("lbl"))
+        .localCheckpoint()
+      val curSum = next.agg(sum(col("lbl"))).collect()(0).getLong(0)
+      labels = next
+      converged = curSum == prevSum
+      prevSum = curSum
+    }
+    labels.join(docs, col("node") === col("doc_id"))
+      .groupBy(col("lang"), col("lbl")).agg(count(lit(1)).as("sz"))
+      .groupBy(col("lang"))
+      .agg(sum(col("sz")).as("n_docs"), count(lit(1)).as("n_clusters"),
+        (sum(col("sz")) - count(lit(1))).as("n_dup_docs"),
+        max(col("sz")).as("max_cluster"))
+      .orderBy("lang")
+  }
+
+  /** Hard-negative mining (round 10) — the contrastive-training data
+    * op (e.g. DPR, Karpukhin et al. 2020 §3.2): for each anchor vector
+    * (vec_ids 20–24), the top-3 most cosine-similar vectors whose LABEL
+    * differs from the anchor's — maximally confusable negatives. One
+    * corpus scan against a broadcast 5-row anchor table, per-anchor
+    * top-k rank — the brute-force tier; at index scale the candidate
+    * generation swaps to the IVF/PQ path with the same label filter.
+    * Round-6 cosines + id tie-breaks (the established device). */
+  def q_llm_hard_negatives(s: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(s, dir)
+    val anchors = emb.filter(col("vec_id").between(20, 24))
+      .select(col("vec_id").as("anchor_id"), col("label").as("albl"),
+        col("embedding").as("av"), normCol(s)(col("embedding")).as("an"))
+    val wR = Window.partitionBy(col("anchor_id"))
+      .orderBy(col("cos_sim").desc, col("vec_id").asc)
+    emb.withColumn("vn", normCol(s)(col("embedding")))
+      .crossJoin(broadcast(anchors))
+      .filter(col("vec_id") =!= col("anchor_id") && col("label") =!= col("albl"))
+      .withColumn("cos_sim",
+        round(cosSimPre(s)(col("embedding"), col("av"), col("vn"), col("an")), 6))
+      .withColumn("rnk", row_number().over(wR).cast("bigint"))
+      .filter(col("rnk") <= 3)
+      .select(col("anchor_id"), col("vec_id").as("negative_id"),
+        col("label").as("negative_label"), col("cos_sim"), col("rnk"))
+      .orderBy("anchor_id", "rnk")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_llm_lsh_clusters" -> q_llm_lsh_clusters _,
+    "q_llm_hard_negatives" -> q_llm_hard_negatives _,
     "q_llm_ann_ivfpq" -> q_llm_ann_ivfpq _,
     "q_llm_feature_hash" -> q_llm_feature_hash _,
     "q_llm_ann_recall" -> q_llm_ann_recall _,

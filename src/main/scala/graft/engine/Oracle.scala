@@ -4781,6 +4781,136 @@ object Oracle {
           |SELECT lang, rnk, ngram, n FROM r WHERE rnk <= 10
           |ORDER BY lang, rnk""".stripMargin,
 
+      // Double-sweep pseudo-diameter: the bfs recursive-CTE device run
+      // twice — far endpoint of sweep 1 (hop DESC, node ASC) seeds
+      // sweep 2; both sweeps share the bfs hop cap.
+      "q_graph_pseudo_diameter" ->
+        s"""WITH RECURSIVE $edgesCte,
+           |pp AS (SELECT e1.dst AS a, e2.dst AS b
+           |       FROM edges e1 JOIN edges e2 ON e1.src = e2.src AND e1.dst < e2.dst
+           |       GROUP BY 1, 2 HAVING COUNT(*) >= ${GraphOps.CcMinCooccur}),
+           |ue AS (SELECT a, b FROM pp UNION ALL SELECT b, a FROM pp),
+           |seed AS (SELECT MIN(a) AS s FROM ue),
+           |reach1(n, d) AS (
+           |  SELECT s, 0 FROM seed
+           |  UNION
+           |  SELECT ue.b, reach1.d + 1 FROM reach1 JOIN ue ON reach1.n = ue.a
+           |  WHERE reach1.d < ${GraphOps.BfsMaxHops}),
+           |dm1 AS (SELECT n, MIN(d) AS d FROM reach1 GROUP BY n),
+           |far1 AS (SELECT n, d FROM dm1 ORDER BY d DESC, n ASC LIMIT 1),
+           |reach2(n, d) AS (
+           |  SELECT n, 0 FROM far1
+           |  UNION
+           |  SELECT ue.b, reach2.d + 1 FROM reach2 JOIN ue ON reach2.n = ue.a
+           |  WHERE reach2.d < ${GraphOps.BfsMaxHops}),
+           |dm2 AS (SELECT n, MIN(d) AS d FROM reach2 GROUP BY n),
+           |far2 AS (SELECT n, d FROM dm2 ORDER BY d DESC, n ASC LIMIT 1)
+           |SELECT seed.s AS seed_node, far1.n AS far_node1,
+           |  CAST(far1.d AS BIGINT) AS ecc1, far2.n AS far_node2,
+           |  CAST(far2.d AS BIGINT) AS pseudo_diameter
+           |FROM seed, far1, far2""".stripMargin,
+
+      // LSH-candidate clustering: the md5 minhash sig/band/verify chain
+      // at the strong threshold + the dedup_clusters reachability CTE.
+      "q_llm_lsh_clusters" -> {
+        def mhS(j: Int): String =
+          s"MIN(CAST('0x' || substr(md5('$j:' || tok), 1, 15) AS BIGINT)) AS s$j"
+        val sigs = (0 until 8).map(mhS).mkString(", ")
+        val bands = (0 until 4).map { b =>
+          s"""SELECT doc_id, lang, $b AS band_id,
+             |  CAST(s${2 * b} AS VARCHAR) || '_' || CAST(s${2 * b + 1} AS VARCHAR) AS bv
+             |FROM sig""".stripMargin
+        }.mkString("\nUNION ALL\n")
+        s"""WITH RECURSIVE d AS (SELECT doc_id, lang,
+           |             list_distinct(string_split(text, ' ')) AS toks
+           |           FROM documents WHERE doc_id % 10 = 0
+           |             AND len(list_distinct(string_split(text, ' '))) > 0),
+           |tok AS (SELECT doc_id, lang, unnest(toks) AS tok FROM d),
+           |sig AS (SELECT doc_id, lang, $sigs FROM tok GROUP BY 1, 2),
+           |banded AS ($bands),
+           |pairs AS (SELECT DISTINCT a.lang, a.doc_id AS doc_a, b.doc_id AS doc_b
+           |  FROM banded a JOIN banded b ON a.lang = b.lang AND a.band_id = b.band_id
+           |    AND a.bv = b.bv AND a.doc_id < b.doc_id),
+           |v AS (SELECT p.doc_a, p.doc_b,
+           |  ROUND(CAST(len(list_intersect(da.toks, db.toks)) AS DOUBLE)
+           |    / (len(da.toks) + len(db.toks) - len(list_intersect(da.toks, db.toks))), 6)
+           |    AS jaccard
+           |  FROM pairs p JOIN d da ON p.doc_a = da.doc_id
+           |               JOIN d db ON p.doc_b = db.doc_id),
+           |p8 AS (SELECT doc_a AS x, doc_b AS y FROM v WHERE jaccard >= 0.8),
+           |ue AS (SELECT x, y FROM p8 UNION ALL SELECT y, x FROM p8),
+           |reach AS (
+           |  SELECT doc_id AS n, doc_id AS r FROM d
+           |  UNION
+           |  SELECT reach.n, ue.y FROM reach JOIN ue ON reach.r = ue.x),
+           |comp AS (SELECT n, MIN(r) AS lbl FROM reach GROUP BY n),
+           |cl AS (SELECT d.lang, comp.lbl, COUNT(*) AS sz
+           |  FROM comp JOIN d ON comp.n = d.doc_id GROUP BY 1, 2)
+           |SELECT lang, CAST(SUM(sz) AS BIGINT) AS n_docs, COUNT(*) AS n_clusters,
+           |  CAST(SUM(sz) - COUNT(*) AS BIGINT) AS n_dup_docs,
+           |  CAST(MAX(sz) AS BIGINT) AS max_cluster
+           |FROM cl GROUP BY lang ORDER BY lang""".stripMargin
+      },
+
+      "q_llm_hard_negatives" ->
+        s"""WITH anchors AS (SELECT vec_id AS anchor_id, label AS albl, embedding AS av
+           |  FROM embeddings WHERE vec_id BETWEEN 20 AND 24),
+           |c AS (SELECT a.anchor_id, e.vec_id AS negative_id,
+           |    e.label AS negative_label,
+           |    ROUND(${cosExpr("e.embedding", "a.av")}, 6) AS cos_sim
+           |  FROM embeddings e CROSS JOIN anchors a
+           |  WHERE e.vec_id <> a.anchor_id AND e.label <> a.albl),
+           |r AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY anchor_id
+           |    ORDER BY cos_sim DESC, negative_id ASC) AS rnk FROM c)
+           |SELECT anchor_id, negative_id, negative_label, cos_sim,
+           |  CAST(rnk AS BIGINT) AS rnk
+           |FROM r WHERE rnk <= 3 ORDER BY anchor_id, rnk""".stripMargin,
+
+      "q_time_sax" ->
+        s"""WITH d0 AS (SELECT event_type, CAST(CAST(ts AS TIMESTAMP) AS DATE) AS day,
+           |    CAST(SUM(CAST(ROUND(value * 100, 0) AS BIGINT)) AS BIGINT) AS y
+           |  FROM events GROUP BY 1, 2),
+           |daily AS (SELECT event_type,
+           |    CAST(day - DATE '2024-01-01' AS BIGINT) AS x, y FROM d0),
+           |mom AS (SELECT event_type AS met, COUNT(*) AS n,
+           |    CAST(SUM(y) AS DOUBLE) AS sy, CAST(SUM(y * y) AS DOUBLE) AS syy
+           |  FROM daily GROUP BY 1 HAVING COUNT(*) > 1),
+           |stats AS (SELECT met, sy / CAST(n AS DOUBLE) AS mean,
+           |    sqrt((CAST(n AS DOUBLE) * syy - sy * sy)
+           |      / (CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) - 1))) AS std
+           |  FROM mom),
+           |win AS (SELECT event_type, (rn - 1) // ${StatsOps.SaxWin} AS win,
+           |    COUNT(*) AS nw, MIN(x) AS x_start, CAST(SUM(y) AS BIGINT) AS s5
+           |  FROM (SELECT event_type, x, y,
+           |      ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY x) AS rn
+           |    FROM daily)
+           |  GROUP BY 1, 2 HAVING COUNT(*) = ${StatsOps.SaxWin}),
+           |z AS (SELECT w.event_type, w.win, w.x_start,
+           |    CAST(w.s5 AS DOUBLE) / CAST(${StatsOps.SaxWin} AS DOUBLE) AS paa,
+           |    (CAST(w.s5 AS DOUBLE) / CAST(${StatsOps.SaxWin} AS DOUBLE) - s.mean)
+           |      / s.std AS zz
+           |  FROM win w JOIN stats s ON w.event_type = s.met)
+           |SELECT event_type, CAST(win AS BIGINT) AS win, x_start, paa,
+           |  ROUND(zz, 6) AS z_paa,
+           |  CAST(CASE WHEN zz < CAST(-0.6745 AS DOUBLE) THEN 0
+           |       WHEN zz < CAST(0 AS DOUBLE) THEN 1
+           |       WHEN zz < CAST(0.6745 AS DOUBLE) THEN 2 ELSE 3 END AS BIGINT) AS sym
+           |FROM z ORDER BY event_type, win""".stripMargin,
+
+      "q_agg_gmean_hmean" ->
+        """WITH ev AS (SELECT event_type, CAST(ROUND(value * 100, 0) AS BIGINT) AS c
+          |  FROM events WHERE CAST(ROUND(value * 100, 0) AS BIGINT) > 0),
+          |t AS (SELECT event_type,
+          |    CAST(ROUND(ln(CAST(c AS DOUBLE)), 9) AS DECIMAL(18,9)) AS lnt,
+          |    CAST(ROUND(CAST(1 AS DOUBLE) / CAST(c AS DOUBLE), 9) AS DECIMAL(18,9)) AS invt
+          |  FROM ev),
+          |a AS (SELECT event_type, COUNT(*) AS n,
+          |    SUM(lnt) AS sln, SUM(invt) AS sinv FROM t GROUP BY 1)
+          |SELECT event_type, CAST(n AS BIGINT) AS n,
+          |  ROUND(CAST(sln AS DOUBLE) / CAST(n AS DOUBLE), 6) AS log_gmean_cents,
+          |  ROUND(CAST(n AS DOUBLE) / CAST(sinv AS DOUBLE), 6) AS hmean_cents
+          |FROM a ORDER BY event_type""".stripMargin,
+
       "q_llm_ann_ivfpq" ->
         s"""WITH cents AS (SELECT vec_id AS cid, embedding AS cv FROM embeddings WHERE vec_id < 16),
            |data AS (SELECT vec_id AS vid, embedding AS dv FROM embeddings WHERE vec_id >= 16),

@@ -1749,7 +1749,81 @@ object StatsOps {
       .orderBy("event_type")
   }
 
+  /** SAX window width (days per symbol). */
+  val SaxWin = 5
+
+  /** SAX symbolization of the daily value series per event_type
+    * (Lin, Keogh et al. 2003 — the symbolic compression behind motif /
+    * anomaly mining on time series): z-normalize against the series'
+    * own mean/std (exact DECIMAL moments → one pinned double mean/std,
+    * the q_agg_ttest device), PAA-average complete 5-day windows (the
+    * 5-day sum is an exact BIGINT; one division), and bin the window z
+    * at the 4-symbol Gaussian breakpoints ±0.6745 (the quartile
+    * boundaries — the standard SAX alphabet-4 table). The breakpoint
+    * literals and every comparison run on identical IEEE doubles in
+    * both engines, so the symbol stream is bit-deterministic. One
+    * keyed window + one keyed agg, day-count-bounded per key. */
+  def q_time_sax(s: SparkSession, dir: String): DataFrame = {
+    val daily = Tables.events(s, dir)
+      .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+      .agg(sum(round(col("value") * 100, 0).cast("bigint")).as("y"))
+      .select(col("event_type"),
+        datediff(col("day"), lit("2024-01-01").cast("date")).cast("bigint").as("x"),
+        col("y"))
+    def dsum(c: org.apache.spark.sql.Column, n: String) =
+      sum(c.cast("decimal(38,0)")).cast("double").as(n)
+    val mom = daily.groupBy(col("event_type").as("met")).agg(
+      count(lit(1)).as("n"), dsum(col("y"), "sy"), dsum(col("y") * col("y"), "syy"))
+    val nd = col("n").cast("double")
+    val stats = mom.filter(col("n") > 1).select(col("met"),
+      (col("sy") / nd).as("mean"),
+      sqrt((nd * col("syy") - col("sy") * col("sy")) / (nd * (nd - 1))).as("std"))
+    val w = Window.partitionBy(col("event_type")).orderBy(col("x"))
+    val win = daily
+      .withColumn("rn", row_number().over(w))
+      .withColumn("win", expr(s"(rn - 1) div $SaxWin"))
+      .groupBy(col("event_type"), col("win"))
+      .agg(count(lit(1)).as("nw"), min(col("x")).as("x_start"),
+        sum(col("y")).as("s5"))
+      .filter(col("nw") === SaxWin)
+    val z = (col("s5").cast("double") / lit(SaxWin.toDouble) - col("mean")) / col("std")
+    win.join(broadcast(stats), col("event_type") === col("met"))
+      .select(col("event_type"), col("win"), col("x_start"),
+        (col("s5").cast("double") / lit(SaxWin.toDouble)).as("paa"),
+        round(z, 6).as("z_paa"),
+        when(z < lit(-0.6745), 0L).when(z < lit(0.0), 1L)
+          .when(z < lit(0.6745), 2L).otherwise(3L).as("sym"))
+      .orderBy("event_type", "win")
+  }
+
+  /** Geometric (log-space) and harmonic means of the positive value
+    * cents per event_type (round 10 — the multiplicative/rate
+    * aggregates a metrics pipeline keeps beside the arithmetic mean):
+    * log-gmean = mean of round-9 ln(c) terms (the q_agg_entropy device
+    * for absorbing libm ln — exact DECIMAL sum, one division), hmean =
+    * n / Σ(1/c) with the reciprocal terms round-9 → exact DECIMAL sum.
+    * ONE keyed aggregation, map-side partials, k rows out at any
+    * scale. */
+  def q_agg_gmean_hmean(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(s, dir).select(col("event_type"),
+        round(col("value") * 100, 0).cast("bigint").as("c"))
+      .filter(col("c") > 0)
+    val lnT = round(log(col("c").cast("double")), 9).cast("decimal(18,9)")
+    val invT = round(lit(1.0) / col("c").cast("double"), 9).cast("decimal(18,9)")
+    ev.groupBy(col("event_type")).agg(
+        count(lit(1)).as("n"),
+        sum(lnT).as("sln"), sum(invT).as("sinv"))
+      .select(col("event_type"), col("n"),
+        round(col("sln").cast("double") / col("n").cast("double"), 6)
+          .as("log_gmean_cents"),
+        round(col("n").cast("double") / col("sinv").cast("double"), 6)
+          .as("hmean_cents"))
+      .orderBy("event_type")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_time_sax" -> q_time_sax _,
+    "q_agg_gmean_hmean" -> q_agg_gmean_hmean _,
     "q_agg_mannwhitney" -> q_agg_mannwhitney _,
     "q_time_ewma" -> q_time_ewma _,
     "q_stream_ewma" -> q_stream_ewma _,

@@ -199,4 +199,97 @@ class Round15Spec extends AnyFunSuite {
     assert(got == expected,
       s"ivfpq replay mismatch:\n got=${got.take(6)}\n exp=${expected.take(6)}")
   }
+
+  test("q_llm_lsh_clusters never merges MORE than the exact clustering") {
+    // LSH candidates are a SUBSET of the exact J >= 0.8 pair graph
+    // (banding only loses pairs, the verify step is exact), so per lang:
+    // clusters >= exact clusters, dup docs <= exact dup docs, same doc
+    // universe. On the small fixture banding recall is usually 1.0 and
+    // the two coincide; the invariant direction is what must never flip.
+    def byLang(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    val lsh = byLang(LlmOps.q_llm_lsh_clusters(spark, sf0001))
+    val exact = byLang(LlmOps.q_llm_dedup_clusters(spark, sf0001))
+    assert(lsh.keySet == exact.keySet)
+    lsh.foreach { case (lang, (nDocs, nClusters, nDups)) =>
+      val (eDocs, eClusters, eDups) = exact(lang)
+      assert(nDocs == eDocs, s"$lang: same sampled doc universe")
+      assert(nClusters >= eClusters, s"$lang: LSH can only split, never over-merge")
+      assert(nDups <= eDups, s"$lang: LSH finds at most the exact dup mass")
+    }
+  }
+
+  test("q_graph_pseudo_diameter: second sweep dominates the first eccentricity") {
+    val r = graft.engine.GraphOps.q_graph_pseudo_diameter(spark, sf0001).collect()
+    assert(r.length == 1)
+    val ecc1 = r(0).getLong(2)
+    val pd = r(0).getLong(4)
+    // the double-sweep guarantee: ecc(far1) >= ecc(seed)
+    assert(pd >= ecc1, s"pseudo-diameter $pd must dominate sweep-1 ecc $ecc1")
+    assert(ecc1 >= 0 && pd >= 0)
+  }
+
+  test("q_time_sax: symbols match their z-scores; PAA means the window") {
+    val rows = StatsOps.q_time_sax(spark, sf0001).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getDouble(3),
+        r.getDouble(4), r.getLong(5)))
+    assert(rows.nonEmpty)
+    rows.foreach { case (_, _, _, _, z, sym) =>
+      val expected =
+        if (z < -0.6745) 0L else if (z < 0.0) 1L else if (z < 0.6745) 2L else 3L
+      // z is the round-6 display value; re-binning it can only disagree
+      // with the unrounded bin within half an ulp of a breakpoint —
+      // assert the coherent case away from the edge
+      if (math.abs(z + 0.6745) > 1e-5 && math.abs(z) > 1e-5 &&
+        math.abs(z - 0.6745) > 1e-5)
+        assert(sym == expected, s"symbol $sym vs z $z")
+    }
+    // windows are complete 5-day PAA means: 4 symbols only
+    assert(rows.forall(r => r._6 >= 0L && r._6 <= 3L))
+  }
+
+  test("q_agg_gmean_hmean equals a driver-side fold; hmean <= gmean <= amean") {
+    import org.apache.spark.sql.functions._
+    def r9b(x: Double): BigDecimal =
+      BigDecimal(x).setScale(9, BigDecimal.RoundingMode.HALF_UP)
+    val cents = Tables.events(spark, sf0001)
+      .select(col("event_type"), round(col("value") * 100, 0).cast("bigint").as("c"))
+      .filter(col("c") > 0)
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    val expected = cents.groupBy(_._1).toSeq.map { case (et, xs) =>
+      val n = xs.size.toLong
+      val sln = xs.map(x => r9b(math.log(x._2.toDouble))).sum
+      val sinv = xs.map(x => r9b(1.0 / x._2.toDouble)).sum
+      (et, n, r6(sln.toDouble / n.toDouble), r6(n.toDouble / sinv.toDouble))
+    }.sortBy(_._1)
+    val got = StatsOps.q_agg_gmean_hmean(spark, sf0001).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2), r.getDouble(3))).toSeq
+    assert(got == expected,
+      s"gmean/hmean replay mismatch:\n got=$got\n exp=$expected")
+    // AM-GM-HM inequality on positive data (log_gmean exp'd)
+    got.foreach { case (et, n, lg, h) =>
+      val am = cents.filter(_._1 == et).map(_._2).sum.toDouble / n
+      assert(h <= math.exp(lg) + 1e-6 && math.exp(lg) <= am + 1e-6,
+        s"$et: HM $h <= GM ${math.exp(lg)} <= AM $am must hold")
+    }
+  }
+
+  test("q_llm_hard_negatives: labels differ from the anchor's; ranked by similarity") {
+    import org.apache.spark.sql.functions._
+    val lbl = Tables.embeddings(spark, sf0001)
+      .select(col("vec_id"), col("label")).collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val rows = LlmOps.q_llm_hard_negatives(spark, sf0001).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getDouble(3), r.getLong(4)))
+    assert(rows.length == 15, "5 anchors x top-3")
+    rows.foreach { case (a, nid, nlbl, _, _) =>
+      assert(nlbl != lbl(a), s"negative $nid must carry a different label than anchor $a")
+      assert(nlbl == lbl(nid), "reported label matches the corpus")
+    }
+    rows.groupBy(_._1).values.foreach { g =>
+      val byRank = g.sortBy(_._5).map(_._4)
+      assert(byRank.zip(byRank.tail).forall { case (x, y) => x >= y },
+        "similarity must be non-increasing in rank")
+    }
+  }
 }
