@@ -438,6 +438,36 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(rows <= 10L * 16L, s"top-10-per-lang output must stay lang-bounded, got $rows")
   }
 
+  test("round-10 plan pins: new operators keep their scale shapes") {
+    // ngram_topk: the top-k window must be LANG-partitioned (never a
+    // global sort) and the rank-limit pushdown (WindowGroupLimit) must
+    // stay active — it is what keeps the pre-shuffle side top-k-bounded.
+    val ng = SparkEntry.queries("q_text_ngram_topk")(spark, sf0001)
+    val ngWins = ng.queryExecution.sparkPlan.collect {
+      case w: org.apache.spark.sql.execution.window.WindowExec => w
+    }
+    assert(ngWins.nonEmpty && ngWins.forall(_.partitionSpec.nonEmpty),
+      "ngram_topk's rank window must be partitioned by lang")
+    val ngPlan = ng.queryExecution.executedPlan.toString
+    assert(ngPlan.contains("WindowGroupLimit"),
+      "ngram_topk must keep the rank-limit pushdown")
+    // hard_negatives: the 5-row anchor table must reach the corpus scan
+    // as a broadcast, never a shuffle of the corpus against it.
+    val hn = SparkEntry.queries("q_llm_hard_negatives")(spark, sf0001)
+    val hnPlan = hn.queryExecution.executedPlan.toString
+    assert(hnPlan.contains("BroadcastExchange") || hnPlan.contains("BroadcastNestedLoop"),
+      "hard_negatives must broadcast the anchor table")
+    assert(!hnPlan.contains("SortMergeJoin"),
+      "hard_negatives must not sort-merge the corpus against 5 anchors")
+    // ivfpq: codebook (128 rows) and per-query LUT (640 rows) joins are
+    // broadcast — the ADC claim; the codes join may shuffle (n-sized).
+    val pq = SparkEntry.queries("q_llm_ann_ivfpq")(spark, sf0001)
+    val pqBroadcasts = pq.queryExecution.executedPlan.toString
+      .split("\n").count(_.contains("BroadcastExchange"))
+    assert(pqBroadcasts >= 3,
+      s"ivfpq must broadcast centroids/codebook/LUT/query-cells, saw $pqBroadcasts broadcasts")
+  }
+
   test("round-10 scale pin: PMI's vocab-sized doc-freq joins carry no broadcast hint") {
     // VERDICT r9 item 2: the word-doc-frequency table is vocab-sized at a
     // real corpus (10⁷–10⁸ rows) — an unconditional broadcast hint there
