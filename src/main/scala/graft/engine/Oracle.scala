@@ -4781,6 +4781,90 @@ object Oracle {
           |SELECT lang, rnk, ngram, n FROM r WHERE rnk <= 10
           |ORDER BY lang, rnk""".stripMargin,
 
+      // GZIP text roundtrip: identical invariants to the plain-text trip
+      // (the md5-twin shared-oracle pattern) — lossless codec, same
+      // per-lang accounting of the sanitized original.
+      "q_src_gzip_roundtrip" ->
+        """SELECT lang, COUNT(*) AS n_docs, COUNT(DISTINCT doc_id) AS n_ids,
+          |  CAST(SUM(length(replace(replace(text, chr(9), ' '), chr(10), ' ')))
+          |    AS BIGINT) AS sum_chars
+          |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin,
+
+      // 1D vs 2D hash edge partitioning: md5-derived assignments, pure
+      // integer accounting, one display division per strategy.
+      "q_graph_partition_2d" -> {
+        def h(salt: String, c: String, m: Int): String =
+          s"CAST('0x' || substr(md5('$salt:' || CAST($c AS VARCHAR)), 1, 15) AS BIGINT) % $m"
+        def side(p: String, name: String): String =
+          s"""l$name AS (SELECT $p AS p, COUNT(*) AS load FROM a GROUP BY 1),
+             |la$name AS (SELECT CAST(SUM(load) AS BIGINT) AS n_edges,
+             |    CAST(MAX(load) AS BIGINT) AS max_load,
+             |    CAST(MIN(load) AS BIGINT) AS min_load FROM l$name),
+             |r$name AS (SELECT x, COUNT(*) AS r FROM (
+             |    SELECT DISTINCT x, p FROM (
+             |      SELECT u AS x, $p AS p FROM a
+             |      UNION ALL SELECT v, $p FROM a)) GROUP BY 1),
+             |ra$name AS (SELECT COUNT(*) AS n_vertices,
+             |    CAST(SUM(r) AS BIGINT) AS sum_replicas FROM r$name),
+             |s$name AS (SELECT '$name' AS strategy, n_edges, max_load, min_load,
+             |    n_vertices, sum_replicas,
+             |    ROUND(CAST(sum_replicas AS DOUBLE) / CAST(n_vertices AS DOUBLE), 6)
+             |      AS repl_factor
+             |  FROM la$name, ra$name)""".stripMargin
+        s"""WITH $edgesCte,
+           |e AS (SELECT src * 2 AS u, dst * 2 + 1 AS v FROM edges),
+           |a AS (SELECT u, v, ${h("p1", "u", PartitionOps.Grid * PartitionOps.Grid)} AS p1,
+           |    (${h("p2", "u", PartitionOps.Grid)}) * ${PartitionOps.Grid}
+           |      + ${h("p2", "v", PartitionOps.Grid)} AS p2
+           |  FROM e),
+           |${side("p1", "1d_hash")},
+           |${side("p2", "2d_grid")}
+           |SELECT * FROM s1d_hash UNION ALL SELECT * FROM s2d_grid
+           |ORDER BY strategy""".stripMargin
+      },
+
+      // Late-event accounting: running max over arrival order replays
+      // the fold; exact integer microseconds end to end.
+      "q_stream_late_events" ->
+        s"""WITH ev AS (SELECT event_type, event_id,
+           |    epoch_us(CAST(ts AS TIMESTAMP)) AS us FROM events),
+           |w AS (SELECT event_type, us,
+           |    MAX(us) OVER (PARTITION BY event_type ORDER BY event_id
+           |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pmax
+           |  FROM ev),
+           |l AS (SELECT event_type, us, pmax,
+           |    (pmax IS NOT NULL AND us < pmax - ${StreamingOps.LateDelaySec * 1000000L})
+           |      AS late,
+           |    CASE WHEN pmax IS NOT NULL
+           |           AND us < pmax - ${StreamingOps.LateDelaySec * 1000000L}
+           |      THEN (pmax - ${StreamingOps.LateDelaySec * 1000000L} - us) // 1000000
+           |      ELSE 0 END AS delay
+           |  FROM w)
+           |SELECT event_type, COUNT(*) AS n_events,
+           |  CAST(SUM(CASE WHEN late THEN 1 ELSE 0 END) AS BIGINT) AS n_late,
+           |  CAST(MAX(delay) AS BIGINT) AS max_delay_sec
+           |FROM l GROUP BY 1 ORDER BY 1""".stripMargin,
+
+      // Curriculum schedule: two keyed windows + exact integer quartile
+      // buckets; the Σ doc_id·pos checksum pins the whole ordering.
+      "q_llm_curriculum_order" ->
+        """WITH r AS (SELECT doc_id, lang, n_chars,
+          |    CAST(ROW_NUMBER() OVER (PARTITION BY lang
+          |      ORDER BY n_chars ASC, doc_id ASC) AS BIGINT) AS rnk,
+          |    COUNT(*) OVER (PARTITION BY lang) AS n
+          |  FROM documents),
+          |b AS (SELECT *, (4 * (rnk - 1)) // n AS bucket FROM r),
+          |p AS (SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY lang, bucket
+          |    ORDER BY rnk) AS BIGINT) AS rib FROM b),
+          |q AS (SELECT lang, bucket, doc_id, n_chars,
+          |    4 * (rib - 1) + bucket + 1 AS pos FROM p)
+          |SELECT lang, CAST(bucket AS BIGINT) AS bucket, COUNT(*) AS n_docs,
+          |  MIN(n_chars) AS min_chars, MAX(n_chars) AS max_chars,
+          |  CAST(MIN(pos) AS BIGINT) AS first_pos,
+          |  CAST(MAX(pos) AS BIGINT) AS last_pos,
+          |  CAST(SUM(doc_id * pos) AS BIGINT) AS schedule_checksum
+          |FROM q GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
       // Double-sweep pseudo-diameter: the bfs recursive-CTE device run
       // twice — far endpoint of sweep 1 (hop DESC, node ASC) seeds
       // sweep 2; both sweeps share the bfs hop cap.

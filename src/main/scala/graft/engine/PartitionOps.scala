@@ -101,7 +101,50 @@ object PartitionOps {
       .orderBy("partition")
   }
 
+  /** 2D grid side for the hash-partitioning comparison (total parts =
+    * Grid² = 16, equal for both strategies). */
+  val Grid = 4
+
+  /** STATELESS edge-partitioning accounting (round 10) — 1D source-hash
+    * vs 2D grid (the GraphX EdgePartition2D / "grid" vertex-cut,
+    * Gonzalez et al. OSDI 2012 §5.1): edge (u,v) lands in h(u) mod 16
+    * (1D) or cell (h(u) mod 4, h(v) mod 4) (2D). The 2D bound: a vertex
+    * replicates into at most one grid ROW (as source) + one COLUMN (as
+    * destination) = O(2·√P) replicas, vs O(P) for the 1D cut's
+    * destination side. Unlike HDRF's sequential greedy, both are pure
+    * hash functions — embarrassingly parallel at any scale, which is
+    * exactly the trade this query quantifies: per strategy, edge-load
+    * balance (max/min over NON-EMPTY parts) and the vertex replication
+    * factor. md5-derived hashes so the assignment is cross-engine
+    * exact; all-integer accounting, one round-6 display division. */
+  def q_graph_partition_2d(s: SparkSession, dir: String): DataFrame = {
+    val e = GraphOps.edges(s, dir)
+      .select((col("src") * 2).as("u"), (col("dst") * 2 + 1).as("v"))
+    val hu = pmod(Dsl.md5Hash60(concat(lit("p2:"), col("u").cast("string"))), lit(Grid.toLong))
+    val hv = pmod(Dsl.md5Hash60(concat(lit("p2:"), col("v").cast("string"))), lit(Grid.toLong))
+    val h1 = pmod(Dsl.md5Hash60(concat(lit("p1:"), col("u").cast("string"))),
+      lit((Grid * Grid).toLong))
+    val asg = e.select(col("u"), col("v"), h1.as("p1"),
+      (hu * Grid + hv).as("p2")).localCheckpoint()
+    def account(pcol: String, name: String): DataFrame = {
+      val loads = asg.groupBy(col(pcol).as("p")).agg(count(lit(1)).as("load"))
+        .agg(sum(col("load")).as("n_edges"), max(col("load")).as("max_load"),
+          min(col("load")).as("min_load"))
+      val reps = asg.select(col("u").as("x"), col(pcol).as("p"))
+        .union(asg.select(col("v").as("x"), col(pcol).as("p")))
+        .distinct().groupBy(col("x")).agg(count(lit(1)).as("r"))
+        .agg(count(lit(1)).as("n_vertices"), sum(col("r")).as("sum_replicas"))
+      loads.crossJoin(reps).select(lit(name).as("strategy"), col("n_edges"),
+        col("max_load"), col("min_load"), col("n_vertices"), col("sum_replicas"),
+        round(col("sum_replicas").cast("double") / col("n_vertices").cast("double"), 6)
+          .as("repl_factor"))
+    }
+    account("p1", "1d_hash").unionByName(account("p2", "2d_grid"))
+      .orderBy("strategy")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_graph_partition_2d" -> q_graph_partition_2d _,
     "q_graph_partition_hdrf" -> q_graph_partition_hdrf _
   )
 }

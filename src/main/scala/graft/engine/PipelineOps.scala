@@ -463,7 +463,40 @@ object PipelineOps {
       .orderBy("lang")
   }
 
+  /** Curriculum data ordering (round 10 — the easy→hard schedule of
+    * curriculum learning, Bengio et al. 2009, applied per lang as a
+    * length curriculum): within each lang, docs rank by (n_chars,
+    * doc_id), split into 4 exact-integer quartile buckets
+    * (bucket = 4·(rank−1) div n), and the training schedule interleaves
+    * buckets round-robin — position = 4·(rank_in_bucket − 1) + bucket
+    * + 1 — so every phase of training sees a difficulty mix while the
+    * within-bucket order stays easy→hard. Output: per-bucket accounting
+    * (doc count, char range, first/last schedule position, and an exact
+    * Σ doc_id·pos checksum that pins the entire schedule). Two keyed
+    * windows per lang — no global sort at any scale; at 100 TB the
+    * schedule materializes as a sort WITHIN shard files. */
+  def q_llm_curriculum_order(s: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documents(s, dir).select(col("doc_id"), col("lang"), col("n_chars"))
+    val wRank = Window.partitionBy(col("lang"))
+      .orderBy(col("n_chars").asc, col("doc_id").asc)
+    val ranked = d.withColumn("rnk", row_number().over(wRank).cast("bigint"))
+      .withColumn("n", count(lit(1)).over(Window.partitionBy(col("lang"))))
+      .withColumn("bucket", expr("(4 * (rnk - 1)) div n"))
+    val wBucket = Window.partitionBy(col("lang"), col("bucket"))
+      .orderBy(col("rnk").asc)
+    ranked
+      .withColumn("rib", row_number().over(wBucket).cast("bigint"))
+      .withColumn("pos", lit(4L) * (col("rib") - 1L) + col("bucket") + 1L)
+      .groupBy(col("lang"), col("bucket"))
+      .agg(count(lit(1)).as("n_docs"),
+        min(col("n_chars")).as("min_chars"), max(col("n_chars")).as("max_chars"),
+        min(col("pos")).as("first_pos"), max(col("pos")).as("last_pos"),
+        sum(col("doc_id") * col("pos")).as("schedule_checksum"))
+      .orderBy("lang", "bucket")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_llm_curriculum_order" -> q_llm_curriculum_order _,
     "q_llm_span_corruption" -> q_llm_span_corruption _,
     "q_llm_pipeline_e2e" -> q_llm_pipeline_e2e _,
     "q_llm_chunk_overlap" -> q_llm_chunk_overlap _,

@@ -33,8 +33,10 @@ object SourceOps {
   }
 
   /** Scratch dir per (format, fixture): overwritten on every run so the
-    * check never reads a stale round-trip from a previous session. */
-  private def scratch(fmt: String, dir: String): String =
+    * check never reads a stale round-trip from a previous session.
+    * `private[graft]` so specs can inspect the physical output (e.g. the
+    * gzip test asserting real .gz part files). */
+  private[graft] def scratch(fmt: String, dir: String): String =
     s"$scratchRoot/$fmt-${new java.io.File(dir).getName}"
 
   private val supplierSchema = StructType(Seq(
@@ -259,7 +261,37 @@ object SourceOps {
       .orderBy("kind")
   }
 
+  /** GZIP-compressed text round trip (round 10 — the compressed-lines
+    * format the web-corpus world actually ships: .jsonl.gz / .txt.gz):
+    * the q_src_text_roundtrip line format written with
+    * `compression=gzip`, read back through the text source's transparent
+    * codec detection (.gz extension). Same per-lang invariants as the
+    * plain-text trip (count, distinct ids, exact char mass), so the two
+    * queries share one oracle; a codec corruption, truncated member, or
+    * line split breaks the hash. Scale note: gzip is NOT splittable —
+    * one file = one task — so a deployment shards into many ≤ HDFS-block
+    * files at write time (this write inherits the input partitioning),
+    * or re-codecs to zstd/bzip2 when per-file parallel reads matter. */
+  def q_src_gzip_roundtrip(s: SparkSession, dir: String): DataFrame = {
+    val path = scratch("gztext", dir)
+    Tables.documents(s, dir)
+      .select(concat_ws("\t", col("doc_id"), col("lang"),
+        translate(col("text"), "\t\n", "  ")).as("value"))
+      .write.mode(SaveMode.Overwrite).option("compression", "gzip").text(path)
+    s.read.text(path)
+      .select(split(col("value"), "\t", 3).as("f"))
+      .select(element_at(col("f"), 1).cast("long").as("doc_id"),
+        element_at(col("f"), 2).as("lang"),
+        element_at(col("f"), 3).as("text"))
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"),
+        countDistinct(col("doc_id")).as("n_ids"),
+        sum(length(col("text")).cast("bigint")).as("sum_chars"))
+      .orderBy("lang")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_src_gzip_roundtrip" -> q_src_gzip_roundtrip _,
     "q_src_text_roundtrip" -> q_src_text_roundtrip _,
     "q_src_binary_ingest" -> q_src_binary_ingest _,
     "q_src_schema_evolution" -> q_src_schema_evolution _,

@@ -465,7 +465,56 @@ object StreamingOps {
         col("end_ts"), col("session_value"))
       .orderBy("user_id", "start_ts")
 
+  /** Watermark delay for the late-event accounting (seconds). */
+  val LateDelaySec = 600L
+
+  case class LateIn(etype: String, eid: Long, us: Long)
+  case class LateSnap(event_type: String, n_events: Long, n_late: Long,
+      max_delay_sec: Long)
+
+  /** Streaming late-event fold: the watermark bookkeeping every
+    * event-time deployment monitors — per key, track the max event time
+    * seen so far (the watermark source); an event arriving (in event_id
+    * order) with ts < maxTs − delay is LATE (it would be dropped by a
+    * watermark-evicted window). State: 4 longs / 32 B per key (maxTs µs,
+    * n, nLate, maxDelay). Exact integer µs arithmetic end to end. */
+  def updateLate(key: String, it: Iterator[LateIn],
+      state: GroupState[Array[Long]]): Iterator[LateSnap] = {
+    val st = state.getOption.getOrElse(Array(Long.MinValue, 0L, 0L, 0L))
+    it.toArray.sortBy(_.eid).foreach { e =>
+      st(1) += 1
+      val wm = if (st(0) == Long.MinValue) Long.MinValue
+        else st(0) - LateDelaySec * 1000000L
+      if (e.us < wm) {
+        st(2) += 1
+        val d = (wm - e.us) / 1000000L
+        if (d > st(3)) st(3) = d
+      }
+      if (e.us > st(0)) st(0) = e.us
+    }
+    state.update(st)
+    if (st(1) == 0L) Iterator.empty
+    else Iterator.single(LateSnap(key, st(1), st(2), st(3)))
+  }
+
+  /** Driver-contract query: late-data accounting per event_type — how
+    * many events arrive behind the 10-minute watermark and by how much.
+    * The oracle replays the fold as a running-max window over arrival
+    * (event_id) order. */
+  def q_stream_late_events(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables.events(s, dir)
+      .select(col("event_type").as("etype"), col("event_id").as("eid"),
+        unix_micros(col("ts")).as("us"))
+      .as[LateIn]
+      .groupByKey(_.etype)
+      .flatMapGroupsWithState(OutputMode.Update, GroupStateTimeout.NoTimeout)(updateLate)
+      .toDF()
+      .orderBy("event_type")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_stream_late_events" -> q_stream_late_events _,
     "q_stream_sessionize" -> q_stream_sessionize _,
     "q_stream_chained_agg" -> q_stream_chained_agg _,
     "q_stream_tumbling" -> q_stream_tumbling _,

@@ -274,6 +274,90 @@ class Round15Spec extends AnyFunSuite {
     }
   }
 
+  test("q_src_gzip_roundtrip equals the plain-text roundtrip and writes real .gz files") {
+    val gz = graft.engine.SourceOps.q_src_gzip_roundtrip(spark, sf0001).collect()
+    val plain = graft.engine.SourceOps.q_src_text_roundtrip(spark, sf0001).collect()
+    assert(gz.map(_.toSeq).toSeq == plain.map(_.toSeq).toSeq,
+      "compressed and plain round trips must agree (lossless codec)")
+    // the sink actually produced gzip members, not plain text
+    val outDir = new java.io.File(
+      graft.engine.SourceOps.scratch("gztext", sf0001))
+    val parts = Option(outDir.listFiles()).getOrElse(Array.empty)
+      .filter(_.getName.startsWith("part-"))
+    assert(parts.nonEmpty && parts.forall(_.getName.endsWith(".gz")),
+      s"expected .gz parts under $outDir, got ${parts.map(_.getName).toSeq}")
+  }
+
+  test("q_graph_partition_2d: 2D replication beats 1D; loads cover all edges") {
+    val rows = graft.engine.PartitionOps.q_graph_partition_2d(spark, sf0001).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getDouble(6))).toMap
+    val (e1, _, _, v1, _, rf1) = rows("1d_hash")
+    val (e2, _, _, v2, _, rf2) = rows("2d_grid")
+    assert(e1 == e2 && v1 == v2, "both strategies see the same graph")
+    // the 2D grid bound: <= 2*sqrt(P) = 8 replicas per vertex; and on a
+    // bipartite co-purchase graph its RF must not exceed the 1D cut's
+    // (1D scatters every part vertex across up to 16 parts)
+    assert(rf2 <= rf1 + 1e-9, s"2D RF $rf2 must not exceed 1D RF $rf1")
+    assert(rf2 <= 8.0 && rf1 >= 1.0)
+  }
+
+  test("q_stream_late_events fold: batch split equals single shot; late iff behind watermark") {
+    import org.apache.spark.sql.streaming.{GroupStateTimeout, TestGroupState}
+    import graft.engine.StreamingOps
+    // arrival order with one 20-minute-late straggler and one mild one
+    val evs = Seq(
+      StreamingOps.LateIn("t", 0, 1000L * 1000000),
+      StreamingOps.LateIn("t", 1, 2000L * 1000000),
+      StreamingOps.LateIn("t", 2, (2000L - 1200) * 1000000), // 20 min behind max
+      StreamingOps.LateIn("t", 3, (2000L - 500) * 1000000),  // inside the 10-min delay
+      StreamingOps.LateIn("t", 4, 3000L * 1000000))
+    def fold(batches: Seq[Seq[StreamingOps.LateIn]]): StreamingOps.LateSnap = {
+      var st: Option[Array[Long]] = None
+      var out: StreamingOps.LateSnap = null
+      batches.foreach { b =>
+        val gs = TestGroupState.create[Array[Long]](
+          optionalState = st.map(org.apache.spark.api.java.Optional.of[Array[Long]])
+            .getOrElse(org.apache.spark.api.java.Optional.empty[Array[Long]]()),
+          timeoutConf = GroupStateTimeout.NoTimeout,
+          batchProcessingTimeMs = 0L,
+          eventTimeWatermarkMs = org.apache.spark.api.java.Optional.empty[Long](),
+          hasTimedOut = false)
+        StreamingOps.updateLate("t", b.iterator, gs).foreach(out = _)
+        st = if (gs.exists) Some(gs.get) else None
+      }
+      out
+    }
+    val single = fold(Seq(evs))
+    val split = fold(evs.grouped(2).toSeq)
+    assert(single == split, "micro-batch split must not change the snapshot")
+    // only the 20-min straggler is late: delay = (2000-600) - 800 = 600 s
+    assert(single == StreamingOps.LateSnap("t", 5L, 1L, 600L))
+  }
+
+  test("q_llm_curriculum_order: buckets partition each lang; schedule positions are unique") {
+    import org.apache.spark.sql.functions._
+    val rows = graft.engine.PipelineOps.q_llm_curriculum_order(spark, sf0001).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getLong(6)))
+    val docCounts = Tables.documents(spark, sf0001)
+      .groupBy(col("lang")).count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    rows.groupBy(_._1).foreach { case (lang, g) =>
+      assert(g.map(_._2).sorted.toSeq == Seq(0L, 1L, 2L, 3L), s"$lang: 4 quartile buckets")
+      assert(g.map(_._3).sum == docCounts(lang), s"$lang: buckets partition the docs")
+      // easy->hard within the bucket ladder: char ranges are ordered
+      val byBucket = g.sortBy(_._2)
+      byBucket.zip(byBucket.tail).foreach { case (lo, hi) =>
+        assert(lo._5 <= hi._4, s"$lang: bucket ${lo._2} max_chars must not exceed bucket ${hi._2} min_chars")
+      }
+      // round-robin interleave: bucket b's first position is b+1
+      byBucket.foreach { case (_, b, _, _, _, first, _) =>
+        assert(first == b + 1, s"$lang: bucket $b must start at position ${b + 1}")
+      }
+    }
+  }
+
   test("q_llm_hard_negatives: labels differ from the anchor's; ranked by similarity") {
     import org.apache.spark.sql.functions._
     val lbl = Tables.embeddings(spark, sf0001)
