@@ -4781,6 +4781,72 @@ object Oracle {
           |SELECT lang, rnk, ngram, n FROM r WHERE rnk <= 10
           |ORDER BY lang, rnk""".stripMargin,
 
+      // Count-window fold replay: complete 100-event windows in arrival
+      // order; the HAVING mirrors the open tail staying in state.
+      "q_stream_count_window" ->
+        s"""WITH ev AS (SELECT event_type, event_id,
+           |    CAST(ROUND(value * 100, 0) AS BIGINT) AS c FROM events),
+           |r AS (SELECT event_type, event_id, c,
+           |    ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY event_id) AS rn
+           |  FROM ev),
+           |w AS (SELECT event_type,
+           |    (rn - 1) // ${StreamingOps.CountWindowN} AS win,
+           |    COUNT(*) AS nw, CAST(SUM(c) AS BIGINT) AS sum_cents,
+           |    MIN(event_id) AS first_eid, MAX(event_id) AS last_eid
+           |  FROM r GROUP BY 1, 2 HAVING COUNT(*) = ${StreamingOps.CountWindowN})
+           |SELECT event_type, CAST(win AS BIGINT) AS win, sum_cents,
+           |  first_eid, last_eid
+           |FROM w ORDER BY event_type, win""".stripMargin,
+
+      // JSD: the PMI one-division device inside the entropy round-9 →
+      // DECIMAL term sum; full-outer token join per lang pair.
+      "q_text_jsd" ->
+        """WITH tok AS (SELECT lang, unnest(list_filter(string_split(text, ' '),
+          |      t -> t <> '')) AS w FROM documents),
+          |cnt AS (SELECT lang, w, CAST(COUNT(*) AS BIGINT) AS c FROM tok GROUP BY 1, 2),
+          |tot AS (SELECT lang AS tl, CAST(SUM(c) AS BIGINT) AS n FROM cnt GROUP BY 1),
+          |pairs AS (SELECT a.tl AS la, a.n AS na, b.tl AS lb, b.n AS nb
+          |  FROM tot a JOIN tot b ON a.tl < b.tl),
+          |aside AS (SELECT p.la, p.lb, cnt.w, cnt.c AS ca
+          |  FROM pairs p JOIN cnt ON cnt.lang = p.la),
+          |bside AS (SELECT p.la AS la2, p.lb AS lb2, cnt.w AS w2, cnt.c AS cb
+          |  FROM pairs p JOIN cnt ON cnt.lang = p.lb),
+          |u AS (SELECT COALESCE(la, la2) AS lang_a, COALESCE(lb, lb2) AS lang_b,
+          |    COALESCE(ca, 0) AS ca0, COALESCE(cb, 0) AS cb0
+          |  FROM aside FULL OUTER JOIN bside
+          |    ON la = la2 AND lb = lb2 AND w = w2),
+          |u2 AS (SELECT u.lang_a, u.lang_b, u.ca0, u.cb0, p.na, p.nb
+          |  FROM u JOIN pairs p ON u.lang_a = p.la AND u.lang_b = p.lb),
+          |terms AS (SELECT lang_a, lang_b,
+          |    CAST(ROUND(
+          |      (CASE WHEN ca0 > 0 THEN
+          |        CAST(ca0 AS DOUBLE) / (CAST(2 AS DOUBLE) * CAST(na AS DOUBLE))
+          |        * ln(CAST(2 AS DOUBLE) * CAST(ca0 AS DOUBLE) * CAST(nb AS DOUBLE)
+          |          / (CAST(ca0 AS DOUBLE) * CAST(nb AS DOUBLE)
+          |             + CAST(cb0 AS DOUBLE) * CAST(na AS DOUBLE)))
+          |       ELSE CAST(0 AS DOUBLE) END)
+          |      + (CASE WHEN cb0 > 0 THEN
+          |        CAST(cb0 AS DOUBLE) / (CAST(2 AS DOUBLE) * CAST(nb AS DOUBLE))
+          |        * ln(CAST(2 AS DOUBLE) * CAST(cb0 AS DOUBLE) * CAST(na AS DOUBLE)
+          |          / (CAST(cb0 AS DOUBLE) * CAST(na AS DOUBLE)
+          |             + CAST(ca0 AS DOUBLE) * CAST(nb AS DOUBLE)))
+          |       ELSE CAST(0 AS DOUBLE) END), 9) AS DECIMAL(18,9)) AS term
+          |  FROM u2)
+          |SELECT lang_a, lang_b, COUNT(*) AS n_union_tokens,
+          |  ROUND(CAST(SUM(term) AS DOUBLE), 6) AS jsd
+          |FROM terms GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+      "q_llm_dataset_card" ->
+        """WITH t AS (SELECT CAST(COUNT(*) AS BIGINT) AS tot FROM documents)
+          |SELECT source, COUNT(*) AS n_docs,
+          |  COUNT(DISTINCT lang) AS n_langs,
+          |  CAST(SUM(n_chars) AS BIGINT) AS tot_chars,
+          |  MIN(n_chars) AS min_chars, MAX(n_chars) AS max_chars,
+          |  ROUND(CAST(SUM(n_chars) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE), 6)
+          |    AS mean_chars,
+          |  ROUND(CAST(COUNT(*) AS DOUBLE) / CAST(t.tot AS DOUBLE), 6) AS doc_share
+          |FROM documents, t GROUP BY source, t.tot ORDER BY source""".stripMargin,
+
       // GZIP text roundtrip: identical invariants to the plain-text trip
       // (the md5-twin shared-oracle pattern) — lossless codec, same
       // per-lang accounting of the sanitized original.

@@ -495,7 +495,33 @@ object PipelineOps {
       .orderBy("lang", "bucket")
   }
 
+  /** Dataset card / datasheet summary per source (round 10 — the
+    * per-provenance report a curation run ships with the corpus,
+    * Gebru et al. 2021 "Datasheets for Datasets"): doc count, distinct
+    * languages, exact char mass, char range, mean doc length, and each
+    * source's share of the corpus. ONE keyed aggregation + a broadcast
+    * 1-row total — source-cardinality output at any corpus size. */
+  def q_llm_dataset_card(s: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documents(s, dir)
+    val tot = d.agg(count(lit(1)).as("tot"))
+    d.groupBy(col("source")).agg(
+        count(lit(1)).as("n_docs"),
+        countDistinct(col("lang")).as("n_langs"),
+        sum(col("n_chars")).as("tot_chars"),
+        min(col("n_chars")).as("min_chars"),
+        max(col("n_chars")).as("max_chars"))
+      .crossJoin(broadcast(tot))
+      .select(col("source"), col("n_docs"), col("n_langs"), col("tot_chars"),
+        col("min_chars"), col("max_chars"),
+        round(col("tot_chars").cast("double") / col("n_docs").cast("double"), 6)
+          .as("mean_chars"),
+        round(col("n_docs").cast("double") / col("tot").cast("double"), 6)
+          .as("doc_share"))
+      .orderBy("source")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_llm_dataset_card" -> q_llm_dataset_card _,
     "q_llm_curriculum_order" -> q_llm_curriculum_order _,
     "q_llm_span_corruption" -> q_llm_span_corruption _,
     "q_llm_pipeline_e2e" -> q_llm_pipeline_e2e _,

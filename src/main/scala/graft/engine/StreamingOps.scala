@@ -513,7 +513,58 @@ object StreamingOps {
       .orderBy("event_type")
   }
 
+  /** Count-window size (events per window). */
+  val CountWindowN = 100L
+
+  case class CwIn(etype: String, eid: Long, c: Long)
+  case class CwOut(event_type: String, win: Long, sum_cents: Long,
+      first_eid: Long, last_eid: Long)
+
+  /** COUNT-window fold — the Flink `countWindow(N)` staple Structured
+    * Streaming has no built-in for (its windows are time-based): per
+    * key, tumbling windows of exactly N events in arrival (event_id)
+    * order; a window CLOSES when its N-th event arrives and is emitted
+    * with exact integer accounting (Σ cents, first/last event id); the
+    * open tail stays in state. State: 5 longs / 40 B per key (window
+    * index, count, sum, first/last id) — bounded regardless of stream
+    * length, and the fold is micro-batch-split invariant because the
+    * partial window carries across batches. */
+  def updateCountWindow(key: String, it: Iterator[CwIn],
+      state: GroupState[Array[Long]]): Iterator[CwOut] = {
+    // state layout: winIdx, cnt, sum, firstEid, lastEid
+    val st = state.getOption.getOrElse(Array(0L, 0L, 0L, -1L, -1L))
+    val out = Seq.newBuilder[CwOut]
+    it.toArray.sortBy(_.eid).foreach { e =>
+      if (st(1) == 0L) st(3) = e.eid
+      st(1) += 1
+      st(2) += e.c
+      st(4) = e.eid
+      if (st(1) == CountWindowN) {
+        out += CwOut(key, st(0), st(2), st(3), st(4))
+        st(0) += 1; st(1) = 0L; st(2) = 0L; st(3) = -1L; st(4) = -1L
+      }
+    }
+    state.update(st)
+    out.result().iterator
+  }
+
+  /** Driver-contract query: tumbling 100-event count windows per
+    * event_type; only CLOSED windows emit (the oracle's complete-window
+    * HAVING mirrors the tail staying in state). */
+  def q_stream_count_window(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables.events(s, dir)
+      .select(col("event_type").as("etype"), col("event_id").as("eid"),
+        round(col("value") * 100, 0).cast("bigint").as("c"))
+      .as[CwIn]
+      .groupByKey(_.etype)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(updateCountWindow)
+      .toDF()
+      .orderBy("event_type", "win")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_stream_count_window" -> q_stream_count_window _,
     "q_stream_late_events" -> q_stream_late_events _,
     "q_stream_sessionize" -> q_stream_sessionize _,
     "q_stream_chained_agg" -> q_stream_chained_agg _,

@@ -854,7 +854,65 @@ object TextOps {
       .orderBy("lang", "rnk")
   }
 
+  /** Jensen–Shannon divergence between every pair of per-lang unigram
+    * distributions (round 10 — the corpus-comparison metric behind
+    * domain-shift screens and dedup-across-sources decisions):
+    * JSD(P,Q) = Σ (p/2)·ln(p/m) + (q/2)·ln(q/m), m = (p+q)/2.
+    * Exactness: with p = ca/na and q = cb/nb, the ln arguments collapse
+    * to ONE exact integer-product division each —
+    * p/m = 2·ca·nb / (ca·nb + cb·na) (the q_text_pmi device) — and each
+    * term is round-9 → exact DECIMAL sum (the entropy device), so the
+    * cross-lang sum is order-blind. Missing tokens contribute only the
+    * other side's (x/2)·ln 2 term, which the same formula yields with
+    * the zero count in the denominator. Shape: vocab-bounded keyed
+    * aggs + a 10-row broadcast pair table + one full-outer token join
+    * per pair — never corpus-sized. */
+  def q_text_jsd(s: SparkSession, dir: String): DataFrame = {
+    val tok = Tables.documents(s, dir)
+      .select(col("lang"), explode(expr("filter(split(text, ' '), t -> t <> '')")).as("w"))
+    val cnt = tok.groupBy(col("lang"), col("w")).agg(count(lit(1)).as("c"))
+    val tot = cnt.groupBy(col("lang").as("tl")).agg(sum(col("c")).as("n"))
+    val langs = tot.select(col("tl"), col("n"))
+    val pairsT = langs.select(col("tl").as("la"), col("n").as("na"))
+      .crossJoin(langs.select(col("tl").as("lb"), col("n").as("nb")))
+      .filter(col("la") < col("lb"))
+    val aSide = pairsT.join(cnt, col("lang") === col("la"))
+      .select(col("la"), col("lb"), col("na"), col("nb"), col("w"), col("c").as("ca"))
+    val bSide = pairsT.join(cnt, col("lang") === col("lb"))
+      .select(col("la").as("la2"), col("lb").as("lb2"), col("w").as("w2"),
+        col("c").as("cb"))
+    val u = aSide.join(bSide,
+        col("la") === col("la2") && col("lb") === col("lb2") && col("w") === col("w2"),
+        "full_outer")
+      .select(coalesce(col("la"), col("la2")).as("lang_a"),
+        coalesce(col("lb"), col("lb2")).as("lang_b"),
+        coalesce(col("ca"), lit(0L)).as("ca0"),
+        coalesce(col("cb"), lit(0L)).as("cb0"),
+        col("na"), col("nb"))
+    // full-outer rows from the b side carry NULL na/nb — re-attach the
+    // pair totals from the broadcast pair table
+    val u2 = u.drop("na", "nb")
+      .join(broadcast(pairsT.select(col("la").as("pl"), col("lb").as("pb2"),
+        col("na"), col("nb"))),
+        col("lang_a") === col("pl") && col("lang_b") === col("pb2"))
+    val caD = col("ca0").cast("double"); val cbD = col("cb0").cast("double")
+    val naD = col("na").cast("double"); val nbD = col("nb").cast("double")
+    val termA = caD / (lit(2.0) * naD) *
+      log(lit(2.0) * caD * nbD / (caD * nbD + cbD * naD))
+    val termB = cbD / (lit(2.0) * nbD) *
+      log(lit(2.0) * cbD * naD / (cbD * naD + caD * nbD))
+    u2.select(col("lang_a"), col("lang_b"),
+        round(when(col("ca0") > 0, termA).otherwise(lit(0.0))
+          + when(col("cb0") > 0, termB).otherwise(lit(0.0)), 9)
+          .cast("decimal(18,9)").as("term"))
+      .groupBy(col("lang_a"), col("lang_b"))
+      .agg(count(lit(1)).as("n_union_tokens"),
+        round(sum(col("term")).cast("double"), 6).as("jsd"))
+      .orderBy("lang_a", "lang_b")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_text_jsd" -> q_text_jsd _,
     "q_text_ngram_topk" -> q_text_ngram_topk _,
     "q_text_pmi" -> q_text_pmi _,
     "q_text_burstiness" -> q_text_burstiness _,

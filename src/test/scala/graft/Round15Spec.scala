@@ -358,6 +358,62 @@ class Round15Spec extends AnyFunSuite {
     }
   }
 
+  test("q_stream_count_window fold: split-invariant; windows are exact 100-event tiles") {
+    import org.apache.spark.sql.streaming.{GroupStateTimeout, TestGroupState}
+    import graft.engine.StreamingOps
+    val evs = (0 until 250).map(i => StreamingOps.CwIn("t", i.toLong, (i % 13).toLong))
+    def fold(batches: Seq[Seq[StreamingOps.CwIn]]): Seq[StreamingOps.CwOut] = {
+      var st: Option[Array[Long]] = None
+      val out = Seq.newBuilder[StreamingOps.CwOut]
+      batches.foreach { b =>
+        val gs = TestGroupState.create[Array[Long]](
+          optionalState = st.map(org.apache.spark.api.java.Optional.of[Array[Long]])
+            .getOrElse(org.apache.spark.api.java.Optional.empty[Array[Long]]()),
+          timeoutConf = GroupStateTimeout.NoTimeout,
+          batchProcessingTimeMs = 0L,
+          eventTimeWatermarkMs = org.apache.spark.api.java.Optional.empty[Long](),
+          hasTimedOut = false)
+        out ++= StreamingOps.updateCountWindow("t", b.iterator, gs)
+        st = if (gs.exists) Some(gs.get) else None
+      }
+      out.result()
+    }
+    val single = fold(Seq(evs))
+    val split = fold(evs.grouped(37).toSeq) // window boundaries straddle batches
+    assert(single == split, "micro-batch split must not change the closed windows")
+    assert(single.size == 2, "250 events = 2 closed 100-event windows + open tail")
+    assert(single.map(_.win) == Seq(0L, 1L))
+    assert(single.head.first_eid == 0L && single.head.last_eid == 99L)
+    assert(single.head.sum_cents == (0 until 100).map(_ % 13).sum.toLong)
+  }
+
+  test("q_text_jsd: symmetric-free pairs, bounded by ln 2, zero for identical dists") {
+    val rows = TextOps.q_text_jsd(spark, sf0001).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getDouble(3)))
+    assert(rows.length == 10, "5 langs = 10 unordered pairs")
+    rows.foreach { case (a, b, n, j) =>
+      assert(a < b, "pairs are ordered once")
+      assert(n > 0)
+      assert(j >= 0.0 && j <= math.log(2.0) + 1e-9,
+        s"JSD must lie in [0, ln 2], got $j for ($a,$b)")
+    }
+  }
+
+  test("q_llm_dataset_card: shares sum to 1; char mass consistent") {
+    val rows = graft.engine.PipelineOps.q_llm_dataset_card(spark, sf0001).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getDouble(6), r.getDouble(7)))
+    assert(rows.nonEmpty)
+    val shareSum = rows.map(_._8).sum
+    assert(math.abs(shareSum - 1.0) < 1e-4, s"doc shares must sum to ~1, got $shareSum")
+    rows.foreach { case (src, n, nl, tot, mn, mx, mean, _) =>
+      assert(nl >= 1 && nl <= 5)
+      assert(mn <= mx && tot >= n * mn && tot <= n * mx,
+        s"$src: char mass must sit inside [n*min, n*max]")
+      assert(math.abs(mean - tot.toDouble / n) < 1e-6)
+    }
+  }
+
   test("q_llm_hard_negatives: labels differ from the anchor's; ranked by similarity") {
     import org.apache.spark.sql.functions._
     val lbl = Tables.embeddings(spark, sf0001)
