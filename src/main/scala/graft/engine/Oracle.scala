@@ -4781,6 +4781,100 @@ object Oracle {
           |SELECT lang, rnk, ngram, n FROM r WHERE rnk <= 10
           |ORDER BY lang, rnk""".stripMargin,
 
+      // Bollinger breakouts: exact cross-multiplied detection, display
+      // round-6 band on the last window only.
+      "q_time_bollinger" -> {
+        val n = StatsOps.BollWin
+        s"""WITH d0 AS (SELECT event_type, CAST(CAST(ts AS TIMESTAMP) AS DATE) AS day,
+           |    CAST(SUM(CAST(ROUND(value * 100, 0) AS BIGINT)) AS BIGINT) AS y
+           |  FROM events GROUP BY 1, 2),
+           |daily AS (SELECT event_type,
+           |    CAST(day - DATE '2024-01-01' AS BIGINT) AS x, y FROM d0),
+           |m AS (SELECT event_type, x, y,
+           |    CAST(SUM(y) OVER w AS BIGINT) AS s,
+           |    CAST(SUM(y * y) OVER w AS BIGINT) AS q,
+           |    LAG(y, ${n - 1}) OVER (PARTITION BY event_type ORDER BY x) AS oldest,
+           |    ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY x DESC) AS rdesc
+           |  FROM daily
+           |  WINDOW w AS (PARTITION BY event_type ORDER BY x
+           |    ROWS BETWEEN ${n - 1} PRECEDING AND CURRENT ROW)),
+           |f AS (SELECT *, $n * y - s AS dev, $n * q - s * s AS vn FROM m
+           |  WHERE oldest IS NOT NULL),
+           |sc AS (SELECT event_type,
+           |    CASE WHEN dev * dev * ${n - 1} > ${4 * n} * vn AND dev > 0
+           |      THEN 1 ELSE 0 END AS up,
+           |    CASE WHEN dev * dev * ${n - 1} > ${4 * n} * vn AND dev < 0
+           |      THEN 1 ELSE 0 END AS down,
+           |    CASE WHEN rdesc = 1 THEN CAST(s AS DOUBLE) / CAST($n AS DOUBLE) END AS lm,
+           |    CASE WHEN rdesc = 1 THEN sqrt(CAST(vn AS DOUBLE)
+           |      / CAST(${n * (n - 1)} AS DOUBLE)) END AS lsd
+           |  FROM f)
+           |SELECT event_type, COUNT(*) AS n_windows,
+           |  CAST(SUM(up) AS BIGINT) AS n_break_up,
+           |  CAST(SUM(down) AS BIGINT) AS n_break_down,
+           |  ROUND(MAX(lm), 6) AS last_mean, ROUND(MAX(lsd), 6) AS last_sd
+           |FROM sc GROUP BY 1 ORDER BY 1""".stripMargin
+      },
+
+      // Pinball loss: exact k-th order statistics + scaled-integer loss
+      // sums; the only doubles are the two display means.
+      "q_agg_pinball" ->
+        """WITH ev AS (SELECT event_type, event_id,
+          |    CAST(ROUND(value * 100, 0) AS BIGINT) AS c FROM events),
+          |r AS (SELECT event_type, c,
+          |    CAST(ROW_NUMBER() OVER (PARTITION BY event_type
+          |      ORDER BY c ASC, event_id ASC) AS BIGINT) AS rn,
+          |    COUNT(*) OVER (PARTITION BY event_type) AS n
+          |  FROM ev),
+          |qs AS (SELECT event_type AS qt,
+          |    MIN(CASE WHEN rn = CAST(ceil(n * 0.5) AS BIGINT) THEN c END) AS q50,
+          |    MIN(CASE WHEN rn = CAST(ceil(n * 0.9) AS BIGINT) THEN c END) AS q90
+          |  FROM r WHERE rn = CAST(ceil(n * 0.5) AS BIGINT)
+          |     OR rn = CAST(ceil(n * 0.9) AS BIGINT)
+          |  GROUP BY 1)
+          |SELECT event_type, COUNT(*) AS n, MIN(q50) AS q50, MIN(q90) AS q90,
+          |  CAST(SUM(ABS(c - q50)) AS BIGINT) AS pin50_x2,
+          |  CAST(SUM(CASE WHEN c > q90 THEN 9 * (c - q90) ELSE q90 - c END)
+          |    AS BIGINT) AS pin90_x10,
+          |  ROUND(CAST(SUM(ABS(c - q50)) AS DOUBLE)
+          |    / (CAST(2 AS DOUBLE) * CAST(COUNT(*) AS DOUBLE)), 6) AS pinball50,
+          |  ROUND(CAST(SUM(CASE WHEN c > q90 THEN 9 * (c - q90) ELSE q90 - c END)
+          |      AS DOUBLE)
+          |    / (CAST(10 AS DOUBLE) * CAST(COUNT(*) AS DOUBLE)), 6) AS pinball90
+          |FROM ev JOIN qs ON event_type = qt
+          |GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+      // HHI concentration: one exact integer division per day.
+      "q_agg_hhi" ->
+        """WITH c AS (SELECT CAST(date_trunc('day', CAST(ts AS TIMESTAMP)) AS TIMESTAMP)
+          |      AS day,
+          |    event_type, COUNT(*) AS c FROM events GROUP BY 1, 2)
+          |SELECT day, CAST(SUM(c) AS BIGINT) AS n_events, COUNT(*) AS n_types,
+          |  ROUND(CAST(SUM(c * c) AS DOUBLE)
+          |    / CAST(SUM(c) * SUM(c) AS DOUBLE), 6) AS hhi
+          |FROM c GROUP BY 1 ORDER BY 1""".stripMargin,
+
+      // Source overlap: distinct per-source trigram vocabularies, pair
+      // join on trigram (sa < sb), shared count + Jaccard.
+      "q_llm_source_overlap" ->
+        """WITH tri AS (SELECT DISTINCT source,
+          |    t[i + 1] || ' ' || t[i + 2] || ' ' || t[i + 3] AS g
+          |  FROM (SELECT source,
+          |      list_filter(string_split(text, ' '), x -> x <> '') AS t
+          |    FROM documents) d, UNNEST(range(len(t) - 2)) AS u(i)
+          |  WHERE len(t) >= 3),
+          |tot AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n FROM tri GROUP BY 1),
+          |p AS (SELECT a.source AS src_a, b.source AS src_b,
+          |    CAST(COUNT(*) AS BIGINT) AS n_shared
+          |  FROM tri a JOIN tri b ON a.g = b.g AND a.source < b.source
+          |  GROUP BY 1, 2)
+          |SELECT p.src_a, p.src_b, p.n_shared,
+          |  ROUND(CAST(p.n_shared AS DOUBLE)
+          |    / CAST(ta.n + tb.n - p.n_shared AS DOUBLE), 6) AS trigram_jaccard
+          |FROM p JOIN tot ta ON p.src_a = ta.source
+          |       JOIN tot tb ON p.src_b = tb.source
+          |ORDER BY p.src_a, p.src_b""".stripMargin,
+
       // Count-window fold replay: complete 100-event windows in arrival
       // order; the HAVING mirrors the open tail staying in state.
       "q_stream_count_window" ->

