@@ -612,7 +612,44 @@ object Gnn {
           .as("expected_homophily"))
   }
 
+  /** DropEdge keep rate in tenths (8 = keep 80 % of edges). */
+  val DropEdgeKeepTenths = 8
+
+  /** DropEdge regularized aggregation (Rong et al., ICLR 2020 — drop
+    * EDGES, not features, before the message pass; the standard
+    * oversmoothing/overfitting regularizer for deep GNNs): each
+    * co-purchase edge keeps with probability 0.8 via a SEEDED md5
+    * decision on (src, dst) — deterministic across partitionings, task
+    * retries, and restarts (the q_gnn_dropout_forward device, applied
+    * to the graph instead of the activation) — then the GraphSAGE mean
+    * runs over the surviving edges. Per customer: full degree, kept
+    * degree, and the 4-dim mean over kept neighbors (float-valued
+    * terms sum exactly in double far below 2^29 terms, the
+    * q_graph_neighbor_mean argument). Customers whose edges all drop
+    * exit the batch — exactly DropEdge's semantics. One shuffle. */
+  def q_gnn_edge_dropout(s: SparkSession, dir: String): DataFrame = {
+    val e = GraphOps.edges(s, dir)
+    val n = Tables.embeddings(s, dir).agg(count(lit(1)).as("n_emb"))
+    val degF = e.groupBy(col("src").as("dfk")).agg(count(lit(1)).as("deg_full"))
+    val kept = e.filter(pmod(
+      Dsl.md5Hash60(concat_ws(":", lit("dropedge"), col("src"), col("dst"))),
+      lit(10L)) < DropEdgeKeepTenths)
+    val feat = kept.crossJoin(broadcast(n))
+      .select(col("src"), (col("dst") % col("n_emb")).as("vkey"))
+      .join(broadcast(Tables.embeddings(s, dir)), col("vkey") === col("vec_id"))
+    val eAvg = (i: Int) => avg(element_at(col("embedding"), i).cast("double"))
+    feat.groupBy(col("src"))
+      .agg(count(lit(1)).as("deg_kept"),
+        round(eAvg(1), 6).as("d1"), round(eAvg(2), 6).as("d2"),
+        round(eAvg(3), 6).as("d3"), round(eAvg(4), 6).as("d4"))
+      .join(broadcast(degF), col("src") === col("dfk"))
+      .select(col("src").as("custkey"), col("deg_full"), col("deg_kept"),
+        col("d1"), col("d2"), col("d3"), col("d4"))
+      .orderBy("custkey")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_gnn_edge_dropout" -> q_gnn_edge_dropout _,
     "q_gnn_walk_context" -> q_gnn_walk_context _,
     "q_gnn_label_smoothness" -> q_gnn_label_smoothness _,
     "q_gnn_node2vec" -> q_gnn_node2vec _,

@@ -1105,7 +1105,44 @@ object GraphOps {
       .limit(20)
   }
 
+  /** Number of hash groups for the conductance audit. */
+  val CondParts = 8
+
+  /** Partition conductance audit (round 10 — the cut-quality metric,
+    * Φ(S) = cut(S)/min(vol(S), vol(V∖S)), that grades ANY vertex
+    * partitioning; here over the md5-hash 8-way split of the
+    * thresholded projection, i.e. the quality a naive hash placement
+    * achieves — the baseline HDRF/2D-grid must beat): degrees and cut
+    * edges are exact integer counts off the materialized pair list,
+    * vol(V) = 2|E|, one round-6 division per group. Two keyed aggs +
+    * one broadcast of the group-degree table. */
+  def q_graph_conductance(s: SparkSession, dir: String): DataFrame = {
+    val pp = partPairs(s, dir, CcMinCooccur).select(col("a"), col("b"))
+      .localCheckpoint()
+    def grp(c: org.apache.spark.sql.Column) =
+      pmod(Dsl.md5Hash60(concat(lit("cond:"), c.cast("string"))), lit(CondParts.toLong))
+    val deg = pp.select(col("a").as("v")).union(pp.select(col("b").as("v")))
+      .groupBy(col("v")).agg(count(lit(1)).as("d"))
+      .select(col("v"), col("d"), grp(col("v")).as("g"))
+    val vols = deg.groupBy(col("g"))
+      .agg(count(lit(1)).as("n_vertices"), sum(col("d")).as("vol"))
+    val cuts = pp.select(grp(col("a")).as("ga"), grp(col("b")).as("gb"))
+      .filter(col("ga") =!= col("gb"))
+    val cutPer = cuts.select(col("ga").as("g")).union(cuts.select(col("gb").as("g")))
+      .groupBy(col("g")).agg(count(lit(1)).as("n_cut"))
+    val tot = pp.agg((count(lit(1)) * 2).as("vol_total"))
+    vols.join(cutPer, Seq("g"), "left_outer")
+      .crossJoin(broadcast(tot))
+      .select(col("g").as("part"), col("n_vertices"), col("vol"),
+        coalesce(col("n_cut"), lit(0L)).as("n_cut"),
+        round(coalesce(col("n_cut"), lit(0L)).cast("double")
+          / least(col("vol"), col("vol_total") - col("vol")).cast("double"), 6)
+          .as("conductance"))
+      .orderBy("part")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_graph_conductance" -> q_graph_conductance _,
     "q_graph_pseudo_diameter" -> q_graph_pseudo_diameter _,
     "q_graph_reciprocity" -> q_graph_reciprocity _,
     "q_graph_motifs" -> q_graph_motifs _,

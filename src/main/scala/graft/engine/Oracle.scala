@@ -4781,6 +4781,82 @@ object Oracle {
           |SELECT lang, rnk, ngram, n FROM r WHERE rnk <= 10
           |ORDER BY lang, rnk""".stripMargin,
 
+      // DropEdge: seeded md5 keep decision per edge, GraphSAGE mean
+      // over survivors (float terms sum exactly in double).
+      "q_gnn_edge_dropout" ->
+        s"""WITH $edgesCte,
+           |n AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_emb FROM embeddings),
+           |degf AS (SELECT src, CAST(COUNT(*) AS BIGINT) AS deg_full
+           |  FROM edges GROUP BY 1),
+           |kept AS (SELECT src, dst FROM edges
+           |  WHERE CAST('0x' || substr(md5('dropedge:' || CAST(src AS VARCHAR)
+           |      || ':' || CAST(dst AS VARCHAR)), 1, 15) AS BIGINT) % 10
+           |    < ${Gnn.DropEdgeKeepTenths}),
+           |f AS (SELECT k.src, e.embedding
+           |  FROM kept k CROSS JOIN n
+           |  JOIN embeddings e ON (k.dst % n.n_emb) = e.vec_id),
+           |a AS (SELECT src, CAST(COUNT(*) AS BIGINT) AS deg_kept,
+           |    ROUND(AVG(CAST(embedding[1] AS DOUBLE)), 6) AS d1,
+           |    ROUND(AVG(CAST(embedding[2] AS DOUBLE)), 6) AS d2,
+           |    ROUND(AVG(CAST(embedding[3] AS DOUBLE)), 6) AS d3,
+           |    ROUND(AVG(CAST(embedding[4] AS DOUBLE)), 6) AS d4
+           |  FROM f GROUP BY 1)
+           |SELECT a.src AS custkey, degf.deg_full, a.deg_kept, d1, d2, d3, d4
+           |FROM a JOIN degf ON a.src = degf.src ORDER BY custkey""".stripMargin,
+
+      // Conductance of the md5 8-way vertex split over the thresholded
+      // projection: exact integer cuts/volumes, one display division.
+      "q_graph_conductance" ->
+        s"""WITH $edgesCte,
+           |pp AS (SELECT e1.dst AS a, e2.dst AS b
+           |       FROM edges e1 JOIN edges e2 ON e1.src = e2.src AND e1.dst < e2.dst
+           |       GROUP BY 1, 2 HAVING COUNT(*) >= ${GraphOps.CcMinCooccur}),
+           |deg AS (SELECT v, CAST(COUNT(*) AS BIGINT) AS d,
+           |    CAST('0x' || substr(md5('cond:' || CAST(v AS VARCHAR)), 1, 15)
+           |      AS BIGINT) % ${GraphOps.CondParts} AS g
+           |  FROM (SELECT a AS v FROM pp UNION ALL SELECT b FROM pp) GROUP BY v),
+           |vols AS (SELECT g, CAST(COUNT(*) AS BIGINT) AS n_vertices,
+           |    CAST(SUM(d) AS BIGINT) AS vol FROM deg GROUP BY 1),
+           |cs AS (SELECT
+           |    CAST('0x' || substr(md5('cond:' || CAST(a AS VARCHAR)), 1, 15)
+           |      AS BIGINT) % ${GraphOps.CondParts} AS ga,
+           |    CAST('0x' || substr(md5('cond:' || CAST(b AS VARCHAR)), 1, 15)
+           |      AS BIGINT) % ${GraphOps.CondParts} AS gb
+           |  FROM pp),
+           |cutper AS (SELECT g, CAST(COUNT(*) AS BIGINT) AS n_cut FROM (
+           |    SELECT ga AS g FROM cs WHERE ga <> gb
+           |    UNION ALL SELECT gb FROM cs WHERE ga <> gb) GROUP BY 1),
+           |tot AS (SELECT CAST(COUNT(*) * 2 AS BIGINT) AS vol_total FROM pp)
+           |SELECT vols.g AS part, n_vertices, vol,
+           |  COALESCE(cutper.n_cut, 0) AS n_cut,
+           |  ROUND(CAST(COALESCE(cutper.n_cut, 0) AS DOUBLE)
+           |    / CAST(LEAST(vol, vol_total - vol) AS DOUBLE), 6) AS conductance
+           |FROM vols LEFT JOIN cutper ON vols.g = cutper.g, tot
+           |ORDER BY part""".stripMargin,
+
+      // DP count release: md5-seeded uniform -> inverse-CDF Laplace,
+      // the one ln pinned round-9 before sign/sum arithmetic.
+      "q_llm_dp_counts" ->
+        s"""WITH c AS (SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_true
+           |  FROM events GROUP BY 1),
+           |nu AS (SELECT event_type, n_true,
+           |    CAST(CAST('0x' || substr(md5('dp:' || event_type), 1, 15) AS BIGINT)
+           |      AS DOUBLE) / CAST(1152921504606846976 AS DOUBLE) AS u
+           |  FROM c),
+           |m AS (SELECT event_type, n_true, u,
+           |    (CAST(-1 AS DOUBLE) / CAST(${PipelineOps.DpEpsilon} AS DOUBLE))
+           |      * ROUND(ln(CAST(1 AS DOUBLE)
+           |          - CAST(2 AS DOUBLE) * ABS(u - CAST(0.5 AS DOUBLE))), 9) AS mag
+           |  FROM nu),
+           |z AS (SELECT event_type, n_true,
+           |    ROUND(CASE WHEN u < CAST(0.5 AS DOUBLE) THEN -mag ELSE mag END, 6)
+           |      AS noise
+           |  FROM m)
+           |SELECT event_type, n_true,
+           |  CAST(${PipelineOps.DpEpsilon} AS DOUBLE) AS epsilon, noise,
+           |  ROUND(n_true + noise, 6) AS n_released
+           |FROM z ORDER BY event_type""".stripMargin,
+
       // Bollinger breakouts: exact cross-multiplied detection, display
       // round-6 band on the last window only.
       "q_time_bollinger" -> {

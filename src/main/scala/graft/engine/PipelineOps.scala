@@ -557,7 +557,39 @@ object PipelineOps {
       .orderBy("src_a", "src_b")
   }
 
+  /** DP release ε (Laplace scale = sensitivity/ε = 1/ε for counts). */
+  val DpEpsilon = 1.0
+
+  /** Differentially-private count release, calibration view (round 10 —
+    * the privacy mechanism a data pipeline applies before publishing
+    * corpus statistics; Dwork et al. 2006): per event_type, the true
+    * count (sensitivity 1) plus Laplace(1/ε) noise drawn DETERMINISTICALLY
+    * via inverse-CDF over an md5-seeded uniform — u = h/2⁶⁰ (an exact
+    * power-of-two division), noise = −(1/ε)·sign(u−½)·ln(1−2|u−½|) —
+    * so the release is reproducible across retries and engines (the
+    * seeded-regularizer device; a production release swaps the seed
+    * source for a DRBG and DROPS the true column — this is the
+    * calibration view that validates the mechanism). ln round-9, noise
+    * round-6; one keyed count. */
+  def q_llm_dp_counts(s: SparkSession, dir: String): DataFrame = {
+    val c = Tables.events(s, dir).groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_true"))
+    val u = Dsl.md5Hash60(concat(lit("dp:"), col("event_type")))
+      .cast("double") / lit(1152921504606846976.0) // 2^60
+    val half = abs(u - lit(0.5))
+    // round-9 pins the one libm ln before any further arithmetic (the
+    // entropy device), so the sign flip and sum below are exact
+    val mag = (lit(-1.0) / lit(DpEpsilon)) *
+      round(log(lit(1.0) - lit(2.0) * half), 9)
+    val noise = round(when(u < 0.5, -mag).otherwise(mag), 6)
+    c.select(col("event_type"), col("n_true"), lit(DpEpsilon).as("epsilon"),
+        noise.as("noise"),
+        round(col("n_true") + noise, 6).as("n_released"))
+      .orderBy("event_type")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_llm_dp_counts" -> q_llm_dp_counts _,
     "q_llm_source_overlap" -> q_llm_source_overlap _,
     "q_llm_dataset_card" -> q_llm_dataset_card _,
     "q_llm_curriculum_order" -> q_llm_curriculum_order _,

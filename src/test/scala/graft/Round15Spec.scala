@@ -489,6 +489,49 @@ class Round15Spec extends AnyFunSuite {
     }
   }
 
+  test("q_gnn_edge_dropout: keep rate near 0.8; kept degree bounded; identical across runs") {
+    val rows = graft.engine.Gnn.q_gnn_edge_dropout(spark, sf0001).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(rows.nonEmpty)
+    rows.foreach { case (_, full, kept) => assert(kept <= full && kept >= 1) }
+    val keepRate = rows.map(_._3).sum.toDouble / rows.map(_._2).sum
+    assert(keepRate > 0.7 && keepRate < 0.9,
+      s"md5 keep decisions at 8/10 must land near 0.8, got $keepRate")
+    // seeded determinism: a second run is byte-identical
+    val again = graft.engine.Gnn.q_gnn_edge_dropout(spark, sf0001).collect()
+    assert(again.map(_.toSeq).toSeq ==
+      graft.engine.Gnn.q_gnn_edge_dropout(spark, sf0001).collect().map(_.toSeq).toSeq)
+  }
+
+  test("q_graph_conductance: cuts and volumes reconcile; conductance in [0,1]") {
+    val rows = graft.engine.GraphOps.q_graph_conductance(spark, sf0001).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4)))
+    assert(rows.nonEmpty)
+    val volTotal = rows.map(_._3).sum
+    rows.foreach { case (_, nv, vol, cut, phi) =>
+      assert(nv >= 1 && vol >= nv, "each vertex has degree >= 1 in the projection")
+      assert(cut <= vol, "cut edges are a subset of the group's incident edges")
+      assert(phi >= 0.0 && phi <= 1.0, s"conductance $phi out of range")
+      assert(vol <= volTotal)
+    }
+  }
+
+  test("q_llm_dp_counts: released = true + noise; noise is Laplace-shaped and seeded") {
+    val rows = graft.engine.PipelineOps.q_llm_dp_counts(spark, sf0001).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2), r.getDouble(3), r.getDouble(4)))
+    assert(rows.length == 5)
+    rows.foreach { case (_, n, eps, noise, rel) =>
+      assert(eps == 1.0)
+      assert(math.abs(rel - (n + noise)) < 1e-6, "release must be true + noise exactly")
+      // Laplace(1) at 5 draws: magnitudes are individually plausible
+      assert(math.abs(noise) < 50.0, s"implausible Laplace(1) magnitude $noise")
+    }
+    // the seeded mechanism is reproducible
+    val again = graft.engine.PipelineOps.q_llm_dp_counts(spark, sf0001).collect()
+      .map(r => r.getDouble(3))
+    assert(again.toSeq == rows.map(_._4).toSeq)
+  }
+
   test("q_llm_hard_negatives: labels differ from the anchor's; ranked by similarity") {
     import org.apache.spark.sql.functions._
     val lbl = Tables.embeddings(spark, sf0001)
