@@ -1102,7 +1102,28 @@ object LlmOps {
       .orderBy("anchor_id", "rnk")
   }
 
+  /** Canonical-survivor selection (round 10 — the dedup pipeline's
+    * actual OUTPUT, beyond q_llm_dedup_clusters' accounting): per
+    * multi-doc duplicate cluster, the kept document (the min-id
+    * canonical the min-label fixpoint already names), how many
+    * duplicates drop, and the token mass removed. Reuses the
+    * dedupLabels/dedupDocs session MVs — one extra keyed aggregation
+    * over work the cluster pass already did. */
+  def q_llm_dedup_keep(s: SparkSession, dir: String): DataFrame = {
+    val docs = dedupDocs(s, dir)
+    dedupLabels(s, dir).join(docs, col("node") === col("doc_id"))
+      .groupBy(col("lang"), col("lbl").as("kept_doc"))
+      .agg(count(lit(1)).as("sz"), sum(col("nt")).as("tot_tokens"),
+        sum(when(col("node") =!= col("lbl"), col("nt")).otherwise(0L))
+          .as("dropped_tokens"))
+      .filter(col("sz") >= 2)
+      .select(col("lang"), col("kept_doc"), (col("sz") - 1).as("n_dropped"),
+        col("tot_tokens"), col("dropped_tokens"))
+      .orderBy("lang", "kept_doc")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_llm_dedup_keep" -> q_llm_dedup_keep _,
     "q_llm_lsh_clusters" -> q_llm_lsh_clusters _,
     "q_llm_hard_negatives" -> q_llm_hard_negatives _,
     "q_llm_ann_ivfpq" -> q_llm_ann_ivfpq _,

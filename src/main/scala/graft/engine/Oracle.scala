@@ -4781,6 +4781,100 @@ object Oracle {
           |SELECT lang, rnk, ngram, n FROM r WHERE rnk <= 10
           |ORDER BY lang, rnk""".stripMargin,
 
+      // Mann-Kendall: exact integer S and tie-corrected 18*Var, one
+      // pinned continuity-corrected z.
+      "q_agg_mann_kendall" ->
+        """WITH d0 AS (SELECT event_type, CAST(CAST(ts AS TIMESTAMP) AS DATE) AS day,
+          |    CAST(SUM(CAST(ROUND(value * 100, 0) AS BIGINT)) AS BIGINT) AS y
+          |  FROM events GROUP BY 1, 2),
+          |daily AS (SELECT event_type,
+          |    CAST(day - DATE '2024-01-01' AS BIGINT) AS x, y FROM d0),
+          |sp AS (SELECT a.event_type AS st,
+          |    CAST(SUM(CAST(SIGN(CAST(b.y - a.y AS DOUBLE)) AS BIGINT)) AS BIGINT)
+          |      AS s_stat
+          |  FROM daily a JOIN daily b
+          |    ON a.event_type = b.event_type AND a.x < b.x
+          |  GROUP BY 1),
+          |tg AS (SELECT event_type AS tt, y, COUNT(*) AS t FROM daily GROUP BY 1, 2),
+          |ts2 AS (SELECT tt, CAST(SUM(t * (t - 1) * (2 * t + 5)) AS BIGINT) AS tie_sum
+          |  FROM tg GROUP BY 1),
+          |nt AS (SELECT event_type AS nt2, CAST(COUNT(*) AS BIGINT) AS n_days
+          |  FROM daily GROUP BY 1),
+          |j AS (SELECT st AS event_type, n_days, s_stat,
+          |    n_days * (n_days - 1) * (2 * n_days + 5) - tie_sum AS var18
+          |  FROM sp JOIN ts2 ON st = tt JOIN nt ON st = nt2
+          |  WHERE n_days * (n_days - 1) * (2 * n_days + 5) - tie_sum > 0)
+          |SELECT event_type, n_days, s_stat, CAST(var18 AS BIGINT) AS var18,
+          |  ROUND(CASE WHEN s_stat > 0 THEN CAST(s_stat - 1 AS DOUBLE)
+          |      / sqrt(CAST(var18 AS DOUBLE) / CAST(18 AS DOUBLE))
+          |    WHEN s_stat < 0 THEN CAST(s_stat + 1 AS DOUBLE)
+          |      / sqrt(CAST(var18 AS DOUBLE) / CAST(18 AS DOUBLE))
+          |    ELSE CAST(0 AS DOUBLE) END, 6) AS z_stat
+          |FROM j ORDER BY event_type""".stripMargin,
+
+      // Cohen's kappa: the lang_confusion prediction chain reduced to
+      // one exact integer division.
+      "q_text_kappa" ->
+        """WITH tok AS (SELECT doc_id, lang,
+          |    unnest(list_distinct(string_split(text, ' '))) AS token
+          |  FROM documents),
+          |prof AS (SELECT lang AS p_lang, token AS p_tok, COUNT(*) AS freq
+          |         FROM tok GROUP BY 1, 2),
+          |tot AS (SELECT p_lang, SUM(freq) AS tot FROM prof GROUP BY 1),
+          |sf AS (SELECT tk.doc_id, tk.lang, pn.p_lang, SUM(pn.freq) AS sf
+          |       FROM tok tk JOIN prof pn ON tk.token = pn.p_tok GROUP BY 1, 2, 3),
+          |scored AS (SELECT s.doc_id, s.lang, s.p_lang,
+          |             CAST(s.sf AS DOUBLE) / CAST(t.tot AS DOUBLE) AS score
+          |           FROM sf s JOIN tot t USING (p_lang)),
+          |r AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY doc_id
+          |        ORDER BY score DESC, p_lang ASC) AS rn FROM scored),
+          |pred AS (SELECT doc_id, lang, p_lang AS pred_lang FROM r WHERE rn = 1),
+          |cells AS (SELECT lang, pred_lang, CAST(COUNT(*) AS BIGINT) AS c
+          |          FROM pred GROUP BY 1, 2),
+          |nn AS (SELECT CAST(SUM(c) AS BIGINT) AS n FROM cells),
+          |dg AS (SELECT CAST(SUM(c) AS BIGINT) AS n_agree FROM cells
+          |       WHERE lang = pred_lang),
+          |rt AS (SELECT lang AS rl, CAST(SUM(c) AS BIGINT) AS rtv FROM cells GROUP BY 1),
+          |ct AS (SELECT pred_lang AS cl, CAST(SUM(c) AS BIGINT) AS ctv
+          |       FROM cells GROUP BY 1),
+          |pe AS (SELECT CAST(SUM(rtv * ctv) AS BIGINT) AS chance_x
+          |       FROM rt JOIN ct ON rl = cl)
+          |SELECT nn.n AS n_docs, dg.n_agree, pe.chance_x,
+          |  ROUND(CAST(dg.n_agree AS DOUBLE) / CAST(nn.n AS DOUBLE), 6) AS p_o,
+          |  ROUND(CAST(pe.chance_x AS DOUBLE) / CAST(nn.n * nn.n AS DOUBLE), 6) AS p_e,
+          |  ROUND(CAST(nn.n * dg.n_agree - pe.chance_x AS DOUBLE)
+          |    / CAST(nn.n * nn.n - pe.chance_x AS DOUBLE), 6) AS kappa
+          |FROM nn, dg, pe""".stripMargin,
+
+      // Survivor selection: the dedup_clusters reachability chain with
+      // per-cluster min-id keep + dropped-token accounting.
+      "q_llm_dedup_keep" ->
+        """WITH RECURSIVE d AS (
+          |  SELECT doc_id, lang, list_distinct(string_split(text, ' ')) AS toks
+          |  FROM documents
+          |  WHERE doc_id % 10 = 0 AND len(list_distinct(string_split(text, ' '))) > 0),
+          |p AS (
+          |  SELECT d1.doc_id AS x, d2.doc_id AS y
+          |  FROM d d1 JOIN d d2 ON d1.lang = d2.lang AND d1.doc_id < d2.doc_id
+          |  WHERE CAST(len(list_intersect(d1.toks, d2.toks)) AS DOUBLE)
+          |    / (len(d1.toks) + len(d2.toks) - len(list_intersect(d1.toks, d2.toks)))
+          |    >= 0.8),
+          |ue AS (SELECT x, y FROM p UNION ALL SELECT y, x FROM p),
+          |reach AS (
+          |  SELECT doc_id AS n, doc_id AS r FROM d
+          |  UNION
+          |  SELECT reach.n, ue.y FROM reach JOIN ue ON reach.r = ue.x),
+          |comp AS (SELECT n, MIN(r) AS lbl FROM reach GROUP BY n),
+          |cl AS (SELECT d.lang, comp.lbl AS kept_doc, COUNT(*) AS sz,
+          |    CAST(SUM(len(d.toks)) AS BIGINT) AS tot_tokens,
+          |    CAST(SUM(CASE WHEN comp.n <> comp.lbl THEN len(d.toks) ELSE 0 END)
+          |      AS BIGINT) AS dropped_tokens
+          |  FROM comp JOIN d ON comp.n = d.doc_id
+          |  GROUP BY 1, 2)
+          |SELECT lang, kept_doc, CAST(sz - 1 AS BIGINT) AS n_dropped,
+          |  tot_tokens, dropped_tokens
+          |FROM cl WHERE sz >= 2 ORDER BY lang, kept_doc""".stripMargin,
+
       // DropEdge: seeded md5 keep decision per edge, GraphSAGE mean
       // over survivors (float terms sum exactly in double).
       "q_gnn_edge_dropout" ->

@@ -1930,7 +1930,47 @@ object StatsOps {
       .orderBy("day")
   }
 
+  /** Mann–Kendall trend test over the daily value series per event_type
+    * (round 10 — the non-parametric monotone-trend companion to
+    * q_agg_ols_trend's parametric slope and q_agg_theil_sen's robust
+    * slope, same calendar-bounded pair device): S = Σ_{i<j} sign(y_j −
+    * y_i) and the tie-corrected variance numerator 18·Var = n(n−1)(2n+5)
+    * − Σt(t−1)(2t+5) are EXACT integers; the continuity-corrected
+    * z = (S ∓ 1)/√(Var) is one pinned double expression. Pairs are
+    * days²/2 per key — never event-bounded. */
+  def q_agg_mann_kendall(s: SparkSession, dir: String): DataFrame = {
+    val daily = Tables.events(s, dir)
+      .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+      .agg(sum(round(col("value") * 100, 0).cast("bigint")).as("y"))
+      .select(col("event_type"),
+        datediff(col("day"), lit("2024-01-01").cast("date")).cast("bigint").as("x"),
+        col("y"))
+    val a = daily.select(col("event_type").as("ea"), col("x").as("xi"), col("y").as("yi"))
+    val b = daily.select(col("event_type").as("eb"), col("x").as("xj"), col("y").as("yj"))
+    val sTab = a.join(b, col("ea") === col("eb") && col("xi") < col("xj"))
+      .groupBy(col("ea").as("st"))
+      .agg(sum(signum((col("yj") - col("yi")).cast("double")).cast("bigint")).as("s_stat"))
+    val t = col("cnt")
+    val ties = daily.groupBy(col("event_type").as("tt"), col("y"))
+      .agg(count(lit(1)).as("cnt"))
+      .groupBy(col("tt"))
+      .agg(sum(t * (t - 1) * (lit(2L) * t + 5L)).as("tie_sum"))
+    val nT = daily.groupBy(col("event_type").as("nt2")).agg(count(lit(1)).as("n_days"))
+    val n = col("n_days")
+    val varNum = n * (n - 1) * (lit(2L) * n + 5L) - col("tie_sum")
+    val sd = sqrt(varNum.cast("double") / lit(18.0))
+    val z = when(col("s_stat") > 0, (col("s_stat") - 1L).cast("double") / sd)
+      .when(col("s_stat") < 0, (col("s_stat") + 1L).cast("double") / sd)
+      .otherwise(lit(0.0))
+    sTab.join(ties, col("st") === col("tt")).join(nT, col("st") === col("nt2"))
+      .filter(varNum > 0)
+      .select(col("st").as("event_type"), col("n_days"), col("s_stat"),
+        varNum.as("var18"), round(z, 6).as("z_stat"))
+      .orderBy("event_type")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_agg_mann_kendall" -> q_agg_mann_kendall _,
     "q_time_bollinger" -> q_time_bollinger _,
     "q_agg_pinball" -> q_agg_pinball _,
     "q_agg_hhi" -> q_agg_hhi _,

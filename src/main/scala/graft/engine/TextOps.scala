@@ -911,7 +911,36 @@ object TextOps {
       .orderBy("lang_a", "lang_b")
   }
 
+  /** Cohen's κ of the langid classifier against the true lang labels
+    * (round 10 — the chance-corrected agreement metric every classifier
+    * eval reports beside raw accuracy; Cohen 1960): from the same
+    * confusion matrix as q_text_lang_confusion,
+    * κ = (n·Σdiag − Σᵢ rowᵢ·colᵢ) / (n² − Σᵢ rowᵢ·colᵢ) — the whole
+    * statistic reduces to ONE exact integer division (every count,
+    * product, and sum is an exact BIGINT), round-6 display. Accuracy
+    * (p_o) and chance agreement (p_e) are emitted the same way. */
+  def q_text_kappa(s: SparkSession, dir: String): DataFrame = {
+    val cells = langidPred(s, dir)
+      .groupBy(col("lang"), col("pred_lang")).agg(count(lit(1)).as("c"))
+      .localCheckpoint()
+    val rowT = cells.groupBy(col("lang").as("rl")).agg(sum(col("c")).as("rt"))
+    val colT = cells.groupBy(col("pred_lang").as("cl")).agg(sum(col("c")).as("ct"))
+    val n = cells.agg(sum(col("c")).as("n"))
+    val diag = cells.filter(col("lang") === col("pred_lang"))
+      .agg(sum(col("c")).as("n_agree"))
+    val pe2 = rowT.join(colT, col("rl") === col("cl"))
+      .agg(sum(col("rt") * col("ct")).as("chance_x"))
+    n.crossJoin(diag).crossJoin(pe2)
+      .select(col("n").as("n_docs"), col("n_agree"), col("chance_x"),
+        round(col("n_agree").cast("double") / col("n").cast("double"), 6).as("p_o"),
+        round(col("chance_x").cast("double")
+          / (col("n") * col("n")).cast("double"), 6).as("p_e"),
+        round((col("n") * col("n_agree") - col("chance_x")).cast("double")
+          / (col("n") * col("n") - col("chance_x")).cast("double"), 6).as("kappa"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_text_kappa" -> q_text_kappa _,
     "q_text_jsd" -> q_text_jsd _,
     "q_text_ngram_topk" -> q_text_ngram_topk _,
     "q_text_pmi" -> q_text_pmi _,

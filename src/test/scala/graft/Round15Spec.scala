@@ -532,6 +532,64 @@ class Round15Spec extends AnyFunSuite {
     assert(again.toSeq == rows.map(_._4).toSeq)
   }
 
+  test("q_agg_mann_kendall equals a driver-side pair replay") {
+    val daily = dailySeries()
+    val expected = daily.toSeq.flatMap { case (et, series) =>
+      val ys = series.map(_._2)
+      val n = ys.length.toLong
+      val sStat = (for (i <- ys.indices; j <- i + 1 until ys.length)
+        yield java.lang.Long.signum(ys(j) - ys(i)).toLong).sum
+      val tieSum = ys.groupBy(identity).values
+        .map(g => { val t = g.size.toLong; t * (t - 1) * (2 * t + 5) }).sum
+      val var18 = n * (n - 1) * (2 * n + 5) - tieSum
+      if (var18 <= 0) Seq.empty
+      else {
+        val sd = math.sqrt(var18.toDouble / 18.0)
+        val z = if (sStat > 0) (sStat - 1).toDouble / sd
+          else if (sStat < 0) (sStat + 1).toDouble / sd else 0.0
+        Seq((et, n, sStat, var18, r6(z)))
+      }
+    }.sortBy(_._1)
+    val got = StatsOps.q_agg_mann_kendall(spark, sf0001).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getDouble(4))).toSeq
+    assert(got.nonEmpty && got == expected,
+      s"mann-kendall replay mismatch:\n got=$got\n exp=$expected")
+  }
+
+  test("q_text_kappa: agreement identity holds; kappa <= accuracy") {
+    val r = TextOps.q_text_kappa(spark, sf0001).collect()
+    assert(r.length == 1)
+    val (n, agree, chance) = (r(0).getLong(0), r(0).getLong(1), r(0).getLong(2))
+    val (po, pe, kappa) = (r(0).getDouble(3), r(0).getDouble(4), r(0).getDouble(5))
+    assert(agree <= n && chance <= n * n)
+    assert(math.abs(po - agree.toDouble / n) < 1e-6)
+    // kappa = (po - pe)/(1 - pe) <= po when pe >= 0
+    assert(kappa <= po + 1e-9, s"kappa $kappa cannot exceed raw accuracy $po")
+    assert(math.abs(kappa -
+      (n.toDouble * agree - chance) / (n.toDouble * n - chance)) < 1e-6,
+      s"kappa must equal the one-division form")
+    assert(pe > 0.0 && pe < 1.0)
+  }
+
+  test("q_llm_dedup_keep reconciles with the cluster accounting") {
+    val keep = LlmOps.q_llm_dedup_keep(spark, sf0001).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    val clusters = LlmOps.q_llm_dedup_clusters(spark, sf0001).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    // per lang: dropped docs across kept rows == the accounting's dup count
+    clusters.foreach { case (lang, (_, _, nDup)) =>
+      val dropped = keep.filter(_._1 == lang).map(_._3).sum
+      assert(dropped == nDup,
+        s"$lang: survivor rows must account for exactly the $nDup dups, got $dropped")
+    }
+    keep.foreach { case (_, kept, nDropped, tot, droppedTok) =>
+      assert(nDropped >= 1, "only multi-doc clusters appear")
+      assert(droppedTok < tot, "the kept doc's tokens stay")
+      assert(kept % 10 == 0, "kept docs come from the deterministic 10% sample")
+    }
+  }
+
   test("q_llm_hard_negatives: labels differ from the anchor's; ranked by similarity") {
     import org.apache.spark.sql.functions._
     val lbl = Tables.embeddings(spark, sf0001)
