@@ -5366,12 +5366,166 @@ object Oracle {
     )
   }
 
+  /** Round-10 batch 8: rank/variance statistics (Spearman ρ via
+    * 2×-integer average ranks, one-way ANOVA + mean-centered Levene on
+    * a shared decimal assembly), Benjamini–Hochberg FDR over a
+    * 2-family test pool, binary-relevance retrieval eval (MAP@10 /
+    * MRR@10 on the ndcg fixture), and asymmetric trigram containment.
+    * Devices: exact integer/DECIMAL moments with ONE pinned double
+    * expression at the end of each statistic. */
+  val round15b: Map[String, String] = Map(
+    "q_agg_spearman" ->
+      """WITH base AS (SELECT l_returnflag AS g, CAST(l_quantity AS BIGINT) AS x,
+        |    CAST(ROUND(l_extendedprice*100,0) AS BIGINT) AS y FROM lineitem),
+        |r AS (SELECT g,
+        |    CAST(RANK() OVER (PARTITION BY g ORDER BY x)
+        |      + COUNT(*) OVER (PARTITION BY g)
+        |      + 1 - RANK() OVER (PARTITION BY g ORDER BY x DESC) AS BIGINT) AS rx2,
+        |    CAST(RANK() OVER (PARTITION BY g ORDER BY y)
+        |      + COUNT(*) OVER (PARTITION BY g)
+        |      + 1 - RANK() OVER (PARTITION BY g ORDER BY y DESC) AS BIGINT) AS ry2
+        |  FROM base),
+        |m AS (SELECT g, CAST(COUNT(*) AS BIGINT) AS n,
+        |    SUM(CAST(rx2 AS DECIMAL(38,0))) AS sx,
+        |    SUM(CAST(ry2 AS DECIMAL(38,0))) AS sy,
+        |    SUM(CAST(rx2*rx2 AS DECIMAL(38,0))) AS sxx,
+        |    SUM(CAST(ry2*ry2 AS DECIMAL(38,0))) AS syy,
+        |    SUM(CAST(rx2*ry2 AS DECIMAL(38,0))) AS sxy
+        |  FROM r GROUP BY 1)
+        |SELECT g AS l_returnflag, n,
+        |  ROUND((CAST(n AS DOUBLE)*CAST(sxy AS DOUBLE)
+        |      - CAST(sx AS DOUBLE)*CAST(sy AS DOUBLE))
+        |    / (sqrt(CAST(n AS DOUBLE)*CAST(sxx AS DOUBLE)
+        |        - CAST(sx AS DOUBLE)*CAST(sx AS DOUBLE))
+        |     * sqrt(CAST(n AS DOUBLE)*CAST(syy AS DOUBLE)
+        |        - CAST(sy AS DOUBLE)*CAST(sy AS DOUBLE))), 6) AS rho
+        |FROM m ORDER BY 1""".stripMargin,
+
+    "q_agg_anova" ->
+      """WITH v AS (SELECT c_mktsegment AS g,
+        |    CAST(ROUND(c_acctbal*100,0) AS BIGINT) AS c FROM customer),
+        |grp AS (SELECT g, CAST(COUNT(*) AS BIGINT) AS ng,
+        |    CAST(SUM(c) AS BIGINT) AS sg, CAST(SUM(c*c) AS BIGINT) AS qg
+        |  FROM v GROUP BY 1),
+        |terms AS (SELECT ng, sg, qg,
+        |    CAST(ROUND(CAST(sg AS DOUBLE)*CAST(sg AS DOUBLE)
+        |      / CAST(ng AS DOUBLE), 9) AS DECIMAL(38,9)) AS t FROM grp),
+        |tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS k,
+        |    CAST(SUM(ng) AS BIGINT) AS n, CAST(SUM(sg) AS BIGINT) AS s,
+        |    CAST(SUM(qg) AS BIGINT) AS q, SUM(t) AS st FROM terms)
+        |SELECT k, n, CAST(k-1 AS BIGINT) AS df1, CAST(n-k AS BIGINT) AS df2,
+        |  ROUND(((CAST(st AS DOUBLE)
+        |      - CAST(s AS DOUBLE)*CAST(s AS DOUBLE)/CAST(n AS DOUBLE))
+        |      / CAST(k-1 AS DOUBLE))
+        |    / ((CAST(q AS DOUBLE) - CAST(st AS DOUBLE))/CAST(n-k AS DOUBLE)), 6)
+        |    AS f_stat
+        |FROM tot""".stripMargin,
+
+    "q_agg_levene" ->
+      """WITH v AS (SELECT c_mktsegment AS g,
+        |    CAST(ROUND(c_acctbal*100,0) AS BIGINT) AS c FROM customer),
+        |gm AS (SELECT g AS gg, CAST(COUNT(*) AS BIGINT) AS ngm,
+        |    CAST(SUM(c) AS BIGINT) AS sgm FROM v GROUP BY 1),
+        |z AS (SELECT v.g,
+        |    ABS(CAST(v.c AS DOUBLE) - CAST(sgm AS DOUBLE)/CAST(ngm AS DOUBLE))
+        |      /100.0 AS z
+        |  FROM v JOIN gm ON v.g = gm.gg),
+        |grp AS (SELECT g, CAST(COUNT(*) AS BIGINT) AS ng,
+        |    SUM(CAST(ROUND(z, 9) AS DECIMAL(28,9))) AS sg,
+        |    SUM(CAST(ROUND(z*z, 6) AS DECIMAL(28,6))) AS qg FROM z GROUP BY 1),
+        |terms AS (SELECT ng, sg, qg,
+        |    CAST(ROUND(CAST(sg AS DOUBLE)*CAST(sg AS DOUBLE)
+        |      / CAST(ng AS DOUBLE), 6) AS DECIMAL(38,6)) AS t FROM grp),
+        |tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS k,
+        |    CAST(SUM(ng) AS BIGINT) AS n, CAST(SUM(sg) AS DOUBLE) AS s,
+        |    CAST(SUM(qg) AS DOUBLE) AS q, CAST(SUM(t) AS DOUBLE) AS st
+        |  FROM terms)
+        |SELECT k, n, CAST(k-1 AS BIGINT) AS df1, CAST(n-k AS BIGINT) AS df2,
+        |  ROUND(((st - s*s/CAST(n AS DOUBLE))/CAST(k-1 AS DOUBLE))
+        |    / ((q - st)/CAST(n-k AS DOUBLE)), 6) AS w_stat
+        |FROM tot""".stripMargin,
+
+    "q_stats_fdr_bh" ->
+      """WITH cents AS (SELECT event_type, user_id % 20 AS ub,
+        |    CAST(ROUND(value*100,0) AS BIGINT) AS c FROM events
+        |  WHERE CAST(ROUND(value*100,0) AS BIGINT) > 0),
+        |g AS (SELECT event_type, ub, CAST(COUNT(*) AS BIGINT) AS n,
+        |    CAST(SUM(CASE WHEN SUBSTR(CAST(c AS VARCHAR),1,1) = '1'
+        |      THEN 1 ELSE 0 END) AS BIGINT) AS n_d1,
+        |    CAST(SUM(CASE WHEN c % 2 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_even
+        |  FROM cents GROUP BY 1,2 HAVING COUNT(*) >= 20),
+        |tests AS (
+        |  SELECT 'uniform_d1' AS family, event_type, ub, n,
+        |    (CAST(n_d1 AS DOUBLE) - CAST(n AS DOUBLE)*(1.0/9.0))
+        |      / sqrt(CAST(n AS DOUBLE)*(1.0/9.0)*(1.0-1.0/9.0)) AS z FROM g
+        |  UNION ALL
+        |  SELECT 'parity' AS family, event_type, ub, n,
+        |    CAST(2*n_even - n AS DOUBLE)/sqrt(CAST(n AS DOUBLE)) AS z FROM g),
+        |p AS (SELECT family, event_type, ub, n, z, exp(-z*z/2.0) AS pp
+        |  FROM tests),
+        |rk AS (SELECT *, CAST(ROW_NUMBER() OVER (ORDER BY pp, family,
+        |      event_type, ub) AS BIGINT) AS i,
+        |    CAST(COUNT(*) OVER () AS BIGINT) AS m FROM p),
+        |kk AS (SELECT *, MAX(CASE WHEN pp * CAST(m AS DOUBLE)
+        |      <= CAST(i AS DOUBLE) * 0.05 THEN i ELSE 0 END) OVER () AS kbh
+        |  FROM rk)
+        |SELECT family, event_type, ub, n, ROUND(z,6) AS z_stat,
+        |  ROUND(pp,9) AS pseudo_p, i AS bh_rank,
+        |  CASE WHEN i <= kbh THEN TRUE ELSE FALSE END AS rejected
+        |FROM kk ORDER BY bh_rank, family, event_type, ub""".stripMargin,
+
+    "q_rank_map_mrr" ->
+      s"""WITH q AS (SELECT vec_id AS query_id, embedding AS qv,
+         |             label AS qlabel FROM embeddings WHERE vec_id < 10),
+         |sc AS (SELECT q.query_id, q.qlabel, e.vec_id, e.label,
+         |    ROUND(${cosExpr("e.embedding", "q.qv")}, 6) AS cos_sim
+         |  FROM embeddings e CROSS JOIN q WHERE e.vec_id <> q.query_id),
+         |nr AS (SELECT query_id AS qr,
+         |    CAST(SUM(CASE WHEN label = qlabel THEN 1 ELSE 0 END) AS BIGINT)
+         |      AS n_rel
+         |  FROM sc GROUP BY 1),
+         |rk AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+         |    ORDER BY cos_sim DESC, vec_id ASC) AS pos FROM sc),
+         |top AS (SELECT query_id, pos,
+         |    CASE WHEN label = qlabel THEN 1 ELSE 0 END AS rel,
+         |    SUM(CASE WHEN label = qlabel THEN 1 ELSE 0 END)
+         |      OVER (PARTITION BY query_id ORDER BY pos) AS cum_rel
+         |  FROM rk WHERE pos <= 10),
+         |ap AS (SELECT query_id,
+         |    SUM(CASE WHEN rel = 1 THEN CAST(ROUND(CAST(cum_rel AS DOUBLE)
+         |        / CAST(pos AS DOUBLE), 9) AS DECIMAL(28,9))
+         |      ELSE CAST(0 AS DECIMAL(28,9)) END) AS ap_num,
+         |    MIN(CASE WHEN rel = 1 THEN pos END) AS first_rel
+         |  FROM top GROUP BY 1)
+         |SELECT nr.qr AS query_id, nr.n_rel,
+         |  ROUND(CASE WHEN nr.n_rel = 0 THEN 0.0
+         |    ELSE CAST(ap.ap_num AS DOUBLE)
+         |      / CAST(LEAST(nr.n_rel, 10) AS DOUBLE) END, 6) AS ap10,
+         |  ROUND(CASE WHEN ap.first_rel IS NULL THEN 0.0
+         |    ELSE 1.0 / CAST(ap.first_rel AS DOUBLE) END, 6) AS rr10
+         |FROM nr JOIN ap ON nr.qr = ap.query_id ORDER BY query_id""".stripMargin,
+
+    "q_llm_containment" ->
+      """WITH d AS (SELECT doc_id, lang,
+        |             list_distinct(list_transform(range(1, length(text)-1),
+        |               i -> substr(text, CAST(i AS INT), 3))) AS g3
+        |           FROM documents WHERE doc_id % 10 = 0 AND length(text) >= 3),
+        |p AS (SELECT d1.lang, d1.doc_id AS doc_a, d2.doc_id AS doc_b,
+        |        CAST(len(d1.g3) AS BIGINT) AS na,
+        |        CAST(len(list_intersect(d1.g3, d2.g3)) AS DOUBLE)
+        |          / len(d1.g3) AS cont
+        |      FROM d d1 JOIN d d2
+        |        ON d1.lang = d2.lang AND d1.doc_id <> d2.doc_id)
+        |SELECT lang, doc_a, doc_b, na, ROUND(cont, 6) AS containment3
+        |FROM p WHERE cont >= 0.5 ORDER BY lang, doc_a, doc_b""".stripMargin
+  )
+
   val all: Map[String, String] =
     relational ++ streaming ++ graph ++ llm ++ extended ++ gnn ++ gnnPrep ++
       pipeline ++ round4 ++ round4b ++ round4c ++ round4d ++ round4e ++
       round4f ++ round5 ++ round6 ++ round6graph ++ ClusterOps.oracle ++
       BpeOps.oracle ++ partitioning ++ train ++ graphAnalytics ++ curation ++
-      stats ++ gin ++ mmr ++ round13 ++ round15 ++
+      stats ++ gin ++ mmr ++ round13 ++ round15 ++ round15b ++
       // streaming twins: the final snapshot IS the batch result — the
       // batch operators' oracles replay them verbatim
       Map("q_stream_gnn_pool" -> train("q_gnn_graphsage_pool"),

@@ -133,8 +133,60 @@ object RankOps {
       .orderBy("query_id")
   }
 
+  /** MAP@10 and MRR@10 over the q_text_ndcg ranking fixture (the binary-
+    * relevance companions to nDCG's graded gain — the three metrics every
+    * retrieval eval reports together; Manning et al. IR ch. 8): same 10
+    * broadcast query vectors, same cosine ranking with the vec_id
+    * tiebreak, relevance = label match. AP@10 = Σ_{rel pos k ≤ 10}
+    * P@k / min(n_rel, 10) with each P@k = cum_rel/k rounded-9 and
+    * summed as exact DECIMAL (order-blind, same device as DCG);
+    * RR@10 = 1/first-relevant-position, 0 when no relevant in the top
+    * 10. Per-query rows so the macro means are one trivial avg away —
+    * kept per-query like ndcg for slice-level debugging. The rank
+    * window is keyed by query id; candidate scoring is the broadcast-
+    * probe scan the ANN eval tier already pays. */
+  def q_rank_map_mrr(s: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(s, dir)
+    val q = emb.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qv"),
+        col("label").as("qlabel"))
+    val dot = LlmOps.vecDot(s) _
+    val scoredAll = emb.crossJoin(broadcast(q))
+      .filter(col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("qlabel"), col("vec_id"), col("label"),
+        round(dot(col("embedding"), col("qv")) /
+          (sqrt(dot(col("embedding"), col("embedding"))) *
+            sqrt(dot(col("qv"), col("qv")))), 6).as("cos_sim"))
+    val nRel = scoredAll.groupBy(col("query_id").as("qr"))
+      .agg(sum(when(col("label") === col("qlabel"), 1L).otherwise(0L)).as("n_rel"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos_sim").desc, col("vec_id").asc)
+    val top = scoredAll
+      .withColumn("pos", row_number().over(w).cast("bigint"))
+      .filter(col("pos") <= 10)
+      .withColumn("rel",
+        when(col("label") === col("qlabel"), 1L).otherwise(0L))
+      .withColumn("cum_rel", sum(col("rel")).over(
+        Window.partitionBy(col("query_id")).orderBy(col("pos"))))
+    val ap = top.groupBy(col("query_id"))
+      .agg(sum(when(col("rel") === 1L,
+          round(col("cum_rel").cast("double") / col("pos").cast("double"), 9)
+            .cast("decimal(28,9)"))
+          .otherwise(lit(0).cast("decimal(28,9)"))).as("ap_num"),
+        min(when(col("rel") === 1L, col("pos"))).as("first_rel"))
+    nRel.join(ap, col("qr") === col("query_id"))
+      .select(col("query_id"), col("n_rel"),
+        round(when(col("n_rel") === 0L, 0.0)
+          .otherwise(col("ap_num").cast("double") /
+            least(col("n_rel"), lit(10L)).cast("double")), 6).as("ap10"),
+        round(when(col("first_rel").isNull, 0.0)
+          .otherwise(lit(1.0) / col("first_rel").cast("double")), 6).as("rr10"))
+      .orderBy("query_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_llm_rrf" -> q_llm_rrf _,
-    "q_text_ndcg" -> q_text_ndcg _
+    "q_text_ndcg" -> q_text_ndcg _,
+    "q_rank_map_mrr" -> q_rank_map_mrr _
   )
 }

@@ -1969,7 +1969,186 @@ object StatsOps {
       .orderBy("event_type")
   }
 
+  /** Spearman rank correlation between quantity and price-in-cents per
+    * returnflag (round 10 — the rank companion to q_agg_corr's Pearson
+    * matrix; Spearman 1904). Tie handling is average ranks via the
+    * 2×-scaled integer identity 2·r̄ = rank_asc + n + 1 − rank_desc
+    * (both RANK()s give the tie group's MIN rank from either end, so
+    * their combination is the exact average — kept ×2 so every rank is
+    * a BIGINT, like q_agg_mannwhitney's device). ρ is scale-invariant,
+    * so corr(2r_x, 2r_y) = corr(r̄_x, r̄_y); all five moments are exact
+    * DECIMAL(38,0) sums of integer products and ρ is ONE pinned double
+    * expression over them — no engine-specific corr() accumulation
+    * order anywhere.
+    *
+    * Scale: ranks come from a cumulative count over the DISTINCT-value
+    * frequency table (50 quantity values / ~distinct cents per group),
+    * not a row window — the sort is vocabulary-sized, the rank join is
+    * a value-keyed equi-join, and the moment pass is one map-side-
+    * combinable groupBy. At 100 TB the per-term products (≤ 4n²) want
+    * DECIMAL widening before the sum — already written that way. */
+  def q_agg_spearman(s: SparkSession, dir: String): DataFrame = {
+    val base = Tables.lineitem(s, dir).select(
+      col("l_returnflag").as("g"),
+      col("l_quantity").cast("bigint").as("x"),
+      round(col("l_extendedprice") * 100, 0).cast("bigint").as("y"))
+    def rank2(valCol: String, out: String): DataFrame = {
+      val freq = base.groupBy(col("g").as("rg"), col(valCol).as("v"))
+        .agg(count(lit(1)).as("f"))
+      val w = Window.partitionBy(col("rg")).orderBy(col("v"))
+      // 2·avg_rank = 2·(cum_before + (f+1)/2) = 2·cum_before + f + 1
+      freq.select(col("rg"), col("v"),
+        (lit(2L) * (sum(col("f")).over(w) - col("f")) + col("f") + 1L).as(out))
+    }
+    val rx = rank2("x", "rx2")
+    val ry = rank2("y", "ry2")
+    val ranked = base
+      .join(rx, col("g") === rx("rg") && col("x") === rx("v"))
+      .drop(rx("rg")).drop(rx("v"))
+      .join(ry, col("g") === ry("rg") && col("y") === ry("v"))
+      .drop(ry("rg")).drop(ry("v"))
+    val m = ranked.groupBy(col("g"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("rx2").cast("decimal(38,0)")).as("sx"),
+        sum(col("ry2").cast("decimal(38,0)")).as("sy"),
+        sum((col("rx2") * col("rx2")).cast("decimal(38,0)")).as("sxx"),
+        sum((col("ry2") * col("ry2")).cast("decimal(38,0)")).as("syy"),
+        sum((col("rx2") * col("ry2")).cast("decimal(38,0)")).as("sxy"))
+    val nD = col("n").cast("double")
+    def d(c: String) = col(c).cast("double")
+    m.select(col("g").as("l_returnflag"), col("n"),
+      round((nD * d("sxy") - d("sx") * d("sy")) /
+        (sqrt(nD * d("sxx") - d("sx") * d("sx")) *
+          sqrt(nD * d("syy") - d("sy") * d("sy"))), 6).as("rho"))
+      .orderBy("l_returnflag")
+  }
+
+  /** Shared one-way ANOVA assembly from per-group exact sums: F =
+    * (SSB/(k−1))/(SSW/(n−k)) with SSB = Σs_g²/n_g − S²/n and
+    * SSW = Σq_g − Σs_g²/n_g. The only non-integer per-group term
+    * (s_g²/n_g) is rounded to a fixed scale and summed as DECIMAL —
+    * order-blind — and F is one pinned double expression. Only RATIO
+    * outputs are emitted (F and the integer dfs): SSB/SSW are
+    * catastrophic-cancellation differences of ~2⁵³-magnitude moments,
+    * so their ABSOLUTE low decimals sit at double-ulp boundaries that
+    * can disagree across engines' decimal→double conversions, while
+    * the F ratio keeps ~1e-12 RELATIVE error — round-6 safe. Consumed
+    * by the raw-value ANOVA and the Levene variance-homogeneity test
+    * so the two can never drift. Input columns: g, ng (bigint), and
+    * decimal/bigint sg (Σv), qg (Σv²). */
+  private def anovaFrom(grp: DataFrame, termScale: Int): DataFrame = {
+    val terms = grp.select(col("ng"), col("sg"), col("qg"),
+      round(col("sg").cast("double") * col("sg").cast("double") /
+        col("ng").cast("double"), termScale)
+        .cast(s"decimal(38,$termScale)").as("t"))
+    val tot = terms.agg(count(lit(1)).as("k"), sum(col("ng")).as("n"),
+      sum(col("sg")).as("s"), sum(col("qg")).as("q"), sum(col("t")).as("st"))
+    def d(c: String) = col(c).cast("double")
+    val ssb = d("st") - d("s") * d("s") / d("n")
+    val ssw = d("q") - d("st")
+    tot.select(col("k"), col("n"),
+      (col("k") - 1L).as("df1"), (col("n") - col("k")).as("df2"),
+      round((ssb / (d("k") - 1)) / (ssw / (d("n") - d("k"))), 6).as("f_stat"))
+  }
+
+  /** One-way ANOVA of customer account balance (cents) across market
+    * segments (Fisher 1925): per-group n/Σc/Σc² in ONE map-side-
+    * combinable pass over exact BIGINT cents, then the shared decimal
+    * assembly (ratio outputs only — see anovaFrom's determinism note). */
+  def q_agg_anova(s: SparkSession, dir: String): DataFrame = {
+    val grp = Tables.customer(s, dir)
+      .select(col("c_mktsegment").as("g"),
+        round(col("c_acctbal") * 100, 0).cast("bigint").as("c"))
+      .groupBy(col("g"))
+      .agg(count(lit(1)).as("ng"), sum(col("c")).as("sg"),
+        sum(col("c") * col("c")).as("qg"))
+    anovaFrom(grp, 9)
+  }
+
+  /** Levene's variance-homogeneity test, mean-centered variant (Levene
+    * 1960): z_ij = |c_ij − mean_g| in currency units, then the SAME
+    * one-way ANOVA assembly on z. Group means are exact rationals
+    * (BIGINT Σc / BIGINT n), each |deviation| is one deterministic
+    * double, and the z/z² sums are fixed-scale DECIMAL — order-blind.
+    * Two passes over the groups (means, then deviations) — both
+    * map-side-combinable; no window, no sort. */
+  def q_agg_levene(s: SparkSession, dir: String): DataFrame = {
+    val v = Tables.customer(s, dir)
+      .select(col("c_mktsegment").as("g"),
+        round(col("c_acctbal") * 100, 0).cast("bigint").as("c"))
+    val gm = v.groupBy(col("g").as("gg"))
+      .agg(count(lit(1)).as("ngm"), sum(col("c")).as("sgm"))
+    val z = v.join(broadcast(gm), col("g") === col("gg"))
+      .select(col("g"),
+        abs(col("c").cast("double") -
+          col("sgm").cast("double") / col("ngm").cast("double")) / 100.0)
+        .toDF("g", "z")
+    val grp = z.groupBy(col("g"))
+      .agg(count(lit(1)).as("ng"),
+        sum(round(col("z"), 9).cast("decimal(28,9)")).as("sg"),
+        sum(round(col("z") * col("z"), 6).cast("decimal(28,6)")).as("qg"))
+    anovaFrom(grp, 6)
+      .select(col("k"), col("n"), col("df1"), col("df2"),
+        col("f_stat").as("w_stat"))
+  }
+
+  /** Benjamini–Hochberg FDR correction over a 2-family test pool
+    * (Benjamini & Hochberg 1995 — the multiple-testing control every
+    * data-quality pipeline needs once it runs one test per slice):
+    * per (event_type, user-bucket) slice, (a) first-digit-1 share vs
+    * the UNIFORM null p₀=1/9 (false on this Benford-shaped data → the
+    * rejected family) and (b) cents parity balance (true null). Each
+    * test's z is a pinned double over exact integer counts; the
+    * pseudo-p exp(−z²/2) is the Gaussian kernel — monotone in |z|, so
+    * the BH ORDERING and step-up mechanics (rank i, reject all
+    * i ≤ max{i : p_i·m ≤ i·α}, α=0.05) are exactly the real
+    * procedure's. Counting pass is map-side-combinable; the BH sort is
+    * over m test ROWS (slices, not events) — driver-bounded output,
+    * executor-bounded everything else. */
+  def q_stats_fdr_bh(s: SparkSession, dir: String): DataFrame = {
+    val cents = Tables.events(s, dir)
+      .select(col("event_type"), (col("user_id") % 20).as("ub"),
+        round(col("value") * 100, 0).cast("bigint").as("c"))
+      .filter(col("c") > 0)
+    val g = cents.groupBy(col("event_type"), col("ub"))
+      .agg(count(lit(1)).as("n"),
+        sum(when(substring(col("c").cast("string"), 1, 1) === "1", 1L)
+          .otherwise(0L)).as("n_d1"),
+        sum(when(col("c") % 2 === 0, 1L).otherwise(0L)).as("n_even"))
+      .filter(col("n") >= 20)
+    val nD = col("n").cast("double")
+    val p0 = 1.0 / 9.0
+    val zU = (col("n_d1").cast("double") - nD * p0) /
+      sqrt(nD * p0 * (1.0 - p0))
+    val zP = (lit(2L) * col("n_even") - col("n")).cast("double") / sqrt(nD)
+    val tests = g.select(lit("uniform_d1").as("family"), col("event_type"),
+        col("ub"), col("n"), zU.as("z"))
+      .unionAll(g.select(lit("parity").as("family"), col("event_type"),
+        col("ub"), col("n"), zP.as("z")))
+      .withColumn("pp", exp(-col("z") * col("z") / 2.0))
+    val wAll = Window.orderBy(col("pp"), col("family"), col("event_type"),
+      col("ub"))
+    val ranked = tests
+      .withColumn("i", row_number().over(wAll).cast("bigint"))
+      .withColumn("m", count(lit(1)).over(
+        Window.partitionBy().rowsBetween(Window.unboundedPreceding,
+          Window.unboundedFollowing)))
+      .withColumn("kbh", max(when(
+        col("pp") * col("m").cast("double") <=
+          col("i").cast("double") * 0.05, col("i")).otherwise(0L)).over(
+        Window.partitionBy().rowsBetween(Window.unboundedPreceding,
+          Window.unboundedFollowing)))
+    ranked.select(col("family"), col("event_type"), col("ub"), col("n"),
+      round(col("z"), 6).as("z_stat"), round(col("pp"), 9).as("pseudo_p"),
+      col("i").as("bh_rank"), (col("i") <= col("kbh")).as("rejected"))
+      .orderBy(col("bh_rank"), col("family"), col("event_type"), col("ub"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_agg_spearman" -> q_agg_spearman _,
+    "q_agg_anova" -> q_agg_anova _,
+    "q_agg_levene" -> q_agg_levene _,
+    "q_stats_fdr_bh" -> q_stats_fdr_bh _,
     "q_agg_mann_kendall" -> q_agg_mann_kendall _,
     "q_time_bollinger" -> q_time_bollinger _,
     "q_agg_pinball" -> q_agg_pinball _,

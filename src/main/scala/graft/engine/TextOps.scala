@@ -196,6 +196,26 @@ object TextOps {
     * before any bitmap is touched. Values are identical to the direct
     * array_intersect formulation (integer set math either way). */
   def q_llm_ngram_jaccard(s: SparkSession, dir: String): DataFrame = {
+    val bitmaps = trigramBitmaps(s, dir)
+    val a = bitmaps.select(col("lang"), col("doc_id").as("doc_a"),
+      col("ng").as("na"), col("bm").as("ba"))
+    val b = bitmaps.select(col("lang").as("lang_b"), col("doc_id").as("doc_b"),
+      col("ng").as("nb"), col("bm").as("bb"))
+    a.join(b, col("lang") === col("lang_b") && col("doc_a") < col("doc_b") &&
+        col("na") * 10 >= col("nb") * 3 && col("nb") * 10 >= col("na") * 3)
+      .withColumn("ic",
+        call_function("graft_bitmap_and_count", col("ba"), col("bb")).cast("double"))
+      .withColumn("jac", col("ic") / (col("na") + col("nb") - col("ic")))
+      .filter(col("jac") >= 0.3)
+      .select(col("lang"), col("doc_a"), col("doc_b"), round(col("jac"), 6).as("jaccard3"))
+      .orderBy("lang", "doc_a", "doc_b")
+  }
+
+  /** Per-lang dictionary-encoded trigram bitmaps over the deterministic
+    * 10% document sample — the shared set-representation under the
+    * symmetric (Jaccard) and asymmetric (containment) near-dup passes:
+    * (doc_id, lang, ng = |gram set|, bm = array<bigint> bitmap). */
+  private def trigramBitmaps(s: SparkSession, dir: String): DataFrame = {
     s.sessionState.functionRegistry.createOrReplaceTempFunction(
       "graft_bitmap_and_count",
       exprs => graft.functions.BitmapAndCount(exprs(0), exprs(1)), "built-in")
@@ -226,22 +246,39 @@ object TextOps {
         expr("shiftleft(1L, vid % 64)").as("m"))
       .groupBy(col("doc_id"), col("lang"), col("ng"), col("nw"), col("w"))
       .agg(bit_or(col("m")).as("wm"))
-    val bitmaps = wordMasks
+    wordMasks
       .groupBy(col("doc_id"), col("lang"), col("ng"), col("nw"))
       .agg(map_from_entries(collect_list(struct(col("w"), col("wm")))).as("wmap"))
       .select(col("doc_id"), col("lang"), col("ng"),
         expr("transform(sequence(0, nw - 1), w -> coalesce(element_at(wmap, w), 0L))").as("bm"))
+  }
+
+  /** Character 3-gram CONTAINMENT near-dup on the same 10% sample —
+    * the ASYMMETRIC complement to q_llm_ngram_jaccard (Broder 1997
+    * distinguishes resemblance from containment): C(A→B) = |A∩B|/|A|
+    * flags doc_a as a near-SUBSET of doc_b (quotes, excerpts,
+    * boilerplate-wrapped copies) that symmetric Jaccard misses whenever
+    * |B| ≫ |A|. Ordered pairs (both directions), threshold 0.5, with
+    * the exact-preserving prune C ≥ 0.5 ⇒ |A∩B| ≥ |A|/2 ∧ |A∩B| ≤ |B|
+    * ⇒ 2·|B| ≥ |A| applied before any bitmap is touched; the
+    * intersection is the same codegen'd AND+popcount pass over the
+    * shared per-lang bitmaps. Sample-bounded quadratic per lang — the
+    * ground-truth tier; at corpus scale the LSH band path generates the
+    * candidate pairs and THIS formula scores them. */
+  def q_llm_containment(s: SparkSession, dir: String): DataFrame = {
+    val bitmaps = trigramBitmaps(s, dir)
     val a = bitmaps.select(col("lang"), col("doc_id").as("doc_a"),
       col("ng").as("na"), col("bm").as("ba"))
     val b = bitmaps.select(col("lang").as("lang_b"), col("doc_id").as("doc_b"),
       col("ng").as("nb"), col("bm").as("bb"))
-    a.join(b, col("lang") === col("lang_b") && col("doc_a") < col("doc_b") &&
-        col("na") * 10 >= col("nb") * 3 && col("nb") * 10 >= col("na") * 3)
+    a.join(b, col("lang") === col("lang_b") && col("doc_a") =!= col("doc_b") &&
+        col("nb") * 2 >= col("na"))
       .withColumn("ic",
         call_function("graft_bitmap_and_count", col("ba"), col("bb")).cast("double"))
-      .withColumn("jac", col("ic") / (col("na") + col("nb") - col("ic")))
-      .filter(col("jac") >= 0.3)
-      .select(col("lang"), col("doc_a"), col("doc_b"), round(col("jac"), 6).as("jaccard3"))
+      .withColumn("cont", col("ic") / col("na").cast("double"))
+      .filter(col("cont") >= 0.5)
+      .select(col("lang"), col("doc_a"), col("doc_b"), col("na"),
+        round(col("cont"), 6).as("containment3"))
       .orderBy("lang", "doc_a", "doc_b")
   }
 
@@ -964,6 +1001,7 @@ object TextOps {
     "q_text_quality" -> q_text_quality _,
     "q_text_token_count" -> q_text_token_count _,
     "q_text_fingerprint" -> q_text_fingerprint _,
-    "q_llm_ngram_jaccard" -> q_llm_ngram_jaccard _
+    "q_llm_ngram_jaccard" -> q_llm_ngram_jaccard _,
+    "q_llm_containment" -> q_llm_containment _
   )
 }
