@@ -289,7 +289,15 @@ object TextOps {
     * to 1/total. High cross-entropy = unusual token distribution = drop
     * candidate. Model table is vocabulary-sized → broadcast; scoring is
     * one join + keyed mean. */
-  def q_text_unigram_xent(s: SparkSession, dir: String): DataFrame = {
+  def q_text_unigram_xent(s: SparkSession, dir: String): DataFrame =
+    unigramXentPerDoc(s, dir).orderBy("doc_id")
+
+  /** Shared per-held-out-doc unigram cross-entropy table
+    * (doc_id, lang, n_tokens, xent round-6) — the score under BOTH the
+    * per-doc listing (q_text_unigram_xent) and the decile bucketing
+    * (q_llm_ppl_bucket), so the filter accounting can never drift from
+    * the score it buckets. */
+  private def unigramXentPerDoc(s: SparkSession, dir: String): DataFrame = {
     val tok = Tables.documents(s, dir)
       .select(col("doc_id"), col("lang"), explode(split(col("text"), " ")).as("tok"))
     val train = tok.filter(col("doc_id") % 10 =!= 0)
@@ -307,7 +315,30 @@ object TextOps {
         (-log(coalesce(col("p"), lit(1.0) / col("jtot")))).as("nll"))
       .groupBy(col("doc_id"), col("lang"))
       .agg(count(lit(1)).as("n_tokens"), round(avg(col("nll")), 6).as("xent"))
-      .orderBy("doc_id")
+  }
+
+  /** Perplexity-decile bucketing of the held-out corpus (the operational
+    * form of the CCNet filter — Wenzek et al. 2020 keep/drop by
+    * perplexity TERCILES; deciles give the full selection curve): per
+    * lang, docs ranked by the shared round-6 unigram cross-entropy
+    * (doc_id tiebreak → deterministic NTILE), then per (lang, decile)
+    * the doc count, token mass, and min/max/mean score — exactly the
+    * table a curation run consults to pick its keep threshold. The mean
+    * is an exact DECIMAL sum of the round-6 per-doc scores over the
+    * bucket divided once — order-blind. Scale: ntile is a per-lang sort
+    * of DOC-level rows (not tokens); everything downstream is keyed
+    * aggregation. */
+  def q_llm_ppl_bucket(s: SparkSession, dir: String): DataFrame = {
+    val xd = unigramXentPerDoc(s, dir)
+    val w = Window.partitionBy(col("lang"))
+      .orderBy(col("xent").asc, col("doc_id").asc)
+    xd.withColumn("decile", ntile(10).over(w).cast("bigint"))
+      .groupBy(col("lang"), col("decile"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("n_tokens"),
+        min(col("xent")).as("min_xent"), max(col("xent")).as("max_xent"),
+        round(sum(col("xent").cast("decimal(18,6)")).cast("double") /
+          count(lit(1)).cast("double"), 6).as("avg_xent"))
+      .orderBy("lang", "decile")
   }
 
   /** Fuzzy near-dup accounting by edit distance (the Levenshtein tier of
@@ -976,7 +1007,45 @@ object TextOps {
           / (col("n") * col("n") - col("chance_x")).cast("double"), 6).as("kappa"))
   }
 
+  /** Per-class precision/recall/F1 of the langid classifier (the
+    * per-slice companion to q_text_kappa's single chance-corrected
+    * scalar — together they are the classifier-eval triple every
+    * pipeline report carries): from the SAME confusion cells as
+    * q_text_lang_confusion, per TRUE lang — support = row total,
+    * predicted = column total, tp = diagonal cell. P = tp/predicted
+    * (0 when the lang is never predicted — sklearn's zero_division=0
+    * convention), R = tp/support, and F1 via the one-division identity
+    * F1 = 2·tp/(support + predicted) — algebraically 2PR/(P+R) but ONE
+    * exact integer division instead of a compound double. Cells are
+    * lang²-bounded; everything after the shared argmax is trivial. */
+  def q_text_f1(s: SparkSession, dir: String): DataFrame = {
+    val cells = langidPred(s, dir)
+      .groupBy(col("lang"), col("pred_lang")).agg(count(lit(1)).as("c"))
+      .localCheckpoint()
+    val rowT = cells.groupBy(col("lang")).agg(sum(col("c")).as("support"))
+    val colT = cells.groupBy(col("pred_lang").as("cl"))
+      .agg(sum(col("c")).as("pred_cnt"))
+    val diag = cells.filter(col("lang") === col("pred_lang"))
+      .select(col("lang").as("dl"), col("c").as("tp0"))
+    rowT.join(colT, col("lang") === col("cl"), "left_outer")
+      .join(diag, col("lang") === col("dl"), "left_outer")
+      .select(col("lang"), col("support"),
+        coalesce(col("pred_cnt"), lit(0L)).as("predicted"),
+        coalesce(col("tp0"), lit(0L)).as("tp"))
+      .select(col("lang"), col("support"), col("predicted"), col("tp"),
+        round(when(col("predicted") === 0L, 0.0)
+          .otherwise(col("tp").cast("double") / col("predicted").cast("double")),
+          6).as("precision"),
+        round(col("tp").cast("double") / col("support").cast("double"), 6)
+          .as("recall"),
+        round(lit(2.0) * col("tp").cast("double") /
+          (col("support") + col("predicted")).cast("double"), 6).as("f1"))
+      .orderBy("lang")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_text_f1" -> q_text_f1 _,
+    "q_llm_ppl_bucket" -> q_llm_ppl_bucket _,
     "q_text_kappa" -> q_text_kappa _,
     "q_text_jsd" -> q_text_jsd _,
     "q_text_ngram_topk" -> q_text_ngram_topk _,
