@@ -80,7 +80,8 @@ object Oracle {
 
     "q_join_anti" ->
       """SELECT c_custkey, c_name, c_mktsegment FROM customer
-        |WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+        |WHERE NOT EXISTS (SELECT 1 FROM orders
+        |  WHERE o_custkey = c_custkey AND o_orderstatus = 'F')
         |ORDER BY c_custkey""".stripMargin,
 
     "q_join_theta" ->
@@ -229,10 +230,12 @@ object Oracle {
         |ORDER BY nationkey""".stripMargin,
 
     "q_set_except" ->
-      """SELECT c_nationkey AS nationkey FROM customer
+      """SELECT DISTINCT o_custkey AS custkey FROM orders
+        |WHERE year(o_orderdate) = 1997
         |EXCEPT
-        |SELECT s_nationkey AS nationkey FROM supplier
-        |ORDER BY nationkey""".stripMargin,
+        |SELECT o_custkey AS custkey FROM orders
+        |WHERE year(o_orderdate) = 1998
+        |ORDER BY custkey""".stripMargin,
 
     "q_str_funcs" ->
       """SELECT p_partkey,
@@ -500,7 +503,7 @@ object Oracle {
          |  ROUND(CAST(cnt AS DOUBLE) / (da.d + db.d - cnt), 6) AS jaccard
          |  FROM pp JOIN deg da ON pp.a = da.dst JOIN deg db ON pp.b = db.dst)
          |SELECT part_a, part_b, common, jaccard FROM j
-         |WHERE jaccard >= 0.25 ORDER BY part_a, part_b""".stripMargin,
+         |WHERE jaccard >= ${GraphOps.JaccardMinSim} ORDER BY part_a, part_b""".stripMargin,
 
     // 4 synchronous label-propagation steps unrolled (argmax neighbor
     // label, min-label tie-break) — same rule as the Spark loop.
@@ -5520,12 +5523,83 @@ object Oracle {
         |FROM p WHERE cont >= 0.5 ORDER BY lang, doc_a, doc_b""".stripMargin
   )
 
+  // Round 16 (VERDICT r10 lead item): the two operators registered in the
+  // round-10 close-out without the new-op recipe, now oracled.
+  val round16: Map[String, String] = Map(
+    // Per-class P/R/F1: the SAME langid prediction chain as q_text_kappa /
+    // q_text_lang_confusion, reduced per TRUE lang. F1 via the
+    // one-division identity 2·tp/(support+predicted).
+    "q_text_f1" ->
+      """WITH tok AS (SELECT doc_id, lang,
+        |    unnest(list_distinct(string_split(text, ' '))) AS token
+        |  FROM documents),
+        |prof AS (SELECT lang AS p_lang, token AS p_tok, COUNT(*) AS freq
+        |         FROM tok GROUP BY 1, 2),
+        |tot AS (SELECT p_lang, SUM(freq) AS tot FROM prof GROUP BY 1),
+        |sf AS (SELECT tk.doc_id, tk.lang, pn.p_lang, SUM(pn.freq) AS sf
+        |       FROM tok tk JOIN prof pn ON tk.token = pn.p_tok GROUP BY 1, 2, 3),
+        |scored AS (SELECT s.doc_id, s.lang, s.p_lang,
+        |             CAST(s.sf AS DOUBLE) / CAST(t.tot AS DOUBLE) AS score
+        |           FROM sf s JOIN tot t USING (p_lang)),
+        |r AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY doc_id
+        |        ORDER BY score DESC, p_lang ASC) AS rn FROM scored),
+        |pred AS (SELECT doc_id, lang, p_lang AS pred_lang FROM r WHERE rn = 1),
+        |cells AS (SELECT lang, pred_lang, CAST(COUNT(*) AS BIGINT) AS c
+        |          FROM pred GROUP BY 1, 2),
+        |rt AS (SELECT lang, CAST(SUM(c) AS BIGINT) AS support FROM cells GROUP BY 1),
+        |ct AS (SELECT pred_lang AS cl, CAST(SUM(c) AS BIGINT) AS pred_cnt
+        |       FROM cells GROUP BY 1),
+        |dg AS (SELECT lang AS dl, c AS tp0 FROM cells WHERE lang = pred_lang)
+        |SELECT rt.lang, rt.support,
+        |  CAST(COALESCE(ct.pred_cnt, 0) AS BIGINT) AS predicted,
+        |  CAST(COALESCE(dg.tp0, 0) AS BIGINT) AS tp,
+        |  ROUND(CASE WHEN COALESCE(ct.pred_cnt, 0) = 0 THEN CAST(0 AS DOUBLE)
+        |    ELSE CAST(COALESCE(dg.tp0, 0) AS DOUBLE) / CAST(ct.pred_cnt AS DOUBLE)
+        |    END, 6) AS "precision",
+        |  ROUND(CAST(COALESCE(dg.tp0, 0) AS DOUBLE)
+        |    / CAST(rt.support AS DOUBLE), 6) AS recall,
+        |  ROUND(CAST(2 AS DOUBLE) * CAST(COALESCE(dg.tp0, 0) AS DOUBLE)
+        |    / CAST(rt.support + COALESCE(ct.pred_cnt, 0) AS DOUBLE), 6) AS f1
+        |FROM rt LEFT JOIN ct ON rt.lang = ct.cl LEFT JOIN dg ON rt.lang = dg.dl
+        |ORDER BY rt.lang""".stripMargin,
+
+    // Perplexity-decile bucketing: the q_text_unigram_xent CTE chain
+    // (round-6 per-doc xent), NTILE(10) over the fully tie-broken
+    // (xent, doc_id) per-lang order, decimal-sum bucket mean.
+    "q_llm_ppl_bucket" ->
+      """WITH tok AS (SELECT doc_id, lang, unnest(string_split(text, ' ')) AS tok
+        |            FROM documents),
+        |counts AS (SELECT lang AS ml, tok AS mt, COUNT(*) AS c
+        |           FROM tok WHERE doc_id % 10 <> 0 GROUP BY 1, 2),
+        |totals AS (SELECT ml, CAST(SUM(c) AS BIGINT) AS tot FROM counts GROUP BY 1),
+        |model AS (SELECT counts.ml, mt, CAST(c AS DOUBLE) / tot AS p
+        |          FROM counts JOIN totals ON counts.ml = totals.ml),
+        |scored AS (SELECT t.doc_id, t.lang,
+        |    -ln(COALESCE(m.p, CAST(1 AS DOUBLE) / tt.tot)) AS nll
+        |  FROM tok t
+        |  JOIN totals tt ON t.lang = tt.ml
+        |  LEFT JOIN model m ON t.lang = m.ml AND t.tok = m.mt
+        |  WHERE t.doc_id % 10 = 0),
+        |x AS (SELECT doc_id, lang, CAST(COUNT(*) AS BIGINT) AS n_tokens,
+        |      ROUND(AVG(nll), 6) AS xent
+        |      FROM scored GROUP BY 1, 2),
+        |b AS (SELECT lang, n_tokens, xent, CAST(NTILE(10) OVER (
+        |        PARTITION BY lang ORDER BY xent ASC, doc_id ASC) AS BIGINT)
+        |        AS decile FROM x)
+        |SELECT lang, decile, COUNT(*) AS n_docs,
+        |  CAST(SUM(n_tokens) AS BIGINT) AS n_tokens,
+        |  MIN(xent) AS min_xent, MAX(xent) AS max_xent,
+        |  ROUND(CAST(SUM(CAST(xent AS DECIMAL(18,6))) AS DOUBLE)
+        |    / CAST(COUNT(*) AS DOUBLE), 6) AS avg_xent
+        |FROM b GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+  )
+
   val all: Map[String, String] =
     relational ++ streaming ++ graph ++ llm ++ extended ++ gnn ++ gnnPrep ++
       pipeline ++ round4 ++ round4b ++ round4c ++ round4d ++ round4e ++
       round4f ++ round5 ++ round6 ++ round6graph ++ ClusterOps.oracle ++
       BpeOps.oracle ++ partitioning ++ train ++ graphAnalytics ++ curation ++
-      stats ++ gin ++ mmr ++ round13 ++ round15 ++ round15b ++
+      stats ++ gin ++ mmr ++ round13 ++ round15 ++ round15b ++ round16 ++
       // streaming twins: the final snapshot IS the batch result — the
       // batch operators' oracles replay them verbatim
       Map("q_stream_gnn_pool" -> train("q_gnn_graphsage_pool"),

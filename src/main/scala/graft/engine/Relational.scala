@@ -114,9 +114,17 @@ object Relational {
       .select(col("c_custkey"), col("c_name"), col("c_mktsegment"))
       .orderBy("c_custkey")
 
+  /** Left-anti join: customers with no FINISHED ('F'-status) order.
+    * (Round 16: the unfiltered variant was vacuous on this fixture —
+    * every customer has at least one order at every sf, so the result
+    * was 0 rows and the oracle compare proved nothing. The status
+    * filter keeps survivors at sf0.01 (71) and sf0.1 (511) while the
+    * operator under test — the anti join — is unchanged; the filter
+    * pushes into the right-side scan.) */
   def q_join_anti(s: SparkSession, dir: String): DataFrame =
     Tables.customer(s, dir)
-      .join(Tables.orders(s, dir), col("c_custkey") === col("o_custkey"), "left_anti")
+      .join(Tables.orders(s, dir).filter(col("o_orderstatus") === "F"),
+        col("c_custkey") === col("o_custkey"), "left_anti")
       .select(col("c_custkey"), col("c_name"), col("c_mktsegment"))
       .orderBy("c_custkey")
 
@@ -539,8 +547,19 @@ object Relational {
   def q_set_intersect(s: SparkSession, dir: String): DataFrame =
     nkCust(s, dir).intersect(nkSupp(s, dir)).orderBy("nationkey")
 
-  def q_set_except(s: SparkSession, dir: String): DataFrame =
-    nkCust(s, dir).except(nkSupp(s, dir)).orderBy("nationkey")
+  /** EXCEPT (set-distinct semantics): customers who ordered in 1997 but
+    * not in 1998 — the churn set. (Round 16: the nationkey variant was
+    * vacuous — customer and supplier nation sets are identical at every
+    * sf, so the result was always empty. The year split keeps survivors
+    * at sf0.01 (266) and sf0.1 (2600) and scales naturally: both inputs
+    * are year-pruned scans of the same fact table, the EXCEPT itself
+    * hash-shuffles on the one key.) */
+  def q_set_except(s: SparkSession, dir: String): DataFrame = {
+    def ordCust(y: Int) = Tables.orders(s, dir)
+      .filter(year(col("o_orderdate")) === y)
+      .select(col("o_custkey").as("custkey"))
+    ordCust(1997).except(ordCust(1998)).orderBy("custkey")
+  }
 
   // ── §2.8 scalar functions ────────────────────────────────────────────
 

@@ -1,0 +1,128 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.engine.TextOps
+
+/** Plain-Scala replays of the round-16 operators at sf0.001 — the
+  * independent-mirror discipline of Round13/14/15Spec: every number the
+  * query emits is recomputed driver-side (same pinned IEEE op order)
+  * and compared exactly. */
+class Round16Spec extends AnyFunSuite {
+  import TestSpark._
+
+  private def r6(x: Double): Double =
+    BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+
+  test("q_text_f1 equals a driver-side confusion-cell P/R/F1 replay") {
+    // Base truth: the per-doc langid predictions (the shared argmax the
+    // confusion/kappa/f1 family all consume).
+    val pred = TextOps.q_text_langid(spark, sf0001).collect()
+      .map(r => (r.getString(1), r.getString(2))) // (true, pred)
+    val langs = pred.map(_._1).distinct.sorted
+    val cells = pred.groupBy(identity).view.mapValues(_.length.toLong).toMap
+    val rows = TextOps.q_text_f1(spark, sf0001).collect()
+    assert(rows.map(_.getString(0)).toSeq == langs.toSeq,
+      "one row per TRUE lang, lang-ordered")
+    rows.foreach { r =>
+      val lang = r.getString(0)
+      val support = pred.count(_._1 == lang).toLong
+      val predicted = pred.count(_._2 == lang).toLong
+      val tp = cells.getOrElse((lang, lang), 0L)
+      assert(r.getLong(1) == support, s"$lang support")
+      assert(r.getLong(2) == predicted, s"$lang predicted")
+      assert(r.getLong(3) == tp, s"$lang tp")
+      val p = if (predicted == 0) 0.0 else tp.toDouble / predicted.toDouble
+      val rec = tp.toDouble / support.toDouble
+      val f1 = 2.0 * tp.toDouble / (support + predicted).toDouble
+      assert(r.getDouble(4) == r6(p), s"$lang precision")
+      assert(r.getDouble(5) == r6(rec), s"$lang recall")
+      assert(r.getDouble(6) == r6(f1), s"$lang f1")
+      // the one-division identity really is 2PR/(P+R) on this data
+      if (p + rec > 0)
+        assert(math.abs(f1 - 2 * p * rec / (p + rec)) <= 1e-12, s"$lang identity")
+    }
+  }
+
+  test("q_llm_ppl_bucket equals a driver-side ntile replay of the shared xent table") {
+    // Base truth: the per-doc held-out cross-entropy table the bucketing
+    // shares with q_text_unigram_xent.
+    val xd = TextOps.q_text_unigram_xent(spark, sf0001).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getDouble(3)))
+    // NTILE semantics: per lang, docs sorted (xent asc, doc_id asc); the
+    // first n%10 buckets take ceil(n/10) docs, the rest floor(n/10).
+    val want = xd.groupBy(_._2).toSeq.flatMap { case (lang, docs) =>
+      val sorted = docs.sortBy(d => (d._4, d._1))
+      val n = sorted.length
+      val base = n / 10; val extra = n % 10
+      val assigned = sorted.zipWithIndex.map { case (d, i) =>
+        val cut = extra * (base + 1)
+        val b = if (i < cut) i / (base + 1) else extra + (i - cut) / math.max(base, 1)
+        (b.toLong + 1, d)
+      }
+      assigned.groupBy(_._1).map { case (dec, ds) =>
+        val xs = ds.map(_._2)
+        val sum = xs.map(d => BigDecimal(d._4).setScale(6)).sum
+        (lang, dec) -> ((xs.length.toLong, xs.map(_._3).sum,
+          xs.map(_._4).min, xs.map(_._4).max,
+          r6(sum.toDouble / xs.length.toDouble)))
+      }
+    }.toMap
+    val rows = TextOps.q_llm_ppl_bucket(spark, sf0001).collect()
+    assert(rows.length == want.size, "bucket count")
+    rows.foreach { r =>
+      val k = (r.getString(0), r.getLong(1))
+      val (nd, nt, mn, mx, avg) = want(k)
+      assert(r.getLong(2) == nd, s"$k n_docs")
+      assert(r.getLong(3) == nt, s"$k n_tokens")
+      assert(r.getDouble(4) == mn, s"$k min_xent")
+      assert(r.getDouble(5) == mx, s"$k max_xent")
+      assert(r.getDouble(6) == avg, s"$k avg_xent")
+    }
+    // buckets cover every held-out doc exactly once
+    assert(rows.map(_.getLong(2)).sum == xd.length.toLong)
+  }
+
+  // ── VERDICT r10 item 2: the re-parameterized zero-row trio must be
+  // non-vacuous at the smallest fixture (it is at sf0.01/sf0.1 too —
+  // probed 71/511 anti, 266/2600 except, 31k/3.6k jaccard) ────────────
+
+  test("q_join_anti is non-vacuous and equals the driver-side set difference") {
+    import graft.engine.{Relational, Tables}
+    import org.apache.spark.sql.functions._
+    val fCust = Tables.orders(spark, sf0001)
+      .filter(col("o_orderstatus") === "F")
+      .select(col("o_custkey")).distinct()
+      .collect().map(_.getLong(0)).toSet
+    val allCust = Tables.customer(spark, sf0001)
+      .select(col("c_custkey")).collect().map(_.getLong(0)).toSet
+    val got = Relational.q_join_anti(spark, sf0001).collect()
+      .map(_.getLong(0)).toSet
+    assert(got.nonEmpty, "anti join must have survivors at sf0.001")
+    assert(got == allCust -- fCust)
+  }
+
+  test("q_set_except is non-vacuous and equals the driver-side 1997∖1998 churn set") {
+    import graft.engine.{Relational, Tables}
+    import org.apache.spark.sql.functions._
+    def yearCust(y: Int): Set[Long] = Tables.orders(spark, sf0001)
+      .filter(year(col("o_orderdate")) === y)
+      .select(col("o_custkey")).collect().map(_.getLong(0)).toSet
+    val got = Relational.q_set_except(spark, sf0001).collect()
+    assert(got.nonEmpty, "except must have survivors at sf0.001")
+    assert(got.map(_.getLong(0)).toSet == yearCust(1997) -- yearCust(1998))
+    assert(got.length == got.map(_.getLong(0)).distinct.length, "set semantics: distinct")
+  }
+
+  test("q_graph_jaccard is non-vacuous at the 0.05 threshold with in-contract rows") {
+    import graft.engine.GraphOps
+    val rows = GraphOps.q_graph_jaccard(spark, sf0001).collect()
+    assert(rows.nonEmpty, "jaccard must have survivors at sf0.001")
+    rows.foreach { r =>
+      assert(r.getLong(2) >= GraphOps.TriangleMinCooccur, "common ≥ min co-occur")
+      assert(r.getDouble(3) >= GraphOps.JaccardMinSim, "jaccard ≥ threshold")
+      assert(r.getDouble(3) <= 1.0)
+      assert(r.getLong(0) < r.getLong(1), "canonical a < b pair order")
+    }
+  }
+}
