@@ -430,12 +430,12 @@ object GraphOps {
     var prevSum = if (first.isNullAt(0)) 0L else first.getLong(0)
     var converged = first.isNullAt(0)
     while (!converged) {
-      // explicit broadcast: the label table is checkpointed each round, so
-      // AQE has no size stats and would sort-merge-join the edge list every
-      // iteration. When |V_connected| outgrows broadcast, drop the hints
-      // and pre-hash-partition edges + labels on the join keys instead.
+      // probe-gated broadcast (stateHint): the label table is checkpointed
+      // each round, so AQE has no size stats and would sort-merge-join the
+      // edge list every iteration; past the |V| guard the hint drops and
+      // the label table pre-hash-partitions on its join key instead.
       val nbrMin = und
-        .join(broadcast(labels.select(col("node").as("bn"), col("lbl").as("blbl"))),
+        .join(stateHint(s, dir, labels.select(col("node").as("bn"), col("lbl").as("blbl")), "bn"),
           col("b") === col("bn"))
         .groupBy(col("a"))
         .agg(min(col("blbl")).as("nbr_min"))
@@ -445,7 +445,7 @@ object GraphOps {
       // pointer jumping (lbl := lbl(lbl)): long chains converge in
       // O(log diameter) rounds instead of O(diameter).
       val next = stepped.alias("s")
-        .join(broadcast(stepped.select(col("node").as("jn"), col("lbl").as("jl"))),
+        .join(stateHint(s, dir, stepped.select(col("node").as("jn"), col("lbl").as("jl")), "jn"),
           col("s.lbl") === col("jn"))
         .select(col("s.node").as("node"), least(col("s.lbl"), col("jl")).as("lbl"))
         .localCheckpoint()
@@ -492,14 +492,12 @@ object GraphOps {
     var ranks = undDegrees(s, dir).select(col("node"), lit(1.0).as("r"))
     for (it <- 1 to 10) {
       ranks = undW
-        // explicit broadcast: the rank table is |V|-sized; chaining the 10
-        // steps through broadcast exchanges makes the whole computation
-        // ONE job (each exchange materializes the previous step's 35k-row
-        // rank table) instead of a checkpoint + scheduler round-trip per
-        // step. At a scale where |V| outgrows broadcast, checkpoint each
-        // step and pre-hash-partition undW + ranks on the join key
-        // (exchange-free SMJ) instead.
-        .join(broadcast(ranks.select(col("node").as("rn"), col("r"))),
+        // probe-gated broadcast (stateHint): below the |V| guard the rank
+        // table broadcasts and chaining the 10 steps through broadcast
+        // exchanges makes the whole computation ONE job; above it the
+        // hint drops and the rank table pre-hash-partitions on the join
+        // key instead (shuffle join, edge MV re-exchanges at most once).
+        .join(stateHint(s, dir, ranks.select(col("node").as("rn"), col("r")), "rn"),
           col("src") === col("rn"))
         .groupBy(col("dst"))
         // per-term contributions rounded at the 9th decimal via the
@@ -535,7 +533,7 @@ object GraphOps {
     val seed = ue.agg(min(col("a")).as("node"))
       .select(col("node"), lit(0L).as("d"))
       .localCheckpoint()
-    bfsDistances(ue, seed)
+    bfsDistances(s, dir, ue, seed)
       .groupBy(col("d").as("dist"))
       .agg(count(lit(1)).as("n_nodes"))
       .orderBy("dist")
@@ -545,7 +543,7 @@ object GraphOps {
     * (node, d=0): one join + anti-join per level, O(diameter) rounds,
     * no driver-side graph. Shared by q_graph_bfs and the double-sweep
     * pseudo-diameter. Returns the (node, d) min-distance table. */
-  private def bfsDistances(ue: DataFrame, seed: DataFrame): DataFrame = {
+  private def bfsDistances(s: SparkSession, dir: String, ue: DataFrame, seed: DataFrame): DataFrame = {
     var dist = seed
     var frontier = seed
     var depth = 0L
@@ -555,16 +553,15 @@ object GraphOps {
       // one checkpoint + one count job per level: `dist` is a union of
       // already-checkpointed level outputs, so its lineage stays shallow
       // without materializing it again.
-      // Explicit broadcasts: frontier and visited-set are |V_frontier|-
-      // sized (≪ the edge list), but both are checkpointed LogicalRDDs
-      // with no stats, so the planner would sort-merge-join the full
-      // edge list every level. At a scale where the frontier outgrows
-      // broadcast, drop the hints and pre-hash-partition ue + frontier
-      // on the join key instead.
+      // Probe-gated broadcasts (stateHint): frontier and visited-set are
+      // |V_frontier|-sized (≪ the edge list), but both are checkpointed
+      // LogicalRDDs with no stats, so the planner would sort-merge-join
+      // the full edge list every level; past the |V| guard the hints drop
+      // and the state tables pre-hash-partition on their join keys.
       val next = ue
-        .join(broadcast(frontier), col("node") === col("a"))
+        .join(stateHint(s, dir, frontier, "node"), col("node") === col("a"))
         .select(col("b").as("node")).distinct()
-        .join(broadcast(dist.select(col("node").as("vn"))),
+        .join(stateHint(s, dir, dist.select(col("node").as("vn")), "vn"),
           col("node") === col("vn"), "left_anti")
         .select(col("node"), lit(depth).as("d"))
         .localCheckpoint()
@@ -588,14 +585,14 @@ object GraphOps {
     val seed = ue.agg(min(col("a")).as("node"))
       .select(col("node"), lit(0L).as("d"))
       .localCheckpoint()
-    val d1 = bfsDistances(ue, seed)
+    val d1 = bfsDistances(s, dir, ue, seed)
     // 1-row far-endpoint tables via TakeOrdered (distributed top-1, no
     // global window sort); they stay DataFrames — broadcast seeds for
     // the next sweep, no driver collect
     val far1 = d1.orderBy(col("d").desc, col("node").asc).limit(1)
       .select(col("node"), col("d").as("ecc1"))
       .localCheckpoint()
-    val d2 = bfsDistances(ue, far1.select(col("node"), lit(0L).as("d")))
+    val d2 = bfsDistances(s, dir, ue, far1.select(col("node"), lit(0L).as("d")))
     val far2 = d2.orderBy(col("d").desc, col("node").asc).limit(1)
       .select(col("node").as("far_node2"), col("d").as("pseudo_diameter"))
     seed.select(col("node").as("seed_node"))
@@ -646,7 +643,8 @@ object GraphOps {
     // BigDecimal-backed DECIMAL(38,9) accumulator cost 3× (measured).
     // w ≤ 1/ln 2, so the scaled per-group sum overflows 2^63 only past
     // ~6e9 shared customers per pair — DECIMAL(38,9) is the swap there.
-    val e1 = e.join(broadcast(custDeg.filter(col("cd") >= 2)), col("src") === col("cd_src"))
+    val e1 = e.join(stateHint(s, dir, custDeg.filter(col("cd") >= 2), "cd_src"),
+      col("src") === col("cd_src"))
       .select(col("src"), col("dst").as("a"),
         round(lit(1.0) / log(col("cd")) * 1e9, 0).cast("bigint").as("w9"))
     val e2 = e.select(col("src").as("src2"), col("dst").as("b"))
@@ -692,7 +690,7 @@ object GraphOps {
       // aggregation, no per-group sort — the window+row_number form
       // added a full sort of the (node, label) counts every iteration.
       labels = ue
-        .join(broadcast(labels.select(col("node").as("bn"), col("lbl"))),
+        .join(stateHint(s, dir, labels.select(col("node").as("bn"), col("lbl")), "bn"),
           col("b") === col("bn"))
         .groupBy(col("a"), col("lbl")).agg(count(lit(1)).as("c"))
         .groupBy(col("a"))
@@ -724,11 +722,11 @@ object GraphOps {
     val deg = ue.groupBy(col("a").as("n")).agg(count(lit(1)).as("d"))
     val la = labels.select(col("node").as("na"), col("lbl").as("la"))
     val lb = labels.select(col("node").as("nb"), col("lbl").as("lb"))
-    val intra = pp.join(broadcast(la), col("a") === col("na"))
-      .join(broadcast(lb), col("b") === col("nb"))
+    val intra = pp.join(stateHint(s, dir, la, "na"), col("a") === col("na"))
+      .join(stateHint(s, dir, lb, "nb"), col("b") === col("nb"))
       .filter(col("la") === col("lb"))
       .groupBy(col("la").as("c")).agg(count(lit(1)).as("ec"))
-    val dc = deg.join(broadcast(labels), col("n") === col("node"))
+    val dc = deg.join(stateHint(s, dir, labels, "node"), col("n") === col("node"))
       .groupBy(col("lbl")).agg(sum(col("d")).as("dcsum"))
     val comm = dc.join(intra, col("lbl") === col("c"), "left_outer")
       .select(col("lbl"), coalesce(col("ec"), lit(0L)).as("ec"), col("dcsum"))
@@ -753,9 +751,9 @@ object GraphOps {
     val ue = undProj(s, dir, TriangleMinCooccur)
     val deg = ue.groupBy(col("a").as("n")).agg(count(lit(1)).as("d"))
     val arcs = ue
-      .join(broadcast(deg.select(col("n").as("n1"), col("d").as("dx"))),
+      .join(stateHint(s, dir, deg.select(col("n").as("n1"), col("d").as("dx")), "n1"),
         col("a") === col("n1"))
-      .join(broadcast(deg.select(col("n").as("n2"), col("d").as("dy"))),
+      .join(stateHint(s, dir, deg.select(col("n").as("n2"), col("d").as("dy")), "n2"),
         col("b") === col("n2"))
     arcs.agg(count(lit(1)).as("arcs"),
         sum(col("dx")).as("s1"),
@@ -784,15 +782,19 @@ object GraphOps {
     var nodes = ue.select(col("a").as("node")).distinct().localCheckpoint()
     for (_ <- 1 to KCoreRounds) {
       nodes = ue
-        .join(broadcast(nodes.select(col("node").as("na"))), col("a") === col("na"), "left_semi")
-        .join(broadcast(nodes.select(col("node").as("nb"))), col("b") === col("nb"), "left_semi")
+        .join(stateHint(s, dir, nodes.select(col("node").as("na")), "na"),
+          col("a") === col("na"), "left_semi")
+        .join(stateHint(s, dir, nodes.select(col("node").as("nb")), "nb"),
+          col("b") === col("nb"), "left_semi")
         .groupBy(col("a")).agg(count(lit(1)).as("d"))
         .filter(col("d") >= KCoreK)
         .select(col("a").as("node"))
         .localCheckpoint()
     }
-    ue.join(broadcast(nodes.select(col("node").as("na"))), col("a") === col("na"), "left_semi")
-      .join(broadcast(nodes.select(col("node").as("nb"))), col("b") === col("nb"), "left_semi")
+    ue.join(stateHint(s, dir, nodes.select(col("node").as("na")), "na"),
+        col("a") === col("na"), "left_semi")
+      .join(stateHint(s, dir, nodes.select(col("node").as("nb")), "nb"),
+        col("b") === col("nb"), "left_semi")
       .groupBy(col("a").as("node")).agg(count(lit(1)).as("core_deg"))
       .orderBy("node")
   }
@@ -860,14 +862,14 @@ object GraphOps {
       // InMemoryRelation build + codegen-pipeline break — but it also
       // never cut the recompute chain for the broadcast subqueries;
       // the checkpoint does both.)
-      val hRaw = e.join(broadcast(auth.select(col("node").as("an"), col("a"))),
+      val hRaw = e.join(stateHint(s, dir, auth.select(col("node").as("an"), col("a")), "an"),
           col("dst") === col("an"))
         .groupBy(col("src"))
         .agg((sum(round(col("a") * 1e9, 0).cast("bigint")).cast("double") / 1e9).as("h"))
         .localCheckpoint()
       val hub = hRaw.crossJoin(broadcast(hRaw.agg(max(col("h")).as("hm"))))
         .select(col("src"), (col("h") / col("hm")).as("h"))
-      val aRaw = e.join(broadcast(hub.select(col("src").as("hn"), col("h"))),
+      val aRaw = e.join(stateHint(s, dir, hub.select(col("src").as("hn"), col("h")), "hn"),
           col("src") === col("hn"))
         .groupBy(col("dst"))
         .agg((sum(round(col("h") * 1e9, 0).cast("bigint")).cast("double") / 1e9).as("ar"))
@@ -926,7 +928,7 @@ object GraphOps {
     var ranks = seed.select(col("sn").as("node"), lit(1.0).as("r"))
     for (it <- 1 to PprIters) {
       ranks = undW
-        .join(broadcast(ranks.select(col("node").as("rn"), col("r"))),
+        .join(stateHint(s, dir, ranks.select(col("node").as("rn"), col("r")), "rn"),
           col("src") === col("rn"))
         .groupBy(col("dst"))
         // 1e9-scaled BIGINT per-term rounding + exact sum (order-blind;
@@ -992,13 +994,13 @@ object GraphOps {
     var frontierSize = frontier.count()
     while (depth < CloseMaxHops && frontierSize > 0) {
       depth += 1
-      // same broadcast rationale as q_graph_bfs: checkpointed frontiers
-      // carry no stats; at frontier ≫ broadcast scale, pre-partition
-      // ue + frontier on the node key instead.
+      // same probe-gated rationale as q_graph_bfs: checkpointed frontiers
+      // carry no stats; past the |V| guard stateHint pre-partitions the
+      // frontier on the node key instead of broadcasting.
       val next = ue
-        .join(broadcast(frontier), col("node") === col("a"))
+        .join(stateHint(s, dir, frontier, "node"), col("node") === col("a"))
         .select(col("seed"), col("b").as("node")).distinct()
-        .join(broadcast(dist.select(col("seed").as("vs"), col("node").as("vn"))),
+        .join(stateHint(s, dir, dist.select(col("seed").as("vs"), col("node").as("vn")), "vn"),
           col("seed") === col("vs") && col("node") === col("vn"), "left_anti")
         .select(col("seed"), col("node"), lit(depth).as("d"))
         .localCheckpoint()
@@ -1109,10 +1111,10 @@ object GraphOps {
     for (_ <- 1 to BetwHops) {
       val cur = levels.last
       val nxt = ue
-        .join(broadcast(cur.select(col("seed"), col("node").as("fa"), col("sigma").as("fs"))),
+        .join(stateHint(s, dir, cur.select(col("seed"), col("node").as("fa"), col("sigma").as("fs")), "fa"),
           col("a") === col("fa"))
         .select(col("seed"), col("b").as("node"), col("fs"))
-        .join(broadcast(visited.select(col("seed").as("vs"), col("node").as("vn"))),
+        .join(stateHint(s, dir, visited.select(col("seed").as("vs"), col("node").as("vn")), "vn"),
           col("seed") === col("vs") && col("node") === col("vn"), "left_anti")
         .groupBy(col("seed"), col("node")).agg(sum(col("fs")).as("sigma"))
         .localCheckpoint()
@@ -1127,9 +1129,9 @@ object GraphOps {
     for (d <- (0 until BetwHops).reverse) {
       val wSide = deltas.head.select(col("seed").as("ws_seed"),
         col("node").as("wn"), col("sigma").as("wsig"), col("delta").as("wd"))
-      val terms = ue.join(broadcast(wSide), col("b") === col("wn"))
-        .join(broadcast(levels(d).select(col("seed").as("v_seed"),
-            col("node").as("vn"), col("sigma").as("vsig"))),
+      val terms = ue.join(stateHint(s, dir, wSide, "wn"), col("b") === col("wn"))
+        .join(stateHint(s, dir, levels(d).select(col("seed").as("v_seed"),
+            col("node").as("vn"), col("sigma").as("vsig")), "vn"),
           col("ws_seed") === col("v_seed") && col("a") === col("vn"))
         .select(col("v_seed").as("seed"), col("vn").as("node"),
           round((col("vsig").cast("double") / col("wsig").cast("double"))

@@ -483,6 +483,46 @@ class PlanAuditSpec extends AnyFunSuite {
       s"q_text_pmi may hint only the lang-cardinality doc-count table, found ${hints.size} hints")
   }
 
+  test("round-11 scale pin: fixpoint-tier state broadcasts are probe-gated (VERDICT r10 item 3)") {
+    // The |V|-sized rank/label/frontier/degree tables in the graph tier
+    // are broadcast-hinted only while the memoized vertex-count probe
+    // stays under spark.graft.stateBroadcastMaxRows; past the guard the
+    // hint drops and the state table pre-hash-partitions on its join
+    // key. Pinned on the two fixpoint consumers whose final plan is NOT
+    // checkpoint-truncated (modularity, assortativity), plus a result-
+    // invariance check on pagerank across both regimes.
+    val guardKey = "spark.graft.stateBroadcastMaxRows"
+    def hintCount(df: org.apache.spark.sql.DataFrame): Int =
+      df.queryExecution.analyzed.collect {
+        case h: org.apache.spark.sql.catalyst.plans.logical.ResolvedHint => h
+      }.size
+    // fixture regime: |V| ≈ 2k ≪ guard → the state joins ARE hinted
+    assert(hintCount(GraphOps.q_graph_assortativity(spark, sf0001)) >= 2,
+      "under the guard, the degree table must broadcast onto both arc ends")
+    val small = GraphOps.q_graph_pagerank(spark, sf0001).collect()
+      .map(r => (r.getLong(0), r.getDouble(1))).toSet
+    spark.conf.set(guardKey, "0")
+    try {
+      assert(hintCount(GraphOps.q_graph_assortativity(spark, sf0001)) == 0,
+        "past the guard, no |V|-sized state table may carry a broadcast hint")
+      // modularity's one surviving hint is the 1-row Σedges aggregate
+      // (mRow) — constant-sized, broadcast unconditionally by design
+      assert(hintCount(GraphOps.q_graph_modularity(spark, sf0001)) == 1,
+        "past the guard, only the 1-row edge-total table may stay hinted")
+      val p = GraphOps.q_graph_assortativity(spark, sf0001)
+        .queryExecution.executedPlan.toString
+      assert(!p.contains("BroadcastHashJoin"),
+        s"gated plan must shuffle-join the state side:\n$p")
+      assert(p.contains("hashpartitioning"),
+        "gated state table must be pre-hash-partitioned on its join key")
+      // both regimes compute the identical result (the per-term
+      // 1e9-scaled integer sums are order- and strategy-blind)
+      val big = GraphOps.q_graph_pagerank(spark, sf0001).collect()
+        .map(r => (r.getLong(0), r.getDouble(1))).toSet
+      assert(big == small, "pagerank must be identical across join regimes")
+    } finally spark.conf.unset(guardKey)
+  }
+
   test("motifs: one path scan with broadcast closure joins, no cartesian") {
     val df = SparkEntry.queries("q_graph_motifs")(spark, sf0001)
     df.collect()
