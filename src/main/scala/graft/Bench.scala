@@ -114,6 +114,17 @@ object Bench {
     xs.nonEmpty && (xs.max > floor || xs.max > 2.5 * xs.min)
   }
 
+  /** Total sweep budget: the first pass plus at most two canary-forced
+    * retries. Bounds the worst case (a fully poisoned box) at 3× one
+    * sweep while letting load that outlives a single resweep clear. */
+  private[graft] val MaxSweeps = 3
+
+  /** Sweep-loop continuation rule: run another full pass iff the budget
+    * allows and the LATEST canary triple is dirty. */
+  private[graft] def sweepAgain(nDone: Int, lastCanary: (Double, Double, Double),
+      floor: Double, maxSweeps: Int = MaxSweeps): Boolean =
+    nDone < maxSweeps && canaryDrifted(lastCanary, floor)
+
   /** Official-value merge: per query, the minimum across honest
     * (non-failed) samples — the less load-biased estimator; a failed
     * first sample is replaced by a valid re-run, a failed re-run keeps
@@ -188,16 +199,26 @@ object Bench {
         sys.error(s"SPARK_GRAFT_CANARY_FLOOR must be a positive number, got '$v'"))
       case None => 0.5
     }
-    val (firstPass, canary1) = sweep("1")
-    val resweep = canaryDrifted(canary1, canaryFloor)
-    val (secondPass, canary2) =
-      if (resweep) {
-        System.err.println(f"[bench] CANARY DRIFT (${canary1._1}%.3f/${canary1._2}%.3f/${canary1._3}%.3f) — re-running full sweep")
-        sweep("2")
-      } else (Seq.empty[(String, Double)], (-1.0, -1.0, -1.0))
+    // Bounded sweep loop (VERDICT r10 item 4): keep re-running the full
+    // sweep while the latest canary triple is dirty, up to MaxSweeps
+    // total — one more chance than the old single resweep, so transient
+    // box load that outlives one sweep no longer condemns the record to
+    // `contaminated: true`. Every raw pass is emitted in the artifact.
+    val passes = scala.collection.mutable.ArrayBuffer(sweep("1"))
+    while (sweepAgain(passes.size, passes.last._2, canaryFloor)) {
+      val c = passes.last._2
+      System.err.println(f"[bench] CANARY DRIFT (${c._1}%.3f/${c._2}%.3f/${c._3}%.3f) — re-running full sweep ${passes.size + 1}")
+      passes += sweep((passes.size + 1).toString)
+    }
+    val resweep = passes.size > 1
+    val canary1 = passes.head._2
+    val canary2 =
+      if (resweep) passes(1)._2 else (-1.0, -1.0, -1.0)
     // Official per-query value so far: min across honest samples.
-    val merged = mergeMin(firstPass, secondPass.toMap)
-    val contaminated = resweep && canaryDrifted(canary2, canaryFloor)
+    val merged = passes.tail.foldLeft(passes.head._1) { (acc, p) =>
+      mergeMin(acc, p._1.toMap)
+    }
+    val contaminated = canaryDrifted(passes.last._2, canaryFloor)
     // Outlier retime pass: committed clean-box targets decide suspects.
     // Round-13 hardening: the old max(3 s, 2.5×target) floor let every
     // sub-3-second query inflate unchallenged — a loaded early sweep put
@@ -269,12 +290,15 @@ object Bench {
     def cjson(c: (Double, Double, Double)): String =
       s"""{"start":${f3(c._1)},"mid":${f3(c._2)},"end":${f3(c._3)}}"""
     val head =
-      s""""canary":${cjson(canary1)},"canary2":${cjson(canary2)},"resweep":$resweep,"contaminated":$contaminated,"retimed":$retimedJson,"mv":$mvJson,"warmup_failed":[$wfail],"n_queries":${results.size},"n_failed":${failed.size},"failed":[${failed.mkString(",")}],"sf":"$sfDir","metric":"total","unit":"sec","value":${f3(total)}"""
-    // When a resweep fired, BOTH raw per-query passes go into the full
+      s""""canary":${cjson(canary1)},"canary2":${cjson(canary2)},"canaries":[${passes.map(p => cjson(p._2)).mkString(",")}],"n_sweeps":${passes.size},"resweep":$resweep,"contaminated":$contaminated,"retimed":$retimedJson,"mv":$mvJson,"warmup_failed":[$wfail],"n_queries":${results.size},"n_failed":${failed.size},"failed":[${failed.mkString(",")}],"sf":"$sfDir","metric":"total","unit":"sec","value":${f3(total)}"""
+    // When a resweep fired, EVERY raw per-query pass goes into the full
     // artifact alongside the merged mins (ADVICE r9: the merge alone
     // dropped the samples the header promised stayed "for audit").
     val rawPasses = if (resweep)
-      s""","pass1":${qmap(firstPass)},"pass2":${qmap(secondPass)}""" else ""
+      passes.zipWithIndex.map { case (p, i) =>
+        s""","pass${i + 1}":${qmap(p._1)}"""
+      }.mkString
+    else ""
     // Complete per-query map (alphabetical) → target/bench.json.
     val full = s"""{"queries":${qmap(results)},$head$rawPasses}"""
     val out = new java.io.File("target/bench.json")

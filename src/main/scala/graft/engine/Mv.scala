@@ -110,14 +110,15 @@ object Mv {
         // shuffle-partition count, timezone, etc.
         val clone = s.newSession()
         s.conf.getAll.foreach { case (ck, cv) =>
-          // Only the EXPECTED failure is swallowed — static confs refuse
-          // runtime SET with AnalysisException. Fatal errors (OOM,
-          // interrupts) must propagate, not vanish per-key (ADVICE r9).
+          // Per-key copy failures are ignored as long as they are
+          // non-fatal: the EXPECTED one is AnalysisException (static
+          // confs refuse runtime SET), and any other non-fatal refusal
+          // of a single conf key must not kill the MV build either — a
+          // missing optional conf degrades the clone, a crashed build
+          // degrades the query. Only fatal errors (OOM, interrupts)
+          // propagate (ADVICE r9/r10).
           try clone.conf.set(ck, cv)
-          catch {
-            case _: org.apache.spark.sql.AnalysisException => ()
-            case scala.util.control.NonFatal(_) => ()
-          }
+          catch { case scala.util.control.NonFatal(_) => () }
         }
         clone.conf.set("spark.sql.adaptive.enabled", "false")
         val before = s.sparkContext.getPersistentRDDs.keySet.toSet

@@ -4742,8 +4742,9 @@ object Oracle {
           |  FROM counts),
           |agg AS (SELECT event_type,
           |    CAST(SUM(cr) AS BIGINT) AS n1, CAST(SUM(cc) AS BIGINT) AS n2,
-          |    CAST(SUM(cr * (2 * bef + cr + cc + 1)) AS BIGINT) AS r1_2,
-          |    CAST(SUM((cr + cc) * (cr + cc) * (cr + cc) - (cr + cc)) AS BIGINT) AS ties
+          |    SUM(CAST(cr AS DECIMAL(38,0)) * (2 * bef + cr + cc + 1)) AS r1_2,
+          |    SUM(CAST(cr + cc AS DECIMAL(38,0)) * (cr + cc) * (cr + cc)
+          |        - (cr + cc)) AS ties
           |  FROM cum GROUP BY 1
           |  HAVING n1 > 0 AND n2 > 0)
           |SELECT event_type, n1 AS n_ref, n2 AS n_cur,
@@ -5408,14 +5409,15 @@ object Oracle {
       """WITH v AS (SELECT c_mktsegment AS g,
         |    CAST(ROUND(c_acctbal*100,0) AS BIGINT) AS c FROM customer),
         |grp AS (SELECT g, CAST(COUNT(*) AS BIGINT) AS ng,
-        |    CAST(SUM(c) AS BIGINT) AS sg, CAST(SUM(c*c) AS BIGINT) AS qg
+        |    CAST(SUM(c) AS BIGINT) AS sg,
+        |    SUM(CAST(c AS DECIMAL(38,0)) * c) AS qg
         |  FROM v GROUP BY 1),
         |terms AS (SELECT ng, sg, qg,
         |    CAST(ROUND(CAST(sg AS DOUBLE)*CAST(sg AS DOUBLE)
         |      / CAST(ng AS DOUBLE), 9) AS DECIMAL(38,9)) AS t FROM grp),
         |tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS k,
         |    CAST(SUM(ng) AS BIGINT) AS n, CAST(SUM(sg) AS BIGINT) AS s,
-        |    CAST(SUM(qg) AS BIGINT) AS q, SUM(t) AS st FROM terms)
+        |    SUM(qg) AS q, SUM(t) AS st FROM terms)
         |SELECT k, n, CAST(k-1 AS BIGINT) AS df1, CAST(n-k AS BIGINT) AS df2,
         |  ROUND(((CAST(st AS DOUBLE)
         |      - CAST(s AS DOUBLE)*CAST(s AS DOUBLE)/CAST(n AS DOUBLE))

@@ -1648,8 +1648,14 @@ object StatsOps {
     val t = col("cr") + col("cc")
     val agg = cum.groupBy(col("event_type")).agg(
         sum(col("cr")).as("n1"), sum(col("cc")).as("n2"),
-        sum(col("cr") * (lit(2L) * col("before") + col("cr") + col("cc") + 1L)).as("r1_2"),
-        sum(t * t * t - t).as("ties"))
+        // rank-sum and tie term widened to DECIMAL(38,0) (ADVICE r10):
+        // at corpus scale the per-term products cr·(2·before+t+1) and t³
+        // outgrow BIGINT (before and t are row counts), and non-ANSI
+        // Spark would wrap silently — the q_agg_spearman convention.
+        sum(col("cr").cast("decimal(38,0)")
+          * (lit(2L) * col("before") + col("cr") + col("cc") + 1L)
+            .cast("decimal(38,0)")).as("r1_2"),
+        sum(t.cast("decimal(38,0)") * t * t - t).as("ties"))
       .filter(col("n1") > 0 && col("n2") > 0)
     val n1d = col("n1").cast("double")
     val n2d = col("n2").cast("double")
@@ -2061,7 +2067,10 @@ object StatsOps {
         round(col("c_acctbal") * 100, 0).cast("bigint").as("c"))
       .groupBy(col("g"))
       .agg(count(lit(1)).as("ng"), sum(col("c")).as("sg"),
-        sum(col("c") * col("c")).as("qg"))
+        // Σc² widened to DECIMAL(38,0) (ADVICE r10): per-term c² fits
+        // BIGINT, but the SUM wraps silently in non-ANSI Spark once
+        // n·c² passes 2⁶³ — the q_agg_spearman convention.
+        sum((col("c") * col("c")).cast("decimal(38,0)")).as("qg"))
     anovaFrom(grp, 9)
   }
 

@@ -60,6 +60,17 @@ class BenchGateSpec extends AnyFunSuite {
     assert(m("a") == 1.5)
   }
 
+  test("sweep loop: retries on a dirty canary, stops at the budget or a clean triple") {
+    val dirty = (0.14, 1.9, 0.15)
+    val clean = (0.12, 0.15, 0.14)
+    assert(Bench.sweepAgain(1, dirty, 0.5), "a dirty first pass forces a resweep")
+    assert(Bench.sweepAgain(2, dirty, 0.5),
+      "a still-dirty second pass gets ONE more chance (VERDICT r10 item 4)")
+    assert(!Bench.sweepAgain(3, dirty, 0.5), "the budget is 3 sweeps total")
+    assert(!Bench.sweepAgain(1, clean, 0.5), "a clean pass never resweeps")
+    assert(!Bench.sweepAgain(2, clean, 0.5), "a clean resweep ends the loop early")
+  }
+
   test("every registered query has a committed clean-box target (VERDICT r9 item 7)") {
     // A query with no entry in tools/bench_targets.json only becomes a
     // retime suspect above the 10 s no-target rule — a 9 s regression in
