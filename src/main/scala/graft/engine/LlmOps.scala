@@ -325,7 +325,9 @@ object LlmOps {
     * this default is a PRECISION SCREEN — precision 0.98 at recall 0.29
     * on strong (J ≥ 0.8) near-dups. When recall matters, run
     * `simhashXxParam(nBands = 8, hammingMax = 16)` (recall 0.96 @
-    * precision 0.91) or the MinHash LSH tier (recall 0.99 @ 1.0). */
+    * precision 0.91), the registered oracle-checked twin of that
+    * operating point `q_llm_simhash_recall` (6×10-bit md5 bands,
+    * Hamming ≤ 16), or the MinHash LSH tier (recall 0.99 @ 1.0). */
   def q_llm_simhash(s: SparkSession, dir: String): DataFrame =
     simhashXx(s, dir, sampled = false)
 
@@ -389,24 +391,50 @@ object LlmOps {
     * 4×15-bit band join, Hamming ≤ 12 verify via bit_count(xor).
     * Everything is oracle-checked; the xxhash64 SimHash64-expression
     * variant stays the full-corpus fast path. */
-  def q_llm_simhash_md5(s: SparkSession, dir: String): DataFrame = {
-    val d = tokenSets(s, dir).filter(col("doc_id") % 10 === 0 && size(col("toks")) > 0)
-    val tok = d.select(col("doc_id"), col("lang"), explode(col("toks")).as("tok"))
-      .withColumn("h", Dsl.md5Hash60(col("tok")))
-    val votes = (0 until 60).map(b =>
-      sum(when(expr(s"shiftright(h, $b) & 1") === 1, 1).otherwise(-1)).as(s"v$b"))
-    val sigExpr = (0 until 60)
-      .map(b => s"(CASE WHEN v$b > 0 THEN ${1L << b}L ELSE 0L END)").mkString(" + ")
-    // Materialize the signatures ONCE: the banding pass and both sides of
-    // the Hamming verify read `sig`, and each would otherwise re-run the
-    // whole token-explode + md5 + 60-vote aggregation (3× the query cost).
-    val sig = tok.groupBy(col("doc_id"), col("lang"))
-      .agg(votes.head, votes.tail: _*)
-      .select(col("doc_id"), col("lang"), expr(sigExpr).as("simhash"))
-      .localCheckpoint()
+  def q_llm_simhash_md5(s: SparkSession, dir: String): DataFrame =
+    simhashMd5Param(s, dir, nBands = 4, hammingMax = 12)
+
+  /** RECALL operating point of the md5-family SimHash (VERDICT r10
+    * item 6): narrower 10-bit bands (6 of them over the 60-bit
+    * signature) raise candidate recall the same way the measured
+    * xx-path sweep's 8×8-bit point does (recall 0.96 @ precision 0.91,
+    * APPROX_BOUNDS.json `simhash_sweep`), and the looser Hamming ≤ 16
+    * verify keeps the recalled pairs. Fully oracle-checked — this is
+    * the contract-tested twin of the swept configuration, where
+    * q_llm_simhash_md5 remains the 4×15/≤12 precision screen. */
+  def q_llm_simhash_recall(s: SparkSession, dir: String): DataFrame =
+    simhashMd5Param(s, dir, nBands = 6, hammingMax = 16)
+
+  /** Band/threshold-parameterized md5-family SimHash (bands must divide
+    * 60) — one body under the precision screen AND the recall tier, so
+    * both operating points run the same signature arithmetic. */
+  private def simhashMd5Param(s: SparkSession, dir: String, nBands: Int,
+      hammingMax: Int): DataFrame = {
+    require(60 % nBands == 0, s"bands must divide 60, got $nBands")
+    val bandBits = 60 / nBands
+    val bandMask = (1L << bandBits) - 1
+    // Signatures materialize ONCE per (session, fixture): the banding
+    // pass and both sides of the Hamming verify read `sig` — and BOTH
+    // registered operating points share the one build, which would
+    // otherwise re-run the whole token-explode + md5 + 60-vote
+    // aggregation (3× the query cost, ×2 queries).
+    val sig = Mv.memo(s, s"simhashMd5Sig|$dir") { bs =>
+      val d = tokenSets(bs, dir)
+        .filter(col("doc_id") % 10 === 0 && size(col("toks")) > 0)
+      val tok = d.select(col("doc_id"), col("lang"), explode(col("toks")).as("tok"))
+        .withColumn("h", Dsl.md5Hash60(col("tok")))
+      val votes = (0 until 60).map(b =>
+        sum(when(expr(s"shiftright(h, $b) & 1") === 1, 1).otherwise(-1)).as(s"v$b"))
+      val sigExpr = (0 until 60)
+        .map(b => s"(CASE WHEN v$b > 0 THEN ${1L << b}L ELSE 0L END)").mkString(" + ")
+      tok.groupBy(col("doc_id"), col("lang"))
+        .agg(votes.head, votes.tail: _*)
+        .select(col("doc_id"), col("lang"), expr(sigExpr).as("simhash"))
+        .localCheckpoint()
+    }
     val banded = sig.select(col("lang"), col("doc_id"),
-      posexplode(array((0 until 4).map { b =>
-        expr(s"shiftright(simhash, ${15 * b}) & 32767")
+      posexplode(array((0 until nBands).map { b =>
+        expr(s"shiftright(simhash, ${bandBits * b}) & $bandMask")
       }: _*)).as(Seq("band_id", "band_val")))
     val a = banded.select(col("lang"), col("band_id"), col("band_val"),
       col("doc_id").as("doc_a"))
@@ -422,7 +450,7 @@ object LlmOps {
       .join(broadcast(sig.select(col("doc_id").as("ib"), col("simhash").as("hb"))),
         col("doc_b") === col("ib"))
       .withColumn("hamming", expr("bit_count(ha ^ hb)").cast("int"))
-      .filter(col("hamming") <= 12)
+      .filter(col("hamming") <= hammingMax)
       .select(col("lang"), col("doc_a"), col("doc_b"), col("hamming"))
       .orderBy("lang", "doc_a", "doc_b")
   }
@@ -1141,6 +1169,7 @@ object LlmOps {
     "q_llm_minhash_est" -> q_llm_minhash_est _,
     "q_llm_simhash" -> q_llm_simhash _,
     "q_llm_simhash_md5" -> q_llm_simhash_md5 _,
+    "q_llm_simhash_recall" -> q_llm_simhash_recall _,
     "q_llm_embed_neardup" -> q_llm_embed_neardup _,
     "q_llm_ann_ivf" -> q_llm_ann_ivf _,
     "q_llm_ann_lsh" -> q_llm_ann_lsh _,

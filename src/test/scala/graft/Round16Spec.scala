@@ -114,6 +114,23 @@ class Round16Spec extends AnyFunSuite {
     assert(got.length == got.map(_.getLong(0)).distinct.length, "set semantics: distinct")
   }
 
+  test("simhash recall tier: same signature arithmetic, wider net than the precision screen") {
+    import graft.engine.LlmOps
+    val prec = LlmOps.q_llm_simhash_md5(spark, sf001).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)) -> r.getInt(3)).toMap
+    val rec = LlmOps.q_llm_simhash_recall(spark, sf001).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)) -> r.getInt(3)).toMap
+    assert(rec.nonEmpty && rec.size >= prec.size,
+      "the recall configuration must surface at least as many pairs")
+    assert(rec.values.forall(_ <= 16), "recall tier verifies at Hamming ≤ 16")
+    assert(prec.values.forall(_ <= 12), "precision screen verifies at Hamming ≤ 12")
+    // pairs surfaced by BOTH operating points carry the identical
+    // Hamming distance — one shared signature MV, one arithmetic
+    prec.keySet.intersect(rec.keySet).foreach { k =>
+      assert(prec(k) == rec(k), s"$k hamming must agree across tiers")
+    }
+  }
+
   test("q_graph_jaccard is non-vacuous at the 0.05 threshold with in-contract rows") {
     import graft.engine.GraphOps
     val rows = GraphOps.q_graph_jaccard(spark, sf0001).collect()
