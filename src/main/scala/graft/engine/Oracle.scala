@@ -1492,7 +1492,9 @@ object Oracle {
         |  JOIN totals tt ON t.lang = tt.ml
         |  LEFT JOIN model m ON t.lang = m.ml AND t.tok = m.mt
         |  WHERE t.doc_id % 10 = 0)
-        |SELECT doc_id, lang, COUNT(*) AS n_tokens, ROUND(AVG(nll), 6) AS xent
+        |SELECT doc_id, lang, COUNT(*) AS n_tokens,
+        |  ROUND(CAST(SUM(CAST(ROUND(nll * 1e9, 0) AS BIGINT)) AS DOUBLE)
+        |    / CAST(COUNT(*) AS DOUBLE) / 1e9, 6) AS xent
         |FROM scored GROUP BY 1, 2 ORDER BY doc_id""".stripMargin,
 
     // Round 7 (driver). T5 span-corruption mask accounting: md5-seeded
@@ -5592,7 +5594,8 @@ object Oracle {
         |  LEFT JOIN model m ON t.lang = m.ml AND t.tok = m.mt
         |  WHERE t.doc_id % 10 = 0),
         |x AS (SELECT doc_id, lang, CAST(COUNT(*) AS BIGINT) AS n_tokens,
-        |      ROUND(AVG(nll), 6) AS xent
+        |      ROUND(CAST(SUM(CAST(ROUND(nll * 1e9, 0) AS BIGINT)) AS DOUBLE)
+        |        / CAST(COUNT(*) AS DOUBLE) / 1e9, 6) AS xent
         |      FROM scored GROUP BY 1, 2),
         |b AS (SELECT lang, n_tokens, xent, CAST(NTILE(10) OVER (
         |        PARTITION BY lang ORDER BY xent ASC, doc_id ASC) AS BIGINT)
@@ -5614,6 +5617,9 @@ object Oracle {
       // streaming twins: the final snapshot IS the batch result — the
       // batch operators' oracles replay them verbatim
       Map("q_stream_gnn_pool" -> train("q_gnn_graphsage_pool"),
+        // streaming perplexity-decile maintainer: snapshot runs the SAME
+        // pplBucketFrom assembly as the batch operator — one oracle
+        "q_stream_ppl_bucket" -> round16("q_llm_ppl_bucket"),
         "q_stream_drift_psi" -> stats("q_llm_drift_psi"),
         // streaming χ²/Benford snapshots run the SAME shared assembly as
         // their batch twins — one oracle each

@@ -1,6 +1,6 @@
 package graft.engine
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -297,7 +297,28 @@ object TextOps {
     * per-doc listing (q_text_unigram_xent) and the decile bucketing
     * (q_llm_ppl_bucket), so the filter accounting can never drift from
     * the score it buckets. */
-  private def unigramXentPerDoc(s: SparkSession, dir: String): DataFrame = {
+  private def unigramXentPerDoc(s: SparkSession, dir: String): DataFrame =
+    heldoutNll9(s, dir)
+      .groupBy(col("doc_id"), col("lang"))
+      .agg(count(lit(1)).as("n_tokens"), sum(col("nll9")).as("s9"))
+      .select(col("doc_id"), col("lang"), col("n_tokens"),
+        xentOf(col("s9"), col("n_tokens")).as("xent"))
+
+  /** round-6 xent from the exact scaled-integer state (Σround(nll·1e9),
+    * n) — ONE pinned two-division double expression, shared by the batch
+    * per-doc table and the streaming maintainer's snapshot. */
+  private def xentOf(s9: Column, n: Column): Column =
+    round(s9.cast("double") / n.cast("double") / 1e9, 6)
+
+  /** Held-out token stream scored against the train-split unigram model:
+    * (doc_id, lang, nll9) with nll9 = round(−ln p · 1e9) as an exact
+    * BIGINT — the 1e9-scaled device (see q_graph_pagerank) that makes
+    * the per-doc score an order-blind integer sum, which is what lets
+    * the STREAMING maintainer fold tokens in any arrival order and still
+    * land on the batch value exactly (round-10 the per-doc avg was a
+    * raw double AVG — deterministic only because a doc's tokens never
+    * cross a partition; the integer sum removes the caveat). */
+  private[graft] def heldoutNll9(s: SparkSession, dir: String): DataFrame = {
     val tok = Tables.documents(s, dir)
       .select(col("doc_id"), col("lang"), explode(split(col("text"), " ")).as("tok"))
     val train = tok.filter(col("doc_id") % 10 =!= 0)
@@ -312,9 +333,8 @@ object TextOps {
       .join(broadcast(model.select(col("ml"), col("mt"), col("p"))),
         col("lang") === col("ml") && col("tok") === col("mt"), "left_outer")
       .select(col("doc_id"), col("lang"),
-        (-log(coalesce(col("p"), lit(1.0) / col("jtot")))).as("nll"))
-      .groupBy(col("doc_id"), col("lang"))
-      .agg(count(lit(1)).as("n_tokens"), round(avg(col("nll")), 6).as("xent"))
+        round((-log(coalesce(col("p"), lit(1.0) / col("jtot")))) * 1e9, 0)
+          .cast("bigint").as("nll9"))
   }
 
   /** Perplexity-decile bucketing of the held-out corpus (the operational
@@ -328,8 +348,14 @@ object TextOps {
     * bucket divided once — order-blind. Scale: ntile is a per-lang sort
     * of DOC-level rows (not tokens); everything downstream is keyed
     * aggregation. */
-  def q_llm_ppl_bucket(s: SparkSession, dir: String): DataFrame = {
-    val xd = unigramXentPerDoc(s, dir)
+  def q_llm_ppl_bucket(s: SparkSession, dir: String): DataFrame =
+    pplBucketFrom(unigramXentPerDoc(s, dir))
+
+  /** Shared decile assembly over a per-doc (doc_id, lang, n_tokens,
+    * xent) table — consumed by the batch operator AND the streaming
+    * maintainer's snapshot (one oracle for both; the q_stream_chi2
+    * shared-assembly device). */
+  private def pplBucketFrom(xd: DataFrame): DataFrame = {
     val w = Window.partitionBy(col("lang"))
       .orderBy(col("xent").asc, col("doc_id").asc)
     xd.withColumn("decile", ntile(10).over(w).cast("bigint"))
@@ -339,6 +365,42 @@ object TextOps {
         round(sum(col("xent").cast("decimal(18,6)")).cast("double") /
           count(lit(1)).cast("double"), 6).as("avg_xent"))
       .orderBy("lang", "decile")
+  }
+
+  // ---- Streaming perplexity-decile maintainer (VERDICT r10 item 7) ----
+  // Keyed-state twin of q_llm_ppl_bucket: per held-out DOC the state is
+  // (lang, n_tokens, Σnll9) — 3 fields / ~32 B per doc, exact integers,
+  // order-blind and mergeable, so tokens can arrive across any number of
+  // micro-batches in any order. The decile table itself is snapshot-time
+  // work through the SAME pplBucketFrom assembly as the batch operator,
+  // so both share one oracle. The unigram model is the batch-trained
+  // side input (broadcast), exactly how a CCNet-style deployment scores
+  // a stream against an offline model.
+
+  case class XentTok(doc_id: Long, lang: String, nll9: Long)
+  case class XentSnap(doc_id: Long, lang: String, n_tokens: Long, s9: Long)
+
+  def updateXent(key: Long, it: Iterator[XentTok],
+      state: org.apache.spark.sql.streaming.GroupState[(String, Long, Long)])
+      : Iterator[XentSnap] = {
+    var (lang, n, s9) = state.getOption.getOrElse(("", 0L, 0L))
+    it.foreach { t => lang = t.lang; n += 1; s9 += t.nll9 }
+    state.update((lang, n, s9))
+    Iterator.single(XentSnap(key, lang, n, s9))
+  }
+
+  /** Driver-contract query: the streaming per-doc cross-entropy
+    * maintainer; the final snapshots feed the shared decile assembly. */
+  def q_stream_ppl_bucket(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val snap = heldoutNll9(s, dir)
+      .as[XentTok]
+      .groupByKey(_.doc_id)
+      .flatMapGroupsWithState(org.apache.spark.sql.streaming.OutputMode.Update,
+        org.apache.spark.sql.streaming.GroupStateTimeout.NoTimeout)(updateXent)
+      .toDF()
+    pplBucketFrom(snap.select(col("doc_id"), col("lang"), col("n_tokens"),
+      xentOf(col("s9"), col("n_tokens")).as("xent")))
   }
 
   /** Fuzzy near-dup accounting by edit distance (the Levenshtein tier of
@@ -1046,6 +1108,7 @@ object TextOps {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_text_f1" -> q_text_f1 _,
     "q_llm_ppl_bucket" -> q_llm_ppl_bucket _,
+    "q_stream_ppl_bucket" -> q_stream_ppl_bucket _,
     "q_text_kappa" -> q_text_kappa _,
     "q_text_jsd" -> q_text_jsd _,
     "q_text_ngram_topk" -> q_text_ngram_topk _,
