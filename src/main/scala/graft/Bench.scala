@@ -78,6 +78,8 @@ object Bench {
     // these two, the one-time build still landed on the alphabetically
     // first timed consumer
     "lpLabels" -> (() => { engine.GraphOps.lpLabels(spark, sfDir).count(); () }),
+    // per-seed BFS distance MV: closeness + harmonic both aggregate it
+    "closeDist" -> (() => { engine.GraphOps.closeDistances(spark, sfDir).count(); () }),
     "walkPaths" -> (() => { engine.Gnn.walkPaths(spark, sfDir).count(); () }),
     "dedupLabels" -> (() => { engine.LlmOps.dedupLabels(spark, sfDir).count(); () }),
     // trained BPE merge table: the artifact a tokenizer pipeline persists

@@ -982,33 +982,8 @@ object GraphOps {
     * scan of the edge list per level, not per seed). closeness =
     * (reached−1)/Σdist as a single exact-integer division; eccentricity
     * = max dist within the horizon. */
-  def q_graph_closeness(s: SparkSession, dir: String): DataFrame = {
-    val ue = undProj(s, dir, CcMinCooccur)
-    val seeds = ue.select(col("a")).distinct()
-      .orderBy(col("a")).limit(CloseSeeds)
-      .select(col("a").as("seed"), col("a").as("node"), lit(0L).as("d"))
-      .localCheckpoint()
-    var dist = seeds
-    var frontier = seeds
-    var depth = 0L
-    var frontierSize = frontier.count()
-    while (depth < CloseMaxHops && frontierSize > 0) {
-      depth += 1
-      // same probe-gated rationale as q_graph_bfs: checkpointed frontiers
-      // carry no stats; past the |V| guard stateHint pre-partitions the
-      // frontier on the node key instead of broadcasting.
-      val next = ue
-        .join(stateHint(s, dir, frontier, "node"), col("node") === col("a"))
-        .select(col("seed"), col("b").as("node")).distinct()
-        .join(stateHint(s, dir, dist.select(col("seed").as("vs"), col("node").as("vn")), "vn"),
-          col("seed") === col("vs") && col("node") === col("vn"), "left_anti")
-        .select(col("seed"), col("node"), lit(depth).as("d"))
-        .localCheckpoint()
-      frontierSize = next.count()
-      dist = dist.union(next)
-      frontier = next
-    }
-    dist.groupBy(col("seed"))
+  def q_graph_closeness(s: SparkSession, dir: String): DataFrame =
+    closeDistances(s, dir).groupBy(col("seed"))
       .agg(count(lit(1)).as("n_reached"), sum(col("d")).as("sum_dist"),
         max(col("d")).as("ecc"))
       .select(col("seed"), col("n_reached"), col("sum_dist"), col("ecc"),
@@ -1016,6 +991,94 @@ object GraphOps {
           (col("n_reached") - 1).cast("double") / col("sum_dist").cast("double"))
           .otherwise(lit(0.0)).as("closeness"))
       .orderBy("seed")
+
+  /** Shared per-seed hop-distance table (seed, node, d) for the
+    * CloseSeeds sample within CloseMaxHops — the multi-seed BFS that
+    * both closeness AND harmonic centrality aggregate (round 16: the
+    * fixpoint-built-MV device the lpLabels/walkPaths tier uses —
+    * without it each centrality re-runs the whole level loop). */
+  private[graft] def closeDistances(s: SparkSession, dir: String): DataFrame =
+    Mv.memo(s, s"closeDist|$dir") { bs =>
+      val ue = undProj(bs, dir, CcMinCooccur)
+      val seeds = ue.select(col("a")).distinct()
+        .orderBy(col("a")).limit(CloseSeeds)
+        .select(col("a").as("seed"), col("a").as("node"), lit(0L).as("d"))
+        .localCheckpoint()
+      var dist = seeds
+      var frontier = seeds
+      var depth = 0L
+      var frontierSize = frontier.count()
+      while (depth < CloseMaxHops && frontierSize > 0) {
+        depth += 1
+        // same probe-gated rationale as q_graph_bfs: checkpointed
+        // frontiers carry no stats; past the |V| guard stateHint
+        // pre-partitions the frontier on the node key instead.
+        val next = ue
+          .join(stateHint(bs, dir, frontier, "node"), col("node") === col("a"))
+          .select(col("seed"), col("b").as("node")).distinct()
+          .join(stateHint(bs, dir,
+              dist.select(col("seed").as("vs"), col("node").as("vn")), "vn"),
+            col("seed") === col("vs") && col("node") === col("vn"), "left_anti")
+          .select(col("seed"), col("node"), lit(depth).as("d"))
+          .localCheckpoint()
+        frontierSize = next.count()
+        dist = dist.union(next)
+        frontier = next
+      }
+      dist.localCheckpoint()
+    }
+
+  /** Harmonic centrality (Marchiori & Latora 2000; the centrality
+    * Boldi–Vigna 2014 argue is the axiomatically sound closeness —
+    * disconnection-tolerant because unreached nodes contribute 0, not
+    * ∞): H(s) = Σ_{d(s,v)>0} 1/d(s,v) over the shared per-seed distance
+    * MV. Each 1/d term is rounded at the 9th decimal via the 1e9-scaled
+    * BIGINT device and summed exactly (order-blind, cross-engine
+    * identical); one keyed agg over the MV — the query costs nothing
+    * beyond the shared BFS. */
+  def q_graph_harmonic(s: SparkSession, dir: String): DataFrame =
+    closeDistances(s, dir).filter(col("d") > 0)
+      .groupBy(col("seed"))
+      .agg(count(lit(1)).as("n_reached"),
+        sum(round(lit(1e9) / col("d").cast("double"), 0).cast("bigint")).as("h9"))
+      .select(col("seed"), col("n_reached"),
+        round(col("h9").cast("double") / 1e9, 6).as("harmonic"))
+      .orderBy("seed")
+
+  /** Katz centrality damping and depth: α must sit under 1/λ_max of the
+    * thresholded projection for the infinite series to converge; the
+    * registered operator is the TRUNCATED 6-step Katz (every walk up to
+    * length 6, geometrically damped) — deterministic at any α, and the
+    * standard production compromise (GraphX/NetworkX both iterate). */
+  val KatzAlpha = 0.05
+  val KatzIters = 6
+
+  /** Katz centrality (Katz 1953) on the thresholded co-purchase
+    * projection: x ← 1 + α·A·x for KatzIters steps from x₀ = 1 — counts
+    * damped walks of every length ≤ 6 ending at the node, the
+    * prestige measure that, unlike degree, credits nodes for WELL-
+    * CONNECTED neighbors at walk distance. Same declarative Pregel
+    * shape as q_graph_pagerank: one probe-gated state join + keyed agg
+    * per step, per-term 1e9-scaled BIGINT rounding so every step's sum
+    * is order-blind and engine-identical; oracle = unrolled CTE chain.
+    * Top-20 by round-6 score, id tie-break. */
+  def q_graph_katz(s: SparkSession, dir: String): DataFrame = {
+    val ue = undProj(s, dir, TriangleMinCooccur)
+    var x = ue.select(col("a").as("node")).distinct()
+      .select(col("node"), lit(1.0).as("x"))
+    for (it <- 1 to KatzIters) {
+      x = ue
+        .join(stateHint(s, dir, x.select(col("node").as("xn"), col("x")), "xn"),
+          col("b") === col("xn"))
+        .groupBy(col("a"))
+        .agg((lit(1.0) + lit(KatzAlpha)
+          * (sum(round(col("x") * 1e9, 0).cast("bigint")).cast("double") / 1e9)).as("x"))
+        .select(col("a").as("node"), col("x"))
+      if (it % 2 == 0) x = x.localCheckpoint()
+    }
+    x.select(col("node").as("part_key"), round(col("x"), 6).as("katz"))
+      .orderBy(col("katz").desc, col("part_key").asc)
+      .limit(20)
   }
 
   /** Part-side degree distribution with CCDF — the power-law tail check
@@ -1205,6 +1268,8 @@ object GraphOps {
     "q_graph_degree_dist" -> q_graph_degree_dist _,
     "q_graph_butterflies" -> q_graph_butterflies _,
     "q_graph_closeness" -> q_graph_closeness _,
+    "q_graph_harmonic" -> q_graph_harmonic _,
+    "q_graph_katz" -> q_graph_katz _,
     "q_graph_ppr" -> q_graph_ppr _,
     "q_graph_degree" -> q_graph_degree _,
     "q_graph_cooccur" -> q_graph_cooccur _,

@@ -5608,12 +5608,115 @@ object Oracle {
         |FROM b GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
   )
 
+  /** Round-16 batch 2: behavioral analytics + centrality widening. */
+  val round16b: Map[String, String] = Map(
+    // Kendall tau-b on the daily (value, count) series: exact integer S
+    // and DOUBLED tie terms, one pinned double at the end.
+    "q_time_kendall_tau" ->
+      """WITH d0 AS (SELECT event_type, CAST(CAST(ts AS TIMESTAMP) AS DATE) AS day,
+        |    CAST(SUM(CAST(ROUND(value * 100, 0) AS BIGINT)) AS BIGINT) AS y,
+        |    CAST(COUNT(*) AS BIGINT) AS c
+        |  FROM events GROUP BY 1, 2),
+        |daily AS (SELECT event_type,
+        |    CAST(day - DATE '2024-01-01' AS BIGINT) AS x, y, c FROM d0),
+        |sp AS (SELECT a.event_type AS st,
+        |    CAST(SUM(CAST(SIGN(CAST(b.y - a.y AS DOUBLE)) AS BIGINT)
+        |      * CAST(SIGN(CAST(b.c - a.c AS DOUBLE)) AS BIGINT)) AS BIGINT) AS s_stat
+        |  FROM daily a JOIN daily b
+        |    ON a.event_type = b.event_type AND a.x < b.x
+        |  GROUP BY 1),
+        |ty AS (SELECT tt, CAST(SUM(cnt * (cnt - 1)) AS BIGINT) AS t2_y FROM (
+        |    SELECT event_type AS tt, y, COUNT(*) AS cnt FROM daily GROUP BY 1, 2)
+        |  GROUP BY 1),
+        |tc AS (SELECT tt2, CAST(SUM(cnt * (cnt - 1)) AS BIGINT) AS t2_c FROM (
+        |    SELECT event_type AS tt2, c, COUNT(*) AS cnt FROM daily GROUP BY 1, 2)
+        |  GROUP BY 1),
+        |nt AS (SELECT event_type AS nt2, CAST(COUNT(*) AS BIGINT) AS n_days
+        |  FROM daily GROUP BY 1)
+        |SELECT st AS event_type, n_days, s_stat,
+        |  ROUND(CAST(2 AS DOUBLE) * CAST(s_stat AS DOUBLE)
+        |    / sqrt(CAST(n_days * (n_days - 1) - t2_y AS DOUBLE)
+        |         * CAST(n_days * (n_days - 1) - t2_c AS DOUBLE)), 6) AS tau_b
+        |FROM sp JOIN ty ON st = tt JOIN tc ON st = tt2 JOIN nt ON st = nt2
+        |WHERE n_days * (n_days - 1) - t2_y > 0
+        |  AND n_days * (n_days - 1) - t2_c > 0
+        |ORDER BY event_type""".stripMargin,
+
+    // Cohort retention: first-order-month cohorts of 1995, offsets 0..5,
+    // exact month index year*12+month.
+    "q_agg_cohort_retention" ->
+      """WITH first AS (SELECT o_custkey AS ck,
+        |    CAST(MIN(year(o_orderdate) * 12 + month(o_orderdate)) AS BIGINT) AS cm
+        |  FROM orders GROUP BY 1),
+        |coh AS (SELECT ck, cm FROM first
+        |        WHERE cm >= 1995 * 12 + 1 AND cm <= 1995 * 12 + 12),
+        |sizes AS (SELECT cm, CAST(COUNT(*) AS BIGINT) AS n_cohort
+        |          FROM coh GROUP BY 1),
+        |act AS (SELECT DISTINCT o_custkey AS ak,
+        |    CAST(year(o_orderdate) * 12 + month(o_orderdate) AS BIGINT) AS am
+        |  FROM orders),
+        |cells AS (SELECT coh.cm, act.am - coh.cm AS k,
+        |    CAST(COUNT(*) AS BIGINT) AS n_active
+        |  FROM coh JOIN act ON coh.ck = act.ak
+        |  WHERE act.am - coh.cm BETWEEN 0 AND 5
+        |  GROUP BY 1, 2)
+        |SELECT CAST((sizes.cm - 1) // 12 AS VARCHAR) || '-'
+        |    || lpad(CAST((sizes.cm - 1) % 12 + 1 AS VARCHAR), 2, '0') AS cohort,
+        |  cells.k, sizes.n_cohort, cells.n_active,
+        |  ROUND(CAST(cells.n_active AS DOUBLE)
+        |    / CAST(sizes.n_cohort AS DOUBLE), 6) AS retention
+        |FROM sizes JOIN cells ON sizes.cm = cells.cm
+        |ORDER BY cohort, k""".stripMargin,
+
+    // Truncated Katz: unrolled 6-step CTE chain, 1e9-scaled per-term
+    // rounding mirroring the Spark loop term-for-term.
+    "q_graph_katz" -> {
+      val steps = (1 to GraphOps.KatzIters).map { i =>
+        s"""x$i AS (SELECT ue.a AS node,
+           |  CAST(1.0 AS DOUBLE) + CAST(${GraphOps.KatzAlpha} AS DOUBLE)
+           |    * (CAST(SUM(CAST(ROUND(p.x * 1e9, 0) AS BIGINT)) AS DOUBLE) / 1e9) AS x
+           |  FROM ue JOIN x${i - 1} p ON ue.b = p.node
+           |  GROUP BY ue.a)""".stripMargin
+      }.mkString(",\n")
+      s"""WITH $edgesCte,
+         |pp AS MATERIALIZED (SELECT e1.dst AS a, e2.dst AS b
+         |       FROM edges e1 JOIN edges e2 ON e1.src = e2.src AND e1.dst < e2.dst
+         |       GROUP BY 1, 2 HAVING COUNT(*) >= ${GraphOps.TriangleMinCooccur}),
+         |ue AS MATERIALIZED (SELECT a, b FROM pp UNION ALL SELECT b, a FROM pp),
+         |x0 AS (SELECT DISTINCT a AS node, CAST(1.0 AS DOUBLE) AS x FROM ue),
+         |$steps
+         |SELECT node AS part_key, ROUND(x, 6) AS katz FROM x${GraphOps.KatzIters}
+         |ORDER BY katz DESC, part_key ASC LIMIT 20""".stripMargin
+    },
+
+    // Harmonic centrality over the SAME reachability closure as the
+    // closeness oracle; 1/d terms via the 1e9-scaled integer device.
+    "q_graph_harmonic" ->
+      s"""WITH RECURSIVE $edgesCte,
+         |pp AS MATERIALIZED (SELECT e1.dst AS a, e2.dst AS b
+         |       FROM edges e1 JOIN edges e2 ON e1.src = e2.src AND e1.dst < e2.dst
+         |       GROUP BY 1, 2 HAVING COUNT(*) >= ${GraphOps.CcMinCooccur}),
+         |ue AS MATERIALIZED (SELECT a, b FROM pp UNION ALL SELECT b, a FROM pp),
+         |seeds AS (SELECT DISTINCT a FROM ue ORDER BY a LIMIT ${GraphOps.CloseSeeds}),
+         |reach(seed, n, d) AS (
+         |  SELECT a, a, 0 FROM seeds
+         |  UNION
+         |  SELECT reach.seed, ue.b, reach.d + 1 FROM reach JOIN ue ON reach.n = ue.a
+         |  WHERE reach.d < ${GraphOps.CloseMaxHops}),
+         |dm AS (SELECT seed, n, MIN(d) AS d FROM reach GROUP BY 1, 2)
+         |SELECT seed, CAST(COUNT(*) AS BIGINT) AS n_reached,
+         |  ROUND(CAST(SUM(CAST(ROUND(1e9 / CAST(d AS DOUBLE), 0) AS BIGINT)) AS DOUBLE)
+         |    / 1e9, 6) AS harmonic
+         |FROM dm WHERE d > 0 GROUP BY 1 ORDER BY seed""".stripMargin
+  )
+
   val all: Map[String, String] =
     relational ++ streaming ++ graph ++ llm ++ extended ++ gnn ++ gnnPrep ++
       pipeline ++ round4 ++ round4b ++ round4c ++ round4d ++ round4e ++
       round4f ++ round5 ++ round6 ++ round6graph ++ ClusterOps.oracle ++
       BpeOps.oracle ++ partitioning ++ train ++ graphAnalytics ++ curation ++
       stats ++ gin ++ mmr ++ round13 ++ round15 ++ round15b ++ round16 ++
+      round16b ++
       // streaming twins: the final snapshot IS the batch result — the
       // batch operators' oracles replay them verbatim
       Map("q_stream_gnn_pool" -> train("q_gnn_graphsage_pool"),

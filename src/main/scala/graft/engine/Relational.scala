@@ -561,6 +561,40 @@ object Relational {
     ordCust(1997).except(ordCust(1998)).orderBy("custkey")
   }
 
+  /** Cohort retention (the classic behavioral-analytics table every
+    * product/warehouse stack ships): customers cohorted by FIRST-order
+    * month; for each 1995 cohort and month offset k = 0..5, how many
+    * cohort members placed an order in cohort-month + k, and the share.
+    * Months as the exact integer index year·12+month (no interval
+    * arithmetic, no engine-specific months_between). All counts exact;
+    * one round-6 division per cell. Scale: first-order table is one
+    * keyed min; activity is a distinct month projection of the fact
+    * table; the cell join is cohort-member-keyed — output is
+    * cohorts×offsets-sized at any corpus scale. */
+  def q_agg_cohort_retention(s: SparkSession, dir: String): DataFrame = {
+    val mIdx = year(col("o_orderdate")) * 12 + month(col("o_orderdate"))
+    val first = Tables.orders(s, dir)
+      .groupBy(col("o_custkey").as("ck"))
+      .agg(min(mIdx).as("cm"))
+      .filter(col("cm") >= 1995 * 12 + 1 && col("cm") <= 1995 * 12 + 12)
+    val sizes = first.groupBy(col("cm")).agg(count(lit(1)).as("n_cohort"))
+    val activity = Tables.orders(s, dir)
+      .select(col("o_custkey").as("ak"), mIdx.as("am")).distinct()
+    val active = first.join(activity, col("ck") === col("ak"))
+      .select(col("cm"), (col("am") - col("cm")).cast("bigint").as("k"))
+      .filter(col("k") >= 0 && col("k") <= 5)
+      .groupBy(col("cm"), col("k"))
+      .agg(count(lit(1)).as("n_active"))
+    sizes.join(active, Seq("cm"))
+      .select(
+        concat(expr("(cm - 1) div 12").cast("string"), lit("-"),
+          lpad(((col("cm") - 1) % 12 + 1).cast("string"), 2, "0")).as("cohort"),
+        col("k"), col("n_cohort"), col("n_active"),
+        round(col("n_active").cast("double") / col("n_cohort").cast("double"), 6)
+          .as("retention"))
+      .orderBy("cohort", "k")
+  }
+
   // ── §2.8 scalar functions ────────────────────────────────────────────
 
   def q_str_funcs(s: SparkSession, dir: String): DataFrame =
@@ -892,6 +926,7 @@ object Relational {
     "q_agg_cube" -> q_agg_cube _,
     "q_agg_grouping_sets" -> q_agg_grouping_sets _,
     "q_agg_having" -> q_agg_having _,
+    "q_agg_cohort_retention" -> q_agg_cohort_retention _,
     "q_agg_listagg" -> q_agg_listagg _,
     "q_win_first_last" -> q_win_first_last _,
     "q_agg_percentiles" -> q_agg_percentiles _,

@@ -1975,6 +1975,50 @@ object StatsOps {
       .orderBy("event_type")
   }
 
+  /** Kendall τ-b rank correlation between the daily VALUE mass and the
+    * daily event COUNT per event_type (Kendall 1938 — the concordance
+    * companion to q_time_autocorr's Pearson and q_agg_spearman's ρ,
+    * answering "do busy days carry more money?" robustly): on the same
+    * calendar-bounded pair device as q_agg_mann_kendall,
+    * S = Σ_{i<j} sign(y_j−y_i)·sign(c_j−c_i) is an exact integer, tie
+    * corrections stay DOUBLED integers (2·n₀ = n(n−1), 2·t = Σt(t−1))
+    * so no integer division anywhere, and
+    * τ_b = 2S/√((2n₀−2t_y)(2n₀−2t_c)) is ONE pinned double. Pairs are
+    * days²/2 per key — calendar-bounded, never event-bounded. */
+  def q_time_kendall_tau(s: SparkSession, dir: String): DataFrame = {
+    val daily = Tables.events(s, dir)
+      .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+      .agg(sum(round(col("value") * 100, 0).cast("bigint")).as("y"),
+        count(lit(1)).as("c"))
+      .select(col("event_type"),
+        datediff(col("day"), lit("2024-01-01").cast("date")).cast("bigint").as("x"),
+        col("y"), col("c"))
+    val a = daily.select(col("event_type").as("ea"), col("x").as("xi"),
+      col("y").as("yi"), col("c").as("ci"))
+    val b = daily.select(col("event_type").as("eb"), col("x").as("xj"),
+      col("y").as("yj"), col("c").as("cj"))
+    val sTab = a.join(b, col("ea") === col("eb") && col("xi") < col("xj"))
+      .groupBy(col("ea").as("st"))
+      .agg(sum((signum((col("yj") - col("yi")).cast("double"))
+        * signum((col("cj") - col("ci")).cast("double"))).cast("bigint")).as("s_stat"))
+    def ties2(v: String, alias: String) = daily
+      .groupBy(col("event_type").as(alias), col(v))
+      .agg(count(lit(1)).as("cnt"))
+      .groupBy(col(alias))
+      .agg(sum(col("cnt") * (col("cnt") - 1L)).as(s"t2_$v"))
+    val nT = daily.groupBy(col("event_type").as("nt2")).agg(count(lit(1)).as("n_days"))
+    val n02 = col("n_days") * (col("n_days") - 1L)
+    val denom = sqrt((n02 - col("t2_y")).cast("double")
+      * (n02 - col("t2_c")).cast("double"))
+    sTab.join(ties2("y", "ty"), col("st") === col("ty"))
+      .join(ties2("c", "tc"), col("st") === col("tc"))
+      .join(nT, col("st") === col("nt2"))
+      .filter(n02 - col("t2_y") > 0 && n02 - col("t2_c") > 0)
+      .select(col("st").as("event_type"), col("n_days"), col("s_stat"),
+        round(lit(2.0) * col("s_stat").cast("double") / denom, 6).as("tau_b"))
+      .orderBy("event_type")
+  }
+
   /** Spearman rank correlation between quantity and price-in-cents per
     * returnflag (round 10 — the rank companion to q_agg_corr's Pearson
     * matrix; Spearman 1904). Tie handling is average ranks via the
@@ -2159,6 +2203,7 @@ object StatsOps {
     "q_agg_levene" -> q_agg_levene _,
     "q_stats_fdr_bh" -> q_stats_fdr_bh _,
     "q_agg_mann_kendall" -> q_agg_mann_kendall _,
+    "q_time_kendall_tau" -> q_time_kendall_tau _,
     "q_time_bollinger" -> q_time_bollinger _,
     "q_agg_pinball" -> q_agg_pinball _,
     "q_agg_hhi" -> q_agg_hhi _,

@@ -120,6 +120,97 @@ class Round16Spec extends AnyFunSuite {
     assert(stream == batch, "batch ≡ stream through the shared assembly")
   }
 
+  test("q_time_kendall_tau equals a driver-side concordance replay") {
+    import graft.engine.{StatsOps, Tables}
+    import org.apache.spark.sql.functions._
+    val daily = Tables.events(spark, sf0001)
+      .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+      .agg(sum(round(col("value") * 100, 0).cast("bigint")).as("y"),
+        count(lit(1)).as("c"))
+      .collect().map(r => (r.getString(0), r.getDate(1).toString, r.getLong(2), r.getLong(3)))
+    val want = daily.groupBy(_._1).map { case (et, ds) =>
+      val xs = ds.sortBy(_._2).map(d => (d._3, d._4))
+      val n = xs.length.toLong
+      var sStat = 0L
+      for (i <- xs.indices; j <- (i + 1) until xs.length) {
+        sStat += (java.lang.Long.signum(xs(j)._1 - xs(i)._1)
+          * java.lang.Long.signum(xs(j)._2 - xs(i)._2)).toLong
+      }
+      def t2(f: ((Long, Long)) => Long): Long =
+        xs.groupBy(f).values.map(g => g.size.toLong * (g.size - 1)).sum
+      val n02 = n * (n - 1)
+      val tau = 2.0 * sStat / math.sqrt((n02 - t2(_._1)).toDouble * (n02 - t2(_._2)).toDouble)
+      et -> ((n, sStat, r6(tau)))
+    }
+    val got = StatsOps.q_time_kendall_tau(spark, sf0001).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getDouble(3)))).toMap
+    assert(got == want.toMap)
+  }
+
+  test("q_agg_cohort_retention equals a driver-side cohort replay") {
+    import graft.engine.{Relational, Tables}
+    import org.apache.spark.sql.functions._
+    val om = Tables.orders(spark, sf0001)
+      .select(col("o_custkey"),
+        (year(col("o_orderdate")) * 12 + month(col("o_orderdate"))).cast("long").as("m"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val first = om.groupBy(_._1).view.mapValues(_.map(_._2).min).toMap
+    val coh = first.filter { case (_, m) => m >= 1995L * 12 + 1 && m <= 1995L * 12 + 12 }
+    val act = om.toSet
+    val want = (for {
+      (cm, members) <- coh.groupBy(_._2).view.mapValues(_.keys.toSeq).toSeq
+      k <- 0L to 5L
+      nActive = members.count(ck => act.contains((ck, cm + k)))
+      if nActive > 0
+    } yield {
+      val label = f"${(cm - 1) / 12}%d-${(cm - 1) % 12 + 1}%02d"
+      (label, k) -> ((members.size.toLong, nActive.toLong,
+        r6(nActive.toDouble / members.size.toDouble)))
+    }).toMap
+    val got = Relational.q_agg_cohort_retention(spark, sf0001).collect()
+      .map(r => (r.getString(0), r.getLong(1)) ->
+        ((r.getLong(2), r.getLong(3), r.getDouble(4)))).toMap
+    assert(got == want)
+  }
+
+  test("q_graph_katz equals a driver-side damped power iteration") {
+    import graft.engine.GraphOps
+    val got = GraphOps.q_graph_katz(spark, sf0001).collect()
+      .map(r => (r.getLong(0), r.getDouble(1)))
+    assert(got.length <= 20 && got.nonEmpty)
+    // driver replay over the same thresholded symmetric projection
+    val arcs = GraphOps.undProj(spark, sf0001, GraphOps.TriangleMinCooccur)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val nbrs = arcs.groupBy(_._1).view.mapValues(_.map(_._2).toSeq).toMap
+    var x = nbrs.keys.map(_ -> 1.0).toMap
+    for (_ <- 1 to GraphOps.KatzIters) {
+      x = nbrs.map { case (v, ns) =>
+        val s9 = ns.map(u => math.rint(x(u) * 1e9).toLong).sum
+        v -> (1.0 + GraphOps.KatzAlpha * (s9.toDouble / 1e9))
+      }
+    }
+    val want = x.toSeq.map { case (v, s) => (v, r6(s)) }
+      .sortBy { case (v, s) => (-s, v) }.take(20)
+    assert(got.toSeq == want)
+  }
+
+  test("q_graph_harmonic coheres with closeness over the shared distance MV") {
+    import graft.engine.GraphOps
+    val close = GraphOps.q_graph_closeness(spark, sf0001).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    val harm = GraphOps.q_graph_harmonic(spark, sf0001).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+    assert(harm.keySet == close.keySet, "same seed set")
+    harm.foreach { case (seed, (nr, h)) =>
+      val (closeNr, sumDist) = close(seed)
+      assert(nr == closeNr - 1, s"seed $seed reach must match closeness minus self")
+      // bounds: n²/sum ≤ H ≤ n (AM-HM inequality on the distances)
+      assert(h <= nr.toDouble + 1e-9, s"seed $seed H ≤ n_reached")
+      assert(h >= nr.toDouble * nr.toDouble / sumDist.toDouble - 1e-6,
+        s"seed $seed AM-HM lower bound")
+    }
+  }
+
   // ── VERDICT r10 item 2: the re-parameterized zero-row trio must be
   // non-vacuous at the smallest fixture (it is at sf0.01/sf0.1 too —
   // probed 71/511 anti, 266/2600 except, 31k/3.6k jaccard) ────────────
