@@ -1081,6 +1081,37 @@ object GraphOps {
       .limit(20)
   }
 
+  /** Eigenvector-centrality power-iteration depth. */
+  val EigIters = 6
+
+  /** Eigenvector centrality (Bonacich 1972) on the thresholded
+    * projection: L∞-normalized power iteration x ← A·x / max(A·x) — the
+    * un-damped spectral sibling of Katz (walk counts weighted by the
+    * principal eigenvector, no per-step teleport/offset). Same Pregel
+    * shape + 1e9-scaled per-term rounding as pagerank/katz; each raw
+    * step is localCheckpoint'd because BOTH the max-norm subquery and
+    * the main chain read it (the q_graph_hits recompute device). Top-20
+    * round-6, id tie-break. */
+  def q_graph_eigenvector(s: SparkSession, dir: String): DataFrame = {
+    val ue = undProj(s, dir, TriangleMinCooccur)
+    var x = ue.select(col("a").as("node")).distinct()
+      .select(col("node"), lit(1.0).as("x"))
+    for (_ <- 1 to EigIters) {
+      val raw = ue
+        .join(stateHint(s, dir, x.select(col("node").as("xn"), col("x")), "xn"),
+          col("b") === col("xn"))
+        .groupBy(col("a"))
+        .agg((sum(round(col("x") * 1e9, 0).cast("bigint")).cast("double") / 1e9)
+          .as("xr"))
+        .localCheckpoint()
+      x = raw.crossJoin(broadcast(raw.agg(max(col("xr")).as("xm"))))
+        .select(col("a").as("node"), (col("xr") / col("xm")).as("x"))
+    }
+    x.select(col("node").as("part_key"), round(col("x"), 6).as("eigen"))
+      .orderBy(col("eigen").desc, col("part_key").asc)
+      .limit(20)
+  }
+
   /** Part-side degree distribution with CCDF — the power-law tail check
     * run before choosing a partitioning strategy (a heavy tail is what
     * makes hash partitioning skew and motivates HDRF/salting). Exact
@@ -1270,6 +1301,7 @@ object GraphOps {
     "q_graph_closeness" -> q_graph_closeness _,
     "q_graph_harmonic" -> q_graph_harmonic _,
     "q_graph_katz" -> q_graph_katz _,
+    "q_graph_eigenvector" -> q_graph_eigenvector _,
     "q_graph_ppr" -> q_graph_ppr _,
     "q_graph_degree" -> q_graph_degree _,
     "q_graph_cooccur" -> q_graph_cooccur _,

@@ -493,6 +493,43 @@ object LlmOps {
       .orderBy("query_id", "rnk")
   }
 
+  /** MRL prefix width: the 16-dim head of the 64-dim embedding. */
+  val MrlPrefixDims = 16
+
+  /** Matryoshka (MRL, Kusupati et al. 2022) truncation-fidelity audit:
+    * how much of the FULL-dimension top-10 cosine neighborhood survives
+    * when vectors are truncated to their 16-dim prefix — the question a
+    * deployment asks before serving the cheap prefix index. Per query
+    * (vec_id 20–24): both top-10 ranked lists (round-6 cosine, id
+    * tie-break), overlap count, recall@10. Scale: the query side is a
+    * 5-row broadcast; each candidate is scored once per dim tier in one
+    * scan; the rank windows are query-partitioned. */
+  def q_embed_mrl(s: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(s, dir)
+    val pre = emb.select(col("vec_id"), col("embedding"),
+      slice(col("embedding"), 1, MrlPrefixDims).as("emb16"))
+    val q = pre.filter(col("vec_id") >= 20 && col("vec_id") <= 24)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qv"),
+        col("emb16").as("qv16"))
+    val scored = pre.join(broadcast(q), col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id").as("neighbor_id"),
+        round(cosSim(s)(col("embedding"), col("qv")), 6).as("cos_full"),
+        round(cosSim(s)(col("emb16"), col("qv16")), 6).as("cos_16"))
+    val wf = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos_full").desc, col("neighbor_id").asc)
+    val wp = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos_16").desc, col("neighbor_id").asc)
+    val ranked = scored
+      .withColumn("rf", row_number().over(wf))
+      .withColumn("rp", row_number().over(wp))
+    ranked.groupBy(col("query_id"))
+      .agg(sum(when(col("rf") <= 10 && col("rp") <= 10, 1L).otherwise(0L))
+        .as("n_overlap"))
+      .select(col("query_id"), col("n_overlap"),
+        round(col("n_overlap").cast("double") / 10.0, 6).as("recall_at_10"))
+      .orderBy("query_id")
+  }
+
   /** Embedding-cosine near-dup pairs on a deterministic 25% sample
     * (vec_id % 4 = 0): all-pairs cosine ≥ 0.35.
     *
@@ -1177,6 +1214,7 @@ object LlmOps {
     "q_llm_dedup_clusters" -> q_llm_dedup_clusters _,
     "q_llm_cosine_topk" -> q_llm_cosine_topk _,
     "q_llm_knn_join" -> q_llm_knn_join _,
+    "q_embed_mrl" -> q_embed_mrl _,
     "q_llm_text_stats" -> q_llm_text_stats _,
     "q_llm_multimodal" -> q_llm_multimodal _
   )

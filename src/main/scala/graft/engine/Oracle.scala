@@ -5710,13 +5710,95 @@ object Oracle {
          |FROM dm WHERE d > 0 GROUP BY 1 ORDER BY seed""".stripMargin
   )
 
+  /** Round-16 batch 3: embedding truncation fidelity, vocabulary
+    * growth, spectral centrality, weekly seasonality. */
+  val round16c: Map[String, String] = Map(
+    "q_embed_mrl" -> {
+      val pre = s"embedding[1:${LlmOps.MrlPrefixDims}]"
+      s"""WITH p AS (SELECT vec_id, embedding, $pre AS emb16 FROM embeddings),
+         |q AS (SELECT vec_id AS query_id, embedding AS qv, emb16 AS qv16
+         |      FROM p WHERE vec_id BETWEEN 20 AND 24),
+         |sc AS (SELECT q.query_id, p.vec_id AS neighbor_id,
+         |        ROUND(${cosExpr("p.embedding", "q.qv")}, 6) AS cos_full,
+         |        ROUND(${cosExpr("p.emb16", "q.qv16")}, 6) AS cos_16
+         |      FROM p JOIN q ON p.vec_id <> q.query_id),
+         |r AS (SELECT query_id, neighbor_id,
+         |        ROW_NUMBER() OVER (PARTITION BY query_id
+         |          ORDER BY cos_full DESC, neighbor_id ASC) AS rf,
+         |        ROW_NUMBER() OVER (PARTITION BY query_id
+         |          ORDER BY cos_16 DESC, neighbor_id ASC) AS rp
+         |      FROM sc)
+         |SELECT query_id,
+         |  CAST(SUM(CASE WHEN rf <= 10 AND rp <= 10 THEN 1 ELSE 0 END) AS BIGINT)
+         |    AS n_overlap,
+         |  ROUND(CAST(SUM(CASE WHEN rf <= 10 AND rp <= 10 THEN 1 ELSE 0 END)
+         |    AS DOUBLE) / CAST(10 AS DOUBLE), 6) AS recall_at_10
+         |FROM r GROUP BY 1 ORDER BY query_id""".stripMargin
+    },
+
+    "q_text_heaps_law" ->
+      """WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+        |            FROM documents),
+        |tk AS (SELECT doc_id, tok FROM tok WHERE len(tok) > 0),
+        |cps AS (SELECT decile, MAX(doc_id) AS cp FROM (
+        |    SELECT doc_id, CAST(NTILE(10) OVER (ORDER BY doc_id) AS BIGINT)
+        |      AS decile FROM documents) GROUP BY 1),
+        |pd AS (SELECT doc_id, COUNT(*) AS c FROM tk GROUP BY 1),
+        |fd AS (SELECT tok, MIN(doc_id) AS fd FROM tk GROUP BY 1),
+        |nt AS (SELECT cps.decile AS d1, CAST(SUM(pd.c) AS BIGINT) AS n_tokens
+        |       FROM pd JOIN cps ON pd.doc_id <= cps.cp GROUP BY 1),
+        |nd AS (SELECT cps.decile AS d2, CAST(COUNT(*) AS BIGINT) AS n_distinct
+        |       FROM fd JOIN cps ON fd.fd <= cps.cp GROUP BY 1)
+        |SELECT cps.decile, cps.cp AS cp_doc, nt.n_tokens, nd.n_distinct,
+        |  ROUND(ln(CAST(nd.n_distinct AS DOUBLE))
+        |    / ln(CAST(nt.n_tokens AS DOUBLE)), 6) AS heaps_ratio
+        |FROM cps JOIN nt ON cps.decile = nt.d1 JOIN nd ON cps.decile = nd.d2
+        |ORDER BY cps.decile""".stripMargin,
+
+    "q_graph_eigenvector" -> {
+      val steps = (1 to GraphOps.EigIters).map { i =>
+        s"""x${i}r AS (SELECT ue.a AS node,
+           |  CAST(SUM(CAST(ROUND(p.x * 1e9, 0) AS BIGINT)) AS DOUBLE) / 1e9 AS xr
+           |  FROM ue JOIN x${i - 1} p ON ue.b = p.node GROUP BY 1),
+           |x$i AS (SELECT node, xr / MAX(xr) OVER () AS x FROM x${i}r)""".stripMargin
+      }.mkString(",\n")
+      s"""WITH $edgesCte,
+         |pp AS MATERIALIZED (SELECT e1.dst AS a, e2.dst AS b
+         |       FROM edges e1 JOIN edges e2 ON e1.src = e2.src AND e1.dst < e2.dst
+         |       GROUP BY 1, 2 HAVING COUNT(*) >= ${GraphOps.TriangleMinCooccur}),
+         |ue AS MATERIALIZED (SELECT a, b FROM pp UNION ALL SELECT b, a FROM pp),
+         |x0 AS (SELECT DISTINCT a AS node, CAST(1.0 AS DOUBLE) AS x FROM ue),
+         |$steps
+         |SELECT node AS part_key, ROUND(x, 6) AS eigen FROM x${GraphOps.EigIters}
+         |ORDER BY eigen DESC, part_key ASC LIMIT 20""".stripMargin
+    },
+
+    "q_time_dow_seasonality" ->
+      """WITH d0 AS (SELECT event_type, CAST(CAST(ts AS TIMESTAMP) AS DATE) AS day,
+        |    CAST(SUM(CAST(ROUND(value * 100, 0) AS BIGINT)) AS BIGINT) AS y
+        |  FROM events GROUP BY 1, 2),
+        |daily AS (SELECT event_type,
+        |    CAST(((day - DATE '2024-01-01') % 7 + 7) % 7 AS BIGINT) AS dow, y
+        |  FROM d0),
+        |pd AS (SELECT event_type, dow, CAST(COUNT(*) AS BIGINT) AS n_days,
+        |    CAST(SUM(y) AS BIGINT) AS sy FROM daily GROUP BY 1, 2),
+        |ov AS (SELECT event_type AS oe, CAST(COUNT(*) AS BIGINT) AS n_all,
+        |    CAST(SUM(y) AS BIGINT) AS sa FROM daily GROUP BY 1)
+        |SELECT event_type, dow, n_days,
+        |  ROUND(CAST(CAST(sy AS DECIMAL(38,0)) * n_all AS DOUBLE)
+        |    / CAST(CAST(n_days AS DECIMAL(38,0)) * sa AS DOUBLE), 6)
+        |    AS seasonal_idx
+        |FROM pd JOIN ov ON event_type = oe
+        |ORDER BY event_type, dow""".stripMargin
+  )
+
   val all: Map[String, String] =
     relational ++ streaming ++ graph ++ llm ++ extended ++ gnn ++ gnnPrep ++
       pipeline ++ round4 ++ round4b ++ round4c ++ round4d ++ round4e ++
       round4f ++ round5 ++ round6 ++ round6graph ++ ClusterOps.oracle ++
       BpeOps.oracle ++ partitioning ++ train ++ graphAnalytics ++ curation ++
       stats ++ gin ++ mmr ++ round13 ++ round15 ++ round15b ++ round16 ++
-      round16b ++
+      round16b ++ round16c ++
       // streaming twins: the final snapshot IS the batch result — the
       // batch operators' oracles replay them verbatim
       Map("q_stream_gnn_pool" -> train("q_gnn_graphsage_pool"),

@@ -1975,6 +1975,36 @@ object StatsOps {
       .orderBy("event_type")
   }
 
+  /** Day-of-week seasonal index per event_type (the multiplicative
+    * seasonal table behind every weekly-seasonality adjustment; the
+    * static companion to q_stream_holt_winters' evolving registers):
+    * idx(dow) = mean daily cents on that weekday / overall mean daily
+    * cents, computed as the exact integer cross-product ratio
+    * (Σy_dow · n_all) / (n_dow · Σy_all) — DECIMAL(38,0)-widened
+    * products per the round-16 convention, ONE round-6 division.
+    * Weekday is the engine-free day-index mod 7 (0 = Mon: 2024-01-01
+    * is a Monday), not an engine dayofweek() whose origin differs
+    * between Spark (1=Sun) and DuckDB (0=Sun). */
+  def q_time_dow_seasonality(s: SparkSession, dir: String): DataFrame = {
+    val daily = Tables.events(s, dir)
+      .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+      .agg(sum(round(col("value") * 100, 0).cast("bigint")).as("y"))
+      .select(col("event_type"),
+        pmod(datediff(col("day"), lit("2024-01-01").cast("date")), lit(7))
+          .cast("bigint").as("dow"),
+        col("y"))
+    val perDow = daily.groupBy(col("event_type"), col("dow"))
+      .agg(count(lit(1)).as("n_days"), sum(col("y")).as("sy"))
+    val overall = daily.groupBy(col("event_type").as("oe"))
+      .agg(count(lit(1)).as("n_all"), sum(col("y")).as("sa"))
+    perDow.join(broadcast(overall), col("event_type") === col("oe"))
+      .select(col("event_type"), col("dow"), col("n_days"),
+        round((col("sy").cast("decimal(38,0)") * col("n_all")).cast("double")
+          / (col("n_days").cast("decimal(38,0)") * col("sa")).cast("double"), 6)
+          .as("seasonal_idx"))
+      .orderBy("event_type", "dow")
+  }
+
   /** Kendall τ-b rank correlation between the daily VALUE mass and the
     * daily event COUNT per event_type (Kendall 1938 — the concordance
     * companion to q_time_autocorr's Pearson and q_agg_spearman's ρ,
@@ -2204,6 +2234,7 @@ object StatsOps {
     "q_stats_fdr_bh" -> q_stats_fdr_bh _,
     "q_agg_mann_kendall" -> q_agg_mann_kendall _,
     "q_time_kendall_tau" -> q_time_kendall_tau _,
+    "q_time_dow_seasonality" -> q_time_dow_seasonality _,
     "q_time_bollinger" -> q_time_bollinger _,
     "q_agg_pinball" -> q_agg_pinball _,
     "q_agg_hhi" -> q_agg_hhi _,

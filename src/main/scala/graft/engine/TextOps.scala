@@ -1105,7 +1105,44 @@ object TextOps {
       .orderBy("lang")
   }
 
+  /** Heaps'-law vocabulary-growth curve (Heaps 1978; the WIMBD-style
+    * corpus census answering "how fast does the vocabulary still
+    * grow?" — the signal that tells a tokenizer/dedup pipeline whether
+    * more data still buys new types): docs ordered by doc_id, split
+    * into NTILE(10) checkpoints; at each checkpoint the cumulative
+    * token count and the cumulative DISTINCT-type count — the latter
+    * WITHOUT any running distinct: a type is counted at checkpoint cp
+    * iff its FIRST-occurrence doc ≤ cp (one keyed min per type, then a
+    * 10-row broadcast threshold join). heaps_ratio = ln V / ln N per
+    * point (β̂ under V = kN^β with k≈1), one pinned double. Scale: the
+    * only sort is doc-count-bounded; token work is two keyed aggs. */
+  def q_text_heaps_law(s: SparkSession, dir: String): DataFrame = {
+    val tok = Tables.documents(s, dir)
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
+      .filter(length(col("tok")) > 0)
+    val cps = Tables.documents(s, dir).select(col("doc_id"))
+      .withColumn("decile",
+        ntile(10).over(Window.orderBy(col("doc_id"))).cast("bigint"))
+      .groupBy(col("decile")).agg(max(col("doc_id")).as("cp"))
+    val perDoc = tok.groupBy(col("doc_id")).agg(count(lit(1)).as("c"))
+    val firstDoc = tok.groupBy(col("tok").as("t")).agg(min(col("doc_id")).as("fd"))
+    val nTok = perDoc.crossJoin(broadcast(cps))
+      .filter(col("doc_id") <= col("cp"))
+      .groupBy(col("decile").as("d1")).agg(sum(col("c")).as("n_tokens"))
+    val nDis = firstDoc.crossJoin(broadcast(cps))
+      .filter(col("fd") <= col("cp"))
+      .groupBy(col("decile").as("d2")).agg(count(lit(1)).as("n_distinct"))
+    cps.join(nTok, col("decile") === col("d1"))
+      .join(nDis, col("decile") === col("d2"))
+      .select(col("decile"), col("cp").as("cp_doc"), col("n_tokens"),
+        col("n_distinct"),
+        round(log(col("n_distinct").cast("double"))
+          / log(col("n_tokens").cast("double")), 6).as("heaps_ratio"))
+      .orderBy("decile")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_text_heaps_law" -> q_text_heaps_law _,
     "q_text_f1" -> q_text_f1 _,
     "q_llm_ppl_bucket" -> q_llm_ppl_bucket _,
     "q_stream_ppl_bucket" -> q_stream_ppl_bucket _,

@@ -211,6 +211,108 @@ class Round16Spec extends AnyFunSuite {
     }
   }
 
+  test("q_embed_mrl equals a driver-side two-tier cosine replay") {
+    import graft.engine.{LlmOps, Tables}
+    val emb = Tables.embeddings(spark, sf0001).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).toArray).toMap
+    // same left-assoc double accumulation as FloatVecDot
+    def dot(a: Array[Float], b: Array[Float]): Double = {
+      var acc = 0.0; var i = 0
+      while (i < math.min(a.length, b.length)) {
+        acc += a(i).toDouble * b(i).toDouble; i += 1
+      }
+      acc
+    }
+    def cos(a: Array[Float], b: Array[Float]): Double =
+      dot(a, b) / (math.sqrt(dot(a, a)) * math.sqrt(dot(b, b)))
+    def top10(qid: Long, dims: Int): Set[Long] = {
+      val q = emb(qid).take(dims)
+      emb.toSeq.filter(_._1 != qid)
+        .map { case (id, v) => (id, r6(cos(v.take(dims), q))) }
+        .sortBy { case (id, c) => (-c, id) }.take(10).map(_._1).toSet
+    }
+    val got = LlmOps.q_embed_mrl(spark, sf0001).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+    assert(got.keySet == (20L to 24L).toSet)
+    (20L to 24L).foreach { qid =>
+      val overlap = (top10(qid, 64) intersect top10(qid, LlmOps.MrlPrefixDims)).size.toLong
+      assert(got(qid) == ((overlap, r6(overlap / 10.0))), s"query $qid")
+    }
+  }
+
+  test("q_text_heaps_law equals a driver-side growth-curve replay") {
+    import graft.engine.{Tables, TextOps}
+    val docs = Tables.documents(spark, sf0001)
+      .select(org.apache.spark.sql.functions.col("doc_id"),
+        org.apache.spark.sql.functions.col("text"))
+      .collect().map(r => (r.getLong(0), r.getString(1))).sortBy(_._1)
+    val n = docs.length
+    val cps = (1 to 10).map { dec =>
+      // NTILE semantics over the doc_id order
+      val base = n / 10; val extra = n % 10
+      val size = (1 to dec).map(i => base + (if (i <= extra) 1 else 0)).sum
+      dec.toLong -> docs(size - 1)._1
+    }
+    val toks = docs.flatMap { case (id, t) =>
+      t.split(" ").filter(_.nonEmpty).map(w => (id, w))
+    }
+    val first = toks.groupBy(_._2).view.mapValues(_.map(_._1).min).toMap
+    val got = TextOps.q_text_heaps_law(spark, sf0001).collect()
+      .map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4)))).toMap
+    cps.foreach { case (dec, cp) =>
+      val nTok = toks.count(_._1 <= cp).toLong
+      val nDis = first.values.count(_ <= cp).toLong
+      assert(got(dec) == ((cp, nTok, nDis,
+        r6(math.log(nDis.toDouble) / math.log(nTok.toDouble)))), s"decile $dec")
+    }
+    // growth curve must be monotone in both coordinates
+    val ord = got.toSeq.sortBy(_._1).map(_._2)
+    assert(ord.sliding(2).forall(p => p(0)._2 <= p(1)._2 && p(0)._3 <= p(1)._3))
+  }
+
+  test("q_graph_eigenvector equals a driver-side normalized power iteration") {
+    import graft.engine.GraphOps
+    val arcs = GraphOps.undProj(spark, sf0001, GraphOps.TriangleMinCooccur)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val nbrs = arcs.groupBy(_._1).view.mapValues(_.map(_._2).toSeq).toMap
+    var x = nbrs.keys.map(_ -> 1.0).toMap
+    for (_ <- 1 to GraphOps.EigIters) {
+      val raw = nbrs.map { case (v, ns) =>
+        v -> ns.map(u => math.rint(x(u) * 1e9).toLong).sum.toDouble / 1e9
+      }
+      val m = raw.values.max
+      x = raw.view.mapValues(_ / m).toMap
+    }
+    val want = x.toSeq.map { case (v, sc) => (v, r6(sc)) }
+      .sortBy { case (v, sc) => (-sc, v) }.take(20)
+    val got = GraphOps.q_graph_eigenvector(spark, sf0001).collect()
+      .map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(got == want)
+    assert(got.head._2 == 1.0, "the max-normalized leader scores exactly 1")
+  }
+
+  test("q_time_dow_seasonality equals a driver-side index replay") {
+    import graft.engine.{StatsOps, Tables}
+    import org.apache.spark.sql.functions._
+    val daily = Tables.events(spark, sf0001)
+      .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+      .agg(sum(round(col("value") * 100, 0).cast("bigint")).as("y"),
+        datediff(to_date(col("ts")), lit("2024-01-01").cast("date")).as("x"))
+      .collect().map(r => (r.getString(0), ((r.getInt(3) % 7) + 7) % 7, r.getLong(2)))
+    val want = daily.groupBy(_._1).flatMap { case (et, ds) =>
+      val nAll = ds.length.toLong; val sAll = ds.map(_._3).sum
+      ds.groupBy(_._2).map { case (dow, g) =>
+        val nD = g.length.toLong; val sy = g.map(_._3).sum
+        (et, dow.toLong) -> ((nD,
+          r6((BigDecimal(sy) * nAll).toDouble / (BigDecimal(nD) * sAll).toDouble)))
+      }
+    }
+    val got = StatsOps.q_time_dow_seasonality(spark, sf0001).collect()
+      .map(r => (r.getString(0), r.getLong(1)) -> ((r.getLong(2), r.getDouble(3)))).toMap
+    assert(got == want.toMap)
+  }
+
   // ── VERDICT r10 item 2: the re-parameterized zero-row trio must be
   // non-vacuous at the smallest fixture (it is at sf0.01/sf0.1 too —
   // probed 71/511 anti, 266/2600 except, 31k/3.6k jaccard) ────────────
