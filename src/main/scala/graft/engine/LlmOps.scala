@@ -493,6 +493,40 @@ object LlmOps {
       .orderBy("query_id", "rnk")
   }
 
+  /** Temperature for the source-mixing weights. */
+  val MixTau = 0.7
+
+  /** Temperature-scaled dataset-mixing weights per (lang, source)
+    * stratum (the Pile/Gopher/mT5 sampling device: w ∝ n^τ, τ=0.7 —
+    * upweights small sources without letting giants drown the mix):
+    * exact integer token counts; n^τ spelled exp(τ·ln n) with the
+    * probed cross-engine ln/exp policy, each term rounded at the 9th
+    * decimal into an exact DECIMAL sum (order-blind normalizer); the
+    * temperature share and the oversampling boost vs the raw share are
+    * pinned-order double expressions. Output stratum-count-sized. */
+  def q_llm_mix_temperature(s: SparkSession, dir: String): DataFrame = {
+    val strata = Tables.documents(s, dir)
+      .select(col("lang"), col("source"),
+        size(split(col("text"), " ")).cast("bigint").as("nt"))
+      .groupBy(col("lang"), col("source"))
+      .agg(sum(col("nt")).as("n_tokens"))
+    val term = round(exp(lit(MixTau) * log(col("n_tokens").cast("double"))), 9)
+      .cast("decimal(28,9)")
+    val wTab = strata.withColumn("w", term)
+    val tot = wTab.agg(sum(col("w")).as("wsum"),
+      sum(col("n_tokens")).as("ntot"))
+    wTab.crossJoin(broadcast(tot))
+      .select(col("lang"), col("source"), col("n_tokens"),
+        round(col("n_tokens").cast("double") / col("ntot").cast("double"), 6)
+          .as("raw_share"),
+        round(col("w").cast("double") / col("wsum").cast("double"), 6)
+          .as("temp_share"),
+        round((col("w").cast("double") / col("wsum").cast("double"))
+          / (col("n_tokens").cast("double") / col("ntot").cast("double")), 6)
+          .as("boost"))
+      .orderBy("lang", "source")
+  }
+
   /** MRL prefix width: the 16-dim head of the 64-dim embedding. */
   val MrlPrefixDims = 16
 
@@ -1215,6 +1249,7 @@ object LlmOps {
     "q_llm_cosine_topk" -> q_llm_cosine_topk _,
     "q_llm_knn_join" -> q_llm_knn_join _,
     "q_embed_mrl" -> q_embed_mrl _,
+    "q_llm_mix_temperature" -> q_llm_mix_temperature _,
     "q_llm_text_stats" -> q_llm_text_stats _,
     "q_llm_multimodal" -> q_llm_multimodal _
   )

@@ -5792,13 +5792,91 @@ object Oracle {
         |ORDER BY event_type, dow""".stripMargin
   )
 
+  /** Round-16 batch 4: AR diagnostics, customer grid, mixing weights. */
+  val round16d: Map[String, String] = Map(
+    "q_time_pacf" -> {
+      val m = StatsOps.PacfLags
+      s"""WITH daily AS (SELECT event_type,
+         |    CAST(CAST(ts AS TIMESTAMP) AS DATE) AS day,
+         |    CAST(SUM(CAST(ROUND(value * 100, 0) AS BIGINT)) AS BIGINT) AS y
+         |  FROM events GROUP BY 1, 2),
+         |d AS (SELECT event_type,
+         |    CAST(day - DATE '2024-01-01' AS BIGINT) AS x, y FROM daily),
+         |st AS (SELECT event_type AS s_t, CAST(COUNT(*) AS BIGINT) AS n,
+         |    CAST(SUM(y) AS BIGINT) AS sy FROM d GROUP BY 1),
+         |resid AS (SELECT d.event_type, d.x, d.y * st.n - st.sy AS e
+         |  FROM d JOIN st ON d.event_type = st.s_t),
+         |num AS (SELECT a.event_type, l.lag,
+         |    SUM(CAST(a.e * b.e AS DECIMAL(38,0))) AS nk
+         |  FROM resid a
+         |  CROSS JOIN (SELECT UNNEST(range(1, ${m + 1})) AS lag) l
+         |  JOIN resid b ON a.event_type = b.event_type
+         |    AND a.x = b.x + l.lag
+         |  GROUP BY 1, 2),
+         |den AS (SELECT event_type AS dt,
+         |    SUM(CAST(e * e AS DECIMAL(38,0))) AS d FROM resid GROUP BY 1),
+         |rr AS (SELECT num.event_type, num.lag,
+         |    CAST(nk AS DOUBLE) / CAST(den.d AS DOUBLE) AS r
+         |  FROM num JOIN den ON num.event_type = den.dt),
+         |w AS (SELECT event_type,
+         |    MAX(CASE WHEN lag = 1 THEN r END) AS r1,
+         |    MAX(CASE WHEN lag = 2 THEN r END) AS r2,
+         |    MAX(CASE WHEN lag = 3 THEN r END) AS r3
+         |  FROM rr GROUP BY 1),
+         |p2 AS (SELECT *, (r2 - r1 * r1) / (1.0 - r1 * r1) AS phi22 FROM w),
+         |p3 AS (SELECT *, r1 * (1.0 - phi22) AS phi21 FROM p2),
+         |f AS (SELECT *,
+         |    (r3 - phi21 * r2 - phi22 * r1)
+         |      / (1.0 - phi21 * r1 - phi22 * r2) AS phi33 FROM p3)
+         |SELECT event_type, CAST(1 AS BIGINT) AS lag,
+         |  ROUND(r1, 6) AS acf, ROUND(r1, 6) AS pacf FROM f
+         |UNION ALL
+         |SELECT event_type, CAST(2 AS BIGINT), ROUND(r2, 6), ROUND(phi22, 6) FROM f
+         |UNION ALL
+         |SELECT event_type, CAST(3 AS BIGINT), ROUND(r3, 6), ROUND(phi33, 6) FROM f
+         |ORDER BY event_type, lag""".stripMargin
+    },
+
+    "q_agg_rfm" ->
+      """WITH per AS (SELECT o_custkey, MAX(o_orderdate) AS last_order,
+        |    CAST(COUNT(*) AS BIGINT) AS freq,
+        |    CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(18,2))
+        |      AS monetary
+        |  FROM orders GROUP BY 1),
+        |q AS (SELECT o_custkey, freq, monetary,
+        |    CAST(NTILE(5) OVER (ORDER BY last_order, o_custkey) AS BIGINT) AS r_q,
+        |    CAST(NTILE(5) OVER (ORDER BY freq, o_custkey) AS BIGINT) AS f_q,
+        |    CAST(NTILE(5) OVER (ORDER BY monetary, o_custkey) AS BIGINT) AS m_q
+        |  FROM per)
+        |SELECT r_q, f_q, m_q, CAST(COUNT(*) AS BIGINT) AS n_customers,
+        |  CAST(SUM(monetary) AS DOUBLE) AS monetary_sum
+        |FROM q GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""".stripMargin,
+
+    "q_llm_mix_temperature" -> {
+      val tau = LlmOps.MixTau
+      s"""WITH strata AS (SELECT lang, source,
+         |    CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS n_tokens
+         |  FROM documents GROUP BY 1, 2),
+         |wt AS (SELECT *, CAST(ROUND(exp($tau * ln(CAST(n_tokens AS DOUBLE))), 9)
+         |    AS DECIMAL(28,9)) AS w FROM strata),
+         |tot AS (SELECT SUM(w) AS wsum, CAST(SUM(n_tokens) AS BIGINT) AS ntot
+         |        FROM wt)
+         |SELECT lang, source, n_tokens,
+         |  ROUND(CAST(n_tokens AS DOUBLE) / CAST(ntot AS DOUBLE), 6) AS raw_share,
+         |  ROUND(CAST(w AS DOUBLE) / CAST(wsum AS DOUBLE), 6) AS temp_share,
+         |  ROUND((CAST(w AS DOUBLE) / CAST(wsum AS DOUBLE))
+         |    / (CAST(n_tokens AS DOUBLE) / CAST(ntot AS DOUBLE)), 6) AS boost
+         |FROM wt CROSS JOIN tot ORDER BY lang, source""".stripMargin
+    }
+  )
+
   val all: Map[String, String] =
     relational ++ streaming ++ graph ++ llm ++ extended ++ gnn ++ gnnPrep ++
       pipeline ++ round4 ++ round4b ++ round4c ++ round4d ++ round4e ++
       round4f ++ round5 ++ round6 ++ round6graph ++ ClusterOps.oracle ++
       BpeOps.oracle ++ partitioning ++ train ++ graphAnalytics ++ curation ++
       stats ++ gin ++ mmr ++ round13 ++ round15 ++ round15b ++ round16 ++
-      round16b ++ round16c ++
+      round16b ++ round16c ++ round16d ++
       // streaming twins: the final snapshot IS the batch result — the
       // batch operators' oracles replay them verbatim
       Map("q_stream_gnn_pool" -> train("q_gnn_graphsage_pool"),

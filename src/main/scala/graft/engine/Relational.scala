@@ -595,6 +595,33 @@ object Relational {
       .orderBy("cohort", "k")
   }
 
+  /** RFM segmentation (Hughes 1994 — the warehouse-classic customer
+    * grid): per customer recency (last order date), frequency (order
+    * count), monetary (exact DECIMAL cents); each axis cut into
+    * NTILE(5) quintiles under a fully tie-broken deterministic order
+    * (metric, custkey); output = per (r,f,m) cell the customer count
+    * and monetary mass — ≤125 rows at any corpus scale. The three rank
+    * windows are global sorts of the CUSTOMER aggregate (dimension-
+    * sized), never of the fact table. */
+  def q_agg_rfm(s: SparkSession, dir: String): DataFrame = {
+    val per = Tables.orders(s, dir)
+      .groupBy(col("o_custkey"))
+      .agg(max(col("o_orderdate")).as("last_order"),
+        count(lit(1)).as("freq"),
+        sum(dec(col("o_totalprice"))).as("monetary"))
+    val rq = Window.orderBy(col("last_order"), col("o_custkey"))
+    val fq = Window.orderBy(col("freq"), col("o_custkey"))
+    val mq = Window.orderBy(col("monetary"), col("o_custkey"))
+    per
+      .withColumn("r_q", ntile(5).over(rq).cast("bigint"))
+      .withColumn("f_q", ntile(5).over(fq).cast("bigint"))
+      .withColumn("m_q", ntile(5).over(mq).cast("bigint"))
+      .groupBy(col("r_q"), col("f_q"), col("m_q"))
+      .agg(count(lit(1)).as("n_customers"),
+        sum(col("monetary")).cast("double").as("monetary_sum"))
+      .orderBy("r_q", "f_q", "m_q")
+  }
+
   // ── §2.8 scalar functions ────────────────────────────────────────────
 
   def q_str_funcs(s: SparkSession, dir: String): DataFrame =
@@ -927,6 +954,7 @@ object Relational {
     "q_agg_grouping_sets" -> q_agg_grouping_sets _,
     "q_agg_having" -> q_agg_having _,
     "q_agg_cohort_retention" -> q_agg_cohort_retention _,
+    "q_agg_rfm" -> q_agg_rfm _,
     "q_agg_listagg" -> q_agg_listagg _,
     "q_win_first_last" -> q_win_first_last _,
     "q_agg_percentiles" -> q_agg_percentiles _,

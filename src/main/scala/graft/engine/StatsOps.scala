@@ -1197,6 +1197,65 @@ object StatsOps {
       .orderBy("event_type")
   }
 
+  /** PACF depth (Durbin–Levinson levels). */
+  val PacfLags = 3
+
+  /** Partial autocorrelation (PACF, lags 1..3) of the daily value
+    * series per event_type via Durbin–Levinson over the SAME
+    * mean-centered integer-residual autocorrelations as q_time_ljungbox
+    * (one r_k convention across the diagnostics tier — the AR-order
+    * screen every Box–Jenkins fit starts from): r_k from exact
+    * DECIMAL(38,0) residual-product sums and ONE pinned division each;
+    * φ₁₁ = r₁, φ₂₂ = (r₂−r₁²)/(1−r₁²), φ₂₁ = r₁(1−φ₂₂),
+    * φ₃₃ = (r₃−φ₂₁r₂−φ₂₂r₁)/(1−φ₂₁r₁−φ₂₂r₂) — pinned-order scalar
+    * doubles on k×1 rows. Gap days drop their pairs (the documented
+    * ljungbox variant). */
+  def q_time_pacf(s: SparkSession, dir: String): DataFrame = {
+    val daily = Tables.events(s, dir)
+      .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+      .agg(sum(round(col("value") * 100, 0).cast("bigint")).as("y"))
+      .select(col("event_type"),
+        datediff(col("day"), lit("2024-01-01").cast("date")).cast("bigint").as("x"),
+        col("y"))
+    val stats = daily.groupBy(col("event_type").as("st"))
+      .agg(count(lit(1)).as("n"), sum(col("y")).as("sy"))
+    val resid = daily.join(broadcast(stats), col("event_type") === col("st"))
+      .select(col("event_type"), col("x"),
+        (col("y") * col("n") - col("sy")).as("e"))
+      .localCheckpoint()
+    val lags = s.range(1, PacfLags + 1L).select(col("id").as("lag"))
+    val num = resid.crossJoin(broadcast(lags))
+      .join(resid.select(col("event_type").as("e2t"), col("x").as("x2"),
+          col("e").as("e2")),
+        col("event_type") === col("e2t") && col("x") === col("x2") + col("lag"))
+      .groupBy(col("event_type"), col("lag"))
+      .agg(sum((col("e") * col("e2")).cast("decimal(38,0)")).as("nk"))
+    val den = resid.groupBy(col("event_type").as("dt"))
+      .agg(sum((col("e") * col("e")).cast("decimal(38,0)")).as("d"))
+    val r = col("nk").cast("double") / col("d").cast("double")
+    val wide = num.join(broadcast(den), col("event_type") === col("dt"))
+      .select(col("event_type"), col("lag"), r.as("r"))
+      .groupBy(col("event_type"))
+      .agg(max(when(col("lag") === 1, col("r"))).as("r1"),
+        max(when(col("lag") === 2, col("r"))).as("r2"),
+        max(when(col("lag") === 3, col("r"))).as("r3"))
+    val phi11 = col("r1")
+    val phi22 = (col("r2") - col("r1") * col("r1")) /
+      (lit(1.0) - col("r1") * col("r1"))
+    val phi21 = col("r1") * (lit(1.0) - phi22)
+    val phi33 = (col("r3") - phi21 * col("r2") - phi22 * col("r1")) /
+      (lit(1.0) - phi21 * col("r1") - phi22 * col("r2"))
+    wide.select(col("event_type"), explode(array(
+        struct(lit(1L).as("lag"), round(col("r1"), 6).as("acf"),
+          round(phi11, 6).as("pacf")),
+        struct(lit(2L).as("lag"), round(col("r2"), 6).as("acf"),
+          round(phi22, 6).as("pacf")),
+        struct(lit(3L).as("lag"), round(col("r3"), 6).as("acf"),
+          round(phi33, 6).as("pacf")))).as("t"))
+      .select(col("event_type"), col("t.lag"), col("t.acf"), col("t.pacf"))
+      .orderBy("event_type", "lag")
+  }
+
   /** Permutation-test replicates. */
   val PermB = 64
 
@@ -2235,6 +2294,7 @@ object StatsOps {
     "q_agg_mann_kendall" -> q_agg_mann_kendall _,
     "q_time_kendall_tau" -> q_time_kendall_tau _,
     "q_time_dow_seasonality" -> q_time_dow_seasonality _,
+    "q_time_pacf" -> q_time_pacf _,
     "q_time_bollinger" -> q_time_bollinger _,
     "q_agg_pinball" -> q_agg_pinball _,
     "q_agg_hhi" -> q_agg_hhi _,

@@ -313,6 +313,90 @@ class Round16Spec extends AnyFunSuite {
     assert(got == want.toMap)
   }
 
+  test("q_time_pacf equals a driver-side Durbin–Levinson replay") {
+    import graft.engine.{StatsOps, Tables}
+    import org.apache.spark.sql.functions._
+    val daily = Tables.events(spark, sf0001)
+      .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+      .agg(sum(round(col("value") * 100, 0).cast("bigint")).as("y"))
+      .select(col("event_type"),
+        datediff(col("day"), lit("2024-01-01").cast("date")).cast("bigint").as("x"),
+        col("y"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    val want = daily.groupBy(_._1).flatMap { case (et, ds) =>
+      val n = ds.length.toLong
+      val sy = ds.map(_._3).sum
+      val e = ds.map(d => (d._2, d._3 * n - sy)).toMap
+      def rK(k: Long): Double = {
+        val nk = e.toSeq.collect {
+          case (x, ev) if e.contains(x + k) => BigInt(ev) * BigInt(e(x + k))
+        }.sum
+        val den = e.values.map(v => BigInt(v) * BigInt(v)).sum
+        nk.toDouble / den.toDouble
+      }
+      val (r1, r2, r3) = (rK(1), rK(2), rK(3))
+      val phi22 = (r2 - r1 * r1) / (1.0 - r1 * r1)
+      val phi21 = r1 * (1.0 - phi22)
+      val phi33 = (r3 - phi21 * r2 - phi22 * r1) / (1.0 - phi21 * r1 - phi22 * r2)
+      Seq((et, 1L) -> ((r6(r1), r6(r1))), (et, 2L) -> ((r6(r2), r6(phi22))),
+        (et, 3L) -> ((r6(r3), r6(phi33))))
+    }.toMap
+    val got = StatsOps.q_time_pacf(spark, sf0001).collect()
+      .map(r => (r.getString(0), r.getLong(1)) -> ((r.getDouble(2), r.getDouble(3)))).toMap
+    assert(got == want)
+    // lag-1 PACF is the lag-1 ACF by construction
+    got.collect { case ((_, 1L), (acf, pacf)) => assert(acf == pacf) }
+  }
+
+  test("q_agg_rfm covers every customer once with in-range quintiles") {
+    import graft.engine.{Relational, Tables}
+    val rows = Relational.q_agg_rfm(spark, sf0001).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4)))
+    val nCust = Tables.customer(spark, sf0001).select("c_custkey").distinct().count()
+    import org.apache.spark.sql.functions._
+    val nOrdering = Tables.orders(spark, sf0001)
+      .select(col("o_custkey")).distinct().count()
+    assert(rows.map(_._4).sum == nOrdering, "cells partition the ordering customers")
+    assert(nOrdering <= nCust)
+    rows.foreach { case (r, f, m, n, mon) =>
+      assert(r >= 1 && r <= 5 && f >= 1 && f <= 5 && m >= 1 && m <= 5)
+      assert(n > 0 && mon > 0.0)
+    }
+    // each quintile axis holds ~a fifth of customers (ntile balance)
+    (1L to 5L).foreach { q =>
+      val axis = rows.filter(_._1 == q).map(_._4).sum
+      assert(math.abs(axis - nOrdering / 5) <= nOrdering / 5 / 2 + 1, s"r_q=$q balance")
+    }
+  }
+
+  test("q_llm_mix_temperature equals a driver-side tau-sampling replay") {
+    import graft.engine.{LlmOps, Tables}
+    import org.apache.spark.sql.functions._
+    val strata = Tables.documents(spark, sf0001)
+      .select(col("lang"), col("source"),
+        size(split(col("text"), " ")).cast("bigint").as("nt"))
+      .groupBy(col("lang"), col("source")).agg(sum(col("nt")).as("n"))
+      .collect().map(r => ((r.getString(0), r.getString(1)), r.getLong(2)))
+    def r9(x: Double): BigDecimal =
+      BigDecimal(x).setScale(9, BigDecimal.RoundingMode.HALF_UP)
+    val w = strata.map { case (k, n) =>
+      k -> ((n, r9(math.exp(LlmOps.MixTau * math.log(n.toDouble)))))
+    }
+    val wsum = w.map(_._2._2).sum
+    val ntot = strata.map(_._2).sum
+    val got = LlmOps.q_llm_mix_temperature(spark, sf0001).collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        ((r.getLong(2), r.getDouble(3), r.getDouble(4), r.getDouble(5)))).toMap
+    w.foreach { case (k, (n, wd)) =>
+      val raw = n.toDouble / ntot.toDouble
+      val ts = wd.toDouble / wsum.toDouble
+      assert(got(k) == ((n, r6(raw), r6(ts), r6(ts / raw))), s"stratum $k")
+    }
+    // the temperature flattens the mix: small strata boosted, giants damped
+    val boosts = got.toSeq.sortBy(_._2._1).map(_._2._4)
+    assert(boosts.head >= boosts.last, "smallest stratum boost ≥ largest's")
+  }
+
   // ── VERDICT r10 item 2: the re-parameterized zero-row trio must be
   // non-vacuous at the smallest fixture (it is at sf0.01/sf0.1 too —
   // probed 71/511 anti, 266/2600 except, 31k/3.6k jaccard) ────────────
