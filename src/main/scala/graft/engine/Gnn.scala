@@ -153,6 +153,28 @@ object Gnn {
       .orderBy("vec_id")
   }
 
+  /** Embedding-space outlier screen (the curation pass that catches
+    * mis-embedded / out-of-domain vectors before they poison a
+    * similarity index): distance of every vector to the GLOBAL
+    * centroid, top-20 by (distance desc, id asc). Centroid = one
+    * 64-moment aggregation (the q_embed_zscore two-pass device);
+    * distance² is a FIXED left-assoc 64-term fold so both engines run
+    * the identical IEEE sequence; the corpus is touched twice and the
+    * 1-row centroid broadcasts — the standard outlier screen at any
+    * scale. */
+  def q_embed_outliers(s: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(s, dir)
+    val el = (j: Int) => element_at(col("embedding"), j).cast("double")
+    val moments = (1 to 64).map(j => avg(el(j)).as(s"m$j"))
+    val stats = emb.agg(moments.head, moments.tail: _*)
+    val d2 = (1 to 64).map(j => (el(j) - col(s"m$j")) * (el(j) - col(s"m$j")))
+      .reduce(_ + _)
+    emb.crossJoin(broadcast(stats))
+      .select(col("vec_id"), round(sqrt(d2), 6).as("centroid_dist"))
+      .orderBy(col("centroid_dist").desc, col("vec_id").asc)
+      .limit(20)
+  }
+
   /** GraphSAGE fixed-size neighborhood sampling (Hamilton et al. 2017
     * §3.1: uniform fixed-size neighbor sample per node, here made
     * deterministic): each customer keeps its K=10 neighbors with the
@@ -663,6 +685,7 @@ object Gnn {
     "q_gnn_layer2" -> q_gnn_layer2 _,
     "q_gnn_neg_sampling" -> q_gnn_neg_sampling _,
     "q_gnn_sgd_step" -> q_gnn_sgd_step _,
-    "q_embed_zscore" -> q_embed_zscore _
+    "q_embed_zscore" -> q_embed_zscore _,
+    "q_embed_outliers" -> q_embed_outliers _
   )
 }

@@ -5870,13 +5870,76 @@ object Oracle {
     }
   )
 
+  /** Round-16 batch 5: embedding outliers, user Markov chain, Pareto. */
+  val round16e: Map[String, String] = Map(
+    "q_embed_outliers" -> {
+      val moments = (1 to 64)
+        .map(j => s"AVG(CAST(embedding[$j] AS DOUBLE)) AS m$j").mkString(", ")
+      val d2 = (1 to 64).map(j =>
+        s"(CAST(embedding[$j] AS DOUBLE) - m$j) * (CAST(embedding[$j] AS DOUBLE) - m$j)")
+        .mkString(" + ")
+      s"""WITH st AS (SELECT $moments FROM embeddings)
+         |SELECT vec_id, ROUND(sqrt($d2), 6) AS centroid_dist
+         |FROM embeddings CROSS JOIN st
+         |ORDER BY centroid_dist DESC, vec_id ASC LIMIT 20""".stripMargin
+    },
+
+    "q_time_markov" -> {
+      val steps = (1 to StatsOps.MarkovIters).map { i =>
+        s"""pi$i AS (SELECT to_type AS state,
+           |  CAST(SUM(CAST(ROUND(p.pi * pt.p, 9) AS DECIMAL(28,9))) AS DOUBLE) AS pi
+           |  FROM pt JOIN pi${i - 1} p ON pt.from_type = p.state
+           |  GROUP BY 1)""".stripMargin
+      }.mkString(",\n")
+      s"""WITH ev AS (SELECT user_id, event_id, ts, event_type,
+         |    LEAD(event_type) OVER (PARTITION BY user_id
+         |      ORDER BY ts, event_id) AS next_type
+         |  FROM events),
+         |tr AS (SELECT event_type AS from_type, next_type AS to_type,
+         |    CAST(COUNT(*) AS BIGINT) AS n_trans
+         |  FROM ev WHERE next_type IS NOT NULL GROUP BY 1, 2),
+         |ot AS (SELECT from_type AS of, CAST(SUM(n_trans) AS BIGINT) AS out_tot
+         |       FROM tr GROUP BY 1),
+         |pt AS (SELECT from_type, to_type, n_trans,
+         |    CAST(n_trans AS DOUBLE) / CAST(out_tot AS DOUBLE) AS p
+         |  FROM tr JOIN ot ON from_type = of),
+         |pi0 AS (SELECT DISTINCT from_type AS state,
+         |    CAST(1 AS DOUBLE) / CAST((SELECT COUNT(DISTINCT from_type) FROM pt)
+         |      AS DOUBLE) AS pi FROM pt),
+         |$steps
+         |SELECT pt.from_type, pt.to_type, pt.n_trans, ROUND(pt.p, 6) AS p,
+         |  ROUND(f.pi, 6) AS pi_from
+         |FROM pt JOIN pi${StatsOps.MarkovIters} f ON pt.from_type = f.state
+         |ORDER BY pt.from_type, pt.to_type""".stripMargin
+    },
+
+    "q_agg_pareto" ->
+      """WITH per AS (SELECT o_custkey,
+        |    CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(18,2))
+        |      AS spend
+        |  FROM orders GROUP BY 1),
+        |d AS (SELECT spend, CAST(NTILE(10) OVER (
+        |    ORDER BY spend DESC, o_custkey) AS BIGINT) AS decile FROM per),
+        |bd AS (SELECT decile, CAST(COUNT(*) AS BIGINT) AS n_customers,
+        |    CAST(SUM(spend) AS DECIMAL(18,2)) AS rev FROM d GROUP BY 1),
+        |tot AS (SELECT CAST(SUM(rev) AS DECIMAL(18,2)) AS t FROM bd),
+        |c AS (SELECT decile, n_customers, rev,
+        |    CAST(SUM(rev) OVER (ORDER BY decile
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |      AS DECIMAL(18,2)) AS cum_rev
+        |  FROM bd)
+        |SELECT decile, n_customers, CAST(rev AS DOUBLE) AS decile_revenue,
+        |  ROUND(CAST(cum_rev AS DOUBLE) / CAST(tot.t AS DOUBLE), 6) AS cum_share
+        |FROM c CROSS JOIN tot ORDER BY decile""".stripMargin
+  )
+
   val all: Map[String, String] =
     relational ++ streaming ++ graph ++ llm ++ extended ++ gnn ++ gnnPrep ++
       pipeline ++ round4 ++ round4b ++ round4c ++ round4d ++ round4e ++
       round4f ++ round5 ++ round6 ++ round6graph ++ ClusterOps.oracle ++
       BpeOps.oracle ++ partitioning ++ train ++ graphAnalytics ++ curation ++
       stats ++ gin ++ mmr ++ round13 ++ round15 ++ round15b ++ round16 ++
-      round16b ++ round16c ++ round16d ++
+      round16b ++ round16c ++ round16d ++ round16e ++
       // streaming twins: the final snapshot IS the batch result — the
       // batch operators' oracles replay them verbatim
       Map("q_stream_gnn_pool" -> train("q_gnn_graphsage_pool"),

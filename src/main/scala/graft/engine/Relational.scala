@@ -622,6 +622,35 @@ object Relational {
       .orderBy("r_q", "f_q", "m_q")
   }
 
+  /** Revenue-concentration (Pareto/Lorenz) decile table — "the top 10 %
+    * of customers carry X % of revenue", the concentration view the
+    * scalar Gini compresses away: customers deciled by exact-decimal
+    * total spend under a fully tie-broken (spend desc, custkey) NTILE
+    * order; per decile the customer count, decile revenue, and the
+    * running cumulative share as ONE round-6 division of exact decimal
+    * sums. The rank window sorts the customer aggregate, never the
+    * fact table. */
+  def q_agg_pareto(s: SparkSession, dir: String): DataFrame = {
+    val per = Tables.orders(s, dir)
+      .groupBy(col("o_custkey"))
+      .agg(sum(dec(col("o_totalprice"))).as("spend"))
+    val d = per.withColumn("decile",
+      ntile(10).over(Window.orderBy(col("spend").desc, col("o_custkey")))
+        .cast("bigint"))
+    val byDec = d.groupBy(col("decile"))
+      .agg(count(lit(1)).as("n_customers"), sum(col("spend")).as("rev"))
+    val tot = byDec.agg(sum(col("rev")).as("tot"))
+    val wc = Window.orderBy(col("decile"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    byDec.crossJoin(broadcast(tot))
+      .withColumn("cum_rev", sum(col("rev")).over(wc))
+      .select(col("decile"), col("n_customers"),
+        col("rev").cast("double").as("decile_revenue"),
+        round(col("cum_rev").cast("double") / col("tot").cast("double"), 6)
+          .as("cum_share"))
+      .orderBy("decile")
+  }
+
   // ── §2.8 scalar functions ────────────────────────────────────────────
 
   def q_str_funcs(s: SparkSession, dir: String): DataFrame =
@@ -955,6 +984,7 @@ object Relational {
     "q_agg_having" -> q_agg_having _,
     "q_agg_cohort_retention" -> q_agg_cohort_retention _,
     "q_agg_rfm" -> q_agg_rfm _,
+    "q_agg_pareto" -> q_agg_pareto _,
     "q_agg_listagg" -> q_agg_listagg _,
     "q_win_first_last" -> q_win_first_last _,
     "q_agg_percentiles" -> q_agg_percentiles _,

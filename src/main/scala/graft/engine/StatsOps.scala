@@ -1197,6 +1197,53 @@ object StatsOps {
       .orderBy("event_type")
   }
 
+  /** Markov stationary-distribution power-iteration depth. */
+  val MarkovIters = 8
+
+  /** Per-user event-type Markov chain + stationary distribution (the
+    * behavioral transition matrix every journey analysis starts from,
+    * plus where the chain settles): transitions = consecutive event
+    * pairs per user in (ts, event_id) order — one keyed lead window;
+    * P(from→to) = exact-count rational, ONE pinned division; π from 8
+    * unrolled power-iteration steps over the k×k matrix starting
+    * uniform, each step's Σ_from π·p terms rounded at the 9th decimal
+    * into exact DECIMAL sums (order-blind — the PSI device). Output per
+    * (from,to): count, p, and π(from). Everything after the lead window
+    * is k²-bounded. */
+  def q_time_markov(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+    val trans = Tables.events(s, dir)
+      .select(col("user_id"), col("event_id"), col("ts"), col("event_type"))
+      .withColumn("next_type", lead(col("event_type"), 1).over(w))
+      .filter(col("next_type").isNotNull)
+      .groupBy(col("event_type").as("from_type"), col("next_type").as("to_type"))
+      .agg(count(lit(1)).as("n_trans"))
+    val outT = trans.groupBy(col("from_type").as("of"))
+      .agg(sum(col("n_trans")).as("out_tot"))
+    val pTab = trans.join(broadcast(outT), col("from_type") === col("of"))
+      .select(col("from_type"), col("to_type"), col("n_trans"),
+        (col("n_trans").cast("double") / col("out_tot").cast("double")).as("p"))
+      .localCheckpoint()
+    val k = pTab.select(col("from_type")).distinct().count().toDouble
+    var pi = pTab.select(col("from_type").as("state")).distinct()
+      .select(col("state"), lit(1.0 / k).as("pi"))
+    for (_ <- 1 to MarkovIters) {
+      pi = pTab
+        .join(broadcast(pi.select(col("state").as("ps"), col("pi"))),
+          col("from_type") === col("ps"))
+        .groupBy(col("to_type"))
+        .agg(sum(round(col("pi") * col("p"), 9).cast("decimal(28,9)"))
+          .cast("double").as("pi"))
+        .select(col("to_type").as("state"), col("pi"))
+    }
+    pTab.join(broadcast(pi.select(col("state").as("sf"), col("pi").as("pi_from"))),
+        col("from_type") === col("sf"))
+      .select(col("from_type"), col("to_type"), col("n_trans"),
+        round(col("p"), 6).as("p"), round(col("pi_from"), 6).as("pi_from"))
+      .orderBy("from_type", "to_type")
+  }
+
   /** PACF depth (Durbin–Levinson levels). */
   val PacfLags = 3
 
@@ -2295,6 +2342,7 @@ object StatsOps {
     "q_time_kendall_tau" -> q_time_kendall_tau _,
     "q_time_dow_seasonality" -> q_time_dow_seasonality _,
     "q_time_pacf" -> q_time_pacf _,
+    "q_time_markov" -> q_time_markov _,
     "q_time_bollinger" -> q_time_bollinger _,
     "q_agg_pinball" -> q_agg_pinball _,
     "q_agg_hhi" -> q_agg_hhi _,

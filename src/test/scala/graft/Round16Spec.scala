@@ -397,6 +397,79 @@ class Round16Spec extends AnyFunSuite {
     assert(boosts.head >= boosts.last, "smallest stratum boost ≥ largest's")
   }
 
+  test("q_embed_outliers equals a driver-side centroid-distance replay") {
+    import graft.engine.{Gnn, Tables}
+    val vecs = Tables.embeddings(spark, sf0001).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).toArray)
+    val n = vecs.length
+    // centroid per dim as the engine's AVG (sum/count over doubles)
+    val cent = (0 until 64).map(j => vecs.map(_._2(j).toDouble).sum / n)
+    def dist(v: Array[Float]): Double = {
+      var acc = 0.0
+      for (j <- 0 until 64) {
+        val d = v(j).toDouble - cent(j); acc += d * d
+      }
+      math.sqrt(acc)
+    }
+    val want = vecs.map { case (id, v) => (id, r6(dist(v))) }
+      .sortBy { case (id, dv) => (-dv, id) }.take(20).toSeq
+    val got = Gnn.q_embed_outliers(spark, sf0001).collect()
+      .map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    // AVG accumulation order may differ at the last ulp between the
+    // engine and this fold; compare values at 1e-6 and ranks exactly
+    assert(got.map(_._1) == want.map(_._1), "outlier ranking")
+    got.zip(want).foreach { case ((_, g), (_, w)) =>
+      assert(math.abs(g - w) <= 1e-5)
+    }
+  }
+
+  test("q_time_markov: transitions replay exactly; pi is a distribution near its fixpoint") {
+    import graft.engine.{StatsOps, Tables}
+    import org.apache.spark.sql.functions._
+    val ev = Tables.events(spark, sf0001)
+      .select(col("user_id"), col("event_id"), unix_micros(col("ts")).as("us"),
+        col("event_type"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
+    val wantTrans = ev.groupBy(_._1).toSeq.flatMap { case (_, es) =>
+      val types = es.sortBy(e => (e._3, e._2)).map(_._4).toSeq
+      types.zip(types.drop(1))
+    }.groupBy(x => x).view.mapValues(_.size.toLong).toMap
+    val rows = StatsOps.q_time_markov(spark, sf0001).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getDouble(3),
+        r.getDouble(4)))
+    assert(rows.map(r => (r._1, r._2) -> r._3).toMap == wantTrans)
+    // per-from rows: p sums to 1; pi is a probability vector; pi is
+    // (approximately) stationary: pi P ≈ pi after the 8 folded steps
+    rows.groupBy(_._1).foreach { case (f, rs) =>
+      assert(math.abs(rs.map(_._4).sum - 1.0) <= 5e-6, s"$f row-stochastic")
+      assert(rs.map(_._5).distinct.length == 1, s"$f one pi value")
+    }
+    val pi = rows.groupBy(_._1).view.mapValues(_.head._5).toMap
+    assert(math.abs(pi.values.sum - 1.0) <= 5e-6, "pi sums to 1")
+    val piNext = rows.groupBy(_._2).view.mapValues(
+      _.map(r => pi(r._1) * r._4).sum).toMap
+    pi.keys.foreach { st =>
+      assert(math.abs(pi(st) - piNext.getOrElse(st, 0.0)) <= 1e-3,
+        s"$st near-stationary")
+    }
+  }
+
+  test("q_agg_pareto: deciles partition customers and concentrate revenue") {
+    import graft.engine.{Relational, Tables}
+    val rows = Relational.q_agg_pareto(spark, sf0001).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getDouble(3)))
+    assert(rows.map(_._1).toSeq == (1L to 10L))
+    val nCust = Tables.orders(spark, sf0001)
+      .select("o_custkey").distinct().count()
+    assert(rows.map(_._2).sum == nCust, "deciles partition the customers")
+    assert(math.abs(rows.last._4 - 1.0) <= 1e-9, "cumulative share reaches 1")
+    // shares are monotone and the curve is concave (decile revenue
+    // non-increasing when sorted by spend desc)
+    assert(rows.map(_._4).sliding(2).forall(p => p(0) <= p(1) + 1e-12))
+    assert(rows.map(_._3).sliding(2).forall(p => p(0) >= p(1) - 1e-6),
+      "top deciles carry the most revenue")
+  }
+
   // ── VERDICT r10 item 2: the re-parameterized zero-row trio must be
   // non-vacuous at the smallest fixture (it is at sf0.01/sf0.1 too —
   // probed 71/511 anti, 266/2600 except, 31k/3.6k jaccard) ────────────
