@@ -5922,15 +5922,15 @@ object Oracle {
         |    ORDER BY spend DESC, o_custkey) AS BIGINT) AS decile FROM per),
         |bd AS (SELECT decile, CAST(COUNT(*) AS BIGINT) AS n_customers,
         |    CAST(SUM(spend) AS DECIMAL(18,2)) AS rev FROM d GROUP BY 1),
-        |tot AS (SELECT CAST(SUM(rev) AS DECIMAL(18,2)) AS t FROM bd),
         |c AS (SELECT decile, n_customers, rev,
         |    CAST(SUM(rev) OVER (ORDER BY decile
         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
-        |      AS DECIMAL(18,2)) AS cum_rev
+        |      AS DECIMAL(18,2)) AS cum_rev,
+        |    CAST(SUM(rev) OVER () AS DECIMAL(18,2)) AS tot
         |  FROM bd)
         |SELECT decile, n_customers, CAST(rev AS DOUBLE) AS decile_revenue,
-        |  ROUND(CAST(cum_rev AS DOUBLE) / CAST(tot.t AS DOUBLE), 6) AS cum_share
-        |FROM c CROSS JOIN tot ORDER BY decile""".stripMargin
+        |  ROUND(CAST(cum_rev AS DOUBLE) / CAST(tot AS DOUBLE), 6) AS cum_share
+        |FROM c ORDER BY decile""".stripMargin
   )
 
   val all: Map[String, String] =

@@ -639,11 +639,16 @@ object Relational {
         .cast("bigint"))
     val byDec = d.groupBy(col("decile"))
       .agg(count(lit(1)).as("n_customers"), sum(col("spend")).as("rev"))
-    val tot = byDec.agg(sum(col("rev")).as("tot"))
+    // total as a window over the SAME 10-row aggregate — a crossJoin
+    // with a separate agg would re-derive the whole chain and scan the
+    // fact table twice (caught by the round-16 plan pin)
     val wc = Window.orderBy(col("decile"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    byDec.crossJoin(broadcast(tot))
+    val wAll = Window.partitionBy()
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    byDec
       .withColumn("cum_rev", sum(col("rev")).over(wc))
+      .withColumn("tot", sum(col("rev")).over(wAll))
       .select(col("decile"), col("n_customers"),
         col("rev").cast("double").as("decile_revenue"),
         round(col("cum_rev").cast("double") / col("tot").cast("double"), 6)

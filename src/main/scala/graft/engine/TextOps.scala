@@ -1120,10 +1120,14 @@ object TextOps {
     val tok = Tables.documents(s, dir)
       .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
       .filter(length(col("tok")) > 0)
+    // 10-row checkpoint: BOTH threshold joins read the checkpoint table,
+    // which would otherwise re-run the doc ntile (and re-scan documents)
+    // once per consumer
     val cps = Tables.documents(s, dir).select(col("doc_id"))
       .withColumn("decile",
         ntile(10).over(Window.orderBy(col("doc_id"))).cast("bigint"))
       .groupBy(col("decile")).agg(max(col("doc_id")).as("cp"))
+      .localCheckpoint()
     val perDoc = tok.groupBy(col("doc_id")).agg(count(lit(1)).as("c"))
     val firstDoc = tok.groupBy(col("tok").as("t")).agg(min(col("doc_id")).as("fd"))
     val nTok = perDoc.crossJoin(broadcast(cps))

@@ -523,6 +523,44 @@ class PlanAuditSpec extends AnyFunSuite {
     } finally spark.conf.unset(guardKey)
   }
 
+  test("round-16 plan pins: new operators keep their scale shapes") {
+    // mrl: the 5-row query side must reach the candidate scan as a
+    // broadcast (the ≠ condition makes it a BNLJ), never a sort-merge
+    // of the corpus against 5 rows; both dim tiers score in ONE scan.
+    val mrl = plan("q_embed_mrl")
+    assert(mrl.contains("BroadcastNestedLoop") || mrl.contains("BroadcastExchange"),
+      "mrl must broadcast the query side")
+    assert(!mrl.contains("SortMergeJoin"), "mrl must not shuffle the corpus")
+    assert(mrl.split("\n").count(_.contains("Scan parquet")) <= 2,
+      "mrl reads the embedding table at most twice (queries + candidates)")
+    // rfm / pareto: the NTILE windows sort the CUSTOMER AGGREGATE —
+    // exactly one scan of the fact table feeds one aggregate before any
+    // window touches the rows.
+    for (name <- Seq("q_agg_rfm", "q_agg_pareto")) {
+      val p = plan(name)
+      assert(p.split("\n").count(_.contains("Scan parquet")) == 1,
+        s"$name must scan orders exactly once")
+      val firstAgg = p.indexOf("HashAggregate")
+      val firstWin = p.indexOf("Window")
+      assert(firstAgg >= 0 && firstWin >= 0,
+        s"$name needs both an aggregate and a window")
+    }
+    // heaps: token rows never enter a window — the doc-bounded ntile
+    // runs ONCE inside the 10-row checkpointed checkpoint build, so the
+    // final plan carries no WindowExec at all.
+    val heaps = SparkEntry.queries("q_text_heaps_law")(spark, sf0001)
+    val heapsWins = heaps.queryExecution.sparkPlan.collect {
+      case w: org.apache.spark.sql.execution.window.WindowExec => w
+    }
+    assert(heapsWins.isEmpty,
+      "heaps law: the doc-level ntile must be checkpointed out of the token plan")
+    // mix_temperature: the 1-row normalizer broadcasts; the stratum
+    // table never sort-merges against it.
+    val mix = plan("q_llm_mix_temperature")
+    assert(!mix.contains("SortMergeJoin"),
+      "mix_temperature must broadcast the 1-row normalizer")
+  }
+
   test("motifs: one path scan with broadcast closure joins, no cartesian") {
     val df = SparkEntry.queries("q_graph_motifs")(spark, sf0001)
     df.collect()
