@@ -1081,6 +1081,37 @@ object GraphOps {
       .limit(20)
   }
 
+  /** Market-basket association rules over the customer→part baskets
+    * (Agrawal–Srikant 1994 support/confidence + the lift ratio): for
+    * part pairs with co-occurrence ≥ TriangleMinCooccur, support =
+    * cnt/n_baskets, confidence(a→b) = cnt/n(a), and
+    * lift = cnt·n_baskets / (n(a)·n(b)) — ALL exact integer
+    * cross-products (DECIMAL-widened per the round-16 convention), one
+    * round-6 division each. Top-20 by (lift desc, a, b) via
+    * TakeOrdered. Reuses the SHARED pairCounts + degree MVs — the
+    * expensive aggregation is already materialized for the graph tier;
+    * this query adds two broadcast-able joins and a top-k. */
+  def q_agg_basket_lift(s: SparkSession, dir: String): DataFrame = {
+    val pc = partPairs(s, dir, TriangleMinCooccur)
+    val deg = edges(s, dir).groupBy(col("dst")).agg(count(lit(1)).as("d"))
+    val nb = edges(s, dir).select(col("src")).distinct()
+      .agg(count(lit(1)).as("n_baskets"))
+    pc.join(deg.select(col("dst").as("pa"), col("d").as("da")), col("a") === col("pa"))
+      .join(deg.select(col("dst").as("pb"), col("d").as("db")), col("b") === col("pb"))
+      .crossJoin(broadcast(nb))
+      .select(col("a").as("part_a"), col("b").as("part_b"),
+        col("cnt").as("n_cooccur"),
+        round(col("cnt").cast("double") / col("n_baskets").cast("double"), 6)
+          .as("support"),
+        round(col("cnt").cast("double") / col("da").cast("double"), 6)
+          .as("confidence"),
+        round((col("cnt").cast("decimal(38,0)") * col("n_baskets")).cast("double")
+          / (col("da").cast("decimal(38,0)") * col("db")).cast("double"), 6)
+          .as("lift"))
+      .orderBy(col("lift").desc, col("part_a").asc, col("part_b").asc)
+      .limit(20)
+  }
+
   /** Eigenvector-centrality power-iteration depth. */
   val EigIters = 6
 
@@ -1302,6 +1333,7 @@ object GraphOps {
     "q_graph_harmonic" -> q_graph_harmonic _,
     "q_graph_katz" -> q_graph_katz _,
     "q_graph_eigenvector" -> q_graph_eigenvector _,
+    "q_agg_basket_lift" -> q_agg_basket_lift _,
     "q_graph_ppr" -> q_graph_ppr _,
     "q_graph_degree" -> q_graph_degree _,
     "q_graph_cooccur" -> q_graph_cooccur _,

@@ -5913,6 +5913,23 @@ object Oracle {
          |ORDER BY pt.from_type, pt.to_type""".stripMargin
     },
 
+    "q_agg_basket_lift" ->
+      s"""WITH $edgesCte,
+         |pc AS (SELECT e1.dst AS a, e2.dst AS b, CAST(COUNT(*) AS BIGINT) AS cnt
+         |       FROM edges e1 JOIN edges e2 ON e1.src = e2.src AND e1.dst < e2.dst
+         |       GROUP BY 1, 2 HAVING COUNT(*) >= ${GraphOps.TriangleMinCooccur}),
+         |deg AS (SELECT dst, CAST(COUNT(*) AS BIGINT) AS d FROM edges GROUP BY 1),
+         |nb AS (SELECT CAST(COUNT(DISTINCT src) AS BIGINT) AS n_baskets FROM edges)
+         |SELECT pc.a AS part_a, pc.b AS part_b, pc.cnt AS n_cooccur,
+         |  ROUND(CAST(pc.cnt AS DOUBLE) / CAST(nb.n_baskets AS DOUBLE), 6)
+         |    AS support,
+         |  ROUND(CAST(pc.cnt AS DOUBLE) / CAST(da.d AS DOUBLE), 6) AS confidence,
+         |  ROUND(CAST(CAST(pc.cnt AS DECIMAL(38,0)) * nb.n_baskets AS DOUBLE)
+         |    / CAST(CAST(da.d AS DECIMAL(38,0)) * db.d AS DOUBLE), 6) AS lift
+         |FROM pc JOIN deg da ON pc.a = da.dst JOIN deg db ON pc.b = db.dst
+         |CROSS JOIN nb
+         |ORDER BY lift DESC, part_a ASC, part_b ASC LIMIT 20""".stripMargin,
+
     "q_agg_pareto" ->
       """WITH per AS (SELECT o_custkey,
         |    CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(18,2))
@@ -5946,6 +5963,9 @@ object Oracle {
         // streaming perplexity-decile maintainer: snapshot runs the SAME
         // pplBucketFrom assembly as the batch operator — one oracle
         "q_stream_ppl_bucket" -> round16("q_llm_ppl_bucket"),
+        // streaming per-user transition maintainer: snapshot runs the
+        // SAME markovFrom assembly as the batch operator — one oracle
+        "q_stream_markov" -> round16e("q_time_markov"),
         "q_stream_drift_psi" -> stats("q_llm_drift_psi"),
         // streaming χ²/Benford snapshots run the SAME shared assembly as
         // their batch twins — one oracle each

@@ -1219,6 +1219,14 @@ object StatsOps {
       .filter(col("next_type").isNotNull)
       .groupBy(col("event_type").as("from_type"), col("next_type").as("to_type"))
       .agg(count(lit(1)).as("n_trans"))
+    markovFrom(s, trans)
+  }
+
+  /** Shared Markov assembly over a (from_type, to_type, n_trans) table —
+    * consumed by the batch lead-window operator AND the streaming
+    * per-user last-event maintainer (one oracle for both; the
+    * q_stream_chi2 shared-assembly device). */
+  private def markovFrom(s: SparkSession, trans: DataFrame): DataFrame = {
     val outT = trans.groupBy(col("from_type").as("of"))
       .agg(sum(col("n_trans")).as("out_tot"))
     val pTab = trans.join(broadcast(outT), col("from_type") === col("of"))
@@ -1242,6 +1250,50 @@ object StatsOps {
       .select(col("from_type"), col("to_type"), col("n_trans"),
         round(col("p"), 6).as("p"), round(col("pi_from"), 6).as("pi_from"))
       .orderBy("from_type", "to_type")
+  }
+
+  // ---- Streaming Markov maintainer (round 16) --------------------------
+  // Keyed-state twin of q_time_markov: per USER the state is the last
+  // seen event (ts-micros, event_id, type) — 3 fields, constant per
+  // user — and each batch emits the transition pairs it completes,
+  // including the pair that SPANS the batch boundary (the state's whole
+  // point). Within a batch events sort by (ts, event_id); batches are
+  // assumed time-ordered per key (the source contract of every
+  // maintainer in this tier). The matrix + stationary distribution run
+  // at snapshot time through the SAME markovFrom assembly as the batch
+  // operator, so both share one oracle.
+
+  case class MkEv(user_id: Long, event_id: Long, us: Long, etype: String)
+  case class MkTrans(from_type: String, to_type: String)
+
+  def updateMarkov(key: Long, it: Iterator[MkEv],
+      state: org.apache.spark.sql.streaming.GroupState[(Long, Long, String)])
+      : Iterator[MkTrans] = {
+    val evs = it.toSeq.sortBy(e => (e.us, e.event_id))
+    var cur = state.getOption
+    val out = scala.collection.mutable.ArrayBuffer.empty[MkTrans]
+    evs.foreach { e =>
+      cur.foreach(c => out += MkTrans(c._3, e.etype))
+      cur = Some((e.us, e.event_id, e.etype))
+    }
+    cur.foreach(state.update)
+    out.iterator
+  }
+
+  /** Driver-contract query: the streaming transition maintainer; the
+    * emitted pairs feed the shared Markov assembly. */
+  def q_stream_markov(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val pairs = Tables.events(s, dir)
+      .select(col("user_id"), col("event_id"), unix_micros(col("ts")).as("us"),
+        col("event_type").as("etype"))
+      .as[MkEv]
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState(org.apache.spark.sql.streaming.OutputMode.Update,
+        org.apache.spark.sql.streaming.GroupStateTimeout.NoTimeout)(updateMarkov)
+      .toDF()
+    markovFrom(s, pairs.groupBy(col("from_type"), col("to_type"))
+      .agg(count(lit(1)).as("n_trans")))
   }
 
   /** PACF depth (Durbin–Levinson levels). */
@@ -2343,6 +2395,7 @@ object StatsOps {
     "q_time_dow_seasonality" -> q_time_dow_seasonality _,
     "q_time_pacf" -> q_time_pacf _,
     "q_time_markov" -> q_time_markov _,
+    "q_stream_markov" -> q_stream_markov _,
     "q_time_bollinger" -> q_time_bollinger _,
     "q_agg_pinball" -> q_agg_pinball _,
     "q_agg_hhi" -> q_agg_hhi _,

@@ -2,7 +2,7 @@ package graft
 
 import org.scalatest.funsuite.AnyFunSuite
 
-import graft.engine.TextOps
+import graft.engine.{StatsOps, TextOps}
 
 /** Plain-Scala replays of the round-16 operators at sf0.001 — the
   * independent-mirror discipline of Round13/14/15Spec: every number the
@@ -468,6 +468,67 @@ class Round16Spec extends AnyFunSuite {
     assert(rows.map(_._4).sliding(2).forall(p => p(0) <= p(1) + 1e-12))
     assert(rows.map(_._3).sliding(2).forall(p => p(0) >= p(1) - 1e-6),
       "top deciles carry the most revenue")
+  }
+
+  test("streaming markov maintainer: the batch-boundary transition is emitted") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import org.apache.spark.sql.streaming.OutputMode
+    val s = spark
+    import s.implicits._
+    implicit val sq = s.sqlContext
+    // user 1: click then (next batch) purchase — the boundary pair; the
+    // in-batch pair (view→click, out-of-order arrival) must also emit
+    val b1 = Seq(StatsOps.MkEv(1L, 11L, 2000L, "click"),
+      StatsOps.MkEv(1L, 10L, 1000L, "view"))
+    val b2 = Seq(StatsOps.MkEv(1L, 12L, 3000L, "purchase"))
+    val ms = MemoryStream[StatsOps.MkEv]
+    val q = ms.toDS().groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Update,
+        org.apache.spark.sql.streaming.GroupStateTimeout.NoTimeout)(StatsOps.updateMarkov)
+      .writeStream.outputMode(OutputMode.Update)
+      .format("memory").queryName("mkst").start()
+    ms.addData(b1: _*); q.processAllAvailable()
+    ms.addData(b2: _*); q.processAllAvailable(); q.stop()
+    val pairs = s.table("mkst").collect()
+      .map(r => (r.getString(0), r.getString(1))).toSeq.sorted
+    assert(pairs == Seq(("click", "purchase"), ("view", "click")),
+      s"in-batch sort + boundary carry, got $pairs")
+  }
+
+  test("streaming markov over fixture equals the batch transition table") {
+    val stream = StatsOps.q_stream_markov(spark, sf0001).collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        ((r.getLong(2), r.getDouble(3), r.getDouble(4)))).toMap
+    val batch = StatsOps.q_time_markov(spark, sf0001).collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        ((r.getLong(2), r.getDouble(3), r.getDouble(4)))).toMap
+    assert(stream == batch, "batch ≡ stream through the shared assembly")
+  }
+
+  test("q_agg_basket_lift equals a driver-side association replay") {
+    import graft.engine.GraphOps
+    val edges = GraphOps.edges(spark, sf0001).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val nb = edges.map(_._1).distinct.length.toLong
+    val deg = edges.groupBy(_._2).view.mapValues(_.length.toLong).toMap
+    val pairs = edges.groupBy(_._1).toSeq.flatMap { case (_, es) =>
+      val parts = es.map(_._2).distinct.sorted
+      for (i <- parts.indices; j <- (i + 1) until parts.length)
+        yield (parts(i), parts(j))
+    }.groupBy(x => x).view.mapValues(_.size.toLong)
+      .filter(_._2 >= GraphOps.TriangleMinCooccur).toMap
+    val want = pairs.toSeq.map { case ((a, b), cnt) =>
+      val lift = (BigDecimal(cnt) * nb).toDouble / (BigDecimal(deg(a)) * deg(b)).toDouble
+      (a, b, cnt, r6(cnt.toDouble / nb.toDouble),
+        r6(cnt.toDouble / deg(a).toDouble), r6(lift))
+    }.sortBy { case (a, b, _, _, _, l) => (-l, a, b) }.take(20)
+    val got = GraphOps.q_agg_basket_lift(spark, sf0001).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3),
+        r.getDouble(4), r.getDouble(5))).toSeq
+    assert(got == want)
+    got.foreach { case (_, _, _, sup, conf, lift) =>
+      assert(sup > 0 && conf > 0 && conf <= 1.0 + 1e-9 && lift > 0)
+    }
   }
 
   // ── VERDICT r10 item 2: the re-parameterized zero-row trio must be
