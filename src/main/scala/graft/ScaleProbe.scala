@@ -44,7 +44,7 @@ object ScaleProbe {
 
   def main(args: Array[String]): Unit = {
     // fail fast on a typo'd group name BEFORE the (long) replica builds
-    val known = Set("fact", "iter", "lsh")
+    val known = Set("fact", "iter", "lsh", "r16", "r16iter")
     val asked = args.filter(_ != "rebuild").toSet
     val unknown = asked -- known
     require(unknown.isEmpty,
@@ -200,6 +200,30 @@ object ScaleProbe {
         "q_graph_ppr",            // personalized-pagerank push
         "q_graph_betweenness",    // k-source BFS accumulation
         "q_graph_pagerank"),      // global power iteration
+        GraphTiers)
+    }
+    if (groups("r16")) {
+      // round-16 additions on the fact (density) axis: the calendar-
+      // bounded stats (kendall/markov assembly) should grow with the
+      // event scan but keep their day²-bounded tails flat; heaps/cohort
+      // are linear scans + keyed aggs; basket_lift consumes the
+      // pairCounts MV whose density axis is documented super-linear.
+      runGroup("round-16 tiers (fact/density axis)", Seq(
+        "q_time_markov",          // lead window + k²-bounded assembly
+        "q_time_kendall_tau",     // daily pair join (calendar-bounded)
+        "q_agg_cohort_retention", // keyed min + distinct month join
+        "q_text_heaps_law",       // token aggs + 10-row threshold join
+        "q_embed_outliers",       // 64-moment agg + broadcast + top-k
+        "q_agg_basket_lift"),     // pairCounts consumer (density axis)
+        Tiers)
+    }
+    if (groups("r16iter")) {
+      // round-16 centralities on DISJOINT graph copies (horizontal
+      // axis): per-step cost ~|E|, step counts copy-invariant
+      runGroup("round-16 tiers (centralities, horizontal axis)", Seq(
+        "q_graph_katz",
+        "q_graph_eigenvector",
+        "q_graph_harmonic"),
         GraphTiers)
     }
     if (groups("lsh")) {
