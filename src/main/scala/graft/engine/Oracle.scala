@@ -5930,6 +5930,48 @@ object Oracle {
          |CROSS JOIN nb
          |ORDER BY lift DESC, part_a ASC, part_b ASC LIMIT 20""".stripMargin,
 
+    "q_time_xcorr" -> {
+      val lags = StatsOps.XcorrLags.mkString("[", ", ", "]")
+      s"""WITH daily AS (SELECT event_type,
+         |    CAST(CAST(ts AS TIMESTAMP) AS DATE) AS day,
+         |    CAST(SUM(CAST(ROUND(value * 100, 0) AS BIGINT)) AS BIGINT) AS y
+         |  FROM events WHERE event_type IN ('click', 'purchase')
+         |  GROUP BY 1, 2),
+         |c AS (SELECT day AS cd, y AS x FROM daily WHERE event_type = 'click'),
+         |p AS (SELECT day AS pd, y AS yv FROM daily WHERE event_type = 'purchase'),
+         |l AS (SELECT UNNEST($lags) AS lag),
+         |pr AS (SELECT l.lag, c.x, p.yv
+         |  FROM p CROSS JOIN l JOIN c ON c.cd = p.pd - CAST(l.lag AS INTEGER)),
+         |a AS (SELECT lag, CAST(COUNT(*) AS BIGINT) AS n_pairs,
+         |    CAST(SUM(CAST(x AS DECIMAL(38,0))) AS DOUBLE) AS sx,
+         |    CAST(SUM(CAST(yv AS DECIMAL(38,0))) AS DOUBLE) AS sy,
+         |    CAST(SUM(CAST(x * x AS DECIMAL(38,0))) AS DOUBLE) AS sxx,
+         |    CAST(SUM(CAST(yv * yv AS DECIMAL(38,0))) AS DOUBLE) AS syy,
+         |    CAST(SUM(CAST(x * yv AS DECIMAL(38,0))) AS DOUBLE) AS sxy
+         |  FROM pr GROUP BY 1)
+         |SELECT CAST(lag AS BIGINT) AS lag, n_pairs,
+         |  ROUND((CAST(n_pairs AS DOUBLE) * sxy - sx * sy)
+         |    / (sqrt(CAST(n_pairs AS DOUBLE) * sxx - sx * sx)
+         |      * sqrt(CAST(n_pairs AS DOUBLE) * syy - sy * sy)), 6) AS xcorr
+         |FROM a ORDER BY lag""".stripMargin
+    },
+
+    "q_agg_survival_curve" ->
+      """WITH g AS (SELECT o_custkey, o_orderkey, o_orderdate,
+        |    LEAD(o_orderdate) OVER (PARTITION BY o_custkey
+        |      ORDER BY o_orderdate, o_orderkey) AS next_date
+        |  FROM orders),
+        |gw AS (SELECT CAST(CAST(next_date AS DATE) - CAST(o_orderdate AS DATE)
+        |    AS BIGINT) // 7 AS gap_week
+        |  FROM g WHERE next_date IS NOT NULL),
+        |h AS (SELECT gap_week, CAST(COUNT(*) AS BIGINT) AS n_gaps
+        |      FROM gw GROUP BY 1)
+        |SELECT gap_week, n_gaps,
+        |  ROUND(CAST(SUM(n_gaps) OVER (ORDER BY gap_week
+        |      ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS DOUBLE)
+        |    / CAST(SUM(n_gaps) OVER () AS DOUBLE), 6) AS survival
+        |FROM h ORDER BY gap_week""".stripMargin,
+
     "q_agg_pareto" ->
       """WITH per AS (SELECT o_custkey,
         |    CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(18,2))

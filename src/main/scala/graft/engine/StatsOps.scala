@@ -1296,6 +1296,75 @@ object StatsOps {
       .agg(count(lit(1)).as("n_trans")))
   }
 
+  /** Cross-correlation lags (±1..3 plus 0). */
+  val XcorrLags: Seq[Int] = Seq(-3, -2, -1, 0, 1, 2, 3)
+
+  /** Lead–lag cross-correlation between the click and purchase daily
+    * value series (the "does spend follow clicks?" screen — the
+    * cross-series companion to q_time_autocorr, same exact-moment
+    * device): for each lag k ∈ −3..3, Pearson corr(click_{t−k},
+    * purchase_t) over DATE-aligned pairs (gap-safe; gap days drop their
+    * pairs). Moments are exact DECIMAL(38,0) sums of cents products;
+    * the correlation is ONE pinned double expression. Calendar-bounded
+    * work per lag at any corpus scale. */
+  def q_time_xcorr(s: SparkSession, dir: String): DataFrame = {
+    val daily = Tables.events(s, dir)
+      .filter(col("event_type").isin("click", "purchase"))
+      .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+      .agg(sum(round(col("value") * 100, 0).cast("bigint")).as("y"))
+    val clicks = daily.filter(col("event_type") === "click")
+      .select(col("day").as("cd"), col("y").as("x"))
+    val buys = daily.filter(col("event_type") === "purchase")
+      .select(col("day").as("pd"), col("y").as("yv"))
+    val lags = s.range(0, 1)
+      .select(explode(array(XcorrLags.map(k => lit(k)): _*)).as("lag"))
+    val pairs = buys.crossJoin(broadcast(lags))
+      .join(clicks, col("cd") === expr("date_add(pd, -lag)"))
+    def dsum(c: org.apache.spark.sql.Column, n: String) =
+      sum(c.cast("decimal(38,0)")).cast("double").as(n)
+    val agg = pairs.groupBy(col("lag")).agg(
+      count(lit(1)).as("n_pairs"),
+      dsum(col("x"), "sx"), dsum(col("yv"), "sy"),
+      dsum(col("x") * col("x"), "sxx"), dsum(col("yv") * col("yv"), "syy"),
+      dsum(col("x") * col("yv"), "sxy"))
+    val n = col("n_pairs").cast("double")
+    agg.select(col("lag").cast("bigint").as("lag"), col("n_pairs"),
+        round((n * col("sxy") - col("sx") * col("sy"))
+          / (sqrt(n * col("sxx") - col("sx") * col("sx"))
+            * sqrt(n * col("syy") - col("sy") * col("sy"))), 6).as("xcorr"))
+      .orderBy("lag")
+  }
+
+  /** Repurchase-timing survival curve (the Kaplan–Meier-flavored view
+    * of inter-order gaps — "what share of repurchases take ≥ k
+    * weeks?"): consecutive order gaps per customer via ONE keyed lead
+    * window in (date, orderkey) order, bucketed into whole weeks
+    * (integer div), per-bucket counts plus the survival share
+    * S(k) = #(gap_week ≥ k)/total as an exact running-count division.
+    * Gap work is per-customer-order-bounded; the survival table is
+    * week-bounded. */
+  def q_agg_survival_curve(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_orderdate"), col("o_orderkey"))
+    val gaps = Tables.orders(s, dir)
+      .select(col("o_custkey"), col("o_orderkey"), col("o_orderdate"))
+      .withColumn("next_date", lead(col("o_orderdate"), 1).over(w))
+      .filter(col("next_date").isNotNull)
+      .select(expr("datediff(next_date, o_orderdate) div 7").as("gap_week"))
+    val hist = gaps.groupBy(col("gap_week")).agg(count(lit(1)).as("n_gaps"))
+    val wTot = Window.partitionBy()
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    val wGe = Window.orderBy(col("gap_week"))
+      .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    hist
+      .withColumn("n_ge", sum(col("n_gaps")).over(wGe))
+      .withColumn("tot", sum(col("n_gaps")).over(wTot))
+      .select(col("gap_week"), col("n_gaps"),
+        round(col("n_ge").cast("double") / col("tot").cast("double"), 6)
+          .as("survival"))
+      .orderBy("gap_week")
+  }
+
   /** PACF depth (Durbin–Levinson levels). */
   val PacfLags = 3
 
@@ -2396,6 +2465,8 @@ object StatsOps {
     "q_time_pacf" -> q_time_pacf _,
     "q_time_markov" -> q_time_markov _,
     "q_stream_markov" -> q_stream_markov _,
+    "q_time_xcorr" -> q_time_xcorr _,
+    "q_agg_survival_curve" -> q_agg_survival_curve _,
     "q_time_bollinger" -> q_time_bollinger _,
     "q_agg_pinball" -> q_agg_pinball _,
     "q_agg_hhi" -> q_agg_hhi _,
