@@ -1112,6 +1112,33 @@ object GraphOps {
       .limit(20)
   }
 
+  /** Average-neighbor-degree profile k_nn(k) (Pastor-Satorras et al.
+    * 2001 — the degree-resolved CURVE behind the scalar assortativity
+    * coefficient: rising k_nn(k) = assortative mixing, falling =
+    * hubs-attract-leaves): per source degree k over the thresholded
+    * projection, the node count at that degree and the mean neighbor
+    * degree as an exact integer ratio (Σ d(b) over arcs with d(a)=k /
+    * arc count), ONE round-6 division. Degree table joins onto both
+    * arc ends via the probe-gated stateHint; output degree-support-
+    * sized at any scale. */
+  def q_graph_knn_degree(s: SparkSession, dir: String): DataFrame = {
+    val ue = undProj(s, dir, TriangleMinCooccur)
+    val deg = ue.groupBy(col("a").as("n")).agg(count(lit(1)).as("d"))
+    val arcs = ue
+      .join(stateHint(s, dir, deg.select(col("n").as("n1"), col("d").as("dx")), "n1"),
+        col("a") === col("n1"))
+      .join(stateHint(s, dir, deg.select(col("n").as("n2"), col("d").as("dy")), "n2"),
+        col("b") === col("n2"))
+    arcs.groupBy(col("dx").as("degree"))
+      .agg(countDistinct(col("a")).as("n_nodes"),
+        count(lit(1)).as("n_arcs"),
+        sum(col("dy").cast("decimal(38,0)")).as("snd"))
+      .select(col("degree"), col("n_nodes"),
+        round(col("snd").cast("double") / col("n_arcs").cast("double"), 6)
+          .as("avg_nbr_degree"))
+      .orderBy("degree")
+  }
+
   /** Eigenvector-centrality power-iteration depth. */
   val EigIters = 6
 
@@ -1334,6 +1361,7 @@ object GraphOps {
     "q_graph_katz" -> q_graph_katz _,
     "q_graph_eigenvector" -> q_graph_eigenvector _,
     "q_agg_basket_lift" -> q_agg_basket_lift _,
+    "q_graph_knn_degree" -> q_graph_knn_degree _,
     "q_graph_ppr" -> q_graph_ppr _,
     "q_graph_degree" -> q_graph_degree _,
     "q_graph_cooccur" -> q_graph_cooccur _,

@@ -5972,6 +5972,43 @@ object Oracle {
         |    / CAST(SUM(n_gaps) OVER () AS DOUBLE), 6) AS survival
         |FROM h ORDER BY gap_week""".stripMargin,
 
+    "q_agg_new_vs_returning" ->
+      """WITH f AS (SELECT o_custkey AS ck,
+        |    CAST(MIN(year(o_orderdate) * 12 + month(o_orderdate)) AS BIGINT) AS fm
+        |  FROM orders GROUP BY 1),
+        |om AS (SELECT o.o_custkey,
+        |    CAST(year(o.o_orderdate) * 12 + month(o.o_orderdate) AS BIGINT) AS m,
+        |    f.fm
+        |  FROM orders o JOIN f ON o.o_custkey = f.ck),
+        |g AS (SELECT m, CAST(COUNT(*) AS BIGINT) AS n_orders,
+        |    CAST(COUNT(DISTINCT CASE WHEN m = fm THEN o_custkey END) AS BIGINT)
+        |      AS n_new_cust,
+        |    CAST(SUM(CASE WHEN m = fm THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS n_orders_new,
+        |    CAST(SUM(CASE WHEN m <> fm THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS n_orders_returning
+        |  FROM om GROUP BY 1)
+        |SELECT CAST((m - 1) // 12 AS VARCHAR) || '-'
+        |    || lpad(CAST((m - 1) % 12 + 1 AS VARCHAR), 2, '0') AS month,
+        |  n_orders, n_new_cust, n_orders_new, n_orders_returning,
+        |  ROUND(CAST(n_orders_returning AS DOUBLE)
+        |    / CAST(n_orders AS DOUBLE), 6) AS returning_share
+        |FROM g ORDER BY month""".stripMargin,
+
+    "q_graph_knn_degree" ->
+      s"""WITH $edgesCte,
+         |pp AS MATERIALIZED (SELECT e1.dst AS a, e2.dst AS b
+         |       FROM edges e1 JOIN edges e2 ON e1.src = e2.src AND e1.dst < e2.dst
+         |       GROUP BY 1, 2 HAVING COUNT(*) >= ${GraphOps.TriangleMinCooccur}),
+         |ue AS MATERIALIZED (SELECT a, b FROM pp UNION ALL SELECT b, a FROM pp),
+         |deg AS (SELECT a AS n, CAST(COUNT(*) AS BIGINT) AS d FROM ue GROUP BY 1),
+         |arcs AS (SELECT ue.a, da.d AS dx, db.d AS dy
+         |  FROM ue JOIN deg da ON ue.a = da.n JOIN deg db ON ue.b = db.n)
+         |SELECT dx AS degree, CAST(COUNT(DISTINCT a) AS BIGINT) AS n_nodes,
+         |  ROUND(CAST(SUM(CAST(dy AS DECIMAL(38,0))) AS DOUBLE)
+         |    / CAST(COUNT(*) AS DOUBLE), 6) AS avg_nbr_degree
+         |FROM arcs GROUP BY 1 ORDER BY degree""".stripMargin,
+
     "q_agg_pareto" ->
       """WITH per AS (SELECT o_custkey,
         |    CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(18,2))

@@ -656,6 +656,37 @@ object Relational {
       .orderBy("decile")
   }
 
+  /** New-vs-returning growth accounting per order month (the other
+    * classic behavioral table beside cohort retention — growth teams
+    * read the two together): per month the order count, the count of
+    * customers whose FIRST-ever order lands in that month, and the
+    * order split between first-month customers and returning ones,
+    * with the returning share as ONE round-6 exact-count division.
+    * First-order month is one keyed min; the split is a broadcast-able
+    * join of orders against that dimension-sized table. */
+  def q_agg_new_vs_returning(s: SparkSession, dir: String): DataFrame = {
+    val mIdx = year(col("o_orderdate")) * 12 + month(col("o_orderdate"))
+    val first = Tables.orders(s, dir)
+      .groupBy(col("o_custkey").as("ck"))
+      .agg(min(mIdx).as("fm"))
+    val om = Tables.orders(s, dir)
+      .select(col("o_custkey"), mIdx.as("m"))
+      .join(first, col("o_custkey") === col("ck"))
+    om.groupBy(col("m"))
+      .agg(count(lit(1)).as("n_orders"),
+        countDistinct(when(col("m") === col("fm"), col("o_custkey"))).as("n_new_cust"),
+        sum(when(col("m") === col("fm"), 1L).otherwise(0L)).as("n_orders_new"),
+        sum(when(col("m") =!= col("fm"), 1L).otherwise(0L)).as("n_orders_returning"))
+      .select(
+        concat(expr("(m - 1) div 12").cast("string"), lit("-"),
+          lpad(((col("m") - 1) % 12 + 1).cast("string"), 2, "0")).as("month"),
+        col("n_orders"), col("n_new_cust"), col("n_orders_new"),
+        col("n_orders_returning"),
+        round(col("n_orders_returning").cast("double")
+          / col("n_orders").cast("double"), 6).as("returning_share"))
+      .orderBy("month")
+  }
+
   // ── §2.8 scalar functions ────────────────────────────────────────────
 
   def q_str_funcs(s: SparkSession, dir: String): DataFrame =
@@ -990,6 +1021,7 @@ object Relational {
     "q_agg_cohort_retention" -> q_agg_cohort_retention _,
     "q_agg_rfm" -> q_agg_rfm _,
     "q_agg_pareto" -> q_agg_pareto _,
+    "q_agg_new_vs_returning" -> q_agg_new_vs_returning _,
     "q_agg_listagg" -> q_agg_listagg _,
     "q_win_first_last" -> q_win_first_last _,
     "q_agg_percentiles" -> q_agg_percentiles _,

@@ -589,6 +589,42 @@ class Round16Spec extends AnyFunSuite {
     assert(ord.sliding(2).forall(p => p(0) >= p(1) - 1e-12))
   }
 
+  test("q_agg_new_vs_returning coheres with the cohort base and partitions orders") {
+    import org.apache.spark.sql.functions._
+    import graft.engine.{Relational, Tables}
+    val rows = Relational.q_agg_new_vs_returning(spark, sf0001).collect()
+      .map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getDouble(5))))
+    val nOrders = Tables.orders(spark, sf0001).count()
+    assert(rows.map(_._2._1).sum == nOrders, "months partition the orders")
+    // every order is new-or-returning; shares replay; first month is all-new
+    rows.foreach { case (m, (n, _, nn, nr, share)) =>
+      assert(nn + nr == n, s"$m split must partition")
+      assert(share == r6(nr.toDouble / n.toDouble), s"$m share")
+    }
+    val firstMonth = rows.map(_._1).min
+    assert(rows.toMap.apply(firstMonth)._4 == 0L,
+      "the first month can have no returning orders")
+    // total new customers across months = distinct ordering customers
+    val nCust = Tables.orders(spark, sf0001)
+      .select(col("o_custkey")).distinct().count()
+    assert(rows.map(_._2._2).sum == nCust, "every customer is new exactly once")
+  }
+
+  test("q_graph_knn_degree equals a driver-side neighbor-degree replay") {
+    import graft.engine.GraphOps
+    val arcs = GraphOps.undProj(spark, sf0001, GraphOps.TriangleMinCooccur)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val deg = arcs.groupBy(_._1).view.mapValues(_.length.toLong).toMap
+    val want = arcs.groupBy(a => deg(a._1)).map { case (k, as) =>
+      k -> ((as.map(_._1).distinct.length.toLong,
+        r6(as.map(a => BigDecimal(deg(a._2))).sum.toDouble / as.length.toDouble)))
+    }
+    val got = GraphOps.q_graph_knn_degree(spark, sf0001).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+    assert(got == want.toMap)
+  }
+
   // ── VERDICT r10 item 2: the re-parameterized zero-row trio must be
   // non-vacuous at the smallest fixture (it is at sf0.01/sf0.1 too —
   // probed 71/511 anti, 266/2600 except, 31k/3.6k jaccard) ────────────
