@@ -165,7 +165,13 @@ object Gnn {
   def q_embed_outliers(s: SparkSession, dir: String): DataFrame = {
     val emb = Tables.embeddings(s, dir)
     val el = (j: Int) => element_at(col("embedding"), j).cast("double")
-    val moments = (1 to 64).map(j => avg(el(j)).as(s"m$j"))
+    // order-blind centroid (round-11 review): a raw double AVG is
+    // partition-order-dependent in the last ulp, which can flip a
+    // round-6 tie at the top-20 cutoff between engines; the 1e9-scaled
+    // integer sum is exact and identical everywhere
+    val moments = (1 to 64).map(j =>
+      (sum(round(el(j) * 1e9, 0).cast("bigint")).cast("double")
+        / count(lit(1)).cast("double") / 1e9).as(s"m$j"))
     val stats = emb.agg(moments.head, moments.tail: _*)
     val d2 = (1 to 64).map(j => (el(j) - col(s"m$j")) * (el(j) - col(s"m$j")))
       .reduce(_ + _)

@@ -54,8 +54,9 @@ object GraphOps {
     * (PlanAuditSpec pins both regimes with it). */
   val StateBroadcastMaxRows = 20000000L
 
-  private def stateFitsBroadcast(s: SparkSession, dir: String): Boolean =
-    vertexCount(s, dir) <= s.conf
+  private def stateFitsBroadcast(s: SparkSession, dir: String,
+      factor: Long): Boolean =
+    vertexCount(s, dir) * factor <= s.conf
       .get("spark.graft.stateBroadcastMaxRows", StateBroadcastMaxRows.toString).toLong
 
   /** Probe-gated broadcast hint for the fixpoint tier's |V|-sized state
@@ -68,9 +69,10 @@ object GraphOps {
     * already checkpoint-partitioned on its own key — re-exchanges at
     * most once, and the state side arrives pre-placed. The guard reads
     * a memoized one-scalar |V| probe per (session, fixture). */
-  private[graft] def stateHint(
-      s: SparkSession, dir: String, df: DataFrame, key: String): DataFrame =
-    if (stateFitsBroadcast(s, dir)) broadcast(df) else df.repartition(col(key))
+  private[graft] def stateHint(s: SparkSession, dir: String, df: DataFrame,
+      key: String, factor: Long = 1L): DataFrame =
+    if (stateFitsBroadcast(s, dir, factor)) broadcast(df)
+    else df.repartition(col(key))
 
   /** Stricter threshold for connected components so the projected graph
     * fragments into many components (non-trivial size histogram, and a
@@ -747,14 +749,22 @@ object GraphOps {
     * BIGINTs; ONE double division at the end — the same zero-rounding
     * determinism shape as q_graph_modularity. Degree table broadcasts
     * onto the arc list twice; one aggregation, no further shuffle. */
-  def q_graph_assortativity(s: SparkSession, dir: String): DataFrame = {
+  /** Degree-annotated arc list (a, b, dx=deg(a), dy=deg(b)) over the
+    * thresholded projection — the ONE construction both the scalar
+    * assortativity and the k_nn(k) profile aggregate (round-11 review:
+    * previously duplicated verbatim in both operators). */
+  private def degArcs(s: SparkSession, dir: String): DataFrame = {
     val ue = undProj(s, dir, TriangleMinCooccur)
     val deg = ue.groupBy(col("a").as("n")).agg(count(lit(1)).as("d"))
-    val arcs = ue
+    ue
       .join(stateHint(s, dir, deg.select(col("n").as("n1"), col("d").as("dx")), "n1"),
         col("a") === col("n1"))
       .join(stateHint(s, dir, deg.select(col("n").as("n2"), col("d").as("dy")), "n2"),
         col("b") === col("n2"))
+  }
+
+  def q_graph_assortativity(s: SparkSession, dir: String): DataFrame = {
+    val arcs = degArcs(s, dir)
     arcs.agg(count(lit(1)).as("arcs"),
         sum(col("dx")).as("s1"),
         sum(col("dx") * col("dy")).as("sxy"),
@@ -1013,11 +1023,15 @@ object GraphOps {
         // same probe-gated rationale as q_graph_bfs: checkpointed
         // frontiers carry no stats; past the |V| guard stateHint
         // pre-partitions the frontier on the node key instead.
+        // per-seed state: up to CloseSeeds x |V| rows — the guard
+        // compares vertexCount x seeds (round-11 review)
         val next = ue
-          .join(stateHint(bs, dir, frontier, "node"), col("node") === col("a"))
+          .join(stateHint(bs, dir, frontier, "node", CloseSeeds),
+            col("node") === col("a"))
           .select(col("seed"), col("b").as("node")).distinct()
           .join(stateHint(bs, dir,
-              dist.select(col("seed").as("vs"), col("node").as("vn")), "vn"),
+              dist.select(col("seed").as("vs"), col("node").as("vn")), "vn",
+              CloseSeeds),
             col("seed") === col("vs") && col("node") === col("vn"), "left_anti")
           .select(col("seed"), col("node"), lit(depth).as("d"))
           .localCheckpoint()
@@ -1121,15 +1135,8 @@ object GraphOps {
     * arc count), ONE round-6 division. Degree table joins onto both
     * arc ends via the probe-gated stateHint; output degree-support-
     * sized at any scale. */
-  def q_graph_knn_degree(s: SparkSession, dir: String): DataFrame = {
-    val ue = undProj(s, dir, TriangleMinCooccur)
-    val deg = ue.groupBy(col("a").as("n")).agg(count(lit(1)).as("d"))
-    val arcs = ue
-      .join(stateHint(s, dir, deg.select(col("n").as("n1"), col("d").as("dx")), "n1"),
-        col("a") === col("n1"))
-      .join(stateHint(s, dir, deg.select(col("n").as("n2"), col("d").as("dy")), "n2"),
-        col("b") === col("n2"))
-    arcs.groupBy(col("dx").as("degree"))
+  def q_graph_knn_degree(s: SparkSession, dir: String): DataFrame =
+    degArcs(s, dir).groupBy(col("dx").as("degree"))
       .agg(countDistinct(col("a")).as("n_nodes"),
         count(lit(1)).as("n_arcs"),
         sum(col("dy").cast("decimal(38,0)")).as("snd"))
@@ -1137,7 +1144,6 @@ object GraphOps {
         round(col("snd").cast("double") / col("n_arcs").cast("double"), 6)
           .as("avg_nbr_degree"))
       .orderBy("degree")
-  }
 
   /** Eigenvector-centrality power-iteration depth. */
   val EigIters = 6
@@ -1263,10 +1269,12 @@ object GraphOps {
     for (_ <- 1 to BetwHops) {
       val cur = levels.last
       val nxt = ue
-        .join(stateHint(s, dir, cur.select(col("seed"), col("node").as("fa"), col("sigma").as("fs")), "fa"),
+        .join(stateHint(s, dir, cur.select(col("seed"), col("node").as("fa"),
+            col("sigma").as("fs")), "fa", BetwSeeds),
           col("a") === col("fa"))
         .select(col("seed"), col("b").as("node"), col("fs"))
-        .join(stateHint(s, dir, visited.select(col("seed").as("vs"), col("node").as("vn")), "vn"),
+        .join(stateHint(s, dir, visited.select(col("seed").as("vs"),
+            col("node").as("vn")), "vn", BetwSeeds),
           col("seed") === col("vs") && col("node") === col("vn"), "left_anti")
         .groupBy(col("seed"), col("node")).agg(sum(col("fs")).as("sigma"))
         .localCheckpoint()
@@ -1281,9 +1289,10 @@ object GraphOps {
     for (d <- (0 until BetwHops).reverse) {
       val wSide = deltas.head.select(col("seed").as("ws_seed"),
         col("node").as("wn"), col("sigma").as("wsig"), col("delta").as("wd"))
-      val terms = ue.join(stateHint(s, dir, wSide, "wn"), col("b") === col("wn"))
+      val terms = ue.join(stateHint(s, dir, wSide, "wn", BetwSeeds),
+          col("b") === col("wn"))
         .join(stateHint(s, dir, levels(d).select(col("seed").as("v_seed"),
-            col("node").as("vn"), col("sigma").as("vsig")), "vn"),
+            col("node").as("vn"), col("sigma").as("vsig")), "vn", BetwSeeds),
           col("ws_seed") === col("v_seed") && col("a") === col("vn"))
         .select(col("v_seed").as("seed"), col("vn").as("node"),
           round((col("vsig").cast("double") / col("wsig").cast("double"))

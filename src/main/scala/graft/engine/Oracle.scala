@@ -4238,14 +4238,14 @@ object Oracle {
          |    d.y * st.n - st.sy AS e, st.n
          |  FROM d JOIN st ON d.event_type = st.s_t),
          |num AS (SELECT a.event_type, l.lag, a.n,
-         |    SUM(CAST(a.e * b.e AS DECIMAL(38,0))) AS nk
+         |    SUM(CAST(a.e AS DECIMAL(38,0)) * b.e) AS nk
          |  FROM resid a
          |  CROSS JOIN (SELECT UNNEST(range(1, ${m + 1})) AS lag) l
          |  JOIN resid b ON a.event_type = b.event_type
          |    AND a.x = b.x + l.lag
          |  GROUP BY 1, 2, 3),
          |den AS (SELECT event_type AS dt,
-         |    SUM(CAST(e * e AS DECIMAL(38,0))) AS d FROM resid GROUP BY 1),
+         |    SUM(CAST(e AS DECIMAL(38,0)) * e) AS d FROM resid GROUP BY 1),
          |terms AS (SELECT num.event_type, num.n,
          |    CAST(ROUND((CAST(nk AS DOUBLE) / CAST(den.d AS DOUBLE))
          |      * (CAST(nk AS DOUBLE) / CAST(den.d AS DOUBLE))
@@ -5807,14 +5807,14 @@ object Oracle {
          |resid AS (SELECT d.event_type, d.x, d.y * st.n - st.sy AS e
          |  FROM d JOIN st ON d.event_type = st.s_t),
          |num AS (SELECT a.event_type, l.lag,
-         |    SUM(CAST(a.e * b.e AS DECIMAL(38,0))) AS nk
+         |    SUM(CAST(a.e AS DECIMAL(38,0)) * b.e) AS nk
          |  FROM resid a
          |  CROSS JOIN (SELECT UNNEST(range(1, ${m + 1})) AS lag) l
          |  JOIN resid b ON a.event_type = b.event_type
          |    AND a.x = b.x + l.lag
          |  GROUP BY 1, 2),
          |den AS (SELECT event_type AS dt,
-         |    SUM(CAST(e * e AS DECIMAL(38,0))) AS d FROM resid GROUP BY 1),
+         |    SUM(CAST(e AS DECIMAL(38,0)) * e) AS d FROM resid GROUP BY 1),
          |rr AS (SELECT num.event_type, num.lag,
          |    CAST(nk AS DOUBLE) / CAST(den.d AS DOUBLE) AS r
          |  FROM num JOIN den ON num.event_type = den.dt),
@@ -5873,8 +5873,9 @@ object Oracle {
   /** Round-16 batch 5: embedding outliers, user Markov chain, Pareto. */
   val round16e: Map[String, String] = Map(
     "q_embed_outliers" -> {
-      val moments = (1 to 64)
-        .map(j => s"AVG(CAST(embedding[$j] AS DOUBLE)) AS m$j").mkString(", ")
+      val moments = (1 to 64).map(j =>
+        s"CAST(SUM(CAST(ROUND(CAST(embedding[$j] AS DOUBLE) * 1e9, 0) AS BIGINT)) AS DOUBLE)"
+          + s" / CAST(COUNT(*) AS DOUBLE) / 1e9 AS m$j").mkString(", ")
       val d2 = (1 to 64).map(j =>
         s"(CAST(embedding[$j] AS DOUBLE) - m$j) * (CAST(embedding[$j] AS DOUBLE) - m$j)")
         .mkString(" + ")
@@ -5945,9 +5946,9 @@ object Oracle {
          |a AS (SELECT lag, CAST(COUNT(*) AS BIGINT) AS n_pairs,
          |    CAST(SUM(CAST(x AS DECIMAL(38,0))) AS DOUBLE) AS sx,
          |    CAST(SUM(CAST(yv AS DECIMAL(38,0))) AS DOUBLE) AS sy,
-         |    CAST(SUM(CAST(x * x AS DECIMAL(38,0))) AS DOUBLE) AS sxx,
-         |    CAST(SUM(CAST(yv * yv AS DECIMAL(38,0))) AS DOUBLE) AS syy,
-         |    CAST(SUM(CAST(x * yv AS DECIMAL(38,0))) AS DOUBLE) AS sxy
+         |    CAST(SUM(CAST(x AS DECIMAL(38,0)) * x) AS DOUBLE) AS sxx,
+         |    CAST(SUM(CAST(yv AS DECIMAL(38,0)) * yv) AS DOUBLE) AS syy,
+         |    CAST(SUM(CAST(x AS DECIMAL(38,0)) * yv) AS DOUBLE) AS sxy
          |  FROM pr GROUP BY 1)
          |SELECT CAST(lag AS BIGINT) AS lag, n_pairs,
          |  ROUND((CAST(n_pairs AS DOUBLE) * sxy - sx * sy)

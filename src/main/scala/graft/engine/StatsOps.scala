@@ -1180,9 +1180,11 @@ object StatsOps {
           col("e").as("e2")),
         col("event_type") === col("e2t") && col("x") === col("x2") + col("lag"))
       .groupBy(col("event_type"), col("lag"), col("n"))
-      .agg(sum((col("e") * col("e2")).cast("decimal(38,0)")).as("nk"))
+      // widen BEFORE the multiply (round-11 review): e ~ n·(y−ȳ) can
+      // exceed 3e9 at corpus scale, so e·e overflows BIGINT per-term
+      .agg(sum(col("e").cast("decimal(38,0)") * col("e2")).as("nk"))
     val den = resid.groupBy(col("event_type").as("dt"))
-      .agg(sum((col("e") * col("e")).cast("decimal(38,0)")).as("d"))
+      .agg(sum(col("e").cast("decimal(38,0)") * col("e")).as("d"))
     val r = col("nk").cast("double") / col("d").cast("double")
     val term = round(r * r / (col("n") - col("lag")).cast("double"), 9)
       .cast("decimal(28,9)")
@@ -1245,10 +1247,14 @@ object StatsOps {
           .cast("double").as("pi"))
         .select(col("to_type").as("state"), col("pi"))
     }
+    // LEFT join + 0 fallback (round-11 review): a from-only state (one
+    // that never appears as a destination) has no π row after the first
+    // iteration; an inner join would silently drop its transition rows
     pTab.join(broadcast(pi.select(col("state").as("sf"), col("pi").as("pi_from"))),
-        col("from_type") === col("sf"))
+        col("from_type") === col("sf"), "left_outer")
       .select(col("from_type"), col("to_type"), col("n_trans"),
-        round(col("p"), 6).as("p"), round(col("pi_from"), 6).as("pi_from"))
+        round(col("p"), 6).as("p"),
+        round(coalesce(col("pi_from"), lit(0.0)), 6).as("pi_from"))
       .orderBy("from_type", "to_type")
   }
 
@@ -1321,12 +1327,16 @@ object StatsOps {
     val pairs = buys.crossJoin(broadcast(lags))
       .join(clicks, col("cd") === expr("date_add(pd, -lag)"))
     def dsum(c: org.apache.spark.sql.Column, n: String) =
-      sum(c.cast("decimal(38,0)")).cast("double").as(n)
+      sum(c).cast("double").as(n)
+    // products widened BEFORE the multiply (round-11 review): a daily
+    // series past ~3e9 cents would overflow the BIGINT per-term square
+    val xd = col("x").cast("decimal(38,0)")
+    val yd = col("yv").cast("decimal(38,0)")
     val agg = pairs.groupBy(col("lag")).agg(
       count(lit(1)).as("n_pairs"),
-      dsum(col("x"), "sx"), dsum(col("yv"), "sy"),
-      dsum(col("x") * col("x"), "sxx"), dsum(col("yv") * col("yv"), "syy"),
-      dsum(col("x") * col("yv"), "sxy"))
+      dsum(xd, "sx"), dsum(yd, "sy"),
+      dsum(xd * col("x"), "sxx"), dsum(yd * col("yv"), "syy"),
+      dsum(xd * col("yv"), "sxy"))
     val n = col("n_pairs").cast("double")
     agg.select(col("lag").cast("bigint").as("lag"), col("n_pairs"),
         round((n * col("sxy") - col("sx") * col("sy"))
@@ -1397,9 +1407,10 @@ object StatsOps {
           col("e").as("e2")),
         col("event_type") === col("e2t") && col("x") === col("x2") + col("lag"))
       .groupBy(col("event_type"), col("lag"))
-      .agg(sum((col("e") * col("e2")).cast("decimal(38,0)")).as("nk"))
+      // widen BEFORE the multiply — same overflow class as ljungbox
+      .agg(sum(col("e").cast("decimal(38,0)") * col("e2")).as("nk"))
     val den = resid.groupBy(col("event_type").as("dt"))
-      .agg(sum((col("e") * col("e")).cast("decimal(38,0)")).as("d"))
+      .agg(sum(col("e").cast("decimal(38,0)") * col("e")).as("d"))
     val r = col("nk").cast("double") / col("d").cast("double")
     val wide = num.join(broadcast(den), col("event_type") === col("dt"))
       .select(col("event_type"), col("lag"), r.as("r"))

@@ -402,8 +402,12 @@ class Round16Spec extends AnyFunSuite {
     val vecs = Tables.embeddings(spark, sf0001).collect()
       .map(r => r.getLong(0) -> r.getSeq[Float](1).toArray)
     val n = vecs.length
-    // centroid per dim as the engine's AVG (sum/count over doubles)
-    val cent = (0 until 64).map(j => vecs.map(_._2(j).toDouble).sum / n)
+    // order-blind centroid: exact 1e9-scaled integer sums — the replay
+    // reproduces the engine value EXACTLY (no last-ulp caveat)
+    val cent = (0 until 64).map { j =>
+      vecs.map(v => math.rint(v._2(j).toDouble * 1e9).toLong).sum.toDouble /
+        n.toDouble / 1e9
+    }
     def dist(v: Array[Float]): Double = {
       var acc = 0.0
       for (j <- 0 until 64) {
@@ -415,12 +419,7 @@ class Round16Spec extends AnyFunSuite {
       .sortBy { case (id, dv) => (-dv, id) }.take(20).toSeq
     val got = Gnn.q_embed_outliers(spark, sf0001).collect()
       .map(r => (r.getLong(0), r.getDouble(1))).toSeq
-    // AVG accumulation order may differ at the last ulp between the
-    // engine and this fold; compare values at 1e-6 and ranks exactly
-    assert(got.map(_._1) == want.map(_._1), "outlier ranking")
-    got.zip(want).foreach { case ((_, g), (_, w)) =>
-      assert(math.abs(g - w) <= 1e-5)
-    }
+    assert(got == want)
   }
 
   test("q_time_markov: transitions replay exactly; pi is a distribution near its fixpoint") {
