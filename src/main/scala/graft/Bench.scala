@@ -214,8 +214,12 @@ object Bench {
     }
     val resweep = passes.size > 1
     val canary1 = passes.head._2
+    // canary2 mirrors the triple `contaminated` is judged on — the LAST
+    // pass (ADVICE r11: pinned to pass 2, a 3-sweep run could show a
+    // dirty canary2 beside contaminated:false). `canaries` + `n_sweeps`
+    // remain the authoritative full history.
     val canary2 =
-      if (resweep) passes(1)._2 else (-1.0, -1.0, -1.0)
+      if (resweep) passes.last._2 else (-1.0, -1.0, -1.0)
     // Official per-query value so far: min across honest samples.
     val merged = passes.tail.foldLeft(passes.head._1) { (acc, p) =>
       mergeMin(acc, p._1.toMap)

@@ -70,9 +70,12 @@ object GraphOps {
     * most once, and the state side arrives pre-placed. The guard reads
     * a memoized one-scalar |V| probe per (session, fixture). */
   private[graft] def stateHint(s: SparkSession, dir: String, df: DataFrame,
-      key: String, factor: Long = 1L): DataFrame =
+      key: String, factor: Long = 1L, moreKeys: Seq[String] = Nil): DataFrame =
     if (stateFitsBroadcast(s, dir, factor)) broadcast(df)
-    else df.repartition(col(key))
+    // Partition on the FULL join-key tuple (ADVICE r11): a multi-key
+    // equi-join clusters on all its keys, so a single-column placement
+    // would still force a planner-inserted exchange on the state side.
+    else df.repartition((key +: moreKeys).map(col): _*)
 
   /** Stricter threshold for connected components so the projected graph
     * fragments into many components (non-trivial size histogram, and a
@@ -1030,8 +1033,8 @@ object GraphOps {
             col("node") === col("a"))
           .select(col("seed"), col("b").as("node")).distinct()
           .join(stateHint(bs, dir,
-              dist.select(col("seed").as("vs"), col("node").as("vn")), "vn",
-              CloseSeeds),
+              dist.select(col("seed").as("vs"), col("node").as("vn")), "vs",
+              CloseSeeds, moreKeys = Seq("vn")),
             col("seed") === col("vs") && col("node") === col("vn"), "left_anti")
           .select(col("seed"), col("node"), lit(depth).as("d"))
           .localCheckpoint()
@@ -1274,7 +1277,7 @@ object GraphOps {
           col("a") === col("fa"))
         .select(col("seed"), col("b").as("node"), col("fs"))
         .join(stateHint(s, dir, visited.select(col("seed").as("vs"),
-            col("node").as("vn")), "vn", BetwSeeds),
+            col("node").as("vn")), "vs", BetwSeeds, moreKeys = Seq("vn")),
           col("seed") === col("vs") && col("node") === col("vn"), "left_anti")
         .groupBy(col("seed"), col("node")).agg(sum(col("fs")).as("sigma"))
         .localCheckpoint()
@@ -1292,7 +1295,8 @@ object GraphOps {
       val terms = ue.join(stateHint(s, dir, wSide, "wn", BetwSeeds),
           col("b") === col("wn"))
         .join(stateHint(s, dir, levels(d).select(col("seed").as("v_seed"),
-            col("node").as("vn"), col("sigma").as("vsig")), "vn", BetwSeeds),
+            col("node").as("vn"), col("sigma").as("vsig")), "v_seed", BetwSeeds,
+            moreKeys = Seq("vn")),
           col("ws_seed") === col("v_seed") && col("a") === col("vn"))
         .select(col("v_seed").as("seed"), col("vn").as("node"),
           round((col("vsig").cast("double") / col("wsig").cast("double"))

@@ -5909,8 +5909,8 @@ object Oracle {
          |      AS DOUBLE) AS pi FROM pt),
          |$steps
          |SELECT pt.from_type, pt.to_type, pt.n_trans, ROUND(pt.p, 6) AS p,
-         |  ROUND(f.pi, 6) AS pi_from
-         |FROM pt JOIN pi${StatsOps.MarkovIters} f ON pt.from_type = f.state
+         |  ROUND(COALESCE(f.pi, 0), 6) AS pi_from
+         |FROM pt LEFT JOIN pi${StatsOps.MarkovIters} f ON pt.from_type = f.state
          |ORDER BY pt.from_type, pt.to_type""".stripMargin
     },
 
