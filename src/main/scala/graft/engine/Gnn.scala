@@ -181,6 +181,40 @@ object Gnn {
       .limit(20)
   }
 
+  /** Int8 scalar-quantization audit (the SQ8 tier every serving index
+    * — FAISS SQ8, Milvus, pgvector halfvec pipelines — runs beside PQ:
+    * 4 bytes → 1 byte per dim with per-dimension min/max codebooks):
+    * per dim j, range_j = max_j − min_j from ONE 128-moment
+    * aggregation; code_j = ⌊(x_j − min_j)·255/range_j + 0.5⌋ (the
+    * floor(t+0.5) form — identical IEEE arithmetic in both engines,
+    * unlike ROUND whose half-tie rule differs); reconstruction
+    * x̂_j = min_j + code_j·range_j/255; the audit reports the top-20
+    * WORST vectors by reconstruction error √Σ(x_j−x̂_j)² as a fixed
+    * left-assoc 64-term fold (the q_embed_outliers device) with
+    * (err desc, id asc) tie-break. A constant dimension (range 0)
+    * codes to 0 and reconstructs exactly in both engines via the CASE
+    * guard. Corpus touched twice, 1-row stats broadcast — the standard
+    * quantization-QA pass at any scale. */
+  def q_embed_sq8(s: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(s, dir)
+    val el = (j: Int) => element_at(col("embedding"), j).cast("double")
+    val moments = (1 to 64).flatMap(j =>
+      Seq(min(el(j)).as(s"mn$j"), max(el(j)).as(s"mx$j")))
+    val stats = emb.agg(moments.head, moments.tail: _*)
+    def errj(j: Int) = {
+      val rg = col(s"mx$j") - col(s"mn$j")
+      val code = floor((el(j) - col(s"mn$j")) * lit(255.0) / rg + lit(0.5))
+      val recon = col(s"mn$j") + code * rg / lit(255.0)
+      val e = when(rg === 0d, lit(0.0)).otherwise(el(j) - recon)
+      e * e
+    }
+    val e2 = (1 to 64).map(errj).reduce(_ + _)
+    emb.crossJoin(broadcast(stats))
+      .select(col("vec_id"), round(sqrt(e2), 6).as("recon_err"))
+      .orderBy(col("recon_err").desc, col("vec_id").asc)
+      .limit(20)
+  }
+
   /** GraphSAGE fixed-size neighborhood sampling (Hamilton et al. 2017
     * §3.1: uniform fixed-size neighbor sample per node, here made
     * deterministic): each customer keeps its K=10 neighbors with the
@@ -692,6 +726,7 @@ object Gnn {
     "q_gnn_neg_sampling" -> q_gnn_neg_sampling _,
     "q_gnn_sgd_step" -> q_gnn_sgd_step _,
     "q_embed_zscore" -> q_embed_zscore _,
-    "q_embed_outliers" -> q_embed_outliers _
+    "q_embed_outliers" -> q_embed_outliers _,
+    "q_embed_sq8" -> q_embed_sq8 _
   )
 }

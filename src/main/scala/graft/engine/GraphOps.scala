@@ -624,6 +624,29 @@ object GraphOps {
       .orderBy("part_a", "part_b")
   }
 
+  /** Overlap (Szymkiewicz–Simpson) coefficient per co-purchase part
+    * pair: O = |N(a)∩N(b)| / min(|N(a)|, |N(b)|) — the third local
+    * link-prediction similarity beside Jaccard and Adamic–Adar, and
+    * the one that reads CONTAINMENT correctly: a niche part whose
+    * whole neighborhood sits inside a bestseller's scores O = 1 where
+    * Jaccard collapses toward 0 (the asymmetric-popularity case every
+    * co-purchase graph is full of). Same two shared MVs as
+    * q_graph_jaccard — thresholded pair counts + the degree table —
+    * so the operator is two broadcastable joins and a TakeOrdered
+    * top-20 with (coef desc, a, b) tie-break; the ratio is one
+    * exact-integer division rounded at 6dp. */
+  def q_graph_overlap(s: SparkSession, dir: String): DataFrame = {
+    val pp = partPairs(s, dir, TriangleMinCooccur)
+    val deg = edges(s, dir).groupBy(col("dst")).agg(count(lit(1)).as("d"))
+    pp.join(deg.select(col("dst").as("pa"), col("d").as("da")), col("a") === col("pa"))
+      .join(deg.select(col("dst").as("pb"), col("d").as("db")), col("b") === col("pb"))
+      .select(col("a").as("part_a"), col("b").as("part_b"), col("cnt").as("common"),
+        round(col("cnt").cast("double") / least(col("da"), col("db")).cast("double"), 6)
+          .as("overlap"))
+      .orderBy(col("overlap").desc, col("part_a").asc, col("part_b").asc)
+      .limit(20)
+  }
+
   /** Adamic–Adar index: AA(a,b) = Σ_{z ∈ N(a)∩N(b)} 1/ln(deg(z)) —
     * common neighbors weighted by rarity (Adamic & Adar 2003); top-20
     * part pairs. The common-neighbor rows are exactly the co-occurrence
@@ -1383,6 +1406,7 @@ object GraphOps {
     "q_graph_pagerank" -> q_graph_pagerank _,
     "q_graph_bfs" -> q_graph_bfs _,
     "q_graph_jaccard" -> q_graph_jaccard _,
+    "q_graph_overlap" -> q_graph_overlap _,
     "q_graph_adamic_adar" -> q_graph_adamic_adar _,
     "q_graph_hits" -> q_graph_hits _,
     "q_graph_label_prop" -> q_graph_label_prop _,

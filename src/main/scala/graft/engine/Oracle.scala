@@ -505,6 +505,21 @@ object Oracle {
          |SELECT part_a, part_b, common, jaccard FROM j
          |WHERE jaccard >= ${GraphOps.JaccardMinSim} ORDER BY part_a, part_b""".stripMargin,
 
+    // Same pair-count + degree assembly as jaccard; the overlap
+    // coefficient divides by min(da, db) and reports the top-20 with
+    // (coef desc, a, b) tie-break.
+    "q_graph_overlap" ->
+      s"""WITH $edgesCte,
+         |pp AS (SELECT e1.dst AS a, e2.dst AS b, COUNT(*) AS cnt
+         |       FROM edges e1 JOIN edges e2 ON e1.src = e2.src AND e1.dst < e2.dst
+         |       GROUP BY 1, 2 HAVING COUNT(*) >= ${GraphOps.TriangleMinCooccur}),
+         |deg AS (SELECT dst, COUNT(*) AS d FROM edges GROUP BY 1)
+         |SELECT pp.a AS part_a, pp.b AS part_b, cnt AS common,
+         |  ROUND(CAST(cnt AS DOUBLE) / CAST(LEAST(da.d, db.d) AS DOUBLE), 6)
+         |    AS overlap
+         |FROM pp JOIN deg da ON pp.a = da.dst JOIN deg db ON pp.b = db.dst
+         |ORDER BY overlap DESC, part_a ASC, part_b ASC LIMIT 20""".stripMargin,
+
     // 4 synchronous label-propagation steps unrolled (argmax neighbor
     // label, min-label tie-break) — same rule as the Spark loop.
     "q_graph_label_prop" -> {
@@ -4831,6 +4846,49 @@ object Oracle {
           |    / CAST(nn.n * nn.n - pe.chance_x AS DOUBLE), 6) AS kappa
           |FROM nn, dg, pe""".stripMargin,
 
+      // Multiclass MCC (Gorodkin R_K): the SAME langid confusion chain
+      // as kappa/f1; products DECIMAL(38,0)-widened, the two sqrt legs
+      // taken separately, one pinned double with the NULLIF guard.
+      "q_text_mcc" ->
+        """WITH tok AS (SELECT doc_id, lang,
+          |    unnest(list_distinct(string_split(text, ' '))) AS token
+          |  FROM documents),
+          |prof AS (SELECT lang AS p_lang, token AS p_tok, COUNT(*) AS freq
+          |         FROM tok GROUP BY 1, 2),
+          |tot AS (SELECT p_lang, SUM(freq) AS tot FROM prof GROUP BY 1),
+          |sf AS (SELECT tk.doc_id, tk.lang, pn.p_lang, SUM(pn.freq) AS sf
+          |       FROM tok tk JOIN prof pn ON tk.token = pn.p_tok GROUP BY 1, 2, 3),
+          |scored AS (SELECT s.doc_id, s.lang, s.p_lang,
+          |             CAST(s.sf AS DOUBLE) / CAST(t.tot AS DOUBLE) AS score
+          |           FROM sf s JOIN tot t USING (p_lang)),
+          |r AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY doc_id
+          |        ORDER BY score DESC, p_lang ASC) AS rn FROM scored),
+          |pred AS (SELECT doc_id, lang, p_lang AS pred_lang FROM r WHERE rn = 1),
+          |cells AS (SELECT lang, pred_lang, CAST(COUNT(*) AS BIGINT) AS c
+          |          FROM pred GROUP BY 1, 2),
+          |nn AS (SELECT CAST(SUM(c) AS BIGINT) AS n FROM cells),
+          |dg AS (SELECT CAST(SUM(c) AS BIGINT) AS n_correct FROM cells
+          |       WHERE lang = pred_lang),
+          |rt AS (SELECT lang AS rl, CAST(SUM(c) AS BIGINT) AS rtv FROM cells GROUP BY 1),
+          |ct AS (SELECT pred_lang AS cl, CAST(SUM(c) AS BIGINT) AS ctv
+          |       FROM cells GROUP BY 1),
+          |xp AS (SELECT CAST(SUM(CAST(rtv AS DECIMAL(38,0)) * ctv)
+          |         AS DECIMAL(38,0)) AS sum_pt
+          |       FROM rt JOIN ct ON rl = cl),
+          |t2 AS (SELECT CAST(SUM(CAST(rtv AS DECIMAL(38,0)) * rtv)
+          |         AS DECIMAL(38,0)) AS sum_t2 FROM rt),
+          |p2 AS (SELECT CAST(SUM(CAST(ctv AS DECIMAL(38,0)) * ctv)
+          |         AS DECIMAL(38,0)) AS sum_p2 FROM ct)
+          |SELECT nn.n AS n_docs, dg.n_correct,
+          |  ROUND(CAST(CAST(nn.n AS DECIMAL(38,0)) * dg.n_correct - xp.sum_pt
+          |      AS DOUBLE)
+          |    / NULLIF(
+          |        sqrt(CAST(CAST(nn.n AS DECIMAL(38,0)) * nn.n - p2.sum_p2
+          |          AS DOUBLE))
+          |        * sqrt(CAST(CAST(nn.n AS DECIMAL(38,0)) * nn.n - t2.sum_t2
+          |          AS DOUBLE)), 0), 6) AS mcc
+          |FROM nn, dg, xp, t2, p2""".stripMargin,
+
       // Survivor selection: the dedup_clusters reachability chain with
       // per-cluster min-id keep + dropped-token accounting.
       "q_llm_dedup_keep" ->
@@ -5885,6 +5943,26 @@ object Oracle {
          |ORDER BY centroid_dist DESC, vec_id ASC LIMIT 20""".stripMargin
     },
 
+    // SQ8 audit: per-dim min/max codebooks from one 128-moment agg,
+    // floor(t+0.5) codes (identical IEEE both engines — ROUND's
+    // half-tie rule differs), fixed left-assoc 64-term error fold.
+    "q_embed_sq8" -> {
+      val mm = (1 to 64).map(j =>
+        s"MIN(CAST(embedding[$j] AS DOUBLE)) AS mn$j, " +
+          s"MAX(CAST(embedding[$j] AS DOUBLE)) AS mx$j").mkString(", ")
+      def err(j: Int): String = {
+        val x = s"CAST(embedding[$j] AS DOUBLE)"
+        val rg = s"(mx$j - mn$j)"
+        val recon = s"(mn$j + floor(($x - mn$j) * 255.0 / $rg + 0.5) * $rg / 255.0)"
+        s"(CASE WHEN $rg = 0 THEN 0.0 ELSE $x - $recon END)"
+      }
+      val e2 = (1 to 64).map(j => s"${err(j)} * ${err(j)}").mkString(" + ")
+      s"""WITH st AS (SELECT $mm FROM embeddings)
+         |SELECT vec_id, ROUND(sqrt($e2), 6) AS recon_err
+         |FROM embeddings CROSS JOIN st
+         |ORDER BY recon_err DESC, vec_id ASC LIMIT 20""".stripMargin
+    },
+
     "q_time_markov" -> {
       val steps = (1 to StatsOps.MarkovIters).map { i =>
         s"""pi$i AS (SELECT to_type AS state,
@@ -5956,6 +6034,27 @@ object Oracle {
          |      * sqrt(CAST(n_pairs AS DOUBLE) * syy - sy * sy)), 6) AS xcorr
          |FROM a ORDER BY lag""".stripMargin
     },
+
+    // Same daily-cents series + lag-window assembly as the Spark
+    // operator; U² = n·Σd²/(n·Σy²−(Σy)²) over the t≥2 rows with the
+    // xcorr DECIMAL-widen + pinned-double-division conventions.
+    "q_time_theil_u" ->
+      """WITH daily AS (SELECT event_type,
+        |    CAST(CAST(ts AS TIMESTAMP) AS DATE) AS day,
+        |    CAST(SUM(CAST(ROUND(value * 100, 0) AS BIGINT)) AS BIGINT) AS y
+        |  FROM events GROUP BY 1, 2),
+        |lg AS (SELECT event_type, y,
+        |    LAG(y) OVER (PARTITION BY event_type ORDER BY day) AS yp
+        |  FROM daily),
+        |a AS (SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_diffs,
+        |    CAST(SUM(CAST(y AS DECIMAL(38,0))) AS DOUBLE) AS sy,
+        |    CAST(SUM(CAST(y AS DECIMAL(38,0)) * y) AS DOUBLE) AS syy,
+        |    CAST(SUM(CAST(y - yp AS DECIMAL(38,0)) * (y - yp)) AS DOUBLE) AS sdd
+        |  FROM lg WHERE yp IS NOT NULL GROUP BY 1)
+        |SELECT event_type, n_diffs,
+        |  ROUND(sqrt(CAST(n_diffs AS DOUBLE) * sdd
+        |    / NULLIF(CAST(n_diffs AS DOUBLE) * syy - sy * sy, 0)), 6) AS theil_u
+        |FROM a ORDER BY event_type""".stripMargin,
 
     "q_agg_survival_curve" ->
       """WITH g AS (SELECT o_custkey, o_orderkey, o_orderdate,

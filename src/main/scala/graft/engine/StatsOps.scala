@@ -1345,6 +1345,40 @@ object StatsOps {
       .orderBy("lag")
   }
 
+  /** Theil-U forecastability screen per event_type (Theil 1966's U₂
+    * specialized to the two benchmark forecasts every capacity model
+    * starts from): over the daily cents series, U = RMSE(naive-1) /
+    * RMSE(mean) — U < 1 says yesterday's value beats the historical
+    * mean (the series trends/has momentum and a time-series model is
+    * worth fitting); U ≥ 1 says it mean-reverts within a day and the
+    * mean is already the better forecast. Both error sums run over the
+    * SAME t=2..n rows: with d_t = y_t − y_{t−1},
+    * U² = n·Σd² / (n·Σy² − (Σy)²). Diffs via one keyed lag window;
+    * squares DECIMAL(38,0)-widened BEFORE the multiply (the xcorr
+    * overflow convention); U is ONE pinned double with the nullif
+    * guard for a constant series. Work: one window + one keyed agg. */
+  def q_time_theil_u(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("event_type")).orderBy(col("day"))
+    val daily = Tables.events(s, dir)
+      .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+      .agg(sum(round(col("value") * 100, 0).cast("bigint")).as("y"))
+      .withColumn("yp", lag(col("y"), 1).over(w))
+      .filter(col("yp").isNotNull)
+    val yd = col("y").cast("decimal(38,0)")
+    val dd = (col("y") - col("yp")).cast("decimal(38,0)")
+    val agg = daily.groupBy(col("event_type")).agg(
+      count(lit(1)).as("n_diffs"),
+      sum(yd).cast("double").as("sy"),
+      sum(yd * col("y")).cast("double").as("syy"),
+      sum(dd * (col("y") - col("yp"))).cast("double").as("sdd"))
+    val n = col("n_diffs").cast("double")
+    agg.select(col("event_type"), col("n_diffs"),
+        round(sqrt(n * col("sdd")
+          / nullif(n * col("syy") - col("sy") * col("sy"), lit(0d))), 6)
+          .as("theil_u"))
+      .orderBy("event_type")
+  }
+
   /** Repurchase-timing survival curve (the Kaplan–Meier-flavored view
     * of inter-order gaps — "what share of repurchases take ≥ k
     * weeks?"): consecutive order gaps per customer via ONE keyed lead
@@ -2477,6 +2511,7 @@ object StatsOps {
     "q_time_markov" -> q_time_markov _,
     "q_stream_markov" -> q_stream_markov _,
     "q_time_xcorr" -> q_time_xcorr _,
+    "q_time_theil_u" -> q_time_theil_u _,
     "q_agg_survival_curve" -> q_agg_survival_curve _,
     "q_time_bollinger" -> q_time_bollinger _,
     "q_agg_pinball" -> q_agg_pinball _,

@@ -1105,6 +1105,41 @@ object TextOps {
       .orderBy("lang")
   }
 
+  /** Multiclass Matthews correlation (Gorodkin 2004's R_K — the
+    * single balanced scalar that stays honest under class imbalance,
+    * where accuracy and macro-F1 both inflate) of the langid
+    * classifier: from the SAME confusion cells as q_text_kappa/f1,
+    * MCC = (n·Σdiag − Σ_k row_k·col_k)
+    *       / (√(n² − Σ_k col_k²) · √(n² − Σ_k row_k²)).
+    * Every count, product, and sum is exact-integer (DECIMAL-widened
+    * per the overflow convention — n² passes 2^63 at ~3e9 docs); the
+    * two √ legs are taken separately so the denominator product never
+    * needs 76 digits, and the final statistic is ONE pinned double
+    * expression. Degenerate single-class slices (denominator 0) emit
+    * NULL in both engines via the nullif device. lang²-bounded work
+    * after the shared argmax. */
+  def q_text_mcc(s: SparkSession, dir: String): DataFrame = {
+    val cells = langidPred(s, dir)
+      .groupBy(col("lang"), col("pred_lang")).agg(count(lit(1)).as("c"))
+      .localCheckpoint()
+    val rowT = cells.groupBy(col("lang").as("rl")).agg(sum(col("c")).as("rt"))
+    val colT = cells.groupBy(col("pred_lang").as("cl")).agg(sum(col("c")).as("ct"))
+    val n = cells.agg(sum(col("c")).as("n"))
+    val diag = cells.filter(col("lang") === col("pred_lang"))
+      .agg(sum(col("c")).as("n_correct"))
+    val cross = rowT.join(colT, col("rl") === col("cl"))
+      .agg(sum(col("rt").cast("decimal(38,0)") * col("ct")).as("sum_pt"))
+    val rowSq = rowT.agg(sum(col("rt").cast("decimal(38,0)") * col("rt")).as("sum_t2"))
+    val colSq = colT.agg(sum(col("ct").cast("decimal(38,0)") * col("ct")).as("sum_p2"))
+    val nd = col("n").cast("decimal(38,0)")
+    n.crossJoin(diag).crossJoin(cross).crossJoin(rowSq).crossJoin(colSq)
+      .select(col("n").as("n_docs"), col("n_correct"),
+        round((nd * col("n_correct") - col("sum_pt")).cast("double")
+          / nullif(sqrt((nd * nd - col("sum_p2")).cast("double"))
+            * sqrt((nd * nd - col("sum_t2")).cast("double")), lit(0d)), 6)
+          .as("mcc"))
+  }
+
   /** Heaps'-law vocabulary-growth curve (Heaps 1978; the WIMBD-style
     * corpus census answering "how fast does the vocabulary still
     * grow?" — the signal that tells a tokenizer/dedup pipeline whether
@@ -1146,6 +1181,7 @@ object TextOps {
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_text_mcc" -> q_text_mcc _,
     "q_text_heaps_law" -> q_text_heaps_law _,
     "q_text_f1" -> q_text_f1 _,
     "q_llm_ppl_bucket" -> q_llm_ppl_bucket _,

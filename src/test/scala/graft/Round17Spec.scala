@@ -1,0 +1,129 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.engine.{Gnn, GraphOps, StatsOps, Tables, TextOps}
+
+/** Plain-Scala replays of the round-17 operators at sf0.001 — the
+  * independent-mirror discipline of Round13..16Spec: every number the
+  * query emits is recomputed driver-side (same pinned IEEE op order)
+  * and compared exactly. */
+class Round17Spec extends AnyFunSuite {
+  import TestSpark._
+
+  private def r6(x: Double): Double =
+    BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+
+  test("q_text_mcc equals a driver-side R_K replay of the langid confusion") {
+    val pred = TextOps.q_text_langid(spark, sf0001).collect()
+      .map(r => (r.getString(1), r.getString(2))) // (true, pred)
+    val n = BigInt(pred.length)
+    val correct = BigInt(pred.count(p => p._1 == p._2))
+    val rowT = pred.groupBy(_._1).view.mapValues(v => BigInt(v.length)).toMap
+    val colT = pred.groupBy(_._2).view.mapValues(v => BigInt(v.length)).toMap
+    val sumPt = rowT.keys.map(k => rowT(k) * colT.getOrElse(k, BigInt(0))).sum
+    val sumT2 = rowT.values.map(v => v * v).sum
+    val sumP2 = colT.values.map(v => v * v).sum
+    val num = (n * correct - sumPt).toDouble
+    val den = math.sqrt((n * n - sumP2).toDouble) * math.sqrt((n * n - sumT2).toDouble)
+    val row = TextOps.q_text_mcc(spark, sf0001).collect().head
+    assert(row.getLong(0) == n.toLong, "n_docs")
+    assert(row.getLong(1) == correct.toLong, "n_correct")
+    if (den == 0) assert(row.isNullAt(2), "degenerate slice -> NULL")
+    else assert(row.getDouble(2) == r6(num / den), "mcc")
+    // sanity: a perfect classifier on this fixture would read 1; the
+    // statistic must sit in [-1, 1]
+    if (den != 0) assert(math.abs(row.getDouble(2)) <= 1.0)
+  }
+
+  test("q_graph_overlap equals a driver-side pair replay (and bounds jaccard)") {
+    val edges = Tables.orders(spark, sf0001)
+      .join(Tables.lineitem(spark, sf0001),
+        org.apache.spark.sql.functions.col("o_orderkey") ===
+          org.apache.spark.sql.functions.col("l_orderkey"))
+      .select("o_custkey", "l_partkey").distinct().collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val byCust = edges.groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val deg = edges.groupBy(_._2).view.mapValues(_.length.toLong).toMap
+    val pairCnt = scala.collection.mutable.Map.empty[(Long, Long), Long]
+    byCust.values.foreach { parts =>
+      val ps = parts.toSeq.sorted
+      for (i <- ps.indices; j <- (i + 1) until ps.size)
+        pairCnt((ps(i), ps(j))) = pairCnt.getOrElse((ps(i), ps(j)), 0L) + 1L
+    }
+    val want = pairCnt.toSeq
+      .filter(_._2 >= GraphOps.TriangleMinCooccur)
+      .map { case ((a, b), c) =>
+        (a, b, c, r6(c.toDouble / math.min(deg(a), deg(b)).toDouble))
+      }
+      .sortBy { case (a, b, _, o) => (-o, a, b) }
+      .take(20)
+    val got = GraphOps.q_graph_overlap(spark, sf0001).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    assert(got.toSeq == want, "top-20 overlap table")
+    // overlap >= jaccard always (min <= union), so the screen is the
+    // upper envelope of the jaccard similarity on every pair
+    got.foreach { case (a, b, c, o) =>
+      val j = c.toDouble / (deg(a) + deg(b) - c).toDouble
+      assert(o + 1e-12 >= j, s"overlap($a,$b) >= jaccard")
+    }
+  }
+
+  test("q_time_theil_u equals a driver-side daily-diff replay") {
+    import org.apache.spark.sql.functions._
+    val daily = Tables.events(spark, sf0001)
+      .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+      .agg(sum(round(col("value") * 100, 0).cast("bigint")).as("y"))
+      .collect().map(r => (r.getString(0), r.getDate(1).toString, r.getLong(2)))
+    val want = daily.groupBy(_._1).view.mapValues { rows =>
+      val ys = rows.sortBy(_._2).map(_._3)
+      val pairs = ys.sliding(2).map(w => (w(1), w(1) - w(0))).toSeq
+      val n = pairs.length.toLong
+      val sy = pairs.map(p => BigInt(p._1)).sum.toDouble
+      val syy = pairs.map(p => BigInt(p._1) * BigInt(p._1)).sum.toDouble
+      val sdd = pairs.map(p => BigInt(p._2) * BigInt(p._2)).sum.toDouble
+      val den = n.toDouble * syy - sy * sy
+      (n, if (den == 0) None else Some(r6(math.sqrt(n.toDouble * sdd / den))))
+    }.toMap
+    val got = StatsOps.q_time_theil_u(spark, sf0001).collect()
+    assert(got.map(_.getString(0)).toSeq == want.keys.toSeq.sorted, "type spine")
+    got.foreach { r =>
+      val (n, u) = want(r.getString(0))
+      assert(r.getLong(1) == n, s"${r.getString(0)} n_diffs")
+      u match {
+        case Some(v) => assert(r.getDouble(2) == v, s"${r.getString(0)} u")
+        case None => assert(r.isNullAt(2), s"${r.getString(0)} constant series")
+      }
+    }
+  }
+
+  test("q_embed_sq8 equals a driver-side floor-code replay") {
+    val embs = Tables.embeddings(spark, sf0001)
+      .collect().map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
+    val dims = embs.head._2.length
+    val mn = (0 until dims).map(j => embs.map(_._2(j).toDouble).min).toArray
+    val mx = (0 until dims).map(j => embs.map(_._2(j).toDouble).max).toArray
+    val want = embs.map { case (id, v) =>
+      var e2 = 0.0
+      for (j <- 0 until dims) {
+        val x = v(j).toDouble
+        val rg = mx(j) - mn(j)
+        val e = if (rg == 0) 0.0 else {
+          val code = math.floor((x - mn(j)) * 255.0 / rg + 0.5)
+          x - (mn(j) + code * rg / 255.0)
+        }
+        e2 += e * e // same left-assoc fold order as the generated column
+      }
+      (id, r6(math.sqrt(e2)))
+    }.sortBy { case (id, e) => (-e, id) }.take(20)
+    val got = Gnn.q_embed_sq8(spark, sf0001).collect()
+      .map(r => (r.getLong(0), r.getDouble(1)))
+    assert(got.toSeq == want.toSeq, "top-20 worst reconstruction table")
+    // int8 quantization error is bounded: per-dim |e| <= range/510, so
+    // err <= sqrt(sum (range_j/510)^2) — the audit can never exceed it
+    val bound = math.sqrt((0 until dims).map { j =>
+      val h = (mx(j) - mn(j)) / 510.0; h * h
+    }.sum)
+    got.foreach { case (id, e) => assert(e <= bound + 1e-9, s"vec $id bound") }
+  }
+}
