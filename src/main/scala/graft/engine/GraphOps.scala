@@ -344,6 +344,72 @@ object GraphOps {
       .limit(20)
   }
 
+  /** SimRank damping and unrolled iteration depth (shared with the
+    * oracle CTE chain). */
+  val SimrankC = 0.8
+  val SimrankIters = 5
+
+  /** SimRank structural similarity (Jeh & Widom, KDD 2002: "two objects
+    * are similar if they are referenced by similar objects") between
+    * EVENT TYPES on the user-journey transition graph — the
+    * role-equivalence measure the local co-occurrence similarities
+    * (jaccard/overlap/adamic-adar) cannot express, because two types
+    * can be structurally interchangeable without ever co-occurring:
+    * s(a,b) = C/(|I(a)|·|I(b)|) · Σ_{i∈I(a), j∈I(b)} s(i,j), diagonal
+    * pinned at 1, s_0 = identity, C=0.8, 5 synchronous iterations
+    * (the unrollable-oracle convention). Self-loop transitions are
+    * excluded so a type's self-similarity never leaks through its own
+    * loop edge. The ONLY corpus-scale work is the keyed lead window
+    * that builds the distinct edge set; everything after is
+    * k²-bounded (k = distinct event types) with per-term round-9
+    * DECIMAL sums (the markov device — order-blind, engine-identical)
+    * and ONE pinned double per pair per step. */
+  def q_graph_simrank(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    val ed = Tables.events(s, dir)
+      .select(col("user_id"), col("event_id"), col("ts"), col("event_type"))
+      .withColumn("next_type", lead(col("event_type"), 1).over(w))
+      .filter(col("next_type").isNotNull && col("next_type") =!= col("event_type"))
+      .select(col("event_type").as("src"), col("next_type").as("dst"))
+      .distinct()
+      .localCheckpoint() // k²-bounded from here on
+    val nodes = ed.select(col("src").as("v")).union(ed.select(col("dst").as("v")))
+      .distinct().localCheckpoint()
+    val ie = ed.select(col("dst").as("node"), col("src").as("inn"))
+    val ind = ie.groupBy(col("node")).agg(count(lit(1)).as("n"))
+    val allPairs = nodes.select(col("v").as("a"))
+      .crossJoin(broadcast(nodes.select(col("v").as("b"))))
+    var sTab = allPairs
+      .select(col("a"), col("b"),
+        when(col("a") === col("b"), lit(1.0)).otherwise(lit(0.0)).as("s"))
+      .localCheckpoint()
+    for (_ <- 1 to SimrankIters) {
+      val cs = ie.select(col("node").as("ca"), col("inn").as("ia"))
+        .join(broadcast(sTab.select(col("a").as("sa"), col("b").as("sb"), col("s"))),
+          col("ia") === col("sa"))
+        .join(broadcast(ie.select(col("node").as("cb"), col("inn").as("ib"))),
+          col("ib") === col("sb"))
+        .groupBy(col("ca"), col("cb"))
+        .agg(sum(round(col("s"), 9).cast("decimal(28,9)")).cast("double").as("cs"))
+      sTab = allPairs
+        .join(broadcast(cs), col("a") === col("ca") && col("b") === col("cb"),
+          "left_outer")
+        .join(broadcast(ind.select(col("node").as("da"), col("n").as("na"))),
+          col("a") === col("da"), "left_outer")
+        .join(broadcast(ind.select(col("node").as("db"), col("n").as("nb"))),
+          col("b") === col("db"), "left_outer")
+        .select(col("a"), col("b"),
+          when(col("a") === col("b"), lit(1.0))
+            .otherwise(coalesce(lit(SimrankC) * col("cs")
+              / (col("na") * col("nb")).cast("double"), lit(0.0))).as("s"))
+        .localCheckpoint()
+    }
+    sTab.filter(col("a") < col("b") && col("s") > 0)
+      .select(col("a").as("type_a"), col("b").as("type_b"),
+        round(col("s"), 6).as("simrank"))
+      .orderBy("type_a", "type_b")
+  }
+
   /** Peel rounds for the truncated 4-truss decomposition. */
   val TrussRounds = 3
 
@@ -1388,6 +1454,7 @@ object GraphOps {
     "q_graph_scc_colors" -> q_graph_scc_colors _,
     "q_graph_ktruss" -> q_graph_ktruss _,
     "q_graph_transition_entropy" -> q_graph_transition_entropy _,
+    "q_graph_simrank" -> q_graph_simrank _,
     "q_graph_betweenness" -> q_graph_betweenness _,
     "q_graph_richclub" -> q_graph_richclub _,
     "q_graph_degree_dist" -> q_graph_degree_dist _,

@@ -520,6 +520,44 @@ object Oracle {
          |FROM pp JOIN deg da ON pp.a = da.dst JOIN deg db ON pp.b = db.dst
          |ORDER BY overlap DESC, part_a ASC, part_b ASC LIMIT 20""".stripMargin,
 
+    // SimRank unrolled: per iteration one in-neighbor-pair contribution
+    // agg (round-9 DECIMAL sums, the markov device) + one pinned double
+    // per pair with the diagonal pinned at 1.
+    "q_graph_simrank" -> {
+      val steps = (1 to GraphOps.SimrankIters).map { i =>
+        s"""c$i AS (SELECT ea.node AS ca, eb.node AS cb,
+           |  CAST(SUM(CAST(ROUND(sp.s, 9) AS DECIMAL(28,9))) AS DOUBLE) AS cs
+           |  FROM ie ea JOIN s${i - 1} sp ON sp.a = ea.inn
+           |       JOIN ie eb ON sp.b = eb.inn
+           |  GROUP BY 1, 2),
+           |s$i AS (SELECT n1.v AS a, n2.v AS b,
+           |  CASE WHEN n1.v = n2.v THEN CAST(1.0 AS DOUBLE)
+           |       ELSE COALESCE(CAST(${GraphOps.SimrankC} AS DOUBLE) * c.cs
+           |         / CAST(ia.n * ib.n AS DOUBLE), CAST(0.0 AS DOUBLE)) END AS s
+           |  FROM nodes n1 CROSS JOIN nodes n2
+           |  LEFT JOIN c$i c ON c.ca = n1.v AND c.cb = n2.v
+           |  LEFT JOIN ind ia ON ia.node = n1.v
+           |  LEFT JOIN ind ib ON ib.node = n2.v)""".stripMargin
+      }.mkString(",\n")
+      s"""WITH ev AS (SELECT user_id, event_id, ts, event_type,
+         |    LEAD(event_type) OVER (PARTITION BY user_id
+         |      ORDER BY ts, event_id) AS next_type
+         |  FROM events),
+         |ed AS (SELECT DISTINCT event_type AS src, next_type AS dst
+         |  FROM ev WHERE next_type IS NOT NULL AND next_type <> event_type),
+         |nodes AS (SELECT src AS v FROM ed UNION SELECT dst FROM ed),
+         |ie AS (SELECT dst AS node, src AS inn FROM ed),
+         |ind AS (SELECT node, CAST(COUNT(*) AS BIGINT) AS n FROM ie GROUP BY 1),
+         |s0 AS (SELECT n1.v AS a, n2.v AS b,
+         |  CASE WHEN n1.v = n2.v THEN CAST(1.0 AS DOUBLE)
+         |       ELSE CAST(0.0 AS DOUBLE) END AS s
+         |  FROM nodes n1 CROSS JOIN nodes n2),
+         |$steps
+         |SELECT a AS type_a, b AS type_b, ROUND(s, 6) AS simrank
+         |FROM s${GraphOps.SimrankIters}
+         |WHERE a < b AND s > 0 ORDER BY type_a, type_b""".stripMargin
+    },
+
     // 4 synchronous label-propagation steps unrolled (argmax neighbor
     // label, min-label tie-break) — same rule as the Spark loop.
     "q_graph_label_prop" -> {
@@ -4527,6 +4565,45 @@ object Oracle {
          |LIMIT 10""".stripMargin
     },
 
+    // TextRank: RAKE's stoplist + position devices to build the
+    // adjacent-pair word graph, then the q_graph_pagerank unrolled
+    // 1e9-scaled power-iteration chain verbatim.
+    "q_text_textrank" -> {
+      val steps = (1 to TextOps.TextrankIters).map { i =>
+        s"""r$i AS (SELECT u.dst AS node,
+           |  CAST(0.15 AS DOUBLE) + CAST(0.85 AS DOUBLE)
+           |    * (CAST(SUM(CAST(ROUND(p.r / dg.d * 1e9, 0) AS BIGINT)) AS DOUBLE) / 1e9) AS r
+           |  FROM u JOIN r${i - 1} p ON u.src = p.node
+           |         JOIN deg dg ON u.src = dg.node
+           |  GROUP BY u.dst)""".stripMargin
+      }.mkString(",\n")
+      s"""WITH d AS (SELECT doc_id, string_split(text, ' ') AS toks
+         |           FROM documents),
+         |tokall AS (SELECT doc_id, CAST(u.i - 1 AS BIGINT) AS pos,
+         |             toks[CAST(u.i AS INT)] AS tok
+         |           FROM d, UNNEST(range(1, len(toks) + 1)) AS u(i)),
+         |stop AS (SELECT tok AS stok FROM (
+         |    SELECT tok, COUNT(DISTINCT doc_id) AS df FROM tokall GROUP BY 1
+         |    ORDER BY df DESC, tok ASC LIMIT 20)),
+         |adj AS (SELECT tok, LEAD(tok) OVER (PARTITION BY doc_id
+         |      ORDER BY pos) AS ntok
+         |    FROM tokall),
+         |pp AS (SELECT DISTINCT LEAST(tok, ntok) AS a, GREATEST(tok, ntok) AS b
+         |    FROM adj
+         |    WHERE ntok IS NOT NULL AND tok <> ntok
+         |      AND tok NOT IN (SELECT stok FROM stop)
+         |      AND ntok NOT IN (SELECT stok FROM stop)),
+         |u AS (SELECT a AS src, b AS dst FROM pp
+         |      UNION ALL SELECT b AS src, a AS dst FROM pp),
+         |deg AS (SELECT src AS node, CAST(COUNT(*) AS BIGINT) AS d
+         |        FROM u GROUP BY 1),
+         |r0 AS (SELECT node, CAST(1.0 AS DOUBLE) AS r FROM deg),
+         |$steps
+         |SELECT node AS word, ROUND(r, 6) AS rank
+         |FROM r${TextOps.TextrankIters}
+         |ORDER BY rank DESC, word ASC LIMIT 20""".stripMargin
+    },
+
     "q_text_rake" ->
       """WITH d AS (SELECT doc_id, lang, string_split(text, ' ') AS toks
         |           FROM documents),
@@ -6055,6 +6132,57 @@ object Oracle {
         |  ROUND(sqrt(CAST(n_diffs AS DOUBLE) * sdd
         |    / NULLIF(CAST(n_diffs AS DOUBLE) * syy - sy * sy, 0)), 6) AS theil_u
         |FROM a ORDER BY event_type""".stripMargin,
+
+    // R/S Hurst: per block size one exact m·Z cumulative-deviation
+    // chain + block moment aggs mirroring the Spark legs term-for-term;
+    // the OLS slope runs on the <=3 (ln m, ln mean R/S) points with
+    // round-9 DECIMAL sums.
+    "q_time_hurst" -> {
+      val legs = StatsOps.HurstBlocks.map { m =>
+        s"""b$m AS (SELECT t, y, (t - 1) // $m AS blk,
+           |    t - ((t - 1) // $m) * $m AS i FROM rn),
+           |s$m AS (SELECT blk AS bb, CAST(COUNT(*) AS BIGINT) AS cnt,
+           |    CAST(SUM(CAST(y AS DECIMAL(38,0))) AS DECIMAL(38,0)) AS sy,
+           |    CAST(SUM(CAST(y AS DECIMAL(38,0)) * y) AS DECIMAL(38,0)) AS syy
+           |  FROM b$m GROUP BY 1 HAVING COUNT(*) = $m),
+           |z$m AS (SELECT b.blk, s.sy, s.syy,
+           |    CAST($m AS DECIMAL(38,0))
+           |      * SUM(CAST(b.y AS DECIMAL(38,0)))
+           |          OVER (PARTITION BY b.blk ORDER BY b.t)
+           |      - CAST(b.i AS DECIMAL(38,0)) * s.sy AS mz
+           |  FROM b$m b JOIN s$m s ON b.blk = s.bb),
+           |r$m AS (SELECT blk,
+           |    CAST(MAX(mz) - MIN(mz) AS DOUBLE) AS rm,
+           |    CAST($m AS DOUBLE) * CAST(syy AS DOUBLE)
+           |      - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE) AS den
+           |  FROM z$m GROUP BY blk, sy, syy),
+           |leg$m AS (SELECT CAST($m AS BIGINT) AS block_m,
+           |    CAST(COUNT(*) AS BIGINT) AS n_blocks,
+           |    CAST(SUM(CAST(ROUND(rm / sqrt(den), 9) AS DECIMAL(28,9)))
+           |      AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS rs_mean
+           |  FROM r$m WHERE den > 0)""".stripMargin
+      }.mkString(",\n")
+      val union = StatsOps.HurstBlocks
+        .map(m => s"SELECT * FROM leg$m").mkString(" UNION ALL ")
+      s"""WITH daily AS (SELECT CAST(CAST(ts AS TIMESTAMP) AS DATE) AS day,
+         |    CAST(SUM(CAST(ROUND(value * 100, 0) AS BIGINT)) AS BIGINT) AS y
+         |  FROM events GROUP BY 1),
+         |rn AS (SELECT y, ROW_NUMBER() OVER (ORDER BY day) AS t FROM daily),
+         |$legs,
+         |xy AS (SELECT block_m, n_blocks, rs_mean,
+         |    ln(CAST(block_m AS DOUBLE)) AS x, ln(rs_mean) AS y
+         |  FROM ($union) WHERE n_blocks > 0),
+         |sl AS (SELECT CAST(COUNT(*) AS BIGINT) AS k,
+         |    CAST(SUM(CAST(ROUND(x, 9) AS DECIMAL(28,9))) AS DOUBLE) AS sx,
+         |    CAST(SUM(CAST(ROUND(y, 9) AS DECIMAL(28,9))) AS DOUBLE) AS sy,
+         |    CAST(SUM(CAST(ROUND(x * y, 9) AS DECIMAL(28,9))) AS DOUBLE) AS sxy,
+         |    CAST(SUM(CAST(ROUND(x * x, 9) AS DECIMAL(28,9))) AS DOUBLE) AS sxx
+         |  FROM xy)
+         |SELECT block_m, n_blocks, ROUND(rs_mean, 6) AS rs_mean,
+         |  ROUND((CAST(k AS DOUBLE) * sxy - sx * sy)
+         |    / NULLIF(CAST(k AS DOUBLE) * sxx - sx * sx, 0), 6) AS hurst
+         |FROM xy CROSS JOIN sl ORDER BY block_m""".stripMargin
+    },
 
     "q_agg_survival_curve" ->
       """WITH g AS (SELECT o_custkey, o_orderkey, o_orderdate,

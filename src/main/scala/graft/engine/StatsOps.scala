@@ -1379,6 +1379,81 @@ object StatsOps {
       .orderBy("event_type")
   }
 
+  /** R/S block sizes for the Hurst screen (shared with the oracle). */
+  val HurstBlocks = Seq(4, 8, 12)
+
+  /** Hurst exponent screen via rescaled-range analysis (Hurst 1951;
+    * Mandelbrot–Wallis 1969 — the long-memory diagnostic: H≈0.5 random
+    * walk, H>0.5 persistent/trending, H<0.5 mean-reverting — the
+    * long-horizon complement to q_time_theil_u's one-step ratio) over
+    * the GLOBAL daily cents series: for each block size m ∈ {4,8,12} (the events fixture spans 30
+    * calendar days at every sf — the sizes keep all three legs
+    * non-degenerate; at a longer calendar swap in dyadic sizes)
+    * the series splits into ⌊n/m⌋ full blocks; per block the rescaled
+    * range R/S with R from cumulative deviations and S the population
+    * σ. Everything before the final doubles is exact: the cumulative
+    * deviation is computed ×m (m·Z_i = m·cum_i − i·Σy, exact DECIMAL),
+    * so R/S = (m·R)/(m·S) needs no rational μ; blocks with σ = 0 are
+    * excluded in both engines. Ĥ = OLS slope of ln(mean R/S) on ln m
+    * over the ≤3 (m, mean) points with round-9 DECIMAL term sums. The
+    * only corpus-scale work is the daily aggregation; the windows run
+    * on the calendar-bounded series. */
+  def q_time_hurst(s: SparkSession, dir: String): DataFrame = {
+    val rn = Tables.events(s, dir)
+      .groupBy(to_date(col("ts")).as("day"))
+      .agg(sum(round(col("value") * 100, 0).cast("bigint")).as("y"))
+      .withColumn("t", row_number().over(Window.orderBy(col("day"))))
+      .localCheckpoint() // calendar-bounded; read once per block-size leg
+    def leg(m: Int): DataFrame = {
+      val base = rn.select(col("t"), col("y"),
+        expr(s"(t - 1) div $m").as("blk"),
+        expr(s"t - ((t - 1) div $m) * $m").as("i"))
+      val wc = Window.partitionBy(col("blk")).orderBy(col("t"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val cum = base.withColumn("cum",
+        sum(col("y").cast("decimal(38,0)")).over(wc))
+      val bstats = base.groupBy(col("blk").as("bb"))
+        .agg(count(lit(1)).as("cnt"),
+          sum(col("y").cast("decimal(38,0)")).as("sy"),
+          sum(col("y").cast("decimal(38,0)") * col("y")).as("syy"))
+        .filter(col("cnt") === m)
+      val z = cum.join(bstats, col("blk") === col("bb"))
+        .select(col("blk"), col("sy"), col("syy"),
+          (lit(m).cast("decimal(38,0)") * col("cum")
+            - col("i").cast("decimal(38,0)") * col("sy")).as("mz"))
+      val rs = z.groupBy(col("blk"), col("sy"), col("syy"))
+        .agg(max(col("mz")).as("zmax"), min(col("mz")).as("zmin"))
+        .select(col("blk"),
+          (col("zmax") - col("zmin")).cast("double").as("rm"),
+          (lit(m).cast("double") * col("syy").cast("double")
+            - col("sy").cast("double") * col("sy").cast("double")).as("den"))
+        .filter(col("den") > 0)
+        .select((col("rm") / sqrt(col("den"))).as("rs"))
+      rs.agg(count(lit(1)).as("n_blocks"),
+          sum(round(col("rs"), 9).cast("decimal(28,9)")).as("rssum"))
+        .select(lit(m).cast("bigint").as("block_m"), col("n_blocks"),
+          (col("rssum").cast("double") / col("n_blocks").cast("double"))
+            .as("rs_mean"))
+    }
+    val xy = HurstBlocks.map(leg).reduce(_ unionByName _)
+      .filter(col("n_blocks") > 0)
+      .select(col("block_m"), col("n_blocks"), col("rs_mean"),
+        log(col("block_m").cast("double")).as("x"), log(col("rs_mean")).as("y"))
+      .localCheckpoint()
+    val sl = xy.agg(count(lit(1)).as("k"),
+        sum(round(col("x"), 9).cast("decimal(28,9)")).cast("double").as("sx"),
+        sum(round(col("y"), 9).cast("decimal(28,9)")).cast("double").as("sy"),
+        sum(round(col("x") * col("y"), 9).cast("decimal(28,9)")).cast("double").as("sxy"),
+        sum(round(col("x") * col("x"), 9).cast("decimal(28,9)")).cast("double").as("sxx"))
+      .select(round((col("k").cast("double") * col("sxy") - col("sx") * col("sy"))
+        / nullif(col("k").cast("double") * col("sxx") - col("sx") * col("sx"),
+          lit(0d)), 6).as("hurst"))
+    xy.crossJoin(broadcast(sl))
+      .select(col("block_m"), col("n_blocks"),
+        round(col("rs_mean"), 6).as("rs_mean"), col("hurst"))
+      .orderBy("block_m")
+  }
+
   /** Repurchase-timing survival curve (the Kaplan–Meier-flavored view
     * of inter-order gaps — "what share of repurchases take ≥ k
     * weeks?"): consecutive order gaps per customer via ONE keyed lead
@@ -2512,6 +2587,7 @@ object StatsOps {
     "q_stream_markov" -> q_stream_markov _,
     "q_time_xcorr" -> q_time_xcorr _,
     "q_time_theil_u" -> q_time_theil_u _,
+    "q_time_hurst" -> q_time_hurst _,
     "q_agg_survival_curve" -> q_agg_survival_curve _,
     "q_time_bollinger" -> q_time_bollinger _,
     "q_agg_pinball" -> q_agg_pinball _,

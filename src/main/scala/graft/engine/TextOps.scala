@@ -781,6 +781,61 @@ object TextOps {
       .orderBy("lang", "rk")
   }
 
+  /** TextRank iteration depth (unrolled in the oracle CTE chain). */
+  val TextrankIters = 10
+
+  /** TextRank keyword extraction (Mihalcea & Tarau, EMNLP 2004 — the
+    * graph-based keyword ranker; the global-prestige complement to
+    * RAKE's per-phrase degree/frequency score): nodes are non-stopword
+    * tokens (stoplist = corpus top-20 df tokens, RAKE's device),
+    * edges connect ADJACENT token pairs of the original sequence whose
+    * endpoints both survive the stoplist (window 2, undirected,
+    * distinct), and the score is PageRank at d = 0.85 for 10
+    * synchronous iterations using the q_graph_pagerank arithmetic
+    * device verbatim (per-term 1e9-scaled BIGINT rounding — exact,
+    * order-blind, engine-identical). The only corpus-scale work is the
+    * token scan + one keyed lead window; the fixpoint runs on the
+    * vocab-bounded distinct-edge graph. Top-20 words, text tie-break. */
+  def q_text_textrank(s: SparkSession, dir: String): DataFrame = {
+    val tok = Tables.documents(s, dir)
+      .select(col("doc_id"),
+        posexplode(split(col("text"), " ")).as(Seq("pos", "tok")))
+    val stop = tok.select(col("tok"), col("doc_id")).distinct()
+      .groupBy(col("tok")).agg(count(lit(1)).as("df"))
+      .orderBy(col("df").desc, col("tok").asc).limit(20)
+      .select(col("tok").as("stok"))
+      .localCheckpoint() // read by both anti-join legs
+    val w = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+    val pairs = tok
+      .withColumn("ntok", lead(col("tok"), 1).over(w))
+      .filter(col("ntok").isNotNull && col("tok") =!= col("ntok"))
+      .join(broadcast(stop), col("tok") === col("stok"), "left_anti")
+      .join(broadcast(stop.select(col("stok").as("stok2"))),
+        col("ntok") === col("stok2"), "left_anti")
+      .select(least(col("tok"), col("ntok")).as("a"),
+        greatest(col("tok"), col("ntok")).as("b"))
+      .distinct()
+      .localCheckpoint() // vocab-bounded from here on
+    val ue = pairs.select(col("a").as("src"), col("b").as("dst"))
+      .union(pairs.select(col("b").as("src"), col("a").as("dst")))
+    val deg = ue.groupBy(col("src").as("dn")).agg(count(lit(1)).as("d"))
+    var r = ue.select(col("src").as("node")).distinct()
+      .select(col("node"), lit(1.0).as("r"))
+    for (_ <- 1 to TextrankIters) {
+      r = ue
+        .join(r.select(col("node").as("pn"), col("r")), col("src") === col("pn"))
+        .join(deg, col("src") === col("dn"))
+        .groupBy(col("dst"))
+        .agg((lit(0.15) + lit(0.85)
+          * (sum(round(col("r") / col("d") * 1e9, 0).cast("bigint"))
+            .cast("double") / 1e9)).as("r"))
+        .select(col("dst").as("node"), col("r"))
+        .localCheckpoint()
+    }
+    r.select(col("node").as("word"), round(col("r"), 6).as("rank"))
+      .orderBy(col("rank").desc, col("word").asc).limit(20)
+  }
+
   /** Lexical-diversity profile per lang (the vocabulary-health screen a
     * corpus report leads with): token count N, vocabulary V, type-token
     * ratio V/N, hapax-legomenon share (Zipf's tail mass), and Yule's
@@ -1182,6 +1237,7 @@ object TextOps {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_text_mcc" -> q_text_mcc _,
+    "q_text_textrank" -> q_text_textrank _,
     "q_text_heaps_law" -> q_text_heaps_law _,
     "q_text_f1" -> q_text_f1 _,
     "q_llm_ppl_bucket" -> q_llm_ppl_bucket _,

@@ -97,6 +97,122 @@ class Round17Spec extends AnyFunSuite {
     }
   }
 
+  test("q_graph_simrank equals a driver-side iteration replay") {
+    import org.apache.spark.sql.functions._
+    // Base truth: the distinct non-self transition edges, rebuilt with
+    // the same lead-window rule.
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    val ed = Tables.events(spark, sf0001)
+      .select(col("user_id"), col("event_id"), col("ts"), col("event_type"))
+      .withColumn("nt", lead(col("event_type"), 1).over(w))
+      .filter(col("nt").isNotNull && col("nt") =!= col("event_type"))
+      .select(col("event_type"), col("nt")).distinct()
+      .collect().map(r => (r.getString(0), r.getString(1)))
+    val nodes = (ed.map(_._1) ++ ed.map(_._2)).distinct.sorted
+    val inn = nodes.map(v => v -> ed.filter(_._2 == v).map(_._1)).toMap
+    def r9(x: Double): BigDecimal =
+      BigDecimal(x).setScale(9, BigDecimal.RoundingMode.HALF_UP)
+    var s9 = nodes.flatMap(a => nodes.map(b =>
+      (a, b) -> (if (a == b) 1.0 else 0.0))).toMap
+    for (_ <- 1 to GraphOps.SimrankIters) {
+      s9 = nodes.flatMap(a => nodes.map { b =>
+        val v = if (a == b) 1.0
+        else {
+          val ia = inn(a); val ib = inn(b)
+          if (ia.isEmpty || ib.isEmpty) 0.0
+          else {
+            val cs = ia.flatMap(i => ib.map(j => r9(s9((i, j))))).sum.toDouble
+            GraphOps.SimrankC * cs / (ia.length.toLong * ib.length.toLong).toDouble
+          }
+        }
+        (a, b) -> v
+      }).toMap
+    }
+    val want = nodes.flatMap(a => nodes.filter(_ > a).map(b => (a, b, s9((a, b)))))
+      .filter(_._3 > 0).map { case (a, b, v) => (a, b, r6(v)) }
+    val got = GraphOps.q_graph_simrank(spark, sf0001).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getDouble(2)))
+    assert(got.toSeq == want.toSeq, "simrank pair table")
+    // SimRank scores are bounded by the damping factor off-diagonal
+    got.foreach { case (a, b, v) =>
+      assert(v <= GraphOps.SimrankC + 1e-12, s"s($a,$b) <= C") }
+  }
+
+  test("q_time_hurst equals a driver-side R/S replay") {
+    import org.apache.spark.sql.functions._
+    val days = Tables.events(spark, sf0001)
+      .groupBy(to_date(col("ts")).as("day"))
+      .agg(sum(round(col("value") * 100, 0).cast("bigint")).as("y"))
+      .collect().map(r => (r.getDate(0).toString, r.getLong(1)))
+      .sortBy(_._1).map(_._2)
+    def r9(x: Double): BigDecimal =
+      BigDecimal(x).setScale(9, BigDecimal.RoundingMode.HALF_UP)
+    val pts = StatsOps.HurstBlocks.flatMap { m =>
+      val blocks = days.grouped(m).filter(_.length == m).toSeq
+      val rss = blocks.flatMap { ys =>
+        val sy = ys.map(BigInt(_)).sum
+        val syy = ys.map(y => BigInt(y) * BigInt(y)).sum
+        val cums = ys.scanLeft(BigInt(0))(_ + _).tail
+        val mz = cums.zipWithIndex.map { case (c, i) =>
+          BigInt(m) * c - BigInt(i + 1) * sy }
+        val den = m.toDouble * syy.toDouble - sy.toDouble * sy.toDouble
+        if (den > 0) Some((mz.max - mz.min).toDouble / math.sqrt(den)) else None
+      }
+      if (rss.isEmpty) None
+      else Some((m.toLong, rss.length.toLong,
+        rss.map(r9).sum.toDouble / rss.length.toDouble))
+    }
+    val k = pts.length.toDouble
+    val xs = pts.map(p => math.log(p._1.toDouble))
+    val ys = pts.map(p => math.log(p._3))
+    val sx = xs.map(r9).sum.toDouble; val sy2 = ys.map(r9).sum.toDouble
+    val sxy = xs.zip(ys).map { case (x, y) => r9(x * y) }.sum.toDouble
+    val sxx = xs.map(x => r9(x * x)).sum.toDouble
+    val h = r6((k * sxy - sx * sy2) / (k * sxx - sx * sx))
+    val got = StatsOps.q_time_hurst(spark, sf0001).collect()
+    assert(got.length == pts.length, "one row per non-empty block size")
+    got.zip(pts).foreach { case (r, (m, nb, rsMean)) =>
+      assert(r.getLong(0) == m, s"m=$m")
+      assert(r.getLong(1) == nb, s"m=$m n_blocks")
+      assert(r.getDouble(2) == r6(rsMean), s"m=$m rs_mean")
+      assert(r.getDouble(3) == h, s"m=$m hurst")
+    }
+  }
+
+  test("q_text_textrank equals a driver-side power-iteration replay") {
+    import org.apache.spark.sql.functions._
+    val docs = Tables.documents(spark, sf0001)
+      .select(col("doc_id"), col("text")).collect()
+      .map(r => (r.getLong(0), r.getString(1).split(" ", -1).toSeq))
+    val df = docs.flatMap { case (id, ts) => ts.distinct.map(_ -> id) }
+      .groupBy(_._1).view.mapValues(_.length).toMap
+    val stop = df.toSeq.sortBy { case (t, d) => (-d, t) }.take(20).map(_._1).toSet
+    val pairs = docs.flatMap { case (_, ts) =>
+      ts.sliding(2).filter(_.length == 2).collect {
+        case Seq(a, b) if a != b && !stop(a) && !stop(b) =>
+          (Seq(a, b).min, Seq(a, b).max)
+      }
+    }.distinct
+    val ue = pairs ++ pairs.map(p => (p._2, p._1))
+    val deg = ue.groupBy(_._1).view.mapValues(_.length.toLong).toMap
+    var rank = deg.keys.map(_ -> 1.0).toMap
+    for (_ <- 1 to TextOps.TextrankIters) {
+      rank = ue.groupBy(_._2).map { case (v, es) =>
+        val s = es.map { case (u, _) =>
+          BigDecimal(rank(u) / deg(u) * 1e9)
+            .setScale(0, BigDecimal.RoundingMode.HALF_UP).toBigInt
+        }.sum
+        v -> (0.15 + 0.85 * (s.toDouble / 1e9))
+      }
+    }
+    val want = rank.toSeq.map { case (w, r) => (w, r6(r)) }
+      .sortBy { case (w, r) => (-r, w) }.take(20)
+    val got = TextOps.q_text_textrank(spark, sf0001).collect()
+      .map(r => (r.getString(0), r.getDouble(1)))
+    assert(got.toSeq == want, "top-20 keyword table")
+  }
+
   test("q_embed_sq8 equals a driver-side floor-code replay") {
     val embs = Tables.embeddings(spark, sf0001)
       .collect().map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
