@@ -6273,6 +6273,9 @@ object Oracle {
         // streaming per-user transition maintainer: snapshot runs the
         // SAME markovFrom assembly as the batch operator — one oracle
         "q_stream_markov" -> round16e("q_time_markov"),
+        // streaming first-month maintainer: snapshot runs the SAME
+        // nvrFrom assembly as the batch operator — one oracle
+        "q_stream_new_vs_returning" -> round16e("q_agg_new_vs_returning"),
         "q_stream_drift_psi" -> stats("q_llm_drift_psi"),
         // streaming χ²/Benford snapshots run the SAME shared assembly as
         // their batch twins — one oracle each

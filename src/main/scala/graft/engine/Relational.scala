@@ -21,6 +21,27 @@ import graft.functions.VecMeanAgg
 object Relational {
   import Dsl._
 
+  /** Typed rows for the streaming new-vs-returning maintainer
+    * (non-private: the Dataset encoder's generated code instantiates
+    * them from outside the object). */
+  case class NvOrd(ck: Long, us: Long, ok: Long, m: Long)
+  case class NvPair(o_custkey: Long, m: Long, fm: Long)
+
+  /** Per-customer fold: state = first-ever order month (running min);
+    * each order is labeled with the min as of its (date, orderkey)
+    * position. Sorting inside the group is customer-order-bounded. */
+  private[graft] def updateNv(ck: Long, it: Iterator[NvOrd],
+      state: org.apache.spark.sql.streaming.GroupState[Long]): Iterator[NvPair] = {
+    val sorted = it.toArray.sortBy(o => (o.us, o.ok))
+    var fm = state.getOption.getOrElse(Long.MaxValue)
+    val out = sorted.map { o =>
+      if (o.m < fm) fm = o.m
+      NvPair(ck, o.m, fm)
+    }
+    state.update(fm)
+    out.iterator
+  }
+
   private val ld = (y: Int, m: Int, d: Int) => lit(java.time.LocalDateTime.of(y, m, d, 0, 0, 0))
 
   // ── §2.1 scans ────────────────────────────────────────────────────────
@@ -669,9 +690,16 @@ object Relational {
     val first = Tables.orders(s, dir)
       .groupBy(col("o_custkey").as("ck"))
       .agg(min(mIdx).as("fm"))
-    val om = Tables.orders(s, dir)
+    nvrFrom(Tables.orders(s, dir)
       .select(col("o_custkey"), mIdx.as("m"))
-      .join(first, col("o_custkey") === col("ck"))
+      .join(first, col("o_custkey") === col("ck")))
+  }
+
+  /** Shared month-table assembly over a labeled (o_custkey, m, fm)
+    * order table — consumed by the batch keyed-min operator AND the
+    * streaming per-customer first-month maintainer (one oracle for
+    * both; the q_stream_chi2 shared-assembly device). */
+  private def nvrFrom(om: DataFrame): DataFrame =
     om.groupBy(col("m"))
       .agg(count(lit(1)).as("n_orders"),
         countDistinct(when(col("m") === col("fm"), col("o_custkey"))).as("n_new_cust"),
@@ -685,6 +713,33 @@ object Relational {
         round(col("n_orders_returning").cast("double")
           / col("n_orders").cast("double"), 6).as("returning_share"))
       .orderBy("month")
+
+  /** STREAMING new-vs-returning maintainer (the q_stream_markov device
+    * on the growth accounting): the keyed state per CUSTOMER is the
+    * first-ever order month — ONE integer, folded as a running min —
+    * and each arriving order is labeled with the min as of its
+    * (date, orderkey) position. Because the month index is monotone in
+    * the order date, the running-min label under date-ordered arrival
+    * equals the batch keyed-min label, so the snapshot runs the SAME
+    * nvrFrom assembly as q_agg_new_vs_returning (one oracle for both).
+    * The batch-mode execution folds each customer's history sorted by
+    * (date, orderkey) — customer-order-bounded; the MemoryStream pin in
+    * Round17Spec covers the cross-batch state carry. */
+  def q_stream_new_vs_returning(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val om = Tables.orders(s, dir)
+      .select(col("o_custkey").as("ck"),
+        unix_micros(col("o_orderdate").cast("timestamp")).as("us"),
+        col("o_orderkey").as("ok"),
+        (year(col("o_orderdate")) * 12 + month(col("o_orderdate")))
+          .cast("long").as("m"))
+      .as[NvOrd]
+      .groupByKey(_.ck)
+      .flatMapGroupsWithState(org.apache.spark.sql.streaming.OutputMode.Update,
+        org.apache.spark.sql.streaming.GroupStateTimeout.NoTimeout)(updateNv)
+      .toDF()
+      .select(col("o_custkey"), col("m"), col("fm"))
+    nvrFrom(om)
   }
 
   // ── §2.8 scalar functions ────────────────────────────────────────────
@@ -1022,6 +1077,7 @@ object Relational {
     "q_agg_rfm" -> q_agg_rfm _,
     "q_agg_pareto" -> q_agg_pareto _,
     "q_agg_new_vs_returning" -> q_agg_new_vs_returning _,
+    "q_stream_new_vs_returning" -> q_stream_new_vs_returning _,
     "q_agg_listagg" -> q_agg_listagg _,
     "q_win_first_last" -> q_win_first_last _,
     "q_agg_percentiles" -> q_agg_percentiles _,

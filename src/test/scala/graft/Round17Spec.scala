@@ -213,6 +213,48 @@ class Round17Spec extends AnyFunSuite {
     assert(got.toSeq == want, "top-20 keyword table")
   }
 
+  test("streaming new-vs-returning: state carries across the batch boundary") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import org.apache.spark.sql.streaming.OutputMode
+    import graft.engine.Relational
+    val s = spark
+    import s.implicits._
+    implicit val sq = s.sqlContext
+    // customer 1: first order month 24001 in batch 1, month 24003 in
+    // batch 2 -> the batch-2 order must label fm=24001 (returning);
+    // customer 2 first appears in batch 2 -> new. Batch 1 also carries
+    // an out-of-order arrival (the later order first) to exercise the
+    // in-group sort.
+    val b1 = Seq(Relational.NvOrd(1L, 2000L, 11L, 24002L),
+      Relational.NvOrd(1L, 1000L, 10L, 24001L))
+    val b2 = Seq(Relational.NvOrd(1L, 3000L, 12L, 24003L),
+      Relational.NvOrd(2L, 3000L, 13L, 24003L))
+    val ms = MemoryStream[Relational.NvOrd]
+    val q = ms.toDS().groupByKey(_.ck)
+      .flatMapGroupsWithState(OutputMode.Update,
+        org.apache.spark.sql.streaming.GroupStateTimeout.NoTimeout)(Relational.updateNv)
+      .writeStream.outputMode(OutputMode.Update)
+      .format("memory").queryName("nvst").start()
+    ms.addData(b1: _*); q.processAllAvailable()
+    ms.addData(b2: _*); q.processAllAvailable(); q.stop()
+    val rows = s.table("nvst").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq.sorted
+    assert(rows == Seq((1L, 24001L, 24001L), (1L, 24002L, 24001L),
+      (1L, 24003L, 24001L), (2L, 24003L, 24003L)),
+      s"running-min labels with cross-batch carry, got $rows")
+  }
+
+  test("streaming new-vs-returning over the fixture equals the batch table") {
+    import graft.engine.Relational
+    def key(r: org.apache.spark.sql.Row) = r.getString(0) ->
+      ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getDouble(5)))
+    val stream = Relational.q_stream_new_vs_returning(spark, sf0001)
+      .collect().map(key).toMap
+    val batch = Relational.q_agg_new_vs_returning(spark, sf0001)
+      .collect().map(key).toMap
+    assert(stream == batch, "batch ≡ stream through the shared assembly")
+  }
+
   test("q_embed_sq8 equals a driver-side floor-code replay") {
     val embs = Tables.embeddings(spark, sf0001)
       .collect().map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
