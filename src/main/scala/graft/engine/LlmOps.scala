@@ -1221,7 +1221,40 @@ object LlmOps {
       .orderBy("lang", "kept_doc")
   }
 
+  /** Dedup-cascade FUNNEL report (the one-page accounting a 100 TB
+    * curation run publishes beside its corpus: how much mass each dedup
+    * tier removes): per lang over the deterministic 10 % sample —
+    * docs/tokens in → exact-hash survivors (distinct md5 of the full
+    * text) → near-dup survivors (the dedupLabels 0.8-jaccard
+    * components, shared MV — an exact duplicate is jaccard-1, so the
+    * cluster tier subsumes the exact tier and the funnel is monotone)
+    * → kept-token mass of the min-id representatives, with the kept
+    * share as ONE round-6 division. Everything is keyed aggregation
+    * over already-materialized MVs plus one hash scan; the funnel
+    * table is lang-bounded at any scale. */
+  def q_llm_dedup_funnel(s: SparkSession, dir: String): DataFrame = {
+    val docs = dedupDocs(s, dir)
+    val exact = Tables.documents(s, dir)
+      .filter(col("doc_id") % 10 === 0 &&
+        size(array_distinct(split(col("text"), " "))) > 0)
+      .select(col("lang"), md5(col("text").cast("binary")).as("h"))
+      .groupBy(col("lang")).agg(countDistinct(col("h")).as("n_exact"))
+    dedupLabels(s, dir).join(docs, col("node") === col("doc_id"))
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("nt")).as("n_tokens"),
+        countDistinct(col("lbl")).as("n_clusters"),
+        sum(when(col("node") === col("lbl"), col("nt")).otherwise(0L))
+          .as("kept_tokens"))
+      .join(exact, Seq("lang"))
+      .select(col("lang"), col("n_docs"), col("n_tokens"), col("n_exact"),
+        col("n_clusters"), col("kept_tokens"),
+        round(col("kept_tokens").cast("double") / col("n_tokens").cast("double"), 6)
+          .as("kept_share"))
+      .orderBy("lang")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_llm_dedup_funnel" -> q_llm_dedup_funnel _,
     "q_llm_dedup_keep" -> q_llm_dedup_keep _,
     "q_llm_lsh_clusters" -> q_llm_lsh_clusters _,
     "q_llm_hard_negatives" -> q_llm_hard_negatives _,

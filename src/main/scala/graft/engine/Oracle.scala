@@ -4966,6 +4966,41 @@ object Oracle {
           |          AS DOUBLE)), 0), 6) AS mcc
           |FROM nn, dg, xp, t2, p2""".stripMargin,
 
+      // Cascade funnel: the dedup_keep reachability chain + a distinct
+      // exact-hash count, aggregated to the per-lang funnel table.
+      "q_llm_dedup_funnel" ->
+        """WITH RECURSIVE d AS (
+          |  SELECT doc_id, lang, list_distinct(string_split(text, ' ')) AS toks,
+          |    text
+          |  FROM documents
+          |  WHERE doc_id % 10 = 0 AND len(list_distinct(string_split(text, ' '))) > 0),
+          |p AS (
+          |  SELECT d1.doc_id AS x, d2.doc_id AS y
+          |  FROM d d1 JOIN d d2 ON d1.lang = d2.lang AND d1.doc_id < d2.doc_id
+          |  WHERE CAST(len(list_intersect(d1.toks, d2.toks)) AS DOUBLE)
+          |    / (len(d1.toks) + len(d2.toks) - len(list_intersect(d1.toks, d2.toks)))
+          |    >= 0.8),
+          |ue AS (SELECT x, y FROM p UNION ALL SELECT y, x FROM p),
+          |reach AS (
+          |  SELECT doc_id AS n, doc_id AS r FROM d
+          |  UNION
+          |  SELECT reach.n, ue.y FROM reach JOIN ue ON reach.r = ue.x),
+          |comp AS (SELECT n, MIN(r) AS lbl FROM reach GROUP BY n),
+          |ex AS (SELECT lang,
+          |    CAST(COUNT(DISTINCT md5(text)) AS BIGINT) AS n_exact
+          |  FROM d GROUP BY 1),
+          |cl AS (SELECT d.lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
+          |    CAST(SUM(len(d.toks)) AS BIGINT) AS n_tokens,
+          |    CAST(COUNT(DISTINCT comp.lbl) AS BIGINT) AS n_clusters,
+          |    CAST(SUM(CASE WHEN comp.n = comp.lbl THEN len(d.toks) ELSE 0 END)
+          |      AS BIGINT) AS kept_tokens
+          |  FROM comp JOIN d ON comp.n = d.doc_id
+          |  GROUP BY 1)
+          |SELECT cl.lang, n_docs, n_tokens, n_exact, n_clusters, kept_tokens,
+          |  ROUND(CAST(kept_tokens AS DOUBLE) / CAST(n_tokens AS DOUBLE), 6)
+          |    AS kept_share
+          |FROM cl JOIN ex ON cl.lang = ex.lang ORDER BY cl.lang""".stripMargin,
+
       // Survivor selection: the dedup_clusters reachability chain with
       // per-cluster min-id keep + dropped-token accounting.
       "q_llm_dedup_keep" ->

@@ -255,6 +255,28 @@ class Round17Spec extends AnyFunSuite {
     assert(stream == batch, "batch ≡ stream through the shared assembly")
   }
 
+  test("q_llm_dedup_funnel is monotone and consistent with the cluster table") {
+    import graft.engine.LlmOps
+    val funnel = LlmOps.q_llm_dedup_funnel(spark, sf0001).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getDouble(6)))).toMap
+    // the funnel must shrink at every tier: docs >= exact survivors >=
+    // cluster survivors; kept tokens <= tokens in
+    funnel.foreach { case (lang, (nd, nt, nx, nc, kt, ks)) =>
+      assert(nx <= nd, s"$lang exact <= in")
+      assert(nc <= nx, s"$lang clusters <= exact (jaccard-1 subsumes)")
+      assert(kt <= nt, s"$lang kept tokens <= tokens in")
+      assert(ks == r6(kt.toDouble / nt.toDouble), s"$lang share")
+    }
+    // n_docs and n_clusters must agree with q_llm_dedup_clusters
+    val clus = LlmOps.q_llm_dedup_clusters(spark, sf0001).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(funnel.keySet == clus.keySet, "same lang spine")
+    funnel.foreach { case (lang, (nd, _, _, nc, _, _)) =>
+      assert(clus(lang) == ((nd, nc)), s"$lang docs/clusters agree")
+    }
+  }
+
   test("q_embed_sq8 equals a driver-side floor-code replay") {
     val embs = Tables.embeddings(spark, sf0001)
       .collect().map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
