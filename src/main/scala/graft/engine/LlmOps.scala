@@ -1030,6 +1030,63 @@ object LlmOps {
       .orderBy("query_id")
   }
 
+  /** Recall-curve operating points (shared with the oracle). */
+  val RecallKs = Seq(1, 3, 10)
+
+  /** ANN recall CURVE — recall@{1,3,10} of the IVF cell-scoped search
+    * against the exact brute-force ranking (the operating-curve view of
+    * q_llm_ann_recall's single point: a serving deployment picks its k
+    * from this table, because cell-scoped recall IMPROVES with k at
+    * fixed candidate cost only until the cell runs out of true
+    * neighbors). Both rankings are computed ONCE to depth 10 with the
+    * shared round-6 cosine + id tie-break, then every k aggregates the
+    * same matched table: recall@k = Σ_q |exact-top-k ∩ ivf-top-k| /
+    * (k·|Q|) — an exact-integer division. The k spine is a 3-row
+    * broadcast over the query-bounded matched table. */
+  def q_llm_ann_recall_curve(s: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(s, dir)
+    val assigned = ivfAssign(s, emb, emb.filter(col("vec_id") >= 16))
+    val qs = assigned.filter(col("vid").between(20, 24))
+      .select(col("vid").as("query_id"), col("cid").as("qcid"),
+        col("dv").as("qv"), col("dn").as("qn"))
+    val wS = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos_sim").desc, col("neighbor_id").asc)
+    val ivf = qs.join(assigned.select(col("vid").as("neighbor_id"),
+        col("cid").as("ncid"), col("dv").as("nv"), col("dn").as("nn")),
+        col("qcid") === col("ncid") && col("query_id") =!= col("neighbor_id"))
+      .withColumn("cos_sim",
+        round(cosSimPre(s)(col("qv"), col("nv"), col("qn"), col("nn")), 6))
+      .withColumn("irnk", row_number().over(wS).cast("bigint"))
+      .filter(col("irnk") <= 10)
+      .select(col("query_id").as("iq"), col("neighbor_id").as("in"), col("irnk"))
+    val data = emb.filter(col("vec_id") >= 16)
+      .select(col("vec_id").as("neighbor_id"), col("embedding").as("nv"),
+        normCol(s)(col("embedding")).as("nn"))
+    val matched = qs.select(col("query_id"), col("qv"), col("qn"))
+      .crossJoin(data).filter(col("query_id") =!= col("neighbor_id"))
+      .withColumn("cos_sim",
+        round(cosSimPre(s)(col("qv"), col("nv"), col("qn"), col("nn")), 6))
+      .withColumn("ernk", row_number().over(wS).cast("bigint"))
+      .filter(col("ernk") <= 10)
+      .select(col("query_id"), col("neighbor_id"), col("ernk"))
+      .join(ivf, col("query_id") === col("iq")
+        && col("neighbor_id") === col("in"), "left_outer")
+      .select(col("query_id"), col("ernk"), col("irnk"))
+      .localCheckpoint() // |Q| x 10 rows
+    val ks = s.range(0, 1)
+      .select(explode(array(RecallKs.map(k => lit(k)): _*)).as("k"))
+    matched.crossJoin(broadcast(ks))
+      .filter(col("ernk") <= col("k"))
+      .groupBy(col("k"))
+      .agg(countDistinct(col("query_id")).as("n_queries"),
+        sum(when(col("irnk").isNotNull && col("irnk") <= col("k"), 1L)
+          .otherwise(0L)).as("n_hits"))
+      .select(col("k").cast("bigint").as("k"), col("n_queries"), col("n_hits"),
+        round(col("n_hits").cast("double")
+          / (col("k") * col("n_queries")).cast("double"), 6).as("recall"))
+      .orderBy("k")
+  }
+
   /** Feature-hash dimensionality (hashing-trick vectorizer). */
   val FeatureHashDims = 32
 
@@ -1255,6 +1312,7 @@ object LlmOps {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_llm_dedup_funnel" -> q_llm_dedup_funnel _,
+    "q_llm_ann_recall_curve" -> q_llm_ann_recall_curve _,
     "q_llm_dedup_keep" -> q_llm_dedup_keep _,
     "q_llm_lsh_clusters" -> q_llm_lsh_clusters _,
     "q_llm_hard_negatives" -> q_llm_hard_negatives _,

@@ -1106,6 +1106,46 @@ object Oracle {
          |  CAST(n_hits AS DOUBLE) / CAST(3 AS DOUBLE) AS recall_at_3
          |FROM agg ORDER BY query_id""".stripMargin,
 
+    // Recall CURVE: the ann_recall chain ranked to depth 10 once, then
+    // each k of the 3-row spine aggregates the same matched table.
+    "q_llm_ann_recall_curve" ->
+      s"""WITH cents AS (SELECT vec_id AS cid, embedding AS cv FROM embeddings WHERE vec_id < 16),
+         |data AS (SELECT vec_id AS vid, embedding AS dv FROM embeddings WHERE vec_id >= 16),
+         |ac AS (SELECT d.vid, c.cid, d.dv,
+         |         ROUND(${cosExpr("d.dv", "c.cv")}, 6) AS ccos
+         |       FROM data d CROSS JOIN cents c),
+         |ar AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY vid
+         |         ORDER BY ccos DESC, cid ASC) AS arn FROM ac),
+         |assigned AS (SELECT vid, cid, dv FROM ar WHERE arn = 1),
+         |qs AS (SELECT vid AS query_id, cid AS qcid, dv AS qv FROM assigned
+         |       WHERE vid BETWEEN 20 AND 24),
+         |icand AS (SELECT q.query_id, a.vid AS neighbor_id,
+         |            ROUND(${cosExpr("q.qv", "a.dv")}, 6) AS cos_sim
+         |          FROM qs q JOIN assigned a ON q.qcid = a.cid AND q.query_id <> a.vid),
+         |ir AS (SELECT query_id, neighbor_id, CAST(rnk AS BIGINT) AS irnk
+         |  FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+         |         ORDER BY cos_sim DESC, neighbor_id ASC) AS rnk FROM icand)
+         |  WHERE rnk <= 10),
+         |ecand AS (SELECT q.query_id, d.vid AS neighbor_id,
+         |            ROUND(${cosExpr("q.qv", "d.dv")}, 6) AS cos_sim
+         |          FROM qs q JOIN data d ON q.query_id <> d.vid),
+         |er AS (SELECT query_id, neighbor_id, CAST(rnk AS BIGINT) AS ernk
+         |  FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+         |         ORDER BY cos_sim DESC, neighbor_id ASC) AS rnk FROM ecand)
+         |  WHERE rnk <= 10),
+         |m AS (SELECT e.query_id, e.ernk, i.irnk
+         |  FROM er e LEFT JOIN ir i
+         |    ON e.query_id = i.query_id AND e.neighbor_id = i.neighbor_id),
+         |ks AS (SELECT UNNEST(${LlmOps.RecallKs.mkString("[", ", ", "]")}) AS k),
+         |agg AS (SELECT k.k, CAST(COUNT(DISTINCT query_id) AS BIGINT) AS n_queries,
+         |    CAST(SUM(CASE WHEN irnk IS NOT NULL AND irnk <= k.k
+         |      THEN 1 ELSE 0 END) AS BIGINT) AS n_hits
+         |  FROM m CROSS JOIN ks k WHERE ernk <= k.k GROUP BY 1)
+         |SELECT CAST(k AS BIGINT) AS k, n_queries, n_hits,
+         |  ROUND(CAST(n_hits AS DOUBLE) / CAST(k * n_queries AS DOUBLE), 6)
+         |    AS recall
+         |FROM agg ORDER BY k""".stripMargin,
+
     // The decode stub is a pure function of the source text (UTF-8,
     // all-ASCII verified): width = ascii(first char)+1, bytes = length.
     // Relational pHash replay: block bit = exact integer cross-product
@@ -5629,6 +5669,45 @@ object Oracle {
         |  ROUND(pp,9) AS pseudo_p, i AS bh_rank,
         |  CASE WHEN i <= kbh THEN TRUE ELSE FALSE END AS rejected
         |FROM kk ORDER BY bh_rank, family, event_type, ub""".stripMargin,
+
+    // Holm step-down over the SAME pseudo-p battery as q_stats_fdr_bh:
+    // running-max adjusted p + running-min step-threshold indicator.
+    "q_stats_holm" ->
+      """WITH cents AS (SELECT event_type, user_id % 20 AS ub,
+        |    CAST(ROUND(value*100,0) AS BIGINT) AS c FROM events
+        |  WHERE CAST(ROUND(value*100,0) AS BIGINT) > 0),
+        |g AS (SELECT event_type, ub, CAST(COUNT(*) AS BIGINT) AS n,
+        |    CAST(SUM(CASE WHEN SUBSTR(CAST(c AS VARCHAR),1,1) = '1'
+        |      THEN 1 ELSE 0 END) AS BIGINT) AS n_d1,
+        |    CAST(SUM(CASE WHEN c % 2 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_even
+        |  FROM cents GROUP BY 1,2 HAVING COUNT(*) >= 20),
+        |tests AS (
+        |  SELECT 'uniform_d1' AS family, event_type, ub, n,
+        |    (CAST(n_d1 AS DOUBLE) - CAST(n AS DOUBLE)*(1.0/9.0))
+        |      / sqrt(CAST(n AS DOUBLE)*(1.0/9.0)*(1.0-1.0/9.0)) AS z FROM g
+        |  UNION ALL
+        |  SELECT 'parity' AS family, event_type, ub, n,
+        |    CAST(2*n_even - n AS DOUBLE)/sqrt(CAST(n AS DOUBLE)) AS z FROM g),
+        |p AS (SELECT family, event_type, ub, n, z, exp(-z*z/2.0) AS pp
+        |  FROM tests),
+        |rk AS (SELECT *, CAST(ROW_NUMBER() OVER (ORDER BY pp, family,
+        |      event_type, ub) AS BIGINT) AS i,
+        |    CAST(COUNT(*) OVER () AS BIGINT) AS m FROM p),
+        |hw AS (SELECT *,
+        |    0.05 / CAST(m - i + 1 AS DOUBLE) AS step_alpha,
+        |    MAX(LEAST(1.0, CAST(m - i + 1 AS DOUBLE) * pp))
+        |      OVER (ORDER BY pp, family, event_type, ub
+        |        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS padj,
+        |    MIN(CASE WHEN pp <= 0.05 / CAST(m - i + 1 AS DOUBLE)
+        |      THEN 1 ELSE 0 END)
+        |      OVER (ORDER BY pp, family, event_type, ub
+        |        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS ok_run
+        |  FROM rk)
+        |SELECT family, event_type, ub, n, ROUND(z,6) AS z_stat,
+        |  ROUND(pp,9) AS pseudo_p, i AS holm_rank,
+        |  ROUND(step_alpha,9) AS step_alpha, ROUND(padj,9) AS p_adj,
+        |  CASE WHEN ok_run = 1 THEN TRUE ELSE FALSE END AS rejected
+        |FROM hw ORDER BY holm_rank, family, event_type, ub""".stripMargin,
 
     "q_rank_map_mrr" ->
       s"""WITH q AS (SELECT vec_id AS query_id, embedding AS qv,

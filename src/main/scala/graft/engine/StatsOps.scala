@@ -2535,7 +2535,11 @@ object StatsOps {
     * procedure's. Counting pass is map-side-combinable; the BH sort is
     * over m test ROWS (slices, not events) — driver-bounded output,
     * executor-bounded everything else. */
-  def q_stats_fdr_bh(s: SparkSession, dir: String): DataFrame = {
+  /** Shared two-family pseudo-p test battery (uniform-first-digit +
+    * parity z per (event_type, user-bucket) cell) — consumed by the
+    * BH-FDR step-up AND the Holm step-down corrections so the two
+    * multiple-testing operators adjudicate the identical battery. */
+  private def pseudoTests(s: SparkSession, dir: String): DataFrame = {
     val cents = Tables.events(s, dir)
       .select(col("event_type"), (col("user_id") % 20).as("ub"),
         round(col("value") * 100, 0).cast("bigint").as("c"))
@@ -2551,11 +2555,15 @@ object StatsOps {
     val zU = (col("n_d1").cast("double") - nD * p0) /
       sqrt(nD * p0 * (1.0 - p0))
     val zP = (lit(2L) * col("n_even") - col("n")).cast("double") / sqrt(nD)
-    val tests = g.select(lit("uniform_d1").as("family"), col("event_type"),
+    g.select(lit("uniform_d1").as("family"), col("event_type"),
         col("ub"), col("n"), zU.as("z"))
       .unionAll(g.select(lit("parity").as("family"), col("event_type"),
         col("ub"), col("n"), zP.as("z")))
       .withColumn("pp", exp(-col("z") * col("z") / 2.0))
+  }
+
+  def q_stats_fdr_bh(s: SparkSession, dir: String): DataFrame = {
+    val tests = pseudoTests(s, dir)
     val wAll = Window.orderBy(col("pp"), col("family"), col("event_type"),
       col("ub"))
     val ranked = tests
@@ -2574,11 +2582,48 @@ object StatsOps {
       .orderBy(col("bh_rank"), col("family"), col("event_type"), col("ub"))
   }
 
+  /** Holm–Bonferroni step-down correction (Holm 1979 — the FWER
+    * companion to q_stats_fdr_bh's FDR step-up; a report that controls
+    * family-wise error runs Holm, one that controls discovery rate
+    * runs BH — this pair adjudicates the SAME pseudoTests battery so
+    * the two procedures are directly comparable): tests ranked by
+    * ascending p with the full deterministic tie-break; per rank i the
+    * step threshold α/(m−i+1), the monotone adjusted p
+    * p̃_i = max_{j≤i} min(1, (m−j+1)·p_j) as ONE running-max window,
+    * and the step-down rejection (reject i iff EVERY j ≤ i clears its
+    * own threshold) as a running-min indicator window. All doubles are
+    * pinned single expressions over the shared battery; windows sort
+    * the test table (cell-bounded), never the event scan. */
+  def q_stats_holm(s: SparkSession, dir: String): DataFrame = {
+    val tests = pseudoTests(s, dir)
+    val wAll = Window.orderBy(col("pp"), col("family"), col("event_type"),
+      col("ub"))
+    val wRun = Window.orderBy(col("pp"), col("family"), col("event_type"),
+      col("ub")).rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val ranked = tests
+      .withColumn("i", row_number().over(wAll).cast("bigint"))
+      .withColumn("m", count(lit(1)).over(
+        Window.partitionBy().rowsBetween(Window.unboundedPreceding,
+          Window.unboundedFollowing)))
+      .withColumn("step_alpha",
+        lit(0.05) / (col("m") - col("i") + 1).cast("double"))
+      .withColumn("padj", max(least(lit(1.0),
+        (col("m") - col("i") + 1).cast("double") * col("pp"))).over(wRun))
+      .withColumn("ok_run", min(when(col("pp") <= col("step_alpha"), 1L)
+        .otherwise(0L)).over(wRun))
+    ranked.select(col("family"), col("event_type"), col("ub"), col("n"),
+      round(col("z"), 6).as("z_stat"), round(col("pp"), 9).as("pseudo_p"),
+      col("i").as("holm_rank"), round(col("step_alpha"), 9).as("step_alpha"),
+      round(col("padj"), 9).as("p_adj"), (col("ok_run") === 1L).as("rejected"))
+      .orderBy(col("holm_rank"), col("family"), col("event_type"), col("ub"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_agg_spearman" -> q_agg_spearman _,
     "q_agg_anova" -> q_agg_anova _,
     "q_agg_levene" -> q_agg_levene _,
     "q_stats_fdr_bh" -> q_stats_fdr_bh _,
+    "q_stats_holm" -> q_stats_holm _,
     "q_agg_mann_kendall" -> q_agg_mann_kendall _,
     "q_time_kendall_tau" -> q_time_kendall_tau _,
     "q_time_dow_seasonality" -> q_time_dow_seasonality _,

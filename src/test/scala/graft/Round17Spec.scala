@@ -277,6 +277,57 @@ class Round17Spec extends AnyFunSuite {
     }
   }
 
+  test("q_stats_holm equals a driver-side step-down replay and nests inside BH") {
+    def r9(x: Double): Double =
+      BigDecimal(x).setScale(9, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val holm = StatsOps.q_stats_holm(spark, sf0001).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getDouble(5),
+        r.getLong(6), r.getDouble(7), r.getDouble(8), r.getBoolean(9)))
+    val m = holm.length
+    // ranks are the full 1..m spine sorted by (p, tie-break); padj is
+    // the monotone running max; rejection is the step-down prefix rule
+    assert(holm.map(_._5).toSeq == (1L to m.toLong), "rank spine")
+    // the emitted pseudo_p is itself round-9, so the replayed adjusted p
+    // carries up to m·5e-10 of rounding slack vs the query's unrounded
+    // chain — compare within 1e-6 (the round-6 display grain)
+    var runMax = 0.0; var prefixOk = true; var prevPadj = 0.0
+    holm.sortBy(_._5).foreach { case (_, _, _, pp, i, sa, padj, rej) =>
+      assert(sa == r9(0.05 / (m - i + 1).toDouble), s"rank $i alpha")
+      runMax = math.max(runMax, math.min(1.0, (m - i + 1).toDouble * pp))
+      assert(math.abs(padj - runMax) <= 1e-6, s"rank $i padj")
+      assert(padj + 1e-12 >= prevPadj, s"rank $i padj monotone")
+      prevPadj = padj
+      val thr = 0.05 / (m - i + 1).toDouble
+      prefixOk = prefixOk && pp <= thr
+      if (math.abs(pp - thr) > 1e-8)
+        assert(rej == prefixOk, s"rank $i step-down rejection")
+    }
+    // Holm (FWER) is never more liberal than BH (FDR) at the same alpha
+    val bhRej = StatsOps.q_stats_fdr_bh(spark, sf0001).collect()
+      .filter(_.getBoolean(7))
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSet
+    val holmRej = holm.filter(_._8).map(t => (t._1, t._2, t._3)).toSet
+    assert(holmRej.subsetOf(bhRej), "Holm rejections nest inside BH's")
+  }
+
+  test("q_llm_ann_recall_curve k=3 point equals the single-point operator") {
+    import graft.engine.LlmOps
+    val curve = LlmOps.q_llm_ann_recall_curve(spark, sf0001).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getDouble(3))))
+      .toMap
+    assert(curve.keySet == Set(1L, 3L, 10L), "operating points")
+    val per = LlmOps.q_llm_ann_recall(spark, sf0001).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val (nq3, hits3, rec3) = curve(3L)
+    assert(nq3 == per.length.toLong, "same query set")
+    assert(hits3 == per.map(_._2).sum, "k=3 hits agree with q_llm_ann_recall")
+    assert(rec3 == r6(hits3.toDouble / (3.0 * nq3.toDouble)), "k=3 recall")
+    curve.foreach { case (k, (nq, hits, rec)) =>
+      assert(hits <= k * nq, s"k=$k hits bounded")
+      assert(rec == r6(hits.toDouble / (k * nq).toDouble), s"k=$k division")
+    }
+  }
+
   test("q_embed_sq8 equals a driver-side floor-code replay") {
     val embs = Tables.embeddings(spark, sf0001)
       .collect().map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
