@@ -5709,6 +5709,110 @@ object Oracle {
         |  CASE WHEN ok_run = 1 THEN TRUE ELSE FALSE END AS rejected
         |FROM hw ORDER BY holm_rank, family, event_type, ub""".stripMargin,
 
+    // Jarque–Bera over the q_agg_skew_kurt moment chain: S and K round-6
+    // pinned FIRST, JB combines the rounded values, χ²(2) 5% decision.
+    "q_agg_jarque_bera" ->
+      """WITH li AS (SELECT l_returnflag, CAST(l_quantity AS BIGINT) AS q FROM lineitem),
+        |a AS (SELECT l_returnflag, COUNT(*) AS n_rows,
+        |  CAST(SUM(q) AS DOUBLE) AS s1, CAST(SUM(q*q) AS DOUBLE) AS s2,
+        |  CAST(SUM(q*q*q) AS DOUBLE) AS s3, CAST(SUM(q*q*q*q) AS DOUBLE) AS s4
+        |  FROM li GROUP BY 1),
+        |m AS (SELECT l_returnflag, n_rows,
+        |  s1 / CAST(n_rows AS DOUBLE) AS m1,
+        |  s2 / CAST(n_rows AS DOUBLE) AS s2n,
+        |  s3 / CAST(n_rows AS DOUBLE) AS s3n,
+        |  s4 / CAST(n_rows AS DOUBLE) AS s4n
+        |  FROM a),
+        |mm AS (SELECT l_returnflag, n_rows,
+        |  s2n - m1 * m1 AS m2,
+        |  s3n - CAST(3 AS DOUBLE) * m1 * s2n + CAST(2 AS DOUBLE) * m1 * m1 * m1 AS m3,
+        |  s4n - CAST(4 AS DOUBLE) * m1 * s3n + CAST(6 AS DOUBLE) * m1 * m1 * s2n
+        |      - CAST(3 AS DOUBLE) * m1 * m1 * m1 * m1 AS m4
+        |  FROM m),
+        |r AS (SELECT l_returnflag, n_rows,
+        |  ROUND(m3 / (m2 * sqrt(m2)), 6) AS skewness,
+        |  ROUND(m4 / (m2 * m2) - CAST(3 AS DOUBLE), 6) AS kurtosis_excess
+        |  FROM mm),
+        |jb AS (SELECT l_returnflag, n_rows, skewness, kurtosis_excess,
+        |  ROUND(CAST(n_rows AS DOUBLE) / 6.0
+        |    * (skewness * skewness + kurtosis_excess * kurtosis_excess / 4.0), 6)
+        |    AS jb_stat
+        |  FROM r)
+        |SELECT l_returnflag, n_rows, skewness, kurtosis_excess, jb_stat,
+        |  jb_stat > 5.991465 AS normal_rejected_5pct
+        |FROM jb ORDER BY l_returnflag""".stripMargin,
+
+    // Bartlett over the q_agg_levene groups: exact integer moments,
+    // round-9 ln terms summed as DECIMAL (the PSI device), C round-9
+    // before it divides.
+    "q_agg_bartlett" ->
+      """WITH v AS (SELECT c_mktsegment AS g,
+        |    CAST(ROUND(c_acctbal * 100, 0) AS BIGINT) AS c FROM customer),
+        |grp AS (SELECT g, CAST(COUNT(*) AS BIGINT) AS ng,
+        |    CAST(SUM(CAST(c AS HUGEINT)) AS DOUBLE) AS sg,
+        |    CAST(SUM(CAST(c AS HUGEINT) * c) AS DOUBLE) AS qg
+        |  FROM v GROUP BY 1),
+        |t AS (SELECT ng,
+        |    CAST(ROUND((CAST(ng AS DOUBLE) - 1.0)
+        |      * ((CAST(ng AS DOUBLE) * qg - sg * sg)
+        |         / (CAST(ng AS DOUBLE) * (CAST(ng AS DOUBLE) - 1.0))), 6)
+        |      AS DECIMAL(28,6)) AS w_s2,
+        |    CAST(ROUND((CAST(ng AS DOUBLE) - 1.0)
+        |      * ln((CAST(ng AS DOUBLE) * qg - sg * sg)
+        |         / (CAST(ng AS DOUBLE) * (CAST(ng AS DOUBLE) - 1.0))), 9)
+        |      AS DECIMAL(28,9)) AS w_ln,
+        |    CAST(ROUND(1.0 / (CAST(ng AS DOUBLE) - 1.0), 9)
+        |      AS DECIMAL(28,9)) AS inv_df
+        |  FROM grp),
+        |tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS k,
+        |    CAST(SUM(ng) AS BIGINT) AS n,
+        |    CAST(SUM(w_s2) AS DOUBLE) AS sw, CAST(SUM(w_ln) AS DOUBLE) AS sl,
+        |    CAST(SUM(inv_df) AS DOUBLE) AS si
+        |  FROM t),
+        |x AS (SELECT k, n,
+        |    sw / (CAST(n AS DOUBLE) - CAST(k AS DOUBLE)) AS pooled,
+        |    ROUND(1.0 + (si - 1.0 / (CAST(n AS DOUBLE) - CAST(k AS DOUBLE)))
+        |      / (3.0 * (CAST(k AS DOUBLE) - 1.0)), 9) AS c_factor, sl
+        |  FROM tot)
+        |SELECT k, n, ROUND(pooled, 6) AS pooled_var, c_factor,
+        |  ROUND(((CAST(n AS DOUBLE) - CAST(k AS DOUBLE)) * ROUND(ln(pooled), 9)
+        |    - sl) / c_factor, 6) AS t_stat
+        |FROM x""".stripMargin,
+
+    // Cohen's d / Hedges' g over the q_agg_ttest ref/cur split: pooled-SD
+    // standardized mean difference + small-sample correction, pinned
+    // double chain over the exact moment sums.
+    "q_agg_cohens_d" ->
+      """WITH ev AS (SELECT event_type,
+        |    CAST(ROUND(value * 100, 0) AS BIGINT) AS c,
+        |    (CAST(CAST(ts AS TIMESTAMP) AS DATE) <= DATE '2024-01-15') AS is_ref
+        |  FROM events),
+        |a AS (SELECT event_type,
+        |    CAST(SUM(CASE WHEN is_ref THEN 1 ELSE 0 END) AS BIGINT) AS n_ref,
+        |    CAST(SUM(CASE WHEN NOT is_ref THEN 1 ELSE 0 END) AS BIGINT) AS n_cur,
+        |    CAST(SUM(CASE WHEN is_ref THEN c ELSE 0 END) AS DOUBLE) AS s1,
+        |    CAST(SUM(CASE WHEN is_ref THEN c * c ELSE 0 END) AS DOUBLE) AS q1,
+        |    CAST(SUM(CASE WHEN NOT is_ref THEN c ELSE 0 END) AS DOUBLE) AS s2,
+        |    CAST(SUM(CASE WHEN NOT is_ref THEN c * c ELSE 0 END) AS DOUBLE) AS q2
+        |  FROM ev GROUP BY 1
+        |  HAVING n_ref > 1 AND n_cur > 1),
+        |x AS (SELECT event_type, n_ref, n_cur, s1, s2,
+        |    (CAST(n_ref AS DOUBLE) * q1 - s1 * s1)
+        |      / (CAST(n_ref AS DOUBLE) * (CAST(n_ref AS DOUBLE) - 1)) AS v1,
+        |    (CAST(n_cur AS DOUBLE) * q2 - s2 * s2)
+        |      / (CAST(n_cur AS DOUBLE) * (CAST(n_cur AS DOUBLE) - 1)) AS v2
+        |  FROM a),
+        |y AS (SELECT event_type, n_ref, n_cur,
+        |    (s1 / CAST(n_ref AS DOUBLE) - s2 / CAST(n_cur AS DOUBLE))
+        |      / sqrt(((CAST(n_ref AS DOUBLE) - 1) * v1
+        |              + (CAST(n_cur AS DOUBLE) - 1) * v2)
+        |             / (CAST(n_ref AS DOUBLE) + CAST(n_cur AS DOUBLE) - 2)) AS d
+        |  FROM x)
+        |SELECT event_type, n_ref, n_cur, ROUND(d, 6) AS cohens_d,
+        |  ROUND((1.0 - 3.0 / (4.0 * (CAST(n_ref AS DOUBLE)
+        |    + CAST(n_cur AS DOUBLE)) - 9.0)) * d, 6) AS hedges_g
+        |FROM y ORDER BY event_type""".stripMargin,
+
     "q_rank_map_mrr" ->
       s"""WITH q AS (SELECT vec_id AS query_id, embedding AS qv,
          |             label AS qlabel FROM embeddings WHERE vec_id < 10),

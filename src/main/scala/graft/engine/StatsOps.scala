@@ -2618,7 +2618,121 @@ object StatsOps {
       .orderBy(col("holm_rank"), col("family"), col("event_type"), col("ub"))
   }
 
+  /** Jarque–Bera normality test (Jarque & Bera 1980) per return flag —
+    * the DECISION layer over q_agg_skew_kurt's raw shape moments (same
+    * fixture, same exact DECIMAL(38,0) moment chain, so the two reports
+    * can never disagree about the underlying moments): skewness S and
+    * excess kurtosis K are round-6 pinned FIRST, then
+    * JB = n/6·(S² + K²/4) combines the rounded values (deterministic
+    * given the round-6 pins hold) and the 5% decision compares against
+    * the χ²(2) critical value 5.991465. One aggregation over the fact
+    * scan — map-side partials, group-cardinality output at any scale. */
+  def q_agg_jarque_bera(s: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(s, dir).select(col("l_returnflag"),
+      col("l_quantity").cast("bigint").as("q"))
+    def dsum(c: org.apache.spark.sql.Column, n: String) =
+      sum(c.cast("decimal(38,0)")).cast("double").as(n)
+    val agg = li.groupBy(col("l_returnflag")).agg(
+      count(lit(1)).as("n_rows"),
+      dsum(col("q"), "s1"),
+      dsum(col("q") * col("q"), "s2"),
+      dsum(col("q") * col("q") * col("q"), "s3"),
+      dsum(col("q") * col("q") * col("q") * col("q"), "s4"))
+    val n = col("n_rows").cast("double")
+    val m1 = col("s1") / n
+    val m2 = col("s2") / n - m1 * m1
+    val m3 = col("s3") / n - lit(3.0) * m1 * (col("s2") / n) +
+      lit(2.0) * m1 * m1 * m1
+    val m4 = col("s4") / n - lit(4.0) * m1 * (col("s3") / n) +
+      lit(6.0) * m1 * m1 * (col("s2") / n) - lit(3.0) * m1 * m1 * m1 * m1
+    val sk = round(m3 / (m2 * sqrt(m2)), 6)
+    val ku = round(m4 / (m2 * m2) - lit(3.0), 6)
+    agg.select(col("l_returnflag"), col("n_rows"),
+        sk.as("skewness"), ku.as("kurtosis_excess"),
+        round(n / lit(6.0) * (sk * sk + ku * ku / lit(4.0)), 6).as("jb_stat"))
+      .withColumn("normal_rejected_5pct", col("jb_stat") > lit(5.991465))
+      .orderBy("l_returnflag")
+  }
+
+  /** Bartlett's variance-homogeneity test (Bartlett 1937) over the SAME
+    * per-segment acctbal-cents groups q_agg_levene adjudicates — the
+    * parametric (normality-assuming) companion beside Levene's robust
+    * screen, so a user sees both verdicts on identical groups. Exact
+    * integer moments per group (c ≈ ±1.1e6 ⇒ c² bigint-safe per row;
+    * sums DECIMAL(38,0)); S_i² pinned double rationals; the ln terms
+    * follow the PSI device (round-9 each, exact DECIMAL term sums —
+    * absorbs libm-vs-StrictMath ln drift); correction factor C round-9
+    * before it divides. Group cardinality (5) bounds everything after
+    * the one fact-scan aggregation. */
+  def q_agg_bartlett(s: SparkSession, dir: String): DataFrame = {
+    val v = Tables.customer(s, dir).select(col("c_mktsegment").as("g"),
+      round(col("c_acctbal") * 100, 0).cast("bigint").as("c"))
+    def dsum(cc: org.apache.spark.sql.Column, n: String) =
+      sum(cc.cast("decimal(38,0)")).cast("double").as(n)
+    val grp = v.groupBy(col("g")).agg(count(lit(1)).as("ng"),
+      dsum(col("c"), "sg"), dsum(col("c") * col("c"), "qg"))
+    val ngD = col("ng").cast("double")
+    val s2i = (ngD * col("qg") - col("sg") * col("sg")) /
+      (ngD * (ngD - lit(1.0)))
+    val terms = grp.select(col("ng"),
+      round((ngD - lit(1.0)) * s2i, 6).cast("decimal(28,6)").as("w_s2"),
+      round((ngD - lit(1.0)) * log(s2i), 9).cast("decimal(28,9)").as("w_ln"),
+      round(lit(1.0) / (ngD - lit(1.0)), 9).cast("decimal(28,9)").as("inv_df"))
+    val tot = terms.agg(count(lit(1)).as("k"), sum(col("ng")).as("n"),
+      sum(col("w_s2")).as("sw"), sum(col("w_ln")).as("sl"),
+      sum(col("inv_df")).as("si"))
+    val kD = col("k").cast("double")
+    val nD = col("n").cast("double")
+    val pooled = col("sw").cast("double") / (nD - kD)
+    val lnPooled = round(log(pooled), 9)
+    val cFac = round(lit(1.0) +
+      (col("si").cast("double") - lit(1.0) / (nD - kD)) /
+        (lit(3.0) * (kD - lit(1.0))), 9)
+    tot.select(col("k"), col("n"),
+      round(pooled, 6).as("pooled_var"),
+      cFac.as("c_factor"),
+      round(((nD - kD) * lnPooled - col("sl").cast("double")) / cFac, 6)
+        .as("t_stat"))
+  }
+
+  /** Cohen's d / Hedges' g effect size per event type over the SAME
+    * ref/cur calendar split q_agg_ttest adjudicates — the magnitude
+    * report beside the significance report (a drift triage reads both:
+    * t says "real", d says "how big"): pooled-SD standardized mean
+    * difference d = (x̄₁−x̄₂)/Sp with Sp² = ((n₁−1)v₁+(n₂−1)v₂)/(n₁+n₂−2),
+    * small-sample correction J = 1 − 3/(4(n₁+n₂)−9), g = J·d. All
+    * moments exact DECIMAL(38,0) from one scan; every double expression
+    * pinned; round-6 at the emit points only. */
+  def q_agg_cohens_d(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(s, dir).select(col("event_type"),
+      round(col("value") * 100, 0).cast("bigint").as("c"),
+      (to_date(col("ts")) <= lit("2024-01-15").cast("date")).as("is_ref"))
+    def dsum(c: org.apache.spark.sql.Column, n: String) =
+      sum(c.cast("decimal(38,0)")).cast("double").as(n)
+    val agg = ev.groupBy(col("event_type")).agg(
+      sum(when(col("is_ref"), 1L).otherwise(0L)).as("n_ref"),
+      sum(when(!col("is_ref"), 1L).otherwise(0L)).as("n_cur"),
+      dsum(when(col("is_ref"), col("c")).otherwise(0L), "s1"),
+      dsum(when(col("is_ref"), col("c") * col("c")).otherwise(0L), "q1"),
+      dsum(when(!col("is_ref"), col("c")).otherwise(0L), "s2"),
+      dsum(when(!col("is_ref"), col("c") * col("c")).otherwise(0L), "q2"))
+    val n1 = col("n_ref").cast("double")
+    val n2 = col("n_cur").cast("double")
+    val v1 = (n1 * col("q1") - col("s1") * col("s1")) / (n1 * (n1 - 1))
+    val v2 = (n2 * col("q2") - col("s2") * col("s2")) / (n2 * (n2 - 1))
+    val sp2 = ((n1 - 1) * v1 + (n2 - 1) * v2) / (n1 + n2 - 2)
+    val d = (col("s1") / n1 - col("s2") / n2) / sqrt(sp2)
+    val j = lit(1.0) - lit(3.0) / (lit(4.0) * (n1 + n2) - lit(9.0))
+    agg.filter(col("n_ref") > 1 && col("n_cur") > 1)
+      .select(col("event_type"), col("n_ref"), col("n_cur"),
+        round(d, 6).as("cohens_d"), round(j * d, 6).as("hedges_g"))
+      .orderBy("event_type")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_agg_jarque_bera" -> q_agg_jarque_bera _,
+    "q_agg_bartlett" -> q_agg_bartlett _,
+    "q_agg_cohens_d" -> q_agg_cohens_d _,
     "q_agg_spearman" -> q_agg_spearman _,
     "q_agg_anova" -> q_agg_anova _,
     "q_agg_levene" -> q_agg_levene _,

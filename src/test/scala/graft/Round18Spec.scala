@@ -1,0 +1,113 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.engine.{StatsOps, Tables}
+
+/** Plain-Scala replays of the round-18 operators at sf0.001 — the
+  * independent-mirror discipline of Round13..17Spec: every number the
+  * query emits is recomputed driver-side (same pinned IEEE op order,
+  * StrictMath.log where the query uses Spark's `log`) and compared
+  * exactly. */
+class Round18Spec extends AnyFunSuite {
+  import TestSpark._
+
+  private def r6(x: Double): Double =
+    BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+  private def r9(x: Double): Double =
+    BigDecimal(x).setScale(9, BigDecimal.RoundingMode.HALF_UP).toDouble
+
+  test("q_agg_jarque_bera shares q_agg_skew_kurt's moments and combines " +
+    "the round-6 pins") {
+    val sk = StatsOps.q_agg_skew_kurt(spark, sf0001).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getDouble(3), r.getDouble(4)))
+      .toMap
+    val jb = StatsOps.q_agg_jarque_bera(spark, sf0001).collect()
+    assert(jb.map(_.getString(0)).toSet == sk.keySet, "same group set")
+    jb.foreach { r =>
+      val (n, rawS, rawK) = sk(r.getString(0))
+      assert(r.getLong(1) == n, "n_rows")
+      val s6 = r6(rawS); val k6 = r6(rawK)
+      assert(r.getDouble(2) == s6, "skewness is the round-6 pin of skew_kurt's")
+      assert(r.getDouble(3) == k6, "kurtosis pin")
+      val want = r6(n.toDouble / 6.0 * (s6 * s6 + k6 * k6 / 4.0))
+      assert(r.getDouble(4) == want, "jb_stat from the rounded values")
+      assert(r.getBoolean(5) == (r.getDouble(4) > 5.991465), "decision")
+      assert(r.getDouble(4) >= 0.0, "JB is a sum of squares")
+    }
+  }
+
+  test("q_agg_bartlett equals a driver-side replay over the levene groups") {
+    val rows = Tables.customer(spark, sf0001)
+      .selectExpr("c_mktsegment", "CAST(ROUND(c_acctbal*100, 0) AS BIGINT)")
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    val grp = rows.groupBy(_._1).map { case (_, vs) =>
+      val n = vs.length.toLong
+      val sg = vs.map(v => BigInt(v._2)).sum
+      val qg = vs.map(v => BigInt(v._2) * BigInt(v._2)).sum
+      (n, sg.toDouble, qg.toDouble)
+    }.toSeq
+    val k = grp.size
+    val nTot = grp.map(_._1).sum
+    def s2i(ng: Double, sg: Double, qg: Double) =
+      (ng * qg - sg * sg) / (ng * (ng - 1.0))
+    val sw = grp.map { case (ng, sg, qg) =>
+      BigDecimal((ng - 1.0) * s2i(ng.toDouble, sg, qg))
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP) }.sum.toDouble
+    val sl = grp.map { case (ng, sg, qg) =>
+      BigDecimal((ng - 1.0) * StrictMath.log(s2i(ng.toDouble, sg, qg)))
+        .setScale(9, BigDecimal.RoundingMode.HALF_UP) }.sum.toDouble
+    val si = grp.map { case (ng, _, _) =>
+      BigDecimal(1.0 / (ng - 1.0))
+        .setScale(9, BigDecimal.RoundingMode.HALF_UP) }.sum.toDouble
+    val pooled = sw / (nTot.toDouble - k.toDouble)
+    val cFac = r9(1.0 + (si - 1.0 / (nTot.toDouble - k.toDouble))
+      / (3.0 * (k.toDouble - 1.0)))
+    val tStat = r6(((nTot.toDouble - k.toDouble) * r9(StrictMath.log(pooled))
+      - sl) / cFac)
+    val got = StatsOps.q_agg_bartlett(spark, sf0001).collect().head
+    assert(got.getLong(0) == k.toLong, "k")
+    assert(got.getLong(1) == nTot, "n")
+    assert(got.getDouble(2) == r6(pooled), "pooled_var")
+    assert(got.getDouble(3) == cFac, "c_factor")
+    assert(got.getDouble(4) == tStat, "t_stat")
+    assert(got.getDouble(4) >= 0.0, "Bartlett statistic is non-negative")
+  }
+
+  test("q_agg_cohens_d equals a driver-side replay of the ttest split") {
+    val refCut = java.time.LocalDate.parse("2024-01-15")
+    val evs = Tables.events(spark, sf0001)
+      .selectExpr("event_type", "CAST(ROUND(value*100, 0) AS BIGINT)",
+        "CAST(ts AS DATE)")
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1),
+        !r.getDate(2).toLocalDate.isAfter(refCut)))
+    val want = evs.groupBy(_._1).flatMap { case (et, vs) =>
+      val (ref, cur) = vs.partition(_._3)
+      val n1 = ref.length.toDouble; val n2 = cur.length.toDouble
+      if (n1 <= 1 || n2 <= 1) None
+      else {
+        val s1 = ref.map(v => BigInt(v._2)).sum.toDouble
+        val q1 = ref.map(v => BigInt(v._2) * BigInt(v._2)).sum.toDouble
+        val s2 = cur.map(v => BigInt(v._2)).sum.toDouble
+        val q2 = cur.map(v => BigInt(v._2) * BigInt(v._2)).sum.toDouble
+        val v1 = (n1 * q1 - s1 * s1) / (n1 * (n1 - 1))
+        val v2 = (n2 * q2 - s2 * s2) / (n2 * (n2 - 1))
+        val sp2 = ((n1 - 1) * v1 + (n2 - 1) * v2) / (n1 + n2 - 2)
+        val d = (s1 / n1 - s2 / n2) / math.sqrt(sp2)
+        val j = 1.0 - 3.0 / (4.0 * (n1 + n2) - 9.0)
+        Some(et -> (ref.length.toLong, cur.length.toLong, r6(d), r6(j * d)))
+      }
+    }
+    val got = StatsOps.q_agg_cohens_d(spark, sf0001).collect()
+    assert(got.length == want.size, "group count")
+    got.foreach { r =>
+      val (n1, n2, d, g) = want(r.getString(0))
+      assert(r.getLong(1) == n1 && r.getLong(2) == n2, "split sizes")
+      assert(r.getDouble(3) == d, "cohens_d")
+      assert(r.getDouble(4) == g, "hedges_g")
+      // |J| < 1 ⇒ the corrected size never exceeds the raw one
+      assert(math.abs(r.getDouble(4)) <= math.abs(r.getDouble(3)) + 1e-6)
+    }
+  }
+}
