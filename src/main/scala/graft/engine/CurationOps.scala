@@ -133,9 +133,69 @@ object CurationOps {
       .orderBy("lang", "doc_a")
   }
 
+  /** BLEU-2 (Papineni et al. 2002) between the SAME adjacent same-lang
+    * doc pairs q_text_rouge2 scores — precision-oriented MT metric
+    * beside the recall-oriented ROUGE, so a text-similarity triage
+    * reads both on identical pairs: clipped unigram/bigram matches
+    * m_n = Σ min(c_cand, c_ref) stay exact integers (two keyed
+    * multiset-intersection joins, the rouge2 device), modified
+    * precisions p_n are raw single divisions, brevity penalty
+    * BP = exp(1 − r/c) for c ≤ r else 1 (exp drift absorbed by the
+    * round-6 emit), BLEU-2 = BP·√(p₁·p₂) pinned. Doc_a is the
+    * candidate, doc_b the reference. */
+  def q_text_bleu2(s: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documents(s, dir)
+      .select(col("doc_id"), col("lang"), split(col("text"), " ").as("toks"))
+      .withColumn("wc", size(col("toks")))
+      .filter(col("wc") >= 2)
+    val ug = d.select(col("doc_id"), explode(col("toks")).as("w"))
+      .groupBy(col("doc_id"), col("w")).agg(count(lit(1)).as("c"))
+    val bg = d.select(col("doc_id"), explode(expr(
+        "transform(sequence(1, wc - 1)," +
+          " i -> concat(element_at(toks, i), ' ', element_at(toks, i + 1)))")).as("g"))
+      .groupBy(col("doc_id"), col("g")).agg(count(lit(1)).as("c"))
+    val w = Window.partitionBy(col("lang")).orderBy(col("doc_id"))
+    val pairs = d.select(col("lang"), col("doc_id").as("doc_a"),
+        col("wc").cast("bigint").as("ua"),
+        lead(col("doc_id"), 1).over(w).as("doc_b"),
+        lead(col("wc").cast("bigint"), 1).over(w).as("ub"))
+      .filter(col("doc_b").isNotNull)
+    val m1 = pairs
+      .join(ug.select(col("doc_id").as("a1"), col("w"), col("c").as("ca")),
+        col("doc_a") === col("a1"))
+      .join(ug.select(col("doc_id").as("b1"), col("w").as("w2"), col("c").as("cb")),
+        col("doc_b") === col("b1") && col("w") === col("w2"))
+      .groupBy(col("doc_a").as("i1"))
+      .agg(sum(least(col("ca"), col("cb"))).as("m1"))
+    val m2 = pairs
+      .join(bg.select(col("doc_id").as("a2"), col("g"), col("c").as("ca")),
+        col("doc_a") === col("a2"))
+      .join(bg.select(col("doc_id").as("b2"), col("g").as("g2"), col("c").as("cb")),
+        col("doc_b") === col("b2") && col("g") === col("g2"))
+      .groupBy(col("doc_a").as("i2"))
+      .agg(sum(least(col("ca"), col("cb"))).as("m2"))
+    pairs
+      .join(m1, col("doc_a") === col("i1"), "left_outer")
+      .join(m2, col("doc_a") === col("i2"), "left_outer")
+      .select(col("lang"), col("doc_a"), col("doc_b"), col("ua"), col("ub"),
+        coalesce(col("m1"), lit(0L)).as("n_match1"),
+        coalesce(col("m2"), lit(0L)).as("n_match2"))
+      .withColumn("p1", col("n_match1").cast("double") / col("ua"))
+      .withColumn("p2", col("n_match2").cast("double") / (col("ua") - 1))
+      .withColumn("bp", when(col("ua") > col("ub"), lit(1.0))
+        .otherwise(exp(lit(1.0) -
+          col("ub").cast("double") / col("ua").cast("double"))))
+      .select(col("lang"), col("doc_a"), col("doc_b"), col("ua"), col("ub"),
+        col("n_match1"), col("n_match2"),
+        round(col("bp"), 6).as("brevity_penalty"),
+        round(col("bp") * sqrt(col("p1") * col("p2")), 6).as("bleu2"))
+      .orderBy("lang", "doc_a")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_llm_c4_filter" -> q_llm_c4_filter _,
     "q_llm_ccnet_bucket" -> q_llm_ccnet_bucket _,
-    "q_text_rouge2" -> q_text_rouge2 _
+    "q_text_rouge2" -> q_text_rouge2 _,
+    "q_text_bleu2" -> q_text_bleu2 _
   )
 }

@@ -3349,7 +3349,45 @@ object Oracle {
         |  CAST(COALESCE(n_overlap, 0) AS DOUBLE) / ta AS rouge2_r,
         |  (CAST(2 AS DOUBLE) * COALESCE(n_overlap, 0)) / (ta + tb) AS rouge2_f1
         |FROM pp LEFT JOIN i ON pp.doc_a = i.ia
-        |ORDER BY lang, doc_a""".stripMargin
+        |ORDER BY lang, doc_a""".stripMargin,
+
+    // BLEU-2 on the rouge2 pair fixture: clipped n-gram matches exact
+    // integers, modified precisions raw divisions, BP exp drift
+    // absorbed by the round-6 emits.
+    "q_text_bleu2" ->
+      """WITH d AS (SELECT doc_id, lang, string_split(text, ' ') AS toks,
+        |                  len(string_split(text, ' ')) AS wc
+        |           FROM documents WHERE len(string_split(text, ' ')) >= 2),
+        |ug AS (SELECT doc_id, u.w AS w, COUNT(*) AS c
+        |       FROM d, UNNEST(d.toks) AS u(w) GROUP BY 1, 2),
+        |bg AS (SELECT doc_id, toks[i] || ' ' || toks[i + 1] AS g, COUNT(*) AS c
+        |       FROM d, UNNEST(range(1, wc)) AS u(i) GROUP BY 1, 2),
+        |p AS (SELECT lang, doc_id AS doc_a, CAST(wc AS BIGINT) AS ua,
+        |        LEAD(doc_id) OVER (PARTITION BY lang ORDER BY doc_id) AS doc_b,
+        |        LEAD(CAST(wc AS BIGINT)) OVER (
+        |          PARTITION BY lang ORDER BY doc_id) AS ub
+        |      FROM d),
+        |pp AS (SELECT * FROM p WHERE doc_b IS NOT NULL),
+        |i1 AS (SELECT pp.doc_a AS ia, CAST(SUM(LEAST(a.c, b.c)) AS BIGINT) AS m1
+        |      FROM pp JOIN ug a ON pp.doc_a = a.doc_id
+        |              JOIN ug b ON pp.doc_b = b.doc_id AND a.w = b.w
+        |      GROUP BY 1),
+        |i2 AS (SELECT pp.doc_a AS ia, CAST(SUM(LEAST(a.c, b.c)) AS BIGINT) AS m2
+        |      FROM pp JOIN bg a ON pp.doc_a = a.doc_id
+        |              JOIN bg b ON pp.doc_b = b.doc_id AND a.g = b.g
+        |      GROUP BY 1),
+        |j AS (SELECT lang, doc_a, doc_b, ua, ub,
+        |        CAST(COALESCE(m1, 0) AS BIGINT) AS n_match1,
+        |        CAST(COALESCE(m2, 0) AS BIGINT) AS n_match2,
+        |        CASE WHEN ua > ub THEN 1.0
+        |          ELSE exp(1.0 - CAST(ub AS DOUBLE) / CAST(ua AS DOUBLE)) END AS bp
+        |      FROM pp LEFT JOIN i1 ON pp.doc_a = i1.ia
+        |              LEFT JOIN i2 ON pp.doc_a = i2.ia)
+        |SELECT lang, doc_a, doc_b, ua, ub, n_match1, n_match2,
+        |  ROUND(bp, 6) AS brevity_penalty,
+        |  ROUND(bp * sqrt((CAST(n_match1 AS DOUBLE) / ua)
+        |    * (CAST(n_match2 AS DOUBLE) / (ua - 1))), 6) AS bleu2
+        |FROM j ORDER BY lang, doc_a""".stripMargin
   )
 
   /** §2.19 cont. — statistical / time-series ops (round 8). Exact
@@ -4216,6 +4254,48 @@ object Oracle {
         |    ORDER BY pmi DESC, wa ASC, wb ASC) AS BIGINT) AS rnk FROM sc)
         |SELECT lang, rnk, wa AS word_a, wb AS word_b,
         |  cab AS n_pair_docs, pmi
+        |FROM rk WHERE rnk <= 10 ORDER BY lang, rnk""".stripMargin,
+
+    // Dunning G² collocations over the PMI counting chain: 2×2 doc
+    // contingency per pair, pinned per-cell double terms, round-6 final.
+    "q_text_llr" ->
+      """WITH tok AS (SELECT DISTINCT lang, doc_id, tok FROM (
+        |    SELECT lang, doc_id, UNNEST(string_split(text, ' ')) AS tok
+        |    FROM documents) WHERE tok <> ''),
+        |nd AS (SELECT lang AS nl, CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs
+        |  FROM tok GROUP BY 1),
+        |wc AS (SELECT lang AS wl, tok AS ww, CAST(COUNT(*) AS BIGINT) AS cw
+        |  FROM tok GROUP BY 1, 2),
+        |pr AS (SELECT a.lang, a.tok AS wa, b.tok AS wb,
+        |    CAST(COUNT(*) AS BIGINT) AS cab
+        |  FROM tok a JOIN tok b
+        |    ON a.doc_id = b.doc_id AND a.lang = b.lang AND a.tok < b.tok
+        |  GROUP BY 1, 2, 3 HAVING COUNT(*) >= 5),
+        |cl AS (SELECT pr.lang, wa, wb, cab, nd.n_docs AS n,
+        |    ca.cw AS ca, cb.cw AS cb
+        |  FROM pr JOIN nd ON pr.lang = nd.nl
+        |  JOIN wc ca ON pr.lang = ca.wl AND pr.wa = ca.ww
+        |  JOIN wc cb ON pr.lang = cb.wl AND pr.wb = cb.ww),
+        |sc AS (SELECT lang, wa, wb, cab,
+        |  ROUND(2.0 * (
+        |    (CASE WHEN cab > 0 THEN CAST(cab AS DOUBLE)
+        |      * LN(CAST(cab * n AS DOUBLE) / CAST(ca * cb AS DOUBLE))
+        |      ELSE 0.0 END)
+        |    + (CASE WHEN ca - cab > 0 THEN CAST(ca - cab AS DOUBLE)
+        |      * LN(CAST((ca - cab) * n AS DOUBLE)
+        |           / CAST(ca * (n - cb) AS DOUBLE)) ELSE 0.0 END)
+        |    + (CASE WHEN cb - cab > 0 THEN CAST(cb - cab AS DOUBLE)
+        |      * LN(CAST((cb - cab) * n AS DOUBLE)
+        |           / CAST((n - ca) * cb AS DOUBLE)) ELSE 0.0 END)
+        |    + (CASE WHEN n - ca - cb + cab > 0
+        |      THEN CAST(n - ca - cb + cab AS DOUBLE)
+        |      * LN(CAST((n - ca - cb + cab) * n AS DOUBLE)
+        |           / CAST((n - ca) * (n - cb) AS DOUBLE)) ELSE 0.0 END)
+        |  ), 6) AS g2 FROM cl),
+        |rk AS (SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY lang
+        |    ORDER BY g2 DESC, wa ASC, wb ASC) AS BIGINT) AS rnk FROM sc)
+        |SELECT lang, rnk, wa AS word_a, wb AS word_b,
+        |  cab AS n_pair_docs, g2
         |FROM rk WHERE rnk <= 10 ORDER BY lang, rnk""".stripMargin,
 
     // Streaming Page CUSUM replayed via the drawdown identity

@@ -1235,7 +1235,64 @@ object TextOps {
       .orderBy("decile")
   }
 
+  /** Dunning log-likelihood-ratio collocations (Dunning 1993) over the
+    * SAME doc-co-occurrence counting chain as q_text_pmi — the G² screen
+    * beside the PMI screen (PMI over-ranks rare pairs; G² weights by
+    * evidence mass, so the two rankings disagree exactly where a corpus
+    * linguist expects): per (lang, word pair) the 2×2 doc contingency
+    * {both, a-only, b-only, neither} from the shared doc-frequency
+    * tables, G² = 2·Σ k·ln(k·N/(R·C)) over non-zero cells. All cells
+    * exact integers; each cell term a pinned double (k ≤ N ≤ 5e4 ⇒ the
+    * k·N products stay bigint-safe); round-6 on the final statistic.
+    * Top-10 per lang by (g2, words) — vocab-bounded rank input. */
+  def q_text_llr(s: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documents(s, dir)
+      .select(col("doc_id"), col("lang"),
+        expr("filter(array_distinct(split(text, ' ')), t -> t <> '')").as("toks"))
+      .filter(size(col("toks")) > 0)
+    val tok = d.select(col("doc_id"), col("lang"), explode(col("toks")).as("w"))
+    val nd = tok.groupBy(col("lang").as("nl"))
+      .agg(countDistinct(col("doc_id")).as("n_docs"))
+    val wc = tok.groupBy(col("lang").as("wl"), col("w").as("ww"))
+      .agg(count(lit(1)).as("cw"))
+    val pairs = d.select(col("lang"),
+        explode(expr(
+          "flatten(transform(toks, a -> transform(filter(toks, b -> b > a), b -> struct(a, b))))"
+        )).as("p"))
+      .groupBy(col("lang"), col("p.a").as("wa"), col("p.b").as("wb"))
+      .agg(count(lit(1)).as("cab"))
+      .filter(col("cab") >= 5)
+    def cell(k: org.apache.spark.sql.Column, r: org.apache.spark.sql.Column,
+             c: org.apache.spark.sql.Column, n: org.apache.spark.sql.Column) =
+      when(k > 0, k.cast("double") *
+        log((k * n).cast("double") / (r * c).cast("double"))).otherwise(lit(0.0))
+    val scored = pairs
+      .join(broadcast(nd), col("lang") === col("nl"))
+      .join(wc.select(col("wl").as("la"), col("ww").as("ta"), col("cw").as("ca")),
+        col("lang") === col("la") && col("wa") === col("ta"))
+      .join(wc.select(col("wl").as("lb"), col("ww").as("tb"), col("cw").as("cb")),
+        col("lang") === col("lb") && col("wb") === col("tb"))
+      .select(col("lang"), col("wa"), col("wb"), col("cab"),
+        round(lit(2.0) * (
+          cell(col("cab"), col("ca"), col("cb"), col("n_docs")) +
+          cell(col("ca") - col("cab"), col("ca"),
+            col("n_docs") - col("cb"), col("n_docs")) +
+          cell(col("cb") - col("cab"), col("n_docs") - col("ca"),
+            col("cb"), col("n_docs")) +
+          cell(col("n_docs") - col("ca") - col("cb") + col("cab"),
+            col("n_docs") - col("ca"), col("n_docs") - col("cb"),
+            col("n_docs"))), 6).as("g2"))
+    val wr = Window.partitionBy(col("lang"))
+      .orderBy(col("g2").desc, col("wa").asc, col("wb").asc)
+    scored.withColumn("rnk", row_number().over(wr).cast("bigint"))
+      .filter(col("rnk") <= 10)
+      .select(col("lang"), col("rnk"), col("wa").as("word_a"),
+        col("wb").as("word_b"), col("cab").as("n_pair_docs"), col("g2"))
+      .orderBy("lang", "rnk")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_text_llr" -> q_text_llr _,
     "q_text_mcc" -> q_text_mcc _,
     "q_text_textrank" -> q_text_textrank _,
     "q_text_heaps_law" -> q_text_heaps_law _,

@@ -2,7 +2,7 @@ package graft
 
 import org.scalatest.funsuite.AnyFunSuite
 
-import graft.engine.{StatsOps, Tables}
+import graft.engine.{CurationOps, StatsOps, Tables, TextOps}
 
 /** Plain-Scala replays of the round-18 operators at sf0.001 — the
   * independent-mirror discipline of Round13..17Spec: every number the
@@ -108,6 +108,88 @@ class Round18Spec extends AnyFunSuite {
       assert(r.getDouble(4) == g, "hedges_g")
       // |J| < 1 ⇒ the corrected size never exceeds the raw one
       assert(math.abs(r.getDouble(4)) <= math.abs(r.getDouble(3)) + 1e-6)
+    }
+  }
+
+  test("q_text_llr equals a driver-side G² replay over the PMI chain") {
+    val docs = Tables.documents(spark, sf0001)
+      .selectExpr("doc_id", "lang",
+        "filter(array_distinct(split(text, ' ')), t -> t <> '')")
+      .collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getSeq[String](2).toSet))
+      .filter(_._3.nonEmpty)
+    val byLang = docs.groupBy(_._2)
+    val want = byLang.flatMap { case (lang, ds) =>
+      val n = ds.length.toLong
+      val df = ds.flatMap(_._3).groupBy(identity).view
+        .mapValues(_.length.toLong).toMap
+      val pairCnt = scala.collection.mutable.Map.empty[(String, String), Long]
+      ds.foreach { d =>
+        val ts = d._3.toSeq.sorted
+        for (i <- ts.indices; j <- (i + 1) until ts.size)
+          pairCnt((ts(i), ts(j))) = pairCnt.getOrElse((ts(i), ts(j)), 0L) + 1L
+      }
+      def cell(k: Long, r: Long, c: Long): Double =
+        if (k > 0) k.toDouble *
+          StrictMath.log((k * n).toDouble / (r * c).toDouble)
+        else 0.0
+      pairCnt.toSeq.filter(_._2 >= 5L).map { case ((a, b), cab) =>
+        val ca = df(a); val cb = df(b)
+        val g2 = r6(2.0 * (cell(cab, ca, cb) +
+          cell(ca - cab, ca, n - cb) + cell(cb - cab, n - ca, cb) +
+          cell(n - ca - cb + cab, n - ca, n - cb)))
+        (lang, a, b, cab, g2)
+      }.sortBy { case (_, a, b, _, g2) => (-g2, a, b) }.take(10)
+        .zipWithIndex.map { case (t, i) => ((lang, i + 1L), t) }
+    }
+    val got = TextOps.q_text_llr(spark, sf0001).collect()
+    assert(got.length == want.size, "row count")
+    got.foreach { r =>
+      val (lang, wa, wb, cab, g2) = want((r.getString(0), r.getLong(1)))
+      assert(r.getString(2) == wa && r.getString(3) == wb, s"pair @$lang")
+      assert(r.getLong(4) == cab, "n_pair_docs")
+      assert(r.getDouble(5) == g2, "g2")
+      // G² of a consistent 2×2 table is non-negative (Gibbs)
+      assert(r.getDouble(5) >= -1e-9)
+    }
+  }
+
+  test("q_text_bleu2 shares rouge2's pairs and equals a driver replay") {
+    val rouge = CurationOps.q_text_rouge2(spark, sf0001).collect()
+      .map(r => r.getLong(1) -> r.getLong(3)).toMap // doc_a -> n_overlap
+    val docs = Tables.documents(spark, sf0001)
+      .selectExpr("doc_id", "lang", "split(text, ' ')").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getSeq[String](2)))
+      .filter(_._3.length >= 2)
+    def counts(ts: Seq[String]): Map[String, Long] =
+      ts.groupBy(identity).view.mapValues(_.length.toLong).toMap
+    def clipped(a: Map[String, Long], b: Map[String, Long]): Long =
+      a.map { case (k, v) => math.min(v, b.getOrElse(k, 0L)) }.sum
+    val want = docs.groupBy(_._2).flatMap { case (_, ds) =>
+      ds.sortBy(_._1).toSeq.sliding(2).collect { case Seq(a, b) =>
+        val ua = a._3.length.toLong; val ub = b._3.length.toLong
+        val m1 = clipped(counts(a._3), counts(b._3))
+        val m2 = clipped(counts(a._3.sliding(2).map(_.mkString(" ")).toSeq),
+          counts(b._3.sliding(2).map(_.mkString(" ")).toSeq))
+        val bp = if (ua > ub) 1.0
+          else StrictMath.exp(1.0 - ub.toDouble / ua.toDouble)
+        val bleu = r6(bp * math.sqrt((m1.toDouble / ua) *
+          (m2.toDouble / (ua - 1))))
+        a._1 -> (b._1, ua, ub, m1, m2, r6(bp), bleu)
+      }
+    }
+    val got = CurationOps.q_text_bleu2(spark, sf0001).collect()
+    assert(got.length == want.size, "pair count")
+    got.foreach { r =>
+      val (db, ua, ub, m1, m2, bp, bleu) = want(r.getLong(1))
+      assert(r.getLong(2) == db, "doc_b")
+      assert(r.getLong(3) == ua && r.getLong(4) == ub, "lengths")
+      assert(r.getLong(5) == m1, "n_match1")
+      assert(r.getLong(6) == m2, "n_match2")
+      assert(r.getDouble(7) == bp, "brevity_penalty")
+      assert(r.getDouble(8) == bleu, "bleu2")
+      // the bigram intersection IS rouge2's n_overlap on the same pair
+      assert(r.getLong(6) == rouge(r.getLong(1)), "shared-fixture pin")
     }
   }
 }
