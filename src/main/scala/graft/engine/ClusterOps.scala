@@ -1,6 +1,7 @@
 package graft.engine
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Relational k-means (Lloyd 1982) over the embedding table — the
@@ -228,11 +229,91 @@ object ClusterOps {
       .orderBy("vec_id", "k")
   }
 
+  /** Embedding-space isotropy report (Ethayarajh 2019 / Mu & Viswanath
+    * 2018 — anisotropic embeddings cluster in a narrow cone, which
+    * degrades cosine-based retrieval; this is the one-row health check a
+    * pipeline runs before trusting cosine): mean pairwise cosine over
+    * ALL N² pairs computed WITHOUT the pair join via the closed form
+    * Σ_{i≠j} û_i·û_j = ‖Σû‖² − Σ‖û‖² — one scan, 64 decimal sums, the
+    * same cost at any corpus size (the reason this scales where a pair
+    * join would not). Components of the unit-normalized vectors are
+    * round-9 pinned, so every cross-row sum is an exact order-blind
+    * DECIMAL; per-row norms and self-masses are fixed-order 64-term
+    * double folds (the cosExpr device). Emits the mean-vector norm too
+    * (‖mean û‖ → 0 for perfectly isotropic embeddings). */
+  def q_embed_isotropy(s: SparkSession, dir: String): DataFrame = {
+    val dot = LlmOps.vecDot(s) _
+    val emb = Tables.embeddings(s, dir)
+      .select(col("vec_id"), col("embedding"),
+        sqrt(dot(col("embedding"), col("embedding"))).as("nrm"))
+      .filter(col("nrm") > 0)
+    val qFold = expr("aggregate(embedding, cast(0.0 as double), (a, x) -> " +
+      "a + round(cast(x as double) / nrm, 9) * round(cast(x as double) / nrm, 9))")
+    val perDim = emb
+      .select(col("nrm"), posexplode(col("embedding")).as(Seq("d", "x")))
+      .select(col("d"),
+        round(col("x").cast("double") / col("nrm"), 9)
+          .cast("decimal(28,9)").as("u9"))
+    val sumSq = perDim.groupBy(col("d")).agg(sum(col("u9")).as("sdec"))
+      .select(round(col("sdec").cast("double") * col("sdec").cast("double"), 9)
+        .cast("decimal(28,9)").as("sq"))
+      .agg(sum(col("sq")).as("ssum"))
+    val tAgg = emb.select(round(qFold, 9).cast("decimal(28,9)").as("qi"))
+      .agg(count(lit(1)).as("n_vecs"), sum(col("qi")).as("tdec"))
+    val nD = col("n_vecs").cast("double")
+    tAgg.crossJoin(sumSq)
+      .select(col("n_vecs"),
+        round(col("ssum").cast("double"), 6).as("sum_sq_norm"),
+        round(col("tdec").cast("double"), 6).as("self_mass"),
+        round((col("ssum").cast("double") - col("tdec").cast("double")) /
+          (nD * (nD - lit(1.0))), 6).as("avg_pairwise_cos"),
+        round(sqrt(col("ssum").cast("double")) / nD, 6).as("mean_vec_norm"))
+  }
+
+  /** TwoNN intrinsic-dimension estimator (Facco et al. 2017) — the
+    * manifold-dimension diagnostic a pipeline reads before picking PQ
+    * code sizes or IVF cell counts (ID ≪ ambient dim ⇒ aggressive
+    * compression is safe): per sample point the 1st/2nd-NN squared
+    * distances, d̂ = n / Σ ln(r₂/r₁) = 2n / Σ ln(r₂²/r₁²). Runs on the
+    * 10 % vec_id sample — the SAME bounded ground-truth tier the exact
+    * jaccard/neardup queries use (the estimator needs ~hundreds of
+    * points; at 100 TB the sample, not the corpus, is the input).
+    * Distances are pinned vec_dot combinations (‖a‖²+‖b‖²−2a·b),
+    * exact-duplicate pairs (r=0) excluded per the paper; ln ratios
+    * round-9 → exact DECIMAL sum. */
+  def q_embed_twonn(s: SparkSession, dir: String): DataFrame = {
+    val dot = LlmOps.vecDot(s) _
+    val e = Tables.embeddings(s, dir).filter(col("vec_id") % 10 === 0)
+      .select(col("vec_id"), col("embedding"))
+    val pairs = e.select(col("vec_id").as("ia"), col("embedding").as("ea"))
+      .join(e.select(col("vec_id").as("ib"), col("embedding").as("eb")),
+        col("ia") =!= col("ib"))
+      .select(col("ia"), col("ib"),
+        (dot(col("ea"), col("ea")) + dot(col("eb"), col("eb"))
+          - lit(2.0) * dot(col("ea"), col("eb"))).as("dsq"))
+      .filter(col("dsq") > 0)
+    val w = Window.partitionBy(col("ia")).orderBy(col("dsq").asc, col("ib").asc)
+    val nn = pairs.withColumn("rk", row_number().over(w)).filter(col("rk") <= 2)
+      .groupBy(col("ia"))
+      .agg(min(when(col("rk") === 1, col("dsq"))).as("d1"),
+        min(when(col("rk") === 2, col("dsq"))).as("d2"))
+      .filter(col("d2").isNotNull)
+    nn.select(round(log(col("d2") / col("d1")), 9)
+        .cast("decimal(28,9)").as("lr"))
+      .agg(count(lit(1)).as("n_points"), sum(col("lr")).as("slr"))
+      .select(col("n_points"),
+        round(col("slr").cast("double"), 6).as("sum_log_ratio"),
+        round(lit(2.0) * col("n_points").cast("double") /
+          col("slr").cast("double"), 6).as("id_twonn"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_llm_kmeans" -> q_llm_kmeans _,
     "q_embed_pca" -> q_embed_pca _,
     "q_embed_whiten" -> q_embed_whiten _,
-    "q_embed_rand_proj" -> q_embed_rand_proj _
+    "q_embed_rand_proj" -> q_embed_rand_proj _,
+    "q_embed_isotropy" -> q_embed_isotropy _,
+    "q_embed_twonn" -> q_embed_twonn _
   )
 
   // ── DuckDB oracle (generated: 64-term distance chains, unrolled Lloyd) ──

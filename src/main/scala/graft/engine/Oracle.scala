@@ -4038,6 +4038,67 @@ object Oracle {
         |  ROUND(w / tot.tw, 6) AS share
         |FROM ws, tot ORDER BY decayed_count DESC, event_type ASC""".stripMargin,
 
+    // Isotropy via the closed form ‖Σû‖² − Σ‖û‖²: round-9 unit
+    // components → exact DECIMAL cross-row sums; per-row folds are the
+    // in-order UNNEST-sum device (= Spark's fixed-order vec_dot fold).
+    "q_embed_isotropy" ->
+      """WITH nr AS (SELECT vec_id, embedding,
+        |    sqrt((SELECT SUM(CAST(x AS DOUBLE)*CAST(x AS DOUBLE))
+        |          FROM (SELECT UNNEST(embedding) AS x) z)) AS nrm
+        |  FROM embeddings),
+        |e AS (SELECT * FROM nr WHERE nrm > 0),
+        |comp AS (SELECT u.i AS d,
+        |    CAST(ROUND(CAST(embedding[u.i] AS DOUBLE) / nrm, 9)
+        |      AS DECIMAL(28,9)) AS u9
+        |  FROM e, UNNEST(range(1, len(embedding) + 1)) AS u(i)),
+        |sd AS (SELECT d, SUM(u9) AS sdec FROM comp GROUP BY 1),
+        |ss AS (SELECT SUM(CAST(ROUND(CAST(sdec AS DOUBLE)
+        |    * CAST(sdec AS DOUBLE), 9) AS DECIMAL(28,9))) AS ssum FROM sd),
+        |qq AS (SELECT CAST(ROUND((SELECT SUM(
+        |      ROUND(CAST(x AS DOUBLE) / nrm, 9)
+        |      * ROUND(CAST(x AS DOUBLE) / nrm, 9))
+        |    FROM (SELECT UNNEST(embedding) AS x) z), 9)
+        |    AS DECIMAL(28,9)) AS qi FROM e),
+        |t AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_vecs, SUM(qi) AS tdec
+        |  FROM qq)
+        |SELECT n_vecs,
+        |  ROUND(CAST(ssum AS DOUBLE), 6) AS sum_sq_norm,
+        |  ROUND(CAST(tdec AS DOUBLE), 6) AS self_mass,
+        |  ROUND((CAST(ssum AS DOUBLE) - CAST(tdec AS DOUBLE))
+        |    / (CAST(n_vecs AS DOUBLE) * (CAST(n_vecs AS DOUBLE) - 1.0)), 6)
+        |    AS avg_pairwise_cos,
+        |  ROUND(sqrt(CAST(ssum AS DOUBLE)) / CAST(n_vecs AS DOUBLE), 6)
+        |    AS mean_vec_norm
+        |FROM t, ss""".stripMargin,
+
+    // TwoNN intrinsic dimension on the 10% sample: pinned vec_dot
+    // distance combinations, ln ratios round-9 → exact DECIMAL sum.
+    "q_embed_twonn" ->
+      """WITH e AS (SELECT vec_id, embedding FROM embeddings
+        |  WHERE vec_id % 10 = 0),
+        |p AS (SELECT a.vec_id AS ia, b.vec_id AS ib,
+        |    ((SELECT SUM(CAST(x AS DOUBLE)*CAST(x AS DOUBLE))
+        |      FROM (SELECT UNNEST(a.embedding) AS x) za)
+        |     + (SELECT SUM(CAST(y AS DOUBLE)*CAST(y AS DOUBLE))
+        |        FROM (SELECT UNNEST(b.embedding) AS y) zb)
+        |     - 2.0 * (SELECT SUM(CAST(x AS DOUBLE)*CAST(y AS DOUBLE))
+        |        FROM (SELECT UNNEST(a.embedding) AS x,
+        |                     UNNEST(b.embedding) AS y) zc)) AS dsq
+        |  FROM e a JOIN e b ON a.vec_id <> b.vec_id),
+        |pp AS (SELECT * FROM p WHERE dsq > 0),
+        |rk AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY ia
+        |    ORDER BY dsq ASC, ib ASC) AS rk FROM pp),
+        |nn AS (SELECT ia, MIN(CASE WHEN rk = 1 THEN dsq END) AS d1,
+        |    MIN(CASE WHEN rk = 2 THEN dsq END) AS d2
+        |  FROM rk WHERE rk <= 2 GROUP BY 1),
+        |tt AS (SELECT CAST(ROUND(LN(d2 / d1), 9) AS DECIMAL(28,9)) AS lr
+        |  FROM nn WHERE d2 IS NOT NULL)
+        |SELECT CAST(COUNT(*) AS BIGINT) AS n_points,
+        |  ROUND(CAST(SUM(lr) AS DOUBLE), 6) AS sum_log_ratio,
+        |  ROUND(2.0 * CAST(COUNT(*) AS DOUBLE) / CAST(SUM(lr) AS DOUBLE), 6)
+        |    AS id_twonn
+        |FROM tt""".stripMargin,
+
     "q_embed_rand_proj" ->
       """WITH rm AS (SELECT s1.j, s2.k,
         |    CASE WHEN CAST('0x' || substr(md5('rp:' || s1.j || ':' || s2.k), 1, 15)

@@ -2,7 +2,7 @@ package graft
 
 import org.scalatest.funsuite.AnyFunSuite
 
-import graft.engine.{CurationOps, StatsOps, Tables, TextOps}
+import graft.engine.{ClusterOps, CurationOps, StatsOps, Tables, TextOps}
 
 /** Plain-Scala replays of the round-18 operators at sf0.001 — the
   * independent-mirror discipline of Round13..17Spec: every number the
@@ -191,5 +191,69 @@ class Round18Spec extends AnyFunSuite {
       // the bigram intersection IS rouge2's n_overlap on the same pair
       assert(r.getLong(6) == rouge(r.getLong(1)), "shared-fixture pin")
     }
+  }
+
+  test("q_embed_isotropy's closed form equals the brute-force pairwise " +
+    "mean cosine of the round-9 unit vectors") {
+    val vecs = Tables.embeddings(spark, sf0001)
+      .selectExpr("embedding").collect()
+      .map(_.getSeq[Float](0).toArray)
+      .map { v =>
+        // same fixed-order fold as graft_vec_dot
+        var nrm2 = 0.0
+        v.foreach(x => nrm2 += x.toDouble * x.toDouble)
+        (v, math.sqrt(nrm2))
+      }
+      .filter(_._2 > 0)
+      .map { case (v, nrm) => v.map(x => r9(x.toDouble / nrm)) }
+    val n = vecs.length
+    var brute = BigDecimal(0)
+    for (i <- vecs.indices; j <- vecs.indices if i != j) {
+      var d = 0.0
+      var k = 0
+      while (k < vecs(i).length) { d += vecs(i)(k) * vecs(j)(k); k += 1 }
+      brute += BigDecimal(d)
+    }
+    val row = ClusterOps.q_embed_isotropy(spark, sf0001).collect().head
+    assert(row.getLong(0) == n.toLong, "n_vecs")
+    val gotAvg = row.getDouble(3)
+    val bruteAvg = (brute / (n.toLong * (n.toLong - 1L))).toDouble
+    // closed form vs brute force agree to well inside the round-9
+    // component pins (the identity is exact; only rounding separates them)
+    assert(math.abs(gotAvg - bruteAvg) < 1e-6,
+      s"closed form $gotAvg vs brute $bruteAvg")
+    assert(row.getDouble(4) >= 0.0 && row.getDouble(4) <= 1.0 + 1e-9,
+      "mean unit-vector norm in [0, 1]")
+  }
+
+  test("q_embed_twonn equals a driver-side exact-NN replay") {
+    val pts = Tables.embeddings(spark, sf0001)
+      .selectExpr("vec_id", "embedding").collect()
+      .filter(_.getLong(0) % 10 == 0)
+      .map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
+    def dot(a: Array[Float], b: Array[Float]): Double = {
+      var s = 0.0; var k = 0
+      while (k < a.length) { s += a(k).toDouble * b(k).toDouble; k += 1 }
+      s
+    }
+    var slr = BigDecimal(0)
+    var nPts = 0L
+    pts.foreach { case (ia, ea) =>
+      val ds = pts.filter(_._1 != ia).map { case (ib, eb) =>
+        (dot(ea, ea) + dot(eb, eb) - 2.0 * dot(ea, eb), ib)
+      }.filter(_._1 > 0).sorted
+      if (ds.length >= 2) {
+        nPts += 1
+        slr += BigDecimal(StrictMath.log(ds(1)._1 / ds(0)._1))
+          .setScale(9, BigDecimal.RoundingMode.HALF_UP)
+      }
+    }
+    val row = ClusterOps.q_embed_twonn(spark, sf0001).collect().head
+    assert(row.getLong(0) == nPts, "n_points")
+    assert(row.getDouble(1) == r6(slr.toDouble), "sum_log_ratio")
+    assert(row.getDouble(2) ==
+      r6(2.0 * nPts.toDouble / slr.toDouble), "id_twonn")
+    // the 64-dim synthetic embeddings must report ID ≤ ambient dim
+    assert(row.getDouble(2) > 0.0 && row.getDouble(2) <= 64.0 + 1e-6)
   }
 }
