@@ -5850,6 +5850,85 @@ object Oracle {
         |  CASE WHEN ok_run = 1 THEN TRUE ELSE FALSE END AS rejected
         |FROM hw ORDER BY holm_rank, family, event_type, ub""".stripMargin,
 
+    // Dickey–Fuller: Δy on (1, y_{t−1}) per event type, DECIMAL(38,0)
+    // moment sums, one pinned slope/RSS/t chain, decision on rounded t.
+    "q_time_adf" ->
+      """WITH daily AS (SELECT event_type,
+        |    CAST(CAST(ts AS TIMESTAMP) AS DATE) AS day,
+        |    CAST(SUM(CAST(ROUND(value * 100, 0) AS BIGINT)) AS BIGINT) AS y
+        |  FROM events GROUP BY 1, 2),
+        |lg AS (SELECT event_type, y,
+        |    LAG(y) OVER (PARTITION BY event_type ORDER BY day) AS yp
+        |  FROM daily),
+        |a AS (SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_obs,
+        |    CAST(SUM(CAST(yp AS DECIMAL(38,0))) AS DOUBLE) AS sx,
+        |    CAST(SUM(CAST(y - yp AS DECIMAL(38,0))) AS DOUBLE) AS sy,
+        |    CAST(SUM(CAST(yp AS DECIMAL(38,0)) * yp) AS DOUBLE) AS sxx,
+        |    CAST(SUM(CAST(yp AS DECIMAL(38,0)) * (y - yp)) AS DOUBLE) AS sxy,
+        |    CAST(SUM(CAST(y - yp AS DECIMAL(38,0)) * (y - yp)) AS DOUBLE) AS syy
+        |  FROM lg WHERE yp IS NOT NULL GROUP BY 1),
+        |b AS (SELECT event_type, n_obs,
+        |    (CAST(n_obs AS DOUBLE) * sxy - sx * sy)
+        |      / (CAST(n_obs AS DOUBLE) * sxx - sx * sx) AS b,
+        |    sxy - sx * sy / CAST(n_obs AS DOUBLE) AS sxyc,
+        |    syy - sy * sy / CAST(n_obs AS DOUBLE) AS syyc,
+        |    sxx - sx * sx / CAST(n_obs AS DOUBLE) AS sxxc
+        |  FROM a),
+        |r AS (SELECT event_type, n_obs, ROUND(b, 6) AS slope,
+        |    ROUND(b / sqrt((syyc - b * sxyc)
+        |      / (CAST(n_obs AS DOUBLE) - 2) / sxxc), 6) AS adf_t
+        |  FROM b)
+        |SELECT event_type, n_obs, slope, adf_t,
+        |  adf_t < -2.86 AS stationary_5pct
+        |FROM r ORDER BY event_type""".stripMargin,
+
+    // Granger lag-1 over the ordered type-pair grid: calendar-exact
+    // alignment, 9 DECIMAL cross-moments, 2×2 normal equations in one
+    // pinned chain, NULLIF degenerate guards, decision on rounded F.
+    "q_time_granger" ->
+      """WITH daily AS (SELECT event_type,
+        |    CAST(CAST(ts AS TIMESTAMP) AS DATE) AS day,
+        |    CAST(SUM(CAST(ROUND(value * 100, 0) AS BIGINT)) AS BIGINT) AS y
+        |  FROM events GROUP BY 1, 2),
+        |rows_ AS (SELECT ca.event_type AS ta, eb.event_type AS tb,
+        |    eb.y AS y, el.y AS y1, ca.y AS x1
+        |  FROM daily eb
+        |  JOIN daily el ON eb.event_type = el.event_type
+        |    AND el.day = eb.day - 1
+        |  JOIN daily ca ON ca.day = eb.day - 1
+        |    AND ca.event_type <> eb.event_type),
+        |a AS (SELECT ta, tb, CAST(COUNT(*) AS BIGINT) AS n_obs,
+        |    CAST(SUM(CAST(y AS DECIMAL(38,0))) AS DOUBLE) AS sy,
+        |    CAST(SUM(CAST(y1 AS DECIMAL(38,0))) AS DOUBLE) AS sy1,
+        |    CAST(SUM(CAST(x1 AS DECIMAL(38,0))) AS DOUBLE) AS sx1,
+        |    CAST(SUM(CAST(y AS DECIMAL(38,0)) * y) AS DOUBLE) AS syy,
+        |    CAST(SUM(CAST(y1 AS DECIMAL(38,0)) * y1) AS DOUBLE) AS sy1y1,
+        |    CAST(SUM(CAST(x1 AS DECIMAL(38,0)) * x1) AS DOUBLE) AS sx1x1,
+        |    CAST(SUM(CAST(y AS DECIMAL(38,0)) * y1) AS DOUBLE) AS syy1,
+        |    CAST(SUM(CAST(y AS DECIMAL(38,0)) * x1) AS DOUBLE) AS syx1,
+        |    CAST(SUM(CAST(y1 AS DECIMAL(38,0)) * x1) AS DOUBLE) AS sy1x1
+        |  FROM rows_ GROUP BY 1, 2),
+        |c AS (SELECT ta, tb, n_obs,
+        |    sy1y1 - sy1 * sy1 / CAST(n_obs AS DOUBLE) AS s11,
+        |    sx1x1 - sx1 * sx1 / CAST(n_obs AS DOUBLE) AS s22,
+        |    sy1x1 - sy1 * sx1 / CAST(n_obs AS DOUBLE) AS s12,
+        |    syy1 - sy * sy1 / CAST(n_obs AS DOUBLE) AS t1,
+        |    syx1 - sy * sx1 / CAST(n_obs AS DOUBLE) AS t2,
+        |    syy - sy * sy / CAST(n_obs AS DOUBLE) AS syyc
+        |  FROM a),
+        |d AS (SELECT ta, tb, n_obs, s11, t1, t2, syyc,
+        |    (t1 * s22 - t2 * s12) / NULLIF(s11 * s22 - s12 * s12, 0.0) AS bb,
+        |    (t2 * s11 - t1 * s12) / NULLIF(s11 * s22 - s12 * s12, 0.0) AS cc
+        |  FROM c),
+        |f AS (SELECT ta, tb, n_obs,
+        |    ROUND(((syyc - t1 * t1 / NULLIF(s11, 0.0))
+        |      - (syyc - bb * t1 - cc * t2)) * (CAST(n_obs AS DOUBLE) - 3)
+        |      / NULLIF(syyc - bb * t1 - cc * t2, 0.0), 6) AS f_stat
+        |  FROM d)
+        |SELECT ta AS cause, tb AS effect, n_obs, f_stat,
+        |  f_stat > 3.84 AS granger_5pct
+        |FROM f ORDER BY cause, effect""".stripMargin,
+
     // Jarque–Bera over the q_agg_skew_kurt moment chain: S and K round-6
     // pinned FIRST, JB combines the rounded values, χ²(2) 5% decision.
     "q_agg_jarque_bera" ->

@@ -2729,7 +2729,101 @@ object StatsOps {
       .orderBy("event_type")
   }
 
+  /** Dickey–Fuller stationarity test per event type (Dickey & Fuller
+    * 1979; the unit-root screen a forecasting pipeline runs before
+    * trusting trend fits — complements q_time_theil_u/q_time_hurst on
+    * the same daily cents series): regress Δy_t on (1, y_{t−1}) and
+    * report the slope t-statistic; t < −2.86 (the MacKinnon large-n 5%
+    * point with constant) rejects the unit root. Moments are exact
+    * DECIMAL(38,0) sums of integer products (the xcorr widen
+    * convention); slope/RSS/t are one pinned double chain; round-6 at
+    * the emit points; the decision compares the ROUNDED t. */
+  def q_time_adf(s: SparkSession, dir: String): DataFrame = {
+    val daily = Tables.events(s, dir)
+      .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+      .agg(sum(round(col("value") * 100, 0).cast("bigint")).as("y"))
+    val w = Window.partitionBy(col("event_type")).orderBy(col("day"))
+    val lg = daily.withColumn("yp", lag(col("y"), 1).over(w))
+      .filter(col("yp").isNotNull)
+    def dsum(c: org.apache.spark.sql.Column, n: String) =
+      sum(c).cast("double").as(n)
+    val xd = col("yp").cast("decimal(38,0)")
+    val ddec = (col("y") - col("yp")).cast("decimal(38,0)")
+    val agg = lg.groupBy(col("event_type")).agg(
+      count(lit(1)).as("n_obs"),
+      dsum(xd, "sx"), dsum(ddec, "sy"),
+      dsum(xd * col("yp"), "sxx"),
+      dsum(xd * (col("y") - col("yp")), "sxy"),
+      dsum(ddec * (col("y") - col("yp")), "syy"))
+    val n = col("n_obs").cast("double")
+    val b = (n * col("sxy") - col("sx") * col("sy")) /
+      (n * col("sxx") - col("sx") * col("sx"))
+    val sxyC = col("sxy") - col("sx") * col("sy") / n
+    val syyC = col("syy") - col("sy") * col("sy") / n
+    val sxxC = col("sxx") - col("sx") * col("sx") / n
+    val tstat = b / sqrt((syyC - b * sxyC) / (n - 2) / sxxC)
+    agg.select(col("event_type"), col("n_obs"), round(b, 6).as("slope"),
+        round(tstat, 6).as("adf_t"))
+      .withColumn("stationary_5pct", col("adf_t") < lit(-2.86))
+      .orderBy("event_type")
+  }
+
+  /** Pairwise Granger causality at lag 1 over the daily cents series
+    * (Granger 1969) — the lead-lag DIRECTION test beside q_time_xcorr's
+    * symmetric correlation: for every ordered (cause, effect) pair of
+    * event types, F-test of x_{t−1}'s increment over the AR(1)
+    * restricted model. Alignment is calendar-exact (effect day t joins
+    * effect day t−1 and cause day t−1 — missing days drop the row in
+    * both engines). The 9 cross-moments are exact DECIMAL(38,0) sums;
+    * the 2×2 normal equations solve in one pinned double chain
+    * (centered moments → det → b,c → RSS_u, RSS_r → F); NULLIF guards
+    * degenerate (constant) regressors; round-6 emits, decision on the
+    * rounded F vs the large-n F(1,∞) 5% point 3.84. Output is the
+    * k·(k−1) pair grid — type-cardinality bounded at any scale. */
+  def q_time_granger(s: SparkSession, dir: String): DataFrame = {
+    val daily = Tables.events(s, dir)
+      .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+      .agg(sum(round(col("value") * 100, 0).cast("bigint")).as("y"))
+    val rows = daily.select(col("event_type").as("tb"), col("day"), col("y"))
+      .join(daily.select(col("event_type").as("tb2"), col("day").as("dl"),
+          col("y").as("y1")),
+        col("tb") === col("tb2") && col("dl") === expr("date_add(day, -1)"))
+      .join(daily.select(col("event_type").as("ta"), col("day").as("dc"),
+          col("y").as("x1")),
+        col("dc") === expr("date_add(day, -1)") && col("ta") =!= col("tb"))
+    def dsum(c: org.apache.spark.sql.Column, n: String) =
+      sum(c).cast("double").as(n)
+    val yD = col("y").cast("decimal(38,0)")
+    val y1D = col("y1").cast("decimal(38,0)")
+    val x1D = col("x1").cast("decimal(38,0)")
+    val agg = rows.groupBy(col("ta"), col("tb")).agg(
+      count(lit(1)).as("n_obs"),
+      dsum(yD, "sy"), dsum(y1D, "sy1"), dsum(x1D, "sx1"),
+      dsum(yD * col("y"), "syy"), dsum(y1D * col("y1"), "sy1y1"),
+      dsum(x1D * col("x1"), "sx1x1"), dsum(yD * col("y1"), "syy1"),
+      dsum(yD * col("x1"), "syx1"), dsum(y1D * col("x1"), "sy1x1"))
+    val n = col("n_obs").cast("double")
+    val s11 = col("sy1y1") - col("sy1") * col("sy1") / n
+    val s22 = col("sx1x1") - col("sx1") * col("sx1") / n
+    val s12 = col("sy1x1") - col("sy1") * col("sx1") / n
+    val t1 = col("syy1") - col("sy") * col("sy1") / n
+    val t2 = col("syx1") - col("sy") * col("sx1") / n
+    val syyC = col("syy") - col("sy") * col("sy") / n
+    val det = nullif(s11 * s22 - s12 * s12, lit(0.0))
+    val bb = (t1 * s22 - t2 * s12) / det
+    val cc = (t2 * s11 - t1 * s12) / det
+    val rssU = nullif(syyC - bb * t1 - cc * t2, lit(0.0))
+    val rssR = syyC - t1 * t1 / nullif(s11, lit(0.0))
+    val f = (rssR - (syyC - bb * t1 - cc * t2)) * (n - 3) / rssU
+    agg.select(col("ta").as("cause"), col("tb").as("effect"), col("n_obs"),
+        round(f, 6).as("f_stat"))
+      .withColumn("granger_5pct", col("f_stat") > lit(3.84))
+      .orderBy("cause", "effect")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_time_adf" -> q_time_adf _,
+    "q_time_granger" -> q_time_granger _,
     "q_agg_jarque_bera" -> q_agg_jarque_bera _,
     "q_agg_bartlett" -> q_agg_bartlett _,
     "q_agg_cohens_d" -> q_agg_cohens_d _,

@@ -256,4 +256,85 @@ class Round18Spec extends AnyFunSuite {
     // the 64-dim synthetic embeddings must report ID ≤ ambient dim
     assert(row.getDouble(2) > 0.0 && row.getDouble(2) <= 64.0 + 1e-6)
   }
+
+  private def dailyCents(): Map[(String, java.time.LocalDate), Long] =
+    Tables.events(spark, sf0001)
+      .selectExpr("event_type", "CAST(ts AS DATE) AS day",
+        "CAST(ROUND(value*100, 0) AS BIGINT) AS c")
+      .collect()
+      .groupBy(r => (r.getString(0), r.getDate(1).toLocalDate))
+      .view.mapValues(_.map(_.getLong(2)).sum).toMap
+
+  test("q_time_adf equals a driver-side OLS replay of the DF regression") {
+    val daily = dailyCents()
+    val want = daily.keys.map(_._1).toSeq.distinct.sorted.map { et =>
+      val series = daily.collect { case ((t, d), y) if t == et => (d, y) }
+        .toSeq.sortBy(_._1)
+      val obs = series.sliding(2).collect { case Seq((_, yp), (_, y)) =>
+        (yp, y - yp) }.toSeq
+      val n = obs.length.toDouble
+      def bsum(f: ((Long, Long)) => BigInt) = obs.map(f).sum.toDouble
+      val sx = bsum(o => BigInt(o._1)); val sy = bsum(o => BigInt(o._2))
+      val sxx = bsum(o => BigInt(o._1) * BigInt(o._1))
+      val sxy = bsum(o => BigInt(o._1) * BigInt(o._2))
+      val syy = bsum(o => BigInt(o._2) * BigInt(o._2))
+      val b = (n * sxy - sx * sy) / (n * sxx - sx * sx)
+      val t = b / math.sqrt((syy - sy * sy / n - b * (sxy - sx * sy / n))
+        / (n - 2) / (sxx - sx * sx / n))
+      (et, obs.length.toLong, r6(b), r6(t))
+    }
+    val got = StatsOps.q_time_adf(spark, sf0001).collect()
+    assert(got.length == want.length)
+    got.zip(want).foreach { case (r, (et, n, b, t)) =>
+      assert(r.getString(0) == et && r.getLong(1) == n, "group/n")
+      assert(r.getDouble(2) == b, "slope")
+      assert(r.getDouble(3) == t, "adf_t")
+      assert(r.getBoolean(4) == (r.getDouble(3) < -2.86), "decision")
+    }
+  }
+
+  test("q_time_granger equals a driver-side two-predictor OLS replay") {
+    val daily = dailyCents()
+    val types = daily.keys.map(_._1).toSeq.distinct.sorted
+    val wantF = (for {
+      ta <- types; tb <- types if ta != tb
+    } yield {
+      val obs = daily.collect {
+        case ((t, d), y) if t == tb &&
+          daily.contains((tb, d.minusDays(1))) &&
+          daily.contains((ta, d.minusDays(1))) =>
+          (y, daily((tb, d.minusDays(1))), daily((ta, d.minusDays(1))))
+      }.toSeq
+      val n = obs.length.toDouble
+      def bs(f: ((Long, Long, Long)) => BigInt) = obs.map(f).sum.toDouble
+      val sy = bs(o => BigInt(o._1)); val sy1 = bs(o => BigInt(o._2))
+      val sx1 = bs(o => BigInt(o._3))
+      val syy = bs(o => BigInt(o._1) * BigInt(o._1))
+      val sy1y1 = bs(o => BigInt(o._2) * BigInt(o._2))
+      val sx1x1 = bs(o => BigInt(o._3) * BigInt(o._3))
+      val syy1 = bs(o => BigInt(o._1) * BigInt(o._2))
+      val syx1 = bs(o => BigInt(o._1) * BigInt(o._3))
+      val sy1x1 = bs(o => BigInt(o._2) * BigInt(o._3))
+      val s11 = sy1y1 - sy1 * sy1 / n; val s22 = sx1x1 - sx1 * sx1 / n
+      val s12 = sy1x1 - sy1 * sx1 / n
+      val t1 = syy1 - sy * sy1 / n; val t2 = syx1 - sy * sx1 / n
+      val syyC = syy - sy * sy / n
+      val det = s11 * s22 - s12 * s12
+      val bb = (t1 * s22 - t2 * s12) / det
+      val cc = (t2 * s11 - t1 * s12) / det
+      val f = ((syyC - t1 * t1 / s11) - (syyC - bb * t1 - cc * t2)) *
+        (n - 3) / (syyC - bb * t1 - cc * t2)
+      (ta, tb) -> (obs.length.toLong, r6(f))
+    }).toMap
+    val got = StatsOps.q_time_granger(spark, sf0001).collect()
+    assert(got.length == wantF.size, "pair grid")
+    got.foreach { r =>
+      val (n, f) = wantF((r.getString(0), r.getString(1)))
+      assert(r.getLong(2) == n, "n_obs")
+      assert(r.getDouble(3) == f, "f_stat")
+      // RSS_r ≥ RSS_u up to rounding ⇒ F non-negative
+      assert(r.getDouble(3) >= -1e-6, "F sign")
+      assert(r.getBoolean(4) == (r.getDouble(3) > 3.84), "decision")
+    }
+  }
 }
