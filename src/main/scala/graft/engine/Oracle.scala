@@ -6714,6 +6714,9 @@ object Oracle {
         // streaming first-month maintainer: snapshot runs the SAME
         // nvrFrom assembly as the batch operator — one oracle
         "q_stream_new_vs_returning" -> round16e("q_agg_new_vs_returning"),
+        // streaming RFM maintainer: order-blind (max, count, sum) state
+        // folds + the SAME rfmFrom quintile assembly — one oracle
+        "q_stream_rfm" -> round16d("q_agg_rfm"),
         "q_stream_drift_psi" -> stats("q_llm_drift_psi"),
         // streaming χ²/Benford snapshots run the SAME shared assembly as
         // their batch twins — one oracle each

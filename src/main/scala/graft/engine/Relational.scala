@@ -26,6 +26,22 @@ object Relational {
     * them from outside the object). */
   case class NvOrd(ck: Long, us: Long, ok: Long, m: Long)
   case class NvPair(o_custkey: Long, m: Long, fm: Long)
+  case class RfmOrd(ck: Long, days: Int, cents: Long)
+  case class RfmState(days: Int, freq: Long, cents: Long)
+  case class RfmCust(o_custkey: Long, last_days: Int, freq: Long, cents: Long)
+
+  /** Per-customer RFM fold: three order-blind accumulators (max day,
+    * count, cent sum) — the snapshot after any batch split equals the
+    * batch aggregate by commutativity, no in-group sort needed. */
+  private[graft] def updateRfm(ck: Long, it: Iterator[RfmOrd],
+      state: org.apache.spark.sql.streaming.GroupState[RfmState]): Iterator[RfmCust] = {
+    var st = state.getOption.getOrElse(RfmState(Int.MinValue, 0L, 0L))
+    it.foreach { o =>
+      st = RfmState(math.max(st.days, o.days), st.freq + 1L, st.cents + o.cents)
+    }
+    state.update(st)
+    Iterator.single(RfmCust(ck, st.days, st.freq, st.cents))
+  }
 
   /** Per-customer fold: state = first-ever order month (running min);
     * each order is labeled with the min as of its (date, orderkey)
@@ -624,23 +640,57 @@ object Relational {
     * and monetary mass — ≤125 rows at any corpus scale. The three rank
     * windows are global sorts of the CUSTOMER aggregate (dimension-
     * sized), never of the fact table. */
-  def q_agg_rfm(s: SparkSession, dir: String): DataFrame = {
-    val per = Tables.orders(s, dir)
-      .groupBy(col("o_custkey"))
-      .agg(max(col("o_orderdate")).as("last_order"),
-        count(lit(1)).as("freq"),
-        sum(dec(col("o_totalprice"))).as("monetary"))
-    val rq = Window.orderBy(col("last_order"), col("o_custkey"))
+  /** Shared RFM quintile-grid assembly over a per-customer
+    * (o_custkey, last_days, freq, cents) table — consumed by the batch
+    * keyed aggregate AND the streaming per-customer maintainer (one
+    * oracle for both, the nvrFrom device). Everything is integer:
+    * recency as days-since-epoch, monetary as exact cents, so the
+    * ntile orders and the final sums are tie-class-free; monetary_sum
+    * divides the exact integer by 100.0 once (correctly-rounded, equal
+    * to the former decimal→double cast). */
+  private def rfmFrom(per: DataFrame): DataFrame = {
+    val rq = Window.orderBy(col("last_days"), col("o_custkey"))
     val fq = Window.orderBy(col("freq"), col("o_custkey"))
-    val mq = Window.orderBy(col("monetary"), col("o_custkey"))
+    val mq = Window.orderBy(col("cents"), col("o_custkey"))
     per
       .withColumn("r_q", ntile(5).over(rq).cast("bigint"))
       .withColumn("f_q", ntile(5).over(fq).cast("bigint"))
       .withColumn("m_q", ntile(5).over(mq).cast("bigint"))
       .groupBy(col("r_q"), col("f_q"), col("m_q"))
       .agg(count(lit(1)).as("n_customers"),
-        sum(col("monetary")).cast("double").as("monetary_sum"))
+        (sum(col("cents")).cast("double") / 100.0).as("monetary_sum"))
       .orderBy("r_q", "f_q", "m_q")
+  }
+
+  def q_agg_rfm(s: SparkSession, dir: String): DataFrame =
+    rfmFrom(Tables.orders(s, dir)
+      .groupBy(col("o_custkey"))
+      .agg(max(datediff(col("o_orderdate"), lit("1970-01-01").cast("date")))
+          .as("last_days"),
+        count(lit(1)).as("freq"),
+        sum((dec(col("o_totalprice")) * 100).cast("long")).as("cents")))
+
+  /** STREAMING RFM maintainer — the per-customer state a growth
+    * dashboard keeps live: (last order day, order count, exact cent
+    * total), three order-blind folds (max / + / +) in 20 bytes of keyed
+    * state, so arrival order and batch boundaries cannot change the
+    * snapshot (unlike the nv maintainer there is no labeling — the
+    * state IS the answer). The snapshot runs the SAME rfmFrom quintile
+    * assembly as q_agg_rfm (one oracle for both); the MemoryStream pin
+    * in Round18Spec covers the cross-batch state carry. */
+  def q_stream_rfm(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val per = Tables.orders(s, dir)
+      .select(col("o_custkey").as("ck"),
+        datediff(col("o_orderdate"), lit("1970-01-01").cast("date")).as("days"),
+        (dec(col("o_totalprice")) * 100).cast("long").as("cents"))
+      .as[RfmOrd]
+      .groupByKey(_.ck)
+      .flatMapGroupsWithState(org.apache.spark.sql.streaming.OutputMode.Update,
+        org.apache.spark.sql.streaming.GroupStateTimeout.NoTimeout)(updateRfm)
+      .toDF()
+      .select(col("o_custkey"), col("last_days"), col("freq"), col("cents"))
+    rfmFrom(per)
   }
 
   /** Revenue-concentration (Pareto/Lorenz) decile table — "the top 10 %
@@ -1078,6 +1128,7 @@ object Relational {
     "q_agg_pareto" -> q_agg_pareto _,
     "q_agg_new_vs_returning" -> q_agg_new_vs_returning _,
     "q_stream_new_vs_returning" -> q_stream_new_vs_returning _,
+    "q_stream_rfm" -> q_stream_rfm _,
     "q_agg_listagg" -> q_agg_listagg _,
     "q_win_first_last" -> q_win_first_last _,
     "q_agg_percentiles" -> q_agg_percentiles _,

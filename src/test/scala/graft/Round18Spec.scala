@@ -337,4 +337,45 @@ class Round18Spec extends AnyFunSuite {
       assert(r.getBoolean(4) == (r.getDouble(3) > 3.84), "decision")
     }
   }
+
+  test("streaming RFM carries order-blind state across micro-batches") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import org.apache.spark.sql.streaming.OutputMode
+    import graft.engine.Relational
+    val s = spark
+    import s.implicits._
+    implicit val sq = s.sqlContext
+    // customer 1 splits across batches (and batch 2 carries an EARLIER
+    // day than batch 1 — the max fold must keep day 200); customer 2
+    // arrives only in batch 2
+    val b1 = Seq(Relational.RfmOrd(1L, 200, 1000L),
+      Relational.RfmOrd(1L, 100, 500L))
+    val b2 = Seq(Relational.RfmOrd(1L, 150, 2000L),
+      Relational.RfmOrd(2L, 300, 700L))
+    val ms = MemoryStream[Relational.RfmOrd]
+    val q = ms.toDS().groupByKey(_.ck)
+      .flatMapGroupsWithState(OutputMode.Update,
+        org.apache.spark.sql.streaming.GroupStateTimeout.NoTimeout)(
+        Relational.updateRfm)
+      .writeStream.outputMode(OutputMode.Update)
+      .format("memory").queryName("rfmst").start()
+    ms.addData(b1: _*); q.processAllAvailable()
+    ms.addData(b2: _*); q.processAllAvailable(); q.stop()
+    // LAST snapshot per customer = full-history fold
+    val last = s.table("rfmst").collect()
+      .map(r => (r.getLong(0), (r.getInt(1), r.getLong(2), r.getLong(3))))
+      .groupBy(_._1).view.mapValues(_.last._2).toMap
+    assert(last(1L) == ((200, 3L, 3500L)), s"customer 1 carry, got $last")
+    assert(last(2L) == ((300, 1L, 700L)), "customer 2 fresh state")
+  }
+
+  test("streaming RFM over the fixture equals the batch quintile grid") {
+    import graft.engine.Relational
+    def key(r: org.apache.spark.sql.Row) =
+      (r.getLong(0), r.getLong(1), r.getLong(2)) ->
+        ((r.getLong(3), r.getDouble(4)))
+    val stream = Relational.q_stream_rfm(spark, sf0001).collect().map(key).toMap
+    val batch = Relational.q_agg_rfm(spark, sf0001).collect().map(key).toMap
+    assert(stream == batch, "batch ≡ stream through the shared assembly")
+  }
 }
