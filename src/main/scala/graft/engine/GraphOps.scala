@@ -938,6 +938,52 @@ object GraphOps {
     * 5 iterations, top-20 parts by rounded authority. Each step is two
     * keyed aggregations over the edge list with the score tables
     * broadcast — the pagerank execution shape. */
+  /** Resource-allocation link-prediction index (Zhou, Lü & Zhang 2009)
+    * — the 1/deg(z) companion to q_graph_adamic_adar's 1/ln deg(z) on
+    * the IDENTICAL shared-customer pair chain (RA punishes hub
+    * intermediaries harder; the two rankings disagree exactly on
+    * hub-mediated pairs, which is why link-prediction work reports
+    * both): same per-customer weight-attach-before-pair-join shape,
+    * same round-9 / 1e9-scaled BIGINT exact sum, same deg ≥ 2 early
+    * drop (a degree-1 customer produces no pair). */
+  def q_graph_resource_alloc(s: SparkSession, dir: String): DataFrame = {
+    val e = edges(s, dir)
+    val custDeg = e.groupBy(col("src").as("cd_src")).agg(count(lit(1)).as("cd"))
+    val e1 = e.join(stateHint(s, dir, custDeg.filter(col("cd") >= 2), "cd_src"),
+      col("src") === col("cd_src"))
+      .select(col("src"), col("dst").as("a"),
+        round(lit(1.0) / col("cd") * 1e9, 0).cast("bigint").as("w9"))
+    val e2 = e.select(col("src").as("src2"), col("dst").as("b"))
+    e1.join(e2, col("src") === col("src2") && col("a") < col("b"))
+      .groupBy(col("a").as("part_a"), col("b").as("part_b"))
+      .agg((round(sum(col("w9")).cast("double") / 1000, 0) / 1e6).as("ra"))
+      .orderBy(col("ra").desc, col("part_a").asc, col("part_b").asc)
+      .limit(20)
+  }
+
+  /** Preferential-attachment link-prediction index (Barabási–Albert
+    * 1999 family; Liben-Nowell & Kleinberg 2003 as a predictor) —
+    * deg(a)·deg(b) over the co-occurring candidate pairs, completing
+    * the AA/RA/PA trio on the shared pairCounts MV: the purely
+    * popularity-driven baseline the neighborhood-overlap indices are
+    * judged against. Everything stays exact integers (no rounding
+    * anywhere); the degree table joins through the probe-gated
+    * stateHint, the rank is a TakeOrdered over the MV. */
+  def q_graph_pref_attach(s: SparkSession, dir: String): DataFrame = {
+    val pd = edges(s, dir).groupBy(col("dst")).agg(count(lit(1)).as("pdeg"))
+    pairCounts(s, dir)
+      .join(stateHint(s, dir,
+        pd.select(col("dst").as("da"), col("pdeg").as("deg_a")), "da"),
+        col("a") === col("da"))
+      .join(stateHint(s, dir,
+        pd.select(col("dst").as("db"), col("pdeg").as("deg_b")), "db"),
+        col("b") === col("db"))
+      .select(col("a").as("part_a"), col("b").as("part_b"),
+        col("cnt").as("n_cooccur"), (col("deg_a") * col("deg_b")).as("pa"))
+      .orderBy(col("pa").desc, col("part_a").asc, col("part_b").asc)
+      .limit(20)
+  }
+
   def q_graph_hits(s: SparkSession, dir: String): DataFrame = {
     // coalesce the checkpointed edge MV for the iterative scans: each of
     // the 10 matvec jobs is scheduler-bound at this |E| (tiny rows, 32
@@ -1475,6 +1521,8 @@ object GraphOps {
     "q_graph_jaccard" -> q_graph_jaccard _,
     "q_graph_overlap" -> q_graph_overlap _,
     "q_graph_adamic_adar" -> q_graph_adamic_adar _,
+    "q_graph_resource_alloc" -> q_graph_resource_alloc _,
+    "q_graph_pref_attach" -> q_graph_pref_attach _,
     "q_graph_hits" -> q_graph_hits _,
     "q_graph_label_prop" -> q_graph_label_prop _,
     "q_graph_modularity" -> q_graph_modularity _,

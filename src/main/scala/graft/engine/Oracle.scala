@@ -639,6 +639,31 @@ object Oracle {
          |FROM cn JOIN cd ON cn.z = cd.src
          |GROUP BY 1, 2 ORDER BY aa DESC, part_a ASC, part_b ASC LIMIT 20""".stripMargin,
 
+    // RA: the 1/deg twin of adamic_adar on the identical pair chain.
+    "q_graph_resource_alloc" ->
+      s"""WITH $edgesCte,
+         |cd AS (SELECT src,
+         |         CAST(ROUND(CAST(1 AS DOUBLE) / COUNT(*) * 1e9, 0) AS BIGINT) AS w9
+         |       FROM edges GROUP BY src HAVING COUNT(*) >= 2),
+         |cn AS (SELECT e1.src AS z, e1.dst AS a, e2.dst AS b
+         |       FROM edges e1 JOIN edges e2 ON e1.src = e2.src AND e1.dst < e2.dst)
+         |SELECT cn.a AS part_a, cn.b AS part_b,
+         |  ROUND(CAST(SUM(cd.w9) AS DOUBLE) / 1000, 0) / 1e6 AS ra
+         |FROM cn JOIN cd ON cn.z = cd.src
+         |GROUP BY 1, 2 ORDER BY ra DESC, part_a ASC, part_b ASC LIMIT 20""".stripMargin,
+
+    // PA: deg(a)·deg(b) over co-occurring pairs — all exact integers.
+    "q_graph_pref_attach" ->
+      s"""WITH $edgesCte,
+         |pd AS (SELECT dst, CAST(COUNT(*) AS BIGINT) AS pdeg FROM edges GROUP BY 1),
+         |cn AS (SELECT e1.dst AS a, e2.dst AS b, CAST(COUNT(*) AS BIGINT) AS cnt
+         |       FROM edges e1 JOIN edges e2 ON e1.src = e2.src AND e1.dst < e2.dst
+         |       GROUP BY 1, 2)
+         |SELECT cn.a AS part_a, cn.b AS part_b, cn.cnt AS n_cooccur,
+         |  da.pdeg * db.pdeg AS pa
+         |FROM cn JOIN pd da ON cn.a = da.dst JOIN pd db ON cn.b = db.dst
+         |ORDER BY pa DESC, part_a ASC, part_b ASC LIMIT 20""".stripMargin,
+
     // Reachability closure + min-label per node == connected components;
     // tractable because the >=K projection fragments into small comps.
     "q_graph_cc" ->

@@ -378,4 +378,57 @@ class Round18Spec extends AnyFunSuite {
     val batch = Relational.q_agg_rfm(spark, sf0001).collect().map(key).toMap
     assert(stream == batch, "batch ≡ stream through the shared assembly")
   }
+
+  private def copurchaseEdges(): Array[(Long, Long)] =
+    Tables.orders(spark, sf0001)
+      .join(Tables.lineitem(spark, sf0001),
+        org.apache.spark.sql.functions.col("o_orderkey") ===
+          org.apache.spark.sql.functions.col("l_orderkey"))
+      .select("o_custkey", "l_partkey").distinct().collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+
+  test("q_graph_resource_alloc equals a driver replay on the AA pair chain") {
+    import graft.engine.GraphOps
+    val edges = copurchaseEdges()
+    val byCust = edges.groupBy(_._1).view.mapValues(_.map(_._2)).toMap
+    val acc = scala.collection.mutable.Map.empty[(Long, Long), BigInt]
+    byCust.values.foreach { parts =>
+      val deg = parts.length
+      if (deg >= 2) {
+        val w9 = BigInt(math.round(1.0 / deg.toDouble * 1e9))
+        val ps = parts.sorted
+        for (i <- ps.indices; j <- (i + 1) until ps.length)
+          acc((ps(i), ps(j))) = acc.getOrElse((ps(i), ps(j)), BigInt(0)) + w9
+      }
+    }
+    val want = acc.toSeq.map { case ((a, b), s9) =>
+      (a, b, math.rint(s9.toDouble / 1000) / 1e6)
+    }.sortBy { case (a, b, ra) => (-ra, a, b) }.take(20)
+    val got = GraphOps.q_graph_resource_alloc(spark, sf0001).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+    assert(got == want, s"RA top-20 replay\n got=$got\nwant=$want")
+    // RA candidates are AA candidates: same pair chain, both weights
+    // strictly positive for deg >= 2
+    val aa = GraphOps.q_graph_adamic_adar(spark, sf0001).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(aa.nonEmpty && got.forall(_._3 > 0.0))
+  }
+
+  test("q_graph_pref_attach equals an exact-integer driver replay") {
+    import graft.engine.GraphOps
+    val edges = copurchaseEdges()
+    val deg = edges.groupBy(_._2).view.mapValues(_.length.toLong).toMap
+    val pairCnt = scala.collection.mutable.Map.empty[(Long, Long), Long]
+    edges.groupBy(_._1).values.foreach { es =>
+      val ps = es.map(_._2).sorted
+      for (i <- ps.indices; j <- (i + 1) until ps.length)
+        pairCnt((ps(i), ps(j))) = pairCnt.getOrElse((ps(i), ps(j)), 0L) + 1L
+    }
+    val want = pairCnt.toSeq.map { case ((a, b), c) =>
+      (a, b, c, deg(a) * deg(b))
+    }.sortBy { case (a, b, _, pa) => (-pa, a, b) }.take(20)
+    val got = GraphOps.q_graph_pref_attach(spark, sf0001).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSeq
+    assert(got == want, s"PA top-20 replay\n got=$got\nwant=$want")
+  }
 }
