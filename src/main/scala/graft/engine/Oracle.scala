@@ -5875,6 +5875,71 @@ object Oracle {
         |  CASE WHEN ok_run = 1 THEN TRUE ELSE FALSE END AS rejected
         |FROM hw ORDER BY holm_rank, family, event_type, ub""".stripMargin,
 
+    // Two-state burst DP replayed as a recursive CTE over the SAME
+    // 1e9-scaled integers — exact, zero rounding drift across 360 steps.
+    "q_time_burst" ->
+      s"""WITH RECURSIVE daily AS (SELECT event_type,
+        |    CAST(CAST(ts AS TIMESTAMP) AS DATE) AS day,
+        |    CAST(COUNT(*) AS BIGINT) AS n
+        |  FROM events GROUP BY 1, 2),
+        |rk AS (SELECT event_type, n,
+        |    CAST(day - DATE '2024-01-01' AS BIGINT) AS x,
+        |    CAST(ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY day)
+        |      AS BIGINT) AS t
+        |  FROM daily),
+        |par AS (SELECT event_type AS pe, CAST(COUNT(*) AS BIGINT) AS td,
+        |    CAST(SUM(n) AS BIGINT) AS nn FROM daily GROUP BY 1),
+        |pp AS (SELECT pe,
+        |    CAST(ROUND((CAST(nn AS DOUBLE) / CAST(td AS DOUBLE)) * 1e9, 0)
+        |      AS BIGINT) AS lam09,
+        |    CAST(ROUND(${StatsOps.BurstS} * (CAST(nn AS DOUBLE) / CAST(td AS DOUBLE)) * 1e9, 0)
+        |      AS BIGINT) AS lam19,
+        |    CAST(ROUND(LN(CAST(nn AS DOUBLE) / CAST(td AS DOUBLE)) * 1e9, 0)
+        |      AS BIGINT) AS l09,
+        |    CAST(ROUND(LN(${StatsOps.BurstS} * (CAST(nn AS DOUBLE) / CAST(td AS DOUBLE))) * 1e9, 0)
+        |      AS BIGINT) AS l19,
+        |    CAST(ROUND(LN(CAST(td AS DOUBLE)) * 1e9, 0) AS BIGINT) AS gam9
+        |  FROM par),
+        |e AS (SELECT r.event_type, r.t, r.x,
+        |    p.lam09 - r.n * p.l09 AS e0, p.lam19 - r.n * p.l19 AS e1, p.gam9
+        |  FROM rk r JOIN pp p ON r.event_type = p.pe),
+        |dp AS (
+        |  SELECT event_type, t,
+        |    e0 + LEAST(CAST(0 AS BIGINT), gam9) AS c0,
+        |    e1 + LEAST(CAST(0 AS BIGINT) + gam9, gam9) AS c1,
+        |    CASE WHEN e1 + LEAST(CAST(0 AS BIGINT) + gam9, gam9)
+        |           < e0 + LEAST(CAST(0 AS BIGINT), gam9)
+        |      THEN CAST(1 AS BIGINT) ELSE CAST(0 AS BIGINT) END AS nb,
+        |    CASE WHEN e1 + LEAST(CAST(0 AS BIGINT) + gam9, gam9)
+        |           < e0 + LEAST(CAST(0 AS BIGINT), gam9)
+        |      THEN x END AS fb,
+        |    CASE WHEN e1 + LEAST(CAST(0 AS BIGINT) + gam9, gam9)
+        |           < e0 + LEAST(CAST(0 AS BIGINT), gam9)
+        |      THEN x END AS lb,
+        |    (e0 + LEAST(CAST(0 AS BIGINT), gam9))
+        |      - (e1 + LEAST(CAST(0 AS BIGINT) + gam9, gam9)) AS mm
+        |  FROM e WHERE t = 1
+        |  UNION ALL
+        |  SELECT nx.event_type, nx.t,
+        |    nx.e0 + LEAST(d.c0, d.c1),
+        |    nx.e1 + LEAST(d.c0 + nx.gam9, d.c1),
+        |    d.nb + CASE WHEN nx.e1 + LEAST(d.c0 + nx.gam9, d.c1)
+        |             < nx.e0 + LEAST(d.c0, d.c1) THEN 1 ELSE 0 END,
+        |    CASE WHEN d.fb IS NULL AND nx.e1 + LEAST(d.c0 + nx.gam9, d.c1)
+        |           < nx.e0 + LEAST(d.c0, d.c1) THEN nx.x ELSE d.fb END,
+        |    CASE WHEN nx.e1 + LEAST(d.c0 + nx.gam9, d.c1)
+        |           < nx.e0 + LEAST(d.c0, d.c1) THEN nx.x ELSE d.lb END,
+        |    GREATEST(d.mm, (nx.e0 + LEAST(d.c0, d.c1))
+        |      - (nx.e1 + LEAST(d.c0 + nx.gam9, d.c1)))
+        |  FROM dp d JOIN e nx ON nx.event_type = d.event_type
+        |    AND nx.t = d.t + 1),
+        |fin AS (SELECT event_type AS fe, MAX(t) AS tmax FROM dp GROUP BY 1)
+        |SELECT d.event_type, d.t AS n_days, d.nb AS n_burst_days,
+        |  d.fb AS first_burst_x, d.lb AS last_burst_x,
+        |  d.mm AS burst_margin9, LEAST(d.c0, d.c1) AS final_cost9
+        |FROM dp d JOIN fin f ON d.event_type = f.fe AND d.t = f.tmax
+        |ORDER BY d.event_type""".stripMargin,
+
     // Dickey–Fuller: Δy on (1, y_{t−1}) per event type, DECIMAL(38,0)
     // moment sums, one pinned slope/RSS/t chain, decision on rounded t.
     "q_time_adf" ->

@@ -431,4 +431,59 @@ class Round18Spec extends AnyFunSuite {
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSeq
     assert(got == want, s"PA top-20 replay\n got=$got\nwant=$want")
   }
+
+  test("q_time_burst flags a hand-built bursty series and equals a " +
+    "driver DP replay on the fixture") {
+    // synthetic series: rate 100/day for 10 days, 300/day for 5, back
+    // to 100 — the elevated stretch must be flagged contiguously
+    val lam0 = (10 * 100 + 5 * 300) / 15.0
+    val l09 = math.round(StrictMath.log(lam0) * 1e9)
+    val l19 = math.round(StrictMath.log(StatsOps.BurstS * lam0) * 1e9)
+    val lam09 = math.round(lam0 * 1e9)
+    val lam19 = math.round(StatsOps.BurstS * lam0 * 1e9)
+    val gam9 = math.round(StrictMath.log(15.0) * 1e9)
+    val mk = (x: Long, n: Long) => StatsOps.BurstIn("synth", x,
+      lam09 - n * l09, lam19 - n * l19, gam9)
+    val days = ((0L until 10L).map(mk(_, 100L)) ++
+      (10L until 15L).map(mk(_, 300L))).toArray
+    val snap = StatsOps.burstFold("synth", days)
+    assert(snap.n_burst_days > 0L, "elevated stretch flagged")
+    assert(snap.first_burst_x.exists(_ >= 10L), "burst starts in the stretch")
+    assert(snap.last_burst_x.contains(14L), "stays flagged to the end")
+    assert(snap.burst_margin9 > 0L, "positive margin iff flagged")
+
+    // fixture replay: recompute the DP driver-side from the daily counts
+    val daily = Tables.events(spark, sf0001)
+      .selectExpr("event_type", "CAST(ts AS DATE) AS day").collect()
+      .groupBy(r => (r.getString(0), r.getDate(1).toLocalDate))
+      .view.mapValues(_.length.toLong).toMap
+    val anchor = java.time.LocalDate.parse("2024-01-01")
+    val want = daily.keys.map(_._1).toSeq.distinct.sorted.map { et =>
+      val ds = daily.collect { case ((t, d), n) if t == et =>
+        (java.time.temporal.ChronoUnit.DAYS.between(anchor, d), n) }.toSeq
+      val td = ds.length.toLong
+      val nn = ds.map(_._2).sum
+      val rate = nn.toDouble / td.toDouble
+      val in = ds.map { case (x, n) =>
+        StatsOps.BurstIn(et, x,
+          math.round(rate * 1e9) - n * math.round(StrictMath.log(rate) * 1e9),
+          math.round(StatsOps.BurstS * rate * 1e9) -
+            n * math.round(StrictMath.log(StatsOps.BurstS * rate) * 1e9),
+          math.round(StrictMath.log(td.toDouble) * 1e9))
+      }.toArray
+      StatsOps.burstFold(et, in)
+    }
+    val got = StatsOps.q_time_burst(spark, sf0001).collect()
+    assert(got.length == want.length)
+    got.zip(want).foreach { case (r, w) =>
+      assert(r.getString(0) == w.event_type)
+      assert(r.getLong(1) == w.n_days && r.getLong(2) == w.n_burst_days)
+      assert((if (r.isNullAt(3)) None else Some(r.getLong(3))) == w.first_burst_x)
+      assert((if (r.isNullAt(4)) None else Some(r.getLong(4))) == w.last_burst_x)
+      assert(r.getLong(5) == w.burst_margin9, "margin")
+      assert(r.getLong(6) == w.final_cost9, "final cost")
+      // flag/margin coherence
+      assert((r.getLong(2) > 0L) == (r.getLong(5) > 0L))
+    }
+  }
 }
