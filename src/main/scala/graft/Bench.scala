@@ -82,6 +82,8 @@ object Bench {
     "closeDist" -> (() => { engine.GraphOps.closeDistances(spark, sfDir).count(); () }),
     "walkPaths" -> (() => { engine.Gnn.walkPaths(spark, sfDir).count(); () }),
     "dedupLabels" -> (() => { engine.LlmOps.dedupLabels(spark, sfDir).count(); () }),
+    // final Lloyd assignment MV: kmeans + cluster_purity both consume it
+    "kmeansAssign" -> (() => { engine.ClusterOps.kmeansAssign(spark, sfDir).count(); () }),
     // trained BPE merge table: the artifact a tokenizer pipeline persists
     // (train once, encode everywhere); consumed by bpe_train AND bpe_apply
     "bpeMerges" -> (() => { engine.BpeOps.bpeMerges(spark, sfDir).count(); () }),

@@ -35,6 +35,27 @@ object ClusterOps {
     .reduceLeft(_ + _)
 
   /** Argmin assignment of every vector to its nearest centroid. */
+  /** Final Lloyd assignment (vec_id, cl, d2), memoized per (session,
+    * fixture) — consumed by q_llm_kmeans AND q_llm_cluster_purity so
+    * the quality report can never drift from the clustering it scores
+    * (the langid/lang_confusion sharing device). */
+  private[graft] def kmeansAssign(s: SparkSession, dir: String): DataFrame =
+    Mv.memo(s, s"kmeansAssign|$dir") { bs =>
+      val emb = Tables.embeddings(bs, dir)
+      var cents = emb.filter(col("vec_id") < KmeansK)
+        .select(col("vec_id").as("cl") +:
+          (1 to EmbDims).map(j => el(j).as(s"c$j")): _*)
+      for (_ <- 1 to KmeansIters) {
+        val a = assign(emb, cents)
+        val means = (1 to EmbDims).map(j => round(avg(el(j)), 6).as(s"c$j"))
+        cents = a.join(emb, "vec_id")
+          .groupBy(col("cl"))
+          .agg(means.head, means.tail: _*)
+          .localCheckpoint()
+      }
+      assign(emb, cents).localCheckpoint()
+    }
+
   private def assign(emb: DataFrame, cents: DataFrame): DataFrame =
     emb.crossJoin(broadcast(cents))
       .select(col("vec_id"), col("embedding"), col("cl"), d2Expr.as("d2"))
@@ -45,22 +66,9 @@ object ClusterOps {
   /** 2 Lloyd iterations from deterministic seeds (vectors 0..7), then a
     * final assignment: per-cluster size + exact-decimal inertia. */
   def q_llm_kmeans(s: SparkSession, dir: String): DataFrame = {
-    val emb = Tables.embeddings(s, dir)
-    var cents = emb.filter(col("vec_id") < KmeansK)
-      .select(col("vec_id").as("cl") +: (1 to EmbDims).map(j => el(j).as(s"c$j")): _*)
-    for (_ <- 1 to KmeansIters) {
-      val a = assign(emb, cents)
-      val means = (1 to EmbDims).map(j => round(avg(el(j)), 6).as(s"c$j"))
-      cents = a.join(emb, "vec_id")
-        .groupBy(col("cl"))
-        .agg(means.head, means.tail: _*)
-        // checkpoint the K×64 centroid table (bytes): without it the
-        // final assignment's lazy plan nests every previous iteration's
-        // crossJoin+agg+join chain, and planning/codegen of that tower
-        // costs more than the data (K rows) ever could
-        .localCheckpoint()
-    }
-    assign(emb, cents)
+    // the Lloyd loop (with the K×64 centroid checkpoints that keep the
+    // lazy plan flat) lives in the shared memoized kmeansAssign MV
+    kmeansAssign(s, dir)
       .groupBy(col("cl").as("cluster"))
       .agg(count(lit(1)).as("n_members"),
         // round the EXACT decimal sum before the double cast: both
@@ -307,8 +315,34 @@ object ClusterOps {
           col("slr").cast("double"), 6).as("id_twonn"))
   }
 
+  /** Cluster-quality report: per k-means cluster the majority true
+    * label, its mass, and the cluster purity — the external-validity
+    * check a curation run reads before trusting cluster-balanced
+    * sampling (SemDeDup cells, IVF lists) to respect semantics. Shares
+    * the memoized kmeansAssign MV with q_llm_kmeans, so the report can
+    * never drift from the clustering it scores. All counts exact;
+    * purity is one round-6 division; majority ties break on the
+    * smaller label. */
+  def q_llm_cluster_purity(s: SparkSession, dir: String): DataFrame = {
+    val cells = kmeansAssign(s, dir).select(col("vec_id"), col("cl"))
+      .join(Tables.embeddings(s, dir).select(col("vec_id").as("v2"), col("label")),
+        col("vec_id") === col("v2"))
+      .groupBy(col("cl"), col("label")).agg(count(lit(1)).as("n"))
+    val w = Window.partitionBy(col("cl")).orderBy(col("n").desc, col("label").asc)
+    cells
+      .withColumn("rk", row_number().over(w))
+      .withColumn("n_members", sum(col("n")).over(Window.partitionBy(col("cl"))))
+      .filter(col("rk") === 1)
+      .select(col("cl").as("cluster"), col("n_members"),
+        col("label").as("majority_label"), col("n").as("n_majority"),
+        round(col("n").cast("double") / col("n_members").cast("double"), 6)
+          .as("purity"))
+      .orderBy("cluster")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_llm_kmeans" -> q_llm_kmeans _,
+    "q_llm_cluster_purity" -> q_llm_cluster_purity _,
     "q_embed_pca" -> q_embed_pca _,
     "q_embed_whiten" -> q_embed_whiten _,
     "q_embed_rand_proj" -> q_embed_rand_proj _,
@@ -424,6 +458,27 @@ object ClusterOps {
          |SELECT cl AS cluster, COUNT(*) AS n_members,
          |  CAST(ROUND(SUM(CAST(ROUND(d2, 9) AS DECIMAL(24,9))), 4) AS DOUBLE) AS inertia
          |FROM a3 GROUP BY cl ORDER BY cluster""".stripMargin
+    },
+    // purity over the SAME generated Lloyd chain's final assignment
+    "q_llm_cluster_purity" -> {
+      val c0 = (1 to EmbDims).map(j => s"CAST(embedding[$j] AS DOUBLE) AS c$j").mkString(", ")
+      s"""WITH cents0 AS MATERIALIZED (
+         |  SELECT vec_id AS cl, $c0 FROM embeddings WHERE vec_id < $KmeansK),
+         |${assignCte(1, "cents0")},
+         |${centsCte(1, 1)},
+         |${assignCte(2, "cents1")},
+         |${centsCte(2, 2)},
+         |${assignCte(3, "cents2")},
+         |cells AS (SELECT a.cl, e.label, CAST(COUNT(*) AS BIGINT) AS n
+         |  FROM a3 a JOIN embeddings e USING (vec_id) GROUP BY 1, 2),
+         |rk AS (SELECT *,
+         |    ROW_NUMBER() OVER (PARTITION BY cl ORDER BY n DESC, label ASC) AS rk,
+         |    CAST(SUM(n) OVER (PARTITION BY cl) AS BIGINT) AS n_members
+         |  FROM cells)
+         |SELECT cl AS cluster, n_members, label AS majority_label,
+         |  n AS n_majority,
+         |  ROUND(CAST(n AS DOUBLE) / CAST(n_members AS DOUBLE), 6) AS purity
+         |FROM rk WHERE rk = 1 ORDER BY cluster""".stripMargin
     }
   )
 }

@@ -5875,6 +5875,42 @@ object Oracle {
         |  CASE WHEN ok_run = 1 THEN TRUE ELSE FALSE END AS rejected
         |FROM hw ORDER BY holm_rank, family, event_type, ub""".stripMargin,
 
+    // Pettitt change-point via doubled midranks — every U_t exact
+    // BIGINT; the only float is the final significance approximation.
+    "q_time_pettitt" ->
+      """WITH daily AS (SELECT event_type,
+        |    CAST(CAST(ts AS TIMESTAMP) AS DATE) AS day,
+        |    CAST(SUM(CAST(ROUND(value * 100, 0) AS BIGINT)) AS BIGINT) AS y
+        |  FROM events GROUP BY 1, 2),
+        |d AS (SELECT event_type,
+        |    CAST(day - DATE '2024-01-01' AS BIGINT) AS x, y FROM daily),
+        |r AS (SELECT *,
+        |    CAST(2 * RANK() OVER (PARTITION BY event_type ORDER BY y)
+        |      + COUNT(*) OVER (PARTITION BY event_type, y) - 1 AS BIGINT) AS r2,
+        |    CAST(ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY x)
+        |      AS BIGINT) AS t,
+        |    CAST(COUNT(*) OVER (PARTITION BY event_type) AS BIGINT) AS n
+        |  FROM d),
+        |u AS (SELECT event_type, x, t, n,
+        |    CAST(SUM(r2) OVER (PARTITION BY event_type ORDER BY x
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+        |      - t * (n + 1) AS ut
+        |  FROM r),
+        |uu AS (SELECT * FROM u WHERE t < n),
+        |k AS (SELECT event_type, n, CAST(MAX(ABS(ut)) AS BIGINT) AS k_stat
+        |  FROM uu GROUP BY 1, 2),
+        |tau AS (SELECT uu.event_type AS te, MIN(uu.x) AS change_x
+        |  FROM uu JOIN k ON uu.event_type = k.event_type
+        |    AND ABS(uu.ut) = k.k_stat
+        |  GROUP BY 1)
+        |SELECT k.event_type, k.n AS n_days, k.k_stat, tau.change_x,
+        |  ROUND(2.0 * exp(-6.0 * CAST(k.k_stat AS DOUBLE)
+        |    * CAST(k.k_stat AS DOUBLE)
+        |    / (CAST(k.n AS DOUBLE) * CAST(k.n AS DOUBLE) * CAST(k.n AS DOUBLE)
+        |       + CAST(k.n AS DOUBLE) * CAST(k.n AS DOUBLE))), 6) AS p_approx
+        |FROM k JOIN tau ON k.event_type = tau.te
+        |ORDER BY k.event_type""".stripMargin,
+
     // Two-state burst DP replayed as a recursive CTE over the SAME
     // 1e9-scaled integers — exact, zero rounding drift across 360 steps.
     "q_time_burst" ->

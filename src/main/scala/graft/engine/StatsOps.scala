@@ -2906,7 +2906,55 @@ object StatsOps {
       .orderBy("event_type")
   }
 
+  /** Pettitt change-point test (Pettitt 1979) per event type over the
+    * daily cents series — the rank-based (distribution-free) companion
+    * to q_time_changepoint's mean-shift CUSUM (the two disagree exactly
+    * on heavy-tailed shifts, which is why hydrology reports both):
+    * U_t = Σ_{i≤t}Σ_{j>t} sgn(y_i−y_j) computed WITHOUT the pair join
+    * via doubled midranks — r2 = 2·rank_min + ties − 1 keeps every
+    * quantity an exact BIGINT (U_t = Σ_{i≤t}r2_i − t(n+1)); K = max|U_t|
+    * over t < n, change day = earliest argmax. The only float is the
+    * approximate significance 2·exp(−6K²/(n³+n²)), round-6. One rank
+    * window + one cumulative window per type — day-cardinality bounded. */
+  def q_time_pettitt(s: SparkSession, dir: String): DataFrame = {
+    val daily = Tables.events(s, dir)
+      .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+      .agg(sum(round(col("value") * 100, 0).cast("bigint")).as("y"))
+      .select(col("event_type"),
+        datediff(col("day"), lit("2024-01-01").cast("date"))
+          .cast("bigint").as("x"), col("y"))
+    val wv = Window.partitionBy(col("event_type")).orderBy(col("y"))
+    val wEq = Window.partitionBy(col("event_type"), col("y"))
+    val wDay = Window.partitionBy(col("event_type")).orderBy(col("x"))
+    val wCum = wDay.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wAll = Window.partitionBy(col("event_type"))
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    val u = daily
+      .withColumn("r2",
+        lit(2L) * rank().over(wv) + count(lit(1)).over(wEq) - lit(1L))
+      .withColumn("t", row_number().over(wDay).cast("bigint"))
+      .withColumn("n", count(lit(1)).over(wAll))
+      .withColumn("ut",
+        sum(col("r2")).over(wCum) - col("t") * (col("n") + 1L))
+      .filter(col("t") < col("n"))
+    val k = u.groupBy(col("event_type"), col("n"))
+      .agg(max(abs(col("ut"))).as("k_stat"))
+    val tau = u.join(k.select(col("event_type").as("ke"), col("k_stat").as("kk")),
+        col("event_type") === col("ke") && abs(col("ut")) === col("kk"))
+      .groupBy(col("event_type").as("te"))
+      .agg(min(col("x")).as("change_x"))
+    val nD = col("n").cast("double")
+    k.join(tau, col("event_type") === col("te"))
+      .select(col("event_type"), col("n").as("n_days"), col("k_stat"),
+        col("change_x"),
+        round(lit(2.0) * exp(lit(-6.0) * col("k_stat").cast("double")
+          * col("k_stat").cast("double") / (nD * nD * nD + nD * nD)), 6)
+          .as("p_approx"))
+      .orderBy("event_type")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_time_pettitt" -> q_time_pettitt _,
     "q_time_burst" -> q_time_burst _,
     "q_time_adf" -> q_time_adf _,
     "q_time_granger" -> q_time_granger _,

@@ -486,4 +486,66 @@ class Round18Spec extends AnyFunSuite {
       assert((r.getLong(2) > 0L) == (r.getLong(5) > 0L))
     }
   }
+
+  test("q_time_pettitt equals the brute-force sgn double sum (the " +
+    "midrank identity proved on the fixture)") {
+    val daily = dailyCents()
+    val want = daily.keys.map(_._1).toSeq.distinct.sorted.map { et =>
+      val anchor = java.time.LocalDate.parse("2024-01-01")
+      val ys = daily.collect { case ((t, d), y) if t == et =>
+        (java.time.temporal.ChronoUnit.DAYS.between(anchor, d), y) }
+        .toSeq.sortBy(_._1)
+      val n = ys.length
+      // U_t from the DEFINITION: sum of sgn(y_i - y_j) over i<=t<j
+      val us = (1 until n).map { t =>
+        var u = 0L
+        for (i <- 0 until t; j <- t until n)
+          u += java.lang.Long.signum(ys(i)._2 - ys(j)._2)
+        (ys(t - 1)._1, u)
+      }
+      val k = us.map(u => math.abs(u._2)).max
+      val tau = us.filter(u => math.abs(u._2) == k).map(_._1).min
+      val nD = n.toDouble
+      val p = r6(2.0 * StrictMath.exp(-6.0 * k.toDouble * k.toDouble /
+        (nD * nD * nD + nD * nD)))
+      (et, n.toLong, k, tau, p)
+    }
+    val got = StatsOps.q_time_pettitt(spark, sf0001).collect()
+    assert(got.length == want.length)
+    got.zip(want).foreach { case (r, (et, n, k, tau, p)) =>
+      assert(r.getString(0) == et && r.getLong(1) == n)
+      assert(r.getLong(2) == k, s"$et K statistic (midrank ≡ sgn sum)")
+      assert(r.getLong(3) == tau, s"$et change day")
+      assert(r.getDouble(4) == p, s"$et p approx")
+    }
+  }
+
+  test("q_llm_cluster_purity is consistent with the shared Lloyd assignment") {
+    import graft.engine.ClusterOps
+    val assign = ClusterOps.kmeansAssign(spark, sf0001)
+      .selectExpr("vec_id", "cl").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val labels = Tables.embeddings(spark, sf0001)
+      .selectExpr("vec_id", "label").collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val byCl = assign.toSeq.groupBy(_._2)
+    val got = ClusterOps.q_llm_cluster_purity(spark, sf0001).collect()
+    assert(got.map(_.getLong(0)).toSet == byCl.keySet, "cluster spine")
+    got.foreach { r =>
+      val members = byCl(r.getLong(0)).map(v => labels(v._1))
+      assert(r.getLong(1) == members.size.toLong, "n_members")
+      val best = members.groupBy(identity).view.mapValues(_.size).toSeq
+        .sortBy { case (l, c) => (-c, l) }.head
+      assert(r.getInt(2) == best._1, "majority label (tie -> smaller)")
+      assert(r.getLong(3) == best._2.toLong, "majority mass")
+      assert(r.getDouble(4) ==
+        r6(best._2.toDouble / members.size.toDouble), "purity")
+      assert(r.getDouble(4) > 0.0 && r.getDouble(4) <= 1.0)
+    }
+    // kmeans and purity read the same MV: member counts must agree
+    val km = ClusterOps.q_llm_kmeans(spark, sf0001).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    got.foreach(r => assert(km(r.getLong(0)) == r.getLong(1),
+      "same clustering as q_llm_kmeans"))
+  }
 }
