@@ -249,25 +249,30 @@ object ClusterOps {
     * DECIMAL; per-row norms and self-masses are fixed-order 64-term
     * double folds (the cosExpr device). Emits the mean-vector norm too
     * (‖mean û‖ → 0 for perfectly isotropic embeddings). */
-  def q_embed_isotropy(s: SparkSession, dir: String): DataFrame = {
+  /** Normalized-embedding scan shared by the batch isotropy aggregate
+    * and the streaming maintainer: per row the norm (fixed-order
+    * vec_dot fold) and the round-9 self-mass fold. */
+  private def isoScan(s: SparkSession, dir: String): DataFrame = {
     val dot = LlmOps.vecDot(s) _
-    val emb = Tables.embeddings(s, dir)
+    Tables.embeddings(s, dir)
       .select(col("vec_id"), col("embedding"),
         sqrt(dot(col("embedding"), col("embedding"))).as("nrm"))
       .filter(col("nrm") > 0)
-    val qFold = expr("aggregate(embedding, cast(0.0 as double), (a, x) -> " +
-      "a + round(cast(x as double) / nrm, 9) * round(cast(x as double) / nrm, 9))")
-    val perDim = emb
-      .select(col("nrm"), posexplode(col("embedding")).as(Seq("d", "x")))
-      .select(col("d"),
-        round(col("x").cast("double") / col("nrm"), 9)
-          .cast("decimal(28,9)").as("u9"))
-    val sumSq = perDim.groupBy(col("d")).agg(sum(col("u9")).as("sdec"))
+  }
+
+  private val isoQFold = "aggregate(embedding, cast(0.0 as double), (a, x) -> " +
+    "a + round(cast(x as double) / nrm, 9) * round(cast(x as double) / nrm, 9))"
+
+  /** Shared final combine over the EXACT sums: perDimSums = (d, sdec)
+    * — any decimal type holding the exact Σû_d — and tAgg =
+    * (n_vecs, tdec). Both the batch aggregate and the streaming
+    * shard-state snapshot reduce to these exact rationals, so the two
+    * paths emit bit-identical reports (one oracle). */
+  private def isotropyFinish(perDimSums: DataFrame, tAgg: DataFrame): DataFrame = {
+    val sumSq = perDimSums
       .select(round(col("sdec").cast("double") * col("sdec").cast("double"), 9)
         .cast("decimal(28,9)").as("sq"))
       .agg(sum(col("sq")).as("ssum"))
-    val tAgg = emb.select(round(qFold, 9).cast("decimal(28,9)").as("qi"))
-      .agg(count(lit(1)).as("n_vecs"), sum(col("qi")).as("tdec"))
     val nD = col("n_vecs").cast("double")
     tAgg.crossJoin(sumSq)
       .select(col("n_vecs"),
@@ -276,6 +281,73 @@ object ClusterOps {
         round((col("ssum").cast("double") - col("tdec").cast("double")) /
           (nD * (nD - lit(1.0))), 6).as("avg_pairwise_cos"),
         round(sqrt(col("ssum").cast("double")) / nD, 6).as("mean_vec_norm"))
+  }
+
+  def q_embed_isotropy(s: SparkSession, dir: String): DataFrame = {
+    val emb = isoScan(s, dir)
+    val perDim = emb
+      .select(col("nrm"), posexplode(col("embedding")).as(Seq("d", "x")))
+      .select(col("d"),
+        round(col("x").cast("double") / col("nrm"), 9)
+          .cast("decimal(28,9)").as("u9"))
+      .groupBy(col("d")).agg(sum(col("u9")).as("sdec"))
+    val tAgg = emb.select(round(expr(isoQFold), 9).cast("decimal(28,9)").as("qi"))
+      .agg(count(lit(1)).as("n_vecs"), sum(col("qi")).as("tdec"))
+    isotropyFinish(perDim, tAgg)
+  }
+
+  case class IsoIn(shard: Long, u9: Seq[Long], q9: Long)
+  case class IsoShard(shard: Long, n: Long, s9: Seq[Long], qs9: Long)
+
+  /** Per-shard fold: element-wise long adds — order-blind, exact. */
+  private[graft] def updateIso(shard: Long, it: Iterator[IsoIn],
+      state: org.apache.spark.sql.streaming.GroupState[IsoShard]): Iterator[IsoShard] = {
+    var st = state.getOption.getOrElse(
+      IsoShard(shard, 0L, Seq.fill(EmbDims)(0L), 0L))
+    val acc = st.s9.toArray
+    var n = st.n
+    var qs = st.qs9
+    it.foreach { r =>
+      var i = 0
+      while (i < EmbDims) { acc(i) += r.u9(i); i += 1 }
+      n += 1L; qs += r.q9
+    }
+    st = IsoShard(shard, n, acc.toSeq, qs)
+    state.update(st)
+    Iterator.single(st)
+  }
+
+  /** STREAMING isotropy maintainer — the embedding-health counters a
+    * live index keeps: per shard (vec_id mod 8) the keyed state is
+    * (count, 64 component sums, self-mass sum), ALL exact 1e9-scaled
+    * longs folded element-wise (order-blind, 528 bytes/shard — state
+    * is constant-size however many vectors stream through). The
+    * snapshot merges shard partials with exact integer adds and runs
+    * the SAME isotropyFinish combine as q_embed_isotropy: the scaled
+    * longs divide back to the identical exact rationals (round(r9·1e9)
+    * = 1e9·r9 because r9 has ≤9 dp), so batch ≡ stream bit-for-bit —
+    * one oracle for both. */
+  def q_stream_isotropy(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val uArr = "transform(embedding, x -> cast(round(" +
+      "round(cast(x as double) / nrm, 9) * 1e9, 0) as bigint))"
+    val rows = isoScan(s, dir)
+      .select((col("vec_id") % 8).as("shard"),
+        expr(uArr).as("u9"),
+        round(round(expr(isoQFold), 9) * 1e9, 0).cast("bigint").as("q9"))
+      .as[IsoIn]
+      .groupByKey(_.shard)
+      .flatMapGroupsWithState(org.apache.spark.sql.streaming.OutputMode.Update,
+        org.apache.spark.sql.streaming.GroupStateTimeout.NoTimeout)(updateIso)
+      .toDF()
+    val perDim = rows.select(posexplode(col("s9")).as(Seq("d", "sl")))
+      .groupBy(col("d"))
+      .agg((sum(col("sl")).cast("decimal(38,9)") /
+        lit(1000000000L).cast("decimal(10,0)")).as("sdec"))
+    val tAgg = rows.agg(sum(col("n")).as("n_vecs"),
+      (sum(col("qs9")).cast("decimal(38,9)") /
+        lit(1000000000L).cast("decimal(10,0)")).as("tdec"))
+    isotropyFinish(perDim, tAgg)
   }
 
   /** TwoNN intrinsic-dimension estimator (Facco et al. 2017) — the
@@ -347,6 +419,7 @@ object ClusterOps {
     "q_embed_whiten" -> q_embed_whiten _,
     "q_embed_rand_proj" -> q_embed_rand_proj _,
     "q_embed_isotropy" -> q_embed_isotropy _,
+    "q_stream_isotropy" -> q_stream_isotropy _,
     "q_embed_twonn" -> q_embed_twonn _
   )
 

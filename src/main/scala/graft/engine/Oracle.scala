@@ -6843,6 +6843,9 @@ object Oracle {
         // streaming RFM maintainer: order-blind (max, count, sum) state
         // folds + the SAME rfmFrom quintile assembly — one oracle
         "q_stream_rfm" -> round16d("q_agg_rfm"),
+        // streaming isotropy maintainer: exact 1e9-scaled shard state
+        // divides back to the batch sums — one oracle
+        "q_stream_isotropy" -> round13("q_embed_isotropy"),
         "q_stream_drift_psi" -> stats("q_llm_drift_psi"),
         // streaming χ²/Benford snapshots run the SAME shared assembly as
         // their batch twins — one oracle each

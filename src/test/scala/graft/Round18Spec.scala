@@ -548,4 +548,45 @@ class Round18Spec extends AnyFunSuite {
     got.foreach(r => assert(km(r.getLong(0)) == r.getLong(1),
       "same clustering as q_llm_kmeans"))
   }
+
+  test("streaming isotropy carries exact shard state across micro-batches") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import org.apache.spark.sql.streaming.OutputMode
+    import graft.engine.ClusterOps
+    val s = spark
+    import s.implicits._
+    implicit val sq = s.sqlContext
+    val dims = ClusterOps.EmbDims
+    def vec(seed: Long): Seq[Long] = Seq.tabulate(dims)(i => seed + i.toLong)
+    // shard 0 splits across two batches; shard 1 arrives late
+    val b1 = Seq(ClusterOps.IsoIn(0L, vec(100), 7L))
+    val b2 = Seq(ClusterOps.IsoIn(0L, vec(1000), 11L),
+      ClusterOps.IsoIn(1L, vec(5), 3L))
+    val ms = MemoryStream[ClusterOps.IsoIn]
+    val q = ms.toDS().groupByKey(_.shard)
+      .flatMapGroupsWithState(OutputMode.Update,
+        org.apache.spark.sql.streaming.GroupStateTimeout.NoTimeout)(
+        ClusterOps.updateIso)
+      .writeStream.outputMode(OutputMode.Update)
+      .format("memory").queryName("isost").start()
+    ms.addData(b1: _*); q.processAllAvailable()
+    ms.addData(b2: _*); q.processAllAvailable(); q.stop()
+    val last = s.table("isost").collect()
+      .map(r => (r.getLong(0), (r.getLong(1), r.getSeq[Long](2), r.getLong(3))))
+      .groupBy(_._1).view.mapValues(_.last._2).toMap
+    val (n0, s0, qs0) = last(0L)
+    assert(n0 == 2L && qs0 == 18L, "shard-0 count/self-mass carry")
+    assert(s0 == vec(100).zip(vec(1000)).map { case (a, b) => a + b },
+      "element-wise component-sum carry")
+    assert(last(1L) == ((1L, vec(5), 3L)), "shard-1 fresh state")
+  }
+
+  test("streaming isotropy over the fixture is bit-identical to the batch") {
+    import graft.engine.ClusterOps
+    val b = ClusterOps.q_embed_isotropy(spark, sf0001).collect().head
+    val st = ClusterOps.q_stream_isotropy(spark, sf0001).collect().head
+    assert(b.getLong(0) == st.getLong(0), "n_vecs")
+    (1 to 4).foreach(i =>
+      assert(b.getDouble(i) == st.getDouble(i), s"col $i bit-identical"))
+  }
 }
