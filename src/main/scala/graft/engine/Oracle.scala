@@ -5875,6 +5875,43 @@ object Oracle {
         |  CASE WHEN ok_run = 1 THEN TRUE ELSE FALSE END AS rejected
         |FROM hw ORDER BY holm_rank, family, event_type, ub""".stripMargin,
 
+    // TOST equivalence on the ttest split: two one-sided Welch t's vs
+    // the exactly-computed 5%-of-mean margin, decision on rounded t's.
+    "q_agg_tost" ->
+      """WITH ev AS (SELECT event_type,
+        |    CAST(ROUND(value * 100, 0) AS BIGINT) AS c,
+        |    (CAST(CAST(ts AS TIMESTAMP) AS DATE) <= DATE '2024-01-15') AS is_ref
+        |  FROM events),
+        |a AS (SELECT event_type,
+        |    CAST(SUM(CASE WHEN is_ref THEN 1 ELSE 0 END) AS BIGINT) AS n_ref,
+        |    CAST(SUM(CASE WHEN NOT is_ref THEN 1 ELSE 0 END) AS BIGINT) AS n_cur,
+        |    CAST(SUM(CASE WHEN is_ref THEN c ELSE 0 END) AS DOUBLE) AS s1,
+        |    CAST(SUM(CASE WHEN is_ref THEN c * c ELSE 0 END) AS DOUBLE) AS q1,
+        |    CAST(SUM(CASE WHEN NOT is_ref THEN c ELSE 0 END) AS DOUBLE) AS s2,
+        |    CAST(SUM(CASE WHEN NOT is_ref THEN c * c ELSE 0 END) AS DOUBLE) AS q2
+        |  FROM ev GROUP BY 1
+        |  HAVING n_ref > 1 AND n_cur > 1),
+        |x AS (SELECT event_type, n_ref, n_cur,
+        |    s1 / CAST(n_ref AS DOUBLE) - s2 / CAST(n_cur AS DOUBLE) AS diff,
+        |    0.05 * ((s1 + s2) / (CAST(n_ref AS DOUBLE) + CAST(n_cur AS DOUBLE)))
+        |      AS delta,
+        |    sqrt((CAST(n_ref AS DOUBLE) * q1 - s1 * s1)
+        |        / (CAST(n_ref AS DOUBLE) * (CAST(n_ref AS DOUBLE) - 1))
+        |        / CAST(n_ref AS DOUBLE)
+        |      + (CAST(n_cur AS DOUBLE) * q2 - s2 * s2)
+        |        / (CAST(n_cur AS DOUBLE) * (CAST(n_cur AS DOUBLE) - 1))
+        |        / CAST(n_cur AS DOUBLE)) AS se
+        |  FROM a),
+        |y AS (SELECT event_type, n_ref, n_cur,
+        |    ROUND(diff, 6) AS mean_diff, ROUND(delta, 6) AS delta_margin,
+        |    ROUND((diff + delta) / se, 6) AS t_lower,
+        |    ROUND((diff - delta) / se, 6) AS t_upper
+        |  FROM x)
+        |SELECT event_type, n_ref, n_cur, mean_diff, delta_margin,
+        |  t_lower, t_upper,
+        |  (t_lower > 1.645 AND t_upper < -1.645) AS equivalent_5pct
+        |FROM y ORDER BY event_type""".stripMargin,
+
     // Pettitt change-point via doubled midranks — every U_t exact
     // BIGINT; the only float is the final significance approximation.
     "q_time_pettitt" ->

@@ -2953,7 +2953,47 @@ object StatsOps {
       .orderBy("event_type")
   }
 
+  /** TOST equivalence test (Schuirmann 1987) per event type over the
+    * SAME ref/cur split as q_agg_ttest — the question the t-test cannot
+    * answer: is the drift NEGLIGIBLE? Two one-sided Welch t-statistics
+    * against the margin δ = 5 % of the overall mean (a data-derived but
+    * exactly-computed bound: δ = 0.05·(Σ₁+Σ₂)/(n₁+n₂)); equivalence at
+    * the 5 % level requires t_lower > 1.645 AND t_upper < −1.645
+    * (large-n z, the drift monitors' regime). Same exact DECIMAL(38,0)
+    * moment chain as the t-test, pinned double combines, round-6 emits,
+    * decision on the rounded statistics. */
+  def q_agg_tost(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(s, dir).select(col("event_type"),
+      round(col("value") * 100, 0).cast("bigint").as("c"),
+      (to_date(col("ts")) <= lit("2024-01-15").cast("date")).as("is_ref"))
+    def dsum(c: org.apache.spark.sql.Column, n: String) =
+      sum(c.cast("decimal(38,0)")).cast("double").as(n)
+    val agg = ev.groupBy(col("event_type")).agg(
+      sum(when(col("is_ref"), 1L).otherwise(0L)).as("n_ref"),
+      sum(when(!col("is_ref"), 1L).otherwise(0L)).as("n_cur"),
+      dsum(when(col("is_ref"), col("c")).otherwise(0L), "s1"),
+      dsum(when(col("is_ref"), col("c") * col("c")).otherwise(0L), "q1"),
+      dsum(when(!col("is_ref"), col("c")).otherwise(0L), "s2"),
+      dsum(when(!col("is_ref"), col("c") * col("c")).otherwise(0L), "q2"))
+    val n1 = col("n_ref").cast("double")
+    val n2 = col("n_cur").cast("double")
+    val se = sqrt(
+      (n1 * col("q1") - col("s1") * col("s1")) / (n1 * (n1 - 1)) / n1 +
+      (n2 * col("q2") - col("s2") * col("s2")) / (n2 * (n2 - 1)) / n2)
+    val diff = col("s1") / n1 - col("s2") / n2
+    val delta = lit(0.05) * ((col("s1") + col("s2")) / (n1 + n2))
+    agg.filter(col("n_ref") > 1 && col("n_cur") > 1)
+      .select(col("event_type"), col("n_ref"), col("n_cur"),
+        round(diff, 6).as("mean_diff"), round(delta, 6).as("delta_margin"),
+        round((diff + delta) / se, 6).as("t_lower"),
+        round((diff - delta) / se, 6).as("t_upper"))
+      .withColumn("equivalent_5pct",
+        col("t_lower") > lit(1.645) && col("t_upper") < lit(-1.645))
+      .orderBy("event_type")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_agg_tost" -> q_agg_tost _,
     "q_time_pettitt" -> q_time_pettitt _,
     "q_time_burst" -> q_time_burst _,
     "q_time_adf" -> q_time_adf _,

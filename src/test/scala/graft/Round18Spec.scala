@@ -589,4 +589,25 @@ class Round18Spec extends AnyFunSuite {
     (1 to 4).foreach(i =>
       assert(b.getDouble(i) == st.getDouble(i), s"col $i bit-identical"))
   }
+
+  test("q_agg_tost is coherent with q_agg_ttest on the same split") {
+    val tost = StatsOps.q_agg_tost(spark, sf0001).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2),
+        r.getDouble(3), r.getDouble(4), r.getDouble(5), r.getDouble(6),
+        r.getBoolean(7)))).toMap
+    val tt = StatsOps.q_agg_ttest(spark, sf0001).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(tost.keySet == tt.keySet, "same group spine as the t-test")
+    tost.foreach { case (et, (n1, n2, diff, delta, tl, tu, eq)) =>
+      assert((n1, n2) == tt(et), s"$et same split sizes")
+      assert(delta > 0.0, s"$et positive margin")
+      // the one-sided pair brackets the difference: t_lower ≥ t_upper
+      // always (they differ by 2δ/se > 0)
+      assert(tl > tu, s"$et bracket order")
+      assert(eq == (tl > 1.645 && tu < -1.645), s"$et decision")
+      // |diff| far inside the margin forces equivalence when se is
+      // small relative to δ — coherence, not a fixed outcome
+      if (eq) assert(math.abs(diff) < delta, s"$et equivalent ⇒ inside margin")
+    }
+  }
 }
