@@ -284,6 +284,11 @@ object ClusterOps {
   }
 
   def q_embed_isotropy(s: SparkSession, dir: String): DataFrame = {
+    // posexplode + two narrow aggs. A/B-probed against a PCA-style
+    // 66-aggregate single pass: the wide-agg plan was 3-5× SLOWER at
+    // fixture scale (planning/codegen of 66 decimal aggregates
+    // dominates a 2 000-row input); the explode shape also keeps the
+    // per-dim partial sums map-side at any corpus size.
     val emb = isoScan(s, dir)
     val perDim = emb
       .select(col("nrm"), posexplode(col("embedding")).as(Seq("d", "x")))

@@ -19,7 +19,7 @@ object LlmOps {
     * (graft.functions.FloatVecDot) — registered per session, bit-identical
     * to the zip_with+aggregate HOF formulation it replaced but runs as a
     * tight generated loop instead of a lambda per element. */
-  private[engine] def vecDot(s: SparkSession)(a: Column, b: Column): Column = {
+  private[graft] def vecDot(s: SparkSession)(a: Column, b: Column): Column = {
     s.sessionState.functionRegistry.createOrReplaceTempFunction(
       "graft_vec_dot", exprs => graft.functions.FloatVecDot(exprs(0), exprs(1)),
       "built-in")
