@@ -4641,6 +4641,78 @@ object Oracle {
         |  ROUND(CAST(tot.gw AS DOUBLE) / CAST(tot.nt AS DOUBLE), 6) AS ece
         |FROM g, tot ORDER BY g.bin""".stripMargin,
 
+    // Murphy decomposition over the calibration scored CTE: exact
+    // decimal Brier sums + round-9 weighted bin terms.
+    "q_agg_brier" ->
+      """WITH tokall AS (SELECT doc_id, unnest(string_split(text, ' ')) AS token
+        |               FROM documents),
+        |stop AS (SELECT token FROM (SELECT token, COUNT(*) AS c FROM tokall
+        |         GROUP BY 1 ORDER BY c DESC, token ASC LIMIT 10)),
+        |sc AS (SELECT doc_id, COUNT(*) AS stop_cnt FROM tokall
+        |       WHERE token IN (SELECT token FROM stop) GROUP BY 1),
+        |t AS (SELECT doc_id, string_split(text, ' ') AS toks, text FROM documents),
+        |f AS (SELECT doc_id, CAST(len(toks) AS BIGINT) AS n_tokens,
+        |  round(ln(1.0::DOUBLE + len(toks)), 9) AS f_len,
+        |  CAST(length(text) - (len(toks) - 1) AS DOUBLE) / len(toks) AS f_awl,
+        |  CAST(len(list_distinct(toks)) AS DOUBLE) / len(toks) AS f_ttr,
+        |  CAST(len(list_filter(toks, s -> length(s) <= 3)) AS DOUBLE)
+        |    / len(toks) AS f_short
+        |  FROM t),
+        |zz AS (SELECT doc_id, n_tokens,
+        |  round(0.8::DOUBLE * f_len + 0.5::DOUBLE * f_ttr
+        |        - 0.4::DOUBLE * f_short + 0.05::DOUBLE * f_awl
+        |        - 2.0::DOUBLE, 6) AS z FROM f),
+        |scored AS (SELECT zz.doc_id,
+        |    CASE WHEN (zz.n_tokens BETWEEN 10 AND 1000)
+        |      AND (CAST(COALESCE(sc.stop_cnt, 0) AS DOUBLE) / zz.n_tokens
+        |           < 0.5::DOUBLE) THEN 1 ELSE 0 END AS label,
+        |    CAST(ROUND(CAST(1 AS DOUBLE) / (CAST(1 AS DOUBLE) + exp(-z)), 9)
+        |      AS DECIMAL(10,9)) AS p9
+        |  FROM zz LEFT JOIN sc ON zz.doc_id = sc.doc_id),
+        |binned AS (SELECT CAST(LEAST(9, FLOOR(p9 * 10)) AS INT) AS bin,
+        |    label, p9 FROM scored),
+        |bins AS (SELECT bin, CAST(COUNT(*) AS BIGINT) AS nb,
+        |    SUM(p9) AS spb, CAST(SUM(label) AS BIGINT) AS nkb
+        |  FROM binned GROUP BY 1),
+        |tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+        |    CAST(SUM(label) AS BIGINT) AS sy,
+        |    SUM(p9 * p9) AS sp2,
+        |    SUM(CASE WHEN label = 1 THEN p9 END) AS spy
+        |  FROM binned),
+        |terms AS (SELECT tot.n_docs, tot.sy, tot.sp2, tot.spy,
+        |    CAST(ROUND(CAST(bins.nb AS DOUBLE)
+        |      * ((CAST(bins.spb AS DOUBLE) / CAST(bins.nb AS DOUBLE)
+        |          - CAST(bins.nkb AS DOUBLE) / CAST(bins.nb AS DOUBLE))
+        |         * (CAST(bins.spb AS DOUBLE) / CAST(bins.nb AS DOUBLE)
+        |            - CAST(bins.nkb AS DOUBLE) / CAST(bins.nb AS DOUBLE))), 9)
+        |      AS DECIMAL(28,9)) AS relterm,
+        |    CAST(ROUND(CAST(bins.nb AS DOUBLE)
+        |      * ((CAST(bins.nkb AS DOUBLE) / CAST(bins.nb AS DOUBLE)
+        |          - CAST(tot.sy AS DOUBLE) / CAST(tot.n_docs AS DOUBLE))
+        |         * (CAST(bins.nkb AS DOUBLE) / CAST(bins.nb AS DOUBLE)
+        |            - CAST(tot.sy AS DOUBLE) / CAST(tot.n_docs AS DOUBLE))), 9)
+        |      AS DECIMAL(28,9)) AS resterm
+        |  FROM bins, tot),
+        |agg AS (SELECT n_docs, sy, sp2, spy,
+        |    SUM(relterm) AS rel, SUM(resterm) AS res
+        |  FROM terms GROUP BY 1, 2, 3, 4)
+        |SELECT n_docs,
+        |  ROUND((CAST(sp2 AS DOUBLE) - 2.0 * CAST(spy AS DOUBLE)
+        |    + CAST(sy AS DOUBLE)) / CAST(n_docs AS DOUBLE), 6) AS brier,
+        |  ROUND(CAST(rel AS DOUBLE) / CAST(n_docs AS DOUBLE), 6) AS reliability,
+        |  ROUND(CAST(res AS DOUBLE) / CAST(n_docs AS DOUBLE), 6) AS resolution,
+        |  ROUND((CAST(sy AS DOUBLE) / CAST(n_docs AS DOUBLE))
+        |    * (1.0 - CAST(sy AS DOUBLE) / CAST(n_docs AS DOUBLE)), 6)
+        |    AS uncertainty,
+        |  ROUND((CAST(sp2 AS DOUBLE) - 2.0 * CAST(spy AS DOUBLE)
+        |    + CAST(sy AS DOUBLE)) / CAST(n_docs AS DOUBLE)
+        |    - (CAST(rel AS DOUBLE) / CAST(n_docs AS DOUBLE)
+        |       - CAST(res AS DOUBLE) / CAST(n_docs AS DOUBLE)
+        |       + (CAST(sy AS DOUBLE) / CAST(n_docs AS DOUBLE))
+        |         * (1.0 - CAST(sy AS DOUBLE) / CAST(n_docs AS DOUBLE))), 6)
+        |    AS within_bin_resid
+        |FROM agg""".stripMargin,
+
     "q_graph_transition_entropy" ->
       """WITH seq AS (SELECT l_partkey,
         |    LEAD(l_partkey) OVER (PARTITION BY l_orderkey
@@ -5874,6 +5946,51 @@ object Oracle {
         |  ROUND(step_alpha,9) AS step_alpha, ROUND(padj,9) AS p_adj,
         |  CASE WHEN ok_run = 1 THEN TRUE ELSE FALSE END AS rejected
         |FROM hw ORDER BY holm_rank, family, event_type, ub""".stripMargin,
+
+    // Spectral entropy over the periodogram integer-trig device at the
+    // 8 candidate bands: exact BIGINT trig sums, round-9 power pins,
+    // PSI-device entropy terms, dominant band by exact-decimal power.
+    "q_time_spectral_entropy" -> {
+      val trigVals = StatsOps.SpectralTrig
+        .map { case (t, m, c9, s9) => s"($t, $m, CAST($c9 AS BIGINT), CAST($s9 AS BIGINT))" }
+        .mkString(",\n        |    ")
+      s"""WITH daily AS (SELECT event_type,
+        |    CAST(CAST(ts AS TIMESTAMP) AS DATE) AS day,
+        |    CAST(SUM(CAST(ROUND(value * 100, 0) AS BIGINT)) AS BIGINT) AS y
+        |  FROM events GROUP BY 1, 2),
+        |d AS (SELECT event_type,
+        |    CAST(day - DATE '2024-01-01' AS BIGINT) AS x, y FROM daily),
+        |trig AS (SELECT * FROM (VALUES
+        |    $trigVals) AS v(t, m, c9, s9)),
+        |agg AS (SELECT d.event_type, trig.t,
+        |    CAST(SUM(d.y * trig.c9) AS BIGINT) AS cs,
+        |    CAST(SUM(d.y * trig.s9) AS BIGINT) AS ss
+        |  FROM d JOIN trig ON ((d.x % trig.t) + trig.t) % trig.t = trig.m
+        |  GROUP BY 1, 2),
+        |pw AS (SELECT event_type, t,
+        |    CAST(ROUND((CAST(cs AS DOUBLE) / 1e9) * (CAST(cs AS DOUBLE) / 1e9)
+        |      + (CAST(ss AS DOUBLE) / 1e9) * (CAST(ss AS DOUBLE) / 1e9), 9)
+        |      AS DECIMAL(28,9)) AS pw
+        |  FROM agg),
+        |tot AS (SELECT event_type AS te, SUM(pw) AS ptot,
+        |    CAST(COUNT(*) AS BIGINT) AS k FROM pw GROUP BY 1),
+        |j AS (SELECT pw.event_type, pw.t, pw.pw, tot.k,
+        |    CAST(pw.pw AS DOUBLE) / CAST(tot.ptot AS DOUBLE) AS p
+        |  FROM pw JOIN tot ON pw.event_type = tot.te),
+        |ent AS (SELECT event_type, k,
+        |    CAST(SUM(CAST(ROUND(CASE WHEN p > 0 THEN -p * LN(p)
+        |      ELSE 0.0 END, 9) AS DECIMAL(28,9))) AS DOUBLE) AS h
+        |  FROM j GROUP BY 1, 2),
+        |dom AS (SELECT event_type AS de, CAST(t AS INT) AS dominant_period
+        |  FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY event_type
+        |      ORDER BY pw DESC, t ASC) AS rk FROM j)
+        |  WHERE rk = 1)
+        |SELECT e.event_type, e.k AS n_periods, dom.dominant_period,
+        |  ROUND(e.h, 6) AS spectral_entropy,
+        |  ROUND(e.h / LN(CAST(e.k AS DOUBLE)), 6) AS spectral_entropy_norm
+        |FROM ent e JOIN dom ON e.event_type = dom.de
+        |ORDER BY e.event_type""".stripMargin
+    },
 
     // TOST equivalence on the ttest split: two one-sided Welch t's vs
     // the exactly-computed 5%-of-mean margin, decision on rounded t's.

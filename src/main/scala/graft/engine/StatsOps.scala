@@ -2992,7 +2992,70 @@ object StatsOps {
       .orderBy("event_type")
   }
 
+  /** Candidate seasonal bands for the spectral-entropy screen — wider
+    * than the 7/14-day periodogram pair so the flatness measure has a
+    * real support (8 bands, Σt = 86 trig rows). */
+  val SpectralPeriods = Seq(2, 3, 5, 7, 10, 14, 15, 30)
+  val SpectralTrig: Seq[(Int, Int, Long, Long)] =
+    SpectralPeriods.flatMap { t =>
+      (0 until t).map { m =>
+        val th = 2.0 * math.Pi * m.toDouble / t.toDouble
+        def i9(v: Double): Long =
+          BigDecimal(v * 1e9).setScale(0, BigDecimal.RoundingMode.HALF_UP).toLongExact
+        (t, m, i9(StrictMath.cos(th)), i9(StrictMath.sin(th)))
+      }
+    }
+
+  /** Spectral entropy of the daily cents series per event type — the
+    * forecastability screen in the frequency domain (flat spectrum ⇒
+    * noise, concentrated ⇒ seasonal structure; complements the
+    * time-domain q_time_hurst/q_time_theil_u pair): Schuster power
+    * P_T = |Σ y·e^{2πi x/T}|² at 8 candidate seasonal bands via the
+    * periodogram's integer trig device (1e9-scaled cos/sin, exact
+    * BIGINT sums), normalized p_T = P/ΣP over round-9 DECIMAL power
+    * pins, H = −Σ p ln p (round-9 terms, PSI device), normalized by
+    * ln k, plus the dominant band (max exact power, tie → shorter
+    * period). One fact-scan daily agg; everything after is
+    * band-cardinality bounded. */
+  def q_time_spectral_entropy(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val daily = Tables.events(s, dir)
+      .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+      .agg(sum(round(col("value") * 100, 0).cast("bigint")).as("y"))
+      .select(col("event_type"),
+        datediff(col("day"), lit("2024-01-01").cast("date"))
+          .cast("bigint").as("x"), col("y"))
+    val trig = SpectralTrig.toDF("t", "m", "c9", "s9")
+    val csd = col("cs").cast("double") / 1e9
+    val ssd = col("ss").cast("double") / 1e9
+    val pw = daily
+      .join(broadcast(trig), pmod(col("x"), col("t").cast("bigint")) === col("m"))
+      .groupBy(col("event_type"), col("t"))
+      .agg(sum(col("y") * col("c9")).as("cs"), sum(col("y") * col("s9")).as("ss"))
+      .select(col("event_type"), col("t"),
+        round(csd * csd + ssd * ssd, 9).cast("decimal(28,9)").as("pw"))
+    val tot = pw.groupBy(col("event_type").as("te"))
+      .agg(sum(col("pw")).as("ptot"), count(lit(1)).as("k"))
+    val j = pw.join(broadcast(tot), col("event_type") === col("te"))
+      .withColumn("p", col("pw").cast("double") / col("ptot").cast("double"))
+    val ent = j.select(col("event_type"), col("k"),
+        round(when(col("p") > 0, -col("p") * log(col("p")))
+          .otherwise(lit(0.0)), 9).cast("decimal(28,9)").as("term"))
+      .groupBy(col("event_type"), col("k")).agg(sum(col("term")).as("hsum"))
+    val w = Window.partitionBy(col("event_type"))
+      .orderBy(col("pw").desc, col("t").asc)
+    val dom = j.withColumn("rk", row_number().over(w)).filter(col("rk") === 1)
+      .select(col("event_type").as("de"), col("t").cast("int").as("dominant_period"))
+    ent.join(dom, col("event_type") === col("de"))
+      .select(col("event_type"), col("k").as("n_periods"), col("dominant_period"),
+        round(col("hsum").cast("double"), 6).as("spectral_entropy"),
+        round(col("hsum").cast("double") / log(col("k").cast("double")), 6)
+          .as("spectral_entropy_norm"))
+      .orderBy("event_type")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_time_spectral_entropy" -> q_time_spectral_entropy _,
     "q_agg_tost" -> q_agg_tost _,
     "q_time_pettitt" -> q_time_pettitt _,
     "q_time_burst" -> q_time_burst _,

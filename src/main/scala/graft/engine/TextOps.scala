@@ -876,7 +876,10 @@ object TextOps {
     * 10-row bin table. σ's exp is absorbed by the round-9 device. One
     * token scan feeds both the features and the label; every join is
     * broadcast (top-10 stoplist, 1-row totals). */
-  def q_llm_calibration(s: SparkSession, dir: String): DataFrame = {
+  /** Per-doc (p9, label, bin) classifier scores — the shared table the
+    * calibration report (ECE) and the Brier decomposition both read,
+    * so the two reliability views can never disagree about the scores. */
+  private def calibScored(s: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(s, dir)
     val tokAll = docs.select(col("doc_id"), explode(split(col("text"), " ")).as("token"))
     val stop = tokAll.groupBy(col("token")).agg(count(lit(1)).as("c"))
@@ -896,7 +899,7 @@ object TextOps {
           size(col("toks"))).as("f_short"))
     val z = round(lit(0.8) * col("f_len") + lit(0.5) * col("f_ttr") -
       lit(0.4) * col("f_short") + lit(0.05) * col("f_awl") - lit(2.0), 6)
-    val scored = base.join(stopCnt, Seq("doc_id"), "left_outer")
+    base.join(stopCnt, Seq("doc_id"), "left_outer")
       .withColumn("sr",
         coalesce(col("stop_cnt"), lit(0L)).cast("double") / col("n_tokens"))
       .withColumn("label",
@@ -905,6 +908,56 @@ object TextOps {
         round(lit(1.0) / (lit(1.0) + exp(-z)), 9).cast("decimal(10,9)"))
       .withColumn("bin",
         least(lit(9), floor(col("p9") * 10)).cast("int"))
+  }
+
+  /** Murphy decomposition of the Brier score (Murphy 1973) over the
+    * SAME per-doc classifier scores q_llm_calibration bins — the
+    * score-level reliability view beside the ECE report: Brier =
+    * mean((p−y)²) from EXACT decimal sums (p9 is decimal(10,9) ⇒ Σp²,
+    * Σpy, Σy all exact: (p−y)² = p² − 2py + y with binary y), and the
+    * 10-bin decomposition REL − RES + UNC with round-9 weighted terms
+    * (reliability = calibration failure, resolution = discrimination,
+    * uncertainty = ȳ(1−ȳ) the irreducible floor). The spec pins the
+    * decomposition identity against the directly-computed Brier. */
+  def q_agg_brier(s: SparkSession, dir: String): DataFrame = {
+    val sc = calibScored(s, dir)
+    val bins = sc.groupBy(col("bin"))
+      .agg(count(lit(1)).as("nb"), sum(col("p9")).as("spb"),
+        sum(col("label")).as("nkb"))
+    val tot = sc.agg(count(lit(1)).as("n_docs"),
+      sum(col("label")).as("sy"),
+      sum(col("p9") * col("p9")).as("sp2"),
+      sum(when(col("label") === 1L, col("p9"))).as("spy"))
+    val nD = col("n_docs").cast("double")
+    val ybar = col("sy").cast("double") / nD
+    val conf = col("spb").cast("double") / col("nb").cast("double")
+    val acc = col("nkb").cast("double") / col("nb").cast("double")
+    bins.crossJoin(broadcast(tot))
+      .select(col("n_docs"), col("sy"), col("sp2"), col("spy"),
+        round(col("nb").cast("double") * ((conf - acc) * (conf - acc)), 9)
+          .cast("decimal(28,9)").as("relterm"),
+        round(col("nb").cast("double") * ((acc - ybar) * (acc - ybar)), 9)
+          .cast("decimal(28,9)").as("resterm"))
+      .groupBy(col("n_docs"), col("sy"), col("sp2"), col("spy"))
+      .agg(sum(col("relterm")).as("rel"), sum(col("resterm")).as("res"))
+      .select(col("n_docs"),
+        round((col("sp2").cast("double") - lit(2.0) * col("spy").cast("double")
+          + col("sy").cast("double")) / nD, 6).as("brier"),
+        round(col("rel").cast("double") / nD, 6).as("reliability"),
+        round(col("res").cast("double") / nD, 6).as("resolution"),
+        round(ybar * (lit(1.0) - ybar), 6).as("uncertainty"),
+        // binned forecasts are NOT constant within a decile, so the
+        // classic 3-term identity carries a within-bin residual
+        // (Stephenson 2008's WBV − 2·WBC); emitting it makes the
+        // recomposition Brier = REL − RES + UNC + resid exact
+        round((col("sp2").cast("double") - lit(2.0) * col("spy").cast("double")
+          + col("sy").cast("double")) / nD -
+          (col("rel").cast("double") / nD - col("res").cast("double") / nD +
+            ybar * (lit(1.0) - ybar)), 6).as("within_bin_resid"))
+  }
+
+  def q_llm_calibration(s: SparkSession, dir: String): DataFrame = {
+    val scored = calibScored(s, dir)
     val bins = scored.groupBy(col("bin"))
       .agg(count(lit(1)).as("n_docs"),
         sum(col("p9")).as("sp"),
@@ -1293,6 +1346,7 @@ object TextOps {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_text_llr" -> q_text_llr _,
+    "q_agg_brier" -> q_agg_brier _,
     "q_text_mcc" -> q_text_mcc _,
     "q_text_textrank" -> q_text_textrank _,
     "q_text_heaps_law" -> q_text_heaps_law _,

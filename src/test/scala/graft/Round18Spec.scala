@@ -610,4 +610,64 @@ class Round18Spec extends AnyFunSuite {
       if (eq) assert(math.abs(diff) < delta, s"$et equivalent ⇒ inside margin")
     }
   }
+
+  test("q_time_spectral_entropy equals a driver trig replay and is " +
+    "normalized into [0, 1]") {
+    val daily = dailyCents()
+    val anchor = java.time.LocalDate.parse("2024-01-01")
+    val want = daily.keys.map(_._1).toSeq.distinct.sorted.map { et =>
+      val ds = daily.collect { case ((t, d), y) if t == et =>
+        (java.time.temporal.ChronoUnit.DAYS.between(anchor, d), y) }.toSeq
+      val pw = StatsOps.SpectralPeriods.map { per =>
+        val trig = StatsOps.SpectralTrig.filter(_._1 == per)
+          .map(x => x._2 -> (x._3, x._4)).toMap
+        var cs = BigInt(0); var ss = BigInt(0)
+        ds.foreach { case (x, y) =>
+          val m = (((x % per) + per) % per).toInt
+          cs += BigInt(y) * trig(m)._1; ss += BigInt(y) * trig(m)._2
+        }
+        val csd = cs.toDouble / 1e9; val ssd = ss.toDouble / 1e9
+        per -> BigDecimal(csd * csd + ssd * ssd)
+          .setScale(9, BigDecimal.RoundingMode.HALF_UP)
+      }
+      val ptot = pw.map(_._2).sum.toDouble
+      val k = pw.length
+      val h = pw.map { case (_, p9) =>
+        val p = p9.toDouble / ptot
+        BigDecimal(if (p > 0) -p * StrictMath.log(p) else 0.0)
+          .setScale(9, BigDecimal.RoundingMode.HALF_UP)
+      }.sum.toDouble
+      val dom = pw.sortBy { case (per, p9) => (-p9, per) }.head._1
+      (et, k.toLong, dom, r6(h), r6(h / StrictMath.log(k.toDouble)))
+    }
+    val got = StatsOps.q_time_spectral_entropy(spark, sf0001).collect()
+    assert(got.length == want.length)
+    got.zip(want).foreach { case (r, (et, k, dom, h, hn)) =>
+      assert(r.getString(0) == et && r.getLong(1) == k)
+      assert(r.getInt(2) == dom, s"$et dominant band")
+      assert(r.getDouble(3) == h, s"$et entropy")
+      assert(r.getDouble(4) == hn, s"$et normalized entropy")
+      assert(r.getDouble(4) >= 0.0 && r.getDouble(4) <= 1.0 + 1e-9)
+    }
+  }
+
+  test("q_agg_brier satisfies the Murphy identity and coheres with " +
+    "the calibration report") {
+    val r = TextOps.q_agg_brier(spark, sf0001).collect().head
+    val (n, brier, rel, res, unc, resid) = (r.getLong(0), r.getDouble(1),
+      r.getDouble(2), r.getDouble(3), r.getDouble(4), r.getDouble(5))
+    // generalized Murphy identity: the emitted within-bin residual
+    // makes the recomposition exact (up to the five round-6 emits)
+    assert(math.abs(brier - (rel - res + unc + resid)) < 5e-6,
+      s"identity: $brier vs ${rel - res + unc + resid}")
+    // the residual is bounded by the decile width: |WBV − 2WBC| ≲ w²+w
+    assert(math.abs(resid) < 2.5e-2, "within-bin residual small")
+    assert(rel >= 0.0 && res >= 0.0, "REL and RES are squared masses")
+    assert(unc >= 0.0 && unc <= 0.25 + 1e-9, "UNC = ȳ(1−ȳ) ≤ 1/4")
+    assert(brier >= 0.0 && brier <= 1.0, "Brier in [0, 1]")
+    // same doc population as the binned calibration report
+    val calN = TextOps.q_llm_calibration(spark, sf0001).collect()
+      .map(_.getLong(1)).sum
+    assert(n == calN, "same scored population as q_llm_calibration")
+  }
 }
