@@ -234,6 +234,74 @@ object LlmOps {
             Dsl.md5Hash60(concat(lit(s"$j:"), t))))
         }: _*))
 
+  case class MhIn(lang: String, sig: Seq[Long])
+  case class MhState(lang: String, n_docs: Long, mins: Seq[Long])
+
+  /** Per-lang union-sketch fold: element-wise mins — order-blind,
+    * idempotent, exactly the merge a distributed sketch union runs. */
+  private[graft] def updateMh(lang: String, it: Iterator[MhIn],
+      state: org.apache.spark.sql.streaming.GroupState[MhState]): Iterator[MhState] = {
+    var st = state.getOption.getOrElse(
+      MhState(lang, 0L, Seq.fill(8)(Long.MaxValue)))
+    val acc = st.mins.toArray
+    var n = st.n_docs
+    it.foreach { r =>
+      var i = 0
+      while (i < 8) { acc(i) = math.min(acc(i), r.sig(i)); i += 1 }
+      n += 1L
+    }
+    st = MhState(lang, n, acc.toSeq)
+    state.update(st)
+    Iterator.single(st)
+  }
+
+  /** STREAMING MinHash union maintainer — the per-source vocabulary
+    * sketch a live ingest keeps (8 md5-permutation minima per lang,
+    * 64 B of keyed state): the element-wise-min fold is order-blind
+    * and idempotent, so the snapshot equals the batch per-lang minimum
+    * over every token — min over docs of per-doc minima ≡ min over the
+    * union (the sketch-merge identity). The snapshot estimates each
+    * lang-pair's vocabulary Jaccard (matching slots / 8) and audits it
+    * against the EXACT vocabulary Jaccard on the same sample — the
+    * one-table estimate-vs-truth view a deployment sizes its
+    * permutation count from. Runs on the 10 % doc sample (the md5
+    * signature tier's declared scale). */
+  def q_stream_minhash(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val snap = md5SampleSig(s, dir).select(col("lang"), col("sig")).as[MhIn]
+      .groupByKey(_.lang)
+      .flatMapGroupsWithState(org.apache.spark.sql.streaming.OutputMode.Update,
+        org.apache.spark.sql.streaming.GroupStateTimeout.NoTimeout)(updateMh)
+      .toDF()
+    val vocab = tokenSets(s, dir)
+      .filter(col("doc_id") % 10 === 0 && size(col("toks")) > 0)
+      .select(col("lang"), explode(col("toks")).as("t")).distinct()
+    val sizes = vocab.groupBy(col("lang").as("ls")).agg(count(lit(1)).as("nv"))
+    val inter = vocab.select(col("lang").as("la"), col("t"))
+      .join(vocab.select(col("lang").as("lb"), col("t").as("t2")),
+        col("t") === col("t2") && col("la") < col("lb"))
+      .groupBy(col("la"), col("lb")).agg(count(lit(1)).as("ni"))
+    val est = col("n_match").cast("double") / lit(8.0)
+    val exact = coalesce(col("ni"), lit(0L)).cast("double") /
+      (col("nva") + col("nvb") - coalesce(col("ni"), lit(0L))).cast("double")
+    snap.select(col("lang").as("la"), col("mins").as("ma"))
+      .join(snap.select(col("lang").as("lb"), col("mins").as("mb")),
+        col("la") < col("lb"))
+      .withColumn("n_match",
+        expr("aggregate(zip_with(ma, mb, (x, y) -> IF(x = y, 1, 0)), 0, " +
+          "(a, x) -> a + x)").cast("bigint"))
+      .join(inter, Seq("la", "lb"), "left_outer")
+      .join(broadcast(sizes.select(col("ls").as("la"), col("nv").as("nva"))),
+        Seq("la"))
+      .join(broadcast(sizes.select(col("ls").as("lb"), col("nv").as("nvb"))),
+        Seq("lb"))
+      .select(col("la").as("lang_a"), col("lb").as("lang_b"), col("n_match"),
+        round(est, 6).as("est_jaccard"),
+        round(exact, 6).as("exact_jaccard"),
+        round(abs(est - exact), 6).as("abs_err"))
+      .orderBy("lang_a", "lang_b")
+  }
+
   def q_llm_minhash_md5(s: SparkSession, dir: String): DataFrame = {
     val numBands = 4
     val rowsPerBand = 2
@@ -1328,6 +1396,7 @@ object LlmOps {
     "q_llm_jaccard_pairs" -> q_llm_jaccard_pairs _,
     "q_llm_minhash_lsh" -> q_llm_minhash_lsh _,
     "q_llm_minhash_md5" -> q_llm_minhash_md5 _,
+    "q_stream_minhash" -> q_stream_minhash _,
     "q_llm_minhash_est" -> q_llm_minhash_est _,
     "q_llm_simhash" -> q_llm_simhash _,
     "q_llm_simhash_md5" -> q_llm_simhash_md5 _,

@@ -766,6 +766,44 @@ object Oracle {
          |FROM v WHERE jac >= 0.5 ORDER BY lang, doc_a, doc_b""".stripMargin
     },
 
+    // Streaming MinHash union maintainer: per-lang minima over every
+    // token (min over docs of per-doc minima ≡ min over the union),
+    // slot-match estimate audited against the exact vocabulary Jaccard.
+    "q_stream_minhash" -> {
+      def mh(j: Int): String =
+        s"MIN(CAST('0x' || substr(md5('$j:' || tok), 1, 15) AS BIGINT)) AS s$j"
+      val sigs = (0 until 8).map(mh).mkString(", ")
+      val matches = (0 until 8)
+        .map(j => s"(CASE WHEN a.s$j = b.s$j THEN 1 ELSE 0 END)")
+        .mkString(" + ")
+      s"""WITH d AS (SELECT doc_id, lang, list_distinct(string_split(text, ' ')) AS toks
+         |           FROM documents WHERE doc_id % 10 = 0
+         |             AND len(list_distinct(string_split(text, ' '))) > 0),
+         |tok AS (SELECT doc_id, lang, unnest(toks) AS tok FROM d),
+         |sig AS (SELECT lang, $sigs FROM tok GROUP BY 1),
+         |vocab AS (SELECT DISTINCT lang, tok FROM tok),
+         |sizes AS (SELECT lang, CAST(COUNT(*) AS BIGINT) AS nv
+         |  FROM vocab GROUP BY 1),
+         |inter AS (SELECT a.lang AS la, b.lang AS lb,
+         |    CAST(COUNT(*) AS BIGINT) AS ni
+         |  FROM vocab a JOIN vocab b ON a.tok = b.tok AND a.lang < b.lang
+         |  GROUP BY 1, 2),
+         |p AS (SELECT a.lang AS la, b.lang AS lb,
+         |    CAST($matches AS BIGINT) AS n_match
+         |  FROM sig a JOIN sig b ON a.lang < b.lang),
+         |j AS (SELECT p.la, p.lb, p.n_match,
+         |    CAST(p.n_match AS DOUBLE) / 8.0 AS est,
+         |    CAST(COALESCE(inter.ni, 0) AS DOUBLE)
+         |      / CAST(sa.nv + sb.nv - COALESCE(inter.ni, 0) AS DOUBLE) AS ex
+         |  FROM p LEFT JOIN inter ON p.la = inter.la AND p.lb = inter.lb
+         |  JOIN sizes sa ON p.la = sa.lang
+         |  JOIN sizes sb ON p.lb = sb.lang)
+         |SELECT la AS lang_a, lb AS lang_b, n_match,
+         |  ROUND(est, 6) AS est_jaccard, ROUND(ex, 6) AS exact_jaccard,
+         |  ROUND(ABS(est - ex), 6) AS abs_err
+         |FROM j ORDER BY lang_a, lang_b""".stripMargin
+    },
+
     // Round 7 (driver). MinHash estimator audit: same md5 signature +
     // band CTEs as q_llm_minhash_md5, plus the component-agreement
     // count; |est−jac| terms round-9 → exact DECIMAL sums (PSI recipe).

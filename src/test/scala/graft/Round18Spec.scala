@@ -670,4 +670,49 @@ class Round18Spec extends AnyFunSuite {
       .map(_.getLong(1)).sum
     assert(n == calN, "same scored population as q_llm_calibration")
   }
+
+  test("streaming minhash union-fold is idempotent and order-blind " +
+    "across micro-batches") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import org.apache.spark.sql.streaming.OutputMode
+    import graft.engine.LlmOps
+    val s = spark
+    import s.implicits._
+    implicit val sq = s.sqlContext
+    def sig(xs: Long*): Seq[Long] = xs.toSeq
+    // the same doc-sig delivered TWICE (idempotence) plus a later,
+    // partially-smaller sig (element-wise min, not replacement)
+    val b1 = Seq(LlmOps.MhIn("en", sig(5, 9, 7, 3, 8, 6, 4, 2)))
+    val b2 = Seq(LlmOps.MhIn("en", sig(5, 9, 7, 3, 8, 6, 4, 2)),
+      LlmOps.MhIn("en", sig(6, 1, 7, 9, 2, 6, 9, 1)))
+    val ms = MemoryStream[LlmOps.MhIn]
+    val q = ms.toDS().groupByKey(_.lang)
+      .flatMapGroupsWithState(OutputMode.Update,
+        org.apache.spark.sql.streaming.GroupStateTimeout.NoTimeout)(
+        LlmOps.updateMh)
+      .writeStream.outputMode(OutputMode.Update)
+      .format("memory").queryName("mhst").start()
+    ms.addData(b1: _*); q.processAllAvailable()
+    ms.addData(b2: _*); q.processAllAvailable(); q.stop()
+    val last = s.table("mhst").collect()
+      .map(r => (r.getLong(1), r.getSeq[Long](2))).last
+    assert(last._1 == 3L, "doc count carries")
+    assert(last._2 == sig(5, 1, 7, 3, 2, 6, 4, 1), "element-wise min state")
+  }
+
+  test("q_stream_minhash estimates bound the exact vocabulary jaccard " +
+    "coherently on the fixture") {
+    import graft.engine.LlmOps
+    val rows = LlmOps.q_stream_minhash(spark, sf0001).collect()
+    assert(rows.nonEmpty, "lang-pair grid")
+    rows.foreach { r =>
+      val (m, est, ex, err) = (r.getLong(2), r.getDouble(3),
+        r.getDouble(4), r.getDouble(5))
+      assert(m >= 0L && m <= 8L, "slot matches in [0, 8]")
+      assert(est == r6(m.toDouble / 8.0), "estimate is the slot share")
+      assert(ex >= 0.0 && ex <= 1.0, "exact jaccard range")
+      assert(err <= 1.0 + 1e-9 && err >= math.abs(est - ex) - 1e-6,
+        "audit column consistent")
+    }
+  }
 }
