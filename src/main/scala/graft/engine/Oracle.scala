@@ -5985,6 +5985,49 @@ object Oracle {
         |  CASE WHEN ok_run = 1 THEN TRUE ELSE FALSE END AS rejected
         |FROM hw ORDER BY holm_rank, family, event_type, ub""".stripMargin,
 
+    // Sweep-line peak concurrency over the shared sessionize chain:
+    // +1/−1 deltas under a total order, running sum = live sessions.
+    "q_agg_concurrency" ->
+      s"""WITH e AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, event_id
+         |           FROM events),
+         |f AS (SELECT *, epoch_us(ts)
+         |    - LAG(epoch_us(ts)) OVER (PARTITION BY user_id
+         |        ORDER BY ts, event_id) AS gap
+         |  FROM e),
+         |g AS (SELECT *, CASE WHEN gap IS NULL
+         |    OR gap > ${StatsOps.SessionGapMin * 60000000L}
+         |    THEN 1 ELSE 0 END AS brk FROM f),
+         |h AS (SELECT *, CAST(SUM(brk) OVER (PARTITION BY user_id
+         |    ORDER BY ts, event_id
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+         |    AS session_id
+         |  FROM g),
+         |sess AS (SELECT user_id, session_id,
+         |    CAST(MIN(epoch_us(ts)) AS BIGINT) AS s_us,
+         |    CAST(MAX(epoch_us(ts)) + 1 AS BIGINT) AS e_us
+         |  FROM h GROUP BY 1, 2),
+         |sd AS (SELECT user_id, s_us, e_us,
+         |    CAST(make_timestamp(s_us) AS DATE) AS day FROM sess),
+         |pts AS (SELECT day, s_us AS us, CAST(1 AS BIGINT) AS delta,
+         |    user_id, s_us FROM sd
+         |  UNION ALL
+         |  SELECT day, e_us, CAST(-1 AS BIGINT), user_id, s_us FROM sd),
+         |sw AS (SELECT *, CAST(SUM(delta) OVER (PARTITION BY day
+         |    ORDER BY us, delta, user_id, s_us
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+         |    AS cur
+         |  FROM pts),
+         |mx AS (SELECT day, CAST(MAX(cur) AS BIGINT) AS max_concurrent,
+         |    CAST(SUM(CASE WHEN delta = 1 THEN 1 ELSE 0 END) AS BIGINT)
+         |      AS n_sessions
+         |  FROM sw GROUP BY 1),
+         |att AS (SELECT sw.day AS d3, CAST(MIN(sw.us) AS BIGINT) AS peak_us
+         |  FROM sw JOIN mx ON sw.day = mx.day AND sw.cur = mx.max_concurrent
+         |  GROUP BY 1)
+         |SELECT mx.day, mx.n_sessions, mx.max_concurrent,
+         |  make_timestamp(att.peak_us) AS peak_ts
+         |FROM mx JOIN att ON mx.day = att.d3 ORDER BY mx.day""".stripMargin,
+
     // Spectral entropy over the periodogram integer-trig device at the
     // 8 candidate bands: exact BIGINT trig sums, round-9 power pins,
     // PSI-device entropy terms, dominant band by exact-decimal power.

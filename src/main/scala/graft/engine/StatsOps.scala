@@ -3054,7 +3054,59 @@ object StatsOps {
       .orderBy("event_type")
   }
 
+  /** Peak session concurrency per day via a SWEEP LINE over the
+    * q_sessionize_batch session table (same gap rule, one shared
+    * definition of "session") — the capacity-planning number an ops
+    * team reads, computed WITHOUT the quadratic interval-overlap
+    * self-join: each session becomes a +1 at its start and a −1 one
+    * microsecond after its last event (end-inclusive ⇒ point sessions
+    * count, boundary-touching sessions don't overlap), and the running
+    * sum of deltas under the total order (us, delta, user, start) IS
+    * the live-session count. Partitioned by the session's START day,
+    * so the window never sees more than a day's sessions — the shape
+    * that survives 100 TB where an interval self-join cannot. Emits
+    * per day the session count, the peak concurrency, and the first
+    * instant attaining it. */
+  def q_agg_concurrency(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(s, dir)
+      .select(col("user_id"), col("ts"), col("event_id"))
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    val run = w.rowsBetween(Window.unboundedPreceding, 0)
+    val gapUs = SessionGapMin * 60000000L
+    val sess = ev
+      .withColumn("prev_us", lag(unix_micros(col("ts")), 1).over(w))
+      .withColumn("brk",
+        when(col("prev_us").isNull ||
+          unix_micros(col("ts")) - col("prev_us") > gapUs, 1L).otherwise(0L))
+      .withColumn("session_id", sum(col("brk")).over(run))
+      .groupBy(col("user_id"), col("session_id"))
+      .agg(min(unix_micros(col("ts"))).as("s_us"),
+        (max(unix_micros(col("ts"))) + 1L).as("e_us"))
+      .select(col("user_id"), col("s_us"), col("e_us"),
+        to_date(timestamp_micros(col("s_us"))).as("day"))
+    val pts = sess.select(col("day"), col("s_us").as("us"),
+        lit(1L).as("delta"), col("user_id"), col("s_us"))
+      .unionAll(sess.select(col("day"), col("e_us").as("us"),
+        lit(-1L).as("delta"), col("user_id"), col("s_us")))
+    val wd = Window.partitionBy(col("day"))
+      .orderBy(col("us"), col("delta"), col("user_id"), col("s_us"))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val swept = pts.withColumn("cur", sum(col("delta")).over(wd))
+    val mx = swept.groupBy(col("day"))
+      .agg(max(col("cur")).as("max_concurrent"),
+        sum(when(col("delta") === 1L, 1L).otherwise(0L)).as("n_sessions"))
+    val att = swept
+      .join(mx.select(col("day").as("d2"), col("max_concurrent").as("mc")),
+        col("day") === col("d2") && col("cur") === col("mc"))
+      .groupBy(col("day").as("d3")).agg(min(col("us")).as("peak_us"))
+    mx.join(att, col("day") === col("d3"))
+      .select(col("day"), col("n_sessions"), col("max_concurrent"),
+        timestamp_micros(col("peak_us")).as("peak_ts"))
+      .orderBy("day")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_agg_concurrency" -> q_agg_concurrency _,
     "q_time_spectral_entropy" -> q_time_spectral_entropy _,
     "q_agg_tost" -> q_agg_tost _,
     "q_time_pettitt" -> q_time_pettitt _,

@@ -715,4 +715,37 @@ class Round18Spec extends AnyFunSuite {
         "audit column consistent")
     }
   }
+
+  test("q_agg_concurrency equals a brute-force interval replay over the " +
+    "shared sessionize chain") {
+    val sessions = StatsOps.q_sessionize_batch(spark, sf0001).collect()
+      .map { r =>
+        val s = r.getTimestamp(3).toInstant
+        val e = r.getTimestamp(4).toInstant
+        (s.getEpochSecond * 1000000L + s.getNano / 1000L,
+          e.getEpochSecond * 1000000L + e.getNano / 1000L + 1L)
+      }
+    val byDay = sessions.groupBy { case (s, _) =>
+      java.time.Instant.ofEpochSecond(s / 1000000L)
+        .atZone(java.time.ZoneOffset.UTC).toLocalDate
+    }
+    val got = StatsOps.q_agg_concurrency(spark, sf0001).collect()
+    assert(got.map(_.getDate(0).toLocalDate).toSet == byDay.keySet, "day spine")
+    got.foreach { r =>
+      val ds = byDay(r.getDate(0).toLocalDate)
+      assert(r.getLong(1) == ds.length.toLong,
+        "n_sessions = sessionize's per-start-day count")
+      // concurrency is maximized at some session start; scan them all
+      val conc = ds.map { case (t, _) =>
+        (t, ds.count { case (s, e) => s <= t && t < e }.toLong)
+      }
+      val mx = conc.map(_._2).max
+      assert(r.getLong(2) == mx, "peak concurrency (brute force)")
+      val peak = r.getTimestamp(3).toInstant
+      val peakUs = peak.getEpochSecond * 1000000L + peak.getNano / 1000L
+      assert(peakUs == conc.filter(_._2 == mx).map(_._1).min,
+        "first instant attaining the peak")
+      assert(mx >= 1L && mx <= ds.length.toLong, "peak within bounds")
+    }
+  }
 }
