@@ -984,6 +984,36 @@ object GraphOps {
       .limit(20)
   }
 
+  /** Exact 2-hop reach for the 10 highest-degree parts of the
+    * thresholded projection — the neighborhood-growth profile a
+    * sampling-fanout planner reads (GraphSAGE fanout budgets, PPR
+    * push thresholds): n₁ = degree, n₂ = |{v : dist(seed, v) = 2}| via
+    * two seed-bounded adjacency joins and an anti-join against the
+    * 1-hop set (never an all-pairs expansion — the frontier is
+    * seed-scoped at every step, the BFS-tier shape). All exact
+    * integers; reach = 1 + n₁ + n₂. */
+  def q_graph_two_hop(s: SparkSession, dir: String): DataFrame = {
+    val adj = undProj(s, dir, TriangleMinCooccur)
+    val deg = adj.groupBy(col("a")).agg(count(lit(1)).as("d"))
+    val seeds = deg.orderBy(col("d").desc, col("a").asc).limit(10)
+      .select(col("a").as("seed"), col("d").as("n_1hop"))
+    val oneHop = seeds.join(adj, col("seed") === col("a"))
+      .select(col("seed"), col("b").as("nbr"))
+    val twoExclusive = oneHop
+      .join(adj.select(col("a").as("m"), col("b").as("nbr2")),
+        col("nbr") === col("m"))
+      .select(col("seed"), col("nbr2")).distinct()
+      .filter(col("seed") =!= col("nbr2"))
+      .join(oneHop.select(col("seed").as("s2"), col("nbr").as("n2x")),
+        col("seed") === col("s2") && col("nbr2") === col("n2x"), "left_anti")
+      .groupBy(col("seed")).agg(count(lit(1)).as("n_2hop"))
+    seeds.join(twoExclusive, Seq("seed"), "left_outer")
+      .select(col("seed").as("part_key"), col("n_1hop"),
+        coalesce(col("n_2hop"), lit(0L)).as("n_2hop"),
+        (lit(1L) + col("n_1hop") + coalesce(col("n_2hop"), lit(0L))).as("reach"))
+      .orderBy(col("n_1hop").desc, col("part_key").asc)
+  }
+
   def q_graph_hits(s: SparkSession, dir: String): DataFrame = {
     // coalesce the checkpointed edge MV for the iterative scans: each of
     // the 10 matvec jobs is scheduler-bound at this |E| (tiny rows, 32
@@ -1523,6 +1553,7 @@ object GraphOps {
     "q_graph_adamic_adar" -> q_graph_adamic_adar _,
     "q_graph_resource_alloc" -> q_graph_resource_alloc _,
     "q_graph_pref_attach" -> q_graph_pref_attach _,
+    "q_graph_two_hop" -> q_graph_two_hop _,
     "q_graph_hits" -> q_graph_hits _,
     "q_graph_label_prop" -> q_graph_label_prop _,
     "q_graph_modularity" -> q_graph_modularity _,

@@ -639,6 +639,32 @@ object Oracle {
          |FROM cn JOIN cd ON cn.z = cd.src
          |GROUP BY 1, 2 ORDER BY aa DESC, part_a ASC, part_b ASC LIMIT 20""".stripMargin,
 
+    // 2-hop reach for the top-10 degree seeds: seed-scoped joins + an
+    // anti-join against the 1-hop set — all exact integers.
+    "q_graph_two_hop" ->
+      s"""WITH $edgesCte,
+         |pp AS (SELECT e1.dst AS a, e2.dst AS b
+         |       FROM edges e1 JOIN edges e2 ON e1.src = e2.src AND e1.dst < e2.dst
+         |       GROUP BY 1, 2 HAVING COUNT(*) >= ${GraphOps.TriangleMinCooccur}),
+         |ue AS (SELECT a, b FROM pp UNION ALL SELECT b, a FROM pp),
+         |deg AS (SELECT a, CAST(COUNT(*) AS BIGINT) AS d FROM ue GROUP BY 1),
+         |seeds AS (SELECT a AS seed, d AS n_1hop FROM deg
+         |  ORDER BY d DESC, a ASC LIMIT 10),
+         |oneh AS (SELECT s.seed, u.b AS nbr
+         |  FROM seeds s JOIN ue u ON s.seed = u.a),
+         |twoh AS (SELECT DISTINCT o.seed, u2.b AS nbr2
+         |  FROM oneh o JOIN ue u2 ON o.nbr = u2.a WHERE u2.b <> o.seed),
+         |twox AS (SELECT t.seed, CAST(COUNT(*) AS BIGINT) AS n_2hop
+         |  FROM twoh t
+         |  WHERE NOT EXISTS (SELECT 1 FROM oneh o
+         |    WHERE o.seed = t.seed AND o.nbr = t.nbr2)
+         |  GROUP BY 1)
+         |SELECT s.seed AS part_key, s.n_1hop,
+         |  CAST(COALESCE(x.n_2hop, 0) AS BIGINT) AS n_2hop,
+         |  CAST(1 + s.n_1hop + COALESCE(x.n_2hop, 0) AS BIGINT) AS reach
+         |FROM seeds s LEFT JOIN twox x ON s.seed = x.seed
+         |ORDER BY s.n_1hop DESC, part_key ASC""".stripMargin,
+
     // RA: the 1/deg twin of adamic_adar on the identical pair chain.
     "q_graph_resource_alloc" ->
       s"""WITH $edgesCte,
@@ -5984,6 +6010,44 @@ object Oracle {
         |  ROUND(step_alpha,9) AS step_alpha, ROUND(padj,9) AS p_adj,
         |  CASE WHEN ok_run = 1 THEN TRUE ELSE FALSE END AS rejected
         |FROM hw ORDER BY holm_rank, family, event_type, ub""".stripMargin,
+
+    // SMA5/SMA15 crossover via the exact integer cross-multiplication
+    // 3·Σ5 > Σ15 — no division, no float tie class anywhere.
+    "q_time_sma_cross" ->
+      """WITH daily AS (SELECT event_type,
+        |    CAST(CAST(ts AS TIMESTAMP) AS DATE) AS day,
+        |    CAST(SUM(CAST(ROUND(value * 100, 0) AS BIGINT)) AS BIGINT) AS y
+        |  FROM events GROUP BY 1, 2),
+        |d AS (SELECT event_type,
+        |    CAST(day - DATE '2024-01-01' AS BIGINT) AS x, y FROM daily),
+        |w AS (SELECT event_type, x,
+        |    CAST(ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY x)
+        |      AS BIGINT) AS t,
+        |    CAST(SUM(y) OVER (PARTITION BY event_type ORDER BY x
+        |      ROWS BETWEEN 4 PRECEDING AND CURRENT ROW) AS BIGINT) AS s5,
+        |    CAST(SUM(y) OVER (PARTITION BY event_type ORDER BY x
+        |      ROWS BETWEEN 14 PRECEDING AND CURRENT ROW) AS BIGINT) AS s15
+        |  FROM d),
+        |ev AS (SELECT event_type, x, 3 * s5 > s15 AS above
+        |  FROM w WHERE t >= 15),
+        |c AS (SELECT event_type, x, above,
+        |    LAG(above) OVER (PARTITION BY event_type ORDER BY x) AS prev
+        |  FROM ev),
+        |cc AS (SELECT event_type, x,
+        |    (above AND NOT prev) AS golden, (NOT above AND prev) AS death
+        |  FROM c WHERE prev IS NOT NULL),
+        |agg AS (SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_days_evaluated,
+        |    CAST(SUM(CASE WHEN golden THEN 1 ELSE 0 END) AS BIGINT) AS n_golden,
+        |    CAST(SUM(CASE WHEN death THEN 1 ELSE 0 END) AS BIGINT) AS n_death,
+        |    MAX(CASE WHEN golden OR death THEN x END) AS last_cross_x
+        |  FROM cc GROUP BY 1)
+        |SELECT agg.event_type, agg.n_days_evaluated, agg.n_golden,
+        |  agg.n_death, agg.last_cross_x,
+        |  CASE WHEN lc.golden THEN 'golden'
+        |       WHEN lc.death THEN 'death' END AS last_cross_dir
+        |FROM agg LEFT JOIN cc lc ON agg.event_type = lc.event_type
+        |  AND agg.last_cross_x = lc.x
+        |ORDER BY agg.event_type""".stripMargin,
 
     // Sweep-line peak concurrency over the shared sessionize chain:
     // +1/−1 deltas under a total order, running sum = live sessions.

@@ -3105,7 +3105,50 @@ object StatsOps {
       .orderBy("day")
   }
 
+  /** SMA golden/death-cross detection per event type over the daily
+    * cents series — the moving-average regime signal beside Bollinger
+    * (q_time_bollinger) and EWMA: SMA5 vs SMA15 compared WITHOUT any
+    * division via the exact integer cross-multiplication
+    * 3·Σ₅ > Σ₁₅ (⟺ Σ₅/5 > Σ₁₅/15), so the whole operator — window
+    * sums, regime flags, cross events, the last-cross report — is
+    * integer/boolean arithmetic with NO float tie class at all.
+    * Evaluated only where both windows are full (day ≥ 15). */
+  def q_time_sma_cross(s: SparkSession, dir: String): DataFrame = {
+    val daily = Tables.events(s, dir)
+      .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+      .agg(sum(round(col("value") * 100, 0).cast("bigint")).as("y"))
+      .select(col("event_type"),
+        datediff(col("day"), lit("2024-01-01").cast("date"))
+          .cast("bigint").as("x"), col("y"))
+    val wd = Window.partitionBy(col("event_type")).orderBy(col("x"))
+    val s5 = sum(col("y")).over(wd.rowsBetween(-4, 0))
+    val s15 = sum(col("y")).over(wd.rowsBetween(-14, 0))
+    val evald = daily
+      .withColumn("t", row_number().over(wd).cast("bigint"))
+      .withColumn("above", lit(3L) * s5 > s15)
+      .filter(col("t") >= 15)
+    val wv = Window.partitionBy(col("event_type")).orderBy(col("x"))
+    val crossed = evald
+      .withColumn("prev", lag(col("above"), 1).over(wv))
+      .filter(col("prev").isNotNull)
+      .withColumn("golden", col("above") && !col("prev"))
+      .withColumn("death", !col("above") && col("prev"))
+    crossed.groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_days_evaluated"),
+        sum(when(col("golden"), 1L).otherwise(0L)).as("n_golden"),
+        sum(when(col("death"), 1L).otherwise(0L)).as("n_death"),
+        max(when(col("golden") || col("death"),
+          struct(col("x"), when(col("golden"), lit("golden"))
+            .otherwise(lit("death")).as("dir")))).as("lastc"))
+      .select(col("event_type"), col("n_days_evaluated"),
+        col("n_golden"), col("n_death"),
+        col("lastc.x").as("last_cross_x"),
+        col("lastc.dir").as("last_cross_dir"))
+      .orderBy("event_type")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_time_sma_cross" -> q_time_sma_cross _,
     "q_agg_concurrency" -> q_agg_concurrency _,
     "q_time_spectral_entropy" -> q_time_spectral_entropy _,
     "q_agg_tost" -> q_agg_tost _,

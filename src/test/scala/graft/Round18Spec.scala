@@ -748,4 +748,61 @@ class Round18Spec extends AnyFunSuite {
       assert(mx >= 1L && mx <= ds.length.toLong, "peak within bounds")
     }
   }
+
+  test("q_time_sma_cross equals a driver-side integer-window replay") {
+    val daily = dailyCents()
+    val anchor = java.time.LocalDate.parse("2024-01-01")
+    val want = daily.keys.map(_._1).toSeq.distinct.sorted.map { et =>
+      val ys = daily.collect { case ((t, d), y) if t == et =>
+        (java.time.temporal.ChronoUnit.DAYS.between(anchor, d), y) }
+        .toSeq.sortBy(_._1)
+      val above = ys.indices.collect { case i if i >= 14 =>
+        val s5 = (i - 4 to i).map(ys(_)._2).sum
+        val s15 = (i - 14 to i).map(ys(_)._2).sum
+        (ys(i)._1, 3L * s5 > s15)
+      }
+      val crosses = above.sliding(2).collect {
+        case Seq((_, p), (x, a)) if a != p =>
+          (x, if (a) "golden" else "death")
+      }.toSeq
+      (et, (above.length - 1).toLong,
+        crosses.count(_._2 == "golden").toLong,
+        crosses.count(_._2 == "death").toLong,
+        crosses.lastOption.map(_._1), crosses.lastOption.map(_._2))
+    }
+    val got = StatsOps.q_time_sma_cross(spark, sf0001).collect()
+    assert(got.length == want.length)
+    got.zip(want).foreach { case (r, (et, n, g, d, lx, ld)) =>
+      assert(r.getString(0) == et && r.getLong(1) == n, s"$et eval days")
+      assert(r.getLong(2) == g && r.getLong(3) == d, s"$et cross counts")
+      assert((if (r.isNullAt(4)) None else Some(r.getLong(4))) == lx)
+      assert((if (r.isNullAt(5)) None else Some(r.getString(5))) == ld)
+      // regimes alternate: golden and death counts differ by at most 1
+      assert(math.abs(r.getLong(2) - r.getLong(3)) <= 1L, s"$et alternation")
+    }
+  }
+
+  test("q_graph_two_hop equals a driver-side BFS replay") {
+    import graft.engine.GraphOps
+    val edges = copurchaseEdges()
+    val pairCnt = scala.collection.mutable.Map.empty[(Long, Long), Long]
+    edges.groupBy(_._1).values.foreach { es =>
+      val ps = es.map(_._2).sorted
+      for (i <- ps.indices; j <- (i + 1) until ps.length)
+        pairCnt((ps(i), ps(j))) = pairCnt.getOrElse((ps(i), ps(j)), 0L) + 1L
+    }
+    val und = pairCnt.filter(_._2 >= GraphOps.TriangleMinCooccur).keys
+      .flatMap { case (a, b) => Seq(a -> b, b -> a) }.toSeq
+    val adj = und.groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val want = adj.toSeq.map { case (n, nb) => (n, nb.size.toLong) }
+      .sortBy { case (n, d) => (-d, n) }.take(10)
+      .map { case (seed, d) =>
+        val one = adj(seed)
+        val two = one.flatMap(adj(_)) -- one - seed
+        (seed, d, two.size.toLong, 1L + d + two.size.toLong)
+      }
+    val got = GraphOps.q_graph_two_hop(spark, sf0001).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSeq
+    assert(got == want, s"two-hop replay got=$got want=$want")
+  }
 }
