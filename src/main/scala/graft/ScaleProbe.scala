@@ -44,7 +44,7 @@ object ScaleProbe {
 
   def main(args: Array[String]): Unit = {
     // fail fast on a typo'd group name BEFORE the (long) replica builds
-    val known = Set("fact", "iter", "lsh", "r16", "r16iter")
+    val known = Set("fact", "iter", "lsh", "r16", "r16iter", "r18")
     val asked = args.filter(_ != "rebuild").toSet
     val unknown = asked -- known
     require(unknown.isEmpty,
@@ -225,6 +225,22 @@ object ScaleProbe {
         "q_graph_eigenvector",
         "q_graph_harmonic"),
         GraphTiers)
+    }
+    if (groups("r18")) {
+      // round-18 additions on the fact (density) axis: the streaming
+      // maintainers' state is key-bounded (20 B/customer RFM, 528 B
+      // per isotropy shard, 64 B/lang minhash), so cost should track
+      // the linear scan; the sweep-line and the DP/rank stats are
+      // day-bounded after their daily aggs and should stay near-flat
+      // past the scan growth.
+      runGroup("round-18 tiers (streaming maintainers + sweeps)", Seq(
+        "q_stream_rfm",           // per-customer (max, count, sum) fold
+        "q_stream_isotropy",      // per-shard 64-long vector fold
+        "q_stream_minhash",       // per-lang union-sketch min fold
+        "q_agg_concurrency",      // sessionize + day-partitioned sweep
+        "q_time_burst",           // daily agg + bounded integer DP
+        "q_time_pettitt"),        // rank windows over day-bounded series
+        Tiers)
     }
     if (groups("lsh")) {
       // realistic 16× LSH + dedup clustering: per-copy near-dup rate is
