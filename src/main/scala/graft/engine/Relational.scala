@@ -638,8 +638,9 @@ object Relational {
     * NTILE(5) quintiles under a fully tie-broken deterministic order
     * (metric, custkey); output = per (r,f,m) cell the customer count
     * and monetary mass — ≤125 rows at any corpus scale. The three rank
-    * windows are global sorts of the CUSTOMER aggregate (dimension-
-    * sized), never of the fact table. */
+    * passes run over the CUSTOMER aggregate (dimension-sized, but
+    * data-growing) as distributed range-partitioned ntiles — never a
+    * single-partition sort, never the fact table. */
   /** Shared RFM quintile-grid assembly over a per-customer
     * (o_custkey, last_days, freq, cents) table — consumed by the batch
     * keyed aggregate AND the streaming per-customer maintainer (one
@@ -649,13 +650,18 @@ object Relational {
     * divides the exact integer by 100.0 once (correctly-rounded, equal
     * to the former decimal→double cast). */
   private def rfmFrom(per: DataFrame): DataFrame = {
-    val rq = Window.orderBy(col("last_days"), col("o_custkey"))
-    val fq = Window.orderBy(col("freq"), col("o_custkey"))
-    val mq = Window.orderBy(col("cents"), col("o_custkey"))
-    per
-      .withColumn("r_q", ntile(5).over(rq).cast("bigint"))
-      .withColumn("f_q", ntile(5).over(fq).cast("bigint"))
-      .withColumn("m_q", ntile(5).over(mq).cast("bigint"))
+    // Three DISTRIBUTED ntiles (Dist.ntile): the customer dimension is
+    // "small" today but grows with the corpus — a global
+    // Window.orderBy here was the r12-flagged single-partition sort.
+    // Each axis range-partitions on (metric, custkey) and turns local
+    // ranks into global quintiles via broadcast offsets; output values
+    // are bit-identical to NTILE(5) under the same tie-broken order.
+    val withQ = Seq(
+      (Seq(col("last_days"), col("o_custkey")), "r_q"),
+      (Seq(col("freq"), col("o_custkey")), "f_q"),
+      (Seq(col("cents"), col("o_custkey")), "m_q"))
+      .foldLeft(per) { case (df, (ord, out)) => Dist.ntile(df, 5, ord, out) }
+    withQ
       .groupBy(col("r_q"), col("f_q"), col("m_q"))
       .agg(count(lit(1)).as("n_customers"),
         (sum(col("cents")).cast("double") / 100.0).as("monetary_sum"))
@@ -705,9 +711,10 @@ object Relational {
     val per = Tables.orders(s, dir)
       .groupBy(col("o_custkey"))
       .agg(sum(dec(col("o_totalprice"))).as("spend"))
-    val d = per.withColumn("decile",
-      ntile(10).over(Window.orderBy(col("spend").desc, col("o_custkey")))
-        .cast("bigint"))
+    // distributed decile (same class as rfmFrom: the customer
+    // dimension grows with the corpus — never a single-partition sort)
+    val d = Dist.ntile(per, 10,
+      Seq(col("spend").desc, col("o_custkey")), "decile")
     val byDec = d.groupBy(col("decile"))
       .agg(count(lit(1)).as("n_customers"), sum(col("spend")).as("rev"))
     // total as a window over the SAME 10-row aggregate — a crossJoin

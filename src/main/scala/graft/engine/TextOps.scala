@@ -634,12 +634,15 @@ object TextOps {
       .select(explode(split(col("text"), " ")).as("tok"))
       .filter(length(col("tok")) > 0)
       .groupBy(col("tok")).agg(count(lit(1)).as("cnt"))
-    val w = Window.orderBy(col("cnt").desc, col("tok").asc)
-    val ranked = freq
-      .withColumn("rnk", row_number().over(w).cast("bigint"))
-      .withColumn("cum", sum(col("cnt"))
-        .over(w.rowsBetween(Window.unboundedPreceding, 0)))
-      .withColumn("total", sum(col("cnt")).over(Window.partitionBy()))
+    // the vocabulary grows with the corpus (Heaps' law — measured by
+    // q_text_heaps_law), so the frequency ladder must never be a
+    // single-partition Window.orderBy: rank + running coverage come
+    // from the distributed prefix device (range partition on the
+    // (cnt desc, tok) total order, broadcast per-partition offsets)
+    val (ranked0, _, total) = Dist.orderedPrefix(freq,
+      Seq(col("cnt").desc, col("tok").asc), "rnk",
+      Some((col("cnt"), "cum")))
+    val ranked = ranked0.withColumn("total", lit(total))
     val targets = s.range(0, 1)
       .select(explode(array(CoverageTargets.map(lit): _*)).as("pct"))
     targets.join(ranked, col("cum") * 100 >= col("pct") * col("total"))

@@ -262,6 +262,23 @@ class PlanAuditSpec extends AnyFunSuite {
       s"AUC window must be partitioned (distributed prefix sum):\n$w"))
   }
 
+  test("RFM + tokenizer ladder have NO unpartitioned window (Dist device)") {
+    // r12 weak set items 1-2: the customer dimension and the token
+    // vocabulary both GROW with the corpus, so their rank/quintile
+    // windows must stay pid-partitioned (Dist.orderedPrefix /
+    // Dist.ntile) forever — this pin fails if anyone reintroduces a
+    // global Window.orderBy into these plans.
+    Seq("q_agg_rfm", "q_stream_rfm", "q_llm_tokenizer_coverage").foreach { q =>
+      val df = SparkEntry.queries(q)(spark, sf0001)
+      val wins = df.queryExecution.sparkPlan.collect {
+        case w: org.apache.spark.sql.execution.window.WindowExec => w
+      }
+      assert(wins.nonEmpty, s"$q: expected the pid-partitioned rank window")
+      wins.foreach(w => assert(w.partitionSpec.nonEmpty,
+        s"$q: rank window must be partitioned (distributed prefix):\n$w"))
+    }
+  }
+
   test("CMS sketch builds from the vocab-sized count table, not a corpus re-scan") {
     // the grid cell (d,b) is Σ count(tok) over tokens hashing to b, so the
     // sketch must derive from the checkpointed per-token counts (weighted
@@ -533,16 +550,16 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(!mrl.contains("SortMergeJoin"), "mrl must not shuffle the corpus")
     assert(mrl.split("\n").count(_.contains("Scan parquet")) <= 2,
       "mrl reads the embedding table at most twice (queries + candidates)")
-    // rfm / pareto: the NTILE windows sort the CUSTOMER AGGREGATE —
-    // exactly one scan of the fact table feeds one aggregate before any
-    // window touches the rows.
+    // rfm / pareto: the NTILE passes rank the CUSTOMER AGGREGATE via
+    // the checkpointed Dist device — the orders scan happens exactly
+    // once inside the checkpoint build, so the FINAL plan reads no
+    // parquet at all; re-introducing a second scan (or dropping the
+    // checkpoint) puts Scan parquet back into this plan and fails here.
     for (name <- Seq("q_agg_rfm", "q_agg_pareto")) {
       val p = plan(name)
-      assert(p.split("\n").count(_.contains("Scan parquet")) == 1,
-        s"$name must scan orders exactly once")
-      val firstAgg = p.indexOf("HashAggregate")
-      val firstWin = p.indexOf("Window")
-      assert(firstAgg >= 0 && firstWin >= 0,
+      assert(p.split("\n").count(_.contains("Scan parquet")) == 0,
+        s"$name final plan must read from the checkpointed rank input")
+      assert(p.indexOf("HashAggregate") >= 0 && p.indexOf("Window") >= 0,
         s"$name needs both an aggregate and a window")
     }
     // heaps: token rows never enter a window — the doc-bounded ntile
