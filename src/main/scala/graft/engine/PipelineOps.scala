@@ -404,18 +404,18 @@ object PipelineOps {
       .filter(col("nt") >= 30)
       .withColumn("rn", row_number().over(wDedup))
       .filter(col("rn") === 1)
-    // INTENTIONALLY unpartitioned (VERDICT r5 item 6): the packer's
-    // single-stream cumulative sum is the SEMANTIC — one global pack
-    // sequence over the single selected language, ordered by doc_id, so
-    // packs are reproducible shard-independently. The input is one
-    // language's dedup survivors (bounded fraction of the corpus); at a
-    // scale where even that outgrows one task, the production path is
-    // q_llm_pack_sequences' per-lang partitioned packer — this e2e op
-    // proves the COMPOSITION, not the packing scale story.
-    val wPack = Window.orderBy(col("doc_id"))
-      .rowsBetween(Window.unboundedPreceding, -1)
-    kept
-      .withColumn("cum_before", coalesce(sum(col("nt")).over(wPack), lit(0L)))
+    // The packer's single-stream cumulative sum is the SEMANTIC — one
+    // global pack sequence over the selected language, ordered by
+    // doc_id, so packs are reproducible shard-independently. r13: the
+    // global-window form became the Dist prefix device (range-partition
+    // on doc_id + broadcast offsets) — same global order, same packs,
+    // no single-partition sort over the dedup survivors (which GROW
+    // with the corpus even at a fixed language share).
+    val (packed, _, _) = Dist.orderedPrefix(kept, Seq(col("doc_id")),
+      "_pack_rn", Some((col("nt"), "cum_incl")))
+    packed
+      .withColumn("cum_before", col("cum_incl") - col("nt"))
+      .drop("_pack_rn", "cum_incl")
       .withColumn("pack_id", expr(s"cum_before div $PackLen"))
       .groupBy(col("pack_id"))
       .agg(count(lit(1)).as("n_docs"), sum(col("nt")).as("pack_tokens"),
