@@ -67,7 +67,7 @@ object ApproxBounds {
     // HLL vs exact
     val ex = Relational.q_agg_count_distinct(s, dir)
       .select(col("event_type"), col("n_users"))
-    val ap = Relational.q_agg_approx_distinct(s, dir)
+    val ap = Relational.approxDistinctRaw(s, dir)
       .select(col("event_type").as("et"), col("approx_users"))
     val hll = ex.join(ap, col("event_type") === col("et"))
       .select((abs(col("approx_users") - col("n_users")).cast("double")
@@ -76,7 +76,7 @@ object ApproxBounds {
     // GK vs exact percentiles
     val exp = Relational.q_agg_percentiles(s, dir)
       .select(col("o_orderstatus"), col("p50"), col("p90"))
-    val app = Relational.q_agg_approx_percentile(s, dir)
+    val app = Relational.approxPercentileRaw(s, dir)
       .select(col("o_orderstatus").as("st"), col("p50_approx"), col("p90_approx"))
     val gk = exp.join(app, col("o_orderstatus") === col("st"))
       .select(greatest(

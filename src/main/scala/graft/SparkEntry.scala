@@ -23,10 +23,12 @@ object SparkEntry {
       CurationOps.queries ++ StatsOps.queries ++ RankOps.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omitted for non-SQL-expressible ops
-    * (q_agg_approx_distinct: per-engine HLL sketches; q_llm_minhash_lsh /
-    * q_llm_simhash: xxhash64-family specific — all self-checked in the
-    * test suite). */
+    * the same parquet tables. The sketch tier (q_agg_approx_distinct,
+    * q_agg_approx_percentile) is bracket-oracled: exact columns hash-
+    * checked, within-band booleans asserted TRUE. Omitted only for
+    * q_llm_minhash_lsh / q_llm_simhash (xxhash64-family specific —
+    * self-checked for recall/precision in the suite, with md5-family
+    * oracled twins). */
   def oracleSql: Map[String, String] =
     Oracle.all
 }

@@ -974,6 +974,22 @@ object Oracle {
         |  COUNT(*) AS n_orders
         |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin,
 
+    // Bracket oracles for the sketch tier (r13): the sketch values are
+    // engine-specific, so the oracle checks the exact columns by hash
+    // and asserts the within-band booleans are TRUE — Spark computes
+    // them against its own sketch; a sketch regression flips them.
+    "q_agg_approx_distinct" ->
+      """SELECT event_type, COUNT(*) AS n_events,
+        |  COUNT(DISTINCT user_id) AS n_users, TRUE AS within_3rsd
+        |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q_agg_approx_percentile" ->
+      """SELECT o_orderstatus,
+        |  ROUND(quantile_cont(o_totalprice, 0.5), 6) AS p50,
+        |  ROUND(quantile_cont(o_totalprice, 0.9), 6) AS p90,
+        |  TRUE AS p50_in_band, TRUE AS p90_in_band
+        |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin,
+
     "q_agg_pivot" ->
       """SELECT yr,
         |  COUNT(*) FILTER (WHERE o_orderstatus = 'F') AS "F",

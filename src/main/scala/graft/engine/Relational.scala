@@ -256,13 +256,43 @@ object Relational {
       .agg(count(lit(1)).as("n_events"), countDistinct(col("user_id")).as("n_users"))
       .orderBy("event_type")
 
-  /** HLL++ sketch distinct — no oracle (hash families differ per engine);
-    * self-checked within 5% of exact in the test suite. */
-  def q_agg_approx_distinct(s: SparkSession, dir: String): DataFrame =
+  /** Declared relative standard deviation of the HLL++ sketch (the
+    * Spark default) and the sigma envelope the bracket contract
+    * accepts: |approx − exact| ≤ 3·rsd·exact. Measured fixture error is
+    * 6.7% at sf0.1 (APPROX_BOUNDS.json) — inside 15%, outside a naive
+    * 1·rsd check, which is exactly why the envelope is 3σ. */
+  val HllRsd = 0.05
+  val HllSigmas = 3.0
+
+  /** Raw HLL++ estimate per group — the sketch value itself. Engine-
+    * specific (xxhash64 family), so this projection is NOT oracle-
+    * hashable; it feeds the bracketed contract query below, the
+    * ApproxBounds error artifact and the proximity self-checks. */
+  def approxDistinctRaw(s: SparkSession, dir: String): DataFrame =
     Tables.events(s, dir)
       .groupBy(col("event_type"))
       .agg(approx_count_distinct(col("user_id")).as("approx_users"),
         count(lit(1)).as("n_events"))
+      .orderBy("event_type")
+
+  /** HLL++ sketch distinct, oracle-bracketed (VERDICT r12 item 3): the
+    * registered contract emits the exact distinct (DuckDB-hashable)
+    * plus a within-3σ boolean computed against the sketch estimate —
+    * the oracle asserts TRUE, so a broken sketch (or a hash-family
+    * drift past the declared envelope) flips the boolean and fails the
+    * driver gate instead of hiding behind no_oracle. At 100 TB the
+    * sketch is THE distinct operator (mergeable, constant memory); the
+    * exact twin here is what prices its error. */
+  def q_agg_approx_distinct(s: SparkSession, dir: String): DataFrame =
+    Tables.events(s, dir)
+      .groupBy(col("event_type"))
+      .agg(approx_count_distinct(col("user_id")).as("apx"),
+        countDistinct(col("user_id")).as("n_users"),
+        count(lit(1)).as("n_events"))
+      .select(col("event_type"), col("n_events"), col("n_users"),
+        (abs(col("apx") - col("n_users")).cast("double")
+          <= lit(HllRsd * HllSigmas) * col("n_users").cast("double"))
+          .as("within_3rsd"))
       .orderBy("event_type")
 
   def q_agg_rollup(s: SparkSession, dir: String): DataFrame =
@@ -411,22 +441,69 @@ object Relational {
           .otherwise(col("c_acctbal")).as("bal_pos"))
       .orderBy("c_custkey")
 
-  /** Approximate percentiles (Greenwald–Khanna sketch — the bounded-
-    * memory quantile path, vs q_agg_percentiles' exact sort-based
-    * aggregate). Self-checked like q_agg_approx_distinct: GK summaries
-    * are engine-specific (and merge-order-sensitive), so the spec
-    * asserts proximity to the exact percentiles instead of a DuckDB
-    * hash match. At 100 TB this is THE percentile operator — the exact
-    * twin exists to quantify its error on the fixture. */
-  def q_agg_approx_percentile(s: SparkSession, dir: String): DataFrame =
+  /** GK sketch accuracy (rank error guarantee ≤ n/GkAccuracy) and the
+    * acceptance band: the estimate must land between the EXACT order
+    * statistics at ranks (p ± δ)·n with δ = 5/accuracy + 2.5/n — 5×
+    * the guarantee plus a per-group discreteness allowance (at a small
+    * group, ±ε·n ranks is less than ONE element; the +2.5/n term keeps
+    * the bracket at least two elements wide at every n, which is what
+    * makes the boolean hold at sf0.001's 10-row groups AND stay a
+    * ~±0.05% rank test at production n). Measured fixture error:
+    * 2.2e-4 relative (APPROX_BOUNDS.json). */
+  val GkAccuracy = 10000
+  val GkRankBand = 5.0 / GkAccuracy
+
+  /** Raw GK estimates — engine-specific summaries (merge-order
+    * sensitive), not oracle-hashable; feeds the bracket below,
+    * ApproxBounds and the proximity self-checks. */
+  def approxPercentileRaw(s: SparkSession, dir: String): DataFrame =
     Tables.orders(s, dir)
       .groupBy(col("o_orderstatus"))
-      .agg(percentile_approx(col("o_totalprice"), array(lit(0.5), lit(0.9)), lit(10000))
-        .as("apx"))
+      .agg(percentile_approx(col("o_totalprice"), array(lit(0.5), lit(0.9)),
+        lit(GkAccuracy)).as("apx"))
       .select(col("o_orderstatus"),
         element_at(col("apx"), 1).as("p50_approx"),
         element_at(col("apx"), 2).as("p90_approx"))
       .orderBy("o_orderstatus")
+
+  /** Approximate percentiles (Greenwald–Khanna sketch — the bounded-
+    * memory quantile path, vs q_agg_percentiles' exact sort-based
+    * aggregate), oracle-bracketed (VERDICT r12 item 3): emits the exact
+    * round-6 quantiles (hash-checked against DuckDB quantile_cont, the
+    * q_agg_percentiles convention) plus per-percentile rank-band
+    * booleans — approx ∈ [exact(p−δ), exact(p+δ)], δ = GkRankBand —
+    * that the oracle asserts TRUE. At 100 TB this is THE percentile
+    * operator; the exact twin prices its error. */
+  def q_agg_approx_percentile(s: SparkSession, dir: String): DataFrame = {
+    // rank-space bracket: element at rank max(1, floor((p-d)n)) ≤ GK
+    // estimate ≤ element at rank min(n, ceil((p+d)n)+1). Wider-only
+    // clamps, so the test can never false-fail; the sorted per-group
+    // value array has the same memory profile as the exact percentile
+    // aggregate beside it (this op deliberately carries its exact twin
+    // — that is what prices the sketch).
+    def loRank(p: Double) = greatest(lit(1),
+      floor((lit(p) - col("d")) * col("n")).cast("int"))
+    def hiRank(p: Double) = least(col("n").cast("int"),
+      ceil((lit(p) + col("d")) * col("n")).cast("int") + 1)
+    def inBand(i: Int, p: Double) =
+      element_at(col("apx"), i).cast("double")
+        .between(element_at(col("xs"), loRank(p)),
+          element_at(col("xs"), hiRank(p)))
+    Tables.orders(s, dir)
+      .groupBy(col("o_orderstatus"))
+      .agg(percentile_approx(col("o_totalprice"), array(lit(0.5), lit(0.9)),
+          lit(GkAccuracy)).as("apx"),
+        percentile(col("o_totalprice"), array(lit(0.5), lit(0.9))).as("ex"),
+        sort_array(collect_list(col("o_totalprice").cast("double"))).as("xs"),
+        count(lit(1)).as("n"))
+      .withColumn("d", lit(GkRankBand) + lit(2.5) / col("n"))
+      .select(col("o_orderstatus"),
+        round(element_at(col("ex"), 1), 6).as("p50"),
+        round(element_at(col("ex"), 2), 6).as("p90"),
+        inBand(1, 0.5).as("p50_in_band"),
+        inBand(2, 0.9).as("p90_in_band"))
+      .orderBy("o_orderstatus")
+  }
 
   /** UNPIVOT (wide→long reshaping, the inverse of q_agg_pivot): the
     * year × status count matrix melted back to (yr, status, n_orders)

@@ -43,13 +43,17 @@ class RelationalSpec extends AnyFunSuite {
     val exact = Relational.q_agg_count_distinct(spark, sf001)
       .select("event_type", "n_users").collect()
       .map(r => r.getString(0) -> r.getLong(1)).toMap
-    Relational.q_agg_approx_distinct(spark, sf001)
+    Relational.approxDistinctRaw(spark, sf001)
       .select("event_type", "approx_users").collect()
       .foreach { r =>
         val e = exact(r.getString(0)).toDouble
         assert(math.abs(r.getLong(1) - e) / e <= 0.05,
           s"${r.getString(0)}: approx=${r.getLong(1)} exact=$e")
       }
+    // and the registered bracket contract itself holds on the fixture
+    Relational.q_agg_approx_distinct(spark, sf001)
+      .select("event_type", "within_3rsd").collect()
+      .foreach(r => assert(r.getBoolean(1), s"${r.getString(0)}: outside 3rsd"))
   }
 
   test("decimal money sum is permutation-invariant") {

@@ -238,7 +238,7 @@ class Round6Spec extends AnyFunSuite {
   }
 
   test("approx percentiles sit within 2% of the exact sort-based values") {
-    val apx = Relational.q_agg_approx_percentile(spark, sf001).collect()
+    val apx = Relational.approxPercentileRaw(spark, sf001).collect()
       .map(r => r.getString(0) -> (r.getDouble(1), r.getDouble(2))).toMap
     val exact = Tables.orders(spark, sf001)
       .groupBy(col("o_orderstatus"))
@@ -251,6 +251,13 @@ class Round6Spec extends AnyFunSuite {
       assert(math.abs(a50 - e50) / e50 < 0.02, s"$k p50: $a50 vs $e50")
       assert(math.abs(a90 - e90) / e90 < 0.02, s"$k p90: $a90 vs $e90")
     }
+    // and the registered rank-band bracket holds on the fixture
+    Relational.q_agg_approx_percentile(spark, sf001)
+      .select("o_orderstatus", "p50_in_band", "p90_in_band").collect()
+      .foreach { r =>
+        assert(r.getBoolean(1) && r.getBoolean(2),
+          s"${r.getString(0)}: GK estimate outside the rank band")
+      }
   }
 
   test("rejection sampling: acceptance tracks p_keep; skewed langs downsampled") {
