@@ -139,12 +139,29 @@ object LlmOps {
           .withColumn("jac", col("ic") / (size(col("ta")) + size(col("tb")) - col("ic")))
     }
 
+  /** Exact-baseline fence (C4-threshold precedent: a named constant the
+    * SURVEY row documents): q_llm_jaccard_pairs refuses to run when the
+    * largest language holds more docs than this — its O(n²/lang) pair
+    * space is the EXACT ground-truth baseline, never the scale path.
+    * 20k docs/lang ≈ 2·10⁸ raw pairs in the worst language: feasible as
+    * a single-cluster verification pass, an order below cluster-killing.
+    * The per-run headroom is emitted as `exact_guard_margin` so the
+    * guard is exercised (non-vacuous) on every fixture run. */
+  val JaccardExactMaxDocsPerLang = 20000L
+
   def q_llm_jaccard_pairs(s: SparkSession, dir: String): DataFrame = {
     // EXACT BASELINE — not the scale path. O(n²/lang) by design: this is
     // the oracle-checkable ground truth the banded-LSH production path
     // (q_llm_minhash_lsh / q_llm_minhash_md5) is tested against. Do NOT
     // scale its input up; at corpus scale run the LSH twin (PERF.md
     // "exact-baseline fences").
+    val maxPerLang = Tables.documents(s, dir)
+      .groupBy(col("lang")).agg(count(lit(1)).as("c"))
+      .agg(max(col("c"))).collect()(0).getLong(0) // lang-bounded agg, 1-row collect
+    require(maxPerLang <= JaccardExactMaxDocsPerLang,
+      s"q_llm_jaccard_pairs is the O(n^2/lang) exact baseline: largest lang has " +
+        s"$maxPerLang docs > fence $JaccardExactMaxDocsPerLang. Run the LSH scale " +
+        s"path (q_llm_minhash_lsh) instead.")
     // Slim all-pairs generation (ids + set sizes only), then the shared
     // jaccardVerify attaches set representations — one formula location
     // for both this exact path and the LSH candidate path.
@@ -161,7 +178,8 @@ object LlmOps {
       .select(col("lang"), col("doc_a"), col("doc_b"))
     jaccardVerify(s, dir, pairs)
       .filter(col("jac") >= 0.5)
-      .select(col("lang"), col("doc_a"), col("doc_b"), round(col("jac"), 6).as("jaccard"))
+      .select(col("lang"), col("doc_a"), col("doc_b"), round(col("jac"), 6).as("jaccard"),
+        (lit(JaccardExactMaxDocsPerLang) - lit(maxPerLang)).as("exact_guard_margin"))
       .orderBy("lang", "doc_a", "doc_b")
   }
 

@@ -758,7 +758,9 @@ object Oracle {
         |        CAST(len(list_intersect(d1.toks, d2.toks)) AS DOUBLE)
         |          / (len(d1.toks) + len(d2.toks) - len(list_intersect(d1.toks, d2.toks))) AS jac
         |      FROM d d1 JOIN d d2 ON d1.lang = d2.lang AND d1.doc_id < d2.doc_id)
-        |SELECT lang, doc_a, doc_b, ROUND(jac, 6) AS jaccard
+        |SELECT lang, doc_a, doc_b, ROUND(jac, 6) AS jaccard,
+        |  (SELECT CAST(20000 AS BIGINT) - MAX(c)
+        |   FROM (SELECT COUNT(*) AS c FROM documents GROUP BY lang)) AS exact_guard_margin
         |FROM p WHERE jac >= 0.5 ORDER BY lang, doc_a, doc_b""".stripMargin,
 
     // Full LSH pipeline with the md5-derived 60-bit hash family —

@@ -40,4 +40,23 @@ class VocabGuardSpec extends AnyFunSuite {
     assert(messages(e).exists(_.contains("vocab grew past 64 bits")),
       s"expected the loud vocab guard, got: ${messages(e).mkString(" | ")}")
   }
+
+  test("jaccard exact-baseline fence refuses a lang past the doc bound") {
+    // r13 guard: the O(n²/lang) exact baseline must refuse to run when
+    // the largest language exceeds JaccardExactMaxDocsPerLang, steering
+    // callers to the LSH scale path instead of melting a cluster.
+    val s = spark
+    val dir = java.nio.file.Files.createTempDirectory("graft_fence").toString
+    writeDocs(dir,
+      (0 until (LlmOps.JaccardExactMaxDocsPerLang.toInt + 1)).map(i => s"w$i"))
+    val e = intercept[IllegalArgumentException] {
+      LlmOps.q_llm_jaccard_pairs(s, dir)
+    }
+    assert(e.getMessage.contains("q_llm_minhash_lsh"),
+      s"fence must point to the scale path, got: ${e.getMessage}")
+    // and on the fixture the guard headroom is emitted, exercised, positive
+    val m = LlmOps.q_llm_jaccard_pairs(s, sf0001)
+      .select(col("exact_guard_margin")).limit(1).collect()
+    assert(m.nonEmpty && m(0).getLong(0) > 0, "fixture must sit under the fence")
+  }
 }
