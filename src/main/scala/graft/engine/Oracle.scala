@@ -6054,12 +6054,12 @@ object Oracle {
         |cc AS (SELECT event_type, x,
         |    (above AND NOT prev) AS golden, (NOT above AND prev) AS death
         |  FROM c WHERE prev IS NOT NULL),
-        |agg AS (SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_days_evaluated,
+        |agg AS (SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_transitions_evaluated,
         |    CAST(SUM(CASE WHEN golden THEN 1 ELSE 0 END) AS BIGINT) AS n_golden,
         |    CAST(SUM(CASE WHEN death THEN 1 ELSE 0 END) AS BIGINT) AS n_death,
         |    MAX(CASE WHEN golden OR death THEN x END) AS last_cross_x
         |  FROM cc GROUP BY 1)
-        |SELECT agg.event_type, agg.n_days_evaluated, agg.n_golden,
+        |SELECT agg.event_type, agg.n_transitions_evaluated, agg.n_golden,
         |  agg.n_death, agg.last_cross_x,
         |  CASE WHEN lc.golden THEN 'golden'
         |       WHEN lc.death THEN 'death' END AS last_cross_dir
@@ -6099,14 +6099,14 @@ object Oracle {
          |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
          |    AS cur
          |  FROM pts),
-         |mx AS (SELECT day, CAST(MAX(cur) AS BIGINT) AS max_concurrent,
+         |mx AS (SELECT day, CAST(MAX(cur) AS BIGINT) AS max_concurrent_cohort,
          |    CAST(SUM(CASE WHEN delta = 1 THEN 1 ELSE 0 END) AS BIGINT)
          |      AS n_sessions
          |  FROM sw GROUP BY 1),
          |att AS (SELECT sw.day AS d3, CAST(MIN(sw.us) AS BIGINT) AS peak_us
-         |  FROM sw JOIN mx ON sw.day = mx.day AND sw.cur = mx.max_concurrent
+         |  FROM sw JOIN mx ON sw.day = mx.day AND sw.cur = mx.max_concurrent_cohort
          |  GROUP BY 1)
-         |SELECT mx.day, mx.n_sessions, mx.max_concurrent,
+         |SELECT mx.day, mx.n_sessions, mx.max_concurrent_cohort,
          |  make_timestamp(att.peak_us) AS peak_ts
          |FROM mx JOIN att ON mx.day = att.d3 ORDER BY mx.day""".stripMargin,
 
@@ -6173,7 +6173,7 @@ object Oracle {
         |  HAVING n_ref > 1 AND n_cur > 1),
         |x AS (SELECT event_type, n_ref, n_cur,
         |    s1 / CAST(n_ref AS DOUBLE) - s2 / CAST(n_cur AS DOUBLE) AS diff,
-        |    0.05 * ((s1 + s2) / (CAST(n_ref AS DOUBLE) + CAST(n_cur AS DOUBLE)))
+        |    0.05 * ABS((s1 + s2) / (CAST(n_ref AS DOUBLE) + CAST(n_cur AS DOUBLE)))
         |      AS delta,
         |    sqrt((CAST(n_ref AS DOUBLE) * q1 - s1 * s1)
         |        / (CAST(n_ref AS DOUBLE) * (CAST(n_ref AS DOUBLE) - 1))
@@ -6323,7 +6323,7 @@ object Oracle {
         |  FROM b)
         |SELECT event_type, n_obs, slope, adf_t,
         |  adf_t < -2.86 AS stationary_5pct
-        |FROM r ORDER BY event_type""".stripMargin,
+        |FROM r WHERE n_obs > 2 ORDER BY event_type""".stripMargin,
 
     // Granger lag-1 over the ordered type-pair grid: calendar-exact
     // alignment, 9 DECIMAL cross-moments, 2×2 normal equations in one
@@ -6369,8 +6369,9 @@ object Oracle {
         |      / NULLIF(syyc - bb * t1 - cc * t2, 0.0), 6) AS f_stat
         |  FROM d)
         |SELECT ta AS cause, tb AS effect, n_obs, f_stat,
+        |  f_stat IS NULL AS degenerate,
         |  f_stat > 3.84 AS granger_5pct
-        |FROM f ORDER BY cause, effect""".stripMargin,
+        |FROM f WHERE n_obs > 3 ORDER BY cause, effect""".stripMargin,
 
     // Jarque–Bera over the q_agg_skew_kurt moment chain: S and K round-6
     // pinned FIRST, JB combines the rounded values, χ²(2) 5% decision.

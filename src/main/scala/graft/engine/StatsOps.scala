@@ -2762,7 +2762,9 @@ object StatsOps {
     val syyC = col("syy") - col("sy") * col("sy") / n
     val sxxC = col("sxx") - col("sx") * col("sx") / n
     val tstat = b / sqrt((syyC - b * sxyC) / (n - 2) / sxxC)
-    agg.select(col("event_type"), col("n_obs"), round(b, 6).as("slope"),
+    // n_obs <= 2 makes the (n-2) residual df non-positive (ADVICE r12)
+    agg.filter(col("n_obs") > 2)
+      .select(col("event_type"), col("n_obs"), round(b, 6).as("slope"),
         round(tstat, 6).as("adf_t"))
       .withColumn("stationary_5pct", col("adf_t") < lit(-2.86))
       .orderBy("event_type")
@@ -2815,8 +2817,14 @@ object StatsOps {
     val rssU = nullif(syyC - bb * t1 - cc * t2, lit(0.0))
     val rssR = syyC - t1 * t1 / nullif(s11, lit(0.0))
     val f = (rssR - (syyC - bb * t1 - cc * t2)) * (n - 3) / rssU
-    agg.select(col("ta").as("cause"), col("tb").as("effect"), col("n_obs"),
+    // ADVICE r12: groups with n_obs <= 3 have a non-positive (n-3)
+    // factor — a meaningless F — so they are filtered, and rows whose
+    // NULLIF guards fired (constant regressor, det = 0) carry an
+    // explicit degenerate flag instead of a silently-NULL statistic.
+    agg.filter(col("n_obs") > 3)
+      .select(col("ta").as("cause"), col("tb").as("effect"), col("n_obs"),
         round(f, 6).as("f_stat"))
+      .withColumn("degenerate", col("f_stat").isNull)
       .withColumn("granger_5pct", col("f_stat") > lit(3.84))
       .orderBy("cause", "effect")
   }
@@ -2981,7 +2989,10 @@ object StatsOps {
       (n1 * col("q1") - col("s1") * col("s1")) / (n1 * (n1 - 1)) / n1 +
       (n2 * col("q2") - col("s2") * col("s2")) / (n2 * (n2 - 1)) / n2)
     val diff = col("s1") / n1 - col("s2") / n2
-    val delta = lit(0.05) * ((col("s1") + col("s2")) / (n1 + n2))
+    // abs(): the margin is a magnitude — on a negative-mean metric the
+    // raw product would invert (delta < 0) and make equivalent_5pct
+    // silently unsatisfiable (ADVICE r12)
+    val delta = lit(0.05) * abs((col("s1") + col("s2")) / (n1 + n2))
     agg.filter(col("n_ref") > 1 && col("n_cur") > 1)
       .select(col("event_type"), col("n_ref"), col("n_cur"),
         round(diff, 6).as("mean_diff"), round(delta, 6).as("delta_margin"),
@@ -3064,9 +3075,13 @@ object StatsOps {
     * sum of deltas under the total order (us, delta, user, start) IS
     * the live-session count. Partitioned by the session's START day,
     * so the window never sees more than a day's sessions — the shape
-    * that survives 100 TB where an interval self-join cannot. Emits
-    * per day the session count, the peak concurrency, and the first
-    * instant attaining it. */
+    * that survives 100 TB where an interval self-join cannot. COHORT
+    * SEMANTICS (ADVICE r12): a session is attributed wholly to its
+    * START day — one alive at midnight never counts toward the next
+    * day's peak, hence the column name max_concurrent_cohort; for true
+    * instantaneous per-day peaks, split sessions at day boundaries
+    * before the sweep. Emits per start-day cohort the session count,
+    * the peak concurrency, and the first instant attaining it. */
   def q_agg_concurrency(s: SparkSession, dir: String): DataFrame = {
     val ev = Tables.events(s, dir)
       .select(col("user_id"), col("ts"), col("event_id"))
@@ -3093,14 +3108,14 @@ object StatsOps {
       .rowsBetween(Window.unboundedPreceding, 0)
     val swept = pts.withColumn("cur", sum(col("delta")).over(wd))
     val mx = swept.groupBy(col("day"))
-      .agg(max(col("cur")).as("max_concurrent"),
+      .agg(max(col("cur")).as("max_concurrent_cohort"),
         sum(when(col("delta") === 1L, 1L).otherwise(0L)).as("n_sessions"))
     val att = swept
-      .join(mx.select(col("day").as("d2"), col("max_concurrent").as("mc")),
+      .join(mx.select(col("day").as("d2"), col("max_concurrent_cohort").as("mc")),
         col("day") === col("d2") && col("cur") === col("mc"))
       .groupBy(col("day").as("d3")).agg(min(col("us")).as("peak_us"))
     mx.join(att, col("day") === col("d3"))
-      .select(col("day"), col("n_sessions"), col("max_concurrent"),
+      .select(col("day"), col("n_sessions"), col("max_concurrent_cohort"),
         timestamp_micros(col("peak_us")).as("peak_ts"))
       .orderBy("day")
   }
@@ -3134,13 +3149,13 @@ object StatsOps {
       .withColumn("golden", col("above") && !col("prev"))
       .withColumn("death", !col("above") && col("prev"))
     crossed.groupBy(col("event_type"))
-      .agg(count(lit(1)).as("n_days_evaluated"),
+      .agg(count(lit(1)).as("n_transitions_evaluated"),
         sum(when(col("golden"), 1L).otherwise(0L)).as("n_golden"),
         sum(when(col("death"), 1L).otherwise(0L)).as("n_death"),
         max(when(col("golden") || col("death"),
           struct(col("x"), when(col("golden"), lit("golden"))
             .otherwise(lit("death")).as("dir")))).as("lastc"))
-      .select(col("event_type"), col("n_days_evaluated"),
+      .select(col("event_type"), col("n_transitions_evaluated"),
         col("n_golden"), col("n_death"),
         col("lastc.x").as("last_cross_x"),
         col("lastc.dir").as("last_cross_dir"))

@@ -334,7 +334,8 @@ class Round18Spec extends AnyFunSuite {
       assert(r.getDouble(3) == f, "f_stat")
       // RSS_r ≥ RSS_u up to rounding ⇒ F non-negative
       assert(r.getDouble(3) >= -1e-6, "F sign")
-      assert(r.getBoolean(4) == (r.getDouble(3) > 3.84), "decision")
+      assert(!r.getBoolean(4), "no degenerate pairs on the fixture")
+      assert(r.getBoolean(5) == (r.getDouble(3) > 3.84), "decision")
     }
   }
 
