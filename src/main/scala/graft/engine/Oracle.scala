@@ -1381,6 +1381,13 @@ object Oracle {
   private def relu(c: String): String =
     s"CASE WHEN $c > 0 THEN $c ELSE CAST(0 AS DOUBLE) END"
 
+  /** Layer-seeded matmul chain (q_gnn_layer_k): same term order as
+    * Gnn.forwardK — j-ascending left-associative, bias last. */
+  private def matmulExprK(l: Int, i: Int, srcPrefix: String): String =
+    (0 until Gnn.Dim).map { j =>
+      s"(CAST(${(i * 31 + j * 17 + l * 13) % 7 - 3} AS DOUBLE)/10)*$srcPrefix${j + 1}"
+    }.mkString(" + ") + s" + CAST(${(i + l) % 5 - 2} AS DOUBLE)/10"
+
   private val meanCte: String = {
     val avgs = (1 to Gnn.Dim)
       .map(j => s"AVG(CAST(emb.embedding[$j] AS DOUBLE)) AS m$j").mkString(", ")
@@ -1434,6 +1441,41 @@ object Oracle {
          |      GROUP BY 1),
          |g2 AS (SELECT part_key, $gr FROM g)
          |SELECT part_key, $out FROM g2 ORDER BY part_key""".stripMargin
+    },
+
+    // K=3 stack: the full chained-matmul SQL generated from the SAME
+    // weightK/biasK formulas; every superstep boundary quantizes the
+    // means to 1e9-scaled BIGINT sums (the gcn_norm device), so the
+    // chain is bit-identical across engines at any depth — no AVG-order
+    // last-ulp drift to absorb.
+    "q_gnn_layer_k" -> {
+      // quantizer mirrors Gnn.quant bit-for-bit: multiply/add/floor are
+      // each correctly-rounded IEEE ops, identical in both engines
+      def q9(e: String): String =
+        s"CAST(CASE WHEN $e >= 0 THEN FLOOR($e * 1e9 + 0.5)" +
+          s" ELSE CEIL($e * 1e9 - 0.5) END AS BIGINT)"
+      def meanOf(h: Int => String): String = (1 to Gnn.Dim).map(j =>
+        s"CAST(SUM(${q9(h(j))}) AS DOUBLE)" +
+          s" / CAST(COUNT(*) AS DOUBLE) / 1e9 AS m$j").mkString(", ")
+      def layer(l: Int, upto: Int): String = (0 until upto).map(i =>
+        s"${relu(matmulExprK(l, i, "m"))} AS h${i + 1}").mkString(", ")
+      s"""WITH $edgesCte,
+         |n AS (SELECT COUNT(*) AS c FROM embeddings),
+         |m1 AS (SELECT e.src AS node,
+         |         ${meanOf(j => s"CAST(emb.embedding[$j] AS DOUBLE)")}
+         |       FROM edges e CROSS JOIN n
+         |       JOIN embeddings emb ON emb.vec_id = e.dst % n.c
+         |       GROUP BY 1),
+         |h1 AS (SELECT node, ${layer(1, Gnn.Dim)} FROM m1),
+         |m2 AS (SELECT e.dst AS node, ${meanOf(j => s"h1.h$j")}
+         |       FROM edges e JOIN h1 ON e.src = h1.node GROUP BY 1),
+         |h2 AS (SELECT node, ${layer(2, Gnn.Dim)} FROM m2),
+         |m3 AS (SELECT e.src AS node, ${meanOf(j => s"h2.h$j")}
+         |       FROM edges e JOIN h2 ON e.dst = h2.node GROUP BY 1),
+         |h3 AS (SELECT node AS custkey, ${layer(3, 4)} FROM m3)
+         |SELECT custkey, ROUND(h1, 6) AS k1, ROUND(h2, 6) AS k2,
+         |       ROUND(h3, 6) AS k3, ROUND(h4, 6) AS k4
+         |FROM h3 ORDER BY custkey""".stripMargin
     },
 
     // Streaming twin of q_gnn_layer2: the chained keyed-state maintainer's

@@ -1,0 +1,65 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.engine.{Gnn, GraphOps, Tables}
+
+/** Round-19 (driver r13) replay pins: every operator landed this round
+  * re-derived driver-side from first principles on sf0.001. */
+class Round19Spec extends AnyFunSuite {
+  import TestSpark._
+
+  private def r6(v: Double): Double =
+    BigDecimal(v).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+
+  /** The exact quantizer both engines implement: pure IEEE ops. */
+  private def q9(x: Double): Long = {
+    val y = x * 1e9
+    (if (y >= 0) math.floor(y + 0.5) else math.ceil(y - 0.5)).toLong
+  }
+
+  test("q_gnn_layer_k equals a driver-side 3-layer quantized replay") {
+    val edges = GraphOps.edges(spark, sf0001).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val emb = Tables.embeddings(spark, sf0001)
+      .select(col("vec_id"), col("embedding")).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).map(_.toDouble).toArray)
+      .toMap
+    val nEmb = emb.size.toLong
+
+    def meanForward(l: Int, groups: Map[Long, Seq[Array[Double]]]): Map[Long, Array[Double]] =
+      groups.map { case (k, vs) =>
+        val sums = new Array[Long](Gnn.Dim)
+        vs.foreach { v =>
+          var i = 0; while (i < Gnn.Dim) { sums(i) += q9(v(i)); i += 1 }
+        }
+        val m = sums.map(_.toDouble / vs.size / 1e9)
+        k -> Gnn.forwardK(l, m)
+      }
+
+    val h1 = meanForward(1, edges.groupBy(_._1).map { case (c, es) =>
+      c -> es.toSeq.map { case (_, p) => emb(p % nEmb) } })
+    val h2 = meanForward(2, edges.groupBy(_._2).map { case (p, es) =>
+      p -> es.toSeq.map { case (c, _) => h1(c) } })
+    val h3 = meanForward(3, edges.groupBy(_._1).map { case (c, es) =>
+      c -> es.toSeq.map { case (_, p) => h2(p) } })
+
+    val got = Gnn.q_gnn_layer_k(spark, sf0001).collect()
+    assert(got.length == h3.size, "customer coverage")
+    got.foreach { r =>
+      val want = h3(r.getLong(0))
+      (1 to 4).foreach { i =>
+        assert(r.getDouble(i) == r6(want(i - 1)),
+          s"cust ${r.getLong(0)} k$i: got ${r.getDouble(i)} want ${r6(want(i - 1))}")
+      }
+    }
+    // the three layers must actually differ (per-layer seeds): a shared-W
+    // regression would make layer 1 and layer 3 identical functions
+    val probe = Array.fill(Gnn.Dim)(0.3)
+    assert(!Gnn.forwardK(1, probe).sameElements(Gnn.forwardK(3, probe)),
+      "layer seeds must differentiate the dense passes")
+    assert(!Gnn.forwardK(1, probe).sameElements(Gnn.forward(probe)),
+      "layer-1 must differ from the base q_gnn_layer weights")
+  }
+}
