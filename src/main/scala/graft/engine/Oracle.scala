@@ -423,6 +423,28 @@ object Oracle {
          |FROM pp p1 JOIN pp p2 ON p1.b = p2.a
          |           JOIN pp p3 ON p3.a = p1.a AND p3.b = p2.b""".stripMargin,
 
+    // Motif finder over the SAME thresholded symmetric projection the
+    // cc/bfs family uses; each branch mirrors one compiled pattern with
+    // its canonical `<` labeling.
+    "q_graph_motif_find" ->
+      s"""WITH $edgesCte,
+         |pp AS (SELECT e1.dst AS a, e2.dst AS b
+         |       FROM edges e1 JOIN edges e2 ON e1.src = e2.src AND e1.dst < e2.dst
+         |       GROUP BY 1, 2 HAVING COUNT(*) >= ${GraphOps.TriangleMinCooccur}),
+         |und AS (SELECT a, b FROM pp UNION ALL SELECT b AS a, a AS b FROM pp)
+         |SELECT 'chain3' AS pattern, COUNT(*) AS n_matches
+         |FROM und e1 JOIN und e2 ON e2.a = e1.b WHERE e1.a < e2.b
+         |UNION ALL
+         |SELECT 'star3' AS pattern,
+         |  CAST(SUM(d * (d - 1) * (d - 2) // 6) AS BIGINT) AS n_matches
+         |FROM (SELECT a, COUNT(*) AS d FROM und GROUP BY 1)
+         |UNION ALL
+         |SELECT 'triangle' AS pattern, COUNT(*) AS n_matches
+         |FROM und e1 JOIN und e2 ON e2.a = e1.b
+         |             JOIN und e3 ON e3.a = e1.a AND e3.b = e2.b
+         |WHERE e1.a < e1.b AND e1.b < e2.b
+         |ORDER BY pattern""".stripMargin,
+
     // 10 power-iteration steps unrolled as a CTE chain (recursive CTEs
     // can't carry aggregation in DuckDB); same formula as the Spark loop:
     // r_{t+1}(v) = 0.15 + 0.85 * Σ_{u∈N(v)} r_t(u)/deg(u), r_0 = 1.
