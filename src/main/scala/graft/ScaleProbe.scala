@@ -44,7 +44,7 @@ object ScaleProbe {
 
   def main(args: Array[String]): Unit = {
     // fail fast on a typo'd group name BEFORE the (long) replica builds
-    val known = Set("fact", "iter", "lsh", "r16", "r16iter", "r18")
+    val known = Set("fact", "iter", "lsh", "r16", "r16iter", "r18", "r19")
     val asked = args.filter(_ != "rebuild").toSet
     val unknown = asked -- known
     require(unknown.isEmpty,
@@ -241,6 +241,24 @@ object ScaleProbe {
         "q_time_burst",           // daily agg + bounded integer DP
         "q_time_pettitt"),        // rank windows over day-bounded series
         Tiers)
+    }
+    if (groups("r19")) {
+      // round-19: the Dist prefix-rank consumers on the fact axis (the
+      // rank input is the customer dim / vocab — near-constant as facts
+      // grow, so cost should track the scan with the device's flat
+      // per-job overhead), and the depth-3 GNN + motif joins on
+      // DISJOINT graph copies (per-superstep/join cost ~|E|, superstep
+      // and pattern counts copy-invariant).
+      runGroup("round-19 tiers (Dist consumers, fact axis)", Seq(
+        "q_agg_rfm",              // 3x Dist.ntile over the customer agg
+        "q_agg_pareto",           // Dist.ntile decile over customer spend
+        "q_llm_tokenizer_coverage", // Dist.orderedPrefix vocab ladder
+        "q_llm_pipeline_e2e"),    // dedup + Dist-packed sequence chain
+        Tiers)
+      runGroup("round-19 tiers (GNN stack + motifs, horizontal axis)", Seq(
+        "q_gnn_layer_k",          // 3 supersteps, quantized boundaries
+        "q_graph_motif_find"),    // wedge/triangle joins + degree stars
+        GraphTiers)
     }
     if (groups("lsh")) {
       // realistic 16× LSH + dedup clustering: per-copy near-dup rate is
