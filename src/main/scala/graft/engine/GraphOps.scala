@@ -487,15 +487,35 @@ object GraphOps {
   case class Motif(name: String, edges: Seq[(String, String)],
     lt: Seq[(String, String)])
 
+  /** GraphFrames-style pattern string → Motif: semicolon-separated
+    * terms, each either an edge `(u)-(v)` (undirected adjacency — the
+    * projection is symmetric) or a canonicalization/distinctness
+    * constraint `u<v`. Example: `"(x)-(y); (y)-(z); x<z"` is the open
+    * wedge. This is the user-facing `find()` surface; the case-class
+    * form below is what it compiles to. */
+  def parseMotif(name: String, pattern: String): Motif = {
+    val edgeRe = """\(\s*(\w+)\s*\)\s*-\s*\(\s*(\w+)\s*\)""".r
+    val ltRe = """(\w+)\s*<\s*(\w+)""".r
+    val terms = pattern.split(";").map(_.trim).filter(_.nonEmpty)
+    val (edges, lts) = terms.foldLeft(
+      (Vector.empty[(String, String)], Vector.empty[(String, String)])) {
+      case ((es, ls), edgeRe(u, v)) => (es :+ (u -> v), ls)
+      case ((es, ls), ltRe(a, b)) => (es, ls :+ (a -> b))
+      case (_, t) => throw new IllegalArgumentException(
+        s"motif $name: unparseable term '$t' (expected '(u)-(v)' or 'u<v')")
+    }
+    require(edges.nonEmpty, s"motif $name: no edges in pattern")
+    Motif(name, edges, lts)
+  }
+
   /** The shipped pattern library: 2-path (open wedge), 3-star (claw)
     * and triangle — each instance counted exactly once via the `<`
-    * canonicalization. */
+    * canonicalization. Declared in the string surface and parsed, so
+    * the parser is exercised by every registered run. */
   val MotifPatterns = Seq(
-    Motif("chain3", Seq("x" -> "y", "y" -> "z"), Seq("x" -> "z")),
-    Motif("star3", Seq("c" -> "x", "c" -> "y", "c" -> "z"),
-      Seq("x" -> "y", "y" -> "z")),
-    Motif("triangle", Seq("x" -> "y", "y" -> "z", "x" -> "z"),
-      Seq("x" -> "y", "y" -> "z")))
+    parseMotif("chain3", "(x)-(y); (y)-(z); x<z"),
+    parseMotif("star3", "(c)-(x); (c)-(y); (c)-(z); x<y; y<z"),
+    parseMotif("triangle", "(x)-(y); (y)-(z); (x)-(z); x<y; y<z"))
 
   /** Compile a motif to self-joins over the symmetric adjacency: each
     * pattern edge joins one aliased copy of `und` on its already-bound

@@ -63,6 +63,17 @@ class Round19Spec extends AnyFunSuite {
       "layer-1 must differ from the base q_gnn_layer weights")
   }
 
+  test("motif pattern parser round-trips the string surface") {
+    val m = GraphOps.parseMotif("w", "( x )-( y );  (y)-(z) ;x<z")
+    assert(m.edges == Seq("x" -> "y", "y" -> "z") && m.lt == Seq("x" -> "z"))
+    intercept[IllegalArgumentException] {
+      GraphOps.parseMotif("bad", "(x)->(y)") // directed syntax unsupported
+    }
+    intercept[IllegalArgumentException] {
+      GraphOps.parseMotif("empty", "x<y") // constraints only, no edges
+    }
+  }
+
   test("motif compiler: join form == brute force == closed form on a known graph") {
     val s = spark
     import s.implicits._
