@@ -359,16 +359,22 @@ object ClusterOps {
     * manifold-dimension diagnostic a pipeline reads before picking PQ
     * code sizes or IVF cell counts (ID ≪ ambient dim ⇒ aggressive
     * compression is safe): per sample point the 1st/2nd-NN squared
-    * distances, d̂ = n / Σ ln(r₂/r₁) = 2n / Σ ln(r₂²/r₁²). Runs on the
-    * 10 % vec_id sample — the SAME bounded ground-truth tier the exact
-    * jaccard/neardup queries use (the estimator needs ~hundreds of
-    * points; at 100 TB the sample, not the corpus, is the input).
+    * distances, d̂ = n / Σ ln(r₂/r₁) = 2n / Σ ln(r₂²/r₁²). Runs on a
+    * FIXED-COUNT deterministic sample: vec_id % step = 0 with
+    * step = ceil(n / TwoNnSampleTarget), so the all-pairs stage is
+    * ≤ ~TwoNnSampleTarget² at ANY corpus size (r13 — the former fixed
+    * 10 % fraction made the broadcast side grow with the data; the
+    * estimator needs ~hundreds of points, not a share of the corpus).
     * Distances are pinned vec_dot combinations (‖a‖²+‖b‖²−2a·b),
     * exact-duplicate pairs (r=0) excluded per the paper; ln ratios
     * round-9 → exact DECIMAL sum. */
+  val TwoNnSampleTarget = 200L
+
   def q_embed_twonn(s: SparkSession, dir: String): DataFrame = {
     val dot = LlmOps.vecDot(s) _
-    val e = Tables.embeddings(s, dir).filter(col("vec_id") % 10 === 0)
+    val n = Tables.embeddings(s, dir).count() // 1-row driver scalar
+    val step = math.max(1L, (n + TwoNnSampleTarget - 1) / TwoNnSampleTarget)
+    val e = Tables.embeddings(s, dir).filter(col("vec_id") % lit(step) === 0)
       .select(col("vec_id"), col("embedding"))
     val pairs = e.select(col("vec_id").as("ia"), col("embedding").as("ea"))
       .join(e.select(col("vec_id").as("ib"), col("embedding").as("eb")),

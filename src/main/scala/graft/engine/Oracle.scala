@@ -4245,8 +4245,11 @@ object Oracle {
     // TwoNN intrinsic dimension on the 10% sample: pinned vec_dot
     // distance combinations, ln ratios round-9 → exact DECIMAL sum.
     "q_embed_twonn" ->
-      """WITH e AS (SELECT vec_id, embedding FROM embeddings
-        |  WHERE vec_id % 10 = 0),
+      s"""WITH st AS (SELECT GREATEST(1, CAST(CEIL(COUNT(*)
+        |      / ${ClusterOps.TwoNnSampleTarget}.0) AS BIGINT)) AS step
+        |  FROM embeddings),
+        |e AS (SELECT vec_id, embedding FROM embeddings CROSS JOIN st
+        |  WHERE vec_id % st.step = 0),
         |p AS (SELECT a.vec_id AS ia, b.vec_id AS ib,
         |    ((SELECT SUM(CAST(x AS DOUBLE)*CAST(x AS DOUBLE))
         |      FROM (SELECT UNNEST(a.embedding) AS x) za)

@@ -306,7 +306,7 @@ class PlanAuditSpec extends AnyFunSuite {
       "q_stream_minhash" -> "per-lang signature state (lang space <= 16 groups)",
       "q_text_heaps_law" -> "10-row checkpointed sample-size ladder",
       "q_graph_pseudo_diameter" -> "checkpointed 1-row BFS source pick",
-      "q_embed_twonn" -> "fixed-fraction sample all-pairs baseline (documented; scale path = fixed-COUNT sample)")
+      "q_embed_twonn" -> "fixed-COUNT sample (step = ceil(n/200)): broadcast side <= ~200 rows at any corpus size")
 
     def boundedBnlj(j: BroadcastNestedLoopJoinExec): Boolean = {
       val side: SparkPlan = j.buildSide match {

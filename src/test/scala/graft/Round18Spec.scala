@@ -227,9 +227,13 @@ class Round18Spec extends AnyFunSuite {
   }
 
   test("q_embed_twonn equals a driver-side exact-NN replay") {
-    val pts = Tables.embeddings(spark, sf0001)
+    val all = Tables.embeddings(spark, sf0001)
       .selectExpr("vec_id", "embedding").collect()
-      .filter(_.getLong(0) % 10 == 0)
+    // r13 fixed-count sample: step = ceil(n / TwoNnSampleTarget)
+    val step = math.max(1L,
+      (all.length + ClusterOps.TwoNnSampleTarget - 1) / ClusterOps.TwoNnSampleTarget)
+    val pts = all
+      .filter(_.getLong(0) % step == 0)
       .map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
     def dot(a: Array[Float], b: Array[Float]): Double = {
       var s = 0.0; var k = 0
