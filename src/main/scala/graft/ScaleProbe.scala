@@ -44,7 +44,7 @@ object ScaleProbe {
 
   def main(args: Array[String]): Unit = {
     // fail fast on a typo'd group name BEFORE the (long) replica builds
-    val known = Set("fact", "iter", "lsh", "r16", "r16iter", "r18", "r19")
+    val known = Set("fact", "iter", "lsh", "r16", "r16iter", "r18", "r19", "r19g")
     val asked = args.filter(_ != "rebuild").toSet
     val unknown = asked -- known
     require(unknown.isEmpty,
@@ -255,6 +255,10 @@ object ScaleProbe {
         "q_llm_tokenizer_coverage", // Dist.orderedPrefix vocab ladder
         "q_llm_pipeline_e2e"),    // dedup + Dist-packed sequence chain
         Tiers)
+    }
+    if (groups("r19g")) {
+      // separate group (own session/run): the per-tier MV caches of a
+      // combined run accumulate past local-mode storage memory
       runGroup("round-19 tiers (GNN stack + motifs, horizontal axis)", Seq(
         "q_gnn_layer_k",          // 3 supersteps, quantized boundaries
         "q_graph_motif_find"),    // wedge/triangle joins + degree stars
