@@ -151,27 +151,40 @@ object Gnn {
         .cast("bigint")
     })
 
+  /** JVM twin of `quant`'s per-component rule — floor/ceil/multiply/add
+    * are the same correctly-rounded IEEE ops here as in codegen and in
+    * DuckDB, so all three quantizers are bit-identical by construction. */
+  private def q9(x: Double): Long = {
+    val y = x * 1e9
+    (if (y >= 0) math.floor(y + 0.5) else math.ceil(y - 0.5)).toLong
+  }
+
   /** One message-passing superstep: exact integer mean fold over the
     * pre-quantized neighbor vectors + the layer-l dense pass, in ONE
     * object pass per group (the q_gnn_layer2 mapGroups shape — measured
-    * 3× faster than 64 separate sum() buffers + a second typed map). */
+    * 3× faster than 64 separate sum() buffers + a second typed map).
+    * Emits the NEXT superstep's message pre-quantized (q9 in the same
+    * fold), so no decode→transform→re-encode pass sits between steps. */
+  /** Exact order-blind mean of quantized messages: long sums / n / 1e9. */
+  private def foldMean(it: Iterator[(Long, Array[Long])]): Array[Double] = {
+    val sums = new Array[Long](Dim)
+    var n = 0L
+    it.foreach { case (_, q) =>
+      var i = 0; while (i < Dim) { sums(i) += q(i); i += 1 }; n += 1
+    }
+    val m = new Array[Double](Dim)
+    var i = 0
+    while (i < Dim) { m(i) = sums(i).toDouble / n / 1e9; i += 1 }
+    m
+  }
+
   private def step(l: Int, in: DataFrame): DataFrame = {
     val s = in.sparkSession
     import s.implicits._
     in.as[(Long, Array[Long])]
       .groupByKey(_._1)
-      .mapGroups { (k, it) =>
-        val sums = new Array[Long](Dim)
-        var n = 0L
-        it.foreach { case (_, q) =>
-          var i = 0; while (i < Dim) { sums(i) += q(i); i += 1 }; n += 1
-        }
-        val m = new Array[Double](Dim)
-        var i = 0
-        while (i < Dim) { m(i) = sums(i).toDouble / n / 1e9; i += 1 }
-        (k, forwardK(l, m))
-      }
-      .toDF("node", "h")
+      .mapGroups((k, it) => (k, forwardK(l, foldMean(it)).map(q9)))
+      .toDF("node", "qh")
   }
 
   /** K-layer GNN stack (GraphSAGE depth-K, K = LayerK = 3): supersteps
@@ -184,21 +197,28 @@ object Gnn {
     * generates the full 3-layer chained-matmul SQL from the same
     * weightK/biasK formulas over the same quantized means. */
   def q_gnn_layer_k(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
     val edges = GraphOps.edges(s, dir)
-    // superstep 1: customers aggregate raw part embeddings
+    // superstep 1: customers aggregate raw part embeddings (codegen quant)
     val h1 = step(1, GraphOps.neighborFeatures(s, dir)
       .select(col("src"), quant(col("embedding")).as("q")))
-    // superstep 2: parts aggregate customer representations
+    // superstep 2: parts aggregate customer representations (messages
+    // arrive pre-quantized from the previous fold — no transform pass)
     val h2 = step(2, edges.join(h1, col("src") === col("node"))
-      .select(col("dst").as("k2"), quant(col("h")).as("q")))
+      .select(col("dst").as("k2"), col("qh").as("q")))
     // superstep 3: customers aggregate part representations; dims 1-4 out
-    val h3 = step(3, edges.join(h2, col("dst") === col("node"))
-      .select(col("src").as("k3"), quant(col("h")).as("q")))
-    h3.select(col("node").as("custkey"),
-        round(element_at(col("h"), 1), 6).as("k1"),
-        round(element_at(col("h"), 2), 6).as("k2"),
-        round(element_at(col("h"), 3), 6).as("k3"),
-        round(element_at(col("h"), 4), 6).as("k4"))
+    edges.join(h2, col("dst") === col("node"))
+      .select(col("src").as("k3"), col("qh").as("q"))
+      .as[(Long, Array[Long])]
+      .groupByKey(_._1)
+      .mapGroups { (k, it) =>
+        val h = forwardK(3, foldMean(it))
+        (k, h(0), h(1), h(2), h(3))
+      }
+      .toDF("custkey", "k1r", "k2r", "k3r", "k4r")
+      .select(col("custkey"),
+        round(col("k1r"), 6).as("k1"), round(col("k2r"), 6).as("k2"),
+        round(col("k3r"), 6).as("k3"), round(col("k4r"), 6).as("k4"))
       .orderBy("custkey")
   }
 
