@@ -355,6 +355,27 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(staleWin.isEmpty, s"stale globalWinAllow entries: ${staleWin.mkString(",")}")
   }
 
+  test("round-19 plan pins: motif joins hash, layer_k stays partitioned") {
+    // motif_find: every compiled pattern edge must plan as a HASH join
+    // (equality on bound vars) over the checkpointed projection — a
+    // regression to nested-loop would be quadratic in the adjacency
+    val mf = SparkEntry.queries("q_graph_motif_find")(spark, sf0001)
+    val mfPlan = mf.queryExecution.executedPlan.toString
+    assert(!mfPlan.contains("BroadcastNestedLoop") && !mfPlan.contains("CartesianProduct"),
+      s"motif pattern joins must be hash joins:\n$mfPlan")
+    assert(mfPlan.contains("Join"), "motif plan must contain the pattern joins")
+    // layer_k: no unpartitioned window anywhere (supersteps are keyed
+    // folds), and the fact scan happens once inside the edges MV build
+    val lk = SparkEntry.queries("q_gnn_layer_k")(spark, sf0001)
+    val lkWins = lk.queryExecution.sparkPlan.collect {
+      case w: org.apache.spark.sql.execution.window.WindowExec => w
+    }
+    assert(lkWins.forall(_.partitionSpec.nonEmpty),
+      "layer_k must not contain an unpartitioned window")
+    assert(lk.queryExecution.sparkPlan.toString.contains("MapGroups"),
+      "supersteps plan as keyed object folds")
+  }
+
   test("RFM + tokenizer ladder have NO unpartitioned window (Dist device)") {
     // r12 weak set items 1-2: the customer dimension and the token
     // vocabulary both GROW with the corpus, so their rank/quintile
