@@ -1151,7 +1151,9 @@ object Oracle {
         |        CAST(len(list_intersect(d1.g3, d2.g3)) AS DOUBLE)
         |          / (len(d1.g3) + len(d2.g3) - len(list_intersect(d1.g3, d2.g3))) AS jac
         |      FROM d d1 JOIN d d2 ON d1.lang = d2.lang AND d1.doc_id < d2.doc_id)
-        |SELECT lang, doc_a, doc_b, ROUND(jac, 6) AS jaccard3
+        |SELECT lang, doc_a, doc_b, ROUND(jac, 6) AS jaccard3,
+        |  (SELECT CAST(20000 AS BIGINT) - MAX(c)
+        |   FROM (SELECT COUNT(*) AS c FROM documents WHERE doc_id % 10 = 0 GROUP BY lang)) AS exact_guard_margin
         |FROM p WHERE jac >= 0.3 ORDER BY lang, doc_a, doc_b""".stripMargin,
 
     "q_llm_embed_neardup" ->
@@ -6586,7 +6588,9 @@ object Oracle {
         |          / len(d1.g3) AS cont
         |      FROM d d1 JOIN d d2
         |        ON d1.lang = d2.lang AND d1.doc_id <> d2.doc_id)
-        |SELECT lang, doc_a, doc_b, na, ROUND(cont, 6) AS containment3
+        |SELECT lang, doc_a, doc_b, na, ROUND(cont, 6) AS containment3,
+        |  (SELECT CAST(20000 AS BIGINT) - MAX(c)
+        |   FROM (SELECT COUNT(*) AS c FROM documents WHERE doc_id % 10 = 0 GROUP BY lang)) AS exact_guard_margin
         |FROM p WHERE cont >= 0.5 ORDER BY lang, doc_a, doc_b""".stripMargin
   )
 

@@ -196,6 +196,7 @@ object TextOps {
     * before any bitmap is touched. Values are identical to the direct
     * array_intersect formulation (integer set math either way). */
   def q_llm_ngram_jaccard(s: SparkSession, dir: String): DataFrame = {
+    val maxSampled = sampleFenceCheck(s, dir, "q_llm_ngram_jaccard")
     val bitmaps = trigramBitmaps(s, dir)
     val a = bitmaps.select(col("lang"), col("doc_id").as("doc_a"),
       col("ng").as("na"), col("bm").as("ba"))
@@ -207,8 +208,26 @@ object TextOps {
         call_function("graft_bitmap_and_count", col("ba"), col("bb")).cast("double"))
       .withColumn("jac", col("ic") / (col("na") + col("nb") - col("ic")))
       .filter(col("jac") >= 0.3)
-      .select(col("lang"), col("doc_a"), col("doc_b"), round(col("jac"), 6).as("jaccard3"))
+      .select(col("lang"), col("doc_a"), col("doc_b"), round(col("jac"), 6).as("jaccard3"),
+        (lit(LlmOps.JaccardExactMaxDocsPerLang) - lit(maxSampled)).as("exact_guard_margin"))
       .orderBy("lang", "doc_a", "doc_b")
+  }
+
+  /** Exact-baseline fence for the sampled-quadratic trigram tier (the
+    * q_llm_jaccard_pairs device, r13): the 10% sample still GROWS with
+    * the corpus, so both bitmap consumers refuse when the largest
+    * language's SAMPLED doc count exceeds the shared per-lang fence and
+    * emit the headroom as an oracled margin column. */
+  private def sampleFenceCheck(s: SparkSession, dir: String, op: String): Long = {
+    val maxSampled = Tables.documents(s, dir)
+      .filter(col("doc_id") % 10 === 0)
+      .groupBy(col("lang")).agg(count(lit(1)).as("c"))
+      .agg(max(col("c"))).collect()(0).getLong(0) // lang-bounded, 1-row collect
+    require(maxSampled <= LlmOps.JaccardExactMaxDocsPerLang,
+      s"$op is the sampled O(n^2/lang) exact baseline: largest lang has " +
+        s"$maxSampled sampled docs > fence ${LlmOps.JaccardExactMaxDocsPerLang}. " +
+        "Run the LSH scale path (q_llm_minhash_lsh) for candidates instead.")
+    maxSampled
   }
 
   /** Per-lang dictionary-encoded trigram bitmaps over the deterministic
@@ -266,6 +285,7 @@ object TextOps {
     * ground-truth tier; at corpus scale the LSH band path generates the
     * candidate pairs and THIS formula scores them. */
   def q_llm_containment(s: SparkSession, dir: String): DataFrame = {
+    val maxSampled = sampleFenceCheck(s, dir, "q_llm_containment")
     val bitmaps = trigramBitmaps(s, dir)
     val a = bitmaps.select(col("lang"), col("doc_id").as("doc_a"),
       col("ng").as("na"), col("bm").as("ba"))
@@ -278,7 +298,8 @@ object TextOps {
       .withColumn("cont", col("ic") / col("na").cast("double"))
       .filter(col("cont") >= 0.5)
       .select(col("lang"), col("doc_a"), col("doc_b"), col("na"),
-        round(col("cont"), 6).as("containment3"))
+        round(col("cont"), 6).as("containment3"),
+        (lit(LlmOps.JaccardExactMaxDocsPerLang) - lit(maxSampled)).as("exact_guard_margin"))
       .orderBy("lang", "doc_a", "doc_b")
   }
 

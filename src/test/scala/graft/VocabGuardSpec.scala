@@ -58,5 +58,9 @@ class VocabGuardSpec extends AnyFunSuite {
     val m = LlmOps.q_llm_jaccard_pairs(s, sf0001)
       .select(col("exact_guard_margin")).limit(1).collect()
     assert(m.nonEmpty && m(0).getLong(0) > 0, "fixture must sit under the fence")
+    // the oracle SQL hardcodes the fence literal (plain strings) — pin
+    // the constant so the two can never drift apart silently
+    assert(LlmOps.JaccardExactMaxDocsPerLang == 20000L,
+      "changing the fence requires updating the 20000 literals in Oracle.scala")
   }
 }
