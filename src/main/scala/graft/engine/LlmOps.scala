@@ -658,8 +658,16 @@ object LlmOps {
     * (q_llm_semdedup cell-scoped dedup, q_llm_simhash hyperplane banding)
     * are tested against. Do NOT scale its sample up; see PERF.md
     * "exact-baseline fences". */
+  /** Fixed-count sample for the exact neardup baseline (the twonn
+    * device, r13): step = ceil(n / target) bounds the all-pairs stage
+    * to ~target² at ANY corpus size — the former fixed 25% fraction
+    * made the pair space grow quadratically with the data. */
+  val EmbedNeardupSampleTarget = 500L
+
   def q_llm_embed_neardup(s: SparkSession, dir: String): DataFrame = {
-    val sub = Tables.embeddings(s, dir).filter(col("vec_id") % 4 === 0)
+    val n = Tables.embeddings(s, dir).count() // 1-row driver scalar
+    val step = math.max(1L, (n + EmbedNeardupSampleTarget - 1) / EmbedNeardupSampleTarget)
+    val sub = Tables.embeddings(s, dir).filter(col("vec_id") % lit(step) === 0)
       .withColumn("nrm", normCol(s)(col("embedding")))
     val a = sub.select(col("vec_id").as("vec_a"), col("embedding").as("ea"), col("nrm").as("na"))
     val b = sub.select(col("vec_id").as("vec_b"), col("embedding").as("eb"), col("nrm").as("nb"))
@@ -724,10 +732,19 @@ object LlmOps {
     * shared by the cluster and soft-dedup passes. */
   private[engine] def dedupDocs(s: SparkSession, dir: String): DataFrame =
     Mv.memo(s, s"dedupDocs|$dir") { bs =>
-      tokenSets(bs, dir)
+      val d = tokenSets(bs, dir)
         .filter(col("doc_id") % 10 === 0 && size(col("toks")) > 0)
         .select(col("doc_id"), col("lang"), size(col("toks")).cast("bigint").as("nt"))
         .localCheckpoint()
+      // same exact-baseline fence as q_llm_jaccard_pairs: the dedup
+      // component MV's candidate stage is all-pairs per lang over this
+      // sample — refuse past the shared bound rather than melt a cluster
+      val maxPerLang = d.groupBy(col("lang")).agg(count(lit(1)).as("c"))
+        .agg(max(col("c"))).collect()(0).getLong(0)
+      require(maxPerLang <= JaccardExactMaxDocsPerLang,
+        s"dedupDocs sample has $maxPerLang docs in one lang > fence " +
+          s"$JaccardExactMaxDocsPerLang — use the LSH candidate path")
+      d
     }
 
   /** Duplicate-component labels (node → min-id label) over the

@@ -1157,7 +1157,11 @@ object Oracle {
         |FROM p WHERE jac >= 0.3 ORDER BY lang, doc_a, doc_b""".stripMargin,
 
     "q_llm_embed_neardup" ->
-      s"""WITH sub AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id % 4 = 0),
+      s"""WITH st AS (SELECT GREATEST(1, CAST(CEIL(COUNT(*)
+         |      / ${LlmOps.EmbedNeardupSampleTarget}.0) AS BIGINT)) AS step
+         |  FROM embeddings),
+         |sub AS (SELECT vec_id, embedding FROM embeddings CROSS JOIN st
+         |  WHERE vec_id % st.step = 0),
          |p AS (SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
          |        ROUND(${cosExpr("a.embedding", "b.embedding")}, 6) AS cos_sim
          |      FROM sub a JOIN sub b ON a.vec_id < b.vec_id)
