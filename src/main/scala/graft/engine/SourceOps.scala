@@ -119,6 +119,59 @@ object SourceOps {
       .orderBy("day")
   }
 
+  /** File count the z-order layout evaluator packs rows into, and the
+    * per-dimension bit width of the interleave. */
+  val ZFiles = 64
+  val ZBits = 16
+
+  /** Bit-interleaved (Morton/Z-order) key of two ZBits-wide dimensions
+    * — pure integer shifts/masks, bit-identical in DuckDB. */
+  private def zValue(x: org.apache.spark.sql.Column,
+      y: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    (0 until ZBits).map { i =>
+      shiftleft(shiftright(x, i).bitwiseAND(lit(1L)), 2 * i) +
+        shiftleft(shiftright(y, i).bitwiseAND(lit(1L)), 2 * i + 1)
+    }.reduce(_ + _)
+
+  /** Z-ORDER layout evaluator (the Delta/Iceberg `ZORDER BY` decision
+    * tool): packs the event table into ZFiles equal files two ways —
+    * insertion order (event_id) vs Morton order on (user_id, day) —
+    * records each file's user_id min/max zone map, and probes both
+    * layouts with a user-range predicate (the lowest user decile).
+    * `files_hit` = files whose zone map intersects the probe = the
+    * files a min/max-pruning scan must read. On a clustered layout the
+    * ratio collapses toward the selectivity; on insertion order every
+    * file spans the full key range and nothing prunes — THE quantified
+    * argument for re-clustering before a 100 TB scan-heavy workload.
+    * File assembly uses Dist.ntile (no single-partition sort); all
+    * counts exact integers, one round-6 ratio per layout. */
+  def q_src_zorder_layout(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(s, dir).select(col("event_id"), col("user_id"),
+      datediff(to_date(col("ts")), lit("2024-01-01").cast("date"))
+        .cast("bigint").as("day"))
+    val mask = (1L << ZBits) - 1
+    val withZ = ev.withColumn("zv",
+      zValue(col("user_id").bitwiseAND(lit(mask)),
+        col("day").bitwiseAND(lit(mask))))
+    // probe = the lowest user decile, derived from the data so the
+    // band is non-degenerate at every sf (1-row driver scalar)
+    val probeHi = ev.agg(max(col("user_id"))).collect()(0).getLong(0) / 10L
+    def layout(name: String, order: Seq[org.apache.spark.sql.Column]) =
+      Dist.ntile(withZ, ZFiles, order, "file_id")
+        .groupBy(col("file_id"))
+        .agg(min(col("user_id")).as("mn"), max(col("user_id")).as("mx"),
+          count(lit(1)).as("in_file"))
+        .agg(count(lit(1)).as("n_files"),
+          sum(when(col("mn") <= probeHi, 1L).otherwise(0L)).as("files_hit"),
+          sum(col("in_file")).as("n_rows"))
+        .select(lit(name).as("layout"), col("n_files"), col("files_hit"),
+          round(col("files_hit").cast("double") / col("n_files").cast("double"), 6)
+            .as("hit_ratio"), col("n_rows"))
+    layout("natural", Seq(col("event_id")))
+      .unionAll(layout("zorder", Seq(col("zv"), col("event_id"))))
+      .orderBy("layout")
+  }
+
   /** Bucket count for the co-located join (both sides identical). */
   val JoinBuckets = 8
 
@@ -294,6 +347,7 @@ object SourceOps {
     "q_src_gzip_roundtrip" -> q_src_gzip_roundtrip _,
     "q_src_text_roundtrip" -> q_src_text_roundtrip _,
     "q_src_binary_ingest" -> q_src_binary_ingest _,
+    "q_src_zorder_layout" -> q_src_zorder_layout _,
     "q_src_schema_evolution" -> q_src_schema_evolution _,
     "q_join_bucketed" -> q_join_bucketed _,
     "q_src_csv_roundtrip" -> q_src_csv_roundtrip _,

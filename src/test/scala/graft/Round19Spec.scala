@@ -63,6 +63,24 @@ class Round19Spec extends AnyFunSuite {
       "layer-1 must differ from the base q_gnn_layer weights")
   }
 
+  test("z-order layout prunes; insertion order cannot (the re-cluster argument)") {
+    val rows = graft.engine.SourceOps.q_src_zorder_layout(spark, sf0001)
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getDouble(3), r.getLong(4))).toMap
+    assert(rows.keySet == Set("natural", "zorder"))
+    val (nf, natHit, natRatio, natRows) = rows("natural")
+    val (zf, zoHit, zoRatio, zoRows) = rows("zorder")
+    assert(nf == 64L && zf == 64L, "both layouts pack 64 files")
+    assert(natRows == zoRows, "layouts hold the same rows")
+    // insertion order interleaves users, so most zone maps span the
+    // probe (54/64 at sf0.001's 1k events, 64/64 at sf0.1); the Morton
+    // order must prune toward the decile selectivity
+    assert(natHit > 32L, s"insertion-order zone maps barely prune, hit $natHit/64")
+    assert(zoHit < 20L && zoHit >= 1L,
+      s"z-order must localize the probe band, hit $zoHit/64 files")
+    assert(zoRatio * 3 < natRatio, "the re-clustering argument itself")
+  }
+
   test("motif pattern parser round-trips the string surface") {
     val m = GraphOps.parseMotif("w", "( x )-( y );  (y)-(z) ;x<z")
     assert(m.edges == Seq("x" -> "y", "y" -> "z") && m.lt == Seq("x" -> "z"))
