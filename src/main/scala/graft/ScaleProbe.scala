@@ -253,7 +253,8 @@ object ScaleProbe {
         "q_agg_rfm",              // 3x Dist.ntile over the customer agg
         "q_agg_pareto",           // Dist.ntile decile over customer spend
         "q_llm_tokenizer_coverage", // Dist.orderedPrefix vocab ladder
-        "q_llm_pipeline_e2e"),    // dedup + Dist-packed sequence chain
+        "q_llm_pipeline_e2e",     // dedup + Dist-packed sequence chain
+        "q_src_zorder_layout"),   // Morton key + 2x Dist.ntile file packing
         Tiers)
     }
     if (groups("r19g")) {
