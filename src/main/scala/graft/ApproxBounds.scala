@@ -5,12 +5,17 @@ import org.apache.spark.sql.functions._
 
 import graft.engine.{LlmOps, Relational}
 
-/** Measured error bounds for the contract's 4 self-checked (non-oracled)
-  * approximate operators, surfaced as an ARTIFACT rather than a spec
-  * assertion (VERDICT r6 item 7): the driver archives the JSON next to
-  * the bench record, so the self-checked tier is auditable without
-  * reading the test suite. Each measurement compares the approximate
-  * operator against its exact twin ON THE SAME INPUT, engine-side
+/** Measured error bounds for the contract's approximate operators,
+  * surfaced as an ARTIFACT rather than a spec assertion (VERDICT r6
+  * item 7): the driver archives the JSON next to the bench record. As
+  * of round 14 every approximate operator is bracket-oracled (exact
+  * columns hash-checked + within-measured-envelope booleans the oracle
+  * asserts TRUE) — THIS artifact is where those envelopes are measured:
+  * the `md5_twin_recall_*` / `full_precision` / `twin_agreement` fields
+  * are the evidence behind the floors and bands in LlmOps
+  * (MinhashTwinRecall*Lo, SimhashPrecisionLo, Simhash*Band). Each
+  * measurement compares the approximate operator against its exact
+  * twin ON THE SAME INPUT, engine-side
   * (joins + one-row aggregates — nothing data-sized reaches the driver):
   *
   *  - HLL++ (`q_agg_approx_distinct`) vs exact `countDistinct` — max /
@@ -87,7 +92,10 @@ object ApproxBounds {
     // 2-4 counts/joins below; without persist every one re-runs its full
     // pipeline — for `exact` that is the O(n²/lang) quadratic baseline
     // (round-9 code review: measureJson was re-executing it 6×).
-    val cand = LlmOps.q_llm_minhash_lsh(s, dir).select(col("doc_a"), col("doc_b"))
+    val cand = LlmOps.minhashXxPairs(s, dir).select(col("doc_a"), col("doc_b"))
+      .persist()
+    val md5Minhash = LlmOps.q_llm_minhash_md5(s, dir)
+      .select(col("doc_a"), col("doc_b"), col("jaccard"))
       .persist()
     val exact = LlmOps.q_llm_jaccard_pairs(s, dir)
       .select(col("doc_a"), col("doc_b"), col("jaccard"))
@@ -111,6 +119,16 @@ object ApproxBounds {
       .count()
     val recall = if (nStrong == 0) 1.0 else nStrongHit.toDouble / nStrong
     val precision = if (nCand == 0) 1.0 else nCandTrue.toDouble / nCand
+    // xx banding scored against the oracled md5 twin's verified pairs —
+    // the measured basis of the q_llm_minhash_lsh bracket-oracle floors
+    // (MinhashTwinRecallAllLo / MinhashTwinRecallStrongLo).
+    val nMd5Pairs = md5Minhash.count()
+    val md5Strong = md5Minhash.filter(col("jaccard") >= 0.8)
+    val nMd5Strong = md5Strong.count()
+    val md5HitAll = md5Minhash.join(cand, Seq("doc_a", "doc_b"), "left_semi").count()
+    val md5HitStrong = md5Strong.join(cand, Seq("doc_a", "doc_b"), "left_semi").count()
+    val md5RecAll = if (nMd5Pairs == 0) 1.0 else md5HitAll.toDouble / nMd5Pairs
+    val md5RecStrong = if (nMd5Strong == 0) 1.0 else md5HitStrong.toDouble / nMd5Strong
     // xxhash64 SimHash vs exact ground truth AND its oracled md5 twin,
     // all on the SAME deterministic 10% sample (VERDICT r8 item 5): the
     // fast path re-run sample-restricted gives the same-input comparison
@@ -129,6 +147,17 @@ object ApproxBounds {
     val shPrec = if (shN == 0) 1.0 else shTrue.toDouble / shN
     val shAgree = if (math.max(shN, shMd5N) == 0) 1.0
       else shBoth.toDouble / math.max(shN, shMd5N)
+    // full-corpus xx-SimHash precision (exact-verify ONLY the emitted
+    // pairs — pair-set-sized, never quadratic): the measured basis of
+    // the q_llm_simhash bracket-oracle floor (SimhashPrecisionLo).
+    val shFull = LlmOps.simhashXx(s, dir, sampled = false)
+      .select(col("lang"), col("doc_a"), col("doc_b"))
+    val shFullRow = LlmOps.jaccardVerify(s, dir, shFull)
+      .agg(count(lit(1)).as("n"),
+        coalesce(sum(when(col("jac") >= 0.5, 1L)), lit(0L)).as("nt"))
+      .collect()(0)
+    val shFullN = shFullRow.getLong(0)
+    val shFullPrec = if (shFullN == 0) 1.0 else shFullRow.getLong(1).toDouble / shFullN
     // Band/threshold sweep (VERDICT r9 item 4): the same xx pipeline at
     // bands ∈ {2×32, 4×16, 8×8} × hamming ∈ {8, 12, 16}, each scored
     // against the SAME exact-Jaccard ground truth on the SAME sample —
@@ -161,11 +190,14 @@ object ApproxBounds {
       s""""hll":{"max_rel_err":${f6(hll.getDouble(0))},"avg_rel_err":${f6(hll.getDouble(1))}},""" +
       s""""gk":{"max_rel_err":${f6(gk.getDouble(0))}},""" +
       s""""minhash_lsh":{"n_strong":$nStrong,"recall_strong":${f6(recall)},""" +
-      s""""n_candidates":$nCand,"precision":${f6(precision)}},""" +
+      s""""n_candidates":$nCand,"precision":${f6(precision)},""" +
+      s""""n_md5_pairs":$nMd5Pairs,"md5_twin_recall_all":${f6(md5RecAll)},""" +
+      s""""md5_twin_recall_strong":${f6(md5RecStrong)}},""" +
       s""""simhash_xx":{"n_strong":$shNStrong,"recall_strong":${f6(shRecall)},""" +
       s""""n_pairs":$shN,"precision":${f6(shPrec)},""" +
+      s""""n_full_pairs":$shFullN,"full_precision":${f6(shFullPrec)},""" +
       s""""n_pairs_md5_twin":$shMd5N,"twin_agreement":${f6(shAgree)}},""" +
       s""""simhash_sweep":[${sweep.mkString(",")}]}"""
-    } finally Seq(cand, exact, xxPairs, md5Pairs).foreach(_.unpersist())
+    } finally Seq(cand, exact, xxPairs, md5Pairs, md5Minhash).foreach(_.unpersist())
   }
 }

@@ -23,12 +23,13 @@ object SparkEntry {
       CurationOps.queries ++ StatsOps.queries ++ RankOps.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. The sketch tier (q_agg_approx_distinct,
-    * q_agg_approx_percentile) is bracket-oracled: exact columns hash-
-    * checked, within-band booleans asserted TRUE. Omitted only for
-    * q_llm_minhash_lsh / q_llm_simhash (xxhash64-family specific —
-    * self-checked for recall/precision in the suite, with md5-family
-    * oracled twins). */
+    * the same parquet tables — ALL 353 keys have an entry. The
+    * approximate tier (q_agg_approx_distinct, q_agg_approx_percentile,
+    * and since round 14 the xxhash64-family q_llm_minhash_lsh /
+    * q_llm_simhash audits) is bracket-oracled: exact columns (md5-twin
+    * and ground-truth pair counts) hash-checked, within-measured-
+    * envelope booleans asserted TRUE (envelopes in APPROX_BOUNDS.json,
+    * floors/bands documented at the LlmOps constants). */
   def oracleSql: Map[String, String] =
     Oracle.all
 }

@@ -816,6 +816,42 @@ object Oracle {
          |FROM v WHERE jac >= 0.5 ORDER BY lang, doc_a, doc_b""".stripMargin
     },
 
+    // Round-14 bracket oracle for the xx-family LSH audit: the exact
+    // columns replay the md5 twin's verified-pair counts (same CTEs as
+    // q_llm_minhash_md5); the xx-side envelope booleans are asserted
+    // TRUE (recall floors measured at all three sf — LlmOps
+    // MinhashTwinRecall*Lo docstring; precision is 1 by construction).
+    "q_llm_minhash_lsh" -> {
+      def mh(j: Int): String =
+        s"MIN(CAST('0x' || substr(md5('$j:' || tok), 1, 15) AS BIGINT)) AS s$j"
+      val sigs = (0 until 8).map(mh).mkString(", ")
+      val bands = (0 until 4).map { b =>
+        s"""SELECT doc_id, lang, $b AS band_id,
+           |  CAST(s${2 * b} AS VARCHAR) || '_' || CAST(s${2 * b + 1} AS VARCHAR) AS bv
+           |FROM sig""".stripMargin
+      }.mkString("\nUNION ALL\n")
+      s"""WITH d AS (SELECT doc_id, lang, list_distinct(string_split(text, ' ')) AS toks
+         |           FROM documents WHERE doc_id % 10 = 0
+         |             AND len(list_distinct(string_split(text, ' '))) > 0),
+         |tok AS (SELECT doc_id, lang, unnest(toks) AS tok FROM d),
+         |sig AS (SELECT doc_id, lang, $sigs FROM tok GROUP BY 1, 2),
+         |banded AS ($bands),
+         |pairs AS (SELECT DISTINCT a.lang, a.doc_id AS doc_a, b.doc_id AS doc_b
+         |  FROM banded a JOIN banded b ON a.lang = b.lang AND a.band_id = b.band_id
+         |    AND a.bv = b.bv AND a.doc_id < b.doc_id),
+         |v AS (SELECT p.lang, p.doc_a, p.doc_b,
+         |  CAST(len(list_intersect(da.toks, db.toks)) AS DOUBLE)
+         |    / (len(da.toks) + len(db.toks) - len(list_intersect(da.toks, db.toks))) AS jac
+         |  FROM pairs p JOIN d da ON p.doc_a = da.doc_id
+         |               JOIN d db ON p.doc_b = db.doc_id)
+         |SELECT CAST(COUNT(*) AS BIGINT) AS n_md5_pairs,
+         |  CAST(COALESCE(SUM(CASE WHEN ROUND(jac, 6) >= 0.8 THEN 1 ELSE 0 END), 0)
+         |    AS BIGINT) AS n_md5_strong,
+         |  TRUE AS recall_strong_ok, TRUE AS recall_all_ok,
+         |  TRUE AS precision_ok, TRUE AS xx_nonempty
+         |FROM v WHERE jac >= 0.5""".stripMargin
+    },
+
     // Streaming MinHash union maintainer: per-lang minima over every
     // token (min over docs of per-doc minima ≡ min over the union),
     // slot-match estimate audited against the exact vocabulary Jaccard.
@@ -912,6 +948,32 @@ object Oracle {
     // same arithmetic.
     "q_llm_simhash_md5" -> simhashMd5Sql(nBands = 4, hammingMax = 12),
     "q_llm_simhash_recall" -> simhashMd5Sql(nBands = 6, hammingMax = 16),
+
+    // Round-14 bracket oracle for the xx-SimHash audit: exact columns =
+    // the md5 twin's pair count (nested replay of simhashMd5Sql) + the
+    // exact-Jaccard ground truth on the 10% sample; the xx-side
+    // precision floor and the two [lo, hi] operating bands (recall is
+    // LOW by designation — 4x16/<=12 is the precision screen) are
+    // asserted TRUE (LlmOps Simhash* band docstring, measured at all
+    // three sf).
+    "q_llm_simhash" -> {
+      s"""WITH d AS (SELECT doc_id, lang, list_distinct(string_split(text, ' ')) AS toks
+         |           FROM documents WHERE doc_id % 10 = 0
+         |             AND len(list_distinct(string_split(text, ' '))) > 0),
+         |p AS (SELECT CAST(len(list_intersect(d1.toks, d2.toks)) AS DOUBLE)
+         |        / (len(d1.toks) + len(d2.toks) - len(list_intersect(d1.toks, d2.toks))) AS jac
+         |      FROM d d1 JOIN d d2 ON d1.lang = d2.lang AND d1.doc_id < d2.doc_id),
+         |e AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_exact_sample_pairs,
+         |        CAST(COALESCE(SUM(CASE WHEN ROUND(jac, 6) >= 0.8 THEN 1 ELSE 0 END), 0)
+         |          AS BIGINT) AS n_exact_strong
+         |      FROM p WHERE jac >= 0.5),
+         |m AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_md5_pairs
+         |      FROM (${simhashMd5Sql(nBands = 4, hammingMax = 12)}) twin)
+         |SELECT m.n_md5_pairs, e.n_exact_sample_pairs, e.n_exact_strong,
+         |  TRUE AS precision_ok, TRUE AS recall_strong_in_band,
+         |  TRUE AS twin_agree_in_band, TRUE AS xx_nonempty
+         |FROM m, e""".stripMargin
+    },
 
     // SRP-LSH buckets reproduced exactly: integer hyperplane components
     // and a left-associated + chain give bit-identical sign tests to the
@@ -2498,6 +2560,25 @@ object Oracle {
         |  NULLIF(c_mktsegment, 'BUILDING') IS NULL AS was_building,
         |  CASE WHEN c_acctbal < 0 THEN NULL ELSE c_acctbal END AS bal_pos
         |FROM customer ORDER BY c_custkey""".stripMargin,
+
+    // ACID snapshot demo: both snapshots replayed from the ORIGINAL
+    // parquet (v1 = keys % 3 = 0; v2 appends % 3 = 1); latest_version
+    // pinned to literal 2 — the staged-but-never-committed v3 must be
+    // unobservable to version resolution and to reads.
+    "q_src_acid_snapshot" ->
+      """WITH v1 AS (SELECT o_orderstatus, COUNT(*) AS n_orders,
+        |        CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+        |      FROM orders WHERE o_orderkey % 3 = 0 GROUP BY 1),
+        |v2 AS (SELECT o_orderstatus, COUNT(*) AS n_orders,
+        |        CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+        |      FROM orders WHERE o_orderkey % 3 IN (0, 1) GROUP BY 1)
+        |SELECT CAST(1 AS INTEGER) AS snapshot_version,
+        |  CAST(2 AS INTEGER) AS latest_version, o_orderstatus, n_orders, sum_price
+        |FROM v1
+        |UNION ALL
+        |SELECT CAST(2 AS INTEGER), CAST(2 AS INTEGER), o_orderstatus, n_orders, sum_price
+        |FROM v2
+        |ORDER BY snapshot_version, o_orderstatus""".stripMargin,
 
     "q_src_partitioned_sink" ->
       """SELECT CAST(CAST(ts AS TIMESTAMP) AS DATE) AS day,

@@ -343,7 +343,131 @@ object SourceOps {
       .orderBy("lang")
   }
 
+  // ── minimal manifest/snapshot table format (Delta/Iceberg-class) ────
+
+  /** The smallest honest reconstruction of a lake table-format commit
+    * protocol (public knowledge: the Delta log / Iceberg snapshot
+    * design): data files are written under unique per-version
+    * directories and are INVISIBLE until a manifest references them; a
+    * manifest `_manifests/vNNNNN.manifest` lists every data file of its
+    * snapshot (full file list, so a snapshot is self-contained and time
+    * travel is one manifest read); the COMMIT POINT is a single atomic
+    * rename of the staged `.tmp` manifest onto its final name. Readers
+    * resolve `latest = max committed version` by listing complete
+    * manifests only — a writer crashing anywhere before the rename
+    * leaves data files and a `.tmp` that no reader ever resolves, so
+    * torn versions are unobservable (SourceFormatSpec pins this with a
+    * simulated crash). On HDFS the rename is atomic by contract; an
+    * object-store deployment swaps the rename for put-if-absent on the
+    * same manifest name — the protocol shape is identical. */
+  private[graft] object AcidTable {
+    import org.apache.hadoop.fs.Path
+
+    private def fs(s: SparkSession, table: String) =
+      new Path(table).getFileSystem(s.sparkContext.hadoopConfiguration)
+
+    private def manifestDir(table: String) = new Path(table, "_manifests")
+
+    private val ManifestRe = "v(\\d{5})\\.manifest".r
+
+    /** Versions with a COMPLETE manifest — a `.tmp` is not a manifest. */
+    private[graft] def versions(s: SparkSession, table: String): Seq[Int] = {
+      val f = fs(s, table); val d = manifestDir(table)
+      if (!f.exists(d)) Seq.empty
+      else f.listStatus(d).map(_.getPath.getName)
+        .collect { case ManifestRe(v) => v.toInt }.sorted.toSeq
+    }
+
+    /** Stage `df` as the data + manifest of `version` WITHOUT the commit
+      * rename — exactly the state a crashed writer leaves behind. An
+      * append: the staged manifest lists the parent snapshot's files
+      * plus the new ones. */
+    private[graft] def stage(s: SparkSession, table: String, df: DataFrame,
+        version: Int): Unit = {
+      val f = fs(s, table)
+      val dataDir = new Path(table, f"data/v$version%05d")
+      df.write.mode(SaveMode.ErrorIfExists).parquet(dataDir.toString)
+      val newFiles = f.listStatus(dataDir).map(_.getPath.getName)
+        .filter(n => n.startsWith("part-") && n.endsWith(".parquet"))
+        .sorted.map(n => f"data/v$version%05d/$n")
+      val parentFiles = versions(s, table).filter(_ < version).lastOption
+        .map(v => manifest(s, table, v)).getOrElse(Seq.empty)
+      f.mkdirs(manifestDir(table))
+      val tmp = new Path(manifestDir(table), f"v$version%05d.manifest.tmp")
+      val out = f.create(tmp, true)
+      try out.write((parentFiles ++ newFiles).mkString("\n").getBytes("UTF-8"))
+      finally out.close()
+    }
+
+    /** The COMMIT: one atomic rename. Refuses to double-commit (the
+      * put-if-absent semantics a concurrent-writer race needs). */
+    private[graft] def commit(s: SparkSession, table: String, version: Int): Unit = {
+      val f = fs(s, table)
+      val tmp = new Path(manifestDir(table), f"v$version%05d.manifest.tmp")
+      val dst = new Path(manifestDir(table), f"v$version%05d.manifest")
+      require(!f.exists(dst), s"snapshot v$version already committed")
+      require(f.rename(tmp, dst), s"atomic commit failed for v$version")
+    }
+
+    private[graft] def append(s: SparkSession, table: String, df: DataFrame,
+        version: Int): Unit = {
+      stage(s, table, df, version); commit(s, table, version)
+    }
+
+    private def manifest(s: SparkSession, table: String, version: Int): Seq[String] = {
+      val f = fs(s, table)
+      val p = new Path(manifestDir(table), f"v$version%05d.manifest")
+      val in = f.open(p)
+      try scala.io.Source.fromInputStream(in, "UTF-8").getLines()
+        .filter(_.nonEmpty).toList
+      finally in.close()
+    }
+
+    /** Snapshot-isolated read: latest committed version by default,
+      * time travel with `version = Some(k)`. The scan reads EXACTLY the
+      * manifest's file list — staged/orphaned files never leak in. */
+    private[graft] def read(s: SparkSession, table: String,
+        version: Option[Int] = None): DataFrame = {
+      val vs = versions(s, table)
+      require(vs.nonEmpty, s"no committed snapshot under $table")
+      val v = version.getOrElse(vs.last)
+      require(vs.contains(v), s"snapshot v$v does not exist (have ${vs.mkString(",")})")
+      val files = manifest(s, table, v).map(rel => new Path(table, rel).toString)
+      s.read.parquet(files: _*)
+    }
+  }
+
+  /** ACID snapshot demo (round 14, VERDICT what's-missing #2): orders
+    * lands as snapshot v1 (keys ≡ 0 mod 3), v2 appends keys ≡ 1, and a
+    * THIRD writer crashes mid-commit (v3 staged, never renamed) — then
+    * one output reads the LATEST snapshot and TIME-TRAVELS to v1. The
+    * oracle replays both versions from the original parquet, and the
+    * `latest_version` column asserts the torn v3 is unobservable: if
+    * staged-but-uncommitted state ever leaked into reads or version
+    * resolution, counts, sums, or the literal 2 would break the hash. */
+  def q_src_acid_snapshot(s: SparkSession, dir: String): DataFrame = {
+    val table = scratch("acid", dir)
+    val f = new org.apache.hadoop.fs.Path(table)
+      .getFileSystem(s.sparkContext.hadoopConfiguration)
+    f.delete(new org.apache.hadoop.fs.Path(table), true) // fresh table per run
+    val orders = Tables.orders(s, dir)
+      .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"))
+    AcidTable.append(s, table, orders.filter(col("o_orderkey") % 3 === 0), 1)
+    AcidTable.append(s, table, orders.filter(col("o_orderkey") % 3 === 1), 2)
+    AcidTable.stage(s, table, orders.filter(col("o_orderkey") % 3 === 2), 3)
+    val latest = AcidTable.versions(s, table).last
+    def snapAgg(df: DataFrame, v: Int): DataFrame = df
+      .groupBy(col("o_orderstatus"))
+      .agg(count(lit(1)).as("n_orders"), Dsl.moneySum(col("o_totalprice")).as("sum_price"))
+      .select(lit(v).as("snapshot_version"), lit(latest).as("latest_version"),
+        col("o_orderstatus"), col("n_orders"), col("sum_price"))
+    snapAgg(AcidTable.read(s, table, Some(1)), 1)
+      .union(snapAgg(AcidTable.read(s, table), latest))
+      .orderBy("snapshot_version", "o_orderstatus")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_src_acid_snapshot" -> q_src_acid_snapshot _,
     "q_src_gzip_roundtrip" -> q_src_gzip_roundtrip _,
     "q_src_text_roundtrip" -> q_src_text_roundtrip _,
     "q_src_binary_ingest" -> q_src_binary_ingest _,

@@ -78,9 +78,17 @@ class GnnLlmSpec extends AnyFunSuite {
     assert(knn.forall(r => r.getLong(0) != r.getLong(1)))
   }
 
-  test("minhash LSH: verified pairs are a subset of exact pairs, high recall on near-dups") {
+  test("minhash LSH audit: all exact columns positive, every envelope boolean true") {
+    val row = LlmOps.q_llm_minhash_lsh(spark, sf0001).collect()
+    assert(row.length == 1)
+    val r = row(0)
+    assert(r.getLong(0) > 0 && r.getLong(1) > 0, "md5 twin pair counts must be non-vacuous")
+    (2 until 6).foreach(i => assert(r.getBoolean(i), s"audit boolean $i false: $r"))
+  }
+
+  test("minhash LSH pairs: verified pairs are a subset of exact pairs, high recall on near-dups") {
     val s = spark
-    val cand = LlmOps.q_llm_minhash_lsh(s, sf0001)
+    val cand = LlmOps.minhashXxPairs(s, sf0001)
       .select("doc_a", "doc_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     val exactAll = LlmOps.q_llm_jaccard_pairs(s, sf0001)
       .select(col("doc_a"), col("doc_b"), col("jaccard")).collect()

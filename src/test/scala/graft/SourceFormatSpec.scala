@@ -48,6 +48,40 @@ class SourceFormatSpec extends AnyFunSuite {
       emb.collect().toSeq.map(_.getSeq[Float](1).toSeq))
   }
 
+  test("acid snapshot: a writer crash between stage and commit is unobservable") {
+    val s = spark
+    import graft.engine.SourceOps.AcidTable
+    val table = java.nio.file.Files.createTempDirectory("graft_acid").toString + "/t"
+    val docs = Tables.documents(s, sf0001).select(col("doc_id"), col("lang"))
+    AcidTable.append(s, table, docs.filter(col("doc_id") % 2 === 0), 1)
+    val v1 = AcidTable.read(s, table).count()
+
+    // CRASH WINDOW: v2's data files + tmp manifest exist, rename never ran
+    AcidTable.stage(s, table, docs.filter(col("doc_id") % 2 === 1), 2)
+    assert(AcidTable.versions(s, table) == Seq(1), "torn v2 must not resolve")
+    assert(AcidTable.read(s, table).count() == v1,
+      "reader during the crash window must see exactly snapshot v1")
+
+    // recovery: the commit rename completes -> v2 becomes visible atomically
+    AcidTable.commit(s, table, 2)
+    assert(AcidTable.versions(s, table) == Seq(1, 2))
+    assert(AcidTable.read(s, table).count() == docs.count(), "v2 = full append")
+    // time travel still reads the exact v1 file set
+    assert(AcidTable.read(s, table, Some(1)).count() == v1)
+    // double-commit refused (put-if-absent semantics)
+    intercept[IllegalArgumentException] { AcidTable.commit(s, table, 2) }
+  }
+
+  test("acid snapshot query: 6 rows, torn v3 never observed") {
+    val r = graft.engine.SourceOps.q_src_acid_snapshot(spark, sf0001).collect()
+    assert(r.length == 6)
+    assert(r.forall(_.getInt(1) == 2), "latest_version must ignore the staged v3")
+    // v2 strictly contains v1 per status
+    val v1 = r.filter(_.getInt(0) == 1).map(x => x.getString(2) -> x.getLong(3)).toMap
+    val v2 = r.filter(_.getInt(0) == 2).map(x => x.getString(2) -> x.getLong(3)).toMap
+    assert(v1.keySet == v2.keySet && v1.forall { case (k, n) => v2(k) > n })
+  }
+
   test("json source round-trips the embeddings float arrays") {
     val s = spark
     val emb = Tables.embeddings(s, sf0001).orderBy("vec_id")

@@ -37,11 +37,19 @@ class TextMmSpec extends AnyFunSuite {
   }
 
   test("simhash: near-identical token sets collide, hamming bounded") {
-    val rows = LlmOps.q_llm_simhash(spark, sf0001).collect()
+    val rows = LlmOps.simhashXx(spark, sf0001, sampled = false).collect()
     assert(rows.forall(r => r.getInt(3) >= 0 && r.getInt(3) <= 12))
     // signature is deterministic across runs
-    val again = LlmOps.q_llm_simhash(spark, sf0001).collect()
+    val again = LlmOps.simhashXx(spark, sf0001, sampled = false).collect()
     assert(rows.map(_.toSeq).toSeq == again.map(_.toSeq).toSeq)
+  }
+
+  test("simhash audit: exact columns positive, every envelope boolean true") {
+    val row = LlmOps.q_llm_simhash(spark, sf0001).collect()
+    assert(row.length == 1)
+    val r = row(0)
+    assert((0 until 3).forall(i => r.getLong(i) > 0), s"exact counts must be non-vacuous: $r")
+    (3 until 7).foreach(i => assert(r.getBoolean(i), s"audit boolean $i false: $r"))
   }
 
   test("IVF ANN: 3 in-cell neighbors per query, cos within brute-force bound") {
