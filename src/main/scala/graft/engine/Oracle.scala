@@ -394,8 +394,48 @@ object Oracle {
         |SELECT date_trunc('day', s_start) AS day, COUNT(*) AS n_sessions,
         |  CAST(SUM(CASE WHEN first_click IS NOT NULL AND last_purchase IS NOT NULL
         |    AND first_click < last_purchase THEN 1 ELSE 0 END) AS BIGINT) AS n_converted
-        |FROM g GROUP BY 1 ORDER BY 1""".stripMargin
+        |FROM g GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // Round-14 CEP compiler: the oracle SQL is GENERATED from the SAME
+    // parsed CepPattern objects the engine compiles, chain-window by
+    // chain-window — the two engines cannot compile different patterns.
+    "q_stream_cep" ->
+      StreamingOps.CepPatterns.map(cepSql).mkString(
+        "SELECT * FROM (\n", "\nUNION ALL\n", "\n) ORDER BY pattern")
   )
+
+  /** DuckDB replay of StreamingOps.compileCep for one pattern: the same
+    * latest-feasible-start chain windows over (user_id | ts, event_id),
+    * the same within/negation anchor checks, one summary row. */
+  private def cepSql(p: StreamingOps.CepPattern): String = {
+    val wPrev = "OVER (PARTITION BY user_id ORDER BY ts ASC, event_id ASC " +
+      "ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)"
+    val chain = p.steps.tail.zipWithIndex.map { case ((t, _), i) =>
+      s"""s${i + 2} AS (SELECT *, CASE WHEN event_type = '$t'
+         |  THEN MAX(c${i + 1}) $wPrev END AS c${i + 2} FROM s${i + 1})""".stripMargin
+    }
+    val k = p.steps.size
+    val lastC = s"c$k"
+    val notCte = p.notBetween.map(n =>
+      s"""sn AS (SELECT *, MAX(CASE WHEN event_type = '$n' THEN ts END) $wPrev
+         |  AS last_not FROM s$k)""".stripMargin)
+    val src = if (p.notBetween.isDefined) "sn" else s"s$k"
+    val notPred = if (p.notBetween.isDefined)
+      s" AND (last_not IS NULL OR last_not < $lastC)" else ""
+    val ctes = Seq(
+      "e AS (SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts, event_type FROM events)",
+      s"s1 AS (SELECT *, CASE WHEN event_type = '${p.steps.head._1}' THEN ts END AS c1 FROM e)"
+    ) ++ chain ++ notCte ++ Seq(
+      s"""m AS (SELECT user_id, $lastC AS start_ts, ts AS end_ts FROM $src
+         |  WHERE event_type = '${p.steps.last._1}' AND $lastC IS NOT NULL
+         |    AND $lastC >= ts - INTERVAL ${p.withinMinutes} MINUTE$notPred)""".stripMargin)
+    s"""SELECT '${p.name}' AS pattern, CAST(COUNT(*) AS BIGINT) AS n_matches,
+       |  CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users,
+       |  CAST(COALESCE(SUM(epoch_us(end_ts) - epoch_us(start_ts)), 0) AS BIGINT)
+       |    AS sum_dur_us,
+       |  CAST(COUNT(DISTINCT CAST(end_ts AS DATE)) AS BIGINT) AS n_days
+       |FROM (WITH ${ctes.mkString(",\n")} SELECT * FROM m)""".stripMargin
+  }
 
   private val edgesCte =
     """edges AS (SELECT DISTINCT o_custkey AS src, l_partkey AS dst

@@ -312,6 +312,175 @@ object StreamingOps {
 
   // ── driver-contract queries (batch path of the shared transforms) ────
 
+  // ── CEP: declared SEQ patterns compiled to relational algebra ────────
+
+  /** A parsed CEP sequence pattern (round 14, VERDICT what's-missing #3
+    * — the FlinkCEP / MATCH_RECOGNIZE surface): ordered typed steps, a
+    * `within` window bounding first-step match → final step, and an
+    * optional event type that must not occur inside the match window.
+    * A `+` quantifier declares one-or-more; under the compiled
+    * EXISTENTIAL semantics (below) it is satisfied by ≥ 1, so `a+ b`
+    * and `a b` compile identically — the quantifier is surface-level
+    * documentation of intent (counting variants are q_stream_funnel's
+    * per-session aggregation family). */
+  case class CepPattern(name: String, steps: Seq[(String, Boolean)],
+      withinMinutes: Int, notBetween: Option[String]) {
+    require(steps.size >= 2, s"CEP $name: need >= 2 steps")
+  }
+
+  /** Pattern string surface: space-separated step types (optional `+`),
+    * then `within <n>m`, then optionally `no <type>` — e.g.
+    * `"click+ purchase within 30m no error"`. Parsed once at class
+    * load, so every registered run exercises the parser (the
+    * parseMotif idiom applied to event sequences). */
+  def parseCep(name: String, pattern: String): CepPattern = {
+    val toks = pattern.trim.split("\\s+").toList
+    val wIdx = toks.indexOf("within")
+    require(wIdx > 0, s"CEP $name: missing 'within' clause")
+    val steps = toks.take(wIdx).map { t =>
+      if (t.endsWith("+")) (t.dropRight(1), true) else (t, false)
+    }
+    val winRe = "(\\d+)m".r
+    val within = toks.lift(wIdx + 1) match {
+      case Some(winRe(n)) => n.toInt
+      case other => throw new IllegalArgumentException(
+        s"CEP $name: bad window '${other.getOrElse("")}' (expected e.g. 30m)")
+    }
+    val not = toks.drop(wIdx + 2) match {
+      case Nil => None
+      case "no" :: t :: Nil => Some(t)
+      case rest => throw new IllegalArgumentException(
+        s"CEP $name: trailing tokens '${rest.mkString(" ")}'")
+    }
+    CepPattern(name, steps, within, not)
+  }
+
+  /** The registered pattern library: the classic clean-conversion
+    * funnel and a 3-step journey, both over the events fixture. */
+  val CepPatterns = Seq(
+    parseCep("click_purchase_clean", "click+ purchase within 30m no error"),
+    parseCep("view_click_purchase", "view click purchase within 240m"))
+
+  /** Compile a CEP pattern to per-user window algebra — EXISTENTIAL
+    * "skip-till-last" semantics: an anchor event (final step type)
+    * matches iff SOME assignment of earlier events to the earlier steps
+    * is (a) strictly increasing in (ts, event_id) order, (b) starts
+    * within the `within` window, and (c) for `no X`, contains no X
+    * between the first-step event and the anchor.
+    *
+    * The chain columns c_i carry, at each step-i row, the LATEST
+    * feasible first-step timestamp over all assignments of steps 1..i
+    * ending at that row (max of the previous chain over strictly
+    * preceding rows). Latest-start is exactly the right witness: the
+    * `within` constraint prefers late starts, and for the negation,
+    * every assignment's window contains [latest_start, anchor], so an
+    * X in that interval kills ALL assignments while an X before
+    * latest_start is avoided by the latest-start witness — the
+    * existential check reduces to one comparison per anchor row.
+    * Scale shape: k windows over the same (user_id | ts, event_id)
+    * ordering — ONE shuffle, k sort-free passes, state per user
+    * bounded by k timestamps (the streaming twin `cepUpdate` keeps
+    * exactly that). Returns the match rows. */
+  private[graft] def compileCep(ev: DataFrame, p: CepPattern): DataFrame = {
+    val W = org.apache.spark.sql.expressions.Window
+    val ord = W.partitionBy(col("user_id")).orderBy(col("ts").asc, col("event_id").asc)
+    val wPrev = ord.rowsBetween(W.unboundedPreceding, -1)
+    var df = ev.select(col("user_id"), col("event_id"), col("ts"), col("event_type"))
+      .withColumn("c1", when(col("event_type") === p.steps.head._1, col("ts")))
+    var prevC = "c1"
+    p.steps.tail.zipWithIndex.foreach { case ((t, _), i) =>
+      df = df.withColumn(s"c${i + 2}",
+        when(col("event_type") === t, max(col(prevC)).over(wPrev)))
+      prevC = s"c${i + 2}"
+    }
+    if (p.notBetween.isDefined)
+      df = df.withColumn("_last_not",
+        max(when(col("event_type") === p.notBetween.get, col("ts"))).over(wPrev))
+    val notOk = if (p.notBetween.isEmpty) lit(true)
+      else col("_last_not").isNull || col("_last_not") < col(prevC)
+    df.filter(col("event_type") === p.steps.last._1)
+      .filter(col(prevC).isNotNull &&
+        col(prevC) >= col("ts") - expr(s"INTERVAL ${p.withinMinutes} MINUTES") &&
+        notOk)
+      .select(col("user_id"), col(prevC).as("start_ts"), col("ts").as("end_ts"))
+  }
+
+  /** CEP pattern matching over the events table: per registered pattern
+    * one summary row — match count, users matched, exact total
+    * match-window micros, distinct anchor days. The oracle replays the
+    * full chain-window compilation per pattern (SQL generated from the
+    * SAME parsed CepPattern objects, so the two engines can never
+    * compile different patterns). */
+  def q_stream_cep(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(s, dir)
+    CepPatterns.map { p =>
+      compileCep(ev, p)
+        .agg(count(lit(1)).as("n_matches"),
+          countDistinct(col("user_id")).as("n_users"),
+          coalesce(sum(unix_micros(col("end_ts")) - unix_micros(col("start_ts"))),
+            lit(0L)).as("sum_dur_us"),
+          countDistinct(to_date(col("end_ts"))).as("n_days"))
+        .select(lit(p.name).as("pattern"), col("n_matches"), col("n_users"),
+          col("sum_dur_us"), col("n_days"))
+    }.reduce(_ union _).orderBy("pattern")
+  }
+
+  /** Typed event row for the streaming CEP twin (micros, so state math
+    * is exact integer). */
+  case class CepEv(user_id: Long, event_id: Long, ts_us: Long, event_type: String)
+  case class CepState(latest: Seq[Long], lastNot: Long)
+  case class CepMatch(user_id: Long, start_us: Long, end_us: Long)
+
+  /** Streaming CEP state machine — the incremental twin of compileCep:
+    * per user it keeps exactly (k-1) latest-feasible-start timestamps
+    * plus the last `no X` timestamp (Long.MinValue = none), updates
+    * them per event in (ts, event_id) order, and emits a match when an
+    * anchor event's pre-event state passes the within/negation checks —
+    * the same latest-start witness argument as the batch compilation.
+    * Events are sorted within each micro-batch group; cross-batch
+    * ordering is the source's contract (the spec feeds ordered batches;
+    * a production deployment fronts this with watermark-ordered
+    * delivery). State is O(k) per user — the 100 TB CEP shape. */
+  private[graft] def cepUpdate(p: CepPattern)(userId: Long, it: Iterator[CepEv],
+      state: GroupState[CepState]): Iterator[CepMatch] = {
+    val k = p.steps.size
+    val st = state.getOption.getOrElse(
+      CepState(Seq.fill(k - 1)(Long.MinValue), Long.MinValue))
+    val latest = st.latest.toArray
+    var lastNot = st.lastNot
+    val out = scala.collection.mutable.ArrayBuffer[CepMatch]()
+    val winUs = p.withinMinutes * 60L * 1000000L
+    it.toArray.sortBy(e => (e.ts_us, e.event_id)).foreach { e =>
+      // anchor check BEFORE state updates: strictly-before semantics
+      if (e.event_type == p.steps.last._1) {
+        val start = latest(k - 2)
+        if (start != Long.MinValue && start >= e.ts_us - winUs &&
+            (p.notBetween.isEmpty || lastNot == Long.MinValue || lastNot < start))
+          out += CepMatch(userId, start, e.ts_us)
+      }
+      // all updates read the PRE-event state (an event matching several
+      // step positions chains only through strictly earlier events)
+      val updates = (0 until k - 1).flatMap { idx =>
+        if (e.event_type != p.steps(idx)._1) None
+        else if (idx == 0) Some(idx -> e.ts_us)
+        else if (latest(idx - 1) != Long.MinValue) Some(idx -> latest(idx - 1))
+        else None
+      }
+      updates.foreach { case (i, v) => if (v > latest(i)) latest(i) = v }
+      if (p.notBetween.contains(e.event_type)) lastNot = e.ts_us
+    }
+    state.update(CepState(latest.toSeq, lastNot))
+    out.iterator
+  }
+
+  /** Streaming leg: same transform shape on a stream or batch Dataset. */
+  private[graft] def cepStream(p: CepPattern)(ev: Dataset[CepEv]): Dataset[CepMatch] = {
+    val s = ev.sparkSession
+    import s.implicits._
+    ev.groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(cepUpdate(p))
+  }
+
   def q_stream_tumbling(s: SparkSession, dir: String): DataFrame =
     tumblingDaily(Tables.events(s, dir)).orderBy("day", "event_type")
 
@@ -581,6 +750,7 @@ object StreamingOps {
     "q_stream_static_join" -> q_stream_static_join _,
     "q_stream_stream_join" -> q_stream_stream_join _,
     "q_stream_interval_outer" -> q_stream_interval_outer _,
-    "q_stream_funnel" -> q_stream_funnel _
+    "q_stream_funnel" -> q_stream_funnel _,
+    "q_stream_cep" -> q_stream_cep _
   )
 }

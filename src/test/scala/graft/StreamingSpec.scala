@@ -42,6 +42,53 @@ class StreamingSpec extends AnyFunSuite {
     assert(batch.map(_.getLong(2)).sum == 4)
   }
 
+  test("CEP stream: cross-batch pattern state, negation, within — and batch twin agreement") {
+    val s = spark
+    import s.implicits._
+    implicit val sq = s.sqlContext
+    import StreamingOps.{CepEv, CepPatterns, cepStream, compileCep}
+    val p = CepPatterns.find(_.name == "click_purchase_clean").get
+    def us(min: Long): Long = min * 60L * 1000000L // minutes → micros
+    // user 1: click (batch 1) → purchase 10 min later (batch 2): the
+    // match MUST come from state carried across the batch boundary.
+    // user 2: click → error → purchase: negation kills it.
+    // user 3: click → purchase 40 min later: outside within=30m.
+    val b1 = Seq(
+      CepEv(1, 1, us(0), "click"),
+      CepEv(2, 10, us(0), "click"), CepEv(2, 11, us(5), "error"),
+      CepEv(3, 20, us(0), "click"))
+    val b2 = Seq(
+      CepEv(1, 2, us(10), "purchase"),
+      CepEv(2, 12, us(10), "purchase"),
+      CepEv(3, 21, us(40), "purchase"))
+    val ms = MemoryStream[CepEv]
+    val q = cepStream(p)(ms.toDS())
+      .writeStream.outputMode(OutputMode.Append)
+      .format("memory").queryName("cep").start()
+    ms.addData(b1: _*); q.processAllAvailable()
+    assert(s.table("cep").count() == 0, "no anchor yet -> no matches in batch 1")
+    ms.addData(b2: _*); q.processAllAvailable(); q.stop()
+    val got = s.table("cep").collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(got.toSeq == Seq((1L, us(0), us(10))),
+      s"only user 1 matches, via cross-batch state: ${got.toSeq}")
+
+    // algorithm-replica pin on the real fixture: the incremental state
+    // machine (run as one batch) equals the window-algebra compilation,
+    // for every registered pattern
+    val ev = Tables.events(s, sf0001)
+      .select(col("user_id"), col("event_id"), unix_micros(col("ts")).as("ts_us"),
+        col("event_type")).as[CepEv]
+    CepPatterns.foreach { pat =>
+      val inc = cepStream(pat)(ev).collect()
+        .map(m => (m.user_id, m.start_us, m.end_us)).toSet
+      val alg = compileCep(Tables.events(s, sf0001), pat).collect()
+        .map(r => (r.getLong(0),
+          r.getTimestamp(1).getTime * 1000 + r.getTimestamp(1).getNanos / 1000 % 1000,
+          r.getTimestamp(2).getTime * 1000 + r.getTimestamp(2).getNanos / 1000 % 1000)).toSet
+      assert(inc == alg, s"pattern ${pat.name}: incremental != window algebra")
+    }
+  }
+
   test("windowed top-N: streaming counts + downstream rank equals batch") {
     val s = spark
     import s.implicits._
