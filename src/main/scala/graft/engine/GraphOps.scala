@@ -483,9 +483,12 @@ object GraphOps {
 
   /** Declarative motif pattern: edges over named vertex variables plus
     * strict `<` constraints that both enforce distinctness and pick one
-    * canonical labeling per unordered instance. */
+    * canonical labeling per unordered instance, and (round 14) `!=`
+    * constraints for asymmetric roles a `<` would over-constrain (a
+    * tailed triangle's tail must differ from the far corners but has no
+    * canonical order against them). */
   case class Motif(name: String, edges: Seq[(String, String)],
-    lt: Seq[(String, String)])
+    lt: Seq[(String, String)], neq: Seq[(String, String)] = Seq.empty)
 
   /** GraphFrames-style pattern string → Motif: semicolon-separated
     * terms, each either an edge `(u)-(v)` (undirected adjacency — the
@@ -496,26 +499,36 @@ object GraphOps {
   def parseMotif(name: String, pattern: String): Motif = {
     val edgeRe = """\(\s*(\w+)\s*\)\s*-\s*\(\s*(\w+)\s*\)""".r
     val ltRe = """(\w+)\s*<\s*(\w+)""".r
+    val neqRe = """(\w+)\s*!=\s*(\w+)""".r
     val terms = pattern.split(";").map(_.trim).filter(_.nonEmpty)
-    val (edges, lts) = terms.foldLeft(
-      (Vector.empty[(String, String)], Vector.empty[(String, String)])) {
-      case ((es, ls), edgeRe(u, v)) => (es :+ (u -> v), ls)
-      case ((es, ls), ltRe(a, b)) => (es, ls :+ (a -> b))
+    val (edges, lts, neqs) = terms.foldLeft(
+      (Vector.empty[(String, String)], Vector.empty[(String, String)],
+        Vector.empty[(String, String)])) {
+      case ((es, ls, ns), edgeRe(u, v)) => (es :+ (u -> v), ls, ns)
+      case ((es, ls, ns), neqRe(a, b)) => (es, ls, ns :+ (a -> b))
+      case ((es, ls, ns), ltRe(a, b)) => (es, ls :+ (a -> b), ns)
       case (_, t) => throw new IllegalArgumentException(
-        s"motif $name: unparseable term '$t' (expected '(u)-(v)' or 'u<v')")
+        s"motif $name: unparseable term '$t' (expected '(u)-(v)', 'u<v' or 'u!=v')")
     }
     require(edges.nonEmpty, s"motif $name: no edges in pattern")
-    Motif(name, edges, lts)
+    Motif(name, edges, lts, neqs)
   }
 
-  /** The shipped pattern library: 2-path (open wedge), 3-star (claw)
-    * and triangle — each instance counted exactly once via the `<`
-    * canonicalization. Declared in the string surface and parsed, so
-    * the parser is exercised by every registered run. */
+  /** The shipped pattern library — round 14 extends the r19 trio with
+    * the 4-node tier: square (4-cycle; w = smallest corner, x<z picks
+    * the traversal direction, so each cycle labels exactly once),
+    * tailed triangle (`!=` keeps the tail off the far corners — the
+    * first pattern needing the non-ordering distinctness constraint),
+    * and the 4-star. Declared in the string surface and parsed, so the
+    * parser is exercised by every registered run. */
   val MotifPatterns = Seq(
     parseMotif("chain3", "(x)-(y); (y)-(z); x<z"),
     parseMotif("star3", "(c)-(x); (c)-(y); (c)-(z); x<y; y<z"),
-    parseMotif("triangle", "(x)-(y); (y)-(z); (x)-(z); x<y; y<z"))
+    parseMotif("triangle", "(x)-(y); (y)-(z); (x)-(z); x<y; y<z"),
+    parseMotif("square", "(w)-(x); (x)-(y); (y)-(z); (z)-(w); w<x; w<y; w<z; x<z"),
+    parseMotif("tailed_triangle",
+      "(x)-(y); (y)-(z); (x)-(z); (z)-(t); x<y; t!=x; t!=y"),
+    parseMotif("star4", "(c)-(x); (c)-(y); (c)-(z); (c)-(t); x<y; y<z; z<t"))
 
   /** Compile a motif to self-joins over the symmetric adjacency: each
     * pattern edge joins one aliased copy of `und` on its already-bound
@@ -540,7 +553,8 @@ object GraphOps {
         val withV = if (bound(v)) withU else withU.withColumn(v, col(s"_ev$i"))
         (withV.drop(s"_eu$i", s"_ev$i"), bound + u + v)
     }._1
-    m.lt.foldLeft(joined) { case (df, (a, b)) => df.filter(col(a) < col(b)) }
+    val ordered = m.lt.foldLeft(joined) { case (df, (a, b)) => df.filter(col(a) < col(b)) }
+    m.neq.foldLeft(ordered) { case (df, (a, b)) => df.filter(col(a) =!= col(b)) }
   }
 
   /** Declarative motif finder (VERDICT r12 item 6) over the SHARED
@@ -560,14 +574,46 @@ object GraphOps {
     // fixtures the 5-projection thins to a forest (0 wedges at sf0.1),
     // which would leave every pattern count vacuously zero
     val und = undProj(s, dir, TriangleMinCooccur)
-    val joins = MotifPatterns.filter(_.name != "star3")
+    // Strategy choice per pattern shape (measured, not folklore):
+    //  - chain3 / triangle: self-joins (wedge-sized — fine);
+    //  - stars: degree closed forms Σ C(deg, k) — the join forms
+    //    materialize Σ deg^k rows (a hub's C(197,3) alone is 1.2M);
+    //  - square: the codegree identity Σ_{u<v} C(codeg(u,v), 2) / 2
+    //    (each 4-cycle has exactly 2 diagonals, each contributing one
+    //    chosen neighbor pair — the butterfly-count device on the
+    //    unipartite diagonal). Costs one wedge pass like chain3, where
+    //    the join form would walk Σ deg³ 3-paths;
+    //  - tailed triangle: Σ_v t(v)·(deg(v) − 2) over the canonical
+    //    triangle enumeration (each triangle vertex contributes its
+    //    non-triangle neighbors as tails) — triangle-join + degree
+    //    join, never the 4-way pattern join.
+    // Round19Spec pins every closed form equal to compileMotif's join
+    // compilation on hand-built graphs, so the strategies cannot drift.
+    val joins = MotifPatterns.filter(m => m.name == "chain3" || m.name == "triangle")
       .map(m => compileMotif(und, m)
         .agg(count(lit(1)).as("n_matches"))
         .select(lit(m.name).as("pattern"), col("n_matches")))
-    val star = und.groupBy(col("a")).agg(count(lit(1)).as("d"))
-      .agg(sum(expr("d * (d - 1) * (d - 2) div 6")).as("n_matches"))
-      .select(lit("star3").as("pattern"), col("n_matches"))
-    (joins :+ star).reduce(_.unionAll(_)).orderBy("pattern")
+    val deg = und.groupBy(col("a")).agg(count(lit(1)).as("d"))
+    def starK(name: String, form: String): DataFrame = deg
+      .agg(coalesce(sum(expr(form)), lit(0L)).as("n_matches"))
+      .select(lit(name).as("pattern"), col("n_matches"))
+    val star3 = starK("star3", "d * (d - 1) * (d - 2) div 6")
+    val star4 = starK("star4", "d * (d - 1) * (d - 2) * (d - 3) div 24")
+    val square = und.select(col("a").as("c"), col("b").as("u"))
+      .join(und.select(col("a").as("c2"), col("b").as("v")),
+        col("c") === col("c2") && col("u") < col("v"))
+      .groupBy(col("u"), col("v")).agg(count(lit(1)).as("cd"))
+      .agg(coalesce(expr("sum(cd * (cd - 1) div 2) div 2"), lit(0L)).as("n_matches"))
+      .select(lit("square").as("pattern"), col("n_matches"))
+    val tri = compileMotif(und, MotifPatterns.find(_.name == "triangle").get)
+    val tailed = tri
+      .select(explode(array(col("x"), col("y"), col("z"))).as("v"))
+      .groupBy(col("v")).agg(count(lit(1)).as("t"))
+      .join(deg, col("v") === col("a"))
+      .agg(coalesce(sum(expr("t * (d - 2)")), lit(0L)).as("n_matches"))
+      .select(lit("tailed_triangle").as("pattern"), col("n_matches"))
+    (joins ++ Seq(star3, star4, square, tailed)).reduce(_.unionAll(_))
+      .orderBy("pattern")
   }
 
   /** Connected components of the thresholded part–part graph (all parts

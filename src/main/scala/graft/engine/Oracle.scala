@@ -466,18 +466,45 @@ object Oracle {
     // Motif finder over the SAME thresholded symmetric projection the
     // cc/bfs family uses; each branch mirrors one compiled pattern with
     // its canonical `<` labeling.
+    // Round 14: the 4-node tier replays the same closed forms the
+    // engine chose (codegree identity for squares, per-vertex triangle
+    // participation for tails, Σ C(d, k) for stars) — the join forms
+    // would walk Σ deg³ paths here too.
     "q_graph_motif_find" ->
       s"""WITH $edgesCte,
          |pp AS (SELECT e1.dst AS a, e2.dst AS b
          |       FROM edges e1 JOIN edges e2 ON e1.src = e2.src AND e1.dst < e2.dst
          |       GROUP BY 1, 2 HAVING COUNT(*) >= ${GraphOps.TriangleMinCooccur}),
-         |und AS (SELECT a, b FROM pp UNION ALL SELECT b AS a, a AS b FROM pp)
+         |und AS (SELECT a, b FROM pp UNION ALL SELECT b AS a, a AS b FROM pp),
+         |deg AS (SELECT a, COUNT(*) AS d FROM und GROUP BY 1),
+         |tri AS (SELECT e1.a AS x, e1.b AS y, e2.b AS z
+         |        FROM und e1 JOIN und e2 ON e2.a = e1.b
+         |                    JOIN und e3 ON e3.a = e1.a AND e3.b = e2.b
+         |        WHERE e1.a < e1.b AND e1.b < e2.b),
+         |tv AS (SELECT v, COUNT(*) AS t
+         |       FROM (SELECT unnest([x, y, z]) AS v FROM tri) GROUP BY 1),
+         |cd AS (SELECT e1.b AS u, e2.b AS v, COUNT(*) AS c
+         |       FROM und e1 JOIN und e2 ON e1.a = e2.a AND e1.b < e2.b
+         |       GROUP BY 1, 2)
          |SELECT 'chain3' AS pattern, COUNT(*) AS n_matches
          |FROM und e1 JOIN und e2 ON e2.a = e1.b WHERE e1.a < e2.b
          |UNION ALL
+         |SELECT 'square' AS pattern,
+         |  CAST(COALESCE(SUM(c * (c - 1) // 2), 0) // 2 AS BIGINT) AS n_matches
+         |FROM cd
+         |UNION ALL
          |SELECT 'star3' AS pattern,
-         |  CAST(SUM(d * (d - 1) * (d - 2) // 6) AS BIGINT) AS n_matches
-         |FROM (SELECT a, COUNT(*) AS d FROM und GROUP BY 1)
+         |  CAST(COALESCE(SUM(d * (d - 1) * (d - 2) // 6), 0) AS BIGINT) AS n_matches
+         |FROM deg
+         |UNION ALL
+         |SELECT 'star4' AS pattern,
+         |  CAST(COALESCE(SUM(d * (d - 1) * (d - 2) * (d - 3) // 24), 0) AS BIGINT)
+         |    AS n_matches
+         |FROM deg
+         |UNION ALL
+         |SELECT 'tailed_triangle' AS pattern,
+         |  CAST(COALESCE(SUM(t * (d - 2)), 0) AS BIGINT) AS n_matches
+         |FROM tv JOIN deg ON tv.v = deg.a
          |UNION ALL
          |SELECT 'triangle' AS pattern, COUNT(*) AS n_matches
          |FROM und e1 JOIN und e2 ON e2.a = e1.b

@@ -108,11 +108,34 @@ class Round19Spec extends AnyFunSuite {
     val closed = und.groupBy(col("a")).agg(count(lit(1)).as("d"))
       .agg(sum(expr("d * (d - 1) * (d - 2) div 6"))).collect()(0).getLong(0)
     assert(closed == 1L, "closed form agrees with the join compilation")
+    // round-14 4-node tier on the same graph: join compilation first
+    assert(cnt("square") == 0L, "no 4-cycles in the bowtie graph")
+    assert(cnt("tailed_triangle") == 1L,
+      "exactly the {1,2,3} triangle tailed at 1 by 4")
+    assert(cnt("star4") == 0L, "max degree 3 -> C(3,4) = 0")
+    // tailed closed form Σ t(v)(deg(v)-2): t(1)=1,d=3 -> 1; others 0
+    val tl = Seq((1L, 1L, 3L), (2L, 1L, 2L), (3L, 1L, 2L))
+      .map { case (_, t, d) => t * (d - 2) }.sum
+    assert(tl == 1L, "tailed closed form agrees")
+    // and a genuine square graph pins the codegree identity: the 4-cycle
+    // 1-2-3-4 has codeg({1,3}) = codeg({2,4}) = 2 -> Σ C(2,2) / 2 = 1
+    val sqBase = Seq((1L, 2L), (2L, 3L), (3L, 4L), (1L, 4L))
+    val sqUnd = (sqBase ++ sqBase.map(_.swap)).toDF("a", "b")
+    def cntOn(g: org.apache.spark.sql.DataFrame, name: String): Long =
+      GraphOps.compileMotif(g, GraphOps.MotifPatterns.find(_.name == name).get).count()
+    assert(cntOn(sqUnd, "square") == 1L, "the 4-cycle labels exactly once")
+    val codegSq = sqUnd.select(col("a").as("c"), col("b").as("u"))
+      .join(sqUnd.select(col("a").as("c2"), col("b").as("v")),
+        col("c") === col("c2") && col("u") < col("v"))
+      .groupBy(col("u"), col("v")).agg(count(lit(1)).as("cd"))
+      .agg(expr("sum(cd * (cd - 1) div 2) div 2")).collect()(0).getLong(0)
+    assert(codegSq == 1L, "codegree identity agrees with the join compilation")
     // and the registered op is non-vacuous on the fixture: every
     // pattern matches at least once at sf0.001
     val rows = GraphOps.q_graph_motif_find(spark, sf0001).collect()
       .map(r => r.getString(0) -> r.getLong(1)).toMap
-    assert(rows.keySet == Set("chain3", "star3", "triangle"))
+    assert(rows.keySet == Set("chain3", "star3", "triangle",
+      "square", "tailed_triangle", "star4"))
     assert(rows.values.forall(_ > 0L), s"vacuous pattern count: $rows")
   }
 }
