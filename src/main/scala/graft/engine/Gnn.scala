@@ -594,10 +594,13 @@ object Gnn {
         col("src") === col("es") && col("p") === col("ed"), "left_anti")
       .select(col("src"), col("p"), lit(0.0).as("y"))
     pos.unionByName(neg).crossJoin(broadcast(ne))
-      .select(col("src"), col("y"), (col("p") % col("c")).as("vkey"))
+      .select(col("src"), col("p"), col("y"), (col("p") % col("c")).as("vkey"))
       .join(broadcast(Tables.embeddings(s, dir)), col("vkey") === col("vec_id"))
       .join(m, col("src") === col("cust"))
-      .select(col("y") +: (1 to 4).map(j => (col(s"m$j") * el(j)).as(s"f$j")): _*)
+      // (src, p) ride along since round 14: the mini-batch trainer keys
+      // its md5-deterministic batch split on the example identity
+      .select(Seq(col("src"), col("p"), col("y")) ++
+        (1 to 4).map(j => (col(s"m$j") * el(j)).as(s"f$j")): _*)
   }
 
   /** Fixed-order 4-term score fold Σ w_j·φ_j (identical IEEE op sequence

@@ -3067,7 +3067,7 @@ object Oracle {
        |        WHERE NOT EXISTS (SELECT 1 FROM edges e
        |                          WHERE e.src = n.src AND e.dst = n.p)),
        |ex AS (SELECT * FROM pos UNION ALL SELECT * FROM neg),
-       |feat AS MATERIALIZED (SELECT ex.y, $feats
+       |feat AS MATERIALIZED (SELECT ex.src, ex.p, ex.y, $feats
        |         FROM ex CROSS JOIN ne
        |         JOIN embeddings emb ON emb.vec_id = ex.p % ne.c
        |         JOIN m ON m.cust = ex.src)""".stripMargin
@@ -3081,8 +3081,9 @@ object Oracle {
     (1 to 4).map(j => s"${ref(j)}*f$j").mkString(" + ")
 
   /** One gradient-evaluation step: sc/ag CTE pair at the weights of the
-    * 1-row CTE `$wFrom` (columns w1..w4). */
-  private def gradStepCtes(t: Int, wFrom: String): String = {
+    * 1-row CTE `$wFrom` (columns w1..w4), over example source `from`
+    * (the full `feat` MV, or a mini-batch slice of it). */
+  private def gradStepCtes(t: Int, wFrom: String, from: String = "feat"): String = {
     val sig = s"1/(1+exp(-(${scoreFoldSql(j => s"w.w$j")})))"
     // 1e9-scaled BIGINT sums mirroring TrainOps.gradEval: round the SAME
     // IEEE product x*1e9 in both engines (zero near-tie divergence,
@@ -3092,7 +3093,7 @@ object Oracle {
     s"""sc$t AS (SELECT y, f1, f2, f3, f4,
        |    ROUND($sig - y, 9) AS resid,
        |    CAST(ROUND(-(y*ln($sig) + (1-y)*ln(1 - $sig)) * 1e9, 0) AS BIGINT) AS lossr9
-       |  FROM feat CROSS JOIN $wFrom w),
+       |  FROM $from CROSS JOIN $wFrom w),
        |ag$t AS (SELECT COUNT(*) AS n_ex,
        |    SUM(lossr9) AS losssum, $grads
        |  FROM sc$t),
@@ -3118,6 +3119,39 @@ object Oracle {
       }.mkString("\nUNION ALL\n")
       s"""WITH $edgesCte,
          |$linkPredFeatCte,
+         |w0 AS (SELECT $w0),
+         |$steps
+         |$out
+         |ORDER BY step""".stripMargin
+    },
+
+    // Mini-batch SGD: the same unrolled-CTE device as the epoch loop,
+    // but each step's gradient reads its md5-assigned batch slice (the
+    // identical 60-bit md5 decode as the negative sampler) and the
+    // weights carry batch-to-batch across 2 epochs x 2 batches.
+    "q_gnn_sgd_minibatch" -> {
+      val w0 = (1 to 4).map(j => s"${sgdWLit(j)} AS w$j").mkString(", ")
+      val bidExpr = "CAST('0x' || substr(md5('b:' || CAST(src AS VARCHAR) || ':' || " +
+        s"CAST(p AS VARCHAR)), 1, 15) AS BIGINT) % ${TrainOps.MiniBatches}"
+      val batchCtes = (0 until TrainOps.MiniBatches).map(b =>
+        s"fb$b AS (SELECT * FROM fbid WHERE bid = $b)").mkString(",\n")
+      val nSteps = TrainOps.MiniEpochs * TrainOps.MiniBatches
+      val steps = (1 to nSteps).map { t =>
+        val b = (t - 1) % TrainOps.MiniBatches
+        val wNew = (1 to 4)
+          .map(j => s"w.w$j - (CAST(1 AS DOUBLE)/10) * g.gn$j AS w$j").mkString(", ")
+        s"""${gradStepCtes(t, s"w${t - 1}", s"fb$b")},
+           |w$t AS (SELECT $wNew, g.mean_loss AS mean_loss
+           |        FROM gn$t g CROSS JOIN w${t - 1} w)""".stripMargin
+      }.mkString(",\n")
+      val out = (1 to nSteps).map { t =>
+        s"""SELECT CAST($t AS INT) AS step, mean_loss,
+           |  ${(1 to 4).map(j => s"ROUND(w$j, 6) AS w$j").mkString(", ")} FROM w$t""".stripMargin
+      }.mkString("\nUNION ALL\n")
+      s"""WITH $edgesCte,
+         |$linkPredFeatCte,
+         |fbid AS MATERIALIZED (SELECT *, $bidExpr AS bid FROM feat),
+         |$batchCtes,
          |w0 AS (SELECT $w0),
          |$steps
          |$out

@@ -100,6 +100,42 @@ object TrainOps {
     stepRowsToDf(s, rows)
   }
 
+  /** Mini-batch split arity and epoch count for q_gnn_sgd_minibatch
+    * (shared with the unrolled oracle CTEs). */
+  val MiniBatches = 2
+  val MiniEpochs = 2
+
+  /** md5-deterministic batch id over the example identity (src, p) —
+    * the same 60-bit md5 decode the negative sampler uses, so both
+    * engines assign every example to the same batch bit-for-bit. */
+  private[graft] def miniBatchCol: Column = expr(
+    s"""cast(conv(substring(md5(cast(concat('b:', cast(src as string), ':',
+        cast(p as string)) as binary)), 1, 15), 16, 10) as bigint) % $MiniBatches""")
+
+  /** Mini-batch SGD (round 14, VERDICT what's-missing #5 — what a real
+    * trainer actually runs, vs the full-batch epoch above): the example
+    * set splits into MiniBatches md5-deterministic batches; each step
+    * evaluates the gradient on ITS batch only and carries the updated
+    * weights into the next batch, MiniEpochs epochs over the fixed
+    * batch schedule. Per-step mean_loss is the CURRENT batch's loss at
+    * the incoming weights — the loss curve a trainer logs. Scale shape
+    * identical to the epoch loop: per-step 1-row aggregate over a
+    * filtered MV scan, weights driver-side scalars (the documented
+    * loop shape), batch filter pushed into the checkpointed scan. */
+  def q_gnn_sgd_minibatch(s: SparkSession, dir: String): DataFrame = {
+    val feat = Gnn.linkPredFeatures(s, dir).withColumn("bid", miniBatchCol)
+    var w = Array.tabulate(4)(j => Gnn.sgdW(j + 1))
+    val rows = (for {
+      ep <- 1 to MiniEpochs
+      b <- 0 until MiniBatches
+    } yield {
+      val r = gradEval(feat.filter(col("bid") === b), w)
+      w = Array.tabulate(4)(j => w(j) - Gnn.SgdEta * r.getDouble(1 + j))
+      ((ep - 1) * MiniBatches + b + 1, r.getDouble(0), w)
+    }).toSeq
+    stepRowsToDf(s, rows)
+  }
+
   /** Adam optimizer steps (Kingma & Ba 2015) on the same objective:
     * m ← β1·m + (1−β1)·g, v ← β2·v + (1−β2)·g², bias-corrected
     * m̂ = m/(1−β1^t), v̂ = v/(1−β2^t), w ← w − η·m̂/(√v̂ + ε). The
@@ -336,6 +372,7 @@ object TrainOps {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_gnn_sgd_epoch" -> q_gnn_sgd_epoch _,
+    "q_gnn_sgd_minibatch" -> q_gnn_sgd_minibatch _,
     "q_gnn_adam_step" -> q_gnn_adam_step _,
     "q_gnn_link_pred_auc" -> q_gnn_link_pred_auc _,
     "q_gnn_dropout_forward" -> q_gnn_dropout_forward _,
