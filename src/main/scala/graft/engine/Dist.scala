@@ -33,6 +33,15 @@ object Dist {
       value: Option[(Column, String)] = None): (DataFrame, Long, Long) = {
     val s = df.sparkSession
     import s.implicits._
+    // Loud contract check (ADVICE r13): the prefix-sum math reads the
+    // partition sums as BIGINT — an int/decimal/double valueCol would
+    // ClassCastException deep in the collect and an all-null partition
+    // would NPE; fail at the boundary with the actual type instead.
+    value.foreach { case (v, _) =>
+      val dt = df.select(v).schema.head.dataType
+      require(dt == org.apache.spark.sql.types.LongType,
+        s"Dist.orderedPrefix valueCol must be BIGINT (got $dt): cast it first")
+    }
     val nParts = s.sessionState.conf.numShufflePartitions
     val parted = df.repartitionByRange(nParts, order: _*)
       .withColumn("_pid", spark_partition_id())
@@ -41,7 +50,7 @@ object Dist {
     val per: Array[(Int, Long, Long)] = value match {
       case Some((v, _)) =>
         parted.groupBy(col("_pid"))
-          .agg(count(lit(1)).as("c"), sum(v).as("t"))
+          .agg(count(lit(1)).as("c"), coalesce(sum(v), lit(0L)).as("t"))
           .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2)))
       case None =>
         parted.groupBy(col("_pid")).agg(count(lit(1)).as("c"))

@@ -2663,22 +2663,24 @@ object Oracle {
           s" + ((((CAST(CAST(CAST(ts AS TIMESTAMP) AS DATE) - DATE '2024-01-01' AS BIGINT) & 65535) >> $i) & 1) << ${2 * i + 1})")
         .mkString(" + ")
       s"""WITH ev AS (SELECT event_id, user_id, $z AS zv FROM events),
-         |hi AS (SELECT MAX(user_id) // 10 AS h FROM ev),
+         |hi AS (SELECT MIN(user_id) AS lo, MAX(user_id) // 10 AS h FROM ev),
          |nat AS (SELECT user_id, NTILE(${SourceOps.ZFiles})
          |          OVER (ORDER BY event_id) AS file_id FROM ev),
          |zo AS (SELECT user_id, NTILE(${SourceOps.ZFiles})
          |          OVER (ORDER BY zv, event_id) AS file_id FROM ev),
-         |natf AS (SELECT file_id, MIN(user_id) AS mn, COUNT(*) AS c
+         |natf AS (SELECT file_id, MIN(user_id) AS mn, MAX(user_id) AS mx, COUNT(*) AS c
          |         FROM nat GROUP BY 1),
-         |zof AS (SELECT file_id, MIN(user_id) AS mn, COUNT(*) AS c
+         |zof AS (SELECT file_id, MIN(user_id) AS mn, MAX(user_id) AS mx, COUNT(*) AS c
          |        FROM zo GROUP BY 1),
          |agg AS (
          |  SELECT 'natural' AS layout, CAST(COUNT(*) AS BIGINT) AS n_files,
-         |    CAST(SUM(CASE WHEN mn <= (SELECT h FROM hi) THEN 1 ELSE 0 END) AS BIGINT) AS files_hit,
+         |    CAST(SUM(CASE WHEN mn <= (SELECT h FROM hi)
+         |      AND mx >= (SELECT lo FROM hi) THEN 1 ELSE 0 END) AS BIGINT) AS files_hit,
          |    CAST(SUM(c) AS BIGINT) AS n_rows FROM natf
          |  UNION ALL
          |  SELECT 'zorder', CAST(COUNT(*) AS BIGINT),
-         |    CAST(SUM(CASE WHEN mn <= (SELECT h FROM hi) THEN 1 ELSE 0 END) AS BIGINT),
+         |    CAST(SUM(CASE WHEN mn <= (SELECT h FROM hi)
+         |      AND mx >= (SELECT lo FROM hi) THEN 1 ELSE 0 END) AS BIGINT),
          |    CAST(SUM(c) AS BIGINT) FROM zof)
          |SELECT layout, n_files, files_hit,
          |  ROUND(CAST(files_hit AS DOUBLE) / CAST(n_files AS DOUBLE), 6) AS hit_ratio,

@@ -481,9 +481,18 @@ object Relational {
     // value array has the same memory profile as the exact percentile
     // aggregate beside it (this op deliberately carries its exact twin
     // — that is what prices the sketch).
+    // Loud scope guard (ADVICE r13): the rank arithmetic lands in int
+    // indices — a group past 2^31 rows would wrap SILENTLY to a garbage
+    // element_at index (the collect_list twin would OOM long before,
+    // but the wrap must be loud, not silent). n_i raises on overflow;
+    // with n bounded, every derived rank fits int by construction.
+    val nInt = when(col("n") <= Int.MaxValue, col("n").cast("int"))
+      .otherwise(expr("cast(raise_error('graft: q_agg_approx_percentile " +
+        "exact-twin bracket requires n <= 2^31 per group; run the sketch " +
+        "without the bracket at that scale') as int)"))
     def loRank(p: Double) = greatest(lit(1),
       floor((lit(p) - col("d")) * col("n")).cast("int"))
-    def hiRank(p: Double) = least(col("n").cast("int"),
+    def hiRank(p: Double) = least(nInt,
       ceil((lit(p) + col("d")) * col("n")).cast("int") + 1)
     def inBand(i: Int, p: Double) =
       element_at(col("apx"), i).cast("double")
@@ -733,11 +742,18 @@ object Relational {
     // Each axis range-partitions on (metric, custkey) and turns local
     // ranks into global quintiles via broadcast offsets; output values
     // are bit-identical to NTILE(5) under the same tie-broken order.
+    // The fold re-derives its input through three sequential ntile
+    // rounds — checkpoint the per-customer base ONCE so each axis reads
+    // a materialized dimension-sized table instead of re-running the
+    // upstream aggregation (VERDICT r13 item 7: ~a third of q_agg_rfm's
+    // wall-clock at zero semantic risk; the streaming maintainer shares
+    // this body).
+    val base = per.localCheckpoint()
     val withQ = Seq(
       (Seq(col("last_days"), col("o_custkey")), "r_q"),
       (Seq(col("freq"), col("o_custkey")), "f_q"),
       (Seq(col("cents"), col("o_custkey")), "m_q"))
-      .foldLeft(per) { case (df, (ord, out)) => Dist.ntile(df, 5, ord, out) }
+      .foldLeft(base) { case (df, (ord, out)) => Dist.ntile(df, 5, ord, out) }
     withQ
       .groupBy(col("r_q"), col("f_q"), col("m_q"))
       .agg(count(lit(1)).as("n_customers"),

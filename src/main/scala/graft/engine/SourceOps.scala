@@ -154,15 +154,21 @@ object SourceOps {
       zValue(col("user_id").bitwiseAND(lit(mask)),
         col("day").bitwiseAND(lit(mask))))
     // probe = the lowest user decile, derived from the data so the
-    // band is non-degenerate at every sf (1-row driver scalar)
-    val probeHi = ev.agg(max(col("user_id"))).collect()(0).getLong(0) / 10L
+    // band is non-degenerate at every sf (1-row driver scalar). The
+    // zone-map check is TWO-sided (ADVICE r13: a one-sided mn <= hi is
+    // correct only when the band starts at the global minimum — which
+    // this one does, but the probe generalizes to any [lo, hi] band).
+    val bounds = ev.agg(min(col("user_id")), max(col("user_id"))).collect()(0)
+    val probeLo = bounds.getLong(0)
+    val probeHi = bounds.getLong(1) / 10L
     def layout(name: String, order: Seq[org.apache.spark.sql.Column]) =
       Dist.ntile(withZ, ZFiles, order, "file_id")
         .groupBy(col("file_id"))
         .agg(min(col("user_id")).as("mn"), max(col("user_id")).as("mx"),
           count(lit(1)).as("in_file"))
         .agg(count(lit(1)).as("n_files"),
-          sum(when(col("mn") <= probeHi, 1L).otherwise(0L)).as("files_hit"),
+          sum(when(col("mn") <= probeHi && col("mx") >= probeLo, 1L)
+            .otherwise(0L)).as("files_hit"),
           sum(col("in_file")).as("n_rows"))
         .select(lit(name).as("layout"), col("n_files"), col("files_hit"),
           round(col("files_hit").cast("double") / col("n_files").cast("double"), 6)

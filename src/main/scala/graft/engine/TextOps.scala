@@ -249,15 +249,23 @@ object TextOps {
                else cast(array() as array<string>) end""")).as("g3"))
     val grams = d.select(col("doc_id"), col("lang"),
       size(col("g3")).cast("bigint").as("ng"), explode(col("g3")).as("g"))
-    // Per-lang dense gram ids + packed-word count. The per-lang
-    // row_number window shuffles only that lang's vocabulary; at a scale
-    // where one lang's gram vocabulary itself overwhelms a partition,
-    // switch to zipWithIndex-style assignment over sorted partitions.
-    val wl = Window.partitionBy(col("vlang")).orderBy(col("vg"))
-    val vids = grams.select(col("lang").as("vlang"), col("g").as("vg")).distinct()
+    // Per-lang dense gram ids + packed-word count, assigned via the
+    // DISTRIBUTED global rank over (lang, gram) (Dist.orderedPrefix;
+    // VERDICT r13 item 6): a range partition of the whole vocabulary —
+    // the dominant language spans many partitions instead of landing
+    // its entire gram vocabulary in the one partition a
+    // Window.partitionBy(lang) row_number would use. Per-lang id =
+    // global rank − the language's first rank; the offsets/widths are
+    // a lang-bounded broadcast (|langs| rows).
+    val vocab = grams.select(col("lang").as("vlang"), col("g").as("vg")).distinct()
+    val (ranked, _, _) =
+      Dist.orderedPrefix(vocab, Seq(col("vlang"), col("vg")), "_gr")
+    val langOff = ranked.groupBy(col("vlang").as("olang"))
+      .agg(min(col("_gr")).as("_off"),
+        expr("cast((count(*) + 63) div 64 as int)").as("nw"))
+    val vids = ranked.join(broadcast(langOff), col("vlang") === col("olang"))
       .select(col("vlang"), col("vg"),
-        (row_number().over(wl) - 1).as("vid"),
-        expr("cast((count(*) over (partition by vlang) + 63) div 64 as int)").as("nw"))
+        (col("_gr") - col("_off")).cast("int").as("vid"), col("nw"))
     val wordMasks = grams
       .join(broadcast(vids), col("lang") === col("vlang") && col("g") === col("vg"))
       .select(col("doc_id"), col("lang"), col("ng"), col("nw"),

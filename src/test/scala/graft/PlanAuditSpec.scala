@@ -282,8 +282,7 @@ class PlanAuditSpec extends AnyFunSuite {
       "q_graph_degree_dist" -> "distinct-degree CCDF ladder (histogram-sized, ~log of nodes)",
       "q_llm_jaccard_pairs" -> "tokenMasks vid rank: bitmap path guarded to vocab <= 64 rows",
       "q_llm_minhash_est" -> "tokenMasks vid rank: guarded vocab <= 64 rows",
-      "q_llm_minhash_lsh" -> "tokenMasks vid rank: guarded vocab <= 64 rows",
-      "q_llm_minhash_md5" -> "tokenMasks vid rank: guarded vocab <= 64 rows",
+      "q_llm_simhash" -> "tokenMasks vid rank: guarded vocab <= 64 rows (r14 audit verifies emitted pairs)",
       "q_llm_shard_assign" -> "16-row shard table (NumShards literal)",
       "q_stats_fdr_bh" -> "hypothesis-space p-value ladder (families x event types, not data)",
       "q_stats_holm" -> "hypothesis-space p-value ladder (families x event types, not data)")
@@ -353,6 +352,15 @@ class PlanAuditSpec extends AnyFunSuite {
       }.nonEmpty
     }
     assert(staleWin.isEmpty, s"stale globalWinAllow entries: ${staleWin.mkString(",")}")
+    // same rot check for the BNLJ allowlist (ADVICE r13): an entry whose
+    // BNLJ disappeared — or became structurally bounded — keeps a silent
+    // exemption that could later mask a genuinely unbounded BNLJ
+    val staleBnlj = bnljAllow.keys.filterNot { name =>
+      SparkEntry.queries(name)(spark, sf0001).queryExecution.sparkPlan
+        .collect { case j: BroadcastNestedLoopJoinExec => j }
+        .exists(j => !boundedBnlj(j))
+    }
+    assert(staleBnlj.isEmpty, s"stale bnljAllow entries: ${staleBnlj.mkString(",")}")
   }
 
   test("round-19 plan pins: motif joins hash, layer_k stays partitioned") {
