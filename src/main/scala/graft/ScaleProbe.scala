@@ -44,7 +44,7 @@ object ScaleProbe {
 
   def main(args: Array[String]): Unit = {
     // fail fast on a typo'd group name BEFORE the (long) replica builds
-    val known = Set("fact", "iter", "lsh", "r16", "r16iter", "r18", "r19", "r19g")
+    val known = Set("fact", "iter", "lsh", "r16", "r16iter", "r18", "r19", "r19g", "r20")
     val asked = args.filter(_ != "rebuild").toSet
     val unknown = asked -- known
     require(unknown.isEmpty,
@@ -271,6 +271,20 @@ object ScaleProbe {
       runGroup("perturbed-doc tiers (realistic near-dup rate)", Seq(
         "q_llm_minhash_md5",      // banded LSH + exact verify
         "q_llm_dedup_clusters"),  // candidate graph + min-label fixpoint
+        PerturbTiers)
+    }
+    if (groups("r20")) {
+      // round-14 text/bitmap tier (VERDICT r13 item 8): the SAMPLED
+      // quadratic ground-truth ops are EXPECTED to bend super-linear on
+      // the document axis (pairs grow with the square of the sample —
+      // that is exactly why they carry the 20k/lang fence and why the
+      // declared scale path is the banded join); q_llm_lsh_clusters is
+      // that scale path and must stay near-linear. Recording both
+      // curves side by side is the point of the probe.
+      runGroup("round-14 tiers (bitmap ground truth vs banded scale path)", Seq(
+        "q_llm_lsh_clusters",     // banded candidates + CC — the scale path
+        "q_llm_ngram_jaccard",    // fenced sampled-quadratic bitmap tier
+        "q_llm_containment"),     // same bitmaps, asymmetric scoring
         PerturbTiers)
     }
     spark.stop()
