@@ -23,7 +23,8 @@ object SparkEntry {
       CurationOps.queries ++ StatsOps.queries ++ RankOps.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables — ALL 353 keys have an entry. The
+    * the same parquet tables — EVERY key has an entry (356 as of round
+    * 14; zero self-checked rows remain). The
     * approximate tier (q_agg_approx_distinct, q_agg_approx_percentile,
     * and since round 14 the xxhash64-family q_llm_minhash_lsh /
     * q_llm_simhash audits) is bracket-oracled: exact columns (md5-twin

@@ -58,7 +58,8 @@ class TrainOpsSpec extends AnyFunSuite {
     val r = TrainOps.q_gnn_link_pred_auc(spark, sf0001).collect()(0)
     val (nPos, nNeg, auc) = (r.getLong(0), r.getLong(1), r.getDouble(2))
     assert(auc >= 0.0 && auc <= 1.0, s"auc out of range: $auc")
-    val feat = Gnn.linkPredFeatures(spark, sf0001).collect()
+    val feat = Gnn.linkPredFeatures(spark, sf0001)
+      .select(org.apache.spark.sql.functions.col("y")).collect()
     assert(nPos == feat.count(_.getDouble(0) == 1.0))
     assert(nNeg == feat.count(_.getDouble(0) == 0.0))
   }
