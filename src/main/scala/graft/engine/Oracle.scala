@@ -400,7 +400,7 @@ object Oracle {
     // parsed CepPattern objects the engine compiles, chain-window by
     // chain-window — the two engines cannot compile different patterns.
     "q_stream_cep" ->
-      StreamingOps.CepPatterns.map(cepSql).mkString(
+      StreamingOps.CepPatterns.map(p => s"(${cepSql(p)})").mkString(
         "SELECT * FROM (\n", "\nUNION ALL\n", "\n) ORDER BY pattern")
   )
 
@@ -429,12 +429,19 @@ object Oracle {
       s"""m AS (SELECT user_id, $lastC AS start_ts, ts AS end_ts FROM $src
          |  WHERE event_type = '${p.steps.last._1}' AND $lastC IS NOT NULL
          |    AND $lastC >= ts - INTERVAL ${p.withinMinutes} MINUTE$notPred)""".stripMargin)
-    s"""SELECT '${p.name}' AS pattern, CAST(COUNT(*) AS BIGINT) AS n_matches,
+    s"""WITH ${ctes.mkString(",\n")},
+       |mm AS MATERIALIZED (SELECT * FROM m),
+       |q AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_step1_in_window
+       |      FROM mm JOIN e s1 ON s1.user_id = mm.user_id
+       |        AND s1.event_type = '${p.steps.head._1}'
+       |        AND s1.ts >= mm.start_ts AND s1.ts <= mm.end_ts)
+       |SELECT '${p.name}' AS pattern, CAST(COUNT(*) AS BIGINT) AS n_matches,
        |  CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users,
        |  CAST(COALESCE(SUM(epoch_us(end_ts) - epoch_us(start_ts)), 0) AS BIGINT)
        |    AS sum_dur_us,
-       |  CAST(COUNT(DISTINCT CAST(end_ts AS DATE)) AS BIGINT) AS n_days
-       |FROM (WITH ${ctes.mkString(",\n")} SELECT * FROM m)""".stripMargin
+       |  CAST(COUNT(DISTINCT CAST(end_ts AS DATE)) AS BIGINT) AS n_days,
+       |  (SELECT n_step1_in_window FROM q) AS n_step1_in_window
+       |FROM mm""".stripMargin
   }
 
   private val edgesCte =

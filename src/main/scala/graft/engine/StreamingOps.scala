@@ -414,14 +414,24 @@ object StreamingOps {
   def q_stream_cep(s: SparkSession, dir: String): DataFrame = {
     val ev = Tables.events(s, dir)
     CepPatterns.map { p =>
-      compileCep(ev, p)
-        .agg(count(lit(1)).as("n_matches"),
+      val m = compileCep(ev, p).localCheckpoint() // feeds the agg + the quantifier join
+      // the `+` quantifier made observable: per match, the count of
+      // first-step events inside [start, end] (>= 1 by construction —
+      // the witness itself); summed per pattern. A user-keyed range
+      // join over the match set — match-bounded, never event-squared.
+      val s1 = ev.filter(col("event_type") === p.steps.head._1)
+        .select(col("user_id").as("u1"), col("ts").as("t1"))
+      val q = m.join(s1, col("user_id") === col("u1") &&
+          col("t1") >= col("start_ts") && col("t1") <= col("end_ts"))
+        .agg(count(lit(1)).as("n_step1_in_window"))
+      m.agg(count(lit(1)).as("n_matches"),
           countDistinct(col("user_id")).as("n_users"),
           coalesce(sum(unix_micros(col("end_ts")) - unix_micros(col("start_ts"))),
             lit(0L)).as("sum_dur_us"),
           countDistinct(to_date(col("end_ts"))).as("n_days"))
+        .crossJoin(q)
         .select(lit(p.name).as("pattern"), col("n_matches"), col("n_users"),
-          col("sum_dur_us"), col("n_days"))
+          col("sum_dur_us"), col("n_days"), col("n_step1_in_window"))
     }.reduce(_ union _).orderBy("pattern")
   }
 
