@@ -2654,6 +2654,43 @@ object Oracle {
         |FROM v2
         |ORDER BY snapshot_version, o_orderstatus""".stripMargin,
 
+    // Compaction: the exact columns replay the live data (v3 = v2 =
+    // keys % 3 in (0,1)) and the v1 time-travel count; the layout facts
+    // are TRUE-asserted booleans (file counts are engine-layout, not
+    // protocol, facts).
+    "q_src_acid_compact" ->
+      """WITH v2 AS (SELECT COUNT(*) AS n,
+        |        CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sp
+        |      FROM orders WHERE o_orderkey % 3 IN (0, 1)),
+        |v1 AS (SELECT COUNT(*) AS n FROM orders WHERE o_orderkey % 3 = 0)
+        |SELECT CAST(3 AS INTEGER) AS latest_version,
+        |  v2.n AS n_orders_latest, v2.sp AS sum_price_latest,
+        |  v1.n AS n_orders_v1,
+        |  TRUE AS data_unchanged, TRUE AS files_reduced,
+        |  TRUE AS compacted_single_file
+        |FROM v2, v1""".stripMargin,
+
+    // Copy-on-write MERGE: the merge itself replayed relationally —
+    // updates (keys % 9 = 0, +1000.00) override, inserts (% 3 = 1)
+    // extend, untouched target rows survive.
+    "q_src_acid_merge" ->
+      """WITH base AS (SELECT o_orderkey, o_orderstatus, o_totalprice
+        |       FROM orders WHERE o_orderkey % 3 = 0),
+        |src AS (SELECT o_orderkey, o_orderstatus, o_totalprice + 1000.0 AS o_totalprice
+        |        FROM orders WHERE o_orderkey % 9 = 0
+        |        UNION ALL
+        |        SELECT o_orderkey, o_orderstatus, o_totalprice
+        |        FROM orders WHERE o_orderkey % 3 = 1),
+        |m AS (SELECT * FROM base
+        |      WHERE o_orderkey NOT IN (SELECT o_orderkey FROM src)
+        |      UNION ALL SELECT * FROM src),
+        |v1 AS (SELECT COUNT(*) AS n FROM base)
+        |SELECT CAST(2 AS INTEGER) AS latest_version, o_orderstatus,
+        |  COUNT(*) AS n_orders,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price,
+        |  (SELECT n FROM v1) AS n_orders_v1
+        |FROM m GROUP BY 2 ORDER BY 2""".stripMargin,
+
     "q_src_partitioned_sink" ->
       """SELECT CAST(CAST(ts AS TIMESTAMP) AS DATE) AS day,
         |  COUNT(*) AS n_events, COUNT(DISTINCT user_id) AS n_users,

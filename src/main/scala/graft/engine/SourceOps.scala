@@ -386,18 +386,22 @@ object SourceOps {
 
     /** Stage `df` as the data + manifest of `version` WITHOUT the commit
       * rename — exactly the state a crashed writer leaves behind. An
-      * append: the staged manifest lists the parent snapshot's files
-      * plus the new ones. */
+      * APPEND manifest lists the parent snapshot's files plus the new
+      * ones; a REPLACE manifest (`append = false`) lists ONLY the new
+      * files — the shape compaction (OPTIMIZE) and copy-on-write MERGE
+      * commits have. Old snapshots keep their manifests either way, so
+      * time travel is untouched until `vacuumBefore`. */
     private[graft] def stage(s: SparkSession, table: String, df: DataFrame,
-        version: Int): Unit = {
+        version: Int, append: Boolean = true): Unit = {
       val f = fs(s, table)
       val dataDir = new Path(table, f"data/v$version%05d")
       df.write.mode(SaveMode.ErrorIfExists).parquet(dataDir.toString)
       val newFiles = f.listStatus(dataDir).map(_.getPath.getName)
         .filter(n => n.startsWith("part-") && n.endsWith(".parquet"))
         .sorted.map(n => f"data/v$version%05d/$n")
-      val parentFiles = versions(s, table).filter(_ < version).lastOption
-        .map(v => manifest(s, table, v)).getOrElse(Seq.empty)
+      val parentFiles = if (!append) Seq.empty
+        else versions(s, table).filter(_ < version).lastOption
+          .map(v => manifest(s, table, v)).getOrElse(Seq.empty)
       f.mkdirs(manifestDir(table))
       val tmp = new Path(manifestDir(table), f"v$version%05d.manifest.tmp")
       val out = f.create(tmp, true)
@@ -420,7 +424,54 @@ object SourceOps {
       stage(s, table, df, version); commit(s, table, version)
     }
 
-    private def manifest(s: SparkSession, table: String, version: Int): Seq[String] = {
+    /** REPLACE commit: the new snapshot's file list is exactly `df`'s
+      * files (compaction / copy-on-write rewrite). */
+    private[graft] def replace(s: SparkSession, table: String, df: DataFrame,
+        version: Int): Unit = {
+      stage(s, table, df, version, append = false); commit(s, table, version)
+    }
+
+    /** Idempotent append for exactly-once sinks (the foreachBatch
+      * contract: version = batchId + 1): a retry of an already-committed
+      * batch is a NO-OP — the manifest's existence IS the commit marker,
+      * so at-least-once delivery collapses to exactly-once. Returns
+      * whether this call committed. */
+    private[graft] def appendIdempotent(s: SparkSession, table: String,
+        df: DataFrame, version: Int): Boolean = {
+      val f = fs(s, table)
+      if (f.exists(new Path(manifestDir(table), f"v$version%05d.manifest"))) false
+      else {
+        // a retried CRASHED attempt may have left staged data — clear it
+        val dataDir = new Path(table, f"data/v$version%05d")
+        if (f.exists(dataDir)) f.delete(dataDir, true)
+        append(s, table, df, version); true
+      }
+    }
+
+    /** VACUUM: drop every snapshot strictly below `keepFrom` — delete
+      * their manifests first (readers resolving versions can no longer
+      * see them), then every data file referenced by NO surviving
+      * manifest. Time travel below `keepFrom` fails loudly afterwards;
+      * surviving snapshots are untouched. */
+    private[graft] def vacuumBefore(s: SparkSession, table: String,
+        keepFrom: Int): Unit = {
+      val f = fs(s, table)
+      val (drop, keep) = versions(s, table).partition(_ < keepFrom)
+      require(keep.nonEmpty, s"vacuum would delete every snapshot of $table")
+      drop.foreach { v =>
+        f.delete(new Path(manifestDir(table), f"v$v%05d.manifest"), false)
+      }
+      val live = keep.flatMap(v => manifest(s, table, v)).toSet
+      val dataRoot = new Path(table, "data")
+      if (f.exists(dataRoot)) f.listStatus(dataRoot).foreach { d =>
+        f.listStatus(d.getPath).foreach { file =>
+          val rel = s"data/${d.getPath.getName}/${file.getPath.getName}"
+          if (!live.contains(rel)) f.delete(file.getPath, false)
+        }
+      }
+    }
+
+    private[graft] def manifest(s: SparkSession, table: String, version: Int): Seq[String] = {
       val f = fs(s, table)
       val p = new Path(manifestDir(table), f"v$version%05d.manifest")
       val in = f.open(p)
@@ -472,8 +523,78 @@ object SourceOps {
       .orderBy("snapshot_version", "o_orderstatus")
   }
 
+  /** Compaction (OPTIMIZE) on the snapshot table (round 14): v1 + v2
+    * land as appends, v3 rewrites the live data into ONE file via a
+    * REPLACE commit — same rows, new layout, old snapshots untouched
+    * (time travel to v1 still reads the original file set; vacuum is a
+    * separate, spec-pinned step). The exact columns replay from the
+    * original parquet; the layout facts land as booleans the oracle
+    * asserts TRUE (file counts are layout-dependent — a cross-engine
+    * hash on them would pin Spark's partitioning, not the protocol). */
+  def q_src_acid_compact(s: SparkSession, dir: String): DataFrame = {
+    val table = scratch("acidc", dir)
+    val f = new org.apache.hadoop.fs.Path(table)
+      .getFileSystem(s.sparkContext.hadoopConfiguration)
+    f.delete(new org.apache.hadoop.fs.Path(table), true)
+    val orders = Tables.orders(s, dir)
+      .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"))
+    AcidTable.append(s, table, orders.filter(col("o_orderkey") % 3 === 0), 1)
+    AcidTable.append(s, table, orders.filter(col("o_orderkey") % 3 === 1), 2)
+    AcidTable.replace(s, table, AcidTable.read(s, table).coalesce(1), 3)
+    val nF2 = AcidTable.manifest(s, table, 2).length
+    val nF3 = AcidTable.manifest(s, table, 3).length
+    val latest = AcidTable.versions(s, table).last
+    def agg1(df: DataFrame, n: String, sp: String): DataFrame =
+      df.agg(count(lit(1)).as(n), Dsl.moneySum(col("o_totalprice")).as(sp))
+    agg1(AcidTable.read(s, table), "n_orders_latest", "sum_price_latest")
+      .crossJoin(agg1(AcidTable.read(s, table, Some(2)), "n2", "sp2"))
+      .crossJoin(AcidTable.read(s, table, Some(1)).agg(count(lit(1)).as("n_orders_v1")))
+      .select(lit(latest).as("latest_version"),
+        col("n_orders_latest"), col("sum_price_latest"), col("n_orders_v1"),
+        (col("n_orders_latest") === col("n2") &&
+          col("sum_price_latest") === col("sp2")).as("data_unchanged"),
+        lit(nF3 < nF2).as("files_reduced"),
+        lit(nF3 == 1).as("compacted_single_file"))
+  }
+
+  /** Copy-on-write MERGE INTO the snapshot table (round 14 — the
+    * lakehouse upsert beside the relational q_merge_upsert): the source
+    * updates every key ≡ 0 mod 9 (price +1000.00) and inserts keys ≡ 1
+    * mod 3; the new snapshot = target rows whose keys the source does
+    * not touch (left anti) plus every source row, committed as a
+    * REPLACE. Time travel to v1 still shows the pre-merge table (the
+    * `n_orders_v1` column); everything is exact and fully
+    * oracle-replayed from the original parquet. */
+  def q_src_acid_merge(s: SparkSession, dir: String): DataFrame = {
+    val table = scratch("acidm", dir)
+    val f = new org.apache.hadoop.fs.Path(table)
+      .getFileSystem(s.sparkContext.hadoopConfiguration)
+    f.delete(new org.apache.hadoop.fs.Path(table), true)
+    val orders = Tables.orders(s, dir)
+      .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"))
+    AcidTable.append(s, table, orders.filter(col("o_orderkey") % 3 === 0), 1)
+    val src = orders.filter(col("o_orderkey") % 9 === 0)
+      .withColumn("o_totalprice", col("o_totalprice") + 1000.0)
+      .unionByName(orders.filter(col("o_orderkey") % 3 === 1))
+    val tgt = AcidTable.read(s, table)
+    val merged = tgt.join(src.select(col("o_orderkey").as("sk")),
+        col("o_orderkey") === col("sk"), "left_anti")
+      .unionByName(src)
+    AcidTable.replace(s, table, merged, 2)
+    val latest = AcidTable.versions(s, table).last
+    AcidTable.read(s, table)
+      .groupBy(col("o_orderstatus"))
+      .agg(count(lit(1)).as("n_orders"), Dsl.moneySum(col("o_totalprice")).as("sum_price"))
+      .crossJoin(AcidTable.read(s, table, Some(1)).agg(count(lit(1)).as("n_orders_v1")))
+      .select(lit(latest).as("latest_version"), col("o_orderstatus"),
+        col("n_orders"), col("sum_price"), col("n_orders_v1"))
+      .orderBy("o_orderstatus")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_src_acid_snapshot" -> q_src_acid_snapshot _,
+    "q_src_acid_compact" -> q_src_acid_compact _,
+    "q_src_acid_merge" -> q_src_acid_merge _,
     "q_src_gzip_roundtrip" -> q_src_gzip_roundtrip _,
     "q_src_text_roundtrip" -> q_src_text_roundtrip _,
     "q_src_binary_ingest" -> q_src_binary_ingest _,

@@ -72,6 +72,55 @@ class SourceFormatSpec extends AnyFunSuite {
     intercept[IllegalArgumentException] { AcidTable.commit(s, table, 2) }
   }
 
+  test("acid compaction + vacuum: layout changes, data doesn't; vacuum kills time travel loudly") {
+    val s = spark
+    import graft.engine.SourceOps.AcidTable
+    val table = java.nio.file.Files.createTempDirectory("graft_acidv").toString + "/t"
+    val docs = Tables.documents(s, sf0001).select(col("doc_id"), col("lang"))
+    AcidTable.append(s, table, docs.filter(col("doc_id") % 2 === 0), 1)
+    AcidTable.append(s, table, docs.filter(col("doc_id") % 2 === 1), 2)
+    val before = AcidTable.read(s, table).orderBy("doc_id").collect().toSeq
+    AcidTable.replace(s, table, AcidTable.read(s, table).coalesce(1), 3)
+    assert(AcidTable.manifest(s, table, 3).length == 1, "compacted to one file")
+    assert(AcidTable.read(s, table).orderBy("doc_id").collect().toSeq == before,
+      "compaction must not change the data")
+    // old snapshots still time-travel pre-vacuum
+    assert(AcidTable.read(s, table, Some(2)).count() == before.length)
+    val v1n = AcidTable.read(s, table, Some(1)).count()
+    AcidTable.vacuumBefore(s, table, 3)
+    assert(AcidTable.versions(s, table) == Seq(3), "vacuum drops old snapshots")
+    intercept[IllegalArgumentException] { AcidTable.read(s, table, Some(1)) }
+    assert(AcidTable.read(s, table).orderBy("doc_id").collect().toSeq == before,
+      "the surviving snapshot reads bit-identically after vacuum")
+    assert(v1n > 0)
+    // vacuum refuses to delete the whole table
+    intercept[IllegalArgumentException] { AcidTable.vacuumBefore(s, table, 99) }
+  }
+
+  test("acid sink is exactly-once under at-least-once batch retries") {
+    val s = spark
+    import graft.engine.SourceOps.AcidTable
+    val table = java.nio.file.Files.createTempDirectory("graft_acid1x").toString + "/t"
+    val docs = Tables.documents(s, sf0001).select(col("doc_id"), col("lang"))
+    // the foreachBatch contract: version = batchId + 1; a redelivered
+    // batch finds its manifest and no-ops
+    def deliver(batchId: Int, df: org.apache.spark.sql.DataFrame): Boolean =
+      AcidTable.appendIdempotent(s, table, df, batchId + 1)
+    val b0 = docs.filter(col("doc_id") % 2 === 0)
+    val b1 = docs.filter(col("doc_id") % 2 === 1)
+    assert(deliver(0, b0), "first delivery commits")
+    assert(!deliver(0, b0), "redelivery of batch 0 is a no-op")
+    assert(deliver(1, b1))
+    assert(!deliver(1, b1) && !deliver(0, b0), "late redeliveries still no-op")
+    assert(AcidTable.read(s, table).count() == docs.count(),
+      "each batch lands exactly once")
+    // a crashed first attempt (staged data, no manifest) is cleaned and
+    // re-committed by the retry
+    AcidTable.stage(s, table, docs.limit(3), 3)
+    assert(deliver(2, docs.limit(3)), "retry after a crashed attempt commits")
+    assert(AcidTable.read(s, table).count() == docs.count() + 3)
+  }
+
   test("acid snapshot query: 6 rows, torn v3 never observed") {
     val r = graft.engine.SourceOps.q_src_acid_snapshot(spark, sf0001).collect()
     assert(r.length == 6)
