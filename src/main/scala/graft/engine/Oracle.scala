@@ -2691,6 +2691,27 @@ object Oracle {
         |  (SELECT n FROM v1) AS n_orders_v1
         |FROM m GROUP BY 2 ORDER BY 2""".stripMargin,
 
+    // CDC diff: change classes replayed straight from the key
+    // residues (update = % 9 = 0, insert = % 3 = 1, unchanged = the
+    // rest of the base); per-row float deltas spelled as the SAME IEEE
+    // expression the engine evaluates.
+    "q_src_acid_diff" ->
+      """WITH u AS (SELECT 'update' AS change_type,
+        |        o_totalprice + 1000.0 AS p_after,
+        |        (o_totalprice + 1000.0) - o_totalprice AS p_delta
+        |      FROM orders WHERE o_orderkey % 9 = 0),
+        |i AS (SELECT 'insert' AS change_type, o_totalprice AS p_after,
+        |        o_totalprice AS p_delta
+        |      FROM orders WHERE o_orderkey % 3 = 1),
+        |nc AS (SELECT 'unchanged' AS change_type, o_totalprice AS p_after,
+        |        0.0 AS p_delta
+        |      FROM orders WHERE o_orderkey % 3 = 0 AND o_orderkey % 9 <> 0),
+        |ch AS (SELECT * FROM u UNION ALL SELECT * FROM i UNION ALL SELECT * FROM nc)
+        |SELECT change_type, COUNT(*) AS n_rows,
+        |  CAST(SUM(CAST(p_after AS DECIMAL(18,2))) AS DOUBLE) AS sum_price_after,
+        |  CAST(SUM(CAST(p_delta AS DECIMAL(18,2))) AS DOUBLE) AS sum_price_delta
+        |FROM ch GROUP BY 1 ORDER BY 1""".stripMargin,
+
     "q_src_partitioned_sink" ->
       """SELECT CAST(CAST(ts AS TIMESTAMP) AS DATE) AS day,
         |  COUNT(*) AS n_events, COUNT(DISTINCT user_id) AS n_users,

@@ -591,10 +591,56 @@ object SourceOps {
       .orderBy("o_orderstatus")
   }
 
+  /** CDC over the snapshot table (round 14 — the `table_changes()`
+    * surface that completes the lakehouse story: snapshot → time
+    * travel → compaction → merge → vacuum → exactly-once → CHANGES):
+    * the diff between two committed versions, computed as a full outer
+    * join of the two snapshot reads on the key — insert (new key),
+    * update (key present in both, value changed), unchanged. Runs on
+    * the COW-merge table, so every change class is populated; counts
+    * and exact money deltas replay relationally in the oracle. A
+    * change-data feed at 100 TB is this exact join shape, keyed and
+    * shuffle-partitioned on the table key. */
+  def q_src_acid_diff(s: SparkSession, dir: String): DataFrame = {
+    val table = scratch("acidd", dir)
+    val f = new org.apache.hadoop.fs.Path(table)
+      .getFileSystem(s.sparkContext.hadoopConfiguration)
+    f.delete(new org.apache.hadoop.fs.Path(table), true)
+    val orders = Tables.orders(s, dir)
+      .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"))
+    AcidTable.append(s, table, orders.filter(col("o_orderkey") % 3 === 0), 1)
+    val src = orders.filter(col("o_orderkey") % 9 === 0)
+      .withColumn("o_totalprice", col("o_totalprice") + 1000.0)
+      .unionByName(orders.filter(col("o_orderkey") % 3 === 1))
+    val merged = AcidTable.read(s, table)
+      .join(src.select(col("o_orderkey").as("sk")),
+        col("o_orderkey") === col("sk"), "left_anti")
+      .unionByName(src)
+    AcidTable.replace(s, table, merged, 2)
+    val a = AcidTable.read(s, table, Some(1))
+      .select(col("o_orderkey").as("ka"), col("o_totalprice").as("pa"))
+    val b = AcidTable.read(s, table, Some(2))
+      .select(col("o_orderkey").as("kb"), col("o_totalprice").as("pb"))
+    a.join(b, col("ka") === col("kb"), "full_outer")
+      .select(
+        when(col("ka").isNull, "insert")
+          .when(col("kb").isNull, "delete")
+          .when(col("pa") =!= col("pb"), "update")
+          .otherwise("unchanged").as("change_type"),
+        coalesce(col("pb"), lit(0.0)).as("p_after"),
+        (coalesce(col("pb"), lit(0.0)) - coalesce(col("pa"), lit(0.0))).as("p_delta"))
+      .groupBy(col("change_type"))
+      .agg(count(lit(1)).as("n_rows"),
+        Dsl.moneySum(col("p_after")).as("sum_price_after"),
+        Dsl.moneySum(col("p_delta")).as("sum_price_delta"))
+      .orderBy("change_type")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_src_acid_snapshot" -> q_src_acid_snapshot _,
     "q_src_acid_compact" -> q_src_acid_compact _,
     "q_src_acid_merge" -> q_src_acid_merge _,
+    "q_src_acid_diff" -> q_src_acid_diff _,
     "q_src_gzip_roundtrip" -> q_src_gzip_roundtrip _,
     "q_src_text_roundtrip" -> q_src_text_roundtrip _,
     "q_src_binary_ingest" -> q_src_binary_ingest _,
