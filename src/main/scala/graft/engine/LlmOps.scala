@@ -255,22 +255,28 @@ object LlmOps {
     * is exact-Jaccard-verified ≥ 0.5). Scale shape: both sides are
     * banded bucket joins; the scoring joins are pair-set-sized. */
   def q_llm_minhash_lsh(s: SparkSession, dir: String): DataFrame = {
-    // Both pair sets feed 2 consumers each (count-agg + semi-join
-    // scoring); materialize once — xx is the 100 TB-shaped bucket-join
-    // output (pair-set-sized, ~2M rows at sf0.1), md5 the sample twin.
+    // ONE pass over the xx pair set (the 100 TB-shaped bucket-join
+    // output, ~2M rows at sf0.1 — never materialized): the md5 twin is
+    // sample-bounded (21k rows at sf0.1), so it BROADCASTS onto the xx
+    // stream and every audit aggregate — xx count, verify floor, twin
+    // hits — falls out of a single map-side join + global agg. xx pairs
+    // are distinct by construction (bucket dedup + verify), so each
+    // matched twin pair counts exactly once.
     val xx = minhashXxPairs(s, dir)
-      .select(col("doc_a"), col("doc_b"), col("jaccard")).localCheckpoint()
+      .select(col("doc_a"), col("doc_b"), col("jaccard"))
     val md5 = minhashMd5Pairs(s, dir) // memoized checkpoint-backed twin
       .select(col("doc_a"), col("doc_b"), col("jaccard"))
     val mdAgg = md5.agg(
       count(lit(1)).as("n_md5_pairs"),
       coalesce(sum(when(col("jaccard") >= 0.8, 1L)), lit(0L)).as("n_md5_strong"))
-    val caught = md5.join(xx.select(col("doc_a"), col("doc_b")),
-        Seq("doc_a", "doc_b"), "left_semi")
-      .agg(count(lit(1)).as("n_hit_all"),
-        coalesce(sum(when(col("jaccard") >= 0.8, 1L)), lit(0L)).as("n_hit_strong"))
-    val xxAgg = xx.agg(count(lit(1)).as("n_xx"), min(col("jaccard")).as("min_jac"))
-    mdAgg.crossJoin(caught).crossJoin(xxAgg).select(
+    val oneScan = xx.join(
+        broadcast(md5.select(col("doc_a"), col("doc_b"),
+          (col("jaccard") >= 0.8).as("m_strong"), lit(true).as("m_hit"))),
+        Seq("doc_a", "doc_b"), "left_outer")
+      .agg(count(lit(1)).as("n_xx"), min(col("jaccard")).as("min_jac"),
+        coalesce(sum(when(col("m_hit"), 1L)), lit(0L)).as("n_hit_all"),
+        coalesce(sum(when(col("m_strong"), 1L)), lit(0L)).as("n_hit_strong"))
+    mdAgg.crossJoin(oneScan).select(
       col("n_md5_pairs"), col("n_md5_strong"),
       (col("n_md5_strong") === 0 ||
         col("n_hit_strong").cast("double") >=
