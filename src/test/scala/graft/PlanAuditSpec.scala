@@ -282,6 +282,7 @@ class PlanAuditSpec extends AnyFunSuite {
       "q_graph_degree_dist" -> "distinct-degree CCDF ladder (histogram-sized, ~log of nodes)",
       "q_llm_jaccard_pairs" -> "tokenMasks vid rank: bitmap path guarded to vocab <= 64 rows",
       "q_llm_minhash_est" -> "tokenMasks vid rank: guarded vocab <= 64 rows",
+      "q_llm_minhash_lsh" -> "tokenMasks vid rank: guarded vocab <= 64 rows (one-pass audit keeps xx lazy)",
       "q_llm_simhash" -> "tokenMasks vid rank: guarded vocab <= 64 rows (r14 audit verifies emitted pairs)",
       "q_llm_shard_assign" -> "16-row shard table (NumShards literal)",
       "q_stats_fdr_bh" -> "hypothesis-space p-value ladder (families x event types, not data)",
