@@ -969,6 +969,61 @@ object GraphOps {
           / ((lit(4L) * col("m")) * col("m")).cast("double")).as("modularity"))
   }
 
+  /** Louvain phase-1 FIRST SWEEP (Blondel et al. 2008), synchronous
+    * variant (round 14 — the community-detection step users reach for
+    * past label propagation; the synchronous sweep is the parallel
+    * Louvain opening move, e.g. Grappolo): from singleton communities,
+    * every node simultaneously evaluates joining each neighbor j with
+    * ΔQ = 1/m − k_i·k_j/(2m²), which makes the argmax PURELY INTEGER —
+    * maximize ΔQ ⟺ minimize k_j (ties → min j), move iff 2m > k_i·k_j.
+    * Labels apply synchronously (new label = chosen neighbor's ORIGINAL
+    * id); the output prices the sweep with modularity before/after in
+    * the exact Q·4m² integer form (Q·4m² = Σ_c 4m·L_c − D_c², the
+    * q_graph_modularity device — zero float until two final divisions
+    * of identical integers). Scale shape: one degree aggregate, one
+    * per-node neighbor argmin (min-of-struct, no window), one keyed
+    * relabel join — every stage shuffles on the node key. */
+  def q_graph_louvain_move(s: SparkSession, dir: String): DataFrame = {
+    val pp = partPairs(s, dir, TriangleMinCooccur).select(col("a"), col("b"))
+    val ue = undProj(s, dir, TriangleMinCooccur)
+    val deg = ue.groupBy(col("a")).agg(count(lit(1)).as("k"))
+    val mRow = pp.agg(count(lit(1)).as("m"))
+    val best = ue.join(deg.select(col("a").as("j"), col("k").as("kj")),
+        col("b") === col("j"))
+      .groupBy(col("a").as("ba"))
+      .agg(min(struct(col("kj"), col("j"))).as("bst"))
+    val lab = deg.join(best, col("a") === col("ba"))
+      .crossJoin(broadcast(mRow))
+      .select(col("a"), col("k"),
+        when(lit(2L) * col("m") > col("k") * col("bst.kj"), col("bst.j"))
+          .otherwise(col("a")).as("lbl"))
+      .localCheckpoint() // 3 consumers: intra join (both sides) + D_c agg
+    val la = lab.select(col("a").as("na"), col("lbl").as("la"))
+    val lb = lab.select(col("a").as("nb"), col("lbl").as("lb"))
+    val intra = pp.join(la, col("a") === col("na"))
+      .join(lb, col("b") === col("nb"))
+      .filter(col("la") === col("lb"))
+      .groupBy(col("la").as("c")).agg(count(lit(1)).as("ec"))
+    val dc = lab.groupBy(col("lbl")).agg(sum(col("k")).as("dsum"))
+    val aft = dc.join(intra, col("lbl") === col("c"), "left_outer")
+      .select(coalesce(col("ec"), lit(0L)).as("ec"), col("dsum"))
+      .agg(count(lit(1)).as("n_communities"),
+        sum(col("ec")).as("intra_edges"),
+        sum(col("dsum") * col("dsum")).as("sum_dc2"))
+    val bef = deg.agg(count(lit(1)).as("n_nodes"), sum(col("k") * col("k")).as("sum_k2"))
+    val moved = lab.agg(
+      coalesce(sum(when(col("lbl") =!= col("a"), 1L)), lit(0L)).as("n_moved"))
+    bef.crossJoin(moved).crossJoin(aft).crossJoin(broadcast(mRow))
+      .select(col("n_nodes"), col("m").as("n_edges"), col("n_moved"),
+        col("n_communities"),
+        (lit(0L) - col("sum_k2")).as("q4m2_before"),
+        (lit(4L) * col("m") * col("intra_edges") - col("sum_dc2")).as("q4m2_after"),
+        ((lit(0L) - col("sum_k2")).cast("double")
+          / ((lit(4L) * col("m")) * col("m")).cast("double")).as("modularity_before"),
+        ((lit(4L) * col("m") * col("intra_edges") - col("sum_dc2")).cast("double")
+          / ((lit(4L) * col("m")) * col("m")).cast("double")).as("modularity_after"))
+  }
+
   /** Degree assortativity (Newman 2002, Pearson correlation of endpoint
     * degrees over the symmetrized arc set): r = (M·Σxy − (Σx)²) /
     * (M·Σx² − (Σx)²), where x,y are the endpoint degrees of each arc and
@@ -1658,6 +1713,7 @@ object GraphOps {
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_graph_louvain_move" -> q_graph_louvain_move _,
     "q_graph_conductance" -> q_graph_conductance _,
     "q_graph_pseudo_diameter" -> q_graph_pseudo_diameter _,
     "q_graph_reciprocity" -> q_graph_reciprocity _,

@@ -3631,6 +3631,47 @@ object Oracle {
          |FROM agg CROSS JOIN mm""".stripMargin
     },
 
+    // Louvain first sweep: the argmax is integral (min (k_j, j) per
+    // node, move iff 2m > k_i*k_j), so the whole sweep and both Q*4m^2
+    // scores replay as integer SQL; the divisions are of identical
+    // integers (the modularity device).
+    "q_graph_louvain_move" ->
+      s"""WITH $edgesCte,
+         |pp AS MATERIALIZED (SELECT e1.dst AS a, e2.dst AS b
+         |       FROM edges e1 JOIN edges e2 ON e1.src = e2.src AND e1.dst < e2.dst
+         |       GROUP BY 1, 2 HAVING COUNT(*) >= ${GraphOps.TriangleMinCooccur}),
+         |und AS MATERIALIZED (SELECT a, b FROM pp UNION ALL SELECT b AS a, a AS b FROM pp),
+         |deg AS MATERIALIZED (SELECT a, CAST(COUNT(*) AS BIGINT) AS k FROM und GROUP BY 1),
+         |mm AS (SELECT CAST(COUNT(*) AS BIGINT) AS m FROM pp),
+         |cand AS (SELECT u.a, u.b, d.k AS kj,
+         |           ROW_NUMBER() OVER (PARTITION BY u.a ORDER BY d.k, u.b) AS rn
+         |         FROM und u JOIN deg d ON d.a = u.b),
+         |best AS (SELECT a, b AS j, kj FROM cand WHERE rn = 1),
+         |lab AS MATERIALIZED (SELECT d.a, d.k,
+         |         CASE WHEN 2*(SELECT m FROM mm) > d.k * b.kj THEN b.j ELSE d.a END AS lbl
+         |       FROM deg d JOIN best b ON b.a = d.a),
+         |intra AS (SELECT la.lbl AS c, CAST(COUNT(*) AS BIGINT) AS ec
+         |          FROM pp JOIN lab la ON la.a = pp.a
+         |                  JOIN lab lb ON lb.a = pp.b AND la.lbl = lb.lbl
+         |          GROUP BY 1),
+         |dc AS (SELECT lbl, CAST(SUM(k) AS BIGINT) AS dsum FROM lab GROUP BY 1),
+         |aft AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_communities,
+         |          CAST(SUM(COALESCE(i.ec, 0)) AS BIGINT) AS intra_edges,
+         |          CAST(SUM(dc.dsum * dc.dsum) AS BIGINT) AS sum_dc2
+         |        FROM dc LEFT JOIN intra i ON i.c = dc.lbl),
+         |bef AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_nodes,
+         |          CAST(SUM(k * k) AS BIGINT) AS sum_k2 FROM deg),
+         |mv AS (SELECT CAST(COALESCE(SUM(CASE WHEN lbl <> a THEN 1 ELSE 0 END), 0)
+         |          AS BIGINT) AS n_moved FROM lab)
+         |SELECT bef.n_nodes, mm.m AS n_edges, mv.n_moved, aft.n_communities,
+         |  CAST(0 - bef.sum_k2 AS BIGINT) AS q4m2_before,
+         |  CAST(4*mm.m*aft.intra_edges - aft.sum_dc2 AS BIGINT) AS q4m2_after,
+         |  CAST(0 - bef.sum_k2 AS DOUBLE)
+         |    / CAST((4*mm.m)*mm.m AS DOUBLE) AS modularity_before,
+         |  CAST(4*mm.m*aft.intra_edges - aft.sum_dc2 AS DOUBLE)
+         |    / CAST((4*mm.m)*mm.m AS DOUBLE) AS modularity_after
+         |FROM bef CROSS JOIN mm CROSS JOIN mv CROSS JOIN aft""".stripMargin,
+
     "q_graph_assortativity" ->
       s"""WITH $edgesCte,
          |pp AS (SELECT e1.dst AS a, e2.dst AS b

@@ -248,6 +248,44 @@ class RecoverySpec extends AnyFunSuite {
     }
   }
 
+  test("CEP pattern state survives a kill+restart from checkpoint") {
+    val s = spark
+    import s.implicits._
+    implicit val sq = s.sqlContext
+    import StreamingOps.{CepEv, CepPatterns, cepStream}
+    val p = CepPatterns.find(_.name == "click_purchase_clean").get
+    def us(min: Long): Long = min * 60L * 1000000L
+    // user 1's click lands BEFORE the kill and its purchase AFTER —
+    // the match exists only if the chain state crossed the checkpoint;
+    // user 2's pre-kill error must also survive to SUPPRESS its match
+    val b1 = Seq(CepEv(1, 1, us(0), "click"),
+      CepEv(2, 10, us(0), "click"), CepEv(2, 11, us(5), "error"))
+    val b2 = Seq(CepEv(1, 2, us(10), "purchase"),
+      CepEv(2, 12, us(10), "purchase"))
+    def run(kill: Boolean): Set[(Long, Long, Long)] = {
+      val root = java.nio.file.Files.createTempDirectory("graft_cep_recov").toString
+      val (ckpt, out) = (s"$root/ckpt", s"$root/out")
+      val ms = MemoryStream[CepEv]
+      def start() = cepStream(p)(ms.toDS())
+        .writeStream.outputMode(OutputMode.Append)
+        .option("checkpointLocation", ckpt)
+        .format("parquet").option("path", out).start()
+      var q = start()
+      ms.addData(b1: _*)
+      q.processAllAvailable()
+      if (kill) { q.stop(); q = start() }
+      ms.addData(b2: _*)
+      q.processAllAvailable(); q.stop()
+      s.read.parquet(out).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    }
+    val uninterrupted = run(kill = false)
+    val recovered = run(kill = true)
+    assert(recovered == Set((1L, us(0), us(10))),
+      s"only user 1 matches, via state recovered across the restart: $recovered")
+    assert(recovered == uninterrupted, "recovered == uninterrupted")
+  }
+
   test("fGWS sessions survive a kill+restart from checkpoint (RocksDB provider)") {
     val s = spark
     val key = "spark.sql.streaming.stateStore.providerClass"

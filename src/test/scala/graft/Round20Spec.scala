@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 
-import graft.engine.{Gnn, TrainOps}
+import graft.engine.{Gnn, GraphOps, SourceOps, Tables, TrainOps}
 
 /** Round-14 (current cycle) replay pins: operators landed this round
   * re-derived driver-side from first principles on sf0.001. */
@@ -69,5 +69,44 @@ class Round20Spec extends AnyFunSuite {
       .map(r => (2 to 5).map(r.getDouble).toSeq)
     assert(got.map(_._3).take(full.length) != full.toSeq,
       "mini-batch trajectory must differ from full-batch")
+  }
+
+  test("louvain first sweep equals a driver-side integer replay") {
+    val pp = GraphOps.partPairs(spark, sf0001, GraphOps.TriangleMinCooccur)
+      .select(col("a"), col("b")).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val und = pp ++ pp.map(_.swap)
+    val adj = und.groupBy(_._1).view.mapValues(_.map(_._2)).toMap
+    val deg = adj.view.mapValues(_.length.toLong).toMap
+    val m = pp.length.toLong
+    val lbl = deg.map { case (a, k) =>
+      val (kj, j) = adj(a).map(b => (deg(b), b)).min
+      a -> (if (2 * m > k * kj) j else a)
+    }
+    val nMoved = lbl.count { case (a, l) => l != a }.toLong
+    val intra = pp.count { case (a, b) => lbl(a) == lbl(b) }.toLong
+    val dcs = lbl.toSeq.groupBy(_._2)
+      .map { case (_, ns) => ns.map(n => deg(n._1)).sum }
+    val q4After = 4 * m * intra - dcs.map(d => d * d).sum
+    val q4Before = -deg.values.map(k => k * k).sum
+    val r = GraphOps.q_graph_louvain_move(spark, sf0001).collect()(0)
+    assert(r.getLong(0) == deg.size.toLong && r.getLong(1) == m, "node/edge counts")
+    assert(r.getLong(2) == nMoved && r.getLong(3) == dcs.size.toLong,
+      s"moves/communities: got (${r.getLong(2)},${r.getLong(3)}) want ($nMoved,${dcs.size})")
+    assert(r.getLong(4) == q4Before && r.getLong(5) == q4After, "exact Q*4m^2 scores")
+    assert(r.getLong(5) > r.getLong(4), "the first sweep must improve Q on the fixture")
+    assert(nMoved > 0, "non-vacuous: some node moves at sf0.001")
+  }
+
+  test("acid diff classes equal the key-residue replay") {
+    val keys = Tables.orders(spark, sf0001)
+      .select(col("o_orderkey")).collect().map(_.getLong(0))
+    val expect = Map(
+      "insert" -> keys.count(_ % 3 == 1).toLong,
+      "update" -> keys.count(_ % 9 == 0).toLong,
+      "unchanged" -> keys.count(k => k % 3 == 0 && k % 9 != 0).toLong)
+    val got = SourceOps.q_src_acid_diff(spark, sf0001).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(got == expect, s"diff classes: $got vs $expect")
   }
 }
