@@ -983,21 +983,33 @@ object GraphOps {
     * of identical integers). Scale shape: one degree aggregate, one
     * per-node neighbor argmin (min-of-struct, no window), one keyed
     * relabel join — every stage shuffles on the node key. */
+  /** The sweep's (node, degree, label) table, memoized per (session,
+    * dir): q_graph_louvain_move prices the sweep, q_graph_coarsen
+    * builds the next Louvain level's graph from the same labels. */
+  private def louvainLabels(s: SparkSession, dir: String): DataFrame =
+    Mv.memo(s, s"louvainLab|$dir") { bs =>
+      val pp = partPairs(bs, dir, TriangleMinCooccur).select(col("a"), col("b"))
+      val ue = undProj(bs, dir, TriangleMinCooccur)
+      val deg = ue.groupBy(col("a")).agg(count(lit(1)).as("k"))
+      val mRow = pp.agg(count(lit(1)).as("m"))
+      val best = ue.join(deg.select(col("a").as("j"), col("k").as("kj")),
+          col("b") === col("j"))
+        .groupBy(col("a").as("ba"))
+        .agg(min(struct(col("kj"), col("j"))).as("bst"))
+      deg.join(best, col("a") === col("ba"))
+        .crossJoin(broadcast(mRow))
+        .select(col("a"), col("k"),
+          when(lit(2L) * col("m") > col("k") * col("bst.kj"), col("bst.j"))
+            .otherwise(col("a")).as("lbl"))
+        .localCheckpoint()
+    }
+
   def q_graph_louvain_move(s: SparkSession, dir: String): DataFrame = {
     val pp = partPairs(s, dir, TriangleMinCooccur).select(col("a"), col("b"))
     val ue = undProj(s, dir, TriangleMinCooccur)
     val deg = ue.groupBy(col("a")).agg(count(lit(1)).as("k"))
     val mRow = pp.agg(count(lit(1)).as("m"))
-    val best = ue.join(deg.select(col("a").as("j"), col("k").as("kj")),
-        col("b") === col("j"))
-      .groupBy(col("a").as("ba"))
-      .agg(min(struct(col("kj"), col("j"))).as("bst"))
-    val lab = deg.join(best, col("a") === col("ba"))
-      .crossJoin(broadcast(mRow))
-      .select(col("a"), col("k"),
-        when(lit(2L) * col("m") > col("k") * col("bst.kj"), col("bst.j"))
-          .otherwise(col("a")).as("lbl"))
-      .localCheckpoint() // 3 consumers: intra join (both sides) + D_c agg
+    val lab = louvainLabels(s, dir)
     val la = lab.select(col("a").as("na"), col("lbl").as("la"))
     val lb = lab.select(col("a").as("nb"), col("lbl").as("lb"))
     val intra = pp.join(la, col("a") === col("na"))
@@ -1022,6 +1034,43 @@ object GraphOps {
           / ((lit(4L) * col("m")) * col("m")).cast("double")).as("modularity_before"),
         ((lit(4L) * col("m") * col("intra_edges") - col("sum_dc2")).cast("double")
           / ((lit(4L) * col("m")) * col("m")).cast("double")).as("modularity_after"))
+  }
+
+  /** Louvain phase-2 coarsening (round 14 — the second half of a
+    * Louvain level): the sweep's communities become super-nodes; each
+    * cross-community pair edge aggregates into a weighted super-edge
+    * (unordered (min,max) label key), intra-community edges into
+    * self-loop mass. Output = the 10 heaviest super-edges (w desc, then
+    * label order — deterministic) with the condensed graph's summary
+    * riding along as constant columns. The next sweep would run on
+    * exactly this weighted graph; at scale the coarsened graph is
+    * communities-sized — the whole point of the Louvain hierarchy. */
+  def q_graph_coarsen(s: SparkSession, dir: String): DataFrame = {
+    val pp = partPairs(s, dir, TriangleMinCooccur).select(col("a"), col("b"))
+    val lab = louvainLabels(s, dir)
+    val la = lab.select(col("a").as("na"), col("lbl").as("la"))
+    val lb = lab.select(col("a").as("nb"), col("lbl").as("lb"))
+    val labeled = pp.join(la, col("a") === col("na"))
+      .join(lb, col("b") === col("nb"))
+    // materialized once: the summary aggregate and the top-10 both read
+    // it; self-loop mass falls out of the edge-conservation identity
+    // self = m − cross (every pair edge is intra xor cross), so the
+    // labeled join runs exactly once.
+    val cross = labeled.filter(col("la") =!= col("lb"))
+      .select(least(col("la"), col("lb")).as("ca"),
+        greatest(col("la"), col("lb")).as("cb"))
+      .groupBy(col("ca"), col("cb")).agg(count(lit(1)).as("w"))
+      .localCheckpoint()
+    val summary = cross.agg(count(lit(1)).as("n_super_edges"),
+        coalesce(sum(col("w")), lit(0L)).as("cross_weight"))
+      .crossJoin(lab.agg(countDistinct(col("lbl")).as("n_super_nodes")))
+      .crossJoin(pp.agg(count(lit(1)).as("m")))
+      .withColumn("self_weight", col("m") - col("cross_weight"))
+    cross.crossJoin(broadcast(summary))
+      .orderBy(col("w").desc, col("ca").asc, col("cb").asc)
+      .limit(10)
+      .select(col("ca"), col("cb"), col("w"), col("n_super_nodes"),
+        col("n_super_edges"), col("cross_weight"), col("self_weight"))
   }
 
   /** Degree assortativity (Newman 2002, Pearson correlation of endpoint
@@ -1714,6 +1763,7 @@ object GraphOps {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_graph_louvain_move" -> q_graph_louvain_move _,
+    "q_graph_coarsen" -> q_graph_coarsen _,
     "q_graph_conductance" -> q_graph_conductance _,
     "q_graph_pseudo_diameter" -> q_graph_pseudo_diameter _,
     "q_graph_reciprocity" -> q_graph_reciprocity _,

@@ -3672,6 +3672,39 @@ object Oracle {
          |    / CAST((4*mm.m)*mm.m AS DOUBLE) AS modularity_after
          |FROM bef CROSS JOIN mm CROSS JOIN mv CROSS JOIN aft""".stripMargin,
 
+    // Louvain phase-2 coarsening: same lab CTEs as the sweep, then the
+    // condensed graph's weighted super-edges + summary.
+    "q_graph_coarsen" ->
+      s"""WITH $edgesCte,
+         |pp AS MATERIALIZED (SELECT e1.dst AS a, e2.dst AS b
+         |       FROM edges e1 JOIN edges e2 ON e1.src = e2.src AND e1.dst < e2.dst
+         |       GROUP BY 1, 2 HAVING COUNT(*) >= ${GraphOps.TriangleMinCooccur}),
+         |und AS MATERIALIZED (SELECT a, b FROM pp UNION ALL SELECT b AS a, a AS b FROM pp),
+         |deg AS MATERIALIZED (SELECT a, CAST(COUNT(*) AS BIGINT) AS k FROM und GROUP BY 1),
+         |mm AS (SELECT CAST(COUNT(*) AS BIGINT) AS m FROM pp),
+         |cand AS (SELECT u.a, u.b, d.k AS kj,
+         |           ROW_NUMBER() OVER (PARTITION BY u.a ORDER BY d.k, u.b) AS rn
+         |         FROM und u JOIN deg d ON d.a = u.b),
+         |best AS (SELECT a, b AS j, kj FROM cand WHERE rn = 1),
+         |lab AS MATERIALIZED (SELECT d.a, d.k,
+         |         CASE WHEN 2*(SELECT m FROM mm) > d.k * b.kj THEN b.j ELSE d.a END AS lbl
+         |       FROM deg d JOIN best b ON b.a = d.a),
+         |lp AS (SELECT la.lbl AS la, lb.lbl AS lb
+         |      FROM pp JOIN lab la ON la.a = pp.a JOIN lab lb ON lb.a = pp.b),
+         |ce AS MATERIALIZED (SELECT LEAST(la, lb) AS ca, GREATEST(la, lb) AS cb,
+         |        CAST(COUNT(*) AS BIGINT) AS w
+         |      FROM lp WHERE la <> lb GROUP BY 1, 2),
+         |summ AS (SELECT
+         |    (SELECT CAST(COUNT(DISTINCT lbl) AS BIGINT) FROM lab) AS n_super_nodes,
+         |    (SELECT CAST(COUNT(*) AS BIGINT) FROM ce) AS n_super_edges,
+         |    (SELECT CAST(COALESCE(SUM(w), 0) AS BIGINT) FROM ce) AS cross_weight,
+         |    (SELECT m FROM mm) - (SELECT CAST(COALESCE(SUM(w), 0) AS BIGINT) FROM ce)
+         |      AS self_weight)
+         |SELECT ce.ca, ce.cb, ce.w, summ.n_super_nodes, summ.n_super_edges,
+         |  summ.cross_weight, summ.self_weight
+         |FROM ce CROSS JOIN summ
+         |ORDER BY w DESC, ca, cb LIMIT 10""".stripMargin,
+
     "q_graph_assortativity" ->
       s"""WITH $edgesCte,
          |pp AS (SELECT e1.dst AS a, e2.dst AS b
