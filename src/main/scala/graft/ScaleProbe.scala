@@ -44,7 +44,7 @@ object ScaleProbe {
 
   def main(args: Array[String]): Unit = {
     // fail fast on a typo'd group name BEFORE the (long) replica builds
-    val known = Set("fact", "iter", "lsh", "r16", "r16iter", "r18", "r19", "r19g", "r20")
+    val known = Set("fact", "iter", "lsh", "r16", "r16iter", "r18", "r19", "r19g", "r20", "r20g")
     val asked = args.filter(_ != "rebuild").toSet
     val unknown = asked -- known
     require(unknown.isEmpty,
@@ -272,6 +272,16 @@ object ScaleProbe {
         "q_llm_minhash_md5",      // banded LSH + exact verify
         "q_llm_dedup_clusters"),  // candidate graph + min-label fixpoint
         PerturbTiers)
+    }
+    if (groups("r20g")) {
+      // round-14 Louvain pair on the horizontal graph axis (disjoint
+      // replicas: |V|, |E| scale, per-node degrees stay base) — the
+      // sweep is one argmin + relabel joins, the coarsening one labeled
+      // aggregate: both must track the edge count, not bend above it
+      runGroup("round-14 tiers (Louvain sweep + coarsening, horizontal axis)", Seq(
+        "q_graph_louvain_move",
+        "q_graph_coarsen"),
+        GraphTiers)
     }
     if (groups("r20")) {
       // round-14 text/bitmap tier (VERDICT r13 item 8): the SAMPLED
