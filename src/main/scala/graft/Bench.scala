@@ -272,9 +272,18 @@ object Bench {
     val failed = results.collect { case (k, v) if v < 0 => "\"" + k + "\"" }.sorted
     val total = results.map(_._2).filter(_ >= 0).sum
     val wfail = warmupFailed.map("\"" + _ + "\"").mkString(",")
-    val retimedJson = retimed.toSeq.sortBy(_._1).map { case (k, (a, b)) =>
-      "\"" + k + "\":{\"first\":" + f3(a) + ",\"retime\":" + f3(b) + "}"
-    }.mkString("{", ",", "}")
+    def retimedJsonOf(entries: Seq[(String, (Double, Double))]): String =
+      entries.sortBy(_._1).map { case (k, (a, b)) =>
+        "\"" + k + "\":{\"first\":" + f3(a) + ",\"retime\":" + f3(b) + "}"
+      }.mkString("{", ",", "}")
+    val retimedJson = retimedJsonOf(retimed.toSeq)
+    // Stdout must survive the driver's 2000-char tail capture
+    // (BENCH_r14 parsed:null post-mortem — at 361 queries the 26-entry
+    // retimed block front-truncated the line past parseability): the
+    // stdout copy carries only the 8 LARGEST retimes; the full map stays
+    // in target/bench.json.
+    val retimedStdout = retimedJsonOf(
+      retimed.toSeq.sortBy { case (_, (first, _)) => -first }.take(8))
     // Approx-operator error bounds (VERDICT r6 item 7): measured deltas
     // of the self-checked tier vs exact twins, archived as an artifact.
     // Post-sweep so every input is warm; a failure must not kill the run.
@@ -297,8 +306,9 @@ object Bench {
     val mvJson = s"""{"n":$mvN,"rdds":$rddN,"mem_mb":${memB / 1048576}}"""
     def cjson(c: (Double, Double, Double)): String =
       s"""{"start":${f3(c._1)},"mid":${f3(c._2)},"end":${f3(c._3)}}"""
-    val head =
-      s""""canary":${cjson(canary1)},"canary2":${cjson(canary2)},"canaries":[${passes.map(p => cjson(p._2)).mkString(",")}],"n_sweeps":${passes.size},"resweep":$resweep,"contaminated":$contaminated,"retimed":$retimedJson,"mv":$mvJson,"warmup_failed":[$wfail],"n_queries":${results.size},"n_failed":${failed.size},"failed":[${failed.mkString(",")}],"sf":"$sfDir","metric":"total","unit":"sec","value":${f3(total)}"""
+    def mkHead(rt: String): String =
+      s""""canary":${cjson(canary1)},"canary2":${cjson(canary2)},"canaries":[${passes.map(p => cjson(p._2)).mkString(",")}],"n_sweeps":${passes.size},"resweep":$resweep,"contaminated":$contaminated,"retimed":$rt,"mv":$mvJson,"warmup_failed":[$wfail],"n_queries":${results.size},"n_failed":${failed.size},"failed":[${failed.mkString(",")}],"sf":"$sfDir","metric":"total","unit":"sec","value":${f3(total)}"""
+    val head = mkHead(retimedJson)
     // When a resweep fired, EVERY raw per-query pass goes into the full
     // artifact alongside the merged mins (ADVICE r9: the merge alone
     // dropped the samples the header promised stayed "for audit").
@@ -314,10 +324,13 @@ object Bench {
     val w = new java.io.PrintWriter(out, "UTF-8")
     try w.println(full) finally w.close()
     System.err.println(s"[bench] full per-query JSON: ${out.getAbsolutePath}")
-    // Compact stdout line: top-40 slowest queries only (~1.2 KB, fits the
-    // 2000-char capture window with the sbt trailer), headline fields last.
-    val top = results.filter(_._2 >= 0).sortBy(-_._2).take(40).sortBy(_._1)
-    println(s"""{"queries_file":"target/bench.json","queries_top":${top.size},"queries":${qmap(top)},$head}""")
+    // Compact stdout line: top-20 slowest queries + 8 largest retimes
+    // (~1.7 KB worst case — fits the 2000-char capture window with the
+    // sbt trailer at the 361-query surface; BENCH_r14 post-mortem),
+    // headline fields last so even a truncated capture retains them. The
+    // complete map + full retimed block live in target/bench.json.
+    val top = results.filter(_._2 >= 0).sortBy(-_._2).take(20).sortBy(_._1)
+    println(s"""{"queries_top":${top.size},"queries":${qmap(top)},${mkHead(retimedStdout)}}""")
     spark.stop()
   }
 }

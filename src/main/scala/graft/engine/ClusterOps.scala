@@ -1,5 +1,7 @@
 package graft.engine
 
+import graft.engine.Ckpt.CkptOps
+
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -51,9 +53,9 @@ object ClusterOps {
         cents = a.join(emb, "vec_id")
           .groupBy(col("cl"))
           .agg(means.head, means.tail: _*)
-          .localCheckpoint()
+          .ckpt()
       }
-      assign(emb, cents).localCheckpoint()
+      assign(emb, cents).ckpt()
     }
 
   private def assign(emb: DataFrame, cents: DataFrame): DataFrame =

@@ -1,5 +1,7 @@
 package graft.engine
 
+import graft.engine.Ckpt.CkptOps
+
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -45,7 +47,7 @@ object Dist {
     val nParts = s.sessionState.conf.numShufflePartitions
     val parted = df.repartitionByRange(nParts, order: _*)
       .withColumn("_pid", spark_partition_id())
-      .localCheckpoint()
+      .ckpt()
     // per-partition totals: ≤ nParts rows — config-bounded driver state
     val per: Array[(Int, Long, Long)] = value match {
       case Some((v, _)) =>

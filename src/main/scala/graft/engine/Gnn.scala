@@ -1,5 +1,7 @@
 package graft.engine
 
+import graft.engine.Ckpt.CkptOps
+
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -462,7 +464,7 @@ object Gnn {
       .select(col("node") +: xq: _*)
       .join(broadcast(deg), col("node") === col("dn"))
       .select(col("node") +: col("deg") +: (1 to 4).map(j => col(s"x$j")): _*)
-      .localCheckpoint()
+      .ckpt()
     var z = feats.select(col("node") +: (1 to 4).map(j => col(s"x$j").as(s"z$j")): _*)
     for (_ <- 1 to 3) {
       val zB = z.select(col("node").as("zn") +:
@@ -568,7 +570,7 @@ object Gnn {
     * table before training. Memo + localCheckpoint share GraphOps'
     * cache/eviction machinery. */
   def linkPredFeatures(s: SparkSession, dir: String): DataFrame =
-    Mv.memo(s, s"linkPredFeat|$dir")(bs => buildLinkPredFeatures(bs, dir).localCheckpoint())
+    Mv.memo(s, s"linkPredFeat|$dir")(bs => buildLinkPredFeatures(bs, dir).ckpt())
 
   private def buildLinkPredFeatures(s: SparkSession, dir: String): DataFrame = {
     val e = GraphOps.edges(s, dir)
@@ -665,7 +667,7 @@ object Gnn {
     * (session, fixture): the iterative walk build is the expensive
     * part and both consumers read the identical table. */
   private[graft] def walkPaths(s: SparkSession, dir: String): DataFrame =
-    Mv.memo(s, s"walkPaths|$dir") { bs => buildWalkPaths(bs, dir).localCheckpoint() }
+    Mv.memo(s, s"walkPaths|$dir") { bs => buildWalkPaths(bs, dir).ckpt() }
 
   private def buildWalkPaths(s: SparkSession, dir: String): DataFrame = {
     val ue = GraphOps.undProj(s, dir, GraphOps.TriangleMinCooccur)
@@ -779,7 +781,7 @@ object Gnn {
       .select(col("node"), (col("node") % col("n_emb")).as("vkey"))
       .join(broadcast(lab), col("vkey") === col("vec_id"))
       .select(col("node"), col("label"))
-      .localCheckpoint()
+      .ckpt()
     val edges = pp
       .join(broadcast(nlab.select(col("node").as("na"), col("label").as("la"))), col("a") === col("na"))
       .join(broadcast(nlab.select(col("node").as("nb"), col("label").as("lb"))), col("b") === col("nb"))

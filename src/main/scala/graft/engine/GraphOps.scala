@@ -1,5 +1,7 @@
 package graft.engine
 
+import graft.engine.Ckpt.CkptOps
+
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -101,7 +103,7 @@ object GraphOps {
         .select(col("o_custkey").as("src"), col("l_partkey").as("dst"))
         .distinct()
         .repartition(col("src"))
-        .localCheckpoint()
+        .ckpt()
     }
 
   /** Unthresholded part-pair co-occurrence counts (a, b, cnt), a < b —
@@ -117,7 +119,7 @@ object GraphOps {
       e1.join(e2, col("src") === col("src2") && col("a") < col("b"))
         .groupBy(col("a"), col("b"))
         .agg(count(lit(1)).as("cnt"))
-        .localCheckpoint()
+        .ckpt()
     }
 
   /** Part–part projection: pairs co-purchased by ≥ minCooccur customers,
@@ -141,7 +143,7 @@ object GraphOps {
       val pp = partPairs(bs, dir, minCooccur).select(col("a"), col("b"))
       pp.union(pp.select(col("b").as("a"), col("a").as("b")))
         .repartition(col("a"))
-        .localCheckpoint()
+        .ckpt()
     }
 
   /** Bipartite vertex encoding for the whole-graph spectral operators:
@@ -159,7 +161,7 @@ object GraphOps {
     Mv.memo(s, s"undDegrees|$dir") { bs =>
       undArcs(bs, dir)
         .groupBy(col("src").as("node")).agg(count(lit(1)).as("d"))
-        .localCheckpoint()
+        .ckpt()
     }
 
   /** Out-degree-weighted arc list (src, dst, d) over the symmetrized
@@ -179,7 +181,7 @@ object GraphOps {
         // is not captured by the checkpoint — every consumer would
         // re-shuffle (caught by PlanAuditSpec's power-iteration pin)
         .repartition(bs.sessionState.conf.numShufflePartitions, col("dst"))
-        .localCheckpoint()
+        .ckpt()
     }
 
   /** DIRECTED part→part transition edges: consecutive lineitems within
@@ -208,7 +210,7 @@ object GraphOps {
         .select(col("l_partkey").as("src"), col("nxt").as("dst"))
         .distinct()
         .repartition(bs.sessionState.conf.numShufflePartitions, col("src"))
-        .localCheckpoint()
+        .ckpt()
     }
 
   /** Directed-edge reciprocity (Wasserman–Faust dyad census, mutual /
@@ -289,20 +291,20 @@ object GraphOps {
     val t = transEdges(s, dir)
     val nodes = t.select(col("src").as("v"))
       .union(t.select(col("dst").as("v")))
-      .distinct().localCheckpoint()
-    var f = nodes.select(col("v"), col("v").as("f")).localCheckpoint()
+      .distinct().ckpt()
+    var f = nodes.select(col("v"), col("v").as("f")).ckpt()
     for (_ <- 1 to SccHops) {
       val prop = t.join(f, col("src") === col("v"))
         .select(col("dst").as("v"), col("f"))
       f = f.union(prop).groupBy(col("v")).agg(min(col("f")).as("f"))
-        .localCheckpoint()
+        .ckpt()
     }
-    var b = nodes.select(col("v"), col("v").as("b")).localCheckpoint()
+    var b = nodes.select(col("v"), col("v").as("b")).ckpt()
     for (_ <- 1 to SccHops) {
       val prop = t.join(b, col("dst") === col("v"))
         .select(col("src").as("v"), col("b"))
       b = b.union(prop).groupBy(col("v")).agg(min(col("b")).as("b"))
-        .localCheckpoint()
+        .ckpt()
     }
     f.join(b, Seq("v"))
       .groupBy(col("f").as("f_label"), col("b").as("b_label"))
@@ -372,9 +374,9 @@ object GraphOps {
       .filter(col("next_type").isNotNull && col("next_type") =!= col("event_type"))
       .select(col("event_type").as("src"), col("next_type").as("dst"))
       .distinct()
-      .localCheckpoint() // k²-bounded from here on
+      .ckpt() // k²-bounded from here on
     val nodes = ed.select(col("src").as("v")).union(ed.select(col("dst").as("v")))
-      .distinct().localCheckpoint()
+      .distinct().ckpt()
     val ie = ed.select(col("dst").as("node"), col("src").as("inn"))
     val ind = ie.groupBy(col("node")).agg(count(lit(1)).as("n"))
     val allPairs = nodes.select(col("v").as("a"))
@@ -382,7 +384,7 @@ object GraphOps {
     var sTab = allPairs
       .select(col("a"), col("b"),
         when(col("a") === col("b"), lit(1.0)).otherwise(lit(0.0)).as("s"))
-      .localCheckpoint()
+      .ckpt()
     for (_ <- 1 to SimrankIters) {
       val cs = ie.select(col("node").as("ca"), col("inn").as("ia"))
         .join(broadcast(sTab.select(col("a").as("sa"), col("b").as("sb"), col("s"))),
@@ -402,7 +404,7 @@ object GraphOps {
           when(col("a") === col("b"), lit(1.0))
             .otherwise(coalesce(lit(SimrankC) * col("cs")
               / (col("na") * col("nb")).cast("double"), lit(0.0))).as("s"))
-        .localCheckpoint()
+        .ckpt()
     }
     sTab.filter(col("a") < col("b") && col("s") > 0)
       .select(col("a").as("type_a"), col("b").as("type_b"),
@@ -427,7 +429,7 @@ object GraphOps {
     * the plan tower; all joins are equi-joins on part keys. */
   def q_graph_ktruss(s: SparkSession, dir: String): DataFrame = {
     var cur = partPairs(s, dir, TriangleMinCooccur)
-      .select(col("a"), col("b")).localCheckpoint()
+      .select(col("a"), col("b")).ckpt()
     val rounds = (1 to TrussRounds).map { r =>
       val nIn = cur.count()
       val und = cur.select(col("a").as("s"), col("b").as("d"))
@@ -440,7 +442,7 @@ object GraphOps {
         .filter(col("sup") >= 2)
         .select(col("a").as("ka"), col("b").as("kb"))
       cur = cur.join(sup, col("a") === col("ka") && col("b") === col("kb"),
-        "left_semi").localCheckpoint()
+        "left_semi").ckpt()
       val nOut = cur.count()
       (r, nIn, nIn - nOut, nOut)
     }
@@ -472,7 +474,7 @@ object GraphOps {
     * co-occurrence aggregation three times (the round-1 plan did). */
   def q_graph_triangles(s: SparkSession, dir: String): DataFrame = {
     val pp = partPairs(s, dir, TriangleMinCooccur).select(col("a"), col("b"))
-      .localCheckpoint()
+      .ckpt()
     val p1 = pp.select(col("a").as("x"), col("b").as("y"))
     val p2 = pp.select(col("a").as("y2"), col("b").as("z2"))
     val p3 = pp.select(col("a").as("x3"), col("b").as("z3"))
@@ -628,7 +630,7 @@ object GraphOps {
     // |V| rows to |V_connected| (the thresholded projection is sparse).
     var labels = und.select(col("a").as("node")).distinct()
       .select(col("node"), col("node").as("lbl"))
-      .localCheckpoint()
+      .ckpt()
     // Empty projection (no pair reaches the threshold): sum() is NULL —
     // skip the loop entirely and fall through to the all-singletons
     // histogram instead of NPE-ing on the null aggregate.
@@ -654,7 +656,7 @@ object GraphOps {
         .join(stateHint(s, dir, stepped.select(col("node").as("jn"), col("lbl").as("jl")), "jn"),
           col("s.lbl") === col("jn"))
         .select(col("s.node").as("node"), least(col("s.lbl"), col("jl")).as("lbl"))
-        .localCheckpoint()
+        .ckpt()
       // Labels are monotone non-increasing, so the iteration is at its
       // fixpoint exactly when sum(lbl) stops decreasing — one cheap scan
       // of the just-checkpointed result instead of a change-count join.
@@ -718,7 +720,7 @@ object GraphOps {
       // checkpoint every 2nd step: bounds plan depth (planning + codegen
       // cost of a 10-deep broadcast chain is worse than 5 short jobs)
       // without paying a scheduler round-trip for every single step.
-      if (it % 2 == 0) ranks = ranks.localCheckpoint()
+      if (it % 2 == 0) ranks = ranks.ckpt()
     }
     ranks.filter(col("node") % 2 === 1)
       .select(expr("(node - 1) div 2").as("part_key"), round(col("r"), 6).as("rank"))
@@ -738,7 +740,7 @@ object GraphOps {
     val ue = undProj(s, dir, CcMinCooccur)
     val seed = ue.agg(min(col("a")).as("node"))
       .select(col("node"), lit(0L).as("d"))
-      .localCheckpoint()
+      .ckpt()
     bfsDistances(s, dir, ue, seed)
       .groupBy(col("d").as("dist"))
       .agg(count(lit(1)).as("n_nodes"))
@@ -770,7 +772,7 @@ object GraphOps {
         .join(stateHint(s, dir, dist.select(col("node").as("vn")), "vn"),
           col("node") === col("vn"), "left_anti")
         .select(col("node"), lit(depth).as("d"))
-        .localCheckpoint()
+        .ckpt()
       frontierSize = next.count()
       dist = dist.union(next)
       frontier = next
@@ -790,14 +792,14 @@ object GraphOps {
     val ue = undProj(s, dir, CcMinCooccur)
     val seed = ue.agg(min(col("a")).as("node"))
       .select(col("node"), lit(0L).as("d"))
-      .localCheckpoint()
+      .ckpt()
     val d1 = bfsDistances(s, dir, ue, seed)
     // 1-row far-endpoint tables via TakeOrdered (distributed top-1, no
     // global window sort); they stay DataFrames — broadcast seeds for
     // the next sweep, no driver collect
     val far1 = d1.orderBy(col("d").desc, col("node").asc).limit(1)
       .select(col("node"), col("d").as("ecc1"))
-      .localCheckpoint()
+      .ckpt()
     val d2 = bfsDistances(s, dir, ue, far1.select(col("node"), lit(0L).as("d")))
     val far2 = d2.orderBy(col("d").desc, col("node").asc).limit(1)
       .select(col("node").as("far_node2"), col("d").as("pseudo_diameter"))
@@ -909,7 +911,7 @@ object GraphOps {
     val ue = undProj(s, dir, TriangleMinCooccur)
     var labels = ue.select(col("a").as("node")).distinct()
       .select(col("node"), col("node").as("lbl"))
-      .localCheckpoint()
+      .ckpt()
     for (_ <- 1 to LpIters) {
       // label table is checkpointed (no stats) — broadcast it explicitly,
       // same reasoning as the CC loop; every connected node has >= 1
@@ -925,7 +927,7 @@ object GraphOps {
         .groupBy(col("a"))
         .agg(max(struct(col("c"), (-col("lbl")).as("nl"))).as("m"))
         .select(col("a").as("node"), (-col("m.nl")).as("lbl"))
-        .localCheckpoint()
+        .ckpt()
     }
     labels
   }
@@ -1001,7 +1003,7 @@ object GraphOps {
         .select(col("a"), col("k"),
           when(lit(2L) * col("m") > col("k") * col("bst.kj"), col("bst.j"))
             .otherwise(col("a")).as("lbl"))
-        .localCheckpoint()
+        .ckpt()
     }
 
   def q_graph_louvain_move(s: SparkSession, dir: String): DataFrame = {
@@ -1060,7 +1062,7 @@ object GraphOps {
       .select(least(col("la"), col("lb")).as("ca"),
         greatest(col("la"), col("lb")).as("cb"))
       .groupBy(col("ca"), col("cb")).agg(count(lit(1)).as("w"))
-      .localCheckpoint()
+      .ckpt()
     val summary = cross.agg(count(lit(1)).as("n_super_edges"),
         coalesce(sum(col("w")), lit(0L)).as("cross_weight"))
       .crossJoin(lab.agg(countDistinct(col("lbl")).as("n_super_nodes")))
@@ -1120,7 +1122,7 @@ object GraphOps {
     * graph, O(peel-depth) rounds. */
   def q_graph_kcore(s: SparkSession, dir: String): DataFrame = {
     val ue = undProj(s, dir, TriangleMinCooccur)
-    var nodes = ue.select(col("a").as("node")).distinct().localCheckpoint()
+    var nodes = ue.select(col("a").as("node")).distinct().ckpt()
     for (_ <- 1 to KCoreRounds) {
       nodes = ue
         .join(stateHint(s, dir, nodes.select(col("node").as("na")), "na"),
@@ -1130,7 +1132,7 @@ object GraphOps {
         .groupBy(col("a")).agg(count(lit(1)).as("d"))
         .filter(col("d") >= KCoreK)
         .select(col("a").as("node"))
-        .localCheckpoint()
+        .ckpt()
     }
     ue.join(stateHint(s, dir, nodes.select(col("node").as("na")), "na"),
         col("a") === col("na"), "left_semi")
@@ -1283,14 +1285,14 @@ object GraphOps {
           col("dst") === col("an"))
         .groupBy(col("src"))
         .agg((sum(round(col("a") * 1e9, 0).cast("bigint")).cast("double") / 1e9).as("h"))
-        .localCheckpoint()
+        .ckpt()
       val hub = hRaw.crossJoin(broadcast(hRaw.agg(max(col("h")).as("hm"))))
         .select(col("src"), (col("h") / col("hm")).as("h"))
       val aRaw = e.join(stateHint(s, dir, hub.select(col("src").as("hn"), col("h")), "hn"),
           col("src") === col("hn"))
         .groupBy(col("dst"))
         .agg((sum(round(col("h") * 1e9, 0).cast("bigint")).cast("double") / 1e9).as("ar"))
-        .localCheckpoint()
+        .ckpt()
       auth = aRaw.crossJoin(broadcast(aRaw.agg(max(col("ar")).as("am"))))
         .select(col("dst").as("node"), (col("ar") / col("am")).as("a"))
     }
@@ -1355,7 +1357,7 @@ object GraphOps {
         .select(col("dst").as("node"), col("r"))
         .unionByName(teleport)
         .groupBy(col("node")).agg(sum(col("r")).as("r"))
-      if (it % 2 == 0) ranks = ranks.localCheckpoint()
+      if (it % 2 == 0) ranks = ranks.ckpt()
     }
     ranks.filter(col("node") % 2 === 1)
       .select(expr("(node - 1) div 2").as("part_key"), round(col("r"), 6).as("rank"))
@@ -1420,7 +1422,7 @@ object GraphOps {
       val seeds = ue.select(col("a")).distinct()
         .orderBy(col("a")).limit(CloseSeeds)
         .select(col("a").as("seed"), col("a").as("node"), lit(0L).as("d"))
-        .localCheckpoint()
+        .ckpt()
       var dist = seeds
       var frontier = seeds
       var depth = 0L
@@ -1441,12 +1443,12 @@ object GraphOps {
               CloseSeeds, moreKeys = Seq("vn")),
             col("seed") === col("vs") && col("node") === col("vn"), "left_anti")
           .select(col("seed"), col("node"), lit(depth).as("d"))
-          .localCheckpoint()
+          .ckpt()
         frontierSize = next.count()
         dist = dist.union(next)
         frontier = next
       }
-      dist.localCheckpoint()
+      dist.ckpt()
     }
 
   /** Harmonic centrality (Marchiori & Latora 2000; the centrality
@@ -1495,7 +1497,7 @@ object GraphOps {
         .agg((lit(1.0) + lit(KatzAlpha)
           * (sum(round(col("x") * 1e9, 0).cast("bigint")).cast("double") / 1e9)).as("x"))
         .select(col("a").as("node"), col("x"))
-      if (it % 2 == 0) x = x.localCheckpoint()
+      if (it % 2 == 0) x = x.ckpt()
     }
     x.select(col("node").as("part_key"), round(col("x"), 6).as("katz"))
       .orderBy(col("katz").desc, col("part_key").asc)
@@ -1574,7 +1576,7 @@ object GraphOps {
         .groupBy(col("a"))
         .agg((sum(round(col("x") * 1e9, 0).cast("bigint")).cast("double") / 1e9)
           .as("xr"))
-        .localCheckpoint()
+        .ckpt()
       x = raw.crossJoin(broadcast(raw.agg(max(col("xr")).as("xm"))))
         .select(col("a").as("node"), (col("xr") / col("xm")).as("x"))
     }
@@ -1616,7 +1618,7 @@ object GraphOps {
     val pp = partPairs(s, dir, CcMinCooccur).select(col("a"), col("b"))
     val ue = undProj(s, dir, CcMinCooccur)
     val deg = ue.groupBy(col("a").as("node")).agg(count(lit(1)).as("d"))
-      .localCheckpoint()
+      .ckpt()
     val ks = s.range(0, 1).select(
       explode(array(RichClubKs.map(lit): _*)).as("k"))
     val nk = ks.join(deg, col("d") > col("k"))
@@ -1670,7 +1672,7 @@ object GraphOps {
       .orderBy(col("a")).limit(BetwSeeds).select(col("a").as("seed"))
     val l0 = seeds
       .select(col("seed"), col("seed").as("node"), lit(1L).as("sigma"))
-      .localCheckpoint()
+      .ckpt()
     val levels = scala.collection.mutable.ArrayBuffer(l0)
     var visited = l0.select(col("seed"), col("node"))
     for (_ <- 1 to BetwHops) {
@@ -1684,9 +1686,9 @@ object GraphOps {
             col("node").as("vn")), "vs", BetwSeeds, moreKeys = Seq("vn")),
           col("seed") === col("vs") && col("node") === col("vn"), "left_anti")
         .groupBy(col("seed"), col("node")).agg(sum(col("fs")).as("sigma"))
-        .localCheckpoint()
+        .ckpt()
       levels += nxt
-      visited = visited.union(nxt.select(col("seed"), col("node"))).localCheckpoint()
+      visited = visited.union(nxt.select(col("seed"), col("node"))).ckpt()
     }
     val zeroDec = lit(java.math.BigDecimal.ZERO).cast("decimal(38,9)")
     // backward sweep: level H has no successors → δ = 0
@@ -1713,7 +1715,7 @@ object GraphOps {
         .select(col("seed"), col("node"), col("sigma"),
           coalesce(col("sd"), zeroDec).as("ddec"))
         .withColumn("delta", col("ddec").cast("double"))
-        .localCheckpoint()
+        .ckpt()
       deltas = lvl :: deltas
     }
     deltas.reduce(_ unionByName _)
@@ -1738,7 +1740,7 @@ object GraphOps {
     * one broadcast of the group-degree table. */
   def q_graph_conductance(s: SparkSession, dir: String): DataFrame = {
     val pp = partPairs(s, dir, CcMinCooccur).select(col("a"), col("b"))
-      .localCheckpoint()
+      .ckpt()
     def grp(c: org.apache.spark.sql.Column) =
       pmod(Dsl.md5Hash60(concat(lit("cond:"), c.cast("string"))), lit(CondParts.toLong))
     val deg = pp.select(col("a").as("v")).union(pp.select(col("b").as("v")))

@@ -1,5 +1,7 @@
 package graft.engine
 
+import graft.engine.Ckpt.CkptOps
+
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -100,8 +102,15 @@ object LlmOps {
       (s.sparkContext.applicationId, dir), _ => vocab.count() <= 64)
     if (!fits) None
     else Some {
-      val vids = vocab.select(col("vtok"),
-        (row_number().over(Window.orderBy(col("vtok"))) - 1).as("vid"))
+      // vocab ≤ 64 rows (guarded above): collect the SORTED vocabulary
+      // and ship literal ids — a bounded driver-side table. This
+      // replaces the former `row_number().over(Window.orderBy(vtok))`,
+      // which was the last unpartitioned window left in the dedup
+      // tier's plans (it was bounded, but every consumer needed a
+      // plan-gate allowlist entry; a 64-row collect needs none).
+      import s.implicits._
+      val vids = vocab.orderBy(col("vtok")).collect().map(_.getString(0))
+        .zipWithIndex.toSeq.toDF("vtok", "vid")
       d.select(col("doc_id"), col("lang"), explode(col("toks")).as("tok"))
         .join(broadcast(vids), col("tok") === col("vtok"))
         .groupBy(col("doc_id"), col("lang"))
@@ -408,7 +417,7 @@ object LlmOps {
       jaccardVerify(bs, dir, pairs)
         .filter(col("jac") >= 0.5)
         .select(col("lang"), col("doc_a"), col("doc_b"), round(col("jac"), 6).as("jaccard"))
-        .localCheckpoint()
+        .ckpt()
     }
 
   /** MinHash Jaccard-estimator audit (round 7; Broder 1997 §3: the
@@ -501,10 +510,10 @@ object LlmOps {
     // sampled xx feeds 3 consumers, md5 + exact ground truth 2 each:
     // materialize each once (all are sample- or pair-set-bounded).
     val xxS = simhashXx(s, dir, sampled = true)
-      .select(col("doc_a"), col("doc_b")).localCheckpoint()
+      .select(col("doc_a"), col("doc_b")).ckpt()
     val md5 = q_llm_simhash_md5(s, dir)
-      .select(col("doc_a"), col("doc_b")).localCheckpoint()
-    val exactS = exactSamplePairs(s, dir).localCheckpoint()
+      .select(col("doc_a"), col("doc_b")).ckpt()
+    val exactS = exactSamplePairs(s, dir).ckpt()
     // full-corpus precision: exact-verify ONLY the emitted pairs
     val fullAgg = jaccardVerify(s, dir,
         xxFull.select(col("lang"), col("doc_a"), col("doc_b")))
@@ -586,7 +595,7 @@ object LlmOps {
     // materialized once: banding + both Hamming-verify sides reuse it
     val sig = d.withColumn("simhash", call_function("graft_simhash64", col("toks")))
       .select(col("doc_id"), col("lang"), col("simhash"))
-      .localCheckpoint()
+      .ckpt()
     val banded = sig.select(col("lang"), col("doc_id"),
       posexplode(array((0 until nBands).map { b =>
         expr(s"shiftright(simhash, ${bandBits * b}) & $bandMask")
@@ -656,7 +665,7 @@ object LlmOps {
       tok.groupBy(col("doc_id"), col("lang"))
         .agg(votes.head, votes.tail: _*)
         .select(col("doc_id"), col("lang"), expr(sigExpr).as("simhash"))
-        .localCheckpoint()
+        .ckpt()
     }
     val banded = sig.select(col("lang"), col("doc_id"),
       posexplode(array((0 until nBands).map { b =>
@@ -875,7 +884,7 @@ object LlmOps {
       val d = tokenSets(bs, dir)
         .filter(col("doc_id") % 10 === 0 && size(col("toks")) > 0)
         .select(col("doc_id"), col("lang"), size(col("toks")).cast("bigint").as("nt"))
-        .localCheckpoint()
+        .ckpt()
       // same exact-baseline fence as q_llm_jaccard_pairs: the dedup
       // component MV's candidate stage is all-pairs per lang over this
       // sample — refuse past the shared bound rather than melt a cluster
@@ -902,9 +911,9 @@ object LlmOps {
       val pairs = jaccardVerify(bs, dir, cand).filter(col("jac") >= 0.8)
         .select(col("doc_a").as("x"), col("doc_b").as("y"))
       val ue = pairs.union(pairs.select(col("y").as("x"), col("x").as("y")))
-        .localCheckpoint()
+        .ckpt()
       var labels = docs.select(col("doc_id").as("node"), col("doc_id").as("lbl"))
-        .localCheckpoint()
+        .ckpt()
       var prevSum = labels.agg(sum(col("lbl"))).collect()(0).getLong(0)
       var converged = false
       while (!converged) {
@@ -915,7 +924,7 @@ object LlmOps {
         val next = labels
           .join(nbrMin, col("node") === col("x"), "left_outer")
           .select(col("node"), least(col("lbl"), coalesce(col("nbr_min"), col("lbl"))).as("lbl"))
-          .localCheckpoint()
+          .ckpt()
         val curSum = next.agg(sum(col("lbl"))).collect()(0).getLong(0)
         labels = next
         converged = curSum == prevSum
@@ -955,7 +964,7 @@ object LlmOps {
     // legs) would otherwise each re-run the window sort downstream of
     // the reused exchange (same pattern as GraphOps.partPairs)
     val emb = Tables.embeddings(s, dir)
-    val assigned = ivfAssign(s, emb, emb).localCheckpoint()
+    val assigned = ivfAssign(s, emb, emb).ckpt()
     val earlier = assigned.select(col("cid").as("ca"), col("vid").as("va"),
       col("dv").as("av"), col("dn").as("an"))
     val dropped = assigned
@@ -1165,16 +1174,20 @@ object LlmOps {
         round(cosSimPre(s)(col("embedding"), col("tv"), col("vn"), col("tn")), 6).as("rel"))
       .orderBy(col("rel").desc, col("vec_id").asc)
       .limit(MmrPool)
-      .localCheckpoint()
+      .ckpt()
     val cv = cand.select(col("vec_id").as("cid"))
       .join(emb, col("cid") === col("vec_id"))
       .select(col("cid"), col("embedding"), normCol(s)(col("embedding")).as("cn"))
     val aSide = cv.select(col("cid").as("sa"), col("embedding").as("va"), col("cn").as("na"))
     val bSide = cv.select(col("cid").as("sb"), col("embedding").as("vb"), col("cn").as("nb"))
-    val sims = aSide.join(bSide, col("sa") =!= col("sb"))
+    // broadcast the ≤MmrPool-row side explicitly: without the hint the
+    // ≠-only self-join plans as a CartesianProduct (harmless at 20×20
+    // but banned engine-wide — the r15 checkpoint-transparent gate
+    // audits this build plan)
+    val sims = aSide.join(broadcast(bSide), col("sa") =!= col("sb"))
       .select(col("sa"), col("sb"),
         round(cosSimPre(s)(col("va"), col("vb"), col("na"), col("nb")), 6).as("sim"))
-      .localCheckpoint()
+      .ckpt()
     // The greedy rerank is inherently sequential and POOL-BOUNDED: both
     // inputs are ≤ MmrPool (20) rows resp. ≤ MmrPool² pairs, so collect
     // them ONCE and run the k steps in memory — identical arithmetic
@@ -1315,7 +1328,7 @@ object LlmOps {
       .join(ivf, col("query_id") === col("iq")
         && col("neighbor_id") === col("in"), "left_outer")
       .select(col("query_id"), col("ernk"), col("irnk"))
-      .localCheckpoint() // |Q| x 10 rows
+      .ckpt() // |Q| x 10 rows
     val ks = s.range(0, 1)
       .select(explode(array(RecallKs.map(k => lit(k)): _*)).as("k"))
     matched.crossJoin(broadcast(ks))
@@ -1392,7 +1405,7 @@ object LlmOps {
       .select(col("vid"), col("cid"),
         expr("zip_with(dv, rcv, (x, c) -> cast(x as double) - cast(c as double))")
           .as("rv"))
-      .localCheckpoint()
+      .ckpt()
     def subs(df: DataFrame, idCol: String): DataFrame = df
       .select(col("vid").as(idCol), explode(expr(
         "transform(sequence(0, 7), m -> struct(m as m, slice(rv, m*8 + 1, 8) as sv))"))
@@ -1445,9 +1458,9 @@ object LlmOps {
     val p = q_llm_minhash_md5(s, dir).filter(col("jaccard") >= 0.8)
       .select(col("doc_a").as("x"), col("doc_b").as("y"))
     val ue = p.union(p.select(col("y").as("x"), col("x").as("y")))
-      .localCheckpoint()
+      .ckpt()
     var labels = docs.select(col("doc_id").as("node"), col("doc_id").as("lbl"))
-      .localCheckpoint()
+      .ckpt()
     var prevSum = labels.agg(sum(col("lbl"))).collect()(0).getLong(0)
     var converged = false
     while (!converged) {
@@ -1459,7 +1472,7 @@ object LlmOps {
         .join(nbrMin, col("node") === col("x"), "left_outer")
         .select(col("node"),
           least(col("lbl"), coalesce(col("nbr_min"), col("lbl"))).as("lbl"))
-        .localCheckpoint()
+        .ckpt()
       val curSum = next.agg(sum(col("lbl"))).collect()(0).getLong(0)
       labels = next
       converged = curSum == prevSum

@@ -1,5 +1,7 @@
 package graft.engine
 
+import graft.engine.Ckpt.CkptOps
+
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -125,7 +127,7 @@ object PartitionOps {
     val h1 = pmod(Dsl.md5Hash60(concat(lit("p1:"), col("u").cast("string"))),
       lit((Grid * Grid).toLong))
     val asg = e.select(col("u"), col("v"), h1.as("p1"),
-      (hu * Grid + hv).as("p2")).localCheckpoint()
+      (hu * Grid + hv).as("p2")).ckpt()
     def account(pcol: String, name: String): DataFrame = {
       val loads = asg.groupBy(col(pcol).as("p")).agg(count(lit(1)).as("load"))
         .agg(sum(col("load")).as("n_edges"), max(col("load")).as("max_load"),

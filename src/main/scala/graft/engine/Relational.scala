@@ -1,5 +1,7 @@
 package graft.engine
 
+import graft.engine.Ckpt.CkptOps
+
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -748,7 +750,7 @@ object Relational {
     // upstream aggregation (VERDICT r13 item 7: ~a third of q_agg_rfm's
     // wall-clock at zero semantic risk; the streaming maintainer shares
     // this body).
-    val base = per.localCheckpoint()
+    val base = per.ckpt()
     val withQ = Seq(
       (Seq(col("last_days"), col("o_custkey")), "r_q"),
       (Seq(col("freq"), col("o_custkey")), "f_q"),

@@ -1,5 +1,7 @@
 package graft.engine
 
+import graft.engine.Ckpt.CkptOps
+
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -35,7 +37,7 @@ object SketchOps {
     // sketch build, estimate join) would otherwise each re-run the
     // corpus-sized token explode + count.
     val exact = toks.groupBy(col("tok")).agg(count(lit(1)).as("exact"))
-      .localCheckpoint()
+      .ckpt()
     val top = exact
       .orderBy(col("exact").desc, col("tok").asc)
       .limit(10)

@@ -1,5 +1,7 @@
 package graft.engine
 
+import graft.engine.Ckpt.CkptOps
+
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -962,7 +964,7 @@ object StatsOps {
     val idx = daily
       .withColumn("i", row_number().over(wd).cast("bigint") - 1)
       .select(col("event_type").as("it"), col("i"), col("y"))
-      .localCheckpoint()
+      .ckpt()
     val nPer = idx.groupBy(col("it").as("nt")).agg(count(lit(1)).as("n"))
     val reps = s.range(0, BootstrapB.toLong).select(col("id").as("b"))
     val slots = idx.select(col("it").as("event_type")).distinct()
@@ -1047,7 +1049,7 @@ object StatsOps {
     val ranked = daily
       .withColumn("rn", row_number().over(wy).cast("bigint"))
       .withColumn("n", count(lit(1)).over(cw))
-      .localCheckpoint()
+      .ckpt()
     def med2Of(df: DataFrame, outName: String): DataFrame = {
       val w2 = Window.partitionBy(col("event_type")).orderBy(col("y").asc, col("day").asc)
       val c2 = Window.partitionBy(col("event_type"))
@@ -1173,7 +1175,7 @@ object StatsOps {
     val resid = daily.join(broadcast(stats), col("event_type") === col("st"))
       .select(col("event_type"), col("x"),
         (col("y") * col("n") - col("sy")).as("e"), col("n"))
-      .localCheckpoint()
+      .ckpt()
     val lags = s.range(1, LjungBoxLags + 1L).select(col("id").as("lag"))
     val num = resid.crossJoin(broadcast(lags))
       .join(resid.select(col("event_type").as("e2t"), col("x").as("x2"),
@@ -1234,7 +1236,7 @@ object StatsOps {
     val pTab = trans.join(broadcast(outT), col("from_type") === col("of"))
       .select(col("from_type"), col("to_type"), col("n_trans"),
         (col("n_trans").cast("double") / col("out_tot").cast("double")).as("p"))
-      .localCheckpoint()
+      .ckpt()
     val k = pTab.select(col("from_type")).distinct().count().toDouble
     var pi = pTab.select(col("from_type").as("state")).distinct()
       .select(col("state"), lit(1.0 / k).as("pi"))
@@ -1403,7 +1405,7 @@ object StatsOps {
       .groupBy(to_date(col("ts")).as("day"))
       .agg(sum(round(col("value") * 100, 0).cast("bigint")).as("y"))
       .withColumn("t", row_number().over(Window.orderBy(col("day"))))
-      .localCheckpoint() // calendar-bounded; read once per block-size leg
+      .ckpt() // calendar-bounded; read once per block-size leg
     def leg(m: Int): DataFrame = {
       val base = rn.select(col("t"), col("y"),
         expr(s"(t - 1) div $m").as("blk"),
@@ -1439,7 +1441,7 @@ object StatsOps {
       .filter(col("n_blocks") > 0)
       .select(col("block_m"), col("n_blocks"), col("rs_mean"),
         log(col("block_m").cast("double")).as("x"), log(col("rs_mean")).as("y"))
-      .localCheckpoint()
+      .ckpt()
     val sl = xy.agg(count(lit(1)).as("k"),
         sum(round(col("x"), 9).cast("decimal(28,9)")).cast("double").as("sx"),
         sum(round(col("y"), 9).cast("decimal(28,9)")).cast("double").as("sy"),
@@ -1509,7 +1511,7 @@ object StatsOps {
     val resid = daily.join(broadcast(stats), col("event_type") === col("st"))
       .select(col("event_type"), col("x"),
         (col("y") * col("n") - col("sy")).as("e"))
-      .localCheckpoint()
+      .ckpt()
     val lags = s.range(1, PacfLags + 1L).select(col("id").as("lag"))
     val num = resid.crossJoin(broadcast(lags))
       .join(resid.select(col("event_type").as("e2t"), col("x").as("x2"),
@@ -1567,7 +1569,7 @@ object StatsOps {
       .withColumn("x",
         datediff(col("day"), lit("2024-01-01").cast("date")).cast("bigint"))
       .withColumn("is_ref", col("day") <= lit("2024-01-15").cast("date"))
-      .localCheckpoint()
+      .ckpt()
     val sizes = daily.groupBy(col("event_type").as("st"))
       .agg(sum(when(col("is_ref"), 1L).otherwise(0L)).as("nr"),
         count(lit(1)).as("n"))

@@ -1,5 +1,7 @@
 package graft.engine
 
+import graft.engine.Ckpt.CkptOps
+
 import org.apache.spark.sql.{DataFrame, Dataset, Encoders, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode,
@@ -414,7 +416,7 @@ object StreamingOps {
   def q_stream_cep(s: SparkSession, dir: String): DataFrame = {
     val ev = Tables.events(s, dir)
     CepPatterns.map { p =>
-      val m = compileCep(ev, p).localCheckpoint() // feeds the agg + the quantifier join
+      val m = compileCep(ev, p).ckpt() // feeds the agg + the quantifier join
       // the `+` quantifier made observable: per match, the count of
       // first-step events inside [start, end] (>= 1 by construction —
       // the witness itself); summed per pattern. A user-keyed range

@@ -1,5 +1,7 @@
 package graft.engine
 
+import graft.engine.Ckpt.CkptOps
+
 import org.apache.spark.sql.{Column, DataFrame, Row, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -123,7 +125,13 @@ object TrainOps {
     * filtered MV scan, weights driver-side scalars (the documented
     * loop shape), batch filter pushed into the checkpointed scan. */
   def q_gnn_sgd_minibatch(s: SparkSession, dir: String): DataFrame = {
-    val feat = Gnn.linkPredFeatures(s, dir).withColumn("bid", miniBatchCol)
+    // Materialize (features + batch id) ONCE per query: the 4 per-step
+    // gradient evaluations scan this checkpoint with their batch filter
+    // instead of re-deriving the md5 batch column over the MV per step —
+    // the r14 cold path charged 4 re-derivations to the first timing
+    // (51.98 s cold vs 4.41 warm, VERDICT r14 what's-wrong #6).
+    val feat = Ckpt(Gnn.linkPredFeatures(s, dir).withColumn("bid", miniBatchCol),
+      "sgd_minibatch_feat")
     var w = Array.tabulate(4)(j => Gnn.sgdW(j + 1))
     val rows = (for {
       ep <- 1 to MiniEpochs
@@ -199,7 +207,7 @@ object TrainOps {
     val nParts = s.sessionState.conf.numShufflePartitions
     val parted = grp.repartitionByRange(nParts, col("sc"))
       .withColumn("pid", spark_partition_id())
-      .localCheckpoint()
+      .ckpt()
     val offsets = parted.groupBy(col("pid")).agg(sum(col("n")).as("pn"))
       .collect().map(r => r.getInt(0) -> r.getLong(1)).sortBy(_._1)
       .scanLeft((-1, 0L, 0L)) { case ((_, acc, pn0), (pid, pn)) =>
@@ -318,7 +326,7 @@ object TrainOps {
       .select(col("node"), (col("node") % col("c")).as("vkey"))
       .join(broadcast(Tables.embeddings(s, dir)), col("vkey") === col("vec_id"))
       .select(col("node") +: xq: _*)
-      .localCheckpoint()
+      .ckpt()
     val featsB = feats.select(col("node").as("fb") +:
       (1 to Gnn.Dim).map(j => col(s"x$j").as(s"bx$j")): _*)
     val nsums = ue.join(broadcast(featsB), col("b") === col("fb"))
