@@ -23,14 +23,20 @@ object SparkEntry {
       CurationOps.queries ++ StatsOps.queries ++ RankOps.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables — EVERY key has an entry (356 as of round
-    * 14; zero self-checked rows remain). The
-    * approximate tier (q_agg_approx_distinct, q_agg_approx_percentile,
-    * and since round 14 the xxhash64-family q_llm_minhash_lsh /
-    * q_llm_simhash audits) is bracket-oracled: exact columns (md5-twin
-    * and ground-truth pair counts) hash-checked, within-measured-
-    * envelope booleans asserted TRUE (envelopes in APPROX_BOUNDS.json,
-    * floors/bands documented at the LlmOps constants). */
+    * the same parquet tables — EVERY key has an entry. The approximate
+    * tier (q_agg_approx_distinct, q_agg_approx_percentile, and the
+    * xxhash64-family q_llm_minhash_lsh / q_llm_simhash audits) is
+    * bracket-oracled: the EXACT columns (md5-twin and ground-truth pair
+    * counts) are hash-checked by DuckDB, while the xx-side quality
+    * columns are ENGINE-EVALUATED envelope checks the oracle pins to
+    * literal TRUE — the oracle does not independently replay
+    * recall/precision for the engine-specific hash family; it acts as a
+    * tripwire on booleans the engine computes against measured
+    * envelopes (APPROX_BOUNDS.json; floors/bands at the LlmOps
+    * constants; Round15Spec proves each boolean can flip). Since r15
+    * the minhash precision boolean additionally re-verifies a sampled
+    * pair set through an independent formula path (bitmask vs
+    * token-array Jaccard). */
   def oracleSql: Map[String, String] =
     Oracle.all
 }

@@ -95,20 +95,28 @@ object LlmOps {
   private val vocabFitsCache =
     new java.util.concurrent.ConcurrentHashMap[(String, String), java.lang.Boolean]()
 
-  private def tokenMasks(s: SparkSession, dir: String): Option[DataFrame] = {
-    val d = tokenSets(s, dir)
-    val vocab = d.select(explode(col("toks")).as("vtok")).distinct()
+  private[graft] def tokenMasks(s: SparkSession, dir: String): Option[DataFrame] = {
     val fits = vocabFitsCache.computeIfAbsent(
-      (s.sparkContext.applicationId, dir), _ => vocab.count() <= 64)
+      (s.sparkContext.applicationId, dir), _ =>
+        tokenSets(s, dir).select(explode(col("toks")).as("vtok"))
+          .distinct().count() <= 64)
     if (!fits) None
-    else Some {
+    // Session MV (r15 perf recovery): the mask table is the shared
+    // working set of the whole dedup/audit tier — jaccard_pairs,
+    // minhash_lsh, simhash, minhash_est and the dedup-cluster family
+    // each verified candidates against it, and every call re-ran the
+    // token explode + vid join + groupBy over the corpus. One build per
+    // (session, fixture); consumers scan a doc-count-sized checkpoint.
+    else Some(Mv.memo(s, s"tokenMasks|$dir") { bs =>
+      val d = tokenSets(bs, dir)
+      val vocab = d.select(explode(col("toks")).as("vtok")).distinct()
       // vocab ≤ 64 rows (guarded above): collect the SORTED vocabulary
       // and ship literal ids — a bounded driver-side table. This
       // replaces the former `row_number().over(Window.orderBy(vtok))`,
       // which was the last unpartitioned window left in the dedup
       // tier's plans (it was bounded, but every consumer needed a
       // plan-gate allowlist entry; a 64-row collect needs none).
-      import s.implicits._
+      import bs.implicits._
       val vids = vocab.orderBy(col("vtok")).collect().map(_.getString(0))
         .zipWithIndex.toSeq.toDF("vtok", "vid")
       d.select(col("doc_id"), col("lang"), explode(col("toks")).as("tok"))
@@ -122,8 +130,30 @@ object LlmOps {
              else cast(raise_error(concat('graft: vocab grew past 64 bits mid-session, vid=',
                                           cast(vid as string))) as bigint) end"""))
           .as("mask"), count(lit(1)).as("nt"))
-    }
+        .ckpt("tokenMasks")
+    })
   }
+
+  /** Memoized one-scalar document-count probe (the vertexCount /
+    * vocabFits device): gates the mask-table broadcast below. */
+  private val docCountCache =
+    new java.util.concurrent.ConcurrentHashMap[(String, String), java.lang.Long]()
+
+  private[graft] def docCount(s: SparkSession, dir: String): Long =
+    docCountCache.computeIfAbsent(
+      (s.sparkContext.applicationId, dir),
+      _ => Tables.documents(s, dir).count())
+
+  /** Probe-gated broadcast hint for the doc-count-sized mask/set tables
+    * (the GraphOps.stateHint pattern): below the shared
+    * `spark.graft.stateBroadcastMaxRows` guard the per-doc table
+    * broadcasts onto the candidate-pair stream — the pair stream (the
+    * big side) never moves for the verify joins; past the guard the
+    * hint drops and AQE plans the shuffle join. */
+  private def docHint(s: SparkSession, dir: String, df: DataFrame): DataFrame =
+    if (docCount(s, dir) <= s.conf.get("spark.graft.stateBroadcastMaxRows",
+        GraphOps.StateBroadcastMaxRows.toString).toLong) broadcast(df)
+    else df
 
   /** Shared exact-Jaccard verification: given candidate (lang, doc_a,
     * doc_b) rows, attach set representations (bitmask when the vocab
@@ -133,20 +163,32 @@ object LlmOps {
     tokenMasks(s, dir) match {
       case Some(masks) =>
         pairs
-          .join(masks.select(col("doc_id").as("id_a"), col("mask").as("ma"), col("nt").as("na")),
+          .join(docHint(s, dir,
+              masks.select(col("doc_id").as("id_a"), col("mask").as("ma"), col("nt").as("na"))),
             col("doc_a") === col("id_a"))
-          .join(masks.select(col("doc_id").as("id_b"), col("mask").as("mb"), col("nt").as("nb")),
+          .join(docHint(s, dir,
+              masks.select(col("doc_id").as("id_b"), col("mask").as("mb"), col("nt").as("nb"))),
             col("doc_b") === col("id_b"))
           .withColumn("ic", expr("bit_count(ma & mb)").cast("double"))
           .withColumn("jac", col("ic") / (col("na") + col("nb") - col("ic")))
-      case None =>
-        val d = tokenSets(s, dir)
-        pairs
-          .join(d.select(col("doc_id").as("id_a"), col("toks").as("ta")), col("doc_a") === col("id_a"))
-          .join(d.select(col("doc_id").as("id_b"), col("toks").as("tb")), col("doc_b") === col("id_b"))
-          .withColumn("ic", size(array_intersect(col("ta"), col("tb"))).cast("double"))
-          .withColumn("jac", col("ic") / (size(col("ta")) + size(col("tb")) - col("ic")))
+      case None => jaccardViaArrays(s, dir, pairs)
     }
+
+  /** The token-ARRAY branch of the Jaccard formula (array_intersect on
+    * the raw token sets) — the fallback for open vocabularies, and the
+    * INDEPENDENT recompute path the minhash audit samples against the
+    * bitmask branch (ADVICE r14: a quality boolean must not re-check
+    * the engine's own filter on its own output). */
+  private[graft] def jaccardViaArrays(s: SparkSession, dir: String, pairs: DataFrame): DataFrame = {
+    val d = tokenSets(s, dir)
+    pairs
+      .join(docHint(s, dir, d.select(col("doc_id").as("id_a"), col("toks").as("ta"))),
+        col("doc_a") === col("id_a"))
+      .join(docHint(s, dir, d.select(col("doc_id").as("id_b"), col("toks").as("tb"))),
+        col("doc_b") === col("id_b"))
+      .withColumn("ic", size(array_intersect(col("ta"), col("tb"))).cast("double"))
+      .withColumn("jac", col("ic") / (size(col("ta")) + size(col("tb")) - col("ic")))
+  }
 
   /** Exact-baseline fence (C4-threshold precedent: a named constant the
     * SURVEY row documents): q_llm_jaccard_pairs refuses to run when the
@@ -204,18 +246,33 @@ object LlmOps {
     * At 100 TB the bucket join is the scale path: candidates are
     * O(Σ bucket²), never all n² pairs, and the signature pass is one
     * linear scan. */
-  private[graft] def minhashXxPairs(s: SparkSession, dir: String): DataFrame = {
+  /** Full-corpus 8-component xx MinHash signature table, memoized per
+    * (session, fixture) — one-pass native signature
+    * (graft.functions.MinHashSig): identical values to
+    * array_min(transform(toks, t -> xxhash64(lit(j), t))) per j,
+    * without 8 interpreted lambda passes over every token array. The
+    * audit's full and sampled legs both read this one build (the
+    * sampled leg is a filter of it). */
+  private[graft] def minhashXxSig(s: SparkSession, dir: String): DataFrame =
+    Mv.memo(s, s"minhashXxSig|$dir") { bs =>
+      bs.sessionState.functionRegistry.createOrReplaceTempFunction(
+        "graft_minhash_sig",
+        exprs => graft.functions.MinHashSig(exprs.head, 8),
+        "built-in")
+      tokenSets(bs, dir).filter(size(col("toks")) > 0)
+        .withColumn("sig", call_function("graft_minhash_sig", col("toks")))
+        .select(col("doc_id"), col("lang"), col("sig"))
+        .ckpt("minhashXxSig")
+    }
+
+  private[graft] def minhashXxPairs(s: SparkSession, dir: String,
+      sampled: Boolean = false): DataFrame = {
     val numBands = 4
     val rowsPerBand = 2
-    val d = tokenSets(s, dir).filter(size(col("toks")) > 0)
-    // One-pass native signature (graft.functions.MinHashSig): identical
-    // values to array_min(transform(toks, t -> xxhash64(lit(j), t))) per
-    // j, without 8 interpreted lambda passes over every token array.
-    s.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "graft_minhash_sig",
-      exprs => graft.functions.MinHashSig(exprs.head, numBands * rowsPerBand),
-      "built-in")
-    val sig = d.withColumn("sig", call_function("graft_minhash_sig", col("toks")))
+    // sampled = the deterministic 10% doc tier the md5 twin runs on —
+    // the audit's independent-recompute leg (sample-bounded at any sf)
+    val sig0 = minhashXxSig(s, dir)
+    val sig = if (sampled) sig0.filter(col("doc_id") % 10 === 0) else sig0
     // Slim bucket join: only (lang, band, hash, doc_id) rows cross the
     // shuffle; token arrays are joined back AFTER candidate dedup so each
     // candidate pair materializes its sets exactly once.
@@ -246,24 +303,47 @@ object LlmOps {
     * recall of the full-corpus xx pass over the oracled md5 twin's
     * verified pairs = 0.9195 / 0.9212 / 0.8583 (all pairs) and
     * 1.0 / 1.0 / 0.9816 (strong, J ≥ 0.8 — banding catch probability
-    * 1-(1-J²)⁴ ≥ 0.983 per pair). Floors sit a full band below every
-    * measured point; data + hash families are deterministic, so a
-    * boolean flip means the pipeline drifted, not noise. */
-  val MinhashTwinRecallAllLo = 0.75
-  val MinhashTwinRecallStrongLo = 0.9
+    * 1-(1-J²)⁴ ≥ 0.983 per pair). Round-15 tightening (VERDICT r14
+    * item 4 — the old 0.75/0.9 floors carried a full band of slack):
+    * the all-pairs check is a TWO-sided band [0.84, 0.98] sitting just
+    * outside the measured [0.8583, 0.9212] range — a recall JUMP past
+    * the band is as much a drift as a collapse (operating point no
+    * longer matches the 4×2 designation, the simhash-band precedent) —
+    * and the strong floor moves to 0.95, just under the weakest
+    * measured strong point (0.9816). Data + hash families are
+    * deterministic, so a boolean flip means the pipeline drifted, not
+    * noise; Round15Spec proves each boolean CAN fail by feeding the
+    * audit a deliberately perturbed pair set. */
+  val MinhashTwinRecallAllBand: (Double, Double) = (0.84, 0.98)
+  val MinhashTwinRecallStrongLo = 0.95
 
-  /** MinHash-LSH dedup AUDIT (round 14): the full-corpus xx-family
-    * banding pipeline (`minhashXxPairs`) scored against the md5-family
-    * twin's verified pairs — the one output a curation deployment
-    * actually gates on before trusting an engine-specific hash family
-    * at 100 TB. Exact columns (the md5 twin's pair counts) hash-match
-    * the DuckDB replay; the xx-side quality lands as within-envelope
-    * booleans the oracle asserts TRUE (bracket oracle, sketch-tier
-    * precedent): recall over all / strong twin pairs above the measured
-    * floors, precision exactly 1 by construction (every emitted xx pair
-    * is exact-Jaccard-verified ≥ 0.5). Scale shape: both sides are
-    * banded bucket joins; the scoring joins are pair-set-sized. */
-  def q_llm_minhash_lsh(s: SparkSession, dir: String): DataFrame = {
+  /** MinHash-LSH dedup AUDIT (round 14; r15 precision leg): the
+    * full-corpus xx-family banding pipeline (`minhashXxPairs`) scored
+    * against the md5-family twin's verified pairs — the one output a
+    * curation deployment actually gates on before trusting an
+    * engine-specific hash family at 100 TB. Exact columns (the md5
+    * twin's pair counts) hash-match the DuckDB replay; the xx-side
+    * quality lands as within-envelope booleans the oracle asserts TRUE
+    * (bracket oracle, sketch-tier precedent): recall over twin pairs
+    * inside the measured bands, and precision re-verified through an
+    * INDEPENDENT formula path (ADVICE r14: the old min(jac) >= 0.5
+    * column re-checked the pipeline's own filter on its own output —
+    * vacuous): the sampled xx pipeline's emitted pairs are re-scored
+    * via the token-ARRAY Jaccard branch (`jaccardViaArrays`) and
+    * precision_ok requires every recomputed jac to match the bitmask
+    * branch's value AND clear the 0.5 threshold. Scale shape: both
+    * sides are banded bucket joins; the scoring joins are
+    * pair-set-sized; the recompute leg is sample-bounded. */
+  def q_llm_minhash_lsh(s: SparkSession, dir: String): DataFrame =
+    minhashAudit(s, dir,
+      minhashXxPairs(s, dir).select(col("doc_a"), col("doc_b"), col("jaccard")),
+      minhashXxPairs(s, dir, sampled = true))
+
+  /** Audit body, parameterized over the two xx legs so Round15Spec can
+    * feed PERTURBED pair sets and prove the envelope booleans flip
+    * (a bracket oracle whose booleans cannot fail certifies nothing). */
+  private[graft] def minhashAudit(s: SparkSession, dir: String,
+      xx: DataFrame, xxSample: DataFrame): DataFrame = {
     // ONE pass over the xx pair set (the 100 TB-shaped bucket-join
     // output, ~2M rows at sf0.1 — never materialized): the md5 twin is
     // sample-bounded (21k rows at sf0.1), so it BROADCASTS onto the xx
@@ -271,8 +351,6 @@ object LlmOps {
     // hits — falls out of a single map-side join + global agg. xx pairs
     // are distinct by construction (bucket dedup + verify), so each
     // matched twin pair counts exactly once.
-    val xx = minhashXxPairs(s, dir)
-      .select(col("doc_a"), col("doc_b"), col("jaccard"))
     val md5 = minhashMd5Pairs(s, dir) // memoized checkpoint-backed twin
       .select(col("doc_a"), col("doc_b"), col("jaccard"))
     val mdAgg = md5.agg(
@@ -285,18 +363,29 @@ object LlmOps {
       .agg(count(lit(1)).as("n_xx"), min(col("jaccard")).as("min_jac"),
         coalesce(sum(when(col("m_hit"), 1L)), lit(0L)).as("n_hit_all"),
         coalesce(sum(when(col("m_strong"), 1L)), lit(0L)).as("n_hit_strong"))
-    mdAgg.crossJoin(oneScan).select(
+    // Independent precision leg: the 10%-sample xx pipeline's emitted
+    // pairs re-scored through the token-ARRAY branch. A masks/arrays
+    // disagreement OR a recomputed jac below the 0.5 operating point
+    // fails precision_ok.
+    val samp = jaccardViaArrays(s, dir,
+        xxSample.select(col("doc_a"), col("doc_b"), col("jaccard").as("jac_masks")))
+      .agg(count(lit(1)).as("n_samp"),
+        coalesce(sum(when(round(col("jac"), 6) =!= col("jac_masks")
+          || col("jac") < 0.5, 1L).otherwise(0L)), lit(0L)).as("n_samp_bad"))
+    val recallAll = col("n_hit_all").cast("double") / col("n_md5_pairs").cast("double")
+    mdAgg.crossJoin(oneScan).crossJoin(samp).select(
       col("n_md5_pairs"), col("n_md5_strong"),
       (col("n_md5_strong") === 0 ||
         col("n_hit_strong").cast("double") >=
           lit(MinhashTwinRecallStrongLo) * col("n_md5_strong").cast("double"))
         .as("recall_strong_ok"),
       (col("n_md5_pairs") === 0 ||
-        col("n_hit_all").cast("double") >=
-          lit(MinhashTwinRecallAllLo) * col("n_md5_pairs").cast("double"))
+        (recallAll >= MinhashTwinRecallAllBand._1 &&
+          recallAll <= MinhashTwinRecallAllBand._2))
         .as("recall_all_ok"),
-      (col("n_xx") === 0 || col("min_jac") >= 0.5).as("precision_ok"),
-      (col("n_xx") > 0).as("xx_nonempty"))
+      ((col("n_xx") === 0 || col("min_jac") >= 0.5) &&
+        col("n_samp_bad") === 0).as("precision_ok"),
+      (col("n_xx") > 0 && col("n_samp") > 0).as("xx_nonempty"))
   }
 
   /** Cross-engine-verifiable MinHash LSH on the deterministic 10% sample
@@ -395,7 +484,7 @@ object LlmOps {
     * standalone twin query AND the round-14 xx audit both read this —
     * one signature + band + verify pass per session, not one per
     * consumer. */
-  private def minhashMd5Pairs(s: SparkSession, dir: String): DataFrame =
+  private[graft] def minhashMd5Pairs(s: SparkSession, dir: String): DataFrame =
     Mv.memo(s, s"minhashMd5Pairs|$dir") { bs =>
       val numBands = 4
       val rowsPerBand = 2
@@ -480,17 +569,19 @@ object LlmOps {
     * bracket oracle). Measured at sf0.001 / sf0.01 / sf0.1 (Scratch14
     * sweep, archived in APPROX_BOUNDS.json `simhash_xx`):
     * full-corpus precision vs exact Jaccard ≥ 0.5 on the emitted pairs
-    * = 0.9771 / 0.9794 / 0.9838 (floor 0.9); sampled-pass recall on
+    * = 0.9771 / 0.9794 / 0.9838 (floor 0.95 — r15 tightening, just
+    * under the weakest measured point); sampled-pass recall on
     * strong (J ≥ 0.8) exact pairs = 0.3333 / 0.2419 / 0.2861 and
     * agreement with the oracled md5 twin = 0.3333 / 0.2750 / 0.2749 —
-    * both asserted INSIDE [lo, hi] bands, because the LOW recall is the
+    * both asserted INSIDE [lo, hi] bands hugging the measured range
+    * ([0.22, 0.4] / [0.26, 0.4]), because the LOW recall is the
     * contract (4×16/≤12 is the precision screen, SURVEY designation):
     * a recall jump past the band would mean the operating point no
     * longer matches its designation, exactly as much a drift as a
     * collapse. */
-  val SimhashPrecisionLo = 0.9
-  val SimhashRecallStrongBand: (Double, Double) = (0.05, 0.6)
-  val SimhashTwinAgreeBand: (Double, Double) = (0.1, 0.6)
+  val SimhashPrecisionLo = 0.95
+  val SimhashRecallStrongBand: (Double, Double) = (0.22, 0.4)
+  val SimhashTwinAgreeBand: (Double, Double) = (0.26, 0.4)
 
   /** SimHash near-dup AUDIT (Charikar 2002; round-14 bracket oracle):
     * the 64-bit xxhash64 signature pipeline — 4×16-bit band join,
@@ -513,7 +604,7 @@ object LlmOps {
       .select(col("doc_a"), col("doc_b")).ckpt()
     val md5 = q_llm_simhash_md5(s, dir)
       .select(col("doc_a"), col("doc_b")).ckpt()
-    val exactS = exactSamplePairs(s, dir).ckpt()
+    val exactS = exactSamplePairs(s, dir) // memoized checkpoint-backed MV
     // full-corpus precision: exact-verify ONLY the emitted pairs
     val fullAgg = jaccardVerify(s, dir,
         xxFull.select(col("lang"), col("doc_a"), col("doc_b")))
@@ -552,19 +643,24 @@ object LlmOps {
     * (the sample is 10% of the corpus, so the fence holds with 10×
     * headroom whenever q_llm_jaccard_pairs' does); same size-prune +
     * shared jaccardVerify formula as the full exact path. */
-  private def exactSamplePairs(s: SparkSession, dir: String): DataFrame = {
-    val d = tokenSets(s, dir)
-      .filter(col("doc_id") % 10 === 0 && size(col("toks")) > 0)
-      .select(col("doc_id"), col("lang"), size(col("toks")).cast("bigint").as("nt"))
-    val a = d.select(col("lang"), col("doc_id").as("doc_a"), col("nt").as("pna"))
-    val b = d.select(col("lang").as("lang_b"), col("doc_id").as("doc_b"), col("nt").as("pnb"))
-    val pairs = a.join(b, col("lang") === col("lang_b") && col("doc_a") < col("doc_b") &&
-        col("pna") <= col("pnb") * 2 && col("pnb") <= col("pna") * 2)
-      .select(col("lang"), col("doc_a"), col("doc_b"))
-    jaccardVerify(s, dir, pairs)
-      .filter(col("jac") >= 0.5)
-      .select(col("doc_a"), col("doc_b"), round(col("jac"), 6).as("jaccard"))
-  }
+  private[graft] def exactSamplePairs(s: SparkSession, dir: String): DataFrame =
+    // Memoized (r15): the q_llm_simhash audit AND every ApproxBounds
+    // measurement point score against this same sample-scoped ground
+    // truth — one all-pairs verify per (session, fixture).
+    Mv.memo(s, s"exactSamplePairs|$dir") { bs =>
+      val d = tokenSets(bs, dir)
+        .filter(col("doc_id") % 10 === 0 && size(col("toks")) > 0)
+        .select(col("doc_id"), col("lang"), size(col("toks")).cast("bigint").as("nt"))
+      val a = d.select(col("lang"), col("doc_id").as("doc_a"), col("nt").as("pna"))
+      val b = d.select(col("lang").as("lang_b"), col("doc_id").as("doc_b"), col("nt").as("pnb"))
+      val pairs = a.join(b, col("lang") === col("lang_b") && col("doc_a") < col("doc_b") &&
+          col("pna") <= col("pnb") * 2 && col("pnb") <= col("pna") * 2)
+        .select(col("lang"), col("doc_a"), col("doc_b"))
+      jaccardVerify(bs, dir, pairs)
+        .filter(col("jac") >= 0.5)
+        .select(col("doc_a"), col("doc_b"), round(col("jac"), 6).as("jaccard"))
+        .ckpt("exactSamplePairs")
+    }
 
   /** The xx-signature pipeline, optionally restricted to the SAME
     * deterministic 10% sample the md5 twin runs on — that restriction is
@@ -583,19 +679,31 @@ object LlmOps {
     * `hammingMax`. ApproxBounds sweeps this grid against the exact
     * Jaccard ground truth so a user can choose simhash-vs-minhash from
     * measured recall/precision, not folklore. */
+  /** Full-corpus 64-bit xx SimHash signature table, memoized per
+    * (session, fixture) — r15 perf recovery: the signature is
+    * independent of the band/threshold operating point AND of the
+    * sample restriction, so ONE build serves the q_llm_simhash audit's
+    * full and sampled legs plus every ApproxBounds grid point (each
+    * formerly re-ran tokenSets + SimHash64 over the whole corpus). */
+  private[graft] def simhashXxSig(s: SparkSession, dir: String): DataFrame =
+    Mv.memo(s, s"simhashXxSig|$dir") { bs =>
+      bs.sessionState.functionRegistry.createOrReplaceTempFunction(
+        "graft_simhash64", exprs => graft.functions.SimHash64(exprs.head), "built-in")
+      tokenSets(bs, dir).filter(size(col("toks")) > 0)
+        .withColumn("simhash", call_function("graft_simhash64", col("toks")))
+        .select(col("doc_id"), col("lang"), col("simhash"))
+        .ckpt("simhashXxSig")
+    }
+
   private[graft] def simhashXxParam(s: SparkSession, dir: String, nBands: Int,
       hammingMax: Int, sampled: Boolean): DataFrame = {
     require(64 % nBands == 0, s"bands must divide 64, got $nBands")
     val bandBits = 64 / nBands
     val bandMask = if (bandBits == 64) -1L else (1L << bandBits) - 1
-    s.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "graft_simhash64", exprs => graft.functions.SimHash64(exprs.head), "built-in")
-    val d0 = tokenSets(s, dir).filter(size(col("toks")) > 0)
-    val d = if (sampled) d0.filter(col("doc_id") % 10 === 0) else d0
-    // materialized once: banding + both Hamming-verify sides reuse it
-    val sig = d.withColumn("simhash", call_function("graft_simhash64", col("toks")))
-      .select(col("doc_id"), col("lang"), col("simhash"))
-      .ckpt()
+    // materialized once per session (MV): banding + both Hamming-verify
+    // sides read the checkpoint; the sampled leg is a filter of it
+    val sig0 = simhashXxSig(s, dir)
+    val sig = if (sampled) sig0.filter(col("doc_id") % 10 === 0) else sig0
     val banded = sig.select(col("lang"), col("doc_id"),
       posexplode(array((0 until nBands).map { b =>
         expr(s"shiftright(simhash, ${bandBits * b}) & $bandMask")
@@ -640,20 +748,14 @@ object LlmOps {
   def q_llm_simhash_recall(s: SparkSession, dir: String): DataFrame =
     simhashMd5Param(s, dir, nBands = 6, hammingMax = 16)
 
-  /** Band/threshold-parameterized md5-family SimHash (bands must divide
-    * 60) — one body under the precision screen AND the recall tier, so
-    * both operating points run the same signature arithmetic. */
-  private def simhashMd5Param(s: SparkSession, dir: String, nBands: Int,
-      hammingMax: Int): DataFrame = {
-    require(60 % nBands == 0, s"bands must divide 60, got $nBands")
-    val bandBits = 60 / nBands
-    val bandMask = (1L << bandBits) - 1
-    // Signatures materialize ONCE per (session, fixture): the banding
-    // pass and both sides of the Hamming verify read `sig` — and BOTH
-    // registered operating points share the one build, which would
-    // otherwise re-run the whole token-explode + md5 + 60-vote
-    // aggregation (3× the query cost, ×2 queries).
-    val sig = Mv.memo(s, s"simhashMd5Sig|$dir") { bs =>
+  /** md5-family 60-bit SimHash signatures over the 10% sample —
+    * session MV: the banding pass and both Hamming-verify sides read
+    * it, and BOTH registered operating points (q_llm_simhash_md5 /
+    * q_llm_simhash_recall) plus the q_llm_simhash audit share the one
+    * build, which would otherwise re-run the whole token-explode +
+    * md5 + 60-vote aggregation per consumer. */
+  private[graft] def simhashMd5Sig(s: SparkSession, dir: String): DataFrame =
+    Mv.memo(s, s"simhashMd5Sig|$dir") { bs =>
       val d = tokenSets(bs, dir)
         .filter(col("doc_id") % 10 === 0 && size(col("toks")) > 0)
       val tok = d.select(col("doc_id"), col("lang"), explode(col("toks")).as("tok"))
@@ -665,8 +767,18 @@ object LlmOps {
       tok.groupBy(col("doc_id"), col("lang"))
         .agg(votes.head, votes.tail: _*)
         .select(col("doc_id"), col("lang"), expr(sigExpr).as("simhash"))
-        .ckpt()
+        .ckpt("simhashMd5Sig")
     }
+
+  /** Band/threshold-parameterized md5-family SimHash (bands must divide
+    * 60) — one body under the precision screen AND the recall tier, so
+    * both operating points run the same signature arithmetic. */
+  private def simhashMd5Param(s: SparkSession, dir: String, nBands: Int,
+      hammingMax: Int): DataFrame = {
+    require(60 % nBands == 0, s"bands must divide 60, got $nBands")
+    val bandBits = 60 / nBands
+    val bandMask = (1L << bandBits) - 1
+    val sig = simhashMd5Sig(s, dir)
     val banded = sig.select(col("lang"), col("doc_id"),
       posexplode(array((0 until nBands).map { b =>
         expr(s"shiftright(simhash, ${bandBits * b}) & $bandMask")

@@ -60,15 +60,19 @@ class BenchGateSpec extends AnyFunSuite {
     assert(m("a") == 1.5)
   }
 
-  test("sweep loop: retries on a dirty canary, stops at the budget or a clean triple") {
+  test("sweep loop: pinned two-sweep minimum; retries on a dirty canary up to the budget") {
     val dirty = (0.14, 1.9, 0.15)
     val clean = (0.12, 0.15, 0.14)
     assert(Bench.sweepAgain(1, dirty, 0.5), "a dirty first pass forces a resweep")
     assert(Bench.sweepAgain(2, dirty, 0.5),
       "a still-dirty second pass gets ONE more chance (VERDICT r10 item 4)")
     assert(!Bench.sweepAgain(3, dirty, 0.5), "the budget is 3 sweeps total")
-    assert(!Bench.sweepAgain(1, clean, 0.5), "a clean pass never resweeps")
-    assert(!Bench.sweepAgain(2, clean, 0.5), "a clean resweep ends the loop early")
+    // r15 sweep-count pin: official values are min-across-sweeps, so a
+    // 1-sweep record and a 2-sweep record measure different regimes
+    // (the r13-vs-r14 +44% artifact). Every record runs >= MinSweeps.
+    assert(Bench.sweepAgain(1, clean, 0.5),
+      "a clean first pass still gets its steady-state second sweep (MinSweeps pin)")
+    assert(!Bench.sweepAgain(2, clean, 0.5), "a clean second sweep ends the loop")
   }
 
   test("every registered query has a committed clean-box target (VERDICT r9 item 7)") {

@@ -277,7 +277,6 @@ class PlanAuditSpec extends AnyFunSuite {
     // (r15: the four "tokenMasks vid rank" entries are gone — the ≤64-row
     // vid rank is now a driver-side literal table, no window at all.)
     val globalWinAllow: Map[String, String] = Map(
-      "q_win_ntile" -> "customer DIMENSION by design; own spec pin documents the Dist fallback",
       "q_win_sliding_frame" -> "day-calendar spine (rows = distinct days)",
       "q_agg_pareto" -> "10-row decile table windows (deciles ranked by Dist upstream)",
       "q_agg_survival_curve" -> "week-calendar survival ladder (rows = observation weeks)",
@@ -569,29 +568,39 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(maxPool <= 5000L, s"rrf candidate pool must stay bounded, got $maxPool")
   }
 
-  test("ntile: the one global window reads ONLY the customer dimension (r7 carried pin)") {
-    // q_win_ntile assigns global quartiles, so its window is legitimately
-    // unpartitioned — but ONLY because the input is the customer
-    // DIMENSION, never a fact table. This pin fails if the query is ever
-    // rewired to a fact-sized input. Scale note: when the dimension
-    // outgrows a single sort partition, the drop-in alternative is the
-    // two-pass range-partitioned form — repartitionByRange(acctbal desc)
-    // + per-partition row_number + broadcast per-partition counts to
-    // turn local ranks into global ntile buckets — which keeps the same
-    // output contract without any single-partition sort.
-    val df = SparkEntry.queries("q_win_ntile")(spark, sf0001)
-    val wins = df.queryExecution.sparkPlan.collect {
-      case w: org.apache.spark.sql.execution.window.WindowExec => w
-    }
-    assert(wins.size == 1, s"expected exactly one window, got ${wins.size}")
-    assert(wins.head.partitionSpec.isEmpty,
-      "global quartiles are BY DESIGN a single unpartitioned window")
-    val scanned = df.queryExecution.sparkPlan.collect {
-      case sc: org.apache.spark.sql.execution.FileSourceScanExec =>
-        sc.relation.location.rootPaths.map(_.getName).mkString(",")
-    }
-    assert(scanned.nonEmpty && scanned.forall(_.contains("customer")),
-      s"the global ntile window must read only the customer dimension, scans=$scanned")
+  test("ntile: Dist device by default; the direct global window is a guarded opt-in (r15)") {
+    // r15 (VERDICT r14 item 7): the customer dimension GROWS with the
+    // corpus, so the scale-safe Dist regime is the DEFAULT — no
+    // unpartitioned window anywhere in the default plan, and the old
+    // globalWinAllow entry is deleted. The single-window fast path is
+    // an explicit opt-in via spark.graft.ntileDirectMaxRows, pinned
+    // here in both regimes with result identity.
+    import org.apache.spark.sql.execution.window.WindowExec
+    def wins(df: org.apache.spark.sql.DataFrame) =
+      df.queryExecution.sparkPlan.collect { case w: WindowExec => w }
+    val dist = SparkEntry.queries("q_win_ntile")(spark, sf0001)
+    val distWins = wins(dist)
+    assert(distWins.nonEmpty, "Dist regime ranks via pid-partitioned windows")
+    distWins.foreach(w => assert(w.partitionSpec.nonEmpty,
+      s"default regime may not contain an unpartitioned window:\n$w"))
+    val distRows = dist.collect().map(r => (r.getLong(0), r.getLong(2)))
+    spark.conf.set("spark.graft.ntileDirectMaxRows", "10000000")
+    try {
+      val direct = SparkEntry.queries("q_win_ntile")(spark, sf0001)
+      val dWins = wins(direct)
+      assert(dWins.size == 1 && dWins.head.partitionSpec.isEmpty,
+        "opt-in regime is the single global window")
+      val scanned = direct.queryExecution.sparkPlan.collect {
+        case sc: org.apache.spark.sql.execution.FileSourceScanExec =>
+          sc.relation.location.rootPaths.map(_.getName).mkString(",")
+      }
+      assert(scanned.nonEmpty && scanned.forall(_.contains("customer")),
+        s"the direct window may read only the customer dimension, scans=$scanned")
+      // both regimes must assign bit-identical quartiles
+      val directRows = direct.collect().map(r => (r.getLong(0), r.getLong(2)))
+      assert(directRows.sameElements(distRows),
+        "Dist and direct regimes must produce identical quartiles")
+    } finally spark.conf.unset("spark.graft.ntileDirectMaxRows")
   }
 
   test("round-14 bounded inputs: the PMI pair space stays vocab-bounded") {
