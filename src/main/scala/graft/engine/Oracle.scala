@@ -3705,6 +3705,76 @@ object Oracle {
          |FROM ce CROSS JOIN summ
          |ORDER BY w DESC, ca, cb LIMIT 10""".stripMargin,
 
+    // Louvain LEVEL 2: the weighted integer sweep replayed on the
+    // coarsen chain's condensed graph — argmax 2m*w_ij - k_i*k_j (ties
+    // min j, move iff positive), weighted Q*4m^2 with self-loop mass;
+    // every value integer until the two final divisions.
+    "q_graph_louvain_level2" ->
+      s"""WITH $edgesCte,
+         |pp AS MATERIALIZED (SELECT e1.dst AS a, e2.dst AS b
+         |       FROM edges e1 JOIN edges e2 ON e1.src = e2.src AND e1.dst < e2.dst
+         |       GROUP BY 1, 2 HAVING COUNT(*) >= ${GraphOps.TriangleMinCooccur}),
+         |und AS MATERIALIZED (SELECT a, b FROM pp UNION ALL SELECT b AS a, a AS b FROM pp),
+         |deg AS MATERIALIZED (SELECT a, CAST(COUNT(*) AS BIGINT) AS k FROM und GROUP BY 1),
+         |mm AS (SELECT CAST(COUNT(*) AS BIGINT) AS m FROM pp),
+         |cand AS (SELECT u.a, u.b, d.k AS kj,
+         |           ROW_NUMBER() OVER (PARTITION BY u.a ORDER BY d.k, u.b) AS rn
+         |         FROM und u JOIN deg d ON d.a = u.b),
+         |best AS (SELECT a, b AS j, kj FROM cand WHERE rn = 1),
+         |lab AS MATERIALIZED (SELECT d.a, d.k,
+         |         CASE WHEN 2*(SELECT m FROM mm) > d.k * b.kj THEN b.j ELSE d.a END AS lbl
+         |       FROM deg d JOIN best b ON b.a = d.a),
+         |lp AS MATERIALIZED (SELECT la.lbl AS la, lb.lbl AS lb
+         |      FROM pp JOIN lab la ON la.a = pp.a JOIN lab lb ON lb.a = pp.b),
+         |ce AS MATERIALIZED (SELECT LEAST(la, lb) AS ca, GREATEST(la, lb) AS cb,
+         |        CAST(COUNT(*) AS BIGINT) AS w
+         |      FROM lp WHERE la <> lb GROUP BY 1, 2),
+         |selfw AS (SELECT la AS sn, CAST(COUNT(*) AS BIGINT) AS sw
+         |      FROM lp WHERE la = lb GROUP BY 1),
+         |und2 AS (SELECT ca AS u, cb AS v, w FROM ce
+         |         UNION ALL SELECT cb AS u, ca AS v, w FROM ce),
+         |kdeg AS MATERIALIZED (SELECT n.node,
+         |    COALESCE(cw.cw, 0) + 2 * COALESCE(selfw.sw, 0) AS k,
+         |    COALESCE(selfw.sw, 0) AS sw
+         |  FROM (SELECT DISTINCT lbl AS node FROM lab) n
+         |  LEFT JOIN (SELECT u, CAST(SUM(w) AS BIGINT) AS cw FROM und2 GROUP BY 1) cw
+         |    ON cw.u = n.node
+         |  LEFT JOIN selfw ON selfw.sn = n.node),
+         |cand2 AS (SELECT u2.u, u2.v,
+         |    ki.k * kj.k - 2 * (SELECT m FROM mm) * u2.w AS ns,
+         |    ROW_NUMBER() OVER (PARTITION BY u2.u
+         |      ORDER BY ki.k * kj.k - 2 * (SELECT m FROM mm) * u2.w, u2.v) AS rn
+         |  FROM und2 u2 JOIN kdeg ki ON ki.node = u2.u
+         |               JOIN kdeg kj ON kj.node = u2.v),
+         |best2 AS (SELECT u, v AS j, ns FROM cand2 WHERE rn = 1),
+         |lab2 AS MATERIALIZED (SELECT kd.node, kd.k, kd.sw,
+         |    CASE WHEN b2.ns < 0 THEN b2.j ELSE kd.node END AS lbl2
+         |  FROM kdeg kd LEFT JOIN best2 b2 ON b2.u = kd.node),
+         |ic AS (SELECT l1.lbl2 AS c, CAST(SUM(ce.w) AS BIGINT) AS wc
+         |  FROM ce JOIN lab2 l1 ON l1.node = ce.ca
+         |          JOIN lab2 l2 ON l2.node = ce.cb AND l1.lbl2 = l2.lbl2
+         |  GROUP BY 1),
+         |aft AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_communities,
+         |    CAST(SUM(COALESCE(ic.wc, 0) + g.swc) AS BIGINT) AS intra_w,
+         |    CAST(SUM(g.dc * g.dc) AS BIGINT) AS sum_dc2
+         |  FROM (SELECT lbl2, CAST(SUM(sw) AS BIGINT) AS swc,
+         |          CAST(SUM(k) AS BIGINT) AS dc FROM lab2 GROUP BY 1) g
+         |  LEFT JOIN ic ON ic.c = g.lbl2),
+         |bef AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_super_nodes,
+         |    CAST(SUM(sw) AS BIGINT) AS self_w,
+         |    CAST(SUM(k * k) AS BIGINT) AS sum_k2 FROM kdeg),
+         |mv AS (SELECT CAST(COALESCE(SUM(CASE WHEN lbl2 <> node THEN 1 ELSE 0 END), 0)
+         |    AS BIGINT) AS n_moved FROM lab2)
+         |SELECT bef.n_super_nodes, mm.m AS edge_weight, mv.n_moved,
+         |  aft.n_communities,
+         |  CAST(4*mm.m*bef.self_w - bef.sum_k2 AS BIGINT) AS q4m2_before,
+         |  CAST(4*mm.m*aft.intra_w - aft.sum_dc2 AS BIGINT) AS q4m2_after,
+         |  CAST(4*mm.m*bef.self_w - bef.sum_k2 AS DOUBLE)
+         |    / CAST((4*mm.m)*mm.m AS DOUBLE) AS modularity_before,
+         |  CAST(4*mm.m*aft.intra_w - aft.sum_dc2 AS DOUBLE)
+         |    / CAST((4*mm.m)*mm.m AS DOUBLE) AS modularity_after
+         |FROM bef CROSS JOIN mm CROSS JOIN mv CROSS JOIN aft""".stripMargin,
+
     "q_graph_assortativity" ->
       s"""WITH $edgesCte,
          |pp AS (SELECT e1.dst AS a, e2.dst AS b
