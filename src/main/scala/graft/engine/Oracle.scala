@@ -405,30 +405,42 @@ object Oracle {
   )
 
   /** DuckDB replay of StreamingOps.compileCep for one pattern: the same
-    * latest-feasible-start chain windows over (user_id | ts, event_id),
-    * the same within/negation anchor checks, one summary row. */
+    * latest-feasible-start chain windows over (user_id | ts, event_id)
+    * — witnesses as {ts, eid} structs (one total order for sequencing
+    * AND negation, the r15 tie fix), optional steps chained through the
+    * same p.srcs predecessor sets via the identical null-skipping CASE
+    * max fold — the same within/negation anchor checks, one summary
+    * row. */
   private def cepSql(p: StreamingOps.CepPattern): String = {
     val wPrev = "OVER (PARTITION BY user_id ORDER BY ts ASC, event_id ASC " +
       "ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)"
-    val chain = p.steps.tail.zipWithIndex.map { case ((t, _), i) =>
-      s"""s${i + 2} AS (SELECT *, CASE WHEN event_type = '$t'
-         |  THEN MAX(c${i + 1}) $wPrev END AS c${i + 2} FROM s${i + 1})""".stripMargin
+    // DuckDB GREATEST lacks struct support: the same pairwise
+    // null-skipping CASE fold as StreamingOps.structMax
+    def structMax(es: Seq[String]): String = es.reduce((a, b) =>
+      s"(CASE WHEN ($a) IS NULL THEN ($b) WHEN ($b) IS NULL THEN ($a) " +
+        s"WHEN ($a) >= ($b) THEN ($a) ELSE ($b) END)")
+    val chain = (1 until p.steps.size).map { j =>
+      val feeds = p.srcs(j).map(i => s"MAX(c${i + 1}) $wPrev")
+      s"""s${j + 1} AS (SELECT *, CASE WHEN event_type = '${p.steps(j)._1}'
+         |  THEN ${structMax(feeds)} END AS c${j + 1} FROM s$j)""".stripMargin
     }
     val k = p.steps.size
     val lastC = s"c$k"
     val notCte = p.notBetween.map(n =>
-      s"""sn AS (SELECT *, MAX(CASE WHEN event_type = '$n' THEN ts END) $wPrev
+      s"""sn AS (SELECT *, MAX(CASE WHEN event_type = '$n'
+         |  THEN {'ts': ts, 'eid': event_id} END) $wPrev
          |  AS last_not FROM s$k)""".stripMargin)
     val src = if (p.notBetween.isDefined) "sn" else s"s$k"
     val notPred = if (p.notBetween.isDefined)
       s" AND (last_not IS NULL OR last_not < $lastC)" else ""
     val ctes = Seq(
       "e AS (SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts, event_type FROM events)",
-      s"s1 AS (SELECT *, CASE WHEN event_type = '${p.steps.head._1}' THEN ts END AS c1 FROM e)"
+      s"s1 AS (SELECT *, CASE WHEN event_type = '${p.steps.head._1}' " +
+        "THEN {'ts': ts, 'eid': event_id} END AS c1 FROM e)"
     ) ++ chain ++ notCte ++ Seq(
-      s"""m AS (SELECT user_id, $lastC AS start_ts, ts AS end_ts FROM $src
+      s"""m AS (SELECT user_id, ($lastC).ts AS start_ts, ts AS end_ts FROM $src
          |  WHERE event_type = '${p.steps.last._1}' AND $lastC IS NOT NULL
-         |    AND $lastC >= ts - INTERVAL ${p.withinMinutes} MINUTE$notPred)""".stripMargin)
+         |    AND ($lastC).ts >= ts - INTERVAL ${p.withinMinutes} MINUTE$notPred)""".stripMargin)
     s"""WITH ${ctes.mkString(",\n")},
        |mm AS MATERIALIZED (SELECT * FROM m),
        |q AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_step1_in_window

@@ -317,30 +317,66 @@ object StreamingOps {
   // ── CEP: declared SEQ patterns compiled to relational algebra ────────
 
   /** A parsed CEP sequence pattern (round 14, VERDICT what's-missing #3
-    * — the FlinkCEP / MATCH_RECOGNIZE surface): ordered typed steps, a
-    * `within` window bounding first-step match → final step, and an
-    * optional event type that must not occur inside the match window.
-    * A `+` quantifier declares one-or-more; under the compiled
-    * EXISTENTIAL semantics (below) it is satisfied by ≥ 1, so `a+ b`
-    * and `a b` compile identically — the quantifier is surface-level
-    * documentation of intent (counting variants are q_stream_funnel's
-    * per-session aggregation family). */
+    * — the FlinkCEP / MATCH_RECOGNIZE surface; r15 adds the bounded
+    * quantifiers): ordered typed steps, a `within` window bounding
+    * first-step match → final step, and an optional event type that
+    * must not occur inside the match window.
+    *
+    * `steps` is the EXPANDED list: (event type, optional?). Quantifier
+    * expansion (done by parseCep): `t{n}` / `t{n,m}` become n mandatory
+    * copies — under the compiled EXISTENTIAL skip-till-last semantics a
+    * bounded repeat is satisfiable iff ≥ n strictly-ordered occurrences
+    * can be assigned (the upper bound never binds existentially: when
+    * more exist, pick exactly n), so the lower bound is the whole
+    * compiled content and m is declared intent. `t?` becomes one
+    * OPTIONAL step (skippable in the chain). `t+` stays one mandatory
+    * step (≥ 1 ≡ 1 existentially; counting variants are
+    * q_stream_funnel's aggregation family). First and final steps must
+    * be non-optional (the anchor and the window start must exist). */
   case class CepPattern(name: String, steps: Seq[(String, Boolean)],
       withinMinutes: Int, notBetween: Option[String]) {
     require(steps.size >= 2, s"CEP $name: need >= 2 steps")
+    require(!steps.head._2, s"CEP $name: first step must not be optional")
+    require(!steps.last._2, s"CEP $name: final (anchor) step must not be optional")
+
+    /** Chain sources of expanded step j (0-based): step j-1 plus —
+      * transitively — every further predecessor reachable by skipping
+      * consecutive OPTIONAL steps. Shared by the batch compilation, the
+      * streaming state machine, and the generated oracle SQL, so all
+      * three walk the identical DAG. */
+    val srcs: Seq[Seq[Int]] = steps.indices.map { j =>
+      if (j == 0) Seq.empty
+      else {
+        val b = scala.collection.mutable.ArrayBuffer[Int](j - 1)
+        var i = j - 1
+        while (i > 0 && steps(i)._2) { i -= 1; b += i }
+        b.toSeq
+      }
+    }
   }
 
-  /** Pattern string surface: space-separated step types (optional `+`),
-    * then `within <n>m`, then optionally `no <type>` — e.g.
-    * `"click+ purchase within 30m no error"`. Parsed once at class
+  /** Pattern string surface: space-separated step types with optional
+    * quantifier — `t`, `t+`, `t?`, `t{n}`, `t{n,m}` — then `within
+    * <n>m`, then optionally `no <type>`; e.g.
+    * `"click{2,4} purchase within 60m no error"`. Parsed once at class
     * load, so every registered run exercises the parser (the
     * parseMotif idiom applied to event sequences). */
   def parseCep(name: String, pattern: String): CepPattern = {
     val toks = pattern.trim.split("\\s+").toList
     val wIdx = toks.indexOf("within")
     require(wIdx > 0, s"CEP $name: missing 'within' clause")
-    val steps = toks.take(wIdx).map { t =>
-      if (t.endsWith("+")) (t.dropRight(1), true) else (t, false)
+    val stepRe = "([a-zA-Z_]+)(?:\\+|(\\?)|\\{(\\d+)(?:,(\\d+))?\\})?".r
+    val steps = toks.take(wIdx).flatMap {
+      case stepRe(t, null, null, null) => Seq((t, false)) // bare or `+`
+      case stepRe(t, "?", null, null) => Seq((t, true))
+      case stepRe(t, null, n, m) =>
+        val lo = n.toInt
+        require(lo >= 1, s"CEP $name: {n} must be >= 1 in '$t{$n}'")
+        if (m != null) require(m.toInt >= lo,
+          s"CEP $name: bad repeat bounds {$n,$m} on '$t'")
+        Seq.fill(lo)((t, false))
+      case bad => throw new IllegalArgumentException(
+        s"CEP $name: bad step token '$bad'")
     }
     val winRe = "(\\d+)m".r
     val within = toks.lift(wIdx + 1) match {
@@ -358,53 +394,74 @@ object StreamingOps {
   }
 
   /** The registered pattern library: the classic clean-conversion
-    * funnel and a 3-step journey, both over the events fixture. */
+    * funnel, a 3-step journey, and the r15 quantifier tiers — a
+    * bounded repeat, an optional middle step, and an {n,m} range. */
   val CepPatterns = Seq(
     parseCep("click_purchase_clean", "click+ purchase within 30m no error"),
-    parseCep("view_click_purchase", "view click purchase within 240m"))
+    parseCep("view_click_purchase", "view click purchase within 240m"),
+    parseCep("double_click_purchase", "click{2} purchase within 60m"),
+    parseCep("view_maybe_click_purchase", "view click? purchase within 240m"),
+    parseCep("click_burst_purchase", "click{2,4} purchase within 120m"))
+
+  /** Null-skipping pairwise max over struct columns (Spark `greatest`
+    * mirrors this for atomic types; spelled as a CASE fold so the
+    * generated oracle SQL — where DuckDB's GREATEST lacks struct
+    * support — is the expression-for-expression twin). */
+  private def structMax(cs: Seq[org.apache.spark.sql.Column]): org.apache.spark.sql.Column = cs.reduce((a, b) =>
+    when(a.isNull, b).when(b.isNull, a).when(a >= b, a).otherwise(b))
 
   /** Compile a CEP pattern to per-user window algebra — EXISTENTIAL
     * "skip-till-last" semantics: an anchor event (final step type)
     * matches iff SOME assignment of earlier events to the earlier steps
-    * is (a) strictly increasing in (ts, event_id) order, (b) starts
-    * within the `within` window, and (c) for `no X`, contains no X
-    * between the first-step event and the anchor.
+    * is (a) strictly increasing in (ts, event_id) order — optional
+    * steps may be skipped, bounded repeats are pre-expanded — (b)
+    * starts within the `within` window, and (c) for `no X`, contains
+    * no X between the first-step event and the anchor in the SAME
+    * (ts, event_id) total order.
     *
     * The chain columns c_i carry, at each step-i row, the LATEST
-    * feasible first-step timestamp over all assignments of steps 1..i
-    * ending at that row (max of the previous chain over strictly
-    * preceding rows). Latest-start is exactly the right witness: the
-    * `within` constraint prefers late starts, and for the negation,
-    * every assignment's window contains [latest_start, anchor], so an
-    * X in that interval kills ALL assignments while an X before
-    * latest_start is avoided by the latest-start witness — the
-    * existential check reduces to one comparison per anchor row.
+    * feasible first-step witness — a (ts, event_id) STRUCT, so
+    * sequencing and the negation comparison use one total order
+    * (ADVICE r14: the old ts-only negation wrongly suppressed a match
+    * when an excluded event shared the witness's timestamp but sorted
+    * BEFORE it) — over all assignments of steps 1..i ending at that
+    * row: the max of every SOURCE chain (p.srcs — the immediate
+    * predecessor plus any run of skippable optional steps) over
+    * strictly preceding rows. Latest-start is exactly the right
+    * witness: the `within` constraint prefers late starts, and for the
+    * negation, every assignment's window contains [latest_start,
+    * anchor], so an X in that interval kills ALL assignments while an
+    * X before latest_start is avoided by the latest-start witness —
+    * the existential check reduces to one comparison per anchor row.
     * Scale shape: k windows over the same (user_id | ts, event_id)
     * ordering — ONE shuffle, k sort-free passes, state per user
-    * bounded by k timestamps (the streaming twin `cepUpdate` keeps
+    * bounded by k witnesses (the streaming twin `cepUpdate` keeps
     * exactly that). Returns the match rows. */
   private[graft] def compileCep(ev: DataFrame, p: CepPattern): DataFrame = {
     val W = org.apache.spark.sql.expressions.Window
     val ord = W.partitionBy(col("user_id")).orderBy(col("ts").asc, col("event_id").asc)
     val wPrev = ord.rowsBetween(W.unboundedPreceding, -1)
     var df = ev.select(col("user_id"), col("event_id"), col("ts"), col("event_type"))
-      .withColumn("c1", when(col("event_type") === p.steps.head._1, col("ts")))
-    var prevC = "c1"
-    p.steps.tail.zipWithIndex.foreach { case ((t, _), i) =>
-      df = df.withColumn(s"c${i + 2}",
-        when(col("event_type") === t, max(col(prevC)).over(wPrev)))
-      prevC = s"c${i + 2}"
+      .withColumn("c1", when(col("event_type") === p.steps.head._1,
+        struct(col("ts").as("ts"), col("event_id").as("eid"))))
+    (1 until p.steps.size).foreach { j =>
+      val feeds = p.srcs(j).map(i => max(col(s"c${i + 1}")).over(wPrev))
+      df = df.withColumn(s"c${j + 1}",
+        when(col("event_type") === p.steps(j)._1, structMax(feeds)))
     }
+    val lastC = s"c${p.steps.size}"
     if (p.notBetween.isDefined)
       df = df.withColumn("_last_not",
-        max(when(col("event_type") === p.notBetween.get, col("ts"))).over(wPrev))
+        max(when(col("event_type") === p.notBetween.get,
+          struct(col("ts").as("ts"), col("event_id").as("eid")))).over(wPrev))
     val notOk = if (p.notBetween.isEmpty) lit(true)
-      else col("_last_not").isNull || col("_last_not") < col(prevC)
+      else col("_last_not").isNull || col("_last_not") < col(lastC)
     df.filter(col("event_type") === p.steps.last._1)
-      .filter(col(prevC).isNotNull &&
-        col(prevC) >= col("ts") - expr(s"INTERVAL ${p.withinMinutes} MINUTES") &&
+      .filter(col(lastC).isNotNull &&
+        col(lastC).getField("ts") >= col("ts") - expr(s"INTERVAL ${p.withinMinutes} MINUTES") &&
         notOk)
-      .select(col("user_id"), col(prevC).as("start_ts"), col("ts").as("end_ts"))
+      .select(col("user_id"), col(lastC).getField("ts").as("start_ts"),
+        col("ts").as("end_ts"))
   }
 
   /** CEP pattern matching over the events table: per registered pattern
@@ -440,48 +497,70 @@ object StreamingOps {
   /** Typed event row for the streaming CEP twin (micros, so state math
     * is exact integer). */
   case class CepEv(user_id: Long, event_id: Long, ts_us: Long, event_type: String)
-  case class CepState(latest: Seq[Long], lastNot: Long)
+
+  /** Per-user state: (k-1) latest-feasible-start WITNESSES as parallel
+    * (ts_us, event_id) arrays — the same (ts, eid) total order the
+    * batch chain structs carry (ADVICE r14 tie fix) — plus the last
+    * `no X` witness. Long.MinValue ts = none. */
+  case class CepState(latestTs: Seq[Long], latestEid: Seq[Long],
+      lastNotTs: Long, lastNotEid: Long)
   case class CepMatch(user_id: Long, start_us: Long, end_us: Long)
 
   /** Streaming CEP state machine — the incremental twin of compileCep:
-    * per user it keeps exactly (k-1) latest-feasible-start timestamps
-    * plus the last `no X` timestamp (Long.MinValue = none), updates
-    * them per event in (ts, event_id) order, and emits a match when an
-    * anchor event's pre-event state passes the within/negation checks —
-    * the same latest-start witness argument as the batch compilation.
-    * Events are sorted within each micro-batch group; cross-batch
-    * ordering is the source's contract (the spec feeds ordered batches;
-    * a production deployment fronts this with watermark-ordered
-    * delivery). State is O(k) per user — the 100 TB CEP shape. */
+    * per user it keeps exactly (k-1) latest-feasible-start witnesses
+    * plus the last `no X` witness, updates them per event in
+    * (ts, event_id) order — optional steps chain through the same
+    * p.srcs predecessor sets as the batch compilation — and emits a
+    * match when an anchor event's pre-event state passes the
+    * within/negation checks (negation compared in the (ts, event_id)
+    * order, so an excluded event tied on ts but sequenced BEFORE the
+    * witness no longer suppresses the match). Events are sorted within
+    * each micro-batch group; cross-batch ordering is the source's
+    * contract (the spec feeds ordered batches; a production deployment
+    * fronts this with watermark-ordered delivery). State is O(k) per
+    * user — the 100 TB CEP shape. */
   private[graft] def cepUpdate(p: CepPattern)(userId: Long, it: Iterator[CepEv],
       state: GroupState[CepState]): Iterator[CepMatch] = {
     val k = p.steps.size
-    val st = state.getOption.getOrElse(
-      CepState(Seq.fill(k - 1)(Long.MinValue), Long.MinValue))
-    val latest = st.latest.toArray
-    var lastNot = st.lastNot
+    val st = state.getOption.getOrElse(CepState(
+      Seq.fill(k - 1)(Long.MinValue), Seq.fill(k - 1)(0L), Long.MinValue, 0L))
+    val lTs = st.latestTs.toArray
+    val lEid = st.latestEid.toArray
+    var notTs = st.lastNotTs
+    var notEid = st.lastNotEid
+    def ltPair(a: (Long, Long), b: (Long, Long)): Boolean =
+      a._1 < b._1 || (a._1 == b._1 && a._2 < b._2)
+    def bestSrc(j: Int): Option[(Long, Long)] = {
+      val cands = p.srcs(j).map(i => (lTs(i), lEid(i))).filter(_._1 != Long.MinValue)
+      if (cands.isEmpty) None else Some(cands.max) // tuple max = (ts, eid) lexicographic
+    }
     val out = scala.collection.mutable.ArrayBuffer[CepMatch]()
     val winUs = p.withinMinutes * 60L * 1000000L
     it.toArray.sortBy(e => (e.ts_us, e.event_id)).foreach { e =>
       // anchor check BEFORE state updates: strictly-before semantics
       if (e.event_type == p.steps.last._1) {
-        val start = latest(k - 2)
-        if (start != Long.MinValue && start >= e.ts_us - winUs &&
-            (p.notBetween.isEmpty || lastNot == Long.MinValue || lastNot < start))
-          out += CepMatch(userId, start, e.ts_us)
+        bestSrc(k - 1).foreach { start =>
+          if (start._1 >= e.ts_us - winUs &&
+              (p.notBetween.isEmpty || notTs == Long.MinValue ||
+                ltPair((notTs, notEid), start)))
+            out += CepMatch(userId, start._1, e.ts_us)
+        }
       }
       // all updates read the PRE-event state (an event matching several
       // step positions chains only through strictly earlier events)
       val updates = (0 until k - 1).flatMap { idx =>
         if (e.event_type != p.steps(idx)._1) None
-        else if (idx == 0) Some(idx -> e.ts_us)
-        else if (latest(idx - 1) != Long.MinValue) Some(idx -> latest(idx - 1))
-        else None
+        else if (idx == 0) Some(idx -> (e.ts_us, e.event_id))
+        else bestSrc(idx).map(idx -> _)
       }
-      updates.foreach { case (i, v) => if (v > latest(i)) latest(i) = v }
-      if (p.notBetween.contains(e.event_type)) lastNot = e.ts_us
+      updates.foreach { case (i, v) =>
+        if (lTs(i) == Long.MinValue || ltPair((lTs(i), lEid(i)), v)) {
+          lTs(i) = v._1; lEid(i) = v._2
+        }
+      }
+      if (p.notBetween.contains(e.event_type)) { notTs = e.ts_us; notEid = e.event_id }
     }
-    state.update(CepState(latest.toSeq, lastNot))
+    state.update(CepState(lTs.toSeq, lEid.toSeq, notTs, notEid))
     out.iterator
   }
 

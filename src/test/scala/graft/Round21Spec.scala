@@ -55,6 +55,100 @@ class Round21Spec extends AnyFunSuite {
       "precision_ok must flip when the independent recompute disagrees")
   }
 
+  private def cepEvents(rows: Seq[(Long, Long, Long, String)]) = {
+    val s = spark
+    import s.implicits._
+    rows.toDF("user_id", "event_id", "ts_us", "event_type")
+      .select(col("user_id"), col("event_id"),
+        timestamp_micros(col("ts_us")).as("ts"), col("event_type"))
+  }
+
+  private def us(min: Long): Long = min * 60L * 1000000L
+
+  test("CEP bounded repeat {n}: two strictly-ordered occurrences required") {
+    import graft.engine.StreamingOps
+    val p = StreamingOps.CepPatterns.find(_.name == "double_click_purchase").get
+    assert(p.steps == Seq(("click", false), ("click", false), ("purchase", false)),
+      "click{2} must expand to two mandatory steps")
+    // user 1: two clicks then purchase -> match, witness = FIRST click
+    // (the latest start such that two strictly-ordered clicks exist);
+    // user 2: ONE click then purchase -> no match.
+    val ev = cepEvents(Seq(
+      (1L, 1L, us(0), "click"), (1L, 2L, us(5), "click"), (1L, 3L, us(10), "purchase"),
+      (2L, 10L, us(0), "click"), (2L, 11L, us(10), "purchase")))
+    val got = StreamingOps.compileCep(ev, p).collect()
+      .map(r => (r.getLong(0), r.getTimestamp(1).getTime, r.getTimestamp(2).getTime))
+    assert(got.toSeq == Seq((1L, us(0) / 1000, us(10) / 1000)),
+      s"only the double-click user matches: ${got.toSeq}")
+  }
+
+  test("CEP optional step ?: pattern matches with or without the middle step") {
+    import graft.engine.StreamingOps
+    val p = StreamingOps.CepPatterns.find(_.name == "view_maybe_click_purchase").get
+    assert(p.steps == Seq(("view", false), ("click", true), ("purchase", false)))
+    assert(p.srcs(2) == Seq(1, 0), "the anchor chains through click OR straight from view")
+    // user 1: view -> purchase (click skipped) matches;
+    // user 2: view -> click -> purchase matches too (same witness: the view);
+    // user 3: click -> purchase does NOT match (view is mandatory).
+    val ev = cepEvents(Seq(
+      (1L, 1L, us(0), "view"), (1L, 2L, us(9), "purchase"),
+      (2L, 10L, us(0), "view"), (2L, 11L, us(4), "click"), (2L, 12L, us(9), "purchase"),
+      (3L, 20L, us(0), "click"), (3L, 21L, us(9), "purchase")))
+    val got = StreamingOps.compileCep(ev, p).collect()
+      .map(r => (r.getLong(0), r.getTimestamp(1).getTime)).sorted
+    assert(got.toSeq == Seq((1L, 0L), (2L, 0L)), s"got ${got.toSeq}")
+  }
+
+  test("CEP negation ties break on (ts, event_id), not ts alone (ADVICE r14)") {
+    import graft.engine.StreamingOps
+    val p = StreamingOps.CepPatterns.find(_.name == "click_purchase_clean").get
+    // user 1: error and click share ts(0) but the error SORTS BEFORE the
+    // click (smaller event_id) -> it precedes the witness start in the
+    // (ts, event_id) total order and must NOT suppress the match.
+    // user 2: same shared ts but the error sorts AFTER the click ->
+    // inside the match window -> suppressed.
+    val ev = cepEvents(Seq(
+      (1L, 1L, us(0), "error"), (1L, 2L, us(0), "click"), (1L, 3L, us(10), "purchase"),
+      (2L, 10L, us(0), "click"), (2L, 11L, us(0), "error"), (2L, 12L, us(10), "purchase")))
+    val got = StreamingOps.compileCep(ev, p).collect().map(_.getLong(0))
+    assert(got.toSeq == Seq(1L),
+      s"tie-ordered negation: user 1 matches, user 2 suppressed; got ${got.toSeq}")
+    // and the streaming state machine agrees on the same input
+    val s = spark
+    import s.implicits._
+    val typed = Seq(
+      StreamingOps.CepEv(1, 1, us(0), "error"), StreamingOps.CepEv(1, 2, us(0), "click"),
+      StreamingOps.CepEv(1, 3, us(10), "purchase"),
+      StreamingOps.CepEv(2, 10, us(0), "click"), StreamingOps.CepEv(2, 11, us(0), "error"),
+      StreamingOps.CepEv(2, 12, us(10), "purchase")).toDS()
+    val inc = StreamingOps.cepStream(p)(typed).collect().map(_.user_id)
+    assert(inc.toSeq == Seq(1L), s"streaming twin must agree: ${inc.toSeq}")
+  }
+
+  test("CEP streaming: bounded-repeat match assembled across micro-batches") {
+    val s = spark
+    import s.implicits._
+    implicit val sq = s.sqlContext
+    import graft.engine.StreamingOps
+    import StreamingOps.CepEv
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val p = StreamingOps.CepPatterns.find(_.name == "double_click_purchase").get
+    val ms = MemoryStream[CepEv]
+    val q = StreamingOps.cepStream(p)(ms.toDS())
+      .writeStream.outputMode(org.apache.spark.sql.streaming.OutputMode.Append)
+      .format("memory").queryName("cep_r15").start()
+    // click | click | purchase arrive in three separate micro-batches:
+    // the two-occurrence witness must be carried in keyed state
+    ms.addData(CepEv(7, 1, us(0), "click")); q.processAllAvailable()
+    ms.addData(CepEv(7, 2, us(5), "click")); q.processAllAvailable()
+    assert(s.table("cep_r15").count() == 0, "no anchor yet")
+    ms.addData(CepEv(7, 3, us(10), "purchase")); q.processAllAvailable(); q.stop()
+    val got = s.table("cep_r15").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(got.toSeq == Seq((7L, us(0), us(10))),
+      s"cross-batch {2}-repeat match with the first-click witness: ${got.toSeq}")
+  }
+
   test("louvain level 2: coarsening preserves modularity exactly (Q invariance)") {
     // The identity that proves the level-2 sweep really runs on the
     // condensed graph: with k_i = Σw_ij + 2·self_i and W_c including
