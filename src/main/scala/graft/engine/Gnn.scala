@@ -208,19 +208,30 @@ object Gnn {
     // arrive pre-quantized from the previous fold — no transform pass)
     val h2 = step(2, edges.join(h1, col("src") === col("node"))
       .select(col("dst").as("k2"), col("qh").as("q")))
-    // superstep 3: customers aggregate part representations; dims 1-4 out
+    // superstep 3: customers aggregate part representations; dims 1-4
+    // out as rounded doubles PLUS the full-width digest (r15, VERDICT
+    // r14 missing #5): Σ_i (i+1)·q9(h_i) over ALL 64 dims — a
+    // position-weighted exact-integer fold of the same bit-identical
+    // doubles the quantized chain guarantees, so the DuckDB oracle
+    // hash now certifies the entire output vector, not dims 1–4.
+    // Headroom: |q9(h)| ≲ 1e13 at fixture feature scale, ×64 positions
+    // ×64 terms ≈ 1e16 ≪ 2^63.
     edges.join(h2, col("dst") === col("node"))
       .select(col("src").as("k3"), col("qh").as("q"))
       .as[(Long, Array[Long])]
       .groupByKey(_._1)
       .mapGroups { (k, it) =>
         val h = forwardK(3, foldMean(it))
-        (k, h(0), h(1), h(2), h(3))
+        var dig = 0L
+        var i = 0
+        while (i < Dim) { dig += (i + 1) * q9(h(i)); i += 1 }
+        (k, h(0), h(1), h(2), h(3), dig)
       }
-      .toDF("custkey", "k1r", "k2r", "k3r", "k4r")
+      .toDF("custkey", "k1r", "k2r", "k3r", "k4r", "hdigest")
       .select(col("custkey"),
         round(col("k1r"), 6).as("k1"), round(col("k2r"), 6).as("k2"),
-        round(col("k3r"), 6).as("k3"), round(col("k4r"), 6).as("k4"))
+        round(col("k3r"), 6).as("k3"), round(col("k4r"), 6).as("k4"),
+        col("hdigest"))
       .orderBy("custkey")
   }
 

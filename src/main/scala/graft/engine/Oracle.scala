@@ -1648,9 +1648,11 @@ object Oracle {
          |h2 AS (SELECT node, ${layer(2, Gnn.Dim)} FROM m2),
          |m3 AS (SELECT e.src AS node, ${meanOf(j => s"h2.h$j")}
          |       FROM edges e JOIN h2 ON e.dst = h2.node GROUP BY 1),
-         |h3 AS (SELECT node AS custkey, ${layer(3, 4)} FROM m3)
+         |h3 AS (SELECT node AS custkey, ${layer(3, Gnn.Dim)} FROM m3)
          |SELECT custkey, ROUND(h1, 6) AS k1, ROUND(h2, 6) AS k2,
-         |       ROUND(h3, 6) AS k3, ROUND(h4, 6) AS k4
+         |       ROUND(h3, 6) AS k3, ROUND(h4, 6) AS k4,
+         |       CAST(${(1 to Gnn.Dim).map(i => s"$i * ${q9(s"h$i")}")
+            .mkString(" + ")} AS BIGINT) AS hdigest
          |FROM h3 ORDER BY custkey""".stripMargin
     },
 
@@ -6143,6 +6145,13 @@ object Oracle {
         """SELECT lang, COUNT(*) AS n_docs, COUNT(DISTINCT doc_id) AS n_ids,
           |  CAST(SUM(length(replace(replace(text, chr(9), ' '), chr(10), ' ')))
           |    AS BIGINT) AS sum_chars
+          |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin,
+
+      // zstd parquet roundtrip: same lossless-invariant oracle family,
+      // over the RAW text (typed format, no line sanitization).
+      "q_src_zstd_roundtrip" ->
+        """SELECT lang, COUNT(*) AS n_docs, COUNT(DISTINCT doc_id) AS n_ids,
+          |  CAST(SUM(length(text)) AS BIGINT) AS sum_chars
           |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin,
 
       // 1D vs 2D hash edge partitioning: md5-derived assignments, pure

@@ -53,6 +53,11 @@ class Round19Spec extends AnyFunSuite {
         assert(r.getDouble(i) == r6(want(i - 1)),
           s"cust ${r.getLong(0)} k$i: got ${r.getDouble(i)} want ${r6(want(i - 1))}")
       }
+      // r15 full-width certification: the position-weighted exact-integer
+      // digest must reproduce over ALL 64 dims of the replay
+      val wantDig = (0 until Gnn.Dim).map(i => (i + 1) * q9(want(i))).sum
+      assert(r.getLong(5) == wantDig,
+        s"cust ${r.getLong(0)} hdigest: got ${r.getLong(5)} want $wantDig")
     }
     // the three layers must actually differ (per-layer seeds): a shared-W
     // regression would make layer 1 and layer 3 identical functions
