@@ -95,9 +95,28 @@ object LlmOps {
   private val vocabFitsCache =
     new java.util.concurrent.ConcurrentHashMap[(String, String), java.lang.Boolean]()
 
+  /** Cheap freshness token for dir's documents table: file count + max
+    * modification time from ONE driver-side metadata listing. Folded
+    * into the vocab-probe and mask-MV cache keys (r15), a mid-session
+    * rewrite of the corpus becomes a cache MISS — fresh probe, fresh
+    * build — instead of a stale read. The staleness failure mode this
+    * kills: the memoized "vocab fits 64 bits" verdict surviving a data
+    * change would either silently wrap mask bits (pre-r14) or silently
+    * serve a stale mask checkpoint (a memoized MV); with the freshness
+    * key the engine instead RE-PROBES and degrades gracefully to the
+    * token-array path when the vocabulary outgrew 64 bits
+    * (VocabGuardSpec pins exactly that transition). */
+  private def docsFreshness(s: SparkSession, dir: String): String = {
+    val p = new org.apache.hadoop.fs.Path(s"$dir/documents.parquet")
+    val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+    val st = fs.listStatus(p)
+    s"${st.length}:${st.map(_.getModificationTime).foldLeft(0L)(math.max)}"
+  }
+
   private[graft] def tokenMasks(s: SparkSession, dir: String): Option[DataFrame] = {
+    val fresh = docsFreshness(s, dir)
     val fits = vocabFitsCache.computeIfAbsent(
-      (s.sparkContext.applicationId, dir), _ =>
+      (s.sparkContext.applicationId, s"$dir|$fresh"), _ =>
         tokenSets(s, dir).select(explode(col("toks")).as("vtok"))
           .distinct().count() <= 64)
     if (!fits) None
@@ -107,7 +126,7 @@ object LlmOps {
     // each verified candidates against it, and every call re-ran the
     // token explode + vid join + groupBy over the corpus. One build per
     // (session, fixture); consumers scan a doc-count-sized checkpoint.
-    else Some(Mv.memo(s, s"tokenMasks|$dir") { bs =>
+    else Some(Mv.memo(s, s"tokenMasks|$dir|$fresh") { bs =>
       val d = tokenSets(bs, dir)
       val vocab = d.select(explode(col("toks")).as("vtok")).distinct()
       // vocab ≤ 64 rows (guarded above): collect the SORTED vocabulary

@@ -5,11 +5,16 @@ import org.scalatest.funsuite.AnyFunSuite
 
 import graft.engine.LlmOps
 
-/** Regression test for the bitmap-path staleness guard: the vocab<=64
-  * probe is memoized per (session, dir), so if data under dir changes
-  * in-session and the vocabulary outgrows 64 bits, mask construction
-  * must FAIL LOUDLY (raise_error on vid >= 64) instead of silently
-  * wrapping shiftleft mod 64 and corrupting every set operation. */
+/** Regression test for the bitmap-path staleness guard. Pre-r15 the
+  * vocab<=64 probe was memoized per (session, dir) and a mid-session
+  * data change had to FAIL LOUDLY (raise_error on vid >= 64). Since
+  * r15 the probe AND the mask MV key on a freshness token (file count
+  * + max mtime of the documents path), so a rewrite is a cache MISS:
+  * the engine re-probes and, when the vocabulary outgrew 64 bits,
+  * degrades GRACEFULLY to the token-array path with CORRECT results —
+  * strictly better than raising, and the silent-wrap corruption the
+  * guard exists for remains impossible (the raise_error CASE in the
+  * mask build stays as the belt-and-braces backstop). */
 class VocabGuardSpec extends AnyFunSuite {
   import TestSpark._
 
@@ -22,23 +27,28 @@ class VocabGuardSpec extends AnyFunSuite {
       .write.mode("overwrite").parquet(s"$dir/documents.parquet")
   }
 
-  test("stale vocab<=64 memo fails loudly instead of wrapping masks") {
+  test("mid-session vocab growth re-probes and falls back to the array path (r15)") {
     val s = spark
     val dir = java.nio.file.Files.createTempDirectory("graft_vocab").toString
-    // 1) small vocabulary: probe memoizes "fits in 64 bits", masks work
+    // 1) small vocabulary: probe says "fits in 64 bits", bitmap path on
     writeDocs(dir, Seq("a b c d", "a b c e", "x y z"))
-    val small = LlmOps.q_llm_jaccard_pairs(s, dir).collect()
+    val smallDf = LlmOps.q_llm_jaccard_pairs(s, dir)
+    assert(smallDf.queryExecution.optimizedPlan.toString.contains("bit_count"),
+      "small vocabulary must take the bitmask fast path")
+    val small = smallDf.collect()
     assert(small.nonEmpty, "near-dup pair expected in the small corpus")
-    // 2) same dir, vocabulary grows past 64 mid-session: the memo is now
-    //    stale and the guard must raise, not return wrong Jaccards
-    writeDocs(dir, (0 until 80).map(i => s"tok$i tok${(i + 1) % 80} filler$i"))
-    val e = intercept[Exception] {
-      LlmOps.q_llm_jaccard_pairs(s, dir).collect()
-    }
-    def messages(t: Throwable): Seq[String] =
-      Option(t).toSeq.flatMap(x => Option(x.getMessage).toSeq ++ messages(x.getCause))
-    assert(messages(e).exists(_.contains("vocab grew past 64 bits")),
-      s"expected the loud vocab guard, got: ${messages(e).mkString(" | ")}")
+    // 2) same dir, vocabulary grows past 64 mid-session: the freshness
+    //    key invalidates the memo, the re-probe says "doesn't fit", and
+    //    the query returns CORRECT results via the token-array branch
+    writeDocs(dir, (0 until 80).map(i => s"tok$i tok${(i + 1) % 80} filler$i")
+      ++ Seq("dup1 dup2 dup3", "dup1 dup2 dup3"))
+    val grownDf = LlmOps.q_llm_jaccard_pairs(s, dir)
+    assert(!grownDf.queryExecution.optimizedPlan.toString.contains("bit_count"),
+      "grown vocabulary must fall back to the token-array path")
+    val grown = grownDf.collect()
+    // the only pair at J >= 0.5 is the planted exact duplicate (J = 1)
+    assert(grown.length == 1 && grown(0).getDouble(3) == 1.0,
+      s"array-path fallback must compute correct jaccards: ${grown.toSeq}")
   }
 
   test("jaccard exact-baseline fence refuses a lang past the doc bound") {
