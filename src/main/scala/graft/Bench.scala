@@ -93,6 +93,9 @@ object Bench {
     "tokenMasks" -> (() => { engine.LlmOps.tokenMasks(spark, sfDir).foreach(_.count()); () }),
     "minhashMd5Pairs" -> (() => { engine.LlmOps.minhashMd5Pairs(spark, sfDir).count(); () }),
     "simhashMd5Sig" -> (() => { engine.LlmOps.simhashMd5Sig(spark, sfDir).count(); () }),
+    // shared trigram bitmap table: ngram_jaccard AND containment score
+    // their sampled-quadratic passes over this one representation
+    "trigramBitmaps" -> (() => { engine.TextOps.trigramBitmaps(spark, sfDir).count(); () }),
     // final Lloyd assignment MV: kmeans + cluster_purity both consume it
     "kmeansAssign" -> (() => { engine.ClusterOps.kmeansAssign(spark, sfDir).count(); () }),
     // trained BPE merge table: the artifact a tokenizer pipeline persists

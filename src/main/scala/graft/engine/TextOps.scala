@@ -235,11 +235,23 @@ object TextOps {
   /** Per-lang dictionary-encoded trigram bitmaps over the deterministic
     * 10% document sample — the shared set-representation under the
     * symmetric (Jaccard) and asymmetric (containment) near-dup passes:
-    * (doc_id, lang, ng = |gram set|, bm = array<bigint> bitmap). */
-  private def trigramBitmaps(s: SparkSession, dir: String): DataFrame = {
+    * (doc_id, lang, ng = |gram set|, bm = array<bigint> bitmap).
+    * Session MV since r15: BOTH consumers re-ran the gram explode +
+    * distributed rank + two packing groupBys per query — and each
+    * query's self-join read the build subtree TWICE (a and b sides);
+    * the checkpoint makes it one build per (session, fixture) and one
+    * scan per join side. */
+  private[graft] def trigramBitmaps(s: SparkSession, dir: String): DataFrame = {
+    // the AND+popcount kernel is called by the CONSUMER's join, so it
+    // registers on the caller session (the memo build runs on a clone)
     s.sessionState.functionRegistry.createOrReplaceTempFunction(
       "graft_bitmap_and_count",
       exprs => graft.functions.BitmapAndCount(exprs(0), exprs(1)), "built-in")
+    Mv.memo(s, s"trigramBitmaps|$dir")(bs => buildTrigramBitmaps(bs, dir)
+      .ckpt("trigramBitmaps"))
+  }
+
+  private def buildTrigramBitmaps(s: SparkSession, dir: String): DataFrame = {
     val d = Tables.documents(s, dir)
       .filter(col("doc_id") % 10 === 0)
       .select(col("doc_id"), col("lang"),
