@@ -44,7 +44,7 @@ object ScaleProbe {
 
   def main(args: Array[String]): Unit = {
     // fail fast on a typo'd group name BEFORE the (long) replica builds
-    val known = Set("fact", "iter", "lsh", "r16", "r16iter", "r18", "r19", "r19g", "r20", "r20g")
+    val known = Set("fact", "iter", "lsh", "r16", "r16iter", "r18", "r19", "r19g", "r20", "r20g", "r21g")
     val asked = args.filter(_ != "rebuild").toSet
     val unknown = asked -- known
     require(unknown.isEmpty,
@@ -281,6 +281,16 @@ object ScaleProbe {
       runGroup("round-14 tiers (Louvain sweep + coarsening, horizontal axis)", Seq(
         "q_graph_louvain_move",
         "q_graph_coarsen"),
+        GraphTiers)
+    }
+    if (groups("r21g")) {
+      // round-15 Louvain LEVEL 2 on the horizontal graph axis: the only
+      // edge-count-scale work is the one relabel join aggregated to
+      // (label, label) pair weights; the weighted sweep itself runs on
+      // the communities-sized condensed graph, so the curve must track
+      // the edge count (the relabel pass), never bend above it
+      runGroup("round-15 tier (Louvain level-2 weighted sweep, horizontal axis)", Seq(
+        "q_graph_louvain_level2"),
         GraphTiers)
     }
     if (groups("r20")) {
