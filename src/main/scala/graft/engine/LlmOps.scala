@@ -615,12 +615,19 @@ object LlmOps {
     * is a PRECISION SCREEN (precision ≥ 0.9 asserted; recall ~0.29 on
     * strong near-dups BY DESIGN — for recall run q_llm_simhash_recall
     * (6×10-bit md5 bands, Hamming ≤ 16) or the MinHash LSH tier). */
-  def q_llm_simhash(s: SparkSession, dir: String): DataFrame = {
-    val xxFull = simhashXx(s, dir, sampled = false)
+  def q_llm_simhash(s: SparkSession, dir: String): DataFrame =
+    simhashAudit(s, dir,
+      simhashXx(s, dir, sampled = false),
+      simhashXx(s, dir, sampled = true).select(col("doc_a"), col("doc_b")))
+
+  /** Audit body, parameterized over the two xx legs (the minhashAudit
+    * pattern) so Round21Spec can feed PERTURBED pair sets and prove the
+    * simhash envelope booleans flip too. */
+  private[graft] def simhashAudit(s: SparkSession, dir: String,
+      xxFull: DataFrame, xxSampled: DataFrame): DataFrame = {
     // sampled xx feeds 3 consumers, md5 + exact ground truth 2 each:
     // materialize each once (all are sample- or pair-set-bounded).
-    val xxS = simhashXx(s, dir, sampled = true)
-      .select(col("doc_a"), col("doc_b")).ckpt()
+    val xxS = xxSampled.ckpt()
     val md5 = q_llm_simhash_md5(s, dir)
       .select(col("doc_a"), col("doc_b")).ckpt()
     val exactS = exactSamplePairs(s, dir) // memoized checkpoint-backed MV

@@ -55,6 +55,59 @@ class Round21Spec extends AnyFunSuite {
       "precision_ok must flip when the independent recompute disagrees")
   }
 
+  test("simhash audit: healthy pipeline green; perturbed pipelines flip each boolean") {
+    import org.apache.spark.sql.DataFrame
+    // simhashAudit output: (n_md5_pairs, n_exact_sample_pairs,
+    // n_exact_strong, precision_ok, recall_strong_in_band,
+    // twin_agree_in_band, xx_nonempty)
+    def sAudit(full: DataFrame, samp: DataFrame) =
+      LlmOps.simhashAudit(spark, sf0001, full, samp).collect()(0)
+    val xxFull = LlmOps.simhashXxParam(spark, sf0001, nBands = 4,
+      hammingMax = 12, sampled = false)
+    val xxS = LlmOps.simhashXxParam(spark, sf0001, nBands = 4,
+      hammingMax = 12, sampled = true).select(col("doc_a"), col("doc_b"))
+
+    val healthy = sAudit(xxFull, xxS)
+    assert(healthy.getBoolean(3) && healthy.getBoolean(4)
+      && healthy.getBoolean(5) && healthy.getBoolean(6), s"healthy green: $healthy")
+
+    // Precision DRIFT: graft size-incompatible junk pairs into the full
+    // pass — |A| > 2|B| forces exact Jaccard < 0.5 for EVERY junk pair
+    // (J >= 0.5 needs size ratio <= 2), so with junk >= ~25% of the
+    // emitted set the 0.95 precision floor must trip.
+    val sizes = graft.engine.Tables.documents(spark, sf0001)
+      .select(col("doc_id"), col("lang"),
+        size(expr("filter(array_distinct(split(text, ' ')), t -> t <> '')"))
+          .cast("bigint").as("nt"))
+    val junk = sizes.as("a").join(sizes.as("b"),
+        col("a.lang") === col("b.lang") && col("a.doc_id") < col("b.doc_id") &&
+          col("a.nt") > col("b.nt") * 2)
+      .select(col("a.lang").as("lang"), col("a.doc_id").as("doc_a"),
+        col("b.doc_id").as("doc_b"), lit(0).as("hamming"))
+    val nXx = xxFull.count()
+    val junkN = junk.limit((nXx / 2).toInt.max(10))
+    val drifted = sAudit(xxFull.unionByName(junkN), xxS)
+    assert(!drifted.getBoolean(3),
+      "precision_ok must flip when sub-threshold pairs are emitted")
+
+    // Recall COLLAPSE + twin-agreement collapse: an empty sampled pass
+    // (strong recall 0 < band lo; twin agreement 0 < band lo).
+    val collapsed = sAudit(xxFull, xxS.filter(lit(false)))
+    assert(!collapsed.getBoolean(4),
+      "recall_strong_in_band must flip when the sampled pass loses everything")
+    assert(!collapsed.getBoolean(5),
+      "twin_agree_in_band must flip when the sampled pass loses everything")
+
+    // Recall JUMP: feed the EXACT strong ground truth as the sampled
+    // pass — recall 1.0 sails past the band's upper edge (0.4): the
+    // operating point no longer matches the precision-screen designation.
+    val exact = LlmOps.exactSamplePairs(spark, sf0001)
+      .filter(col("jaccard") >= 0.8).select(col("doc_a"), col("doc_b"))
+    val jumped = sAudit(xxFull, exact)
+    assert(!jumped.getBoolean(4),
+      "recall_strong_in_band must flip when recall jumps past the band")
+  }
+
   private def cepEvents(rows: Seq[(Long, Long, Long, String)]) = {
     val s = spark
     import s.implicits._
