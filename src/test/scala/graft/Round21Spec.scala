@@ -55,6 +55,37 @@ class Round21Spec extends AnyFunSuite {
       "precision_ok must flip when the independent recompute disagrees")
   }
 
+  test("committed envelope constants bracket the archived 3-sf measurements") {
+    // tools/approx_bounds_sf{0.001,0.01,0.1}.json are the per-sf
+    // ApproxBounds regenerations (r15). Every committed floor/band must
+    // bracket every archived measured point — re-measure and this test
+    // tells you whether the constants still hold BEFORE the driver's
+    // oracle gate does.
+    def section(text: String, name: String): String = {
+      val i = text.indexOf("\"" + name + "\":{")
+      assert(i >= 0, s"section $name missing")
+      text.substring(i, text.indexOf('}', i) + 1)
+    }
+    Seq("0.001", "0.01", "0.1").foreach { sf =>
+      val t = scala.io.Source.fromFile(s"tools/approx_bounds_sf$sf.json").mkString
+      val mh = Bench.parseFlatJson(section(t, "minhash_lsh"))
+      val sh = Bench.parseFlatJson(section(t, "simhash_xx"))
+      val (aLo, aHi) = LlmOps.MinhashTwinRecallAllBand
+      assert(mh("md5_twin_recall_all") >= aLo && mh("md5_twin_recall_all") <= aHi,
+        s"sf$sf minhash all-recall outside band")
+      assert(mh("md5_twin_recall_strong") >= LlmOps.MinhashTwinRecallStrongLo,
+        s"sf$sf minhash strong-recall under floor")
+      assert(sh("full_precision") >= LlmOps.SimhashPrecisionLo,
+        s"sf$sf simhash precision under floor")
+      val (rLo, rHi) = LlmOps.SimhashRecallStrongBand
+      assert(sh("recall_strong") >= rLo && sh("recall_strong") <= rHi,
+        s"sf$sf simhash recall_strong outside band")
+      val (tLo, tHi) = LlmOps.SimhashTwinAgreeBand
+      assert(sh("twin_agreement") >= tLo && sh("twin_agreement") <= tHi,
+        s"sf$sf simhash twin agreement outside band")
+    }
+  }
+
   test("simhash audit: healthy pipeline green; perturbed pipelines flip each boolean") {
     import org.apache.spark.sql.DataFrame
     // simhashAudit output: (n_md5_pairs, n_exact_sample_pairs,
