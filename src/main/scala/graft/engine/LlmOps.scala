@@ -312,7 +312,10 @@ object LlmOps {
     jaccardVerify(s, dir, pairs)
       .filter(col("jac") >= 0.5)
       .select(col("lang"), col("doc_a"), col("doc_b"), round(col("jac"), 6).as("jaccard"))
-      .orderBy("lang", "doc_a", "doc_b")
+    // no ORDER BY: this is a private pipeline — its consumers (the
+    // audit's aggregates, set-compare specs, ApproxBounds) are
+    // order-blind, and a global sort of the ~2M-pair set was pure
+    // wasted work on the audit path (r15)
   }
 
   /** Measured cross-hash-family envelopes for the xx-banding audit
@@ -750,7 +753,9 @@ object LlmOps {
       .withColumn("hamming", expr("bit_count(ha ^ hb)").cast("int"))
       .filter(col("hamming") <= hammingMax)
       .select(col("lang"), col("doc_a"), col("doc_b"), col("hamming"))
-      .orderBy("lang", "doc_a", "doc_b")
+    // no ORDER BY: private pipeline, order-blind consumers (audit
+    // aggregates + ApproxBounds) — the md5 twin below keeps its sort
+    // because it IS a registered ordered output
   }
 
   /** Cross-engine-verifiable SimHash on the deterministic 10% sample:
