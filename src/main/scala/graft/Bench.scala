@@ -153,10 +153,13 @@ object Bench {
 
   /** Sweep-loop continuation rule: run another full pass while under
     * the pinned minimum, or while the budget allows and the LATEST
-    * canary triple is dirty. */
+    * canary triple is dirty. The pinned minimum is itself gated by the
+    * caller's budget (ADVICE r15): a caller passing maxSweeps=1 gets
+    * exactly one sweep — the stated budget wins over the minimum. */
   private[graft] def sweepAgain(nDone: Int, lastCanary: (Double, Double, Double),
       floor: Double, maxSweeps: Int = MaxSweeps): Boolean =
-    nDone < MinSweeps || (nDone < maxSweeps && canaryDrifted(lastCanary, floor))
+    nDone < math.min(MinSweeps, maxSweeps) ||
+      (nDone < maxSweeps && canaryDrifted(lastCanary, floor))
 
   /** Official-value merge: per query, the minimum across honest
     * (non-failed) samples — the less load-biased estimator; a failed

@@ -100,7 +100,7 @@ object BpeOps {
     * BpeRounds rows — the checkpoint is merge-table-sized, not corpus-
     * sized. */
   def bpeMerges(s: SparkSession, dir: String): DataFrame =
-    Mv.memo(s, s"bpeMerges|$dir") { bs =>
+    Mv.memo(s, s"bpeMerges|${LlmOps.docsKey(s, dir)}") { bs =>
       var t = base(bs, dir, 0)
       val rows = (1 to BpeRounds).map { i =>
         val (merged, top) = mergeRound(t)

@@ -95,28 +95,64 @@ object LlmOps {
   private val vocabFitsCache =
     new java.util.concurrent.ConcurrentHashMap[(String, String), java.lang.Boolean]()
 
-  /** Cheap freshness token for dir's documents table: file count + max
-    * modification time from ONE driver-side metadata listing. Folded
-    * into the vocab-probe and mask-MV cache keys (r15), a mid-session
-    * rewrite of the corpus becomes a cache MISS — fresh probe, fresh
-    * build — instead of a stale read. The staleness failure mode this
-    * kills: the memoized "vocab fits 64 bits" verdict surviving a data
-    * change would either silently wrap mask bits (pre-r14) or silently
-    * serve a stale mask checkpoint (a memoized MV); with the freshness
-    * key the engine instead RE-PROBES and degrades gracefully to the
-    * token-array path when the vocabulary outgrew 64 bits
-    * (VocabGuardSpec pins exactly that transition). */
-  private def docsFreshness(s: SparkSession, dir: String): String = {
+  /** BEST-EFFORT freshness token for dir's documents table: file count
+    * + max modification time + total byte size from ONE driver-side
+    * metadata listing. Folded into EVERY corpus-derived cache key via
+    * `docsKey` (r16; r15 covered only the vocab probe and the mask MV),
+    * a mid-session rewrite of the corpus becomes a cache MISS — fresh
+    * probe, fresh build — instead of a stale read. The staleness
+    * failure mode this targets: a memoized verdict/MV surviving a data
+    * change would silently wrap mask bits (pre-r14) or serve stale
+    * checkpoints into fresh joins (unknown doc_ids dropping through
+    * inner joins — ADVICE r15). Best-effort, not categorical: a
+    * same-second rewrite that keeps both the part-file count AND the
+    * total byte count defeats the token on coarse-mtime filesystems;
+    * the raise_error CASE in the mask build remains the hard backstop.
+    * A missing path yields a sentinel token so the consumer's table
+    * read raises the friendlier data-source error instead of this
+    * metadata probe. */
+  private def docsFreshness(s: SparkSession, dir: String): String = try {
     val p = new org.apache.hadoop.fs.Path(s"$dir/documents.parquet")
     val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
     val st = fs.listStatus(p)
-    s"${st.length}:${st.map(_.getModificationTime).foldLeft(0L)(math.max)}"
+    s"${st.length}:${st.map(_.getModificationTime).foldLeft(0L)(math.max)}:" +
+      s"${st.map(_.getLen).sum}"
+  } catch { case _: java.io.FileNotFoundException => "absent" }
+
+  /** Latest observed freshness token per (application, dir) — the
+    * generation register behind `docsKey`'s eviction of superseded
+    * builds. */
+  private val docsGenCache =
+    new java.util.concurrent.ConcurrentHashMap[(String, String), String]()
+
+  /** Freshness-scoped cache-key suffix for EVERY corpus-derived memo
+    * (MV keys and driver-side probe maps alike): `dir|fresh`. On a
+    * freshness MISS (the corpus under `dir` was rewritten in-session)
+    * the SUPERSEDED generation's entries are evicted before the new
+    * token is returned — Mv entries matching the old `dir|fresh`
+    * suffix have their checkpoint blocks unpersisted synchronously, and
+    * the stale probe-map rows are dropped — so repeated rewrites cannot
+    * grow executor storage unboundedly, and no consumer can ever join a
+    * FRESH mask table against a STALE signature/pair MV (ADVICE r15:
+    * mixed-generation joins silently dropped unknown doc_ids through
+    * inner joins). */
+  private[graft] def docsKey(s: SparkSession, dir: String): String = {
+    val fresh = docsFreshness(s, dir)
+    val appId = s.sparkContext.applicationId
+    val prev = docsGenCache.put((appId, dir), fresh)
+    if (prev != null && prev != fresh) {
+      val stale = s"|$dir|$prev"
+      Mv.keys(s).filter(_.endsWith(stale)).foreach(Mv.evict(s, _))
+      vocabFitsCache.remove((appId, s"$dir|$prev"))
+      docCountCache.remove((appId, s"$dir|$prev"))
+    }
+    s"$dir|$fresh"
   }
 
   private[graft] def tokenMasks(s: SparkSession, dir: String): Option[DataFrame] = {
-    val fresh = docsFreshness(s, dir)
+    val dk = docsKey(s, dir)
     val fits = vocabFitsCache.computeIfAbsent(
-      (s.sparkContext.applicationId, s"$dir|$fresh"), _ =>
+      (s.sparkContext.applicationId, dk), _ =>
         tokenSets(s, dir).select(explode(col("toks")).as("vtok"))
           .distinct().count() <= 64)
     if (!fits) None
@@ -126,7 +162,7 @@ object LlmOps {
     // each verified candidates against it, and every call re-ran the
     // token explode + vid join + groupBy over the corpus. One build per
     // (session, fixture); consumers scan a doc-count-sized checkpoint.
-    else Some(Mv.memo(s, s"tokenMasks|$dir|$fresh") { bs =>
+    else Some(Mv.memo(s, s"tokenMasks|$dk") { bs =>
       val d = tokenSets(bs, dir)
       val vocab = d.select(explode(col("toks")).as("vtok")).distinct()
       // vocab ≤ 64 rows (guarded above): collect the SORTED vocabulary
@@ -160,7 +196,7 @@ object LlmOps {
 
   private[graft] def docCount(s: SparkSession, dir: String): Long =
     docCountCache.computeIfAbsent(
-      (s.sparkContext.applicationId, dir),
+      (s.sparkContext.applicationId, docsKey(s, dir)),
       _ => Tables.documents(s, dir).count())
 
   /** Probe-gated broadcast hint for the doc-count-sized mask/set tables
@@ -273,7 +309,7 @@ object LlmOps {
     * audit's full and sampled legs both read this one build (the
     * sampled leg is a filter of it). */
   private[graft] def minhashXxSig(s: SparkSession, dir: String): DataFrame =
-    Mv.memo(s, s"minhashXxSig|$dir") { bs =>
+    Mv.memo(s, s"minhashXxSig|${docsKey(s, dir)}") { bs =>
       bs.sessionState.functionRegistry.createOrReplaceTempFunction(
         "graft_minhash_sig",
         exprs => graft.functions.MinHashSig(exprs.head, 8),
@@ -507,7 +543,7 @@ object LlmOps {
     * one signature + band + verify pass per session, not one per
     * consumer. */
   private[graft] def minhashMd5Pairs(s: SparkSession, dir: String): DataFrame =
-    Mv.memo(s, s"minhashMd5Pairs|$dir") { bs =>
+    Mv.memo(s, s"minhashMd5Pairs|${docsKey(s, dir)}") { bs =>
       val numBands = 4
       val rowsPerBand = 2
       val sig = md5SampleSig(bs, dir)
@@ -676,7 +712,7 @@ object LlmOps {
     // Memoized (r15): the q_llm_simhash audit AND every ApproxBounds
     // measurement point score against this same sample-scoped ground
     // truth — one all-pairs verify per (session, fixture).
-    Mv.memo(s, s"exactSamplePairs|$dir") { bs =>
+    Mv.memo(s, s"exactSamplePairs|${docsKey(s, dir)}") { bs =>
       val d = tokenSets(bs, dir)
         .filter(col("doc_id") % 10 === 0 && size(col("toks")) > 0)
         .select(col("doc_id"), col("lang"), size(col("toks")).cast("bigint").as("nt"))
@@ -715,7 +751,7 @@ object LlmOps {
     * full and sampled legs plus every ApproxBounds grid point (each
     * formerly re-ran tokenSets + SimHash64 over the whole corpus). */
   private[graft] def simhashXxSig(s: SparkSession, dir: String): DataFrame =
-    Mv.memo(s, s"simhashXxSig|$dir") { bs =>
+    Mv.memo(s, s"simhashXxSig|${docsKey(s, dir)}") { bs =>
       bs.sessionState.functionRegistry.createOrReplaceTempFunction(
         "graft_simhash64", exprs => graft.functions.SimHash64(exprs.head), "built-in")
       tokenSets(bs, dir).filter(size(col("toks")) > 0)
@@ -786,7 +822,7 @@ object LlmOps {
     * build, which would otherwise re-run the whole token-explode +
     * md5 + 60-vote aggregation per consumer. */
   private[graft] def simhashMd5Sig(s: SparkSession, dir: String): DataFrame =
-    Mv.memo(s, s"simhashMd5Sig|$dir") { bs =>
+    Mv.memo(s, s"simhashMd5Sig|${docsKey(s, dir)}") { bs =>
       val d = tokenSets(bs, dir)
         .filter(col("doc_id") % 10 === 0 && size(col("toks")) > 0)
       val tok = d.select(col("doc_id"), col("lang"), explode(col("toks")).as("tok"))
@@ -1023,7 +1059,7 @@ object LlmOps {
   /** Sampled dedup universe (doc, lang, token count) — session MV
     * shared by the cluster and soft-dedup passes. */
   private[engine] def dedupDocs(s: SparkSession, dir: String): DataFrame =
-    Mv.memo(s, s"dedupDocs|$dir") { bs =>
+    Mv.memo(s, s"dedupDocs|${docsKey(s, dir)}") { bs =>
       val d = tokenSets(bs, dir)
         .filter(col("doc_id") % 10 === 0 && size(col("toks")) > 0)
         .select(col("doc_id"), col("lang"), size(col("toks")).cast("bigint").as("nt"))
@@ -1044,7 +1080,7 @@ object LlmOps {
     * per (session, fixture) because both dedup accounting passes (and
     * any future canonical-doc selection) consume the same components. */
   private[graft] def dedupLabels(s: SparkSession, dir: String): DataFrame =
-    Mv.memo(s, s"dedupLabels|$dir") { bs =>
+    Mv.memo(s, s"dedupLabels|${docsKey(s, dir)}") { bs =>
       val docs = dedupDocs(bs, dir)
       val a = docs.select(col("lang"), col("doc_id").as("doc_a"), col("nt").as("pna"))
       val b = docs.select(col("lang").as("lang_b"), col("doc_id").as("doc_b"), col("nt").as("pnb"))

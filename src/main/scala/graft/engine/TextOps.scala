@@ -247,8 +247,8 @@ object TextOps {
     s.sessionState.functionRegistry.createOrReplaceTempFunction(
       "graft_bitmap_and_count",
       exprs => graft.functions.BitmapAndCount(exprs(0), exprs(1)), "built-in")
-    Mv.memo(s, s"trigramBitmaps|$dir")(bs => buildTrigramBitmaps(bs, dir)
-      .ckpt("trigramBitmaps"))
+    Mv.memo(s, s"trigramBitmaps|${LlmOps.docsKey(s, dir)}")(bs =>
+      buildTrigramBitmaps(bs, dir).ckpt("trigramBitmaps"))
   }
 
   private def buildTrigramBitmaps(s: SparkSession, dir: String): DataFrame = {

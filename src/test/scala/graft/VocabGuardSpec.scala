@@ -73,4 +73,43 @@ class VocabGuardSpec extends AnyFunSuite {
     assert(LlmOps.JaccardExactMaxDocsPerLang == 20000L,
       "changing the fence requires updating the 20000 literals in Oracle.scala")
   }
+
+  test("corpus rewrite re-keys EVERY corpus-derived MV and evicts the " +
+      "superseded generation (r16, ADVICE r15)") {
+    // Pre-r16 only the vocab probe and the mask MV carried the freshness
+    // token; the signature/pair MVs stayed keyed (appId, dir), so a
+    // rewrite joined FRESH masks against STALE signatures and unknown
+    // doc_ids silently dropped through inner joins. Now every
+    // documents-derived memo keys on docsKey (dir|count:mtime:bytes) and
+    // a freshness miss evicts the superseded generation's entries.
+    val s = spark
+    import s.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_gen").toString
+    def write(rows: Seq[(Long, String)]): Unit =
+      rows.map { case (id, t) => (id, t, "en", "src0", t.length.toLong) }
+        .toDF("doc_id", "text", "lang", "source", "n_chars")
+        .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    // generation 1: docs 0 and 10 are exact dups (identical signatures
+    // collide in every band; sampled tier = id%10==0)
+    write(Seq((0L, "alpha beta gamma delta"), (10L, "alpha beta gamma delta"),
+      (20L, "zz yy xx ww vv uu")))
+    val p1 = graft.engine.LlmOps.minhashMd5Pairs(s, dir)
+      .select("doc_a", "doc_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(p1 == Set((0L, 10L)), s"gen-1 pair set: $p1")
+    val gen1Keys = graft.engine.Mv.keys(s).filter(_.contains(dir))
+    assert(gen1Keys.exists(_.startsWith("minhashMd5Pairs|")),
+      s"expected a generation-1 pair MV, got $gen1Keys")
+    // generation 2 (same dir, rewritten): the dup pair moves to (10, 20)
+    write(Seq((0L, "solo lone single only one item"), (10L, "qq rr ss tt"),
+      (20L, "qq rr ss tt")))
+    val p2 = graft.engine.LlmOps.minhashMd5Pairs(s, dir)
+      .select("doc_a", "doc_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(p2 == Set((10L, 20L)),
+      s"gen-2 pair set must reflect the REWRITTEN corpus, got $p2 " +
+        "(a stale signature MV would still emit (0,10))")
+    // the superseded generation's entries are GONE (storage bound holds)
+    val now = graft.engine.Mv.keys(s)
+    val leftover = gen1Keys.filter(now.contains)
+    assert(leftover.isEmpty, s"superseded generation not evicted: $leftover")
+  }
 }
