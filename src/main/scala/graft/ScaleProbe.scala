@@ -44,7 +44,7 @@ object ScaleProbe {
 
   def main(args: Array[String]): Unit = {
     // fail fast on a typo'd group name BEFORE the (long) replica builds
-    val known = Set("fact", "iter", "lsh", "r16", "r16iter", "r18", "r19", "r19g", "r20", "r20g", "r21g")
+    val known = Set("fact", "iter", "lsh", "r16", "r16iter", "r18", "r19", "r19g", "r20", "r20g", "r21g", "emb")
     val asked = args.filter(_ != "rebuild").toSet
     val unknown = asked -- known
     require(unknown.isEmpty,
@@ -292,6 +292,34 @@ object ScaleProbe {
       runGroup("round-15 tier (Louvain level-2 weighted sweep, horizontal axis)", Seq(
         "q_graph_louvain_level2"),
         GraphTiers)
+    }
+    if (groups("emb")) {
+      // round-16 EMBEDDING axis (VERDICT r15 item 1 done-criterion):
+      // the fact tiers replicate embeddings with shifted vec_ids, so
+      // x4/x16 are real 8k/32k-vector corpora. With the scale-adaptive
+      // capacity (nlist = ⌊√n⌋, lshBits = ⌈log₂n⌉−4 clamped) the
+      // vector tier's work must grow sub-quadratically: semdedup's
+      // within-cell pairs as ~n^1.5 (cells × cell² = √n·n), the IVF/LSH
+      // per-query candidate sets as ~√n / ~n·2^−bits.
+      runGroup("round-16 tiers (embedding axis, scale-adaptive capacity)", Seq(
+        "q_llm_semdedup",         // within-cell pair join, O(n^1.5)
+        "q_llm_ann_ivf",          // per-query cell scan, O(√n)
+        "q_llm_ann_ivfpq",        // cell-scoped ADC via broadcast LUT
+        "q_llm_ann_lsh"),         // 2^bits buckets, ~16 vecs expected
+        Tiers)
+      // Pair-COUNT evidence (not just wall-clock, which the scheduling
+      // floor can mask at these sizes): Σ c·(c−1)/2 over semdedup's own
+      // per-cell sizes. Quadratic growth would read ×16 / ×256 at
+      // x4 / x16 vectors; the √n rule must hold the ratios near the
+      // n^1.5 line (×8 / ×64).
+      println("== semdedup within-cell pair counts (embedding axis) ==")
+      (Seq(1 -> Base) ++ Tiers).foreach { case (c, d) =>
+        val r = SparkEntry.queries("q_llm_semdedup")(spark, d)
+          .agg(sum(expr("n_vecs * (n_vecs - 1) / 2")).cast("long").as("pairs"),
+            count(lit(1)).as("cells"), sum(col("n_vecs")).as("nv")).collect()(0)
+        println(f"x$c%-3d pairs=${r.getLong(0)}%12d cells=${r.getLong(1)}%6d " +
+          f"n_vecs=${r.getLong(2)}%8d")
+      }
     }
     if (groups("r20")) {
       // round-14 text/bitmap tier (VERDICT r13 item 8): the SAMPLED

@@ -82,7 +82,7 @@ object BpeOps {
       .withColumn("pos", row_number().over(wDoc))
       // checkpoint: bounds the per-round plan growth (and the next
       // round's pair count re-reads the merged table, not the chain)
-      .ckpt()
+      .ckpt("bpeMerge_round")
   }
 
   /** One training round: returns (merged sequence, 1-row top-pair DF). */
@@ -109,7 +109,7 @@ object BpeOps {
           .select(lit(i).as("step"), col("a"), col("b"),
             col("c").as("pair_count"), col("n_symbols"))
       }
-      rows.reduce(_ unionByName _).ckpt()
+      rows.reduce(_ unionByName _).ckpt("bpeMerges")
     }
 
   /** The learned merge table: per round, the merged pair, its count at

@@ -53,9 +53,9 @@ object ClusterOps {
         cents = a.join(emb, "vec_id")
           .groupBy(col("cl"))
           .agg(means.head, means.tail: _*)
-          .ckpt()
+          .ckpt("kmeans_assign")
       }
-      assign(emb, cents).ckpt()
+      assign(emb, cents).ckpt("kmeans_assign")
     }
 
   private def assign(emb: DataFrame, cents: DataFrame): DataFrame =

@@ -384,7 +384,7 @@ object GraphOps {
     var sTab = allPairs
       .select(col("a"), col("b"),
         when(col("a") === col("b"), lit(1.0)).otherwise(lit(0.0)).as("s"))
-      .ckpt()
+      .ckpt("simrank_iter")
     for (_ <- 1 to SimrankIters) {
       val cs = ie.select(col("node").as("ca"), col("inn").as("ia"))
         .join(broadcast(sTab.select(col("a").as("sa"), col("b").as("sb"), col("s"))),
@@ -404,7 +404,7 @@ object GraphOps {
           when(col("a") === col("b"), lit(1.0))
             .otherwise(coalesce(lit(SimrankC) * col("cs")
               / (col("na") * col("nb")).cast("double"), lit(0.0))).as("s"))
-        .ckpt()
+        .ckpt("simrank_iter")
     }
     sTab.filter(col("a") < col("b") && col("s") > 0)
       .select(col("a").as("type_a"), col("b").as("type_b"),

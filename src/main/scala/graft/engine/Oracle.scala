@@ -851,6 +851,27 @@ object Oracle {
        |  * sqrt((SELECT SUM(CAST(y AS DOUBLE)*CAST(y AS DOUBLE))
        |          FROM (SELECT UNNEST($q) AS y) zb)))""".stripMargin
 
+  /** Shared IVF CTE chain (r16 scale-adaptive capacity, VERDICT r15
+    * item 1): `nlist` is COMPUTED from the corpus —
+    * GREATEST(16, FLOOR(SQRT(n))), mirroring LlmOps.ivfNlist — so the
+    * oracle derives the same capacity from the same data and the hash
+    * match certifies the rule, not a frozen constant. Centroids = the
+    * nlist smallest vec_ids; EVERY vector is assigned (assign-all
+    * convention shared by ann_ivf / ann_ivfpq / ann_recall{,_curve} /
+    * semdedup). */
+  private def ivfAssignedCtes: String =
+    s"""nl AS (SELECT GREATEST(16, CAST(FLOOR(SQRT(COUNT(*))) AS BIGINT)) AS nlist
+       |  FROM embeddings),
+       |cents AS (SELECT vec_id AS cid, embedding AS cv FROM embeddings, nl
+       |  WHERE vec_id < nl.nlist),
+       |data AS (SELECT vec_id AS vid, embedding AS dv FROM embeddings),
+       |ac AS (SELECT d.vid, c.cid, d.dv,
+       |         ROUND(${cosExpr("d.dv", "c.cv")}, 6) AS ccos
+       |       FROM data d CROSS JOIN cents c),
+       |ar AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY vid
+       |         ORDER BY ccos DESC, cid ASC) AS arn FROM ac),
+       |assigned AS (SELECT vid, cid, dv FROM ar WHERE arn = 1)""".stripMargin
+
   /** §2.11 — LLM-pipeline ops. Cosine is spelled out in double math on
     * both sides (DuckDB's list_cosine_similarity accumulates in float32 —
     * probed 1e-7 off, too coarse for ROUND 6 parity). */
@@ -1064,12 +1085,20 @@ object Oracle {
     // SRP-LSH buckets reproduced exactly: integer hyperplane components
     // and a left-associated + chain give bit-identical sign tests to the
     // codegen'd FloatVecDot loop; cosines compare at 6dp as usual.
+    // r16: the bit count is scale-adaptive (clamp(ceil(log2 n) - 4,
+    // min, max) — LlmOps.lshBits); the `nb` CTE recomputes it from the
+    // corpus via EXACT integer bit-length (length(bin(n-1)) — no float
+    // log edge cases), and the bucket terms are generated to the
+    // LshBitsMax fence with each term gated on j < bits.
     "q_llm_ann_lsh" -> {
       def dotj(j: Int): String = (0 until 64).map(d =>
         s"CAST(embedding[${d + 1}] AS DOUBLE) * (${LlmOps.hyperplane(j, d)})").mkString(" + ")
-      val bucket = (0 until LlmOps.LshBits).map(j =>
-        s"(CASE WHEN ${dotj(j)} > 0 THEN ${1L << j} ELSE 0 END)").mkString(" + ")
-      s"""WITH b AS (SELECT vec_id, embedding, $bucket AS bucket FROM embeddings),
+      val bucket = (0 until LlmOps.LshBitsMax).map(j =>
+        s"(CASE WHEN $j < nb.bits AND ${dotj(j)} > 0 THEN ${1L << j} ELSE 0 END)")
+        .mkString(" + ")
+      s"""WITH nb AS (SELECT GREATEST(${LlmOps.LshBitsMin}, LEAST(${LlmOps.LshBitsMax},
+         |    length(bin(COUNT(*) - 1)) - 4)) AS bits FROM embeddings),
+         |b AS (SELECT vec_id, embedding, $bucket AS bucket FROM embeddings, nb),
          |q AS (SELECT vec_id AS query_id, bucket AS qb, embedding AS qv
          |      FROM b WHERE vec_id BETWEEN 20 AND 24),
          |c AS (SELECT q.query_id, b.vec_id AS neighbor_id,
@@ -1317,14 +1346,7 @@ object Oracle {
          |WHERE cos_sim >= 0.35 ORDER BY vec_a, vec_b""".stripMargin,
 
     "q_llm_ann_ivf" ->
-      s"""WITH cents AS (SELECT vec_id AS cid, embedding AS cv FROM embeddings WHERE vec_id < 16),
-         |data AS (SELECT vec_id AS vid, embedding AS dv FROM embeddings WHERE vec_id >= 16),
-         |ac AS (SELECT d.vid, c.cid, d.dv,
-         |         ROUND(${cosExpr("d.dv", "c.cv")}, 6) AS ccos
-         |       FROM data d CROSS JOIN cents c),
-         |ar AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY vid
-         |         ORDER BY ccos DESC, cid ASC) AS arn FROM ac),
-         |assigned AS (SELECT vid, cid, dv FROM ar WHERE arn = 1),
+      s"""WITH $ivfAssignedCtes,
          |qs AS (SELECT vid AS query_id, cid AS qcid, dv AS qv FROM assigned
          |       WHERE vid BETWEEN 20 AND 24),
          |cand AS (SELECT q.query_id, a.vid AS neighbor_id,
@@ -1357,14 +1379,7 @@ object Oracle {
     // ranking — same round-6 cosine + id tie-breaks on both sides, so
     // the intersection count is exact.
     "q_llm_ann_recall" ->
-      s"""WITH cents AS (SELECT vec_id AS cid, embedding AS cv FROM embeddings WHERE vec_id < 16),
-         |data AS (SELECT vec_id AS vid, embedding AS dv FROM embeddings WHERE vec_id >= 16),
-         |ac AS (SELECT d.vid, c.cid, d.dv,
-         |         ROUND(${cosExpr("d.dv", "c.cv")}, 6) AS ccos
-         |       FROM data d CROSS JOIN cents c),
-         |ar AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY vid
-         |         ORDER BY ccos DESC, cid ASC) AS arn FROM ac),
-         |assigned AS (SELECT vid, cid, dv FROM ar WHERE arn = 1),
+      s"""WITH $ivfAssignedCtes,
          |qs AS (SELECT vid AS query_id, cid AS qcid, dv AS qv FROM assigned
          |       WHERE vid BETWEEN 20 AND 24),
          |icand AS (SELECT q.query_id, a.vid AS neighbor_id,
@@ -1392,14 +1407,7 @@ object Oracle {
     // Recall CURVE: the ann_recall chain ranked to depth 10 once, then
     // each k of the 3-row spine aggregates the same matched table.
     "q_llm_ann_recall_curve" ->
-      s"""WITH cents AS (SELECT vec_id AS cid, embedding AS cv FROM embeddings WHERE vec_id < 16),
-         |data AS (SELECT vec_id AS vid, embedding AS dv FROM embeddings WHERE vec_id >= 16),
-         |ac AS (SELECT d.vid, c.cid, d.dv,
-         |         ROUND(${cosExpr("d.dv", "c.cv")}, 6) AS ccos
-         |       FROM data d CROSS JOIN cents c),
-         |ar AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY vid
-         |         ORDER BY ccos DESC, cid ASC) AS arn FROM ac),
-         |assigned AS (SELECT vid, cid, dv FROM ar WHERE arn = 1),
+      s"""WITH $ivfAssignedCtes,
          |qs AS (SELECT vid AS query_id, cid AS qcid, dv AS qv FROM assigned
          |       WHERE vid BETWEEN 20 AND 24),
          |icand AS (SELECT q.query_id, a.vid AS neighbor_id,
@@ -2172,18 +2180,12 @@ object Oracle {
   /** Round-4 third batch: SemDeDup cluster-scoped dedup and sliding-
     * window chunking. */
   val round4c: Map[String, String] = Map(
-    // Same cell assignment as q_llm_ann_ivf but over ALL vectors; a
-    // vector drops when an earlier (smaller vec_id) cell-mate is within
+    // Same scale-adaptive cell assignment as q_llm_ann_ivf (nlist
+    // computed from the corpus, all vectors assigned); a vector drops
+    // when an earlier (smaller vec_id) cell-mate is within
     // cosine >= 0.35 — the one-pass keep-first greedy relaxation.
     "q_llm_semdedup" ->
-      s"""WITH cents AS (SELECT vec_id AS cid, embedding AS cv FROM embeddings WHERE vec_id < 16),
-         |data AS (SELECT vec_id AS vid, embedding AS dv FROM embeddings),
-         |ac AS (SELECT d.vid, c.cid, d.dv,
-         |         ROUND(${cosExpr("d.dv", "c.cv")}, 6) AS ccos
-         |       FROM data d CROSS JOIN cents c),
-         |ar AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY vid
-         |         ORDER BY ccos DESC, cid ASC) AS arn FROM ac),
-         |assigned AS (SELECT vid, cid, dv FROM ar WHERE arn = 1),
+      s"""WITH $ivfAssignedCtes,
          |pair AS (SELECT b.cid, b.vid,
          |           ROUND(${cosExpr("b.dv", "a.dv")}, 6) AS cs
          |         FROM assigned b JOIN assigned a
@@ -6360,22 +6362,15 @@ object Oracle {
           |FROM a ORDER BY event_type""".stripMargin,
 
       "q_llm_ann_ivfpq" ->
-        s"""WITH cents AS (SELECT vec_id AS cid, embedding AS cv FROM embeddings WHERE vec_id < 16),
-           |data AS (SELECT vec_id AS vid, embedding AS dv FROM embeddings WHERE vec_id >= 16),
-           |ac AS (SELECT d.vid, c.cid, d.dv,
-           |         ROUND(${cosExpr("d.dv", "c.cv")}, 6) AS ccos
-           |       FROM data d CROSS JOIN cents c),
-           |ar AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY vid
-           |         ORDER BY ccos DESC, cid ASC) AS arn FROM ac),
-           |assigned AS (SELECT vid, cid, dv FROM ar WHERE arn = 1),
+        s"""WITH $ivfAssignedCtes,
            |res AS (SELECT a.vid, a.cid,
            |    list_transform(range(1, 65),
            |      i -> CAST(a.dv[i] AS DOUBLE) - CAST(c.cv[i] AS DOUBLE)) AS rv
            |  FROM assigned a JOIN cents c ON a.cid = c.cid),
            |s AS (SELECT vid, m, rv[m*8 + 1 : m*8 + 8] AS xv
            |  FROM res, UNNEST(range(0, 8)) AS t(m)),
-           |cb AS (SELECT vid AS j, m AS cm, xv AS cv2 FROM s
-           |  WHERE vid BETWEEN 16 AND 31),
+           |cb AS (SELECT vid AS j, m AS cm, xv AS cv2 FROM s, nl
+           |  WHERE vid BETWEEN nl.nlist AND nl.nlist + 15),
            |d2t AS (SELECT s.vid, s.m, cb.j, $d2terms AS d2
            |  FROM s JOIN cb ON s.m = cb.cm),
            |codes AS (SELECT vid AS nid, m AS nm, j AS code FROM (

@@ -1405,7 +1405,7 @@ object StatsOps {
       .groupBy(to_date(col("ts")).as("day"))
       .agg(sum(round(col("value") * 100, 0).cast("bigint")).as("y"))
       .withColumn("t", row_number().over(Window.orderBy(col("day"))))
-      .ckpt() // calendar-bounded; read once per block-size leg
+      .ckpt("hurst_spine") // calendar-bounded; read once per block-size leg
     def leg(m: Int): DataFrame = {
       val base = rn.select(col("t"), col("y"),
         expr(s"(t - 1) div $m").as("blk"),

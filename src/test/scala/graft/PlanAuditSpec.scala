@@ -306,24 +306,26 @@ class PlanAuditSpec extends AnyFunSuite {
       "q_embed_twonn" -> "fixed-COUNT sample (step = ceil(n/200)): broadcast side <= ~200 rows at any corpus size")
 
     // Allowlists for CAPTURED (pre-checkpoint) build plans — r15, the
-    // checkpoint-transparent sweep. Every entry is a build whose BNLJ /
-    // window input is bounded by a named constant or a calendar/top-k
-    // domain, not data volume. NO rot check here: memoized MV builds
-    // record only on their FIRST consumer in a JVM, so whether an entry
-    // exhibits its pattern depends on suite ordering — a rot assert
-    // would be flaky by construction. Review these by hand when one of
-    // the named builds changes.
+    // checkpoint-transparent sweep; r16 rework (VERDICT r15 item 6 +
+    // ADVICE r15): keyed by the Ckpt TAG, not the consumer query name.
+    // Tags are order-independent (a memoized build records under the
+    // same tag whichever consumer reaches it first), and the MV
+    // registry is evicted at the top of this gate so every build runs
+    // — and records — inside this sweep deterministically; both
+    // allowlists therefore carry the same rot assert as the final-plan
+    // lists below. Every entry is a build whose BNLJ / window input is
+    // bounded by a named constant or a calendar/top-k domain, not data
+    // volume.
     val ckptBnljAllow: Map[String, String] = Map(
-      "q_graph_simrank" -> "k²-bounded seed-pair iterates (top-k × top-k, checkpoint leaves)",
-      "q_llm_ann_recall_curve" -> "literal query-id anchor scans feeding the |Q|×10 ground-truth build",
-      "q_llm_bpe_apply" -> "NumMerges-bounded merge-table build (pair scan per merge step)",
-      "q_llm_bpe_train" -> "same merge-table build as bpe_apply (first consumer records it)",
-      "q_llm_cluster_purity" -> "k-row centroid table in the Lloyd assign build",
-      "q_llm_kmeans" -> "same Lloyd assign build as cluster_purity (first consumer records it)",
-      "q_llm_mmr" -> "1-row query anchor + <=20-row pool sides in the rerank builds",
-      "q_llm_semdedup" -> "16-row centroid table in the cell-assign build")
+      "simrank_iter" -> "k²-bounded seed-pair iterates (top-k × top-k, checkpoint leaves)",
+      "annRecallCurve_matched" -> "literal query-id anchor scans feeding the |Q|×10 ground-truth build",
+      "bpeMerge_round" -> "1-row merge-pair broadcast onto the positional scan (train top-1 / trained step filter)",
+      "kmeans_assign" -> "k-row centroid table in the Lloyd assign build",
+      "mmr_pool" -> "1-row query anchor onto the embeddings scan (pool build)",
+      "mmr_sims" -> "<=MmrPool-row checkpointed pool sides in the rerank pair build",
+      "semdedup_assign" -> "√n-row broadcast centroid table in the cell-assign build")
     val ckptWinAllow: Map[String, String] = Map(
-      "q_time_hurst" -> "R/S ladder over the day calendar (rows = distinct days per block size)")
+      "hurst_spine" -> "R/S ladder over the day calendar (rows = distinct days per block size)")
 
     def boundedBnlj(j: BroadcastNestedLoopJoinExec): Boolean = {
       val side: SparkPlan = j.buildSide match {
@@ -343,6 +345,15 @@ class PlanAuditSpec extends AnyFunSuite {
       oneRowAggOrLocal || rangeSpine
     }
 
+    // Deterministic capture (VERDICT r15 item 6): a memoized MV build
+    // records its pre-checkpoint plans only when it actually BUILDS, so
+    // evict the whole registry first — every build then runs (and
+    // records) inside this sweep regardless of which suites executed
+    // earlier in the JVM, and the ckpt allowlists can carry a real rot
+    // assert instead of a "review by hand" note.
+    graft.engine.Mv.keys(spark).foreach(k => graft.engine.Mv.evict(spark, k))
+    val capturedByTag =
+      scala.collection.mutable.Map.empty[String, scala.collection.mutable.ArrayBuffer[SparkPlan]]
     val problems = scala.collection.mutable.ArrayBuffer[String]()
     SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
       // Checkpoint-transparent sweep (VERDICT r14 lead item): every
@@ -350,33 +361,54 @@ class PlanAuditSpec extends AnyFunSuite {
       // PRE-checkpoint physical plan while `record` is active — so a
       // global window / cartesian / unbounded BNLJ hidden behind a
       // lineage-truncating checkpoint is audited exactly like the final
-      // plan. Memoized MV builds record on their FIRST consumer in this
-      // sorted loop (later consumers see the cached leaf) — every build
-      // is swept at least once per JVM.
+      // plan.
       val (df, recorded) = graft.engine.Ckpt.record { fn(spark, sf0001) }
-      val plans: Seq[(String, SparkPlan)] =
-        ("final" -> df.queryExecution.sparkPlan) +:
-          recorded.map { case (tag, p) => (s"ckpt:$tag", p) }
-      plans.foreach { case (where, p) =>
-        val isCkpt = where != "final"
+      recorded.foreach { case (tag, p) =>
+        capturedByTag.getOrElseUpdate(tag,
+          scala.collection.mutable.ArrayBuffer.empty[SparkPlan]) += p
+      }
+      val plans: Seq[(String, Option[String], SparkPlan)] =
+        ("final", None, df.queryExecution.sparkPlan) +:
+          recorded.map { case (tag, p) => (s"ckpt:$tag", Some(tag), p) }
+      plans.foreach { case (where, tagOpt, p) =>
         if (p.find(_.isInstanceOf[CartesianProductExec]).isDefined)
           problems += s"$name[$where]: CartesianProduct (never allowed)"
         val badBnlj = p.collect { case j: BroadcastNestedLoopJoinExec => j }
           .filterNot(boundedBnlj)
         if (badBnlj.nonEmpty && !bnljAllow.contains(name)
-            && !(isCkpt && ckptBnljAllow.contains(name)))
+            && !tagOpt.exists(ckptBnljAllow.contains))
           problems += s"$name[$where]: ${badBnlj.size} BNLJ with non-bounded build side"
         val gwin = p.collect {
           case w: WindowExec if w.partitionSpec.isEmpty => w.nodeName
           case w: WindowGroupLimitExec if w.partitionSpec.isEmpty => w.nodeName
         }
         if (gwin.nonEmpty && !globalWinAllow.contains(name)
-            && !(isCkpt && ckptWinAllow.contains(name)))
+            && !tagOpt.exists(ckptWinAllow.contains))
           problems += s"$name[$where]: unpartitioned ${gwin.mkString("+")} (use graft.engine.Dist)"
       }
     }
     assert(problems.isEmpty,
       s"plan gate violations:\n${problems.mkString("\n")}")
+    // ckpt allowlists must not rot (the r15 "review by hand" debt): the
+    // registry reset above makes every build record in THIS sweep, so
+    // each tag must (a) have been captured and (b) still exhibit its
+    // hazardous pattern in at least one captured plan — an entry whose
+    // build went clean keeps a silent exemption otherwise.
+    val staleCkptBnlj = ckptBnljAllow.keys.filterNot { tag =>
+      capturedByTag.getOrElse(tag, Nil).exists(p =>
+        p.collect { case j: BroadcastNestedLoopJoinExec => j }
+          .exists(j => !boundedBnlj(j)))
+    }
+    assert(staleCkptBnlj.isEmpty,
+      s"stale ckptBnljAllow tags (build clean or never captured): ${staleCkptBnlj.mkString(",")}")
+    val staleCkptWin = ckptWinAllow.keys.filterNot { tag =>
+      capturedByTag.getOrElse(tag, Nil).exists(p => p.collect {
+        case w: WindowExec if w.partitionSpec.isEmpty => w
+        case w: WindowGroupLimitExec if w.partitionSpec.isEmpty => w
+      }.nonEmpty)
+    }
+    assert(staleCkptWin.isEmpty,
+      s"stale ckptWinAllow tags (build clean or never captured): ${staleCkptWin.mkString(",")}")
     // allowlists must not rot: every entry still exhibits its pattern
     // (an entry whose query went clean should be deleted)
     val staleWin = globalWinAllow.keys.filterNot { name =>
