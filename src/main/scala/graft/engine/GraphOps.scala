@@ -1006,37 +1006,20 @@ object GraphOps {
         .ckpt()
     }
 
-  def q_graph_louvain_move(s: SparkSession, dir: String): DataFrame = {
-    val pp = partPairs(s, dir, TriangleMinCooccur).select(col("a"), col("b"))
-    val ue = undProj(s, dir, TriangleMinCooccur)
-    val deg = ue.groupBy(col("a")).agg(count(lit(1)).as("k"))
-    val mRow = pp.agg(count(lit(1)).as("m"))
-    val lab = louvainLabels(s, dir)
-    val la = lab.select(col("a").as("na"), col("lbl").as("la"))
-    val lb = lab.select(col("a").as("nb"), col("lbl").as("lb"))
-    val intra = pp.join(la, col("a") === col("na"))
-      .join(lb, col("b") === col("nb"))
-      .filter(col("la") === col("lb"))
-      .groupBy(col("la").as("c")).agg(count(lit(1)).as("ec"))
-    val dc = lab.groupBy(col("lbl")).agg(sum(col("k")).as("dsum"))
-    val aft = dc.join(intra, col("lbl") === col("c"), "left_outer")
-      .select(coalesce(col("ec"), lit(0L)).as("ec"), col("dsum"))
-      .agg(count(lit(1)).as("n_communities"),
-        sum(col("ec")).as("intra_edges"),
-        sum(col("dsum") * col("dsum")).as("sum_dc2"))
-    val bef = deg.agg(count(lit(1)).as("n_nodes"), sum(col("k") * col("k")).as("sum_k2"))
-    val moved = lab.agg(
-      coalesce(sum(when(col("lbl") =!= col("a"), 1L)), lit(0L)).as("n_moved"))
-    bef.crossJoin(moved).crossJoin(aft).crossJoin(broadcast(mRow))
-      .select(col("n_nodes"), col("m").as("n_edges"), col("n_moved"),
-        col("n_communities"),
-        (lit(0L) - col("sum_k2")).as("q4m2_before"),
-        (lit(4L) * col("m") * col("intra_edges") - col("sum_dc2")).as("q4m2_after"),
-        ((lit(0L) - col("sum_k2")).cast("double")
-          / ((lit(4L) * col("m")) * col("m")).cast("double")).as("modularity_before"),
-        ((lit(4L) * col("m") * col("intra_edges") - col("sum_dc2")).cast("double")
-          / ((lit(4L) * col("m")) * col("m")).cast("double")).as("modularity_after"))
-  }
+  def q_graph_louvain_move(s: SparkSession, dir: String): DataFrame =
+    // r16: one memoized pricing pass (louvainL1Stats) serves this query
+    // AND the hierarchy ladder's first row — the generic weighted stats
+    // with w = 1, sw = 0 reproduce the hand-rolled integers exactly
+    // (q4m2_before = 4m·0 − Σk²; intra_w over unit weights = the intra
+    // edge count).
+    louvainL1Stats(s, dir).select(
+      col("n_super_nodes").as("n_nodes"), col("m").as("n_edges"),
+      col("n_moved"), col("n_communities"),
+      col("q4m2_before"), col("q4m2_after"),
+      (col("q4m2_before").cast("double")
+        / ((lit(4L) * col("m")) * col("m")).cast("double")).as("modularity_before"),
+      (col("q4m2_after").cast("double")
+        / ((lit(4L) * col("m")) * col("m")).cast("double")).as("modularity_after"))
 
   /** Louvain phase-2 coarsening (round 14 — the second half of a
     * Louvain level): the sweep's communities become super-nodes; each
@@ -1092,37 +1075,76 @@ object GraphOps {
     * shared `louvainLabels` relabel join is COMMUNITIES-sized; the
     * sweep is a keyed argmin over super-edges, no window. */
   def q_graph_louvain_level2(s: SparkSession, dir: String): DataFrame = {
-    val pp = partPairs(s, dir, TriangleMinCooccur).select(col("a"), col("b"))
-    val lab = louvainLabels(s, dir)
-    val labeled = pp
-      .join(lab.select(col("a").as("na"), col("lbl").as("la")), col("a") === col("na"))
-      .join(lab.select(col("a").as("nb"), col("lbl").as("lb")), col("b") === col("nb"))
-      .select(col("la"), col("lb"))
-    // the condensed weighted graph (communities-sized from here on):
-    // ONE corpus-scale pass — the relabel join aggregates straight to
-    // (la, lb) pair weights and is checkpointed; cross super-edges AND
-    // per-community self-loop mass both derive from that tiny table
-    val labAgg = labeled.groupBy(col("la"), col("lb")).agg(count(lit(1)).as("w0"))
-      .ckpt("louvain2_labagg")
-    val cross = labAgg.filter(col("la") =!= col("lb"))
-      .select(least(col("la"), col("lb")).as("ca"),
-        greatest(col("la"), col("lb")).as("cb"), col("w0"))
-      .groupBy(col("ca"), col("cb")).agg(sum(col("w0")).as("w"))
-    val selfW = labAgg.filter(col("la") === col("lb"))
-      .select(col("la").as("sn"), col("w0").as("sw"))
-    val mRow = pp.agg(count(lit(1)).as("m"))
-    val und2 = cross.select(col("ca").as("u"), col("cb").as("v"), col("w"))
-      .unionByName(cross.select(col("cb").as("u"), col("ca").as("v"), col("w")))
-    val kdeg = lab.select(col("lbl").as("node")).distinct()
+    val mRow = partPairs(s, dir, TriangleMinCooccur).select(col("a"), col("b"))
+      .agg(count(lit(1)).as("m"))
+    val (edges, selfN) = louvainCondensed(s, dir)
+    val lab2 = louvainWSweep(edges, selfN, mRow, "louvain2")
+    louvainWStats(edges, lab2, mRow).select(
+      col("n_super_nodes"), col("m").as("edge_weight"), col("n_moved"),
+      col("n_communities"), col("q4m2_before"), col("q4m2_after"),
+      (col("q4m2_before").cast("double")
+        / ((lit(4L) * col("m")) * col("m")).cast("double")).as("modularity_before"),
+      (col("q4m2_after").cast("double")
+        / ((lit(4L) * col("m")) * col("m")).cast("double")).as("modularity_after"))
+  }
+
+  /** The level-1→2 condensed weighted graph: cross super-edges (ca <
+    * cb, w) and the per-super-node self-loop/node table (node, sw).
+    * ONE corpus-scale pass — the relabel join aggregates straight to
+    * (la, lb) pair weights, memoized (r16: q_graph_louvain_level2 AND
+    * the hierarchy driver both coarsen level 1 through this table);
+    * everything derived from it is communities-sized. */
+  private def louvainLabAgg(s: SparkSession, dir: String): DataFrame =
+    Mv.memo(s, s"louvainLabAgg|$dir") { bs =>
+      val pp = partPairs(bs, dir, TriangleMinCooccur).select(col("a"), col("b"))
+      val lab = louvainLabels(bs, dir)
+      pp.join(lab.select(col("a").as("na"), col("lbl").as("la")), col("a") === col("na"))
+        .join(lab.select(col("a").as("nb"), col("lbl").as("lb")), col("b") === col("nb"))
+        .groupBy(col("la"), col("lb")).agg(count(lit(1)).as("w0"))
+        .ckpt("louvain2_labagg")
+    }
+
+  private def louvainCondensed(s: SparkSession, dir: String): (DataFrame, DataFrame) = {
+    // communities-sized from here on: collapse to ONE partition and
+    // memoize — the sweep (und2 + stats + a possible next coarsen)
+    // reads these tables several times per consumer AND two consumers
+    // (level2, hierarchy) share them; 32-partition shuffles over a
+    // few-hundred-row graph are pure scheduler overhead
+    val edges = Mv.memo(s, s"louvain2Edges|$dir") { bs =>
+      louvainLabAgg(bs, dir).filter(col("la") =!= col("lb"))
+        .select(least(col("la"), col("lb")).as("ca"),
+          greatest(col("la"), col("lb")).as("cb"), col("w0"))
+        .groupBy(col("ca"), col("cb")).agg(sum(col("w0")).as("w"))
+        .repartition(1).ckpt("louvain2_edges")
+    }
+    val selfN = Mv.memo(s, s"louvain2Self|$dir") { bs =>
+      louvainLabels(bs, dir).select(col("lbl").as("node")).distinct()
+        .join(louvainLabAgg(bs, dir).filter(col("la") === col("lb"))
+            .select(col("la").as("sn"), col("w0").as("sw0")),
+          col("node") === col("sn"), "left_outer")
+        .select(col("node"), coalesce(col("sw0"), lit(0L)).as("sw"))
+        .repartition(1).ckpt("louvain2_self")
+    }
+    (edges, selfN)
+  }
+
+  /** GENERIC weighted synchronous Louvain sweep (r16 — the r15 level-2
+    * body parameterized so `q_graph_louvain_hierarchy` drives it at
+    * every level): given cross super-edges (ca < cb, w), the node/self
+    * table (node, sw) and the 1-row total weight m, every node
+    * simultaneously evaluates its best neighbor by the PURELY INTEGER
+    * gain argmax 2m·w_ij − k_i·k_j (ties → min j; move iff positive),
+    * where k_i = Σ_j w_ij + 2·self_i (Blondel et al. 2008 §2). Returns
+    * (node, k, sw, lbl) — keyed argmin via min(struct), no window. */
+  private def louvainWSweep(edges: DataFrame, selfN: DataFrame,
+      mRow: DataFrame, tag: String): DataFrame = {
+    val und2 = edges.select(col("ca").as("u"), col("cb").as("v"), col("w"))
+      .unionByName(edges.select(col("cb").as("u"), col("ca").as("v"), col("w")))
+    val kdeg = selfN
       .join(und2.groupBy(col("u").as("n1")).agg(sum(col("w")).as("cw")),
         col("node") === col("n1"), "left_outer")
-      .join(selfW, col("node") === col("sn"), "left_outer")
       .select(col("node"),
-        (coalesce(col("cw"), lit(0L)) + lit(2L) * coalesce(col("sw"), lit(0L))).as("k"),
-        coalesce(col("sw"), lit(0L)).as("sw"))
-      .ckpt("louvain2_kdeg")
-    // weighted synchronous sweep: per super-node argmax of the integer
-    // gain 2m·w_ij − k_i·k_j via min(struct(−gain, j)) — no window
+        (coalesce(col("cw"), lit(0L)) + lit(2L) * col("sw")).as("k"), col("sw"))
     val cand = und2
       .join(kdeg.select(col("node").as("ni"), col("k").as("ki")), col("u") === col("ni"))
       .join(kdeg.select(col("node").as("nj"), col("k").as("kj")), col("v") === col("nj"))
@@ -1131,35 +1153,246 @@ object GraphOps {
         (col("ki") * col("kj") - lit(2L) * col("m") * col("w")).as("ns"), col("v"))
     val best = cand.groupBy(col("u").as("bu"))
       .agg(min(struct(col("ns"), col("v").as("j"))).as("bst"))
-    val lab2 = kdeg.join(best, col("node") === col("bu"), "left_outer")
+    kdeg.join(best, col("node") === col("bu"), "left_outer")
       .select(col("node"), col("k"), col("sw"),
-        when(col("bst.ns") < 0, col("bst.j")).otherwise(col("node")).as("lbl2"))
-      .ckpt("louvain2_lab")
-    val intraCross = cross
-      .join(lab2.select(col("node").as("pa"), col("lbl2").as("ca2")), col("ca") === col("pa"))
-      .join(lab2.select(col("node").as("pb"), col("lbl2").as("cb2")), col("cb") === col("pb"))
+        when(col("bst.ns") < 0, col("bst.j")).otherwise(col("node")).as("lbl"))
+      .ckpt(s"${tag}_lab")
+  }
+
+  /** Sweep pricing in the exact weighted Q·4m² integer form
+    * Σ_c (4m·W_c − D_c²): 1-row (n_super_nodes, m, n_moved,
+    * n_communities, q4m2_before, q4m2_after). Shared by level 2 and
+    * every hierarchy level (level 1 is the w=1, sw=0 special case —
+    * 4m·0 − Σk² ≡ q_graph_louvain_move's before score). */
+  private def louvainWStats(edges: DataFrame, lab: DataFrame,
+      mRow: DataFrame): DataFrame = {
+    val intraCross = edges
+      .join(lab.select(col("node").as("pa"), col("lbl").as("ca2")), col("ca") === col("pa"))
+      .join(lab.select(col("node").as("pb"), col("lbl").as("cb2")), col("cb") === col("pb"))
       .filter(col("ca2") === col("cb2"))
       .groupBy(col("ca2").as("c")).agg(sum(col("w")).as("wc"))
-    val aft = lab2.groupBy(col("lbl2").as("c0"))
+    val aft = lab.groupBy(col("lbl").as("c0"))
       .agg(sum(col("sw")).as("swc"), sum(col("k")).as("dc"))
       .join(intraCross, col("c0") === col("c"), "left_outer")
       .select((coalesce(col("wc"), lit(0L)) + col("swc")).as("wtot"), col("dc"))
       .agg(count(lit(1)).as("n_communities"),
         sum(col("wtot")).as("intra_w"),
         sum(col("dc") * col("dc")).as("sum_dc2"))
-    val bef = kdeg.agg(count(lit(1)).as("n_super_nodes"),
+    val bef = lab.agg(count(lit(1)).as("n_super_nodes"),
       sum(col("sw")).as("self_w"), sum(col("k") * col("k")).as("sum_k2"))
-    val moved = lab2.agg(
-      coalesce(sum(when(col("lbl2") =!= col("node"), 1L)), lit(0L)).as("n_moved"))
+    val moved = lab.agg(
+      coalesce(sum(when(col("lbl") =!= col("node"), 1L)), lit(0L)).as("n_moved"))
     bef.crossJoin(moved).crossJoin(aft).crossJoin(broadcast(mRow)).select(
-      col("n_super_nodes"), col("m").as("edge_weight"), col("n_moved"),
-      col("n_communities"),
+      col("n_super_nodes"), col("m"), col("n_moved"), col("n_communities"),
       (lit(4L) * col("m") * col("self_w") - col("sum_k2")).as("q4m2_before"),
-      (lit(4L) * col("m") * col("intra_w") - col("sum_dc2")).as("q4m2_after"),
-      ((lit(4L) * col("m") * col("self_w") - col("sum_k2")).cast("double")
-        / ((lit(4L) * col("m")) * col("m")).cast("double")).as("modularity_before"),
-      ((lit(4L) * col("m") * col("intra_w") - col("sum_dc2")).cast("double")
-        / ((lit(4L) * col("m")) * col("m")).cast("double")).as("modularity_after"))
+      (lit(4L) * col("m") * col("intra_w") - col("sum_dc2")).as("q4m2_after"))
+  }
+
+  /** Phase-2 coarsening of a WEIGHTED graph under sweep labels: the
+    * relabeled edge list splits into next-level cross super-edges
+    * (grouped on the unordered label pair) and per-community self mass
+    * (old self + internal cross weight) — the edge-weight-conservation
+    * step that makes q4m2_before(k+1) ≡ q4m2_after(k). Both outputs
+    * are communities-sized (1-partition checkpoints, see
+    * louvainCondensed). */
+  private def louvainWCoarsen(edges: DataFrame, lab: DataFrame): (DataFrame, DataFrame) = {
+    val lp = edges
+      .join(lab.select(col("node").as("pa"), col("lbl").as("la")), col("ca") === col("pa"))
+      .join(lab.select(col("node").as("pb"), col("lbl").as("lb")), col("cb") === col("pb"))
+      .select(col("la"), col("lb"), col("w"))
+    val e2 = lp.filter(col("la") =!= col("lb"))
+      .select(least(col("la"), col("lb")).as("ca"),
+        greatest(col("la"), col("lb")).as("cb"), col("w"))
+      .groupBy(col("ca"), col("cb")).agg(sum(col("w")).as("w"))
+      .repartition(1).ckpt("louvainH_edges")
+    val self2 = lab.groupBy(col("lbl").as("node")).agg(sum(col("sw")).as("swc"))
+      .join(lp.filter(col("la") === col("lb"))
+          .groupBy(col("la").as("iln")).agg(sum(col("w")).as("iw")),
+        col("node") === col("iln"), "left_outer")
+      .select(col("node"), (col("swc") + coalesce(col("iw"), lit(0L))).as("sw"))
+      .repartition(1).ckpt("louvainH_self")
+    (e2, self2)
+  }
+
+  /** Memoized LEVEL-1 sweep pricing (1-row checkpoint): the same
+    * integer stats row q_graph_louvain_move reports and the hierarchy
+    * ladder's first entry — two consumers, one corpus-scale stats
+    * pass. */
+  private def louvainL1Stats(s: SparkSession, dir: String): DataFrame =
+    Mv.memo(s, s"louvainL1Stats|$dir") { bs =>
+      val pp = partPairs(bs, dir, TriangleMinCooccur).select(col("a"), col("b"))
+      val mRow = pp.agg(count(lit(1)).as("m"))
+      val lab1 = louvainLabels(bs, dir)
+        .select(col("a").as("node"), col("k"), lit(0L).as("sw"), col("lbl"))
+      val e1 = pp.select(col("a").as("ca"), col("b").as("cb"), lit(1L).as("w"))
+      louvainWStats(e1, lab1, mRow).ckpt("louvainL1Stats")
+    }
+
+  /** Maximum Louvain levels the hierarchy driver will run — a loop
+    * BOUND (the q_graph_cc fixpoint convention), not a capacity: the
+    * loop stops at the first sweep that converges, and the oracle
+    * unrolls the same bound gated on the same stop condition. */
+  val LouvainMaxLevels = 4
+
+  /** Probe-gated in-memory tail bounds: once a sweep's MEASURED
+    * community count AND the coarsened graph's MEASURED super-edge
+    * count both drop under these, the remaining levels' graphs are
+    * bounded driver data (≤ ~MBs), so the driver finishes the ladder
+    * in memory (the MMR bounded-collect pattern — runtime checks on
+    * actual data, never assumptions; the edge count is read off the
+    * already-checkpointed condensed table, one cheap count). Past
+    * either gate the loop stays fully distributed — at 100 TB the
+    * post-sweep community count dwarfs these and every level runs on
+    * the cluster; under them, per-level Spark job latency dominates
+    * any distributed gain (~4 scheduler round-trips per ~10-row
+    * level). */
+  val LouvainInMemMaxNodes = 65536L
+  val LouvainInMemMaxEdges = 1L << 20
+
+  /** The distributed sweep/stats/coarsen math replayed on driver-side
+    * maps for the gate-checked bounded tail — IDENTICAL integer
+    * arithmetic and (ns, j) tie-breaks, order-independent folds only
+    * (sums, mins, set sizes), so the ladder rows are bit-equal to the
+    * distributed path's (Round22Spec pins the equivalence on the
+    * fixture, and the DuckDB oracle replays every level regardless of
+    * which path produced it). */
+  private[graft] def louvainInMemLevels(edges0: Seq[(Long, Long, Long)],
+      self0: Seq[(Long, Long)], m: Long, startLevel: Int)
+      : Seq[(Long, Long, Long, Long, Long, Long)] = {
+    var edges: Map[(Long, Long), Long] =
+      edges0.map { case (a, b, w) => ((a, b), w) }.toMap
+    var self: Map[Long, Long] = self0.toMap // covers every node
+    var level = startLevel
+    val out = scala.collection.mutable.ArrayBuffer
+      .empty[(Long, Long, Long, Long, Long, Long)]
+    var continue = startLevel <= LouvainMaxLevels
+    while (continue) {
+      val nodes = self.keySet
+      val adj = scala.collection.mutable.Map
+        .empty[Long, scala.collection.mutable.Map[Long, Long]]
+      edges.foreach { case ((a, b), w) =>
+        adj.getOrElseUpdate(a, scala.collection.mutable.Map.empty)(b) = w
+        adj.getOrElseUpdate(b, scala.collection.mutable.Map.empty)(a) = w
+      }
+      val k: Map[Long, Long] = nodes.iterator.map(n =>
+        n -> (adj.get(n).map(_.values.sum).getOrElse(0L) + 2L * self(n))).toMap
+      val lbl: Map[Long, Long] = nodes.iterator.map { u =>
+        val cands = adj.get(u).iterator.flatten
+          .map { case (v, w) => (k(u) * k(v) - 2L * m * w, v) }
+        if (cands.isEmpty) u -> u
+        else { val best = cands.min; u -> (if (best._1 < 0L) best._2 else u) }
+      }.toMap
+      val nMoved = lbl.count { case (n, l) => l != n }.toLong
+      val sumK2 = nodes.iterator.map(n => k(n) * k(n)).sum
+      val q4m2Before = 4L * m * self.values.sum - sumK2
+      val wC = scala.collection.mutable.Map.empty[Long, Long]
+      self.foreach { case (n, sw) =>
+        wC(lbl(n)) = wC.getOrElse(lbl(n), 0L) + sw }
+      edges.foreach { case ((a, b), w) =>
+        if (lbl(a) == lbl(b)) wC(lbl(a)) = wC.getOrElse(lbl(a), 0L) + w }
+      val dC = scala.collection.mutable.Map.empty[Long, Long]
+      nodes.foreach(n => dC(lbl(n)) = dC.getOrElse(lbl(n), 0L) + k(n))
+      val q4m2After = 4L * m * wC.values.sum - dC.values.map(d => d * d).sum
+      out += ((level.toLong, nodes.size.toLong, nMoved, dC.size.toLong,
+        q4m2Before, q4m2After))
+      if (nMoved == 0L || q4m2Before == q4m2After || level == LouvainMaxLevels)
+        continue = false
+      else {
+        val e2 = scala.collection.mutable.Map.empty[(Long, Long), Long]
+        edges.foreach { case ((a, b), w) =>
+          val (la, lb) = (lbl(a), lbl(b))
+          if (la != lb) {
+            val key = (math.min(la, lb), math.max(la, lb))
+            e2(key) = e2.getOrElse(key, 0L) + w
+          }
+        }
+        edges = e2.toMap
+        self = wC.toMap // new self mass per community = W_c
+        level += 1
+      }
+    }
+    out.toSeq
+  }
+
+  /** The LOUVAIN LEVEL LOOP (VERDICT r15 item 5 — the actual Louvain
+    * algorithm, not hand-rolled levels): sweep → coarsen → repeat until
+    * a sweep moves nothing OR leaves Q·4m² unchanged (the synchronous
+    * sweep's stagnation state: simultaneous singleton gains can land
+    * in a 2-cycle — e.g. a final 2-node mutual swap — where n_moved
+    * stays positive but the partition score is a fixed point; both
+    * are convergence) or LouvainMaxLevels, emitting the per-level
+    * ladder (level, n_super_nodes, n_moved, n_communities,
+    * q4m2_before, q4m2_after, modularity_before/after). Honesty note:
+    * the SYNCHRONOUS sweep's per-node gains are not jointly monotone —
+    * a level's Q can drop when every node moves at once (the known
+    * synchronous-Louvain caveat; sequential Louvain is monotone but
+    * not parallelizable) — and the ladder records exactly what each
+    * level did. Level 1 reuses the memoized unweighted sweep
+    * (`louvainLabels` — the weighted rule with w = 1, self = 0 is
+    * algebraically IDENTICAL: argmax 2m·1 − k_i·k_j ⟺ argmin k_j,
+    * move iff 2m > k_i·k_j) and the level-1→2 coarsen reuses the
+    * `louvainLabAgg` MV shared with q_graph_louvain_level2; levels ≥ 2
+    * run the generic weighted devices verbatim. Boundary invariant
+    * (pinned in Round22Spec): level k+1's q4m2_before equals level k's
+    * q4m2_after exactly — modularity is invariant under coarsening,
+    * the identity that proves each sweep runs on the true coarse
+    * graph.
+    *
+    * Scale shape: level 1 is the corpus-scale work (one memoized sweep
+    * + one relabel-aggregate pass); every later level is
+    * communities-sized. The per-level 1-row stats collect is the
+    * fixpoint-probe pattern (bounded driver data, loop control). */
+  def q_graph_louvain_hierarchy(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val pp = partPairs(s, dir, TriangleMinCooccur).select(col("a"), col("b"))
+    val mRow = pp.agg(count(lit(1)).as("m"))
+    val m = mRow.collect()(0).getLong(0) // 1-row scalar (loop constant)
+    val lab1 = louvainLabels(s, dir)
+      .select(col("a").as("node"), col("k"), lit(0L).as("sw"), col("lbl"))
+    val e1 = pp.select(col("a").as("ca"), col("b").as("cb"), lit(1L).as("w"))
+    val rows = scala.collection.mutable.ArrayBuffer
+      .empty[(Long, Long, Long, Long, Long, Long)]
+    var edges = e1
+    var lab = lab1
+    var level = 1
+    var continue = true
+    while (continue) {
+      val st = (if (level == 1) louvainL1Stats(s, dir)
+        else louvainWStats(edges, lab, mRow)).collect()(0)
+      rows += ((level.toLong, st.getLong(0), st.getLong(2), st.getLong(3),
+        st.getLong(4), st.getLong(5)))
+      if (st.getLong(2) == 0L || st.getLong(4) == st.getLong(5)
+          || level == LouvainMaxLevels) continue = false
+      else {
+        val (e2, self2) =
+          if (level == 1) louvainCondensed(s, dir) // shared corpus-scale pass
+          else louvainWCoarsen(edges, lab)
+        if (st.getLong(3) <= LouvainInMemMaxNodes
+            && e2.count() <= LouvainInMemMaxEdges) {
+          // bounded tail (gates on the MEASURED community and
+          // super-edge counts): the next graph has n_communities
+          // nodes — collect it and finish the ladder driver-side with
+          // identical integer math
+          rows ++= louvainInMemLevels(
+            e2.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq,
+            self2.collect().map(r => (r.getLong(0), r.getLong(1))).toSeq,
+            m, level + 1)
+          continue = false
+        } else {
+          lab = louvainWSweep(e2, self2, mRow, s"louvainH${level + 1}")
+          edges = e2
+          level += 1
+        }
+      }
+    }
+    rows.toSeq
+      .toDF("level", "n_super_nodes", "n_moved", "n_communities",
+        "q4m2_before", "q4m2_after")
+      .withColumn("modularity_before",
+        col("q4m2_before").cast("double") / lit(4L * m * m).cast("double"))
+      .withColumn("modularity_after",
+        col("q4m2_after").cast("double") / lit(4L * m * m).cast("double"))
+      .orderBy("level")
   }
 
   /** Degree assortativity (Newman 2002, Pearson correlation of endpoint
@@ -1854,6 +2087,7 @@ object GraphOps {
     "q_graph_louvain_move" -> q_graph_louvain_move _,
     "q_graph_coarsen" -> q_graph_coarsen _,
     "q_graph_louvain_level2" -> q_graph_louvain_level2 _,
+    "q_graph_louvain_hierarchy" -> q_graph_louvain_hierarchy _,
     "q_graph_conductance" -> q_graph_conductance _,
     "q_graph_pseudo_diameter" -> q_graph_pseudo_diameter _,
     "q_graph_reciprocity" -> q_graph_reciprocity _,

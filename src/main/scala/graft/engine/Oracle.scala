@@ -3791,6 +3791,90 @@ object Oracle {
          |    / CAST((4*mm.m)*mm.m AS DOUBLE) AS modularity_after
          |FROM bef CROSS JOIN mm CROSS JOIN mv CROSS JOIN aft""".stripMargin,
 
+    // Louvain LEVEL LOOP (r16): the generic weighted sweep/coarsen
+    // level unrolled LouvainMaxLevels times — level 1 is the w=1,
+    // self=0 special case (identical to the unweighted sweep: argmax
+    // 2m·1 − k_i·k_j ⟺ argmin k_j) — with row k emitted only while
+    // every earlier level still moved nodes (the engine loop's stop
+    // condition, replayed as WHERE gates on the unrolled rows).
+    "q_graph_louvain_hierarchy" -> {
+      def lvl(l: Int): String =
+        s"""und$l AS (SELECT ca AS u, cb AS v, w FROM e$l
+           |  UNION ALL SELECT cb AS u, ca AS v, w FROM e$l),
+           |kdeg$l AS MATERIALIZED (SELECT s.node,
+           |    COALESCE(cw.cw, 0) + 2 * s.sw AS k, s.sw
+           |  FROM self$l s LEFT JOIN (SELECT u, CAST(SUM(w) AS BIGINT) AS cw
+           |    FROM und$l GROUP BY 1) cw ON cw.u = s.node),
+           |cand$l AS (SELECT u2.u, u2.v,
+           |    ki.k * kj.k - 2 * (SELECT m FROM mm) * u2.w AS ns,
+           |    ROW_NUMBER() OVER (PARTITION BY u2.u
+           |      ORDER BY ki.k * kj.k - 2 * (SELECT m FROM mm) * u2.w, u2.v) AS rn
+           |  FROM und$l u2 JOIN kdeg$l ki ON ki.node = u2.u
+           |               JOIN kdeg$l kj ON kj.node = u2.v),
+           |best$l AS (SELECT u, v AS j, ns FROM cand$l WHERE rn = 1),
+           |lab$l AS MATERIALIZED (SELECT kd.node, kd.k, kd.sw,
+           |    CASE WHEN b.ns < 0 THEN b.j ELSE kd.node END AS lbl
+           |  FROM kdeg$l kd LEFT JOIN best$l b ON b.u = kd.node),
+           |ic$l AS (SELECT l1.lbl AS c, CAST(SUM(e.w) AS BIGINT) AS wc
+           |  FROM e$l e JOIN lab$l l1 ON l1.node = e.ca
+           |             JOIN lab$l l2 ON l2.node = e.cb AND l1.lbl = l2.lbl
+           |  GROUP BY 1),
+           |aft$l AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_communities,
+           |    CAST(SUM(COALESCE(ic.wc, 0) + g.swc) AS BIGINT) AS intra_w,
+           |    CAST(SUM(g.dc * g.dc) AS BIGINT) AS sum_dc2
+           |  FROM (SELECT lbl, CAST(SUM(sw) AS BIGINT) AS swc,
+           |          CAST(SUM(k) AS BIGINT) AS dc FROM lab$l GROUP BY 1) g
+           |  LEFT JOIN ic$l ic ON ic.c = g.lbl),
+           |bef$l AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_super_nodes,
+           |    CAST(SUM(sw) AS BIGINT) AS self_w,
+           |    CAST(SUM(k * k) AS BIGINT) AS sum_k2 FROM kdeg$l),
+           |mv$l AS (SELECT CAST(COALESCE(SUM(CASE WHEN lbl <> node THEN 1 ELSE 0 END), 0)
+           |    AS BIGINT) AS n_moved FROM lab$l),
+           |row$l AS (SELECT CAST($l AS BIGINT) AS level, bef.n_super_nodes,
+           |    mv.n_moved, aft.n_communities,
+           |    CAST(4*mm.m*bef.self_w - bef.sum_k2 AS BIGINT) AS q4m2_before,
+           |    CAST(4*mm.m*aft.intra_w - aft.sum_dc2 AS BIGINT) AS q4m2_after
+           |  FROM bef$l bef CROSS JOIN mv$l mv CROSS JOIN aft$l aft CROSS JOIN mm),
+           |lp$l AS (SELECT l1.lbl AS la, l2.lbl AS lb, e.w FROM e$l e
+           |  JOIN lab$l l1 ON l1.node = e.ca JOIN lab$l l2 ON l2.node = e.cb),
+           |e${l + 1} AS MATERIALIZED (SELECT LEAST(la, lb) AS ca,
+           |    GREATEST(la, lb) AS cb, CAST(SUM(w) AS BIGINT) AS w
+           |  FROM lp$l WHERE la <> lb GROUP BY 1, 2),
+           |self${l + 1} AS MATERIALIZED (SELECT g.lbl AS node,
+           |    g.swc + COALESCE(iw.wc, 0) AS sw
+           |  FROM (SELECT lbl, CAST(SUM(sw) AS BIGINT) AS swc FROM lab$l GROUP BY 1) g
+           |  LEFT JOIN (SELECT la, CAST(SUM(w) AS BIGINT) AS wc FROM lp$l
+           |    WHERE la = lb GROUP BY 1) iw ON iw.la = g.lbl)""".stripMargin
+      val levels = (1 to GraphOps.LouvainMaxLevels).map(lvl).mkString(",\n")
+      // row k exists iff every earlier level both moved nodes AND
+      // changed the partition score (the engine loop's stop condition:
+      // n_moved = 0 or Q·4m² stagnation both mean convergence)
+      val gates = (1 to GraphOps.LouvainMaxLevels).map { k =>
+        val conds = (1 until k).map(i =>
+          s"(SELECT n_moved FROM row$i) > 0 AND " +
+            s"(SELECT q4m2_before FROM row$i) <> (SELECT q4m2_after FROM row$i)")
+        if (conds.isEmpty) s"SELECT * FROM row$k"
+        else s"SELECT * FROM row$k WHERE ${conds.mkString(" AND ")}"
+      }.mkString("\nUNION ALL ")
+      s"""WITH $edgesCte,
+         |pp AS MATERIALIZED (SELECT e1x.dst AS a, e2x.dst AS b
+         |       FROM edges e1x JOIN edges e2x ON e1x.src = e2x.src AND e1x.dst < e2x.dst
+         |       GROUP BY 1, 2 HAVING COUNT(*) >= ${GraphOps.TriangleMinCooccur}),
+         |und AS (SELECT a, b FROM pp UNION ALL SELECT b AS a, a AS b FROM pp),
+         |mm AS (SELECT CAST(COUNT(*) AS BIGINT) AS m FROM pp),
+         |e1 AS MATERIALIZED (SELECT a AS ca, b AS cb, CAST(1 AS BIGINT) AS w FROM pp),
+         |self1 AS (SELECT DISTINCT a AS node, CAST(0 AS BIGINT) AS sw FROM und),
+         |$levels,
+         |ladder AS ($gates)
+         |SELECT level, n_super_nodes, n_moved, n_communities,
+         |  q4m2_before, q4m2_after,
+         |  CAST(q4m2_before AS DOUBLE) / CAST((4*mm.m)*mm.m AS DOUBLE)
+         |    AS modularity_before,
+         |  CAST(q4m2_after AS DOUBLE) / CAST((4*mm.m)*mm.m AS DOUBLE)
+         |    AS modularity_after
+         |FROM ladder CROSS JOIN mm ORDER BY level""".stripMargin
+    },
+
     "q_graph_assortativity" ->
       s"""WITH $edgesCte,
          |pp AS (SELECT e1.dst AS a, e2.dst AS b

@@ -48,4 +48,53 @@ class Round22Spec extends AnyFunSuite {
     assert(cells.forall(r => r.getLong(0) >= 0 && r.getLong(0) < 22),
       "cell ids are the nlist smallest vec_ids")
   }
+
+  test("louvain hierarchy: boundary invariance and level-1/2 agreement " +
+      "across the three implementations (VERDICT r15 item 5)") {
+    val ladder = SparkEntry.queries("q_graph_louvain_hierarchy")(spark, sf0001)
+      .orderBy("level").collect()
+    assert(ladder.nonEmpty && ladder.length <= graft.engine.GraphOps.LouvainMaxLevels)
+    // modularity is invariant under coarsening: level k+1's BEFORE
+    // score equals level k's AFTER score exactly, at every boundary —
+    // the identity that proves each sweep ran on the true coarse graph
+    ladder.sliding(2).foreach {
+      case Array(prev, next) =>
+        assert(next.getLong(4) == prev.getLong(5),
+          s"q4m2_before(level ${next.getLong(0)}) != q4m2_after(level ${prev.getLong(0)})")
+      case _ => ()
+    }
+    // the ladder's first row IS q_graph_louvain_move's pricing (the
+    // generic weighted stats with w=1, sw=0 ≡ the unweighted sweep)
+    val mv = SparkEntry.queries("q_graph_louvain_move")(spark, sf0001).collect()(0)
+    assert(ladder(0).getLong(1) == mv.getLong(0) // n_super_nodes == n_nodes
+      && ladder(0).getLong(2) == mv.getLong(2)   // n_moved
+      && ladder(0).getLong(3) == mv.getLong(3)   // n_communities
+      && ladder(0).getLong(4) == mv.getLong(4)   // q4m2_before
+      && ladder(0).getLong(5) == mv.getLong(5),  // q4m2_after
+      s"ladder row 1 ${ladder(0)} != louvain_move $mv")
+    // the second row equals q_graph_louvain_level2 — which runs the
+    // DISTRIBUTED weighted sweep, while the fixture ladder's tail runs
+    // through the gate-checked IN-MEMORY path: this is the cross-path
+    // bit-equality pin for the bounded-tail device
+    if (ladder.length > 1) {
+      val l2 = SparkEntry.queries("q_graph_louvain_level2")(spark, sf0001).collect()(0)
+      assert(ladder(1).getLong(1) == l2.getLong(0)
+        && ladder(1).getLong(2) == l2.getLong(2)
+        && ladder(1).getLong(3) == l2.getLong(3)
+        && ladder(1).getLong(4) == l2.getLong(4)
+        && ladder(1).getLong(5) == l2.getLong(5),
+        s"ladder row 2 ${ladder(1)} != louvain_level2 $l2")
+    }
+    // convergence semantics: every non-final level both moved nodes
+    // and changed the score; the final level is either converged
+    // (n_moved = 0 or score fixed point) or the level bound
+    ladder.init.foreach { r =>
+      assert(r.getLong(2) > 0 && r.getLong(4) != r.getLong(5),
+        s"non-final level ${r.getLong(0)} should not be converged: $r")
+    }
+    val last = ladder.last
+    assert(last.getLong(2) == 0 || last.getLong(4) == last.getLong(5)
+      || last.getLong(0) == graft.engine.GraphOps.LouvainMaxLevels.toLong,
+      s"final level must be converged or at the bound: $last")
+  }
 }
