@@ -414,35 +414,56 @@ object Oracle {
   private def cepSql(p: StreamingOps.CepPattern): String = {
     val wPrev = "OVER (PARTITION BY user_id ORDER BY ts ASC, event_id ASC " +
       "ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)"
+    val wOrd = "OVER (PARTITION BY user_id ORDER BY ts ASC, event_id ASC)"
     // DuckDB GREATEST lacks struct support: the same pairwise
     // null-skipping CASE fold as StreamingOps.structMax
     def structMax(es: Seq[String]): String = es.reduce((a, b) =>
       s"(CASE WHEN ($a) IS NULL THEN ($b) WHEN ($b) IS NULL THEN ($a) " +
         s"WHEN ($a) >= ($b) THEN ($a) ELSE ($b) END)")
-    val chain = (1 until p.steps.size).map { j =>
-      val feeds = p.srcs(j).map(i => s"MAX(c${i + 1}) $wPrev")
-      s"""s${j + 1} AS (SELECT *, CASE WHEN event_type = '${p.steps(j)._1}'
-         |  THEN ${structMax(feeds)} END AS c${j + 1} FROM s$j)""".stripMargin
-    }
     val k = p.steps.size
     val lastC = s"c$k"
-    val notCte = p.notBetween.map(n =>
-      s"""sn AS (SELECT *, MAX(CASE WHEN event_type = '$n'
-         |  THEN {'ts': ts, 'eid': event_id} END) $wPrev
-         |  AS last_not FROM s$k)""".stripMargin)
-    val src = if (p.notBetween.isDefined) "sn" else s"s$k"
-    val notPred = if (p.notBetween.isDefined)
-      s" AND (last_not IS NULL OR last_not < $lastC)" else ""
-    val ctes = Seq(
-      "e AS (SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts, event_type FROM events)",
-      s"s1 AS (SELECT *, CASE WHEN event_type = '${p.steps.head._1}' " +
-        "THEN {'ts': ts, 'eid': event_id} END AS c1 FROM e)"
-    ) ++ chain ++ notCte ++ Seq(
-      s"""m AS (SELECT user_id, ($lastC).ts AS start_ts, ts AS end_ts FROM $src
-         |  WHERE event_type = '${p.steps.last._1}' AND $lastC IS NOT NULL
-         |    AND ($lastC).ts >= ts - INTERVAL ${p.withinMinutes} MINUTE$notPred)""".stripMargin)
+    val eCte =
+      "e AS (SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts, event_type FROM events)"
+    val matchCtes: Seq[String] = if (p.strict) {
+      // strict contiguity: the k−1 preceding ADJACENT rows must carry
+      // the prefix step types, same LAG replay as the compiled plan
+      val typeChecks = (1 until k).map(j =>
+        s"LAG(event_type, $j) $wOrd = '${p.steps(k - 1 - j)._1}'")
+      Seq(eCte,
+        s"""sl AS (SELECT *, LAG(ts, ${k - 1}) $wOrd AS start0,
+           |  ${typeChecks.map(c => s"COALESCE($c, false)").mkString(" AND ")} AS adj
+           |  FROM e)""".stripMargin,
+        s"""m AS (SELECT user_id, start0 AS start_ts, ts AS end_ts FROM sl
+           |  WHERE event_type = '${p.steps.last._1}' AND adj
+           |    AND start0 >= ts - INTERVAL ${p.withinMinutes} MINUTE)""".stripMargin)
+    } else {
+      val chain = (1 until p.steps.size).map { j =>
+        val feeds = p.srcs(j).map(i => s"MAX(c${i + 1}) $wPrev")
+        s"""s${j + 1} AS (SELECT *, CASE WHEN event_type = '${p.steps(j)._1}'
+           |  THEN ${structMax(feeds)} END AS c${j + 1} FROM s$j)""".stripMargin
+      }
+      val notCte = p.notBetween.map(n =>
+        s"""sn AS (SELECT *, MAX(CASE WHEN event_type = '$n'
+           |  THEN {'ts': ts, 'eid': event_id} END) $wPrev
+           |  AS last_not FROM s$k)""".stripMargin)
+      val src = if (p.notBetween.isDefined) "sn" else s"s$k"
+      val notPred = if (p.notBetween.isDefined)
+        s" AND (last_not IS NULL OR last_not < $lastC)" else ""
+      Seq(eCte,
+        s"s1 AS (SELECT *, CASE WHEN event_type = '${p.steps.head._1}' " +
+          "THEN {'ts': ts, 'eid': event_id} END AS c1 FROM e)"
+      ) ++ chain ++ notCte ++ Seq(
+        s"""m AS (SELECT user_id, ($lastC).ts AS start_ts, ts AS end_ts FROM $src
+           |  WHERE event_type = '${p.steps.last._1}' AND $lastC IS NOT NULL
+           |    AND ($lastC).ts >= ts - INTERVAL ${p.withinMinutes} MINUTE$notPred)""".stripMargin)
+    }
+    // AFTER MATCH SKIP TO NEXT: one match per (user, start) — min end
+    val mmBody = if (p.skipToNext)
+      "SELECT user_id, start_ts, MIN(end_ts) AS end_ts FROM m GROUP BY 1, 2"
+    else "SELECT * FROM m"
+    val ctes = matchCtes
     s"""WITH ${ctes.mkString(",\n")},
-       |mm AS MATERIALIZED (SELECT * FROM m),
+       |mm AS MATERIALIZED ($mmBody),
        |q AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_step1_in_window
        |      FROM mm JOIN e s1 ON s1.user_id = mm.user_id
        |        AND s1.event_type = '${p.steps.head._1}'

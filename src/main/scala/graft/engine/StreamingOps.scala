@@ -334,10 +334,21 @@ object StreamingOps {
     * q_stream_funnel's aggregation family). First and final steps must
     * be non-optional (the anchor and the window start must exist). */
   case class CepPattern(name: String, steps: Seq[(String, Boolean)],
-      withinMinutes: Int, notBetween: Option[String]) {
+      withinMinutes: Int, notBetween: Option[String],
+      strict: Boolean = false, skipToNext: Boolean = false) {
     require(steps.size >= 2, s"CEP $name: need >= 2 steps")
     require(!steps.head._2, s"CEP $name: first step must not be optional")
     require(!steps.last._2, s"CEP $name: final (anchor) step must not be optional")
+    // STRICT CONTIGUITY (r16, FlinkCEP `next()` / MATCH_RECOGNIZE row
+    // juxtaposition): consecutive steps must be ADJACENT events of the
+    // user's (ts, event_id) order. Optional steps are a relaxed-mode
+    // construct (skipping is what strictness forbids), and `no X`
+    // between adjacent rows is vacuous — both rejected at parse time
+    // rather than silently accepted with surprising semantics.
+    require(!strict || steps.forall(!_._2),
+      s"CEP $name: strict contiguity cannot contain optional steps")
+    require(!strict || notBetween.isEmpty,
+      s"CEP $name: 'no X' is vacuous under strict contiguity")
 
     /** Chain sources of expanded step j (0-based): step j-1 plus —
       * transitively — every further predecessor reachable by skipping
@@ -356,15 +367,29 @@ object StreamingOps {
   }
 
   /** Pattern string surface: space-separated step types with optional
-    * quantifier — `t`, `t+`, `t?`, `t{n}`, `t{n,m}` — then `within
-    * <n>m`, then optionally `no <type>`; e.g.
-    * `"click{2,4} purchase within 60m no error"`. Parsed once at class
-    * load, so every registered run exercises the parser (the
+    * quantifier — `t`, `t+`, `t?`, `t{n}`, `t{n,m}` — then optionally
+    * `strict` (FlinkCEP `next()` contiguity: steps must be ADJACENT
+    * events), then `within <n>m`, then optionally `no <type>`, then
+    * optionally `skip next` (AFTER MATCH SKIP TO NEXT: each match
+    * START is consumed — at most one match per start witness, the
+    * earliest anchor; without it every anchor reports its match, the
+    * skip-till-last default); e.g.
+    * `"click{2,4} purchase within 60m no error"`,
+    * `"click purchase strict within 15m"`,
+    * `"view click purchase within 240m skip next"`. Parsed once at
+    * class load, so every registered run exercises the parser (the
     * parseMotif idiom applied to event sequences). */
   def parseCep(name: String, pattern: String): CepPattern = {
-    val toks = pattern.trim.split("\\s+").toList
+    val toks0 = pattern.trim.split("\\s+").toList
+    val (toks1, skipNext) = toks0.takeRight(2) match {
+      case List("skip", "next") => (toks0.dropRight(2), true)
+      case _ => (toks0, false)
+    }
+    val wIdx0 = toks1.indexOf("within")
+    require(wIdx0 > 0, s"CEP $name: missing 'within' clause")
+    val strict = toks1(wIdx0 - 1) == "strict"
+    val toks = if (strict) toks1.patch(wIdx0 - 1, Nil, 1) else toks1
     val wIdx = toks.indexOf("within")
-    require(wIdx > 0, s"CEP $name: missing 'within' clause")
     val stepRe = "([a-zA-Z_]+)(?:\\+|(\\?)|\\{(\\d+)(?:,(\\d+))?\\})?".r
     val steps = toks.take(wIdx).flatMap {
       case stepRe(t, null, null, null) => Seq((t, false)) // bare or `+`
@@ -390,18 +415,25 @@ object StreamingOps {
       case rest => throw new IllegalArgumentException(
         s"CEP $name: trailing tokens '${rest.mkString(" ")}'")
     }
-    CepPattern(name, steps, within, not)
+    CepPattern(name, steps, within, not, strict = strict, skipToNext = skipNext)
   }
 
   /** The registered pattern library: the classic clean-conversion
-    * funnel, a 3-step journey, and the r15 quantifier tiers — a
-    * bounded repeat, an optional middle step, and an {n,m} range. */
+    * funnel, a 3-step journey, the r15 quantifier tiers — a bounded
+    * repeat, an optional middle step, an {n,m} range — and the r16
+    * contiguity/after-match modes: a strict-contiguity pair (`next`
+    * semantics — adjacent events only) and an AFTER MATCH SKIP TO NEXT
+    * variant of the 3-step journey (its n_matches differs from
+    * view_click_purchase's exactly when several anchors share a start
+    * witness — the mode-divergence StreamingSpec pins). */
   val CepPatterns = Seq(
     parseCep("click_purchase_clean", "click+ purchase within 30m no error"),
     parseCep("view_click_purchase", "view click purchase within 240m"),
     parseCep("double_click_purchase", "click{2} purchase within 60m"),
     parseCep("view_maybe_click_purchase", "view click? purchase within 240m"),
-    parseCep("click_burst_purchase", "click{2,4} purchase within 120m"))
+    parseCep("click_burst_purchase", "click{2,4} purchase within 120m"),
+    parseCep("adjacent_click_purchase", "click purchase strict within 15m"),
+    parseCep("view_click_purchase_next", "view click purchase within 240m skip next"))
 
   /** Null-skipping pairwise max over struct columns (Spark `greatest`
     * mirrors this for atomic types; spelled as a CASE fold so the
@@ -441,27 +473,55 @@ object StreamingOps {
     val W = org.apache.spark.sql.expressions.Window
     val ord = W.partitionBy(col("user_id")).orderBy(col("ts").asc, col("event_id").asc)
     val wPrev = ord.rowsBetween(W.unboundedPreceding, -1)
-    var df = ev.select(col("user_id"), col("event_id"), col("ts"), col("event_type"))
-      .withColumn("c1", when(col("event_type") === p.steps.head._1,
-        struct(col("ts").as("ts"), col("event_id").as("eid"))))
-    (1 until p.steps.size).foreach { j =>
-      val feeds = p.srcs(j).map(i => max(col(s"c${i + 1}")).over(wPrev))
-      df = df.withColumn(s"c${j + 1}",
-        when(col("event_type") === p.steps(j)._1, structMax(feeds)))
+    val base = ev.select(col("user_id"), col("event_id"), col("ts"), col("event_type"))
+    val matches: DataFrame = if (p.strict) {
+      // STRICT CONTIGUITY (`next` semantics): the k steps must be the
+      // k ADJACENT rows ending at the anchor in the same per-user
+      // (ts, event_id) order — k−1 lag checks + one lag(ts) for the
+      // start, ONE window pass over the one shuffle, no chain state.
+      val k = p.steps.size
+      val typeChecks = (1 until k).map(j =>
+        coalesce(lag(col("event_type"), j).over(ord) === p.steps(k - 1 - j)._1,
+          lit(false)))
+      base
+        .withColumn("_start_ts", lag(col("ts"), k - 1).over(ord))
+        .withColumn("_adj", typeChecks.reduce(_ && _))
+        .filter(col("event_type") === p.steps.last._1 && col("_adj") &&
+          col("_start_ts") >= col("ts") - expr(s"INTERVAL ${p.withinMinutes} MINUTES"))
+        .select(col("user_id"), col("_start_ts").as("start_ts"),
+          col("ts").as("end_ts"))
+    } else {
+      var df = base
+        .withColumn("c1", when(col("event_type") === p.steps.head._1,
+          struct(col("ts").as("ts"), col("event_id").as("eid"))))
+      (1 until p.steps.size).foreach { j =>
+        val feeds = p.srcs(j).map(i => max(col(s"c${i + 1}")).over(wPrev))
+        df = df.withColumn(s"c${j + 1}",
+          when(col("event_type") === p.steps(j)._1, structMax(feeds)))
+      }
+      val lastC = s"c${p.steps.size}"
+      if (p.notBetween.isDefined)
+        df = df.withColumn("_last_not",
+          max(when(col("event_type") === p.notBetween.get,
+            struct(col("ts").as("ts"), col("event_id").as("eid")))).over(wPrev))
+      val notOk = if (p.notBetween.isEmpty) lit(true)
+        else col("_last_not").isNull || col("_last_not") < col(lastC)
+      df.filter(col("event_type") === p.steps.last._1)
+        .filter(col(lastC).isNotNull &&
+          col(lastC).getField("ts") >= col("ts") - expr(s"INTERVAL ${p.withinMinutes} MINUTES") &&
+          notOk)
+        .select(col("user_id"), col(lastC).getField("ts").as("start_ts"),
+          col("ts").as("end_ts"))
     }
-    val lastC = s"c${p.steps.size}"
-    if (p.notBetween.isDefined)
-      df = df.withColumn("_last_not",
-        max(when(col("event_type") === p.notBetween.get,
-          struct(col("ts").as("ts"), col("event_id").as("eid")))).over(wPrev))
-    val notOk = if (p.notBetween.isEmpty) lit(true)
-      else col("_last_not").isNull || col("_last_not") < col(lastC)
-    df.filter(col("event_type") === p.steps.last._1)
-      .filter(col(lastC).isNotNull &&
-        col(lastC).getField("ts") >= col("ts") - expr(s"INTERVAL ${p.withinMinutes} MINUTES") &&
-        notOk)
-      .select(col("user_id"), col(lastC).getField("ts").as("start_ts"),
-        col("ts").as("end_ts"))
+    // AFTER MATCH SKIP TO NEXT: every start witness is CONSUMED by its
+    // first match — one match per (user, start), the earliest anchor.
+    // The default (no clause) reports every anchor's match
+    // (skip-till-last). A keyed agg over the match-bounded set.
+    if (p.skipToNext)
+      matches.groupBy(col("user_id"), col("start_ts"))
+        .agg(min(col("end_ts")).as("end_ts"))
+        .select(col("user_id"), col("start_ts"), col("end_ts"))
+    else matches
   }
 
   /** CEP pattern matching over the events table: per registered pattern
@@ -501,9 +561,16 @@ object StreamingOps {
   /** Per-user state: (k-1) latest-feasible-start WITNESSES as parallel
     * (ts_us, event_id) arrays — the same (ts, eid) total order the
     * batch chain structs carry (ADVICE r14 tie fix) — plus the last
-    * `no X` witness. Long.MinValue ts = none. */
+    * `no X` witness. Long.MinValue ts = none. r16 mode extensions:
+    * under STRICT contiguity the arrays instead hold the ring of the
+    * last (k−1) events (oldest first) with `prevTypes` carrying their
+    * types; `lastEmitTs` is the last emitted match START for AFTER
+    * MATCH SKIP TO NEXT suppression (start witnesses are monotone
+    * non-decreasing per user, so one remembered ts implements
+    * one-match-per-start exactly). */
   case class CepState(latestTs: Seq[Long], latestEid: Seq[Long],
-      lastNotTs: Long, lastNotEid: Long)
+      lastNotTs: Long, lastNotEid: Long,
+      prevTypes: Seq[String] = Seq.empty, lastEmitTs: Long = Long.MinValue)
   case class CepMatch(user_id: Long, start_us: Long, end_us: Long)
 
   /** Streaming CEP state machine — the incremental twin of compileCep:
@@ -536,6 +603,35 @@ object StreamingOps {
     }
     val out = scala.collection.mutable.ArrayBuffer[CepMatch]()
     val winUs = p.withinMinutes * 60L * 1000000L
+    var lastEmit = st.lastEmitTs
+    // one-match-per-start suppression (AFTER MATCH SKIP TO NEXT): the
+    // batch twin groups matches on start_ts, so comparison is on ts
+    // alone; start witnesses never decrease, so remembering the last
+    // emitted start ts suffices.
+    def emit(startTs: Long, endTs: Long): Unit =
+      if (!p.skipToNext || startTs != lastEmit) {
+        out += CepMatch(userId, startTs, endTs)
+        lastEmit = startTs
+      }
+    if (p.strict) {
+      // STRICT CONTIGUITY twin: the state arrays hold the RING of the
+      // last (k−1) events (oldest first; types in prevTypes). An
+      // anchor matches iff the ring is exactly the first k−1 step
+      // types in order and its oldest entry starts inside the window.
+      var ring: Vector[(String, Long, Long)] = st.prevTypes
+        .lazyZip(st.latestTs).lazyZip(st.latestEid)
+        .map((t, ts, eid) => (t, ts, eid)).toVector
+      val prefix = p.steps.dropRight(1).map(_._1)
+      it.toArray.sortBy(e => (e.ts_us, e.event_id)).foreach { e =>
+        if (e.event_type == p.steps.last._1 && ring.size == k - 1 &&
+            ring.map(_._1) == prefix && ring.head._2 >= e.ts_us - winUs)
+          emit(ring.head._2, e.ts_us)
+        ring = (ring :+ ((e.event_type, e.ts_us, e.event_id))).takeRight(k - 1)
+      }
+      state.update(CepState(ring.map(_._2), ring.map(_._3),
+        Long.MinValue, 0L, ring.map(_._1), lastEmit))
+      return out.iterator
+    }
     it.toArray.sortBy(e => (e.ts_us, e.event_id)).foreach { e =>
       // anchor check BEFORE state updates: strictly-before semantics
       if (e.event_type == p.steps.last._1) {
@@ -543,7 +639,7 @@ object StreamingOps {
           if (start._1 >= e.ts_us - winUs &&
               (p.notBetween.isEmpty || notTs == Long.MinValue ||
                 ltPair((notTs, notEid), start)))
-            out += CepMatch(userId, start._1, e.ts_us)
+            emit(start._1, e.ts_us)
         }
       }
       // all updates read the PRE-event state (an event matching several
@@ -560,7 +656,8 @@ object StreamingOps {
       }
       if (p.notBetween.contains(e.event_type)) { notTs = e.ts_us; notEid = e.event_id }
     }
-    state.update(CepState(lTs.toSeq, lEid.toSeq, notTs, notEid))
+    state.update(CepState(lTs.toSeq, lEid.toSeq, notTs, notEid,
+      lastEmitTs = lastEmit))
     out.iterator
   }
 

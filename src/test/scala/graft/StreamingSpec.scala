@@ -89,6 +89,66 @@ class StreamingSpec extends AnyFunSuite {
     }
   }
 
+  test("CEP modes: strict contiguity and AFTER MATCH SKIP TO NEXT diverge " +
+      "from the relaxed default on the same event set (r16)") {
+    val s = spark
+    import s.implicits._
+    implicit val sq = s.sqlContext
+    import StreamingOps.{CepEv, cepStream, compileCep, parseCep}
+    def us(min: Long): Long = min * 60L * 1000000L
+    // one user: click(0) view(1) click(2) purchase(3) purchase(4)
+    //  relaxed "click purchase": anchors at t3 AND t4 each match
+    //    (latest click witness t2) -> 2 matches
+    //  strict   "click purchase": only t2->t3 is ADJACENT (the view at
+    //    t1 breaks t0's adjacency; t4's predecessor is a purchase)
+    //    -> 1 match
+    //  skip next: the start witness t2 is CONSUMED by its first match
+    //    (anchor t3); anchor t4's repeat of start t2 is suppressed
+    //    -> 1 match
+    val evs = Seq(
+      CepEv(1, 1, us(0), "click"), CepEv(1, 2, us(1), "view"),
+      CepEv(1, 3, us(2), "click"), CepEv(1, 4, us(3), "purchase"),
+      CepEv(1, 5, us(4), "purchase"))
+    val relaxed = parseCep("t_relaxed", "click purchase within 30m")
+    val strict = parseCep("t_strict", "click purchase strict within 30m")
+    val skipN = parseCep("t_skipnext", "click purchase within 30m skip next")
+    assert(strict.strict && !strict.skipToNext)
+    assert(skipN.skipToNext && !skipN.strict)
+    def runStream(p: StreamingOps.CepPattern): Seq[(Long, Long, Long)] = {
+      val ms = MemoryStream[CepEv]
+      val q = cepStream(p)(ms.toDS())
+        .writeStream.outputMode(OutputMode.Append)
+        .format("memory").queryName(s"cep_${p.name}").start()
+      // two batches: the mode state (ring / consumed start) must carry
+      // across the micro-batch boundary
+      ms.addData(evs.take(3): _*); q.processAllAvailable()
+      ms.addData(evs.drop(3): _*); q.processAllAvailable(); q.stop()
+      s.table(s"cep_${p.name}").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq.sorted
+    }
+    val gotRelaxed = runStream(relaxed)
+    val gotStrict = runStream(strict)
+    val gotSkip = runStream(skipN)
+    assert(gotRelaxed == Seq((1L, us(2), us(3)), (1L, us(2), us(4))),
+      s"relaxed: $gotRelaxed")
+    assert(gotStrict == Seq((1L, us(2), us(3))), s"strict: $gotStrict")
+    assert(gotSkip == Seq((1L, us(2), us(3))), s"skip next: $gotSkip")
+    assert(gotRelaxed.size != gotStrict.size && gotRelaxed.size != gotSkip.size,
+      "mode divergence: the match COUNTS must differ on this event set")
+    // and each streaming mode equals its batch compilation on the set
+    val df = evs.toDF("user_id", "event_id", "ts_us", "event_type")
+      .select(col("user_id"), col("event_id"),
+        timestamp_micros(col("ts_us")).as("ts"), col("event_type"))
+    Seq(relaxed -> gotRelaxed, strict -> gotStrict, skipN -> gotSkip).foreach {
+      case (p, got) =>
+        val alg = compileCep(df, p).collect()
+          .map(r => (r.getLong(0),
+            r.getTimestamp(1).getTime * 1000,
+            r.getTimestamp(2).getTime * 1000)).toSeq.sorted
+        assert(alg == got, s"${p.name}: batch $alg != streamed $got")
+    }
+  }
+
   test("windowed top-N: streaming counts + downstream rank equals batch") {
     val s = spark
     import s.implicits._
