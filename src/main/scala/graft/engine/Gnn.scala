@@ -55,17 +55,65 @@ object Gnn {
       .select(col("src"), array((1 to Dim).map(i => col(s"m$i")): _*).as("mv"))
   }
 
+  /** Full-width digest of the QUANTIZED-chain forward pass (r16,
+    * VERDICT r15 item 7 — the layer_k certification device applied to
+    * the whole layer family): Σ_{i=1..64} i·q9(h_i) where the chain
+    * quantizes every input/superstep boundary to 1e9-scaled BIGINTs,
+    * so the digest doubles are BIT-IDENTICAL across engines by
+    * construction and the oracle hash certifies the entire 64-dim
+    * vector. The displayed dims keep the raw-AVG mean (absorbed by 6dp
+    * rounding, the established twin) — the quantized chain agrees with
+    * it to ~1e-9 per mean component; the digest certifies the
+    * quantized chain exactly, never an empirical rounding. */
+  private def digest64(h: Array[Double]): Long = {
+    var d = 0L
+    var i = 0
+    while (i < Dim) { d += (i + 1) * q9(h(i)); i += 1 }
+    d
+  }
+
+  /** FUSED layer-1 aggregation: the raw-AVG means (display twin) and
+    * the q9-quantized exact integer sums + count (digest chain) come
+    * out of ONE codegen'd groupBy over the neighbor features — no
+    * second corpus pass, no join. */
+  private def meanQVec(s: SparkSession, dir: String): DataFrame = {
+    def q9Col(c: Column): Column = {
+      val y = c * lit(1e9)
+      when(y >= 0, floor(y + lit(0.5))).otherwise(ceil(y - lit(0.5))).cast("bigint")
+    }
+    val aggs = (1 to Dim).map(i =>
+      avg(element_at(col("embedding"), i).cast("double")).as(s"m$i")) ++
+      (1 to Dim).map(i =>
+        sum(q9Col(element_at(col("embedding"), i).cast("double"))).as(s"s$i")) :+
+      count(lit(1)).as("cnt")
+    GraphOps.neighborFeatures(s, dir)
+      .groupBy(col("src"))
+      .agg(aggs.head, aggs.tail: _*)
+      .select(col("src"), array((1 to Dim).map(i => col(s"m$i")): _*).as("mv"),
+        array((1 to Dim).map(i => col(s"s$i")): _*).as("sv"), col("cnt"))
+  }
+
+  /** Exact quantized mean from integer sums (the foldMean division
+    * order: sums/n/1e9 — matches the oracle term for term). */
+  private def qMean(sums: Array[Long], n: Long): Array[Double] = {
+    val m = new Array[Double](Dim)
+    var i = 0
+    while (i < Dim) { m(i) = sums(i).toDouble / n / 1e9; i += 1 }
+    m
+  }
+
   def q_gnn_layer(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    meanVec(s, dir).as[(Long, Array[Double])]
-      .map { case (ck, m) =>
+    meanQVec(s, dir).as[(Long, Array[Double], Array[Long], Long)]
+      .map { case (ck, m, sq, n) =>
         val h = forward(m)
-        (ck, h(0), h(1), h(2), h(3))
+        (ck, h(0), h(1), h(2), h(3), digest64(forward(qMean(sq, n))))
       }
-      .toDF("custkey", "h1_raw", "h2_raw", "h3_raw", "h4_raw")
+      .toDF("custkey", "h1_raw", "h2_raw", "h3_raw", "h4_raw", "hdigest")
       .select(col("custkey"),
         round(col("h1_raw"), 6).as("h1"), round(col("h2_raw"), 6).as("h2"),
-        round(col("h3_raw"), 6).as("h3"), round(col("h4_raw"), 6).as("h4"))
+        round(col("h3_raw"), 6).as("h3"), round(col("h4_raw"), 6).as("h4"),
+        col("hdigest"))
       .orderBy("custkey")
   }
 
@@ -77,32 +125,40 @@ object Gnn {
     * invariant-tested too. */
   def q_gnn_layer2(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    // layer 1: full 64-dim customer representations
-    val h1 = meanVec(s, dir)
-      .as[(Long, Array[Double])]
-      .map { case (ck, m) => (ck, forward(m)) }
-      .toDF("cust", "h1")
-    // layer 2: aggregate customer representations per part, second dense pass
     val edges = GraphOps.edges(s, dir)
+    // FUSED layer 1: display h1 (raw-AVG twin) and the digest chain's
+    // q9-quantized message (the layer_k superstep-boundary device)
+    // from one aggregation; layer 2 folds BOTH in one pass per part —
+    // the 64-dim digest is bit-identical across engines at depth 2
+    val h1 = meanQVec(s, dir).as[(Long, Array[Double], Array[Long], Long)]
+      .map { case (ck, m, sq, n) =>
+        (ck, forward(m), forward(qMean(sq, n)).map(q9))
+      }
+      .toDF("cust", "h1", "qh")
+    // layer 2: aggregate customer representations per part, second dense pass
     edges.join(h1, col("src") === col("cust"))
-      .select(col("dst"), col("h1"))
-      .as[(Long, Array[Double])]
+      .select(col("dst"), col("h1"), col("qh"))
+      .as[(Long, Array[Double], Array[Long])]
       .groupByKey(_._1)
       .mapGroups { (part, rows) =>
         val sums = new Array[Double](Dim)
+        val qsums = new Array[Long](Dim)
         var n = 0L
-        rows.foreach { case (_, v) =>
-          var i = 0; while (i < Dim) { sums(i) += v(i); i += 1 }; n += 1
+        rows.foreach { case (_, v, q) =>
+          var i = 0
+          while (i < Dim) { sums(i) += v(i); qsums(i) += q(i); i += 1 }
+          n += 1
         }
         var i = 0
         while (i < Dim) { sums(i) /= n; i += 1 }
         val h = forward(sums)
-        (part, h(0), h(1), h(2), h(3))
+        (part, h(0), h(1), h(2), h(3), digest64(forward(qMean(qsums, n))))
       }
-      .toDF("part_key", "g1_raw", "g2_raw", "g3_raw", "g4_raw")
+      .toDF("part_key", "g1_raw", "g2_raw", "g3_raw", "g4_raw", "hdigest")
       .select(col("part_key"),
         round(col("g1_raw"), 6).as("g1"), round(col("g2_raw"), 6).as("g2"),
-        round(col("g3_raw"), 6).as("g3"), round(col("g4_raw"), 6).as("g4"))
+        round(col("g3_raw"), 6).as("g3"), round(col("g4_raw"), 6).as("g4"),
+        col("hdigest"))
       .orderBy("part_key")
   }
 
@@ -404,8 +460,20 @@ object Gnn {
     val e = (i: Int) => round(sum(
       round(col("w") * element_at(col("embedding"), i).cast("double") * 1e9, 0)
         .cast("bigint")).cast("double") / 1000, 0) / 1e6
+    // full-width digest (r16): attention's per-dim accumulators are
+    // ALREADY exact 1e9-scaled integer sums, so the 64-dim digest is a
+    // position-weighted sum of those integers — deterministic by the
+    // same argument as a1..a4, and by linearity of exact-integer sums
+    // it folds into ONE aggregate of a per-row 64-term lambda (the
+    // oracle keeps the Σ i·SUM(...) form; the summands are identical
+    // integers, so any summation order matches)
+    val dig = sum(expr(
+      """aggregate(transform(embedding, (x, i) ->
+        |  (i + 1) * cast(round(w * cast(x as double) * 1e9, 0) as bigint)),
+        |  cast(0 as bigint), (a, y) -> a + y)""".stripMargin))
     scored.groupBy(col("src").as("custkey"))
-      .agg(e(1).as("a1"), e(2).as("a2"), e(3).as("a3"), e(4).as("a4"))
+      .agg(e(1).as("a1"), e(2).as("a2"), e(3).as("a3"), e(4).as("a4"),
+        dig.as("hdigest"))
       .orderBy("custkey")
   }
 

@@ -1586,6 +1586,35 @@ object Oracle {
   private def relu(c: String): String =
     s"CASE WHEN $c > 0 THEN $c ELSE CAST(0 AS DOUBLE) END"
 
+  /** The Gnn.q9 quantizer in SQL — multiply/add/floor/ceil are each
+    * correctly-rounded IEEE ops, so the longs are bit-identical to the
+    * JVM twin by construction. */
+  private def q9Sql(e: String): String =
+    s"CAST(CASE WHEN $e >= 0 THEN FLOOR($e * 1e9 + 0.5)" +
+      s" ELSE CEIL($e * 1e9 - 0.5) END AS BIGINT)"
+
+  /** Quantized-chain CTEs for the layer-family full-width digest (r16):
+    * exact integer means of q9-quantized part embeddings + base-weight
+    * matmul — the layer_k device with l = 0 weights. Emits `qmm`
+    * (per-customer quantized means qm1..qm64). */
+  private val quantMeanCtes: String = {
+    val sums = (1 to Gnn.Dim).map(j =>
+      s"CAST(SUM(${q9Sql(s"CAST(emb.embedding[$j] AS DOUBLE)")}) AS BIGINT) AS s$j")
+      .mkString(", ")
+    val means = (1 to Gnn.Dim).map(j =>
+      s"CAST(s$j AS DOUBLE) / CAST(cnt AS DOUBLE) / 1e9 AS qm$j").mkString(", ")
+    s"""qm AS (SELECT e.src AS qk, $sums, COUNT(*) AS cnt
+       |      FROM edges e CROSS JOIN n
+       |      JOIN embeddings emb ON emb.vec_id = e.dst % n.c
+       |      GROUP BY 1),
+       |qmm AS (SELECT qk, $means FROM qm)""".stripMargin
+  }
+
+  /** Σ_{i=1..64} i·q9(col_i) — the digest expression over a named
+    * 64-column vector. */
+  private def digest64Sql(pre: String): String =
+    s"CAST(${(1 to Gnn.Dim).map(i => s"$i * ${q9Sql(s"$pre$i")}").mkString(" + ")} AS BIGINT)"
+
   /** Layer-seeded matmul chain (q_gnn_layer_k): same term order as
     * Gnn.forwardK — j-ascending left-associative, bias last. */
   private def matmulExprK(l: Int, i: Int, srcPrefix: String): String =
@@ -1625,10 +1654,19 @@ object Oracle {
     "q_gnn_layer" -> {
       val hr = (0 until 4).map(i => s"${matmulExpr(i, "m")} AS h${i + 1}r").mkString(", ")
       val out = (0 until 4).map(i => s"ROUND(${relu(s"h${i + 1}r")}, 6) AS h${i + 1}").mkString(", ")
+      // full-width digest over the PARALLEL quantized chain (r16): the
+      // displayed dims keep the raw-AVG twin; the digest certifies all
+      // 64 dims of the bit-identical quantized pass
+      val hq = (0 until Gnn.Dim).map(i =>
+        s"${relu(matmulExpr(i, "qm"))} AS q${i + 1}").mkString(", ")
       s"""WITH $edgesCte,
          |$meanCte,
+         |$quantMeanCtes,
+         |hq AS (SELECT qk, $hq FROM qmm),
+         |dg AS (SELECT qk, ${digest64Sql("q")} AS hdigest FROM hq),
          |h AS (SELECT custkey, $hr FROM m)
-         |SELECT custkey, $out FROM h ORDER BY custkey""".stripMargin
+         |SELECT custkey, $out, dg.hdigest
+         |FROM h JOIN dg ON h.custkey = dg.qk ORDER BY custkey""".stripMargin
     },
 
     "q_gnn_layer2" -> {
@@ -1637,15 +1675,32 @@ object Oracle {
       val gAvgs = (1 to Gnn.Dim).map(j => s"AVG(h$j) AS gm$j").mkString(", ")
       val gr = (0 until 4).map(i => s"${matmulExpr(i, "gm")} AS g${i + 1}r").mkString(", ")
       val out = (0 until 4).map(i => s"ROUND(${relu(s"g${i + 1}r")}, 6) AS g${i + 1}").mkString(", ")
+      // digest chain (r16): layer-1 quantized pass, messages q9'd at
+      // the superstep boundary, exact integer means, layer-2 pass —
+      // the layer_k device at depth 2 with the base weights
+      val hq1 = (0 until Gnn.Dim).map(i =>
+        s"${q9Sql(relu(matmulExpr(i, "qm")))} AS t${i + 1}").mkString(", ")
+      val qgm = (1 to Gnn.Dim).map(j =>
+        s"CAST(SUM(t$j) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) / 1e9 AS u$j")
+        .mkString(", ")
+      val hq2 = (0 until Gnn.Dim).map(i =>
+        s"${relu(matmulExpr(i, "u"))} AS v${i + 1}").mkString(", ")
       s"""WITH $edgesCte,
          |$meanCte,
+         |$quantMeanCtes,
+         |q1 AS (SELECT qk, $hq1 FROM qmm),
+         |qg AS (SELECT e.dst AS pk, $qgm
+         |       FROM edges e JOIN q1 ON e.src = q1.qk GROUP BY 1),
+         |hq2 AS (SELECT pk, $hq2 FROM qg),
+         |dg AS (SELECT pk, ${digest64Sql("v")} AS hdigest FROM hq2),
          |hraw AS (SELECT custkey, $hr FROM m),
          |h64 AS (SELECT custkey, $h64 FROM hraw),
          |g AS (SELECT e.dst AS part_key, $gAvgs
          |      FROM edges e JOIN h64 ON e.src = h64.custkey
          |      GROUP BY 1),
          |g2 AS (SELECT part_key, $gr FROM g)
-         |SELECT part_key, $out FROM g2 ORDER BY part_key""".stripMargin
+         |SELECT part_key, $out, dg.hdigest
+         |FROM g2 JOIN dg ON g2.part_key = dg.pk ORDER BY part_key""".stripMargin
     },
 
     // K=3 stack: the full chained-matmul SQL generated from the SAME
@@ -1806,7 +1861,10 @@ object Oracle {
          |  ROUND(CAST(SUM(CAST(ROUND(w * CAST(embedding[1] AS DOUBLE) * 1e9, 0) AS BIGINT)) AS DOUBLE) / 1000, 0) / 1e6 AS a1,
          |  ROUND(CAST(SUM(CAST(ROUND(w * CAST(embedding[2] AS DOUBLE) * 1e9, 0) AS BIGINT)) AS DOUBLE) / 1000, 0) / 1e6 AS a2,
          |  ROUND(CAST(SUM(CAST(ROUND(w * CAST(embedding[3] AS DOUBLE) * 1e9, 0) AS BIGINT)) AS DOUBLE) / 1000, 0) / 1e6 AS a3,
-         |  ROUND(CAST(SUM(CAST(ROUND(w * CAST(embedding[4] AS DOUBLE) * 1e9, 0) AS BIGINT)) AS DOUBLE) / 1000, 0) / 1e6 AS a4
+         |  ROUND(CAST(SUM(CAST(ROUND(w * CAST(embedding[4] AS DOUBLE) * 1e9, 0) AS BIGINT)) AS DOUBLE) / 1000, 0) / 1e6 AS a4,
+         |  CAST(${(1 to Gnn.Dim).map(i =>
+             s"$i * SUM(CAST(ROUND(w * CAST(embedding[$i] AS DOUBLE) * 1e9, 0) AS BIGINT))")
+             .mkString(" + ")} AS BIGINT) AS hdigest
          |FROM wn GROUP BY 1 ORDER BY 1""".stripMargin
     },
 
