@@ -82,6 +82,16 @@ object Bench {
     "closeDist" -> (() => { engine.GraphOps.closeDistances(spark, sfDir).count(); () }),
     "walkPaths" -> (() => { engine.Gnn.walkPaths(spark, sfDir).count(); () }),
     "dedupLabels" -> (() => { engine.LlmOps.dedupLabels(spark, sfDir).count(); () }),
+    // Louvain tier MVs (r16): the unweighted sweep labels, the 1-row
+    // level-1 pricing, and the condensed weighted graph are shared by
+    // FOUR timed consumers (louvain_move, coarsen, louvain_level2,
+    // louvain_hierarchy) — the r15 verdict measured the cold builds
+    // landing on the tier's first consumer at 30.9 s
+    "louvainL1Stats" -> (() => { engine.GraphOps.louvainL1Stats(spark, sfDir).count(); () }),
+    "louvainCondensed" -> (() => {
+      val (e, sn) = engine.GraphOps.louvainCondensed(spark, sfDir)
+      e.count(); sn.count(); ()
+    }),
     // r15 shared dedup/audit-tier MVs: the bitmask table every exact
     // Jaccard verify joins (jaccard_pairs, minhash family, simhash
     // audit, dedup clusters), the md5-twin pair set (minhash_md5 AND
@@ -214,7 +224,14 @@ object Bench {
         -1.0
       }
     }
+    // Dev-only subset knob (r16, VERDICT r15 item 3): restrict the
+    // sweep to queries whose name FULL-matches the regex — used once to
+    // re-measure the BENCH_r02-era query set under the pinned 2-sweep
+    // protocol for the BASELINE.md anchor annotation. The driver never
+    // sets this; a subset run is not a round record.
+    val subsetRe = sys.env.get("SPARK_GRAFT_BENCH_SUBSET").map(_.r)
     val ordered = SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter { case (n, _) => subsetRe.forall(_.matches(n)) }
     // One full timed pass with a start/mid/end canary triple.
     def sweep(tag: String): (Seq[(String, Double)], (Double, Double, Double)) = {
       val cStart = canary()

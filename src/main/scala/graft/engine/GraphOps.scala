@@ -1094,7 +1094,7 @@ object GraphOps {
     * (la, lb) pair weights, memoized (r16: q_graph_louvain_level2 AND
     * the hierarchy driver both coarsen level 1 through this table);
     * everything derived from it is communities-sized. */
-  private def louvainLabAgg(s: SparkSession, dir: String): DataFrame =
+  private[graft] def louvainLabAgg(s: SparkSession, dir: String): DataFrame =
     Mv.memo(s, s"louvainLabAgg|$dir") { bs =>
       val pp = partPairs(bs, dir, TriangleMinCooccur).select(col("a"), col("b"))
       val lab = louvainLabels(bs, dir)
@@ -1104,7 +1104,7 @@ object GraphOps {
         .ckpt("louvain2_labagg")
     }
 
-  private def louvainCondensed(s: SparkSession, dir: String): (DataFrame, DataFrame) = {
+  private[graft] def louvainCondensed(s: SparkSession, dir: String): (DataFrame, DataFrame) = {
     // communities-sized from here on: collapse to ONE partition and
     // memoize — the sweep (und2 + stats + a possible next coarsen)
     // reads these tables several times per consumer AND two consumers
@@ -1218,7 +1218,7 @@ object GraphOps {
     * integer stats row q_graph_louvain_move reports and the hierarchy
     * ladder's first entry — two consumers, one corpus-scale stats
     * pass. */
-  private def louvainL1Stats(s: SparkSession, dir: String): DataFrame =
+  private[graft] def louvainL1Stats(s: SparkSession, dir: String): DataFrame =
     Mv.memo(s, s"louvainL1Stats|$dir") { bs =>
       val pp = partPairs(bs, dir, TriangleMinCooccur).select(col("a"), col("b"))
       val mRow = pp.agg(count(lit(1)).as("m"))
