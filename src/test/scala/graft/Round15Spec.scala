@@ -155,14 +155,18 @@ class Round15Spec extends AnyFunSuite {
     }
     def cos(a: Array[Float], b: Array[Float]): Double =
       dot(a, b) / (math.sqrt(dot(a, a)) * math.sqrt(dot(b, b)))
-    val cents = (0L until 16L).map(c => c -> emb(c)).toMap
+    // r16 scale-adaptive capacity: nlist = max(16, floor(sqrt(n)))
+    // smallest vec_ids, EVERY vector assigned (assign-all convention)
+    val nlist = math.max(16L, math.sqrt(emb.size.toDouble).floor.toLong)
+    val cents = (0L until nlist).map(c => c -> emb(c)).toMap
     // IVF assignment: rounded-6 cosine argmax, cid tie-break
-    val assigned = emb.keys.filter(_ >= 16).map { vid =>
+    val assigned = emb.keys.map { vid =>
       val best = cents.toSeq.map { case (cid, cv) => (cid, r6(cos(emb(vid), cv))) }
         .minBy { case (cid, c) => (-c, cid) }
       vid -> best._1
     }.toMap
-    // residuals (double), 8 subvectors, codebook = residuals of 16..31
+    // residuals (double), 8 subvectors, codebook = residuals of the 16
+    // smallest NON-centroid ids (nlist..nlist+15)
     def residual(vid: Long): Array[Double] = {
       val v = emb(vid); val c = cents(assigned(vid))
       Array.tabulate(64)(i => v(i).toDouble - c(i).toDouble)
@@ -173,7 +177,7 @@ class Round15Spec extends AnyFunSuite {
       while (i < 8) { acc += (x(i) - c(i)) * (x(i) - c(i)); i += 1 }
       acc
     }
-    val cb = (16L to 31L).map(j => j -> residual(j)).toMap
+    val cb = (nlist until nlist + 16L).map(j => j -> residual(j)).toMap
     def codeOf(vid: Long, m: Int): Long = {
       val sv = sub(residual(vid), m)
       cb.toSeq.map { case (j, rv) => (j, d2(sv, sub(rv, m))) }
