@@ -324,8 +324,21 @@ object LlmOps {
         .ckpt("minhashXxSig")
     }
 
+  /** The FULL-corpus verified xx near-dup pair table is a session MV
+    * (r16): it is THE artifact a dedup deployment persists per corpus
+    * snapshot (the pairs ARE the dedup output), and two consumers read
+    * it per session — the q_llm_minhash_lsh audit and ApproxBounds'
+    * md5-twin envelope measurement. The sample-bounded 10% leg stays
+    * live (cheap, and the audit's independent-recompute leg must not
+    * share a materialization with the thing it re-scores). */
   private[graft] def minhashXxPairs(s: SparkSession, dir: String,
-      sampled: Boolean = false): DataFrame = {
+      sampled: Boolean = false): DataFrame =
+    if (sampled) minhashXxPairsLive(s, dir, sampled = true)
+    else Mv.memo(s, s"minhashXxPairs|${docsKey(s, dir)}")(bs =>
+      minhashXxPairsLive(bs, dir, sampled = false).ckpt("minhashXxPairs"))
+
+  private def minhashXxPairsLive(s: SparkSession, dir: String,
+      sampled: Boolean): DataFrame = {
     val numBands = 4
     val rowsPerBand = 2
     // sampled = the deterministic 10% doc tier the md5 twin runs on —
