@@ -1098,6 +1098,84 @@ object LlmOps {
       .orderBy("query_id", "rnk")
   }
 
+  /** Multi-probe widths for the nprobe operating curve (search-quality
+    * knobs a deployment tunes, NOT corpus capacity — nlist is the
+    * adaptive capacity; nprobe trades candidate cost for recall at any
+    * nlist). */
+  val NProbes = Seq(1, 2, 4)
+
+  /** MULTI-PROBE IVF search operating curve (r16 — the real FAISS
+    * search shape: a query scans its `nprobe` NEAREST cells, not just
+    * its own; Jégou et al. 2011 §IV, FAISS nprobe): for each width in
+    * NProbes, recall@3 of the nprobe-cell-scoped search against the
+    * exact brute-force ranking, aggregated over the 5 anchor queries —
+    * the table a deployment picks nprobe from (recall rises toward
+    * 1.0 as nprobe grows while candidate cost stays nprobe·(n/nlist) =
+    * nprobe·√n per query). Fully deterministic (rounded cosines +
+    * id/cid tie-breaks), so the curve is oracle-checked exactly.
+    *
+    * Scale shape: the centroid ranking is |Q|·nlist = |Q|·√n rows
+    * (broadcast centroids); candidates are cell-bounded per (query,
+    * width); the exact leg reuses the ann_recall brute-force device on
+    * the 5-query anchor set. */
+  def q_llm_ann_nprobe(s: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(s, dir)
+    val nlist = ivfNlist(s, dir)
+    val assigned = ivfAssign(s, emb, nlist)
+    val qs = assigned.filter(col("vid").between(20, 24))
+      .select(col("vid").as("query_id"), col("dv").as("qv"), col("dn").as("qn"))
+    // per-query centroid ranking: |Q| × nlist rows, broadcast centroids
+    val cents = emb.filter(col("vec_id") < nlist)
+      .select(col("vec_id").as("cid"), col("embedding").as("cv"),
+        normCol(s)(col("embedding")).as("cn"))
+    val wC = Window.partitionBy(col("query_id"))
+      .orderBy(col("ccos").desc, col("cid").asc)
+    val qcells = qs.crossJoin(broadcast(cents))
+      .withColumn("ccos", round(cosSimPre(s)(col("qv"), col("cv"), col("qn"), col("cn")), 6))
+      .withColumn("cell_rank", row_number().over(wC))
+      .filter(col("cell_rank") <= NProbes.max)
+      .select(col("query_id").as("cq"), col("cid").as("ccid"), col("cell_rank"))
+    // candidates once at the widest nprobe, with the cell rank attached
+    val wS = Window.partitionBy(col("np"), col("query_id"))
+      .orderBy(col("cos_sim").desc, col("neighbor_id").asc)
+    val cand = assigned.select(col("vid").as("neighbor_id"), col("cid").as("ncid"),
+        col("dv").as("nv"), col("dn").as("nn"))
+      .join(broadcast(qcells), col("ncid") === col("ccid"))
+      .join(broadcast(qs), col("cq") === col("query_id")
+        && col("neighbor_id") =!= col("query_id"))
+      .withColumn("cos_sim", round(cosSimPre(s)(col("qv"), col("nv"), col("qn"), col("nn")), 6))
+      .select(col("query_id"), col("neighbor_id"), col("cos_sim"), col("cell_rank"))
+    val nps = s.range(0, 1)
+      .select(explode(array(NProbes.map(np => lit(np)): _*)).as("np"))
+    val ivfTop = cand.crossJoin(broadcast(nps))
+      .filter(col("cell_rank") <= col("np"))
+      .withColumn("rnk", row_number().over(wS))
+      .filter(col("rnk") <= 3)
+      .select(col("np"), col("query_id").as("iq"), col("neighbor_id").as("in"))
+    // exact brute-force top-3 (the ann_recall device over all vectors)
+    val wE = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos_sim").desc, col("neighbor_id").asc)
+    val exact = qs.crossJoin(
+        emb.select(col("vec_id").as("neighbor_id"), col("embedding").as("nv"),
+          normCol(s)(col("embedding")).as("nn")))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .withColumn("cos_sim", round(cosSimPre(s)(col("qv"), col("nv"), col("qn"), col("nn")), 6))
+      .withColumn("rnk", row_number().over(wE))
+      .filter(col("rnk") <= 3)
+      .select(col("query_id"), col("neighbor_id"))
+    exact.crossJoin(broadcast(nps.select(col("np").as("enp"))))
+      .join(ivfTop, col("enp") === col("np")
+        && col("query_id") === col("iq") && col("neighbor_id") === col("in"),
+        "left_outer")
+      .groupBy(col("enp").cast("bigint").as("nprobe"))
+      .agg(countDistinct(col("query_id")).as("n_queries"),
+        sum(when(col("in").isNotNull, 1L).otherwise(0L)).as("n_hits"))
+      .select(col("nprobe"), col("n_queries"), col("n_hits"),
+        round(col("n_hits").cast("double")
+          / (lit(3) * col("n_queries")).cast("double"), 6).as("recall_at_3"))
+      .orderBy("nprobe")
+  }
+
   /** Dedup clustering — the step AFTER pair generation that every real
     * dedup pipeline needs: near-dup pairs are edges, duplicate groups
     * are their connected components, and one canonical doc (min doc_id)
@@ -1851,6 +1929,7 @@ object LlmOps {
     "q_llm_simhash_recall" -> q_llm_simhash_recall _,
     "q_llm_embed_neardup" -> q_llm_embed_neardup _,
     "q_llm_ann_ivf" -> q_llm_ann_ivf _,
+    "q_llm_ann_nprobe" -> q_llm_ann_nprobe _,
     "q_llm_ann_lsh" -> q_llm_ann_lsh _,
     "q_llm_semdedup" -> q_llm_semdedup _,
     "q_llm_dedup_clusters" -> q_llm_dedup_clusters _,

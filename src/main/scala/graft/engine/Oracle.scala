@@ -1425,6 +1425,49 @@ object Oracle {
          |  CAST(n_hits AS DOUBLE) / CAST(3 AS DOUBLE) AS recall_at_3
          |FROM agg ORDER BY query_id""".stripMargin,
 
+    // Multi-probe IVF operating curve (r16): per query the nlist
+    // centroids rank by rounded cosine; width np scans the np nearest
+    // cells; recall@3 vs the exact ranking per width in NProbes.
+    "q_llm_ann_nprobe" ->
+      s"""WITH $ivfAssignedCtes,
+         |qs AS (SELECT vid AS query_id, dv AS qv FROM assigned
+         |       WHERE vid BETWEEN 20 AND 24),
+         |qc AS (SELECT q.query_id, c.cid,
+         |         ROUND(${cosExpr("q.qv", "c.cv")}, 6) AS ccos
+         |       FROM qs q CROSS JOIN cents c),
+         |qr AS (SELECT query_id, cid, ROW_NUMBER() OVER (PARTITION BY query_id
+         |         ORDER BY ccos DESC, cid ASC) AS cell_rank FROM qc),
+         |qcells AS (SELECT query_id AS cq, cid AS ccid, cell_rank FROM qr
+         |       WHERE cell_rank <= ${LlmOps.NProbes.max}),
+         |cand AS (SELECT q.query_id, a.vid AS neighbor_id,
+         |           ROUND(${cosExpr("q.qv", "a.dv")}, 6) AS cos_sim, k.cell_rank
+         |         FROM assigned a JOIN qcells k ON a.cid = k.ccid
+         |         JOIN qs q ON q.query_id = k.cq AND a.vid <> q.query_id),
+         |nps AS (SELECT UNNEST(${LlmOps.NProbes.mkString("[", ", ", "]")}) AS np),
+         |it AS (SELECT np, query_id, neighbor_id FROM (
+         |    SELECT n.np, c.query_id, c.neighbor_id,
+         |      ROW_NUMBER() OVER (PARTITION BY n.np, c.query_id
+         |        ORDER BY c.cos_sim DESC, c.neighbor_id ASC) AS rnk
+         |    FROM cand c JOIN nps n ON c.cell_rank <= n.np) WHERE rnk <= 3),
+         |ex AS (SELECT query_id, neighbor_id FROM (
+         |    SELECT q.query_id, d.vid AS neighbor_id,
+         |      ROUND(${cosExpr("q.qv", "d.dv")}, 6) AS cos_sim,
+         |      ROW_NUMBER() OVER (PARTITION BY q.query_id
+         |        ORDER BY ROUND(${cosExpr("q.qv", "d.dv")}, 6) DESC, d.vid ASC) AS rnk
+         |    FROM qs q JOIN data d ON q.query_id <> d.vid) WHERE rnk <= 3),
+         |agg AS (SELECT n.np,
+         |    CAST(COUNT(DISTINCT e.query_id) AS BIGINT) AS n_queries,
+         |    CAST(SUM(CASE WHEN i.neighbor_id IS NOT NULL THEN 1 ELSE 0 END)
+         |      AS BIGINT) AS n_hits
+         |  FROM ex e CROSS JOIN nps n
+         |  LEFT JOIN it i ON i.np = n.np AND i.query_id = e.query_id
+         |    AND i.neighbor_id = e.neighbor_id
+         |  GROUP BY 1)
+         |SELECT CAST(np AS BIGINT) AS nprobe, n_queries, n_hits,
+         |  ROUND(CAST(n_hits AS DOUBLE) / CAST(3 * n_queries AS DOUBLE), 6)
+         |    AS recall_at_3
+         |FROM agg ORDER BY nprobe""".stripMargin,
+
     // Recall CURVE: the ann_recall chain ranked to depth 10 once, then
     // each k of the 3-row spine aggregates the same matched table.
     "q_llm_ann_recall_curve" ->

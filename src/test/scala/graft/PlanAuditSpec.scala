@@ -292,6 +292,7 @@ class PlanAuditSpec extends AnyFunSuite {
       "q_llm_ann_ivf" -> "literal query-id anchor scan (<= 5 rows)",
       "q_llm_ann_ivfpq" -> "literal query-id anchor scan (<= 5 rows)",
       "q_llm_ann_recall" -> "literal query-id anchor scans (<= 5 rows each)",
+      "q_llm_ann_nprobe" -> "literal query-id anchor scans + NProbes spine (<= 5 / 3 rows) onto the centroid/candidate scans",
       "q_llm_cosine_topk" -> "literal query-id anchor scan",
       "q_llm_embed_neardup" -> "fixed-COUNT sample (step = ceil(n/500)): <= ~500 rows at any corpus size",
       "q_llm_hard_negatives" -> "5 literal anchor docs",
