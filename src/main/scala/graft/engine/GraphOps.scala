@@ -808,6 +808,87 @@ object GraphOps {
       .crossJoin(far2)
   }
 
+  /** Relaxation-round cap shared with the DuckDB unrolled-CTE oracle:
+    * both engines compute EXACTLY the ≤-SsspMaxRounds-edge Bellman-Ford
+    * distance d_K (the Spark loop may stop earlier only at the fixpoint,
+    * where d_j = d_K for every K ≥ j). */
+  val SsspMaxRounds = 30
+
+  /** Symmetrized WEIGHTED part–part projection (a, b, w): the undProj
+    * adjacency with its integer edge weight w = co-occurrence count —
+    * the weighted companion MV the weighted-traversal tier (SSSP,
+    * weighted PageRank) iterates over. Same threshold, same `a`-key
+    * pre-partitioning as undProj. */
+  private[graft] def undProjW(s: SparkSession, dir: String, minCooccur: Int): DataFrame =
+    Mv.memo(s, s"undProjW|$minCooccur|$dir") { bs =>
+      val pp = partPairs(bs, dir, minCooccur)
+        .select(col("a"), col("b"), col("cnt").as("w"))
+      pp.union(pp.select(col("b").as("a"), col("a").as("b"), col("w")))
+        .repartition(col("a"))
+        .ckpt()
+    }
+
+  /** Weighted single-source shortest paths (bounded Bellman-Ford) on
+    * the thresholded part–part projection with integer edge weights
+    * w = co-occurrence count, from the smallest projected part id —
+    * the classical weighted-graph primitive next to the unweighted BFS
+    * tier. Frontier-pruned supersteps: each round relaxes ONLY edges
+    * out of nodes improved last round (provably the same d_k as
+    * relaxing every edge: a non-improved node's outgoing relaxations
+    * were all applied the round it last improved), so per-round cost is
+    * frontier-bounded — the delta-stepping-style shape, one join +
+    * min-aggregation per round, O(rounds) shuffles, no driver-side
+    * graph. Integer distances → exact; capped at SsspMaxRounds shared
+    * with the unrolled oracle, so both engines compute the identical
+    * bounded-relaxation distance even on a hypothetical non-converged
+    * instance. Returns the 20 nearest nodes (dist asc, id asc). */
+  def q_graph_sssp(s: SparkSession, dir: String): DataFrame = {
+    val uew = undProjW(s, dir, CcMinCooccur)
+    // empty-projection guard: no seed row (matching the oracle's
+    // HAVING) instead of a (NULL, 0) sentinel
+    val seed = uew.agg(min(col("a")).as("node"))
+      .filter(col("node").isNotNull)
+      .select(col("node"), lit(0L).as("dist"))
+      .ckpt()
+    var dist = seed
+    var frontier = seed
+    var round = 0
+    var frontierSize = 1L
+    while (round < SsspMaxRounds && frontierSize > 0) {
+      round += 1
+      // candidate relaxations from the frontier only; min per target.
+      // Probe-gated broadcasts (stateHint): frontier and dist are
+      // checkpointed stats-less tables — below the |V| guard they
+      // broadcast (the whole round is one job), above it they
+      // pre-hash-partition on their join keys.
+      val cand = uew
+        .join(stateHint(s, dir, frontier.select(col("node").as("fn"), col("dist").as("fd")), "fn"),
+          col("a") === col("fn"))
+        .groupBy(col("b"))
+        .agg(min(col("fd") + col("w")).as("nd"))
+      // improved = strictly better than the current label (or unseen)
+      val improved = cand
+        .join(stateHint(s, dir, dist.select(col("node").as("dn"), col("dist").as("dd")), "dn"),
+          col("b") === col("dn"), "left_outer")
+        .filter(col("dd").isNull || col("nd") < col("dd"))
+        .select(col("b").as("node"), col("nd").as("dist"))
+        .ckpt()
+      frontierSize = improved.count()
+      if (frontierSize > 0) {
+        // merge: improved labels replace, untouched labels survive
+        dist = dist
+          .join(stateHint(s, dir, improved.select(col("node").as("inode")), "inode"),
+            col("node") === col("inode"), "left_anti")
+          .union(improved)
+          .ckpt()
+      }
+      frontier = improved
+    }
+    dist.select(col("node").as("part_key"), col("dist"))
+      .orderBy(col("dist").asc, col("part_key").asc)
+      .limit(20)
+  }
+
   /** Node-pair Jaccard similarity over part neighborhoods — the classic
     * link-prediction feature (Liben-Nowell & Kleinberg 2003): for part
     * pairs with ≥ TriangleMinCooccur common customers,
@@ -2114,6 +2195,7 @@ object GraphOps {
     "q_graph_cc" -> q_graph_cc _,
     "q_graph_pagerank" -> q_graph_pagerank _,
     "q_graph_bfs" -> q_graph_bfs _,
+    "q_graph_sssp" -> q_graph_sssp _,
     "q_graph_jaccard" -> q_graph_jaccard _,
     "q_graph_overlap" -> q_graph_overlap _,
     "q_graph_adamic_adar" -> q_graph_adamic_adar _,

@@ -1781,6 +1781,150 @@ object LlmOps {
       .orderBy("query_id", "rnk")
   }
 
+  /** MULTI-PROBE IVF-PQ search operating curve (r17, VERDICT r16 item 2
+    * — the search shape a 100 TB deployment actually serves): the r16
+    * nprobe curve moved onto the PQ tier. Per query (vec_ids 20–24) the
+    * `ivfNlist` centroids rank by rounded cosine; width np ∈ NProbes
+    * scans the np nearest cells; within the probed cells candidates
+    * rank TWO ways — (a) ADC on the residual PQ codes, with a PER
+    * (query, probed-cell) 128-row LUT built from the query's residual
+    * against THAT cell's centroid (the centroid cancels:
+    * ‖(q−c)−(x−c)‖² = ‖q−x‖², so ADC approximates true L2² in every
+    * probed cell), and (b) an EXACT L2² re-rank of the same candidate
+    * set (the audit column separating quantization error from
+    * cell-miss error). Both legs report recall@3 against the exact
+    * full-corpus L2² top-3. All distances are fixed-order left-assoc
+    * double folds mirrored term-for-term by the oracle; ADC terms go
+    * round-9 → DECIMAL (order-blind sum).
+    *
+    * Scale shape: LUTs are nprobe·128 rows per query (broadcast at any
+    * corpus size), candidates are cell-bounded (nprobe·n/nlist =
+    * nprobe·√n per query), per-candidate ADC is a LUT join on 8 code
+    * bytes, and the exact legs are bounded to the 5-query anchor set. */
+  def q_llm_ann_ivfpq_nprobe(s: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(s, dir)
+    val nlist = ivfNlist(s, dir)
+    val assigned = ivfAssign(s, emb, nlist)
+    val cents = emb.filter(col("vec_id") < nlist)
+      .select(col("vec_id").as("cid"), col("embedding").as("cv"),
+        normCol(s)(col("embedding")).as("cn"))
+    val qs = assigned.filter(col("vid").between(20, 24))
+      .select(col("vid").as("query_id"), col("dv").as("qv"), col("dn").as("qn"))
+    // per-query centroid ranking (the q_llm_ann_nprobe device), with
+    // the centroid VECTOR carried through for the residual LUTs
+    val wC = Window.partitionBy(col("query_id"))
+      .orderBy(col("ccos").desc, col("cid").asc)
+    val qcells = qs.crossJoin(broadcast(cents))
+      .withColumn("ccos", round(cosSimPre(s)(col("qv"), col("cv"), col("qn"), col("cn")), 6))
+      .withColumn("cell_rank", row_number().over(wC))
+      .filter(col("cell_rank") <= NProbes.max)
+      .select(col("query_id").as("cq"), col("cid").as("ccid"),
+        col("cv").as("ccv"), col("cell_rank"))
+      .ckpt("ivfpq_np_qcells")
+    // residual codebook + corpus codes: the q_llm_ann_ivfpq build
+    val res = assigned.join(broadcast(cents.select(col("cid").as("rc"), col("cv").as("rcv"))),
+        col("cid") === col("rc"))
+      .select(col("vid"), col("cid"),
+        expr("zip_with(dv, rcv, (x, c) -> cast(x as double) - cast(c as double))")
+          .as("rv"))
+      .ckpt()
+    def subs(df: DataFrame, idCol: String): DataFrame = df
+      .select(col("vid").as(idCol), explode(expr(
+        "transform(sequence(0, 7), m -> struct(m as m, slice(rv, m*8 + 1, 8) as sv))"))
+        .as("e"))
+      .select(col(idCol), col("e.m").as("m"), col("e.sv").as("sv"))
+    val cb = subs(res.filter(col("vid").between(nlist, nlist + 15)), "j")
+      .select(col("j"), col("m").as("cm"), col("sv").as("cv2"))
+    val d2 = expr("aggregate(zip_with(sv, cv2, (x, c) -> (x - c) * (x - c)), " +
+      "cast(0.0 as double), (acc, v) -> acc + v)")
+    val dists = subs(res, "dvid").join(broadcast(cb), col("m") === col("cm"))
+      .select(col("dvid"), col("m"), col("j"), d2.as("d2"))
+    val codes = dists.groupBy(col("dvid"), col("m"))
+      .agg(min(struct(col("d2"), col("j"))).as("best"))
+      .select(col("dvid").as("nid"), col("m").as("nm"), col("best.j").as("code"))
+    // per (query, probed cell) residual → 128-row LUT each
+    val qres = qcells.join(broadcast(qs), col("cq") === col("query_id"))
+      .select(col("query_id"), col("ccid"), col("cell_rank"),
+        expr("zip_with(qv, ccv, (x, c) -> cast(x as double) - cast(c as double))")
+          .as("rv"))
+    val qsubs = qres
+      .select(col("query_id"), col("ccid"), col("cell_rank"), explode(expr(
+        "transform(sequence(0, 7), m -> struct(m as m, slice(rv, m*8 + 1, 8) as sv))"))
+        .as("e"))
+      .select(col("query_id"), col("ccid"), col("cell_rank"),
+        col("e.m").as("m"), col("e.sv").as("sv"))
+    val qlut = qsubs.join(broadcast(cb), col("m") === col("cm"))
+      .select(col("query_id").as("lq"), col("ccid").as("lcell"), col("m").as("lm"),
+        col("j").as("lj"), round(d2, 9).cast("decimal(20,9)").as("qd2"))
+    // candidates = vectors in any probed cell (cell_rank attached)
+    val cand = assigned.select(col("vid").as("cvid"), col("cid").as("ncid"),
+        col("dv").as("nv"))
+      .join(broadcast(qcells.select(col("cq"), col("ccid"), col("cell_rank"))),
+        col("ncid") === col("ccid"))
+      .join(broadcast(qs), col("cq") === col("query_id")
+        && col("cvid") =!= col("query_id"))
+    // exact L2² — fixed-order left-assoc 64-term fold (oracle twin is
+    // the generated explicit chain)
+    val l2 = expr("aggregate(zip_with(qv, nv, (x, y) -> " +
+      "(cast(x as double) - cast(y as double)) * (cast(x as double) - cast(y as double))), " +
+      "cast(0.0 as double), (acc, v) -> acc + v)")
+    val candL2 = cand
+      .select(col("query_id"), col("cvid"), col("ncid"), col("cell_rank"),
+        round(l2, 6).as("l2r"))
+      .ckpt("ivfpq_np_cand")
+    val adc = candL2.select(col("query_id"), col("cvid"), col("ncid"), col("cell_rank"))
+      .join(codes, col("cvid") === col("nid"))
+      .join(broadcast(qlut), col("query_id") === col("lq")
+        && col("ncid") === col("lcell") && col("nm") === col("lm")
+        && col("code") === col("lj"))
+      .groupBy(col("query_id"), col("cvid"), col("cell_rank"))
+      .agg(sum(col("qd2")).cast("double").as("adc"))
+      .ckpt("ivfpq_np_adc")
+    val nps = s.range(0, 1)
+      .select(explode(array(NProbes.map(np => lit(np)): _*)).as("np"))
+    val wA = Window.partitionBy(col("np"), col("query_id"))
+      .orderBy(round(col("adc"), 6).asc, col("cvid").asc)
+    val adcTop = adc.crossJoin(broadcast(nps))
+      .filter(col("cell_rank") <= col("np"))
+      .withColumn("rnk", row_number().over(wA))
+      .filter(col("rnk") <= 3)
+      .select(col("np").as("anp"), col("query_id").as("aq"), col("cvid").as("an"))
+    val wR = Window.partitionBy(col("np"), col("query_id"))
+      .orderBy(col("l2r").asc, col("cvid").asc)
+    val rrTop = candL2.crossJoin(broadcast(nps))
+      .filter(col("cell_rank") <= col("np"))
+      .withColumn("rnk", row_number().over(wR))
+      .filter(col("rnk") <= 3)
+      .select(col("np").as("rnp"), col("query_id").as("rq"), col("cvid").as("rn"))
+    // ground truth: exact full-corpus L2² top-3 per query
+    val wE = Window.partitionBy(col("query_id"))
+      .orderBy(col("l2r").asc, col("neighbor_id").asc)
+    val exact = qs.crossJoin(
+        emb.select(col("vec_id").as("neighbor_id"), col("embedding").as("nv")))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"), round(l2, 6).as("l2r"))
+      .withColumn("rnk", row_number().over(wE))
+      .filter(col("rnk") <= 3)
+      .select(col("query_id"), col("neighbor_id"))
+    exact.crossJoin(broadcast(nps.select(col("np").as("enp"))))
+      .join(adcTop, col("enp") === col("anp") && col("query_id") === col("aq")
+        && col("neighbor_id") === col("an"), "left_outer")
+      .join(rrTop, col("enp") === col("rnp") && col("query_id") === col("rq")
+        && col("neighbor_id") === col("rn"), "left_outer")
+      .groupBy(col("enp").cast("bigint").as("nprobe"))
+      .agg(countDistinct(col("query_id")).as("n_queries"),
+        sum(when(col("an").isNotNull, 1L).otherwise(0L)).as("n_hits_adc"),
+        sum(when(col("rn").isNotNull, 1L).otherwise(0L)).as("n_hits_rerank"))
+      .select(col("nprobe"), col("n_queries"),
+        col("n_hits_adc"),
+        round(col("n_hits_adc").cast("double")
+          / (lit(3) * col("n_queries")).cast("double"), 6).as("recall_adc_at_3"),
+        col("n_hits_rerank"),
+        round(col("n_hits_rerank").cast("double")
+          / (lit(3) * col("n_queries")).cast("double"), 6).as("recall_rerank_at_3"))
+      .orderBy("nprobe")
+  }
+
   /** LSH-candidate dedup clustering (round 10) — the clustering a 100 TB
     * pipeline ACTUALLY runs: connected components over the banded-
     * MinHash candidate pairs verified at the strong threshold
@@ -1911,6 +2055,7 @@ object LlmOps {
     "q_llm_lsh_clusters" -> q_llm_lsh_clusters _,
     "q_llm_hard_negatives" -> q_llm_hard_negatives _,
     "q_llm_ann_ivfpq" -> q_llm_ann_ivfpq _,
+    "q_llm_ann_ivfpq_nprobe" -> q_llm_ann_ivfpq_nprobe _,
     "q_llm_feature_hash" -> q_llm_feature_hash _,
     "q_llm_ann_recall" -> q_llm_ann_recall _,
     "q_llm_soft_dedup" -> q_llm_soft_dedup _,

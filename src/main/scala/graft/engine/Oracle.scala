@@ -7861,13 +7861,143 @@ object Oracle {
         |FROM c ORDER BY decile""".stripMargin
   )
 
+  /** Round-17: weighted traversal tier (SSSP) + multi-probe IVF-PQ. */
+  val round17: Map[String, String] = Map(
+    // Bounded Bellman-Ford, SsspMaxRounds relaxation rounds unrolled as
+    // a min-aggregation CTE chain (recursive CTEs can't carry the
+    // per-node MIN). Self-loop device: uews carries w=0 self-loops so
+    // every level references its predecessor exactly ONCE — a chain
+    // level referenced twice is re-inlined exponentially by DuckDB
+    // (the q_graph_hits lesson). Integer weights → exact distances;
+    // the Spark frontier loop computes the identical d_K (frontier
+    // pruning provably preserves per-round values).
+    "q_graph_sssp" -> {
+      // every chain level is MATERIALIZED: DuckDB's optimizer inlines
+      // an un-materialized 30-deep min-agg chain into a plan whose
+      // optimization time grows super-linearly (probed: 14 levels
+      // 0.5 s, 18 levels 1.8 s, 30 levels >12 min; with MATERIALIZED
+      // the full 30-level chain runs in 0.4 s)
+      val steps = (1 to GraphOps.SsspMaxRounds).map { i =>
+        s"""d$i AS MATERIALIZED (SELECT u.b AS node, MIN(p.dist + u.w) AS dist
+           |  FROM d${i - 1} p JOIN uews u ON p.node = u.a GROUP BY 1)""".stripMargin
+      }.mkString(",\n")
+      s"""WITH $edgesCte,
+         |pp AS (SELECT e1.dst AS a, e2.dst AS b, CAST(COUNT(*) AS BIGINT) AS w
+         |       FROM edges e1 JOIN edges e2 ON e1.src = e2.src AND e1.dst < e2.dst
+         |       GROUP BY 1, 2 HAVING COUNT(*) >= ${GraphOps.CcMinCooccur}),
+         |uew AS (SELECT a, b, w FROM pp UNION ALL SELECT b, a, w FROM pp),
+         |uews AS MATERIALIZED (SELECT a, b, w FROM uew
+         |  UNION ALL SELECT DISTINCT a, a AS b, CAST(0 AS BIGINT) AS w FROM uew),
+         |d0 AS (SELECT MIN(a) AS node, CAST(0 AS BIGINT) AS dist FROM uews
+         |  HAVING MIN(a) IS NOT NULL),
+         |$steps
+         |SELECT node AS part_key, dist FROM d${GraphOps.SsspMaxRounds}
+         |ORDER BY dist ASC, part_key ASC LIMIT 20""".stripMargin
+    },
+
+    // Multi-probe IVF-PQ: the ivfpq residual/codebook/codes chain, a
+    // per-(query, probed-cell) residual LUT (the centroid cancels, so
+    // ADC approximates true L2² in every probed cell), plus an exact
+    // L2² re-rank audit of the same candidates; both legs' recall@3 vs
+    // the exact full-corpus L2² top-3. The exact L2² is the explicit
+    // 64-term left-assoc chain — bit-equal to Spark's aggregate() fold;
+    // ADC terms go round-9 → DECIMAL (order-blind sum).
+    "q_llm_ann_ivfpq_nprobe" -> {
+      val rd2terms = (1 to 8).map(i =>
+        s"(xv[$i] - cv2[$i]) * (xv[$i] - cv2[$i])").mkString(" + ")
+      def l2chain(a: String, b: String): String = (1 to 64).map(i =>
+        s"(CAST($a[$i] AS DOUBLE) - CAST($b[$i] AS DOUBLE)) * " +
+          s"(CAST($a[$i] AS DOUBLE) - CAST($b[$i] AS DOUBLE))").mkString(" + ")
+      s"""WITH $ivfAssignedCtes,
+         |qs AS (SELECT vid AS query_id, dv AS qv FROM assigned
+         |       WHERE vid BETWEEN 20 AND 24),
+         |qc AS (SELECT q.query_id, c.cid, c.cv,
+         |         ROUND(${cosExpr("q.qv", "c.cv")}, 6) AS ccos
+         |       FROM qs q CROSS JOIN cents c),
+         |qcells AS (SELECT query_id AS cq, cid AS ccid, cv AS ccv, cell_rank
+         |  FROM (SELECT query_id, cid, cv, ROW_NUMBER() OVER (
+         |          PARTITION BY query_id ORDER BY ccos DESC, cid ASC) AS cell_rank
+         |        FROM qc)
+         |  WHERE cell_rank <= ${LlmOps.NProbes.max}),
+         |res AS (SELECT a.vid, a.cid,
+         |    list_transform(range(1, 65),
+         |      i -> CAST(a.dv[i] AS DOUBLE) - CAST(c.cv[i] AS DOUBLE)) AS rv
+         |  FROM assigned a JOIN cents c ON a.cid = c.cid),
+         |s AS (SELECT vid, m, rv[m*8 + 1 : m*8 + 8] AS xv
+         |  FROM res, UNNEST(range(0, 8)) AS t(m)),
+         |cb AS MATERIALIZED (SELECT vid AS j, m AS cm, xv AS cv2 FROM s, nl
+         |  WHERE vid BETWEEN nl.nlist AND nl.nlist + 15),
+         |d2t AS (SELECT s.vid, s.m, cb.j, $rd2terms AS d2
+         |  FROM s JOIN cb ON s.m = cb.cm),
+         |codes AS (SELECT vid AS nid, m AS nm, j AS code FROM (
+         |  SELECT vid, m, j, ROW_NUMBER() OVER (PARTITION BY vid, m
+         |    ORDER BY d2, j) AS rn FROM d2t) WHERE rn = 1),
+         |qres AS (SELECT k.cq AS query_id, k.ccid, k.cell_rank,
+         |    list_transform(range(1, 65),
+         |      i -> CAST(q.qv[i] AS DOUBLE) - CAST(k.ccv[i] AS DOUBLE)) AS rv
+         |  FROM qcells k JOIN qs q ON k.cq = q.query_id),
+         |qsub AS (SELECT query_id, ccid, cell_rank, m, rv[m*8 + 1 : m*8 + 8] AS xv
+         |  FROM qres, UNNEST(range(0, 8)) AS t(m)),
+         |qlut AS (SELECT u.query_id AS lq, u.ccid AS lcell, u.m AS lm, cb.j AS lj,
+         |    CAST(round($rd2terms, 9) AS DECIMAL(20,9)) AS qd2
+         |  FROM qsub u JOIN cb ON u.m = cb.cm),
+         |cand AS (SELECT k.cq AS query_id, a.vid AS cvid, a.cid AS ncid,
+         |    k.cell_rank, a.dv AS nv
+         |  FROM assigned a JOIN qcells k ON a.cid = k.ccid AND a.vid <> k.cq),
+         |candl2 AS MATERIALIZED (SELECT c.query_id, c.cvid, c.ncid, c.cell_rank,
+         |    ROUND(${l2chain("q.qv", "c.nv")}, 6) AS l2r
+         |  FROM cand c JOIN qs q ON c.query_id = q.query_id),
+         |adc AS (SELECT c.query_id, c.cvid, c.cell_rank,
+         |    CAST(SUM(l.qd2) AS DOUBLE) AS a
+         |  FROM candl2 c JOIN codes k ON k.nid = c.cvid
+         |  JOIN qlut l ON l.lq = c.query_id AND l.lcell = c.ncid
+         |    AND l.lm = k.nm AND l.lj = k.code
+         |  GROUP BY 1, 2, 3),
+         |nps AS (SELECT UNNEST(${LlmOps.NProbes.mkString("[", ", ", "]")}) AS np),
+         |at AS (SELECT np, query_id, cvid FROM (
+         |    SELECT n.np, a.query_id, a.cvid,
+         |      ROW_NUMBER() OVER (PARTITION BY n.np, a.query_id
+         |        ORDER BY round(a.a, 6) ASC, a.cvid ASC) AS rnk
+         |    FROM adc a JOIN nps n ON a.cell_rank <= n.np) WHERE rnk <= 3),
+         |rr AS (SELECT np, query_id, cvid FROM (
+         |    SELECT n.np, c.query_id, c.cvid,
+         |      ROW_NUMBER() OVER (PARTITION BY n.np, c.query_id
+         |        ORDER BY c.l2r ASC, c.cvid ASC) AS rnk
+         |    FROM candl2 c JOIN nps n ON c.cell_rank <= n.np) WHERE rnk <= 3),
+         |ex AS (SELECT query_id, neighbor_id FROM (
+         |    SELECT q.query_id, d.vid AS neighbor_id,
+         |      ROW_NUMBER() OVER (PARTITION BY q.query_id
+         |        ORDER BY ROUND(${l2chain("q.qv", "d.nv")}, 6) ASC, d.vid ASC) AS rnk
+         |    FROM qs q JOIN (SELECT vid, dv AS nv FROM data) d
+         |      ON q.query_id <> d.vid) WHERE rnk <= 3),
+         |agg AS (SELECT n.np,
+         |    CAST(COUNT(DISTINCT e.query_id) AS BIGINT) AS n_queries,
+         |    CAST(SUM(CASE WHEN a.cvid IS NOT NULL THEN 1 ELSE 0 END)
+         |      AS BIGINT) AS n_hits_adc,
+         |    CAST(SUM(CASE WHEN r.cvid IS NOT NULL THEN 1 ELSE 0 END)
+         |      AS BIGINT) AS n_hits_rerank
+         |  FROM ex e CROSS JOIN nps n
+         |  LEFT JOIN at a ON a.np = n.np AND a.query_id = e.query_id
+         |    AND a.cvid = e.neighbor_id
+         |  LEFT JOIN rr r ON r.np = n.np AND r.query_id = e.query_id
+         |    AND r.cvid = e.neighbor_id
+         |  GROUP BY 1)
+         |SELECT CAST(np AS BIGINT) AS nprobe, n_queries, n_hits_adc,
+         |  ROUND(CAST(n_hits_adc AS DOUBLE) / CAST(3 * n_queries AS DOUBLE), 6)
+         |    AS recall_adc_at_3,
+         |  n_hits_rerank,
+         |  ROUND(CAST(n_hits_rerank AS DOUBLE) / CAST(3 * n_queries AS DOUBLE), 6)
+         |    AS recall_rerank_at_3
+         |FROM agg ORDER BY nprobe""".stripMargin
+    })
+
   val all: Map[String, String] =
     relational ++ streaming ++ graph ++ llm ++ extended ++ gnn ++ gnnPrep ++
       pipeline ++ round4 ++ round4b ++ round4c ++ round4d ++ round4e ++
       round4f ++ round5 ++ round6 ++ round6graph ++ ClusterOps.oracle ++
       BpeOps.oracle ++ partitioning ++ train ++ graphAnalytics ++ curation ++
       stats ++ gin ++ mmr ++ round13 ++ round15 ++ round15b ++ round16 ++
-      round16b ++ round16c ++ round16d ++ round16e ++
+      round16b ++ round16c ++ round16d ++ round16e ++ round17 ++
       // streaming twins: the final snapshot IS the batch result — the
       // batch operators' oracles replay them verbatim
       Map("q_stream_gnn_pool" -> train("q_gnn_graphsage_pool"),
