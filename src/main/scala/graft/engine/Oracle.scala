@@ -457,12 +457,36 @@ object Oracle {
            |  WHERE event_type = '${p.steps.last._1}' AND $lastC IS NOT NULL
            |    AND ($lastC).ts >= ts - INTERVAL ${p.withinMinutes} MINUTE$notPred)""".stripMargin)
     }
-    // AFTER MATCH SKIP TO NEXT: one match per (user, start) — min end
+    // AFTER MATCH SKIP TO NEXT: one match per (user, start) — min end.
+    // AFTER MATCH SKIP PAST LAST ROW: the per-user greedy non-overlap
+    // selection replayed as a linear recursive CTE over the
+    // (end, start)-numbered match list — one row per (user, match),
+    // carrying the last accepted end; accept iff start > last_end
+    // (strictly — spans are end-inclusive), the Spark fold verbatim.
+    val skipPastCtes = if (p.skipPastLast) Seq(
+      s"""mo AS (SELECT user_id, start_ts, end_ts, ROW_NUMBER() OVER (
+         |  PARTITION BY user_id ORDER BY end_ts, start_ts) AS rn FROM m)""".stripMargin,
+      s"""rec AS (
+         |  SELECT user_id, CAST(0 AS BIGINT) AS rn,
+         |    TIMESTAMP '1970-01-01 00:00:00' AS last_end,
+         |    CAST(NULL AS TIMESTAMP) AS s2, CAST(NULL AS TIMESTAMP) AS e2,
+         |    false AS acc
+         |  FROM (SELECT DISTINCT user_id FROM mo)
+         |  UNION ALL
+         |  SELECT r.user_id, mo.rn,
+         |    CASE WHEN mo.start_ts > r.last_end THEN mo.end_ts
+         |         ELSE r.last_end END,
+         |    mo.start_ts, mo.end_ts, mo.start_ts > r.last_end
+         |  FROM rec r JOIN mo ON mo.user_id = r.user_id AND mo.rn = r.rn + 1)""".stripMargin)
+    else Seq.empty
     val mmBody = if (p.skipToNext)
       "SELECT user_id, start_ts, MIN(end_ts) AS end_ts FROM m GROUP BY 1, 2"
+    else if (p.skipPastLast)
+      "SELECT user_id, s2 AS start_ts, e2 AS end_ts FROM rec WHERE acc"
     else "SELECT * FROM m"
-    val ctes = matchCtes
-    s"""WITH ${ctes.mkString(",\n")},
+    val ctes = matchCtes ++ skipPastCtes
+    val recKw = if (p.skipPastLast) "RECURSIVE " else ""
+    s"""WITH $recKw${ctes.mkString(",\n")},
        |mm AS MATERIALIZED ($mmBody),
        |q AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_step1_in_window
        |      FROM mm JOIN e s1 ON s1.user_id = mm.user_id

@@ -1,5 +1,6 @@
 package graft
 
+import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 
 import graft.engine.{GraphOps, LlmOps}
@@ -69,6 +70,40 @@ class Round23Spec extends AnyFunSuite {
       assert(d >= GraphOps.CcMinCooccur * h && d <= maxW * h,
         s"node $n: weighted dist $d outside [${GraphOps.CcMinCooccur}*$h, $maxW*$h]")
     }
+  }
+
+  test("CEP AFTER MATCH modes: skip-till-last / SKIP TO NEXT / SKIP PAST " +
+      "LAST ROW separate on an overlapping-match scenario, batch == stream") {
+    import spark.implicits._
+    import graft.engine.StreamingOps
+    import StreamingOps.{CepEv, cepStream, compileCep, parseCep}
+    // view@0 click@10 view@15 purchase@20 click@25 purchase@30 (minutes):
+    // skip-till-last matches (0,20) and (15,30) — overlapping spans
+    // with DISTINCT starts, the configuration where the three modes
+    // give three different answers: default keeps both, TO NEXT keeps
+    // both (different start witnesses), PAST LAST ROW drops (15,30).
+    def us(m: Long) = m * 60L * 1000000L
+    val evs = Seq(
+      CepEv(1L, 1L, us(0), "view"), CepEv(1L, 2L, us(10), "click"),
+      CepEv(1L, 3L, us(15), "view"), CepEv(1L, 4L, us(20), "purchase"),
+      CepEv(1L, 5L, us(25), "click"), CepEv(1L, 6L, us(30), "purchase"))
+    val df = evs.toDF("user_id", "event_id", "ts_us", "event_type")
+      .select(col("user_id"), col("event_id"),
+        timestamp_micros(col("ts_us")).as("ts"), col("event_type"))
+    def spans(pat: String): Seq[(Long, Long)] = {
+      val p = parseCep("t", s"view click purchase within 240m$pat")
+      val batch = compileCep(df, p)
+        .collect().map(r => (r.getTimestamp(1).getTime, r.getTimestamp(2).getTime))
+        .toSeq.sorted
+      val stream = cepStream(p)(evs.toDS())
+        .collect().map(m => (m.start_us / 1000, m.end_us / 1000)).toSeq.sorted
+      assert(batch == stream, s"batch $batch != stream $stream for '$pat'")
+      batch
+    }
+    def mins(xs: Seq[(Long, Long)]) = xs.map { case (a, b) => (a / 60000, b / 60000) }
+    assert(mins(spans("")) == Seq((0L, 20L), (15L, 30L)), "skip-till-last")
+    assert(mins(spans(" skip next")) == Seq((0L, 20L), (15L, 30L)), "skip to next")
+    assert(mins(spans(" skip past")) == Seq((0L, 20L)), "skip past last row")
   }
 
   test("ivfpq nprobe curve: re-rank hits dominate ADC hits and are " +
