@@ -8046,6 +8046,10 @@ object Oracle {
         "q_stream_chi2" -> round13("q_agg_chi2"),
         "q_stream_benford" -> round13("q_agg_benford"),
         "q_stream_ttest" -> stats("q_agg_ttest"),
+        // streaming CC maintainer: the sharded union-find forests
+        // preserve connectivity exactly, and the snapshot merge is the
+        // batch fixpoint — snapshot ≡ batch q_graph_cc, one oracle
+        "q_stream_cc" -> graph("q_graph_cc"),
         // streaming CMS grid is cell-identical to the batch sketch
         "q_stream_cms" -> round6("q_llm_cms_topk"),
         // deterministic bottom-k reservoir: batch twin = hash-rank window

@@ -72,6 +72,46 @@ class Round23Spec extends AnyFunSuite {
     }
   }
 
+  test("streaming CC: cross-batch union-find state carry, sharded forests " +
+      "merge to the true components") {
+    val s = spark
+    import s.implicits._
+    implicit val sq = s.sqlContext
+    import graft.engine.GraphOps.{CcEdge, ccUpdate}
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import org.apache.spark.sql.streaming.{GroupStateTimeout, OutputMode}
+    // batch 1: 1-2, 3-4 (two components); batch 2: 2-3 arrives and
+    // MERGES them — the union must see batch-1 state. A second shard
+    // holds 10-11 to prove shard isolation + downstream merge.
+    val ms = MemoryStream[CcEdge]
+    val q = ms.toDS().groupByKey(_.shard)
+      .flatMapGroupsWithState(OutputMode.Update, GroupStateTimeout.NoTimeout)(ccUpdate)
+      .toDF()
+      .writeStream.outputMode("update").format("memory").queryName("cc_uf").start()
+    ms.addData(CcEdge(0, 1, 2), CcEdge(0, 3, 4), CcEdge(1, 10, 11))
+    q.processAllAvailable()
+    ms.addData(CcEdge(0, 2, 3))
+    q.processAllAvailable(); q.stop()
+    // latest snapshot per shard = the last emitted forest
+    val snaps = s.table("cc_uf").collect()
+      .map(r => (r.getInt(0), r.getSeq[Long](1).zip(r.getSeq[Long](2))))
+    val last0 = snaps.filter(_._1 == 0).last._2.toMap
+    def root(m: Map[Long, Long], x: Long): Long = {
+      var r = x; while (m.getOrElse(r, r) != r) r = m(r); r
+    }
+    assert(Seq(1L, 2L, 3L, 4L).map(root(last0, _)).distinct == Seq(1L),
+      s"batch-2 edge must merge the two batch-1 trees via carried state: $last0")
+    val last1 = snaps.filter(_._1 == 1).last._2.toMap
+    assert(root(last1, 11L) == 10L, "shard 1 unaffected")
+    // snapshot ≡ batch on the real fixture: the registered query (which
+    // runs the same fold batch-executed) equals q_graph_cc's histogram
+    val stream = SparkEntry.queries("q_stream_cc")(s, sf0001)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq.sorted
+    val batch = SparkEntry.queries("q_graph_cc")(s, sf0001)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq.sorted
+    assert(stream == batch, s"stream snapshot $stream != batch CC $batch")
+  }
+
   test("CEP AFTER MATCH modes: skip-till-last / SKIP TO NEXT / SKIP PAST " +
       "LAST ROW separate on an overlapping-match scenario, batch == stream") {
     import spark.implicits._
