@@ -815,6 +815,67 @@ object GraphOps {
       .limit(20)
   }
 
+  /** Weighted bipartite arc list (src, dst, w, wt): edge weight w =
+    * purchase MULTIPLICITY (order-line count of the customer–part
+    * pair — the strength the DISTINCT edge list throws away),
+    * symmetrized, with each source's total outgoing weight wt attached
+    * — what the weighted power-iteration tier divides by. Same
+    * dst-pre-partitioning as undWeighted (partition-local groupBy(dst),
+    * no per-step exchange). Session MV; at 100 TB a persisted weighted
+    * adjacency beside the unweighted one. */
+  private[graft] def undWeightedArcs(s: SparkSession, dir: String): DataFrame =
+    Mv.memo(s, s"undWArcs|$dir") { bs =>
+      // materialize the multiplicity aggregation ONCE: both the
+      // symmetrized arc list and the broadcast weight-total build read
+      // it — without the cut each re-executes the orders⋈lineitem scan
+      val we = Tables.orders(bs, dir)
+        .join(Tables.lineitem(bs, dir), col("o_orderkey") === col("l_orderkey"))
+        .groupBy((col("o_custkey") * 2).as("src"), (col("l_partkey") * 2 + 1).as("dst"))
+        .agg(count(lit(1)).as("w"))
+        .ckpt()
+      val sym = we.union(we.select(col("dst").as("src"), col("src").as("dst"), col("w")))
+      // |V|-sized weight totals broadcast into the |E|-sized arc list
+      // (the planner would SMJ two stats-less intermediates otherwise)
+      val wsum = sym.groupBy(col("src").as("n")).agg(sum(col("w")).as("wt"))
+      sym.join(broadcast(wsum), col("src") === col("n"))
+        .select(col("src"), col("dst"), col("w"), col("wt"))
+        .repartition(bs.sessionState.conf.numShufflePartitions, col("dst"))
+        .ckpt()
+    }
+
+  /** WEIGHTED PageRank (r17, VERDICT r16 item 5): the q_graph_pagerank
+    * power iteration with the transition probability w_uv/W_u in the
+    * numerator — purchase multiplicity instead of the uniform 1/deg, so
+    * a part bought repeatedly by its customers outranks one bought once
+    * by the same customers. Same 10 iterations, same reset 0.15, same
+    * per-term 1e9-scaled BIGINT rounding device (the double product
+    * r·w/W·1e9 is computed identically in both engines), same
+    * broadcast-chain/checkpoint cadence. Undirected symmetrized ⇒ no
+    * dangling mass: Σr is conserved at |V| every step (mod 1e-9
+    * rounding). */
+  def q_graph_pagerank_w(s: SparkSession, dir: String): DataFrame = {
+    val undW = undWeightedArcs(s, dir)
+    // node set of the weighted graph == node set of the distinct graph
+    // (multiplicity never adds or removes a node): r₀ seeds from the
+    // SHARED undDegrees MV instead of a fresh distinct over the arcs
+    var ranks = undDegrees(s, dir).select(col("node"), lit(1.0).as("r"))
+    for (it <- 1 to 10) {
+      ranks = undW
+        .join(stateHint(s, dir, ranks.select(col("node").as("rn"), col("r")), "rn"),
+          col("src") === col("rn"))
+        .groupBy(col("dst"))
+        .agg((lit(0.15) + lit(0.85)
+          * (sum(round(col("r") * col("w") / col("wt") * 1e9, 0).cast("bigint"))
+            .cast("double") / 1e9)).as("r"))
+        .select(col("dst").as("node"), col("r"))
+      if (it % 2 == 0) ranks = ranks.ckpt()
+    }
+    ranks.filter(col("node") % 2 === 1)
+      .select(expr("(node - 1) div 2").as("part_key"), round(col("r"), 6).as("rank"))
+      .orderBy(col("rank").desc, col("part_key").asc)
+      .limit(20)
+  }
+
   /** BFS hop cap shared with the DuckDB recursive-CTE oracle. */
   val BfsMaxHops = 15
 
@@ -2282,6 +2343,7 @@ object GraphOps {
     "q_graph_cc" -> q_graph_cc _,
     "q_stream_cc" -> q_stream_cc _,
     "q_graph_pagerank" -> q_graph_pagerank _,
+    "q_graph_pagerank_w" -> q_graph_pagerank_w _,
     "q_graph_bfs" -> q_graph_bfs _,
     "q_graph_sssp" -> q_graph_sssp _,
     "q_graph_jaccard" -> q_graph_jaccard _,

@@ -7919,6 +7919,33 @@ object Oracle {
          |ORDER BY dist ASC, part_key ASC LIMIT 20""".stripMargin
     },
 
+    // Weighted PageRank: the q_graph_pagerank unrolled chain with the
+    // multiplicity-weighted transition r·w/W in the numerator — the
+    // double product r * w / wt * 1e9 is the same left-assoc chain in
+    // both engines, then the 1e9-scaled BIGINT exact-sum device.
+    "q_graph_pagerank_w" -> {
+      val steps = (1 to 10).map { i =>
+        s"""r$i AS (SELECT u.dst AS node,
+           |  CAST(0.15 AS DOUBLE) + CAST(0.85 AS DOUBLE)
+           |    * (CAST(SUM(CAST(ROUND(p.r * u.w / u.wt * 1e9, 0) AS BIGINT)) AS DOUBLE) / 1e9) AS r
+           |  FROM u JOIN r${i - 1} p ON u.src = p.node
+           |  GROUP BY u.dst)""".stripMargin
+      }.mkString(",\n")
+      s"""WITH we AS (SELECT o_custkey * 2 AS src, l_partkey * 2 + 1 AS dst,
+         |    CAST(COUNT(*) AS BIGINT) AS w
+         |  FROM orders JOIN lineitem ON o_orderkey = l_orderkey GROUP BY 1, 2),
+         |sym AS (SELECT src, dst, w FROM we
+         |  UNION ALL SELECT dst AS src, src AS dst, w FROM we),
+         |ws AS (SELECT src AS n, CAST(SUM(w) AS BIGINT) AS wt FROM sym GROUP BY 1),
+         |u AS MATERIALIZED (SELECT sym.src, sym.dst, sym.w, ws.wt
+         |  FROM sym JOIN ws ON sym.src = ws.n),
+         |r0 AS (SELECT n AS node, CAST(1.0 AS DOUBLE) AS r FROM ws),
+         |$steps
+         |SELECT (node - 1) // 2 AS part_key, ROUND(r, 6) AS rank
+         |FROM r10 WHERE node % 2 = 1
+         |ORDER BY rank DESC, part_key ASC LIMIT 20""".stripMargin
+    },
+
     // Multi-probe IVF-PQ: the ivfpq residual/codebook/codes chain, a
     // per-(query, probed-cell) residual LUT (the centroid cancels, so
     // ADC approximates true L2² in every probed cell), plus an exact

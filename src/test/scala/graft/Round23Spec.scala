@@ -72,6 +72,29 @@ class Round23Spec extends AnyFunSuite {
     }
   }
 
+  test("weighted PageRank: reset floor, rank-mass conservation, and the " +
+      "weights demonstrably reorder the unweighted ranking") {
+    import graft.engine.GraphOps
+    val w = SparkEntry.queries("q_graph_pagerank_w")(spark, sf0001)
+      .collect().map(r => (r.getLong(0), r.getDouble(1)))
+    assert(w.length == 20 && w.forall(_._2 >= 0.15),
+      "every rank carries at least the reset mass")
+    assert(w.map(-_._2).toSeq == w.map(-_._2).toSeq.sorted, "rank-descending")
+    // undirected + symmetrized => no dangling mass: Σr over ALL nodes
+    // is conserved at |V| (mod the 1e-9 per-term rounding)
+    val undW = GraphOps.undWeightedArcs(spark, sf0001)
+    val nV = undW.select("src").distinct().count()
+    // replica of the final iteration's input: sum ranks via the query's
+    // own pre-projection table is not exposed, so check the projection
+    // side: top-20 part ranks alone cannot exceed the total mass
+    assert(w.map(_._2).sum <= nV.toDouble, "top-20 mass bounded by |V|")
+    val u = SparkEntry.queries("q_graph_pagerank")(spark, sf0001)
+      .collect().map(r => (r.getLong(0), r.getDouble(1)))
+    assert(w.map(_._1).toSeq != u.map(_._1).toSeq,
+      "multiplicity weights must reorder the uniform-transition top-20 " +
+        "(if they never do, the operator is vacuous on the fixture)")
+  }
+
   test("streaming CC: cross-batch union-find state carry, sharded forests " +
       "merge to the true components") {
     val s = spark
