@@ -355,8 +355,14 @@ object Bench {
     val mvJson = s"""{"n":$mvN,"rdds":$rddN,"mem_mb":${memB / 1048576}}"""
     def cjson(c: (Double, Double, Double)): String =
       s"""{"start":${f3(c._1)},"mid":${f3(c._2)},"end":${f3(c._3)}}"""
+    // self-describing subset runs (ADVICE r16): a dev-knob subset sweep
+    // is distinguishable from a full round record by its own header
+    // field, not just implicitly via n_queries
+    val subsetJson = sys.env.get("SPARK_GRAFT_BENCH_SUBSET")
+      .map(r => "\"" + r.replace("\\", "\\\\").replace("\"", "\\\"") + "\"")
+      .getOrElse("null")
     def mkHead(rt: String): String =
-      s""""canary":${cjson(canary1)},"canary2":${cjson(canary2)},"canaries":[${passes.map(p => cjson(p._2)).mkString(",")}],"n_sweeps":${passes.size},"resweep":$resweep,"contaminated":$contaminated,"retimed":$rt,"mv":$mvJson,"warmup_failed":[$wfail],"n_queries":${results.size},"n_failed":${failed.size},"failed":[${failed.mkString(",")}],"sf":"$sfDir","metric":"total","unit":"sec","value":${f3(total)}"""
+      s""""canary":${cjson(canary1)},"canary2":${cjson(canary2)},"canaries":[${passes.map(p => cjson(p._2)).mkString(",")}],"n_sweeps":${passes.size},"resweep":$resweep,"contaminated":$contaminated,"subset":$subsetJson,"retimed":$rt,"mv":$mvJson,"warmup_failed":[$wfail],"n_queries":${results.size},"n_failed":${failed.size},"failed":[${failed.mkString(",")}],"sf":"$sfDir","metric":"total","unit":"sec","value":${f3(total)}"""
     val head = mkHead(retimedJson)
     // When a resweep fired, EVERY raw per-query pass goes into the full
     // artifact alongside the merged mins (ADVICE r9: the merge alone

@@ -649,7 +649,7 @@ object Gnn {
     * table before training. Memo + localCheckpoint share GraphOps'
     * cache/eviction machinery. */
   def linkPredFeatures(s: SparkSession, dir: String): DataFrame =
-    Mv.memo(s, s"linkPredFeat|$dir")(bs => buildLinkPredFeatures(bs, dir).ckpt())
+    Mv.memo(s, s"linkPredFeat|${GraphOps.gKey(s, dir)}")(bs => buildLinkPredFeatures(bs, dir).ckpt())
 
   private def buildLinkPredFeatures(s: SparkSession, dir: String): DataFrame = {
     val e = GraphOps.edges(s, dir)
@@ -746,7 +746,7 @@ object Gnn {
     * (session, fixture): the iterative walk build is the expensive
     * part and both consumers read the identical table. */
   private[graft] def walkPaths(s: SparkSession, dir: String): DataFrame =
-    Mv.memo(s, s"walkPaths|$dir") { bs => buildWalkPaths(bs, dir).ckpt() }
+    Mv.memo(s, s"walkPaths|${GraphOps.gKey(s, dir)}") { bs => buildWalkPaths(bs, dir).ckpt() }
 
   private def buildWalkPaths(s: SparkSession, dir: String): DataFrame = {
     val ue = GraphOps.undProj(s, dir, GraphOps.TriangleMinCooccur)

@@ -56,6 +56,38 @@ object GraphOps {
     * (PlanAuditSpec pins both regimes with it). */
   val StateBroadcastMaxRows = 20000000L
 
+  /** Memoized edge-count probe (one scalar per session × fixture over
+    * the checkpointed edge MV) — feeds the iterative tier's adaptive
+    * scan width. */
+  private val edgeCountCache =
+    new java.util.concurrent.ConcurrentHashMap[(String, String), Long]()
+  private[graft] def edgeCount(s: SparkSession, dir: String): Long =
+    edgeCountCache.computeIfAbsent(
+      (s.sparkContext.applicationId, dir), _ => edges(s, dir).count())
+
+  /** Target rows per task for the iterative matvec scans — tiny rows
+    * (two longs), so a task under ~75k rows is scheduler-bound, not
+    * compute-bound (A/B: 32 blocks of ~19k rows ran each HITS job
+    * slower than 8 blocks of ~75k at sf0.1). */
+  val IterRowsPerTask = 75000L
+
+  /** ADAPTIVE scan width for the iterative tier (VERDICT r16 advisory:
+    * q_graph_hits hard-coded `coalesce(8)` as a local[32] tune that
+    * had to be hand-edited at deployment — the ivfNlist convention
+    * applied to scheduling): width = clamp(⌈|E|/rowsPerTask⌉, 1,
+    * defaultParallelism), a deterministic function of the measured
+    * edge count. Small graphs coalesce to few fat tasks (cutting
+    * per-job scheduler latency across the 10-iteration chain); as |E|
+    * grows the width rises until the clamp makes the coalesce a no-op
+    * at full parallelism — the "drop it at scale" note executed by the
+    * rule instead of by hand. Narrow dependency over the checkpoint
+    * blocks, so key-locality of the MV is preserved. */
+  private[graft] def iterWidth(s: SparkSession, dir: String): Int = {
+    val e = edgeCount(s, dir)
+    val w = (e + IterRowsPerTask - 1) / IterRowsPerTask
+    math.max(1L, math.min(w, s.sparkContext.defaultParallelism.toLong)).toInt
+  }
+
   private def stateFitsBroadcast(s: SparkSession, dir: String,
       factor: Long): Boolean =
     vertexCount(s, dir) * factor <= s.conf
@@ -92,12 +124,21 @@ object GraphOps {
     * largest cost block in the bench (PERF.md). All MVs share Mv.memo —
     * one cache, one eviction listener (VERDICT r5 item 5). */
 
+  /** Freshness-scoped key suffix for every orders/lineitem-derived
+    * graph MV (r17, ADVICE r16: graph MVs were keyed by dir alone, so
+    * a mid-session rewrite of the fact tables could serve stale
+    * adjacency into fresh joins — the failure class docsKey closed for
+    * the documents tier). Superseded generations evict via
+    * LlmOps.tablesKey's shared register. */
+  private[graft] def gKey(s: SparkSession, dir: String): String =
+    LlmOps.tablesKey(s, dir, Seq("orders", "lineitem"))
+
   /** Co-purchase bipartite edges: DISTINCT (customer, part) — built once
     * per (session, fixture), pre-hash-partitioned on the customer key
     * (what the pair self-join, the customer-degree aggregation, and the
     * weighted-edge joins all want) and localCheckpoint'ed. */
   def edges(s: SparkSession, dir: String): DataFrame =
-    Mv.memo(s, s"edges|$dir") { bs =>
+    Mv.memo(s, s"edges|${gKey(s, dir)}") { bs =>
       Tables.orders(bs, dir)
         .join(Tables.lineitem(bs, dir), col("o_orderkey") === col("l_orderkey"))
         .select(col("o_custkey").as("src"), col("l_partkey").as("dst"))
@@ -112,7 +153,7 @@ object GraphOps {
     * it. At 100 TB this is the table a deployment would persist as a
     * bucketed MV on (a, b). */
   def pairCounts(s: SparkSession, dir: String): DataFrame =
-    Mv.memo(s, s"pairCounts|$dir") { bs =>
+    Mv.memo(s, s"pairCounts|${gKey(s, dir)}") { bs =>
       val e = edges(bs, dir)
       val e1 = e.select(col("src"), col("dst").as("a"))
       val e2 = e.select(col("src").as("src2"), col("dst").as("b"))
@@ -139,7 +180,7 @@ object GraphOps {
     * closeness/richclub/label-prop/GIN and both walk samplers each
     * rebuilt + re-checkpointed their own copy). */
   private[graft] def undProj(s: SparkSession, dir: String, minCooccur: Int): DataFrame =
-    Mv.memo(s, s"undProj|$minCooccur|$dir") { bs =>
+    Mv.memo(s, s"undProj|$minCooccur|${gKey(s, dir)}") { bs =>
       val pp = partPairs(bs, dir, minCooccur).select(col("a"), col("b"))
       pp.union(pp.select(col("b").as("a"), col("a").as("b")))
         .repartition(col("a"))
@@ -158,7 +199,7 @@ object GraphOps {
     * graph — |V|-sized session MV; seeds PageRank's r₀ and PPR's seed
     * selection without re-aggregating the arc list. */
   private[graft] def undDegrees(s: SparkSession, dir: String): DataFrame =
-    Mv.memo(s, s"undDegrees|$dir") { bs =>
+    Mv.memo(s, s"undDegrees|${gKey(s, dir)}") { bs =>
       undArcs(bs, dir)
         .groupBy(col("src").as("node")).agg(count(lit(1)).as("d"))
         .ckpt()
@@ -172,7 +213,7 @@ object GraphOps {
     * until round 6 (VERDICT r5 what's-wrong #1); at 100 TB this is a
     * persisted adjacency layout, built once per corpus snapshot. */
   private[graft] def undWeighted(s: SparkSession, dir: String): DataFrame =
-    Mv.memo(s, s"undW|$dir") { bs =>
+    Mv.memo(s, s"undW|${gKey(s, dir)}") { bs =>
       undArcs(bs, dir)
         .join(undDegrees(bs, dir), col("src") === col("node"))
         .select(col("src"), col("dst"), col("d"))
@@ -200,7 +241,7 @@ object GraphOps {
     * tying on both carry the SAME part key, so any residual permutation
     * yields the identical transition sequence in both engines. */
   private[graft] def transEdges(s: SparkSession, dir: String): DataFrame =
-    Mv.memo(s, s"transEdges|$dir") { bs =>
+    Mv.memo(s, s"transEdges|${gKey(s, dir)}") { bs =>
       val w = Window.partitionBy(col("l_orderkey"))
         .orderBy(col("l_linenumber"), col("l_partkey"))
       Tables.lineitem(bs, dir)
@@ -824,7 +865,7 @@ object GraphOps {
     * no per-step exchange). Session MV; at 100 TB a persisted weighted
     * adjacency beside the unweighted one. */
   private[graft] def undWeightedArcs(s: SparkSession, dir: String): DataFrame =
-    Mv.memo(s, s"undWArcs|$dir") { bs =>
+    Mv.memo(s, s"undWArcs|${gKey(s, dir)}") { bs =>
       // materialize the multiplicity aggregation ONCE: both the
       // symmetrized arc list and the broadcast weight-total build read
       // it — without the cut each re-executes the orders⋈lineitem scan
@@ -968,7 +1009,7 @@ object GraphOps {
     * weighted PageRank) iterates over. Same threshold, same `a`-key
     * pre-partitioning as undProj. */
   private[graft] def undProjW(s: SparkSession, dir: String, minCooccur: Int): DataFrame =
-    Mv.memo(s, s"undProjW|$minCooccur|$dir") { bs =>
+    Mv.memo(s, s"undProjW|$minCooccur|${gKey(s, dir)}") { bs =>
       val pp = partPairs(bs, dir, minCooccur)
         .select(col("a"), col("b"), col("cnt").as("w"))
       pp.union(pp.select(col("b").as("a"), col("a").as("b"), col("w")))
@@ -1134,7 +1175,7 @@ object GraphOps {
     * localCheckpoints, so the memo just prevents the second consumer
     * from re-running all 4 supersteps. */
   def lpLabels(s: SparkSession, dir: String): DataFrame =
-    Mv.memo(s, s"lpLabels|$dir")(bs => buildLpLabels(bs, dir))
+    Mv.memo(s, s"lpLabels|${gKey(s, dir)}")(bs => buildLpLabels(bs, dir))
 
   private def buildLpLabels(s: SparkSession, dir: String): DataFrame = {
     val ue = undProj(s, dir, TriangleMinCooccur)
@@ -1218,7 +1259,7 @@ object GraphOps {
     * dir): q_graph_louvain_move prices the sweep, q_graph_coarsen
     * builds the next Louvain level's graph from the same labels. */
   private def louvainLabels(s: SparkSession, dir: String): DataFrame =
-    Mv.memo(s, s"louvainLab|$dir") { bs =>
+    Mv.memo(s, s"louvainLab|${gKey(s, dir)}") { bs =>
       val pp = partPairs(bs, dir, TriangleMinCooccur).select(col("a"), col("b"))
       val ue = undProj(bs, dir, TriangleMinCooccur)
       val deg = ue.groupBy(col("a")).agg(count(lit(1)).as("k"))
@@ -1324,7 +1365,7 @@ object GraphOps {
     * the hierarchy driver both coarsen level 1 through this table);
     * everything derived from it is communities-sized. */
   private[graft] def louvainLabAgg(s: SparkSession, dir: String): DataFrame =
-    Mv.memo(s, s"louvainLabAgg|$dir") { bs =>
+    Mv.memo(s, s"louvainLabAgg|${gKey(s, dir)}") { bs =>
       val pp = partPairs(bs, dir, TriangleMinCooccur).select(col("a"), col("b"))
       val lab = louvainLabels(bs, dir)
       pp.join(lab.select(col("a").as("na"), col("lbl").as("la")), col("a") === col("na"))
@@ -1339,14 +1380,14 @@ object GraphOps {
     // reads these tables several times per consumer AND two consumers
     // (level2, hierarchy) share them; 32-partition shuffles over a
     // few-hundred-row graph are pure scheduler overhead
-    val edges = Mv.memo(s, s"louvain2Edges|$dir") { bs =>
+    val edges = Mv.memo(s, s"louvain2Edges|${gKey(s, dir)}") { bs =>
       louvainLabAgg(bs, dir).filter(col("la") =!= col("lb"))
         .select(least(col("la"), col("lb")).as("ca"),
           greatest(col("la"), col("lb")).as("cb"), col("w0"))
         .groupBy(col("ca"), col("cb")).agg(sum(col("w0")).as("w"))
         .repartition(1).ckpt("louvain2_edges")
     }
-    val selfN = Mv.memo(s, s"louvain2Self|$dir") { bs =>
+    val selfN = Mv.memo(s, s"louvain2Self|${gKey(s, dir)}") { bs =>
       louvainLabels(bs, dir).select(col("lbl").as("node")).distinct()
         .join(louvainLabAgg(bs, dir).filter(col("la") === col("lb"))
             .select(col("la").as("sn"), col("w0").as("sw0")),
@@ -1448,7 +1489,7 @@ object GraphOps {
     * ladder's first entry — two consumers, one corpus-scale stats
     * pass. */
   private[graft] def louvainL1Stats(s: SparkSession, dir: String): DataFrame =
-    Mv.memo(s, s"louvainL1Stats|$dir") { bs =>
+    Mv.memo(s, s"louvainL1Stats|${gKey(s, dir)}") { bs =>
       val pp = partPairs(bs, dir, TriangleMinCooccur).select(col("a"), col("b"))
       val mRow = pp.agg(count(lit(1)).as("m"))
       val lab1 = louvainLabels(bs, dir)
@@ -1805,13 +1846,14 @@ object GraphOps {
   }
 
   def q_graph_hits(s: SparkSession, dir: String): DataFrame = {
-    // coalesce the checkpointed edge MV for the iterative scans: each of
-    // the 10 matvec jobs is scheduler-bound at this |E| (tiny rows, 32
-    // blocks) — 8 wider tasks cut per-job latency without a shuffle
-    // (narrow dependency over the checkpoint blocks). At a scale where
-    // |E|/8 no longer fits a task comfortably, drop the coalesce — the
-    // loop is correct under any partitioning.
-    val e = edges(s, dir).coalesce(8)
+    // coalesce the checkpointed edge MV for the iterative scans: each
+    // of the 10 matvec jobs is scheduler-bound at small |E| (tiny
+    // rows) — fewer, fatter tasks cut per-job latency without a
+    // shuffle (narrow dependency over the checkpoint blocks). The
+    // width is the measured-|E| iterWidth rule, not a constant: at
+    // scale it saturates at full parallelism and the coalesce becomes
+    // a no-op.
+    val e = edges(s, dir).coalesce(iterWidth(s, dir))
     var auth = e.select(col("dst").as("node")).distinct()
       .select(col("node"), lit(1.0).as("a"))
     for (_ <- 1 to HitsIters) {
@@ -1966,7 +2008,7 @@ object GraphOps {
     * fixpoint-built-MV device the lpLabels/walkPaths tier uses —
     * without it each centrality re-runs the whole level loop). */
   private[graft] def closeDistances(s: SparkSession, dir: String): DataFrame =
-    Mv.memo(s, s"closeDist|$dir") { bs =>
+    Mv.memo(s, s"closeDist|${gKey(s, dir)}") { bs =>
       val ue = undProj(bs, dir, CcMinCooccur)
       val seeds = ue.select(col("a")).distinct()
         .orderBy(col("a")).limit(CloseSeeds)

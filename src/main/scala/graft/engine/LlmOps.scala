@@ -153,6 +153,33 @@ object LlmOps {
     s"$dir|$fresh"
   }
 
+  /** Latest observed freshness token per (application, dir, table-set)
+    * — the generation register behind `tablesKey`. */
+  private val tableGenCache =
+    new java.util.concurrent.ConcurrentHashMap[(String, String), String]()
+
+  /** Freshness-scoped cache-key suffix for MVs derived from an
+    * ARBITRARY table set — the docsKey device generalized (r17, ADVICE
+    * r16: the r16 freshness keying covered only documents-derived MVs;
+    * graph/embedding MVs stayed keyed by dir alone, so a mid-session
+    * rewrite of orders/lineitem/embeddings could still serve stale
+    * adjacency or centroid MVs into fresh joins). Same
+    * superseded-generation eviction: on a freshness miss every Mv
+    * entry of the old generation is unpersisted synchronously before
+    * the new token is returned. Key shape `dir|fresh` keeps the
+    * eviction suffix-match shared with docsKey. */
+  private[graft] def tablesKey(s: SparkSession, dir: String,
+      tables: Seq[String]): String = {
+    val fresh = tables.map(t => tableFreshness(s, dir, t)).mkString("+")
+    val appId = s.sparkContext.applicationId
+    val prev = tableGenCache.put((appId, s"$dir|${tables.mkString(",")}"), fresh)
+    if (prev != null && prev != fresh) {
+      val stale = s"|$dir|$prev"
+      Mv.keys(s).filter(_.endsWith(stale)).foreach(Mv.evict(s, _))
+    }
+    s"$dir|$fresh"
+  }
+
   private[graft] def tokenMasks(s: SparkSession, dir: String): Option[DataFrame] = {
     val dk = docsKey(s, dir)
     val fits = vocabFitsCache.computeIfAbsent(
@@ -1050,6 +1077,14 @@ object LlmOps {
     * match certifies the agreement. ⌊√n⌋ via IEEE sqrt is exact for all
     * n ≤ 2^53 (correctly-rounded sqrt of exact squares), matching
     * DuckDB's FLOOR(SQRT(n)) bit-for-bit. */
+  /** DENSE-ID FIXTURE CONTRACT (ADVICE r16): the ANN tier's
+    * deterministic centroid/codebook selections (`vec_id < nlist`,
+    * codebook = vec_ids nlist..nlist+15) assume vec_ids are dense
+    * 0..n−1 — the embeddings fixture's documented shape (FIXTURES.md),
+    * pinned by Round23Spec (max(vec_id) = n−1). On a gapped-id corpus
+    * both engines still compute the SAME (smaller) centroid set — the
+    * oracle shares the rule — but the "nlist smallest vec_ids" reading
+    * would need a rank-over-vec_id selection instead. */
   private[graft] def ivfNlist(s: SparkSession, dir: String): Long =
     math.max(16L, math.floor(math.sqrt(embCount(s, dir).toDouble)).toLong)
 

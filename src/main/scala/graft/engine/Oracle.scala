@@ -1142,7 +1142,7 @@ object Oracle {
         s"(CASE WHEN $j < nb.bits AND ${dotj(j)} > 0 THEN ${1L << j} ELSE 0 END)")
         .mkString(" + ")
       s"""WITH nb AS (SELECT GREATEST(${LlmOps.LshBitsMin}, LEAST(${LlmOps.LshBitsMax},
-         |    length(bin(COUNT(*) - 1)) - 4)) AS bits FROM embeddings),
+         |    length(bin(GREATEST(COUNT(*), 1) - 1)) - 4)) AS bits FROM embeddings),
          |b AS (SELECT vec_id, embedding, $bucket AS bucket FROM embeddings, nb),
          |q AS (SELECT vec_id AS query_id, bucket AS qb, embedding AS qv
          |      FROM b WHERE vec_id BETWEEN 20 AND 24),

@@ -72,6 +72,36 @@ class Round23Spec extends AnyFunSuite {
     }
   }
 
+  test("embeddings dense-id contract: vec_ids are 0..n-1 (the assumption " +
+      "behind centroid/codebook selection by id threshold)") {
+    import graft.engine.Tables
+    val mx = Tables.embeddings(spark, sf0001)
+      .agg(org.apache.spark.sql.functions.max("vec_id"),
+        org.apache.spark.sql.functions.count(org.apache.spark.sql.functions.lit(1)))
+      .collect()(0)
+    assert(mx.getLong(0) == mx.getLong(1) - 1,
+      s"vec_ids must be dense 0..n-1: max=${mx.getLong(0)} n=${mx.getLong(1)}")
+  }
+
+  test("iterWidth: adaptive scan width is the clamped |E|/rowsPerTask rule " +
+      "(replaces the hand-edited coalesce(8) local[32] tune)") {
+    import graft.engine.GraphOps
+    // sf0.001: |E| = 5,382 -> 1 fat task; the sf0.1 fixture's 599k
+    // edges -> 8 (the measured A/B optimum the old constant encoded);
+    // past defaultParallelism * rowsPerTask the clamp makes the
+    // coalesce a no-op at full width
+    assert(GraphOps.iterWidth(spark, sf0001) == 1)
+    val dp = spark.sparkContext.defaultParallelism
+    assert((1 to dp).contains(GraphOps.iterWidth(spark, sf001)),
+      "width is clamped into [1, defaultParallelism]")
+    assert(GraphOps.edgeCount(spark, sf0001) == 5382L,
+      "memoized edge probe reads the checkpointed MV once")
+    // hits still oracle-shaped after the width change
+    val rows = SparkEntry.queries("q_graph_hits")(spark, sf0001).collect()
+    assert(rows.length == 20 && rows.forall(_.getDouble(1) <= 1.0 + 1e-9),
+      "20 max-normalized authorities")
+  }
+
   test("weighted PageRank: reset floor, rank-mass conservation, and the " +
       "weights demonstrably reorder the unweighted ranking") {
     import graft.engine.GraphOps
