@@ -1957,6 +1957,41 @@ object GraphOps {
       .limit(20)
   }
 
+  /** WEIGHTED personalized PageRank (r17, VERDICT r16 item 5's second
+    * half): q_graph_ppr's frontier-growing push iteration with the
+    * multiplicity-weighted transition r·w/W — the "related parts for
+    * THIS part, weighted by how strongly customers re-buy" ranking.
+    * Same seed (smallest part node), PprIters iterations, 0.15
+    * teleport, and the 1e9-scaled BIGINT per-term device on the
+    * identical double product; reads the shared weighted arc MV
+    * beside the unweighted one. Cost ∝ reach of the seed, not |V| —
+    * ranks start 1-row and grow with the frontier. */
+  def q_graph_ppr_w(s: SparkSession, dir: String): DataFrame = {
+    val undW = undWeightedArcs(s, dir)
+    val seed = undDegrees(s, dir).filter(col("node") % 2 === 1)
+      .agg(min(col("node")).as("sn"))
+    val teleport = seed.select(col("sn").as("node"), lit(0.15).as("r"))
+    var ranks = seed.select(col("sn").as("node"), lit(1.0).as("r"))
+    for (it <- 1 to PprIters) {
+      ranks = undW
+        .join(stateHint(s, dir, ranks.select(col("node").as("rn"), col("r")), "rn"),
+          col("src") === col("rn"))
+        .groupBy(col("dst"))
+        .agg((lit(0.85)
+          * (sum(round(col("r") * col("w") / col("wt") * 1e9, 0).cast("bigint"))
+            .cast("double") / 1e9)).as("r"))
+        .select(col("dst").as("node"), col("r"))
+        .unionByName(teleport)
+        .groupBy(col("node")).agg(sum(col("r")).as("r"))
+      if (it % 2 == 0) ranks = ranks.ckpt()
+    }
+    ranks.filter(col("node") % 2 === 1)
+      .select(expr("(node - 1) div 2").as("part_key"), round(col("r"), 6).as("rank"))
+      .filter(col("rank") > 0)
+      .orderBy(col("rank").desc, col("part_key").asc)
+      .limit(20)
+  }
+
   /** Butterfly (bipartite 4-cycle) census of the customer–part graph
     * (Sanei-Mehri 2018) — the bipartite analog of the triangle count and
     * the standard cohesion metric for co-purchase data. Exact integer
@@ -2386,6 +2421,7 @@ object GraphOps {
     "q_stream_cc" -> q_stream_cc _,
     "q_graph_pagerank" -> q_graph_pagerank _,
     "q_graph_pagerank_w" -> q_graph_pagerank_w _,
+    "q_graph_ppr_w" -> q_graph_ppr_w _,
     "q_graph_bfs" -> q_graph_bfs _,
     "q_graph_sssp" -> q_graph_sssp _,
     "q_graph_jaccard" -> q_graph_jaccard _,

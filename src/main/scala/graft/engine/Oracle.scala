@@ -7946,6 +7946,36 @@ object Oracle {
          |ORDER BY rank DESC, part_key ASC LIMIT 20""".stripMargin
     },
 
+    // Weighted PPR: the q_graph_ppr unrolled chain with the
+    // multiplicity-weighted transition in the numerator; same seed /
+    // teleport / 1e9-scaled BIGINT device.
+    "q_graph_ppr_w" -> {
+      val steps = (1 to GraphOps.PprIters).map { i =>
+        s"""r$i AS (SELECT node, SUM(r) AS r FROM (
+           |  SELECT u.dst AS node, CAST(0.85 AS DOUBLE)
+           |    * (CAST(SUM(CAST(ROUND(p.r * u.w / u.wt * 1e9, 0) AS BIGINT)) AS DOUBLE) / 1e9) AS r
+           |  FROM u JOIN r${i - 1} p ON u.src = p.node
+           |  GROUP BY u.dst
+           |  UNION ALL SELECT sn AS node, CAST(0.15 AS DOUBLE) FROM seed)
+           |GROUP BY node)""".stripMargin
+      }.mkString(",\n")
+      s"""WITH we AS (SELECT o_custkey * 2 AS src, l_partkey * 2 + 1 AS dst,
+         |    CAST(COUNT(*) AS BIGINT) AS w
+         |  FROM orders JOIN lineitem ON o_orderkey = l_orderkey GROUP BY 1, 2),
+         |sym AS (SELECT src, dst, w FROM we
+         |  UNION ALL SELECT dst AS src, src AS dst, w FROM we),
+         |ws AS MATERIALIZED (SELECT src AS n, CAST(SUM(w) AS BIGINT) AS wt
+         |  FROM sym GROUP BY 1),
+         |u AS MATERIALIZED (SELECT sym.src, sym.dst, sym.w, ws.wt
+         |  FROM sym JOIN ws ON sym.src = ws.n),
+         |seed AS MATERIALIZED (SELECT MIN(n) AS sn FROM ws WHERE n % 2 = 1),
+         |r0 AS (SELECT sn AS node, CAST(1.0 AS DOUBLE) AS r FROM seed),
+         |$steps
+         |SELECT (node - 1) // 2 AS part_key, ROUND(r, 6) AS rank
+         |FROM r${GraphOps.PprIters} WHERE node % 2 = 1 AND ROUND(r, 6) > 0
+         |ORDER BY rank DESC, part_key ASC LIMIT 20""".stripMargin
+    },
+
     // Multi-probe IVF-PQ: the ivfpq residual/codebook/codes chain, a
     // per-(query, probed-cell) residual LUT (the centroid cancels, so
     // ADC approximates true L2² in every probed cell), plus an exact

@@ -491,7 +491,7 @@ object StreamingOps {
     * (they share the (user_id | ts, event_id) spec and the
     * unbounded-preceding frame). The sweep over N patterns costs
     * max(k) window passes, not Σk, on top of the single shuffle+sort. */
-  private def cepCols(df0: DataFrame, ps: Seq[(CepPattern, String)]): DataFrame = {
+  private[graft] def cepCols(df0: DataFrame, ps: Seq[(CepPattern, String)]): DataFrame = {
     val W = org.apache.spark.sql.expressions.Window
     val ord = W.partitionBy(col("user_id")).orderBy(col("ts").asc, col("event_id").asc)
     val wPrev = ord.rowsBetween(W.unboundedPreceding, -1)
@@ -531,7 +531,7 @@ object StreamingOps {
 
   /** Anchor filter + AFTER MATCH skip-mode post-processing over the
     * chain columns → the (user_id, start_ts, end_ts) match rows. */
-  private def cepMatchRows(wide: DataFrame, p: CepPattern, pre: String): DataFrame = {
+  private[graft] def cepMatchRows(wide: DataFrame, p: CepPattern, pre: String): DataFrame = {
     val matches: DataFrame = if (p.strict) {
       wide
         .filter(col("event_type") === p.steps.last._1 && col(s"${pre}_adj") &&

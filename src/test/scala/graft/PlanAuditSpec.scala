@@ -44,6 +44,27 @@ class PlanAuditSpec extends AnyFunSuite {
       s"event_type must prune partitions, plan:\n$p")
   }
 
+  test("CEP pattern sweep: ALL patterns' chain columns build over ONE " +
+      "shuffle, with window operators fused per level (r17 one-scan sweep)") {
+    import graft.engine.{StreamingOps, Tables}
+    val base = Tables.events(spark, sf0001)
+      .select("user_id", "event_id", "ts", "event_type")
+    val wide = StreamingOps.cepCols(base,
+      StreamingOps.CepPatterns.map(p => (p, p.name + "__")))
+    val p = wide.queryExecution.executedPlan.toString
+    val exchanges = "Exchange".r.findAllIn(p).size
+    assert(exchanges == 1,
+      s"the whole 8-pattern sweep must shuffle exactly once, got $exchanges:\n" +
+        p.linesIterator.filter(_.contains("Exchange")).mkString("\n"))
+    // level fusion: strictly fewer Window operators than total chain
+    // columns (the per-pattern sequential compile ran one operator per
+    // column); the level-synchronous build runs one per LEVEL batch
+    val windows = "Window".r.findAllIn(p).size
+    val chainCols = StreamingOps.CepPatterns.map(_.steps.size).sum
+    assert(windows < chainCols,
+      s"expected level-fused window operators (< $chainCols), got $windows")
+  }
+
   test("aggregations are map-side partial (two HashAggregate phases)") {
     val p = plan("q_agg_pricing_summary")
     assert("HashAggregate".r.findAllIn(p).size >= 2,

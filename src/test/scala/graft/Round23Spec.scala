@@ -222,4 +222,37 @@ class Round23Spec extends AnyFunSuite {
       case _ => ()
     }
   }
+
+  test("weighted PPR: exact in-memory replica of the weighted push " +
+      "iteration (1e9-scaled BIGINT device included) matches the query") {
+    def rnd(x: Double, sc: Int): java.math.BigDecimal =
+      java.math.BigDecimal.valueOf(x).setScale(sc, java.math.RoundingMode.HALF_UP)
+    val arcs = GraphOps.undWeightedArcs(spark, sf0001)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(arcs.nonEmpty, "fixture weighted arc list must be non-empty")
+    val seed = arcs.map(_._1).filter(_ % 2 == 1).min
+    var rk = Map(seed -> 1.0)
+    for (_ <- 1 to GraphOps.PprIters) {
+      // the query's per-term device verbatim: round(r*w/wt*1e9) as a
+      // BIGINT, exact integer sum per dst, back to double, damp 0.85
+      val push = arcs.flatMap { case (s0, d0, w, wt) =>
+        rk.get(s0).map(rv =>
+          d0 -> rnd(rv * w / wt.toDouble * 1e9, 0).longValueExact())
+      }.groupBy(_._1).map { case (n, ts) =>
+        n -> 0.85 * (ts.map(_._2).sum.toDouble / 1e9)
+      }
+      rk = (push.toSeq :+ (seed -> 0.15)).groupBy(_._1)
+        .map { case (n, vs) => n -> vs.map(_._2).sum }
+    }
+    val expected = rk.toSeq.filter(_._1 % 2 == 1)
+      .map { case (n, v) => ((n - 1) / 2, rnd(v, 6).doubleValue) }
+      .filter(_._2 > 0)
+      .sortBy { case (p, r) => (-r, p) }.take(20)
+    val got = SparkEntry.queries("q_graph_ppr_w")(spark, sf0001)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(got == expected,
+      s"weighted PPR diverged from the replica:\n got=$got\n exp=$expected")
+    // the seed part holds the only teleport mass => it must rank first
+    assert(got.head._1 == (seed - 1) / 2, "seed part must dominate")
+  }
 }
