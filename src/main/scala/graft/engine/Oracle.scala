@@ -8070,6 +8070,56 @@ object Oracle {
          |  ROUND(CAST(n_hits_rerank AS DOUBLE) / CAST(3 * n_queries AS DOUBLE), 6)
          |    AS recall_rerank_at_3
          |FROM agg ORDER BY nprobe""".stripMargin
+    },
+
+    // PQ codebook training: per-subspace Lloyd iterations unrolled —
+    // assignment (lexicographic (d2, code) argmin over the 8-term
+    // left-assoc L2² chain) alternating with round-6 mean
+    // re-estimation, seeded from the untrained ivfpq codebook; error
+    // legs are the FIRST assignment (seed codebook) and the
+    // post-training assignment, each an order-blind round-9→DECIMAL
+    // sum (the q_llm_kmeans inertia device).
+    "q_llm_pq_train" -> {
+      val d2t = (1 to 8).map(i =>
+        s"(s.xv[$i] - c.cv2[$i]) * (s.xv[$i] - c.cv2[$i])").mkString(" + ")
+      def assignCte(name: String, cb: String): String =
+        s"""$name AS MATERIALIZED (SELECT vid, m, j, d2 FROM (
+           |  SELECT vid, m, j, d2, ROW_NUMBER() OVER (
+           |      PARTITION BY vid, m ORDER BY d2, j) AS rn
+           |  FROM (SELECT s.vid, s.m, c.j, $d2t AS d2
+           |        FROM s JOIN $cb c ON s.m = c.cm))
+           |WHERE rn = 1)""".stripMargin
+      def cbCte(name: String, from: String): String = {
+        val means = (1 to 8).map(i => s"ROUND(AVG(s.xv[$i]), 6) AS r$i").mkString(", ")
+        s"""$name AS MATERIALIZED (SELECT m AS cm, j,
+           |  list_value(${(1 to 8).map(i => s"r$i").mkString(", ")}) AS cv2 FROM (
+           |  SELECT a.m, a.j, $means
+           |  FROM $from a JOIN s ON a.vid = s.vid AND a.m = s.m GROUP BY 1, 2))""".stripMargin
+      }
+      val iters = (1 to LlmOps.PqTrainIters).map { i =>
+        s"${assignCte(s"a$i", s"cb${i - 1}")},\n${cbCte(s"cb$i", s"a$i")}"
+      }.mkString(",\n")
+      def errSel(from: String, colName: String): String =
+        s"""SELECT m, CAST(COUNT(*) AS BIGINT) AS n_vecs,
+           |  CAST(ROUND(SUM(CAST(ROUND(d2, 9) AS DECIMAL(24,9))), 4) AS DOUBLE)
+           |    AS $colName
+           |FROM $from GROUP BY m""".stripMargin
+      s"""WITH $ivfAssignedCtes,
+         |res AS (SELECT a.vid,
+         |    list_transform(range(1, 65),
+         |      i -> CAST(a.dv[i] AS DOUBLE) - CAST(c.cv[i] AS DOUBLE)) AS rv
+         |  FROM assigned a JOIN cents c ON a.cid = c.cid),
+         |s AS MATERIALIZED (SELECT vid, m, rv[m*8 + 1 : m*8 + 8] AS xv
+         |  FROM res, UNNEST(range(0, 8)) AS t(m)),
+         |cb0 AS MATERIALIZED (SELECT vid AS j, m AS cm, xv AS cv2 FROM s, nl
+         |  WHERE vid BETWEEN nl.nlist AND nl.nlist + 15),
+         |$iters,
+         |${assignCte("afin", s"cb${LlmOps.PqTrainIters}")},
+         |eseed AS (${errSel("a1", "err_seed")}),
+         |etr AS (${errSel("afin", "err_trained")})
+         |SELECT CAST(e1.m AS BIGINT) AS m, e1.n_vecs, e1.err_seed,
+         |  e2.err_trained, e2.err_trained <= e1.err_seed AS improved
+         |FROM eseed e1 JOIN etr e2 ON e1.m = e2.m ORDER BY m""".stripMargin
     })
 
   val all: Map[String, String] =

@@ -223,6 +223,27 @@ class Round23Spec extends AnyFunSuite {
     }
   }
 
+  test("PQ training: Lloyd descent strictly lowers every subspace's " +
+      "quantization error; accounting covers the whole corpus") {
+    val emb = graft.engine.Tables.embeddings(spark, sf0001)
+    val n = emb.count()
+    val rows = SparkEntry.queries("q_llm_pq_train")(spark, sf0001)
+      .collect()
+    assert(rows.map(_.getLong(0)).toSeq == (0L to 7L), "one row per subspace")
+    rows.foreach { r =>
+      assert(r.getLong(1) == n, s"subspace ${r.getLong(0)} must see all $n vectors")
+      // Lloyd monotonicity: assignment and re-estimation each only
+      // lower the objective — trained error can never exceed the seed
+      // codebook's (the boolean column the oracle also computes)
+      assert(r.getBoolean(4) && r.getDouble(3) <= r.getDouble(2),
+        s"subspace ${r.getLong(0)}: trained ${r.getDouble(3)} > seed ${r.getDouble(2)}")
+      // and on this fixture the improvement is real, not a tie — a
+      // vacuous trainer (codebook never moves) would fail here
+      assert(r.getDouble(3) < r.getDouble(2) * 0.95,
+        s"subspace ${r.getLong(0)}: training moved error < 5%")
+    }
+  }
+
   test("weighted PPR: exact in-memory replica of the weighted push " +
       "iteration (1e9-scaled BIGINT device included) matches the query") {
     def rnd(x: Double, sc: Int): java.math.BigDecimal =
