@@ -1987,59 +1987,196 @@ object LlmOps {
     * over (corpus × 8) subvector rows — executors ship 128×8 partial
     * sums, never vectors. This is the trainer a 100 TB deployment runs
     * on a sample, expressed over the full corpus. */
-  def q_llm_pq_train(s: SparkSession, dir: String): DataFrame = {
-    val emb = Tables.embeddings(s, dir)
+  /** (vid, m, sv): every IVF residual split into 8 subvectors of 8
+    * dims — the PQ trainer's working table, materialized ONCE per
+    * (session, embeddings generation): the seed codebook, both error
+    * legs, every Lloyd iteration, and the trained-ADC curve re-read it. */
+  private[graft] def pqSubvecs(s: SparkSession, dir: String): DataFrame =
+    Mv.memo(s, s"pqSubvecs|${tablesKey(s, dir, Seq("embeddings"))}") { bs =>
+      val emb = Tables.embeddings(bs, dir)
+      val nlist = ivfNlist(bs, dir)
+      val cents = emb.filter(col("vec_id") < nlist)
+        .select(col("vec_id").as("rc"), col("embedding").as("rcv"))
+      ivfAssign(bs, emb, nlist).join(broadcast(cents), col("cid") === col("rc"))
+        .select(col("vid"),
+          expr("zip_with(dv, rcv, (x, c) -> cast(x as double) - cast(c as double))")
+            .as("rv"))
+        .select(col("vid"), explode(expr(
+          "transform(sequence(0, 7), m -> struct(m as m, slice(rv, m*8 + 1, 8) as sv))"))
+          .as("e"))
+        .select(col("vid"), col("e.m").as("m"), col("e.sv").as("sv"))
+        .ckpt("pq_subvecs")
+    }
+
+  /** The UNTRAINED codebook: residual subvectors of vec_ids
+    * nlist..nlist+15 (q_llm_ann_ivfpq's exact codebook). */
+  private[graft] def pqSeedCb(s: SparkSession, dir: String): DataFrame = {
     val nlist = ivfNlist(s, dir)
-    val assigned = ivfAssign(s, emb, nlist)
-    val cents = emb.filter(col("vec_id") < nlist)
-      .select(col("vec_id").as("rc"), col("embedding").as("rcv"))
-    val res = assigned.join(broadcast(cents), col("cid") === col("rc"))
-      .select(col("vid"),
-        expr("zip_with(dv, rcv, (x, c) -> cast(x as double) - cast(c as double))")
-          .as("rv"))
-    // (vid, m, sv): every residual split into 8 subvectors of 8 dims —
-    // materialized ONCE; the seed codebook, both error legs, and every
-    // Lloyd iteration re-read this table
-    val sv = res
-      .select(col("vid"), explode(expr(
-        "transform(sequence(0, 7), m -> struct(m as m, slice(rv, m*8 + 1, 8) as sv))"))
-        .as("e"))
-      .select(col("vid"), col("e.m").as("m"), col("e.sv").as("sv"))
-      .ckpt("pq_train_sv")
-    val seedCb = sv.filter(col("vid").between(nlist, nlist + 15))
+    pqSubvecs(s, dir).filter(col("vid").between(nlist, nlist + 15))
       .select(col("vid").as("j"), col("m").as("cm"), col("sv").as("cv"))
-    // fixed-order L2² fold over the 8 subvector dims (ivfpq's chain)
-    val d2 = expr("aggregate(zip_with(sv, cv, (x, c) -> (x - c) * (x - c)), " +
+  }
+
+  /** Fixed-order L2² fold over the 8 subvector dims (ivfpq's chain). */
+  private def pqD2 = expr(
+    "aggregate(zip_with(sv, cv, (x, c) -> (x - c) * (x - c)), " +
       "cast(0.0 as double), (acc, v) -> acc + v)")
-    def assignPq(cb: DataFrame): DataFrame = sv
+
+  /** Argmin PQ assignment of every subvector to its nearest codebook
+    * entry: (vid, m, d2, j) — lexicographic (d2, code) tie-break. */
+  private def pqAssign(s: SparkSession, dir: String, cb: DataFrame): DataFrame =
+    pqSubvecs(s, dir)
       .join(broadcast(cb), col("m") === col("cm"))
-      .select(col("vid"), col("m"), col("j"), d2.as("d2"))
+      .select(col("vid"), col("m"), col("j"), pqD2.as("d2"))
       .groupBy(col("vid"), col("m"))
       .agg(min(struct(col("d2"), col("j"))).as("b"))
       .select(col("vid"), col("m"), col("b.d2").as("d2"), col("b.j").as("j"))
-    var cb = seedCb
-    for (_ <- 1 to PqTrainIters) {
-      val means = (1 to 8).map(d =>
-        round(avg(element_at(col("sv"), d)), 6).as(s"a$d"))
-      cb = assignPq(cb)
-        .join(sv, Seq("vid", "m"))
-        .groupBy(col("m"), col("j"))
-        .agg(means.head, means.tail: _*)
-        .select(col("m").as("cm"), col("j"),
-          array((1 to 8).map(d => col(s"a$d")): _*).as("cv"))
-        .ckpt("pq_train_cb") // ≤128 rows — keeps the lazy plan flat
+
+  /** The TRAINED codebook: `PqTrainIters` Lloyd iterations per
+    * subspace from the seed codebook (round-6 re-estimated dims).
+    * Session MV — the trainer's report and the trained-ADC operating
+    * curve both consume the identical 128-row table. */
+  private[graft] def pqTrainedCb(s: SparkSession, dir: String): DataFrame =
+    Mv.memo(s, s"pqTrainedCb|${tablesKey(s, dir, Seq("embeddings"))}") { bs =>
+      val sv = pqSubvecs(bs, dir)
+      var cb = pqSeedCb(bs, dir)
+      for (_ <- 1 to PqTrainIters) {
+        val means = (1 to 8).map(d =>
+          round(avg(element_at(col("sv"), d)), 6).as(s"a$d"))
+        cb = pqAssign(bs, dir, cb)
+          .join(sv, Seq("vid", "m"))
+          .groupBy(col("m"), col("j"))
+          .agg(means.head, means.tail: _*)
+          .select(col("m").as("cm"), col("j"),
+            array((1 to 8).map(d => col(s"a$d")): _*).as("cv"))
+          .ckpt("pq_train_cb") // ≤128 rows — keeps the lazy plan flat
+      }
+      cb
     }
-    def errLeg(codebook: DataFrame, name: String): DataFrame = assignPq(codebook)
-      .groupBy(col("m"))
-      .agg(count(lit(1)).as("n_vecs"),
-        round(sum(round(col("d2"), 9).cast("decimal(24,9)")), 4).cast("double")
-          .as(name))
-    errLeg(seedCb, "err_seed")
-      .join(errLeg(cb, "err_trained").drop("n_vecs"), "m")
+
+  def q_llm_pq_train(s: SparkSession, dir: String): DataFrame = {
+    def errLeg(codebook: DataFrame, name: String): DataFrame =
+      pqAssign(s, dir, codebook)
+        .groupBy(col("m"))
+        .agg(count(lit(1)).as("n_vecs"),
+          round(sum(round(col("d2"), 9).cast("decimal(24,9)")), 4).cast("double")
+            .as(name))
+    errLeg(pqSeedCb(s, dir), "err_seed")
+      .join(errLeg(pqTrainedCb(s, dir), "err_trained").drop("n_vecs"), "m")
       .select(col("m").cast("bigint").as("m"), col("n_vecs"),
         col("err_seed"), col("err_trained"),
         (col("err_trained") <= col("err_seed")).as("improved"))
       .orderBy("m")
+  }
+
+  /** TRAINED-codebook IVF-PQ operating curve (r17 — the measurement
+    * that certifies q_llm_pq_train actually buys retrieval quality,
+    * not just lower quantization MSE): the q_llm_ann_ivfpq_nprobe
+    * search rerun with BOTH codebooks side by side. Per query
+    * (vec_ids 20–24) and nprobe ∈ {1,2,4}: candidates from the nprobe
+    * nearest cells ranked by ADC twice — once on the seed (untrained)
+    * codebook's codes/LUTs, once on the Lloyd-trained codebook's —
+    * each leg's recall@3 vs the exact full-corpus L2² top-3. The
+    * trained leg re-codes the corpus against the trained codebook and
+    * builds per-(query, probed-cell) LUTs against the same 128 trained
+    * entries; all distances are the established fixed-order folds with
+    * round-9 → DECIMAL ADC sums.
+    *
+    * Scale shape: identical to ivfpq_nprobe — LUTs are nprobe·128
+    * rows/query (broadcast), candidates cell-bounded (nprobe·√n), the
+    * corpus re-code one broadcast join + one argmin agg; the trainer
+    * itself amortizes as a session MV shared with q_llm_pq_train. */
+  def q_llm_ann_ivfpq_trained(s: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(s, dir)
+    val nlist = ivfNlist(s, dir)
+    val assigned = ivfAssign(s, emb, nlist)
+    val cents = emb.filter(col("vec_id") < nlist)
+      .select(col("vec_id").as("cid"), col("embedding").as("cv"),
+        normCol(s)(col("embedding")).as("cn"))
+    val qs = assigned.filter(col("vid").between(20, 24))
+      .select(col("vid").as("query_id"), col("dv").as("qv"), col("dn").as("qn"))
+    val wC = Window.partitionBy(col("query_id"))
+      .orderBy(col("ccos").desc, col("cid").asc)
+    val qcells = qs.crossJoin(broadcast(cents))
+      .withColumn("ccos", round(cosSimPre(s)(col("qv"), col("cv"), col("qn"), col("cn")), 6))
+      .withColumn("cell_rank", row_number().over(wC))
+      .filter(col("cell_rank") <= NProbes.max)
+      .select(col("query_id").as("cq"), col("cid").as("ccid"),
+        col("cv").as("ccv"), col("cell_rank"))
+      .ckpt("ivfpq_tr_qcells")
+    // per-(query, probed cell) residual subvectors — both LUT legs read
+    val qsubs = qcells.join(broadcast(qs), col("cq") === col("query_id"))
+      .select(col("query_id"), col("ccid"), col("cell_rank"),
+        expr("zip_with(qv, ccv, (x, c) -> cast(x as double) - cast(c as double))")
+          .as("rv"))
+      .select(col("query_id"), col("ccid"), col("cell_rank"), explode(expr(
+        "transform(sequence(0, 7), m -> struct(m as m, slice(rv, m*8 + 1, 8) as sv))"))
+        .as("e"))
+      .select(col("query_id"), col("ccid"), col("cell_rank"),
+        col("e.m").as("m"), col("e.sv").as("sv"))
+    val cand = assigned.select(col("vid").as("cvid"), col("cid").as("ncid"))
+      .join(broadcast(qcells.select(col("cq"), col("ccid"), col("cell_rank"))),
+        col("ncid") === col("ccid"))
+      .filter(col("cvid") =!= col("cq"))
+      .select(col("cq").as("query_id"), col("cvid"), col("ncid"), col("cell_rank"))
+      .ckpt("ivfpq_tr_cand")
+    val nps = s.range(0, 1)
+      .select(explode(array(NProbes.map(np => lit(np)): _*)).as("np"))
+    // one ADC leg per codebook: corpus re-code + per-cell LUT + top-3
+    def adcTopOf(cb: DataFrame, tag: String): DataFrame = {
+      val codes = pqAssign(s, dir, cb)
+        .select(col("vid").as("nid"), col("m").as("nm"), col("j").as("code"))
+      val lut = qsubs.join(broadcast(cb), col("m") === col("cm"))
+        .select(col("query_id").as("lq"), col("ccid").as("lcell"),
+          col("m").as("lm"), col("j").as("lj"),
+          round(pqD2, 9).cast("decimal(20,9)").as("qd2"))
+      val adc = cand.join(codes, col("cvid") === col("nid"))
+        .join(broadcast(lut), col("query_id") === col("lq")
+          && col("ncid") === col("lcell") && col("nm") === col("lm")
+          && col("code") === col("lj"))
+        .groupBy(col("query_id"), col("cvid"), col("cell_rank"))
+        .agg(sum(col("qd2")).cast("double").as("adc"))
+        .ckpt(s"ivfpq_tr_adc_$tag")
+      val wA = Window.partitionBy(col("np"), col("query_id"))
+        .orderBy(round(col("adc"), 6).asc, col("cvid").asc)
+      adc.crossJoin(broadcast(nps))
+        .filter(col("cell_rank") <= col("np"))
+        .withColumn("rnk", row_number().over(wA))
+        .filter(col("rnk") <= 3)
+        .select(col("np").as(s"${tag}np"), col("query_id").as(s"${tag}q"),
+          col("cvid").as(s"${tag}n"))
+    }
+    val seedTop = adcTopOf(pqSeedCb(s, dir), "s")
+    val trainedTop = adcTopOf(pqTrainedCb(s, dir), "t")
+    // ground truth: exact full-corpus L2² top-3 per query
+    val l2 = expr("aggregate(zip_with(qv, nv, (x, y) -> " +
+      "(cast(x as double) - cast(y as double)) * (cast(x as double) - cast(y as double))), " +
+      "cast(0.0 as double), (acc, v) -> acc + v)")
+    val wE = Window.partitionBy(col("query_id"))
+      .orderBy(col("l2r").asc, col("neighbor_id").asc)
+    val exact = qs.crossJoin(
+        emb.select(col("vec_id").as("neighbor_id"), col("embedding").as("nv")))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"), round(l2, 6).as("l2r"))
+      .withColumn("rnk", row_number().over(wE))
+      .filter(col("rnk") <= 3)
+      .select(col("query_id"), col("neighbor_id"))
+    exact.crossJoin(broadcast(nps.select(col("np").as("enp"))))
+      .join(seedTop, col("enp") === col("snp") && col("query_id") === col("sq")
+        && col("neighbor_id") === col("sn"), "left_outer")
+      .join(trainedTop, col("enp") === col("tnp") && col("query_id") === col("tq")
+        && col("neighbor_id") === col("tn"), "left_outer")
+      .groupBy(col("enp").cast("bigint").as("nprobe"))
+      .agg(countDistinct(col("query_id")).as("n_queries"),
+        sum(when(col("sn").isNotNull, 1L).otherwise(0L)).as("n_hits_adc_seed"),
+        sum(when(col("tn").isNotNull, 1L).otherwise(0L)).as("n_hits_adc_trained"))
+      .select(col("nprobe"), col("n_queries"),
+        col("n_hits_adc_seed"),
+        round(col("n_hits_adc_seed").cast("double")
+          / (lit(3) * col("n_queries")).cast("double"), 6).as("recall_adc_seed_at_3"),
+        col("n_hits_adc_trained"),
+        round(col("n_hits_adc_trained").cast("double")
+          / (lit(3) * col("n_queries")).cast("double"), 6).as("recall_adc_trained_at_3"))
+      .orderBy("nprobe")
   }
 
   /** LSH-candidate dedup clustering (round 10) — the clustering a 100 TB
@@ -2174,6 +2311,7 @@ object LlmOps {
     "q_llm_ann_ivfpq" -> q_llm_ann_ivfpq _,
     "q_llm_ann_ivfpq_nprobe" -> q_llm_ann_ivfpq_nprobe _,
     "q_llm_pq_train" -> q_llm_pq_train _,
+    "q_llm_ann_ivfpq_trained" -> q_llm_ann_ivfpq_trained _,
     "q_llm_feature_hash" -> q_llm_feature_hash _,
     "q_llm_ann_recall" -> q_llm_ann_recall _,
     "q_llm_soft_dedup" -> q_llm_soft_dedup _,

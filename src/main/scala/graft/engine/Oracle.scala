@@ -8120,6 +8120,118 @@ object Oracle {
          |SELECT CAST(e1.m AS BIGINT) AS m, e1.n_vecs, e1.err_seed,
          |  e2.err_trained, e2.err_trained <= e1.err_seed AS improved
          |FROM eseed e1 JOIN etr e2 ON e1.m = e2.m ORDER BY m""".stripMargin
+    },
+
+    // Trained-codebook IVF-PQ curve: the nprobe search chain with the
+    // pq_train Lloyd chain spliced in and the ADC leg instantiated
+    // TWICE — seed codebook (cb0 codes a1) and trained codebook
+    // (cb{iters} codes afin) — against the shared exact top-3.
+    "q_llm_ann_ivfpq_trained" -> {
+      val d2t = (1 to 8).map(i =>
+        s"(s.xv[$i] - c.cv2[$i]) * (s.xv[$i] - c.cv2[$i])").mkString(" + ")
+      val qd2t = (1 to 8).map(i =>
+        s"(u.xv[$i] - c.cv2[$i]) * (u.xv[$i] - c.cv2[$i])").mkString(" + ")
+      def l2chain(a: String, b: String): String = (1 to 64).map(i =>
+        s"(CAST($a[$i] AS DOUBLE) - CAST($b[$i] AS DOUBLE)) * " +
+          s"(CAST($a[$i] AS DOUBLE) - CAST($b[$i] AS DOUBLE))").mkString(" + ")
+      def assignCte(name: String, cb: String): String =
+        s"""$name AS MATERIALIZED (SELECT vid, m, j, d2 FROM (
+           |  SELECT vid, m, j, d2, ROW_NUMBER() OVER (
+           |      PARTITION BY vid, m ORDER BY d2, j) AS rn
+           |  FROM (SELECT s.vid, s.m, c.j, $d2t AS d2
+           |        FROM s JOIN $cb c ON s.m = c.cm))
+           |WHERE rn = 1)""".stripMargin
+      def cbCte(name: String, from: String): String = {
+        val means = (1 to 8).map(i => s"ROUND(AVG(s.xv[$i]), 6) AS r$i").mkString(", ")
+        s"""$name AS MATERIALIZED (SELECT m AS cm, j,
+           |  list_value(${(1 to 8).map(i => s"r$i").mkString(", ")}) AS cv2 FROM (
+           |  SELECT a.m, a.j, $means
+           |  FROM $from a JOIN s ON a.vid = s.vid AND a.m = s.m GROUP BY 1, 2))""".stripMargin
+      }
+      val iters = (1 to LlmOps.PqTrainIters).map { i =>
+        s"${assignCte(s"a$i", s"cb${i - 1}")},\n${cbCte(s"cb$i", s"a$i")}"
+      }.mkString(",\n")
+      def lutCte(name: String, cb: String): String =
+        s"""$name AS (SELECT u.query_id AS lq, u.ccid AS lcell, u.m AS lm, c.j AS lj,
+           |    CAST(round($qd2t, 9) AS DECIMAL(20,9)) AS qd2
+           |  FROM qsub u JOIN $cb c ON u.m = c.cm)""".stripMargin
+      def adcCte(name: String, codes: String, lut: String): String =
+        s"""$name AS (SELECT c.query_id, c.cvid, c.cell_rank,
+           |    CAST(SUM(l.qd2) AS DOUBLE) AS a
+           |  FROM cand c JOIN $codes k ON k.nid = c.cvid
+           |  JOIN $lut l ON l.lq = c.query_id AND l.lcell = c.ncid
+           |    AND l.lm = k.nm AND l.lj = k.code
+           |  GROUP BY 1, 2, 3)""".stripMargin
+      def topCte(name: String, adc: String): String =
+        s"""$name AS (SELECT np, query_id, cvid FROM (
+           |    SELECT n.np, a.query_id, a.cvid,
+           |      ROW_NUMBER() OVER (PARTITION BY n.np, a.query_id
+           |        ORDER BY round(a.a, 6) ASC, a.cvid ASC) AS rnk
+           |    FROM $adc a JOIN nps n ON a.cell_rank <= n.np) WHERE rnk <= 3)""".stripMargin
+      s"""WITH $ivfAssignedCtes,
+         |qs AS (SELECT vid AS query_id, dv AS qv FROM assigned
+         |       WHERE vid BETWEEN 20 AND 24),
+         |qc AS (SELECT q.query_id, c.cid, c.cv,
+         |         ROUND(${cosExpr("q.qv", "c.cv")}, 6) AS ccos
+         |       FROM qs q CROSS JOIN cents c),
+         |qcells AS (SELECT query_id AS cq, cid AS ccid, cv AS ccv, cell_rank
+         |  FROM (SELECT query_id, cid, cv, ROW_NUMBER() OVER (
+         |          PARTITION BY query_id ORDER BY ccos DESC, cid ASC) AS cell_rank
+         |        FROM qc)
+         |  WHERE cell_rank <= ${LlmOps.NProbes.max}),
+         |res AS (SELECT a.vid,
+         |    list_transform(range(1, 65),
+         |      i -> CAST(a.dv[i] AS DOUBLE) - CAST(c.cv[i] AS DOUBLE)) AS rv
+         |  FROM assigned a JOIN cents c ON a.cid = c.cid),
+         |s AS MATERIALIZED (SELECT vid, m, rv[m*8 + 1 : m*8 + 8] AS xv
+         |  FROM res, UNNEST(range(0, 8)) AS t(m)),
+         |cb0 AS MATERIALIZED (SELECT vid AS j, m AS cm, xv AS cv2 FROM s, nl
+         |  WHERE vid BETWEEN nl.nlist AND nl.nlist + 15),
+         |$iters,
+         |${assignCte("afin", s"cb${LlmOps.PqTrainIters}")},
+         |codess AS (SELECT vid AS nid, m AS nm, j AS code FROM a1),
+         |codest AS (SELECT vid AS nid, m AS nm, j AS code FROM afin),
+         |qres AS (SELECT k.cq AS query_id, k.ccid, k.cell_rank,
+         |    list_transform(range(1, 65),
+         |      i -> CAST(q.qv[i] AS DOUBLE) - CAST(k.ccv[i] AS DOUBLE)) AS rv
+         |  FROM qcells k JOIN qs q ON k.cq = q.query_id),
+         |qsub AS (SELECT query_id, ccid, cell_rank, m, rv[m*8 + 1 : m*8 + 8] AS xv
+         |  FROM qres, UNNEST(range(0, 8)) AS t(m)),
+         |${lutCte("qluts", "cb0")},
+         |${lutCte("qlutt", s"cb${LlmOps.PqTrainIters}")},
+         |cand AS MATERIALIZED (SELECT k.cq AS query_id, a.vid AS cvid,
+         |    a.cid AS ncid, k.cell_rank
+         |  FROM assigned a JOIN qcells k ON a.cid = k.ccid AND a.vid <> k.cq),
+         |nps AS (SELECT UNNEST(${LlmOps.NProbes.mkString("[", ", ", "]")}) AS np),
+         |${adcCte("adcs", "codess", "qluts")},
+         |${adcCte("adct", "codest", "qlutt")},
+         |${topCte("ats", "adcs")},
+         |${topCte("att", "adct")},
+         |ex AS (SELECT query_id, neighbor_id FROM (
+         |    SELECT q.query_id, d.vid AS neighbor_id,
+         |      ROW_NUMBER() OVER (PARTITION BY q.query_id
+         |        ORDER BY ROUND(${l2chain("q.qv", "d.nv")}, 6) ASC, d.vid ASC) AS rnk
+         |    FROM qs q JOIN (SELECT vid, dv AS nv FROM data) d
+         |      ON q.query_id <> d.vid) WHERE rnk <= 3),
+         |agg AS (SELECT n.np,
+         |    CAST(COUNT(DISTINCT e.query_id) AS BIGINT) AS n_queries,
+         |    CAST(SUM(CASE WHEN a.cvid IS NOT NULL THEN 1 ELSE 0 END)
+         |      AS BIGINT) AS n_hits_adc_seed,
+         |    CAST(SUM(CASE WHEN t.cvid IS NOT NULL THEN 1 ELSE 0 END)
+         |      AS BIGINT) AS n_hits_adc_trained
+         |  FROM ex e CROSS JOIN nps n
+         |  LEFT JOIN ats a ON a.np = n.np AND a.query_id = e.query_id
+         |    AND a.cvid = e.neighbor_id
+         |  LEFT JOIN att t ON t.np = n.np AND t.query_id = e.query_id
+         |    AND t.cvid = e.neighbor_id
+         |  GROUP BY 1)
+         |SELECT CAST(np AS BIGINT) AS nprobe, n_queries, n_hits_adc_seed,
+         |  ROUND(CAST(n_hits_adc_seed AS DOUBLE) / CAST(3 * n_queries AS DOUBLE), 6)
+         |    AS recall_adc_seed_at_3,
+         |  n_hits_adc_trained,
+         |  ROUND(CAST(n_hits_adc_trained AS DOUBLE) / CAST(3 * n_queries AS DOUBLE), 6)
+         |    AS recall_adc_trained_at_3
+         |FROM agg ORDER BY nprobe""".stripMargin
     })
 
   val all: Map[String, String] =

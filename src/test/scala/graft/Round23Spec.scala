@@ -244,6 +244,28 @@ class Round23Spec extends AnyFunSuite {
     }
   }
 
+  test("trained-ADC curve: the seed leg IS q_llm_ann_ivfpq_nprobe's ADC " +
+      "leg, and training never hurts recall on the fixture") {
+    val tr = SparkEntry.queries("q_llm_ann_ivfpq_trained")(spark, sf0001)
+      .orderBy("nprobe").collect()
+    val np = SparkEntry.queries("q_llm_ann_ivfpq_nprobe")(spark, sf0001)
+      .orderBy("nprobe").collect()
+    assert(tr.map(_.getLong(0)).toSeq == LlmOps.NProbes.map(_.toLong),
+      "one row per probe width")
+    tr.zip(np).foreach { case (t, n) =>
+      assert(t.getLong(0) == n.getLong(0) && t.getLong(1) == 5L)
+      // the seed codebook, codes, LUTs, candidates, and exact truth are
+      // the same construction in both operators — the seed ADC leg must
+      // reproduce the nprobe curve's ADC leg exactly
+      assert(t.getLong(2) == n.getLong(2),
+        s"np=${t.getLong(0)}: seed leg ${t.getLong(2)} != nprobe op ${n.getLong(2)}")
+      assert(t.getLong(4) >= t.getLong(2),
+        s"np=${t.getLong(0)}: trained ADC ${t.getLong(4)} regressed below " +
+          s"seed ${t.getLong(2)} (fixture-measured envelope)")
+      assert(t.getLong(4) <= 3L * t.getLong(1), "hits bounded by 3 per query")
+    }
+  }
+
   test("weighted PPR: exact in-memory replica of the weighted push " +
       "iteration (1e9-scaled BIGINT device included) matches the query") {
     def rnd(x: Double, sc: Int): java.math.BigDecimal =
