@@ -1078,6 +1078,141 @@ object GraphOps {
       .limit(20)
   }
 
+  /** Borůvka round cap shared with the oracle. The MSF under the
+    * strict (w, u, v) total order is UNIQUE, so the algorithms on the
+    * two sides are free to differ — but BOTH are capped at the same
+    * round count so they stay identical even on a hypothetical
+    * component larger than 2^MstMaxRounds nodes (after k rounds every
+    * unfinished component has ≥ 2^k vertices, so 16 rounds finish any
+    * component up to 65,536 nodes — far above the fixture's 832-node
+    * giant, and the same 2^16 in-memory bound the Louvain tail uses). */
+  val MstMaxRounds = 16
+
+  /** Minimum spanning forest of the thresholded weighted projection
+    * (Borůvka 1926 — THE parallel MST algorithm: O(log V) rounds,
+    * each one edge-relabel join + one per-component min aggregation,
+    * no driver-side graph): per round every component selects its
+    * minimum outgoing edge under the strict (w, least, greatest)
+    * total order (ties broken canonically ⇒ the selected set is
+    * cycle-free and the forest is unique, so the unrolled-round
+    * DuckDB oracle computes the identical object by construction),
+    * then merged components collapse via the shared ccLabels min-label
+    * fixpoint over the COMPONENT graph — a table that shrinks
+    * geometrically (≤ |V|/2^k nodes after k rounds). Output: the
+    * top-20 components by spanning-tree weight with the n_edges =
+    * n_nodes − 1 invariant visible.
+    *
+    * Scale shape: per round one shuffle over |E| (min-agg is map-side
+    * combinable) + a fixpoint over the contracted graph; selected
+    * edges accumulate as checkpointed ≤|V|-row unions. At 100 TB this
+    * is exactly how GraphX/Giraph MSF implementations run. */
+  /** Pointer-jump depth for the per-round Borůvka merge: each
+    * component's chosen-edge pointer graph is a functional pseudo-
+    * forest whose only cycles are 2-cycles (mutual minima under the
+    * strict edge order), so after collapsing those to self-rooted
+    * stars, 16 jumps contract any pointer chain up to 2^16 — the
+    * MstMaxRounds component bound. */
+  val MstJumpRounds = 16
+
+  /** Drop inherited plan-size statistics (r17 MST finding): a
+    * `localCheckpoint` leaf PRESERVES the pre-checkpoint plan's
+    * estimated sizeInBytes, and a pointer-doubling loop SQUARES that
+    * estimate per jump — the estimate compounds across rounds into
+    * BigInts with millions of digits and Catalyst's join-size
+    * arithmetic (canBroadcastBySize products) takes over a minute PER
+    * PLAN. A fresh LogicalRDD over the same checkpointed partitions
+    * resets the estimate without touching data or partitioning of the
+    * tiny tables involved. */
+  private def freshStats(s: SparkSession, df: DataFrame): DataFrame =
+    s.createDataFrame(df.rdd, df.schema)
+
+  def q_graph_mst(s: SparkSession, dir: String): DataFrame = {
+    val uew = undProjW(s, dir, CcMinCooccur)
+    var labels = uew.select(col("a").as("node")).distinct()
+      .select(col("node"), col("node").as("lbl"))
+      .ckpt()
+    var msf = uew.select(least(col("a"), col("b")).as("u"),
+      greatest(col("a"), col("b")).as("v"), col("w")).filter(lit(false))
+    var round = 0
+    var done = false
+    while (!done && round < MstMaxRounds) {
+      round += 1
+      // edges whose endpoints are in different components, labeled
+      val cand = uew
+        .join(stateHint(s, dir, labels.select(col("node").as("an"), col("lbl").as("la")), "an"),
+          col("a") === col("an"))
+        .join(stateHint(s, dir, labels.select(col("node").as("bn"), col("lbl").as("lb")), "bn"),
+          col("b") === col("bn"))
+        .filter(col("la") =!= col("lb"))
+      // per-component minimum outgoing edge, canonical (w, u, v) order,
+      // with the other side's component carried as the merge POINTER
+      // (a 4th struct field can't perturb the argmin — (w, u, v)
+      // already identifies the undirected edge uniquely)
+      val chosen = cand
+        .select(col("la").as("comp"),
+          struct(col("w"), least(col("a"), col("b")).as("u"),
+            greatest(col("a"), col("b")).as("v"), col("lb")).as("e"))
+        .groupBy(col("comp")).agg(min(col("e")).as("me"))
+        .select(col("comp"), col("me.u").as("u"), col("me.v").as("v"),
+          col("me.w").as("w"), col("me.lb").as("ptr"))
+        .ckpt()
+      val chosenF = freshStats(s, chosen)
+      // DISTINCT dedupes mutual-min pairs picked from both sides
+      val sel = chosenF.select(col("u"), col("v"), col("w")).distinct()
+      if (chosen.isEmpty) done = true
+      else {
+        msf = msf.unionByName(sel)
+        // merge WITHOUT an inner fixpoint: the pointer graph's only
+        // cycles are 2-cycles, so (1) collapse mutual pairs to
+        // min-labeled self-roots, (2) a FIXED pointer-jump unroll
+        // contracts every chain, (3) each merged group relabels to its
+        // MIN member — the same partition + labeling the reach-closure
+        // oracle computes, with zero driver probes in the loop body
+        // pointer tables are component-graph-sized (halving per
+        // round): broadcast the probe side of every jump join and keep
+        // the build narrow at the adaptive iterative-tier width
+        val pp = chosenF.select(col("comp"), col("ptr"))
+          .coalesce(iterWidth(s, dir))
+        var par = pp
+          .join(broadcast(pp.select(col("comp").as("tc"), col("ptr").as("tp"))),
+            col("ptr") === col("tc"), "left_outer")
+          .select(col("comp"),
+            when(col("tp") === col("comp"), least(col("comp"), col("ptr")))
+              .otherwise(col("ptr")).as("par"))
+        for (j <- 1 to MstJumpRounds) {
+          par = par.alias("x")
+            .join(broadcast(par.select(col("comp").as("jc"), col("par").as("jp")).alias("j")),
+              col("x.par") === col("jc"), "left_outer")
+            .select(col("x.comp").as("comp"),
+              coalesce(col("jp"), col("x.par")).as("par"))
+          // doubling references par TWICE per jump — cut the 2^j plan
+          // growth with a tiny checkpoint every 4 jumps (≤|comps| rows)
+          if (j % 4 == 0) par = freshStats(s, par.ckpt("mst_jump"))
+        }
+        val grpMin = par.groupBy(col("par")).agg(min(col("comp")).as("minl"))
+        val relabel = par.join(broadcast(grpMin), "par")
+          .select(col("comp").as("gn"), least(col("comp"), col("minl")).as("glbl"))
+        labels = labels
+          .join(stateHint(s, dir, relabel, "gn"),
+            col("lbl") === col("gn"), "left_outer")
+          .select(col("node"), coalesce(col("glbl"), col("lbl")).as("lbl"))
+          .ckpt()
+        labels = freshStats(s, labels)
+      }
+    }
+    val nn = labels.groupBy(col("lbl")).agg(count(lit(1)).as("n_nodes"))
+    msf
+      .join(stateHint(s, dir, labels.select(col("node").as("mn"), col("lbl")), "mn"),
+        col("u") === col("mn"))
+      .groupBy(col("lbl"))
+      .agg(count(lit(1)).as("n_edges"), sum(col("w")).as("total_weight"))
+      .join(nn, "lbl")
+      .select(col("lbl").as("component"), col("n_nodes"), col("n_edges"),
+        col("total_weight"))
+      .orderBy(col("total_weight").desc, col("component").asc)
+      .limit(20)
+  }
+
   /** Node-pair Jaccard similarity over part neighborhoods — the classic
     * link-prediction feature (Liben-Nowell & Kleinberg 2003): for part
     * pairs with ≥ TriangleMinCooccur common customers,
@@ -2424,6 +2559,7 @@ object GraphOps {
     "q_graph_ppr_w" -> q_graph_ppr_w _,
     "q_graph_bfs" -> q_graph_bfs _,
     "q_graph_sssp" -> q_graph_sssp _,
+    "q_graph_mst" -> q_graph_mst _,
     "q_graph_jaccard" -> q_graph_jaccard _,
     "q_graph_overlap" -> q_graph_overlap _,
     "q_graph_adamic_adar" -> q_graph_adamic_adar _,

@@ -7919,6 +7919,53 @@ object Oracle {
          |ORDER BY dist ASC, part_key ASC LIMIT 20""".stripMargin
     },
 
+    // Borůvka MSF: rounds unrolled, each a per-component min-edge
+    // selection (canonical (w, least, greatest) order — the strict
+    // total order that makes the forest unique and cycle-free) plus a
+    // RECURSIVE reach-closure merge over the component graph (the
+    // q_graph_cc device — legal per round because the contracted graph
+    // is one node per component). Converged rounds are no-ops, so the
+    // fixed MstMaxRounds unroll equals Spark's converging loop.
+    "q_graph_mst" -> {
+      val rounds = (1 to GraphOps.MstMaxRounds).map { k =>
+        val p = k - 1
+        s"""sel$k AS MATERIALIZED (SELECT DISTINCT u, v, w FROM (
+           |  SELECT la.lbl AS comp, e.w, LEAST(e.a, e.b) AS u, GREATEST(e.a, e.b) AS v,
+           |    ROW_NUMBER() OVER (PARTITION BY la.lbl
+           |      ORDER BY e.w, LEAST(e.a, e.b), GREATEST(e.a, e.b)) AS rn
+           |  FROM uec e JOIN l$p la ON e.a = la.node JOIN l$p lb ON e.b = lb.node
+           |  WHERE la.lbl <> lb.lbl) WHERE rn = 1),
+           |ce$k AS MATERIALIZED (SELECT lu.lbl AS x, lv.lbl AS y
+           |  FROM sel$k s JOIN l$p lu ON s.u = lu.node JOIN l$p lv ON s.v = lv.node
+           |  UNION ALL SELECT lv.lbl AS x, lu.lbl AS y
+           |  FROM sel$k s JOIN l$p lu ON s.u = lu.node JOIN l$p lv ON s.v = lv.node),
+           |reach$k AS (SELECT x AS n, x AS r FROM ce$k
+           |  UNION SELECT reach$k.n, ce$k.y FROM reach$k JOIN ce$k ON reach$k.r = ce$k.x),
+           |g$k AS MATERIALIZED (SELECT n, MIN(r) AS g FROM reach$k GROUP BY n),
+           |l$k AS MATERIALIZED (SELECT l.node, COALESCE(g.g, l.lbl) AS lbl
+           |  FROM l$p l LEFT JOIN g$k g ON l.lbl = g.n)""".stripMargin
+      }.mkString(",\n")
+      val msfUnion = (1 to GraphOps.MstMaxRounds)
+        .map(k => s"SELECT u, v, w FROM sel$k").mkString("\n  UNION ALL ")
+      val R = GraphOps.MstMaxRounds
+      s"""WITH RECURSIVE $edgesCte,
+         |pp AS (SELECT e1.dst AS a, e2.dst AS b, CAST(COUNT(*) AS BIGINT) AS w
+         |       FROM edges e1 JOIN edges e2 ON e1.src = e2.src AND e1.dst < e2.dst
+         |       GROUP BY 1, 2 HAVING COUNT(*) >= ${GraphOps.CcMinCooccur}),
+         |uec AS MATERIALIZED (SELECT a, b, w FROM pp
+         |  UNION ALL SELECT b AS a, a AS b, w FROM pp),
+         |l0 AS MATERIALIZED (SELECT DISTINCT a AS node, a AS lbl FROM uec),
+         |$rounds,
+         |msf AS MATERIALIZED ($msfUnion),
+         |nn AS (SELECT lbl, CAST(COUNT(*) AS BIGINT) AS n_nodes FROM l$R GROUP BY 1),
+         |me AS (SELECT l.lbl, CAST(COUNT(*) AS BIGINT) AS n_edges,
+         |    CAST(SUM(m.w) AS BIGINT) AS total_weight
+         |  FROM msf m JOIN l$R l ON m.u = l.node GROUP BY 1)
+         |SELECT me.lbl AS component, nn.n_nodes, me.n_edges, me.total_weight
+         |FROM me JOIN nn ON me.lbl = nn.lbl
+         |ORDER BY total_weight DESC, component ASC LIMIT 20""".stripMargin
+    },
+
     // Weighted PageRank: the q_graph_pagerank unrolled chain with the
     // multiplicity-weighted transition r·w/W in the numerator — the
     // double product r * w / wt * 1e9 is the same left-assoc chain in

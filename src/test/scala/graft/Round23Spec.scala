@@ -244,6 +244,42 @@ class Round23Spec extends AnyFunSuite {
     }
   }
 
+  test("mst: Borůvka forest equals an independent in-memory Kruskal " +
+      "under the same (w, u, v) total order on the sf0.001 projection") {
+    val uew = GraphOps.undProjW(spark, sf0001, GraphOps.CcMinCooccur)
+      .filter(col("a") < col("b"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(uew.nonEmpty, "fixture projection must be non-empty")
+    // textbook Kruskal with union-find — a DIFFERENT algorithm than the
+    // query's Borůvka; they agree because the tie-broken MSF is unique
+    val parent = scala.collection.mutable.Map.empty[Long, Long]
+    def find(x: Long): Long = {
+      val p = parent.getOrElseUpdate(x, x)
+      if (p == x) x else { val r = find(p); parent(x) = r; r }
+    }
+    val msf = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Long)]
+    uew.sortBy { case (a, b, w) => (w, a, b) }.foreach { case (a, b, w) =>
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) { parent(math.max(ra, rb)) = math.min(ra, rb); msf += ((a, b, w)) }
+    }
+    uew.foreach { case (a, b, _) => find(a); find(b) }
+    val nodes = uew.flatMap(e => Seq(e._1, e._2)).distinct
+      .groupBy(find).map { case (r, ns) => r -> ns.length }
+    val agg = msf.groupBy(e => find(e._1)).map { case (r, es) =>
+      (r, nodes(r).toLong, es.length.toLong, es.map(_._3).sum)
+    }
+    val expected = agg.toSeq
+      .sortBy { case (c, _, _, w) => (-w, c) }.take(20)
+    val got = SparkEntry.queries("q_graph_mst")(spark, sf0001)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toSeq
+    assert(got == expected, s"MSF diverged:\n got=$got\n exp=$expected")
+    // spanning invariant, visible in the output schema
+    got.foreach { case (c, nN, nE, _) =>
+      assert(nE == nN - 1, s"component $c: $nE edges for $nN nodes")
+    }
+  }
+
   test("trained-ADC curve: the seed leg IS q_llm_ann_ivfpq_nprobe's ADC " +
       "leg, and training never hurts recall on the fixture") {
     val tr = SparkEntry.queries("q_llm_ann_ivfpq_trained")(spark, sf0001)
