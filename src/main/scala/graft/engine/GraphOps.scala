@@ -740,6 +740,109 @@ object GraphOps {
     ccHistogram(s, dir, ccLabels(s, dir, undSpan))
   }
 
+  /** Typed edge row for the streaming MSF maintainer. */
+  case class MstEdge(shard: Int, a: Long, b: Long, w: Long)
+
+  /** Per-shard spanning-forest state: the shard's LOCAL minimum
+    * spanning forest as parallel canonical-edge arrays (u < v),
+    * O(|V_shard|) entries however many edges stream through. */
+  case class MstForest(shard: Int, us: Seq[Long], vs: Seq[Long], ws: Seq[Long])
+
+  /** Incremental online-MST fold (the classical swap rule): per
+    * arriving edge, if its endpoints are disconnected in the shard
+    * forest the edge joins; otherwise the maximum edge on the unique
+    * tree path between them (under the strict (w, u, v) order) is
+    * swapped out iff the new edge is smaller. The state is therefore
+    * always the shard's exact local MSF, and the Kruskal filter lemma
+    * (an edge outside a PARTITION's local MSF is the max of a cycle,
+    * hence outside the global MSF) makes the union of shard forests
+    * MSF-equivalent to the full edge set — snapshot ≡ batch
+    * q_graph_mst, one oracle. */
+  private[graft] def mstUpdate(shard: Int, it: Iterator[MstEdge],
+      state: org.apache.spark.sql.streaming.GroupState[MstForest]): Iterator[MstForest] = {
+    type E = (Long, Long, Long)
+    def lessE(x: E, y: E): Boolean =
+      x._3 < y._3 || (x._3 == y._3 &&
+        (x._1 < y._1 || (x._1 == y._1 && x._2 < y._2)))
+    val edges = scala.collection.mutable.LinkedHashSet.empty[E]
+    state.getOption.foreach(f =>
+      f.us.lazyZip(f.vs).lazyZip(f.ws).foreach((u, v, w) => edges += ((u, v, w))))
+    val adj = scala.collection.mutable
+      .Map.empty[Long, scala.collection.mutable.ListBuffer[E]]
+    def link(e: E): Unit = {
+      adj.getOrElseUpdate(e._1, scala.collection.mutable.ListBuffer.empty) += e
+      adj.getOrElseUpdate(e._2, scala.collection.mutable.ListBuffer.empty) += e
+    }
+    edges.foreach(link)
+    // unique tree path src→dst (DFS with edge backtracking), or None
+    def pathEdges(src: Long, dst: Long): Option[List[E]] = {
+      if (!adj.contains(src) || !adj.contains(dst)) return None
+      val via = scala.collection.mutable.Map.empty[Long, E]
+      val seen = scala.collection.mutable.Set(src)
+      val stack = scala.collection.mutable.Stack(src)
+      while (stack.nonEmpty && !seen.contains(dst)) {
+        val n = stack.pop()
+        adj.getOrElse(n, Nil).foreach { e =>
+          val o = if (e._1 == n) e._2 else e._1
+          if (seen.add(o)) { via(o) = e; stack.push(o) }
+        }
+      }
+      if (!seen.contains(dst)) None
+      else {
+        var path = List.empty[E]
+        var cur = dst
+        while (cur != src) {
+          val e = via(cur)
+          path = e :: path
+          cur = if (e._1 == cur) e._2 else e._1
+        }
+        Some(path)
+      }
+    }
+    it.foreach { me =>
+      val e: E = (math.min(me.a, me.b), math.max(me.a, me.b), me.w)
+      if (!edges.contains(e)) pathEdges(e._1, e._2) match {
+        case None => edges += e; link(e)
+        case Some(path) =>
+          val maxE = path.reduceLeft((x, y) => if (lessE(x, y)) y else x)
+          if (lessE(e, maxE)) {
+            edges -= maxE; adj(maxE._1) -= maxE; adj(maxE._2) -= maxE
+            edges += e; link(e)
+          }
+      }
+    }
+    val sorted = edges.toSeq.sortBy(e => (e._3, e._1, e._2))
+    val st = MstForest(shard, sorted.map(_._1), sorted.map(_._2), sorted.map(_._3))
+    state.update(st)
+    Iterator.single(st)
+  }
+
+  /** STREAMING minimum spanning forest (r17 — the streaming tier's
+    * second incremental topology analytic beside q_stream_cc): weighted
+    * projection edges fold into 8 sharded online-MST forests in keyed
+    * state; the snapshot runs the shared Borůvka core over the union of
+    * the shard forests (≤ 8·|V| edges — never the edge stream), which
+    * the Kruskal filter lemma proves MSF-equivalent to the full graph.
+    * Output ≡ batch q_graph_mst, one oracle. */
+  def q_stream_mst(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val es = undProjW(s, dir, CcMinCooccur).filter(col("a") < col("b"))
+      .select(pmod(col("a") + col("b"), lit(8)).cast("int").as("shard"),
+        col("a"), col("b"), col("w"))
+      .as[MstEdge]
+    val snap = es.groupByKey(_.shard)
+      .flatMapGroupsWithState(org.apache.spark.sql.streaming.OutputMode.Update,
+        org.apache.spark.sql.streaming.GroupStateTimeout.NoTimeout)(mstUpdate)
+      .toDF()
+    val span = snap
+      .select(explode(arrays_zip(col("us"), col("vs"), col("ws"))).as("z"))
+      .select(col("z.us").as("a"), col("z.vs").as("b"), col("z.ws").as("w"))
+    val undSpan = span
+      .union(span.select(col("b").as("a"), col("a").as("b"), col("w")))
+      .ckpt("mst_span")
+    boruvkaMsf(s, dir, freshStats(s, undSpan))
+  }
+
   /** Min-label fixpoint over a symmetrized (a, b) edge table → (node,
     * lbl) for every node WITH at least one edge — the shared CC core of
     * q_graph_cc and the q_stream_cc snapshot (which runs it over the
@@ -1126,8 +1229,16 @@ object GraphOps {
   private def freshStats(s: SparkSession, df: DataFrame): DataFrame =
     s.createDataFrame(df.rdd, df.schema)
 
-  def q_graph_mst(s: SparkSession, dir: String): DataFrame = {
-    val uew = undProjW(s, dir, CcMinCooccur)
+  def q_graph_mst(s: SparkSession, dir: String): DataFrame =
+    boruvkaMsf(s, dir, undProjW(s, dir, CcMinCooccur))
+
+  /** The Borůvka core over any SYMMETRIZED weighted edge table
+    * (a, b, w) — shared by q_graph_mst and the q_stream_mst snapshot
+    * (which runs it over the union of the shard forests; the Kruskal
+    * filter lemma makes the two inputs MSF-equivalent, so both queries
+    * share ONE oracle). */
+  private[graft] def boruvkaMsf(s: SparkSession, dir: String,
+      uew: DataFrame): DataFrame = {
     var labels = uew.select(col("a").as("node")).distinct()
       .select(col("node"), col("node").as("lbl"))
       .ckpt()
@@ -2554,6 +2665,7 @@ object GraphOps {
     "q_graph_motif_find" -> q_graph_motif_find _,
     "q_graph_cc" -> q_graph_cc _,
     "q_stream_cc" -> q_stream_cc _,
+    "q_stream_mst" -> q_stream_mst _,
     "q_graph_pagerank" -> q_graph_pagerank _,
     "q_graph_pagerank_w" -> q_graph_pagerank_w _,
     "q_graph_ppr_w" -> q_graph_ppr_w _,

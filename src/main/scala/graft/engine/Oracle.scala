@@ -8316,6 +8316,9 @@ object Oracle {
         // preserve connectivity exactly, and the snapshot merge is the
         // batch fixpoint — snapshot ≡ batch q_graph_cc, one oracle
         "q_stream_cc" -> graph("q_graph_cc"),
+        // streaming MSF maintainer: online-MST shard forests + the
+        // shared Borůvka snapshot — snapshot ≡ batch q_graph_mst
+        "q_stream_mst" -> round17("q_graph_mst"),
         // streaming CMS grid is cell-identical to the batch sketch
         "q_stream_cms" -> round6("q_llm_cms_topk"),
         // deterministic bottom-k reservoir: batch twin = hash-rank window

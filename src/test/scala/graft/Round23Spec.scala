@@ -165,6 +165,41 @@ class Round23Spec extends AnyFunSuite {
     assert(stream == batch, s"stream snapshot $stream != batch CC $batch")
   }
 
+  test("streaming MST: cross-batch online-MST swap rule, shard forests " +
+      "merge to the exact batch forest") {
+    val s = spark
+    import s.implicits._
+    implicit val sq = s.sqlContext
+    import graft.engine.GraphOps.{MstEdge, mstUpdate}
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import org.apache.spark.sql.streaming.{GroupStateTimeout, OutputMode}
+    // batch 1 builds the path 1-2-3 (weights 5, 6); batch 2's edge
+    // (1,3,w=2) closes a cycle THROUGH BATCH-1 STATE and must SWAP out
+    // the path maximum (2,3,6). Shard 1 proves isolation.
+    val ms = MemoryStream[MstEdge]
+    val q = ms.toDS().groupByKey(_.shard)
+      .flatMapGroupsWithState(OutputMode.Update, GroupStateTimeout.NoTimeout)(mstUpdate)
+      .toDF()
+      .writeStream.outputMode("update").format("memory").queryName("mst_uf").start()
+    ms.addData(MstEdge(0, 1, 2, 5), MstEdge(0, 2, 3, 6), MstEdge(1, 10, 11, 1))
+    q.processAllAvailable()
+    ms.addData(MstEdge(0, 1, 3, 2))
+    q.processAllAvailable(); q.stop()
+    val snaps = s.table("mst_uf").collect()
+      .map(r => (r.getInt(0),
+        r.getSeq[Long](1).lazyZip(r.getSeq[Long](2)).lazyZip(r.getSeq[Long](3)).toList))
+    val last0 = snaps.filter(_._1 == 0).last._2.toSet
+    assert(last0 == Set((1L, 3L, 2L), (1L, 2L, 5L)),
+      s"swap must evict the path max (2,3,6) and keep the rest: $last0")
+    assert(snaps.filter(_._1 == 1).last._2 == List((10L, 11L, 1L)), "shard 1 unaffected")
+    // snapshot ≡ batch on the real fixture (the one-oracle claim)
+    val stream = SparkEntry.queries("q_stream_mst")(s, sf0001)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSeq
+    val batch = SparkEntry.queries("q_graph_mst")(s, sf0001)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSeq
+    assert(stream == batch, s"stream snapshot $stream != batch MSF $batch")
+  }
+
   test("CEP AFTER MATCH modes: skip-till-last / SKIP TO NEXT / SKIP PAST " +
       "LAST ROW separate on an overlapping-match scenario, batch == stream") {
     import spark.implicits._
