@@ -1103,22 +1103,29 @@ object LlmOps {
     * q_llm_ann_ivf, q_llm_ann_ivfpq, q_llm_ann_recall{,_curve} and
     * q_llm_semdedup (and their oracles' `nl`/`ac`/`ar`/`assigned`
     * CTEs) must stay in sync with this. */
-  private def ivfAssign(s: SparkSession, emb: DataFrame, nlist: Long): DataFrame = {
-    val cents = emb.filter(col("vec_id") < nlist)
-      .select(col("vec_id").as("cid"), col("embedding").as("cv"),
-        normCol(s)(col("embedding")).as("cn"))
-    val data = emb.select(col("vec_id").as("vid"), col("embedding").as("dv"),
-      normCol(s)(col("embedding")).as("dn"))
-    val wAssign = Window.partitionBy(col("vid")).orderBy(col("ccos").desc, col("cid").asc)
-    data.crossJoin(broadcast(cents))
-      .withColumn("ccos", round(cosSimPre(s)(col("dv"), col("cv"), col("dn"), col("cn")), 6))
-      .withColumn("arn", row_number().over(wAssign)).filter(col("arn") === 1)
-      .select(col("vid"), col("cid"), col("dv"), col("dn"))
-  }
+  /** Session MV (r17): the n × nlist cosine cross-join is rebuilt by
+    * NINE ANN-tier operators — memoized per (session, embeddings
+    * generation), it runs once per board sweep. */
+  private def ivfAssign(s: SparkSession, dir: String): DataFrame =
+    Mv.memo(s, s"ivfAssign|${tablesKey(s, dir, Seq("embeddings"))}") { bs =>
+      val emb = Tables.embeddings(bs, dir)
+      val nlist = ivfNlist(bs, dir)
+      val cents = emb.filter(col("vec_id") < nlist)
+        .select(col("vec_id").as("cid"), col("embedding").as("cv"),
+          normCol(bs)(col("embedding")).as("cn"))
+      val data = emb.select(col("vec_id").as("vid"), col("embedding").as("dv"),
+        normCol(bs)(col("embedding")).as("dn"))
+      val wAssign = Window.partitionBy(col("vid")).orderBy(col("ccos").desc, col("cid").asc)
+      data.crossJoin(broadcast(cents))
+        .withColumn("ccos", round(cosSimPre(bs)(col("dv"), col("cv"), col("dn"), col("cn")), 6))
+        .withColumn("arn", row_number().over(wAssign)).filter(col("arn") === 1)
+        .select(col("vid"), col("cid"), col("dv"), col("dn"))
+        .ckpt("ivf_assign")
+    }
 
   def q_llm_ann_ivf(s: SparkSession, dir: String): DataFrame = {
     val emb = Tables.embeddings(s, dir)
-    val assigned = ivfAssign(s, emb, ivfNlist(s, dir))
+    val assigned = ivfAssign(s, dir)
     val qs = assigned.filter(col("vid").between(20, 24))
       .select(col("vid").as("query_id"), col("cid").as("qcid"),
         col("dv").as("qv"), col("dn").as("qn"))
@@ -1156,7 +1163,7 @@ object LlmOps {
   def q_llm_ann_nprobe(s: SparkSession, dir: String): DataFrame = {
     val emb = Tables.embeddings(s, dir)
     val nlist = ivfNlist(s, dir)
-    val assigned = ivfAssign(s, emb, nlist)
+    val assigned = ivfAssign(s, dir)
     val qs = assigned.filter(col("vid").between(20, 24))
       .select(col("vid").as("query_id"), col("dv").as("qv"), col("dn").as("qn"))
     // per-query centroid ranking: |Q| × nlist rows, broadcast centroids
@@ -1312,7 +1319,7 @@ object LlmOps {
     // legs) would otherwise each re-run the window sort downstream of
     // the reused exchange (same pattern as GraphOps.partPairs)
     val emb = Tables.embeddings(s, dir)
-    val assigned = ivfAssign(s, emb, ivfNlist(s, dir)).ckpt("semdedup_assign")
+    val assigned = ivfAssign(s, dir)
     val earlier = assigned.select(col("cid").as("ca"), col("vid").as("va"),
       col("dv").as("av"), col("dn").as("an"))
     val dropped = assigned
@@ -1623,7 +1630,7 @@ object LlmOps {
     * machinery. */
   def q_llm_ann_recall(s: SparkSession, dir: String): DataFrame = {
     val emb = Tables.embeddings(s, dir)
-    val assigned = ivfAssign(s, emb, ivfNlist(s, dir))
+    val assigned = ivfAssign(s, dir)
     val qs = assigned.filter(col("vid").between(20, 24))
       .select(col("vid").as("query_id"), col("cid").as("qcid"),
         col("dv").as("qv"), col("dn").as("qn"))
@@ -1670,7 +1677,7 @@ object LlmOps {
     * broadcast over the query-bounded matched table. */
   def q_llm_ann_recall_curve(s: SparkSession, dir: String): DataFrame = {
     val emb = Tables.embeddings(s, dir)
-    val assigned = ivfAssign(s, emb, ivfNlist(s, dir))
+    val assigned = ivfAssign(s, dir)
     val qs = assigned.filter(col("vid").between(20, 24))
       .select(col("vid").as("query_id"), col("cid").as("qcid"),
         col("dv").as("qv"), col("dn").as("qn"))
@@ -1768,7 +1775,7 @@ object LlmOps {
   def q_llm_ann_ivfpq(s: SparkSession, dir: String): DataFrame = {
     val emb = Tables.embeddings(s, dir)
     val nlist = ivfNlist(s, dir)
-    val assigned = ivfAssign(s, emb, nlist)
+    val assigned = ivfAssign(s, dir)
     val cents = emb.filter(col("vec_id") < nlist)
       .select(col("vec_id").as("rc"), col("embedding").as("rcv"))
     // residuals, materialized once: codebook, codes, and query LUTs all
@@ -1839,7 +1846,7 @@ object LlmOps {
   def q_llm_ann_ivfpq_nprobe(s: SparkSession, dir: String): DataFrame = {
     val emb = Tables.embeddings(s, dir)
     val nlist = ivfNlist(s, dir)
-    val assigned = ivfAssign(s, emb, nlist)
+    val assigned = ivfAssign(s, dir)
     val cents = emb.filter(col("vec_id") < nlist)
       .select(col("vec_id").as("cid"), col("embedding").as("cv"),
         normCol(s)(col("embedding")).as("cn"))
@@ -1997,7 +2004,7 @@ object LlmOps {
       val nlist = ivfNlist(bs, dir)
       val cents = emb.filter(col("vec_id") < nlist)
         .select(col("vec_id").as("rc"), col("embedding").as("rcv"))
-      ivfAssign(bs, emb, nlist).join(broadcast(cents), col("cid") === col("rc"))
+      ivfAssign(bs, dir).join(broadcast(cents), col("cid") === col("rc"))
         .select(col("vid"),
           expr("zip_with(dv, rcv, (x, c) -> cast(x as double) - cast(c as double))")
             .as("rv"))
@@ -2088,7 +2095,7 @@ object LlmOps {
   def q_llm_ann_ivfpq_trained(s: SparkSession, dir: String): DataFrame = {
     val emb = Tables.embeddings(s, dir)
     val nlist = ivfNlist(s, dir)
-    val assigned = ivfAssign(s, emb, nlist)
+    val assigned = ivfAssign(s, dir)
     val cents = emb.filter(col("vec_id") < nlist)
       .select(col("vec_id").as("cid"), col("embedding").as("cv"),
         normCol(s)(col("embedding")).as("cn"))
