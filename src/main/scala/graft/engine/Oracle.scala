@@ -7919,6 +7919,36 @@ object Oracle {
          |ORDER BY dist ASC, part_key ASC LIMIT 20""".stripMargin
     },
 
+    // Yule-Walker AR(2): the q_time_autocorr exact-moment Pearson per
+    // lag 1/2, then the closed form as one pinned double chain.
+    "q_time_ar2" ->
+      """WITH daily AS (SELECT event_type,
+        |    CAST(CAST(ts AS TIMESTAMP) AS DATE) AS day,
+        |    CAST(SUM(CAST(ROUND(value * 100, 0) AS BIGINT)) AS BIGINT) AS c
+        |  FROM events GROUP BY 1, 2),
+        |lags AS (SELECT UNNEST([1, 2]) AS lag),
+        |pairs AS (SELECT d.event_type, l.lag, d.c AS y, p.c AS x
+        |  FROM daily d CROSS JOIN lags l
+        |  JOIN daily p ON d.event_type = p.event_type AND d.day = p.day + l.lag),
+        |a AS (SELECT event_type, lag, COUNT(*) AS n_pairs,
+        |    CAST(SUM(x) AS DOUBLE) AS sx, CAST(SUM(y) AS DOUBLE) AS sy,
+        |    CAST(SUM(x*x) AS DOUBLE) AS sxx, CAST(SUM(y*y) AS DOUBLE) AS syy,
+        |    CAST(SUM(x*y) AS DOUBLE) AS sxy
+        |  FROM pairs GROUP BY 1, 2),
+        |r AS (SELECT event_type, lag, n_pairs,
+        |    (CAST(n_pairs AS DOUBLE) * sxy - sx * sy)
+        |      / (sqrt(CAST(n_pairs AS DOUBLE) * sxx - sx * sx)
+        |         * sqrt(CAST(n_pairs AS DOUBLE) * syy - sy * sy)) AS r
+        |  FROM a),
+        |w AS (SELECT a.event_type, a.n_pairs AS n1, a.r AS r1, b.r AS r2
+        |  FROM r a JOIN r b ON a.event_type = b.event_type
+        |    AND a.lag = 1 AND b.lag = 2)
+        |SELECT event_type, CAST(n1 AS BIGINT) AS n1,
+        |  ROUND(r1, 6) AS r1, ROUND(r2, 6) AS r2,
+        |  ROUND(r1 * (1 - r2) / (1 - r1 * r1), 6) AS phi1,
+        |  ROUND((r2 - r1 * r1) / (1 - r1 * r1), 6) AS phi2
+        |FROM w ORDER BY event_type""".stripMargin,
+
     // Borůvka MSF: rounds unrolled, each a per-component min-edge
     // selection (canonical (w, least, greatest) order — the strict
     // total order that makes the forest unique and cycle-free) plus a

@@ -597,6 +597,54 @@ object StatsOps {
       .orderBy("event_type", "lag")
   }
 
+  /** Yule-Walker AR(2) fit of the daily value series per event_type
+    * (r17 — the classical parametric step after the ACF screen: the
+    * forecasting family had smoothers (EWMA/Holt/Holt-Winters), the
+    * ACF/PACF screens, and trend fits, but no autoregressive model).
+    * Lag-1/lag-2 autocorrelations via the exact q_time_autocorr
+    * assembly (date-aligned pairs, DECIMAL(38,0) moment sums, one
+    * pinned Pearson per lag), then the Yule-Walker closed form
+    * φ₁ = r₁(1−r₂)/(1−r₁²), φ₂ = (r₂−r₁²)/(1−r₁²) as one pinned
+    * double chain — identical literal expression in the oracle, so
+    * the composition stays bit-equal. ONE keyed aggregation over the
+    * daily series; k×1 rows out at any corpus scale. */
+  def q_time_ar2(s: SparkSession, dir: String): DataFrame = {
+    val daily = Tables.events(s, dir)
+      .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+      .agg(sum(round(col("value") * 100, 0).cast("bigint")).as("c"))
+    val lags = s.range(0, 1).select(explode(array(lit(1), lit(2))).as("lag"))
+    val pairs = daily.crossJoin(lags)
+      .select(col("event_type"), col("lag"), col("day"), col("c").as("y"))
+      .join(daily.select(col("event_type").as("et2"), col("day").as("d2"),
+          col("c").as("x")),
+        col("event_type") === col("et2") &&
+          col("day") === expr("date_add(d2, lag)"))
+    def dsum(c: org.apache.spark.sql.Column, n: String) =
+      sum(c.cast("decimal(38,0)")).cast("double").as(n)
+    val agg = pairs.groupBy(col("event_type"), col("lag")).agg(
+      count(lit(1)).as("n_pairs"),
+      dsum(col("x"), "sx"), dsum(col("y"), "sy"),
+      dsum(col("x") * col("x"), "sxx"), dsum(col("y") * col("y"), "syy"),
+      dsum(col("x") * col("y"), "sxy"))
+    val n = col("n_pairs").cast("double")
+    val r = agg.select(col("event_type"), col("lag"), col("n_pairs"),
+      ((n * col("sxy") - col("sx") * col("sy"))
+        / (sqrt(n * col("sxx") - col("sx") * col("sx"))
+          * sqrt(n * col("syy") - col("sy") * col("sy")))).as("r"))
+    val w = r.filter(col("lag") === 1)
+      .select(col("event_type"), col("n_pairs").as("n1"), col("r").as("r1"))
+      .join(r.filter(col("lag") === 2)
+        .select(col("event_type").as("eb"), col("r").as("r2")),
+        col("event_type") === col("eb"))
+    w.select(col("event_type"), col("n1"),
+        round(col("r1"), 6).as("r1"), round(col("r2"), 6).as("r2"),
+        round(col("r1") * (lit(1) - col("r2"))
+          / (lit(1) - col("r1") * col("r1")), 6).as("phi1"),
+        round((col("r2") - col("r1") * col("r1"))
+          / (lit(1) - col("r1") * col("r1")), 6).as("phi2"))
+      .orderBy("event_type")
+  }
+
   /** OLS trend fit of the daily value series per event_type (round 7 —
     * the trend screen beside the Holt smoother): regress daily exact
     * cents y on the day index x = day − 2024-01-01 (small integers, so
@@ -3223,6 +3271,7 @@ object StatsOps {
     "q_agg_ols_trend" -> q_agg_ols_trend _,
     "q_time_changepoint" -> q_time_changepoint _,
     "q_time_autocorr" -> q_time_autocorr _,
+    "q_time_ar2" -> q_time_ar2 _,
     "q_agg_ks_test" -> q_agg_ks_test _,
     "q_agg_gini" -> q_agg_gini _,
     "q_stream_holt" -> q_stream_holt _,

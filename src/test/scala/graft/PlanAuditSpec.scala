@@ -310,10 +310,10 @@ class PlanAuditSpec extends AnyFunSuite {
     val bnljAllow: Map[String, String] = Map(
       "q_embed_mrl" -> "5 literal query ids filtered from the embeddings scan",
       "q_gnn_attention" -> "single query vector (vec_id = 0 equality scan)",
-      "q_llm_ann_ivf" -> "literal query-id anchor scan (<= 5 rows)",
-      "q_llm_ann_ivfpq" -> "literal query-id anchor scan (<= 5 rows)",
       "q_llm_ann_recall" -> "literal query-id anchor scans (<= 5 rows each)",
       "q_llm_ann_nprobe" -> "literal query-id anchor scans + NProbes spine (<= 5 / 3 rows) onto the centroid/candidate scans",
+      "q_llm_ann_ivfpq_nprobe" -> "literal query-id anchor scans (<= 5 rows) onto the exact ground-truth corpus scan",
+      "q_llm_ann_ivfpq_trained" -> "literal query-id anchor scans (<= 5 rows) onto the exact ground-truth corpus scan",
       "q_llm_cosine_topk" -> "literal query-id anchor scan",
       "q_llm_embed_neardup" -> "fixed-COUNT sample (step = ceil(n/500)): <= ~500 rows at any corpus size",
       "q_llm_hard_negatives" -> "5 literal anchor docs",
@@ -345,7 +345,9 @@ class PlanAuditSpec extends AnyFunSuite {
       "kmeans_assign" -> "k-row centroid table in the Lloyd assign build",
       "mmr_pool" -> "1-row query anchor onto the embeddings scan (pool build)",
       "mmr_sims" -> "<=MmrPool-row checkpointed pool sides in the rerank pair build",
-      "semdedup_assign" -> "√n-row broadcast centroid table in the cell-assign build")
+      "ivf_assign" -> "√n-row broadcast centroid table in the shared IVF cell-assign MV build (r17: the former semdedup_assign, memoized)",
+      "ivfpq_np_qcells" -> "5 literal query anchors × √n-row broadcast centroid table (cell-ranking build)",
+      "ivfpq_tr_qcells" -> "5 literal query anchors × √n-row broadcast centroid table (cell-ranking build)")
     val ckptWinAllow: Map[String, String] = Map(
       "hurst_spine" -> "R/S ladder over the day calendar (rows = distinct days per block size)")
 

@@ -165,6 +165,45 @@ class Round23Spec extends AnyFunSuite {
     assert(stream == batch, s"stream snapshot $stream != batch CC $batch")
   }
 
+  test("AR(2): Yule-Walker coefficients match an exact in-memory replica " +
+      "over the daily series") {
+    import graft.engine.Tables
+    def r6(x: Double): Double =
+      java.math.BigDecimal.valueOf(x).setScale(6, java.math.RoundingMode.HALF_UP)
+        .doubleValue
+    val daily = Tables.events(spark, sf0001)
+      .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+      .agg(sum(round(col("value") * 100, 0).cast("bigint")).as("c"))
+      .collect().map(r => (r.getString(0), r.getDate(1).toLocalDate, r.getLong(2)))
+    val expected = daily.groupBy(_._1).toSeq.map { case (et, rows) =>
+      val byDay = rows.map(r => r._2 -> r._3).toMap
+      def pearson(lag: Int): (Long, Double) = {
+        val ps = byDay.toSeq.flatMap { case (d, y) =>
+          byDay.get(d.minusDays(lag)).map(x => (BigInt(x), BigInt(y)))
+        }
+        val n = ps.size.toDouble
+        val (sx, sy) = (ps.map(_._1).sum.toDouble, ps.map(_._2).sum.toDouble)
+        val sxx = ps.map(p => p._1 * p._1).sum.toDouble
+        val syy = ps.map(p => p._2 * p._2).sum.toDouble
+        val sxy = ps.map(p => p._1 * p._2).sum.toDouble
+        (ps.size.toLong,
+          (n * sxy - sx * sy) / (math.sqrt(n * sxx - sx * sx) * math.sqrt(n * syy - sy * sy)))
+      }
+      val ((n1, r1), (_, r2)) = (pearson(1), pearson(2))
+      (et, n1, r6(r1), r6(r2),
+        r6(r1 * (1 - r2) / (1 - r1 * r1)), r6((r2 - r1 * r1) / (1 - r1 * r1)))
+    }.sortBy(_._1)
+    val got = SparkEntry.queries("q_time_ar2")(spark, sf0001)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2),
+        r.getDouble(3), r.getDouble(4), r.getDouble(5))).toSeq
+    assert(got == expected, s"AR(2) diverged:\n got=$got\n exp=$expected")
+    // stationarity sanity on the fixture: |phi2| < 1 and phi1 + phi2 < 1
+    got.foreach { case (et, _, _, _, p1, p2) =>
+      assert(math.abs(p2) < 1 && p1 + p2 < 1 && p2 - p1 < 1,
+        s"$et: ($p1, $p2) outside the AR(2) stationarity triangle")
+    }
+  }
+
   test("streaming MST: cross-batch online-MST swap rule, shard forests " +
       "merge to the exact batch forest") {
     val s = spark
