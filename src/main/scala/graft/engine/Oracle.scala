@@ -8342,6 +8342,9 @@ object Oracle {
         "q_stream_chi2" -> round13("q_agg_chi2"),
         "q_stream_benford" -> round13("q_agg_benford"),
         "q_stream_ttest" -> stats("q_agg_ttest"),
+        // streaming AR(2): day-series state + the identical pinned
+        // Yule-Walker chain at snapshot — snapshot ≡ batch q_time_ar2
+        "q_stream_ar2" -> round17("q_time_ar2"),
         // streaming CC maintainer: the sharded union-find forests
         // preserve connectivity exactly, and the snapshot merge is the
         // batch fixpoint — snapshot ≡ batch q_graph_cc, one oracle

@@ -645,6 +645,66 @@ object StatsOps {
       .orderBy("event_type")
   }
 
+  /** Typed rows for the streaming AR(2) maintainer. */
+  case class Ar2In(etype: String, x: Long, y: Long)
+  case class Ar2State(days: Seq[Long], vals: Seq[Long])
+  case class Ar2Snap(event_type: String, n1: Long, r1: Double, r2: Double,
+    phi1: Double, phi2: Double)
+
+  /** Streaming AR(2) fold: keyed state is the day→value series itself
+    * (day-count-bounded — O(#days) longs per key however many events
+    * stream through; late/updated days overwrite idempotently), and
+    * the snapshot computes the IDENTICAL exact-moment Pearson + pinned
+    * Yule-Walker chain as q_time_ar2 — BigInt moment sums cast to
+    * double exactly like the DECIMAL(38,0) device, so snapshot ≡ batch
+    * and both share one oracle. */
+  private[graft] def updateAr2(key: String, it: Iterator[Ar2In],
+      state: org.apache.spark.sql.streaming.GroupState[Ar2State]): Iterator[Ar2Snap] = {
+    val m = scala.collection.mutable.Map.empty[Long, Long]
+    state.getOption.foreach(st =>
+      st.days.lazyZip(st.vals).foreach((d, v) => m(d) = v))
+    it.foreach(r => m(r.x) = r.y)
+    val days = m.keys.toSeq.sorted
+    state.update(Ar2State(days, days.map(m)))
+    def r6(x: Double): Double =
+      if (x.isNaN || x.isInfinite) x
+      else java.math.BigDecimal.valueOf(x)
+        .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue
+    def pearson(lag: Int): (Long, Double) = {
+      val ps = days.flatMap(d => m.get(d - lag).map(x => (BigInt(x), BigInt(m(d)))))
+      val n = ps.size.toDouble
+      val (sx, sy) = (ps.map(_._1).sum.toDouble, ps.map(_._2).sum.toDouble)
+      val sxx = ps.map(p => p._1 * p._1).sum.toDouble
+      val syy = ps.map(p => p._2 * p._2).sum.toDouble
+      val sxy = ps.map(p => p._1 * p._2).sum.toDouble
+      (ps.size.toLong,
+        (n * sxy - sx * sy)
+          / (math.sqrt(n * sxx - sx * sx) * math.sqrt(n * syy - sy * sy)))
+    }
+    val ((n1, r1), (n2, r2)) = (pearson(1), pearson(2))
+    if (n1 < 1 || n2 < 1) Iterator.empty
+    else Iterator.single(Ar2Snap(key, n1, r6(r1), r6(r2),
+      r6(r1 * (1 - r2) / (1 - r1 * r1)), r6((r2 - r1 * r1) / (1 - r1 * r1))))
+  }
+
+  /** STREAMING Yule-Walker AR(2) (the stream_ewma/stream_markov twin
+    * pattern): one snapshot row per event_type ≡ q_time_ar2. */
+  def q_stream_ar2(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables.events(s, dir)
+      .groupBy(col("event_type").as("etype"), to_date(col("ts")).as("day"))
+      .agg(sum(round(col("value") * 100, 0).cast("bigint")).as("y"))
+      .select(col("etype"),
+        datediff(col("day"), lit("2024-01-01").cast("date")).cast("bigint").as("x"),
+        col("y"))
+      .as[Ar2In]
+      .groupByKey(_.etype)
+      .flatMapGroupsWithState(org.apache.spark.sql.streaming.OutputMode.Update,
+        org.apache.spark.sql.streaming.GroupStateTimeout.NoTimeout)(updateAr2)
+      .toDF()
+      .orderBy("event_type")
+  }
+
   /** OLS trend fit of the daily value series per event_type (round 7 —
     * the trend screen beside the Holt smoother): regress daily exact
     * cents y on the day index x = day − 2024-01-01 (small integers, so
@@ -3272,6 +3332,7 @@ object StatsOps {
     "q_time_changepoint" -> q_time_changepoint _,
     "q_time_autocorr" -> q_time_autocorr _,
     "q_time_ar2" -> q_time_ar2 _,
+    "q_stream_ar2" -> q_stream_ar2 _,
     "q_agg_ks_test" -> q_agg_ks_test _,
     "q_agg_gini" -> q_agg_gini _,
     "q_stream_holt" -> q_stream_holt _,

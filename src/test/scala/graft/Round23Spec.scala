@@ -204,6 +204,47 @@ class Round23Spec extends AnyFunSuite {
     }
   }
 
+  test("streaming AR(2): cross-batch day-series state; snapshot equals " +
+      "the batch estimator on the full fixture") {
+    val s = spark
+    import s.implicits._
+    implicit val sq = s.sqlContext
+    import graft.engine.StatsOps.{Ar2In, updateAr2}
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import org.apache.spark.sql.streaming.{GroupStateTimeout, OutputMode}
+    // batch 1: days 0..3; batch 2 adds days 4..5 — the lag pairs of the
+    // final snapshot must span the batch boundary (state carries days)
+    val ys = Seq(100L, 250L, 150L, 400L, 50L, 300L)
+    val ms = MemoryStream[Ar2In]
+    val q = ms.toDS().groupByKey(_.etype)
+      .flatMapGroupsWithState(OutputMode.Update, GroupStateTimeout.NoTimeout)(updateAr2)
+      .toDF()
+      .writeStream.outputMode("update").format("memory").queryName("ar2_st").start()
+    ms.addData((0 to 3).map(i => Ar2In("a", i.toLong, ys(i))): _*)
+    q.processAllAvailable()
+    ms.addData((4 to 5).map(i => Ar2In("a", i.toLong, ys(i))): _*)
+    q.processAllAvailable(); q.stop()
+    val last = s.table("ar2_st").collect().last
+    assert(last.getLong(1) == 5L,
+      s"lag-1 pairs must span both batches (5 pairs over 6 days): $last")
+    // independent check of the final snapshot on the full series
+    def pear(lag: Int): Double = {
+      val ps = (lag until 6).map(i => (ys(i - lag).toDouble, ys(i).toDouble))
+      val n = ps.size.toDouble
+      val (sx, sy) = (ps.map(_._1).sum, ps.map(_._2).sum)
+      val (sxx, syy, sxy) = (ps.map(p => p._1 * p._1).sum,
+        ps.map(p => p._2 * p._2).sum, ps.map(p => p._1 * p._2).sum)
+      (n * sxy - sx * sy) / (math.sqrt(n * sxx - sx * sx) * math.sqrt(n * syy - sy * sy))
+    }
+    assert(math.abs(last.getDouble(2) - pear(1)) < 1e-6 &&
+      math.abs(last.getDouble(3) - pear(2)) < 1e-6,
+      s"snapshot ACF must match the full-series estimate: $last")
+    // batch ≡ stream on the real fixture (the one-oracle claim)
+    val stream = SparkEntry.queries("q_stream_ar2")(s, sf0001).collect().toSeq.map(_.toString)
+    val batch = SparkEntry.queries("q_time_ar2")(s, sf0001).collect().toSeq.map(_.toString)
+    assert(stream == batch, s"stream snapshot != batch AR(2):\n$stream\n$batch")
+  }
+
   test("streaming MST: cross-batch online-MST swap rule, shard forests " +
       "merge to the exact batch forest") {
     val s = spark
