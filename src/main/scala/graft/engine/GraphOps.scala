@@ -1270,15 +1270,22 @@ object GraphOps {
       val chosenF = freshStats(s, chosen)
       // DISTINCT dedupes mutual-min pairs picked from both sides
       val sel = chosenF.select(col("u"), col("v"), col("w")).distinct()
-      if (chosen.isEmpty) done = true
+      val nChosen = chosen.count()
+      if (nChosen == 0) done = true
       else {
         msf = msf.unionByName(sel)
         // merge WITHOUT an inner fixpoint: the pointer graph's only
         // cycles are 2-cycles, so (1) collapse mutual pairs to
-        // min-labeled self-roots, (2) a FIXED pointer-jump unroll
+        // min-labeled self-roots, (2) an ADAPTIVE pointer-jump unroll
         // contracts every chain, (3) each merged group relabels to its
         // MIN member — the same partition + labeling the reach-closure
-        // oracle computes, with zero driver probes in the loop body
+        // oracle computes. Jump count = ceil(log2(#components)) + 1:
+        // a pointer chain cannot exceed the component count, doubling
+        // reaches distance 2^j, and extra jumps are no-ops — so the
+        // adaptive count computes the identical fixpoint the fixed
+        // MstJumpRounds unroll would (2 jumps on a 3-component round
+        // instead of 16; the round's one count probe doubles as the
+        // emptiness check)
         // pointer tables are component-graph-sized (halving per
         // round): broadcast the probe side of every jump join and keep
         // the build narrow at the adaptive iterative-tier width
@@ -1290,7 +1297,9 @@ object GraphOps {
           .select(col("comp"),
             when(col("tp") === col("comp"), least(col("comp"), col("ptr")))
               .otherwise(col("ptr")).as("par"))
-        for (j <- 1 to MstJumpRounds) {
+        val jumps = math.min(MstJumpRounds,
+          64 - java.lang.Long.numberOfLeadingZeros(nChosen) + 1).toInt
+        for (j <- 1 to jumps) {
           par = par.alias("x")
             .join(broadcast(par.select(col("comp").as("jc"), col("par").as("jp")).alias("j")),
               col("x.par") === col("jc"), "left_outer")
