@@ -882,11 +882,14 @@ object GraphOps {
           col("s.lbl") === col("jn"))
         .select(col("s.node").as("node"), least(col("s.lbl"), col("jl")).as("lbl"))
         .ckpt()
+      // freshStats: checkpoint-preserved size estimates compound
+      // quartically through the doubling join (the MST finding)
       // Labels are monotone non-increasing, so the iteration is at its
       // fixpoint exactly when sum(lbl) stops decreasing — one cheap scan
       // of the just-checkpointed result instead of a change-count join.
-      val curSum = next.agg(sum(col("lbl"))).collect()(0).getLong(0)
-      labels = next
+      val nextF = freshStats(s, next)
+      val curSum = nextF.agg(sum(col("lbl"))).collect()(0).getLong(0)
+      labels = nextF
       converged = curSum == prevSum
       prevSum = curSum
     }
@@ -951,7 +954,7 @@ object GraphOps {
       // checkpoint every 2nd step: bounds plan depth (planning + codegen
       // cost of a 10-deep broadcast chain is worse than 5 short jobs)
       // without paying a scheduler round-trip for every single step.
-      if (it % 2 == 0) ranks = ranks.ckpt()
+      if (it % 2 == 0) ranks = freshStats(s, ranks.ckpt())
     }
     ranks.filter(col("node") % 2 === 1)
       .select(expr("(node - 1) div 2").as("part_key"), round(col("r"), 6).as("rank"))
@@ -1012,7 +1015,7 @@ object GraphOps {
           * (sum(round(col("r") * col("w") / col("wt") * 1e9, 0).cast("bigint"))
             .cast("double") / 1e9)).as("r"))
         .select(col("dst").as("node"), col("r"))
-      if (it % 2 == 0) ranks = ranks.ckpt()
+      if (it % 2 == 0) ranks = freshStats(s, ranks.ckpt())
     }
     ranks.filter(col("node") % 2 === 1)
       .select(expr("(node - 1) div 2").as("part_key"), round(col("r"), 6).as("rank"))
@@ -2132,14 +2135,16 @@ object GraphOps {
         .groupBy(col("src"))
         .agg((sum(round(col("a") * 1e9, 0).cast("bigint")).cast("double") / 1e9).as("h"))
         .ckpt()
-      val hub = hRaw.crossJoin(broadcast(hRaw.agg(max(col("h")).as("hm"))))
+      val hRawF = freshStats(s, hRaw)
+      val hub = hRawF.crossJoin(broadcast(hRawF.agg(max(col("h")).as("hm"))))
         .select(col("src"), (col("h") / col("hm")).as("h"))
       val aRaw = e.join(stateHint(s, dir, hub.select(col("src").as("hn"), col("h")), "hn"),
           col("src") === col("hn"))
         .groupBy(col("dst"))
         .agg((sum(round(col("h") * 1e9, 0).cast("bigint")).cast("double") / 1e9).as("ar"))
         .ckpt()
-      auth = aRaw.crossJoin(broadcast(aRaw.agg(max(col("ar")).as("am"))))
+      val aRawF = freshStats(s, aRaw)
+      auth = aRawF.crossJoin(broadcast(aRawF.agg(max(col("ar")).as("am"))))
         .select(col("dst").as("node"), (col("ar") / col("am")).as("a"))
     }
     auth.select(col("node").as("part_key"), round(col("a"), 6).as("authority"))
@@ -2203,7 +2208,9 @@ object GraphOps {
         .select(col("dst").as("node"), col("r"))
         .unionByName(teleport)
         .groupBy(col("node")).agg(sum(col("r")).as("r"))
-      if (it % 2 == 0) ranks = ranks.ckpt()
+      // freshStats: the loop's plan-size estimate compounds quartically
+      // through preserved checkpoint stats (the MST finding)
+      if (it % 2 == 0) ranks = freshStats(s, ranks.ckpt())
     }
     ranks.filter(col("node") % 2 === 1)
       .select(expr("(node - 1) div 2").as("part_key"), round(col("r"), 6).as("rank"))
@@ -2238,7 +2245,9 @@ object GraphOps {
         .select(col("dst").as("node"), col("r"))
         .unionByName(teleport)
         .groupBy(col("node")).agg(sum(col("r")).as("r"))
-      if (it % 2 == 0) ranks = ranks.ckpt()
+      // freshStats: the loop's plan-size estimate compounds quartically
+      // through preserved checkpoint stats (the MST finding)
+      if (it % 2 == 0) ranks = freshStats(s, ranks.ckpt())
     }
     ranks.filter(col("node") % 2 === 1)
       .select(expr("(node - 1) div 2").as("part_key"), round(col("r"), 6).as("rank"))
