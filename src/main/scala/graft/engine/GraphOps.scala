@@ -1184,6 +1184,66 @@ object GraphOps {
       .limit(20)
   }
 
+  /** WEIGHTED truncated closeness centrality (r17 — the first weighted
+    * member of the centrality family, which was entirely hop-based:
+    * VERDICT r16 noted the path/centrality tier ignores the edge
+    * weights the Louvain/SSSP tier already carries): bounded
+    * multi-source Bellman-Ford from the CloseSeeds smallest projected
+    * nodes — the q_graph_sssp frontier-pruned relaxation with a `seed`
+    * column, so all seeds advance in the SAME per-round join (one scan
+    * of the weighted edge list per round, not per seed; per-(seed,
+    * node) state bounded by CloseSeeds·|V|). Same SsspMaxRounds cap as
+    * the unrolled multi-source min-agg CTE oracle, so both engines
+    * compute the identical bounded-relaxation distances; integer
+    * weights ⇒ exact sums. closeness_w = (reached−1)/Σdist as one
+    * exact-integer division; ecc_w = max weighted distance within the
+    * relaxation horizon. */
+  def q_graph_closeness_w(s: SparkSession, dir: String): DataFrame = {
+    val uew = undProjW(s, dir, CcMinCooccur)
+    val seeds = uew.select(col("a")).distinct().orderBy(col("a")).limit(CloseSeeds)
+      .select(col("a").as("seed"), col("a").as("node"), lit(0L).as("dist"))
+      .ckpt()
+    var dist = seeds
+    var frontier = seeds
+    var round = 0
+    var frontierSize = frontier.count()
+    while (round < SsspMaxRounds && frontierSize > 0) {
+      round += 1
+      val cand = uew
+        .join(stateHint(s, dir, frontier.select(col("seed").as("fs"),
+            col("node").as("fn"), col("dist").as("fd")), "fn", CloseSeeds),
+          col("a") === col("fn"))
+        .groupBy(col("fs").as("seed"), col("b"))
+        .agg(min(col("fd") + col("w")).as("nd"))
+      val improved = cand
+        .join(stateHint(s, dir, dist.select(col("seed").as("ds"),
+            col("node").as("dn"), col("dist").as("dd")), "ds",
+            CloseSeeds, moreKeys = Seq("dn")),
+          col("seed") === col("ds") && col("b") === col("dn"), "left_outer")
+        .filter(col("dd").isNull || col("nd") < col("dd"))
+        .select(col("seed"), col("b").as("node"), col("nd").as("dist"))
+        .ckpt()
+      frontierSize = improved.count()
+      if (frontierSize > 0) {
+        dist = freshStats(s, dist
+          .join(stateHint(s, dir, improved.select(col("seed").as("is"),
+              col("node").as("inode")), "is", CloseSeeds, moreKeys = Seq("inode")),
+            col("seed") === col("is") && col("node") === col("inode"), "left_anti")
+          .union(improved)
+          .ckpt())
+      }
+      frontier = improved
+    }
+    dist.groupBy(col("seed"))
+      .agg(count(lit(1)).as("n_reached"), sum(col("dist")).as("sum_dist"),
+        max(col("dist")).as("ecc_w"))
+      .select(col("seed"), col("n_reached"), col("sum_dist"), col("ecc_w"),
+        when(col("sum_dist") > 0,
+          (col("n_reached") - 1).cast("double") / col("sum_dist").cast("double"))
+          .otherwise(lit(0.0)).as("closeness_w"))
+      .orderBy("seed")
+  }
+
   /** Borůvka round cap shared with the oracle. The MSF under the
     * strict (w, u, v) total order is UNIQUE, so the algorithms on the
     * two sides are free to differ — but BOTH are capped at the same
@@ -2690,6 +2750,7 @@ object GraphOps {
     "q_graph_bfs" -> q_graph_bfs _,
     "q_graph_sssp" -> q_graph_sssp _,
     "q_graph_mst" -> q_graph_mst _,
+    "q_graph_closeness_w" -> q_graph_closeness_w _,
     "q_graph_jaccard" -> q_graph_jaccard _,
     "q_graph_overlap" -> q_graph_overlap _,
     "q_graph_adamic_adar" -> q_graph_adamic_adar _,

@@ -7949,6 +7949,35 @@ object Oracle {
         |  ROUND((r2 - r1 * r1) / (1 - r1 * r1), 6) AS phi2
         |FROM w ORDER BY event_type""".stripMargin,
 
+    // Weighted multi-source closeness: the q_graph_sssp bounded
+    // min-agg relaxation chain with a seed column (self-loop device
+    // keeps each level referenced exactly once), aggregated to
+    // per-seed reach/Σdist/ecc.
+    "q_graph_closeness_w" -> {
+      val steps = (1 to GraphOps.SsspMaxRounds).map { i =>
+        s"""d$i AS MATERIALIZED (SELECT p.seed, u.b AS node, MIN(p.dist + u.w) AS dist
+           |  FROM d${i - 1} p JOIN uews u ON p.node = u.a GROUP BY 1, 2)""".stripMargin
+      }.mkString(",\n")
+      s"""WITH $edgesCte,
+         |pp AS (SELECT e1.dst AS a, e2.dst AS b, CAST(COUNT(*) AS BIGINT) AS w
+         |       FROM edges e1 JOIN edges e2 ON e1.src = e2.src AND e1.dst < e2.dst
+         |       GROUP BY 1, 2 HAVING COUNT(*) >= ${GraphOps.CcMinCooccur}),
+         |uew AS (SELECT a, b, w FROM pp UNION ALL SELECT b, a, w FROM pp),
+         |uews AS MATERIALIZED (SELECT a, b, w FROM uew
+         |  UNION ALL SELECT DISTINCT a, a AS b, CAST(0 AS BIGINT) AS w FROM uew),
+         |seeds AS (SELECT DISTINCT a FROM uews ORDER BY a
+         |          LIMIT ${GraphOps.CloseSeeds}),
+         |d0 AS (SELECT a AS seed, a AS node, CAST(0 AS BIGINT) AS dist FROM seeds),
+         |$steps
+         |SELECT seed, CAST(COUNT(*) AS BIGINT) AS n_reached,
+         |  CAST(SUM(dist) AS BIGINT) AS sum_dist,
+         |  CAST(MAX(dist) AS BIGINT) AS ecc_w,
+         |  CASE WHEN SUM(dist) > 0
+         |    THEN CAST(COUNT(*) - 1 AS DOUBLE) / CAST(SUM(dist) AS DOUBLE)
+         |    ELSE CAST(0 AS DOUBLE) END AS closeness_w
+         |FROM d${GraphOps.SsspMaxRounds} GROUP BY seed ORDER BY seed""".stripMargin
+    },
+
     // Borůvka MSF: rounds unrolled, each a per-component min-edge
     // selection (canonical (w, least, greatest) order — the strict
     // total order that makes the forest unique and cycle-free) plus a

@@ -338,6 +338,39 @@ class Round23Spec extends AnyFunSuite {
     }
   }
 
+  test("weighted closeness: bounded multi-source relaxation equals a " +
+      "per-seed in-memory Bellman-Ford replica") {
+    val uew = GraphOps.undProjW(spark, sf0001, GraphOps.CcMinCooccur)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(uew.nonEmpty)
+    val seeds = uew.map(_._1).distinct.sorted.take(GraphOps.CloseSeeds)
+    val expected = seeds.map { seed =>
+      val dist = scala.collection.mutable.Map(seed -> 0L)
+      // full relaxation per round — provably the same d_K as the
+      // query's frontier-pruned variant
+      for (_ <- 1 to GraphOps.SsspMaxRounds) {
+        val snap = dist.toMap
+        uew.foreach { case (a, b, w) =>
+          snap.get(a).foreach { da =>
+            if (dist.get(b).forall(_ > da + w)) dist(b) = da + w
+          }
+        }
+      }
+      val ds = dist.values.toSeq
+      (seed, ds.size.toLong, ds.sum, ds.max,
+        if (ds.sum > 0) (ds.size - 1).toDouble / ds.sum.toDouble else 0.0)
+    }.toSeq
+    val got = SparkEntry.queries("q_graph_closeness_w")(spark, sf0001)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getDouble(4))).toSeq
+    assert(got == expected, s"weighted closeness diverged:\n got=$got\n exp=$expected")
+    // weighted ecc within the horizon dominates the hop ecc (each hop
+    // costs >= CcMinCooccur weight on this projection)
+    got.foreach { case (seed, n, sd, ecc, _) =>
+      assert(n >= 1 && sd >= ecc && ecc >= 0, s"degenerate row for seed $seed")
+    }
+  }
+
   test("PQ training: Lloyd descent strictly lowers every subspace's " +
       "quantization error; accounting covers the whole corpus") {
     val emb = graft.engine.Tables.embeddings(spark, sf0001)
