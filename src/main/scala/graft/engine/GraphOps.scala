@@ -1198,43 +1198,8 @@ object GraphOps {
     * weights ⇒ exact sums. closeness_w = (reached−1)/Σdist as one
     * exact-integer division; ecc_w = max weighted distance within the
     * relaxation horizon. */
-  def q_graph_closeness_w(s: SparkSession, dir: String): DataFrame = {
-    val uew = undProjW(s, dir, CcMinCooccur)
-    val seeds = uew.select(col("a")).distinct().orderBy(col("a")).limit(CloseSeeds)
-      .select(col("a").as("seed"), col("a").as("node"), lit(0L).as("dist"))
-      .ckpt()
-    var dist = seeds
-    var frontier = seeds
-    var round = 0
-    var frontierSize = frontier.count()
-    while (round < SsspMaxRounds && frontierSize > 0) {
-      round += 1
-      val cand = uew
-        .join(stateHint(s, dir, frontier.select(col("seed").as("fs"),
-            col("node").as("fn"), col("dist").as("fd")), "fn", CloseSeeds),
-          col("a") === col("fn"))
-        .groupBy(col("fs").as("seed"), col("b"))
-        .agg(min(col("fd") + col("w")).as("nd"))
-      val improved = cand
-        .join(stateHint(s, dir, dist.select(col("seed").as("ds"),
-            col("node").as("dn"), col("dist").as("dd")), "ds",
-            CloseSeeds, moreKeys = Seq("dn")),
-          col("seed") === col("ds") && col("b") === col("dn"), "left_outer")
-        .filter(col("dd").isNull || col("nd") < col("dd"))
-        .select(col("seed"), col("b").as("node"), col("nd").as("dist"))
-        .ckpt()
-      frontierSize = improved.count()
-      if (frontierSize > 0) {
-        dist = freshStats(s, dist
-          .join(stateHint(s, dir, improved.select(col("seed").as("is"),
-              col("node").as("inode")), "is", CloseSeeds, moreKeys = Seq("inode")),
-            col("seed") === col("is") && col("node") === col("inode"), "left_anti")
-          .union(improved)
-          .ckpt())
-      }
-      frontier = improved
-    }
-    dist.groupBy(col("seed"))
+  def q_graph_closeness_w(s: SparkSession, dir: String): DataFrame =
+    closeDistW(s, dir).groupBy(col("seed"))
       .agg(count(lit(1)).as("n_reached"), sum(col("dist")).as("sum_dist"),
         max(col("dist")).as("ecc_w"))
       .select(col("seed"), col("n_reached"), col("sum_dist"), col("ecc_w"),
@@ -1242,7 +1207,65 @@ object GraphOps {
           (col("n_reached") - 1).cast("double") / col("sum_dist").cast("double"))
           .otherwise(lit(0.0)).as("closeness_w"))
       .orderBy("seed")
-  }
+
+  /** WEIGHTED harmonic centrality over the shared weighted-distance MV
+    * (Boldi-Vigna 2014's disconnection-tolerant closeness, on weighted
+    * paths): H_w(s) = Σ_{d>0} 1/d with each reciprocal rounded at the
+    * 9th decimal via the 1e9-scaled BIGINT device and summed exactly
+    * (order-blind) — the q_graph_harmonic recipe over bounded
+    * Bellman-Ford distances instead of hops. Costs one keyed agg
+    * beyond the MV both weighted centralities share. */
+  def q_graph_harmonic_w(s: SparkSession, dir: String): DataFrame =
+    closeDistW(s, dir).filter(col("dist") > 0)
+      .groupBy(col("seed"))
+      .agg(count(lit(1)).as("n_reached"),
+        round(sum(round(lit(1e9) / col("dist").cast("double"), 0).cast("bigint"))
+          .cast("double") / 1e9, 6).as("harmonic_w"))
+      .orderBy("seed")
+
+  /** Shared per-seed WEIGHTED distance table (seed, node, dist) —
+    * bounded multi-source Bellman-Ford from the CloseSeeds smallest
+    * projected nodes; the closeDistances twin on the weighted
+    * projection (one fixpoint feeds closeness_w AND harmonic_w). */
+  private[graft] def closeDistW(s: SparkSession, dir: String): DataFrame =
+    Mv.memo(s, s"closeDistW|${gKey(s, dir)}") { bs =>
+      val uew = undProjW(bs, dir, CcMinCooccur)
+      val seeds = uew.select(col("a")).distinct().orderBy(col("a")).limit(CloseSeeds)
+        .select(col("a").as("seed"), col("a").as("node"), lit(0L).as("dist"))
+        .ckpt()
+      var dist = seeds
+      var frontier = seeds
+      var round = 0
+      var frontierSize = frontier.count()
+      while (round < SsspMaxRounds && frontierSize > 0) {
+        round += 1
+        val cand = uew
+          .join(stateHint(bs, dir, frontier.select(col("seed").as("fs"),
+              col("node").as("fn"), col("dist").as("fd")), "fn", CloseSeeds),
+            col("a") === col("fn"))
+          .groupBy(col("fs").as("seed"), col("b"))
+          .agg(min(col("fd") + col("w")).as("nd"))
+        val improved = cand
+          .join(stateHint(bs, dir, dist.select(col("seed").as("ds"),
+              col("node").as("dn"), col("dist").as("dd")), "ds",
+              CloseSeeds, moreKeys = Seq("dn")),
+            col("seed") === col("ds") && col("b") === col("dn"), "left_outer")
+          .filter(col("dd").isNull || col("nd") < col("dd"))
+          .select(col("seed"), col("b").as("node"), col("nd").as("dist"))
+          .ckpt()
+        frontierSize = improved.count()
+        if (frontierSize > 0) {
+          dist = freshStats(bs, dist
+            .join(stateHint(bs, dir, improved.select(col("seed").as("is"),
+                col("node").as("inode")), "is", CloseSeeds, moreKeys = Seq("inode")),
+              col("seed") === col("is") && col("node") === col("inode"), "left_anti")
+            .union(improved)
+            .ckpt())
+        }
+        frontier = improved
+      }
+      dist.ckpt()
+    }
 
   /** Borůvka round cap shared with the oracle. The MSF under the
     * strict (w, u, v) total order is UNIQUE, so the algorithms on the
@@ -2751,6 +2774,7 @@ object GraphOps {
     "q_graph_sssp" -> q_graph_sssp _,
     "q_graph_mst" -> q_graph_mst _,
     "q_graph_closeness_w" -> q_graph_closeness_w _,
+    "q_graph_harmonic_w" -> q_graph_harmonic_w _,
     "q_graph_jaccard" -> q_graph_jaccard _,
     "q_graph_overlap" -> q_graph_overlap _,
     "q_graph_adamic_adar" -> q_graph_adamic_adar _,

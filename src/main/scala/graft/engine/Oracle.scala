@@ -7978,6 +7978,31 @@ object Oracle {
          |FROM d${GraphOps.SsspMaxRounds} GROUP BY seed ORDER BY seed""".stripMargin
     },
 
+    // Weighted harmonic: the same multi-source relaxation chain, with
+    // the q_graph_harmonic 1e9-reciprocal device over weighted dists.
+    "q_graph_harmonic_w" -> {
+      val steps = (1 to GraphOps.SsspMaxRounds).map { i =>
+        s"""d$i AS MATERIALIZED (SELECT p.seed, u.b AS node, MIN(p.dist + u.w) AS dist
+           |  FROM d${i - 1} p JOIN uews u ON p.node = u.a GROUP BY 1, 2)""".stripMargin
+      }.mkString(",\n")
+      s"""WITH $edgesCte,
+         |pp AS (SELECT e1.dst AS a, e2.dst AS b, CAST(COUNT(*) AS BIGINT) AS w
+         |       FROM edges e1 JOIN edges e2 ON e1.src = e2.src AND e1.dst < e2.dst
+         |       GROUP BY 1, 2 HAVING COUNT(*) >= ${GraphOps.CcMinCooccur}),
+         |uew AS (SELECT a, b, w FROM pp UNION ALL SELECT b, a, w FROM pp),
+         |uews AS MATERIALIZED (SELECT a, b, w FROM uew
+         |  UNION ALL SELECT DISTINCT a, a AS b, CAST(0 AS BIGINT) AS w FROM uew),
+         |seeds AS (SELECT DISTINCT a FROM uews ORDER BY a
+         |          LIMIT ${GraphOps.CloseSeeds}),
+         |d0 AS (SELECT a AS seed, a AS node, CAST(0 AS BIGINT) AS dist FROM seeds),
+         |$steps
+         |SELECT seed, CAST(COUNT(*) AS BIGINT) AS n_reached,
+         |  ROUND(CAST(SUM(CAST(ROUND(1e9 / CAST(dist AS DOUBLE), 0) AS BIGINT)) AS DOUBLE)
+         |    / 1e9, 6) AS harmonic_w
+         |FROM d${GraphOps.SsspMaxRounds} WHERE dist > 0
+         |GROUP BY seed ORDER BY seed""".stripMargin
+    },
+
     // Borůvka MSF: rounds unrolled, each a per-component min-edge
     // selection (canonical (w, least, greatest) order — the strict
     // total order that makes the forest unique and cycle-free) plus a
