@@ -16,8 +16,14 @@ object Harness {
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
-    val s = extraConfs.foldLeft(b) { case (bb, (k, v)) => bb.config(k, v) }
-      .getOrCreate()
+    // Dev A/B knob: extra session confs as "k=v;k=v" (never set by the
+    // driver; used to measure config hypotheses without code churn).
+    val envConfs = sys.env.get("SPARK_GRAFT_CONF").toSeq
+      .flatMap(_.split(';')).filter(_.contains('='))
+      .map { kv => val a = kv.split("=", 2); a(0) -> a(1) }
+    val s = (extraConfs.toSeq ++ envConfs).foldLeft(b) {
+      case (bb, (k, v)) => bb.config(k, v)
+    }.getOrCreate()
     s.sparkContext.setLogLevel(sys.env.getOrElse("SPARK_GRAFT_LOG", "WARN"))
     s
   }

@@ -1312,7 +1312,7 @@ object GraphOps {
     * PLAN. A fresh LogicalRDD over the same checkpointed partitions
     * resets the estimate without touching data or partitioning of the
     * tiny tables involved. */
-  private def freshStats(s: SparkSession, df: DataFrame): DataFrame =
+  private[graft] def freshStats(s: SparkSession, df: DataFrame): DataFrame =
     s.createDataFrame(df.rdd, df.schema)
 
   def q_graph_mst(s: SparkSession, dir: String): DataFrame =
@@ -2277,20 +2277,29 @@ object GraphOps {
     // seed = smallest part node in the odd encoding; 1-row broadcast
     val seed = undDegrees(s, dir).filter(col("node") % 2 === 1)
       .agg(min(col("node")).as("sn"))
-    val teleport = seed.select(col("sn").as("node"), lit(0.15).as("r"))
+    // teleport row shaped like a pre-aggregation contribution (c9 = 0,
+    // t = 0.15): unioned BEFORE the groupBy so each iteration is ONE
+    // keyed aggregation instead of agg → union → second groupBy (two
+    // exchanges per step). r = 0.85·(Σc9)/1e9 + Σt is bit-identical to
+    // the old two-stage form: arc rows carry t = 0, so Σt is exactly
+    // 0.15 on the seed and +0.0 (an IEEE no-op on non-negative r)
+    // elsewhere.
+    val teleport9 = seed.select(col("sn").as("node"),
+      lit(0L).as("c9"), lit(0.15).as("t"))
     var ranks = seed.select(col("sn").as("node"), lit(1.0).as("r"))
     for (it <- 1 to PprIters) {
       ranks = undW
         .join(stateHint(s, dir, ranks.select(col("node").as("rn"), col("r")), "rn"),
           col("src") === col("rn"))
-        .groupBy(col("dst"))
         // 1e9-scaled BIGINT per-term rounding + exact sum (order-blind;
         // see q_graph_pagerank for why the scaled form, not round-9)
-        .agg((lit(0.85)
-          * (sum(round(col("r") / col("d") * 1e9, 0).cast("bigint")).cast("double") / 1e9)).as("r"))
-        .select(col("dst").as("node"), col("r"))
-        .unionByName(teleport)
-        .groupBy(col("node")).agg(sum(col("r")).as("r"))
+        .select(col("dst").as("node"),
+          round(col("r") / col("d") * 1e9, 0).cast("bigint").as("c9"),
+          lit(0.0).as("t"))
+        .unionByName(teleport9)
+        .groupBy(col("node"))
+        .agg((lit(0.85) * (sum(col("c9")).cast("double") / 1e9)
+          + sum(col("t"))).as("r"))
       // freshStats: the loop's plan-size estimate compounds quartically
       // through preserved checkpoint stats (the MST finding)
       if (it % 2 == 0) ranks = freshStats(s, ranks.ckpt())
@@ -2315,19 +2324,22 @@ object GraphOps {
     val undW = undWeightedArcs(s, dir)
     val seed = undDegrees(s, dir).filter(col("node") % 2 === 1)
       .agg(min(col("node")).as("sn"))
-    val teleport = seed.select(col("sn").as("node"), lit(0.15).as("r"))
+    // teleport fused into the single keyed aggregation — see q_graph_ppr
+    // (bit-identical; halves the per-iteration exchanges)
+    val teleport9 = seed.select(col("sn").as("node"),
+      lit(0L).as("c9"), lit(0.15).as("t"))
     var ranks = seed.select(col("sn").as("node"), lit(1.0).as("r"))
     for (it <- 1 to PprIters) {
       ranks = undW
         .join(stateHint(s, dir, ranks.select(col("node").as("rn"), col("r")), "rn"),
           col("src") === col("rn"))
-        .groupBy(col("dst"))
-        .agg((lit(0.85)
-          * (sum(round(col("r") * col("w") / col("wt") * 1e9, 0).cast("bigint"))
-            .cast("double") / 1e9)).as("r"))
-        .select(col("dst").as("node"), col("r"))
-        .unionByName(teleport)
-        .groupBy(col("node")).agg(sum(col("r")).as("r"))
+        .select(col("dst").as("node"),
+          round(col("r") * col("w") / col("wt") * 1e9, 0).cast("bigint").as("c9"),
+          lit(0.0).as("t"))
+        .unionByName(teleport9)
+        .groupBy(col("node"))
+        .agg((lit(0.85) * (sum(col("c9")).cast("double") / 1e9)
+          + sum(col("t"))).as("r"))
       // freshStats: the loop's plan-size estimate compounds quartically
       // through preserved checkpoint stats (the MST finding)
       if (it % 2 == 0) ranks = freshStats(s, ranks.ckpt())
