@@ -64,6 +64,9 @@ object Bench {
     // one-time pair of distinct-counts never lands on a timed query
     "vertexCount" -> (() => { engine.GraphOps.vertexCount(spark, sfDir); () }),
     "pairCounts" -> (() => { engine.GraphOps.pairCounts(spark, sfDir).count(); () }),
+    // shared link-prediction weight sums (r17 opt): adamic_adar AND
+    // resource_alloc read one pair-explosion aggregate
+    "linkPredWeights" -> (() => { engine.GraphOps.linkPredWeights(spark, sfDir).count(); () }),
     "undProjTriangle" -> (() => { engine.GraphOps
       .undProj(spark, sfDir, engine.GraphOps.TriangleMinCooccur).count(); () }),
     "undProjCc" -> (() => { engine.GraphOps

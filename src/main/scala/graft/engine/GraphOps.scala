@@ -1467,36 +1467,47 @@ object GraphOps {
     * join's output BEFORE the count aggregation, with the customer-side
     * degree broadcast in. (A shared neighbor always has degree ≥ 2 —
     * it produced the pair — so ln(deg) > 0.) */
-  def q_graph_adamic_adar(s: SparkSession, dir: String): DataFrame = {
-    // the shared edge checkpoint is already src-partitioned: the degree
-    // groupBy AND both pair-join legs key on src — no exchange needed.
-    val e = edges(s, dir)
-    val custDeg = e.groupBy(col("src").as("cd_src")).agg(count(lit(1)).as("cd"))
-    // Attach 1/ln(deg) to the |E|-row edge leg BEFORE the pair join: the
-    // weight is per shared customer, so joining it onto the ~20×|E| pair
-    // explosion afterwards (the round-2 plan) did the same lookup on every
-    // pair row. Both legs then flow broadcast-free into one SMJ + partial
-    // sum that stays inside whole-stage codegen.
-    // degree-1 customers can never produce a pair (and ln(1) = 0 would
-    // divide by zero) — the inner join on cd >= 2 drops their edges early.
-    // round-9 weights, summed as 1e9-scaled BIGINTs (the q_gnn_gin
-    // integer device): exact and order-blind like the DECIMAL recipe but
-    // long-fast — this sum runs over the 12M-row pair explosion, where a
-    // BigDecimal-backed DECIMAL(38,9) accumulator cost 3× (measured).
-    // w ≤ 1/ln 2, so the scaled per-group sum overflows 2^63 only past
-    // ~6e9 shared customers per pair — DECIMAL(38,9) is the swap there.
-    val e1 = e.join(stateHint(s, dir, custDeg.filter(col("cd") >= 2), "cd_src"),
-      col("src") === col("cd_src"))
-      .select(col("src"), col("dst").as("a"),
-        round(lit(1.0) / log(col("cd")) * 1e9, 0).cast("bigint").as("w9"))
-    val e2 = e.select(col("src").as("src2"), col("dst").as("b"))
-    e1.join(e2, col("src") === col("src2") && col("a") < col("b"))
-      .groupBy(col("a").as("part_a"), col("b").as("part_b"))
+  /** Shared link-prediction weight sums per candidate pair (session MV,
+    * 2 consumers: q_graph_adamic_adar + q_graph_resource_alloc — the
+    * pairCounts convention applied to the weighted indices): ONE
+    * co-occurrence pair explosion carrying BOTH per-shared-customer
+    * weights — round-9 1/ln(deg) (AA) and 1/deg (RA) as 1e9-scaled
+    * BIGINTs — aggregated exactly in one keyed pass. Each index was
+    * independently paying the ~12M-row explosion + a 120 MB exchange
+    * (measured: 30 s task time each); a production feature pipeline
+    * materializes the common-neighbor feature table once per snapshot
+    * and derives every index from it.
+    *
+    * Shapes carried over from the per-query forms: the shared edge
+    * checkpoint is src-partitioned (degree groupBy and both join legs
+    * key on src — no exchange); weights attach to the |E|-row leg
+    * BEFORE the pair join; degree-1 customers can never produce a pair
+    * (and ln(1) = 0 would divide by zero) so cd >= 2 drops their edges
+    * early; long sums are exact and order-blind (overflow needs ~6e9
+    * shared customers per pair — DECIMAL(38,9) is the swap there). */
+  private[graft] def linkPredWeights(s: SparkSession, dir: String): DataFrame =
+    Mv.memo(s, s"linkPredW|${gKey(s, dir)}") { bs =>
+      val e = edges(bs, dir)
+      val custDeg = e.groupBy(col("src").as("cd_src")).agg(count(lit(1)).as("cd"))
+      val e1 = e.join(stateHint(bs, dir, custDeg.filter(col("cd") >= 2), "cd_src"),
+        col("src") === col("cd_src"))
+        .select(col("src"), col("dst").as("a"),
+          round(lit(1.0) / log(col("cd")) * 1e9, 0).cast("bigint").as("aa9"),
+          round(lit(1.0) / col("cd") * 1e9, 0).cast("bigint").as("ra9"))
+      val e2 = e.select(col("src").as("src2"), col("dst").as("b"))
+      e1.join(e2, col("src") === col("src2") && col("a") < col("b"))
+        .groupBy(col("a"), col("b"))
+        .agg(sum(col("aa9")).as("aa9"), sum(col("ra9")).as("ra9"))
+        .ckpt("linkPredW")
+    }
+
+  def q_graph_adamic_adar(s: SparkSession, dir: String): DataFrame =
+    linkPredWeights(s, dir)
       // 6-dp output from the exact integer sum (true-tie-safe rounding)
-      .agg((round(sum(col("w9")).cast("double") / 1000, 0) / 1e6).as("aa"))
+      .select(col("a").as("part_a"), col("b").as("part_b"),
+        (round(col("aa9").cast("double") / 1000, 0) / 1e6).as("aa"))
       .orderBy(col("aa").desc, col("part_a").asc, col("part_b").asc)
       .limit(20)
-  }
 
   /** Synchronous label-propagation iterations (fixed count, shared with
     * the unrolled oracle CTE chain). */
@@ -2118,20 +2129,12 @@ object GraphOps {
     * both): same per-customer weight-attach-before-pair-join shape,
     * same round-9 / 1e9-scaled BIGINT exact sum, same deg ≥ 2 early
     * drop (a degree-1 customer produces no pair). */
-  def q_graph_resource_alloc(s: SparkSession, dir: String): DataFrame = {
-    val e = edges(s, dir)
-    val custDeg = e.groupBy(col("src").as("cd_src")).agg(count(lit(1)).as("cd"))
-    val e1 = e.join(stateHint(s, dir, custDeg.filter(col("cd") >= 2), "cd_src"),
-      col("src") === col("cd_src"))
-      .select(col("src"), col("dst").as("a"),
-        round(lit(1.0) / col("cd") * 1e9, 0).cast("bigint").as("w9"))
-    val e2 = e.select(col("src").as("src2"), col("dst").as("b"))
-    e1.join(e2, col("src") === col("src2") && col("a") < col("b"))
-      .groupBy(col("a").as("part_a"), col("b").as("part_b"))
-      .agg((round(sum(col("w9")).cast("double") / 1000, 0) / 1e6).as("ra"))
+  def q_graph_resource_alloc(s: SparkSession, dir: String): DataFrame =
+    linkPredWeights(s, dir)
+      .select(col("a").as("part_a"), col("b").as("part_b"),
+        (round(col("ra9").cast("double") / 1000, 0) / 1e6).as("ra"))
       .orderBy(col("ra").desc, col("part_a").asc, col("part_b").asc)
       .limit(20)
-  }
 
   /** Preferential-attachment link-prediction index (Barabási–Albert
     * 1999 family; Liben-Nowell & Kleinberg 2003 as a predictor) —

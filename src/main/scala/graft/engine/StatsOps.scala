@@ -2529,21 +2529,20 @@ object StatsOps {
       col("l_returnflag").as("g"),
       col("l_quantity").cast("bigint").as("x"),
       round(col("l_extendedprice") * 100, 0).cast("bigint").as("y"))
-    def rank2(valCol: String, out: String): DataFrame = {
-      val freq = base.groupBy(col("g").as("rg"), col(valCol).as("v"))
-        .agg(count(lit(1)).as("f"))
-      val w = Window.partitionBy(col("rg")).orderBy(col("v"))
-      // 2·avg_rank = 2·(cum_before + (f+1)/2) = 2·cum_before + f + 1
-      freq.select(col("rg"), col("v"),
-        (lit(2L) * (sum(col("f")).over(w) - col("f")) + col("f") + 1L).as(out))
-    }
-    val rx = rank2("x", "rx2")
-    val ry = rank2("y", "ry2")
-    val ranked = base
-      .join(rx, col("g") === rx("rg") && col("x") === rx("v"))
-      .drop(rx("rg")).drop(rx("v"))
-      .join(ry, col("g") === ry("rg") && col("y") === ry("v"))
-      .drop(ry("rg")).drop(ry("v"))
+    // 2·avg_rank attached directly per row: 2·avg_rank = 2·cum_before
+    // + f + 1 = 2·rank() + count(ties) − 1 (rank() = cum_before + 1;
+    // both integer window functions). The old form aggregated a
+    // (g, value) frequency table, ranked it, and SMJ-joined it back
+    // onto the 600k-row base TWICE — for the near-unique price column
+    // the frequency table was base-sized, so the join-backs shuffled
+    // and sorted 600k rows four extra times. All four windows cluster
+    // on g, so this is ONE exchange + two in-partition sorts. Values
+    // are identical integers.
+    val ranked = base.select(col("g"),
+      (lit(2L) * rank().over(Window.partitionBy(col("g")).orderBy(col("x")))
+        + count(lit(1)).over(Window.partitionBy(col("g"), col("x"))) - 1L).as("rx2"),
+      (lit(2L) * rank().over(Window.partitionBy(col("g")).orderBy(col("y")))
+        + count(lit(1)).over(Window.partitionBy(col("g"), col("y"))) - 1L).as("ry2"))
     val m = ranked.groupBy(col("g"))
       .agg(count(lit(1)).as("n"),
         sum(col("rx2").cast("decimal(38,0)")).as("sx"),
