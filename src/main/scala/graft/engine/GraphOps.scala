@@ -333,19 +333,23 @@ object GraphOps {
     val nodes = t.select(col("src").as("v"))
       .union(t.select(col("dst").as("v")))
       .distinct().ckpt()
+    // checkpoint every 2nd hop (the pagerank cadence; freshStats resets
+    // the inherited size estimate): these loops have no broadcast
+    // subqueries to cut, so the per-hop materialization was pure
+    // scheduler overhead — 27 jobs / ~1 s of planning gaps measured.
     var f = nodes.select(col("v"), col("v").as("f")).ckpt()
-    for (_ <- 1 to SccHops) {
+    for (it <- 1 to SccHops) {
       val prop = t.join(f, col("src") === col("v"))
         .select(col("dst").as("v"), col("f"))
       f = f.union(prop).groupBy(col("v")).agg(min(col("f")).as("f"))
-        .ckpt()
+      if (it % 2 == 0 || it == SccHops) f = freshStats(s, f.ckpt())
     }
     var b = nodes.select(col("v"), col("v").as("b")).ckpt()
-    for (_ <- 1 to SccHops) {
+    for (it <- 1 to SccHops) {
       val prop = t.join(b, col("dst") === col("v"))
         .select(col("src").as("v"), col("b"))
       b = b.union(prop).groupBy(col("v")).agg(min(col("b")).as("b"))
-        .ckpt()
+      if (it % 2 == 0 || it == SccHops) b = freshStats(s, b.ckpt())
     }
     f.join(b, Seq("v"))
       .groupBy(col("f").as("f_label"), col("b").as("b_label"))
@@ -376,7 +380,9 @@ object GraphOps {
     val tot = cnt.groupBy(col("src").as("ts"))
       .agg(sum(col("c")).as("t"), count(lit(1)).as("fanout"))
     val p = col("c").cast("double") / col("t").cast("double")
-    cnt.join(tot, col("src") === col("ts"))
+    // part-space totals (≤ |V| rows) through the probe-gated hint: the
+    // un-hinted SMJ re-exchanged and re-sorted the transition-pair side
+    cnt.join(stateHint(s, dir, tot, "ts"), col("src") === col("ts"))
       .select(col("src"), col("fanout"), col("t"),
         round(-p * log(p), 9).cast("decimal(18,9)").as("term"))
       .groupBy(col("src"), col("fanout"), col("t"))
@@ -471,8 +477,11 @@ object GraphOps {
   def q_graph_ktruss(s: SparkSession, dir: String): DataFrame = {
     var cur = partPairs(s, dir, TriangleMinCooccur)
       .select(col("a"), col("b")).ckpt()
+    // this round's input count IS last round's output count: one count
+    // job per round, not two (values unchanged)
+    var nInNext = cur.count()
     val rounds = (1 to TrussRounds).map { r =>
-      val nIn = cur.count()
+      val nIn = nInNext
       val und = cur.select(col("a").as("s"), col("b").as("d"))
         .union(cur.select(col("b").as("s"), col("a").as("d")))
       val sup = cur
@@ -485,6 +494,7 @@ object GraphOps {
       cur = cur.join(sup, col("a") === col("ka") && col("b") === col("kb"),
         "left_semi").ckpt()
       val nOut = cur.count()
+      nInNext = nOut
       (r, nIn, nIn - nOut, nOut)
     }
     import s.implicits._
