@@ -109,6 +109,9 @@ object Bench {
     // shared trigram bitmap table: ngram_jaccard AND containment score
     // their sampled-quadratic passes over this one representation
     "trigramBitmaps" -> (() => { engine.TextOps.trigramBitmaps(spark, sfDir).count(); () }),
+    // shared collocation contingency table (r17 opt): pmi AND llr score
+    // row-local formulas over one pair-explosion + marginals join
+    "collocCounts" -> (() => { engine.TextOps.collocCounts(spark, sfDir).count(); () }),
     // final Lloyd assignment MV: kmeans + cluster_purity both consume it
     "kmeansAssign" -> (() => { engine.ClusterOps.kmeansAssign(spark, sfDir).count(); () }),
     // trained BPE merge table: the artifact a tokenizer pipeline persists

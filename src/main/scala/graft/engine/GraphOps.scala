@@ -426,8 +426,18 @@ object GraphOps {
       .distinct().ckpt()
     val ie = ed.select(col("dst").as("node"), col("src").as("inn"))
     val ind = ie.groupBy(col("node")).agg(count(lit(1)).as("n"))
+    // in-degrees are loop-invariant: attach them to the k²-bounded pair
+    // spine ONCE instead of two broadcast joins per iteration (the old
+    // loop ran 50 jobs per query, measured — almost all scheduler
+    // overhead over dozens-of-rows tables). Identical join results.
     val allPairs = nodes.select(col("v").as("a"))
       .crossJoin(broadcast(nodes.select(col("v").as("b"))))
+      .join(broadcast(ind.select(col("node").as("da"), col("n").as("na"))),
+        col("a") === col("da"), "left_outer")
+      .join(broadcast(ind.select(col("node").as("db"), col("n").as("nb"))),
+        col("b") === col("db"), "left_outer")
+      .select(col("a"), col("b"), col("na"), col("nb"))
+      .ckpt("simrank_spine")
     var sTab = allPairs
       .select(col("a"), col("b"),
         when(col("a") === col("b"), lit(1.0)).otherwise(lit(0.0)).as("s"))
@@ -443,10 +453,6 @@ object GraphOps {
       sTab = allPairs
         .join(broadcast(cs), col("a") === col("ca") && col("b") === col("cb"),
           "left_outer")
-        .join(broadcast(ind.select(col("node").as("da"), col("n").as("na"))),
-          col("a") === col("da"), "left_outer")
-        .join(broadcast(ind.select(col("node").as("db"), col("n").as("nb"))),
-          col("b") === col("db"), "left_outer")
         .select(col("a"), col("b"),
           when(col("a") === col("b"), lit(1.0))
             .otherwise(coalesce(lit(SimrankC) * col("cs")

@@ -1087,29 +1087,44 @@ object TextOps {
     * carries NO broadcast hint — AQE plans the joins from runtime stats
     * and degrades gracefully to a shuffled join when the vocab outgrows
     * the broadcast threshold (VERDICT r9 item 2). */
+  /** Shared collocation contingency table (session MV, 2 consumers:
+    * q_text_pmi + q_text_llr — the trigramBitmaps convention): the
+    * within-doc distinct-token pair explosion (the O(len²)-per-doc
+    * heavy pass), per-lang doc counts, and both marginal doc
+    * frequencies, joined once into (lang, wa, wb, cab, ca, cb,
+    * n_docs). PMI and LLR are row-local formulas over this one table —
+    * each was independently paying the explosion + three joins. */
+  private[graft] def collocCounts(s: SparkSession, dir: String): DataFrame =
+    Mv.memo(s, s"collocCounts|${LlmOps.docsKey(s, dir)}") { bs =>
+      val d = Tables.documents(bs, dir)
+        .select(col("doc_id"), col("lang"),
+          expr("filter(array_distinct(split(text, ' ')), t -> t <> '')").as("toks"))
+        .filter(size(col("toks")) > 0)
+      val tok = d.select(col("doc_id"), col("lang"), explode(col("toks")).as("w"))
+      val nd = tok.groupBy(col("lang").as("nl"))
+        .agg(countDistinct(col("doc_id")).as("n_docs"))
+      val wc = tok.groupBy(col("lang").as("wl"), col("w").as("ww"))
+        .agg(count(lit(1)).as("cw")) // toks is distinct per doc ⇒ doc freq
+      val pairs = d.select(col("lang"),
+          explode(expr(
+            "flatten(transform(toks, a -> transform(filter(toks, b -> b > a), b -> struct(a, b))))"
+          )).as("p"))
+        .groupBy(col("lang"), col("p.a").as("wa"), col("p.b").as("wb"))
+        .agg(count(lit(1)).as("cab"))
+        .filter(col("cab") >= 5)
+      pairs
+        .join(broadcast(nd), col("lang") === col("nl"))
+        .join(wc.select(col("wl").as("la"), col("ww").as("ta"), col("cw").as("ca")),
+          col("lang") === col("la") && col("wa") === col("ta"))
+        .join(wc.select(col("wl").as("lb"), col("ww").as("tb"), col("cw").as("cb")),
+          col("lang") === col("lb") && col("wb") === col("tb"))
+        .select(col("lang"), col("wa"), col("wb"), col("cab"),
+          col("ca"), col("cb"), col("n_docs"))
+        .ckpt("collocCounts")
+    }
+
   def q_text_pmi(s: SparkSession, dir: String): DataFrame = {
-    val d = Tables.documents(s, dir)
-      .select(col("doc_id"), col("lang"),
-        expr("filter(array_distinct(split(text, ' ')), t -> t <> '')").as("toks"))
-      .filter(size(col("toks")) > 0)
-    val tok = d.select(col("doc_id"), col("lang"), explode(col("toks")).as("w"))
-    val nd = tok.groupBy(col("lang").as("nl"))
-      .agg(countDistinct(col("doc_id")).as("n_docs"))
-    val wc = tok.groupBy(col("lang").as("wl"), col("w").as("ww"))
-      .agg(count(lit(1)).as("cw")) // toks is distinct per doc ⇒ doc freq
-    val pairs = d.select(col("lang"),
-        explode(expr(
-          "flatten(transform(toks, a -> transform(filter(toks, b -> b > a), b -> struct(a, b))))"
-        )).as("p"))
-      .groupBy(col("lang"), col("p.a").as("wa"), col("p.b").as("wb"))
-      .agg(count(lit(1)).as("cab"))
-      .filter(col("cab") >= 5)
-    val scored = pairs
-      .join(broadcast(nd), col("lang") === col("nl"))
-      .join(wc.select(col("wl").as("la"), col("ww").as("ta"), col("cw").as("ca")),
-        col("lang") === col("la") && col("wa") === col("ta"))
-      .join(wc.select(col("wl").as("lb"), col("ww").as("tb"), col("cw").as("cb")),
-        col("lang") === col("lb") && col("wb") === col("tb"))
+    val scored = collocCounts(s, dir)
       .select(col("lang"), col("wa"), col("wb"), col("cab"),
         round(log((col("cab") * col("n_docs")).cast("double")
           / (col("ca") * col("cb")).cast("double")), 6).as("pmi"))
@@ -1359,32 +1374,11 @@ object TextOps {
     * k·N products stay bigint-safe); round-6 on the final statistic.
     * Top-10 per lang by (g2, words) — vocab-bounded rank input. */
   def q_text_llr(s: SparkSession, dir: String): DataFrame = {
-    val d = Tables.documents(s, dir)
-      .select(col("doc_id"), col("lang"),
-        expr("filter(array_distinct(split(text, ' ')), t -> t <> '')").as("toks"))
-      .filter(size(col("toks")) > 0)
-    val tok = d.select(col("doc_id"), col("lang"), explode(col("toks")).as("w"))
-    val nd = tok.groupBy(col("lang").as("nl"))
-      .agg(countDistinct(col("doc_id")).as("n_docs"))
-    val wc = tok.groupBy(col("lang").as("wl"), col("w").as("ww"))
-      .agg(count(lit(1)).as("cw"))
-    val pairs = d.select(col("lang"),
-        explode(expr(
-          "flatten(transform(toks, a -> transform(filter(toks, b -> b > a), b -> struct(a, b))))"
-        )).as("p"))
-      .groupBy(col("lang"), col("p.a").as("wa"), col("p.b").as("wb"))
-      .agg(count(lit(1)).as("cab"))
-      .filter(col("cab") >= 5)
     def cell(k: org.apache.spark.sql.Column, r: org.apache.spark.sql.Column,
              c: org.apache.spark.sql.Column, n: org.apache.spark.sql.Column) =
       when(k > 0, k.cast("double") *
         log((k * n).cast("double") / (r * c).cast("double"))).otherwise(lit(0.0))
-    val scored = pairs
-      .join(broadcast(nd), col("lang") === col("nl"))
-      .join(wc.select(col("wl").as("la"), col("ww").as("ta"), col("cw").as("ca")),
-        col("lang") === col("la") && col("wa") === col("ta"))
-      .join(wc.select(col("wl").as("lb"), col("ww").as("tb"), col("cw").as("cb")),
-        col("lang") === col("lb") && col("wb") === col("tb"))
+    val scored = collocCounts(s, dir)
       .select(col("lang"), col("wa"), col("wb"), col("cab"),
         round(lit(2.0) * (
           cell(col("cab"), col("ca"), col("cb"), col("n_docs")) +
