@@ -339,7 +339,7 @@ class PlanAuditSpec extends AnyFunSuite {
     // bounded by a named constant or a calendar/top-k domain, not data
     // volume.
     val ckptBnljAllow: Map[String, String] = Map(
-      "simrank_iter" -> "k²-bounded seed-pair iterates (top-k × top-k, checkpoint leaves)",
+      "simrank_spine" -> "k²-bounded event-type pair spine (type × type cross, degree marginals attached once; r17 opt — the former simrank_iter BNLJ moved here)",
       "annRecallCurve_matched" -> "literal query-id anchor scans feeding the |Q|×10 ground-truth build",
       "bpeMerge_round" -> "1-row merge-pair broadcast onto the positional scan (train top-1 / trained step filter)",
       "kmeans_assign" -> "k-row centroid table in the Lloyd assign build",
