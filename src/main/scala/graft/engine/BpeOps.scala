@@ -31,7 +31,7 @@ object BpeOps {
   /** (doc_id, pos, sym) positional char encoding of one en doc_id%10
     * residue split (0 = train, 1 = held-out eval). */
   private def base(s: SparkSession, dir: String, residue: Int): DataFrame =
-    Tables.documents(s, dir)
+    Tables.spread(s, Tables.documents(s, dir))
       .filter(col("lang") === "en" && col("doc_id") % 10 === residue)
       .select(col("doc_id"),
         posexplode(split(substring(col("text"), 1, BpePrefix), "")))

@@ -44,7 +44,7 @@ object LlmOps {
 
   /** Token sets per doc (dedup convention: whitespace split, distinct). */
   private def tokenSets(s: SparkSession, dir: String): DataFrame =
-    Tables.documents(s, dir)
+    Tables.spread(s, Tables.documents(s, dir))
       .select(col("doc_id"), col("lang"),
         array_distinct(split(col("text"), " ")).as("toks"))
 
@@ -57,7 +57,7 @@ object LlmOps {
     * docs. Two keyed counts — the linear dedup shape; the histogram is
     * copy-count-bounded at any scale. */
   def q_llm_dup_histogram(s: SparkSession, dir: String): DataFrame = {
-    val sizes = Tables.documents(s, dir)
+    val sizes = Tables.spread(s, Tables.documents(s, dir))
       .select(md5(col("text").cast("binary")).as("h"))
       .groupBy(col("h")).agg(count(lit(1)).as("copies"))
     val tot = sizes.agg(sum(col("copies")).as("n_total"))
@@ -74,7 +74,7 @@ object LlmOps {
   /** Exact dedup accounting: per-lang doc count vs distinct content
     * hashes. Hash-groupBy scales linearly (shuffle on md5 prefix). */
   def q_llm_dedup_exact(s: SparkSession, dir: String): DataFrame =
-    Tables.documents(s, dir)
+    Tables.spread(s, Tables.documents(s, dir))
       .select(col("lang"), md5(col("text").cast("binary")).as("h"))
       .groupBy(col("lang"))
       .agg(count(lit(1)).as("n_docs"), countDistinct(col("h")).as("n_distinct"))
@@ -963,7 +963,7 @@ object LlmOps {
     * temperature share and the oversampling boost vs the raw share are
     * pinned-order double expressions. Output stratum-count-sized. */
   def q_llm_mix_temperature(s: SparkSession, dir: String): DataFrame = {
-    val strata = Tables.documents(s, dir)
+    val strata = Tables.spread(s, Tables.documents(s, dir))
       .select(col("lang"), col("source"),
         size(split(col("text"), " ")).cast("bigint").as("nt"))
       .groupBy(col("lang"), col("source"))
@@ -1401,7 +1401,7 @@ object LlmOps {
   // ── text analysis ────────────────────────────────────────────────────
 
   def q_llm_text_stats(s: SparkSession, dir: String): DataFrame = {
-    val docs = Tables.documents(s, dir)
+    val docs = Tables.spread(s, Tables.documents(s, dir))
     val base = docs.groupBy(col("lang")).agg(
       count(lit(1)).as("n_docs"),
       (sum(col("n_chars")).cast("double") / count(lit(1))).as("avg_chars"),
@@ -1415,7 +1415,7 @@ object LlmOps {
     * then projected through nested field access (flat deterministic
     * output for the oracle). */
   def q_llm_multimodal(s: SparkSession, dir: String): DataFrame =
-    Tables.documents(s, dir)
+    Tables.spread(s, Tables.documents(s, dir))
       .join(Tables.embeddings(s, dir), col("doc_id") === col("vec_id"))
       .select(struct(col("doc_id"), col("lang"), col("n_chars")).as("meta"),
         col("embedding"))
@@ -1442,7 +1442,9 @@ object LlmOps {
     * (vs contamination's 8): the two ops probe different overlap
     * scales and opposite directions (here: which TRAIN docs to drop). */
   def q_llm_bloom_prefilter(s: SparkSession, dir: String): DataFrame = {
-    val docs = Tables.documents(s, dir)
+    // widen the 1-split fixture scan: the 5-gram + md5 kernel is the
+    // query's dominant compute (Tables.spread, r17 opt)
+    val docs = Tables.spread(s, Tables.documents(s, dir))
     def grams(df: DataFrame): DataFrame = df
       .select(col("doc_id"), col("lang"), split(col("text"), " ").as("toks"))
       .filter(size(col("toks")) >= 5)
@@ -1450,7 +1452,12 @@ object LlmOps {
         "array_distinct(transform(sequence(1, size(toks) - 4)," +
           " i -> array_join(slice(toks, i, 5), ' ')))")).as("g"))
       .select(col("doc_id"), col("lang"), Dsl.md5Hash60(col("g")).as("h"))
-    val held = grams(docs.filter(col("doc_id") % 10 === 0))
+    // held feeds the bitmap build AND the exact-hit verify; cand feeds
+    // the hit leg AND the candidate census — checkpoint each once so
+    // neither gram explosion (5-gram + md5 over the corpus) re-executes
+    // per consumer (r17 opt: the two extra passes were ~40% of the
+    // query's task time).
+    val held = grams(docs.filter(col("doc_id") % 10 === 0)).ckpt("bloom_held")
     val train = grams(docs.filter(col("doc_id") % 10 =!= 0))
     val m = expr("shiftleft(1L, int(h % 63)) | shiftleft(1L, int((h div 64) % 63))")
     val bitmap = held
@@ -1461,6 +1468,7 @@ object LlmOps {
       .join(broadcast(bitmap), "bucket")
       .filter((expr("bits") bitwiseAND m) === m)
       .select(col("doc_id"), col("lang"), col("h"))
+      .ckpt("bloom_cand")
     val hits = cand.join(held.select(col("h").as("hh")).distinct(),
       col("h") === col("hh"), "left_semi")
     val candAgg = cand.groupBy(col("lang"))
@@ -1732,7 +1740,7 @@ object LlmOps {
     * two keyed aggs; at 100 TB this is the featurizer that needs no
     * broadcast model at all. */
   def q_llm_feature_hash(s: SparkSession, dir: String): DataFrame = {
-    val toks = Tables.documents(s, dir)
+    val toks = Tables.spread(s, Tables.documents(s, dir))
       .select(col("doc_id"), col("lang"),
         explode(split(col("text"), " ")).as("tok"))
       .filter(length(col("tok")) > 0)
@@ -2306,7 +2314,7 @@ object LlmOps {
     * table is lang-bounded at any scale. */
   def q_llm_dedup_funnel(s: SparkSession, dir: String): DataFrame = {
     val docs = dedupDocs(s, dir)
-    val exact = Tables.documents(s, dir)
+    val exact = Tables.spread(s, Tables.documents(s, dir))
       .filter(col("doc_id") % 10 === 0 &&
         size(array_distinct(split(col("text"), " "))) > 0)
       .select(col("lang"), md5(col("text").cast("binary")).as("h"))

@@ -1,5 +1,7 @@
 package graft.engine
 
+import graft.engine.Ckpt.CkptOps
+
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -28,7 +30,7 @@ object PipelineOps {
   def q_llm_pack_sequences(s: SparkSession, dir: String): DataFrame = {
     val w = Window.partitionBy(col("lang")).orderBy(col("doc_id"))
       .rowsBetween(Window.unboundedPreceding, -1)
-    Tables.documents(s, dir)
+    Tables.spread(s, Tables.documents(s, dir))
       .select(col("lang"), col("doc_id"), nTokens.as("nt"))
       .withColumn("cum_before", coalesce(sum(col("nt")).over(w), lit(0L)))
       .withColumn("pack_id", expr(s"cum_before div $PackLen"))
@@ -44,7 +46,7 @@ object PipelineOps {
     * Scale shape: distinct-gram semi-join — the train gram set shuffles
     * once, candidates prune to distinct (lang, gram). */
   def q_llm_contamination(s: SparkSession, dir: String): DataFrame = {
-    val docs = Tables.documents(s, dir)
+    val docs = Tables.spread(s, Tables.documents(s, dir))
       .select(col("doc_id"), col("lang"), split(col("text"), " ").as("toks"))
     // Guard len<8: Spark's sequence(1, <=0) would DESCEND (see
     // q_llm_ngram_jaccard); the oracle's range() is simply empty.
@@ -73,7 +75,7 @@ object PipelineOps {
   val PiiPattern = "customer|supplier|order|[0-9]{3,}"
 
   def q_llm_pii_redact(s: SparkSession, dir: String): DataFrame =
-    Tables.documents(s, dir)
+    Tables.spread(s, Tables.documents(s, dir))
       .select(col("lang"),
         size(regexp_extract_all(col("text"), lit(PiiPattern), lit(0))).as("hits"),
         length(regexp_replace(col("text"), PiiPattern, "<PII>")).as("red_len"))
@@ -90,7 +92,7 @@ object PipelineOps {
     * stratum key). */
   def q_llm_sample_stratified(s: SparkSession, dir: String): DataFrame = {
     val w = Window.partitionBy(col("lang"), col("source")).orderBy(col("doc_id"))
-    Tables.documents(s, dir)
+    Tables.spread(s, Tables.documents(s, dir))
       .select(col("lang"), col("source"), col("doc_id"), nTokens.as("nt"))
       .withColumn("rn", row_number().over(w))
       .groupBy(col("lang"), col("source"))
@@ -107,7 +109,7 @@ object PipelineOps {
   def q_text_normalize(s: SparkSession, dir: String): DataFrame = {
     val norm = trim(regexp_replace(
       regexp_replace(lower(col("text")), "[^a-z0-9 ]", ""), " +", " "))
-    Tables.documents(s, dir)
+    Tables.spread(s, Tables.documents(s, dir))
       .select(col("lang"),
         md5(col("text").cast("binary")).as("hraw"),
         md5(norm.cast("binary")).as("hnorm"))
@@ -123,7 +125,7 @@ object PipelineOps {
     * token-count aggregation is the only pass over data; the mixture
     * arithmetic is on the 5-row summary. */
   def q_llm_domain_mix(s: SparkSession, dir: String): DataFrame = {
-    val perLang = Tables.documents(s, dir)
+    val perLang = Tables.spread(s, Tables.documents(s, dir))
       .groupBy(col("lang")).agg(sum(nTokens).as("n_tokens"))
     val total = perLang.agg(sum(col("n_tokens")).as("total"))
     perLang.crossJoin(broadcast(total))
@@ -146,7 +148,7 @@ object PipelineOps {
     * Scale: two tiny broadcast joins (per-lang totals) onto one corpus
     * scan; the keep decision is scan-local. */
   def q_llm_rejection_sample(s: SparkSession, dir: String): DataFrame = {
-    val docs = Tables.documents(s, dir)
+    val docs = Tables.spread(s, Tables.documents(s, dir))
       .select(col("doc_id"), col("lang"), nTokens.as("nt"))
     val perLang = docs.groupBy(col("lang")).agg(sum(col("nt")).as("lang_tokens"))
     val total = perLang.agg(sum(col("lang_tokens")).as("total"))
@@ -178,7 +180,7 @@ object PipelineOps {
     * Two explode+max aggregations keyed on doc — linear scans at any
     * corpus size. */
   def q_llm_gopher_repetition(s: SparkSession, dir: String): DataFrame = {
-    val docs = Tables.documents(s, dir)
+    val docs = Tables.spread(s, Tables.documents(s, dir))
       .select(col("doc_id"), col("lang"), split(col("text"), " ").as("toks"))
       .withColumn("nt", size(col("toks")).cast("bigint"))
     val uni = docs.select(col("doc_id"), explode(col("toks")).as("tok"))
@@ -209,7 +211,7 @@ object PipelineOps {
     * score (+ term tie-break) so the order is reproducible across
     * engines. df table broadcasts; one explode + two keyed aggs. */
   def q_llm_tfidf(s: SparkSession, dir: String): DataFrame = {
-    val docs = Tables.documents(s, dir)
+    val docs = Tables.spread(s, Tables.documents(s, dir))
     val tok = docs.select(col("doc_id"), col("lang"),
       explode(split(col("text"), " ")).as("tok"))
     val nd = docs.groupBy(col("lang")).agg(count(lit(1)).as("n"))
@@ -240,7 +242,7 @@ object PipelineOps {
     * global mean doc length; top-10 docs by rounded score. Query terms
     * + df broadcast; the scan stays one explode + keyed agg. */
   def q_llm_bm25(s: SparkSession, dir: String): DataFrame = {
-    val docs = Tables.documents(s, dir)
+    val docs = Tables.spread(s, Tables.documents(s, dir))
     val tok = docs.select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
     val nTot = docs.agg(count(lit(1)).as("n_total"))
     val dl = docs.select(col("doc_id"), col("lang"),
@@ -294,7 +296,7 @@ object PipelineOps {
     * frequencies inside tokens, top-20. The whole op is explode +
     * count — the shape of one vocab-learner iteration at corpus scale. */
   def q_llm_bpe_pairs(s: SparkSession, dir: String): DataFrame =
-    Tables.documents(s, dir)
+    Tables.spread(s, Tables.documents(s, dir))
       .select(explode(split(col("text"), " ")).as("tok"))
       .filter(length(col("tok")) >= 2)
       .select(explode(expr(
@@ -307,7 +309,7 @@ object PipelineOps {
     * dedup): per (lang, source) keep the smallest doc_id, count the
     * removals. One keyed aggregation. */
   def q_llm_source_dedup(s: SparkSession, dir: String): DataFrame =
-    Tables.documents(s, dir)
+    Tables.spread(s, Tables.documents(s, dir))
       .groupBy(col("lang"), col("source"))
       .agg(min(col("doc_id")).as("kept_doc"),
         (count(lit(1)) - 1).as("n_removed"))
@@ -330,10 +332,15 @@ object PipelineOps {
     * the per-doc sum — DSIR's pass structure at 100 TB. */
   def q_llm_dsir(s: SparkSession, dir: String): DataFrame = {
     val B = 1024
-    val toks = Tables.documents(s, dir)
+    val toks = Tables.spread(s, Tables.documents(s, dir))
       .select(col("doc_id"), col("lang"), explode(split(col("text"), " ")).as("tok"))
       .select(col("doc_id"), col("lang"),
         pmod(Dsl.md5Hash60(col("tok")), lit(B.toLong)).as("b"))
+      // 3 consumers (raw model, target model, per-doc weight pass):
+      // materialize the tokenize + md5-bucket scan once instead of
+      // re-running it per consumer (r17 opt) — at scale, one pass +
+      // spillable checkpoint blocks beats three corpus scans.
+      .ckpt("dsirToks")
     val raw = toks.groupBy(col("b").as("rb")).agg(count(lit(1)).as("rcnt"))
     val tgt = toks.filter(col("lang") === "en")
       .groupBy(col("b").as("tb")).agg(count(lit(1)).as("tcnt"))
@@ -368,7 +375,7 @@ object PipelineOps {
     * (re-tokenized) volume. Linear scan + explode, no shuffle beyond the
     * per-lang aggregation. */
   def q_llm_chunk_overlap(s: SparkSession, dir: String): DataFrame = {
-    val d = Tables.documents(s, dir)
+    val d = Tables.spread(s, Tables.documents(s, dir))
       .select(col("lang"), col("doc_id"), nTokens.as("n"))
     val chunks = d
       .select(col("lang"), col("doc_id"), col("n"),
@@ -398,7 +405,7 @@ object PipelineOps {
     * per-lang sort — no stage materializes between steps. */
   def q_llm_pipeline_e2e(s: SparkSession, dir: String): DataFrame = {
     val wDedup = Window.partitionBy(col("th")).orderBy(col("doc_id"))
-    val kept = Tables.documents(s, dir)
+    val kept = Tables.spread(s, Tables.documents(s, dir))
       .filter(col("lang") === "en")
       .select(col("doc_id"), nTokens.as("nt"), md5(col("text")).as("th"))
       .filter(col("nt") >= 30)
@@ -435,7 +442,7 @@ object PipelineOps {
     * mask/sentinel via windows on ONE (doc_id, pos) partitioning; no
     * float before the two final divisions. Linear in corpus tokens. */
   def q_llm_span_corruption(s: SparkSession, dir: String): DataFrame = {
-    val d = Tables.documents(s, dir).select(col("doc_id"), col("lang"),
+    val d = Tables.spread(s, Tables.documents(s, dir)).select(col("doc_id"), col("lang"),
       size(split(col("text"), " ")).cast("bigint").as("n"))
     val pos = d.select(col("doc_id"), col("lang"), col("n"),
       explode(expr("sequence(1L, n)")).as("pos"))
@@ -502,7 +509,7 @@ object PipelineOps {
     * source's share of the corpus. ONE keyed aggregation + a broadcast
     * 1-row total — source-cardinality output at any corpus size. */
   def q_llm_dataset_card(s: SparkSession, dir: String): DataFrame = {
-    val d = Tables.documents(s, dir)
+    val d = Tables.spread(s, Tables.documents(s, dir))
     val tot = d.agg(count(lit(1)).as("tot"))
     d.groupBy(col("source")).agg(
         count(lit(1)).as("n_docs"),
@@ -533,13 +540,17 @@ object PipelineOps {
     * source-cardinality-bounded (≤ |sources|²/2 pairs per trigram,
     * never doc-bounded); output is source-pair-sized. */
   def q_llm_source_overlap(s: SparkSession, dir: String): DataFrame = {
-    val tri = Tables.documents(s, dir)
+    // widen the 1-split fixture scan for the trigram kernel (Tables.spread)
+    val tri = Tables.spread(s, Tables.documents(s, dir))
       .select(col("source"), expr("filter(split(text, ' '), t -> t <> '')").as("t"))
       .filter(size(col("t")) >= 3)
       .select(col("source"), explode(expr(
         "transform(sequence(0, size(t) - 3), i -> concat(t[i], ' ', t[i+1], ' ', t[i+2]))"))
         .as("g"))
       .distinct()
+      // 3 consumers (totals + both self-join legs): materialize the
+      // tokenize+explode+distinct chain once (r17 opt)
+      .ckpt("srcOverlapTri")
     val tot = tri.groupBy(col("source")).agg(count(lit(1)).as("n"))
     val a = tri.select(col("g"), col("source").as("src_a"))
     val b = tri.select(col("g").as("gb"), col("source").as("src_b"))

@@ -27,6 +27,20 @@ object Tables {
   def documents(s: SparkSession, dir: String): DataFrame = read(s, dir, "documents")
   def embeddings(s: SparkSession, dir: String): DataFrame = read(s, dir, "embeddings")
 
+  /** Widen-only scan spread for HEAVY per-row kernels (gram explosions,
+    * md5 signature passes — r17 opt, guide §2.5 "input skew"): a
+    * fixture-sized corpus arrives as ONE parquet split, so the kernel
+    * serializes on one core until the first exchange (measured: a
+    * 1.3 s single-task stage inside q_llm_bloom_prefilter with 31 cores
+    * idle). Round-robin to the session's parallelism when the scan is
+    * narrower; a corpus that already has >= parallelism splits passes
+    * through UNTOUCHED, so at scale this is a no-op, not a shuffle.
+    * Only order-blind consumers may use it. */
+  def spread(s: SparkSession, df: DataFrame): DataFrame = {
+    val target = s.sparkContext.defaultParallelism
+    if (df.rdd.getNumPartitions < target) df.repartition(target) else df
+  }
+
   /** events.ts has shipped as parquet timestamp[ns] (earlier fixture
     * generations) and timestamp[us] (round-6 regeneration) — read either,
     * normalizing to µs-precision TimestampType:
