@@ -32,14 +32,14 @@ object CurationOps {
     * pipeline logs for drop-rate dashboards. Linear scan shape: explode,
     * two keyed aggs, one broadcast-free join back to the doc table. */
   def q_llm_c4_filter(s: SparkSession, dir: String): DataFrame = {
-    val tc = Tables.spread(s, Tables.documents(s, dir))
+    val tc = Tables.documents(s, dir)
       .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
       .groupBy(col("doc_id"), col("tok")).agg(count(lit(1)).as("c"))
     val stats = tc.groupBy(col("doc_id").as("sid"))
       .agg(sum(col("c")).as("wc"),
         count(lit(1)).as("n_distinct"),
         max(col("c")).as("max_cnt"))
-    val d = Tables.spread(s, Tables.documents(s, dir))
+    val d = Tables.documents(s, dir)
       .select(col("doc_id"), col("lang"), col("n_chars"))
       .join(stats, col("doc_id") === col("sid"))
       // single-space-joined text: total token chars = n_chars - (wc - 1)
@@ -67,7 +67,7 @@ object CurationOps {
     * Scale shape: the LM is vocabulary-sized (broadcast); the NTILE runs
     * per-language over held-out docs only. */
   def q_llm_ccnet_bucket(s: SparkSession, dir: String): DataFrame = {
-    val tok = Tables.spread(s, Tables.documents(s, dir))
+    val tok = Tables.documents(s, dir)
       .select(col("doc_id"), col("lang"), explode(split(col("text"), " ")).as("tok"))
     val train = tok.filter(col("doc_id") % 10 =!= 0)
     val counts = train.groupBy(col("lang").as("ml"), col("tok").as("mt"))
@@ -102,7 +102,7 @@ object CurationOps {
     * algebra as the AUC op, no rounding). Bigrams are 1-based
     * element_at so both engines index identically. */
   def q_text_rouge2(s: SparkSession, dir: String): DataFrame = {
-    val d = Tables.spread(s, Tables.documents(s, dir))
+    val d = Tables.documents(s, dir)
       .select(col("doc_id"), col("lang"), split(col("text"), " ").as("toks"))
       .withColumn("wc", size(col("toks")))
       .filter(col("wc") >= 2)
@@ -144,7 +144,7 @@ object CurationOps {
     * round-6 emit), BLEU-2 = BP·√(p₁·p₂) pinned. Doc_a is the
     * candidate, doc_b the reference. */
   def q_text_bleu2(s: SparkSession, dir: String): DataFrame = {
-    val d = Tables.spread(s, Tables.documents(s, dir))
+    val d = Tables.documents(s, dir)
       .select(col("doc_id"), col("lang"), split(col("text"), " ").as("toks"))
       .withColumn("wc", size(col("toks")))
       .filter(col("wc") >= 2)

@@ -57,7 +57,7 @@ object LlmOps {
     * docs. Two keyed counts — the linear dedup shape; the histogram is
     * copy-count-bounded at any scale. */
   def q_llm_dup_histogram(s: SparkSession, dir: String): DataFrame = {
-    val sizes = Tables.spread(s, Tables.documents(s, dir))
+    val sizes = Tables.documents(s, dir)
       .select(md5(col("text").cast("binary")).as("h"))
       .groupBy(col("h")).agg(count(lit(1)).as("copies"))
     val tot = sizes.agg(sum(col("copies")).as("n_total"))
@@ -74,7 +74,7 @@ object LlmOps {
   /** Exact dedup accounting: per-lang doc count vs distinct content
     * hashes. Hash-groupBy scales linearly (shuffle on md5 prefix). */
   def q_llm_dedup_exact(s: SparkSession, dir: String): DataFrame =
-    Tables.spread(s, Tables.documents(s, dir))
+    Tables.documents(s, dir)
       .select(col("lang"), md5(col("text").cast("binary")).as("h"))
       .groupBy(col("lang"))
       .agg(count(lit(1)).as("n_docs"), countDistinct(col("h")).as("n_distinct"))
@@ -963,7 +963,7 @@ object LlmOps {
     * temperature share and the oversampling boost vs the raw share are
     * pinned-order double expressions. Output stratum-count-sized. */
   def q_llm_mix_temperature(s: SparkSession, dir: String): DataFrame = {
-    val strata = Tables.spread(s, Tables.documents(s, dir))
+    val strata = Tables.documents(s, dir)
       .select(col("lang"), col("source"),
         size(split(col("text"), " ")).cast("bigint").as("nt"))
       .groupBy(col("lang"), col("source"))
@@ -1401,7 +1401,7 @@ object LlmOps {
   // ── text analysis ────────────────────────────────────────────────────
 
   def q_llm_text_stats(s: SparkSession, dir: String): DataFrame = {
-    val docs = Tables.spread(s, Tables.documents(s, dir))
+    val docs = Tables.documents(s, dir)
     val base = docs.groupBy(col("lang")).agg(
       count(lit(1)).as("n_docs"),
       (sum(col("n_chars")).cast("double") / count(lit(1))).as("avg_chars"),
@@ -2314,7 +2314,7 @@ object LlmOps {
     * table is lang-bounded at any scale. */
   def q_llm_dedup_funnel(s: SparkSession, dir: String): DataFrame = {
     val docs = dedupDocs(s, dir)
-    val exact = Tables.spread(s, Tables.documents(s, dir))
+    val exact = Tables.documents(s, dir)
       .filter(col("doc_id") % 10 === 0 &&
         size(array_distinct(split(col("text"), " "))) > 0)
       .select(col("lang"), md5(col("text").cast("binary")).as("h"))

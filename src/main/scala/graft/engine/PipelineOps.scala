@@ -30,7 +30,7 @@ object PipelineOps {
   def q_llm_pack_sequences(s: SparkSession, dir: String): DataFrame = {
     val w = Window.partitionBy(col("lang")).orderBy(col("doc_id"))
       .rowsBetween(Window.unboundedPreceding, -1)
-    Tables.spread(s, Tables.documents(s, dir))
+    Tables.documents(s, dir)
       .select(col("lang"), col("doc_id"), nTokens.as("nt"))
       .withColumn("cum_before", coalesce(sum(col("nt")).over(w), lit(0L)))
       .withColumn("pack_id", expr(s"cum_before div $PackLen"))
@@ -46,7 +46,7 @@ object PipelineOps {
     * Scale shape: distinct-gram semi-join — the train gram set shuffles
     * once, candidates prune to distinct (lang, gram). */
   def q_llm_contamination(s: SparkSession, dir: String): DataFrame = {
-    val docs = Tables.spread(s, Tables.documents(s, dir))
+    val docs = Tables.documents(s, dir)
       .select(col("doc_id"), col("lang"), split(col("text"), " ").as("toks"))
     // Guard len<8: Spark's sequence(1, <=0) would DESCEND (see
     // q_llm_ngram_jaccard); the oracle's range() is simply empty.
@@ -75,7 +75,7 @@ object PipelineOps {
   val PiiPattern = "customer|supplier|order|[0-9]{3,}"
 
   def q_llm_pii_redact(s: SparkSession, dir: String): DataFrame =
-    Tables.spread(s, Tables.documents(s, dir))
+    Tables.documents(s, dir)
       .select(col("lang"),
         size(regexp_extract_all(col("text"), lit(PiiPattern), lit(0))).as("hits"),
         length(regexp_replace(col("text"), PiiPattern, "<PII>")).as("red_len"))
@@ -92,7 +92,7 @@ object PipelineOps {
     * stratum key). */
   def q_llm_sample_stratified(s: SparkSession, dir: String): DataFrame = {
     val w = Window.partitionBy(col("lang"), col("source")).orderBy(col("doc_id"))
-    Tables.spread(s, Tables.documents(s, dir))
+    Tables.documents(s, dir)
       .select(col("lang"), col("source"), col("doc_id"), nTokens.as("nt"))
       .withColumn("rn", row_number().over(w))
       .groupBy(col("lang"), col("source"))
@@ -109,7 +109,7 @@ object PipelineOps {
   def q_text_normalize(s: SparkSession, dir: String): DataFrame = {
     val norm = trim(regexp_replace(
       regexp_replace(lower(col("text")), "[^a-z0-9 ]", ""), " +", " "))
-    Tables.spread(s, Tables.documents(s, dir))
+    Tables.documents(s, dir)
       .select(col("lang"),
         md5(col("text").cast("binary")).as("hraw"),
         md5(norm.cast("binary")).as("hnorm"))
@@ -125,7 +125,7 @@ object PipelineOps {
     * token-count aggregation is the only pass over data; the mixture
     * arithmetic is on the 5-row summary. */
   def q_llm_domain_mix(s: SparkSession, dir: String): DataFrame = {
-    val perLang = Tables.spread(s, Tables.documents(s, dir))
+    val perLang = Tables.documents(s, dir)
       .groupBy(col("lang")).agg(sum(nTokens).as("n_tokens"))
     val total = perLang.agg(sum(col("n_tokens")).as("total"))
     perLang.crossJoin(broadcast(total))
@@ -148,7 +148,7 @@ object PipelineOps {
     * Scale: two tiny broadcast joins (per-lang totals) onto one corpus
     * scan; the keep decision is scan-local. */
   def q_llm_rejection_sample(s: SparkSession, dir: String): DataFrame = {
-    val docs = Tables.spread(s, Tables.documents(s, dir))
+    val docs = Tables.documents(s, dir)
       .select(col("doc_id"), col("lang"), nTokens.as("nt"))
     val perLang = docs.groupBy(col("lang")).agg(sum(col("nt")).as("lang_tokens"))
     val total = perLang.agg(sum(col("lang_tokens")).as("total"))
@@ -180,7 +180,7 @@ object PipelineOps {
     * Two explode+max aggregations keyed on doc — linear scans at any
     * corpus size. */
   def q_llm_gopher_repetition(s: SparkSession, dir: String): DataFrame = {
-    val docs = Tables.spread(s, Tables.documents(s, dir))
+    val docs = Tables.documents(s, dir)
       .select(col("doc_id"), col("lang"), split(col("text"), " ").as("toks"))
       .withColumn("nt", size(col("toks")).cast("bigint"))
     val uni = docs.select(col("doc_id"), explode(col("toks")).as("tok"))
@@ -211,7 +211,7 @@ object PipelineOps {
     * score (+ term tie-break) so the order is reproducible across
     * engines. df table broadcasts; one explode + two keyed aggs. */
   def q_llm_tfidf(s: SparkSession, dir: String): DataFrame = {
-    val docs = Tables.spread(s, Tables.documents(s, dir))
+    val docs = Tables.documents(s, dir)
     val tok = docs.select(col("doc_id"), col("lang"),
       explode(split(col("text"), " ")).as("tok"))
     val nd = docs.groupBy(col("lang")).agg(count(lit(1)).as("n"))
@@ -242,7 +242,7 @@ object PipelineOps {
     * global mean doc length; top-10 docs by rounded score. Query terms
     * + df broadcast; the scan stays one explode + keyed agg. */
   def q_llm_bm25(s: SparkSession, dir: String): DataFrame = {
-    val docs = Tables.spread(s, Tables.documents(s, dir))
+    val docs = Tables.documents(s, dir)
     val tok = docs.select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
     val nTot = docs.agg(count(lit(1)).as("n_total"))
     val dl = docs.select(col("doc_id"), col("lang"),
@@ -309,7 +309,7 @@ object PipelineOps {
     * dedup): per (lang, source) keep the smallest doc_id, count the
     * removals. One keyed aggregation. */
   def q_llm_source_dedup(s: SparkSession, dir: String): DataFrame =
-    Tables.spread(s, Tables.documents(s, dir))
+    Tables.documents(s, dir)
       .groupBy(col("lang"), col("source"))
       .agg(min(col("doc_id")).as("kept_doc"),
         (count(lit(1)) - 1).as("n_removed"))
@@ -375,7 +375,7 @@ object PipelineOps {
     * (re-tokenized) volume. Linear scan + explode, no shuffle beyond the
     * per-lang aggregation. */
   def q_llm_chunk_overlap(s: SparkSession, dir: String): DataFrame = {
-    val d = Tables.spread(s, Tables.documents(s, dir))
+    val d = Tables.documents(s, dir)
       .select(col("lang"), col("doc_id"), nTokens.as("n"))
     val chunks = d
       .select(col("lang"), col("doc_id"), col("n"),
@@ -405,7 +405,7 @@ object PipelineOps {
     * per-lang sort — no stage materializes between steps. */
   def q_llm_pipeline_e2e(s: SparkSession, dir: String): DataFrame = {
     val wDedup = Window.partitionBy(col("th")).orderBy(col("doc_id"))
-    val kept = Tables.spread(s, Tables.documents(s, dir))
+    val kept = Tables.documents(s, dir)
       .filter(col("lang") === "en")
       .select(col("doc_id"), nTokens.as("nt"), md5(col("text")).as("th"))
       .filter(col("nt") >= 30)
@@ -442,7 +442,7 @@ object PipelineOps {
     * mask/sentinel via windows on ONE (doc_id, pos) partitioning; no
     * float before the two final divisions. Linear in corpus tokens. */
   def q_llm_span_corruption(s: SparkSession, dir: String): DataFrame = {
-    val d = Tables.spread(s, Tables.documents(s, dir)).select(col("doc_id"), col("lang"),
+    val d = Tables.documents(s, dir).select(col("doc_id"), col("lang"),
       size(split(col("text"), " ")).cast("bigint").as("n"))
     val pos = d.select(col("doc_id"), col("lang"), col("n"),
       explode(expr("sequence(1L, n)")).as("pos"))
@@ -509,7 +509,7 @@ object PipelineOps {
     * source's share of the corpus. ONE keyed aggregation + a broadcast
     * 1-row total — source-cardinality output at any corpus size. */
   def q_llm_dataset_card(s: SparkSession, dir: String): DataFrame = {
-    val d = Tables.spread(s, Tables.documents(s, dir))
+    val d = Tables.documents(s, dir)
     val tot = d.agg(count(lit(1)).as("tot"))
     d.groupBy(col("source")).agg(
         count(lit(1)).as("n_docs"),

@@ -40,7 +40,7 @@ object RankOps {
     * for the semantic one; both rank windows are keyed by lang over the
     * bounded candidate pool. */
   def q_llm_rrf(s: SparkSession, dir: String): DataFrame = {
-    val docs = Tables.spread(s, Tables.documents(s, dir))
+    val docs = Tables.documents(s, dir)
     val tok = docs.select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
     // query terms: corpus top-3 document-frequency tokens (BM25 convention)
     val q = tok.distinct().groupBy(col("tok")).agg(count(lit(1)).as("df"))

@@ -935,7 +935,7 @@ object Relational {
       .orderBy("p_partkey")
 
   def q_str_regex(s: SparkSession, dir: String): DataFrame =
-    Tables.spread(s, Tables.documents(s, dir))
+    Tables.documents(s, dir)
       .select(col("doc_id"),
         regexp_extract(col("source"), "(\\d+)", 1).as("src_num"),
         size(split(col("text"), " ")).cast("bigint").as("n_tokens"),
@@ -990,7 +990,7 @@ object Relational {
 
   /** Generator/UDTF surface: explode tokens → global top-20. */
   def q_explode_tokens(s: SparkSession, dir: String): DataFrame =
-    Tables.spread(s, Tables.documents(s, dir))
+    Tables.documents(s, dir)
       .select(explode(split(col("text"), " ")).as("token"))
       .groupBy(col("token"))
       .agg(count(lit(1)).as("cnt"))

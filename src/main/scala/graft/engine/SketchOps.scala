@@ -30,7 +30,7 @@ object SketchOps {
     * the exact groupBy here exists to quantify sketch error on the
     * fixture, and the probe side is 40 broadcast rows. */
   def q_llm_cms_topk(s: SparkSession, dir: String): DataFrame = {
-    val toks = Tables.spread(s, Tables.documents(s, dir))
+    val toks = Tables.documents(s, dir)
       .select(explode(split(col("text"), " ")).as("tok"))
       .filter(length(col("tok")) > 0)
     // Vocabulary-bounded checkpoint: three consumers (top-10 probe set,
@@ -80,7 +80,7 @@ object SketchOps {
     * is spreading load (ratio ≈ 1). One explode-free pass + one 16-group
     * aggregation. */
   def q_llm_shard_assign(s: SparkSession, dir: String): DataFrame = {
-    val d = Tables.spread(s, Tables.documents(s, dir))
+    val d = Tables.documents(s, dir)
       .select(col("doc_id"), size(split(col("text"), " ")).as("n_toks"),
         pmod(Dsl.md5Hash60(concat(lit("shard:"), col("doc_id").cast("string"))),
           lit(NumShards)).as("shard"))

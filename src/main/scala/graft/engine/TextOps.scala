@@ -27,7 +27,7 @@ object TextOps {
   /** Shared langid argmax prediction (doc_id, lang, pred_lang, score) —
     * consumed by q_text_langid and the confusion-matrix evaluation. */
   private def langidPred(s: SparkSession, dir: String): DataFrame = {
-    val tok = Tables.spread(s, Tables.documents(s, dir))
+    val tok = Tables.documents(s, dir)
       .select(col("doc_id"), col("lang"),
         explode(array_distinct(split(col("text"), " "))).as("token"))
     val prof = tok.groupBy(col("lang").as("p_lang"), col("token").as("p_tok"))
@@ -81,7 +81,7 @@ object TextOps {
     * (stopwords = corpus top-10 tokens — computed in-query, broadcast),
     * and a rule-based keep/drop flag. */
   def q_text_quality(s: SparkSession, dir: String): DataFrame = {
-    val docs = Tables.spread(s, Tables.documents(s, dir))
+    val docs = Tables.documents(s, dir)
     val tokAll = docs.select(col("doc_id"), explode(split(col("text"), " ")).as("token"))
     val stop = tokAll.groupBy(col("token")).agg(count(lit(1)).as("c"))
       .orderBy(col("c").desc, col("token").asc).limit(10).select("token")
@@ -102,7 +102,7 @@ object TextOps {
   /** Tokenizer accounting per lang: whitespace tokens vs BPE-ish regex
     * tokens ([a-z]+ | [0-9]+ | single punctuation) vs character counts. */
   def q_text_token_count(s: SparkSession, dir: String): DataFrame =
-    Tables.spread(s, Tables.documents(s, dir))
+    Tables.documents(s, dir)
       .groupBy(col("lang"))
       .agg(
         sum(size(split(col("text"), " "))).cast("bigint").as("ws_tokens"),
@@ -117,7 +117,7 @@ object TextOps {
     * docs sharing any aligned 8-gram window tend to share fingerprints;
     * one linear scan, fingerprint is 32 bytes/doc. */
   def q_text_fingerprint(s: SparkSession, dir: String): DataFrame =
-    Tables.spread(s, Tables.documents(s, dir))
+    Tables.documents(s, dir)
       .select(col("doc_id"), col("lang"),
         expr("""array_min(transform(
                   sequence(1, greatest(length(text)-7, 1), 4),
@@ -362,7 +362,7 @@ object TextOps {
     * raw double AVG — deterministic only because a doc's tokens never
     * cross a partition; the integer sum removes the caveat). */
   private[graft] def heldoutNll9(s: SparkSession, dir: String): DataFrame = {
-    val tok = Tables.spread(s, Tables.documents(s, dir))
+    val tok = Tables.documents(s, dir)
       .select(col("doc_id"), col("lang"), explode(split(col("text"), " ")).as("tok"))
     val train = tok.filter(col("doc_id") % 10 =!= 0)
     val counts = train.groupBy(col("lang").as("ml"), col("tok").as("mt"))
@@ -455,7 +455,7 @@ object TextOps {
     * distance; avg of exact ints → rational, deterministic at 6dp.
     * Spark and DuckDB levenshtein were probed value-identical. */
   def q_text_edit_distance(s: SparkSession, dir: String): DataFrame = {
-    val sample = Tables.spread(s, Tables.documents(s, dir))
+    val sample = Tables.documents(s, dir)
       .filter(col("doc_id") % 10 === 0)
       .select(col("doc_id"), col("lang"), substring(col("text"), 1, 100).as("p"))
     val a = sample.select(col("lang"), col("doc_id").as("ida"), col("p").as("pa"))
@@ -482,7 +482,7 @@ object TextOps {
     * linear scan shape as the n-gram ops; the span hash table shuffles
     * once. */
   def q_llm_span_dedup(s: SparkSession, dir: String): DataFrame = {
-    val sh = Tables.spread(s, Tables.documents(s, dir))
+    val sh = Tables.documents(s, dir)
       .filter(length(col("text")) >= 32)
       .select(col("doc_id"), col("lang"),
         explode(expr(
@@ -496,7 +496,7 @@ object TextOps {
     val perLangDup = docDup.groupBy(col("lang").as("lang_d"))
       .agg(countDistinct(col("doc_id")).as("n_dup_docs"),
         countDistinct(col("h")).as("n_dup_spans"))
-    Tables.spread(s, Tables.documents(s, dir))
+    Tables.documents(s, dir)
       .groupBy(col("lang"))
       .agg(count(lit(1)).as("n_docs"))
       .join(perLangDup, col("lang") === col("lang_d"), "left_outer")
@@ -518,7 +518,7 @@ object TextOps {
     * rounded to 6dp; keep = z > 0. Per-lang keep-rate and exact decimal
     * mean/extrema of z. */
   def q_llm_quality_classifier(s: SparkSession, dir: String): DataFrame = {
-    val z = Tables.spread(s, Tables.documents(s, dir))
+    val z = Tables.documents(s, dir)
       .select(col("lang"), split(col("text"), " ").as("toks"), col("text"))
       .select(col("lang"),
         round(log(lit(1.0) + size(col("toks"))), 9).as("f_len"),
@@ -551,7 +551,7 @@ object TextOps {
     * plain shuffled equi-join on (lang, gram) — no driver-side model
     * object, unlike an ML-library LM. */
   def q_text_bigram_xent(s: SparkSession, dir: String): DataFrame = {
-    val toks = Tables.spread(s, Tables.documents(s, dir))
+    val toks = Tables.documents(s, dir)
       .select(col("doc_id"), col("lang"), split(col("text"), " ").as("toks"))
     val bi = toks.filter(size(col("toks")) >= 2)
       .select(col("doc_id"), col("lang"), explode(expr(
@@ -599,7 +599,7 @@ object TextOps {
     * Scale: one bigram shuffle builds the model; scoring is equi-joins
     * on (lang, gram) + a broadcast type-total. */
   def q_text_kneser_ney(s: SparkSession, dir: String): DataFrame = {
-    val toks = Tables.spread(s, Tables.documents(s, dir))
+    val toks = Tables.documents(s, dir)
       .select(col("doc_id"), col("lang"), split(col("text"), " ").as("toks"))
     val bi = toks.filter(size(col("toks")) >= 2)
       .select(col("doc_id"), col("lang"), explode(expr(
@@ -650,7 +650,7 @@ object TextOps {
     * scalar math, no aggregation, no rounding, no tie class. The
     * downstream use is a quality-filter feature (readability bands). */
   def q_text_readability(s: SparkSession, dir: String): DataFrame = {
-    val d = Tables.spread(s, Tables.documents(s, dir)).select(col("doc_id"), col("lang"),
+    val d = Tables.documents(s, dir).select(col("doc_id"), col("lang"),
       size(split(col("text"), " ")).cast("bigint").as("n_words"),
       expr("size(regexp_extract_all(text, '[aeiou]+', 0))").cast("bigint")
         .as("n_syllables"))
@@ -673,7 +673,7 @@ object TextOps {
     * float until never); rank ties break on token text so the ladder is
     * deterministic. One count agg + one window + a 4-row spine join. */
   def q_llm_tokenizer_coverage(s: SparkSession, dir: String): DataFrame = {
-    val freq = Tables.spread(s, Tables.documents(s, dir))
+    val freq = Tables.documents(s, dir)
       .select(explode(split(col("text"), " ")).as("tok"))
       .filter(length(col("tok")) > 0)
       .groupBy(col("tok")).agg(count(lit(1)).as("cnt"))
@@ -704,7 +704,7 @@ object TextOps {
     * One explode + two keyed aggs; the first-seen table is the only
     * corpus-wide state, keyed on the gram. */
   def q_llm_ngram_novelty(s: SparkSession, dir: String): DataFrame = {
-    val docs = Tables.spread(s, Tables.documents(s, dir))
+    val docs = Tables.documents(s, dir)
       .select(col("doc_id"), col("lang"), split(col("text"), " ").as("toks"))
     val grams = docs.filter(size(col("toks")) >= 3)
       .select(col("doc_id"), explode(expr(
@@ -740,7 +740,7 @@ object TextOps {
     * count (linear), a vocab-bounded per-lang rank window, 100 terms
     * per lang into the fit. */
   def q_text_zipf(s: SparkSession, dir: String): DataFrame = {
-    val tf = Tables.spread(s, Tables.documents(s, dir))
+    val tf = Tables.documents(s, dir)
       .select(col("lang"), explode(split(col("text"), " ")).as("tok"))
       .filter(length(col("tok")) > 0)
       .groupBy(col("lang"), col("tok")).agg(count(lit(1)).as("f"))
@@ -779,7 +779,7 @@ object TextOps {
     * (doc) partitioning; top-3 phrase types per lang with ties on the
     * phrase text. */
   def q_text_rake(s: SparkSession, dir: String): DataFrame = {
-    val tokAll = Tables.spread(s, Tables.documents(s, dir))
+    val tokAll = Tables.documents(s, dir)
       .select(col("doc_id"), col("lang"),
         posexplode(split(col("text"), " ")).as(Seq("pos", "tok")))
     val stop = tokAll.select(col("tok"), col("doc_id")).distinct()
@@ -843,7 +843,7 @@ object TextOps {
     * token scan + one keyed lead window; the fixpoint runs on the
     * vocab-bounded distinct-edge graph. Top-20 words, text tie-break. */
   def q_text_textrank(s: SparkSession, dir: String): DataFrame = {
-    val tok = Tables.spread(s, Tables.documents(s, dir))
+    val tok = Tables.documents(s, dir)
       .select(col("doc_id"),
         posexplode(split(col("text"), " ")).as(Seq("pos", "tok")))
     val stop = tok.select(col("tok"), col("doc_id")).distinct()
@@ -901,7 +901,7 @@ object TextOps {
     * at any realistic shard size, and the three ratios are single pinned
     * divisions (round-6). One explode + two keyed aggregations. */
   def q_text_lexical_diversity(s: SparkSession, dir: String): DataFrame = {
-    val tf = Tables.spread(s, Tables.documents(s, dir))
+    val tf = Tables.documents(s, dir)
       .select(col("lang"), explode(split(col("text"), " ")).as("tok"))
       .groupBy(col("lang"), col("tok")).agg(count(lit(1)).as("f"))
     tf.groupBy(col("lang"))
@@ -1043,7 +1043,7 @@ object TextOps {
     * moments (< 2^53 products), mean and VMR as pinned round-6
     * divisions. One explode + two keyed aggs + broadcast doc totals. */
   def q_text_burstiness(s: SparkSession, dir: String): DataFrame = {
-    val docs = Tables.spread(s, Tables.documents(s, dir))
+    val docs = Tables.documents(s, dir)
     val nd = docs.groupBy(col("lang").as("nl")).agg(count(lit(1)).as("nn"))
     val perDoc = docs
       .select(col("lang"), col("doc_id"), explode(split(col("text"), " ")).as("tok"))
@@ -1149,7 +1149,7 @@ object TextOps {
     * the heavy-hitter alternative when even that blows up is the CMS
     * top-k tier (q_llm_cms_topk). */
   def q_text_ngram_topk(s: SparkSession, dir: String): DataFrame = {
-    val d = Tables.spread(s, Tables.documents(s, dir))
+    val d = Tables.documents(s, dir)
       .select(col("lang"), expr("filter(split(text, ' '), t -> t <> '')").as("t"))
       .filter(size(col("t")) >= 3)
     val g = d.select(col("lang"), explode(expr(
@@ -1177,7 +1177,7 @@ object TextOps {
     * aggs + a 10-row broadcast pair table + one full-outer token join
     * per pair — never corpus-sized. */
   def q_text_jsd(s: SparkSession, dir: String): DataFrame = {
-    val tok = Tables.spread(s, Tables.documents(s, dir))
+    val tok = Tables.documents(s, dir)
       .select(col("lang"), explode(expr("filter(split(text, ' '), t -> t <> '')")).as("w"))
     val cnt = tok.groupBy(col("lang"), col("w")).agg(count(lit(1)).as("c"))
     val tot = cnt.groupBy(col("lang").as("tl")).agg(sum(col("c")).as("n"))
@@ -1331,7 +1331,7 @@ object TextOps {
     * point (β̂ under V = kN^β with k≈1), one pinned double. Scale: the
     * only sort is doc-count-bounded; token work is two keyed aggs. */
   def q_text_heaps_law(s: SparkSession, dir: String): DataFrame = {
-    val tok = Tables.spread(s, Tables.documents(s, dir))
+    val tok = Tables.documents(s, dir)
       .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
       .filter(length(col("tok")) > 0)
     // 10-row checkpoint: BOTH threshold joins read the checkpoint table,
