@@ -3215,7 +3215,11 @@ object StatsOps {
     val wd = Window.partitionBy(col("day"))
       .orderBy(col("us"), col("delta"), col("user_id"), col("s_us"))
       .rowsBetween(Window.unboundedPreceding, 0)
+    // two consumers (per-day max + peak-attain lookup): materialize the
+    // sessionize + sweep chain once (r17 opt — it executed twice,
+    // double-paying both windows over the event stream)
     val swept = pts.withColumn("cur", sum(col("delta")).over(wd))
+      .ckpt("concurrency_sweep")
     val mx = swept.groupBy(col("day"))
       .agg(max(col("cur")).as("max_concurrent_cohort"),
         sum(when(col("delta") === 1L, 1L).otherwise(0L)).as("n_sessions"))
