@@ -198,9 +198,20 @@ object Bench {
     // one-time cost would land on the first timed consumer and corrupt
     // cross-round comparability — log it and surface it in bench.json.
     val warmupFailed = scala.collection.mutable.ListBuffer.empty[String]
+    // Per-warmup build seconds (VERDICT r17 item 6): every MV build that
+    // runs off-clock is itself timed and lands in target/bench.json as
+    // "warmup_sec", so the record carries exactly how much one-time work
+    // sits outside the per-query numbers (the steady-state-vs-cold-build
+    // accounting is argued in PERF.md round 5; this makes it auditable
+    // per round instead of argued). Additions-only to the artifact — the
+    // stdout contract line is unchanged.
+    val warmupSec = scala.collection.mutable.ListBuffer.empty[(String, Double)]
     warmups(spark, sfDir).foreach { case (name, body) =>
-      try body() catch { case e: Throwable =>
+      val t0 = System.nanoTime()
+      try { body(); warmupSec += name -> (System.nanoTime() - t0) / 1e9 }
+      catch { case e: Throwable =>
         warmupFailed += name
+        warmupSec += name -> -1.0
         System.err.println(s"[bench] warmup $name FAILED: ${e.getMessage}")
       }
     }
@@ -379,7 +390,10 @@ object Bench {
       }.mkString
     else ""
     // Complete per-query map (alphabetical) → target/bench.json.
-    val full = s"""{"queries":${qmap(results)},$head$rawPasses}"""
+    val warmupJson = warmupSec
+      .map { case (k, v) => "\"" + k + "\":" + (if (v < 0) "-1" else f3(v)) }
+      .mkString("{", ",", "}")
+    val full = s"""{"queries":${qmap(results)},$head,"warmup_sec":$warmupJson$rawPasses}"""
     val out = new java.io.File("target/bench.json")
     out.getParentFile.mkdirs()
     val w = new java.io.PrintWriter(out, "UTF-8")

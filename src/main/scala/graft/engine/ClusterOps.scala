@@ -223,7 +223,7 @@ object ClusterOps {
       .filter(col("vec_id") % 20 === 0)
       .select(col("vec_id"), posexplode(col("embedding")).as(Seq("j", "xf")))
       .select(col("vec_id"), col("j").cast("bigint").as("j"),
-        round(col("xf").cast("double") * 1e6, 0).cast("bigint").as("xi"))
+        Dsl.rlong(col("xf").cast("double") * 1e6).as("xi"))
     val proj = xe.join(broadcast(rmat), Seq("j"))
       .groupBy(col("vec_id"), col("k"))
       .agg(sum(col("xi") * col("sgn")).as("y"))
@@ -341,7 +341,7 @@ object ClusterOps {
     val rows = isoScan(s, dir)
       .select((col("vec_id") % 8).as("shard"),
         expr(uArr).as("u9"),
-        round(round(expr(isoQFold), 9) * 1e9, 0).cast("bigint").as("q9"))
+        Dsl.rlong(round(expr(isoQFold), 9) * 1e9).as("q9"))
       .as[IsoIn]
       .groupByKey(_.shard)
       .flatMapGroupsWithState(org.apache.spark.sql.streaming.OutputMode.Update,

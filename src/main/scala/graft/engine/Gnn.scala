@@ -357,7 +357,7 @@ object Gnn {
     // round-6 tie at the top-20 cutoff between engines; the 1e9-scaled
     // integer sum is exact and identical everywhere
     val moments = (1 to 64).map(j =>
-      (sum(round(el(j) * 1e9, 0).cast("bigint")).cast("double")
+      (sum(Dsl.rlong(el(j) * 1e9)).cast("double")
         / count(lit(1)).cast("double") / 1e9).as(s"m$j"))
     val stats = emb.agg(moments.head, moments.tail: _*)
     val d2 = (1 to 64).map(j => (el(j) - col(s"m$j")) * (el(j) - col(s"m$j")))
@@ -452,7 +452,7 @@ object Gnn {
       .crossJoin(broadcast(q))
       .withColumn("score", LlmOps.vecDot(s)(col("embedding"), col("qv")) / 8)
       .withColumn("wexp9",
-        round(exp(col("score") - max(col("score")).over(wspec)) * 1e9, 0).cast("bigint"))
+        Dsl.rlong(exp(col("score") - max(col("score")).over(wspec)) * 1e9))
       .withColumn("w", col("wexp9").cast("double")
         / sum(col("wexp9")).over(wspec).cast("double"))
     // final 6-dp values derive from the exact integer sums
@@ -598,7 +598,7 @@ object Gnn {
     val d = (i: Int) =>
       round(sum(round(col("w") * element_at(col("embedding"), i).cast("double") * 1e9, 0)
           .cast("bigint")).cast("double")
-        / sum(round(col("w") * 1e9, 0).cast("bigint")).cast("double"), 6)
+        / sum(Dsl.rlong(col("w") * 1e9)).cast("double"), 6)
         .as(s"d$i")
     ed.join(broadcast(Tables.embeddings(s, dir)), col("vkey") === col("vec_id"))
       .groupBy(col("c").as("custkey"))
@@ -699,10 +699,10 @@ object Gnn {
     // order-blind, codegen-fast; both engines round the same IEEE product)
     val scored = feat
       .withColumn("resid", round(sig - col("y"), 9))
-      .withColumn("lossr9", round((-(col("y") * log(sig)
-        + (lit(1.0) - col("y")) * log(lit(1.0) - sig))) * lit(1.0e9), 0).cast("bigint"))
+      .withColumn("lossr9", Dsl.rlong((-(col("y") * log(sig)
+        + (lit(1.0) - col("y")) * log(lit(1.0) - sig))) * lit(1.0e9)))
     val gradAggs = (1 to 4).map(j =>
-      sum(round(col("resid") * col(s"f$j") * lit(1.0e9), 0).cast("bigint")).as(s"g$j"))
+      sum(Dsl.rlong(col("resid") * col(s"f$j") * lit(1.0e9))).as(s"g$j"))
     val aggs = Seq(
       sum(when(col("y") === 1.0, 1L).otherwise(0L)).as("n_pos"),
       sum(when(col("y") === 0.0, 1L).otherwise(0L)).as("n_neg"),

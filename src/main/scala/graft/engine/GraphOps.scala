@@ -337,20 +337,25 @@ object GraphOps {
     // the inherited size estimate): these loops have no broadcast
     // subqueries to cut, so the per-hop materialization was pure
     // scheduler overhead — 27 jobs / ~1 s of planning gaps measured.
-    var f = nodes.select(col("v"), col("v").as("f")).ckpt()
-    for (it <- 1 to SccHops) {
-      val prop = t.join(f, col("src") === col("v"))
-        .select(col("dst").as("v"), col("f"))
-      f = f.union(prop).groupBy(col("v")).agg(min(col("f")).as("f"))
-      if (it % 2 == 0 || it == SccHops) f = freshStats(s, f.ckpt())
+    // The forward and backward sweeps are INDEPENDENT k-hop min-label
+    // propagations over the same edge MV (each ~14 jobs of ~20 ms
+    // scheduler/planning latency) — overlap them on two driver threads
+    // (Par.run, guide §2.6) instead of running 2×SccHops rounds
+    // back-to-back; per-sweep semantics (hop count, cadence,
+    // checkpoints) unchanged.
+    def sweep(srcCol: String, dstCol: String, lbl: String): DataFrame = {
+      var x = nodes.select(col("v"), col("v").as(lbl)).ckpt()
+      for (it <- 1 to SccHops) {
+        val prop = t.join(x, col(srcCol) === col("v"))
+          .select(col(dstCol).as("v"), col(lbl))
+        x = x.union(prop).groupBy(col("v")).agg(min(col(lbl)).as(lbl))
+        if (it % 2 == 0 || it == SccHops) x = freshStats(s, x.ckpt())
+      }
+      x
     }
-    var b = nodes.select(col("v"), col("v").as("b")).ckpt()
-    for (it <- 1 to SccHops) {
-      val prop = t.join(b, col("dst") === col("v"))
-        .select(col("src").as("v"), col("b"))
-      b = b.union(prop).groupBy(col("v")).agg(min(col("b")).as("b"))
-      if (it % 2 == 0 || it == SccHops) b = freshStats(s, b.ckpt())
-    }
+    val Seq(f, b) = Par.run(Seq[() => DataFrame](
+      () => sweep("src", "dst", "f"),
+      () => sweep("dst", "src", "b")))
     f.join(b, Seq("v"))
       .groupBy(col("f").as("f_label"), col("b").as("b_label"))
       .agg(count(lit(1)).as("class_size"))
@@ -965,7 +970,7 @@ object GraphOps {
         // decimal-vs-float implementations split true near-ties
         // (~1e-5 of terms; one such term broke gcn_norm at sf0.1).
         .agg((lit(0.15) + lit(0.85)
-          * (sum(round(col("r") / col("d") * 1e9, 0).cast("bigint")).cast("double") / 1e9)).as("r"))
+          * (sum(Dsl.rlong(col("r") / col("d") * 1e9)).cast("double") / 1e9)).as("r"))
         .select(col("dst").as("node"), col("r"))
       // checkpoint every 2nd step: bounds plan depth (planning + codegen
       // cost of a 10-deep broadcast chain is worse than 5 short jobs)
@@ -1028,7 +1033,7 @@ object GraphOps {
           col("src") === col("rn"))
         .groupBy(col("dst"))
         .agg((lit(0.15) + lit(0.85)
-          * (sum(round(col("r") * col("w") / col("wt") * 1e9, 0).cast("bigint"))
+          * (sum(Dsl.rlong(col("r") * col("w") / col("wt") * 1e9))
             .cast("double") / 1e9)).as("r"))
         .select(col("dst").as("node"), col("r"))
       if (it % 2 == 0) ranks = freshStats(s, ranks.ckpt())
@@ -1235,7 +1240,7 @@ object GraphOps {
     closeDistW(s, dir).filter(col("dist") > 0)
       .groupBy(col("seed"))
       .agg(count(lit(1)).as("n_reached"),
-        round(sum(round(lit(1e9) / col("dist").cast("double"), 0).cast("bigint"))
+        round(sum(Dsl.rlong(lit(1e9) / col("dist").cast("double")))
           .cast("double") / 1e9, 6).as("harmonic_w"))
       .orderBy("seed")
 
@@ -1508,8 +1513,8 @@ object GraphOps {
       val e1 = e.join(stateHint(bs, dir, custDeg.filter(col("cd") >= 2), "cd_src"),
         col("src") === col("cd_src"))
         .select(col("src"), col("dst").as("a"),
-          round(lit(1.0) / log(col("cd")) * 1e9, 0).cast("bigint").as("aa9"),
-          round(lit(1.0) / col("cd") * 1e9, 0).cast("bigint").as("ra9"))
+          Dsl.rlong(lit(1.0) / log(col("cd")) * 1e9).as("aa9"),
+          Dsl.rlong(lit(1.0) / col("cd") * 1e9).as("ra9"))
       val e2 = e.select(col("src").as("src2"), col("dst").as("b"))
       e1.join(e2, col("src") === col("src2") && col("a") < col("b"))
         .groupBy(col("a"), col("b"))
@@ -2214,6 +2219,59 @@ object GraphOps {
     // scale it saturates at full parallelism and the coalesce becomes
     // a no-op.
     val e = edges(s, dir).coalesce(iterWidth(s, dir))
+    // Max-norm FUSED into the consuming matvec (VERDICT r17 item 9):
+    // the rank table stays RAW (un-normalized) between legs, carrying
+    // its 1-row max beside it; the next leg divides inside its own
+    // keyed aggregation — round((ar/am)·1e9) is the identical IEEE
+    // expression the old normalized projection fed it. What this buys:
+    // the old normalized-hub projection was a THIRD broadcast build per
+    // leg whose job could only start after the max broadcast finished
+    // (nested dependency); now the raw-table and max broadcasts both
+    // read the leg's checkpoint directly and build in parallel — one
+    // fewer serial job per leg in a 52-job query (measured 1.2 s of
+    // inter-job gaps).
+    // One leg = join the raw rank state (+ its 1-row max when a prior
+    // leg produced one) into the edge MV, aggregate per opposite
+    // endpoint with the established rlong 1e9-scaled integer sum. The
+    // per-term expression is EXACTLY the old one — ((raw/max)·1e9) —
+    // only computed inside this leg instead of via an intermediate
+    // normalized projection.
+    def leg(rank: DataFrame, rmax: Option[DataFrame],
+        joinKey: String, outKey: String, out: String): (DataFrame, DataFrame) = {
+      val state = stateHint(s, dir,
+        rank.select(col(rank.columns(0)).as("rn"), col(rank.columns(1)).as("rv")), "rn")
+      val joined = rmax.foldLeft(e.join(state, col(joinKey) === col("rn")))(
+        (df, mx) => df.crossJoin(broadcast(mx)))
+      val term = rmax.map(_ => col("rv") / col("rm")).getOrElse(col("rv"))
+      val raw = joined.groupBy(col(outKey))
+        .agg((sum(Dsl.rlong(term * 1e9)).cast("double") / 1e9).as(out))
+        .ckpt()
+      val rawF = freshStats(s, raw)
+      (rawF, rawF.agg(max(col(out)).as("rm")))
+    }
+    var rank = e.select(col("dst").as("node")).distinct()
+      .select(col("node"), lit(1.0).as("a"))
+    var rankMax: Option[DataFrame] = None
+    for (_ <- 1 to HitsIters) {
+      val (h, hm) = leg(rank, rankMax, "dst", "src", "h")
+      val (ar, am) = leg(h, Some(hm), "src", "dst", "ar")
+      rank = ar
+      rankMax = Some(am)
+    }
+    rank.crossJoin(broadcast(rankMax.get))
+      .select(col("dst").as("part_key"),
+        round(col("ar") / col("rm"), 6).as("authority"))
+      .orderBy(col("authority").desc, col("part_key").asc)
+      .limit(20)
+  }
+
+  /** UNFUSED spec twin of q_graph_hits (the pre-r18 shape: normalize
+    * into an intermediate hub/auth projection per leg, then matvec the
+    * normalized table). Kept as the equality pin for the max-norm
+    * fusion — OptimizationR18Spec asserts the fused query returns
+    * byte-identical rows. Not registered; never run in the bench. */
+  private[graft] def hitsUnfusedTwin(s: SparkSession, dir: String): DataFrame = {
+    val e = edges(s, dir).coalesce(iterWidth(s, dir))
     var auth = e.select(col("dst").as("node")).distinct()
       .select(col("node"), lit(1.0).as("a"))
     for (_ <- 1 to HitsIters) {
@@ -2235,7 +2293,7 @@ object GraphOps {
       val hRaw = e.join(stateHint(s, dir, auth.select(col("node").as("an"), col("a")), "an"),
           col("dst") === col("an"))
         .groupBy(col("src"))
-        .agg((sum(round(col("a") * 1e9, 0).cast("bigint")).cast("double") / 1e9).as("h"))
+        .agg((sum(Dsl.rlong(col("a") * 1e9)).cast("double") / 1e9).as("h"))
         .ckpt()
       val hRawF = freshStats(s, hRaw)
       val hub = hRawF.crossJoin(broadcast(hRawF.agg(max(col("h")).as("hm"))))
@@ -2243,7 +2301,7 @@ object GraphOps {
       val aRaw = e.join(stateHint(s, dir, hub.select(col("src").as("hn"), col("h")), "hn"),
           col("src") === col("hn"))
         .groupBy(col("dst"))
-        .agg((sum(round(col("h") * 1e9, 0).cast("bigint")).cast("double") / 1e9).as("ar"))
+        .agg((sum(Dsl.rlong(col("h") * 1e9)).cast("double") / 1e9).as("ar"))
         .ckpt()
       val aRawF = freshStats(s, aRaw)
       auth = aRawF.crossJoin(broadcast(aRawF.agg(max(col("ar")).as("am"))))
@@ -2313,7 +2371,7 @@ object GraphOps {
         // 1e9-scaled BIGINT per-term rounding + exact sum (order-blind;
         // see q_graph_pagerank for why the scaled form, not round-9)
         .select(col("dst").as("node"),
-          round(col("r") / col("d") * 1e9, 0).cast("bigint").as("c9"),
+          Dsl.rlong(col("r") / col("d") * 1e9).as("c9"),
           lit(0.0).as("t"))
         .unionByName(teleport9)
         .groupBy(col("node"))
@@ -2353,7 +2411,7 @@ object GraphOps {
         .join(stateHint(s, dir, ranks.select(col("node").as("rn"), col("r")), "rn"),
           col("src") === col("rn"))
         .select(col("dst").as("node"),
-          round(col("r") * col("w") / col("wt") * 1e9, 0).cast("bigint").as("c9"),
+          Dsl.rlong(col("r") * col("w") / col("wt") * 1e9).as("c9"),
           lit(0.0).as("t"))
         .unionByName(teleport9)
         .groupBy(col("node"))
@@ -2467,7 +2525,7 @@ object GraphOps {
     closeDistances(s, dir).filter(col("d") > 0)
       .groupBy(col("seed"))
       .agg(count(lit(1)).as("n_reached"),
-        sum(round(lit(1e9) / col("d").cast("double"), 0).cast("bigint")).as("h9"))
+        sum(Dsl.rlong(lit(1e9) / col("d").cast("double"))).as("h9"))
       .select(col("seed"), col("n_reached"),
         round(col("h9").cast("double") / 1e9, 6).as("harmonic"))
       .orderBy("seed")
@@ -2499,7 +2557,7 @@ object GraphOps {
           col("b") === col("xn"))
         .groupBy(col("a"))
         .agg((lit(1.0) + lit(KatzAlpha)
-          * (sum(round(col("x") * 1e9, 0).cast("bigint")).cast("double") / 1e9)).as("x"))
+          * (sum(Dsl.rlong(col("x") * 1e9)).cast("double") / 1e9)).as("x"))
         .select(col("a").as("node"), col("x"))
       if (it % 2 == 0) x = x.ckpt()
     }
@@ -2571,20 +2629,31 @@ object GraphOps {
     * round-6, id tie-break. */
   def q_graph_eigenvector(s: SparkSession, dir: String): DataFrame = {
     val ue = undProj(s, dir, TriangleMinCooccur)
+    // max-norm fused into the consuming matvec (the q_graph_hits r18
+    // device): the state stays RAW between steps with its 1-row max
+    // beside it; the next step divides inside its keyed aggregation —
+    // round((xr/xm)·1e9) is the identical IEEE expression the old
+    // normalized projection fed it, and the raw-state and max
+    // broadcasts now build in parallel off the step checkpoint instead
+    // of nesting.
     var x = ue.select(col("a").as("node")).distinct()
-      .select(col("node"), lit(1.0).as("x"))
+      .select(col("node"), lit(1.0).as("xv"))
+    var xMax: Option[DataFrame] = None
     for (_ <- 1 to EigIters) {
-      val raw = ue
-        .join(stateHint(s, dir, x.select(col("node").as("xn"), col("x")), "xn"),
+      val joined0 = ue
+        .join(stateHint(s, dir, x.select(col(x.columns(0)).as("xn"), col(x.columns(1)).as("xv")), "xn"),
           col("b") === col("xn"))
-        .groupBy(col("a"))
-        .agg((sum(round(col("x") * 1e9, 0).cast("bigint")).cast("double") / 1e9)
+      val joined = xMax.foldLeft(joined0)((df, mx) => df.crossJoin(broadcast(mx)))
+      val term = xMax.map(_ => col("xv") / col("xm")).getOrElse(col("xv"))
+      val raw = joined.groupBy(col("a"))
+        .agg((sum(Dsl.rlong(term * 1e9)).cast("double") / 1e9)
           .as("xr"))
         .ckpt()
-      x = raw.crossJoin(broadcast(raw.agg(max(col("xr")).as("xm"))))
-        .select(col("a").as("node"), (col("xr") / col("xm")).as("x"))
+      x = raw
+      xMax = Some(raw.agg(max(col("xr")).as("xm")))
     }
-    x.select(col("node").as("part_key"), round(col("x"), 6).as("eigen"))
+    x.crossJoin(broadcast(xMax.get))
+      .select(col("a").as("part_key"), round(col("xr") / col("xm"), 6).as("eigen"))
       .orderBy(col("eigen").desc, col("part_key").asc)
       .limit(20)
   }

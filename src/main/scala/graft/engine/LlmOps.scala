@@ -710,10 +710,17 @@ object LlmOps {
       xxFull: DataFrame, xxSampled: DataFrame): DataFrame = {
     // sampled xx feeds 3 consumers, md5 + exact ground truth 2 each:
     // materialize each once (all are sample- or pair-set-bounded).
-    val xxS = xxSampled.ckpt()
-    val md5 = q_llm_simhash_md5(s, dir)
-      .select(col("doc_a"), col("doc_b")).ckpt()
+    // Mv contract first (Mv.scala: builds are single-threaded per
+    // session): construct the md5 plan and warm the exact ground-truth
+    // MV on THIS thread — any cold memo build runs here, serially —
+    // then overlap the two per-query ckpt materializations, which are
+    // independent pipelines over already-built MVs, on driver threads
+    // (Par.run, guide §2.6) instead of paying two sequential chains.
+    val md5Df = q_llm_simhash_md5(s, dir).select(col("doc_a"), col("doc_b"))
     val exactS = exactSamplePairs(s, dir) // memoized checkpoint-backed MV
+    val Seq(xxS, md5) = Par.run(Seq[() => DataFrame](
+      () => xxSampled.ckpt(),
+      () => md5Df.ckpt()))
     // full-corpus precision: exact-verify ONLY the emitted pairs
     val fullAgg = jaccardVerify(s, dir,
         xxFull.select(col("lang"), col("doc_a"), col("doc_b")))
@@ -1268,8 +1275,13 @@ object LlmOps {
       var prevSum = labels.agg(sum(col("lbl"))).collect()(0).getLong(0)
       var converged = false
       while (!converged) {
+        // label table is |sampled docs|-sized — route the broadcast
+        // through the probe-gated docHint (VERDICT r17 item 5: an
+        // unconditional broadcast is the one shape that breaks outright
+        // at 100 TB doc counts; past the guard the hint drops and the
+        // superstep runs as a shuffle join)
         val nbrMin = ue
-          .join(broadcast(labels.select(col("node").as("bn"), col("lbl").as("blbl"))),
+          .join(docHint(s, dir, labels.select(col("node").as("bn"), col("lbl").as("blbl"))),
             col("y") === col("bn"))
           .groupBy(col("x")).agg(min(col("blbl")).as("nbr_min"))
         val next = labels
@@ -2224,8 +2236,12 @@ object LlmOps {
     var prevSum = if (first.isNullAt(0)) 0L else first.getLong(0)
     var converged = first.isNullAt(0)
     while (!converged) {
+      // label tables are |sampled docs|-sized — probe-gated docHint
+      // instead of an unconditional broadcast (VERDICT r17 item 5: the
+      // one shape that breaks outright at 100 TB doc counts; past the
+      // guard the hint drops and the supersteps run as shuffle joins)
       val nbrMin = ue
-        .join(broadcast(labels.select(col("node").as("bn"), col("lbl").as("blbl"))),
+        .join(docHint(s, dir, labels.select(col("node").as("bn"), col("lbl").as("blbl"))),
           col("y") === col("bn"))
         .groupBy(col("x")).agg(min(col("blbl")).as("nbr_min"))
       val stepped = labels
@@ -2233,7 +2249,7 @@ object LlmOps {
         .select(col("node"),
           least(col("lbl"), coalesce(col("nbr_min"), col("lbl"))).as("lbl"))
       val next = stepped.alias("s")
-        .join(broadcast(stepped.select(col("node").as("jn"), col("lbl").as("jl"))),
+        .join(docHint(s, dir, stepped.select(col("node").as("jn"), col("lbl").as("jl"))),
           col("s.lbl") === col("jn"))
         .select(col("s.node").as("node"), least(col("s.lbl"), col("jl")).as("lbl"))
         .ckpt()

@@ -264,7 +264,7 @@ object PipelineOps {
           (col("tf") + (col("dl") / col("avgdl") * Bm25B + (1 - Bm25B)) * Bm25K1))
       .groupBy(col("doc_id"), col("lang"))
       // 6-dp output from the exact integer sum (true-tie-safe rounding)
-      .agg((round(sum(round(col("term_score") * 1e9, 0).cast("bigint")).cast("double") / 1000, 0)
+      .agg((round(sum(Dsl.rlong(col("term_score") * 1e9)).cast("double") / 1000, 0)
         / 1e6).as("bm25"))
     score.orderBy(col("bm25").desc, col("doc_id").asc).limit(10)
       .select(col("doc_id"), col("lang"), col("bm25"))

@@ -29,9 +29,9 @@ object StatsOps {
   def q_agg_corr(s: SparkSession, dir: String): DataFrame = {
     val li = Tables.lineitem(s, dir).select(
       col("l_quantity").cast("bigint").as("q"),
-      round(col("l_extendedprice") * 100, 0).cast("bigint").as("p"),
-      round(col("l_discount") * 100, 0).cast("bigint").as("d"),
-      round(col("l_tax") * 100, 0).cast("bigint").as("t"))
+      Dsl.rlong(col("l_extendedprice") * 100).as("p"),
+      Dsl.rlong(col("l_discount") * 100).as("d"),
+      Dsl.rlong(col("l_tax") * 100).as("t"))
     def dsum(c: org.apache.spark.sql.Column, n: String) =
       sum(c.cast("decimal(38,0)")).cast("double").as(n)
     val agg = li.agg(
@@ -362,7 +362,7 @@ object StatsOps {
     Tables.events(s, dir)
       .select(col("event_type").as("etype"), unix_micros(col("ts")).as("tsUs"),
         col("event_id"),
-        round(col("value") * 100, 0).cast("bigint").as("c"))
+        Dsl.rlong(col("value") * 100).as("c"))
       .as[AnomEvent]
       .groupByKey(_.etype)
       .flatMapGroupsWithState(org.apache.spark.sql.streaming.OutputMode.Update,
@@ -407,7 +407,7 @@ object StatsOps {
     val o = Tables.orders(s, dir)
       .join(Tables.customer(s, dir), col("o_custkey") === col("c_custkey"))
       .select(col("c_mktsegment").as("seg"), col("o_orderkey"),
-        round(col("o_totalprice") * 100, 0).cast("bigint").as("cents"))
+        Dsl.rlong(col("o_totalprice") * 100).as("cents"))
     val w = Window.partitionBy(col("seg")).orderBy(col("cents"), col("o_orderkey"))
     val ranked = o.withColumn("i", row_number().over(w))
     val agg = ranked.groupBy(col("seg")).agg(
@@ -540,7 +540,7 @@ object StatsOps {
     * per type partition. */
   def q_agg_ks_test(s: SparkSession, dir: String): DataFrame = {
     val ev = Tables.events(s, dir).select(col("event_type"),
-      round(col("value") * 100, 0).cast("bigint").as("c"),
+      Dsl.rlong(col("value") * 100).as("c"),
       (to_date(col("ts")) <= lit("2024-01-15").cast("date")).as("is_ref"))
     val counts = ev.groupBy(col("event_type"), col("c"))
       .agg(sum(when(col("is_ref"), 1L).otherwise(0L)).as("cr"),
@@ -574,7 +574,7 @@ object StatsOps {
   def q_time_autocorr(s: SparkSession, dir: String): DataFrame = {
     val daily = Tables.events(s, dir)
       .groupBy(col("event_type"), to_date(col("ts")).as("day"))
-      .agg(sum(round(col("value") * 100, 0).cast("bigint")).as("c"))
+      .agg(sum(Dsl.rlong(col("value") * 100)).as("c"))
     val lags = s.range(0, 1).select(explode(array(AutocorrLags.map(lit): _*)).as("lag"))
     val pairs = daily.crossJoin(lags)
       .select(col("event_type"), col("lag"), col("day"), col("c").as("y"))
@@ -611,7 +611,7 @@ object StatsOps {
   def q_time_ar2(s: SparkSession, dir: String): DataFrame = {
     val daily = Tables.events(s, dir)
       .groupBy(col("event_type"), to_date(col("ts")).as("day"))
-      .agg(sum(round(col("value") * 100, 0).cast("bigint")).as("c"))
+      .agg(sum(Dsl.rlong(col("value") * 100)).as("c"))
     val lags = s.range(0, 1).select(explode(array(lit(1), lit(2))).as("lag"))
     val pairs = daily.crossJoin(lags)
       .select(col("event_type"), col("lag"), col("day"), col("c").as("y"))
@@ -693,7 +693,7 @@ object StatsOps {
     import s.implicits._
     Tables.events(s, dir)
       .groupBy(col("event_type").as("etype"), to_date(col("ts")).as("day"))
-      .agg(sum(round(col("value") * 100, 0).cast("bigint")).as("y"))
+      .agg(sum(Dsl.rlong(col("value") * 100)).as("y"))
       .select(col("etype"),
         datediff(col("day"), lit("2024-01-01").cast("date")).cast("bigint").as("x"),
         col("y"))
@@ -720,7 +720,7 @@ object StatsOps {
   def q_agg_ols_trend(s: SparkSession, dir: String): DataFrame = {
     val daily = Tables.events(s, dir)
       .groupBy(col("event_type"), to_date(col("ts")).as("day"))
-      .agg(sum(round(col("value") * 100, 0).cast("bigint")).as("c"))
+      .agg(sum(Dsl.rlong(col("value") * 100)).as("c"))
       .select(col("event_type"),
         datediff(col("day"), lit("2024-01-01").cast("date")).cast("bigint").as("x"),
         col("c").as("y"))
@@ -757,7 +757,7 @@ object StatsOps {
   def q_time_changepoint(s: SparkSession, dir: String): DataFrame = {
     val daily = Tables.events(s, dir)
       .groupBy(col("event_type"), to_date(col("ts")).as("day"))
-      .agg(sum(round(col("value") * 100, 0).cast("bigint")).as("y"))
+      .agg(sum(Dsl.rlong(col("value") * 100)).as("y"))
     val w = Window.partitionBy(col("event_type")).orderBy(col("day"))
     val pre = daily
       .withColumn("p", sum(col("y")).over(w.rowsBetween(Window.unboundedPreceding, 0)))
@@ -789,7 +789,7 @@ object StatsOps {
     * with a degenerate half (n ≤ 1) are excluded in both engines. */
   def q_agg_ttest(s: SparkSession, dir: String): DataFrame = {
     val ev = Tables.events(s, dir).select(col("event_type"),
-      round(col("value") * 100, 0).cast("bigint").as("c"),
+      Dsl.rlong(col("value") * 100).as("c"),
       (to_date(col("ts")) <= lit("2024-01-15").cast("date")).as("is_ref"))
     def dsum(c: org.apache.spark.sql.Column, n: String) =
       sum(c.cast("decimal(38,0)")).cast("double").as(n)
@@ -854,7 +854,7 @@ object StatsOps {
   def q_stream_ttest(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val snap = Tables.events(s, dir).select(col("event_type").as("etype"),
-        round(col("value") * 100, 0).cast("bigint").as("c"),
+        Dsl.rlong(col("value") * 100).as("c"),
         (to_date(col("ts")) <= lit("2024-01-15").cast("date")).as("isRef"))
       .as[TtEv]
       .groupByKey(_.etype)
@@ -880,7 +880,7 @@ object StatsOps {
   def q_time_seasonal_decompose(s: SparkSession, dir: String): DataFrame = {
     val daily = Tables.events(s, dir)
       .groupBy(col("event_type"), to_date(col("ts")).as("day"))
-      .agg(sum(round(col("value") * 100, 0).cast("bigint")).as("y"))
+      .agg(sum(Dsl.rlong(col("value") * 100)).as("y"))
       .select(col("event_type"),
         datediff(col("day"), lit("2024-01-01").cast("date")).cast("bigint").as("x"),
         col("y"))
@@ -961,7 +961,7 @@ object StatsOps {
     * 9-row spine; all counts exact integers. */
   def q_agg_benford(s: SparkSession, dir: String): DataFrame = {
     val obs = Tables.events(s, dir)
-      .select(round(col("value") * 100, 0).cast("bigint").as("cents"))
+      .select(Dsl.rlong(col("value") * 100).as("cents"))
       .filter(col("cents") > 0)
       .select(substring(col("cents").cast("string"), 1, 1).cast("int").as("digit"))
       .groupBy(col("digit")).agg(count(lit(1)).as("o"))
@@ -1039,7 +1039,7 @@ object StatsOps {
   def q_stream_benford(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val snap = Tables.events(s, dir)
-      .select(round(col("value") * 100, 0).cast("bigint").as("cents"))
+      .select(Dsl.rlong(col("value") * 100).as("cents"))
       .filter(col("cents") > 0)
       .select(substring(col("cents").cast("string"), 1, 1).cast("int").as("digit"))
       .as[BenfEv]
@@ -1067,7 +1067,7 @@ object StatsOps {
   def q_agg_bootstrap_ci(s: SparkSession, dir: String): DataFrame = {
     val daily = Tables.events(s, dir)
       .groupBy(col("event_type"), to_date(col("ts")).as("day"))
-      .agg(sum(round(col("value") * 100, 0).cast("bigint")).as("y"))
+      .agg(sum(Dsl.rlong(col("value") * 100)).as("y"))
     val wd = Window.partitionBy(col("event_type")).orderBy(col("day"))
     val idx = daily
       .withColumn("i", row_number().over(wd).cast("bigint") - 1)
@@ -1116,7 +1116,7 @@ object StatsOps {
   def q_agg_winsorized_mean(s: SparkSession, dir: String): DataFrame = {
     val daily = Tables.events(s, dir)
       .groupBy(col("event_type"), to_date(col("ts")).as("day"))
-      .agg(sum(round(col("value") * 100, 0).cast("bigint")).as("y"))
+      .agg(sum(Dsl.rlong(col("value") * 100)).as("y"))
     val wy = Window.partitionBy(col("event_type")).orderBy(col("y").asc, col("day").asc)
     val cw = Window.partitionBy(col("event_type"))
     val ranked = daily
@@ -1151,7 +1151,7 @@ object StatsOps {
   def q_agg_tukey(s: SparkSession, dir: String): DataFrame = {
     val daily = Tables.events(s, dir)
       .groupBy(col("event_type"), to_date(col("ts")).as("day"))
-      .agg(sum(round(col("value") * 100, 0).cast("bigint")).as("y"))
+      .agg(sum(Dsl.rlong(col("value") * 100)).as("y"))
     val wy = Window.partitionBy(col("event_type")).orderBy(col("y").asc, col("day").asc)
     val cw = Window.partitionBy(col("event_type"))
     val ranked = daily
@@ -1213,7 +1213,7 @@ object StatsOps {
   def q_time_runs_test(s: SparkSession, dir: String): DataFrame = {
     val daily = Tables.events(s, dir)
       .groupBy(col("event_type"), to_date(col("ts")).as("day"))
-      .agg(sum(round(col("value") * 100, 0).cast("bigint")).as("y"))
+      .agg(sum(Dsl.rlong(col("value") * 100)).as("y"))
     val wy = Window.partitionBy(col("event_type")).orderBy(col("y").asc, col("day").asc)
     val cw = Window.partitionBy(col("event_type"))
     val med = daily
@@ -1274,7 +1274,7 @@ object StatsOps {
   def q_time_ljungbox(s: SparkSession, dir: String): DataFrame = {
     val daily = Tables.events(s, dir)
       .groupBy(col("event_type"), to_date(col("ts")).as("day"))
-      .agg(sum(round(col("value") * 100, 0).cast("bigint")).as("y"))
+      .agg(sum(Dsl.rlong(col("value") * 100)).as("y"))
       .select(col("event_type"),
         datediff(col("day"), lit("2024-01-01").cast("date")).cast("bigint").as("x"),
         col("y"))
@@ -1427,7 +1427,7 @@ object StatsOps {
     val daily = Tables.events(s, dir)
       .filter(col("event_type").isin("click", "purchase"))
       .groupBy(col("event_type"), to_date(col("ts")).as("day"))
-      .agg(sum(round(col("value") * 100, 0).cast("bigint")).as("y"))
+      .agg(sum(Dsl.rlong(col("value") * 100)).as("y"))
     val clicks = daily.filter(col("event_type") === "click")
       .select(col("day").as("cd"), col("y").as("x"))
     val buys = daily.filter(col("event_type") === "purchase")
@@ -1471,7 +1471,7 @@ object StatsOps {
     val w = Window.partitionBy(col("event_type")).orderBy(col("day"))
     val daily = Tables.events(s, dir)
       .groupBy(col("event_type"), to_date(col("ts")).as("day"))
-      .agg(sum(round(col("value") * 100, 0).cast("bigint")).as("y"))
+      .agg(sum(Dsl.rlong(col("value") * 100)).as("y"))
       .withColumn("yp", lag(col("y"), 1).over(w))
       .filter(col("yp").isNotNull)
     val yd = col("y").cast("decimal(38,0)")
@@ -1511,7 +1511,7 @@ object StatsOps {
   def q_time_hurst(s: SparkSession, dir: String): DataFrame = {
     val rn = Tables.events(s, dir)
       .groupBy(to_date(col("ts")).as("day"))
-      .agg(sum(round(col("value") * 100, 0).cast("bigint")).as("y"))
+      .agg(sum(Dsl.rlong(col("value") * 100)).as("y"))
       .withColumn("t", row_number().over(Window.orderBy(col("day"))))
       .ckpt("hurst_spine") // calendar-bounded; read once per block-size leg
     def leg(m: Int): DataFrame = {
@@ -1610,7 +1610,7 @@ object StatsOps {
   def q_time_pacf(s: SparkSession, dir: String): DataFrame = {
     val daily = Tables.events(s, dir)
       .groupBy(col("event_type"), to_date(col("ts")).as("day"))
-      .agg(sum(round(col("value") * 100, 0).cast("bigint")).as("y"))
+      .agg(sum(Dsl.rlong(col("value") * 100)).as("y"))
       .select(col("event_type"),
         datediff(col("day"), lit("2024-01-01").cast("date")).cast("bigint").as("x"),
         col("y"))
@@ -1673,7 +1673,7 @@ object StatsOps {
   def q_agg_permutation_test(s: SparkSession, dir: String): DataFrame = {
     val daily = Tables.events(s, dir)
       .groupBy(col("event_type"), to_date(col("ts")).as("day"))
-      .agg(sum(round(col("value") * 100, 0).cast("bigint")).as("y"))
+      .agg(sum(Dsl.rlong(col("value") * 100)).as("y"))
       .withColumn("x",
         datediff(col("day"), lit("2024-01-01").cast("date")).cast("bigint"))
       .withColumn("is_ref", col("day") <= lit("2024-01-15").cast("date"))
@@ -1759,7 +1759,7 @@ object StatsOps {
   def q_time_periodogram(s: SparkSession, dir: String): DataFrame = {
     val daily = Tables.events(s, dir)
       .groupBy(col("event_type"), to_date(col("ts")).as("day"))
-      .agg(sum(round(col("value") * 100, 0).cast("bigint")).as("y"))
+      .agg(sum(Dsl.rlong(col("value") * 100)).as("y"))
       .select(col("event_type"),
         datediff(col("day"), lit("2024-01-01").cast("date")).cast("bigint").as("x"),
         col("y"))
@@ -1794,7 +1794,7 @@ object StatsOps {
   def q_agg_theil_sen(s: SparkSession, dir: String): DataFrame = {
     val daily = Tables.events(s, dir)
       .groupBy(col("event_type"), to_date(col("ts")).as("day"))
-      .agg(sum(round(col("value") * 100, 0).cast("bigint")).as("y"))
+      .agg(sum(Dsl.rlong(col("value") * 100)).as("y"))
       .select(col("event_type"),
         datediff(col("day"), lit("2024-01-01").cast("date")).cast("bigint").as("x"),
         col("y"))
@@ -1833,7 +1833,7 @@ object StatsOps {
   def q_agg_hodges_lehmann(s: SparkSession, dir: String): DataFrame = {
     val daily = Tables.events(s, dir)
       .groupBy(col("event_type"), to_date(col("ts")).as("day"))
-      .agg(sum(round(col("value") * 100, 0).cast("bigint")).as("y"))
+      .agg(sum(Dsl.rlong(col("value") * 100)).as("y"))
       .select(col("event_type"),
         datediff(col("day"), lit("2024-01-01").cast("date")).cast("bigint").as("x"),
         col("y"))
@@ -1877,7 +1877,7 @@ object StatsOps {
   def q_time_mad(s: SparkSession, dir: String): DataFrame = {
     val daily = Tables.events(s, dir)
       .groupBy(col("event_type"), to_date(col("ts")).as("day"))
-      .agg(sum(round(col("value") * 100, 0).cast("bigint")).as("y"))
+      .agg(sum(Dsl.rlong(col("value") * 100)).as("y"))
     // med2 = 2·median(y), exact integer
     val wy = Window.partitionBy(col("event_type")).orderBy(col("y").asc, col("day").asc)
     val cw = Window.partitionBy(col("event_type"))
@@ -1999,7 +1999,7 @@ object StatsOps {
   def q_time_cusum(s: SparkSession, dir: String): DataFrame = {
     val daily = Tables.events(s, dir)
       .groupBy(col("event_type"), to_date(col("ts")).as("day"))
-      .agg(sum(round(col("value") * 100, 0).cast("bigint")).as("y"))
+      .agg(sum(Dsl.rlong(col("value") * 100)).as("y"))
     val stats = daily.groupBy(col("event_type").as("st"))
       .agg(count(lit(1)).as("n"), sum(col("y")).as("sy"))
     val w = Window.partitionBy(col("event_type")).orderBy(col("day"))
@@ -2066,7 +2066,7 @@ object StatsOps {
     import s.implicits._
     val daily = Tables.events(s, dir)
       .groupBy(col("event_type").as("etype"), to_date(col("ts")).as("day"))
-      .agg(sum(round(col("value") * 100, 0).cast("bigint")).as("y"))
+      .agg(sum(Dsl.rlong(col("value") * 100)).as("y"))
       .select(col("etype"),
         datediff(col("day"), lit("2024-01-01").cast("date")).cast("bigint").as("x"),
         col("y"))
@@ -2093,7 +2093,7 @@ object StatsOps {
     * distinct-value-bounded, never row-bounded, at any corpus size. */
   def q_agg_mannwhitney(s: SparkSession, dir: String): DataFrame = {
     val ev = Tables.events(s, dir).select(col("event_type"),
-      round(col("value") * 100, 0).cast("bigint").as("c"),
+      Dsl.rlong(col("value") * 100).as("c"),
       (to_date(col("ts")) <= lit("2024-01-15").cast("date")).as("is_ref"))
     val counts = ev.groupBy(col("event_type"), col("c")).agg(
       sum(when(col("is_ref"), 1L).otherwise(0L)).as("cr"),
@@ -2144,7 +2144,7 @@ object StatsOps {
   def q_time_ewma(s: SparkSession, dir: String): DataFrame = {
     val daily = Tables.events(s, dir)
       .groupBy(col("event_type"), to_date(col("ts")).as("day"))
-      .agg(sum(round(col("value") * 100, 0).cast("bigint")).as("y"))
+      .agg(sum(Dsl.rlong(col("value") * 100)).as("y"))
       .select(col("event_type"),
         datediff(col("day"), lit("2024-01-01").cast("date")).cast("bigint").as("x"),
         col("y"))
@@ -2200,7 +2200,7 @@ object StatsOps {
     import s.implicits._
     Tables.events(s, dir)
       .groupBy(col("event_type").as("etype"), to_date(col("ts")).as("day"))
-      .agg(sum(round(col("value") * 100, 0).cast("bigint")).as("y"))
+      .agg(sum(Dsl.rlong(col("value") * 100)).as("y"))
       .select(col("etype"),
         datediff(col("day"), lit("2024-01-01").cast("date")).cast("bigint").as("x"),
         col("y"))
@@ -2229,7 +2229,7 @@ object StatsOps {
   def q_time_sax(s: SparkSession, dir: String): DataFrame = {
     val daily = Tables.events(s, dir)
       .groupBy(col("event_type"), to_date(col("ts")).as("day"))
-      .agg(sum(round(col("value") * 100, 0).cast("bigint")).as("y"))
+      .agg(sum(Dsl.rlong(col("value") * 100)).as("y"))
       .select(col("event_type"),
         datediff(col("day"), lit("2024-01-01").cast("date")).cast("bigint").as("x"),
         col("y"))
@@ -2269,7 +2269,7 @@ object StatsOps {
     * scale. */
   def q_agg_gmean_hmean(s: SparkSession, dir: String): DataFrame = {
     val ev = Tables.events(s, dir).select(col("event_type"),
-        round(col("value") * 100, 0).cast("bigint").as("c"))
+        Dsl.rlong(col("value") * 100).as("c"))
       .filter(col("c") > 0)
     val lnT = round(log(col("c").cast("double")), 9).cast("decimal(18,9)")
     val invT = round(lit(1.0) / col("c").cast("double"), 9).cast("decimal(18,9)")
@@ -2299,7 +2299,7 @@ object StatsOps {
     val n = BollWin
     val daily = Tables.events(s, dir)
       .groupBy(col("event_type"), to_date(col("ts")).as("day"))
-      .agg(sum(round(col("value") * 100, 0).cast("bigint")).as("y"))
+      .agg(sum(Dsl.rlong(col("value") * 100)).as("y"))
       .select(col("event_type"),
         datediff(col("day"), lit("2024-01-01").cast("date")).cast("bigint").as("x"),
         col("y"))
@@ -2344,10 +2344,10 @@ object StatsOps {
     * keyed aggregation. */
   def q_agg_pinball(s: SparkSession, dir: String): DataFrame = {
     val ev = Tables.events(s, dir).select(col("event_type"),
-      round(col("value") * 100, 0).cast("bigint").as("c"))
+      Dsl.rlong(col("value") * 100).as("c"))
     val ranked = Tables.events(s, dir)
       .select(col("event_type"), col("event_id"),
-        round(col("value") * 100, 0).cast("bigint").as("c"))
+        Dsl.rlong(col("value") * 100).as("c"))
       .withColumn("rn", row_number().over(
         Window.partitionBy(col("event_type")).orderBy(col("c").asc, col("event_id").asc))
         .cast("bigint"))
@@ -2404,7 +2404,7 @@ object StatsOps {
   def q_agg_mann_kendall(s: SparkSession, dir: String): DataFrame = {
     val daily = Tables.events(s, dir)
       .groupBy(col("event_type"), to_date(col("ts")).as("day"))
-      .agg(sum(round(col("value") * 100, 0).cast("bigint")).as("y"))
+      .agg(sum(Dsl.rlong(col("value") * 100)).as("y"))
       .select(col("event_type"),
         datediff(col("day"), lit("2024-01-01").cast("date")).cast("bigint").as("x"),
         col("y"))
@@ -2445,7 +2445,7 @@ object StatsOps {
   def q_time_dow_seasonality(s: SparkSession, dir: String): DataFrame = {
     val daily = Tables.events(s, dir)
       .groupBy(col("event_type"), to_date(col("ts")).as("day"))
-      .agg(sum(round(col("value") * 100, 0).cast("bigint")).as("y"))
+      .agg(sum(Dsl.rlong(col("value") * 100)).as("y"))
       .select(col("event_type"),
         pmod(datediff(col("day"), lit("2024-01-01").cast("date")), lit(7))
           .cast("bigint").as("dow"),
@@ -2475,7 +2475,7 @@ object StatsOps {
   def q_time_kendall_tau(s: SparkSession, dir: String): DataFrame = {
     val daily = Tables.events(s, dir)
       .groupBy(col("event_type"), to_date(col("ts")).as("day"))
-      .agg(sum(round(col("value") * 100, 0).cast("bigint")).as("y"),
+      .agg(sum(Dsl.rlong(col("value") * 100)).as("y"),
         count(lit(1)).as("c"))
       .select(col("event_type"),
         datediff(col("day"), lit("2024-01-01").cast("date")).cast("bigint").as("x"),
@@ -2528,7 +2528,7 @@ object StatsOps {
     val base = Tables.lineitem(s, dir).select(
       col("l_returnflag").as("g"),
       col("l_quantity").cast("bigint").as("x"),
-      round(col("l_extendedprice") * 100, 0).cast("bigint").as("y"))
+      Dsl.rlong(col("l_extendedprice") * 100).as("y"))
     // 2·avg_rank attached directly per row: 2·avg_rank = 2·cum_before
     // + f + 1 = 2·rank() + count(ties) − 1 (rank() = cum_before + 1;
     // both integer window functions). The old form aggregated a
@@ -2594,7 +2594,7 @@ object StatsOps {
   def q_agg_anova(s: SparkSession, dir: String): DataFrame = {
     val grp = Tables.customer(s, dir)
       .select(col("c_mktsegment").as("g"),
-        round(col("c_acctbal") * 100, 0).cast("bigint").as("c"))
+        Dsl.rlong(col("c_acctbal") * 100).as("c"))
       .groupBy(col("g"))
       .agg(count(lit(1)).as("ng"), sum(col("c")).as("sg"),
         // Σc² widened to DECIMAL(38,0) (ADVICE r10): per-term c² fits
@@ -2614,7 +2614,7 @@ object StatsOps {
   def q_agg_levene(s: SparkSession, dir: String): DataFrame = {
     val v = Tables.customer(s, dir)
       .select(col("c_mktsegment").as("g"),
-        round(col("c_acctbal") * 100, 0).cast("bigint").as("c"))
+        Dsl.rlong(col("c_acctbal") * 100).as("c"))
     val gm = v.groupBy(col("g").as("gg"))
       .agg(count(lit(1)).as("ngm"), sum(col("c")).as("sgm"))
     val z = v.join(broadcast(gm), col("g") === col("gg"))
@@ -2651,7 +2651,7 @@ object StatsOps {
   private def pseudoTests(s: SparkSession, dir: String): DataFrame = {
     val cents = Tables.events(s, dir)
       .select(col("event_type"), (col("user_id") % 20).as("ub"),
-        round(col("value") * 100, 0).cast("bigint").as("c"))
+        Dsl.rlong(col("value") * 100).as("c"))
       .filter(col("c") > 0)
     val g = cents.groupBy(col("event_type"), col("ub"))
       .agg(count(lit(1)).as("n"),
@@ -2775,7 +2775,7 @@ object StatsOps {
     * the one fact-scan aggregation. */
   def q_agg_bartlett(s: SparkSession, dir: String): DataFrame = {
     val v = Tables.customer(s, dir).select(col("c_mktsegment").as("g"),
-      round(col("c_acctbal") * 100, 0).cast("bigint").as("c"))
+      Dsl.rlong(col("c_acctbal") * 100).as("c"))
     def dsum(cc: org.apache.spark.sql.Column, n: String) =
       sum(cc.cast("decimal(38,0)")).cast("double").as(n)
     val grp = v.groupBy(col("g")).agg(count(lit(1)).as("ng"),
@@ -2814,7 +2814,7 @@ object StatsOps {
     * pinned; round-6 at the emit points only. */
   def q_agg_cohens_d(s: SparkSession, dir: String): DataFrame = {
     val ev = Tables.events(s, dir).select(col("event_type"),
-      round(col("value") * 100, 0).cast("bigint").as("c"),
+      Dsl.rlong(col("value") * 100).as("c"),
       (to_date(col("ts")) <= lit("2024-01-15").cast("date")).as("is_ref"))
     def dsum(c: org.apache.spark.sql.Column, n: String) =
       sum(c.cast("decimal(38,0)")).cast("double").as(n)
@@ -2850,7 +2850,7 @@ object StatsOps {
   def q_time_adf(s: SparkSession, dir: String): DataFrame = {
     val daily = Tables.events(s, dir)
       .groupBy(col("event_type"), to_date(col("ts")).as("day"))
-      .agg(sum(round(col("value") * 100, 0).cast("bigint")).as("y"))
+      .agg(sum(Dsl.rlong(col("value") * 100)).as("y"))
     val w = Window.partitionBy(col("event_type")).orderBy(col("day"))
     val lg = daily.withColumn("yp", lag(col("y"), 1).over(w))
       .filter(col("yp").isNotNull)
@@ -2894,7 +2894,7 @@ object StatsOps {
   def q_time_granger(s: SparkSession, dir: String): DataFrame = {
     val daily = Tables.events(s, dir)
       .groupBy(col("event_type"), to_date(col("ts")).as("day"))
-      .agg(sum(round(col("value") * 100, 0).cast("bigint")).as("y"))
+      .agg(sum(Dsl.rlong(col("value") * 100)).as("y"))
     val rows = daily.select(col("event_type").as("tb"), col("day"), col("y"))
       .join(daily.select(col("event_type").as("tb2"), col("day").as("dl"),
           col("y").as("y1")),
@@ -3006,11 +3006,11 @@ object StatsOps {
     val par = daily.groupBy(col("etype").as("pe"))
       .agg(count(lit(1)).as("td"), sum(col("n")).as("nn"))
       .select(col("pe"),
-        round(rate * 1e9, 0).cast("bigint").as("lam09"),
-        round(lit(BurstS) * rate * 1e9, 0).cast("bigint").as("lam19"),
-        round(log(rate) * 1e9, 0).cast("bigint").as("l09"),
-        round(log(lit(BurstS) * rate) * 1e9, 0).cast("bigint").as("l19"),
-        round(log(col("td").cast("double")) * 1e9, 0).cast("bigint").as("gam9"))
+        Dsl.rlong(rate * 1e9).as("lam09"),
+        Dsl.rlong(lit(BurstS) * rate * 1e9).as("lam19"),
+        Dsl.rlong(log(rate) * 1e9).as("l09"),
+        Dsl.rlong(log(lit(BurstS) * rate) * 1e9).as("l19"),
+        Dsl.rlong(log(col("td").cast("double")) * 1e9).as("gam9"))
     daily.join(broadcast(par), col("etype") === col("pe"))
       .select(col("etype"), col("x"),
         (col("lam09") - col("n") * col("l09")).as("e0"),
@@ -3036,7 +3036,7 @@ object StatsOps {
   def q_time_pettitt(s: SparkSession, dir: String): DataFrame = {
     val daily = Tables.events(s, dir)
       .groupBy(col("event_type"), to_date(col("ts")).as("day"))
-      .agg(sum(round(col("value") * 100, 0).cast("bigint")).as("y"))
+      .agg(sum(Dsl.rlong(col("value") * 100)).as("y"))
       .select(col("event_type"),
         datediff(col("day"), lit("2024-01-01").cast("date"))
           .cast("bigint").as("x"), col("y"))
@@ -3081,7 +3081,7 @@ object StatsOps {
     * decision on the rounded statistics. */
   def q_agg_tost(s: SparkSession, dir: String): DataFrame = {
     val ev = Tables.events(s, dir).select(col("event_type"),
-      round(col("value") * 100, 0).cast("bigint").as("c"),
+      Dsl.rlong(col("value") * 100).as("c"),
       (to_date(col("ts")) <= lit("2024-01-15").cast("date")).as("is_ref"))
     def dsum(c: org.apache.spark.sql.Column, n: String) =
       sum(c.cast("decimal(38,0)")).cast("double").as(n)
@@ -3141,7 +3141,7 @@ object StatsOps {
     import s.implicits._
     val daily = Tables.events(s, dir)
       .groupBy(col("event_type"), to_date(col("ts")).as("day"))
-      .agg(sum(round(col("value") * 100, 0).cast("bigint")).as("y"))
+      .agg(sum(Dsl.rlong(col("value") * 100)).as("y"))
       .select(col("event_type"),
         datediff(col("day"), lit("2024-01-01").cast("date"))
           .cast("bigint").as("x"), col("y"))
@@ -3244,7 +3244,7 @@ object StatsOps {
   def q_time_sma_cross(s: SparkSession, dir: String): DataFrame = {
     val daily = Tables.events(s, dir)
       .groupBy(col("event_type"), to_date(col("ts")).as("day"))
-      .agg(sum(round(col("value") * 100, 0).cast("bigint")).as("y"))
+      .agg(sum(Dsl.rlong(col("value") * 100)).as("y"))
       .select(col("event_type"),
         datediff(col("day"), lit("2024-01-01").cast("date"))
           .cast("bigint").as("x"), col("y"))

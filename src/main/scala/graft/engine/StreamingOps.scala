@@ -1014,7 +1014,7 @@ object StreamingOps {
     import s.implicits._
     Tables.events(s, dir)
       .select(col("event_type").as("etype"), col("event_id").as("eid"),
-        round(col("value") * 100, 0).cast("bigint").as("c"))
+        Dsl.rlong(col("value") * 100).as("c"))
       .as[CwIn]
       .groupByKey(_.etype)
       .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(updateCountWindow)

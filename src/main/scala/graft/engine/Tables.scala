@@ -90,4 +90,33 @@ object Dsl {
     * oracle strings together, never in one place. */
   def md5Hash60(c: Column): Column =
     conv(substring(md5(c.cast("binary")), 1, 15), 16, 10).cast("long")
+
+  /** EXACT fast twin of `round(y, 0).cast("bigint")` for double `y`
+    * (r18 opt, guide §4 — eliminate non-codegen-friendly expressions in
+    * the hot path): Spark's ROUND on a double goes through
+    * `BigDecimal(Double.toString(y)).setScale(0, HALF_UP)` — a string
+    * format + decimal parse PER CALL (~0.5–1 µs; RoundBase bytecode,
+    * probed on the shipped spark-catalyst 4.1.2 jar), which dominated
+    * the per-row cost of every 1e9-scaled-BIGINT aggregation (measured
+    * 4.4 µs/row in the SGD gradient pass; ~6 rounds/row).
+    *
+    * This form computes half-away-from-zero on the EXACT binary value
+    * in pure correctly-rounded IEEE ops: |y| − floor(|y|) is exact
+    * (Sterbenz for |y| ≥ 1, trivial below), so the `≥ 0.5` tie test has
+    * no intermediate rounding — unlike the `floor(y + 0.5)` device,
+    * whose addition can round up across a tie boundary (quant's device
+    * is fine because BOTH engines run it; this one must match ROUND).
+    * Rounding the shortest-decimal repr (what BigDecimal sees) and the
+    * exact binary value to an INTEGER can only disagree if some
+    * representable boundary n+0.5 lay strictly between the two, which
+    * round-tripping of the shortest repr forbids — so the results are
+    * bit-identical for every finite double (property-tested across the
+    * full double range in FastRoundSpec; ±Inf, which cannot reach these
+    * pipelines, differs only at the −Inf long-cast clamp). */
+  def rlong(y: Column): Column = {
+    val a = abs(y)
+    val fl = floor(a) // BIGINT on a double input
+    val r = fl + when(a - fl.cast("double") >= 0.5, 1L).otherwise(0L)
+    when(y >= 0, r).otherwise(-r)
+  }
 }

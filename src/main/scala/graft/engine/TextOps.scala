@@ -879,7 +879,7 @@ object TextOps {
         .join(r.select(col("node").as("pn"), col("r")), col("src") === col("pn"))
         .groupBy(col("dst"))
         .agg((lit(0.15) + lit(0.85)
-          * (sum(round(col("r") / col("d") * 1e9, 0).cast("bigint"))
+          * (sum(Dsl.rlong(col("r") / col("d") * 1e9))
             .cast("double") / 1e9)).as("r"))
         .select(col("dst").as("node"), col("r"))
       // checkpoint every 2nd step (the pagerank cadence): the word
@@ -964,6 +964,12 @@ object TextOps {
         round(lit(1.0) / (lit(1.0) + exp(-z)), 9).cast("decimal(10,9)"))
       .withColumn("bin",
         least(lit(9), floor(col("p9") * 10)).cast("int"))
+      // materialize per invocation (r18): BOTH consumers of this table
+      // (q_llm_calibration's bins + broadcast total, q_agg_brier's bins
+      // + broadcast total) otherwise re-run the doc scan + token
+      // explode + stoplist chain once per aggregate leg (§2.3
+      // recompute elimination — the bloom_held pattern)
+      .ckpt("calib_scored")
   }
 
   /** Murphy decomposition of the Brier score (Murphy 1973) over the

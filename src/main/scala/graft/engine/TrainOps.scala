@@ -60,10 +60,10 @@ object TrainOps {
     val sig = lit(1.0) / (lit(1.0) + exp(-sExpr))
     val scored = feat
       .withColumn("resid", round(sig - col("y"), 9))
-      .withColumn("lossr9", round((-(col("y") * log(sig)
-        + (lit(1.0) - col("y")) * log(lit(1.0) - sig))) * lit(1.0e9), 0).cast("bigint"))
+      .withColumn("lossr9", Dsl.rlong((-(col("y") * log(sig)
+        + (lit(1.0) - col("y")) * log(lit(1.0) - sig))) * lit(1.0e9)))
     val gradAggs = (1 to 4).map(j =>
-      sum(round(col("resid") * col(s"f$j") * lit(1.0e9), 0).cast("bigint")).as(s"g$j"))
+      sum(Dsl.rlong(col("resid") * col(s"f$j") * lit(1.0e9))).as(s"g$j"))
     val aggs = Seq(count(lit(1)).as("n_ex"),
       sum(col("lossr9")).as("losssum")) ++ gradAggs
     scored.agg(aggs.head, aggs.tail: _*)
