@@ -32,4 +32,14 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
-)
+  // The 378-operator surface keeps ~4000 generated classes alive (the
+  // whole-stage-codegen cache is sized to the surface in Harness); the
+  // JVM's default 240 MB reserved code cache is a cliff at that class
+  // count — once full, JIT compilation stops silently and hot generated
+  // loops run interpreted. 512 MB reserves address space only (committed
+  // lazily), so the flag is free until needed.
+  "-XX:ReservedCodeCacheSize=512m",
+) ++
+  // dev-only diagnostics hook (GC/JIT logging for perf investigation);
+  // never set by the driver
+  sys.env.get("SPARK_GRAFT_JVM_OPTS").toSeq.flatMap(_.split(' ').filter(_.nonEmpty))

@@ -26,6 +26,19 @@ object Harness {
       // per-operator property, not a cluster-size tune — the value is
       // the same at any scale.
       .config("spark.sql.codegen.maxFields", "256")
+      // The generated-class cache defaults to 100 entries (LRU). A
+      // session serving this engine's 378-operator surface compiles
+      // ~5-10 whole-stage/expression units per query, so any sweep
+      // wider than ~15 queries THRASHES the cache and every re-run
+      // pays Janino compile + fresh-class JIT again (measured: layer2
+      // 2.9 s inside a full bench sweep vs 1.8 s when re-run
+      // consecutively — the delta is recompilation, not data). Size
+      // the cache to the surface: ~4000 entries ≈ the full query set
+      // resident at ~30 KB/class ≈ ~120 MB, the same memory-for-
+      // recompilation trade a production long-lived session makes.
+      // Static conf — must be set before session creation, scale-
+      // independent (it keys on plan shape, not data size).
+      .config("spark.sql.codegen.cache.maxEntries", "4000")
     // Dev A/B knob: extra session confs as "k=v;k=v" (never set by the
     // driver; used to measure config hypotheses without code churn).
     val envConfs = sys.env.get("SPARK_GRAFT_CONF").toSeq

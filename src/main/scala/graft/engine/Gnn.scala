@@ -81,15 +81,24 @@ object Gnn {
       val y = c * lit(1e9)
       when(y >= 0, floor(y + lit(0.5))).otherwise(ceil(y - lit(0.5))).cast("bigint")
     }
+    // raw means as SUM/COUNT instead of 64 AVG aggregates (r18, §4):
+    // Average on doubles IS (double sum, long count) with evaluate =
+    // sum/count — same accumulation order, same division — so
+    // sum(x)/cnt is bit-identical (embeddings are non-null full-width;
+    // the q9 chain already divides by this same count). This drops the
+    // aggregation buffer from 193 slots (64 avg pairs + 64 sums + cnt)
+    // to 129, a third less generated update code for the widest
+    // codegen'd operator in the engine.
     val aggs = (1 to Dim).map(i =>
-      avg(element_at(col("embedding"), i).cast("double")).as(s"m$i")) ++
+      sum(element_at(col("embedding"), i).cast("double")).as(s"m$i")) ++
       (1 to Dim).map(i =>
         sum(q9Col(element_at(col("embedding"), i).cast("double"))).as(s"s$i")) :+
       count(lit(1)).as("cnt")
     GraphOps.neighborFeatures(s, dir)
       .groupBy(col("src"))
       .agg(aggs.head, aggs.tail: _*)
-      .select(col("src"), array((1 to Dim).map(i => col(s"m$i")): _*).as("mv"),
+      .select(col("src"),
+        array((1 to Dim).map(i => col(s"m$i") / col("cnt")): _*).as("mv"),
         array((1 to Dim).map(i => col(s"s$i")): _*).as("sv"), col("cnt"))
   }
 
